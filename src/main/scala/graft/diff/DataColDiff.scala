@@ -1,0 +1,124 @@
+package graft.diff
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+
+/** The core operator: per-row / per-column diff of two DataFrames that
+  * share a schema and a primary key.
+  *
+  * Re-expresses the reference pipeline (find_datacol_diff.py:83-161 +
+  * find_dataframe_diff.py:7-23) Spark-first:
+  *
+  *   - full-outer equi-join on the (composite) key
+  *     (reference find_datacol_diff.py:96-99) — Catalyst picks the join
+  *     strategy; at scale this is the one unavoidable shuffle, handled
+  *     by AQE (skew split / partition coalescing).
+  *   - the diff array is built in ONE expression
+  *     (`filter(array(struct-or-null per column), isNotNull)`) instead of
+  *     the reference's O(columns) `withColumn` fold
+  *     (find_datacol_diff.py:101-115) — constant plan depth, single
+  *     Project, whole-stage-codegen friendly.
+  *   - null-safe `<=>` replaces the reference's coalesce-sentinel trick
+  *     (find_datacol_diff.py:103-106): NULL==NULL matches, NULL vs value
+  *     differs, and there is no sentinel-collision risk. String columns
+  *     were already null-blanked in [[Standardize.prepare]], so observable
+  *     semantics match the reference exactly.
+  *   - stats are ONE aggregation each (groupBy/explode) instead of the
+  *     reference's 6+N count() jobs (find_datacol_diff.py:136-149).
+  */
+object DataColDiff {
+
+  val CompColArr = "CompColArr"
+  val Flag = "Flag"
+
+  /** Lazy diff plan: `n*2` key columns (`<pk>_s1`, `<pk>_s2`), `CompColArr`
+    * and `Flag`. No jobs run. Output shape documented at
+    * reference find_dataframe_diff.py:15.
+    */
+  def diffPlan(s1: DataFrame, s2: DataFrame, pks: Seq[String])
+      : Either[SchemaMismatch, DataFrame] =
+    Standardize.standardize(s1, s2).map { case (d1, d2) =>
+      val k = CompCols.derive(s1, pks)
+
+      // AND-ed per-key-pair equalities (reference find_datacol_diff.py:96).
+      // `===` (not `<=>`): a null key never matches, same as the reference
+      // (string keys were null-blanked upstream, so this only affects
+      // genuinely-null non-string keys).
+      val cond = k.s1Keys.zip(k.s2Keys)
+        .map { case (a, b) => d1(a) === d2(b) }.reduce(_ && _)
+      val joined = d1.join(d2, cond, "full_outer")
+
+      // A side is absent iff ALL its key columns are null post-outer-join
+      // (reference uses concat(...).isNull — any-null — which is
+      // equivalent for matched/unmatched rows and less safe for present
+      // rows with a legitimately-null key component).
+      val s1Missing = k.s1Keys.map(col(_).isNull).reduce(_ && _)
+      val s2Missing = k.s2Keys.map(col(_).isNull).reduce(_ && _)
+
+      val emptyArr = array().cast(DiffEntry.arrayType)
+      val entries: Seq[Column] = k.compCols.map { c =>
+        val a = col(c + Standardize.S1Suffix)
+        val b = col(c + Standardize.S2Suffix)
+        when(!(a <=> b), struct(
+          lit(c).as("col_name"),
+          a.cast(StringType).as("s1_value"),
+          b.cast(StringType).as("s2_value")))
+      }
+      val rawArr =
+        if (entries.isEmpty) emptyArr
+        else filter(array(entries: _*), _.isNotNull)
+      // Blank the array for one-side-only rows: every column "differs"
+      // against an absent row, which would be noise
+      // (reference rationale comment find_datacol_diff.py:119-123).
+      val compArr = when(s1Missing || s2Missing, emptyArr).otherwise(rawArr)
+
+      // Chained CASE; ONLY-flags take precedence over NODIFF
+      // (reference find_datacol_diff.py:129-133).
+      val flag = when(s2Missing, Flags.S1Only)
+        .when(s1Missing, Flags.S2Only)
+        .when(size(compArr) === 0, Flags.NoDiff)
+        .otherwise(Flags.Diff)
+
+      val outCols = (k.s1Keys ++ k.s2Keys).map(col) ++
+        Seq(compArr.as(CompColArr), flag.as(Flag))
+      joined.select(outCols: _*)
+    }
+
+  /** Per-column mismatch counts, descending (ties broken by name for
+    * determinism) — ONE aggregation replacing the reference's
+    * N filter+count jobs (find_datacol_diff.py:146-149).
+    */
+  def statsPlan(diff: DataFrame): DataFrame =
+    diff.select(explode(col(s"$CompColArr.col_name")).as("col_name"))
+      .groupBy("col_name")
+      .agg(count(lit(1)).as("mismatch_cnt"))
+      .orderBy(desc("mismatch_cnt"), asc("col_name"))
+
+  /** Flag-class counts — ONE aggregation replacing the reference's 4
+    * filter+count jobs (find_datacol_diff.py:136-139).
+    */
+  def flagCountsPlan(diff: DataFrame): DataFrame =
+    diff.groupBy(Flag).agg(count(lit(1)).as("cnt"))
+
+  /** Public API mirroring the reference's `compute_dataframe_diff`
+    * (find_dataframe_diff.py:7-23). Persists the join once, then runs
+    * exactly two jobs (flag counts + column stats). The returned `diff`
+    * and `stats` frames stay persisted for caller reuse; call
+    * `result.diff.unpersist()` when done (the reference never
+    * unpersists — find_datacol_diff.py:128).
+    */
+  def computeDataframeDiff(s1: DataFrame, s2: DataFrame, pks: Seq[String])
+      : Either[SchemaMismatch, DiffResult] =
+    diffPlan(s1, s2, pks).map { diff =>
+      diff.persist()
+      val fc = flagCountsPlan(diff).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val counts = FlagCounts(
+        s1Only = fc.getOrElse(Flags.S1Only, 0L),
+        s2Only = fc.getOrElse(Flags.S2Only, 0L),
+        noDiff = fc.getOrElse(Flags.NoDiff, 0L),
+        diff = fc.getOrElse(Flags.Diff, 0L))
+      DiffResult(diff, statsPlan(diff), counts)
+    }
+}

@@ -1,0 +1,58 @@
+package graft.diff
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.StringType
+
+/** Input standardization for the diff operator.
+  *
+  * Behavior matched from the reference's `initialise_and_standardise_df`
+  * (reference: find_datacol_diff.py:19-56):
+  *   - case-insensitive schema comparison (`:32-33`),
+  *   - null → "" on string columns (`fillna("")`, `:39-40`),
+  *   - per-source column suffixing `_s1` / `_s2` (`:42-44`).
+  *
+  * Deviations (documented per SURVEY.md §7.4):
+  *   - SYMMETRIC schema check (the reference only tests s1−s2,
+  *     find_datacol_diff.py:34 — extra s2 columns silently ride along);
+  *     we report both directions.
+  *   - column names are normalized to lower case ONCE here, so nothing
+  *     downstream depends on `spark.sql.caseSensitive=false`.
+  *   - rename is a single `select` projection, not an O(columns) chain of
+  *     `withColumnRenamed` plan nodes (reference loops, `:42-44`).
+  *   - errors are returned as `Left(SchemaMismatch)` instead of the
+  *     reference's `None` + downstream `sys.exit(1)`
+  *     (find_datacol_diff.py:55-56,76-79,157-160).
+  */
+object Standardize {
+
+  val S1Suffix = "_s1"
+  val S2Suffix = "_s2"
+
+  /** Validate the two schemas line up (case-insensitively), then return
+    * both frames with lower-cased, suffixed column names and string-nulls
+    * blanked.
+    */
+  def standardize(s1: DataFrame, s2: DataFrame)
+      : Either[SchemaMismatch, (DataFrame, DataFrame)] = {
+    val c1 = s1.schema.names.map(_.toLowerCase).toSet
+    val c2 = s2.schema.names.map(_.toLowerCase).toSet
+    if (c1 != c2) Left(SchemaMismatch(c1 diff c2, c2 diff c1))
+    else Right((prepare(s1, S1Suffix), prepare(s2, S2Suffix)))
+  }
+
+  /** Lower-case + suffix every column in one projection; blank string
+    * nulls (reference fillna("") semantics: NULL and "" compare equal on
+    * string columns). Non-string columns are left as-is — the diff core
+    * uses null-safe equality so they need no sentinel.
+    */
+  def prepare(df: DataFrame, suffix: String): DataFrame = {
+    val stringCols = df.schema.fields
+      .filter(_.dataType == StringType).map(_.name)
+    val filled =
+      if (stringCols.isEmpty) df else df.na.fill("", stringCols)
+    filled.select(filled.schema.names.map { n =>
+      col(n).as(n.toLowerCase + suffix)
+    }.toIndexedSeq: _*)
+  }
+}

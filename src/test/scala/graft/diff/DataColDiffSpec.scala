@@ -1,0 +1,125 @@
+package graft.diff
+
+import graft.SparkTestSession
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Mirrors the reference's test suite:
+  *   - unit tests from tests/test_find_datacol_diff.py (schema
+  *     standardization, mismatch path, key/comp-col derivation),
+  *   - golden per-column mismatch counts from
+  *     tests/test_output_level_details.py:28-34,
+  * plus property tests from SURVEY.md §5 (self-diff, flag partition,
+  * s1/s2 symmetry). Fixture CSVs are read in place from the read-only
+  * reference checkout.
+  */
+class DataColDiffSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  val fixtures = "/root/reference/tests/datasets"
+  def readCsv(name: String): DataFrame =
+    spark.read.option("header", "true").csv(s"$fixtures/$name")
+
+  lazy val emp100 = readCsv("employee100.csv")
+  lazy val emp101 = readCsv("employee101.csv")
+
+  test("standardize: matching schemas → suffixed frames") {
+    val Right((d1, d2)) = Standardize.standardize(emp100, emp101)
+    assert(d1.columns.forall(_.endsWith("_s1")))
+    assert(d2.columns.forall(_.endsWith("_s2")))
+    assert(d1.columns.map(_.stripSuffix("_s1")).toSet ===
+      emp100.columns.map(_.toLowerCase).toSet)
+  }
+
+  test("standardize: mismatched schemas → SchemaMismatch") {
+    val bible = readCsv("bible101.csv")
+    val res = Standardize.standardize(emp100, bible)
+    assert(res.isLeft)
+    val Left(mm) = res
+    assert(mm.s1Only.nonEmpty && mm.s2Only.nonEmpty)
+  }
+
+  test("compCols: composite key derivation (id, gender)") {
+    val d = CompCols.derive(emp100, Seq("id", "gender"))
+    assert(d.s1Keys === Seq("id_s1", "gender_s1"))
+    assert(d.s2Keys === Seq("id_s2", "gender_s2"))
+    assert(d.compCols.toSet === Set(
+      "first_name", "last_name", "email", "ip_address",
+      "emp_join_date", "emp_country"))
+  }
+
+  // Golden oracle: reference tests/test_output_level_details.py:28-34
+  // on employee100 vs employee101, pk=["id"].
+  val goldenColCounts = Map(
+    "first_name" -> 83L, "last_name" -> 81L, "email" -> 81L,
+    "ip_address" -> 81L, "emp_join_date" -> 81L,
+    "emp_country" -> 77L, "gender" -> 49L)
+
+  test("golden: per-column mismatch counts on employee100 vs employee101") {
+    val Right(res) = DataColDiff.computeDataframeDiff(emp100, emp101, Seq("id"))
+    val got = res.stats.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === goldenColCounts)
+    res.diff.unpersist()
+  }
+
+  test("golden: flag partition sums to outer-join row count") {
+    val Right(res) = DataColDiff.computeDataframeDiff(emp100, emp101, Seq("id"))
+    assert(res.counts.total === res.diff.count())
+    // employee101 has more rows than employee100 → S2_ONLY > 0
+    assert(res.counts.s2Only > 0)
+    res.diff.unpersist()
+  }
+
+  test("property: self-diff is all NODIFF") {
+    val Right(res) = DataColDiff.computeDataframeDiff(emp100, emp100, Seq("id"))
+    assert(res.counts.noDiff === emp100.count())
+    assert(res.counts.s1Only === 0 && res.counts.s2Only === 0 &&
+      res.counts.diff === 0)
+    assert(res.stats.count() === 0)
+    res.diff.unpersist()
+  }
+
+  test("property: swapping inputs swaps S1_ONLY/S2_ONLY and value sides") {
+    val Right(a) = DataColDiff.computeDataframeDiff(emp100, emp101, Seq("id"))
+    val Right(b) = DataColDiff.computeDataframeDiff(emp101, emp100, Seq("id"))
+    assert(a.counts.s1Only === b.counts.s2Only)
+    assert(a.counts.s2Only === b.counts.s1Only)
+    assert(a.counts.diff === b.counts.diff)
+    assert(a.counts.noDiff === b.counts.noDiff)
+    // values swap sides: compare the multiset of (key, col, v1, v2)
+    val av = a.diff.select(col("id_s1"), explode(col("CompColArr")).as("e"))
+      .select(col("id_s1"), col("e.col_name"), col("e.s1_value"), col("e.s2_value"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3))).toSet
+    val bv = b.diff.select(col("id_s2"), explode(col("CompColArr")).as("e"))
+      .select(col("id_s2"), col("e.col_name"), col("e.s2_value"), col("e.s1_value"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3))).toSet
+    assert(av === bv)
+    a.diff.unpersist(); b.diff.unpersist()
+  }
+
+  test("null semantics: NULL==NULL matches; NULL vs value differs; typed cols work") {
+    import spark.implicits._
+    val l = Seq((1L, Some(10.5), "x"), (2L, None, "y"), (3L, Some(3.0), null))
+      .toDF("k", "v", "s")
+    val r = Seq((1L, Some(10.5), "x"), (2L, None, "z"), (3L, None, null))
+      .toDF("k", "v", "s")
+    val Right(res) = DataColDiff.computeDataframeDiff(l, r, Seq("k"))
+    val byKey = res.diff.select(col("k_s1"), col("Flag"),
+        col("CompColArr.col_name").as("cols"))
+      .collect().map(row => row.getLong(0) ->
+        (row.getString(1), row.getSeq[String](2).toSet)).toMap
+    assert(byKey(1L) === (("NODIFF", Set.empty[String])))
+    assert(byKey(2L) === (("", Set("s"))))      // None==None matches, y!=z
+    assert(byKey(3L) === (("", Set("v"))))      // 3.0 vs NULL differs; null str == null str (filled "")
+    res.diff.unpersist()
+  }
+
+  test("composite key diff") {
+    val Right(res) =
+      DataColDiff.computeDataframeDiff(emp100, emp101, Seq("id", "gender"))
+    assert(res.counts.total === res.diff.count())
+    res.diff.unpersist()
+  }
+}
