@@ -1,13 +1,39 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.queries._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented operator gets a `queries` entry; every
+  * SQL-expressible one gets a matching DuckDB `oracleSql` (column names
+  * aliased identically on both sides — the driver compare sorts columns
+  * by name before hashing).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Flagship: the core diff operator on sf0.001 orders vs a perturbed
+    * copy. Driver smoke-checks rows > 0.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val orders = Tables.load(spark, dir, "orders")
+    graft.diff.DataColDiff
+      .diffPlan(orders, DiffQueries.perturbedOrders(orders), Seq("o_orderkey"))
+      .fold(mm => throw new IllegalArgumentException(mm.message), identity)
+  }
+
+  /** One per implemented operator from SURVEY.md §2 (+ extensions). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    DiffQueries.queries ++ Relational.queries
+
+  /** DuckDB-runnable oracle per query key. */
+  def oracleSql: Map[String, String] =
+    DiffQueries.oracleSql ++ Relational.oracleSql
+
+  /** Headline queries timed by graft.Bench (ordered). */
+  def benchQueries: Seq[String] = Seq(
+    "diff_flags", "diff_colstats", "diff_rows",
+    "q1_agg", "q3_join_agg", "q_window_top_orders",
+    "q_events_hourly", "q_cust_no_orders")
 }

@@ -1,0 +1,135 @@
+package graft.queries
+
+import graft.diff.DataColDiff
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver-verifiable queries exercising the core diff operator on the
+  * testdata `orders` table against a deterministically perturbed copy.
+  *
+  * The perturbation (drop 1% of keys → S1_ONLY; re-keyed %97 rows →
+  * S2_ONLY; price bump on %7 and priority rewrite on %13 → DIFF) is
+  * mirrored exactly by the `S2_SQL` CTE so DuckDB can act as oracle.
+  * Oracled outputs avoid raw double-to-string values (cross-engine
+  * float formatting); the diff VALUES themselves are covered by the
+  * ScalaTest golden suite instead.
+  */
+object DiffQueries {
+
+  /** Deterministic perturbation of orders — Spark side. */
+  def perturbedOrders(orders: DataFrame): DataFrame = {
+    val k = col("o_orderkey")
+    orders.filter(k % 100 =!= 0)
+      .withColumn("o_totalprice",
+        when(k % 7 === 0, col("o_totalprice") + 1.0d)
+          .otherwise(col("o_totalprice")))
+      .withColumn("o_orderpriority",
+        when(k % 13 === 0, lit("X-URGENT")).otherwise(col("o_orderpriority")))
+      .unionByName(
+        orders.filter(k % 97 === 0)
+          .withColumn("o_orderkey", k + 100000000L))
+  }
+
+  /** Same perturbation — DuckDB side (ANSI SQL CTE body). */
+  val S2_SQL: String =
+    """s2 AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus,
+      |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice,
+      |    o_orderdate,
+      |    CASE WHEN o_orderkey % 13 = 0 THEN 'X-URGENT' ELSE o_orderpriority END AS o_orderpriority
+      |  FROM orders WHERE o_orderkey % 100 <> 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 100000000, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+      |  FROM orders WHERE o_orderkey % 97 = 0
+      |)""".stripMargin
+
+  private def diffed(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+    DataColDiff.diffPlan(orders, perturbedOrders(orders), Seq("o_orderkey"))
+      .fold(mm => throw new IllegalArgumentException(mm.message), identity)
+  }
+
+  /** Flag-class counts of the diff. */
+  def diffFlags(spark: SparkSession, dir: String): DataFrame =
+    DataColDiff.flagCountsPlan(diffed(spark, dir))
+      .select(col(DataColDiff.Flag).as("flag"), col("cnt"))
+      .orderBy("flag")
+
+  val diffFlagsSql: String =
+    s"""WITH $S2_SQL
+       |SELECT CASE WHEN s.o_orderkey IS NULL THEN 'S1_ONLY'
+       |            WHEN o.o_orderkey IS NULL THEN 'S2_ONLY'
+       |            WHEN (o.o_custkey IS DISTINCT FROM s.o_custkey)
+       |              OR (o.o_orderstatus IS DISTINCT FROM s.o_orderstatus)
+       |              OR (o.o_totalprice IS DISTINCT FROM s.o_totalprice)
+       |              OR (o.o_orderdate IS DISTINCT FROM s.o_orderdate)
+       |              OR (o.o_orderpriority IS DISTINCT FROM s.o_orderpriority)
+       |            THEN '' ELSE 'NODIFF' END AS flag,
+       |       count(*) AS cnt
+       |FROM orders o FULL OUTER JOIN s2 s ON o.o_orderkey = s.o_orderkey
+       |GROUP BY flag ORDER BY flag""".stripMargin
+
+  /** Per-column mismatch counts (descending) of the diff. */
+  def diffColstats(spark: SparkSession, dir: String): DataFrame =
+    DataColDiff.statsPlan(diffed(spark, dir))
+
+  val diffColstatsSql: String =
+    s"""WITH $S2_SQL,
+       |m AS (
+       |  SELECT 'o_custkey' AS col_name FROM orders o JOIN s2 s USING (o_orderkey)
+       |    WHERE o.o_custkey IS DISTINCT FROM s.o_custkey
+       |  UNION ALL
+       |  SELECT 'o_orderstatus' FROM orders o JOIN s2 s USING (o_orderkey)
+       |    WHERE o.o_orderstatus IS DISTINCT FROM s.o_orderstatus
+       |  UNION ALL
+       |  SELECT 'o_totalprice' FROM orders o JOIN s2 s USING (o_orderkey)
+       |    WHERE o.o_totalprice IS DISTINCT FROM s.o_totalprice
+       |  UNION ALL
+       |  SELECT 'o_orderdate' FROM orders o JOIN s2 s USING (o_orderkey)
+       |    WHERE o.o_orderdate IS DISTINCT FROM s.o_orderdate
+       |  UNION ALL
+       |  SELECT 'o_orderpriority' FROM orders o JOIN s2 s USING (o_orderkey)
+       |    WHERE o.o_orderpriority IS DISTINCT FROM s.o_orderpriority
+       |)
+       |SELECT col_name, count(*) AS mismatch_cnt
+       |FROM m GROUP BY col_name ORDER BY mismatch_cnt DESC, col_name""".stripMargin
+
+  /** Matched-but-different rows with the comma-joined list of differing
+    * columns (schema order — same order CompColArr is built in).
+    */
+  def diffRows(spark: SparkSession, dir: String): DataFrame =
+    diffed(spark, dir)
+      .filter(col(DataColDiff.Flag) === "")
+      .select(
+        col("o_orderkey_s1").as("k"),
+        array_join(col(s"${DataColDiff.CompColArr}.col_name"), ",").as("diff_cols"))
+      .orderBy("k")
+
+  val diffRowsSql: String =
+    s"""WITH $S2_SQL
+       |SELECT o.o_orderkey AS k,
+       |  concat_ws(',',
+       |    CASE WHEN o.o_custkey      IS DISTINCT FROM s.o_custkey      THEN 'o_custkey' END,
+       |    CASE WHEN o.o_orderstatus  IS DISTINCT FROM s.o_orderstatus  THEN 'o_orderstatus' END,
+       |    CASE WHEN o.o_totalprice   IS DISTINCT FROM s.o_totalprice   THEN 'o_totalprice' END,
+       |    CASE WHEN o.o_orderdate    IS DISTINCT FROM s.o_orderdate    THEN 'o_orderdate' END,
+       |    CASE WHEN o.o_orderpriority IS DISTINCT FROM s.o_orderpriority THEN 'o_orderpriority' END
+       |  ) AS diff_cols
+       |FROM orders o JOIN s2 s USING (o_orderkey)
+       |WHERE (o.o_custkey IS DISTINCT FROM s.o_custkey)
+       |   OR (o.o_orderstatus IS DISTINCT FROM s.o_orderstatus)
+       |   OR (o.o_totalprice IS DISTINCT FROM s.o_totalprice)
+       |   OR (o.o_orderdate IS DISTINCT FROM s.o_orderdate)
+       |   OR (o.o_orderpriority IS DISTINCT FROM s.o_orderpriority)
+       |ORDER BY k""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "diff_flags" -> (diffFlags(_, _)),
+    "diff_colstats" -> (diffColstats(_, _)),
+    "diff_rows" -> (diffRows(_, _)))
+
+  val oracleSql: Map[String, String] = Map(
+    "diff_flags" -> diffFlagsSql,
+    "diff_colstats" -> diffColstatsSql,
+    "diff_rows" -> diffRowsSql)
+}

@@ -1,0 +1,159 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational coverage queries over the TPC-H-ish testdata.
+  *
+  * Cross-engine determinism rules (vs the DuckDB oracle):
+  *   - money sums go through DECIMAL (exact, order-independent) and are
+  *     cast back to DOUBLE at the end — identical bits in both engines;
+  *   - every output is fully ordered with a unique tie-break key;
+  *   - window ranks are tie-broken by a unique column.
+  */
+object Relational {
+
+  /** TPC-H Q1-style pricing summary: scan-heavy partial aggregation.
+    * At 100 TB this is the canonical map-side-combine query — one
+    * shuffle of ~6 groups regardless of input size.
+    */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp_ntz"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)"))
+          .cast("double").as("sum_base_price"),
+        sum((col("l_extendedprice") * (lit(1.0d) - col("l_discount")))
+          .cast("decimal(24,8)")).cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  val q1AggSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  SUM(l_quantity) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,8))) AS DOUBLE) AS sum_disc_price,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** TPC-H Q3-style shipping priority: 3-way join + agg + top-k.
+    * customer is tiny relative to lineitem → broadcast; orders⋈lineitem
+    * shuffles on the order key (the natural co-location key at scale).
+    */
+  def q3JoinAgg(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(spark, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+    val ord = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp_ntz"))
+    val li = Tables.load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp_ntz"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0d) - col("l_discount")))
+        .cast("decimal(24,8)")).cast("double").as("revenue"))
+      .orderBy(desc("revenue"), asc("l_orderkey"))
+      .limit(10)
+  }
+
+  val q3JoinAggSql: String =
+    """SELECT l_orderkey, o_orderdate,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,8))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-03-15'
+      |  AND l_shipdate > TIMESTAMP '1995-03-15'
+      |GROUP BY l_orderkey, o_orderdate
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 10""".stripMargin
+
+  /** Window-function coverage: top-3 orders per customer by price,
+    * uniquely tie-broken. One shuffle on the partition key.
+    */
+  def qWindowTopOrders(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.load(spark, dir, "orders")
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    ord.select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("rn"))
+      .orderBy("o_custkey", "rn")
+  }
+
+  val qWindowTopOrdersSql: String =
+    """SELECT o_custkey, o_orderkey, rn FROM (
+      |  SELECT o_custkey, o_orderkey,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders)
+      |WHERE rn <= 3
+      |ORDER BY o_custkey, rn""".stripMargin
+
+  /** Event-time tumbling-hour aggregation over the events table — the
+    * batch formulation of the streaming windowed agg (graft.streaming).
+    */
+  def qEventsHourly(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.loadEvents(spark, dir)
+    ev.groupBy(
+        date_trunc("hour", col("ts")).as("hour"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(24,8)")).cast("double").as("sum_value"))
+      .orderBy("hour", "event_type")
+  }
+
+  val qEventsHourlySql: String =
+    """SELECT date_trunc('hour', ts) AS hour, event_type,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(24,8))) AS DOUBLE) AS sum_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY hour, event_type""".stripMargin
+
+  /** Anti-join coverage: customers with no big urgent orders
+    * (distributed left_anti — the scalable formulation of NOT EXISTS;
+    * the filter is pushed below the join so only the qualifying order
+    * keys shuffle).
+    */
+  def qCustNoOrders(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(spark, dir, "customer")
+    val ord = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT" &&
+        col("o_totalprice") > 250000.0d)
+    cust.join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .orderBy("c_custkey")
+  }
+
+  val qCustNoOrdersSql: String =
+    """SELECT c_custkey, c_mktsegment FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey
+      |    AND o_orderpriority = '1-URGENT' AND o_totalprice > 250000.0)
+      |ORDER BY c_custkey""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> (q1Agg(_, _)),
+    "q3_join_agg" -> (q3JoinAgg(_, _)),
+    "q_window_top_orders" -> (qWindowTopOrders(_, _)),
+    "q_events_hourly" -> (qEventsHourly(_, _)),
+    "q_cust_no_orders" -> (qCustNoOrders(_, _)))
+
+  val oracleSql: Map[String, String] = Map(
+    "q1_agg" -> q1AggSql,
+    "q3_join_agg" -> q3JoinAggSql,
+    "q_window_top_orders" -> qWindowTopOrdersSql,
+    "q_events_hourly" -> qEventsHourlySql,
+    "q_cust_no_orders" -> qCustNoOrdersSql)
+}
