@@ -4,10 +4,18 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main — runs the headline queries against
   * `SPARK_GRAFT_SF_DIR` and prints ONE JSON line with per-query and
-  * total wall-clock seconds. Each query is fully materialized via
-  * count() (results are already deterministic/ordered plans; count
-  * forces the complete pipeline including sinks' worth of work without
-  * driver-side collect).
+  * total wall-clock seconds.
+  *
+  * Measurement fidelity:
+  *   - one untimed warmup query first, so no per-query number carries
+  *     SparkSession / parquet-footer / AQE first-run cost;
+  *   - each query is materialized through the `noop` datasource write,
+  *     which consumes the full plan (including final sorts and all
+  *     projected columns — a bare count() would let EliminateSorts and
+  *     column pruning delete most of the measured work) without
+  *     driver-side collect or disk I/O;
+  *   - a failed query records `-1` and its error under `"errors"`
+  *     instead of masquerading as a fast run.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -22,16 +30,39 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    def materialize(name: String): Unit =
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+
+    // Warmup: same join/agg machinery as the headline diff queries.
+    try materialize("diff_flags") catch { case _: Throwable => () }
+
+    var errors = List.empty[(String, String)]
     val results = SparkEntry.benchQueries.map { name =>
-      val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try {
+        materialize(name)
+        name -> (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          errors ::= name -> e.toString.take(200)
+          name -> -1.0
+      }
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    val qs = results.map { case (k, v) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = errors.reverse.map { case (k, v) => jstr(k) + ":" + jstr(v) }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

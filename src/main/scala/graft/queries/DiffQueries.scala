@@ -123,13 +123,39 @@ object DiffQueries {
        |   OR (o.o_orderpriority IS DISTINCT FROM s.o_orderpriority)
        |ORDER BY k""".stripMargin
 
+  /** The captured s1_value/s2_value payload itself, for the one perturbed
+    * column whose string rendering is bit-stable across engines
+    * (`o_orderpriority`; doubles are excluded — their to-string differs
+    * between Spark and DuckDB). Closes the oracle-coverage gap where
+    * diff_rows only verified the differing column NAMES.
+    */
+  def diffValues(spark: SparkSession, dir: String): DataFrame =
+    diffed(spark, dir)
+      .filter(col(DataColDiff.Flag) === "")
+      .select(col("o_orderkey_s1").as("k"),
+        explode(col(DataColDiff.CompColArr)).as("e"))
+      .filter(col("e.col_name") === "o_orderpriority")
+      .select(col("k"), col("e.col_name").as("col_name"),
+        col("e.s1_value").as("s1_value"), col("e.s2_value").as("s2_value"))
+      .orderBy("k")
+
+  val diffValuesSql: String =
+    s"""WITH $S2_SQL
+       |SELECT o.o_orderkey AS k, 'o_orderpriority' AS col_name,
+       |       o.o_orderpriority AS s1_value, s.o_orderpriority AS s2_value
+       |FROM orders o JOIN s2 s USING (o_orderkey)
+       |WHERE o.o_orderpriority IS DISTINCT FROM s.o_orderpriority
+       |ORDER BY k""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "diff_flags" -> (diffFlags(_, _)),
     "diff_colstats" -> (diffColstats(_, _)),
-    "diff_rows" -> (diffRows(_, _)))
+    "diff_rows" -> (diffRows(_, _)),
+    "diff_values" -> (diffValues(_, _)))
 
   val oracleSql: Map[String, String] = Map(
     "diff_flags" -> diffFlagsSql,
     "diff_colstats" -> diffColstatsSql,
-    "diff_rows" -> diffRowsSql)
+    "diff_rows" -> diffRowsSql,
+    "diff_values" -> diffValuesSql)
 }

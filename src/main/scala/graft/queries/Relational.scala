@@ -44,8 +44,12 @@ object Relational {
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
   /** TPC-H Q3-style shipping priority: 3-way join + agg + top-k.
-    * customer is tiny relative to lineitem → broadcast; orders⋈lineitem
-    * shuffles on the order key (the natural co-location key at scale).
+    * The dim side (filtered customer) is left unhinted: at bench scale
+    * AQE/autoBroadcastJoinThreshold picks a broadcast join on its own,
+    * and at 100× the plan degrades gracefully to a shuffle join instead
+    * of forcing a driver OOM via an unconditional broadcast() hint.
+    * orders⋈lineitem shuffles on the order key (the natural co-location
+    * key at scale).
     */
   def q3JoinAgg(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables.load(spark, dir, "customer")
@@ -55,7 +59,7 @@ object Relational {
     val li = Tables.load(spark, dir, "lineitem")
       .filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp_ntz"))
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"))
       .agg(sum((col("l_extendedprice") * (lit(1.0d) - col("l_discount")))
         .cast("decimal(24,8)")).cast("double").as("revenue"))
@@ -100,7 +104,8 @@ object Relational {
       |ORDER BY o_custkey, rn""".stripMargin
 
   /** Event-time tumbling-hour aggregation over the events table — the
-    * batch formulation of the streaming windowed agg (graft.streaming).
+    * batch formulation of the windowed agg that
+    * [[graft.streaming.EventStream]] runs incrementally with a watermark.
     */
   def qEventsHourly(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.loadEvents(spark, dir)
