@@ -25,11 +25,11 @@ object SparkEntry {
 
   /** One per implemented operator from SURVEY.md §2 (+ extensions). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    DiffQueries.queries ++ Relational.queries
+    DiffQueries.queries ++ Relational.queries ++ DedupQueries.queries
 
   /** DuckDB-runnable oracle per query key. */
   def oracleSql: Map[String, String] =
-    DiffQueries.oracleSql ++ Relational.oracleSql
+    DiffQueries.oracleSql ++ Relational.oracleSql ++ DedupQueries.oracleSql
 
   /** Headline queries timed by graft.Bench (ordered). */
   def benchQueries: Seq[String] = Seq(

@@ -1,0 +1,74 @@
+package graft.dedup
+
+import graft.text.TextFeatures._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection via MinHash signatures + LSH banding.
+  *
+  * Pipeline (all shapes chosen for the 100 TB case):
+  *   1. per-doc shingle set + minhash signature — narrow, no shuffle;
+  *   2. explode into (band_id, band_val, doc_id) and SELF-JOIN on the
+  *      band key — candidates come from hash-bucket collisions only,
+  *      never an all-pairs comparison. The band join is the one shuffle,
+  *      keyed on a 32-char hash (uniform, skew-resistant: a band bucket
+  *      only grows when documents genuinely collide);
+  *   3. candidates re-join the shingle sets (shuffle on doc id) for
+  *      EXACT Jaccard verification — LSH only proposes, it never
+  *      decides, so false-positive buckets cost time, not correctness.
+  *
+  * With b bands of r rows, a pair of Jaccard similarity s survives with
+  * probability 1-(1-s^r)^b — the standard S-curve; defaults (b=6, r=2)
+  * put the knee near s≈0.45, comfortably below the 0.8 default
+  * threshold.
+  */
+object MinHashLSH {
+
+  case class Config(
+      shingleSize: Int = 3,
+      numBands: Int = 6,
+      rowsPerBand: Int = 2,
+      threshold: Double = 0.8) {
+    def numHashes: Int = numBands * rowsPerBand
+  }
+
+  /** (id, shingles) frame for a text column. */
+  def docShingles(docs: DataFrame, idCol: String, textCol: String,
+      cfg: Config = Config()): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      wordShingles(words(col(textCol)), cfg.shingleSize).as("shingles"))
+
+  /** Candidate pairs (doc_a < doc_b) whose minhash signatures collide in
+    * at least one band.
+    */
+  def candidatePairs(shingled: DataFrame, cfg: Config = Config()): DataFrame = {
+    val sig = minhashSignature(col("shingles"), cfg.numHashes)
+    val bands = shingled
+      .select(col("doc_id"),
+        posexplode(lshBands(sig, cfg.numBands, cfg.rowsPerBand))
+          .as(Seq("band_id", "band_val")))
+    val a = bands.as("a")
+    val b = bands.as("b")
+    a.join(b,
+        col("a.band_id") === col("b.band_id") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Near-duplicate pairs: LSH candidates verified by exact Jaccard over
+    * the shingle sets, kept at `cfg.threshold` or above.
+    */
+  def nearDuplicatePairs(docs: DataFrame, idCol: String, textCol: String,
+      cfg: Config = Config()): DataFrame = {
+    val shingled = docShingles(docs, idCol, textCol, cfg)
+    val cand = candidatePairs(shingled, cfg)
+    val sa = shingled.select(col("doc_id").as("doc_a"), col("shingles").as("sa"))
+    val sb = shingled.select(col("doc_id").as("doc_b"), col("shingles").as("sb"))
+    cand.join(sa, "doc_a").join(sb, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        jaccard(col("sa"), col("sb")).as("jaccard"))
+      .filter(col("jaccard") >= cfg.threshold)
+  }
+}

@@ -1,0 +1,48 @@
+package graft.dedup
+
+import graft.text.TextFeatures._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Exact n-gram Jaccard duplicate pairs via an inverted shingle index.
+  *
+  * The classic "similarity join without LSH": explode (doc, shingle),
+  * self-join on the shingle (pairs sharing at least one shingle),
+  * count shared shingles per pair, then Jaccard from the per-doc set
+  * sizes. Exact — no probabilistic recall — at the cost of fanout
+  * proportional to Σ_shingle df(shingle)²; prefer [[MinHashLSH]] when
+  * shingle document-frequencies are unbounded. `maxShingleDocFreq`
+  * optionally drops ubiquitous shingles (boilerplate) to bound the
+  * fanout at scale; pairs supported only by dropped shingles are then
+  * missed — a documented recall trade, off by default.
+  */
+object NgramJaccard {
+
+  def nearDuplicatePairs(docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, threshold: Double = 0.8,
+      maxShingleDocFreq: Option[Long] = None): DataFrame = {
+    val shingled = docs.select(col(idCol).as("doc_id"),
+      wordShingles(words(col(textCol)), shingleSize).as("shingles"))
+    val sizes = shingled.select(col("doc_id"), size(col("shingles")).as("n"))
+    val posts0 = shingled
+      .select(col("doc_id"), explode(col("shingles")).as("sh"))
+    val posts = maxShingleDocFreq.fold(posts0) { cap =>
+      val keep = posts0.groupBy("sh").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= cap).select("sh")
+      posts0.join(keep, "sh")
+    }
+    val a = posts.as("a")
+    val b = posts.as("b")
+    val inter = a.join(b,
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    val na = sizes.select(col("doc_id").as("doc_a"), col("n").as("na"))
+    val nb = sizes.select(col("doc_id").as("doc_b"), col("n").as("nb"))
+    inter.join(na, "doc_a").join(nb, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+}

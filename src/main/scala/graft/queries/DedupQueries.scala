@@ -1,0 +1,171 @@
+package graft.queries
+
+import graft.dedup._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver-verifiable dedup queries over the `documents` table.
+  *
+  * The testdata corpus has 25 planted near-duplicate pairs (a base doc
+  * and a copy with one appended token); exact duplicates are planted
+  * here by unioning a re-keyed 20% sample, mirrored in the oracle CTE.
+  *
+  * The oracle SQL is GENERATED (band/bit expressions unrolled) so DuckDB
+  * reproduces every hash bit-for-bit: md5 is byte-exact in both engines,
+  * hex→int uses digit arithmetic, and hex-string mins compare
+  * identically (ASCII lexicographic).
+  */
+object DedupQueries {
+
+  private val cfg = MinHashLSH.Config() // 3-shingles, 6 bands × 2 rows, t=0.8
+
+  /** Shared oracle CTEs: tokenized docs + distinct 3-shingle sets +
+    * exploded postings. Empty-comprehension semantics match the Spark
+    * guard: generate_series(1, k) is empty for k<1 in DuckDB list
+    * comprehensions.
+    */
+  private val shingleCtes: String =
+    """docs AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+      |sh AS (SELECT doc_id,
+      |  list_distinct([w[i]||' '||w[i+1]||' '||w[i+2]
+      |                 for i in generate_series(1, len(w)-2)]) AS s
+      |  FROM docs),
+      |shx AS (SELECT doc_id, unnest(s) AS sh FROM sh)""".stripMargin
+
+  // ---------------------------------------------------------------- exact
+
+  /** Corpus with planted exact duplicates: every doc_id % 5 == 0 row
+    * re-keyed (+100000) with identical text.
+    */
+  private def dupCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    docs.unionByName(
+      docs.filter(col("doc_id") % 5 === 0)
+        .withColumn("doc_id", col("doc_id") + 100000L))
+  }
+
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    ExactDedup.byTextHash(dupCorpus(spark, dir), "text", "doc_id")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy("doc_id")
+
+  val dedupExactSql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text, lang, source, n_chars FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000, text, lang, source, n_chars
+      |  FROM documents WHERE doc_id % 5 = 0
+      |)
+      |SELECT doc_id, lang, source, n_chars FROM (
+      |  SELECT doc_id, lang, source, n_chars,
+      |    ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      |  FROM corpus)
+      |WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------- minhash
+
+  def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
+    MinHashLSH.nearDuplicatePairs(
+        Tables.load(spark, dir, "documents"), "doc_id", "text", cfg)
+      .orderBy("doc_a", "doc_b")
+
+  val dedupMinhashSql: String = {
+    val hashes = (0 until cfg.numHashes)
+      .map(i => s"min(md5('$i:'||sh)) AS h$i").mkString(", ")
+    val bands = (0 until cfg.numBands).map { j =>
+      val bv = (0 until cfg.rowsPerBand)
+        .map(r => s"h${j * cfg.rowsPerBand + r}").mkString("||")
+      s"SELECT doc_id, $j AS band_id, md5($bv) AS band_val FROM mh"
+    }.mkString("\n  UNION ALL ")
+    val inter = "len(list_filter(sa.s, x -> list_contains(sb.s, x)))"
+    s"""WITH $shingleCtes,
+       |mh AS (SELECT doc_id, $hashes FROM shx GROUP BY doc_id),
+       |bands AS (
+       |  $bands
+       |),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_id = b.band_id AND a.band_val = b.band_val
+       |   AND a.doc_id < b.doc_id),
+       |jac AS (SELECT c.doc_a, c.doc_b,
+       |  CAST($inter AS DOUBLE) / (len(sa.s) + len(sb.s) - $inter) AS jaccard
+       |  FROM cand c
+       |  JOIN sh sa ON sa.doc_id = c.doc_a
+       |  JOIN sh sb ON sb.doc_id = c.doc_b)
+       |SELECT doc_a, doc_b, jaccard FROM jac
+       |WHERE jaccard >= ${cfg.threshold}
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // -------------------------------------------------------------- simhash
+
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    SimHash.nearDuplicatePairs(
+        SimHash.signatures(
+          Tables.load(spark, dir, "documents"), "doc_id", "text"))
+      .orderBy("doc_a", "doc_b")
+
+  val dedupSimhashSql: String = {
+    // first 8 hex digits of md5 → 32-bit int, via digit arithmetic
+    val hv = (1 to 8).map { i =>
+      val scale = 1L << (4 * (8 - i))
+      s"(instr('0123456789abcdef', substr(h, $i, 1)) - 1) * $scale"
+    }.mkString(" + ")
+    val bitSums = (0 until SimHash.Bits)
+      .map(k => s"SUM(CASE WHEN (hv >> $k) & 1 = 1 THEN 1 ELSE -1 END) AS s$k")
+      .mkString(",\n    ")
+    val sig = (0 until SimHash.Bits)
+      .map(k => s"(CASE WHEN s$k > 0 THEN ${1L << k} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH $shingleCtes,
+       |hx AS (SELECT doc_id, md5(sh) AS h FROM shx),
+       |hv AS (SELECT doc_id, CAST($hv AS BIGINT) AS hv FROM hx),
+       |bits AS (SELECT doc_id,
+       |    $bitSums
+       |  FROM hv GROUP BY doc_id),
+       |sig AS (SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM bits),
+       |bytes AS (SELECT doc_id, simhash, j AS byte_id,
+       |    (simhash >> (8 * j)) & 255 AS byte_val
+       |  FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j)),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    bit_count(xor(a.simhash, b.simhash)) AS hamming
+       |  FROM bytes a JOIN bytes b
+       |    ON a.byte_id = b.byte_id AND a.byte_val = b.byte_val
+       |   AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, hamming FROM cand
+       |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- ngram
+
+  def dedupNgram(spark: SparkSession, dir: String): DataFrame =
+    NgramJaccard.nearDuplicatePairs(
+        Tables.load(spark, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_a", "doc_b")
+
+  val dedupNgramSql: String =
+    s"""WITH $shingleCtes,
+       |sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+       |  FROM shx a JOIN shx b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |  CAST(i AS DOUBLE) / (na.n + nb.n - i) AS jaccard
+       |FROM inter
+       |JOIN sizes na ON na.doc_id = doc_a
+       |JOIN sizes nb ON nb.doc_id = doc_b
+       |WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= 0.8
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> (dedupExact(_, _)),
+    "dedup_minhash" -> (dedupMinhash(_, _)),
+    "dedup_simhash" -> (dedupSimhash(_, _)),
+    "dedup_ngram" -> (dedupNgram(_, _)))
+
+  val oracleSql: Map[String, String] = Map(
+    "dedup_exact" -> dedupExactSql,
+    "dedup_minhash" -> dedupMinhashSql,
+    "dedup_simhash" -> dedupSimhashSql,
+    "dedup_ngram" -> dedupNgramSql)
+}

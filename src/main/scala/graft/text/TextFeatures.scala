@@ -1,0 +1,79 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, LongType, StringType}
+
+/** Column-expression builders shared by the text-analysis, dedup and
+  * similarity families.
+  *
+  * Everything here is a pure Catalyst expression over built-in functions
+  * (no UDFs), so it stays inside whole-stage codegen and is trivially
+  * distributed: per-row feature extraction has no shuffle at all.
+  *
+  * Cross-engine determinism (the DuckDB oracle must reproduce every
+  * value bit-for-bit):
+  *   - all hashing is md5-based — md5 is specified byte-exact, unlike
+  *     Spark's murmur3 `hash()` / DuckDB's `hash()` which differ;
+  *   - hex→integer conversion uses only digit arithmetic the oracle can
+  *     mirror (`conv` here, strpos-arithmetic there);
+  *   - folds over arrays are explicit left-to-right `aggregate` calls,
+  *     mirrored by DuckDB `list_reduce`, so even integer mod chains
+  *     evaluate in the same order.
+  */
+object TextFeatures {
+
+  /** Lower-cased whitespace tokens of a text column. */
+  def words(text: Column): Column = split(lower(text), " ")
+
+  /** Distinct word n-grams ("shingles") of a token array; empty for
+    * documents shorter than n tokens (guarded — Spark's `sequence(1, k)`
+    * would count DOWN for k < 1).
+    */
+  def wordShingles(w: Column, n: Int): Column = {
+    val grams = transform(
+      sequence(lit(1), size(w) - (n - 1)),
+      i => concat_ws(" ", (0 until n).map(j => element_at(w, i + lit(j))): _*))
+    when(size(w) >= n, array_distinct(grams))
+      .otherwise(array().cast(ArrayType(StringType)))
+  }
+
+  /** First `digits` hex chars of a (lowercase-hex) md5 string as a
+    * non-negative long. 8 digits = 32 bits — safely inside Long.
+    */
+  def hexPrefixToLong(hex: Column, digits: Int): Column =
+    conv(substring(hex, 1, digits), 16, 10).cast(LongType)
+
+  /** 32-bit md5-derived hash of a string column. */
+  def hash32(s: Column): Column = hexPrefixToLong(md5(s), 8)
+
+  /** MinHash signature: for each seed i, the minimum of
+    * `md5(i + ":" + shingle)` over the shingle set. Hex strings compare
+    * lexicographically identically in Spark and DuckDB (ASCII), so the
+    * min IS the signature — no numeric conversion needed.
+    * Null/empty-safe: empty shingle sets yield null components.
+    */
+  def minhashSignature(shingles: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { i =>
+      array_min(transform(shingles, s => md5(concat(lit(s"$i:"), s))))
+    }: _*)
+
+  /** LSH band values: hash the concatenation of each band's `rows`
+    * consecutive signature components. Returns array<string> of length
+    * numBands; band j covers components [j*rows, (j+1)*rows).
+    */
+  def lshBands(sig: Column, numBands: Int, rows: Int): Column =
+    array((0 until numBands).map { j =>
+      md5(concat((0 until rows).map(r =>
+        element_at(sig, j * rows + r + 1)): _*))
+    }: _*)
+
+  /** Exact Jaccard similarity of two distinct-element arrays, as the
+    * single double division intersect/(|a|+|b|-intersect) — one IEEE op
+    * on integers, so bit-identical across engines.
+    */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    inter / (size(a) + size(b) - size(array_intersect(a, b)))
+  }
+}
