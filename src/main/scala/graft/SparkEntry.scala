@@ -25,11 +25,13 @@ object SparkEntry {
 
   /** One per implemented operator from SURVEY.md §2 (+ extensions). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    DiffQueries.queries ++ Relational.queries ++ DedupQueries.queries
+    DiffQueries.queries ++ Relational.queries ++ DedupQueries.queries ++
+      TextQueries.queries
 
   /** DuckDB-runnable oracle per query key. */
   def oracleSql: Map[String, String] =
-    DiffQueries.oracleSql ++ Relational.oracleSql ++ DedupQueries.oracleSql
+    DiffQueries.oracleSql ++ Relational.oracleSql ++ DedupQueries.oracleSql ++
+      TextQueries.oracleSql
 
   /** Headline queries timed by graft.Bench (ordered). */
   def benchQueries: Seq[String] = Seq(

@@ -107,10 +107,7 @@ object DedupQueries {
 
   val dedupSimhashSql: String = {
     // first 8 hex digits of md5 → 32-bit int, via digit arithmetic
-    val hv = (1 to 8).map { i =>
-      val scale = 1L << (4 * (8 - i))
-      s"(instr('0123456789abcdef', substr(h, $i, 1)) - 1) * $scale"
-    }.mkString(" + ")
+    val hv = OracleDialect.hexPrefixToLong("h", 8)
     val bitSums = (0 until SimHash.Bits)
       .map(k => s"SUM(CASE WHEN (hv >> $k) & 1 = 1 THEN 1 ELSE -1 END) AS s$k")
       .mkString(",\n    ")

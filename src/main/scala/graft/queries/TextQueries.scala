@@ -1,0 +1,113 @@
+package graft.queries
+
+import graft.text._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Driver-verifiable text-analysis queries over the `documents` table.
+  * All four are pure per-row projections (zero shuffle) ordered by
+  * doc_id; the oracle mirrors every arithmetic step so doubles come out
+  * bit-identical (single divisions / fixed-order products only).
+  */
+object TextQueries {
+
+  private val wordsCte =
+    "w AS (SELECT doc_id, text, string_split(lower(text), ' ') AS w FROM documents)"
+
+  // ---------------------------------------------------------------- stats
+
+  def textStats(spark: SparkSession, dir: String): DataFrame =
+    TextStats.describe(Tables.load(spark, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
+  val textStatsSql: String = {
+    val stop = OracleDialect.stringList(TextStats.Stopwords)
+    s"""WITH $wordsCte
+       |SELECT doc_id,
+       |  length(text) AS n_chars,
+       |  len(w) AS n_words,
+       |  len(list_distinct(w)) AS n_distinct_words,
+       |  CAST(len(list_filter(w, x -> list_contains($stop, x))) AS DOUBLE)
+       |    / len(w) AS stopword_ratio,
+       |  CAST(length(text) - len(w) + 1 AS DOUBLE) / len(w) AS avg_word_len,
+       |  least(1.0, CAST(len(w) AS DOUBLE) / 50.0)
+       |    * (CAST(len(list_distinct(w)) AS DOUBLE) / len(w)) AS quality
+       |FROM w ORDER BY doc_id""".stripMargin
+  }
+
+  // --------------------------------------------------------------- langid
+
+  def textLangid(spark: SparkSession, dir: String): DataFrame =
+    LangId.predict(Tables.load(spark, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
+  val textLangidSql: String = {
+    val scoreCols = LangId.Lexicons.map { case (lang, lex) =>
+      val lexList = OracleDialect.stringList(lex)
+      s"CAST(len(list_filter(w, x -> list_contains($lexList, x))) AS DOUBLE)" +
+        s" / len(w) AS s_$lang"
+    }.mkString(",\n    ")
+    val langs = LangId.Lexicons.map(_._1)
+    val best = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+    val cases = langs
+      .map(l => s"WHEN best > 0 AND s_$l = best THEN '$l'")
+      .mkString("\n       ")
+    s"""WITH $wordsCte,
+       |scores AS (SELECT doc_id,
+       |    $scoreCols
+       |  FROM w),
+       |ranked AS (SELECT doc_id, ${langs.map(l => s"s_$l").mkString(", ")},
+       |    $best AS best FROM scores)
+       |SELECT doc_id,
+       |  CASE $cases
+       |       ELSE 'und' END AS lang_pred,
+       |  best AS lang_score
+       |FROM ranked ORDER BY doc_id""".stripMargin
+  }
+
+  // --------------------------------------------------------------- tokens
+
+  def textTokens(spark: SparkSession, dir: String): DataFrame =
+    TokenCount.counts(Tables.load(spark, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
+  val textTokensSql: String =
+    s"""WITH t AS (SELECT doc_id,
+       |  regexp_extract_all(lower(text), '${TokenCount.TokenPattern}') AS t
+       |  FROM documents)
+       |SELECT doc_id,
+       |  len(t) AS n_tokens,
+       |  len(list_distinct(t)) AS n_distinct_tokens,
+       |  len(list_filter(t, x -> regexp_full_match(x, '[0-9]+')))
+       |    AS n_numeric_tokens
+       |FROM t ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------- fingerprint
+
+  def textFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Fingerprint.fingerprints(
+        Tables.load(spark, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
+  val textFingerprintSql: String = {
+    val wh = OracleDialect.hexPrefixToLong("md5(x)", 6)
+    s"""SELECT doc_id,
+       |  list_reduce(
+       |    list_prepend(CAST(0 AS BIGINT),
+       |      [CAST($wh AS BIGINT) for x in string_split(lower(text), ' ')]),
+       |    (acc, h) -> (acc * 31 + h) % ${Fingerprint.Mod}) AS fingerprint
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_stats" -> (textStats(_, _)),
+    "text_langid" -> (textLangid(_, _)),
+    "text_tokens" -> (textTokens(_, _)),
+    "text_fingerprint" -> (textFingerprint(_, _)))
+
+  val oracleSql: Map[String, String] = Map(
+    "text_stats" -> textStatsSql,
+    "text_langid" -> textLangidSql,
+    "text_tokens" -> textTokensSql,
+    "text_fingerprint" -> textFingerprintSql)
+}

@@ -1,0 +1,32 @@
+package graft.text
+
+import graft.text.TextFeatures._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document fingerprinting via a rolling polynomial hash.
+  *
+  * fp(doc) = foldLeft over tokens of (acc * 31 + h(token)) mod P, with
+  * h(token) the first 24 bits of md5(token). Order-sensitive (unlike a
+  * set hash): reordered documents get different fingerprints, which is
+  * the property a training-data lineage/dedup pipeline wants from a
+  * content fingerprint. Pure per-row fold — zero shuffle.
+  *
+  * The fold is an explicit left-to-right `aggregate`, mirrored by
+  * DuckDB's `list_reduce`, and all arithmetic stays below 2^35 so both
+  * engines compute identical BIGINT chains.
+  */
+object Fingerprint {
+
+  val Mod = 1000000007L
+
+  def rollingHash(text: Column): Column = {
+    val tokenHashes = transform(words(text), w => hexPrefixToLong(md5(w), 6))
+    aggregate(tokenHashes, lit(0L), (acc, h) => (acc * 31L + h) % Mod)
+  }
+
+  /** (id, fingerprint) per document. */
+  def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      rollingHash(col(textCol)).as("fingerprint"))
+}
