@@ -26,12 +26,12 @@ object SparkEntry {
   /** One per implemented operator from SURVEY.md §2 (+ extensions). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     DiffQueries.queries ++ Relational.queries ++ DedupQueries.queries ++
-      TextQueries.queries
+      TextQueries.queries ++ SimilarityQueries.queries
 
   /** DuckDB-runnable oracle per query key. */
   def oracleSql: Map[String, String] =
     DiffQueries.oracleSql ++ Relational.oracleSql ++ DedupQueries.oracleSql ++
-      TextQueries.oracleSql
+      TextQueries.oracleSql ++ SimilarityQueries.oracleSql
 
   /** Headline queries timed by graft.Bench (ordered). */
   def benchQueries: Seq[String] = Seq(
