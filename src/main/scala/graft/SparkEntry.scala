@@ -26,12 +26,14 @@ object SparkEntry {
   /** One per implemented operator from SURVEY.md §2 (+ extensions). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     DiffQueries.queries ++ Relational.queries ++ DedupQueries.queries ++
-      TextQueries.queries ++ SimilarityQueries.queries
+      TextQueries.queries ++ SimilarityQueries.queries ++
+      MultimodalQueries.queries
 
   /** DuckDB-runnable oracle per query key. */
   def oracleSql: Map[String, String] =
     DiffQueries.oracleSql ++ Relational.oracleSql ++ DedupQueries.oracleSql ++
-      TextQueries.oracleSql ++ SimilarityQueries.oracleSql
+      TextQueries.oracleSql ++ SimilarityQueries.oracleSql ++
+      MultimodalQueries.oracleSql
 
   /** Headline queries timed by graft.Bench (ordered). */
   def benchQueries: Seq[String] = Seq(

@@ -1,0 +1,96 @@
+package graft.queries
+
+import graft.multimodal._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver-verifiable multimodal queries: binary payloads synthesized
+  * deterministically from the documents table (the container has no
+  * media codecs — see [[graft.multimodal.DecodeStub]]), metadata
+  * filtering and frame sampling verified against DuckDB, which mirrors
+  * the byte slicing in hex-string space (`hex(binary)` is uppercase in
+  * both engines; DuckDB can't substring a BLOB, identical strings
+  * compare identically).
+  */
+object MultimodalQueries {
+
+  private val FrameSize = 16
+  private val Stride = 2
+  private val PayloadBytes = 64
+
+  /** Shared oracle CTE: the synthesized payload in hex space + format. */
+  private val corpusCte: String = {
+    val hx = (0 until 4).map(i => s"md5('blk$i:'||text)").mkString("||")
+    val fmts = MediaIngest.Formats
+    val cases = fmts.zipWithIndex.dropRight(1)
+      .map { case (f, i) => s"WHEN $i THEN '$f'" }.mkString(" ")
+    s"""m AS (SELECT doc_id, upper($hx) AS hx,
+       |  CASE (doc_id % ${fmts.size}) $cases ELSE '${fmts.last}' END AS fmt
+       |  FROM documents)""".stripMargin
+  }
+
+  private def corpus(spark: SparkSession, dir: String): DataFrame =
+    MediaIngest.synthesizeCorpus(
+      Tables.load(spark, dir, "documents"), "doc_id", "text")
+
+  // ----------------------------------------------------------------- meta
+
+  def mmMeta(spark: SparkSession, dir: String): DataFrame =
+    corpus(spark, dir)
+      .select(col("doc_id"), col("meta.fmt").as("fmt"),
+        col("meta.byte_len").as("byte_len"),
+        col("meta.checksum").as("checksum"))
+      .orderBy("doc_id")
+
+  val mmMetaSql: String =
+    s"""WITH $corpusCte
+       |SELECT doc_id, fmt, octet_length(unhex(hx)) AS byte_len,
+       |       md5(hx) AS checksum
+       |FROM m ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------- frames
+
+  def mmFrames(spark: SparkSession, dir: String): DataFrame =
+    Frames.sample(corpus(spark, dir), "doc_id", "payload", FrameSize, Stride)
+      .select(col("doc_id"), col("frame_idx"),
+        hex(col("frame")).as("frame_hex"))
+      .orderBy("doc_id", "frame_idx")
+
+  val mmFramesSql: String = {
+    val idxs = (0 until PayloadBytes / FrameSize by Stride)
+      .mkString("[", ", ", "]")
+    s"""WITH $corpusCte
+       |SELECT doc_id, i AS frame_idx,
+       |       substr(hx, i * ${2 * FrameSize} + 1, ${2 * FrameSize}) AS frame_hex
+       |FROM m CROSS JOIN (SELECT unnest($idxs) AS i)
+       |ORDER BY doc_id, frame_idx""".stripMargin
+  }
+
+  // ------------------------------------------------------- format filter
+
+  /** Metadata-only filter + aggregate: per-format payload accounting.
+    * The plan must never touch the payload column (column pruning) —
+    * that's the point of the opaque-payload + typed-metadata design.
+    */
+  def mmFormatStats(spark: SparkSession, dir: String): DataFrame =
+    corpus(spark, dir)
+      .groupBy(col("meta.fmt").as("fmt"))
+      .agg(count(lit(1)).as("n"), sum(col("meta.byte_len")).as("total_bytes"))
+      .orderBy("fmt")
+
+  val mmFormatStatsSql: String =
+    s"""WITH $corpusCte
+       |SELECT fmt, count(*) AS n,
+       |       SUM(octet_length(unhex(hx))) AS total_bytes
+       |FROM m GROUP BY fmt ORDER BY fmt""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_meta" -> (mmMeta(_, _)),
+    "mm_frames" -> (mmFrames(_, _)),
+    "mm_format_stats" -> (mmFormatStats(_, _)))
+
+  val oracleSql: Map[String, String] = Map(
+    "mm_meta" -> mmMetaSql,
+    "mm_frames" -> mmFramesSql,
+    "mm_format_stats" -> mmFormatStatsSql)
+}

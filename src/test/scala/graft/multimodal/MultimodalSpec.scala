@@ -1,0 +1,70 @@
+package graft.multimodal
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Paths}
+
+class MultimodalSpec extends AnyFunSuite {
+
+  private implicit val spark: org.apache.spark.sql.SparkSession =
+    SparkTestSession.spark
+  import spark.implicits._
+
+  test("decode stub: deterministic features with the right shape") {
+    val payload = Array.tabulate(64)(i => i.toByte)
+    val ds = Seq(DecodeStub.MediaRecord(7L, "png", payload)).toDS()
+    val out = DecodeStub.decode(ds).collect()
+    assert(out.length === 1)
+    assert(out.head.doc_id === 7L)
+    assert(out.head.features.length === DecodeStub.FeatureDim)
+    // stripe i = bytes [8i, 8i+8): mean = 8i + 3.5, scaled by 256
+    val expected = Array.tabulate(8)(i => ((8 * i + 3.5) / 256).toFloat)
+    assert(out.head.features.toSeq === expected.toSeq)
+    // determinism across runs
+    assert(DecodeStub.decode(ds).collect().head.features.toSeq ===
+      out.head.features.toSeq)
+  }
+
+  test("binaryFile source reads payloads with metadata attached") {
+    val dir = Files.createTempDirectory("graft-bin").toString
+    Files.write(Paths.get(dir, "a.png"), Array[Byte](1, 2, 3))
+    Files.write(Paths.get(dir, "b.png"), Array[Byte](4, 5, 6, 7))
+    Files.write(Paths.get(dir, "skip.txt"), Array[Byte](9))
+    val df = MediaIngest.readBinaryDir(spark, dir, "*.png")
+    val out = MediaIngest.withMeta(df, "content", "path")
+      .select(col("meta.byte_len")).collect().map(_.getInt(0)).sorted
+    assert(out.toSeq === Seq(3, 4))
+  }
+
+  test("frame sampling slices the right bytes") {
+    val payload = Array.tabulate(64)(i => i.toByte)
+    val df = Seq((1L, payload)).toDF("doc_id", "payload")
+    val frames = Frames.sample(df, "doc_id", "payload", 16, 2)
+      .orderBy("frame_idx").collect()
+    assert(frames.map(_.getInt(1)).toSeq === Seq(0, 2))
+    assert(frames(0).getAs[Array[Byte]]("frame").toSeq ===
+      payload.slice(0, 16).toSeq)
+    assert(frames(1).getAs[Array[Byte]]("frame").toSeq ===
+      payload.slice(32, 48).toSeq)
+  }
+
+  test("short payloads yield only complete frames") {
+    val df = Seq((1L, Array.tabulate(20)(_.toByte))).toDF("doc_id", "payload")
+    val frames = Frames.sample(df, "doc_id", "payload", 16, 1).collect()
+    assert(frames.length === 1) // 20 bytes = one 16-byte frame, tail dropped
+  }
+
+  test("metadata-only queries prune the payload column at the parquet scan") {
+    val dir = Files.createTempDirectory("graft-mm").toString
+    val docs = Seq((1L, "hello world"), (2L, "foo bar")).toDF("doc_id", "text")
+    MediaIngest.synthesizeCorpus(docs, "doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/corpus")
+    val scan = spark.read.parquet(s"$dir/corpus")
+      .groupBy(col("meta.fmt")).agg(sum(col("meta.byte_len")))
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema"))
+    assert(!plan.contains("payload"),
+      "metadata aggregate must not read the payload column:\n" + plan)
+  }
+}
