@@ -39,5 +39,9 @@ object SparkEntry {
   def benchQueries: Seq[String] = Seq(
     "diff_flags", "diff_colstats", "diff_rows",
     "q1_agg", "q3_join_agg", "q_window_top_orders",
-    "q_events_hourly", "q_cust_no_orders")
+    "q_events_hourly", "q_cust_no_orders",
+    "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_ngram",
+    "text_stats", "text_fingerprint",
+    "sim_topk", "sim_lsh_bucket",
+    "mm_frames")
 }

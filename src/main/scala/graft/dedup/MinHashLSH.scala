@@ -7,12 +7,15 @@ import org.apache.spark.sql.functions._
 /** Near-duplicate detection via MinHash signatures + LSH banding.
   *
   * Pipeline (all shapes chosen for the 100 TB case):
-  *   1. per-doc shingle set + minhash signature — narrow, no shuffle;
-  *   2. explode into (band_id, band_val, doc_id) and SELF-JOIN on the
-  *      band key — candidates come from hash-bucket collisions only,
-  *      never an all-pairs comparison. The band join is the one shuffle,
-  *      keyed on a 32-char hash (uniform, skew-resistant: a band bucket
-  *      only grows when documents genuinely collide);
+  *   1. minhash signatures as one partial+final hash aggregate over the
+  *      exploded (doc, shingle) postings — map-side combine keeps the
+  *      shuffle at one row per doc;
+  *   2. band values from the signature columns, explode into
+  *      (band_id, band_val, doc_id) and SELF-JOIN on the band key —
+  *      candidates come from hash-bucket collisions only, never an
+  *      all-pairs comparison. The band join shuffles on a 32-char hash
+  *      (uniform, skew-resistant: a band bucket only grows when
+  *      documents genuinely collide);
   *   3. candidates re-join the shingle sets (shuffle on doc id) for
   *      EXACT Jaccard verification — LSH only proposes, it never
   *      decides, so false-positive buckets cost time, not correctness.
@@ -38,15 +41,34 @@ object MinHashLSH {
     docs.select(col(idCol).as("doc_id"),
       wordShingles(words(col(textCol)), cfg.shingleSize).as("shingles"))
 
+  /** (doc_id, h0..h{n-1}) minhash signature columns.
+    *
+    * Computed as ONE hash aggregate over the exploded (doc, shingle)
+    * postings — md5 runs once per posting per seed, in a single
+    * partial-aggregate pass. (A per-row `array_min(transform(...))`
+    * fold looks cheaper but is a trap: every downstream use of the
+    * signature array gets the whole transform subtree re-inlined by
+    * CollapseProject, multiplying the md5 work by the number of
+    * consumers — measured 30× slower at sf0.1.)
+    */
+  def signatures(shingled: DataFrame, cfg: Config = Config()): DataFrame = {
+    val posts = shingled.select(col("doc_id"), explode(col("shingles")).as("sh"))
+    val aggs = (0 until cfg.numHashes)
+      .map(i => min(md5(concat(lit(s"$i:"), col("sh")))).as(s"h$i"))
+    posts.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Candidate pairs (doc_a < doc_b) whose minhash signatures collide in
     * at least one band.
     */
   def candidatePairs(shingled: DataFrame, cfg: Config = Config()): DataFrame = {
-    val sig = minhashSignature(col("shingles"), cfg.numHashes)
-    val bands = shingled
+    val bandVals = (0 until cfg.numBands).map { j =>
+      md5(concat((0 until cfg.rowsPerBand).map(r =>
+        col(s"h${j * cfg.rowsPerBand + r}")): _*))
+    }
+    val bands = signatures(shingled, cfg)
       .select(col("doc_id"),
-        posexplode(lshBands(sig, cfg.numBands, cfg.rowsPerBand))
-          .as(Seq("band_id", "band_val")))
+        posexplode(array(bandVals: _*)).as(Seq("band_id", "band_val")))
     val a = bands.as("a")
     val b = bands.as("b")
     a.join(b,
@@ -59,10 +81,18 @@ object MinHashLSH {
 
   /** Near-duplicate pairs: LSH candidates verified by exact Jaccard over
     * the shingle sets, kept at `cfg.threshold` or above.
+    *
+    * The shingled frame feeds THREE consumers (signature aggregation +
+    * both sides of the verification join), so it is persisted: without
+    * the cache each branch re-runs the tokenize/shingle projection —
+    * measured 3× the whole query's cost at sf0.1. Same story at 100 TB:
+    * shingling a corpus is the expensive scan; you materialize it once
+    * (cache, checkpoint, or a staging table), never thrice. The cache
+    * lives until the session ends or the caller unpersists.
     */
   def nearDuplicatePairs(docs: DataFrame, idCol: String, textCol: String,
       cfg: Config = Config()): DataFrame = {
-    val shingled = docShingles(docs, idCol, textCol, cfg)
+    val shingled = docShingles(docs, idCol, textCol, cfg).persist()
     val cand = candidatePairs(shingled, cfg)
     val sa = shingled.select(col("doc_id").as("doc_a"), col("shingles").as("sa"))
     val sb = shingled.select(col("doc_id").as("doc_b"), col("shingles").as("sb"))

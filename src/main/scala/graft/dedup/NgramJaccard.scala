@@ -21,11 +21,13 @@ object NgramJaccard {
   def nearDuplicatePairs(docs: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, threshold: Double = 0.8,
       maxShingleDocFreq: Option[Long] = None): DataFrame = {
-    val shingled = docs.select(col(idCol).as("doc_id"),
-      wordShingles(words(col(textCol)), shingleSize).as("shingles"))
-    val sizes = shingled.select(col("doc_id"), size(col("shingles")).as("n"))
-    val posts0 = shingled
-      .select(col("doc_id"), explode(col("shingles")).as("sh"))
+    // persisted: the postings feed both self-join sides (plus the size
+    // aggregate) — without the cache each branch re-runs the shingle
+    // projection, tripling the query cost (see MinHashLSH note)
+    val posts0 = docs.select(col(idCol).as("doc_id"),
+        explode(wordShingles(words(col(textCol)), shingleSize)).as("sh"))
+      .persist()
+    val sizes = posts0.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val posts = maxShingleDocFreq.fold(posts0) { cap =>
       val keep = posts0.groupBy("sh").agg(count(lit(1)).as("df"))
         .filter(col("df") <= cap).select("sh")

@@ -1,7 +1,7 @@
 package graft.dedup
 
 import graft.text.TextFeatures._
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** SimHash near-duplicate detection.
@@ -12,9 +12,13 @@ import org.apache.spark.sql.functions._
   * few bits; near-dup search becomes hamming distance ≤ d.
   *
   * Scale shapes:
-  *   - the signature is ONE projection per document (a left-to-right
-  *     `aggregate` fold per bit over the shingle-hash array) — zero
-  *     shuffle, embarrassingly parallel;
+  *   - the signature is ONE hash aggregate over the exploded
+  *     (doc, shingle-hash) postings: md5 runs once per posting, the 32
+  *     per-bit ±1 sums partial-aggregate map-side, and the shuffle
+  *     carries one row per document. (The tempting zero-shuffle form —
+  *     32 `aggregate` folds over a per-row hash array — gets the md5
+  *     transform re-inlined into all 32 folds by CollapseProject and
+  *     measured 30× slower at sf0.1.)
   *   - pairing uses byte banding, which is EXACT for the default d=3:
   *     3 differing bits can touch at most 3 of the 4 signature bytes, so
   *     by pigeonhole every pair within distance 3 shares at least one
@@ -26,22 +30,21 @@ object SimHash {
   val Bits = 32
   val BandBytes = 4
 
-  /** Signature column over a shingle-array column. */
-  def signature(shingles: Column): Column = {
-    val hashes = transform(shingles, s => hash32(s))
-    val bitCols: Seq[Column] = (0 until Bits).map { k =>
-      val bitSum = aggregate(hashes, lit(0L),
-        (acc, h) => acc + (shiftright(h, k) % 2L) * 2L - 1L)
-      when(bitSum > 0, lit(1L << k)).otherwise(lit(0L))
-    }
-    bitCols.reduce(_ + _)
-  }
-
   /** (doc_id, simhash) frame for a text column. */
   def signatures(docs: DataFrame, idCol: String, textCol: String,
-      shingleSize: Int = 3): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
-      signature(wordShingles(words(col(textCol)), shingleSize)).as("simhash"))
+      shingleSize: Int = 3): DataFrame = {
+    val posts = docs.select(col(idCol).as("doc_id"),
+        explode(wordShingles(words(col(textCol)), shingleSize)).as("sh"))
+      .select(col("doc_id"), hash32(col("sh")).as("hv"))
+    val bitSums = (0 until Bits).map(k =>
+      sum(when(shiftright(col("hv"), k) % 2L === 1L, 1L).otherwise(-1L))
+        .as(s"s$k"))
+    val sig = (0 until Bits)
+      .map(k => when(col(s"s$k") > 0, lit(1L << k)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    posts.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), sig.as("simhash"))
+  }
 
   /** Pairs (doc_a < doc_b) with hamming(simhash) <= maxDistance, found
     * via byte banding (exact for maxDistance <= BandBytes-1).

@@ -38,7 +38,7 @@ object DedupQueries {
     * re-keyed (+100000) with identical text.
     */
   private def dupCorpus(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
+    val docs = Tables.loadSpread(spark, dir, "documents")
     docs.unionByName(
       docs.filter(col("doc_id") % 5 === 0)
         .withColumn("doc_id", col("doc_id") + 100000L))
@@ -66,7 +66,7 @@ object DedupQueries {
 
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
     MinHashLSH.nearDuplicatePairs(
-        Tables.load(spark, dir, "documents"), "doc_id", "text", cfg)
+        Tables.loadSpread(spark, dir, "documents"), "doc_id", "text", cfg)
       .orderBy("doc_a", "doc_b")
 
   val dedupMinhashSql: String = {
@@ -102,7 +102,7 @@ object DedupQueries {
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
     SimHash.nearDuplicatePairs(
         SimHash.signatures(
-          Tables.load(spark, dir, "documents"), "doc_id", "text"))
+          Tables.loadSpread(spark, dir, "documents"), "doc_id", "text"))
       .orderBy("doc_a", "doc_b")
 
   val dedupSimhashSql: String = {
@@ -137,7 +137,7 @@ object DedupQueries {
 
   def dedupNgram(spark: SparkSession, dir: String): DataFrame =
     NgramJaccard.nearDuplicatePairs(
-        Tables.load(spark, dir, "documents"), "doc_id", "text")
+        Tables.loadSpread(spark, dir, "documents"), "doc_id", "text")
       .orderBy("doc_a", "doc_b")
 
   val dedupNgramSql: String =

@@ -31,7 +31,7 @@ object MultimodalQueries {
 
   private def corpus(spark: SparkSession, dir: String): DataFrame =
     MediaIngest.synthesizeCorpus(
-      Tables.load(spark, dir, "documents"), "doc_id", "text")
+      Tables.loadSpread(spark, dir, "documents"), "doc_id", "text")
 
   // ----------------------------------------------------------------- meta
 

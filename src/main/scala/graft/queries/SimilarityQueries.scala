@@ -26,7 +26,7 @@ object SimilarityQueries {
   // ----------------------------------------------------------- brute force
 
   def simTopk(spark: SparkSession, dir: String): DataFrame =
-    BruteForceKNN.topK(Tables.load(spark, dir, "embeddings"),
+    BruteForceKNN.topK(Tables.loadSpread(spark, dir, "embeddings"),
         "vec_id", "embedding", _ < QueryCount, K)
       .orderBy("q_id", "rank")
 
@@ -47,7 +47,7 @@ object SimilarityQueries {
   // ------------------------------------------------------------------ lsh
 
   def simLshBucket(spark: SparkSession, dir: String): DataFrame =
-    HyperplaneLSH.topKInBucket(Tables.load(spark, dir, "embeddings"),
+    HyperplaneLSH.topKInBucket(Tables.loadSpread(spark, dir, "embeddings"),
         "vec_id", "embedding", _ < QueryCount, K, lshCfg)
       .orderBy("q_id", "rank")
 

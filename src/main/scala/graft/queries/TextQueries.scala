@@ -17,7 +17,7 @@ object TextQueries {
   // ---------------------------------------------------------------- stats
 
   def textStats(spark: SparkSession, dir: String): DataFrame =
-    TextStats.describe(Tables.load(spark, dir, "documents"), "doc_id", "text")
+    TextStats.describe(Tables.loadSpread(spark, dir, "documents"), "doc_id", "text")
       .orderBy("doc_id")
 
   val textStatsSql: String = {
@@ -38,7 +38,7 @@ object TextQueries {
   // --------------------------------------------------------------- langid
 
   def textLangid(spark: SparkSession, dir: String): DataFrame =
-    LangId.predict(Tables.load(spark, dir, "documents"), "doc_id", "text")
+    LangId.predict(Tables.loadSpread(spark, dir, "documents"), "doc_id", "text")
       .orderBy("doc_id")
 
   val textLangidSql: String = {
@@ -68,7 +68,7 @@ object TextQueries {
   // --------------------------------------------------------------- tokens
 
   def textTokens(spark: SparkSession, dir: String): DataFrame =
-    TokenCount.counts(Tables.load(spark, dir, "documents"), "doc_id", "text")
+    TokenCount.counts(Tables.loadSpread(spark, dir, "documents"), "doc_id", "text")
       .orderBy("doc_id")
 
   val textTokensSql: String =
@@ -86,7 +86,7 @@ object TextQueries {
 
   def textFingerprint(spark: SparkSession, dir: String): DataFrame =
     Fingerprint.fingerprints(
-        Tables.load(spark, dir, "documents"), "doc_id", "text")
+        Tables.loadSpread(spark, dir, "documents"), "doc_id", "text")
       .orderBy("doc_id")
 
   val textFingerprintSql: String = {

@@ -1,0 +1,35 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+
+/** Custom keyed state via `mapGroupsWithState` — the escape hatch for
+  * stream logic that windowed aggregation can't express (running
+  * totals, sessionization, custom triggers).
+  *
+  * State per key is one tuple (count, sum) — O(#distinct keys) total,
+  * partitioned by key across executors; that's the bounded-state shape
+  * that scales to high-cardinality key spaces (and the reason to prefer
+  * this over collecting per-key history).
+  */
+object RunningCounts {
+
+  case class Event(key: String, value: Double)
+  case class KeyTotal(key: String, events: Long, total: Double)
+
+  /** Cumulative (count, sum) per key, emitted once per key per
+    * micro-batch it appears in.
+    */
+  def perKey(events: Dataset[Event])(implicit spark: SparkSession): Dataset[KeyTotal] = {
+    import spark.implicits._
+    events.groupByKey(_.key)
+      .mapGroupsWithState[(Long, Double), KeyTotal](GroupStateTimeout.NoTimeout) {
+        (key: String, batch: Iterator[Event], state: GroupState[(Long, Double)]) =>
+          val (n0, s0) = state.getOption.getOrElse((0L, 0.0))
+          val evs = batch.toSeq
+          val next = (n0 + evs.size, s0 + evs.map(_.value).sum)
+          state.update(next)
+          KeyTotal(key, next._1, next._2)
+      }
+  }
+}

@@ -47,27 +47,6 @@ object TextFeatures {
   /** 32-bit md5-derived hash of a string column. */
   def hash32(s: Column): Column = hexPrefixToLong(md5(s), 8)
 
-  /** MinHash signature: for each seed i, the minimum of
-    * `md5(i + ":" + shingle)` over the shingle set. Hex strings compare
-    * lexicographically identically in Spark and DuckDB (ASCII), so the
-    * min IS the signature — no numeric conversion needed.
-    * Null/empty-safe: empty shingle sets yield null components.
-    */
-  def minhashSignature(shingles: Column, numHashes: Int): Column =
-    array((0 until numHashes).map { i =>
-      array_min(transform(shingles, s => md5(concat(lit(s"$i:"), s))))
-    }: _*)
-
-  /** LSH band values: hash the concatenation of each band's `rows`
-    * consecutive signature components. Returns array<string> of length
-    * numBands; band j covers components [j*rows, (j+1)*rows).
-    */
-  def lshBands(sig: Column, numBands: Int, rows: Int): Column =
-    array((0 until numBands).map { j =>
-      md5(concat((0 until rows).map(r =>
-        element_at(sig, j * rows + r + 1)): _*))
-    }: _*)
-
   /** Exact Jaccard similarity of two distinct-element arrays, as the
     * single double division intersect/(|a|+|b|-intersect) — one IEEE op
     * on integers, so bit-identical across engines.

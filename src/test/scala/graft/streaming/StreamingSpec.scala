@@ -1,0 +1,87 @@
+package graft.streaming
+
+import graft.SparkTestSession
+import graft.diff.FlagCounts
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+
+/** Streaming module tests via MemoryStream micro-batches. */
+class StreamingSpec extends AnyFunSuite {
+
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("windowed counts: streaming result equals the batch formulation") {
+    val rows = Seq(
+      (ts("2024-01-01 10:05:00"), "click", 1.0),
+      (ts("2024-01-01 10:55:00"), "click", 2.0),
+      (ts("2024-01-01 10:20:00"), "view", 5.0),
+      (ts("2024-01-01 11:10:00"), "click", 3.0))
+
+    val stream = MemoryStream[(Timestamp, String, Double)](spark)
+    val q = EventStream.windowedCounts(
+        stream.toDF().toDF("ts", "event_type", "value"),
+        watermark = Some("2 hours"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("evagg").start()
+    try {
+      stream.addData(rows)
+      q.processAllAvailable()
+      val streamed = spark.table("evagg")
+        .orderBy("window_start", "event_type").collect()
+      val batch = EventStream.windowedCounts(
+          rows.toDF("ts", "event_type", "value"))
+        .orderBy("window_start", "event_type").collect()
+      assert(streamed.toSeq === batch.toSeq)
+      assert(streamed.length === 3) // (10h click), (10h view), (11h click)
+    } finally q.stop()
+  }
+
+  test("snapshot diff: per-micro-batch flag counts against a reference table") {
+    val snapshot = Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30))
+      .toDF("id", "name", "score")
+    val stream = MemoryStream[(Long, String, Int)](spark)
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, FlagCounts)]
+    val q = SnapshotDiff.againstSnapshot(
+        stream.toDF().toDF("id", "name", "score"), snapshot, Seq("id")) {
+        (batchId, res) =>
+          seen += batchId -> res.counts
+          res.diff.unpersist()
+      }.start()
+    try {
+      // batch: id=1 unchanged, id=2 changed, id=9 new
+      stream.addData(Seq((1L, "a", 10), (2L, "b", 99), (9L, "x", 1)))
+      q.processAllAvailable()
+      assert(seen.size === 1)
+      val counts = seen.head._2
+      assert(counts.noDiff === 1)
+      assert(counts.diff === 1)
+      assert(counts.s2Only === 1)
+      assert(counts.s1Only === 0) // by construction (semi-joined snapshot)
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState running totals accumulate across micro-batches") {
+    val stream = MemoryStream[RunningCounts.Event](spark)
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val q = RunningCounts.perKey(stream.toDS())
+      .writeStream.outputMode("update")
+      .format("memory").queryName("runtot").start()
+    try {
+      stream.addData(RunningCounts.Event("a", 1.0), RunningCounts.Event("a", 2.0),
+        RunningCounts.Event("b", 5.0))
+      q.processAllAvailable()
+      stream.addData(RunningCounts.Event("a", 4.0))
+      q.processAllAvailable()
+      val byBatch = spark.table("runtot").as[RunningCounts.KeyTotal].collect()
+      // latest state per key: a → (3 events, 7.0), b → (1, 5.0)
+      val a = byBatch.filter(_.key == "a").maxBy(_.events)
+      val b = byBatch.filter(_.key == "b").maxBy(_.events)
+      assert(a === RunningCounts.KeyTotal("a", 3L, 7.0))
+      assert(b === RunningCounts.KeyTotal("b", 1L, 5.0))
+    } finally q.stop()
+  }
+}
