@@ -41,7 +41,8 @@ object SparkEntry {
     "q1_agg", "q3_join_agg", "q_window_top_orders",
     "q_events_hourly", "q_cust_no_orders",
     "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_ngram",
+    "dedup_embed",
     "text_stats", "text_fingerprint",
-    "sim_topk", "sim_lsh_bucket",
+    "sim_topk", "sim_lsh_bucket", "sim_ivf",
     "mm_frames")
 }

@@ -36,9 +36,9 @@ object DataColDiff {
     * and `Flag`. No jobs run. Output shape documented at
     * reference find_dataframe_diff.py:15.
     */
-  def diffPlan(s1: DataFrame, s2: DataFrame, pks: Seq[String])
-      : Either[SchemaMismatch, DataFrame] =
-    Standardize.standardize(s1, s2).map { case (d1, d2) =>
+  def diffPlan(s1: DataFrame, s2: DataFrame, pks: Seq[String],
+      lenient: Boolean = false): Either[SchemaMismatch, DataFrame] =
+    Standardize.standardize(s1, s2, lenient).map { case (d1, d2) =>
       val k = CompCols.derive(s1, pks)
 
       // AND-ed per-key-pair equalities (reference find_datacol_diff.py:96).
@@ -108,9 +108,9 @@ object DataColDiff {
     * `result.diff.unpersist()` when done (the reference never
     * unpersists — find_datacol_diff.py:128).
     */
-  def computeDataframeDiff(s1: DataFrame, s2: DataFrame, pks: Seq[String])
-      : Either[SchemaMismatch, DiffResult] =
-    diffPlan(s1, s2, pks).map { diff =>
+  def computeDataframeDiff(s1: DataFrame, s2: DataFrame, pks: Seq[String],
+      lenient: Boolean = false): Either[SchemaMismatch, DiffResult] =
+    diffPlan(s1, s2, pks, lenient).map { diff =>
       diff.persist()
       val fc = flagCountsPlan(diff).collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -32,13 +32,29 @@ object Standardize {
   /** Validate the two schemas line up (case-insensitively), then return
     * both frames with lower-cased, suffixed column names and string-nulls
     * blanked.
+    *
+    * `lenient = true` reproduces the reference's asymmetric check
+    * (find_datacol_diff.py:34 tests only s1−s2): extra s2 columns are
+    * accepted — and DROPPED here (the reference lets them ride along
+    * into the join but they never reach the diff array, which is built
+    * from s1's columns; projecting them away is the observable-
+    * equivalent, deterministic form). Missing s2 columns still fail in
+    * both modes.
     */
-  def standardize(s1: DataFrame, s2: DataFrame)
+  def standardize(s1: DataFrame, s2: DataFrame, lenient: Boolean = false)
       : Either[SchemaMismatch, (DataFrame, DataFrame)] = {
     val c1 = s1.schema.names.map(_.toLowerCase).toSet
     val c2 = s2.schema.names.map(_.toLowerCase).toSet
-    if (c1 != c2) Left(SchemaMismatch(c1 diff c2, c2 diff c1))
-    else Right((prepare(s1, S1Suffix), prepare(s2, S2Suffix)))
+    if ((c1 diff c2).nonEmpty) Left(SchemaMismatch(c1 diff c2, c2 diff c1))
+    else if (!lenient && (c2 diff c1).nonEmpty)
+      Left(SchemaMismatch(c1 diff c2, c2 diff c1))
+    else {
+      val s2kept =
+        if (c2 == c1) s2
+        else s2.select(s2.schema.names.filter(n => c1(n.toLowerCase))
+          .map(col).toIndexedSeq: _*)
+      Right((prepare(s1, S1Suffix), prepare(s2kept, S2Suffix)))
+    }
   }
 
   /** Lower-case + suffix every column in one projection; blank string

@@ -154,15 +154,49 @@ object DedupQueries {
        |WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= 0.8
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---------------------------------------------------------------- embed
+
+  private val EmbedThreshold = 0.3
+
+  /** Embedding-cosine near-dup pairs within hyperplane-LSH buckets —
+    * the semantic complement to the token-based dedups. The synthetic
+    * embeddings have no planted near-identical pairs (max cosine ≈
+    * 0.5), so the threshold is set where pairs exist; the FUNCTION is
+    * what the oracle pins down.
+    */
+  def dedupEmbed(spark: SparkSession, dir: String): DataFrame =
+    EmbeddingNearDup.nearDuplicatePairs(
+        Tables.loadSpread(spark, dir, "embeddings"), "vec_id", "embedding",
+        EmbedThreshold, SimilarityQueries.lshCfg)
+      .orderBy("vec_a", "vec_b")
+
+  val dedupEmbedSql: String = {
+    import OracleDialect.foldDot
+    s"""WITH ${SimilarityQueries.planesCteSql},
+       |v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, ${foldDot("v", "v")} AS nrm FROM v),
+       |b AS (SELECT vec_id, v, nrm,
+       |    ${SimilarityQueries.bucketSql} AS bucket
+       |  FROM n CROSS JOIN planes pl)
+       |SELECT a.vec_id AS vec_a, d.vec_id AS vec_b,
+       |  ${foldDot("a.v", "d.v")} / (sqrt(a.nrm) * sqrt(d.nrm)) AS cos_sim
+       |FROM b a JOIN b d ON a.bucket = d.bucket AND a.vec_id < d.vec_id
+       |WHERE ${foldDot("a.v", "d.v")} / (sqrt(a.nrm) * sqrt(d.nrm))
+       |      >= $EmbedThreshold
+       |ORDER BY vec_a, vec_b""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact(_, _)),
     "dedup_minhash" -> (dedupMinhash(_, _)),
     "dedup_simhash" -> (dedupSimhash(_, _)),
-    "dedup_ngram" -> (dedupNgram(_, _)))
+    "dedup_ngram" -> (dedupNgram(_, _)),
+    "dedup_embed" -> (dedupEmbed(_, _)))
 
   val oracleSql: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
     "dedup_minhash" -> dedupMinhashSql,
     "dedup_simhash" -> dedupSimhashSql,
-    "dedup_ngram" -> dedupNgramSql)
+    "dedup_ngram" -> dedupNgramSql,
+    "dedup_embed" -> dedupEmbedSql)
 }

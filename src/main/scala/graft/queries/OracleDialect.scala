@@ -20,4 +20,12 @@ private[queries] object OracleDialect {
   /** `['a', 'b', ...]` list literal. */
   def stringList(items: Seq[String]): String =
     items.map(s => s"'$s'").mkString("[", ", ", "]")
+
+  /** Left-fold dot product over two DOUBLE[] expressions — mirrors
+    * [[graft.similarity.Cosine.dot]]'s `aggregate` fold element order,
+    * so the double comes out bit-identical.
+    */
+  def foldDot(a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0, [$a[i] * $b[i] " +
+      s"for i in generate_series(1, len($a))]), (x, y) -> x + y)"
 }

@@ -16,12 +16,26 @@ object SimilarityQueries {
 
   private val K = 10
   private val QueryCount = 8 // query set = vec_id < 8
-  private val lshCfg = HyperplaneLSH.Config()
+  private[queries] val lshCfg = HyperplaneLSH.Config()
+  private val ivfCfg = IVFIndex.Config()
+  import OracleDialect.foldDot
 
-  /** Left-fold dot product in DuckDB. */
-  private def foldDot(a: String, b: String): String =
-    s"list_reduce(list_prepend(0.0, [$a[i] * $b[i] " +
-      s"for i in generate_series(1, len($a))]), (x, y) -> x + y)"
+  /** `planes AS (SELECT [..] AS p0, ...)` CTE with the hyperplane
+    * literals — 3-decimal values round-trip to identical doubles.
+    */
+  private[queries] val planesCteSql: String = {
+    val lists = HyperplaneLSH.planes(lshCfg).zipWithIndex
+      .map { case (plane, p) =>
+        plane.map(v => f"$v%.3f").mkString("[", ", ", s"]::DOUBLE[] AS p$p")
+      }.mkString(",\n    ")
+    s"planes AS (SELECT\n    $lists)"
+  }
+
+  /** LSH bucket id of `n.v` given the planes CTE is joined as `pl`. */
+  private[queries] val bucketSql: String =
+    (0 until lshCfg.numPlanes).map { p =>
+      s"(CASE WHEN ${foldDot("n.v", s"pl.p$p")} > 0 THEN ${1 << p} ELSE 0 END)"
+    }.mkString("\n     + ")
 
   // ----------------------------------------------------------- brute force
 
@@ -51,20 +65,12 @@ object SimilarityQueries {
         "vec_id", "embedding", _ < QueryCount, K, lshCfg)
       .orderBy("q_id", "rank")
 
-  val simLshBucketSql: String = {
-    val planeLists = HyperplaneLSH.planes(lshCfg).zipWithIndex
-      .map { case (plane, p) =>
-        plane.map(v => f"$v%.3f").mkString("[", ", ", s"]::DOUBLE[] AS p$p")
-      }.mkString(",\n    ")
-    val bucket = (0 until lshCfg.numPlanes).map { p =>
-      s"(CASE WHEN ${foldDot("n.v", s"pl.p$p")} > 0 THEN ${1 << p} ELSE 0 END)"
-    }.mkString("\n     + ")
-    s"""WITH planes AS (SELECT
-       |    $planeLists),
+  val simLshBucketSql: String =
+    s"""WITH $planesCteSql,
        |v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |n AS (SELECT vec_id, v, ${foldDot("v", "v")} AS nrm FROM v),
        |b AS (SELECT vec_id, v, nrm,
-       |    $bucket AS bucket
+       |    $bucketSql AS bucket
        |  FROM n CROSS JOIN planes pl),
        |p AS (SELECT q.vec_id AS q_id, d.vec_id AS n_id,
        |    ${foldDot("q.v", "d.v")} / (sqrt(q.nrm) * sqrt(d.nrm)) AS cos_sim
@@ -76,13 +82,53 @@ object SimilarityQueries {
        |                       ORDER BY cos_sim DESC, n_id) AS rank
        |  FROM p)
        |WHERE rank <= $K ORDER BY q_id, rank""".stripMargin
+
+  // ------------------------------------------------------------------ ivf
+
+  def simIvf(spark: SparkSession, dir: String): DataFrame =
+    IVFIndex.topK(Tables.loadSpread(spark, dir, "embeddings"),
+        "vec_id", "embedding", _ < QueryCount, K, ivfCfg)
+      .orderBy("q_id", "rank")
+
+  val simIvfSql: String = {
+    def cosSql(av: String, an: String, bv: String, bn: String): String =
+      s"${foldDot(av, bv)} / (sqrt($an) * sqrt($bn))"
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, ${foldDot("v", "v")} AS nrm FROM v),
+       |c AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n
+       |  WHERE vec_id % ${ivfCfg.centroidStride} = 0),
+       |asg AS (SELECT vid, v, nrm, cell FROM (
+       |  SELECT n.vec_id AS vid, n.v, n.nrm, c.c_id AS cell,
+       |    ROW_NUMBER() OVER (PARTITION BY n.vec_id
+       |      ORDER BY ${cosSql("n.v", "n.nrm", "c.cv", "c.cn")} DESC, c.c_id)
+       |      AS rn
+       |  FROM n CROSS JOIN c) WHERE rn = 1),
+       |probes AS (SELECT q_id, qv, qn, cell FROM (
+       |  SELECT q.vec_id AS q_id, q.v AS qv, q.nrm AS qn, c.c_id AS cell,
+       |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${cosSql("q.v", "q.nrm", "c.cv", "c.cn")} DESC, c.c_id)
+       |      AS rn
+       |  FROM n q CROSS JOIN c WHERE q.vec_id < $QueryCount)
+       |  WHERE rn <= ${ivfCfg.nProbe}),
+       |p AS (SELECT pr.q_id, a.vid AS n_id,
+       |    ${cosSql("pr.qv", "pr.qn", "a.v", "a.nrm")} AS cos_sim
+       |  FROM probes pr JOIN asg a ON a.cell = pr.cell
+       |  WHERE a.vid <> pr.q_id)
+       |SELECT q_id, rank, n_id, cos_sim FROM (
+       |  SELECT q_id, n_id, cos_sim,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id
+       |                       ORDER BY cos_sim DESC, n_id) AS rank
+       |  FROM p)
+       |WHERE rank <= $K ORDER BY q_id, rank""".stripMargin
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk" -> (simTopk(_, _)),
-    "sim_lsh_bucket" -> (simLshBucket(_, _)))
+    "sim_lsh_bucket" -> (simLshBucket(_, _)),
+    "sim_ivf" -> (simIvf(_, _)))
 
   val oracleSql: Map[String, String] = Map(
     "sim_topk" -> simTopkSql,
-    "sim_lsh_bucket" -> simLshBucketSql)
+    "sim_lsh_bucket" -> simLshBucketSql,
+    "sim_ivf" -> simIvfSql)
 }

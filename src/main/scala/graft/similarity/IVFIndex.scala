@@ -1,0 +1,80 @@
+package graft.similarity
+
+import graft.similarity.Cosine._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest-neighbor search — the
+  * coarse-quantizer alternative to [[HyperplaneLSH]].
+  *
+  * Build: pick a small deterministic centroid set, assign every vector
+  * to its nearest centroid (one broadcast join of the tiny centroid
+  * table against the corpus — no corpus shuffle beyond the final
+  * group). Search: a query probes its `nProbe` nearest cells and ranks
+  * only the vectors assigned there — corpus/|cells| × nProbe work
+  * instead of brute force.
+  *
+  * Centroids here are the vectors at a fixed id stride: deterministic
+  * and oracle-reproducible. A production index would k-means them —
+  * that changes WHERE the cell boundaries fall (recall), not the
+  * query-plan shape, which is what this operator pins down.
+  */
+object IVFIndex {
+
+  case class Config(centroidStride: Long = 31, nProbe: Int = 2)
+
+  private def prepared(vectors: DataFrame, idCol: String, vecCol: String): DataFrame =
+    vectors.select(col(idCol).as("vid"), toDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", norm2(col("v")))
+
+  private def centroids(prep: DataFrame, cfg: Config): DataFrame =
+    prep.filter(col("vid") % cfg.centroidStride === 0)
+      .select(col("vid").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+
+  private def cosToCentroid: Column =
+    cosineWithNorms(dot(col("v"), col("cv")), col("nrm"), col("cn"))
+
+  /** (vid, v, nrm, cell): every vector labeled with its nearest
+    * centroid (highest cosine, centroid id as tie-break).
+    */
+  def assign(vectors: DataFrame, idCol: String, vecCol: String,
+      cfg: Config = Config()): DataFrame = {
+    val prep = prepared(vectors, idCol, vecCol)
+    val w = Window.partitionBy("vid").orderBy(desc("c_cos"), asc("c_id"))
+    prep.join(centroids(prep, cfg))
+      .select(col("vid"), col("v"), col("nrm"), col("c_id"),
+        cosToCentroid.as("c_cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vid"), col("v"), col("nrm"), col("c_id").as("cell"))
+  }
+
+  /** Top-k cosine neighbors per query over the `nProbe` nearest cells. */
+  def topK(vectors: DataFrame, idCol: String, vecCol: String,
+      isQuery: Column => Column, k: Int, cfg: Config = Config()): DataFrame = {
+    val assigned = assign(vectors, idCol, vecCol, cfg).persist()
+    val queries = assigned.filter(isQuery(col("vid")))
+      .select(col("vid").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    // probe cells: nProbe nearest centroids per query
+    val prep = prepared(vectors, idCol, vecCol)
+    val wq = Window.partitionBy("q_id").orderBy(desc("c_cos"), asc("c_id"))
+    val probes = queries
+      .join(centroids(prep, cfg))
+      .select(col("q_id"), col("qv"), col("qn"), col("c_id"),
+        cosineWithNorms(dot(col("qv"), col("cv")), col("qn"), col("cn"))
+          .as("c_cos"))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= cfg.nProbe)
+      .select(col("q_id"), col("qv"), col("qn"), col("c_id").as("cell"))
+    val pairs = probes.join(assigned, "cell")
+      .filter(col("vid") =!= col("q_id"))
+      .select(col("q_id"), col("vid").as("n_id"),
+        cosineWithNorms(dot(col("qv"), col("v")), col("qn"), col("nrm"))
+          .as("cos_sim"))
+    val w = Window.partitionBy("q_id").orderBy(desc("cos_sim"), asc("n_id"))
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "n_id", "cos_sim")
+  }
+}

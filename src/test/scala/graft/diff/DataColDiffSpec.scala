@@ -32,6 +32,25 @@ class DataColDiffSpec extends AnyFunSuite {
       emp100.columns.map(_.toLowerCase).toSet)
   }
 
+  test("standardize lenient mode: extra s2 columns accepted and dropped") {
+    import spark.implicits._
+    val s1 = Seq((1L, "a")).toDF("id", "name")
+    val s2extra = Seq((1L, "a", 9)).toDF("id", "name", "extra")
+    // strict (default): symmetric check fails
+    assert(Standardize.standardize(s1, s2extra).isLeft)
+    // lenient: reference-faithful s1-s2-only check passes, extras dropped
+    val Right((_, d2)) = Standardize.standardize(s1, s2extra, lenient = true)
+    assert(d2.columns.toSet === Set("id_s2", "name_s2"))
+    // missing s2 columns fail in BOTH modes (reference does too)
+    val s2short = Seq(1L).toDF("id")
+    assert(Standardize.standardize(s1, s2short, lenient = true).isLeft)
+    // end-to-end: lenient diff of identical-modulo-extras tables is all NODIFF
+    val res = DataColDiff.computeDataframeDiff(s1, s2extra, Seq("id"), lenient = true)
+      .fold(mm => sys.error(mm.message), identity)
+    try assert(res.counts === FlagCounts(0, 0, 1, 0))
+    finally res.diff.unpersist()
+  }
+
   test("standardize: mismatched schemas → SchemaMismatch") {
     val bible = readCsv("bible101.csv")
     val res = Standardize.standardize(emp100, bible)

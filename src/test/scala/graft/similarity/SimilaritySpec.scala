@@ -54,6 +54,33 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("IVF: results are a subset of brute force; assignment covers the corpus") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val assigned = IVFIndex.assign(emb, "vec_id", "embedding")
+    assert(assigned.count() === emb.count()) // every vector in exactly one cell
+    val brute = BruteForceKNN.topK(emb, "vec_id", "embedding", _ < 3, 1000)
+      .select("q_id", "n_id", "cos_sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ivf = IVFIndex.topK(emb, "vec_id", "embedding", _ < 3, 5).collect()
+    assert(ivf.nonEmpty)
+    ivf.foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      assert(brute.contains(key))
+      assert(brute(key) === r.getDouble(3)) // bit-identical cosine
+    }
+  }
+
+  test("embedding near-dup pairs: ordered, thresholded, symmetric-free") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val pairs = graft.dedup.EmbeddingNearDup
+      .nearDuplicatePairs(emb, "vec_id", "embedding", 0.3).collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(2) >= 0.3 && r.getDouble(2) <= 1.0)
+    }
+  }
+
   test("hyperplanes are deterministic and bucket ids are in range") {
     val cfg = HyperplaneLSH.Config()
     val p1 = HyperplaneLSH.planes(cfg)
