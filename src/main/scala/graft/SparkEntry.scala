@@ -27,13 +27,13 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     DiffQueries.queries ++ Relational.queries ++ DedupQueries.queries ++
       TextQueries.queries ++ SimilarityQueries.queries ++
-      MultimodalQueries.queries
+      MultimodalQueries.queries ++ PipelineQueries.queries
 
   /** DuckDB-runnable oracle per query key. */
   def oracleSql: Map[String, String] =
     DiffQueries.oracleSql ++ Relational.oracleSql ++ DedupQueries.oracleSql ++
       TextQueries.oracleSql ++ SimilarityQueries.oracleSql ++
-      MultimodalQueries.oracleSql
+      MultimodalQueries.oracleSql ++ PipelineQueries.oracleSql
 
   /** Headline queries timed by graft.Bench (ordered). */
   def benchQueries: Seq[String] = Seq(

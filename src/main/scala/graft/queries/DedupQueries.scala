@@ -24,13 +24,41 @@ object DedupQueries {
     * guard: generate_series(1, k) is empty for k<1 in DuckDB list
     * comprehensions.
     */
-  private val shingleCtes: String =
-    """docs AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
-      |sh AS (SELECT doc_id,
-      |  list_distinct([w[i]||' '||w[i+1]||' '||w[i+2]
-      |                 for i in generate_series(1, len(w)-2)]) AS s
-      |  FROM docs),
-      |shx AS (SELECT doc_id, unnest(s) AS sh FROM sh)""".stripMargin
+  private[queries] def shingleCtes(src: String = "documents"): String =
+    s"""docs AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM $src),
+       |sh AS (SELECT doc_id,
+       |  list_distinct([w[i]||' '||w[i+1]||' '||w[i+2]
+       |                 for i in generate_series(1, len(w)-2)]) AS s
+       |  FROM docs),
+       |shx AS (SELECT doc_id, unnest(s) AS sh FROM sh)""".stripMargin
+
+  /** Full minhash near-dup CTE chain ending in `jac(doc_a, doc_b,
+    * jaccard)`, over any source relation with (doc_id, text).
+    */
+  private[queries] def minhashJacCtes(src: String): String = {
+    val hashes = (0 until cfg.numHashes)
+      .map(i => s"min(md5('$i:'||sh)) AS h$i").mkString(", ")
+    val bands = (0 until cfg.numBands).map { j =>
+      val bv = (0 until cfg.rowsPerBand)
+        .map(r => s"h${j * cfg.rowsPerBand + r}").mkString("||")
+      s"SELECT doc_id, $j AS band_id, md5($bv) AS band_val FROM mh"
+    }.mkString("\n  UNION ALL ")
+    val inter = "len(list_filter(sa.s, x -> list_contains(sb.s, x)))"
+    s"""${shingleCtes(src)},
+       |mh AS (SELECT doc_id, $hashes FROM shx GROUP BY doc_id),
+       |bands AS (
+       |  $bands
+       |),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_id = b.band_id AND a.band_val = b.band_val
+       |   AND a.doc_id < b.doc_id),
+       |jac AS (SELECT c.doc_a, c.doc_b,
+       |  CAST($inter AS DOUBLE) / (len(sa.s) + len(sb.s) - $inter) AS jaccard
+       |  FROM cand c
+       |  JOIN sh sa ON sa.doc_id = c.doc_a
+       |  JOIN sh sb ON sb.doc_id = c.doc_b)""".stripMargin
+  }
 
   // ---------------------------------------------------------------- exact
 
@@ -69,33 +97,11 @@ object DedupQueries {
         Tables.loadSpread(spark, dir, "documents"), "doc_id", "text", cfg)
       .orderBy("doc_a", "doc_b")
 
-  val dedupMinhashSql: String = {
-    val hashes = (0 until cfg.numHashes)
-      .map(i => s"min(md5('$i:'||sh)) AS h$i").mkString(", ")
-    val bands = (0 until cfg.numBands).map { j =>
-      val bv = (0 until cfg.rowsPerBand)
-        .map(r => s"h${j * cfg.rowsPerBand + r}").mkString("||")
-      s"SELECT doc_id, $j AS band_id, md5($bv) AS band_val FROM mh"
-    }.mkString("\n  UNION ALL ")
-    val inter = "len(list_filter(sa.s, x -> list_contains(sb.s, x)))"
-    s"""WITH $shingleCtes,
-       |mh AS (SELECT doc_id, $hashes FROM shx GROUP BY doc_id),
-       |bands AS (
-       |  $bands
-       |),
-       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM bands a JOIN bands b
-       |    ON a.band_id = b.band_id AND a.band_val = b.band_val
-       |   AND a.doc_id < b.doc_id),
-       |jac AS (SELECT c.doc_a, c.doc_b,
-       |  CAST($inter AS DOUBLE) / (len(sa.s) + len(sb.s) - $inter) AS jaccard
-       |  FROM cand c
-       |  JOIN sh sa ON sa.doc_id = c.doc_a
-       |  JOIN sh sb ON sb.doc_id = c.doc_b)
+  val dedupMinhashSql: String =
+    s"""WITH ${minhashJacCtes("documents")}
        |SELECT doc_a, doc_b, jaccard FROM jac
        |WHERE jaccard >= ${cfg.threshold}
        |ORDER BY doc_a, doc_b""".stripMargin
-  }
 
   // -------------------------------------------------------------- simhash
 
@@ -114,7 +120,7 @@ object DedupQueries {
     val sig = (0 until SimHash.Bits)
       .map(k => s"(CASE WHEN s$k > 0 THEN ${1L << k} ELSE 0 END)")
       .mkString(" + ")
-    s"""WITH $shingleCtes,
+    s"""WITH ${shingleCtes()},
        |hx AS (SELECT doc_id, md5(sh) AS h FROM shx),
        |hv AS (SELECT doc_id, CAST($hv AS BIGINT) AS hv FROM hx),
        |bits AS (SELECT doc_id,
@@ -141,7 +147,7 @@ object DedupQueries {
       .orderBy("doc_a", "doc_b")
 
   val dedupNgramSql: String =
-    s"""WITH $shingleCtes,
+    s"""WITH ${shingleCtes()},
        |sizes AS (SELECT doc_id, len(s) AS n FROM sh),
        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
        |  FROM shx a JOIN shx b ON a.sh = b.sh AND a.doc_id < b.doc_id

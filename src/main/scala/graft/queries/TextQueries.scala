@@ -14,6 +14,34 @@ object TextQueries {
   private val wordsCte =
     "w AS (SELECT doc_id, text, string_split(lower(text), ' ') AS w FROM documents)"
 
+  /** Per-language score select list over a token array `w` — shared
+    * with the curation pipeline oracle.
+    */
+  private[queries] val langScoreSelect: String =
+    LangId.Lexicons.map { case (lang, lex) =>
+      val lexList = OracleDialect.stringList(lex)
+      s"CAST(len(list_filter(w, x -> list_contains($lexList, x))) AS DOUBLE)" +
+        s" / len(w) AS s_$lang"
+    }.mkString(",\n    ")
+
+  private[queries] val langBestExpr: String =
+    LangId.Lexicons.map(l => s"s_${l._1}").mkString("greatest(", ", ", ")")
+
+  private[queries] val langPredCase: String = {
+    val cases = LangId.Lexicons.map(_._1)
+      .map(l => s"WHEN best > 0 AND s_$l = best THEN '$l'")
+      .mkString("\n       ")
+    s"CASE $cases\n       ELSE 'und' END"
+  }
+
+  /** Quality-score expression over (text, w) — mirrors
+    * [[graft.text.TextStats.qualityScore]].
+    */
+  private[queries] val qualityExpr: String =
+    "least(1.0, CAST(len(w) AS DOUBLE) / 50.0)" +
+      " * (CAST(len(list_distinct(w)) AS DOUBLE) / len(w))"
+
+
   // ---------------------------------------------------------------- stats
 
   def textStats(spark: SparkSession, dir: String): DataFrame =
@@ -30,8 +58,7 @@ object TextQueries {
        |  CAST(len(list_filter(w, x -> list_contains($stop, x))) AS DOUBLE)
        |    / len(w) AS stopword_ratio,
        |  CAST(length(text) - len(w) + 1 AS DOUBLE) / len(w) AS avg_word_len,
-       |  least(1.0, CAST(len(w) AS DOUBLE) / 50.0)
-       |    * (CAST(len(list_distinct(w)) AS DOUBLE) / len(w)) AS quality
+       |  $qualityExpr AS quality
        |FROM w ORDER BY doc_id""".stripMargin
   }
 
@@ -42,16 +69,9 @@ object TextQueries {
       .orderBy("doc_id")
 
   val textLangidSql: String = {
-    val scoreCols = LangId.Lexicons.map { case (lang, lex) =>
-      val lexList = OracleDialect.stringList(lex)
-      s"CAST(len(list_filter(w, x -> list_contains($lexList, x))) AS DOUBLE)" +
-        s" / len(w) AS s_$lang"
-    }.mkString(",\n    ")
+    val scoreCols = langScoreSelect
     val langs = LangId.Lexicons.map(_._1)
-    val best = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
-    val cases = langs
-      .map(l => s"WHEN best > 0 AND s_$l = best THEN '$l'")
-      .mkString("\n       ")
+    val best = langBestExpr
     s"""WITH $wordsCte,
        |scores AS (SELECT doc_id,
        |    $scoreCols
@@ -59,8 +79,7 @@ object TextQueries {
        |ranked AS (SELECT doc_id, ${langs.map(l => s"s_$l").mkString(", ")},
        |    $best AS best FROM scores)
        |SELECT doc_id,
-       |  CASE $cases
-       |       ELSE 'und' END AS lang_pred,
+       |  $langPredCase AS lang_pred,
        |  best AS lang_score
        |FROM ranked ORDER BY doc_id""".stripMargin
   }
