@@ -44,5 +44,5 @@ object SparkEntry {
     "dedup_embed",
     "text_stats", "text_fingerprint",
     "sim_topk", "sim_lsh_bucket", "sim_ivf",
-    "mm_frames")
+    "mm_frames", "pipeline_curate")
 }
