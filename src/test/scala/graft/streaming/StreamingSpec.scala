@@ -40,6 +40,21 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("windowed counts on the real events table match the hourly rollup query") {
+    import org.apache.spark.sql.functions.{col, date_format}
+    // date_trunc yields TIMESTAMP, window() yields TIMESTAMP_NTZ — render
+    // both as strings (session tz is UTC) to compare the VALUES
+    def rows(df: org.apache.spark.sql.DataFrame, hourCol: String) = df
+      .withColumn(hourCol, date_format(col(hourCol), "yyyy-MM-dd HH:mm:ss"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val ev = graft.queries.Tables.loadEvents(spark, "/root/testdata/sf0.001")
+    val viaWindow = rows(EventStream.windowedCounts(ev)
+      .orderBy("window_start", "event_type"), "window_start")
+    val viaTrunc = rows(graft.queries.Relational
+      .qEventsHourly(spark, "/root/testdata/sf0.001"), "hour")
+    assert(viaWindow.toSeq === viaTrunc.toSeq)
+  }
+
   test("snapshot diff: per-micro-batch flag counts against a reference table") {
     val snapshot = Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30))
       .toDF("id", "name", "score")
