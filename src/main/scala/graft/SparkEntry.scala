@@ -38,7 +38,7 @@ object SparkEntry {
   /** Headline queries timed by graft.Bench (ordered). */
   def benchQueries: Seq[String] = Seq(
     "diff_flags", "diff_colstats", "diff_rows",
-    "q1_agg", "q3_join_agg", "q_window_top_orders",
+    "q1_agg", "q3_join_agg", "q5_region_revenue", "q_window_top_orders",
     "q_events_hourly", "q_cust_no_orders",
     "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_ngram",
     "dedup_embed",

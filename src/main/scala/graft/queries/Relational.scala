@@ -148,17 +148,135 @@ object Relational {
       |    AND o_orderpriority = '1-URGENT' AND o_totalprice > 250000.0)
       |ORDER BY c_custkey""".stripMargin
 
+  /** TPC-H Q5-style 5-way join: revenue by nation within a region.
+    * Dim chain (region→nation) broadcasts; the fact joins shuffle on
+    * their natural keys.
+    */
+  def q5RegionRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val region = Tables.load(spark, dir, "region")
+      .filter(col("r_name") === "ASIA")
+    val nation = Tables.load(spark, dir, "nation")
+    val cust = Tables.load(spark, dir, "customer")
+    val ord = Tables.load(spark, dir, "orders")
+    val li = Tables.load(spark, dir, "lineitem")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(nation, col("c_nationkey") === col("n_nationkey"))
+      .join(region, col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0d) - col("l_discount")))
+        .cast("decimal(24,8)")).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(desc("revenue"), asc("n_name"))
+  }
+
+  val q5RegionRevenueSql: String =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,8))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
+  /** Grouping-sets coverage (absent from the reference, §2.9): rollup
+    * with explicit grouping flags so subtotal rows are unambiguous.
+    */
+  def qRollup(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    li.rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping(col("l_returnflag")).cast("int").as("g_rf"),
+        grouping(col("l_linestatus")).cast("int").as("g_ls"),
+        count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("(all)")).as("rf"),
+        coalesce(col("l_linestatus"), lit("(all)")).as("ls"),
+        col("g_rf"), col("g_ls"), col("n"), col("sum_qty"))
+      .orderBy("g_rf", "g_ls", "rf", "ls")
+  }
+
+  val qRollupSql: String =
+    """SELECT coalesce(l_returnflag, '(all)') AS rf,
+      |       coalesce(l_linestatus, '(all)') AS ls,
+      |       CAST(grouping(l_returnflag) AS INT) AS g_rf,
+      |       CAST(grouping(l_linestatus) AS INT) AS g_ls,
+      |       COUNT(*) AS n, SUM(l_quantity) AS sum_qty
+      |FROM lineitem
+      |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |ORDER BY g_rf, g_ls, rf, ls""".stripMargin
+
+  /** Pivot coverage: order counts per year × priority, as conditional
+    * aggregation (the portable formulation of PIVOT).
+    */
+  def qPivot(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.load(spark, dir, "orders")
+    val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM")
+    ord.groupBy(year(col("o_orderdate")).as("yr"))
+      .agg(
+        count(when(col("o_orderpriority") === prios(0), 1)).as("n_urgent"),
+        count(when(col("o_orderpriority") === prios(1), 1)).as("n_high"),
+        count(when(col("o_orderpriority") === prios(2), 1)).as("n_medium"),
+        count(lit(1)).as("n_total"))
+      .orderBy("yr")
+  }
+
+  val qPivotSql: String =
+    """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+      |  COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+      |  COUNT(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS n_high,
+      |  COUNT(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS n_medium,
+      |  COUNT(*) AS n_total
+      |FROM orders GROUP BY 1 ORDER BY yr""".stripMargin
+
+  /** Set-operator coverage (absent from the reference, §2.9):
+    * INTERSECT and EXCEPT of customer key sets from two predicates,
+    * tagged and unioned.
+    */
+  def qSetOps(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.load(spark, dir, "orders")
+    val urgent = ord.filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    val big = ord.filter(col("o_totalprice") > 200000.0d)
+      .select(col("o_custkey"))
+    val both = urgent.intersect(big)
+      .select(col("o_custkey"), lit("both").as("tag"))
+    val urgentOnly = urgent.except(big)
+      .select(col("o_custkey"), lit("urgent_only").as("tag"))
+    both.unionByName(urgentOnly).orderBy("tag", "o_custkey")
+  }
+
+  val qSetOpsSql: String =
+    """WITH urgent AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+      |big AS (SELECT o_custkey FROM orders WHERE o_totalprice > 200000.0)
+      |SELECT o_custkey, 'both' AS tag FROM (SELECT * FROM urgent INTERSECT SELECT * FROM big)
+      |UNION ALL
+      |SELECT o_custkey, 'urgent_only' AS tag FROM (SELECT * FROM urgent EXCEPT SELECT * FROM big)
+      |ORDER BY tag, o_custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg(_, _)),
     "q3_join_agg" -> (q3JoinAgg(_, _)),
+    "q5_region_revenue" -> (q5RegionRevenue(_, _)),
     "q_window_top_orders" -> (qWindowTopOrders(_, _)),
     "q_events_hourly" -> (qEventsHourly(_, _)),
-    "q_cust_no_orders" -> (qCustNoOrders(_, _)))
+    "q_cust_no_orders" -> (qCustNoOrders(_, _)),
+    "q_rollup" -> (qRollup(_, _)),
+    "q_pivot" -> (qPivot(_, _)),
+    "q_setops" -> (qSetOps(_, _)))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
     "q3_join_agg" -> q3JoinAggSql,
+    "q5_region_revenue" -> q5RegionRevenueSql,
     "q_window_top_orders" -> qWindowTopOrdersSql,
     "q_events_hourly" -> qEventsHourlySql,
-    "q_cust_no_orders" -> qCustNoOrdersSql)
+    "q_cust_no_orders" -> qCustNoOrdersSql,
+    "q_rollup" -> qRollupSql,
+    "q_pivot" -> qPivotSql,
+    "q_setops" -> qSetOpsSql)
 }
