@@ -57,13 +57,33 @@ object DataColDiff {
       val s2Missing = k.s2Keys.map(col(_).isNull).reduce(_ && _)
 
       val emptyArr = array().cast(DiffEntry.arrayType)
+      // MapType isn't comparable in Spark (<=> fails analysis), so any
+      // map-bearing column is compared via its to_json rendering — the
+      // §7.3 normalization. Caveat: two maps with the same entries in a
+      // different internal order render differently and will report as
+      // a diff; callers needing order-insensitive map equality should
+      // canonicalize (e.g. sort entries) upstream.
+      def containsMap(dt: org.apache.spark.sql.types.DataType): Boolean = {
+        import org.apache.spark.sql.types._
+        dt match {
+          case _: MapType => true
+          case ArrayType(et, _) => containsMap(et)
+          case StructType(fields) => fields.exists(f => containsMap(f.dataType))
+          case _ => false
+        }
+      }
+      val dtypes = d1.schema.fields.map(f => f.name -> f.dataType).toMap
       val entries: Seq[Column] = k.compCols.map { c =>
         val a = col(c + Standardize.S1Suffix)
         val b = col(c + Standardize.S2Suffix)
-        when(!(a <=> b), struct(
+        val (ca, cb) =
+          if (containsMap(dtypes(c + Standardize.S1Suffix)))
+            (to_json(a), to_json(b))
+          else (a, b)
+        when(!(ca <=> cb), struct(
           lit(c).as("col_name"),
-          a.cast(StringType).as("s1_value"),
-          b.cast(StringType).as("s2_value")))
+          ca.cast(StringType).as("s1_value"),
+          cb.cast(StringType).as("s2_value")))
       }
       val rawArr =
         if (entries.isEmpty) emptyArr

@@ -32,6 +32,33 @@ class DataColDiffSpec extends AnyFunSuite {
       emp100.columns.map(_.toLowerCase).toSet)
   }
 
+  test("complex-typed columns diff correctly (array, struct, map via to_json)") {
+    import spark.implicits._
+    val s1 = Seq(
+      (1L, Seq("a", "b"), (1, 2), Map("k" -> 1)),
+      (2L, Seq("x"), (3, 4), Map("k" -> 2)),
+      (3L, Seq.empty[String], (0, 0), Map.empty[String, Int])
+    ).toDF("id", "tags", "point", "attrs")
+    val s2 = Seq(
+      (1L, Seq("a", "b"), (1, 2), Map("k" -> 1)),   // identical
+      (2L, Seq("x", "y"), (3, 9), Map("k" -> 3)),   // all three differ
+      (3L, Seq.empty[String], (0, 0), Map.empty[String, Int])
+    ).toDF("id", "tags", "point", "attrs")
+    val res = DataColDiff.computeDataframeDiff(s1, s2, Seq("id"))
+      .fold(mm => sys.error(mm.message), identity)
+    try {
+      assert(res.counts === FlagCounts(0, 0, 2, 1))
+      val entries = res.diff.filter(col(DataColDiff.Flag) === "")
+        .select(explode(col(DataColDiff.CompColArr)).as("e"))
+        .select("e.col_name", "e.s1_value", "e.s2_value")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+        .sortBy(_._1)
+      assert(entries.map(_._1).toSeq === Seq("attrs", "point", "tags"))
+      val attrs = entries.find(_._1 == "attrs").get
+      assert(attrs._2 === """{"k":2}""" && attrs._3 === """{"k":3}""")
+    } finally res.diff.unpersist()
+  }
+
   test("standardize lenient mode: extra s2 columns accepted and dropped") {
     import spark.implicits._
     val s1 = Seq((1L, "a")).toDF("id", "name")
