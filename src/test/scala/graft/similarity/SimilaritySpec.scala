@@ -81,6 +81,25 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("recall@k: 1.0 for exact-vs-exact; deterministic in (0,1] for ANN") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val exact = BruteForceKNN.topK(emb, "vec_id", "embedding", _ < 8, 10)
+    assert(Recall.overallAtK(exact, exact, 10) === 1.0)
+    val lsh = HyperplaneLSH.topKInBucket(emb, "vec_id", "embedding", _ < 8, 10)
+    val ivf = IVFIndex.topK(emb, "vec_id", "embedding", _ < 8, 10)
+    val rLsh = Recall.overallAtK(exact, lsh, 10)
+    val rIvf = Recall.overallAtK(exact, ivf, 10)
+    // random vectors scatter across buckets/cells, so absolute recall is
+    // low by design here; what we pin is the measurement machinery and
+    // determinism (fixed hyperplanes/centroids -> same number every run)
+    assert(rLsh > 0.0 && rLsh <= 1.0)
+    assert(rIvf > 0.0 && rIvf <= 1.0)
+    assert(Recall.overallAtK(exact, lsh, 10) === rLsh)
+    val perQuery = Recall.atK(exact, lsh, 10).collect()
+    assert(perQuery.length === 8)
+    perQuery.foreach(r => assert(r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0))
+  }
+
   test("hyperplanes are deterministic and bucket ids are in range") {
     val cfg = HyperplaneLSH.Config()
     val p1 = HyperplaneLSH.planes(cfg)
