@@ -8,7 +8,12 @@ import org.apache.spark.sql.functions._
   *
   * Cross-engine determinism rules (vs the DuckDB oracle):
   *   - money sums go through DECIMAL (exact, order-independent) and are
-  *     cast back to DOUBLE at the end — identical bits in both engines;
+  *     cast back to DOUBLE at the end — identical bits in both engines
+  *     PROVIDED the decimal's scaled integer stays below 2^53: DuckDB's
+  *     decimal→double cast converts that integer to double before
+  *     dividing, so a scale-8 sum above ~9e7 silently loses a ulp
+  *     (observed at sf0.1). Inputs here have ≤4 fractional digits, so
+  *     scale 4 is both exact and 2^53-safe up to ~9e11 sums;
   *   - every output is fully ordered with a unique tie-break key;
   *   - window ranks are tie-broken by a unique column.
   */
@@ -27,7 +32,7 @@ object Relational {
         sum(col("l_extendedprice").cast("decimal(18,2)"))
           .cast("double").as("sum_base_price"),
         sum((col("l_extendedprice") * (lit(1.0d) - col("l_discount")))
-          .cast("decimal(24,8)")).cast("double").as("sum_disc_price"),
+          .cast("decimal(24,4)")).cast("double").as("sum_disc_price"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
   }
@@ -36,7 +41,7 @@ object Relational {
     """SELECT l_returnflag, l_linestatus,
       |  SUM(l_quantity) AS sum_qty,
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,8))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,4))) AS DOUBLE) AS sum_disc_price,
       |  COUNT(*) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -62,14 +67,14 @@ object Relational {
       .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"))
       .agg(sum((col("l_extendedprice") * (lit(1.0d) - col("l_discount")))
-        .cast("decimal(24,8)")).cast("double").as("revenue"))
+        .cast("decimal(24,4)")).cast("double").as("revenue"))
       .orderBy(desc("revenue"), asc("l_orderkey"))
       .limit(10)
   }
 
   val q3JoinAggSql: String =
     """SELECT l_orderkey, o_orderdate,
-      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,8))) AS DOUBLE) AS revenue
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,4))) AS DOUBLE) AS revenue
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
       |JOIN customer ON o_custkey = c_custkey
@@ -114,14 +119,14 @@ object Relational {
         col("event_type"))
       .agg(
         count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(24,8)")).cast("double").as("sum_value"))
+        sum(col("value").cast("decimal(24,4)")).cast("double").as("sum_value"))
       .orderBy("hour", "event_type")
   }
 
   val qEventsHourlySql: String =
     """SELECT date_trunc('hour', ts) AS hour, event_type,
       |  COUNT(*) AS n,
-      |  CAST(SUM(CAST(value AS DECIMAL(24,8))) AS DOUBLE) AS sum_value
+      |  CAST(SUM(CAST(value AS DECIMAL(24,4))) AS DOUBLE) AS sum_value
       |FROM events
       |GROUP BY 1, 2
       |ORDER BY hour, event_type""".stripMargin
@@ -165,14 +170,14 @@ object Relational {
       .join(region, col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("n_name"))
       .agg(sum((col("l_extendedprice") * (lit(1.0d) - col("l_discount")))
-        .cast("decimal(24,8)")).cast("double").as("revenue"),
+        .cast("decimal(24,4)")).cast("double").as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy(desc("revenue"), asc("n_name"))
   }
 
   val q5RegionRevenueSql: String =
     """SELECT n_name,
-      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,8))) AS DOUBLE) AS revenue,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,4))) AS DOUBLE) AS revenue,
       |  COUNT(*) AS n_items
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey

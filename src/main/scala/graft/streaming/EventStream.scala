@@ -28,7 +28,7 @@ object EventStream {
     src.groupBy(window(col("ts"), windowWidth), col("event_type"))
       .agg(
         count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(24,8)")).cast("double").as("sum_value"))
+        sum(col("value").cast("decimal(24,4)")).cast("double").as("sum_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
   }
