@@ -79,6 +79,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState sessionization: gap splits, cross-batch close") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    val stream = MemoryStream[Sessionize.Click](spark)
+    val gapMs = 30 * 60 * 1000L // 30 min
+    val q = Sessionize.sessions(
+        stream.toDS().withWatermark("ts", "0 seconds"), gapMs)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sessions").start()
+    def click(u: String, t: String) = Sessionize.Click(u, ts(t))
+    try {
+      // batch 1: a has two events 5 min apart (one open session),
+      // b has events 2 h apart (first closes in-batch)
+      stream.addData(
+        click("a", "2024-01-01 10:00:00"), click("a", "2024-01-01 10:05:00"),
+        click("b", "2024-01-01 09:00:00"), click("b", "2024-01-01 11:00:00"))
+      q.processAllAvailable()
+      val afterB1 = spark.table("sessions").as[Sessionize.Session].collect()
+      // b's first session closed by its own later event (gap exceeded);
+      // a's session closed by EVENT-TIME TIMEOUT: the watermark reached
+      // 11:00 (max event time, 0s delay), past its 10:35 timeout
+      assert(afterB1.toSet === Set(
+        Sessionize.Session("b", ts("2024-01-01 09:00:00"),
+          ts("2024-01-01 09:00:00"), 1),
+        Sessionize.Session("a", ts("2024-01-01 10:00:00"),
+          ts("2024-01-01 10:05:00"), 2)))
+      // batch 2: later events advance the watermark past b's open
+      // session (end 11:00 + 30min) → it times out and emits
+      stream.addData(click("a", "2024-01-01 13:00:00"),
+        click("b", "2024-01-01 13:00:00"))
+      q.processAllAvailable()
+      val afterB2 = spark.table("sessions").as[Sessionize.Session].collect()
+      assert(afterB2.toSet.contains(
+        Sessionize.Session("b", ts("2024-01-01 11:00:00"),
+          ts("2024-01-01 11:00:00"), 1)))
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState running totals accumulate across micro-batches") {
     val stream = MemoryStream[RunningCounts.Event](spark)
     implicit val s: org.apache.spark.sql.SparkSession = spark
