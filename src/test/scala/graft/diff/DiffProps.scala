@@ -3,6 +3,7 @@ package graft.diff
 import graft.SparkTestSession
 import org.scalacheck.{Gen, Prop, Properties, Test}
 import org.scalacheck.Prop.{forAll, propBoolean}
+import scala.jdk.CollectionConverters._
 
 /** Property-based invariants of the diff core over random tables:
   * random null densities, mixed types (string/int/double), overlapping
@@ -92,6 +93,101 @@ object DiffProps extends Properties("DataColDiff") {
         (fwdStats == bwdStats) :| "per-column stats symmetric"
     } finally { fwd.diff.unpersist(); bwd.diff.unpersist() }
   }
+
+  // --- random-SCHEMA tables with COMPOSITE keys -----------------------
+
+  private val colPool: Seq[(String, org.apache.spark.sql.types.DataType)] = {
+    import org.apache.spark.sql.types._
+    Seq("s_col" -> StringType, "i_col" -> IntegerType,
+      "d_col" -> DoubleType, "t_col" -> StringType, "l_col" -> LongType)
+  }
+
+  private def randomValue(dt: org.apache.spark.sql.types.DataType,
+      seed: Int): Any = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case StringType => Seq("x", "y", "", "zz")(math.abs(seed) % 4)
+      case IntegerType => seed % 7
+      case LongType => (seed % 11).toLong
+      case DoubleType => Seq(1.5, 2.5, 3.5)(math.abs(seed) % 3)
+    }
+  }
+
+  /** Random schema (2-5 value columns from the pool), composite key
+    * (k1, k2), random null mask and random cell edits for s2.
+    */
+  private val genSchemaTables: Gen[(org.apache.spark.sql.types.StructType,
+      Seq[Seq[Any]], Seq[Seq[Any]])] = for {
+    nCols <- Gen.choose(2, colPool.size)
+    cols <- Gen.pick(nCols, colPool)
+    n <- Gen.choose(1, 15)
+    seeds <- Gen.listOfN(n * cols.size, Gen.choose(-100, 100))
+    nullMask <- Gen.listOfN(n * cols.size, Gen.prob(0.2))
+    editSeeds <- Gen.listOfN(n * cols.size, Gen.choose(-100, 100))
+    editMask <- Gen.listOfN(n * cols.size, Gen.prob(0.25))
+  } yield {
+    import org.apache.spark.sql.types._
+    val schema = StructType(
+      StructField("k1", LongType) +: StructField("k2", StringType) +:
+        cols.map { case (cn, dt) => StructField(cn, dt) }.toSeq)
+    def cell(i: Int, j: Int, edited: Boolean): Any = {
+      val idx = i * cols.size + j
+      if (nullMask(idx)) null
+      else randomValue(cols(j)._2,
+        if (edited && editMask(idx)) editSeeds(idx) else seeds(idx))
+    }
+    def rows(edited: Boolean): Seq[Seq[Any]] = (0 until n).map { i =>
+      (i.toLong +: s"g${i % 3}" +:
+        (0 until cols.size).map(j => cell(i, j, edited))).toSeq
+    }
+    (schema, rows(false), rows(true))
+  }
+
+  private def toDf(schema: org.apache.spark.sql.types.StructType,
+      rows: Seq[Seq[Any]]): org.apache.spark.sql.DataFrame =
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        rows.map(r => org.apache.spark.sql.Row.fromSeq(r))
+          .asJava.asInstanceOf[java.util.Collection[org.apache.spark.sql.Row]]),
+      schema)
+
+  property("random schemas + composite keys: self-diff all NODIFF") =
+    forAll(genSchemaTables) { case (schema, rows, _) =>
+      val df = toDf(schema, rows)
+      val res = DataColDiff.computeDataframeDiff(df, df, Seq("k1", "k2"))
+        .fold(mm => sys.error(mm.message), identity)
+      try (res.counts.noDiff == rows.size &&
+        res.counts.s1Only == 0 && res.counts.s2Only == 0 &&
+        res.counts.diff == 0) :| s"counts=${res.counts} schema=$schema"
+      finally res.diff.unpersist()
+    }
+
+  property("random schemas + composite keys: edits detected, keys matched") =
+    forAll(genSchemaTables) { case (schema, rows, edited) =>
+      val res = DataColDiff.computeDataframeDiff(
+          toDf(schema, rows), toDf(schema, edited), Seq("k1", "k2"))
+        .fold(mm => sys.error(mm.message), identity)
+      try {
+        // identical composite key sets -> no one-sided rows
+        val keysMatch = res.counts.s1Only == 0 && res.counts.s2Only == 0
+        // string "" vs null compare EQUAL (reference fillna semantics),
+        // so recompute the expected diff count under that rule
+        val strIdx = schema.fields.zipWithIndex
+          .filter(_._1.dataType == org.apache.spark.sql.types.StringType)
+          .map(_._2).toSet
+        def norm(row: Seq[Any]): Seq[Any] = row.zipWithIndex.map {
+          case (null, i) if strIdx(i) => ""
+          case (v, _) => v
+        }
+        val expectedDiff = rows.zip(edited)
+          .count { case (a, b) => norm(a) != norm(b) }
+        val total = res.counts.noDiff + res.counts.diff == rows.size
+        keysMatch :| "no one-sided rows" &&
+          total :| "matched row partition" &&
+          (res.counts.diff == expectedDiff) :|
+            s"diff=${res.counts.diff} expected=$expectedDiff"
+      } finally res.diff.unpersist()
+    }
 
   property("every reported entry is a genuine difference") =
     forAll(genTables) { case (s1, s2) =>
