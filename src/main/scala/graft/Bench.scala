@@ -43,20 +43,29 @@ object Bench {
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR",
       "/root/testdata/sf0.001")
     if (warmDir != sfDir) SparkEntry.benchQueries.foreach { name =>
-      try materialize(name, warmDir) catch { case _: Throwable => () }
+      // NonFatal only: a warmup OOM must crash, not leave a poisoned JVM
+      // silently producing garbage timings.
+      try materialize(name, warmDir)
+      catch { case scala.util.control.NonFatal(_) => () }
     }
+    // Drop caches the warmup queries persisted (shingle/posting frames):
+    // accumulated blocks would pressure executor memory and distort the
+    // timed runs at larger scale factors.
+    spark.catalog.clearCache()
 
     var errors = List.empty[(String, String)]
     val results = SparkEntry.benchQueries.map { name =>
       val t0 = System.nanoTime()
-      try {
+      val r = try {
         materialize(name, sfDir)
         name -> (System.nanoTime() - t0) / 1e9
       } catch {
-        case e: Throwable =>
+        case scala.util.control.NonFatal(e) =>
           errors ::= name -> e.toString.take(200)
           name -> -1.0
       }
+      spark.catalog.clearCache() // cleanup excluded from the timing
+      r
     }
     def jstr(s: String): String =
       "\"" + s.flatMap {

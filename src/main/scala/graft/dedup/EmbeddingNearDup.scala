@@ -21,16 +21,15 @@ object EmbeddingNearDup {
   def nearDuplicatePairs(vectors: DataFrame, idCol: String, vecCol: String,
       threshold: Double,
       cfg: HyperplaneLSH.Config = HyperplaneLSH.Config()): DataFrame = {
-    val prepared = vectors.select(col(idCol).as("vid"),
-        toDouble(col(vecCol)).as("v"))
-      .withColumn("nrm", norm2(col("v")))
+    val prepared = vectors.select(col(idCol).as("vid"), col(vecCol).as("v"))
+      .withColumn("nrm", norm2(col("v"), cfg.dim))
       .withColumn("bucket", HyperplaneLSH.bucketExpr(col("v"), cfg))
     val a = prepared.as("a")
     val b = prepared.as("b")
     a.join(b,
         col("a.bucket") === col("b.bucket") && col("a.vid") < col("b.vid"))
       .select(col("a.vid").as("vec_a"), col("b.vid").as("vec_b"),
-        cosineWithNorms(dot(col("a.v"), col("b.v")),
+        cosineWithNorms(dot(col("a.v"), col("b.v"), cfg.dim),
           col("a.nrm"), col("b.nrm")).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }

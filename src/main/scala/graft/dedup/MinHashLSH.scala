@@ -87,8 +87,9 @@ object MinHashLSH {
     * the cache each branch re-runs the tokenize/shingle projection —
     * measured 3× the whole query's cost at sf0.1. Same story at 100 TB:
     * shingling a corpus is the expensive scan; you materialize it once
-    * (cache, checkpoint, or a staging table), never thrice. The cache
-    * lives until the session ends or the caller unpersists.
+    * (cache, checkpoint, or a staging table), never thrice. The cache is
+    * plan-keyed and internal — callers without a handle reclaim it via
+    * `spark.catalog.clearCache()` (as Verify/Bench do between queries).
     */
   def nearDuplicatePairs(docs: DataFrame, idCol: String, textCol: String,
       cfg: Config = Config()): DataFrame = {

@@ -15,9 +15,13 @@ import org.apache.spark.sql.functions._
   */
 object Salting {
 
-  /** Deterministic salt in [0, saltBuckets) from carrier columns. */
+  /** Deterministic salt in [0, saltBuckets) from carrier columns —
+    * md5-derived (like every other hash in this repo) so the bucket
+    * assignment is reproducible across engines, not just across runs.
+    */
   def saltCol(saltBuckets: Int, carriers: Column*): Column =
-    pmod(hash(carriers: _*), lit(saltBuckets))
+    pmod(conv(substring(md5(concat_ws("", carriers: _*)), 1, 8), 16, 10)
+      .cast("long"), lit(saltBuckets.toLong))
 
   /** Two-phase skew-safe sum/count aggregation: phase 1 aggregates
     * (key, salt) — splitting a hot key across `saltBuckets` tasks —

@@ -81,7 +81,7 @@ object MultimodalQueries {
   val mmFormatStatsSql: String =
     s"""WITH $corpusCte
        |SELECT fmt, count(*) AS n,
-       |       SUM(octet_length(unhex(hx))) AS total_bytes
+       |       CAST(SUM(octet_length(unhex(hx))) AS BIGINT) AS total_bytes
        |FROM m GROUP BY fmt ORDER BY fmt""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -9,11 +9,17 @@ import org.apache.spark.sql.functions._
   * coarse-quantizer alternative to [[HyperplaneLSH]].
   *
   * Build: pick a small deterministic centroid set, assign every vector
-  * to its nearest centroid (one broadcast join of the tiny centroid
-  * table against the corpus — no corpus shuffle beyond the final
-  * group). Search: a query probes its `nProbe` nearest cells and ranks
-  * only the vectors assigned there — corpus/|cells| × nProbe work
-  * instead of brute force.
+  * to its nearest centroid. The assignment is an `max_by` HASH
+  * AGGREGATE over the (vector × centroid) scores, not a window: partial
+  * aggregation collapses each vector's C candidate rows map-side, so
+  * only one small row per vector ever shuffles — the N×C intermediate
+  * (with its vector payloads) never crosses the wire. That's the shape
+  * that survives a billion-vector corpus; a window over the cross
+  * product would shuffle N×C full-width rows.
+  *
+  * Search: a query probes its `nProbe` nearest cells and ranks only the
+  * vectors assigned there — corpus/|cells| × nProbe work instead of
+  * brute force.
   *
   * Centroids here are the vectors at a fixed id stride: deterministic
   * and oracle-reproducible. A production index would k-means them —
@@ -24,45 +30,52 @@ object IVFIndex {
 
   case class Config(centroidStride: Long = 31, nProbe: Int = 2)
 
-  private def prepared(vectors: DataFrame, idCol: String, vecCol: String): DataFrame =
-    vectors.select(col(idCol).as("vid"), toDouble(col(vecCol)).as("v"))
-      .withColumn("nrm", norm2(col("v")))
+  private def prepared(vectors: DataFrame, idCol: String, vecCol: String,
+      dim: Int): DataFrame =
+    vectors.select(col(idCol).as("vid"), col(vecCol).as("v"))
+      .withColumn("nrm", norm2(col("v"), dim))
 
   private def centroids(prep: DataFrame, cfg: Config): DataFrame =
     prep.filter(col("vid") % cfg.centroidStride === 0)
       .select(col("vid").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
 
-  private def cosToCentroid: Column =
-    cosineWithNorms(dot(col("v"), col("cv")), col("nrm"), col("cn"))
+  private def cosToCentroid(dim: Int): Column =
+    cosineWithNorms(dot(col("v"), col("cv"), dim), col("nrm"), col("cn"))
 
   /** (vid, v, nrm, cell): every vector labeled with its nearest
-    * centroid (highest cosine, centroid id as tie-break).
+    * centroid (highest cosine, centroid id as tie-break — encoded as
+    * max_by ordering (c_cos, -c_id), which is unique per candidate, so
+    * the argmax is deterministic).
     */
   def assign(vectors: DataFrame, idCol: String, vecCol: String,
       cfg: Config = Config()): DataFrame = {
-    val prep = prepared(vectors, idCol, vecCol)
-    val w = Window.partitionBy("vid").orderBy(desc("c_cos"), asc("c_id"))
-    prep.join(centroids(prep, cfg))
-      .select(col("vid"), col("v"), col("nrm"), col("c_id"),
-        cosToCentroid.as("c_cos"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vid"), col("v"), col("nrm"), col("c_id").as("cell"))
+    val dim = dimOf(vectors, vecCol)
+    assignPrepared(prepared(vectors, idCol, vecCol, dim), cfg, dim)
+  }
+
+  private def assignPrepared(prep: DataFrame, cfg: Config, dim: Int): DataFrame = {
+    val cells = prep.join(centroids(prep, cfg))
+      .select(col("vid"), col("c_id"), cosToCentroid(dim).as("c_cos"))
+      .groupBy("vid")
+      .agg(max_by(col("c_id"), struct(col("c_cos"), -col("c_id"))).as("cell"))
+    prep.join(cells, "vid").select(col("vid"), col("v"), col("nrm"), col("cell"))
   }
 
   /** Top-k cosine neighbors per query over the `nProbe` nearest cells. */
   def topK(vectors: DataFrame, idCol: String, vecCol: String,
       isQuery: Column => Column, k: Int, cfg: Config = Config()): DataFrame = {
-    val assigned = assign(vectors, idCol, vecCol, cfg).persist()
+    val dim = dimOf(vectors, vecCol)
+    val prep = prepared(vectors, idCol, vecCol, dim)
+    val assigned = assignPrepared(prep, cfg, dim).persist()
     val queries = assigned.filter(isQuery(col("vid")))
       .select(col("vid").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
-    // probe cells: nProbe nearest centroids per query
-    val prep = prepared(vectors, idCol, vecCol)
+    // probe cells: nProbe nearest centroids per query — the query set is
+    // the small side, so a window here is cheap (|queries| × C rows)
     val wq = Window.partitionBy("q_id").orderBy(desc("c_cos"), asc("c_id"))
     val probes = queries
       .join(centroids(prep, cfg))
       .select(col("q_id"), col("qv"), col("qn"), col("c_id"),
-        cosineWithNorms(dot(col("qv"), col("cv")), col("qn"), col("cn"))
+        cosineWithNorms(dot(col("qv"), col("cv"), dim), col("qn"), col("cn"))
           .as("c_cos"))
       .withColumn("rn", row_number().over(wq))
       .filter(col("rn") <= cfg.nProbe)
@@ -70,7 +83,7 @@ object IVFIndex {
     val pairs = probes.join(assigned, "cell")
       .filter(col("vid") =!= col("q_id"))
       .select(col("q_id"), col("vid").as("n_id"),
-        cosineWithNorms(dot(col("qv"), col("v")), col("qn"), col("nrm"))
+        cosineWithNorms(dot(col("qv"), col("v"), dim), col("qn"), col("nrm"))
           .as("cos_sim"))
     val w = Window.partitionBy("q_id").orderBy(desc("cos_sim"), asc("n_id"))
     pairs.withColumn("rank", row_number().over(w))

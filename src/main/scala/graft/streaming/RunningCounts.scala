@@ -26,8 +26,11 @@ object RunningCounts {
       .mapGroupsWithState[(Long, Double), KeyTotal](GroupStateTimeout.NoTimeout) {
         (key: String, batch: Iterator[Event], state: GroupState[(Long, Double)]) =>
           val (n0, s0) = state.getOption.getOrElse((0L, 0.0))
-          val evs = batch.toSeq
-          val next = (n0 + evs.size, s0 + evs.map(_.value).sum)
+          // Shuffle hands the group iterator over in arbitrary order;
+          // fold in a fixed order so the double sum is bit-deterministic
+          // across runs.
+          val evs = batch.toSeq.sortBy(_.value)
+          val next = (n0 + evs.size, evs.foldLeft(s0)(_ + _.value))
           state.update(next)
           KeyTotal(key, next._1, next._2)
       }

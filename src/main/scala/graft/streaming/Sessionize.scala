@@ -50,7 +50,10 @@ object Sessionize {
             sorted.foreach { t =>
               open match {
                 case Some(o) if t - o.end <= gapMs =>
-                  open = Some(o.copy(end = t, n = o.n + 1))
+                  // Late (out-of-order) events may arrive with t < end —
+                  // extend the span monotonically, never regress it.
+                  open = Some(Open(math.min(o.start, t),
+                    math.max(o.end, t), o.n + 1))
                 case Some(o) =>
                   closed += Session(user, new Timestamp(o.start),
                     new Timestamp(o.end), o.n)

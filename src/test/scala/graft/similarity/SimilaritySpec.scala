@@ -16,8 +16,7 @@ class SimilaritySpec extends AnyFunSuite {
       (3L, Seq(1f, 1f), 4L, Seq(2f, 2f)),   // parallel → 1
       (5L, Seq(1f, 0f), 6L, Seq(-1f, 0f))   // opposite → -1
     ).toDF("a_id", "a", "b_id", "b")
-    val got = df.select(
-      Cosine.cosine(Cosine.toDouble($"a"), Cosine.toDouble($"b")).as("c"))
+    val got = df.select(Cosine.cosine($"a", $"b", 2).as("c"))
       .collect().map(_.getDouble(0))
     assert(got(0) === 0.0)
     assert(math.abs(got(1) - 1.0) < 1e-15)
@@ -110,7 +109,7 @@ class SimilaritySpec extends AnyFunSuite {
 
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val buckets = emb.select(
-        HyperplaneLSH.bucketExpr(Cosine.toDouble($"embedding"), cfg).as("b"))
+        HyperplaneLSH.bucketExpr($"embedding", cfg).as("b"))
       .agg(min($"b"), max($"b")).head()
     assert(buckets.getInt(0) >= 0)
     assert(buckets.getInt(1) < (1 << cfg.numPlanes))
