@@ -32,6 +32,11 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // The generated-class cache defaults to 100 entries; the 21-query
+      // suite × (warmup + timed) compiles far more units than that, so
+      // late timed queries would re-pay janino compilation their warmup
+      // already did. Size it to hold the whole suite.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
