@@ -116,6 +116,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sessionization: cross-batch LATE events extend, never regress, a session") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    val stream = MemoryStream[Sessionize.Click](spark)
+    val gapMs = 30 * 60 * 1000L // 30 min
+    val q = Sessionize.sessions(
+        stream.toDS().withWatermark("ts", "1 hour"), gapMs)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("late_sessions").start()
+    def click(u: String, t: String) = Sessionize.Click(u, ts(t))
+    try {
+      // batch 1: open session for c spanning 10:00–10:20
+      stream.addData(click("c", "2024-01-01 10:00:00"),
+        click("c", "2024-01-01 10:20:00"))
+      q.processAllAvailable()
+      // batch 2: OUT-OF-ORDER events inside the 1h watermark slack — one
+      // inside the open span, one before its start. Both are within the
+      // gap of the session end, so they must join the session: the span
+      // grows to min/max, never shrinks (the pre-fix code set end=t,
+      // moving the session end BACKWARDS).
+      stream.addData(click("c", "2024-01-01 10:10:00"),
+        click("c", "2024-01-01 09:55:00"))
+      q.processAllAvailable()
+      // batch 3: unrelated user far in the future pushes the watermark
+      // (12:30 - 1h = 11:30) past c's timeout (10:20 + 30min) → emit
+      stream.addData(click("d", "2024-01-01 12:30:00"))
+      q.processAllAvailable()
+      val sessions = spark.table("late_sessions")
+        .as[Sessionize.Session].collect().filter(_.user == "c")
+      assert(sessions.toSeq === Seq(Sessionize.Session("c",
+        ts("2024-01-01 09:55:00"), ts("2024-01-01 10:20:00"), 4)))
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState running totals accumulate across micro-batches") {
     val stream = MemoryStream[RunningCounts.Event](spark)
     implicit val s: org.apache.spark.sql.SparkSession = spark
