@@ -14,6 +14,7 @@ object Verify {
       // events.parquet stores TIMESTAMP(NANOS); read as long and let
       // Tables.loadEvents truncate to micros (matches DuckDB).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       // default 100 evicts mid-suite: 25+ queries compile several codegen
       // units each, and re-running a query then pays full janino+JIT again
       .config("spark.sql.codegen.cache.maxEntries", "5000")

@@ -22,14 +22,14 @@ object EmbeddingNearDup {
       threshold: Double,
       cfg: HyperplaneLSH.Config = HyperplaneLSH.Config()): DataFrame = {
     val prepared = vectors.select(col(idCol).as("vid"), col(vecCol).as("v"))
-      .withColumn("nrm", norm2(col("v"), cfg.dim))
+      .withColumn("nrm", norm2(col("v")))
       .withColumn("bucket", HyperplaneLSH.bucketExpr(col("v"), cfg))
     val a = prepared.as("a")
     val b = prepared.as("b")
     a.join(b,
         col("a.bucket") === col("b.bucket") && col("a.vid") < col("b.vid"))
       .select(col("a.vid").as("vec_a"), col("b.vid").as("vec_b"),
-        cosineWithNorms(dot(col("a.v"), col("b.v"), cfg.dim),
+        cosineWithNorms(dot(col("a.v"), col("b.v")),
           col("a.nrm"), col("b.nrm")).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }

@@ -26,14 +26,13 @@ object BruteForceKNN {
     */
   def topK(vectors: DataFrame, idCol: String, vecCol: String,
       isQuery: Column => Column, k: Int): DataFrame = {
-    val dim = dimOf(vectors, vecCol)
     val prepared = vectors.select(col(idCol).as("vid"), col(vecCol).as("v"))
-      .withColumn("nrm", norm2(col("v"), dim))
+      .withColumn("nrm", norm2(col("v")))
     val q = prepared.filter(isQuery(col("vid")))
       .select(col("vid").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
     val pairs = prepared.join(q, col("vid") =!= col("q_id"))
       .select(col("q_id"), col("vid").as("n_id"),
-        cosineWithNorms(dot(col("qv"), col("v"), dim), col("qn"), col("nrm"))
+        cosineWithNorms(dot(col("qv"), col("v")), col("qn"), col("nrm"))
           .as("cos_sim"))
     val w = Window.partitionBy("q_id").orderBy(desc("cos_sim"), asc("n_id"))
     pairs.withColumn("rank", row_number().over(w))

@@ -42,15 +42,12 @@ object HyperplaneLSH {
   }
 
   /** Bucket id (0 until 2^numPlanes) of an array<float|double> vector.
-    * Plane components are folded in as literals — the projection is a
-    * pure unrolled multiply/add chain, fully codegen'd.
+    * Plane components ride along as array literals through the native
+    * [[graft.expressions.DotProduct]] — fully codegen'd projection.
     */
   def bucketExpr(v: Column, cfg: Config): Column =
     planes(cfg).zipWithIndex.map { case (plane, p) =>
-      val d = (0 until cfg.dim)
-        .map(i => v.getItem(i).cast("double") * lit(plane(i)))
-        .foldLeft(lit(0.0))(_ + _)
-      when(d > 0, lit(1 << p)).otherwise(lit(0))
+      when(dot(v, typedLit(plane)) > 0, lit(1 << p)).otherwise(lit(0))
     }.reduce(_ + _)
 
   /** Top-k cosine neighbors per query, searched WITHIN the query's LSH
@@ -61,7 +58,7 @@ object HyperplaneLSH {
   def topKInBucket(vectors: DataFrame, idCol: String, vecCol: String,
       isQuery: Column => Column, k: Int, cfg: Config = Config()): DataFrame = {
     val prepared = vectors.select(col(idCol).as("vid"), col(vecCol).as("v"))
-      .withColumn("nrm", norm2(col("v"), cfg.dim))
+      .withColumn("nrm", norm2(col("v")))
       .withColumn("bucket", bucketExpr(col("v"), cfg))
     val q = prepared.filter(isQuery(col("vid")))
       .select(col("vid").as("q_id"), col("v").as("qv"),
@@ -69,8 +66,8 @@ object HyperplaneLSH {
     val pairs = prepared.join(q,
         col("bucket") === col("qb") && col("vid") =!= col("q_id"))
       .select(col("q_id"), col("vid").as("n_id"),
-        cosineWithNorms(dot(col("qv"), col("v"), cfg.dim),
-          col("qn"), col("nrm")).as("cos_sim"))
+        cosineWithNorms(dot(col("qv"), col("v")), col("qn"), col("nrm"))
+          .as("cos_sim"))
     val w = Window.partitionBy("q_id").orderBy(desc("cos_sim"), asc("n_id"))
     pairs.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -30,17 +30,16 @@ object IVFIndex {
 
   case class Config(centroidStride: Long = 31, nProbe: Int = 2)
 
-  private def prepared(vectors: DataFrame, idCol: String, vecCol: String,
-      dim: Int): DataFrame =
+  private def prepared(vectors: DataFrame, idCol: String, vecCol: String): DataFrame =
     vectors.select(col(idCol).as("vid"), col(vecCol).as("v"))
-      .withColumn("nrm", norm2(col("v"), dim))
+      .withColumn("nrm", norm2(col("v")))
 
   private def centroids(prep: DataFrame, cfg: Config): DataFrame =
     prep.filter(col("vid") % cfg.centroidStride === 0)
       .select(col("vid").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
 
-  private def cosToCentroid(dim: Int): Column =
-    cosineWithNorms(dot(col("v"), col("cv"), dim), col("nrm"), col("cn"))
+  private def cosToCentroid: Column =
+    cosineWithNorms(dot(col("v"), col("cv")), col("nrm"), col("cn"))
 
   /** (vid, v, nrm, cell): every vector labeled with its nearest
     * centroid (highest cosine, centroid id as tie-break — encoded as
@@ -48,14 +47,12 @@ object IVFIndex {
     * the argmax is deterministic).
     */
   def assign(vectors: DataFrame, idCol: String, vecCol: String,
-      cfg: Config = Config()): DataFrame = {
-    val dim = dimOf(vectors, vecCol)
-    assignPrepared(prepared(vectors, idCol, vecCol, dim), cfg, dim)
-  }
+      cfg: Config = Config()): DataFrame =
+    assignPrepared(prepared(vectors, idCol, vecCol), cfg)
 
-  private def assignPrepared(prep: DataFrame, cfg: Config, dim: Int): DataFrame = {
+  private def assignPrepared(prep: DataFrame, cfg: Config): DataFrame = {
     val cells = prep.join(centroids(prep, cfg))
-      .select(col("vid"), col("c_id"), cosToCentroid(dim).as("c_cos"))
+      .select(col("vid"), col("c_id"), cosToCentroid.as("c_cos"))
       .groupBy("vid")
       .agg(max_by(col("c_id"), struct(col("c_cos"), -col("c_id"))).as("cell"))
     prep.join(cells, "vid").select(col("vid"), col("v"), col("nrm"), col("cell"))
@@ -64,9 +61,8 @@ object IVFIndex {
   /** Top-k cosine neighbors per query over the `nProbe` nearest cells. */
   def topK(vectors: DataFrame, idCol: String, vecCol: String,
       isQuery: Column => Column, k: Int, cfg: Config = Config()): DataFrame = {
-    val dim = dimOf(vectors, vecCol)
-    val prep = prepared(vectors, idCol, vecCol, dim)
-    val assigned = assignPrepared(prep, cfg, dim).persist()
+    val prep = prepared(vectors, idCol, vecCol)
+    val assigned = assignPrepared(prep, cfg).persist()
     val queries = assigned.filter(isQuery(col("vid")))
       .select(col("vid").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
     // probe cells: nProbe nearest centroids per query — the query set is
@@ -75,7 +71,7 @@ object IVFIndex {
     val probes = queries
       .join(centroids(prep, cfg))
       .select(col("q_id"), col("qv"), col("qn"), col("c_id"),
-        cosineWithNorms(dot(col("qv"), col("cv"), dim), col("qn"), col("cn"))
+        cosineWithNorms(dot(col("qv"), col("cv")), col("qn"), col("cn"))
           .as("c_cos"))
       .withColumn("rn", row_number().over(wq))
       .filter(col("rn") <= cfg.nProbe)
@@ -83,7 +79,7 @@ object IVFIndex {
     val pairs = probes.join(assigned, "cell")
       .filter(col("vid") =!= col("q_id"))
       .select(col("q_id"), col("vid").as("n_id"),
-        cosineWithNorms(dot(col("qv"), col("v"), dim), col("qn"), col("nrm"))
+        cosineWithNorms(dot(col("qv"), col("v")), col("qn"), col("nrm"))
           .as("cos_sim"))
     val w = Window.partitionBy("q_id").orderBy(desc("cos_sim"), asc("n_id"))
     pairs.withColumn("rank", row_number().over(w))

@@ -16,7 +16,7 @@ class SimilaritySpec extends AnyFunSuite {
       (3L, Seq(1f, 1f), 4L, Seq(2f, 2f)),   // parallel → 1
       (5L, Seq(1f, 0f), 6L, Seq(-1f, 0f))   // opposite → -1
     ).toDF("a_id", "a", "b_id", "b")
-    val got = df.select(Cosine.cosine($"a", $"b", 2).as("c"))
+    val got = df.select(Cosine.cosine($"a", $"b").as("c"))
       .collect().map(_.getDouble(0))
     assert(got(0) === 0.0)
     assert(math.abs(got(1) - 1.0) < 1e-15)
