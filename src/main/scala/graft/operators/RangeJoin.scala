@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Range (interval) join: pair each left row with the right rows whose
+  * `rightTime` falls inside the left row's `[startCol, endCol]` window,
+  * per key.
+  *
+  * Shape: NOT the naive `l JOIN r ON keys AND r.t BETWEEN l.s AND l.e`
+  * — Catalyst executes that as an equi-join on the keys with the range
+  * as a post-join filter, which degenerates when keys are few/hot (all
+  * pairs per key materialize before filtering). Instead the left
+  * interval EXPLODES into fixed-width time buckets and the join becomes
+  * a pure equi-join on (keys, bucket) + exact-range filter: each right
+  * row only ever meets the left rows whose window touches its bucket.
+  * Fanout = interval/bucketWidth extra left rows (pick the bucket near
+  * the typical window width); the join shuffles on (keys, bucket),
+  * which also spreads a hot key across its time range — the shape that
+  * holds at 100 TB.
+  */
+object RangeJoin {
+
+  /** Inner range-join; output = left columns + right columns.
+    *
+    * @param keys        equi-key columns present on both sides
+    * @param startCol    left window start (timestamp, inclusive)
+    * @param endCol      left window end (timestamp, inclusive)
+    * @param rightTime   right event-time column (timestamp)
+    * @param bucket      bucket width as a Spark interval literal
+    *                    granularity understood by date_trunc (e.g.
+    *                    "hour", "day") — window and probe both truncate
+    *                    to this unit
+    */
+  def joinRange(left: DataFrame, right: DataFrame, keys: Seq[String],
+      startCol: String, endCol: String, rightTime: String,
+      bucket: String = "hour"): DataFrame = {
+    require(keys.nonEmpty, "range join needs at least one key column")
+    val lb = left.withColumn("__bucket",
+      explode(sequence(
+        date_trunc(bucket, col(startCol)),
+        date_trunc(bucket, col(endCol)),
+        expr(s"INTERVAL 1 $bucket"))))
+    val rb = right.withColumn("__bucket", date_trunc(bucket, col(rightTime)))
+    lb.join(rb, keys :+ "__bucket")
+      .filter(col(rightTime) >= col(startCol) && col(rightTime) <= col(endCol))
+      .drop("__bucket")
+  }
+}

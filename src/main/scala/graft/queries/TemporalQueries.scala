@@ -1,0 +1,81 @@
+package graft.queries
+
+import graft.operators.{AsOfJoin, RangeJoin}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver-verifiable temporal-join queries over the events table.
+  *
+  * The as-of oracle uses DuckDB's native ASOF JOIN — an independent
+  * implementation of the same semantics, so a hash match really checks
+  * the union+carry-forward formulation against a reference engine. The
+  * right side is pre-aggregated to unique (user, ts) so both engines'
+  * tie policies coincide.
+  */
+object TemporalQueries {
+
+  /** Each click annotated with the user's latest purchase at-or-before
+    * the click (point-in-time feature lookup).
+    */
+  def qAsofPurchase(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.loadEvents(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id", "ts").agg(max(col("value")).as("pvalue"))
+    AsOfJoin.joinAsOf(clicks, purchases, Seq("user_id"), "ts", "ts",
+        Seq("pvalue"))
+      .orderBy("event_id")
+  }
+
+  val qAsofPurchaseSql: String =
+    """WITH clicks AS (
+      |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+      |pur AS (
+      |  SELECT user_id, ts, max(value) AS pvalue FROM events
+      |  WHERE event_type = 'purchase' GROUP BY 1, 2)
+      |SELECT c.event_id, c.user_id, c.ts,
+      |       p.ts AS asof_ts, p.pvalue AS asof_pvalue
+      |FROM clicks c ASOF LEFT JOIN pur p
+      |  ON c.user_id = p.user_id AND p.ts <= c.ts
+      |ORDER BY c.event_id""".stripMargin
+
+  /** Per purchase: how many clicks the user made in the hour leading up
+    * to it (attribution-window count; purchases with zero clicks in
+    * window are absent — inner range-join).
+    */
+  def qRangeClicks(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.loadEvents(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"),
+        col("ts").as("p_ts"),
+        (col("ts") - expr("INTERVAL 1 HOUR")).as("w_start"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("c_ts"))
+    RangeJoin.joinRange(purchases, clicks, Seq("user_id"),
+        "w_start", "p_ts", "c_ts", "hour")
+      .groupBy(col("p_id"))
+      .agg(count(lit(1)).as("n_clicks"))
+      .orderBy("p_id")
+  }
+
+  val qRangeClicksSql: String =
+    """WITH pur AS (
+      |  SELECT event_id AS p_id, user_id, ts AS p_ts,
+      |         ts - INTERVAL 1 HOUR AS w_start
+      |  FROM events WHERE event_type = 'purchase'),
+      |clicks AS (
+      |  SELECT user_id, ts AS c_ts FROM events WHERE event_type = 'click')
+      |SELECT p.p_id, count(*) AS n_clicks
+      |FROM pur p JOIN clicks c
+      |  ON c.user_id = p.user_id AND c.c_ts >= p.w_start AND c.c_ts <= p.p_ts
+      |GROUP BY p.p_id ORDER BY p.p_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_asof_purchase" -> (qAsofPurchase(_, _)),
+    "q_range_clicks" -> (qRangeClicks(_, _)))
+
+  val oracleSql: Map[String, String] = Map(
+    "q_asof_purchase" -> qAsofPurchaseSql,
+    "q_range_clicks" -> qRangeClicksSql)
+}
