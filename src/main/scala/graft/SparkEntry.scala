@@ -46,7 +46,7 @@ object SparkEntry {
     "q_events_hourly", "q_cust_no_orders", "q_pivot", "q_rollup", "q_setops",
     "q_asof_purchase", "q_range_clicks",
     "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_ngram",
-    "dedup_embed",
+    "dedup_embed", "dedup_clusters", "sample_stratified",
     "text_stats", "text_langid", "text_tokens", "text_fingerprint",
     "sim_topk", "sim_lsh_bucket", "sim_ivf",
     "mm_meta", "mm_frames", "mm_format_stats", "pipeline_curate")

@@ -1,0 +1,46 @@
+package graft.operators
+
+import graft.text.TextFeatures.hash32
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic hash-based sampling — the training-data "mixing" /
+  * downsampling primitive.
+  *
+  * `rand()`-based sampling is wrong for pipelines: results change per
+  * run, per retry, and per engine, and a task retry double-samples or
+  * drops rows. Here membership is a pure function of the row's id:
+  * md5(salt:id) mapped to [0,1) and compared to the rate. Same rows
+  * selected on every run, every engine (the DuckDB oracle reproduces
+  * the exact row set), and any subset of the data can be sampled
+  * independently — no coordination, no shuffle, filter pushed to the
+  * scan. Changing `salt` draws an independent sample.
+  *
+  * Nested sampling is monotone per salt: rate 0.1 ⊂ rate 0.2 (the
+  * standard property used to grow/shrink training mixes consistently).
+  */
+object Sampling {
+
+  private val Bucket = 1L << 32
+
+  /** [0, 1) sampling coordinate of an id column under `salt`. */
+  def coordinate(id: Column, salt: String): Column =
+    hash32(concat(lit(s"$salt:"), id.cast("string"))).cast("double") / Bucket
+
+  /** Keep rows whose coordinate falls below `rate`. */
+  def sample(df: DataFrame, idCol: String, rate: Double,
+      salt: String = "s"): DataFrame =
+    df.filter(coordinate(col(idCol), salt) < rate)
+
+  /** Per-stratum rates (e.g. per-source mixing weights); strata not in
+    * `rates` keep `defaultRate`.
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+      rates: Map[String, Double], defaultRate: Double = 0.0,
+      salt: String = "s"): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultRate)) { case (other, (k, r)) =>
+      when(col(strataCol) === k, lit(r)).otherwise(other)
+    }
+    df.filter(coordinate(col(idCol), salt) < rate)
+  }
+}

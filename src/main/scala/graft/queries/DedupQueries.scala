@@ -192,17 +192,45 @@ object DedupQueries {
        |ORDER BY vec_a, vec_b""".stripMargin
   }
 
+  // ------------------------------------------------------------- clusters
+
+  /** Transitive dedup clusters: connected components over the verified
+    * minhash near-dup pairs. The oracle computes components
+    * independently via a recursive reachability CTE — a structurally
+    * different algorithm agreeing on the result.
+    */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    Clusters.connectedComponents(
+        MinHashLSH.nearDuplicatePairs(
+            Tables.loadSpread(spark, dir, "documents"), "doc_id", "text", cfg)
+          .select(col("doc_a"), col("doc_b")),
+        "doc_a", "doc_b")
+      .orderBy("id")
+
+  val dedupClustersSql: String =
+    s"""WITH RECURSIVE ${minhashJacCtes("documents")},
+       |pairs AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= ${cfg.threshold}),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |          UNION SELECT doc_b, doc_a FROM pairs),
+       |r(id, v) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT r.id, e.dst FROM r JOIN edges e ON e.src = r.v)
+       |SELECT id, min(v) AS comp FROM r GROUP BY id ORDER BY id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact(_, _)),
     "dedup_minhash" -> (dedupMinhash(_, _)),
     "dedup_simhash" -> (dedupSimhash(_, _)),
     "dedup_ngram" -> (dedupNgram(_, _)),
-    "dedup_embed" -> (dedupEmbed(_, _)))
+    "dedup_embed" -> (dedupEmbed(_, _)),
+    "dedup_clusters" -> (dedupClusters(_, _)))
 
   val oracleSql: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
     "dedup_minhash" -> dedupMinhashSql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_ngram" -> dedupNgramSql,
-    "dedup_embed" -> dedupEmbedSql)
+    "dedup_embed" -> dedupEmbedSql,
+    "dedup_clusters" -> dedupClustersSql)
 }

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.operators.Sampling
 import graft.text.Curation
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -46,9 +47,39 @@ object PipelineQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------------------------------------- deterministic mixing
+
+  private val MixRates = Map("src0" -> 0.9, "src1" -> 0.5, "src2" -> 0.25)
+  private val MixDefault = 0.1
+  private val MixSalt = "mix"
+
+  /** Deterministic per-source downsampling (training-mix weights): the
+    * kept ROW SET, not just counts, is pinned by the oracle — both
+    * engines compute the same md5 coordinate per doc.
+    */
+  def sampleStratified(spark: SparkSession, dir: String): DataFrame =
+    Sampling.stratifiedSample(
+        Tables.loadSpread(spark, dir, "documents"), "doc_id", "source",
+        MixRates, MixDefault, MixSalt)
+      .select("doc_id", "source")
+      .orderBy("doc_id")
+
+  val sampleStratifiedSql: String = {
+    val coord = OracleDialect.hexPrefixToLong(
+      s"md5('$MixSalt:'||CAST(doc_id AS VARCHAR))", 8)
+    val rateCase = MixRates.foldLeft(MixDefault.toString) {
+      case (other, (k, r)) => s"CASE WHEN source = '$k' THEN $r ELSE $other END"
+    }
+    s"""SELECT doc_id, source FROM documents
+       |WHERE CAST($coord AS DOUBLE) / 4294967296 < $rateCase
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "pipeline_curate" -> (pipelineCurate(_, _)))
+    "pipeline_curate" -> (pipelineCurate(_, _)),
+    "sample_stratified" -> (sampleStratified(_, _)))
 
   val oracleSql: Map[String, String] = Map(
-    "pipeline_curate" -> pipelineCurateSql)
+    "pipeline_curate" -> pipelineCurateSql,
+    "sample_stratified" -> sampleStratifiedSql)
 }
