@@ -12,10 +12,10 @@ import org.apache.spark.sql.functions._
   * thousand vectors) joined against the full corpus — Catalyst
   * broadcasts it, so the corpus is scanned once, partition-parallel,
   * with no corpus shuffle. The only shuffle is the final top-k window
-  * on q_id (cardinality = |queries| × |corpus| rows pre-filter; at
-  * extreme scale swap the window for a per-partition partial top-k +
-  * merge, which AQE-era Spark expresses as the same window after a
-  * `repartition(q_id)` — the plan here already groups by q_id).
+  * on q_id, and Spark's WindowGroupLimit rewrite (asserted in
+  * PlanAuditSpec) runs it partial+final: each input partition keeps
+  * only its local top k per query BEFORE the shuffle, so ~k·|queries|
+  * rows move regardless of corpus size.
   */
 object BruteForceKNN {
 

@@ -65,4 +65,26 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("Broadcast"),
       "small query set should broadcast:\n" + plan)
   }
+
+  test("top-k windows run as partial+final WindowGroupLimit (rank pushdown)") {
+    // Spark's WindowGroupLimit keeps only k rows per key per PARTITION
+    // before the shuffle — the property that makes rank<=k top-k safe at
+    // scale (the shuffle moves ~k·|keys| rows, not the full pair fanout)
+    for (name <- Seq("sim_topk", "q_window_top_orders")) {
+      val plan = planOf(name)
+      assert(plan.contains("WindowGroupLimit"),
+        s"$name lost the rank-limit pushdown:\n$plan")
+      assert(plan.contains("Partial"),
+        s"$name WindowGroupLimit is not map-side partial:\n$plan")
+    }
+  }
+
+  test("IVF assignment aggregates (max_by), never windows the cross product") {
+    val plan = graft.similarity.IVFIndex
+      .assign(Tables.load(spark, dir, "embeddings"), "vec_id", "embedding")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"assignment must not window the vector×centroid stream:\n$plan")
+    assert(plan.contains("max_by"), s"expected max_by aggregate:\n$plan")
+  }
 }
