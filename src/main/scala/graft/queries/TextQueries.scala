@@ -118,15 +118,47 @@ object TextQueries {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- tfidf
+
+  private val TfIdfK = 5
+
+  /** Top characteristic terms per source by the rational TF-IDF score
+    * (tf·N/df — see [[graft.text.TfIdf]] for why no log).
+    */
+  def textTfidf(spark: SparkSession, dir: String): DataFrame =
+    TfIdf.topTerms(Tables.loadSpread(spark, dir, "documents"),
+        "doc_id", "text", "source", TfIdfK)
+      .orderBy("stratum", "rank")
+
+  val textTfidfSql: String =
+    s"""WITH posts AS (
+       |  SELECT doc_id, source AS stratum,
+       |         unnest(string_split(lower(text), ' ')) AS term
+       |  FROM documents),
+       |tf AS (SELECT stratum, term, count(*) AS tf FROM posts GROUP BY 1, 2),
+       |df AS (SELECT term, count(*) AS df
+       |       FROM (SELECT DISTINCT doc_id, term FROM posts) GROUP BY 1),
+       |n AS (SELECT count(*) AS n_total FROM documents)
+       |SELECT stratum, rank, term, score FROM (
+       |  SELECT stratum, term,
+       |    CAST(tf.tf * n.n_total AS DOUBLE) / df.df AS score,
+       |    ROW_NUMBER() OVER (PARTITION BY stratum
+       |      ORDER BY CAST(tf.tf * n.n_total AS DOUBLE) / df.df DESC, term)
+       |      AS rank
+       |  FROM tf JOIN df USING (term) CROSS JOIN n)
+       |WHERE rank <= $TfIdfK ORDER BY stratum, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats" -> (textStats(_, _)),
     "text_langid" -> (textLangid(_, _)),
     "text_tokens" -> (textTokens(_, _)),
-    "text_fingerprint" -> (textFingerprint(_, _)))
+    "text_fingerprint" -> (textFingerprint(_, _)),
+    "text_tfidf" -> (textTfidf(_, _)))
 
   val oracleSql: Map[String, String] = Map(
     "text_stats" -> textStatsSql,
     "text_langid" -> textLangidSql,
     "text_tokens" -> textTokensSql,
-    "text_fingerprint" -> textFingerprintSql)
+    "text_fingerprint" -> textFingerprintSql,
+    "text_tfidf" -> textTfidfSql)
 }
