@@ -26,6 +26,25 @@ class RelationalSpec extends AnyFunSuite {
       s"approx=$approx exact=$exact")
   }
 
+  test("approx percentile sketch brackets the exact percentiles") {
+    val li = Tables.load(spark, dir, "lineitem")
+    // accuracy 10000 ⇒ rank error ≤ n/10000; bracket each approx value
+    // between the exact percentiles one rank-percent either side
+    val row = li.agg(
+      percentile_approx(col("l_extendedprice"), array(lit(0.5), lit(0.95)),
+        lit(10000)).as("approx"),
+      expr("percentile(l_extendedprice, array(0.49, 0.5, 0.51))").as("e50"),
+      expr("percentile(l_extendedprice, array(0.94, 0.95, 0.96))").as("e95")
+    ).head()
+    val approx = row.getSeq[Double](0)
+    val e50 = row.getSeq[Double](1)
+    val e95 = row.getSeq[Double](2)
+    assert(approx(0) >= e50.head && approx(0) <= e50.last,
+      s"p50 approx ${approx(0)} outside [${e50.head}, ${e50.last}]")
+    assert(approx(1) >= e95.head && approx(1) <= e95.last,
+      s"p95 approx ${approx(1)} outside [${e95.head}, ${e95.last}]")
+  }
+
   test("rollup subtotals are consistent with the detail rows") {
     val rows = Relational.qRollup(spark, dir).collect()
     val detail = rows.filter(r => r.getInt(2) == 0 && r.getInt(3) == 0)

@@ -149,6 +149,27 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup: duplicate content dropped across batches, bounded state") {
+    val stream = MemoryStream[(Timestamp, Long, String)](spark)
+    val q = StreamDedup.firstSeen(
+        stream.toDF().toDF("ts", "doc_id", "text")
+          .withWatermark("ts", "10 minutes"), "text")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_stream").start()
+    try {
+      stream.addData((ts("2024-01-01 10:00:00"), 1L, "alpha"),
+        (ts("2024-01-01 10:01:00"), 2L, "beta"),
+        (ts("2024-01-01 10:02:00"), 3L, "alpha")) // dup within batch
+      q.processAllAvailable()
+      stream.addData((ts("2024-01-01 10:03:00"), 4L, "beta"), // dup across batch
+        (ts("2024-01-01 10:04:00"), 5L, "gamma"))
+      q.processAllAvailable()
+      val kept = spark.table("dedup_stream").select("doc_id")
+        .collect().map(_.getLong(0)).sorted
+      assert(kept.toSeq === Seq(1L, 2L, 5L))
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState running totals accumulate across micro-batches") {
     val stream = MemoryStream[RunningCounts.Event](spark)
     implicit val s: org.apache.spark.sql.SparkSession = spark
