@@ -44,7 +44,10 @@ object Curation {
       TextStats.qualityScore(w).as("quality"), pred.as("lang_pred"))
     val kept = scored.filter(
       col("quality") >= cfg.minQuality && col("lang_pred") === cfg.lang)
-    val deduped = ExactDedup.byTextHash(kept, "text", "doc_id")
+    // two consumers (the LSH pass and the final anti-join) — persist so
+    // the scoring+window lineage runs once, not twice (at scale: a
+    // staging table; here the plan-keyed cache)
+    val deduped = ExactDedup.byTextHash(kept, "text", "doc_id").persist()
     val losers = MinHashLSH
       .nearDuplicatePairs(deduped, "doc_id", "text", cfg.lsh)
       .select(col("doc_b").as("doc_id")).distinct()

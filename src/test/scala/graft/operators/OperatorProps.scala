@@ -1,0 +1,118 @@
+package graft.operators
+
+import graft.SparkTestSession
+import graft.dedup.Clusters
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+import java.sql.Timestamp
+
+/** Property-based invariants of the temporal-join and clustering
+  * operators over random inputs: each scalable formulation must agree
+  * exactly with its naive reference implementation (driver-side or
+  * theta-join), across random keys, times, ties and graph shapes.
+  */
+object OperatorProps extends Properties("Operators") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(8).withWorkers(1)
+
+  private lazy val spark = SparkTestSession.spark
+
+  private def ts(s: Long): Timestamp = new Timestamp(1700000000000L + s * 1000)
+
+  // ---- as-of join vs naive per-row argmax --------------------------------
+
+  private val genEvents: Gen[(Seq[(String, Long, Long)], Seq[(String, Long, Double)])] =
+    for {
+      nl <- Gen.choose(1, 20)
+      nr <- Gen.choose(0, 20)
+      keys = Seq("a", "b", "c")
+      left <- Gen.listOfN(nl, for {
+        k <- Gen.oneOf(keys); t <- Gen.choose(0L, 50L)
+      } yield (k, t))
+      right <- Gen.listOfN(nr, for {
+        k <- Gen.oneOf(keys); t <- Gen.choose(0L, 50L)
+        v <- Gen.choose(1, 9)
+      } yield (k, t, v.toDouble))
+    } yield (left.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) },
+      // dedup right to unique (key, time): max value, mirroring the
+      // pre-aggregation every caller does for deterministic ties
+      right.groupBy(r => (r._1, r._2)).map { case ((k, t), rs) =>
+        (k, t, rs.map(_._3).max)
+      }.toSeq)
+
+  property("asOfJoin == naive latest-at-or-before per left row") =
+    forAll(genEvents) { case (left, right) =>
+      import spark.implicits._
+      val l = left.map { case (k, t, id) => (k, ts(t), id) }.toDF("k", "t", "row_id")
+      val r = right.map { case (k, t, v) => (k, ts(t), v) }.toDF("k", "rt", "v")
+      val got = AsOfJoin.joinAsOf(l, r, Seq("k"), "t", "rt", Seq("v"))
+        .select("row_id", "asof_v").collect()
+        .map(x => x.getLong(0) ->
+          (if (x.isNullAt(1)) None else Some(x.getDouble(1)))).toMap
+      val want = left.map { case (k, t, id) =>
+        id -> right.filter(e => e._1 == k && e._2 <= t)
+          .sortBy(e => (e._2, e._3)).lastOption.map(_._3)
+      }.toMap
+      got == want
+    }
+
+  // ---- range join vs naive theta join ------------------------------------
+
+  property("joinRange == naive theta join, any window length incl. empty") =
+    forAll(for {
+      nl <- Gen.choose(1, 10); nr <- Gen.choose(0, 30)
+      left <- Gen.listOfN(nl, for {
+        k <- Gen.oneOf("a", "b"); s <- Gen.choose(0L, 100L)
+        len <- Gen.choose(0L, 30000L) // up to ~8 hours in seconds
+      } yield (k, s, s + len))
+      right <- Gen.listOfN(nr, for {
+        k <- Gen.oneOf("a", "b"); t <- Gen.choose(0L, 40000L)
+      } yield (k, t))
+    } yield (left, right)) { case (left, right) =>
+      import spark.implicits._
+      val l = left.zipWithIndex
+        .map { case ((k, s, e), i) => (k, ts(s), ts(e), i.toLong) }
+        .toDF("k", "s", "e", "lid")
+      val r = right.map { case (k, t) => (k, ts(t)) }.toDF("k", "rt")
+      def pairs(df: org.apache.spark.sql.DataFrame) =
+        df.select("lid", "rt").collect()
+          .map(x => (x.getLong(0), x.getTimestamp(1).getTime)).sorted.toSeq
+      val bucketed = pairs(RangeJoin.joinRange(l, r, Seq("k"), "s", "e", "rt"))
+      val naive = pairs(l.join(r,
+        l("k") === r("k") && col("rt") >= col("s") && col("rt") <= col("e")))
+      bucketed == naive
+    }
+
+  // ---- connected components vs driver-side union-find --------------------
+
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  property("connectedComponents == union-find on random graphs") =
+    forAll(for {
+      n <- Gen.choose(1, 15)
+      edges <- Gen.listOfN(n, for {
+        a <- Gen.choose(0L, 12L); b <- Gen.choose(0L, 12L) if a != b
+      } yield (math.min(a, b), math.max(a, b)))
+    } yield edges.distinct) { edges =>
+      edges.isEmpty || {
+        import spark.implicits._
+        val got = Clusters
+          .connectedComponents(edges.toDF("doc_a", "doc_b"), "doc_a", "doc_b")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        got == unionFind(edges)
+      }
+    }
+}
