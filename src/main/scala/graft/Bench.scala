@@ -71,6 +71,9 @@ object Bench {
           name -> -1.0
       }
       spark.catalog.clearCache() // cleanup excluded from the timing
+      // quiesce the heap between queries: otherwise one arbitrary query
+      // per run absorbs the full-GC pause of everything before it
+      System.gc()
       r
     }
     def jstr(s: String): String =

@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.DotProduct
+import graft.expressions.{DotProduct, RewriteDotProduct}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -10,6 +10,11 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * available to plain `spark.sql(...)` text, not just the Column API:
   *
   * {{{ SELECT dot_product(a.embedding, b.embedding) FROM ... }}}
+  *
+  * and installs the [[graft.expressions.RewriteDotProduct]] optimizer
+  * rule, which upgrades the equivalent built-in
+  * `aggregate(zip_with(...))` fold to the native expression
+  * automatically.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -21,5 +26,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"dot_product takes 2 arguments, got ${args.length}")
         DotProduct(args.head, args(1))
       }))
+    ext.injectOptimizerRule(_ => RewriteDotProduct)
   }
 }

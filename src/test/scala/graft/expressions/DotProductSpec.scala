@@ -9,12 +9,15 @@ class DotProductSpec extends AnyFunSuite {
   private val spark = SparkTestSession.spark
   import spark.implicits._
 
-  /** The interpreted reference formulation: the same left-to-right fold
-    * via higher-order functions (what the native expression replaces).
+  /** The interpreted reference formulation. Merge is `v + acc`
+    * (REVERSED) so the RewriteDotProduct optimizer rule — which only
+    * matches `acc + v` — leaves it alone and this really compares the
+    * native expression against the lambda fold. IEEE addition is
+    * commutative, so the values are still bit-identical.
     */
   private def hofDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+      lit(0.0), (acc, v) => v + acc)
 
   test("bit-identical to the HOF fold on the real embeddings table") {
     val emb = graft.queries.Tables
@@ -57,6 +60,37 @@ class DotProductSpec extends AnyFunSuite {
     assert(r.getDouble(0) === 32.0)
     // wrong arity is an analysis-time error, not a runtime surprise
     intercept[Exception](spark.sql("SELECT dot_product(a) FROM dp_in").collect())
+  }
+
+  test("optimizer rule rewrites the canonical HOF fold to dot_product") {
+    val emb = graft.queries.Tables
+      .load(spark, "/root/testdata/sf0.001", "embeddings")
+    val canonical = emb.select(
+      aggregate(zip_with($"embedding", $"embedding",
+          (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, v) => acc + v).as("n"))
+    val opt = canonical.queryExecution.optimizedPlan.toString
+    assert(opt.contains("dot_product") && !opt.contains("aggregate("),
+      s"expected the HOF fold rewritten to dot_product:\n$opt")
+    // rewritten plan computes the same values as the native call
+    val direct = emb.select(DotProduct($"embedding", $"embedding").as("n"))
+      .collect().map(_.getDouble(0))
+    assert(canonical.collect().map(_.getDouble(0)).toSeq === direct.toSeq)
+  }
+
+  test("optimizer rule leaves non-matching folds alone") {
+    // reversed merge order, non-zero seed, non-multiply zip: all skipped
+    val df = Seq((Seq(1f, 2f), Seq(3f, 4f))).toDF("a", "b")
+    val plans = Seq(
+      aggregate(zip_with($"a", $"b", (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, v) => v + acc),
+      aggregate(zip_with($"a", $"b", (x, y) => x.cast("double") * y.cast("double")),
+        lit(1.0), (acc, v) => acc + v),
+      aggregate(zip_with($"a", $"b", (x, y) => x.cast("double") + y.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    ).map(c => df.select(c.as("n")).queryExecution.optimizedPlan.toString)
+    plans.foreach(p => assert(!p.contains("dot_product"),
+      s"conservative rule fired on a non-canonical fold:\n$p"))
   }
 
   test("stays inside whole-stage codegen (no CodegenFallback)") {
