@@ -15,6 +15,14 @@ import org.apache.spark.sql.functions._
   * optionally drops ubiquitous shingles (boilerplate) to bound the
   * fanout at scale; pairs supported only by dropped shingles are then
   * missed — a documented recall trade, off by default.
+  *
+  * Shuffle hygiene: the self-join key is a 60-bit md5 prefix of the
+  * shingle, not the shingle text — fixed 8-byte shuffle keys and O(1)
+  * comparisons regardless of shingle length. Two shingles colliding
+  * would merge in the intersection counts; at 60 bits that needs ~10⁹
+  * distinct shingles per corpus before a single expected collision
+  * (and the oracle hashes identically, so verification is unaffected
+  * either way).
   */
 object NgramJaccard {
 
@@ -25,7 +33,8 @@ object NgramJaccard {
     // aggregate) — without the cache each branch re-runs the shingle
     // projection, tripling the query cost (see MinHashLSH note)
     val posts0 = docs.select(col(idCol).as("doc_id"),
-        explode(wordShingles(words(col(textCol)), shingleSize)).as("sh"))
+        explode(wordShingles(words(col(textCol)), shingleSize)).as("sh0"))
+      .select(col("doc_id"), hexPrefixToLong(md5(col("sh0")), 15).as("sh"))
       .persist()
     val sizes = posts0.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val posts = maxShingleDocFreq.fold(posts0) { cap =>

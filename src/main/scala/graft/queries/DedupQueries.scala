@@ -148,9 +148,12 @@ object DedupQueries {
 
   val dedupNgramSql: String =
     s"""WITH ${shingleCtes()},
+       |hx AS (SELECT doc_id,
+       |  CAST(${OracleDialect.hexPrefixToLong("md5(sh)", 15)} AS BIGINT)
+       |    AS shh FROM shx),
        |sizes AS (SELECT doc_id, len(s) AS n FROM sh),
        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-       |  FROM shx a JOIN shx b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  FROM hx a JOIN hx b ON a.shh = b.shh AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2)
        |SELECT doc_a, doc_b,
        |  CAST(i AS DOUBLE) / (na.n + nb.n - i) AS jaccard
