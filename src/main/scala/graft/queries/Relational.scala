@@ -263,6 +263,51 @@ object Relational {
       |SELECT o_custkey, 'urgent_only' AS tag FROM (SELECT * FROM urgent EXCEPT SELECT * FROM big)
       |ORDER BY tag, o_custkey""".stripMargin
 
+  /** Schema-on-read over the semi-structured `props` JSON column:
+    * `from_json` with an explicit schema (never schema inference on a
+    * 100 TB scan), then ordinary relational ops on the extracted field.
+    */
+  def qJsonExtract(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.loadEvents(spark, dir)
+    ev.select(col("event_type"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+          .getField("k").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        sum(when(col("k") > 50, 1L).otherwise(0L)).as("n_high"))
+      .orderBy("event_type")
+  }
+
+  val qJsonExtractSql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+      |  CAST(SUM(CASE WHEN CAST(props->>'k' AS BIGINT) > 50
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** The skew-safe two-phase aggregation from
+    * [[graft.operators.Salting]], verified through the oracle: salting
+    * must be invisible in the result (sums/counts identical to the
+    * direct groupBy), it only changes WHERE the rows aggregate. The
+    * events table's 5 event types are exactly the hot-key shape the
+    * technique exists for.
+    */
+  def qSaltedAgg(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.loadEvents(spark, dir)
+    graft.operators.Salting.saltedSumCount(ev,
+        col("event_type"), col("value").cast("decimal(24,4)"),
+        saltBuckets = 8, carrier = col("event_id"))
+      .select(col("key"), col("sum").cast("double").as("sum_value"), col("cnt"))
+      .orderBy("key")
+  }
+
+  val qSaltedAggSql: String =
+    """SELECT event_type AS key,
+      |  CAST(SUM(CAST(value AS DECIMAL(24,4))) AS DOUBLE) AS sum_value,
+      |  COUNT(*) AS cnt
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg(_, _)),
     "q3_join_agg" -> (q3JoinAgg(_, _)),
@@ -272,7 +317,9 @@ object Relational {
     "q_cust_no_orders" -> (qCustNoOrders(_, _)),
     "q_rollup" -> (qRollup(_, _)),
     "q_pivot" -> (qPivot(_, _)),
-    "q_setops" -> (qSetOps(_, _)))
+    "q_setops" -> (qSetOps(_, _)),
+    "q_json_extract" -> (qJsonExtract(_, _)),
+    "q_salted_agg" -> (qSaltedAgg(_, _)))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
@@ -283,5 +330,7 @@ object Relational {
     "q_cust_no_orders" -> qCustNoOrdersSql,
     "q_rollup" -> qRollupSql,
     "q_pivot" -> qPivotSql,
-    "q_setops" -> qSetOpsSql)
+    "q_setops" -> qSetOpsSql,
+    "q_json_extract" -> qJsonExtractSql,
+    "q_salted_agg" -> qSaltedAggSql)
 }
