@@ -71,4 +71,70 @@ object AsOfJoin {
       .select(col("__lrow.*") +:
         rvCols.map(c => col(s"__carried.$c").as(s"$prefix$c")): _*)
   }
+
+  /** Skew-safe variant: the same as-of semantics with the window
+    * partitioned by (keys, time-bucket) instead of keys alone, so a hot
+    * key's rows spread across its time range instead of landing in one
+    * task.
+    *
+    * Cross-bucket continuity comes from SEED rows: the right side first
+    * compacts to its last state per (key, bucket) — a map-side-combined
+    * `max_by` aggregate — then a window over those compact rows (one
+    * per key × active bucket, orders of magnitude smaller than the
+    * data) carries each bucket's incoming state forward; the seed
+    * enters its bucket's partition as a synthetic right row sorted
+    * before everything in the bucket. Results are identical to
+    * [[joinAsOf]] (property-tested); only the partitioning changes.
+    */
+  def joinAsOfBucketed(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String, rightVals: Seq[String],
+      bucket: String = "day", prefix: String = "asof_"): DataFrame = {
+    require(keys.nonEmpty, "as-of join needs at least one key column")
+    val rvCols = (rightTime +: rightVals).distinct
+    val rvStruct = struct(rvCols.map(col): _*)
+    val rvType = right.select(rvStruct.as("__rv")).schema("__rv").dataType
+    val lrowStruct = struct(left.columns.map(col).toIndexedSeq: _*)
+    val lrowType = left.select(lrowStruct.as("__lrow")).schema("__lrow").dataType
+    def bucketOf(t: String): org.apache.spark.sql.Column =
+      date_trunc(bucket, col(t))
+
+    // __prio orders within equal timestamps: seeds (2) before right
+    // rows (1) before left rows (0) — "≤" semantics plus carried state
+    val lSide = left.select(
+      keys.map(col) ++ Seq(bucketOf(leftTime).as("__b"),
+        col(leftTime).as("__t"), lrowStruct.as("__lrow"),
+        lit(null).cast(rvType).as("__rv"), lit(0).as("__prio")): _*)
+    val rSide = right.select(
+      keys.map(col) ++ Seq(bucketOf(rightTime).as("__b"),
+        col(rightTime).as("__t"), lit(null).cast(lrowType).as("__lrow"),
+        rvStruct.as("__rv"), lit(1).as("__prio")): _*)
+
+    // last right state per (key, bucket): max by (time, payload)
+    val compact = rSide.groupBy(keys.map(col) :+ col("__b"): _*)
+      .agg(max_by(col("__rv"), struct(col("__t"), col("__rv"))).as("__state"))
+    // every bucket that needs a seed: buckets where EITHER side has rows
+    val allBuckets = lSide.select(keys.map(col) :+ col("__b"): _*)
+      .unionByName(rSide.select(keys.map(col) :+ col("__b"): _*)).distinct()
+    val wSeed = Window.partitionBy(keys.map(col): _*).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1) // strictly earlier buckets
+    val seeds = allBuckets
+      .join(compact, keys :+ "__b", "left_outer")
+      .withColumn("__rv", last(col("__state"), ignoreNulls = true).over(wSeed))
+      .filter(col("__rv").isNotNull)
+      .select(keys.map(col) ++ Seq(col("__b"), col("__b").as("__t"),
+        lit(null).cast(lrowType).as("__lrow"), col("__rv"),
+        lit(2).as("__prio")): _*)
+
+    val w = Window.partitionBy(keys.map(col) :+ col("__b"): _*)
+      .orderBy(col("__t").asc, col("__prio").desc, col("__rv").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val anyKeyNull = keys.map(col(_).isNull).reduce(_ || _)
+
+    lSide.unionByName(rSide).unionByName(seeds)
+      .withColumn("__carried",
+        when(!anyKeyNull, last(col("__rv"), ignoreNulls = true).over(w)))
+      .filter(col("__prio") === 0)
+      .select(col("__lrow.*") +:
+        rvCols.map(c => col(s"__carried.$c").as(s"$prefix$c")): _*)
+  }
 }

@@ -58,6 +58,23 @@ object OperatorProps extends Properties("Operators") {
       got == want
     }
 
+  property("joinAsOfBucketed == joinAsOf (bucketing only moves partitions)") =
+    forAll(genEvents) { case (left, right) =>
+      import spark.implicits._
+      // times span multiple 1-minute buckets (0..50s steps of 1s scaled
+      // to minutes) so seeds genuinely cross bucket boundaries
+      def mts(s: Long) = new Timestamp(1700000000000L + s * 90 * 1000)
+      val l = left.map { case (k, t, id) => (k, mts(t), id) }.toDF("k", "t", "row_id")
+      val r = right.map { case (k, t, v) => (k, mts(t), v) }.toDF("k", "rt", "v")
+      def res(df: org.apache.spark.sql.DataFrame) =
+        df.select("row_id", "asof_rt", "asof_v").collect()
+          .map(x => x.getLong(0) -> (Option(x.getTimestamp(1)),
+            if (x.isNullAt(2)) None else Some(x.getDouble(2)))).toMap
+      res(AsOfJoin.joinAsOfBucketed(l, r, Seq("k"), "t", "rt", Seq("v"),
+          bucket = "minute")) ==
+        res(AsOfJoin.joinAsOf(l, r, Seq("k"), "t", "rt", Seq("v")))
+    }
+
   // ---- range join vs naive theta join ------------------------------------
 
   property("joinRange == naive theta join, any window length incl. empty") =
