@@ -39,4 +39,18 @@ object Formats {
 
   def writeOrc(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").orc(path)
+
+  /** Hive-style partitioned parquet layout (`path/col=value/...`) — the
+    * 100 TB table organization: a filter on a partition column becomes
+    * PARTITION PRUNING (whole directories skipped at planning time,
+    * before any file is opened), not a row filter. Choose partition
+    * columns with bounded cardinality (source, date, language — never a
+    * key) so file counts stay sane.
+    */
+  def writePartitioned(df: DataFrame, path: String,
+      partitionCols: Seq[String]): Unit =
+    df.write.partitionBy(partitionCols: _*).mode("overwrite").parquet(path)
+
+  def readPartitioned(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
 }

@@ -44,6 +44,24 @@ class FormatsSpec extends AnyFunSuite {
       "ORC scan must push the filter:\n" + plan)
   }
 
+  test("partitioned parquet: filters on partition columns PRUNE, not filter") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val dir = Files.createTempDirectory("graft-part").toString
+    Formats.writePartitioned(docs, s"$dir/docs", Seq("source"))
+    val back = Formats.readPartitioned(spark, s"$dir/docs")
+    val one = back.filter(col("source") === "src3")
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("src3"),
+      s"expected the source filter as a partition filter:\n$plan")
+    // pruning is planning-time: the scan must not carry source as a
+    // pushed DATA filter (it's a directory, not a column, in this layout)
+    assert(plan.contains("DataFilters: []") && plan.contains("PushedFilters: []"),
+      s"source leaked into data filters:\n$plan")
+    assert(one.count() === docs.filter(col("source") === "src3").count())
+    // values survive the round trip (partition col is re-attached)
+    assert(back.count() === docs.count())
+  }
+
   test("all-string CSV read matches the reference's input model") {
     val dir = Files.createTempDirectory("graft-csvs").toString
     Formats.writeCsv(nation, s"$dir/nation")
