@@ -17,13 +17,16 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def norm(df: pd.DataFrame) -> pd.DataFrame:
+def norm(df: pd.DataFrame, strict: bool) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
-    # canonicalize types: ints/decimals → float64 where possible, for
-    # value comparison; timestamps → isoformat strings
     for c in df.columns:
         if str(df[c].dtype).startswith("datetime"):
             df[c] = df[c].astype("datetime64[us]").astype(str)
+        elif strict:
+            # mirror the driver's hash compare: values stringified as-is,
+            # so an int64 vs DuckDB-HUGEINT/Decimal divergence FAILS here
+            # instead of surfacing only in the driver's CORRECTNESS run
+            df[c] = df[c].map(lambda v: "" if v is None else str(v))
         else:
             try:
                 df[c] = pd.to_numeric(df[c])
@@ -32,7 +35,7 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 
-def main(sf_dir: str, out_dir: str) -> int:
+def main(sf_dir: str, out_dir: str, strict: bool = True) -> int:
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
@@ -46,8 +49,8 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"[FAIL] {name}: no spark output")
             failures += 1
             continue
-        got = norm(pd.concat([pd.read_parquet(f) for f in files]))
-        want = norm(con.sql(oracles[name]).df())
+        got = norm(pd.concat([pd.read_parquet(f) for f in files]), strict)
+        want = norm(con.sql(oracles[name]).df(), strict)
         status = []
         if list(got.columns) != list(want.columns):
             status.append(f"schema {list(got.columns)} != {list(want.columns)}")
