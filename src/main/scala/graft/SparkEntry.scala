@@ -48,7 +48,7 @@ object SparkEntry {
     "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_ngram",
     "dedup_embed", "dedup_clusters", "sample_stratified",
     "text_stats", "text_langid", "text_tokens", "text_fingerprint",
-    "text_tfidf",
+    "text_tfidf", "text_normalize",
     "sim_topk", "sim_lsh_bucket", "sim_ivf",
     "mm_meta", "mm_frames", "mm_format_stats", "pipeline_curate")
 }

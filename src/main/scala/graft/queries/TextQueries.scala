@@ -148,17 +148,41 @@ object TextQueries {
        |  FROM tf JOIN df USING (term) CROSS JOIN n)
        |WHERE rank <= $TfIdfK ORDER BY stratum, rank""".stripMargin
 
+  // ------------------------------------------------------------ normalize
+
+  /** Canonical normalized text + dedup key per document (case /
+    * punctuation / whitespace insensitive).
+    */
+  def textNormalize(spark: SparkSession, dir: String): DataFrame =
+    Tables.loadSpread(spark, dir, "documents")
+      .select(col("doc_id"),
+        Normalize.canonical(col("text")).as("canonical"),
+        Normalize.canonicalKey(col("text")).as("canon_key"))
+      .orderBy("doc_id")
+
+  val textNormalizeSql: String =
+    """SELECT doc_id,
+      |  trim(regexp_replace(
+      |    regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+      |    ' +', ' ', 'g')) AS canonical,
+      |  md5(trim(regexp_replace(
+      |    regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+      |    ' +', ' ', 'g'))) AS canon_key
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats" -> (textStats(_, _)),
     "text_langid" -> (textLangid(_, _)),
     "text_tokens" -> (textTokens(_, _)),
     "text_fingerprint" -> (textFingerprint(_, _)),
-    "text_tfidf" -> (textTfidf(_, _)))
+    "text_tfidf" -> (textTfidf(_, _)),
+    "text_normalize" -> (textNormalize(_, _)))
 
   val oracleSql: Map[String, String] = Map(
     "text_stats" -> textStatsSql,
     "text_langid" -> textLangidSql,
     "text_tokens" -> textTokensSql,
     "text_fingerprint" -> textFingerprintSql,
-    "text_tfidf" -> textTfidfSql)
+    "text_tfidf" -> textTfidfSql,
+    "text_normalize" -> textNormalizeSql)
 }

@@ -118,6 +118,19 @@ class DataColDiffSpec extends AnyFunSuite {
     res.diff.unpersist()
   }
 
+  test("edge: empty inputs produce an empty diff with zero counts") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("id", "v")
+    val one = Seq((1L, "x")).toDF("id", "v")
+    val both = DataColDiff.computeDataframeDiff(empty, empty, Seq("id"))
+      .fold(mm => sys.error(mm.message), identity)
+    assert(both.counts === FlagCounts(0, 0, 0, 0))
+    assert(both.diff.count() === 0 && both.stats.count() === 0)
+    val oneSided = DataColDiff.computeDataframeDiff(one, empty, Seq("id"))
+      .fold(mm => sys.error(mm.message), identity)
+    assert(oneSided.counts === FlagCounts(1, 0, 0, 0))
+  }
+
   test("property: self-diff is all NODIFF") {
     val Right(res) = DataColDiff.computeDataframeDiff(emp100, emp100, Seq("id"))
     assert(res.counts.noDiff === emp100.count())
