@@ -33,9 +33,14 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.adaptive.enabled", "true")
-      // The generated-class cache defaults to 100 entries; the 21-query
-      // suite × (warmup + timed) compiles far more units than that, so
-      // late timed queries would re-pay janino compilation their warmup
+      // let AQE coalesce partitions INSIDE persisted frames too — the
+      // iterative operators cache small intermediate graphs whose
+      // pinned 32-partition layout otherwise costs a task per (mostly
+      // empty) partition per job
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+      // The generated-class cache defaults to 100 entries; the suite ×
+      // (warmup + timed) compiles far more units than that, so late
+      // timed queries would re-pay janino compilation their warmup
       // already did. Size it to hold the whole suite.
       .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false")

@@ -15,6 +15,11 @@ object Verify {
       // Tables.loadEvents truncate to micros (matches DuckDB).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      // let AQE coalesce partitions INSIDE persisted frames too — the
+      // iterative operators cache small intermediate graphs whose
+      // pinned 32-partition layout otherwise costs a task per (mostly
+      // empty) partition per job
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       // default 100 evicts mid-suite: 25+ queries compile several codegen
       // units each, and re-running a query then pays full janino+JIT again
       .config("spark.sql.codegen.cache.maxEntries", "5000")
