@@ -43,10 +43,14 @@ object Clusters {
 
     // seed = one propagation round for free: min(id, direct neighbors).
     // Near-clique duplicate clusters converge on the FIRST check.
+    // localCheckpoint per round (not persist): the round plan references
+    // `labels` twice, so plain caching would grow the LOGICAL plan
+    // exponentially with rounds — checkpointing truncates lineage to the
+    // materialized partitions.
     var labels = edges.groupBy("src")
       .agg(least(col("src"), min(col("dst"))).as("comp"))
       .select(col("src").as("id"), col("comp"))
-      .persist()
+      .localCheckpoint(true)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -54,15 +58,15 @@ object Clusters {
         .join(labels, edges("src") === labels("id"))
         .groupBy(col("dst").as("nid"))
         .agg(min(col("comp")).as("ncomp"))
-      // __changed rides along in the cached frame (the next round's join
-      // ignores it) so the convergence check and the new labels share ONE
-      // materialization
+      // __changed rides along in the checkpointed frame (the next
+      // round's join ignores it) so the convergence check and the new
+      // labels share ONE materialization
       val next = labels
         .join(neighborMin, labels("id") === neighborMin("nid"), "left_outer")
         .select(col("id"),
           least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"),
           (col("ncomp") < col("comp")).as("__changed"))
-        .persist()
+        .localCheckpoint(true)
       converged = next.filter(col("__changed")).limit(1).count() == 0L
       labels.unpersist()
       labels = next
@@ -70,6 +74,84 @@ object Clusters {
     }
     edges.unpersist()
     labels.select("id", "comp")
+  }
+
+  /** Connected components via alternating LARGE-STAR / SMALL-STAR edge
+    * rewrites — the O(log n)-round algorithm (public literature:
+    * Kiveris et al., "Connected Components in MapReduce and Beyond")
+    * for graphs where plain min-label propagation would need
+    * diameter rounds (long chains). Each half-round is two shuffles
+    * (neighborhood-min aggregate + edge join); no driver-side graph
+    * state; convergence detected by an order-independent edge-set
+    * checksum (count + sum of md5-derived edge hashes), one tiny
+    * action per round.
+    *
+    *   - large-star: every node's LARGER neighbors re-attach to the
+    *     minimum of its closed neighborhood;
+    *   - small-star: every node and its SMALLER neighbors re-attach to
+    *     the minimum smaller neighbor.
+    *
+    * At fixpoint every edge is (child, componentMin). Same result as
+    * [[connectedComponents]] (property-tested); use this variant when
+    * the pair graph may contain long chains.
+    */
+  def connectedComponentsTwoStar(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 25): DataFrame = {
+    def dirBoth(e: DataFrame): DataFrame =
+      e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+    def largeStar(e: DataFrame): DataFrame = {
+      val nbrs = dirBoth(e)
+      val m = nbrs.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
+      nbrs.filter(col("v") > col("u")).join(m, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val small = dirBoth(e).filter(col("v") < col("u"))
+      val m = small.groupBy("u").agg(min(col("v")).as("m"))
+      val reattached = small.join(m, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+      reattached.unionByName(m.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v")).distinct()
+    }
+    // order-independent set checksum: (|E|, Σ hash60(u:v)) — summed in
+    // DECIMAL(38) so it cannot overflow at any edge count
+    def checksum(e: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = e.agg(count(lit(1)),
+        sum(graft.text.TextFeatures.hexPrefixToLong(
+            md5(concat_ws(":", col("u"), col("v"))), 15)
+          .cast("decimal(38,0)"))).head()
+      (r.getLong(0),
+        if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1))
+    }
+
+    // localCheckpoint (NOT persist): each round's plan nests the
+    // previous round's ~5 times (dirBoth + aggregates + joins), so with
+    // plain caching the LOGICAL plan grows exponentially and the
+    // analyzer, not the data, becomes the bottleneck. Checkpointing
+    // truncates lineage to the materialized partitions — constant plan
+    // size per round. (A production cluster would use a reliable
+    // checkpoint dir; the truncation effect is the same.)
+    var edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint(true)
+    var sig = checksum(edges)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val nextSum = checksum(next)
+      converged = nextSum == sig
+      edges.unpersist()
+      edges = next
+      sig = nextSum
+      iter += 1
+    }
+    // fixpoint edges are (child, root); roots label themselves
+    val labels = edges.select(col("u").as("id"), col("v").as("comp"))
+      .unionByName(edges.select(col("v").as("id"), col("v").as("comp")))
+      .groupBy("id").agg(min(col("comp")).as("comp"))
+    labels
   }
 
   /** Keep one row per duplicate cluster: drop every doc whose cluster

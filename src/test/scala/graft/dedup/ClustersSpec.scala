@@ -29,6 +29,17 @@ class ClustersSpec extends AnyFunSuite {
     assert(kept.toSeq === Seq(1L, 10L, 99L))
   }
 
+  test("two-star CC solves a 300-node CHAIN within its O(log n) round budget") {
+    // diameter 300: min-label propagation would need 300 rounds; the
+    // large-star/small-star rewrite must finish well inside maxIter=25
+    val chain = (0L until 299L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val comps = Clusters
+      .connectedComponentsTwoStar(chain, "doc_a", "doc_b", maxIter = 25)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(comps.length === 300)
+    assert(comps.forall(_._2 == 0L), "all chain nodes must join component 0")
+  }
+
   test("components on the real minhash pair graph cover exactly the paired docs") {
     val pairs = MinHashLSH.nearDuplicatePairs(
         graft.queries.Tables.load(spark, "/root/testdata/sf0.001", "documents"),

@@ -132,4 +132,21 @@ object OperatorProps extends Properties("Operators") {
         got == unionFind(edges)
       }
     }
+
+  property("two-star CC == union-find on random graphs") =
+    forAll(for {
+      n <- Gen.choose(1, 15)
+      edges <- Gen.listOfN(n, for {
+        a <- Gen.choose(0L, 12L); b <- Gen.choose(0L, 12L) if a != b
+      } yield (math.min(a, b), math.max(a, b)))
+    } yield edges.distinct) { edges =>
+      edges.isEmpty || {
+        import spark.implicits._
+        val got = Clusters
+          .connectedComponentsTwoStar(
+            edges.toDF("doc_a", "doc_b"), "doc_a", "doc_b")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        got == unionFind(edges)
+      }
+    }
 }
