@@ -32,6 +32,16 @@ object Sampling {
       salt: String = "s"): DataFrame =
     df.filter(coordinate(col(idCol), salt) < rate)
 
+  /** Deterministic train/eval split tag: every row labeled "eval" with
+    * probability `evalFraction`, "train" otherwise — a pure function of
+    * the id, so the split is identical on every run/engine and a
+    * document can never leak between sides. Use a dedicated salt per
+    * experiment.
+    */
+  def splitColumn(id: Column, evalFraction: Double,
+      salt: String = "split"): Column =
+    when(coordinate(id, salt) < evalFraction, lit("eval")).otherwise(lit("train"))
+
   /** Per-stratum rates (e.g. per-source mixing weights); strata not in
     * `rates` keep `defaultRate`.
     */

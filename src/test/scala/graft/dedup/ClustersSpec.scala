@@ -78,5 +78,14 @@ class ClustersSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(bySource.keySet === Set("src0")) // default 0 drops the rest
     assert(bySource("src0") === docs.filter($"source" === "src0").count())
+
+    // train/eval split: total partition, stable, disjoint by construction
+    val tagged = docs.select($"doc_id",
+      Sampling.splitColumn($"doc_id", 0.2).as("split"))
+    val byTag = tagged.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byTag.values.sum === docs.count())
+    assert(byTag.keySet === Set("train", "eval"))
+    assert(byTag("eval") > 0 && byTag("train") > byTag("eval"))
   }
 }

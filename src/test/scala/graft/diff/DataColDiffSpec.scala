@@ -118,6 +118,10 @@ class DataColDiffSpec extends AnyFunSuite {
     res.diff.unpersist()
   }
 
+  test("driver contract: SparkEntry.entry returns a nonempty flagship diff") {
+    assert(graft.SparkEntry.entry(spark).count() > 0)
+  }
+
   test("edge: empty inputs produce an empty diff with zero counts") {
     import spark.implicits._
     val empty = Seq.empty[(Long, String)].toDF("id", "v")

@@ -26,6 +26,16 @@ class MultimodalSpec extends AnyFunSuite {
       out.head.features.toSeq)
   }
 
+  test("decode batches: partition sizes that don't divide batchSize all decode") {
+    val recs = (0L until 150L).map(i =>
+      DecodeStub.MediaRecord(i, "wav", Array.tabulate(64)(b => (b + i).toByte)))
+    val ds = recs.toDS().repartition(4) // ragged partitions vs batchSize 64
+    val out = DecodeStub.decode(ds, batchSize = 64).collect()
+    assert(out.length === 150)
+    assert(out.map(_.doc_id).sorted.toSeq === (0L until 150L))
+    assert(out.forall(_.features.length === DecodeStub.FeatureDim))
+  }
+
   test("binaryFile source reads payloads with metadata attached") {
     val dir = Files.createTempDirectory("graft-bin").toString
     Files.write(Paths.get(dir, "a.png"), Array[Byte](1, 2, 3))
