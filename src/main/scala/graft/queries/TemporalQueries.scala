@@ -71,11 +71,50 @@ object TemporalQueries {
       |  ON c.user_id = p.user_id AND c.c_ts >= p.w_start AND c.c_ts <= p.p_ts
       |GROUP BY p.p_id ORDER BY p.p_id""".stripMargin
 
+  /** Batch sessionization via Spark's `session_window` (the batch face
+    * of [[graft.streaming.Sessionize]]): per-user sessions split at
+    * ≥30-minute gaps. The oracle derives the same sessions through the
+    * classic gaps-and-islands SQL (lag + running sum) — a structurally
+    * different algorithm agreeing on every boundary. A gap of exactly
+    * the threshold starts a NEW session in both (session_window's
+    * half-open [start, end) ↔ the oracle's `>=`).
+    */
+  def qSessions(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.loadEvents(spark, dir)
+    ev.groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+      .orderBy("user_id", "session_start")
+  }
+
+  val qSessionsSql: String =
+    """WITH flags AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |sess AS (
+      |  SELECT user_id, ts,
+      |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      |                     ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM flags)
+      |SELECT user_id, min(ts) AS session_start,
+      |       max(ts) + INTERVAL 30 MINUTE AS session_end,
+      |       count(*) AS n_events
+      |FROM sess GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_asof_purchase" -> (qAsofPurchase(_, _)),
-    "q_range_clicks" -> (qRangeClicks(_, _)))
+    "q_range_clicks" -> (qRangeClicks(_, _)),
+    "q_sessions" -> (qSessions(_, _)))
 
   val oracleSql: Map[String, String] = Map(
     "q_asof_purchase" -> qAsofPurchaseSql,
-    "q_range_clicks" -> qRangeClicksSql)
+    "q_range_clicks" -> qRangeClicksSql,
+    "q_sessions" -> qSessionsSql)
 }

@@ -149,6 +149,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming sessionization equals batch session_window on real events") {
+    import org.apache.spark.sql.functions._
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    val gapMs = 30 * 60 * 1000L
+    val clicks = graft.queries.Tables.loadEvents(spark, "/root/testdata/sf0.001")
+      .select(col("user_id").cast("string").as("user"),
+        col("ts").cast("timestamp").as("ts"))
+      .as[Sessionize.Click].collect().toSeq
+    val flush = Sessionize.Click("zz_flush",
+      new Timestamp(clicks.map(_.ts.getTime).max + 10L * gapMs))
+
+    val stream = MemoryStream[Sessionize.Click](spark)
+    val q = Sessionize.sessions(
+        stream.toDS().withWatermark("ts", "0 seconds"), gapMs)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("batch_equiv_sessions").start()
+    try {
+      stream.addData(clicks)
+      q.processAllAvailable()
+      stream.addData(flush) // advance the watermark → all sessions time out
+      q.processAllAvailable()
+      val streamed = spark.table("batch_equiv_sessions")
+        .as[Sessionize.Session].collect()
+        .filter(_.user != "zz_flush")
+        .map(s => (s.user, s.start.getTime, s.end.getTime, s.n_events)).toSet
+      // batch formulation: session_window end = last event + gap
+      val batch = clicks.toDF("user", "ts")
+        .groupBy(col("user"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n")).collect()
+        .map(r => (r.getString(0),
+          r.getStruct(1).getTimestamp(0).getTime,
+          r.getStruct(1).getTimestamp(1).getTime - gapMs,
+          r.getLong(2))).toSet
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming dedup: duplicate content dropped across batches, bounded state") {
     val stream = MemoryStream[(Timestamp, Long, String)](spark)
     val q = StreamDedup.firstSeen(
