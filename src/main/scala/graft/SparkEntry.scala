@@ -50,6 +50,6 @@ object SparkEntry {
     "dedup_embed", "dedup_clusters", "sample_stratified",
     "text_stats", "text_langid", "text_tokens", "text_fingerprint",
     "text_tfidf", "text_normalize",
-    "sim_topk", "sim_lsh_bucket", "sim_ivf",
+    "sim_topk", "sim_lsh_bucket", "sim_ivf", "sim_recall",
     "mm_meta", "mm_frames", "mm_format_stats", "pipeline_curate")
 }

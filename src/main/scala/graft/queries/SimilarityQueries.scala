@@ -122,13 +122,55 @@ object SimilarityQueries {
        |WHERE rank <= $K ORDER BY q_id, rank""".stripMargin
   }
 
+  // --------------------------------------------------------------- recall
+
+  /** recall@k of the LSH index against exact brute force, per query —
+    * the measurement that prices an ANN index's misses, computed as a
+    * distributed join (no per-query driver loops). The oracle rebuilds
+    * BOTH pipelines in SQL and joins them independently.
+    */
+  def simRecall(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.loadSpread(spark, dir, "embeddings")
+    Recall.atK(
+      BruteForceKNN.topK(emb, "vec_id", "embedding", _ < QueryCount, K),
+      HyperplaneLSH.topKInBucket(emb, "vec_id", "embedding",
+        _ < QueryCount, K, lshCfg),
+      K)
+  }
+
+  val simRecallSql: String =
+    s"""WITH $planesCteSql,
+       |v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, ${foldDot("v", "v")} AS nrm FROM v),
+       |ep AS (SELECT q.vec_id AS q_id, d.vec_id AS n_id,
+       |    ${foldDot("q.v", "d.v")} / (sqrt(q.nrm) * sqrt(d.nrm)) AS cos_sim
+       |  FROM n q CROSS JOIN n d
+       |  WHERE q.vec_id < $QueryCount AND d.vec_id <> q.vec_id),
+       |e AS (SELECT q_id, n_id FROM (
+       |  SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id
+       |    ORDER BY cos_sim DESC, n_id) AS rank FROM ep) WHERE rank <= $K),
+       |b AS (SELECT vec_id, v, nrm, $bucketSql AS bucket
+       |  FROM n CROSS JOIN planes pl),
+       |ap AS (SELECT q.vec_id AS q_id, d.vec_id AS n_id,
+       |    ${foldDot("q.v", "d.v")} / (sqrt(q.nrm) * sqrt(d.nrm)) AS cos_sim
+       |  FROM b q JOIN b d ON d.bucket = q.bucket AND d.vec_id <> q.vec_id
+       |  WHERE q.vec_id < $QueryCount),
+       |a AS (SELECT q_id, n_id FROM (
+       |  SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id
+       |    ORDER BY cos_sim DESC, n_id) AS rank FROM ap) WHERE rank <= $K)
+       |SELECT e.q_id AS q, CAST(count(a.n_id) AS DOUBLE) / count(*) AS recall
+       |FROM e LEFT JOIN a ON a.q_id = e.q_id AND a.n_id = e.n_id
+       |GROUP BY e.q_id ORDER BY q""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk" -> (simTopk(_, _)),
     "sim_lsh_bucket" -> (simLshBucket(_, _)),
-    "sim_ivf" -> (simIvf(_, _)))
+    "sim_ivf" -> (simIvf(_, _)),
+    "sim_recall" -> (simRecall(_, _)))
 
   val oracleSql: Map[String, String] = Map(
     "sim_topk" -> simTopkSql,
     "sim_lsh_bucket" -> simLshBucketSql,
-    "sim_ivf" -> simIvfSql)
+    "sim_ivf" -> simIvfSql,
+    "sim_recall" -> simRecallSql)
 }
