@@ -46,7 +46,9 @@ object Clusters {
     // localCheckpoint per round (not persist): the round plan references
     // `labels` twice, so plain caching would grow the LOGICAL plan
     // exponentially with rounds — checkpointing truncates lineage to the
-    // materialized partitions.
+    // materialized partitions. Superseded rounds' checkpoint blocks are
+    // reclaimed by the ContextCleaner once unreferenced (Dataset.unpersist
+    // does not reach RDD-level checkpoint storage).
     var labels = edges.groupBy("src")
       .agg(least(col("src"), min(col("dst"))).as("comp"))
       .select(col("src").as("id"), col("comp"))
@@ -68,11 +70,14 @@ object Clusters {
           (col("ncomp") < col("comp")).as("__changed"))
         .localCheckpoint(true)
       converged = next.filter(col("__changed")).limit(1).count() == 0L
-      labels.unpersist()
       labels = next
       iter += 1
     }
     edges.unpersist()
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge within $maxIter rounds " +
+        "(graph diameter exceeds the bound) — raise maxIter or use " +
+        "connectedComponentsTwoStar, which needs only O(log n) rounds")
     labels.select("id", "comp")
   }
 
@@ -132,7 +137,9 @@ object Clusters {
     // analyzer, not the data, becomes the bottleneck. Checkpointing
     // truncates lineage to the materialized partitions — constant plan
     // size per round. (A production cluster would use a reliable
-    // checkpoint dir; the truncation effect is the same.)
+    // checkpoint dir; the truncation effect is the same. Superseded
+    // rounds are reclaimed by the ContextCleaner once unreferenced —
+    // Dataset.unpersist does not reach RDD-level checkpoint storage.)
     var edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
       .filter(col("u") =!= col("v")).distinct().localCheckpoint(true)
     var sig = checksum(edges)
@@ -142,16 +149,24 @@ object Clusters {
       val next = smallStar(largeStar(edges)).localCheckpoint(true)
       val nextSum = checksum(next)
       converged = nextSum == sig
-      edges.unpersist()
       edges = next
       sig = nextSum
       iter += 1
     }
-    // fixpoint edges are (child, root); roots label themselves
+    if (!converged) throw new IllegalStateException(
+      s"two-star connected components did not converge within $maxIter " +
+        "rounds — raise maxIter (expected rounds ~ log2(nodes))")
+    // fixpoint edges are (child, root); roots label themselves. Nodes
+    // whose only pairs were SELF-pairs have no surviving edges — restore
+    // them as their own singleton components (the min-label variant
+    // keeps them; the two must agree).
+    val allNodes = pairs.select(col(aCol).as("id"))
+      .unionByName(pairs.select(col(bCol).as("id"))).distinct()
     val labels = edges.select(col("u").as("id"), col("v").as("comp"))
       .unionByName(edges.select(col("v").as("id"), col("v").as("comp")))
       .groupBy("id").agg(min(col("comp")).as("comp"))
-    labels
+    allNodes.join(labels, Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
   }
 
   /** Keep one row per duplicate cluster: drop every doc whose cluster

@@ -36,7 +36,9 @@ object RangeJoin {
       startCol: String, endCol: String, rightTime: String,
       bucket: String = "hour"): DataFrame = {
     require(keys.nonEmpty, "range join needs at least one key column")
-    val lb = left.withColumn("__bucket",
+    // a malformed row with end < start matches nothing (naive-join
+    // semantics) — unguarded, sequence() would throw and kill the job
+    val lb = left.filter(col(startCol) <= col(endCol)).withColumn("__bucket",
       explode(sequence(
         date_trunc(bucket, col(startCol)),
         date_trunc(bucket, col(endCol)),

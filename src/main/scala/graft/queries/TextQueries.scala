@@ -141,10 +141,10 @@ object TextQueries {
        |n AS (SELECT count(*) AS n_total FROM documents)
        |SELECT stratum, rank, term, score FROM (
        |  SELECT stratum, term,
-       |    CAST(tf.tf * n.n_total AS DOUBLE) / df.df AS score,
+       |    CAST(tf.tf AS DOUBLE) * CAST(n.n_total AS DOUBLE) / df.df AS score,
        |    ROW_NUMBER() OVER (PARTITION BY stratum
-       |      ORDER BY CAST(tf.tf * n.n_total AS DOUBLE) / df.df DESC, term)
-       |      AS rank
+       |      ORDER BY CAST(tf.tf AS DOUBLE) * CAST(n.n_total AS DOUBLE) / df.df
+       |               DESC, term) AS rank
        |  FROM tf JOIN df USING (term) CROSS JOIN n)
        |WHERE rank <= $TfIdfK ORDER BY stratum, rank""".stripMargin
 

@@ -9,12 +9,19 @@ import java.sql.Timestamp
   * (session boundaries depend on the DATA, not the clock grid).
   *
   * A session is a maximal run of a user's events with consecutive gaps
-  * below `gapMs`. Sessions close two ways:
-  *   - deterministically, when a later event arrives past the gap
-  *     (the closed session is emitted with that micro-batch);
-  *   - by event-time timeout once the watermark passes session end +
-  *     gap (abandoned sessions don't hold state forever — state is
-  *     O(active users), partitioned by key across executors).
+  * below `gapMs`. Out-of-order events (any arrival above the watermark)
+  * are handled fully: state holds the user's OPEN SESSION SET — a
+  * sorted list of disjoint candidate sessions — and each event
+  * merge-inserts, possibly FUSING two neighbors it bridges. A session
+  * is emitted only when the event-time watermark passes its end + gap:
+  * at that point no event that could still arrive may extend it, so
+  * emission is final and identical to the batch `session_window`
+  * result (spec-verified on real data). Emitting earlier (e.g. when a
+  * later in-order event exceeds the gap) would be wrong under
+  * lateness — a late event inside the gap could bridge the two.
+  *
+  * State is O(open sessions within the watermark horizon) per user —
+  * bounded by the horizon, partitioned by key across executors.
   */
 object Sessionize {
 
@@ -23,9 +30,11 @@ object Sessionize {
       n_events: Long)
 
   /** Internal per-user state (public: Spark's encoder codegen requires
-    * accessible accessors).
+    * accessible accessors). `sessions` is sorted by start, disjoint,
+    * neighbors separated by more than the gap.
     */
   case class Open(start: Long, end: Long, n: Long)
+  case class OpenSet(sessions: List[Open])
 
   /** Completed sessions of a WATERMARKED streaming Dataset[Click]
     * (callers: `clicks.withWatermark("ts", ...)` first; required by
@@ -34,40 +43,39 @@ object Sessionize {
   def sessions(clicks: Dataset[Click], gapMs: Long)
       (implicit spark: SparkSession): Dataset[Session] = {
     import spark.implicits._
+
+    // merge-insert: fold the point session [t, t] into the sorted set,
+    // fusing every session STRICTLY within gap on either side — a gap of
+    // exactly gapMs separates, matching batch session_window's half-open
+    // [start, end+gap) windows
+    def insert(sorted: List[Open], t: Long): List[Open] = {
+      val (before, rest) = sorted.span(_.end <= t - gapMs)
+      val (touching, after) = rest.span(_.start < t + gapMs)
+      val fused = touching.foldLeft(Open(t, t, 1)) { (acc, s) =>
+        Open(math.min(acc.start, s.start), math.max(acc.end, s.end),
+          acc.n + s.n)
+      }
+      before ::: fused :: after
+    }
+
     clicks.groupByKey(_.user)
-      .flatMapGroupsWithState[Open, Session](
+      .flatMapGroupsWithState[OpenSet, Session](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (user: String, events: Iterator[Click], state: GroupState[Open]) =>
-          if (state.hasTimedOut) {
-            val s = state.get
-            state.remove()
-            Iterator(Session(user, new Timestamp(s.start),
-              new Timestamp(s.end), s.n))
-          } else {
-            val sorted = events.map(_.ts.getTime).toSeq.sorted
-            var open = state.getOption
-            val closed = Seq.newBuilder[Session]
-            sorted.foreach { t =>
-              open match {
-                case Some(o) if t - o.end <= gapMs =>
-                  // Late (out-of-order) events may arrive with t < end —
-                  // extend the span monotonically, never regress it.
-                  open = Some(Open(math.min(o.start, t),
-                    math.max(o.end, t), o.n + 1))
-                case Some(o) =>
-                  closed += Session(user, new Timestamp(o.start),
-                    new Timestamp(o.end), o.n)
-                  open = Some(Open(t, t, 1))
-                case None =>
-                  open = Some(Open(t, t, 1))
-              }
-            }
-            open.foreach { o =>
-              state.update(o)
-              state.setTimeoutTimestamp(o.end + gapMs)
-            }
-            closed.result().iterator
+        (user: String, events: Iterator[Click], state: GroupState[OpenSet]) =>
+          val open0 = state.getOption.map(_.sessions).getOrElse(Nil)
+          val open = events.foldLeft(open0)((acc, c) => insert(acc, c.ts.getTime))
+          val wm = state.getCurrentWatermarkMs()
+          // final = nothing that can still arrive (ts ≥ watermark) could
+          // extend the session: its whole [start-gap, end+gap] halo is
+          // below the watermark
+          val (expired, live) = open.partition(_.end + gapMs <= wm)
+          if (live.isEmpty) state.remove()
+          else {
+            state.update(OpenSet(live))
+            state.setTimeoutTimestamp(live.map(_.end).min + gapMs)
           }
+          expired.sortBy(_.start).iterator.map(o =>
+            Session(user, new Timestamp(o.start), new Timestamp(o.end), o.n))
       }
   }
 }

@@ -33,7 +33,10 @@ object TfIdf {
     val n = docs.select(count(lit(1)).as("n_total"))
     val scored = tf.join(df, "term").crossJoin(broadcast(n))
       .select(col("stratum"), col("term"),
-        ((col("tf") * col("n_total")).cast("double") / col("df")).as("score"))
+        // multiply in DOUBLE: a long tf*N wraps silently past 2^63 at
+        // extreme corpus sizes; the double product just loses ulps
+        ((col("tf").cast("double") * col("n_total").cast("double"))
+          / col("df")).as("score"))
     val w = Window.partitionBy("stratum").orderBy(desc("score"), asc("term"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

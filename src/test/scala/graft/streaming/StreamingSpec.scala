@@ -149,6 +149,59 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sessionization: disjoint EARLY late event opens its own session") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    val stream = MemoryStream[Sessionize.Click](spark)
+    val q = Sessionize.sessions(
+        stream.toDS().withWatermark("ts", "1 hour"), 30 * 60 * 1000L)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("early_sessions").start()
+    def click(u: String, t: String) = Sessionize.Click(u, ts(t))
+    try {
+      stream.addData(click("c", "2024-01-01 10:00:00"),
+        click("c", "2024-01-01 10:20:00"))
+      q.processAllAvailable()
+      // 09:25 is 35min before the open session's start: within the
+      // watermark slack but OUTSIDE the gap — it must NOT merge
+      stream.addData(click("c", "2024-01-01 09:25:00"))
+      q.processAllAvailable()
+      stream.addData(click("d", "2024-01-01 13:00:00")) // flush watermark
+      q.processAllAvailable()
+      val sessions = spark.table("early_sessions")
+        .as[Sessionize.Session].collect().filter(_.user == "c").sortBy(_.start)
+      assert(sessions.toSeq === Seq(
+        Sessionize.Session("c", ts("2024-01-01 09:25:00"),
+          ts("2024-01-01 09:25:00"), 1),
+        Sessionize.Session("c", ts("2024-01-01 10:00:00"),
+          ts("2024-01-01 10:20:00"), 2)))
+    } finally q.stop()
+  }
+
+  test("sessionization: a late event BRIDGES two provisional sessions") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    val stream = MemoryStream[Sessionize.Click](spark)
+    val q = Sessionize.sessions(
+        stream.toDS().withWatermark("ts", "1 hour"), 30 * 60 * 1000L)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("bridge_sessions").start()
+    def click(u: String, t: String) = Sessionize.Click(u, ts(t))
+    try {
+      // 10:00 and 10:50 are > gap apart: two provisional sessions — but
+      // neither may be emitted yet (a late event could still bridge)
+      stream.addData(click("c", "2024-01-01 10:00:00"),
+        click("c", "2024-01-01 10:50:00"))
+      q.processAllAvailable()
+      stream.addData(click("c", "2024-01-01 10:25:00")) // within gap of BOTH
+      q.processAllAvailable()
+      stream.addData(click("d", "2024-01-01 14:00:00")) // flush watermark
+      q.processAllAvailable()
+      val sessions = spark.table("bridge_sessions")
+        .as[Sessionize.Session].collect().filter(_.user == "c")
+      assert(sessions.toSeq === Seq(Sessionize.Session("c",
+        ts("2024-01-01 10:00:00"), ts("2024-01-01 10:50:00"), 3)))
+    } finally q.stop()
+  }
+
   test("streaming sessionization equals batch session_window on real events") {
     import org.apache.spark.sql.functions._
     implicit val sp: org.apache.spark.sql.SparkSession = spark
