@@ -36,6 +36,24 @@ object Sessionize {
   case class Open(start: Long, end: Long, n: Long)
   case class OpenSet(sessions: List[Open])
 
+  /** Merge-insert: fold the point session [t, t] into the sorted
+    * disjoint session set, fusing every session STRICTLY within gap on
+    * either side — a gap of exactly gapMs separates, matching batch
+    * session_window's half-open [start, end+gap) windows. The fold is
+    * insertion-ORDER-INSENSITIVE (property-tested), which is what makes
+    * out-of-order arrival safe.
+    */
+  private[streaming] def mergeInsert(sorted: List[Open], t: Long,
+      gapMs: Long): List[Open] = {
+    val (before, rest) = sorted.span(_.end <= t - gapMs)
+    val (touching, after) = rest.span(_.start < t + gapMs)
+    val fused = touching.foldLeft(Open(t, t, 1)) { (acc, s) =>
+      Open(math.min(acc.start, s.start), math.max(acc.end, s.end),
+        acc.n + s.n)
+    }
+    before ::: fused :: after
+  }
+
   /** Completed sessions of a WATERMARKED streaming Dataset[Click]
     * (callers: `clicks.withWatermark("ts", ...)` first; required by
     * the event-time timeout).
@@ -44,26 +62,13 @@ object Sessionize {
       (implicit spark: SparkSession): Dataset[Session] = {
     import spark.implicits._
 
-    // merge-insert: fold the point session [t, t] into the sorted set,
-    // fusing every session STRICTLY within gap on either side — a gap of
-    // exactly gapMs separates, matching batch session_window's half-open
-    // [start, end+gap) windows
-    def insert(sorted: List[Open], t: Long): List[Open] = {
-      val (before, rest) = sorted.span(_.end <= t - gapMs)
-      val (touching, after) = rest.span(_.start < t + gapMs)
-      val fused = touching.foldLeft(Open(t, t, 1)) { (acc, s) =>
-        Open(math.min(acc.start, s.start), math.max(acc.end, s.end),
-          acc.n + s.n)
-      }
-      before ::: fused :: after
-    }
-
     clicks.groupByKey(_.user)
       .flatMapGroupsWithState[OpenSet, Session](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (user: String, events: Iterator[Click], state: GroupState[OpenSet]) =>
           val open0 = state.getOption.map(_.sessions).getOrElse(Nil)
-          val open = events.foldLeft(open0)((acc, c) => insert(acc, c.ts.getTime))
+          val open = events.foldLeft(open0)((acc, c) =>
+            mergeInsert(acc, c.ts.getTime, gapMs))
           val wm = state.getCurrentWatermarkMs()
           // final = nothing that can still arrive (ts ≥ watermark) could
           // extend the session: its whole [start-gap, end+gap] halo is
