@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 
 /** Driver-verifiable text-analysis queries over the `documents` table.
-  * All four are pure per-row projections (zero shuffle) ordered by
+  * All but tfidf are pure per-row projections (zero shuffle) ordered by
   * doc_id; the oracle mirrors every arithmetic step so doubles come out
   * bit-identical (single divisions / fixed-order products only).
   */
