@@ -35,6 +35,10 @@ object DataColDiff {
   /** Lazy diff plan: `n*2` key columns (`<pk>_s1`, `<pk>_s2`), `CompColArr`
     * and `Flag`. No jobs run. Output shape documented at
     * reference find_dataframe_diff.py:15.
+    *
+    * Error contract: DATA problems (schema mismatch, type mismatch,
+    * case collisions) come back as `Left(SchemaMismatch)`; an invalid
+    * `pks` argument is a CALLER bug and throws IllegalArgumentException.
     */
   def diffPlan(s1: DataFrame, s2: DataFrame, pks: Seq[String],
       lenient: Boolean = false): Either[SchemaMismatch, DataFrame] =
@@ -45,16 +49,18 @@ object DataColDiff {
       // `===` (not `<=>`): a null key never matches, same as the reference
       // (string keys were null-blanked upstream, so this only affects
       // genuinely-null non-string keys).
+      // Presence MARKERS, not key-null tests, decide which side a row
+      // came from: a present row whose pk is genuinely NULL would look
+      // identical to an absent side under the reference's key-null test
+      // (find_datacol_diff.py:124) and get the wrong ONLY-flag.
+      val m1 = d1.withColumn("__s1_present", lit(true))
+      val m2 = d2.withColumn("__s2_present", lit(true))
+      import Standardize.quoted
       val cond = k.s1Keys.zip(k.s2Keys)
-        .map { case (a, b) => d1(a) === d2(b) }.reduce(_ && _)
-      val joined = d1.join(d2, cond, "full_outer")
-
-      // A side is absent iff ALL its key columns are null post-outer-join
-      // (reference uses concat(...).isNull — any-null — which is
-      // equivalent for matched/unmatched rows and less safe for present
-      // rows with a legitimately-null key component).
-      val s1Missing = k.s1Keys.map(col(_).isNull).reduce(_ && _)
-      val s2Missing = k.s2Keys.map(col(_).isNull).reduce(_ && _)
+        .map { case (a, b) => m1(quoted(a)) === m2(quoted(b)) }.reduce(_ && _)
+      val joined = m1.join(m2, cond, "full_outer")
+      val s1Missing = col("__s1_present").isNull
+      val s2Missing = col("__s2_present").isNull
 
       val emptyArr = array().cast(DiffEntry.arrayType)
       // MapType isn't comparable in Spark (<=> fails analysis), so any
@@ -74,8 +80,8 @@ object DataColDiff {
       }
       val dtypes = d1.schema.fields.map(f => f.name -> f.dataType).toMap
       val entries: Seq[Column] = k.compCols.map { c =>
-        val a = col(c + Standardize.S1Suffix)
-        val b = col(c + Standardize.S2Suffix)
+        val a = col(quoted(c + Standardize.S1Suffix))
+        val b = col(quoted(c + Standardize.S2Suffix))
         val (ca, cb) =
           if (containsMap(dtypes(c + Standardize.S1Suffix)))
             (to_json(a), to_json(b))
@@ -100,7 +106,7 @@ object DataColDiff {
         .when(size(compArr) === 0, Flags.NoDiff)
         .otherwise(Flags.Diff)
 
-      val outCols = (k.s1Keys ++ k.s2Keys).map(col) ++
+      val outCols = (k.s1Keys ++ k.s2Keys).map(n => col(quoted(n))) ++
         Seq(compArr.as(CompColArr), flag.as(Flag))
       joined.select(outCols: _*)
     }

@@ -57,9 +57,22 @@ case class DiffResult(diff: DataFrame, stats: DataFrame, counts: FlagCounts)
 /** Schema-mismatch error (the reference sys.exit(1)s on this path,
   * find_datacol_diff.py:55-56 + find_dataframe_diff.py:18-21; we surface
   * it as a value instead).
+  *
+  * @param typeMismatches shared column names whose TYPES differ
+  *                       (rendered "name: s1Type vs s2Type")
+  * @param caseCollisions lower-cased names carried by more than one
+  *                       column of the same input (e.g. `Id` and `id`) —
+  *                       ambiguous under the engine's case-insensitive
+  *                       matching
   */
-case class SchemaMismatch(s1Only: Set[String], s2Only: Set[String]) {
+case class SchemaMismatch(s1Only: Set[String], s2Only: Set[String],
+    typeMismatches: Seq[String] = Nil,
+    caseCollisions: Set[String] = Set.empty) {
   def message: String =
     s"schemas differ: only-in-s1=${s1Only.toSeq.sorted.mkString(",")} " +
-      s"only-in-s2=${s2Only.toSeq.sorted.mkString(",")}"
+      s"only-in-s2=${s2Only.toSeq.sorted.mkString(",")}" +
+      (if (typeMismatches.nonEmpty)
+        s" type-mismatch=${typeMismatches.mkString(",")}" else "") +
+      (if (caseCollisions.nonEmpty)
+        s" case-collisions=${caseCollisions.toSeq.sorted.mkString(",")}" else "")
 }

@@ -1,7 +1,7 @@
 package graft.diff
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.{struct, to_json}
+import org.apache.spark.sql.functions.to_json
 
 /** Display affordances matching the reference's user-facing surface.
   *
@@ -49,10 +49,11 @@ object Render {
     summary(result.counts) + "\n" + psqlTable(result.stats)
 
   /** The diff frame with `CompColArr` rendered as a JSON string — the
-    * README-documented visualization (reference README.md:45). Stays a
-    * lazy plan; nothing is collected.
+    * README-documented visualization (reference README.md:45; the
+    * rendering is the bare array `[{"col_name":...}]`, so no struct
+    * wrapper). Stays a lazy plan; nothing is collected.
     */
   def diffAsJson(diff: DataFrame): DataFrame =
     diff.withColumn(DataColDiff.CompColArr,
-      to_json(struct(diff(DataColDiff.CompColArr))))
+      to_json(diff(DataColDiff.CompColArr)))
 }

@@ -45,17 +45,41 @@ object Standardize {
       : Either[SchemaMismatch, (DataFrame, DataFrame)] = {
     val c1 = s1.schema.names.map(_.toLowerCase).toSet
     val c2 = s2.schema.names.map(_.toLowerCase).toSet
-    if ((c1 diff c2).nonEmpty) Left(SchemaMismatch(c1 diff c2, c2 diff c1))
-    else if (!lenient && (c2 diff c1).nonEmpty)
-      Left(SchemaMismatch(c1 diff c2, c2 diff c1))
+    // columns of ONE input that collapse to the same lower-cased name
+    // (`Id` and `id`) are ambiguous under case-insensitive matching —
+    // surface them instead of failing later with an opaque
+    // AMBIGUOUS_REFERENCE deep in the plan
+    val dupWithin =
+      s1.schema.names.groupBy(_.toLowerCase).filter(_._2.length > 1).keySet ++
+        s2.schema.names.groupBy(_.toLowerCase).filter(_._2.length > 1).keySet
+    // shared columns must agree on TYPE: the diff would otherwise either
+    // fail at analysis (incomparable types) or silently coerce and mask
+    // real differences (1 vs "01" comparing equal)
+    val t1 = s1.schema.fields.map(f => f.name.toLowerCase -> f.dataType).toMap
+    val t2 = s2.schema.fields.map(f => f.name.toLowerCase -> f.dataType).toMap
+    val typeMismatches = (c1 intersect c2).toSeq.sorted.flatMap { n =>
+      if (t1(n) != t2(n)) Some(s"$n: ${t1(n).sql} vs ${t2(n).sql}") else None
+    }
+    if (dupWithin.nonEmpty)
+      Left(SchemaMismatch(Set.empty, Set.empty, Nil, dupWithin))
+    else if ((c1 diff c2).nonEmpty || (!lenient && (c2 diff c1).nonEmpty))
+      Left(SchemaMismatch(c1 diff c2, c2 diff c1, typeMismatches))
+    else if (typeMismatches.nonEmpty)
+      Left(SchemaMismatch(Set.empty, Set.empty, typeMismatches))
     else {
       val s2kept =
         if (c2 == c1) s2
         else s2.select(s2.schema.names.filter(n => c1(n.toLowerCase))
-          .map(col).toIndexedSeq: _*)
+          .map(n => s2(quoted(n))).toIndexedSeq: _*)
       Right((prepare(s1, S1Suffix), prepare(s2kept, S2Suffix)))
     }
   }
+
+  /** Backtick-quote a name (escaping embedded backticks) so dotted
+    * column names ("a.b") resolve literally instead of being parsed as
+    * struct-field access — needed for Dataset.col AND na.fill.
+    */
+  private[diff] def quoted(n: String): String = s"`${n.replace("`", "``")}`"
 
   /** Lower-case + suffix every column in one projection; blank string
     * nulls (reference fillna("") semantics: NULL and "" compare equal on
@@ -64,11 +88,11 @@ object Standardize {
     */
   def prepare(df: DataFrame, suffix: String): DataFrame = {
     val stringCols = df.schema.fields
-      .filter(_.dataType == StringType).map(_.name)
+      .filter(_.dataType == StringType).map(f => quoted(f.name))
     val filled =
       if (stringCols.isEmpty) df else df.na.fill("", stringCols)
     filled.select(filled.schema.names.map { n =>
-      col(n).as(n.toLowerCase + suffix)
+      filled(quoted(n)).as(n.toLowerCase + suffix)
     }.toIndexedSeq: _*)
   }
 }

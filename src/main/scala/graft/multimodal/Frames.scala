@@ -19,6 +19,9 @@ object Frames {
     */
   def sample(df: DataFrame, idCol: String, payloadCol: String,
       frameSize: Int, stride: Int): DataFrame = {
+    require(frameSize > 0 && stride > 0,
+      s"frameSize and stride must be positive, got $frameSize/$stride" +
+        " (zero would null out the frame arithmetic and silently drop rows)")
     val nFrames = (length(col(payloadCol)) / frameSize).cast("int")
     val idxs = filter(
       sequence(lit(0), greatest(nFrames - 1, lit(0))),

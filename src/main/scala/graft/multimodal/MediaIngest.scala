@@ -47,7 +47,9 @@ object MediaIngest {
       md5(concat(lit(s"blk$i:"), col(textCol)))): _*))
     val fmt = element_at(
       array(Formats.map(lit): _*),
-      (col(idCol) % Formats.size).cast("int") + 1)
+      // pmod, not %: a negative id under % yields index 0 (runtime
+      // error) or counts from the array END (silent wrong format)
+      pmod(col(idCol), lit(Formats.size)).cast("int") + 1)
     withMeta(
       docs.select(col(idCol).as("doc_id"), payload.as("payload"), fmt.as("fmt")),
       "payload", "fmt")

@@ -25,7 +25,7 @@ object MultimodalQueries {
     val cases = fmts.zipWithIndex.dropRight(1)
       .map { case (f, i) => s"WHEN $i THEN '$f'" }.mkString(" ")
     s"""m AS (SELECT doc_id, upper($hx) AS hx,
-       |  CASE (doc_id % ${fmts.size}) $cases ELSE '${fmts.last}' END AS fmt
+       |  CASE ((doc_id % ${fmts.size} + ${fmts.size}) % ${fmts.size}) $cases ELSE '${fmts.last}' END AS fmt
        |  FROM documents)""".stripMargin
   }
 

@@ -22,6 +22,13 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   * natural foreachBatch lift — no new diff semantics are introduced.
   */
 object SnapshotDiff {
+  // PRECONDITION: each micro-batch must carry at most ONE row per key —
+  // the diff's full-outer join fans out duplicate keys (one diff row and
+  // one flag count per duplicate). CDC-style update streams should
+  // reduce to latest-per-key first (e.g. a window over their own
+  // sequence/timestamp column); which row is "latest" is stream-specific
+  // knowledge this operator cannot guess.
+
 
   /** Wire a streaming frame of updates into per-batch diffs against
     * `snapshot`. The caller decides what to do with each

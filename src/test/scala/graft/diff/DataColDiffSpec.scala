@@ -118,6 +118,46 @@ class DataColDiffSpec extends AnyFunSuite {
     res.diff.unpersist()
   }
 
+  test("type-mismatched shared columns are Left, not silent coercion") {
+    import spark.implicits._
+    val s1 = Seq((1L, 1)).toDF("id", "x")          // x: int
+    val s2 = Seq((1L, "01")).toDF("id", "x")       // x: string — 1 vs "01"
+    val r = DataColDiff.computeDataframeDiff(s1, s2, Seq("id"))
+    assert(r.isLeft)
+    assert(r.left.toOption.get.typeMismatches.exists(_.startsWith("x:")))
+  }
+
+  test("case-colliding columns within one input are Left, not ambiguous refs") {
+    import spark.implicits._
+    val s1 = Seq((1L, "a", "b")).toDF("id", "V", "v")
+    val s2 = Seq((1L, "a", "b")).toDF("id", "V", "v")
+    val r = DataColDiff.computeDataframeDiff(s1, s2, Seq("id"))
+    assert(r.isLeft)
+    assert(r.left.toOption.get.caseCollisions === Set("v"))
+  }
+
+  test("dotted column names resolve literally") {
+    import spark.implicits._
+    val s1 = Seq((1L, "x")).toDF("id", "a.b")
+    val s2 = Seq((1L, "y")).toDF("id", "a.b")
+    val res = DataColDiff.computeDataframeDiff(s1, s2, Seq("id"))
+      .fold(mm => sys.error(mm.message), identity)
+    assert(res.counts === FlagCounts(0, 0, 0, 1))
+    res.diff.unpersist()
+  }
+
+  test("a present row with a genuinely NULL pk gets the right ONLY-flag") {
+    import spark.implicits._
+    val s1 = Seq((Some(1L), "a")).toDF("id", "v")
+    val s2 = Seq((Some(1L), "a"), (Option.empty[Long], "ghost")).toDF("id", "v")
+    val res = DataColDiff.computeDataframeDiff(s1, s2, Seq("id"))
+      .fold(mm => sys.error(mm.message), identity)
+    // the null-pk s2 row never joins: it is an S2_ONLY row, and must not
+    // be misread as S1_ONLY just because its own key is null
+    assert(res.counts === FlagCounts(0, 1, 1, 0))
+    res.diff.unpersist()
+  }
+
   test("driver contract: SparkEntry.entry returns a nonempty flagship diff") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
