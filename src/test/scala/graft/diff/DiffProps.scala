@@ -207,4 +207,32 @@ object DiffProps extends Properties("DataColDiff") {
           validCols :| "col_name is a comparison column"
       }
     }
+
+  // ---- adversarial column names: dots, spaces, backticks, mixed case ----
+
+  private val weirdNames = Seq(
+    "a.b", "A B", "c-d", "UPPER", "mixedCase", "we`ird", "tab\tname", "x")
+
+  private val genWeirdSchema: Gen[(Seq[String], Int)] = for {
+    n <- Gen.choose(1, 4)
+    names <- Gen.pick(n, weirdNames)
+    rows <- Gen.choose(1, 10)
+  } yield (names.toSeq, rows)
+
+  property("weird column names: full pipeline works, self-diff all NODIFF") =
+    forAll(genWeirdSchema) { case (names, nRows) =>
+      import org.apache.spark.sql.types._
+      import org.apache.spark.sql.Row
+      val schema = StructType(StructField("id", LongType, nullable = false) +:
+        names.map(n => StructField(n, StringType, nullable = true)))
+      val rows = (0 until nRows).map(i =>
+        Row.fromSeq(i.toLong +: names.map(n => s"$n-$i")))
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toSeq), schema)
+      val res = DataColDiff.computeDataframeDiff(df, df, Seq("id"))
+        .fold(mm => sys.error(mm.message), identity)
+      try (res.counts == FlagCounts(0, 0, nRows.toLong, 0)) :|
+        s"counts=${res.counts} names=$names"
+      finally res.diff.unpersist()
+    }
 }
