@@ -36,8 +36,14 @@ object Clusters {
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    // both edge directions from ONE scan of `pairs` (explode, not a
+    // union of two selects — a union re-runs the whole upstream pair
+    // pipeline once per branch, which for LSH-derived pair graphs means
+    // shingling the corpus twice)
+    val edges = pairs.select(explode(array(
+        struct(col(aCol).as("src"), col(bCol).as("dst")),
+        struct(col(bCol).as("src"), col(aCol).as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
       .persist()
 
@@ -46,13 +52,16 @@ object Clusters {
     // localCheckpoint per round (not persist): the round plan references
     // `labels` twice, so plain caching would grow the LOGICAL plan
     // exponentially with rounds — checkpointing truncates lineage to the
-    // materialized partitions. Superseded rounds' checkpoint blocks are
-    // reclaimed by the ContextCleaner once unreferenced (Dataset.unpersist
-    // does not reach RDD-level checkpoint storage).
+    // materialized partitions. Checkpoints are LAZY: the convergence
+    // count is the action that materializes them, so each round is ONE
+    // job (an eager checkpoint would add a second full materialization
+    // job per round). Superseded rounds' checkpoint blocks are reclaimed
+    // by the ContextCleaner once unreferenced (Dataset.unpersist does
+    // not reach RDD-level checkpoint storage).
     var labels = edges.groupBy("src")
       .agg(least(col("src"), min(col("dst"))).as("comp"))
       .select(col("src").as("id"), col("comp"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -62,14 +71,16 @@ object Clusters {
         .agg(min(col("comp")).as("ncomp"))
       // __changed rides along in the checkpointed frame (the next
       // round's join ignores it) so the convergence check and the new
-      // labels share ONE materialization
+      // labels share ONE materialization. The check COUNTS changed rows
+      // (no limit-1 short-circuit) so the lazy checkpoint is forced to
+      // compute every partition.
       val next = labels
         .join(neighborMin, labels("id") === neighborMin("nid"), "left_outer")
         .select(col("id"),
           least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"),
           (col("ncomp") < col("comp")).as("__changed"))
-        .localCheckpoint(true)
-      converged = next.filter(col("__changed")).limit(1).count() == 0L
+        .localCheckpoint(false)
+      converged = next.filter(col("__changed")).count() == 0L
       labels = next
       iter += 1
     }
