@@ -37,7 +37,7 @@ object Bench {
       // iterative operators cache small intermediate graphs whose
       // pinned 32-partition layout otherwise costs a task per (mostly
       // empty) partition per job
-      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "false")
       // The generated-class cache defaults to 100 entries; the suite ×
       // (warmup + timed) compiles far more units than that, so late
       // timed queries would re-pay janino compilation their warmup

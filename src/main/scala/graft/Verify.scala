@@ -19,7 +19,7 @@ object Verify {
       // iterative operators cache small intermediate graphs whose
       // pinned 32-partition layout otherwise costs a task per (mostly
       // empty) partition per job
-      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "false")
       // default 100 evicts mid-suite: 25+ queries compile several codegen
       // units each, and re-running a query then pays full janino+JIT again
       .config("spark.sql.codegen.cache.maxEntries", "5000")
