@@ -79,6 +79,58 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("no expensive predicate lands below the parallelizing repartition") {
+    // Catalyst pushes deterministic filters below RoundRobin repartitions
+    // with their defining expressions inlined (predicates duplicate
+    // through projections). For text operators that means the whole
+    // tokenize/score/shingle tree can end up re-evaluated on the scan's
+    // single input split — serializing the CPU-heavy stage the
+    // repartition exists to parallelize (measured 15× on dedup_ngram,
+    // 2× on pipeline_curate before their round-4 shapes). Assert the
+    // segment between every RoundRobin exchange and its scan stays free
+    // of tokenizer expressions.
+    for (name <- Seq("pipeline_curate", "dedup_ngram", "dedup_minhash",
+        "dedup_simhash", "dedup_clusters")) {
+      val plan = planOf(name)
+      val segments = plan.split("Exchange RoundRobinPartitioning").drop(1)
+        .map(seg => seg.take(math.max(seg.indexOf("Scan parquet"), 0)))
+      segments.foreach { seg =>
+        assert(!seg.contains("split(lower("),
+          s"$name re-evaluates the tokenizer below the repartition " +
+            s"(single-split, pre-spread):\n$plan")
+      }
+    }
+  }
+
+  test("CC rounds are single-job: lazy checkpoints, fused convergence count") {
+    import graft.dedup.Clusters
+    import spark.implicits._
+    val sc = spark.sparkContext
+    // chain a-b-c needs the seed round plus 2 propagation rounds
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    sc.setJobGroup("cc-audit", "cc job-count audit", true)
+    val labels = try Clusters.connectedComponents(pairs, "a", "b").collect()
+      finally sc.clearJobGroup()
+    assert(labels.map(r => r.getLong(0) -> r.getLong(1)).toMap ===
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    // AQE runs each exchange stage as its own job, so the count is not
+    // rounds+1; the bound (measured with ~50% slack) still fails if the
+    // per-round eager-checkpoint job or a per-branch upstream re-run
+    // creeps back in.
+    val deadline = System.nanoTime() + 5e9.toLong
+    var jobs = sc.statusTracker.getJobIdsForGroup("cc-audit").length
+    while (System.nanoTime() < deadline &&
+        sc.statusTracker.getJobIdsForGroup("cc-audit")
+          .exists(id => sc.statusTracker.getJobInfo(id)
+            .exists(_.status() == org.apache.spark.JobExecutionStatus.RUNNING))) {
+      Thread.sleep(50)
+      jobs = sc.statusTracker.getJobIdsForGroup("cc-audit").length
+    }
+    assert(jobs <= 15, s"connectedComponents ran $jobs jobs for a " +
+      "2-propagation-round graph — expected one materializing job per " +
+      "round plus AQE stage jobs")
+  }
+
   test("IVF assignment aggregates (max_by), never windows the cross product") {
     val plan = graft.similarity.IVFIndex
       .assign(Tables.load(spark, dir, "embeddings"), "vec_id", "embedding")
