@@ -1,0 +1,119 @@
+package graft
+
+import graft.dedup.{Clusters, MinHashLSH}
+import graft.text.Curation
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-stress main (dev tool, like [[Profile]]): runs each operator
+  * family on a deliberately adversarial blow-up of the sf0.1 testdata
+  * and prints wall-clock seconds. These are the numbers SURVEY §2.10 /
+  * §9 cite; re-run after touching any hot-path operator.
+  *
+  *   - cc: 500k nodes / 2.25M edges as 50k ten-clone CLIQUES — the
+  *     realistic dup-graph shape (every clone collides with most
+  *     others), checked for exactly 50k components;
+  *   - minhash: a 10× corpus (50k docs) where EVERY doc is in a
+  *     10-clone duplicate cluster — worst case for LSH band fanout;
+  *   - curate: the full curation pipeline over the same 10× corpus;
+  *   - diff: the diff core on 15×-unioned orders (2.25M × 2.27M rows).
+  */
+object Stress {
+  def main(args: Array[String]): Unit = {
+    val which = if (args.nonEmpty) args.toSet else Set("cc", "minhash", "curate", "diff")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    def timed(label: String)(body: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = body
+      println(f"STRESS $label%-12s ${(System.nanoTime() - t0) / 1e9}%8.2f s   rows=$n")
+      spark.catalog.clearCache()
+    }
+
+    /** Materialize an input frame before timing: the synthetic blow-up
+      * generators (interpreted HOFs) are test scaffolding, not the
+      * operator under measurement — at scale the input is a table.
+      */
+    def staged(df: DataFrame): DataFrame = {
+      val cached = df.persist()
+      cached.write.format("noop").mode("overwrite").save()
+      cached
+    }
+
+    /** 10 re-keyed copies of the documents table: every doc belongs to a
+      * ten-clone exact-duplicate cluster.
+      */
+    def corpus10x: DataFrame = {
+      val docs = queries.Tables.loadSpread(spark, dir, "documents")
+      docs.select(col("doc_id"), col("text"),
+          explode(sequence(lit(0), lit(9))).as("copy"))
+        .select((col("doc_id") + col("copy") * 1000000L).as("doc_id"),
+          col("text"))
+        .repartition(32)
+    }
+
+    if (which("cc")) {
+      // 50k ten-node cliques: nodes c*10+j, all 45 intra-clique edges
+      val pairs = staged(spark.range(50000).select(col("id").as("c"),
+          explode(expr("transform(flatten(transform(sequence(0,8), i -> " +
+            "transform(sequence(i+1,9), j -> struct(i, j)))), " +
+            "p -> struct(p.i as a, p.j as b))")).as("e"))
+        .select((col("c") * 10 + col("e.a")).as("a"),
+          (col("c") * 10 + col("e.b")).as("b"))
+        .repartition(32))
+      timed("cc") {
+        val comps = Clusters.connectedComponents(pairs, "a", "b")
+          .agg(countDistinct(col("comp"))).head().getLong(0)
+        require(comps == 50000L, s"expected 50000 components, got $comps")
+        comps
+      }
+    }
+
+    if (which("minhash")) {
+      val corpus = staged(corpus10x)
+      timed("minhash") {
+        MinHashLSH.nearDuplicatePairs(corpus, "doc_id", "text").count()
+      }
+    }
+
+    if (which("curate")) {
+      val corpus = staged(corpus10x)
+      timed("curate") {
+        Curation.curate(corpus, "doc_id", "text").count()
+      }
+    }
+
+    if (which("diff")) {
+      val orders = queries.Tables.load(spark, dir, "orders")
+      val big = staged(orders.select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+          col("o_orderpriority"),
+          explode(sequence(lit(0), lit(14))).as("copy"))
+        .select((col("o_orderkey") + col("copy") * 10000000L).as("o_orderkey"),
+          col("o_custkey"), col("o_orderstatus"), col("o_totalprice"),
+          col("o_orderdate"), col("o_orderpriority")))
+      timed("diff") {
+        val res = diff.DataColDiff.computeDataframeDiff(
+          big, queries.DiffQueries.perturbedOrders(big), Seq("o_orderkey"))
+          .fold(mm => throw new IllegalArgumentException(mm.message), identity)
+        val n = res.counts.diff + res.counts.noDiff + res.counts.s1Only +
+          res.counts.s2Only
+        res.diff.unpersist()
+        n
+      }
+    }
+
+    spark.stop()
+  }
+}
