@@ -240,6 +240,79 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: in-horizon matches, late rows, no leaks") {
+    val clicks = MemoryStream[(Long, String, Timestamp)](spark)
+    val purchases = MemoryStream[(String, Timestamp, Double)](spark)
+    val joined = StreamJoin.withinHorizon(
+      clicks.toDF().toDF("event_id", "user", "ts")
+        .withWatermark("ts", "1 hour"),
+      purchases.toDF().toDF("user", "pts", "value")
+        .withWatermark("pts", "1 hour"),
+      "user", "ts", "pts", "1 HOUR")
+    val q = joined.selectExpr("l.event_id", "r.pts", "r.value")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("conversions").start()
+    try {
+      clicks.addData((1L, "a", ts("2024-01-01 10:00:00")),
+        (2L, "b", ts("2024-01-01 10:00:00")))
+      purchases.addData(("a", ts("2024-01-01 10:30:00"), 5.0), // in horizon
+        ("a", ts("2024-01-01 11:30:00"), 7.0), // past horizon
+        ("b", ts("2024-01-01 09:30:00"), 9.0)) // before the click
+      q.processAllAvailable()
+      // a LATE purchase (event time before the stream's max) still inside
+      // the watermark slack must join the already-seen click
+      purchases.addData(("b", ts("2024-01-01 10:59:00"), 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("conversions").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getDouble(2))).toSet
+      assert(rows === Set(
+        (1L, ts("2024-01-01 10:30:00"), 5.0),
+        (2L, ts("2024-01-01 10:59:00"), 4.0)))
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join equals both batch faces on real events") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions._
+    val ev = graft.queries.Tables.loadEvents(spark, "/root/testdata/sf0.001")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    def clicksOf(df: DataFrame) = df.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    def purchasesOf(df: DataFrame) = df.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("pts"), col("value"))
+    def key(df: DataFrame): Set[(Long, Long, Long)] =
+      df.collect().map(r =>
+        (r.getLong(0), r.getTimestamp(1).getTime,
+          java.lang.Double.doubleToLongBits(r.getDouble(2)))).toSet
+
+    val rows = ev.collect().toSeq
+    val stream = MemoryStream[org.apache.spark.sql.Row](spark,
+      numPartitions = 4)(org.apache.spark.sql.Encoders.row(ev.schema))
+    val streamed = StreamJoin.withinHorizon(
+      clicksOf(stream.toDF()).withWatermark("ts", "0 seconds"),
+      purchasesOf(stream.toDF()).withWatermark("pts", "0 seconds"),
+      "user_id", "ts", "pts", "1 HOUR")
+    val q = streamed.selectExpr("l.event_id", "r.pts", "r.value")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("label_join").start()
+    val viaStream = try {
+      stream.addData(rows)
+      q.processAllAvailable()
+      key(spark.table("label_join"))
+    } finally q.stop()
+
+    val viaBatch = key(StreamJoin.withinHorizon(
+        clicksOf(ev), purchasesOf(ev), "user_id", "ts", "pts", "1 HOUR")
+      .selectExpr("l.event_id", "r.pts", "r.value"))
+    val viaRange = key(graft.operators.RangeJoin.joinRange(
+        clicksOf(ev).withColumn("end_ts", col("ts") + expr("INTERVAL 1 HOUR")),
+        purchasesOf(ev), Seq("user_id"), "ts", "end_ts", "pts")
+      .select(col("event_id"), col("pts"), col("value")))
+    assert(viaStream === viaBatch)
+    assert(viaBatch === viaRange)
+    assert(viaBatch.nonEmpty)
+  }
+
   test("streaming dedup: duplicate content dropped across batches, bounded state") {
     val stream = MemoryStream[(Timestamp, Long, String)](spark)
     val q = StreamDedup.firstSeen(
