@@ -102,6 +102,36 @@ object OperatorProps extends Properties("Operators") {
       bucketed == naive
     }
 
+  // ---- stream-join batch face vs driver-side interval scan ---------------
+
+  property("StreamJoin.withinHorizon == driver-side interval match") =
+    forAll(for {
+      nl <- Gen.choose(1, 15); nr <- Gen.choose(0, 30)
+      left <- Gen.listOfN(nl, for {
+        k <- Gen.oneOf("a", "b"); t <- Gen.choose(0L, 7200L)
+      } yield (k, t))
+      right <- Gen.listOfN(nr, for {
+        k <- Gen.oneOf("a", "b"); t <- Gen.choose(0L, 10800L)
+      } yield (k, t))
+    } yield (left, right)) { case (left, right) =>
+      import spark.implicits._
+      val l = left.zipWithIndex.map { case ((k, t), i) => (k, ts(t), i.toLong) }
+        .toDF("k", "t", "lid")
+      val r = right.zipWithIndex.map { case ((k, t), i) => (k, ts(t), i.toLong) }
+        .toDF("k", "rt", "rid")
+      val got = graft.streaming.StreamJoin
+        .withinHorizon(l, r, "k", "t", "rt", "1 HOUR")
+        .select(col("lid"), col("rid")).collect()
+        .map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+      // independent arithmetic: millis bound computed driver-side
+      val want = (for {
+        ((lk, lt), li) <- left.zipWithIndex
+        ((rk, rt), ri) <- right.zipWithIndex
+        if rk == lk && rt >= lt && rt <= lt + 3600L
+      } yield (li.toLong, ri.toLong)).sorted
+      got == want
+    }
+
   // ---- connected components vs driver-side union-find --------------------
 
   private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
