@@ -44,12 +44,13 @@ object SparkEntry {
     "diff_flags", "diff_colstats", "diff_rows", "diff_values",
     "q1_agg", "q3_join_agg", "q5_region_revenue", "q_window_top_orders",
     "q_events_hourly", "q_cust_no_orders", "q_pivot", "q_rollup", "q_setops",
-    "q_asof_purchase", "q_range_clicks", "q_sessions", "q_json_extract",
+    "q_asof_purchase", "q_range_clicks", "q_sessions", "q_label_join",
+    "q_json_extract",
     "q_salted_agg",
     "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_ngram",
-    "dedup_embed", "dedup_clusters", "sample_stratified",
+    "dedup_embed", "dedup_clusters", "sample_stratified", "shard_assign",
     "text_stats", "text_langid", "text_tokens", "text_fingerprint",
-    "text_tfidf", "text_normalize",
+    "text_tfidf", "text_normalize", "text_pack", "text_pack_stats",
     "sim_topk", "sim_lsh_bucket", "sim_ivf", "sim_recall",
     "mm_meta", "mm_frames", "mm_format_stats", "pipeline_curate")
 }

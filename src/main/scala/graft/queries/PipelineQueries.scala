@@ -1,8 +1,9 @@
 package graft.queries
 
-import graft.operators.Sampling
+import graft.operators.{Sampling, Sharding}
 import graft.text.Curation
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** The end-to-end curation pipeline as ONE oracle-checked query:
   * quality scoring + language ID + exact dedup + MinHash near-dedup,
@@ -75,11 +76,32 @@ object PipelineQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Shard assignment verified row-exactly: per-shard count plus the
+    * doc_id sum — an order-independent integer checksum, so a hash
+    * match proves EVERY row's shard, not just the histogram shape.
+    */
+  def shardAssign(spark: SparkSession, dir: String): DataFrame =
+    Sharding.withShard(
+        Tables.load(spark, dir, "documents").select("doc_id"), "doc_id", 8)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
+      .orderBy("shard")
+
+  val shardAssignSql: String = {
+    val h = OracleDialect.hexPrefixToLong(
+      "md5('shard:'||CAST(doc_id AS VARCHAR))", 8)
+    s"""SELECT ($h) % 8 AS shard,
+       |  count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum
+       |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_curate" -> (pipelineCurate(_, _)),
-    "sample_stratified" -> (sampleStratified(_, _)))
+    "sample_stratified" -> (sampleStratified(_, _)),
+    "shard_assign" -> (shardAssign(_, _)))
 
   val oracleSql: Map[String, String] = Map(
     "pipeline_curate" -> pipelineCurateSql,
-    "sample_stratified" -> sampleStratifiedSql)
+    "sample_stratified" -> sampleStratifiedSql,
+    "shard_assign" -> shardAssignSql)
 }

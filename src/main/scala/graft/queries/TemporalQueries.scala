@@ -108,13 +108,54 @@ object TemporalQueries {
       |FROM sess GROUP BY user_id, sid
       |ORDER BY user_id, session_start""".stripMargin
 
+  /** Impression→conversion label join: each view paired with the same
+    * user's purchases in the 2 hours after it, aggregated to conversion
+    * count + value per impression. This is the BATCH face of
+    * [[graft.streaming.StreamJoin.withinHorizon]] — the identical
+    * function powers the watermarked stream-stream join, so an oracle
+    * hash match here DuckDB-verifies the streaming operator's join
+    * semantics too (the stream≡batch equality is spec-asserted).
+    */
+  def qLabelJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.loadEvents(spark, dir)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"),
+        col("ts").as("v_ts"))
+    val conv = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"), col("value"))
+    graft.streaming.StreamJoin
+      .withinHorizon(views, conv, "user_id", "v_ts", "p_ts", "2 HOUR")
+      .groupBy(col("view_id"))
+      .agg(
+        count(lit(1)).as("n_conv"),
+        sum(col("value").cast("decimal(24,4)")).cast("double")
+          .as("conv_value"))
+      .orderBy("view_id")
+  }
+
+  val qLabelJoinSql: String =
+    """WITH v AS (
+      |  SELECT event_id AS view_id, user_id, ts AS v_ts
+      |  FROM events WHERE event_type = 'view'),
+      |p AS (
+      |  SELECT user_id, ts AS p_ts, value FROM events
+      |  WHERE event_type = 'purchase')
+      |SELECT v.view_id, count(*) AS n_conv,
+      |       CAST(SUM(CAST(p.value AS DECIMAL(24,4))) AS DOUBLE) AS conv_value
+      |FROM v JOIN p
+      |  ON p.user_id = v.user_id
+      | AND p.p_ts >= v.v_ts AND p.p_ts <= v.v_ts + INTERVAL 2 HOUR
+      |GROUP BY v.view_id ORDER BY v.view_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_asof_purchase" -> (qAsofPurchase(_, _)),
     "q_range_clicks" -> (qRangeClicks(_, _)),
-    "q_sessions" -> (qSessions(_, _)))
+    "q_sessions" -> (qSessions(_, _)),
+    "q_label_join" -> (qLabelJoin(_, _)))
 
   val oracleSql: Map[String, String] = Map(
     "q_asof_purchase" -> qAsofPurchaseSql,
     "q_range_clicks" -> qRangeClicksSql,
-    "q_sessions" -> qSessionsSql)
+    "q_sessions" -> qSessionsSql,
+    "q_label_join" -> qLabelJoinSql)
 }

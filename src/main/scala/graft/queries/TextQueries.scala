@@ -170,13 +170,69 @@ object TextQueries {
       |    ' +', ' ', 'g'))) AS canon_key
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- pack
+
+  /** Sequence packing (concat-and-chunk at 512 tokens). bucketWidth 100
+    * forces the hierarchical offset path through multiple buckets even
+    * at test scale; the oracle computes the SAME offsets with a single
+    * flat window — an independent formulation, so a hash match checks
+    * the two-level scan's arithmetic, not a shared implementation.
+    */
+  def textPack(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.loadSpread(spark, dir, "documents")
+    val counts = docs.select(col("doc_id"),
+      org.apache.spark.sql.functions.size(TokenCount.tokens(col("text")))
+        .as("n_tokens"))
+    SeqPack.packPlan(counts, "doc_id", "n_tokens",
+        seqLen = 512, bucketWidth = 100)
+      .orderBy("doc_id")
+  }
+
+  private val packOffsetsCte: String =
+    s"""t AS (
+       |  SELECT doc_id, CAST(len(regexp_extract_all(lower(text),
+       |    '${TokenCount.TokenPattern}')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |o AS (
+       |  SELECT doc_id, n_tokens,
+       |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS start_off
+       |  FROM t)""".stripMargin
+
+  val textPackSql: String =
+    s"""WITH $packOffsetsCte
+       |SELECT doc_id, n_tokens, start_off,
+       |  start_off // 512 AS pack_first,
+       |  (start_off + greatest(n_tokens, 1) - 1) // 512 AS pack_last
+       |FROM o ORDER BY doc_id""".stripMargin
+
+  /** Pack fill report over the same packing. */
+  def textPackStats(spark: SparkSession, dir: String): DataFrame =
+    SeqPack.packStats(textPack(spark, dir), seqLen = 512)
+      .orderBy("pack_id")
+
+  val textPackStatsSql: String =
+    s"""WITH $packOffsetsCte,
+       |p AS (
+       |  SELECT doc_id, n_tokens, start_off,
+       |    start_off // 512 AS pack_first FROM o),
+       |tot AS (SELECT max(start_off + n_tokens) AS stream_end FROM p)
+       |SELECT pack_first AS pack_id,
+       |  count(*) AS n_docs_starting,
+       |  least(512, stream_end - pack_first * 512) AS tokens_filled
+       |FROM p, tot
+       |GROUP BY pack_first, stream_end ORDER BY pack_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats" -> (textStats(_, _)),
     "text_langid" -> (textLangid(_, _)),
     "text_tokens" -> (textTokens(_, _)),
     "text_fingerprint" -> (textFingerprint(_, _)),
     "text_tfidf" -> (textTfidf(_, _)),
-    "text_normalize" -> (textNormalize(_, _)))
+    "text_normalize" -> (textNormalize(_, _)),
+    "text_pack" -> (textPack(_, _)),
+    "text_pack_stats" -> (textPackStats(_, _)))
 
   val oracleSql: Map[String, String] = Map(
     "text_stats" -> textStatsSql,
@@ -184,5 +240,7 @@ object TextQueries {
     "text_tokens" -> textTokensSql,
     "text_fingerprint" -> textFingerprintSql,
     "text_tfidf" -> textTfidfSql,
-    "text_normalize" -> textNormalizeSql)
+    "text_normalize" -> textNormalizeSql,
+    "text_pack" -> textPackSql,
+    "text_pack_stats" -> textPackStatsSql)
 }
