@@ -1,7 +1,7 @@
 package graft
 
 import graft.dedup.{Clusters, MinHashLSH}
-import graft.text.Curation
+import graft.text.{Curation, SeqPack}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -20,7 +20,8 @@ import org.apache.spark.sql.functions._
   */
 object Stress {
   def main(args: Array[String]): Unit = {
-    val which = if (args.nonEmpty) args.toSet else Set("cc", "minhash", "curate", "diff")
+    val which = if (args.nonEmpty) args.toSet
+      else Set("cc", "minhash", "curate", "diff", "pack")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -91,6 +92,24 @@ object Stress {
       val corpus = staged(corpus10x)
       timed("curate") {
         Curation.curate(corpus, "doc_id", "text").count()
+      }
+    }
+
+    if (which("pack")) {
+      // 10M docs with deterministic pseudo-random token counts 1..997:
+      // the hierarchical prefix sum over 100 buckets of 100k docs each.
+      val docs = staged(spark.range(10000000L)
+        .select(col("id"), (pmod(col("id") * 2654435761L, lit(997L)) + 1L)
+          .as("tok"))
+        .repartition(32))
+      timed("pack") {
+        val packed = SeqPack.packPlan(docs, "id", "tok",
+          seqLen = 2048, bucketWidth = 100000L)
+        val end = packed.agg(max(col("start_off") + col("n_tokens")))
+          .head().getLong(0)
+        val want = docs.agg(sum(col("tok"))).head().getLong(0)
+        require(end == want, s"stream end $end != token sum $want")
+        packed.count()
       }
     }
 
