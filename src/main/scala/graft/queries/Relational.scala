@@ -308,8 +308,34 @@ object Relational {
       |  COUNT(*) AS cnt
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** One-pass column profile of the orders table (see
+    * [[graft.operators.ColumnProfile]]). The oracle melts with UNION
+    * ALL + plain `count(DISTINCT ...)` — a different execution
+    * strategy, so a hash match verifies the two-level distinct
+    * aggregation against a direct computation.
+    */
+  def qProfile(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.ColumnProfile.profile(Tables.load(spark, dir, "orders"))
+      .orderBy("col_name")
+
+  val qProfileSql: String = {
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority")
+    val melt = cols.map(c =>
+      s"SELECT '$c' AS col_name, CAST($c AS VARCHAR) AS value FROM orders")
+      .mkString("\n  UNION ALL ")
+    s"""WITH m AS (
+       |  $melt)
+       |SELECT col_name, count(*) AS n_rows,
+       |  count(*) - count(value) AS n_null,
+       |  count(DISTINCT value) AS n_distinct,
+       |  min(value) AS min_val, max(value) AS max_val
+       |FROM m GROUP BY col_name ORDER BY col_name""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg(_, _)),
+    "q_profile" -> (qProfile(_, _)),
     "q3_join_agg" -> (q3JoinAgg(_, _)),
     "q5_region_revenue" -> (q5RegionRevenue(_, _)),
     "q_window_top_orders" -> (qWindowTopOrders(_, _)),
@@ -323,6 +349,7 @@ object Relational {
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
+    "q_profile" -> qProfileSql,
     "q3_join_agg" -> q3JoinAggSql,
     "q5_region_revenue" -> q5RegionRevenueSql,
     "q_window_top_orders" -> qWindowTopOrdersSql,

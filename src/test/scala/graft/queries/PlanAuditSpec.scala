@@ -131,6 +131,25 @@ class PlanAuditSpec extends AnyFunSuite {
       "round plus AQE stage jobs")
   }
 
+  test("sequence packing: single-partition work only on the bucket frame") {
+    // The two-level prefix sum exists so the full corpus is NEVER pulled
+    // through one reducer: the big-side window must stay partitioned by
+    // bucket, and the only SinglePartition exchange may consume the
+    // one-row-per-bucket aggregate — not raw rows.
+    val plan = planOf("text_pack")
+    val singles = "Exchange SinglePartition".r.findAllIn(plan).length
+    assert(singles === 1,
+      s"expected exactly one SinglePartition exchange:\n$plan")
+    val seg = plan.split("Exchange SinglePartition")(1)
+    val firstAgg = seg.indexOf("HashAggregate")
+    val firstScan = seg.indexOf("Scan parquet")
+    assert(firstAgg >= 0 && (firstScan < 0 || firstAgg < firstScan),
+      s"SinglePartition exchange must consume the aggregated bucket " +
+        s"frame, not raw rows:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bucket offsets must join back broadcast:\n$plan")
+  }
+
   test("IVF assignment aggregates (max_by), never windows the cross product") {
     val plan = graft.similarity.IVFIndex
       .assign(Tables.load(spark, dir, "embeddings"), "vec_id", "embedding")
