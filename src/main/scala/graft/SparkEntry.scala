@@ -50,7 +50,9 @@ object SparkEntry {
     "q_salted_agg",
     "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_ngram",
     "dedup_embed", "dedup_clusters", "sample_stratified", "shard_assign",
-    "text_stats", "text_langid", "text_tokens", "text_fingerprint",
+    "quota_cap",
+    "text_stats", "text_repetition", "text_langid", "text_tokens",
+    "text_fingerprint",
     "text_tfidf", "text_normalize", "text_pack", "text_pack_stats",
     "sim_topk", "sim_lsh_bucket", "sim_ivf", "sim_recall",
     "mm_meta", "mm_frames", "mm_format_stats", "pipeline_curate")

@@ -42,6 +42,25 @@ object Sampling {
       salt: String = "split"): Column =
     when(coordinate(id, salt) < evalFraction, lit("eval")).otherwise(lit("train"))
 
+  /** Keep at most `cap` rows per stratum — the domain/source quota of a
+    * training mix (no single crawl domain may dominate). Which rows
+    * survive is deterministic: rank by the md5 coordinate (a fixed
+    * "random" draw), tie-broken by id. The rank≤cap filter compiles to
+    * partial+final WindowGroupLimit (each map task keeps only `cap`
+    * rows per stratum BEFORE the shuffle), so a hot stratum ships
+    * O(tasks × cap) rows, not its full population.
+    */
+  def capPerStratum(df: DataFrame, idCol: String, strataCol: String,
+      cap: Int, salt: String = "quota"): DataFrame = {
+    require(cap > 0, s"cap must be positive, got $cap")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+      .orderBy(coordinate(col(idCol), salt), col(idCol))
+    df.withColumn("__qrk", row_number().over(w))
+      .filter(col("__qrk") <= cap)
+      .drop("__qrk")
+  }
+
   /** Per-stratum rates (e.g. per-source mixing weights); strata not in
     * `rates` keep `defaultRate`.
     */

@@ -95,13 +95,35 @@ object PipelineQueries {
        |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin
   }
 
+  /** Per-source quota: at most 15 docs per source, deterministic
+    * md5-coordinate preference. Oracle replays the same rank with a
+    * QUALIFY row_number — verifying the WindowGroupLimit-optimized
+    * Spark plan picks the identical row set.
+    */
+  def quotaCap(spark: SparkSession, dir: String): DataFrame =
+    Sampling.capPerStratum(
+        Tables.load(spark, dir, "documents").select("doc_id", "source"),
+        "doc_id", "source", cap = 15)
+      .orderBy("doc_id")
+
+  val quotaCapSql: String = {
+    val coord = OracleDialect.hexPrefixToLong(
+      "md5('quota:'||CAST(doc_id AS VARCHAR))", 8)
+    s"""SELECT doc_id, source FROM documents
+       |QUALIFY row_number() OVER (PARTITION BY source
+       |  ORDER BY CAST($coord AS DOUBLE) / 4294967296, doc_id) <= 15
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_curate" -> (pipelineCurate(_, _)),
     "sample_stratified" -> (sampleStratified(_, _)),
-    "shard_assign" -> (shardAssign(_, _)))
+    "shard_assign" -> (shardAssign(_, _)),
+    "quota_cap" -> (quotaCap(_, _)))
 
   val oracleSql: Map[String, String] = Map(
     "pipeline_curate" -> pipelineCurateSql,
     "sample_stratified" -> sampleStratifiedSql,
-    "shard_assign" -> shardAssignSql)
+    "shard_assign" -> shardAssignSql,
+    "quota_cap" -> quotaCapSql)
 }

@@ -224,8 +224,37 @@ object TextQueries {
        |FROM p, tot
        |GROUP BY pack_first, stream_end ORDER BY pack_id""".stripMargin
 
+  // ---------------------------------------------------------- repetition
+
+  def textRepetition(spark: SparkSession, dir: String): DataFrame =
+    Repetition.metrics(
+        Tables.loadSpread(spark, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
+  val textRepetitionSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+      |g AS (
+      |  SELECT doc_id, CASE WHEN len(w) >= 2 THEN
+      |      [w[i] || ' ' || w[i+1] for i in generate_series(1, len(w)-1)]
+      |    ELSE [] END AS grams FROM w),
+      |e AS (
+      |  SELECT doc_id, UNNEST(CASE WHEN len(grams) = 0 THEN [NULL]
+      |    ELSE grams END) AS gram FROM g),
+      |h AS (
+      |  SELECT doc_id, gram, count(gram) AS n FROM e GROUP BY doc_id, gram)
+      |SELECT doc_id,
+      |  CAST(COALESCE(sum(n), 0) AS BIGINT) AS n_2grams,
+      |  count(gram) AS n_distinct_2grams,
+      |  CAST(COALESCE(max(n), 0) AS BIGINT) AS top_2gram_n,
+      |  CASE WHEN COALESCE(sum(n), 0) > 0
+      |    THEN CAST(max(n) AS DOUBLE) / CAST(sum(n) AS BIGINT)
+      |    ELSE 0.0 END AS top_2gram_frac
+      |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats" -> (textStats(_, _)),
+    "text_repetition" -> (textRepetition(_, _)),
     "text_langid" -> (textLangid(_, _)),
     "text_tokens" -> (textTokens(_, _)),
     "text_fingerprint" -> (textFingerprint(_, _)),
@@ -236,6 +265,7 @@ object TextQueries {
 
   val oracleSql: Map[String, String] = Map(
     "text_stats" -> textStatsSql,
+    "text_repetition" -> textRepetitionSql,
     "text_langid" -> textLangidSql,
     "text_tokens" -> textTokensSql,
     "text_fingerprint" -> textFingerprintSql,

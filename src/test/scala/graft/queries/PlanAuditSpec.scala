@@ -70,7 +70,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // Spark's WindowGroupLimit keeps only k rows per key per PARTITION
     // before the shuffle — the property that makes rank<=k top-k safe at
     // scale (the shuffle moves ~k·|keys| rows, not the full pair fanout)
-    for (name <- Seq("sim_topk", "q_window_top_orders")) {
+    for (name <- Seq("sim_topk", "q_window_top_orders", "quota_cap")) {
       val plan = planOf(name)
       assert(plan.contains("WindowGroupLimit"),
         s"$name lost the rank-limit pushdown:\n$plan")
