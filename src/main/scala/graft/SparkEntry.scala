@@ -55,5 +55,6 @@ object SparkEntry {
     "text_fingerprint",
     "text_tfidf", "text_normalize", "text_pack", "text_pack_stats",
     "sim_topk", "sim_lsh_bucket", "sim_ivf", "sim_recall",
-    "mm_meta", "mm_frames", "mm_format_stats", "pipeline_curate")
+    "mm_meta", "mm_frames", "mm_format_stats", "pipeline_curate",
+    "pipeline_mix")
 }

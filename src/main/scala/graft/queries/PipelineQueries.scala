@@ -115,14 +115,68 @@ object PipelineQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** The full training-mix pipeline composed end-to-end: curation
+    * (quality + langid + exact dedup + near-dedup) → per-source quota
+    * (5 docs/source) → sequence packing at 256 tokens. One oracle hash
+    * over the final pack assignment transitively checks every stage's
+    * row set AND the deterministic ordering the pack offsets depend on.
+    */
+  def pipelineMix(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.{SeqPack, TokenCount}
+    val docs = Tables.loadSpread(spark, dir, "documents")
+    val curated = Curation.curate(docs, "doc_id", "text", cfg)
+      .select("doc_id")
+    val withSrc = curated
+      .join(docs.select("doc_id", "source", "text"), "doc_id")
+    val capped = Sampling.capPerStratum(withSrc, "doc_id", "source", cap = 5)
+    val counts = capped.select(col("doc_id"), col("source"),
+      size(TokenCount.tokens(col("text"))).cast("bigint").as("n_tokens"))
+    SeqPack.packPlan(counts, "doc_id", "n_tokens",
+        seqLen = 256, bucketWidth = 100)
+      .join(counts.select("doc_id", "source"), "doc_id")
+      .select("doc_id", "source", "n_tokens", "start_off", "pack_first")
+      .orderBy("doc_id")
+  }
+
+  val pipelineMixSql: String = {
+    val curateBody = pipelineCurateSql
+      .stripPrefix("WITH ")
+      .replace("SELECT doc_id, lang_pred, quality FROM dedup",
+        ",curated AS (SELECT doc_id FROM dedup")
+      .replace("WHERE doc_id NOT IN (SELECT doc_b FROM losers)\nORDER BY doc_id",
+        "WHERE doc_id NOT IN (SELECT doc_b FROM losers))")
+    val coord = OracleDialect.hexPrefixToLong(
+      "md5('quota:'||CAST(doc_id AS VARCHAR))", 8)
+    s"""WITH $curateBody,
+       |src AS (SELECT d.doc_id, d.source, d.text FROM documents d
+       |  JOIN curated c ON c.doc_id = d.doc_id),
+       |capped AS (SELECT doc_id, source, text FROM src
+       |  QUALIFY row_number() OVER (PARTITION BY source
+       |    ORDER BY CAST($coord AS DOUBLE) / 4294967296, doc_id) <= 5),
+       |tok AS (SELECT doc_id, source,
+       |  CAST(len(regexp_extract_all(lower(text),
+       |    '${graft.text.TokenCount.TokenPattern}')) AS BIGINT) AS n_tokens
+       |  FROM capped),
+       |o AS (SELECT doc_id, source, n_tokens,
+       |  CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |    AS BIGINT) AS start_off
+       |  FROM tok)
+       |SELECT doc_id, source, n_tokens, start_off,
+       |  start_off // 256 AS pack_first
+       |FROM o ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_curate" -> (pipelineCurate(_, _)),
+    "pipeline_mix" -> (pipelineMix(_, _)),
     "sample_stratified" -> (sampleStratified(_, _)),
     "shard_assign" -> (shardAssign(_, _)),
     "quota_cap" -> (quotaCap(_, _)))
 
   val oracleSql: Map[String, String] = Map(
     "pipeline_curate" -> pipelineCurateSql,
+    "pipeline_mix" -> pipelineMixSql,
     "sample_stratified" -> sampleStratifiedSql,
     "shard_assign" -> shardAssignSql,
     "quota_cap" -> quotaCapSql)

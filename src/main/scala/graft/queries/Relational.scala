@@ -315,7 +315,8 @@ object Relational {
     * aggregation against a direct computation.
     */
   def qProfile(spark: SparkSession, dir: String): DataFrame =
-    graft.operators.ColumnProfile.profile(Tables.load(spark, dir, "orders"))
+    graft.operators.ColumnProfile.profile(
+        Tables.loadSpread(spark, dir, "orders"))
       .orderBy("col_name")
 
   val qProfileSql: String = {
