@@ -132,6 +132,62 @@ object OperatorProps extends Properties("Operators") {
       got == want
     }
 
+  // ---- quota cap vs driver-side rank ------------------------------------
+
+  property("capPerStratum == driver-side md5-rank take(cap)") =
+    forAll(for {
+      n <- Gen.choose(0, 60)
+      rows <- Gen.listOfN(n, for {
+        id <- Gen.choose(0L, 1000L); s <- Gen.oneOf("x", "y", "z")
+      } yield (id, s))
+      cap <- Gen.choose(1, 8)
+    } yield (rows.distinctBy(_._1), cap)) { case (rows, cap) =>
+      import spark.implicits._
+      val df = rows.toDF("id", "src")
+      val got = graft.operators.Sampling.capPerStratum(df, "id", "src", cap)
+        .select("id").collect().map(_.getLong(0)).toSet
+      // independent ranking: same md5 coordinate computed via MessageDigest
+      def coord(id: Long): Double = {
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"quota:$id".getBytes("UTF-8"))
+        java.lang.Long.parseLong(
+          d.take(4).map(b => f"${b & 0xff}%02x").mkString, 16)
+          .toDouble / (1L << 32)
+      }
+      val want = rows.groupBy(_._2).values.flatMap(g =>
+        g.sortBy(r => (coord(r._1), r._1)).take(cap).map(_._1)).toSet
+      got == want
+    }
+
+  // ---- column profile vs driver-side scan --------------------------------
+
+  property("ColumnProfile == driver-side profile on random string frames") =
+    forAll(for {
+      n <- Gen.choose(1, 40)
+      rows <- Gen.listOfN(n, for {
+        a <- Gen.option(Gen.oneOf("p", "q", "r", ""))
+        b <- Gen.choose(0L, 5L)
+      } yield (a, b))
+    } yield rows) { rows =>
+      import spark.implicits._
+      val df = rows.toDF("a", "b")
+      val got = graft.operators.ColumnProfile.profile(df)
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3),
+            Option(r.getString(4)), Option(r.getString(5))))).toMap
+      def prof(vs: Seq[Option[String]]) = {
+        val nn = vs.flatten
+        (vs.size.toLong, (vs.size - nn.size).toLong,
+          nn.distinct.size.toLong,
+          if (nn.isEmpty) None else Some(nn.min),
+          if (nn.isEmpty) None else Some(nn.max))
+      }
+      val want = Map(
+        "a" -> prof(rows.map(_._1)),
+        "b" -> prof(rows.map(r => Some(r._2.toString))))
+      got == want
+    }
+
   // ---- connected components vs driver-side union-find --------------------
 
   private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
