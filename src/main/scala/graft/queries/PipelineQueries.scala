@@ -129,8 +129,13 @@ object PipelineQueries {
     val withSrc = curated
       .join(docs.select("doc_id", "source", "text"), "doc_id")
     val capped = Sampling.capPerStratum(withSrc, "doc_id", "source", cap = 5)
+    // tiny post-quota frame consumed by THREE plan branches (packPlan's
+    // two prefix-sum levels + the source join-back): persist it so the
+    // whole curate subtree runs once, not per branch (Verify/Bench
+    // clear caches between queries)
     val counts = capped.select(col("doc_id"), col("source"),
-      size(TokenCount.tokens(col("text"))).cast("bigint").as("n_tokens"))
+        size(TokenCount.tokens(col("text"))).cast("bigint").as("n_tokens"))
+      .persist()
     SeqPack.packPlan(counts, "doc_id", "n_tokens",
         seqLen = 256, bucketWidth = 100)
       .join(counts.select("doc_id", "source"), "doc_id")
