@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
 
 /** Benchmark main — runs the headline queries against
   * `SPARK_GRAFT_SF_DIR` and prints ONE JSON line with per-query and
@@ -26,26 +25,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.sql.adaptive.enabled", "true")
-      // let AQE coalesce partitions INSIDE persisted frames too — the
-      // iterative operators cache small intermediate graphs whose
-      // pinned 32-partition layout otherwise costs a task per (mostly
-      // empty) partition per job
-      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "false")
-      // The generated-class cache defaults to 100 entries; the suite ×
-      // (warmup + timed) compiles far more units than that, so late
-      // timed queries would re-pay janino compilation their warmup
-      // already did. Size it to hold the whole suite.
-      .config("spark.sql.codegen.cache.maxEntries", "5000")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = Sessions.local(cpus)
 
     def materialize(name: String, dir: String): Unit =
       SparkEntry.queries(name)(spark, dir)

@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
 
 /** Scratch profiling main (not part of the bench contract): times each
   * named query N times in one session to separate first-touch costs
@@ -12,18 +11,7 @@ object Profile {
     val names = if (args.nonEmpty) args.toSeq else Seq(
       "diff_flags", "dedup_minhash", "dedup_ngram", "dedup_clusters",
       "pipeline_curate")
-    val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "false")
-      .config("spark.sql.codegen.cache.maxEntries", "5000")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = Sessions.local("32")
 
     names.foreach { name =>
       val times = (1 to 3).map { _ =>

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One SparkSession recipe for every harness main (Bench, Verify,
+  * Profile, Stress, Explain) — the settings below were each measured in
+  * earlier rounds and MUST stay in sync across the tools, so they live
+  * here once.
+  */
+object Sessions {
+
+  /** @param cpus local[] thread count; also sizes shuffle partitions so
+    *             small-SF shuffles don't fan 200 ways
+    */
+  def builder(cpus: String): SparkSession.Builder =
+    SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      // events.parquet stores TIMESTAMP(NANOS); read as long and let
+      // Tables.loadEvents truncate to micros (matches DuckDB)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.adaptive.enabled", "true")
+      // keep FALSE: letting AQE re-plan cached outputs coalesces small
+      // persisted frames to ~1 partition, serializing their CPU-heavy
+      // consumers (measured 2× on pipeline_curate, SURVEY §9). The
+      // empty-partition cost it would save is handled by lazy
+      // checkpoints in the iterative operators instead
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "false")
+      // the generated-class cache defaults to 100 entries; a 47-query
+      // suite (× warmup) compiles far more units, and eviction re-pays
+      // janino+JIT mid-run (measured 4× on late queries, SURVEY §9)
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
+      .config("spark.ui.enabled", "false")
+
+  /** Build with WARN logging — the shape every main uses. */
+  def local(cpus: String): SparkSession = {
+    val s = builder(cpus).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

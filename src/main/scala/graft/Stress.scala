@@ -2,7 +2,7 @@ package graft
 
 import graft.dedup.{Clusters, MinHashLSH}
 import graft.text.{Curation, SeqPack}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Scale-stress main (dev tool, like [[Profile]]): runs each operator
@@ -13,8 +13,8 @@ import org.apache.spark.sql.functions._
   *   - cc: 500k nodes / 2.25M edges as 50k ten-clone CLIQUES — the
   *     realistic dup-graph shape (every clone collides with most
   *     others), checked for exactly 50k components;
-  *   - minhash: a 10× corpus (50k docs) where EVERY doc is in a
-  *     10-clone duplicate cluster — worst case for LSH band fanout;
+  *   - minhash: a 10× corpus (500k docs at sf0.1) where EVERY doc is in
+  *     a 10-clone duplicate cluster — worst case for LSH band fanout;
   *   - curate: the full curation pipeline over the same 10× corpus;
   *   - diff: the diff core on 15×-unioned orders (2.25M × 2.27M rows).
   */
@@ -22,17 +22,7 @@ object Stress {
   def main(args: Array[String]): Unit = {
     val which = if (args.nonEmpty) args.toSet
       else Set("cc", "minhash", "curate", "diff", "pack")
-    val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.codegen.cache.maxEntries", "5000")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = Sessions.local("32")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
     def timed(label: String)(body: => Long): Unit = {
@@ -119,7 +109,10 @@ object Stress {
           col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
           col("o_orderpriority"),
           explode(sequence(lit(0), lit(14))).as("copy"))
-        .select((col("o_orderkey") + col("copy") * 10000000L).as("o_orderkey"),
+        // copies spaced 1e9 apart: perturbedOrders rekeys %97 keys by
+        // +1e8, which must stay INSIDE one copy's keyspace (1e7 spacing
+        // collided — rekeyed copy c landed exactly on copy c+10)
+        .select((col("o_orderkey") + col("copy") * 1000000000L).as("o_orderkey"),
           col("o_custkey"), col("o_orderstatus"), col("o_totalprice"),
           col("o_orderdate"), col("o_orderpriority")))
       timed("diff") {

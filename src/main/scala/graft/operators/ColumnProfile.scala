@@ -31,10 +31,14 @@ object ColumnProfile {
   def profile(df: DataFrame, cols: Seq[String] = Nil): DataFrame = {
     val cs = if (cols.nonEmpty) cols else df.columns.toSeq
     require(cs.nonEmpty, "profile of zero columns")
-    val pairs = cs.map(c =>
-      s"'$c', CAST(`$c` AS STRING)").mkString(", ")
-    val melted = df.selectExpr(
-      s"stack(${cs.length}, $pairs) AS (col_name, value)")
+    // pure-DSL melt (no string-spliced SQL — column names with quotes /
+    // backticks stay data, not syntax); the generator stays inline
+    val melted = df
+      .select(explode(array(cs.map(c => struct(
+          lit(c).as("col_name"),
+          col(s"`${c.replace("`", "``")}`").cast("string").as("value"))): _*))
+        .as("p"))
+      .select(col("p.col_name").as("col_name"), col("p.value").as("value"))
     melted
       .groupBy(col("col_name"), col("value"))
       .agg(count(lit(1)).as("n"))

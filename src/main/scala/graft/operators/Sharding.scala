@@ -32,11 +32,14 @@ object Sharding {
     df.withColumn("shard", shardColumn(col(idCol), nShards, salt))
 
   /** Write the corpus as `shard=N/` parquet directories: one shuffle by
-    * shard, rows sorted by id within each file so shard contents are
-    * byte-stable across runs. At cluster scale each shard is written by
-    * its own task; for multi-file shards raise `tasksPerShard` — rows
-    * are then range-split within the shard by the same deterministic
-    * hash, keeping layout reproducibility.
+    * shard, rows sorted by id within each file so shard CONTENTS are
+    * byte-stable across runs. Raising `tasksPerShard` subdivides each
+    * shard's rows by a second deterministic hash so a hot shard's write
+    * work spreads over more tasks; which (shard, split) groups share a
+    * physical partition is Spark's hash placement — deterministic for a
+    * fixed partition count, but the file count per directory is not
+    * exactly tasksPerShard. What IS guaranteed: the row→shard mapping,
+    * the row→split mapping, and in-file ordering.
     */
   def writeShards(df: DataFrame, idCol: String, nShards: Int, path: String,
       salt: String = "shard", tasksPerShard: Int = 1): Unit = {

@@ -78,11 +78,13 @@ object SeqPack {
           .as("pack_last"))
   }
 
-  /** Pack-level fill report: for each training sequence, how many
-    * documents start in it and how many of its `seqLen` slots the
-    * stream fills (every pack except the last is exactly full by
-    * construction — the report exists to verify that and to size the
-    * final partial pack).
+  /** Pack-level fill report: for each pack in which at least one
+    * document STARTS, how many documents start there and how many of
+    * its `seqLen` slots the stream fills. Packs with no starting
+    * document are omitted — they are interiors of a single spanning
+    * document and therefore exactly full by construction (the
+    * concatenated stream is contiguous), so the omissions carry no
+    * information the report needs to repeat.
     */
   def packStats(packed: DataFrame, seqLen: Long): DataFrame = {
     val totals = packed.agg(

@@ -34,6 +34,14 @@ class ColumnProfileSpec extends AnyFunSuite {
     assert(r.isNullAt(4) && r.isNullAt(5))
   }
 
+  test("adversarial column names: quotes, backticks, dots stay data") {
+    val df = Seq((1L, "x"), (2L, "x"))
+      .toDF("it's", "a`b.c")
+    val got = ColumnProfile.profile(df).orderBy("col_name").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    assert(got.toSeq === Seq(("a`b.c", 2L, 1L), ("it's", 2L, 2L)))
+  }
+
   test("no Expand in the plan (the multi-countDistinct trap)") {
     val df = Seq((1L, "a", 2.0)).toDF("a", "b", "c")
     val plan = ColumnProfile.profile(df)

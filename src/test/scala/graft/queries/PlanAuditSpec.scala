@@ -93,8 +93,19 @@ class PlanAuditSpec extends AnyFunSuite {
         "dedup_simhash", "dedup_clusters")) {
       val plan = planOf(name)
       val segments = plan.split("Exchange RoundRobinPartitioning").drop(1)
-        .map(seg => seg.take(math.max(seg.indexOf("Scan parquet"), 0)))
-      segments.foreach { seg =>
+      // checkpointed plans (dedup_clusters) truncate lineage to an RDD
+      // scan — no exchange survives to audit there; every plan that
+      // still reads parquet directly must keep its spread
+      assert(segments.nonEmpty || !plan.contains("Scan parquet"),
+        s"$name lost its RoundRobin spread — audit can't anchor:\n$plan")
+      segments.foreach { rest =>
+        // the scan must render below each spread, else the audit would
+        // silently check an empty segment
+        val scanIdx = rest.indexOf("Scan parquet")
+        assert(scanIdx >= 0,
+          s"$name: no parquet scan below a RoundRobin exchange — plan " +
+            s"rendering changed, fix the audit:\n$plan")
+        val seg = rest.take(scanIdx)
         assert(!seg.contains("split(lower("),
           s"$name re-evaluates the tokenizer below the repartition " +
             s"(single-split, pre-spread):\n$plan")

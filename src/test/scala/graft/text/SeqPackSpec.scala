@@ -56,6 +56,18 @@ class SeqPackSpec extends AnyFunSuite {
     assert(stats.map(_._2).sum === 40L)
   }
 
+  test("packStats omits interiors of a spanning doc; tail pack capped") {
+    // doc0: 120 tokens at seqLen 50 → spans packs 0,1,2; doc1 starts in
+    // pack 2 and pushes the stream to 130 (tail pack 2 fill = 30)
+    val packed = SeqPack.packPlan(
+      Seq((0L, 120L), (1L, 10L)).toDF("id", "tok"), "id", "tok", 50, 8)
+    val stats = SeqPack.packStats(packed, 50)
+      .orderBy("pack_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // pack 1 (pure interior of doc0, exactly full) is absent by contract
+    assert(stats.toSeq === Seq((0L, 1L, 50L), (2L, 1L, 30L)))
+  }
+
   test("guards reject nonpositive seqLen / bucketWidth") {
     val df = Seq((1L, 1L)).toDF("id", "tok")
     intercept[IllegalArgumentException](SeqPack.packPlan(df, "id", "tok", 0))
