@@ -21,7 +21,7 @@ import org.apache.spark.sql.functions._
 object Stress {
   def main(args: Array[String]): Unit = {
     val which = if (args.nonEmpty) args.toSet
-      else Set("cc", "minhash", "curate", "diff", "pack")
+      else Set("cc", "minhash", "curate", "diff", "pack", "shards")
     val spark = Sessions.local("32")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -101,6 +101,23 @@ object Stress {
         require(end == want, s"stream end $end != token sum $want")
         packed.count()
       }
+    }
+
+    if (which("shards")) {
+      // 10M-row corpus written as 64 shards × 4 splits — a real disk
+      // write (parquet + partitionBy), verified lossless on read-back.
+      val docs = staged(spark.range(10000000L)
+        .select(col("id"), md5(col("id").cast("string")).as("payload"))
+        .repartition(32))
+      val out = java.nio.file.Files.createTempDirectory("stress-shards")
+      timed("shards") {
+        operators.Sharding.writeShards(docs, "id", nShards = 64,
+          out.toString, tasksPerShard = 4)
+        val n = spark.read.parquet(out.toString).count()
+        require(n == 10000000L, s"round-trip lost rows: $n")
+        n
+      }
+      org.apache.commons.io.FileUtils.deleteDirectory(out.toFile)
     }
 
     if (which("diff")) {
