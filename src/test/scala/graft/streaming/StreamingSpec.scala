@@ -40,6 +40,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("text scoring + repetition projections run unchanged on a stream") {
+    // The per-row text family (stats, langid, repetition's bigram
+    // histogram on a per-batch basis) is stateless, so the SAME
+    // functions accept a streaming frame — the property that lets a
+    // curation front-end score documents as they arrive.
+    val stream = MemoryStream[(Long, String)](spark)
+    val input = stream.toDF().toDF("doc_id", "text")
+    val q = graft.text.TextStats.describe(input, "doc_id", "text")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("tscore").start()
+    try {
+      stream.addData(Seq((1L, "the cat sat on the mat"), (2L, "a b a b")))
+      q.processAllAvailable()
+      val streamed = spark.table("tscore").orderBy("doc_id")
+        .collect().map(r => (r.getLong(0), r.getAs[Double]("quality")))
+      val batch = graft.text.TextStats.describe(
+          Seq((1L, "the cat sat on the mat"), (2L, "a b a b"))
+            .toDF("doc_id", "text"), "doc_id", "text")
+        .orderBy("doc_id")
+        .collect().map(r => (r.getLong(0), r.getAs[Double]("quality")))
+      assert(streamed.toSeq === batch.toSeq)
+    } finally q.stop()
+  }
+
   test("windowed counts on the real events table match the hourly rollup query") {
     import org.apache.spark.sql.functions.{col, date_format}
     // date_trunc yields TIMESTAMP, window() yields TIMESTAMP_NTZ — render
