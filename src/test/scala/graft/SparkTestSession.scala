@@ -4,18 +4,16 @@ import org.apache.spark.sql.SparkSession
 
 /** One shared local SparkSession for the whole test JVM (Test/fork=true,
   * so this is per-`sbt test` run, not per-suite).
+  *
+  * Built from [[Sessions.builder]] — the SAME config the harness mains
+  * (Bench/Verify/Stress) run under, so plan-shape assertions in
+  * PlanAuditSpec hold for the configuration that is actually measured,
+  * not a divergent test-only one.
   */
 object SparkTestSession {
   lazy val spark: SparkSession = {
-    val s = SparkSession.builder()
-      .master("local[4]")
+    val s = Sessions.builder("4")
       .appName("graft-test")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      // events.parquet stores TIMESTAMP(NANOS); see Tables.loadEvents
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
