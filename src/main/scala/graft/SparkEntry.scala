@@ -28,14 +28,14 @@ object SparkEntry {
     DiffQueries.queries ++ Relational.queries ++ DedupQueries.queries ++
       TextQueries.queries ++ SimilarityQueries.queries ++
       MultimodalQueries.queries ++ PipelineQueries.queries ++
-      TemporalQueries.queries
+      TemporalQueries.queries ++ SketchQueries.queries
 
   /** DuckDB-runnable oracle per query key. */
   def oracleSql: Map[String, String] =
     DiffQueries.oracleSql ++ Relational.oracleSql ++ DedupQueries.oracleSql ++
       TextQueries.oracleSql ++ SimilarityQueries.oracleSql ++
       MultimodalQueries.oracleSql ++ PipelineQueries.oracleSql ++
-      TemporalQueries.oracleSql
+      TemporalQueries.oracleSql ++ SketchQueries.oracleSql
 
   /** Headline queries timed by graft.Bench (ordered) — the full
     * `queries` surface, so every operator family has a tracked number.
@@ -54,6 +54,8 @@ object SparkEntry {
     "text_stats", "text_repetition", "text_langid", "text_tokens",
     "text_fingerprint",
     "text_tfidf", "text_normalize", "text_pack", "text_pack_stats",
+    "text_decontam", "text_pii", "text_chunks",
+    "kmv_distinct", "zorder_stats",
     "sim_topk", "sim_lsh_bucket", "sim_ivf", "sim_recall",
     "mm_meta", "mm_frames", "mm_format_stats", "pipeline_curate",
     "pipeline_mix")

@@ -1,0 +1,58 @@
+package graft.operators
+
+import graft.text.TextFeatures
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** K-minimum-values distinct-count sketch — cardinality estimation
+  * over groups too large to count-distinct exactly in one pass at
+  * 100 TB (the classic KMV/bottom-k estimator: keep the k smallest
+  * hash values; if the kth smallest of a uniform [0,1) hash is u_k,
+  * the population had about (k-1)/u_k distinct values).
+  *
+  * Unlike HyperLogLog, KMV is EXACTLY reproducible across engines:
+  * the sketch is just the k smallest md5-derived integers, so the
+  * DuckDB oracle recomputes the identical sketch and the identical
+  * estimate — a sketch whose output can sit behind a hash-match
+  * correctness gate, not only an error-bound assertion.
+  *
+  * Distributed shape: dedupe (group, hash) postings — a partial+final
+  * aggregate, the heavy shuffle — then a per-group bottom-k window
+  * over the deduped hashes. The window partitions by group, so it
+  * spreads across the cluster; only k rows per group survive to the
+  * final aggregate.
+  */
+object KmvSketch {
+
+  /** 48-bit hash space: `hexPrefixToLong` of 12 md5 hex digits. */
+  val HashBits = 48
+  val HashSpace: Double = math.pow(2.0, HashBits)
+
+  def hash48(c: Column): Column = TextFeatures.hexPrefixToLong(md5(c), 12)
+
+  /** Per-group distinct estimate of `valueCol`: (group, n_hashes, kth_hash,
+    * est_distinct). Groups with fewer than k distinct values report the
+    * exact count (the sketch holds the whole population).
+    *
+    * The estimate is `(k-1) * 2^48 / kth` — an exact double product
+    * (< 2^53) followed by ONE division, bit-identical cross-engine.
+    */
+  def distinctEstimate(df: DataFrame, groupCol: String, valueCol: String,
+      k: Int = 64): DataFrame = {
+    require(k >= 2, s"KMV needs k >= 2, got $k")
+    val hashed = df
+      .select(col(groupCol).as("grp"), hash48(col(valueCol)).as("h"))
+      .distinct()
+    val w = Window.partitionBy("grp").orderBy("h")
+    hashed
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n_hashes"), max(col("h")).as("kth_hash"))
+      .select(col("grp"), col("n_hashes"), col("kth_hash"),
+        when(col("n_hashes") < k, col("n_hashes").cast("double"))
+          .otherwise(lit((k - 1).toDouble * HashSpace) / col("kth_hash"))
+          .as("est_distinct"))
+  }
+}

@@ -1,0 +1,87 @@
+package graft.queries
+
+import graft.operators.{KmvSketch, ZOrder}
+import graft.text.TextFeatures
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sketch + data-layout queries: KMV distinct-count estimation and
+  * Z-order clustering audit. Both are hash-match oracle-checked — the
+  * KMV sketch is md5-based, so unlike HLL the ESTIMATE itself is
+  * bit-reproducible in DuckDB, and the z-value is plain bit
+  * arithmetic.
+  */
+object SketchQueries {
+
+  private val KmvK = 64
+
+  /** Distinct 3-gram estimate per document source — the sketch pass a
+    * corpus profiler runs when exact count-distinct per group is too
+    * expensive (at 100 TB: one partial+final dedupe shuffle and a
+    * per-group bottom-k instead of a giant distinct aggregation per
+    * group... the sketch state is k longs per group).
+    */
+  def kmvDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.loadSpread(spark, dir, "documents")
+    val posts = docs.select(col("source"),
+      explode(TextFeatures.wordShingles(
+        TextFeatures.words(col("text")), 3)).as("gram"))
+    KmvSketch.distinctEstimate(posts, "source", "gram", KmvK)
+      .orderBy("grp")
+  }
+
+  val kmvDistinctSql: String = {
+    val h = OracleDialect.hexPrefixToLong("md5(gram)", 12)
+    // e-notation → DOUBLE literal (a decimal-point literal is DECIMAL
+    // in DuckDB and overflows the k-1 multiplication)
+    val space = "281474976710656e0" // 2^48
+    s"""WITH w AS (SELECT source, string_split(lower(text), ' ') AS w
+       |  FROM documents),
+       |g AS (SELECT source, CASE WHEN len(w) >= 3 THEN
+       |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+       |      for i in generate_series(1, len(w) - 2)])
+       |  ELSE [] END AS grams FROM w),
+       |p AS (SELECT source AS grp, unnest(grams) AS gram FROM g),
+       |h AS (SELECT DISTINCT grp, CAST($h AS BIGINT) AS h FROM p),
+       |r AS (SELECT grp, h,
+       |    row_number() OVER (PARTITION BY grp ORDER BY h) AS rk FROM h)
+       |SELECT grp, count(*) AS n_hashes, max(h) AS kth_hash,
+       |  CASE WHEN count(*) < $KmvK THEN CAST(count(*) AS DOUBLE)
+       |    ELSE ${KmvK - 1} * $space / max(h) END AS est_distinct
+       |FROM r WHERE rk <= $KmvK GROUP BY grp ORDER BY grp""".stripMargin
+  }
+
+  /** Z-order layout audit over orders, dimensions (o_custkey,
+    * order-day): rows bucketed by z-value prefix, each bucket's
+    * bounding box in both dimensions — the min/max spans parquet
+    * row-group pruning would act on after a Z-order write.
+    */
+  def zorderStats(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+    ZOrder.bucketStats(orders,
+        col("o_custkey"),
+        datediff(col("o_orderdate"), lit("1992-01-01")),
+        prefixShift = 18)
+      .orderBy("z_bucket")
+  }
+
+  val zorderStatsSql: String = {
+    val day = "date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))"
+    val z = ZOrder.zvalue16Sql("o_custkey", day)
+    s"""WITH z AS (SELECT CAST($z AS BIGINT) AS z,
+       |    CAST(o_custkey AS BIGINT) AS x, CAST($day AS BIGINT) AS y
+       |  FROM orders)
+       |SELECT z >> 18 AS z_bucket, count(*) AS n,
+       |  min(x) AS x_min, max(x) AS x_max,
+       |  min(y) AS y_min, max(y) AS y_max
+       |FROM z GROUP BY 1 ORDER BY z_bucket""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "kmv_distinct" -> (kmvDistinct(_, _)),
+    "zorder_stats" -> (zorderStats(_, _)))
+
+  val oracleSql: Map[String, String] = Map(
+    "kmv_distinct" -> kmvDistinctSql,
+    "zorder_stats" -> zorderStatsSql)
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.text._
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, concat, lit}
 
 /** Driver-verifiable text-analysis queries over the `documents` table.
   * All but tfidf are pure per-row projections (zero shuffle) ordered by
@@ -252,7 +252,112 @@ object TextQueries {
       |    ELSE 0.0 END AS top_2gram_frac
       |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------- decontam
+
+  private val DecontamMinShared = 5
+
+  /** Benchmark decontamination: every 10th document plays the eval
+    * set; the rest is the corpus. Broadcast-join shape — see
+    * [[graft.text.Decontam]].
+    */
+  def textDecontam(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.loadSpread(spark, dir, "documents")
+    Decontam.overlap(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", n = 3, minSharedGrams = DecontamMinShared)
+      .orderBy("doc_id")
+  }
+
+  val textDecontamSql: String =
+    s"""WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+       |  FROM documents),
+       |g AS (SELECT doc_id, CASE WHEN len(w) >= 3 THEN
+       |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+       |      for i in generate_series(1, len(w) - 2)])
+       |  ELSE [] END AS grams FROM w),
+       |p AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+       |ev AS (SELECT DISTINCT gram FROM p WHERE doc_id % 10 = 0),
+       |tr AS (SELECT doc_id, gram FROM p WHERE doc_id % 10 != 0)
+       |SELECT tr.doc_id, count(*) AS shared_grams,
+       |  CAST(CASE WHEN count(*) >= $DecontamMinShared THEN 1 ELSE 0 END
+       |    AS INT) AS contaminated
+       |FROM tr JOIN ev USING (gram)
+       |GROUP BY tr.doc_id ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------------ pii
+
+  /** PII redaction. The synthetic corpus carries no PII, so both
+    * engines append the SAME deterministic contact block per document
+    * (id-derived email/IP/phone) before scrubbing — the oracle then
+    * verifies counts and the full scrubbed text byte-for-byte.
+    */
+  def textPii(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.loadSpread(spark, dir, "documents")
+    val injected = docs.select(col("doc_id"),
+      concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com from 10.0."), (col("doc_id") % 256).cast("string"),
+        lit("."), ((col("doc_id") * 7) % 256).cast("string"),
+        lit(" call +1-555-"), (lit(1000) + col("doc_id") % 9000).cast("string"))
+        .as("text"))
+    PiiScrub.redact(injected, "doc_id", "text").orderBy("doc_id")
+  }
+
+  val textPiiSql: String = {
+    val injected = "text || ' contact user' || CAST(doc_id AS VARCHAR)" +
+      " || '@example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR)" +
+      " || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)" +
+      " || ' call +1-555-' || CAST(1000 + doc_id % 9000 AS VARCHAR)"
+    // single-quoted DuckDB strings take backslashes literally, so the
+    // Java-regex pattern strings embed as-is
+    val email = PiiScrub.EmailPattern
+    val ip = PiiScrub.IpPattern
+    val phone = PiiScrub.PhonePattern
+    s"""WITH t AS (SELECT doc_id, $injected AS text FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '$email')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(text, '$ip')) AS BIGINT) AS n_ips,
+       |  CAST(len(regexp_extract_all(text, '$phone')) AS BIGINT) AS n_phones,
+       |  regexp_replace(regexp_replace(regexp_replace(text,
+       |    '$ip', '<IP>', 'g'), '$email', '<EMAIL>', 'g'),
+       |    '$phone', '<PHONE>', 'g') AS scrubbed
+       |FROM t ORDER BY doc_id""".stripMargin
+  }
+
+  // --------------------------------------------------------------- chunks
+
+  private val ChunkSize = 64
+  private val ChunkStride = 48
+
+  /** Overlapping-window chunking at 64 tokens / stride 48. */
+  def textChunks(spark: SparkSession, dir: String): DataFrame =
+    Chunker.chunks(Tables.loadSpread(spark, dir, "documents"),
+        "doc_id", "text", ChunkSize, ChunkStride)
+      .orderBy("doc_id", "chunk_idx")
+
+  val textChunksSql: String =
+    s"""WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+       |  FROM documents),
+       |n AS (SELECT doc_id, w,
+       |    CASE WHEN len(w) <= $ChunkSize THEN 1
+       |      ELSE CAST(1 + ceil(CAST(len(w) - $ChunkSize AS DOUBLE)
+       |        / $ChunkStride) AS BIGINT) END AS n_chunks
+       |  FROM w),
+       |c AS (SELECT doc_id, w,
+       |    unnest(generate_series(0, n_chunks - 1)) AS chunk_idx FROM n),
+       |s AS (SELECT doc_id, chunk_idx,
+       |    w[chunk_idx * $ChunkStride + 1 :
+       |      chunk_idx * $ChunkStride + $ChunkSize] AS toks FROM c)
+       |SELECT doc_id, chunk_idx,
+       |  CAST(len(toks) AS BIGINT) AS n_tokens,
+       |  md5(array_to_string(toks, ' ')) AS chunk_hash
+       |FROM s ORDER BY doc_id, chunk_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_decontam" -> (textDecontam(_, _)),
+    "text_pii" -> (textPii(_, _)),
+    "text_chunks" -> (textChunks(_, _)),
     "text_stats" -> (textStats(_, _)),
     "text_repetition" -> (textRepetition(_, _)),
     "text_langid" -> (textLangid(_, _)),
@@ -264,6 +369,9 @@ object TextQueries {
     "text_pack_stats" -> (textPackStats(_, _)))
 
   val oracleSql: Map[String, String] = Map(
+    "text_decontam" -> textDecontamSql,
+    "text_pii" -> textPiiSql,
+    "text_chunks" -> textChunksSql,
     "text_stats" -> textStatsSql,
     "text_repetition" -> textRepetitionSql,
     "text_langid" -> textLangidSql,

@@ -60,9 +60,13 @@ object SeqPack {
     val within = base.withColumn("within_off",
       coalesce(sum(col("n_tokens")).over(inBucket), lit(0L)))
 
-    // (2) tiny: one row per bucket; the unpartitioned window scans only
-    // this frame.
-    val byBucket = Window.orderBy(col("bucket"))
+    // (2) tiny: one row per bucket; the single-partition window scans
+    // only this frame. The constant partition key makes the
+    // single-partition choice explicit (and keeps WindowExec from
+    // logging a missing-partition warning on every run) — the frame is
+    // one row per bucket, so one partition is the design, not an
+    // accident.
+    val byBucket = Window.partitionBy(lit(0)).orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val bucketBase = base.groupBy(col("bucket"))
       .agg(sum(col("n_tokens")).as("bucket_tokens"))

@@ -1,0 +1,82 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** KMV sketch + Z-order layout unit tests. */
+class SketchLayoutSpec extends AnyFunSuite {
+
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // ------------------------------------------------------------------ kmv
+
+  test("kmv: small groups report the exact distinct count") {
+    val df = (1 to 10).flatMap(i => Seq(("g1", s"v$i"), ("g1", s"v$i")))
+      .toDF("grp", "v")
+    val r = KmvSketch.distinctEstimate(df, "grp", "v", k = 64).head()
+    assert(r.getLong(1) === 10) // n_hashes = exact distinct
+    assert(r.getDouble(3) === 10.0)
+  }
+
+  test("kmv: estimate of a large population lands near the truth") {
+    val n = 20000
+    val df = (1 to n).map(i => ("g", s"item$i")).toDF("grp", "v")
+    val r = KmvSketch.distinctEstimate(df, "grp", "v", k = 256).head()
+    val est = r.getDouble(3)
+    // KMV standard error is ~1/sqrt(k-2) ≈ 6.3%; allow 4 sigma
+    assert(math.abs(est - n) / n < 0.25, s"estimate $est too far from $n")
+  }
+
+  test("kmv: estimate is insensitive to duplication of values") {
+    val once = (1 to 5000).map(i => ("g", s"x$i")).toDF("grp", "v")
+    val thrice = (1 to 5000).flatMap(i =>
+      Seq.fill(3)(("g", s"x$i"))).toDF("grp", "v")
+    val a = KmvSketch.distinctEstimate(once, "grp", "v", 128).head()
+    val b = KmvSketch.distinctEstimate(thrice, "grp", "v", 128).head()
+    assert(a.getLong(2) === b.getLong(2)) // identical kth hash
+    assert(a.getDouble(3) === b.getDouble(3)) // identical estimate
+  }
+
+  // --------------------------------------------------------------- zorder
+
+  test("zvalue16: interleaves bits (x even positions, y odd)") {
+    val df = Seq((3, 1), (0, 0), (65535, 0), (0, 65535))
+      .toDF("x", "y")
+    val out = df.select(ZOrder.zvalue16(col("x"), col("y"))).collect()
+      .map(_.getLong(0))
+    assert(out(0) === 7L) // x=11b → bits 0,2; y=1b → bit 1 → 111b
+    assert(out(1) === 0L)
+    // x all-ones → all even bit positions: 0x55555555
+    assert(out(2) === 0x55555555L)
+    assert(out(3) === 0xAAAAAAAAL)
+  }
+
+  test("zvalue16 matches its own oracle SQL rendering") {
+    val rows = Seq((123, 456), (9999, 1), (40000, 60000))
+    val viaColumn = rows.toDF("x", "y")
+      .select(ZOrder.zvalue16(col("x"), col("y"))).collect().map(_.getLong(0))
+    val viaSql = rows.map { case (x, y) =>
+      spark.sql(s"SELECT CAST(${ZOrder.zvalue16Sql(x.toString, y.toString)} " +
+        "AS BIGINT)").head().getLong(0)
+    }
+    assert(viaColumn.toSeq === viaSql)
+  }
+
+  test("zorder cluster: preserves rows and bounds each partition's box") {
+    val df = (0 until 1024).map(i => (i % 32, i / 32)).toDF("x", "y")
+    val clustered = ZOrder.cluster(df, col("x"), col("y"), numFiles = 4)
+    assert(clustered.count() === 1024)
+    // each z-prefix bucket covers a tight sub-rectangle: with 32×32
+    // uniform points, the 4 buckets of the top-2 z bits are the 4
+    // quadrants — each spans half of each dimension
+    val stats = ZOrder.bucketStats(df, col("x"), col("y"), prefixShift = 8)
+      .collect()
+    assert(stats.length === 4)
+    stats.foreach { r =>
+      assert(r.getLong(3) - r.getLong(2) <= 15) // x span within quadrant
+      assert(r.getLong(5) - r.getLong(4) <= 15) // y span
+    }
+  }
+}
