@@ -35,6 +35,26 @@ object MinHashLSH {
     def numHashes: Int = numBands * rowsPerBand
   }
 
+  /** The 48-bit hash space all minhash values live in. */
+  val Mask48: Long = (1L << 48) - 1
+
+  /** Per-seed affine coefficients over the 48-bit base hash:
+    * h_i = (a_i * h0 + b_i) mod 2^48. The multiplier is odd (a
+    * bijection of Z_2^48, so no seed collapses the space) and below
+    * 2^14, keeping a_i * h0 + b_i under 2^63 — no overflow under ANSI
+    * arithmetic in either engine. Derived from md5 HERE, at plan-build
+    * time, and embedded as literals in both the Spark expression and
+    * the generated oracle SQL — the per-row cost is one multiply, one
+    * add, one mask, instead of a fresh md5 per seed.
+    */
+  def coeffs(i: Int): (Long, Long) = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"minhash-seed:$i".getBytes("UTF-8"))
+    val a = (BigInt(1, h.take(6)).toLong % (1L << 13)) * 2 + 1
+    val b = BigInt(1, h.slice(6, 12)).toLong & Mask48
+    (a, b)
+  }
+
   /** (id, shingles) frame for a text column. */
   def docShingles(docs: DataFrame, idCol: String, textCol: String,
       cfg: Config = Config()): DataFrame =
@@ -44,17 +64,25 @@ object MinHashLSH {
   /** (doc_id, h0..h{n-1}) minhash signature columns.
     *
     * Computed as ONE hash aggregate over the exploded (doc, shingle)
-    * postings — md5 runs once per posting per seed, in a single
-    * partial-aggregate pass. (A per-row `array_min(transform(...))`
-    * fold looks cheaper but is a trap: every downstream use of the
-    * signature array gets the whole transform subtree re-inlined by
-    * CollapseProject, multiplying the md5 work by the number of
-    * consumers — measured 30× slower at sf0.1.)
+    * postings — md5 runs ONCE per posting, and the per-seed values are
+    * affine permutations ([[coeffs]]) of that 48-bit base hash, so the
+    * aggregate is n_seeds cheap integer mins instead of n_seeds md5
+    * calls (measured ~40% of the LSH queries' cost at sf0.1). Map-side
+    * combine keeps the shuffle at one row per doc. (A per-row
+    * `array_min(transform(...))` fold looks cheaper still but is a
+    * trap: every downstream use of the signature array gets the whole
+    * transform subtree re-inlined by CollapseProject, multiplying the
+    * hash work by the number of consumers — measured 30× slower at
+    * sf0.1.)
     */
   def signatures(shingled: DataFrame, cfg: Config = Config()): DataFrame = {
     val posts = shingled.select(col("doc_id"), explode(col("shingles")).as("sh"))
-    val aggs = (0 until cfg.numHashes)
-      .map(i => min(md5(concat(lit(s"$i:"), col("sh")))).as(s"h$i"))
+      .select(col("doc_id"),
+        graft.text.TextFeatures.hexPrefixToLong(md5(col("sh")), 12).as("h0"))
+    val aggs = (0 until cfg.numHashes).map { i =>
+      val (a, b) = coeffs(i)
+      min((col("h0") * a + b).bitwiseAND(lit(Mask48))).as(s"h$i")
+    }
     posts.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
@@ -63,8 +91,8 @@ object MinHashLSH {
     */
   def candidatePairs(shingled: DataFrame, cfg: Config = Config()): DataFrame = {
     val bandVals = (0 until cfg.numBands).map { j =>
-      md5(concat((0 until cfg.rowsPerBand).map(r =>
-        col(s"h${j * cfg.rowsPerBand + r}")): _*))
+      md5(concat_ws(":", (0 until cfg.rowsPerBand).map(r =>
+        col(s"h${j * cfg.rowsPerBand + r}").cast("string")): _*))
     }
     val bands = signatures(shingled, cfg)
       .select(col("doc_id"),

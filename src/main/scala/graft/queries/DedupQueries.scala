@@ -36,16 +36,21 @@ object DedupQueries {
     * jaccard)`, over any source relation with (doc_id, text).
     */
   private[queries] def minhashJacCtes(src: String): String = {
-    val hashes = (0 until cfg.numHashes)
-      .map(i => s"min(md5('$i:'||sh)) AS h$i").mkString(", ")
+    val hashes = (0 until cfg.numHashes).map { i =>
+      val (a, b) = MinHashLSH.coeffs(i)
+      s"min((h0 * $a + $b) & ${MinHashLSH.Mask48}) AS h$i"
+    }.mkString(", ")
     val bands = (0 until cfg.numBands).map { j =>
       val bv = (0 until cfg.rowsPerBand)
-        .map(r => s"h${j * cfg.rowsPerBand + r}").mkString("||")
+        .map(r => s"CAST(h${j * cfg.rowsPerBand + r} AS VARCHAR)")
+        .mkString("||':'||")
       s"SELECT doc_id, $j AS band_id, md5($bv) AS band_val FROM mh"
     }.mkString("\n  UNION ALL ")
     val inter = "len(list_filter(sa.s, x -> list_contains(sb.s, x)))"
+    val h0 = OracleDialect.hexPrefixToLong("md5(sh)", 12)
     s"""${shingleCtes(src)},
-       |mh AS (SELECT doc_id, $hashes FROM shx GROUP BY doc_id),
+       |hx0 AS (SELECT doc_id, CAST($h0 AS BIGINT) AS h0 FROM shx),
+       |mh AS (SELECT doc_id, $hashes FROM hx0 GROUP BY doc_id),
        |bands AS (
        |  $bands
        |),
