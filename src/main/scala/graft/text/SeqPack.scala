@@ -61,12 +61,13 @@ object SeqPack {
       coalesce(sum(col("n_tokens")).over(inBucket), lit(0L)))
 
     // (2) tiny: one row per bucket; the single-partition window scans
-    // only this frame. The constant partition key makes the
-    // single-partition choice explicit (and keeps WindowExec from
-    // logging a missing-partition warning on every run) — the frame is
-    // one row per bucket, so one partition is the design, not an
-    // accident.
-    val byBucket = Window.partitionBy(lit(0)).orderBy(col("bucket"))
+    // only this frame. The partition key is the NON-FOLDABLE constant
+    // `bucket * 0`: every row lands in one hash partition — the design,
+    // since the frame is one row per bucket — without the empty
+    // partition spec WindowExec would warn about on every run (a
+    // foldable literal key gets optimized away and warns identically).
+    val byBucket = Window.partitionBy(col("bucket") * lit(0L))
+      .orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val bucketBase = base.groupBy(col("bucket"))
       .agg(sum(col("n_tokens")).as("bucket_tokens"))

@@ -38,7 +38,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // loadSpread adds ONE round-robin exchange for the single-file test
     // input; beyond that the feature computation itself must add none
     for (name <- Seq("text_stats", "text_langid", "text_tokens",
-        "text_fingerprint", "mm_meta")) {
+        "text_fingerprint", "mm_meta", "text_pii", "text_chunks")) {
       val plan = planOf(name)
       val exchanges = "Exchange".r.findAllIn(plan).length
       val sorts = plan.contains("TakeOrderedAndProject") ||
@@ -70,7 +70,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // Spark's WindowGroupLimit keeps only k rows per key per PARTITION
     // before the shuffle — the property that makes rank<=k top-k safe at
     // scale (the shuffle moves ~k·|keys| rows, not the full pair fanout)
-    for (name <- Seq("sim_topk", "q_window_top_orders", "quota_cap")) {
+    for (name <- Seq("sim_topk", "q_window_top_orders", "quota_cap",
+        "kmv_distinct")) {
       val plan = planOf(name)
       assert(plan.contains("WindowGroupLimit"),
         s"$name lost the rank-limit pushdown:\n$plan")
@@ -148,10 +149,16 @@ class PlanAuditSpec extends AnyFunSuite {
     // bucket, and the only SinglePartition exchange may consume the
     // one-row-per-bucket aggregate — not raw rows.
     val plan = planOf("text_pack")
-    val singles = "Exchange SinglePartition".r.findAllIn(plan).length
-    assert(singles === 1,
-      s"expected exactly one SinglePartition exchange:\n$plan")
-    val seg = plan.split("Exchange SinglePartition")(1)
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"raw rows must never be globally single-partitioned:\n$plan")
+    // the bucket frame's constant-key exchange (bucket * 0, projected
+    // by the window planner as _w1): one hash partition by design,
+    // carrying only the per-bucket aggregate
+    val marker = "Exchange hashpartitioning(_w1"
+    val pieces = plan.split(java.util.regex.Pattern.quote(marker))
+    assert(pieces.length == 2,
+      s"expected exactly one constant-key bucket exchange:\n$plan")
+    val seg = pieces(1)
     val firstAgg = seg.indexOf("HashAggregate")
     val firstScan = seg.indexOf("Scan parquet")
     assert(firstAgg >= 0 && (firstScan < 0 || firstAgg < firstScan),
@@ -159,6 +166,16 @@ class PlanAuditSpec extends AnyFunSuite {
         s"frame, not raw rows:\n$plan")
     assert(plan.contains("BroadcastHashJoin"),
       s"bucket offsets must join back broadcast:\n$plan")
+  }
+
+  test("decontamination broadcasts the benchmark side, never shuffles it") {
+    // the corpus side is the 100 TB side: it must meet the eval-gram
+    // set as a broadcast hash relation, not via a sort-merge shuffle
+    val plan = planOf("text_decontam")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"eval grams must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"decontam must not shuffle the corpus for the join:\n$plan")
   }
 
   test("IVF assignment aggregates (max_by), never windows the cross product") {
