@@ -378,4 +378,52 @@ class StreamingSpec extends AnyFunSuite {
       assert(b === RunningCounts.KeyTotal("b", 1L, 5.0))
     } finally q.stop()
   }
+
+  test("pii scrub and chunking projections run unchanged on a stream") {
+    // both are stateless per-row projections (chunking is a stateless
+    // generate), so the batch operators accept streaming frames as-is —
+    // documents can be scrubbed and chunked on ingest
+    val stream = MemoryStream[(Long, String)](spark)
+    val input = stream.toDF().toDF("doc_id", "text")
+    val qp = graft.text.PiiScrub.redact(input, "doc_id", "text")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("pii_stream").start()
+    val qc = graft.text.Chunker
+      .chunks(input, "doc_id", "text", chunkSize = 4, stride = 3)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("chunk_stream").start()
+    try {
+      stream.addData((1L, "reach me at root@host.example.net today"),
+        (2L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"))
+      qp.processAllAvailable(); qc.processAllAvailable()
+      val pii = spark.table("pii_stream").orderBy("doc_id").collect()
+      assert(pii(0).getLong(1) === 1)
+      assert(pii(0).getString(4) === "reach me at <EMAIL> today")
+      val chunks = spark.table("chunk_stream")
+        .filter($"doc_id" === 2L).collect()
+      assert(chunks.length === 3)
+    } finally { qp.stop(); qc.stop() }
+  }
+
+  test("decontamination joins a stream against the static benchmark set") {
+    // the benchmark-gram relation is static and broadcast, so the same
+    // operator runs as a stream-static join — contamination flags on
+    // ingest, no state beyond the running per-doc aggregate
+    val eval = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val stream = MemoryStream[(Long, String)](spark)
+    val q = graft.text.Decontam.overlap(
+        stream.toDF().toDF("doc_id", "text"), eval,
+        "doc_id", "text", n = 3, minSharedGrams = 2)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("decontam_stream").start()
+    try {
+      stream.addData((1L, "alpha beta gamma delta tail"),
+        (2L, "completely unrelated text with no overlap"))
+      q.processAllAvailable()
+      val out = spark.table("decontam_stream").collect()
+      assert(out.map(_.getLong(0)).toSet === Set(1L)) // doc 2 clean → absent
+      // shared grams: "alpha beta gamma", "beta gamma delta"
+      assert(out.head.getLong(1) === 2 && out.head.getInt(2) === 1)
+    } finally q.stop()
+  }
 }
