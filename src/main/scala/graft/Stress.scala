@@ -21,7 +21,8 @@ import org.apache.spark.sql.functions._
 object Stress {
   def main(args: Array[String]): Unit = {
     val which = if (args.nonEmpty) args.toSet
-      else Set("cc", "minhash", "curate", "diff", "pack", "shards")
+      else Set("cc", "minhash", "curate", "diff", "pack", "shards",
+        "decontam", "chunks", "kmv")
     val spark = Sessions.local("32")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -118,6 +119,46 @@ object Stress {
         n
       }
       org.apache.commons.io.FileUtils.deleteDirectory(out.toFile)
+    }
+
+    if (which("decontam")) {
+      // 10× corpus (500k docs at sf0.1) against a 5k-doc benchmark set —
+      // the realistic ratio: the eval grams broadcast, the corpus side
+      // streams through map-side
+      val corpus = staged(corpus10x)
+      val eval = queries.Tables.loadSpread(spark, dir, "documents")
+        .filter(col("doc_id") % 10 === 0)
+      timed("decontam") {
+        graft.text.Decontam.overlap(corpus, eval, "doc_id", "text").count()
+      }
+    }
+
+    if (which("chunks")) {
+      val corpus = staged(corpus10x)
+      timed("chunks") {
+        graft.text.Chunker.chunks(corpus, "doc_id", "text").count()
+      }
+    }
+
+    if (which("kmv")) {
+      // 10M (group, value) postings over 32 groups, millions of
+      // distinct values per group — the cardinality regime the sketch
+      // exists for; estimates must land within the KMV error bound
+      val posts = staged(spark.range(10000000L)
+        .select(pmod(col("id"), lit(32L)).cast("string").as("grp"),
+          md5(col("id").cast("string")).as("v"))
+        .repartition(32))
+      timed("kmv") {
+        val rows = operators.KmvSketch.distinctEstimate(posts, "grp", "v",
+          k = 256).collect()
+        rows.foreach { r =>
+          val est = r.getDouble(3)
+          val truth = 312500.0 // 10M / 32, all values distinct
+          require(math.abs(est - truth) / truth < 0.3,
+            s"group ${r.getString(0)} estimate $est too far from $truth")
+        }
+        rows.length.toLong
+      }
     }
 
     if (which("diff")) {
