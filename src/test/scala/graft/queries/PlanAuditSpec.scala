@@ -168,6 +168,35 @@ class PlanAuditSpec extends AnyFunSuite {
       s"bucket offsets must join back broadcast:\n$plan")
   }
 
+  test("runtime bloom filter prunes the fact scan under a selective dim filter") {
+    // At 100 TB the fact side of a selective join is the dominant scan;
+    // Spark's InjectRuntimeFilter turns the dim filter into a bloom
+    // `might_contain` predicate on the fact scan so most rows die
+    // before the shuffle. The session keeps the feature on
+    // (bloomFilter.enabled defaults true); size thresholds hide it at
+    // test scale, so this audit forces them to prove the plan shape is
+    // available — and that a config regression can't silently turn the
+    // optimization off.
+    import org.apache.spark.sql.functions._
+    val conf = spark.conf
+    val forced = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") // SMJ, the 100 TB shape
+    val saved = forced.map { case (k, _) => k -> conf.getOption(k) }
+    forced.foreach { case (k, v) => conf.set(k, v) }
+    try {
+      val li = Tables.load(spark, dir, "lineitem")
+      val ord = Tables.load(spark, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val plan = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .groupBy("o_orderpriority").agg(sum("l_quantity"))
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"expected a runtime bloom filter on the fact scan:\n$plan")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _)) }
+  }
+
   test("decontamination broadcasts the benchmark side, never shuffles it") {
     // the corpus side is the 100 TB side: it must meet the eval-gram
     // set as a broadcast hash relation, not via a sort-merge shuffle
