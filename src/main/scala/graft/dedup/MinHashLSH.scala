@@ -46,13 +46,36 @@ object MinHashLSH {
     * time, and embedded as literals in both the Spark expression and
     * the generated oracle SQL — the per-row cost is one multiply, one
     * add, one mask, instead of a fresh md5 per seed.
+    *
+    * The 13 random multiplier bits invite birthday collisions once tens
+    * of seeds are drawn; two seeds sharing `a` are shifted copies of the
+    * same circular ordering of Z_2^48 and their minhash coordinates
+    * correlate. So multipliers are DEDUPLICATED: each index bumps a salt
+    * until its `a` differs from every earlier seed's. Happens once at
+    * plan-build time; the first 64 seeds draw distinct multipliers on
+    * salt 0, so existing embedded literals are unchanged.
     */
-  def coeffs(i: Int): (Long, Long) = {
-    val h = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"minhash-seed:$i".getBytes("UTF-8"))
-    val a = (BigInt(1, h.take(6)).toLong % (1L << 13)) * 2 + 1
-    val b = BigInt(1, h.slice(6, 12)).toLong & Mask48
-    (a, b)
+  def coeffs(i: Int): (Long, Long) = coeffTable(i)
+
+  private val coeffTable: Int => (Long, Long) = {
+    val cache = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    def draw(i: Int, salt: Int): (Long, Long) = {
+      val tag = if (salt == 0) s"minhash-seed:$i" else s"minhash-seed:$i/$salt"
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(tag.getBytes("UTF-8"))
+      val a = (BigInt(1, h.take(6)).toLong % (1L << 13)) * 2 + 1
+      val b = BigInt(1, h.slice(6, 12)).toLong & Mask48
+      (a, b)
+    }
+    i => cache.synchronized {
+      while (cache.length <= i) {
+        val idx = cache.length
+        val used = cache.iterator.map(_._1).toSet
+        cache += Iterator.from(0).map(draw(idx, _))
+          .find(c => !used.contains(c._1)).get
+      }
+      cache(i)
+    }
   }
 
   /** (id, shingles) frame for a text column. */

@@ -35,8 +35,9 @@ object KmvSketch {
     * est_distinct). Groups with fewer than k distinct values report the
     * exact count (the sketch holds the whole population).
     *
-    * The estimate is `(k-1) * 2^48 / kth` — an exact double product
-    * (< 2^53) followed by ONE division, bit-identical cross-engine.
+    * The estimate is `(k-1) * 2^48 / kth` — the product is an exact
+    * double (k-1 < 2^53 times a power of two, so no mantissa bits are
+    * lost) followed by ONE division, bit-identical cross-engine.
     */
   def distinctEstimate(df: DataFrame, groupCol: String, valueCol: String,
       k: Int = 64): DataFrame = {
