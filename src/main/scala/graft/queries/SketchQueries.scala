@@ -67,10 +67,15 @@ object SketchQueries {
 
   val zorderStatsSql: String = {
     val day = "date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))"
-    val z = ZOrder.zvalue16Sql("o_custkey", day)
-    s"""WITH z AS (SELECT CAST($z AS BIGINT) AS z,
-       |    CAST(o_custkey AS BIGINT) AS x, CAST($day AS BIGINT) AS y
-       |  FROM orders)
+    // mirror ZOrder.bucketStats: per-dimension scale-aware shift
+    // (integer CASE ladder) before the 16-bit interleave, so keys
+    // wider than 2^16 never alias
+    val z = ZOrder.zvalue16Sql("(x >> xs)", "(y >> ys)")
+    s"""WITH base AS (SELECT CAST(o_custkey AS BIGINT) AS x,
+       |    CAST($day AS BIGINT) AS y FROM orders),
+       |s AS (SELECT ${ZOrder.quantShiftSql("max(x)")} AS xs,
+       |    ${ZOrder.quantShiftSql("max(y)")} AS ys FROM base),
+       |z AS (SELECT CAST($z AS BIGINT) AS z, x, y FROM base, s)
        |SELECT z >> 18 AS z_bucket, count(*) AS n,
        |  min(x) AS x_min, max(x) AS x_max,
        |  min(y) AS y_min, max(y) AS y_max

@@ -64,6 +64,55 @@ class SketchLayoutSpec extends AnyFunSuite {
     assert(viaColumn.toSeq === viaSql)
   }
 
+  test("quantShift: smallest shift that fits the max into 16 bits") {
+    val cases = Seq(0L -> 0, 1L -> 0, 65535L -> 0, 65536L -> 1,
+      131071L -> 1, 131072L -> 2, (1L << 20) -> 5, (1L << 40) -> 25,
+      (1L << 62) -> 47, Long.MaxValue -> 47)
+    val got = cases.map(_._1).toDF("m")
+      .select(ZOrder.quantShift(col("m"))).collect().map(_.getInt(0))
+    assert(got.toSeq === cases.map(_._2))
+    // the shifted max actually fits 16 bits, and one less shift would not
+    cases.foreach { case (m, s) =>
+      assert((m >> s) < 65536)
+      if (s > 0) assert((m >> (s - 1)) >= 65536)
+    }
+  }
+
+  test("quantShift matches its oracle SQL rendering") {
+    val ms = Seq(0L, 7L, 65535L, 65536L, 1L << 30, Long.MaxValue)
+    val viaSql = ms.map(m =>
+      spark.sql(s"SELECT ${ZOrder.quantShiftSql(m.toString)}").head().getInt(0))
+    val viaColumn = ms.toDF("m")
+      .select(ZOrder.quantShift(col("m"))).collect().map(_.getInt(0))
+    assert(viaColumn.toSeq === viaSql)
+  }
+
+  test("bucketStats: keys > 65535 apart never alias into one bucket") {
+    // with raw 16-bit masking, x = 5 and x = 65541 produce identical
+    // z-values (65541 & 0xFFFF == 5) and are GUARANTEED to share a
+    // bucket with a bounding box claiming to span both — the aliasing
+    // the quantization fix removes. Give the frame a wide domain so
+    // the derived shift is > 0.
+    val far = 65541L
+    val df = Seq((5L, 0L), (far, 0L), ((1L << 20) - 1, 1L))
+      .toDF("x", "y")
+    val stats = ZOrder.bucketStats(df, col("x"), col("y"), prefixShift = 8)
+      .collect()
+    // no bucket's bounding box contains both x=5 and x=65541
+    stats.foreach { r =>
+      val (xMin, xMax) = (r.getLong(2), r.getLong(3))
+      assert(!(xMin <= 5L && far <= xMax),
+        s"bucket ${r.getLong(0)} box [$xMin,$xMax] aliases distant keys")
+    }
+    // and each box is tight relative to the quantization: with
+    // max x = 2^20-1 the shift is 5, so a prefixShift=8 bucket spans
+    // at most 2^(4+5) = 512 quantized-x units × 2^5 raw units... i.e.
+    // a raw-x span < 2^14 per bucket — far less than the 2^16+ gap
+    stats.foreach { r =>
+      assert(r.getLong(3) - r.getLong(2) < (1L << 14))
+    }
+  }
+
   test("zorder cluster: preserves rows and bounds each partition's box") {
     val df = (0 until 1024).map(i => (i % 32, i / 32)).toDF("x", "y")
     val clustered = ZOrder.cluster(df, col("x"), col("y"), numFiles = 4)
