@@ -31,9 +31,21 @@ object MinHashLSH {
       shingleSize: Int = 3,
       numBands: Int = 6,
       rowsPerBand: Int = 2,
-      threshold: Double = 0.8) {
+      threshold: Double = 0.8,
+      maxShingleDocFreq: Option[Long] = None) {
     def numHashes: Int = numBands * rowsPerBand
   }
+
+  /** Sharper S-curve for mid-similarity corpora: 16 bands × 4 rows
+    * moves the knee (1/b)^(1/r) from ≈0.41 to 0.50 and cuts the
+    * candidate-admission probability at s=0.3 from ≈0.43 to ≈0.12, so
+    * buckets stop admitting the mid-similarity mass that dominates
+    * candidate counts on web-scale corpora, while recall at the 0.8
+    * threshold stays 1-(1-0.8⁴)¹⁶ ≈ 0.9998 (vs 0.9978 for 6×2).
+    * Costs 64 signature mins per doc instead of 12. See the sweep
+    * table in SURVEY §8 for the measured candidate/recall trade.
+    */
+  val Sharp: Config = Config(numBands = 16, rowsPerBand = 4)
 
   /** The 48-bit hash space all minhash values live in. */
   val Mask48: Long = (1L << 48) - 1
@@ -78,11 +90,36 @@ object MinHashLSH {
     }
   }
 
-  /** (id, shingles) frame for a text column. */
+  /** (id, shingles) frame for a text column. With
+    * `cfg.maxShingleDocFreq` set, shingles appearing in more than that
+    * many documents are removed from every document's set BEFORE
+    * signatures and verification — the boilerplate escape hatch (site
+    * headers/footers shared by millions of pages otherwise minhash
+    * identically and inflate band buckets into quadratic hot spots).
+    * Pairs supported only by dropped shingles are then missed — the
+    * same documented recall trade as [[NgramJaccard]], off by default.
+    *
+    * Scale shape: the doc-frequency aggregate is one map-side-combined
+    * shuffle of 8-byte hashed-shingle keys (cheaper than the signature
+    * aggregate that follows), and the removal is a LEFT ANTI join
+    * against only the OVER-cap shingles — a tiny set (boilerplate, by
+    * definition ubiquitous, has few distinct values) that AQE
+    * broadcasts, so the corpus-side postings never reshuffle for it.
+    */
   def docShingles(docs: DataFrame, idCol: String, textCol: String,
-      cfg: Config = Config()): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
+      cfg: Config = Config()): DataFrame = {
+    val raw = docs.select(col(idCol).as("doc_id"),
       wordShingles(words(col(textCol)), cfg.shingleSize).as("shingles"))
+    cfg.maxShingleDocFreq.fold(raw) { cap =>
+      // shingles are distinct per doc (wordShingles → array_distinct),
+      // so a plain count over the exploded postings IS the doc freq
+      val posts = raw.select(col("doc_id"), explode(col("shingles")).as("sh"))
+      val over = posts.groupBy("sh").agg(count(lit(1)).as("df"))
+        .filter(col("df") > cap).select("sh")
+      posts.join(over, Seq("sh"), "left_anti")
+        .groupBy("doc_id").agg(collect_list(col("sh")).as("shingles"))
+    }
+  }
 
   /** (doc_id, h0..h{n-1}) minhash signature columns.
     *

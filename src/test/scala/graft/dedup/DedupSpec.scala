@@ -66,4 +66,54 @@ class DedupSpec extends AnyFunSuite {
       docs, "doc_id", "text", maxShingleDocFreq = Some(1L))
     assert(capped.count() === 0)
   }
+
+  test("minhash doc-freq cap is a no-op when no shingle exceeds it") {
+    // 500 docs, so df can never exceed 500: capped run must equal the
+    // uncapped run pair-for-pair AND jaccard-for-jaccard
+    val capped = MinHashLSH.nearDuplicatePairs(docs, "doc_id", "text",
+        MinHashLSH.Config(maxShingleDocFreq = Some(500L)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val uncapped = MinHashLSH.nearDuplicatePairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(capped === uncapped)
+    assert(capped.nonEmpty)
+  }
+
+  test("minhash doc-freq cap bounds band buckets on a boilerplate corpus") {
+    import spark.implicits._
+    // every doc shares a 24-token header (the site-template case) and
+    // carries a 12-token unique tail — without the cap the header
+    // shingles dominate every signature and the band self-join
+    // degenerates toward all-pairs
+    val header = (1 to 24).map(i => s"nav$i").mkString(" ")
+    val corpus = (1 to 200).map { d =>
+      (d.toLong, header + " " + (1 to 12).map(i => s"body${d}x$i").mkString(" "))
+    }.toDF("doc_id", "text")
+    val uncappedCand = MinHashLSH.candidatePairs(
+      MinHashLSH.docShingles(corpus, "doc_id", "text")).count()
+    val cappedCfg = MinHashLSH.Config(maxShingleDocFreq = Some(100L))
+    val cappedCand = MinHashLSH.candidatePairs(
+      MinHashLSH.docShingles(corpus, "doc_id", "text", cappedCfg),
+      cappedCfg).count()
+    // uncapped: shared-header minhashes collide most of the 19,900
+    // possible pairs into the same band buckets
+    assert(uncappedCand > 5000L, s"expected bucket blow-up, got $uncappedCand")
+    // capped: header shingles (df=200 > 100) are dropped, docs retain
+    // only unique-tail shingles → buckets stay at true-collision size
+    assert(cappedCand < 100L, s"expected bounded buckets, got $cappedCand")
+    // and no false positives survive verification either way
+    assert(MinHashLSH.nearDuplicatePairs(corpus, "doc_id", "text",
+      cappedCfg).count() === 0)
+  }
+
+  test("sharp (16x4) config finds the planted pairs with fewer band rows per doc") {
+    val sharp = MinHashLSH.nearDuplicatePairs(docs, "doc_id", "text",
+        MinHashLSH.Sharp)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = NgramJaccard.nearDuplicatePairs(docs, "doc_id", "text")
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // planted pairs sit at J>=0.85; 16 bands x 4 rows miss probability
+    // per pair is (1-J^4)^16 < 1e-5 — deterministic here (fixed seeds)
+    assert(sharp === exact)
+  }
 }
