@@ -151,18 +151,27 @@ class PlanAuditSpec extends AnyFunSuite {
     val plan = planOf("text_pack")
     assert(!plan.contains("Exchange SinglePartition"),
       s"raw rows must never be globally single-partitioned:\n$plan")
-    // the bucket frame's constant-key exchange (bucket * 0, projected
-    // by the window planner as _w1): one hash partition by design,
-    // carrying only the per-bucket aggregate
-    val marker = "Exchange hashpartitioning(_w1"
-    val pieces = plan.split(java.util.regex.Pattern.quote(marker))
-    assert(pieces.length == 2,
-      s"expected exactly one constant-key bucket exchange:\n$plan")
-    val seg = pieces(1)
-    val firstAgg = seg.indexOf("HashAggregate")
-    val firstScan = seg.indexOf("Scan parquet")
+    // Structural check (no planner-internal alias names): every
+    // hash-partitioning exchange either shuffles on the bucket column
+    // (the big-side window repartition) or is THE constant-key bucket
+    // exchange — exactly one, whose subtree must aggregate to
+    // one-row-per-bucket before any parquet scan appears.
+    val lines = plan.linesIterator.toVector
+    def nodeDepth(l: String): Int =
+      l.indexWhere(c => !" :+-*(0123456789)".contains(c))
+    val constantKeyed = lines.zipWithIndex.flatMap { case (l, i) =>
+      val m = "Exchange hashpartitioning\\(([^)]*)\\)".r.findFirstMatchIn(l)
+      m.filterNot(_.group(1).contains("bucket#")).map(_ => i)
+    }
+    assert(constantKeyed.length == 1,
+      s"expected exactly one non-bucket-keyed (constant-key) exchange:\n$plan")
+    val i = constantKeyed.head
+    val d = nodeDepth(lines(i))
+    val subtree = lines.drop(i + 1).takeWhile(nodeDepth(_) > d)
+    val firstAgg = subtree.indexWhere(_.contains("HashAggregate"))
+    val firstScan = subtree.indexWhere(_.contains("Scan parquet"))
     assert(firstAgg >= 0 && (firstScan < 0 || firstAgg < firstScan),
-      s"SinglePartition exchange must consume the aggregated bucket " +
+      s"constant-key exchange must consume the aggregated bucket " +
         s"frame, not raw rows:\n$plan")
     assert(plan.contains("BroadcastHashJoin"),
       s"bucket offsets must join back broadcast:\n$plan")
