@@ -19,7 +19,13 @@ package graft
   *     column pruning delete most of the measured work) without
   *     driver-side collect or disk I/O;
   *   - a failed query records `-1` and its error under `"errors"`
-  *     instead of masquerading as a fast run.
+  *     instead of masquerading as a fast run;
+  *   - each query is timed `SPARK_GRAFT_REPS` times (default 3) and the
+  *     MEDIAN is reported (per-query minima under `"queries_min"`), so a
+  *     single contended run or stray full-GC pause can no longer
+  *     masquerade as a 4× per-query regression — n=1 timings on a shared
+  *     machine were observed swinging exactly that much with zero code
+  *     change.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -44,22 +50,27 @@ object Bench {
     // timed runs at larger scale factors.
     spark.catalog.clearCache()
 
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     var errors = List.empty[(String, String)]
     val results = SparkEntry.benchQueries.map { name =>
-      val t0 = System.nanoTime()
-      val r = try {
-        materialize(name, sfDir)
-        name -> (System.nanoTime() - t0) / 1e9
-      } catch {
-        case scala.util.control.NonFatal(e) =>
-          errors ::= name -> e.toString.take(200)
-          name -> -1.0
-      }
-      spark.catalog.clearCache() // cleanup excluded from the timing
-      // quiesce the heap between queries: otherwise one arbitrary query
-      // per run absorbs the full-GC pause of everything before it
-      System.gc()
-      r
+      val times = (1 to reps).iterator.map { _ =>
+        val t0 = System.nanoTime()
+        val t = try {
+          materialize(name, sfDir)
+          (System.nanoTime() - t0) / 1e9
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            errors ::= name -> e.toString.take(200)
+            -1.0
+        }
+        spark.catalog.clearCache() // cleanup excluded from the timing
+        // quiesce the heap between runs: otherwise one arbitrary run
+        // per query absorbs the full-GC pause of everything before it
+        System.gc()
+        t
+      }.takeWhile(_ >= 0).toVector // a failed rep poisons the query: stop
+      if (times.length < reps) name -> (-1.0, -1.0)
+      else name -> (times.sorted.apply(reps / 2), times.min)
     }
     def jstr(s: String): String =
       "\"" + s.flatMap {
@@ -68,12 +79,14 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"
         case c => c.toString
       } + "\""
-    val qs = results.map { case (k, v) => jstr(k) + ":" + v }
+    val qs = results.map { case (k, (med, _)) => jstr(k) + ":" + med }
+      .mkString("{", ",", "}")
+    val qsMin = results.map { case (k, (_, mn)) => jstr(k) + ":" + mn }
       .mkString("{", ",", "}")
     val errs = errors.reverse.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val total = results.map(_._2._1).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"errors":$errs,"sf":"$sfDir","reps":$reps}""")
     spark.stop()
   }
 }
