@@ -40,7 +40,7 @@ object MediaIngest {
   /** Deterministic fake corpus: a 64-byte payload per document derived
     * from its text (4 × md5 blocks), with a format assigned round-robin.
     * Stands in for real decode inputs in tests/benchmarks — the
-    * container ships no media codecs (see [[DecodeStub]]).
+    * container ships no media codecs (see [[MediaDecode]]).
     */
   def synthesizeCorpus(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val payload = unhex(concat((0 until 4).map(i =>

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 /** Driver-verifiable multimodal queries: binary payloads synthesized
   * deterministically from the documents table (the container has no
-  * media codecs — see [[graft.multimodal.DecodeStub]]), metadata
+  * media codecs — see [[graft.multimodal.MediaDecode]]), metadata
   * filtering and frame sampling verified against DuckDB, which mirrors
   * the byte slicing in hex-string space (`hex(binary)` is uppercase in
   * both engines; DuckDB can't substring a BLOB, identical strings

@@ -11,29 +11,67 @@ class MultimodalSpec extends AnyFunSuite {
     SparkTestSession.spark
   import spark.implicits._
 
-  test("decode stub: deterministic features with the right shape") {
-    val payload = Array.tabulate(64)(i => i.toByte)
-    val ds = Seq(DecodeStub.MediaRecord(7L, "png", payload)).toDS()
-    val out = DecodeStub.decode(ds).collect()
+  test("undecodable payloads fall back to deterministic stripe features") {
+    val payload = Array.tabulate(64)(i => i.toByte) // not a valid image
+    val ds = Seq(MediaDecode.MediaRecord(7L, "png", payload)).toDS()
+    val out = MediaDecode.decode(ds).collect()
     assert(out.length === 1)
     assert(out.head.doc_id === 7L)
-    assert(out.head.features.length === DecodeStub.FeatureDim)
+    assert(out.head.features.length === MediaDecode.FeatureDim)
     // stripe i = bytes [8i, 8i+8): mean = 8i + 3.5, scaled by 256
     val expected = Array.tabulate(8)(i => ((8 * i + 3.5) / 256).toFloat)
     assert(out.head.features.toSeq === expected.toSeq)
     // determinism across runs
-    assert(DecodeStub.decode(ds).collect().head.features.toSeq ===
+    assert(MediaDecode.decode(ds).collect().head.features.toSeq ===
       out.head.features.toSeq)
+  }
+
+  test("real PNG decode: raster features match the drawn image") {
+    import java.awt.image.BufferedImage
+    // 2x1: left pixel pure red, right pixel pure blue
+    val img = new BufferedImage(2, 1, BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xFF0000)
+    img.setRGB(1, 0, 0x0000FF)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val ds = Seq(MediaDecode.MediaRecord(1L, "png", bos.toByteArray)).toDS()
+    val f = MediaDecode.decode(ds).collect().head.features
+    def approx(a: Float, b: Double) = assert(math.abs(a - b) < 1e-3, s"$a vs $b")
+    approx(f(0), 2.0 / 4096) // width
+    approx(f(1), 1.0 / 4096) // height
+    approx(f(2), 2.0 / 3)    // aspect w/(w+h)
+    approx(f(3), 0.5)        // mean R: one pure-red of two pixels
+    approx(f(4), 0.0)        // mean G
+    approx(f(5), 0.5)        // mean B
+    approx(f(6), (0.299 + 0.114) / 2) // BT.601 luma mean
+    // luma stddev: two-point distribution at 0.299*255 and 0.114*255
+    approx(f(7), (0.299 - 0.114) / 2)
+  }
+
+  test("real BMP decode: same contract through a second JDK reader") {
+    import java.awt.image.BufferedImage
+    // 4x4 uniform mid-gray: zero variance, known means
+    val img = new BufferedImage(4, 4, BufferedImage.TYPE_INT_RGB)
+    (0 until 4).foreach(x => (0 until 4).foreach(y =>
+      img.setRGB(x, y, 0x808080)))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", bos)
+    val ds = Seq(MediaDecode.MediaRecord(2L, "bmp", bos.toByteArray)).toDS()
+    val f = MediaDecode.decode(ds).collect().head.features
+    def approx(a: Float, b: Double) = assert(math.abs(a - b) < 1e-3, s"$a vs $b")
+    approx(f(3), 128.0 / 255); approx(f(4), 128.0 / 255)
+    approx(f(5), 128.0 / 255); approx(f(6), 128.0 / 255)
+    approx(f(7), 0.0) // uniform image: zero luma variance
   }
 
   test("decode batches: partition sizes that don't divide batchSize all decode") {
     val recs = (0L until 150L).map(i =>
-      DecodeStub.MediaRecord(i, "wav", Array.tabulate(64)(b => (b + i).toByte)))
+      MediaDecode.MediaRecord(i, "wav", Array.tabulate(64)(b => (b + i).toByte)))
     val ds = recs.toDS().repartition(4) // ragged partitions vs batchSize 64
-    val out = DecodeStub.decode(ds, batchSize = 64).collect()
+    val out = MediaDecode.decode(ds, batchSize = 64).collect()
     assert(out.length === 150)
     assert(out.map(_.doc_id).sorted.toSeq === (0L until 150L))
-    assert(out.forall(_.features.length === DecodeStub.FeatureDim))
+    assert(out.forall(_.features.length === MediaDecode.FeatureDim))
   }
 
   test("binaryFile source reads payloads with metadata attached") {
