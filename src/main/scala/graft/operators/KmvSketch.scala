@@ -51,9 +51,35 @@ object KmvSketch {
       .filter(col("rk") <= k)
       .groupBy("grp")
       .agg(count(lit(1)).as("n_hashes"), max(col("h")).as("kth_hash"))
-      .select(col("grp"), col("n_hashes"), col("kth_hash"),
-        when(col("n_hashes") < k, col("n_hashes").cast("double"))
-          .otherwise(lit((k - 1).toDouble * HashSpace) / col("kth_hash"))
-          .as("est_distinct"))
+      .select(col("grp"), col("n_hashes"), col("kth_hash"), estimate(k))
   }
+
+  /** [[distinctEstimate]] as ONE aggregation: the custom
+    * [[graft.expressions.KmvBottomK]] buffer holds the k smallest
+    * distinct hashes, so the plan is a single partial+final
+    * ObjectHashAggregate exchange carrying ≤ k longs per group per
+    * task — no distinct-shuffle of the full hash population and no
+    * window pass. Bit-identical output to the composable form (which
+    * stays as the oracle cross-check).
+    */
+  def distinctEstimateAgg(df: DataFrame, groupCol: String, valueCol: String,
+      k: Int = 64): DataFrame = {
+    require(k >= 2, s"KMV needs k >= 2, got $k")
+    df.select(col(groupCol).as("grp"), hash48(col(valueCol)).as("h"))
+      .groupBy("grp")
+      .agg(graft.expressions.KmvBottomK(col("h"), k).as("sk"))
+      .select(col("grp"), col("sk.n_hashes").as("n_hashes"),
+        col("sk.kth_hash").as("kth_hash"))
+      .select(col("grp"), col("n_hashes"), col("kth_hash"), estimate(k))
+  }
+
+  /** The shared estimate projection: `(k-1) * 2^48 / kth` — the product
+    * is an exact double (k-1 < 2^53 times a power of two, so no
+    * mantissa bits are lost) followed by ONE division, bit-identical
+    * cross-engine. Exact count for groups the sketch holds entirely.
+    */
+  private def estimate(k: Int): Column =
+    when(col("n_hashes") < k, col("n_hashes").cast("double"))
+      .otherwise(lit((k - 1).toDouble * HashSpace) / col("kth_hash"))
+      .as("est_distinct")
 }

@@ -26,7 +26,10 @@ object SketchQueries {
     val posts = docs.select(col("source"),
       explode(TextFeatures.wordShingles(
         TextFeatures.words(col("text")), 3)).as("gram"))
-    KmvSketch.distinctEstimate(posts, "source", "gram", KmvK)
+    // single-aggregation form (custom bottom-k buffer, one exchange);
+    // the DuckDB oracle recomputes the sketch the composable way and
+    // must hash-match — proving the aggregate's exactness per round
+    KmvSketch.distinctEstimateAgg(posts, "source", "gram", KmvK)
       .orderBy("grp")
   }
 

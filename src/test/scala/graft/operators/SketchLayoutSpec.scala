@@ -39,6 +39,31 @@ class SketchLayoutSpec extends AnyFunSuite {
     assert(a.getDouble(3) === b.getDouble(3)) // identical estimate
   }
 
+  test("kmv custom aggregate is bit-identical to the composable form") {
+    // adversarial layout: duplicated values spread across many
+    // partitions so partial buffers overlap and merge must dedupe
+    val df = (1 to 8000).flatMap(i =>
+      Seq(("g" + i % 3, s"v${i % 2000}"), ("g" + i % 3, s"v${i % 2000}")))
+      .toDF("grp", "v").repartition(16)
+    for (k <- Seq(2, 64, 256)) {
+      val a = KmvSketch.distinctEstimate(df, "grp", "v", k)
+        .orderBy("grp").collect().toSeq
+      val b = KmvSketch.distinctEstimateAgg(df, "grp", "v", k)
+        .orderBy("grp").collect().toSeq
+      assert(a === b, s"k=$k")
+    }
+  }
+
+  test("kmv aggregate plan: one exchange, no window, no distinct shuffle") {
+    val df = (1 to 100).map(i => ("g", s"v$i")).toDF("grp", "v")
+    val plan = KmvSketch.distinctEstimateAgg(df, "grp", "v", 16)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(!plan.contains("Window"), s"no window pass expected:\n$plan")
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges <= 1, s"expected a single exchange:\n$plan")
+  }
+
   // --------------------------------------------------------------- zorder
 
   test("zvalue16: interleaves bits (x even positions, y odd)") {

@@ -70,8 +70,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // Spark's WindowGroupLimit keeps only k rows per key per PARTITION
     // before the shuffle — the property that makes rank<=k top-k safe at
     // scale (the shuffle moves ~k·|keys| rows, not the full pair fanout)
-    for (name <- Seq("sim_topk", "q_window_top_orders", "quota_cap",
-        "kmv_distinct")) {
+    // (kmv_distinct left this list in round 7: its bottom-k now lives in
+    // the KmvBottomK aggregate buffer — single-exchange plan asserted in
+    // SketchLayoutSpec instead)
+    for (name <- Seq("sim_topk", "q_window_top_orders", "quota_cap")) {
       val plan = planOf(name)
       assert(plan.contains("WindowGroupLimit"),
         s"$name lost the rank-limit pushdown:\n$plan")
