@@ -21,8 +21,8 @@ import org.apache.spark.sql.functions._
 object Stress {
   def main(args: Array[String]): Unit = {
     val which = if (args.nonEmpty) args.toSet
-      else Set("cc", "minhash", "curate", "diff", "pack", "shards",
-        "decontam", "chunks", "kmv")
+      else Set("cc", "minhash", "curate", "diff", "diffskew", "pack",
+        "shards", "decontam", "chunks", "kmv")
     val spark = Sessions.local("32")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -159,6 +159,76 @@ object Stress {
         }
         rows.length.toLong
       }
+    }
+
+    if (which("diffskew")) {
+      // One pathological hot key carrying 50% of s1's rows at the 15×
+      // scale — the dirty-input case the full-outer plan cannot spread:
+      // AQE's OptimizeSkewedJoin refuses FULL OUTER (verified: neither
+      // side of a full-outer partition may be replicated), so the hot
+      // partition runs as ONE task. The skewResilient decomposition
+      // (inner ∪ anti ∪ anti) is splittable; this case proves AQE
+      // actually splits it (skewed-marker in the final adaptive plan)
+      // and that both modes agree on every flag count.
+      val orders = queries.Tables.load(spark, dir, "orders")
+      def wide15x(df: DataFrame) = df.select(col("o_orderkey"),
+          col("o_custkey"), col("o_orderstatus"), col("o_totalprice"),
+          col("o_orderdate"), col("o_orderpriority"),
+          explode(sequence(lit(0), lit(14))).as("copy"))
+        .select((col("o_orderkey") + col("copy") * 1000000000L).as("o_orderkey"),
+          col("o_custkey"), col("o_orderstatus"), col("o_totalprice"),
+          col("o_orderdate"), col("o_orderpriority"))
+      // repartition matters: AQE splits a skewed reduce partition at MAP
+      // granularity only — a single-split parquet read caches as ONE
+      // partition, one map task, and the hot partition becomes a single
+      // indivisible block (diagnosed empirically; the 100 TB reality is
+      // thousands of map tasks, which this models)
+      val clean = staged(wide15x(orders).repartition(32))
+      val hot = staged(clean.withColumn("o_orderkey",
+        when(col("o_custkey") % 2 === 0, lit(42L)).otherwise(col("o_orderkey"))))
+      val saved = Seq(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "1m",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1m",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true",
+        // the session pins this FALSE to stop AQE coalescing small cached
+        // frames (SURVEY §9); here the cached frame IS the skewed join, so
+        // the split must be allowed through the cache materialization
+        "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning" -> "true"
+      ).map { case (key, v) =>
+        val old = spark.conf.getOption(key); spark.conf.set(key, v); key -> old
+      }
+      var resilientCounts: diff.FlagCounts = null
+      timed("diffskew-res") {
+        val res = diff.DataColDiff.computeDataframeDiff(
+          hot, clean, Seq("o_orderkey"), skewResilient = true)
+          .fold(mm => throw new IllegalArgumentException(mm.message), identity)
+        resilientCounts = res.counts
+        // the final adaptive plan must show split skewed partitions and
+        // each side's exchange reused across its two joins
+        val plan = res.diff.queryExecution.executedPlan.toString
+        require(plan.toLowerCase.contains("skewed"),
+          s"AQE did not split the hot partition:\n$plan")
+        // no ReusedExchange by design: Catalyst prunes each piece's
+        // columns separately, so the anti joins shuffle KEYS ONLY
+        // (~10% extra bytes) instead of reusing the full-row exchange
+        require("Exchange hashpartitioning".r.findAllIn(plan).length >= 6,
+          s"expected six per-piece exchanges (column-pruned):\n$plan")
+        res.diff.unpersist()
+        resilientCounts.total
+      }
+      timed("diffskew-fo") { // the unsplittable full-outer, for contrast
+        val res = diff.DataColDiff.computeDataframeDiff(
+          hot, clean, Seq("o_orderkey"))
+          .fold(mm => throw new IllegalArgumentException(mm.message), identity)
+        require(res.counts == resilientCounts,
+          s"mode mismatch: full-outer ${res.counts} vs resilient $resilientCounts")
+        res.diff.unpersist()
+        res.counts.total
+      }
+      saved.foreach { case (key, old) =>
+        old.fold(spark.conf.unset(key))(spark.conf.set(key, _)) }
+      clean.unpersist(); hot.unpersist()
     }
 
     if (which("diff")) {

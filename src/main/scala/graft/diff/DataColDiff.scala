@@ -39,9 +39,32 @@ object DataColDiff {
     * Error contract: DATA problems (schema mismatch, type mismatch,
     * case collisions) come back as `Left(SchemaMismatch)`; an invalid
     * `pks` argument is a CALLER bug and throws IllegalArgumentException.
+    *
+    * `skewResilient`: the default shape is ONE full-outer join — the
+    * right plan when keys are (as the contract says) unique, because a
+    * hash of unique keys cannot produce a hot partition. But dirty
+    * inputs with a duplicated hot key DO skew it, and Spark's AQE skew
+    * split cannot touch a FULL OUTER sort-merge join (neither side of
+    * a full-outer partition can be replicated — verified empirically:
+    * inner and left_outer get `AQEShuffleRead skewed`, full_outer gets
+    * none). The resilient mode decomposes into
+    * inner ∪ left-anti ∪ right-anti — all three AQE-splittable — with
+    * identical results (spec-gated): ONLY-rows skip the comparison
+    * projection entirely, and Catalyst column-prunes each piece, so
+    * the two anti joins shuffle KEYS ONLY (~10% extra bytes over the
+    * single full-outer shuffle; plan-checked in `Stress diffskew`).
+    * Two practical notes from the stress: AQE splits a skewed reduce
+    * partition at MAP-output granularity, so inputs read as one split
+    * (single map task) cannot be split regardless of skew; and the
+    * split must be allowed through a cached plan via
+    * `canChangeCachedPlanOutputPartitioning=true` when the diff frame
+    * is persisted. Default off: three join passes cost more plan
+    * overhead on clean data; reach for it when key uniqueness is not
+    * guaranteed.
     */
   def diffPlan(s1: DataFrame, s2: DataFrame, pks: Seq[String],
-      lenient: Boolean = false): Either[SchemaMismatch, DataFrame] =
+      lenient: Boolean = false, skewResilient: Boolean = false):
+      Either[SchemaMismatch, DataFrame] =
     Standardize.standardize(s1, s2, lenient).map { case (d1, d2) =>
       val k = CompCols.derive(s1, pks)
 
@@ -106,9 +129,33 @@ object DataColDiff {
         .when(size(compArr) === 0, Flags.NoDiff)
         .otherwise(Flags.Diff)
 
-      val outCols = (k.s1Keys ++ k.s2Keys).map(n => col(quoted(n))) ++
-        Seq(compArr.as(CompColArr), flag.as(Flag))
-      joined.select(outCols: _*)
+      if (!skewResilient) {
+        val outCols = (k.s1Keys ++ k.s2Keys).map(n => col(quoted(n))) ++
+          Seq(compArr.as(CompColArr), flag.as(Flag))
+        joined.select(outCols: _*)
+      } else {
+        // inner ∪ anti ∪ anti decomposition: no presence markers needed
+        // (membership in a piece IS presence), ONLY-rows never run the
+        // comparison array, and every join type here is AQE-skew-splittable
+        val bareCond = k.s1Keys.zip(k.s2Keys)
+          .map { case (a, b) => d1(quoted(a)) === d2(quoted(b)) }.reduce(_ && _)
+        val innerFlag = when(size(rawArr) === 0, Flags.NoDiff)
+          .otherwise(Flags.Diff)
+        val innerOut = d1.join(d2, bareCond, "inner")
+          .select((k.s1Keys ++ k.s2Keys).map(n => col(quoted(n))) ++
+            Seq(rawArr.as(CompColArr), innerFlag.as(Flag)): _*)
+        val t1 = d1.schema.fields.map(f => f.name -> f.dataType).toMap
+        val t2 = d2.schema.fields.map(f => f.name -> f.dataType).toMap
+        val s1OnlyOut = d1.join(d2, bareCond, "left_anti")
+          .select(k.s1Keys.map(n => col(quoted(n))) ++
+            k.s2Keys.map(n => lit(null).cast(t2(n)).as(n)) ++
+            Seq(emptyArr.as(CompColArr), lit(Flags.S1Only).as(Flag)): _*)
+        val s2OnlyOut = d2.join(d1, bareCond, "left_anti")
+          .select(k.s1Keys.map(n => lit(null).cast(t1(n)).as(n)) ++
+            k.s2Keys.map(n => col(quoted(n))) ++
+            Seq(emptyArr.as(CompColArr), lit(Flags.S2Only).as(Flag)): _*)
+        innerOut.unionByName(s1OnlyOut).unionByName(s2OnlyOut)
+      }
     }
 
   /** Per-column mismatch counts, descending (ties broken by name for
@@ -135,8 +182,9 @@ object DataColDiff {
     * unpersists — find_datacol_diff.py:128).
     */
   def computeDataframeDiff(s1: DataFrame, s2: DataFrame, pks: Seq[String],
-      lenient: Boolean = false): Either[SchemaMismatch, DiffResult] =
-    diffPlan(s1, s2, pks, lenient).map { diff =>
+      lenient: Boolean = false, skewResilient: Boolean = false):
+      Either[SchemaMismatch, DiffResult] =
+    diffPlan(s1, s2, pks, lenient, skewResilient).map { diff =>
       diff.persist()
       val fc = flagCountsPlan(diff).collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap

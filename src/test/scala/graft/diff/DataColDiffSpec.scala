@@ -225,4 +225,45 @@ class DataColDiffSpec extends AnyFunSuite {
     assert(res.counts.total === res.diff.count())
     res.diff.unpersist()
   }
+
+  test("skew-resilient mode is row-identical to the full-outer plan") {
+    import org.apache.spark.sql.functions._
+    // CompColArr entry order within a row is column order — stable in
+    // both modes — so a straight to_json canonicalization is comparable
+    def canon(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.select(to_json(struct(df.columns.map(col): _*)))
+        .collect().map(_.getString(0)).toSet
+    for (keys <- Seq(Seq("id"), Seq("id", "gender"))) {
+      val Right(a) = DataColDiff.computeDataframeDiff(emp100, emp101, keys)
+      val Right(b) = DataColDiff.computeDataframeDiff(emp100, emp101, keys,
+        skewResilient = true)
+      assert(a.counts === b.counts, s"keys=$keys")
+      assert(canon(a.diff) === canon(b.diff), s"keys=$keys")
+      val statsA = a.stats.collect().map(r => (r.getString(0), r.getLong(1)))
+      val statsB = b.stats.collect().map(r => (r.getString(0), r.getLong(1)))
+      assert(statsA.toSeq === statsB.toSeq, s"keys=$keys")
+      a.diff.unpersist(); b.diff.unpersist()
+    }
+  }
+
+  test("skew-resilient mode handles duplicate (dirty) keys like full-outer") {
+    import spark.implicits._
+    // key 7 duplicated on BOTH sides: full-outer degenerates to a per-key
+    // cross product — resilient mode must reproduce exactly that
+    val s1 = Seq((7L, "a"), (7L, "b"), (1L, "x"), (2L, "y"))
+      .toDF("id", "v")
+    val s2 = Seq((7L, "a"), (7L, "c"), (1L, "x"), (3L, "z"))
+      .toDF("id", "v")
+    val Right(a) = DataColDiff.computeDataframeDiff(s1, s2, Seq("id"))
+    val Right(b) = DataColDiff.computeDataframeDiff(s1, s2, Seq("id"),
+      skewResilient = true)
+    assert(a.counts === b.counts)
+    assert(a.counts.total === 7) // 4 cross rows for key 7 + 1 + 1 + 1
+    val rows = (df: org.apache.spark.sql.DataFrame) =>
+      df.select(to_json(struct(col("id_s1"), col("id_s2"),
+        col(DataColDiff.CompColArr), col(DataColDiff.Flag))))
+        .collect().map(_.getString(0)).sorted.toSeq
+    assert(rows(a.diff) === rows(b.diff))
+    a.diff.unpersist(); b.diff.unpersist()
+  }
 }
