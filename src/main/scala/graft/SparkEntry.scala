@@ -41,7 +41,7 @@ object SparkEntry {
     * `queries` surface, so every operator family has a tracked number.
     */
   def benchQueries: Seq[String] = Seq(
-    "diff_flags", "diff_colstats", "diff_rows", "diff_values",
+    "diff_flags", "diff_flags_skew", "diff_colstats", "diff_rows", "diff_values",
     "q1_agg", "q_profile", "q3_join_agg", "q5_region_revenue",
     "q_window_top_orders",
     "q_events_hourly", "q_cust_no_orders", "q_pivot", "q_rollup", "q_setops",

@@ -147,14 +147,31 @@ object DiffQueries {
        |WHERE o.o_orderpriority IS DISTINCT FROM s.o_orderpriority
        |ORDER BY k""".stripMargin
 
+  /** Flag counts through the skew-resilient (inner ∪ anti ∪ anti)
+    * plan — same oracle SQL as diff_flags: the decomposition's claim IS
+    * result-identity with the full-outer, so the hash-match gate proves
+    * it against DuckDB's full-outer every round.
+    */
+  def diffFlagsSkew(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+    val diff = DataColDiff.diffPlan(orders, perturbedOrders(orders),
+        Seq("o_orderkey"), skewResilient = true)
+      .fold(mm => throw new IllegalArgumentException(mm.message), identity)
+    DataColDiff.flagCountsPlan(diff)
+      .select(col(DataColDiff.Flag).as("flag"), col("cnt"))
+      .orderBy("flag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "diff_flags" -> (diffFlags(_, _)),
+    "diff_flags_skew" -> (diffFlagsSkew(_, _)),
     "diff_colstats" -> (diffColstats(_, _)),
     "diff_rows" -> (diffRows(_, _)),
     "diff_values" -> (diffValues(_, _)))
 
   val oracleSql: Map[String, String] = Map(
     "diff_flags" -> diffFlagsSql,
+    "diff_flags_skew" -> diffFlagsSql,
     "diff_colstats" -> diffColstatsSql,
     "diff_rows" -> diffRowsSql,
     "diff_values" -> diffValuesSql)
