@@ -159,6 +159,17 @@ object Stress {
         }
         rows.length.toLong
       }
+      var aggRows: Array[org.apache.spark.sql.Row] = null
+      timed("kmv-agg") { // the single-shuffle KmvBottomK form, same input
+        aggRows = operators.KmvSketch.distinctEstimateAgg(posts, "grp", "v",
+          k = 256).collect()
+        aggRows.length.toLong
+      }
+      // cross-check outside the timing: bit-identical to the composable form
+      val comp = operators.KmvSketch.distinctEstimate(posts, "grp", "v",
+        k = 256).collect()
+      require(aggRows.map(_.toString).sorted.sameElements(
+        comp.map(_.toString).sorted), "agg form diverged from composable")
     }
 
     if (which("diffskew")) {
