@@ -48,7 +48,7 @@ object SparkEntry {
     "q_asof_purchase", "q_range_clicks", "q_sessions", "q_label_join",
     "q_json_extract",
     "q_salted_agg",
-    "dedup_exact", "dedup_minhash", "dedup_minhash_capped", "dedup_simhash", "dedup_ngram",
+    "dedup_exact", "dedup_minhash", "dedup_minhash_capped", "dedup_minhash_sharp", "dedup_simhash", "dedup_ngram",
     "dedup_embed", "dedup_clusters", "sample_stratified", "shard_assign",
     "quota_cap",
     "text_stats", "text_repetition", "text_langid", "text_tokens",

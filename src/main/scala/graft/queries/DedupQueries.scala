@@ -39,14 +39,14 @@ object DedupQueries {
     * document's set BEFORE signatures and verification.
     */
   private[queries] def minhashJacCtes(src: String,
-      cap: Option[Long] = None): String = {
-    val hashes = (0 until cfg.numHashes).map { i =>
+      cap: Option[Long] = None, c: MinHashLSH.Config = cfg): String = {
+    val hashes = (0 until c.numHashes).map { i =>
       val (a, b) = MinHashLSH.coeffs(i)
       s"min((h0 * $a + $b) & ${MinHashLSH.Mask48}) AS h$i"
     }.mkString(", ")
-    val bands = (0 until cfg.numBands).map { j =>
-      val bv = (0 until cfg.rowsPerBand)
-        .map(r => s"CAST(h${j * cfg.rowsPerBand + r} AS VARCHAR)")
+    val bands = (0 until c.numBands).map { j =>
+      val bv = (0 until c.rowsPerBand)
+        .map(r => s"CAST(h${j * c.rowsPerBand + r} AS VARCHAR)")
         .mkString("||':'||")
       s"SELECT doc_id, $j AS band_id, md5($bv) AS band_val FROM mh"
     }.mkString("\n  UNION ALL ")
@@ -142,6 +142,24 @@ object DedupQueries {
     s"""WITH ${minhashJacCtes("documents", cap = Some(CapDf))}
        |SELECT doc_a, doc_b, jaccard FROM jac
        |WHERE jaccard >= ${cfg.threshold}
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** The Sharp (16 bands × 4 rows) preset, oracle-gated: 64 affine
+    * seed coefficients — including the dedup-on-collision draws above
+    * index 11 that no other oracle query reaches — embedded as
+    * literals in BOTH engines, so the hash-match verifies every seed's
+    * multiplier/offset and the full 16×4 banding cross-engine.
+    */
+  def dedupMinhashSharp(spark: SparkSession, dir: String): DataFrame =
+    MinHashLSH.nearDuplicatePairs(
+        Tables.loadSpread(spark, dir, "documents"), "doc_id", "text",
+        MinHashLSH.Sharp)
+      .orderBy("doc_a", "doc_b")
+
+  val dedupMinhashSharpSql: String =
+    s"""WITH ${minhashJacCtes("documents", c = MinHashLSH.Sharp)}
+       |SELECT doc_a, doc_b, jaccard FROM jac
+       |WHERE jaccard >= ${MinHashLSH.Sharp.threshold}
        |ORDER BY doc_a, doc_b""".stripMargin
 
   // -------------------------------------------------------------- simhash
@@ -266,6 +284,7 @@ object DedupQueries {
     "dedup_exact" -> (dedupExact(_, _)),
     "dedup_minhash" -> (dedupMinhash(_, _)),
     "dedup_minhash_capped" -> (dedupMinhashCapped(_, _)),
+    "dedup_minhash_sharp" -> (dedupMinhashSharp(_, _)),
     "dedup_simhash" -> (dedupSimhash(_, _)),
     "dedup_ngram" -> (dedupNgram(_, _)),
     "dedup_embed" -> (dedupEmbed(_, _)),
@@ -275,6 +294,7 @@ object DedupQueries {
     "dedup_exact" -> dedupExactSql,
     "dedup_minhash" -> dedupMinhashSql,
     "dedup_minhash_capped" -> dedupMinhashCappedSql,
+    "dedup_minhash_sharp" -> dedupMinhashSharpSql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_ngram" -> dedupNgramSql,
     "dedup_embed" -> dedupEmbedSql,
