@@ -21,7 +21,8 @@ package graft
   *   - a failed query records `-1` and its error under `"errors"`
   *     instead of masquerading as a fast run;
   *   - each query is timed `SPARK_GRAFT_REPS` times (default 3) and the
-  *     MEDIAN is reported (per-query minima under `"queries_min"`), so a
+  *     MEDIAN is reported (per-query minima on a separate
+  *     `"total_min"` line), so a
   *     single contended run or stray full-GC pause can no longer
   *     masquerade as a 4× per-query regression — n=1 timings on a shared
   *     machine were observed swinging exactly that much with zero code
@@ -79,14 +80,22 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"
         case c => c.toString
       } + "\""
-    val qs = results.map { case (k, (med, _)) => jstr(k) + ":" + med }
+    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, (med, _)) => jstr(k) + ":" + f3(med) }
       .mkString("{", ",", "}")
-    val qsMin = results.map { case (k, (_, mn)) => jstr(k) + ":" + mn }
+    val qsMin = results.map { case (k, (_, mn)) => jstr(k) + ":" + f3(mn) }
       .mkString("{", ",", "}")
     val errs = errors.reverse.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2._1).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"errors":$errs,"sf":"$sfDir","reps":$reps}""")
+    // Stop FIRST, then print: the harness that launched us keeps only the
+    // last ~2KB of combined output, and Spark's shutdown logging printed
+    // after the metric line used to push it out of that window. For the
+    // same reason the headline line carries medians only (3-decimal —
+    // sub-ms digits are noise) and the minima ride a separate line.
+    spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
+    println(s"""{"metric":"total_min","value":${f3(results.map(_._2._2).filter(_ >= 0).sum)},"unit":"sec","queries_min":$qsMin}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","reps":$reps}""")
   }
 }
