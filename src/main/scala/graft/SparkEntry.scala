@@ -49,10 +49,11 @@ object SparkEntry {
     "q_json_extract",
     "q_salted_agg",
     "dedup_exact", "dedup_minhash", "dedup_minhash_capped", "dedup_minhash_sharp", "dedup_simhash", "dedup_ngram",
-    "dedup_embed", "dedup_clusters", "sample_stratified", "shard_assign",
+    "dedup_embed", "dedup_clusters", "dedup_incremental",
+    "sample_stratified", "shard_assign",
     "quota_cap",
     "text_stats", "text_repetition", "text_langid", "text_tokens",
-    "text_fingerprint",
+    "text_fingerprint", "text_dupspans",
     "text_tfidf", "text_normalize", "text_pack", "text_pack_stats",
     "text_decontam", "text_pii", "text_chunks",
     "kmv_distinct", "zorder_stats",

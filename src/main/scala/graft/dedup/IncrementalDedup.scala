@@ -1,0 +1,75 @@
+package graft.dedup
+
+import graft.text.TextFeatures._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Incremental (cross-snapshot) deduplication — the ingest-time shape
+  * of D1/D2: a NEW batch of documents is screened against an EXISTING
+  * corpus ("the index") instead of against itself. This is how a
+  * continuously-fed training corpus actually runs dedup: the standing
+  * corpus's text hashes and LSH band rows are computed once and reused
+  * every batch; only the (small) new batch pays tokenize/shingle/
+  * signature cost per ingest.
+  *
+  * Scale shape:
+  *   - exact screen: equi-join on md5(text) — 32-byte keys, never
+  *     bodies; the batch side is small by definition, so AQE broadcasts
+  *     it and the corpus never shuffles;
+  *   - near screen: the batch's band rows join the corpus's band rows
+  *     on (band_id, band_val) — candidates come from hash-bucket
+  *     collisions only (never batch × corpus), and verification joins
+  *     the two shingle-set relations by doc id, costing O(candidates);
+  *   - within-batch duplicates are deliberately out of scope here —
+  *     that is the existing [[MinHashLSH.nearDuplicatePairs]] /
+  *     [[ExactDedup]] pass, run on the batch alone.
+  *
+  * Reference scope note: the reference library (find_datacol_diff.py)
+  * has no dedup at all; this is an engine extension (SURVEY §2.10).
+  */
+object IncrementalDedup {
+
+  /** Per-batch-document verdict against the corpus.
+    *
+    * Output (one row per batch doc): (doc_id, exact_dup, near_dup,
+    * keep) — exact_dup: some corpus doc has byte-identical text;
+    * near_dup: some LSH candidate in the corpus verifies at Jaccard ≥
+    * `cfg.threshold` (an exact dup is also a near dup — J = 1);
+    * keep: neither screen fired.
+    */
+  def verdicts(corpus: DataFrame, batch: DataFrame, idCol: String,
+      textCol: String, cfg: MinHashLSH.Config = MinHashLSH.Config()): DataFrame = {
+    val exact = batch
+      .select(col(idCol).as("doc_id"), md5(col(textCol)).as("h"))
+      .join(corpus.select(md5(col(textCol)).as("h")).distinct(), "h")
+      .select("doc_id").distinct()
+      .withColumn("is_exact", lit(1))
+
+    // both shingle frames feed signatures AND the verify join — persist
+    // like nearDuplicatePairs does (callers reclaim via clearCache)
+    val bSh = MinHashLSH.docShingles(batch, idCol, textCol, cfg).persist()
+    val cSh = MinHashLSH.docShingles(corpus, idCol, textCol, cfg).persist()
+    val cand = MinHashLSH.bands(bSh, cfg).as("b")
+      .join(MinHashLSH.bands(cSh, cfg).as("c"),
+        col("b.band_id") === col("c.band_id") &&
+          col("b.band_val") === col("c.band_val"))
+      .select(col("b.doc_id").as("b_id"), col("c.doc_id").as("c_id"))
+      .distinct()
+    val near = cand
+      .join(bSh.select(col("doc_id").as("b_id"), col("shingles").as("sa")), "b_id")
+      .join(cSh.select(col("doc_id").as("c_id"), col("shingles").as("sb")), "c_id")
+      .filter(jaccard(col("sa"), col("sb")) >= cfg.threshold)
+      .select(col("b_id").as("doc_id")).distinct()
+      .withColumn("is_near", lit(1))
+
+    batch.select(col(idCol).as("doc_id"))
+      .join(exact, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("is_exact"), lit(0)).cast("int").as("exact_dup"),
+        coalesce(col("is_near"), lit(0)).cast("int").as("near_dup"))
+      .withColumn("keep",
+        when(col("exact_dup") === 0 && col("near_dup") === 0, 1)
+          .otherwise(0).cast("int"))
+  }
+}

@@ -156,19 +156,29 @@ object MinHashLSH {
     posts.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
-  /** Candidate pairs (doc_a < doc_b) whose minhash signatures collide in
-    * at least one band.
+  /** (doc_id, band_id, band_val) banded signature rows — the LSH
+    * "index" relation. Shared by the self-join pairing below and by
+    * [[IncrementalDedup]], which joins a new batch's bands against a
+    * standing corpus's (at scale the corpus side is what you persist
+    * to a staging table and reuse across ingest batches).
     */
-  def candidatePairs(shingled: DataFrame, cfg: Config = Config()): DataFrame = {
+  def bands(shingled: DataFrame, cfg: Config = Config()): DataFrame = {
     val bandVals = (0 until cfg.numBands).map { j =>
       md5(concat_ws(":", (0 until cfg.rowsPerBand).map(r =>
         col(s"h${j * cfg.rowsPerBand + r}").cast("string")): _*))
     }
-    val bands = signatures(shingled, cfg)
+    signatures(shingled, cfg)
       .select(col("doc_id"),
         posexplode(array(bandVals: _*)).as(Seq("band_id", "band_val")))
-    val a = bands.as("a")
-    val b = bands.as("b")
+  }
+
+  /** Candidate pairs (doc_a < doc_b) whose minhash signatures collide in
+    * at least one band.
+    */
+  def candidatePairs(shingled: DataFrame, cfg: Config = Config()): DataFrame = {
+    val bandRel = bands(shingled, cfg)
+    val a = bandRel.as("a")
+    val b = bandRel.as("b")
     a.join(b,
         col("a.band_id") === col("b.band_id") &&
           col("a.band_val") === col("b.band_val") &&

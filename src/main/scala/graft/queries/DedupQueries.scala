@@ -162,6 +162,93 @@ object DedupQueries {
        |WHERE jaccard >= ${MinHashLSH.Sharp.threshold}
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---------------------------------------------------------- incremental
+
+  /** Prefixed copy of the minhash signature/band CTE chain, so the
+    * incremental oracle can run it over TWO relations (corpus + batch)
+    * in one statement. Matches [[minhashJacCtes]]'s uncapped chain
+    * step-for-step.
+    */
+  private def sigCtes(src: String, p: String,
+      c: MinHashLSH.Config = cfg): String = {
+    val hashes = (0 until c.numHashes).map { i =>
+      val (a, b) = MinHashLSH.coeffs(i)
+      s"min((h0 * $a + $b) & ${MinHashLSH.Mask48}) AS h$i"
+    }.mkString(", ")
+    val bands = (0 until c.numBands).map { j =>
+      val bv = (0 until c.rowsPerBand)
+        .map(r => s"CAST(h${j * c.rowsPerBand + r} AS VARCHAR)")
+        .mkString("||':'||")
+      s"SELECT doc_id, $j AS band_id, md5($bv) AS band_val FROM ${p}mh"
+    }.mkString("\n  UNION ALL ")
+    val h0 = OracleDialect.hexPrefixToLong("md5(sh)", 12)
+    s"""${p}docs AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM $src),
+       |${p}sh AS (SELECT doc_id,
+       |  list_distinct([w[i]||' '||w[i+1]||' '||w[i+2]
+       |                 for i in generate_series(1, len(w)-2)]) AS s
+       |  FROM ${p}docs),
+       |${p}shx AS (SELECT doc_id, unnest(s) AS sh FROM ${p}sh),
+       |${p}hx0 AS (SELECT doc_id, CAST($h0 AS BIGINT) AS h0 FROM ${p}shx),
+       |${p}mh AS (SELECT doc_id, $hashes FROM ${p}hx0 GROUP BY doc_id),
+       |${p}bands AS (
+       |  $bands
+       |)""".stripMargin
+  }
+
+  /** The new-ingest batch screened against the standing corpus: a
+    * re-keyed exact-copy slice (exact dups), an appended-token slice
+    * (near dups — the planted-pair shape), and a reversed-text slice
+    * (genuinely new). All three verdict classes are populated at every
+    * SF (72/72/72 at sf0.001).
+    */
+  private def incrementalBatch(docs: DataFrame): DataFrame = {
+    val a = docs.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 200000L).as("doc_id"), col("text"))
+    val b = docs.filter(col("doc_id") % 7 === 1)
+      .select((col("doc_id") + 300000L).as("doc_id"),
+        concat(col("text"), lit(" zzz")).as("text"))
+    val c = docs.filter(col("doc_id") % 7 === 2)
+      .select((col("doc_id") + 400000L).as("doc_id"),
+        reverse(col("text")).as("text"))
+    a.unionByName(b).unionByName(c)
+  }
+
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.loadSpread(spark, dir, "documents")
+    IncrementalDedup.verdicts(docs, incrementalBatch(docs), "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  val dedupIncrementalSql: String = {
+    val inter = "len(list_filter(sa.s, x -> list_contains(sb.s, x)))"
+    s"""WITH batch AS (
+       |  SELECT doc_id + 200000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+       |  UNION ALL SELECT doc_id + 300000, text || ' zzz' FROM documents WHERE doc_id % 7 = 1
+       |  UNION ALL SELECT doc_id + 400000, reverse(text) FROM documents WHERE doc_id % 7 = 2
+       |),
+       |${sigCtes("documents", "c")},
+       |${sigCtes("batch", "b")},
+       |cand AS (SELECT DISTINCT bb.doc_id AS b_id, cc.doc_id AS c_id
+       |  FROM bbands bb JOIN cbands cc
+       |    ON bb.band_id = cc.band_id AND bb.band_val = cc.band_val),
+       |jac AS (SELECT cd.b_id,
+       |    CAST($inter AS DOUBLE) / (len(sa.s) + len(sb.s) - $inter) AS jaccard
+       |  FROM cand cd
+       |  JOIN bsh sa ON sa.doc_id = cd.b_id
+       |  JOIN csh sb ON sb.doc_id = cd.c_id),
+       |near AS (SELECT DISTINCT b_id FROM jac WHERE jaccard >= ${cfg.threshold}),
+       |exact AS (SELECT DISTINCT bt.doc_id FROM batch bt
+       |  JOIN documents c ON md5(bt.text) = md5(c.text))
+       |SELECT bt.doc_id,
+       |  CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END AS exact_dup,
+       |  CASE WHEN n.b_id IS NOT NULL THEN 1 ELSE 0 END AS near_dup,
+       |  CASE WHEN e.doc_id IS NULL AND n.b_id IS NULL THEN 1 ELSE 0 END AS keep
+       |FROM batch bt
+       |LEFT JOIN exact e ON e.doc_id = bt.doc_id
+       |LEFT JOIN near n ON n.b_id = bt.doc_id
+       |ORDER BY bt.doc_id""".stripMargin
+  }
+
   // -------------------------------------------------------------- simhash
 
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
@@ -288,7 +375,8 @@ object DedupQueries {
     "dedup_simhash" -> (dedupSimhash(_, _)),
     "dedup_ngram" -> (dedupNgram(_, _)),
     "dedup_embed" -> (dedupEmbed(_, _)),
-    "dedup_clusters" -> (dedupClusters(_, _)))
+    "dedup_clusters" -> (dedupClusters(_, _)),
+    "dedup_incremental" -> (dedupIncremental(_, _)))
 
   val oracleSql: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
@@ -298,5 +386,6 @@ object DedupQueries {
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_ngram" -> dedupNgramSql,
     "dedup_embed" -> dedupEmbedSql,
-    "dedup_clusters" -> dedupClustersSql)
+    "dedup_clusters" -> dedupClustersSql,
+    "dedup_incremental" -> dedupIncrementalSql)
 }

@@ -101,6 +101,40 @@ object TextQueries {
        |    AS n_numeric_tokens
        |FROM t ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------ dup spans
+
+  private val SpanK = 5
+
+  def textDupspans(spark: SparkSession, dir: String): DataFrame =
+    DupSpans.spans(Tables.loadSpread(spark, dir, "documents"),
+        "doc_id", "text", k = SpanK)
+      .orderBy("doc_id", "span_start")
+
+  /** Same postings → doc-frequency → gaps-and-islands chain, recomputed
+    * from scratch by DuckDB (its row_number/window machinery, its md5) —
+    * positions are 1-based in both engines.
+    */
+  val textDupspansSql: String = {
+    val gram = (0 until SpanK)
+      .map(j => if (j == 0) "w[pos]" else s"w[pos+$j]").mkString("||' '||")
+    val gh = OracleDialect.hexPrefixToLong(s"md5($gram)", 12)
+    s"""WITH $wordsCte,
+       |g AS (SELECT doc_id,
+       |    unnest(generate_series(1, len(w) - ${SpanK - 1})) AS pos, w
+       |  FROM w),
+       |gh AS (SELECT doc_id, pos, CAST($gh AS BIGINT) AS gh FROM g),
+       |dfq AS (SELECT gh, count(DISTINCT doc_id) AS df FROM gh GROUP BY gh),
+       |mk AS (SELECT doc_id, pos FROM gh JOIN dfq USING (gh) WHERE df >= 2),
+       |isl AS (SELECT doc_id, pos,
+       |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+       |  FROM mk)
+       |SELECT doc_id, min(pos) AS span_start,
+       |  max(pos) + ${SpanK - 1} AS span_end,
+       |  max(pos) - min(pos) + $SpanK AS span_tokens
+       |FROM isl GROUP BY doc_id, grp
+       |ORDER BY doc_id, span_start""".stripMargin
+  }
+
   // ---------------------------------------------------------- fingerprint
 
   def textFingerprint(spark: SparkSession, dir: String): DataFrame =
@@ -363,6 +397,7 @@ object TextQueries {
     "text_langid" -> (textLangid(_, _)),
     "text_tokens" -> (textTokens(_, _)),
     "text_fingerprint" -> (textFingerprint(_, _)),
+    "text_dupspans" -> (textDupspans(_, _)),
     "text_tfidf" -> (textTfidf(_, _)),
     "text_normalize" -> (textNormalize(_, _)),
     "text_pack" -> (textPack(_, _)),
@@ -377,6 +412,7 @@ object TextQueries {
     "text_langid" -> textLangidSql,
     "text_tokens" -> textTokensSql,
     "text_fingerprint" -> textFingerprintSql,
+    "text_dupspans" -> textDupspansSql,
     "text_tfidf" -> textTfidfSql,
     "text_normalize" -> textNormalizeSql,
     "text_pack" -> textPackSql,

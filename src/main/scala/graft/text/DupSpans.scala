@@ -1,0 +1,78 @@
+package graft.text
+
+import graft.text.TextFeatures._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Substring-level duplicate-span detection — the span-granular
+  * complement to whole-document dedup (D1–D5): find the maximal token
+  * runs a document SHARES with other documents, so a pipeline can
+  * excise repeated boilerplate/quotation spans instead of dropping
+  * whole documents (the approach popularized for LLM corpora by
+  * suffix-array substring dedup; this is its distributed,
+  * postings-based formulation — a suffix array is a single sorted
+  * in-memory structure, while k-gram postings shard over any cluster).
+  *
+  * Pipeline:
+  *   1. every positioned k-token gram of every doc becomes a posting
+  *      (doc_id, pos, gram_hash) — O(tokens) rows, 8-byte hashes;
+  *   2. gram document frequency via a two-level aggregate (distinct
+  *      (gram, doc) map-side, then count) — grams in ≥ `minDf` docs
+  *      are "shared";
+  *   3. postings of shared grams merge into maximal spans per doc with
+  *      the gaps-and-islands window (pos - row_number), one shuffle by
+  *      doc.
+  *
+  * All joins/aggs key on the 48-bit gram hash or the doc id — no
+  * all-pairs stage, no driver-side state; a hash collision can at
+  * worst mark one k-gram as spuriously shared (rate ≈ n_grams²/2⁴⁹ —
+  * negligible below ~10¹² distinct grams; widen the prefix if ever
+  * run above that).
+  *
+  * Reference scope note: the reference (find_datacol_diff.py) has no
+  * text operators; engine extension (SURVEY §2.10).
+  */
+object DupSpans {
+
+  /** Maximal cross-document duplicated spans per document.
+    *
+    * Output: (doc_id, span_start, span_end, span_tokens) — 1-based
+    * token positions, inclusive; span_tokens = end - start + 1. A span
+    * is a maximal run of positions whose k-grams each appear in ≥
+    * `minDf` distinct documents (so every k-token window inside the
+    * span is shared, but possibly with different partners — same
+    * semantics as merging overlapping suffix-array matches).
+    */
+  def spans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, minDf: Long = 2): DataFrame = {
+    require(k >= 1, s"gram size must be positive, got $k")
+    // inline generator (SURVEY §9): explode the position sequence, then
+    // hash the k-gram assembled from the retained token array — one md5
+    // per posting, the gram string itself is never shuffled
+    val posts = docs
+      .select(col(idCol).as("doc_id"), words(col(textCol)).as("w"))
+      .select(col("doc_id"), col("w"),
+        explode(when(size(col("w")) >= k,
+            sequence(lit(1), size(col("w")) - (k - 1)))
+          .otherwise(array().cast("array<int>"))).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        hexPrefixToLong(md5(concat_ws(" ",
+          (0 until k).map(j => element_at(col("w"), col("pos") + lit(j))): _*)),
+          12).as("gh"))
+      .persist() // feeds the df aggregate AND the shared-gram join
+    val shared = posts.select("gh", "doc_id").distinct()
+      .groupBy("gh").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf).select("gh")
+    val win = Window.partitionBy("doc_id").orderBy("pos")
+    posts.join(shared, "gh")
+      .select("doc_id", "pos")
+      .withColumn("grp", col("pos") - row_number().over(win))
+      .groupBy("doc_id", "grp")
+      .agg(
+        min(col("pos")).cast("bigint").as("span_start"),
+        (max(col("pos")) + (k - 1)).cast("bigint").as("span_end"),
+        (max(col("pos")) - min(col("pos")) + k).cast("bigint").as("span_tokens"))
+      .drop("grp")
+  }
+}

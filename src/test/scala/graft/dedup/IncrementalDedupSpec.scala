@@ -1,0 +1,66 @@
+package graft.dedup
+
+import graft.SparkTestSession
+import graft.queries.Tables
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Incremental dedup: a new batch screened against a standing corpus. */
+class IncrementalDedupSpec extends AnyFunSuite {
+
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val longDoc =
+    "the quick brown fox jumps over the lazy dog again and again every day"
+
+  private def verdictsOf(corpus: Seq[(Long, String)],
+      batch: Seq[(Long, String)]): Map[Long, (Int, Int, Int)] =
+    IncrementalDedup.verdicts(
+        corpus.toDF("doc_id", "text"), batch.toDF("doc_id", "text"),
+        "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3))))
+      .toMap
+
+  test("exact copy, near copy, and fresh text get the right verdicts") {
+    val v = verdictsOf(
+      corpus = Seq(1L -> longDoc, 2L -> "completely different corpus text here"),
+      batch = Seq(
+        10L -> longDoc, // byte-identical → exact (and near: J = 1)
+        11L -> (longDoc + " zzz"), // one appended token → near only
+        12L -> "nothing in common with anything at all whatsoever truly"))
+    assert(v(10L) === ((1, 1, 0)))
+    assert(v(11L) === ((0, 1, 0)))
+    assert(v(12L) === ((0, 0, 1)))
+  }
+
+  test("within-batch duplicates are out of scope: both kept") {
+    // two batch docs identical to each OTHER but absent from the corpus
+    val v = verdictsOf(
+      corpus = Seq(1L -> "some corpus document with plenty of words inside"),
+      batch = Seq(20L -> longDoc, 21L -> longDoc))
+    assert(v(20L) === ((0, 0, 1)))
+    assert(v(21L) === ((0, 0, 1)))
+  }
+
+  test("every batch doc gets exactly one verdict row") {
+    val batch = Seq(10L -> longDoc, 11L -> (longDoc + " zzz"),
+      12L -> "fresh text with no relation to the corpus whatsoever")
+    val out = IncrementalDedup.verdicts(
+      Seq(1L -> longDoc).toDF("doc_id", "text"),
+      batch.toDF("doc_id", "text"), "doc_id", "text")
+    assert(out.count() === batch.size)
+    assert(out.select("doc_id").distinct().count() === batch.size)
+  }
+
+  test("sf0.001 planted batch: 72 exact, 72 near-only, 72 keeps") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val v = graft.queries.DedupQueries
+      .dedupIncremental(spark, "/root/testdata/sf0.001")
+    val byClass = v.collect()
+      .groupBy(r => (r.getInt(1), r.getInt(2), r.getInt(3)))
+      .view.mapValues(_.length).toMap
+    assert(byClass === Map((1, 1, 0) -> 72, (0, 1, 0) -> 72, (0, 0, 1) -> 72))
+    assert(docs.count() === 500)
+  }
+}
