@@ -218,6 +218,22 @@ class PlanAuditSpec extends AnyFunSuite {
       s"decontam must not shuffle the corpus for the join:\n$plan")
   }
 
+  test("dup-span / incremental-dedup joins stay hash-keyed, never nested-loop") {
+    // both operators generate candidates via equi-joins on hashes (gram
+    // hash / band value); a nested-loop anywhere means some rewrite
+    // dropped the equi-key and the operator went all-pairs
+    for (name <- Seq("text_dupspans", "dedup_incremental")) {
+      val plan = planOf(name)
+      assert(!plan.contains("NestedLoop"),
+        s"$name must never nested-loop:\n$plan")
+    }
+    // the gram doc-frequency aggregate must combine map-side: the
+    // shuffle carries distinct (gram, doc) pairs, not raw postings
+    val spans = planOf("text_dupspans")
+    assert(spans.contains("partial_"),
+      s"dup-span df aggregate lost its partial (map-side) phase:\n$spans")
+  }
+
   test("IVF assignment aggregates (max_by), never windows the cross product") {
     val plan = graft.similarity.IVFIndex
       .assign(Tables.load(spark, dir, "embeddings"), "vec_id", "embedding")
