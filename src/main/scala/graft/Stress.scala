@@ -22,7 +22,7 @@ object Stress {
   def main(args: Array[String]): Unit = {
     val which = if (args.nonEmpty) args.toSet
       else Set("cc", "minhash", "curate", "diff", "diffskew", "pack",
-        "shards", "decontam", "chunks", "kmv")
+        "shards", "decontam", "chunks", "kmv", "dupspans", "incr")
     val spark = Sessions.local("32")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -76,6 +76,37 @@ object Stress {
       val corpus = staged(corpus10x)
       timed("minhash") {
         MinHashLSH.nearDuplicatePairs(corpus, "doc_id", "text").count()
+      }
+    }
+
+    if (which("dupspans")) {
+      // every doc in a 10-clone cluster: EVERY gram is shared, so every
+      // doc collapses into one full-length span — worst case for the
+      // shared-gram join (no posting is filtered out) and the island
+      // window (maximal group sizes)
+      val corpus = staged(corpus10x)
+      val nDocs = corpus.count()
+      timed("dupspans") {
+        val spans = graft.text.DupSpans.spans(corpus, "doc_id", "text")
+        val n = spans.count()
+        // every doc must merge into exactly one full-length span
+        require(n == nDocs, s"expected one span per doc ($nDocs), got $n")
+        n
+      }
+    }
+
+    if (which("incr")) {
+      // 500k-doc ingest batch screened against the 50k-doc standing
+      // corpus; every batch doc is an exact (and near) dup of exactly
+      // one corpus doc — maximal screen hit rate, zero keeps
+      val corpus = staged(queries.Tables.loadSpread(spark, dir, "documents"))
+      val batch = staged(corpus10x)
+      timed("incr") {
+        val v = graft.dedup.IncrementalDedup
+          .verdicts(corpus, batch, "doc_id", "text")
+        val keeps = v.filter(col("keep") === 1).count()
+        require(keeps == 0L, s"expected zero keeps, got $keeps")
+        v.count()
       }
     }
 
