@@ -101,6 +101,30 @@ object TextQueries {
        |    AS n_numeric_tokens
        |FROM t ORDER BY doc_id""".stripMargin
 
+  // ----------------------------------------------------------- vocabulary
+
+  private val VocabK = 100
+
+  def textVocab(spark: SparkSession, dir: String): DataFrame =
+    Vocab.topTokens(Tables.loadSpread(spark, dir, "documents"),
+        "doc_id", "text", VocabK)
+      .orderBy("rnk")
+
+  val textVocabSql: String =
+    s"""WITH t AS (SELECT doc_id,
+       |    unnest(regexp_extract_all(lower(text), '${TokenCount.TokenPattern}'))
+       |      AS token
+       |  FROM documents),
+       |pd AS (SELECT token, doc_id, count(*) AS n FROM t GROUP BY token, doc_id),
+       |tot AS (SELECT token, count(*) AS n_docs,
+       |    CAST(sum(n) AS BIGINT) AS n_occurrences
+       |  FROM pd GROUP BY token),
+       |top AS (SELECT * FROM tot
+       |  ORDER BY n_occurrences DESC, token LIMIT $VocabK)
+       |SELECT row_number() OVER (ORDER BY n_occurrences DESC, token) AS rnk,
+       |  token, n_docs, n_occurrences
+       |FROM top ORDER BY rnk""".stripMargin
+
   // ------------------------------------------------------------ dup spans
 
   private val SpanK = 5
@@ -398,6 +422,7 @@ object TextQueries {
     "text_tokens" -> (textTokens(_, _)),
     "text_fingerprint" -> (textFingerprint(_, _)),
     "text_dupspans" -> (textDupspans(_, _)),
+    "text_vocab" -> (textVocab(_, _)),
     "text_tfidf" -> (textTfidf(_, _)),
     "text_normalize" -> (textNormalize(_, _)),
     "text_pack" -> (textPack(_, _)),
@@ -413,6 +438,7 @@ object TextQueries {
     "text_tokens" -> textTokensSql,
     "text_fingerprint" -> textFingerprintSql,
     "text_dupspans" -> textDupspansSql,
+    "text_vocab" -> textVocabSql,
     "text_tfidf" -> textTfidfSql,
     "text_normalize" -> textNormalizeSql,
     "text_pack" -> textPackSql,

@@ -103,6 +103,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("ingest screen: per-micro-batch verdicts equal the batch operator") {
+    val longDoc =
+      "the quick brown fox jumps over the lazy dog again and again every day"
+    val corpus = Seq(1L -> longDoc, 2L -> "some other standing corpus doc here")
+      .toDF("doc_id", "text")
+    val stream = MemoryStream[(Long, String)](spark)
+    val seen = scala.collection.mutable.Map.empty[Long, Set[(Long, Int, Int, Int)]]
+    val q = IngestScreen.screen(
+        stream.toDF().toDF("doc_id", "text"), corpus, "doc_id", "text") {
+        (batchId, v) =>
+          seen += batchId -> v.collect()
+            .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+            .toSet
+      }.start()
+    try {
+      val b1 = Seq(10L -> longDoc, 11L -> "entirely fresh text nothing shared")
+      val b2 = Seq(12L -> (longDoc + " zzz"))
+      stream.addData(b1)
+      q.processAllAvailable()
+      stream.addData(b2)
+      q.processAllAvailable()
+      // stream face ≡ batch operator per micro-batch (which is itself
+      // oracle-gated as dedup_incremental) — exact dup, fresh, near dup
+      for ((batch, id) <- Seq(b1 -> 0L, b2 -> 1L)) {
+        val expect = graft.dedup.IncrementalDedup
+          .verdicts(corpus, batch.toDF("doc_id", "text"), "doc_id", "text")
+          .collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+          .toSet
+        assert(seen(id) === expect)
+      }
+      assert(seen(0L) === Set((10L, 1, 1, 0), (11L, 0, 0, 1)))
+      assert(seen(1L) === Set((12L, 0, 1, 0)))
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionization: gap splits, cross-batch close") {
     implicit val sp: org.apache.spark.sql.SparkSession = spark
     val stream = MemoryStream[Sessionize.Click](spark)
