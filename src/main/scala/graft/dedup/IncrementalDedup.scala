@@ -29,6 +29,32 @@ import org.apache.spark.sql.functions._
   */
 object IncrementalDedup {
 
+  /** The standing corpus's precomputed screening artifacts — the thing
+    * a production pipeline persists to staging tables ONCE and reuses
+    * for every ingest batch, so the 100 TB corpus is never re-shingled
+    * per batch. All three frames are plain DataFrames, so "persist"
+    * is just `.write.parquet(...)` (bucket `bands` by band_val and
+    * `shingles` by doc_id to also skip their shuffles at read time).
+    *
+    *   - textHashes: distinct md5(text) — the exact screen's side;
+    *   - bands: (doc_id, band_id, band_val) LSH band index;
+    *   - shingles: (doc_id, shingles) sets for Jaccard verification.
+    */
+  case class CorpusIndex(textHashes: DataFrame, bands: DataFrame,
+      shingles: DataFrame)
+
+  def buildIndex(corpus: DataFrame, idCol: String, textCol: String,
+      cfg: MinHashLSH.Config = MinHashLSH.Config()): CorpusIndex = {
+    // shingles feed the band chain AND are an index artifact — persist
+    // so one build pass scans the corpus once (callers writing the
+    // index to tables get the same effect durably)
+    val cSh = MinHashLSH.docShingles(corpus, idCol, textCol, cfg).persist()
+    CorpusIndex(
+      corpus.select(md5(col(textCol)).as("h")).distinct(),
+      MinHashLSH.bands(cSh, cfg),
+      cSh)
+  }
+
   /** Per-batch-document verdict against the corpus.
     *
     * Output (one row per batch doc): (doc_id, exact_dup, near_dup,
@@ -38,26 +64,31 @@ object IncrementalDedup {
     * keep: neither screen fired.
     */
   def verdicts(corpus: DataFrame, batch: DataFrame, idCol: String,
-      textCol: String, cfg: MinHashLSH.Config = MinHashLSH.Config()): DataFrame = {
+      textCol: String, cfg: MinHashLSH.Config = MinHashLSH.Config()): DataFrame =
+    verdicts(buildIndex(corpus, idCol, textCol, cfg), batch, idCol, textCol, cfg)
+
+  /** Same verdicts, against a prebuilt (possibly table-backed) index. */
+  def verdicts(index: CorpusIndex, batch: DataFrame, idCol: String,
+      textCol: String, cfg: MinHashLSH.Config): DataFrame = {
     val exact = batch
       .select(col(idCol).as("doc_id"), md5(col(textCol)).as("h"))
-      .join(corpus.select(md5(col(textCol)).as("h")).distinct(), "h")
+      .join(index.textHashes, "h")
       .select("doc_id").distinct()
       .withColumn("is_exact", lit(1))
 
-    // both shingle frames feed signatures AND the verify join — persist
-    // like nearDuplicatePairs does (callers reclaim via clearCache)
+    // the batch shingle frame feeds signatures AND the verify join —
+    // persist like nearDuplicatePairs does (reclaim via clearCache)
     val bSh = MinHashLSH.docShingles(batch, idCol, textCol, cfg).persist()
-    val cSh = MinHashLSH.docShingles(corpus, idCol, textCol, cfg).persist()
     val cand = MinHashLSH.bands(bSh, cfg).as("b")
-      .join(MinHashLSH.bands(cSh, cfg).as("c"),
+      .join(index.bands.as("c"),
         col("b.band_id") === col("c.band_id") &&
           col("b.band_val") === col("c.band_val"))
       .select(col("b.doc_id").as("b_id"), col("c.doc_id").as("c_id"))
       .distinct()
     val near = cand
       .join(bSh.select(col("doc_id").as("b_id"), col("shingles").as("sa")), "b_id")
-      .join(cSh.select(col("doc_id").as("c_id"), col("shingles").as("sb")), "c_id")
+      .join(index.shingles
+        .select(col("doc_id").as("c_id"), col("shingles").as("sb")), "c_id")
       .filter(jaccard(col("sa"), col("sb")) >= cfg.threshold)
       .select(col("b_id").as("doc_id")).distinct()
       .withColumn("is_near", lit(1))

@@ -53,6 +53,34 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(out.select("doc_id").distinct().count() === batch.size)
   }
 
+  test("a parquet-round-tripped corpus index gives identical verdicts") {
+    val corpus = Seq(1L -> longDoc,
+      2L -> "some other standing corpus document full of words").toDF("doc_id", "text")
+    val batch = Seq(10L -> longDoc, 11L -> (longDoc + " zzz"),
+      12L -> "wholly unrelated fresh text for the keep class").toDF("doc_id", "text")
+    val cfg = MinHashLSH.Config()
+    val tmp = java.nio.file.Files.createTempDirectory("graft-idx").toString
+    val built = IncrementalDedup.buildIndex(corpus, "doc_id", "text", cfg)
+    built.textHashes.write.parquet(s"$tmp/h")
+    built.bands.write.parquet(s"$tmp/bands")
+    built.shingles.write.parquet(s"$tmp/shingles")
+    // screen against the TABLE-BACKED index — the production path where
+    // the corpus is never re-shingled per ingest batch
+    val fromDisk = IncrementalDedup.CorpusIndex(
+      spark.read.parquet(s"$tmp/h"),
+      spark.read.parquet(s"$tmp/bands"),
+      spark.read.parquet(s"$tmp/shingles"))
+    val got = IncrementalDedup
+      .verdicts(fromDisk, batch, "doc_id", "text", cfg)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+      .toSet
+    val want = IncrementalDedup.verdicts(corpus, batch, "doc_id", "text", cfg)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+      .toSet
+    assert(got === want)
+    assert(got.map(_._1) === Set(10L, 11L, 12L))
+  }
+
   test("sf0.001 planted batch: 72 exact, 72 near-only, 72 keeps") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val v = graft.queries.DedupQueries
