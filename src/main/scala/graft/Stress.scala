@@ -108,6 +108,49 @@ object Stress {
         require(keeps == 0L, s"expected zero keeps, got $keeps")
         v.count()
       }
+      // the production path: the corpus index is PREBUILT (staging
+      // tables); an ingest batch pays only its own shingling + the
+      // screens. incr-prebuilt vs incr isolates that saving.
+      val idxDir = java.nio.file.Files.createTempDirectory("graft-incr-idx")
+      val built = graft.dedup.IncrementalDedup
+        .buildIndex(corpus, "doc_id", "text")
+      built.textHashes.write.parquet(s"$idxDir/h")
+      built.bands.write.parquet(s"$idxDir/bands")
+      built.shingles.write.parquet(s"$idxDir/shingles")
+      spark.catalog.clearCache()
+      val idx = graft.dedup.IncrementalDedup.CorpusIndex(
+        spark.read.parquet(s"$idxDir/h"),
+        spark.read.parquet(s"$idxDir/bands"),
+        spark.read.parquet(s"$idxDir/shingles"))
+      timed("incr-prebuilt") {
+        val v = graft.dedup.IncrementalDedup.verdicts(idx, batch,
+          "doc_id", "text", graft.dedup.MinHashLSH.Config())
+        val keeps = v.filter(col("keep") === 1).count()
+        require(keeps == 0L, s"expected zero keeps, got $keeps")
+        v.count()
+      }
+      // inverted, REALISTIC direction: corpus 10× the batch (at 100 TB
+      // the ratio is far more extreme and re-shingling the corpus per
+      // batch is simply impossible) — the prebuilt screen pays only the
+      // small batch's shingling, so this is the headline saving
+      val bigIdxDir = java.nio.file.Files.createTempDirectory("graft-incr-idx2")
+      val bigBuilt = graft.dedup.IncrementalDedup
+        .buildIndex(batch, "doc_id", "text") // the 10× frame as corpus
+      bigBuilt.textHashes.write.parquet(s"$bigIdxDir/h")
+      bigBuilt.bands.write.parquet(s"$bigIdxDir/bands")
+      bigBuilt.shingles.write.parquet(s"$bigIdxDir/shingles")
+      spark.catalog.clearCache()
+      val bigIdx = graft.dedup.IncrementalDedup.CorpusIndex(
+        spark.read.parquet(s"$bigIdxDir/h"),
+        spark.read.parquet(s"$bigIdxDir/bands"),
+        spark.read.parquet(s"$bigIdxDir/shingles"))
+      timed("incr-smallbatch") {
+        val v = graft.dedup.IncrementalDedup.verdicts(bigIdx, corpus,
+          "doc_id", "text", graft.dedup.MinHashLSH.Config())
+        val keeps = v.filter(col("keep") === 1).count()
+        require(keeps == 0L, s"expected zero keeps, got $keeps")
+        v.count()
+      }
     }
 
     if (which("curate")) {
