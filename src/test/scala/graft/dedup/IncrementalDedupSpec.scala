@@ -43,6 +43,17 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(v(21L) === ((0, 0, 1)))
   }
 
+  test("null-text docs screen as keeps on both sides, SQL null semantics") {
+    // null never equals null in SQL: a null-text batch doc must not
+    // exact-match a null-text corpus doc, and with no shingles it can't
+    // near-match either — it keeps, it never crashes
+    val v = verdictsOf(
+      corpus = Seq(1L -> longDoc, 2L -> null),
+      batch = Seq(10L -> null, 11L -> longDoc))
+    assert(v(10L) === ((0, 0, 1)))
+    assert(v(11L) === ((1, 1, 0)))
+  }
+
   test("every batch doc gets exactly one verdict row") {
     val batch = Seq(10L -> longDoc, 11L -> (longDoc + " zzz"),
       12L -> "fresh text with no relation to the corpus whatsoever")

@@ -59,6 +59,15 @@ class DupSpansSpec extends AnyFunSuite {
     assert(spans.isEmpty)
   }
 
+  test("null text yields no postings and no error") {
+    val spans = DupSpans.spans(
+        Seq((1L, "a b c d"), (2L, "a b c d"), (3L, null))
+          .toDF("doc_id", "text"),
+        "doc_id", "text", 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(spans === Set(1L, 2L)) // the null doc simply contributes nothing
+  }
+
   test("minDf above the actual sharing suppresses the span") {
     val docs = Seq(1L -> "a b c d", 2L -> "a b c e")
     assert(spansOf(docs, minDf = 2).nonEmpty)
