@@ -53,7 +53,7 @@ object SparkEntry {
     "sample_stratified", "shard_assign",
     "quota_cap",
     "text_stats", "text_repetition", "text_langid", "text_tokens",
-    "text_fingerprint", "text_dupspans", "text_vocab",
+    "text_fingerprint", "text_dupspans", "text_excise", "text_vocab",
     "text_tfidf", "text_normalize", "text_pack", "text_pack_stats",
     "text_decontam", "text_pii", "text_chunks",
     "kmv_distinct", "zorder_stats",

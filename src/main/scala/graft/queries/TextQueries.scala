@@ -159,6 +159,48 @@ object TextQueries {
        |ORDER BY doc_id, span_start""".stripMargin
   }
 
+  // ------------------------------------------------------------- excision
+
+  def textExcise(spark: SparkSession, dir: String): DataFrame =
+    DupSpans.excise(Tables.loadSpread(spark, dir, "documents"),
+        "doc_id", "text", k = SpanK)
+      .orderBy("doc_id")
+
+  /** Rebuilds clean text independently: the span chain, covered
+    * positions, anti-join, ordered string_agg — the hash pins every
+    * removed token AND the reassembled byte-exact text.
+    */
+  val textExciseSql: String = {
+    val gram = (0 until SpanK)
+      .map(j => if (j == 0) "w[pos]" else s"w[pos+$j]").mkString("||' '||")
+    val gh = OracleDialect.hexPrefixToLong(s"md5($gram)", 12)
+    s"""WITH $wordsCte,
+       |g AS (SELECT doc_id,
+       |    unnest(generate_series(1, len(w) - ${SpanK - 1})) AS pos, w
+       |  FROM w),
+       |gh AS (SELECT doc_id, pos, CAST($gh AS BIGINT) AS gh FROM g),
+       |dfq AS (SELECT gh, count(DISTINCT doc_id) AS df FROM gh GROUP BY gh),
+       |mk AS (SELECT doc_id, pos FROM gh JOIN dfq USING (gh) WHERE df >= 2),
+       |isl AS (SELECT doc_id, pos,
+       |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+       |  FROM mk),
+       |spans AS (SELECT doc_id, min(pos) AS s, max(pos) + ${SpanK - 1} AS e
+       |  FROM isl GROUP BY doc_id, grp),
+       |cov AS (SELECT doc_id, unnest(generate_series(s, e)) AS pos FROM spans),
+       |tok AS (SELECT doc_id, unnest(generate_series(1, len(w))) AS pos, w
+       |  FROM w),
+       |tok2 AS (SELECT doc_id, pos, w[pos] AS token FROM tok),
+       |kept AS (SELECT t.doc_id, t.pos, t.token FROM tok2 t
+       |  LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.pos = t.pos
+       |  WHERE c.pos IS NULL),
+       |agg AS (SELECT doc_id, string_agg(token, ' ' ORDER BY pos) AS clean_text,
+       |    count(*) AS n_kept FROM kept GROUP BY doc_id)
+       |SELECT d.doc_id, COALESCE(a.clean_text, '') AS clean_text,
+       |  COALESCE(len(d.w), 0) - COALESCE(a.n_kept, 0) AS n_removed
+       |FROM w d LEFT JOIN agg a ON a.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   // ---------------------------------------------------------- fingerprint
 
   def textFingerprint(spark: SparkSession, dir: String): DataFrame =
@@ -423,6 +465,7 @@ object TextQueries {
     "text_fingerprint" -> (textFingerprint(_, _)),
     "text_dupspans" -> (textDupspans(_, _)),
     "text_vocab" -> (textVocab(_, _)),
+    "text_excise" -> (textExcise(_, _)),
     "text_tfidf" -> (textTfidf(_, _)),
     "text_normalize" -> (textNormalize(_, _)),
     "text_pack" -> (textPack(_, _)),
@@ -439,6 +482,7 @@ object TextQueries {
     "text_fingerprint" -> textFingerprintSql,
     "text_dupspans" -> textDupspansSql,
     "text_vocab" -> textVocabSql,
+    "text_excise" -> textExciseSql,
     "text_tfidf" -> textTfidfSql,
     "text_normalize" -> textNormalizeSql,
     "text_pack" -> textPackSql,

@@ -1,7 +1,7 @@
 package graft.text
 
 import graft.text.TextFeatures._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -74,5 +74,45 @@ object DupSpans {
         (max(col("pos")) + (k - 1)).cast("bigint").as("span_end"),
         (max(col("pos")) - min(col("pos")) + k).cast("bigint").as("span_tokens"))
       .drop("grp")
+  }
+
+  /** Aggressive boilerplate excision: every token inside ANY shared
+    * span is removed from its document, and the remaining tokens are
+    * reassembled in order. Output: one row per input doc — (doc_id,
+    * clean_text, n_removed) — fully-duplicated docs come back with
+    * empty text, not silently dropped.
+    *
+    * Scale shape: spans are maximal and disjoint per doc, so exploding
+    * them into covered positions is O(covered tokens); the removal is a
+    * LEFT ANTI on (doc, pos); reassembly is one per-doc aggregate whose
+    * collected list is the doc's own kept tokens (bounded by doc
+    * length — the same per-doc bound every tokenize step already has).
+    */
+  def excise(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, minDf: Long = 2): DataFrame = {
+    val covered = spans(docs, idCol, textCol, k, minDf)
+      .select(col("doc_id"),
+        explode(sequence(col("span_start"), col("span_end"))).as("pos"))
+    val toks = docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(words(col(textCol))).as(Seq("pos0", "token")))
+      .select(col("doc_id"), (col("pos0") + 1).cast("bigint").as("pos"),
+        col("token"))
+    val rebuilt = toks
+      .join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(
+        concat_ws(" ",
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("token")))),
+            (x: Column) => x.getField("token"))).as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    docs
+      .select(col(idCol).as("doc_id"),
+        coalesce(size(words(col(textCol))).cast("bigint"), lit(0L)).as("n_orig"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        (col("n_orig") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
   }
 }

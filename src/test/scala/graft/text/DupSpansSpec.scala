@@ -74,6 +74,29 @@ class DupSpansSpec extends AnyFunSuite {
     assert(spansOf(docs, minDf = 3).isEmpty) // shared by only 2 docs
   }
 
+  test("excise removes exactly the shared spans, keeps order, keeps all docs") {
+    val out = DupSpans.excise(Seq(
+        1L -> "u1 a b c d e u2 u3",   // shares "a b c d e" with doc 2
+        2L -> "a b c d e",            // fully covered → empty text
+        3L -> "x y z w v").toDF("doc_id", "text"),  // untouched
+        "doc_id", "text", k = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2))))
+      .toMap
+    assert(out(1L) === (("u1 u2 u3", 5L)))
+    assert(out(2L) === (("", 5L))) // present with empty text, not dropped
+    assert(out(3L) === (("x y z w v", 0L)))
+  }
+
+  test("excise on null text returns an empty row, zero removed") {
+    val out = DupSpans.excise(
+        Seq((1L, null), (2L, "a b c"), (3L, "a b c")).toDF("doc_id", "text"),
+        "doc_id", "text", k = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2))))
+      .toMap
+    assert(out(1L) === (("", 0L)))
+    assert(out(2L) === (("", 3L)))
+  }
+
   test("within-doc repetition alone is NOT a cross-doc span") {
     // "a b c" appears twice inside doc 1 but in no other doc: df counts
     // DISTINCT docs, so nothing is marked
