@@ -49,7 +49,7 @@ object SparkEntry {
     "q_json_extract",
     "q_salted_agg",
     "dedup_exact", "dedup_minhash", "dedup_minhash_capped", "dedup_minhash_sharp", "dedup_simhash", "dedup_ngram",
-    "dedup_embed", "dedup_clusters", "dedup_incremental",
+    "dedup_embed", "dedup_embed_incr", "dedup_clusters", "dedup_incremental",
     "sample_stratified", "shard_assign",
     "quota_cap",
     "text_stats", "text_repetition", "text_langid", "text_tokens",

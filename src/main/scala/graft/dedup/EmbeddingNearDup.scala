@@ -18,12 +18,16 @@ import org.apache.spark.sql.functions._
   */
 object EmbeddingNearDup {
 
+  private def prep(vectors: DataFrame, idCol: String, vecCol: String,
+      cfg: HyperplaneLSH.Config): DataFrame =
+    vectors.select(col(idCol).as("vid"), col(vecCol).as("v"))
+      .withColumn("nrm", norm2(col("v")))
+      .withColumn("bucket", HyperplaneLSH.bucketExpr(col("v"), cfg))
+
   def nearDuplicatePairs(vectors: DataFrame, idCol: String, vecCol: String,
       threshold: Double,
       cfg: HyperplaneLSH.Config = HyperplaneLSH.Config()): DataFrame = {
-    val prepared = vectors.select(col(idCol).as("vid"), col(vecCol).as("v"))
-      .withColumn("nrm", norm2(col("v")))
-      .withColumn("bucket", HyperplaneLSH.bucketExpr(col("v"), cfg))
+    val prepared = prep(vectors, idCol, vecCol, cfg)
     val a = prepared.as("a")
     val b = prepared.as("b")
     a.join(b,
@@ -31,6 +35,30 @@ object EmbeddingNearDup {
       .select(col("a.vid").as("vec_a"), col("b.vid").as("vec_b"),
         cosineWithNorms(dot(col("a.v"), col("b.v")),
           col("a.nrm"), col("b.nrm")).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+
+  /** Incremental (cross-snapshot) variant — the embedding-space face of
+    * [[IncrementalDedup]]: NEW batch vectors screened against the
+    * standing corpus's bucket index. The corpus side's (vid, v, nrm,
+    * bucket) projection is exactly what a production pipeline persists
+    * once (bucket assignment is a zero-shuffle projection, so the
+    * artifact is cheap to build but saves re-reading the corpus
+    * embeddings per ingest batch when bucketed by `bucket` on disk).
+    *
+    * Output: (vec_new, vec_old, cos_sim) for every batch/corpus pair
+    * sharing a bucket with cosine ≥ threshold. No `<` id constraint —
+    * the relations are distinct sides, every qualifying pair reports.
+    */
+  def incrementalPairs(corpus: DataFrame, batch: DataFrame, idCol: String,
+      vecCol: String, threshold: Double,
+      cfg: HyperplaneLSH.Config = HyperplaneLSH.Config()): DataFrame = {
+    val b = prep(batch, idCol, vecCol, cfg).as("b")
+    val c = prep(corpus, idCol, vecCol, cfg).as("c")
+    b.join(c, col("b.bucket") === col("c.bucket"))
+      .select(col("b.vid").as("vec_new"), col("c.vid").as("vec_old"),
+        cosineWithNorms(dot(col("b.v"), col("c.v")),
+          col("b.nrm"), col("c.nrm")).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
 }

@@ -341,6 +341,53 @@ object DedupQueries {
        |ORDER BY vec_a, vec_b""".stripMargin
   }
 
+  // ------------------------------------------------------- embed incremental
+
+  /** Embedding-space face of the ingest screen: a batch of new vectors
+    * (a re-keyed identical slice — guaranteed cos = 1 partners — and a
+    * reversed-vector slice — direction scrambled) against the standing
+    * embeddings corpus. Same bucket-join shape as [[dedupEmbed]], no
+    * self-pair `<` constraint.
+    */
+  def dedupEmbedIncr(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = Tables.loadSpread(spark, dir, "embeddings")
+    val a = vecs.filter(col("vec_id") % 5 === 0)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    val b = vecs.filter(col("vec_id") % 5 === 1)
+      .select((col("vec_id") + 200000L).as("vec_id"),
+        reverse(col("embedding")).as("embedding"))
+    EmbeddingNearDup.incrementalPairs(vecs, a.unionByName(b),
+        "vec_id", "embedding", EmbedThreshold, SimilarityQueries.lshCfg)
+      .orderBy("vec_new", "vec_old")
+  }
+
+  val dedupEmbedIncrSql: String = {
+    import OracleDialect.foldDot
+    val bucket = SimilarityQueries.bucketSql
+    s"""WITH ${SimilarityQueries.planesCteSql},
+       |batch AS (
+       |  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings
+       |  WHERE vec_id % 5 = 0
+       |  UNION ALL
+       |  SELECT vec_id + 200000, list_reverse(embedding) FROM embeddings
+       |  WHERE vec_id % 5 = 1
+       |),
+       |cv AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |cn AS (SELECT vec_id, v, ${foldDot("v", "v")} AS nrm FROM cv),
+       |cb AS (SELECT n.vec_id, n.v, n.nrm, $bucket AS bucket
+       |  FROM cn n CROSS JOIN planes pl),
+       |bv AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM batch),
+       |bn AS (SELECT vec_id, v, ${foldDot("v", "v")} AS nrm FROM bv),
+       |bb AS (SELECT n.vec_id, n.v, n.nrm, $bucket AS bucket
+       |  FROM bn n CROSS JOIN planes pl)
+       |SELECT b.vec_id AS vec_new, c.vec_id AS vec_old,
+       |  ${foldDot("b.v", "c.v")} / (sqrt(b.nrm) * sqrt(c.nrm)) AS cos_sim
+       |FROM bb b JOIN cb c ON b.bucket = c.bucket
+       |WHERE ${foldDot("b.v", "c.v")} / (sqrt(b.nrm) * sqrt(c.nrm))
+       |      >= $EmbedThreshold
+       |ORDER BY vec_new, vec_old""".stripMargin
+  }
+
   // ------------------------------------------------------------- clusters
 
   /** Transitive dedup clusters: connected components over the verified
@@ -376,7 +423,8 @@ object DedupQueries {
     "dedup_ngram" -> (dedupNgram(_, _)),
     "dedup_embed" -> (dedupEmbed(_, _)),
     "dedup_clusters" -> (dedupClusters(_, _)),
-    "dedup_incremental" -> (dedupIncremental(_, _)))
+    "dedup_incremental" -> (dedupIncremental(_, _)),
+    "dedup_embed_incr" -> (dedupEmbedIncr(_, _)))
 
   val oracleSql: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
@@ -387,5 +435,6 @@ object DedupQueries {
     "dedup_ngram" -> dedupNgramSql,
     "dedup_embed" -> dedupEmbedSql,
     "dedup_clusters" -> dedupClustersSql,
-    "dedup_incremental" -> dedupIncrementalSql)
+    "dedup_incremental" -> dedupIncrementalSql,
+    "dedup_embed_incr" -> dedupEmbedIncrSql)
 }

@@ -106,6 +106,24 @@ class DedupSpec extends AnyFunSuite {
       cappedCfg).count() === 0)
   }
 
+  test("incremental embedding screen: identical batch vectors find their originals") {
+    val vecs = Tables.load(spark, dir, "embeddings")
+    val clones = vecs.filter(col("vec_id") % 5 === 0)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    val nClones = clones.count()
+    val pairs = EmbeddingNearDup.incrementalPairs(vecs, clones,
+        "vec_id", "embedding", 0.3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // an identical vector lands in the SAME bucket deterministically and
+    // scores cos = 1 (up to IEEE sqrt roundoff) against its original
+    val selfPairs = pairs.filter { case (n, o, _) => n - 100000L == o }
+    assert(selfPairs.length === nClones)
+    assert(selfPairs.forall(_._3 > 0.9999))
+    // and the screen never reports below the threshold
+    assert(pairs.forall(_._3 >= 0.3))
+  }
+
   test("sharp (16x4) config finds the planted pairs with fewer band rows per doc") {
     val sharp = MinHashLSH.nearDuplicatePairs(docs, "doc_id", "text",
         MinHashLSH.Sharp)
