@@ -93,6 +93,15 @@ object Stress {
         require(n == nDocs, s"expected one span per doc ($nDocs), got $n")
         n
       }
+      timed("excise") {
+        // all-duplicated corpus: every doc fully covered → every doc
+        // comes back empty (reassembly's worst case: nothing survives,
+        // but every input row must still be accounted for)
+        val out = graft.text.DupSpans.excise(corpus, "doc_id", "text")
+        val empties = out.filter(col("clean_text") === "").count()
+        require(empties == nDocs, s"expected $nDocs empty docs, got $empties")
+        out.count()
+      }
     }
 
     if (which("incr")) {

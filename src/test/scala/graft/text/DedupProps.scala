@@ -63,6 +63,29 @@ object DedupProps extends Properties("Round8Dedup") {
       got == naiveSpans(docs, k)
     }
 
+  property("excise == rebuild from naive span coverage") =
+    forAll(genDocs, Gen.choose(1, 3)) { (docs, k) =>
+      import spark.implicits._
+      val got = DupSpans
+        .excise(docs.toDF("doc_id", "text"), "doc_id", "text", k)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .toSet
+      val covered = naiveSpans(docs, k)
+        .groupBy(_._1)
+        .view.mapValues(_.flatMap { case (_, s, e, _) => s to e }.toSet)
+        .toMap
+      val want = docs.map { case (id, t) =>
+        val toks = t.split(" ", -1)
+        val cov = covered.getOrElse(id, Set.empty[Long])
+        val kept = toks.zipWithIndex.collect {
+          case (tok, i) if !cov.contains(i + 1L) => tok
+        }
+        (id, kept.mkString(" "), (toks.length - kept.length).toLong)
+      }.toSet
+      got == want
+    }
+
   private val genCorpusBatch: Gen[(Seq[(Long, String)], Seq[(Long, String)])] =
     for {
       corpus <- genDocs
