@@ -50,7 +50,7 @@ object SparkEntry {
     "q_salted_agg",
     "dedup_exact", "dedup_minhash", "dedup_minhash_capped", "dedup_minhash_sharp", "dedup_simhash", "dedup_ngram",
     "dedup_embed", "dedup_embed_incr", "dedup_clusters", "dedup_incremental",
-    "sample_stratified", "shard_assign",
+    "sample_stratified", "sample_temperature", "shard_assign",
     "quota_cap",
     "text_stats", "text_repetition", "text_langid", "text_tokens",
     "text_fingerprint", "text_dupspans", "text_excise", "text_vocab",

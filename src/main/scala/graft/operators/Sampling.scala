@@ -72,4 +72,49 @@ object Sampling {
     }
     df.filter(coordinate(col(idCol), salt) < rate)
   }
+
+  /** Temperature-weighted mix sampling with DATA-DERIVED rates — the
+    * standard multilingual/multi-source rebalancing: stratum s with n_s
+    * rows gets target share ∝ n_s^(1/T), so T = 1 keeps natural
+    * proportions and larger T flattens the mix toward uniform (small
+    * sources upsampled relative to their size — here capped at rate 1,
+    * no duplication). `targetFrac` sets the overall kept fraction.
+    *
+    * Rates derive from the data in one pass: per-stratum counts, a
+    * 1-row weight-total frame CROSS-JOINED (broadcast) onto the counts,
+    * then the per-stratum rate joins back onto the rows (tiny side,
+    * broadcast). The weight total folds in SORTED stratum order —
+    * float addition is not associative, and an unordered aggregate
+    * would make the rates (and so the kept ROW SET) nondeterministic
+    * across partitionings/engines.
+    *
+    * T = 2 uses `sqrt` explicitly: IEEE sqrt is correctly rounded in
+    * every engine, while `pow(x, 0.5)` is not guaranteed bit-equal to
+    * it — so the oracle-verifiable configuration stays bit-exact. Other
+    * temperatures go through `pow` (deterministic per engine, not
+    * proven so across engines).
+    */
+  def temperatureSample(df: DataFrame, idCol: String, strataCol: String,
+      temperature: Double = 2.0, targetFrac: Double = 0.5,
+      salt: String = "temp"): DataFrame = {
+    require(temperature > 0, s"temperature must be positive, got $temperature")
+    def weight(n: Column): Column =
+      if (temperature == 2.0) sqrt(n.cast("double"))
+      else pow(n.cast("double"), 1.0 / temperature)
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__n"))
+    val totals = counts.agg(
+      sum(col("__n")).as("__total"), // integer sum: order-free, exact
+      aggregate(
+        sort_array(collect_list(struct(col(strataCol), col("__n")))),
+        lit(0.0d),
+        (acc, x) => acc + weight(x.getField("__n"))).as("__wsum"))
+    val rates = counts.crossJoin(broadcast(totals))
+      .select(col(strataCol),
+        least(lit(1.0d),
+          lit(targetFrac) * col("__total").cast("double") * weight(col("__n"))
+            / col("__wsum") / col("__n").cast("double")).as("__rate"))
+    df.join(broadcast(rates), strataCol)
+      .filter(coordinate(col(idCol), salt) < col("__rate"))
+      .drop("__rate")
+  }
 }

@@ -76,6 +76,37 @@ object PipelineQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Temperature-2 mix rebalancing: rates DERIVED from observed source
+    * sizes (∝ sqrt(n_s), capped at 1), kept row set pinned by the
+    * oracle recomputing the counts, the sorted-order weight fold, each
+    * rate, and every md5 coordinate.
+    */
+  def sampleTemperature(spark: SparkSession, dir: String): DataFrame =
+    Sampling.temperatureSample(
+        Tables.loadSpread(spark, dir, "documents"), "doc_id", "source",
+        temperature = 2.0, targetFrac = 0.5)
+      .select("doc_id", "source")
+      .orderBy("doc_id")
+
+  val sampleTemperatureSql: String = {
+    val coord = OracleDialect.hexPrefixToLong(
+      "md5('temp:'||CAST(doc_id AS VARCHAR))", 8)
+    s"""WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+       |t AS (SELECT CAST(sum(n) AS BIGINT) AS total,
+       |    list_reduce(
+       |      list_prepend(0.0, list(sqrt(CAST(n AS DOUBLE)) ORDER BY source)),
+       |      (a, b) -> a + b) AS wsum
+       |  FROM c),
+       |r AS (SELECT c.source,
+       |    least(1.0, 0.5 * CAST(t.total AS DOUBLE) * sqrt(CAST(c.n AS DOUBLE))
+       |      / t.wsum / CAST(c.n AS DOUBLE)) AS rate
+       |  FROM c CROSS JOIN t)
+       |SELECT d.doc_id, d.source FROM documents d
+       |JOIN r ON r.source = d.source
+       |WHERE CAST($coord AS DOUBLE) / 4294967296 < r.rate
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Shard assignment verified row-exactly: per-shard count plus the
     * doc_id sum — an order-independent integer checksum, so a hash
     * match proves EVERY row's shard, not just the histogram shape.
@@ -176,6 +207,7 @@ object PipelineQueries {
     "pipeline_curate" -> (pipelineCurate(_, _)),
     "pipeline_mix" -> (pipelineMix(_, _)),
     "sample_stratified" -> (sampleStratified(_, _)),
+    "sample_temperature" -> (sampleTemperature(_, _)),
     "shard_assign" -> (shardAssign(_, _)),
     "quota_cap" -> (quotaCap(_, _)))
 
@@ -183,6 +215,7 @@ object PipelineQueries {
     "pipeline_curate" -> pipelineCurateSql,
     "pipeline_mix" -> pipelineMixSql,
     "sample_stratified" -> sampleStratifiedSql,
+    "sample_temperature" -> sampleTemperatureSql,
     "shard_assign" -> shardAssignSql,
     "quota_cap" -> quotaCapSql)
 }

@@ -1,0 +1,63 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Temperature-weighted mix sampling: data-derived rates must be
+  * deterministic (partitioning-invariant) and follow the n^(1/T)
+  * rebalancing semantics.
+  */
+class SamplingSpec extends AnyFunSuite {
+
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // source "big": 16 rows, source "small": 4 rows
+  private val docs = ((0 until 16).map(i => (i.toLong, "big")) ++
+    (16 until 20).map(i => (i.toLong, "small"))).toDF("doc_id", "source")
+
+  private def kept(df: org.apache.spark.sql.DataFrame): Set[Long] =
+    df.select("doc_id").collect().map(_.getLong(0)).toSet
+
+  test("T=1 reduces to a flat sample: every stratum keeps targetFrac") {
+    // weights ∝ n_s, so rate_s = targetFrac for ALL strata — identical
+    // row set to the plain coordinate filter under the same salt
+    val t1 = kept(Sampling.temperatureSample(docs, "doc_id", "source",
+      temperature = 1.0, targetFrac = 0.5))
+    val flat = kept(Sampling.sample(docs, "doc_id", 0.5, salt = "temp"))
+    assert(t1 === flat)
+  }
+
+  test("T=2 upsamples the small source relative to its size") {
+    // n=16 vs 4 → weights 4 vs 2 → rates 5/12·2f vs 5/3·f: the small
+    // stratum's keep RATE is 2× the big one's (sqrt flattening)
+    val out = Sampling.temperatureSample(docs, "doc_id", "source",
+        temperature = 2.0, targetFrac = 0.5)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // exact rates: big f·5/6 ≈ 0.417, small f·5/3 ≈ 0.833 — realized
+    // counts vary with the md5 draw, but the small source must keep a
+    // strictly larger FRACTION than the big one
+    val bigFrac = out.getOrElse("big", 0L).toDouble / 16
+    val smallFrac = out.getOrElse("small", 0L).toDouble / 4
+    assert(smallFrac > bigFrac)
+  }
+
+  test("rates cap at 1: no stratum is over-asked") {
+    // targetFrac=1 pushes the small stratum's raw rate to 5/3 → capped
+    // at 1 → every small row kept
+    val out = Sampling.temperatureSample(docs, "doc_id", "source",
+      temperature = 2.0, targetFrac = 1.0)
+    assert(out.filter(col("source") === "small").count() === 4)
+  }
+
+  test("kept row set is partitioning-invariant (sorted weight fold)") {
+    val a = kept(Sampling.temperatureSample(docs.repartition(1),
+      "doc_id", "source", 2.0, 0.5))
+    val b = kept(Sampling.temperatureSample(docs.repartition(16),
+      "doc_id", "source", 2.0, 0.5))
+    assert(a === b)
+    assert(a.nonEmpty)
+  }
+}
