@@ -6,14 +6,14 @@ import org.apache.spark.sql.{Dataset, SparkSession}
 
 /** Typed media records and the decode/feature-extract stage.
   *
-  * Images are REALLY decoded: `javax.imageio` ships PNG/BMP/GIF/JPEG
-  * readers inside the JDK (no external codecs), so the byte→pixels→
-  * features path is genuine — dimensions, channel means and luminance
-  * statistics of the actual raster. Payloads ImageIO cannot read
-  * (audio/video — the JDK has no such codecs, and this container adds
-  * none) fall back to a deterministic byte-stripe featurizer, clearly
-  * marked below, preserving the fixed 8-dim feature contract either
-  * way.
+  * Images and PCM audio are REALLY decoded: `javax.imageio` ships
+  * PNG/BMP/GIF/JPEG readers and `javax.sound.sampled` ships WAV/AIFF/AU
+  * readers inside the JDK (no external codecs), so both byte→samples→
+  * features paths are genuine — raster dimensions/channel/luma stats
+  * for images, sample-rate/RMS/zero-crossing stats for audio. Only
+  * payloads with no JDK codec at all (video) fall back to a
+  * deterministic byte-stripe featurizer, clearly marked below; every
+  * path preserves the fixed 8-dim feature contract.
   *
   * Distribution shape (the part that matters at 100 TB): decode runs
   * `mapPartitions` in batches where the bytes already live — no
@@ -71,10 +71,62 @@ object MediaDecode {
       (math.sqrt(lVar) / 255.0).toFloat)
   }
 
-  /** FALLBACK featurizer for payloads with no JDK codec (audio/video):
-    * one feature per 8-byte stripe = mean byte value scaled to [0,1).
-    * Deterministic and codec-free — a stand-in distribution, not a
-    * real decode; swap in a native codec here when one is available.
+  /** 8-dim feature contract for decoded PCM audio (WAV/AIFF/AU — the
+    * formats `javax.sound.sampled` reads in any stock JDK):
+    * {{{
+    * 0: sample rate / 96 kHz (clipped)  4: peak |sample|
+    * 1: channels / 8                    5: zero-crossing rate
+    * 2: duration / 60 s (clipped)      6: mean |sample|
+    * 3: RMS amplitude                   7: DC offset, mapped to [0,1]
+    * }}}
+    * Samples normalize through a 16-bit signed PCM conversion; at most
+    * 4 MiB of PCM is read so one pathological hour-long payload cannot
+    * stall its partition (same bounding idea as the image grid).
+    */
+  private[multimodal] def audioFeatures(
+      stream: javax.sound.sampled.AudioInputStream): Array[Float] = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    val base = stream.getFormat
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+      base.getSampleRate, 16, base.getChannels, 2 * base.getChannels,
+      base.getSampleRate, false)
+    val pcm = AudioSystem.getAudioInputStream(fmt, stream)
+    val bytes = pcm.readNBytes(4 << 20)
+    val n = bytes.length / 2
+    var (sum, sumAbs, sumSq) = (0.0, 0.0, 0.0)
+    var peak = 0
+    var crossings = 0L
+    var prevSign = 0
+    var i = 0
+    while (i < n) {
+      val s = ((bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)).toShort.toInt
+      sum += s; sumAbs += math.abs(s); sumSq += s.toDouble * s
+      if (math.abs(s) > peak) peak = math.abs(s)
+      val sign = Integer.signum(s)
+      if (sign != 0) {
+        if (prevSign != 0 && sign != prevSign) crossings += 1
+        prevSign = sign
+      }
+      i += 1
+    }
+    val frames = n.toDouble / base.getChannels
+    Array(
+      math.min(base.getSampleRate, 96000f) / 96000f,
+      math.min(base.getChannels, 8) / 8f,
+      math.min(frames / base.getSampleRate / 60.0, 1.0).toFloat,
+      if (n == 0) 0f else (math.sqrt(sumSq / n) / 32768.0).toFloat,
+      peak / 32768f,
+      if (n == 0) 0f else (crossings.toDouble / n).toFloat,
+      if (n == 0) 0f else (sumAbs / n / 32768.0).toFloat,
+      if (n == 0) 0.5f else ((sum / n / 32768.0 + 1.0) / 2.0).toFloat)
+  }
+
+  /** FALLBACK featurizer for payloads with no JDK codec (video — the
+    * JDK has neither mp4 demuxers nor video codecs, and this container
+    * adds none): one feature per 8-byte stripe = mean byte value scaled
+    * to [0,1). Deterministic and codec-free — a stand-in distribution,
+    * not a real decode; swap in a native codec here when one is
+    * available.
     */
   private[multimodal] def stripeFeatures(payload: Array[Byte]): Array[Float] = {
     val stripe = math.max(1, payload.length / FeatureDim)
@@ -85,17 +137,28 @@ object MediaDecode {
     }
   }
 
-  /** Decode one batch: ImageIO raster features when a reader accepts
-    * the bytes (PNG/BMP/GIF/JPEG in any stock JDK), stripe fallback
-    * otherwise. Batching exists so a future native codec can amortize
-    * per-batch buffers; ImageIO itself is stateless.
+  /** Decode one batch: ImageIO raster features when an image reader
+    * accepts the bytes (PNG/BMP/GIF/JPEG in any stock JDK), PCM audio
+    * features when `javax.sound.sampled` does (WAV/AIFF/AU), stripe
+    * fallback otherwise (video). Batching exists so a future native
+    * codec can amortize per-batch buffers; both JDK decoders are
+    * stateless.
     */
   private[multimodal] def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaFeatures] =
     batch.map { r =>
       val img =
         try ImageIOHolder.read(r.payload)
         catch { case scala.util.control.NonFatal(_) => null }
-      val feats = if (img != null) imageFeatures(img) else stripeFeatures(r.payload)
+      val feats =
+        if (img != null) imageFeatures(img)
+        else {
+          val audio =
+            try javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new ByteArrayInputStream(r.payload))
+            catch { case scala.util.control.NonFatal(_) => null }
+          if (audio != null) audioFeatures(audio)
+          else stripeFeatures(r.payload)
+        }
       MediaFeatures(r.doc_id, r.fmt, feats)
     }
 

@@ -64,6 +64,37 @@ class MultimodalSpec extends AnyFunSuite {
     approx(f(7), 0.0) // uniform image: zero luma variance
   }
 
+  test("real WAV decode: PCM features match the synthesized sine wave") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    // 0.25 s of a 440 Hz sine at half amplitude, 8 kHz mono 16-bit LE
+    val sr = 8000
+    val n = 2000
+    val amp = 16384.0 // 0.5 full scale
+    val bytes = new Array[Byte](n * 2)
+    for (i <- 0 until n) {
+      val s = math.round(amp * math.sin(2 * math.Pi * 440 * i / sr)).toInt
+      bytes(2 * i) = (s & 0xff).toByte
+      bytes(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new AudioFormat(sr.toFloat, 16, 1, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(new java.io.ByteArrayInputStream(bytes), fmt, n),
+      AudioFileFormat.Type.WAVE, bos)
+    val ds = Seq(MediaDecode.MediaRecord(7L, "wav", bos.toByteArray)).toDS()
+    val f = MediaDecode.decode(ds).collect().head.features
+    def approx(a: Float, b: Double, tol: Double = 1e-2) =
+      assert(math.abs(a - b) < tol, s"$a vs $b")
+    approx(f(0), sr / 96000.0, 1e-4)          // sample rate
+    approx(f(1), 1.0 / 8, 1e-4)               // mono
+    approx(f(2), 0.25 / 60, 1e-4)             // duration
+    approx(f(3), 0.5 / math.sqrt(2))          // sine RMS = A/√2
+    approx(f(4), 0.5)                         // peak = A
+    approx(f(5), 2.0 * 440 / sr, 2e-3)        // ZCR = 2·f/sr
+    approx(f(6), 0.5 * 2 / math.Pi)           // sine mean |s| = 2A/π
+    approx(f(7), 0.5, 1e-3)                   // zero DC offset → 0.5
+  }
+
   test("decode batches: partition sizes that don't divide batchSize all decode") {
     val recs = (0L until 150L).map(i =>
       MediaDecode.MediaRecord(i, "wav", Array.tabulate(64)(b => (b + i).toByte)))
