@@ -46,6 +46,7 @@ object SparkEntry {
     "q_window_top_orders",
     "q_events_hourly", "q_cust_no_orders", "q_pivot", "q_rollup", "q_setops",
     "q_asof_purchase", "q_range_clicks", "q_sessions", "q_label_join",
+    "q_funnel",
     "q_json_extract",
     "q_salted_agg",
     "dedup_exact", "dedup_minhash", "dedup_minhash_capped", "dedup_minhash_sharp", "dedup_simhash", "dedup_ngram",
@@ -54,8 +55,9 @@ object SparkEntry {
     "quota_cap",
     "text_stats", "text_repetition", "text_langid", "text_tokens",
     "text_fingerprint", "text_dupspans", "text_excise", "text_vocab",
+    "text_encode",
     "text_tfidf", "text_normalize", "text_pack", "text_pack_stats",
-    "text_decontam", "text_pii", "text_chunks",
+    "text_decontam", "text_decontam_bloom", "text_pii", "text_chunks",
     "kmv_distinct", "zorder_stats",
     "sim_topk", "sim_lsh_bucket", "sim_ivf", "sim_recall",
     "mm_meta", "mm_frames", "mm_format_stats", "pipeline_curate",

@@ -147,15 +147,59 @@ object TemporalQueries {
       | AND p.p_ts >= v.v_ts AND p.p_ts <= v.v_ts + INTERVAL 2 HOUR
       |GROUP BY v.view_id ORDER BY v.view_id""".stripMargin
 
+  /** Sequential funnel view → click → purchase per user. The oracle
+    * derives each stage as its own join-against-previous-stage CTE —
+    * a different algorithm from the Spark side's chained windowed mins
+    * over one partitioning, so the hash match checks the strictly-after
+    * semantics, not a shared plan.
+    */
+  def qFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.loadEvents(spark, dir)
+    graft.operators.Funnel.stages(ev, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))
+      .orderBy("step")
+  }
+
+  val qFunnelSql: String =
+    """WITH s0 AS (
+      |  SELECT user_id, min(ts) AS t0 FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |s1 AS (
+      |  SELECT e.user_id, min(e.ts) AS t1 FROM events e
+      |  JOIN s0 ON s0.user_id = e.user_id
+      |  WHERE e.event_type = 'click' AND e.ts > s0.t0 GROUP BY e.user_id),
+      |s2 AS (
+      |  SELECT e.user_id, min(e.ts) AS t2 FROM events e
+      |  JOIN s1 ON s1.user_id = e.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts > s1.t1 GROUP BY e.user_id),
+      |c AS (SELECT
+      |  (SELECT count(DISTINCT user_id) FROM events) AS nt,
+      |  (SELECT count(*) FROM s0) AS n0,
+      |  (SELECT count(*) FROM s1) AS n1,
+      |  (SELECT count(*) FROM s2) AS n2)
+      |SELECT step, stage, CAST(n_entities AS BIGINT) AS n_entities,
+      |  CASE WHEN n_prev > 0
+      |    THEN CAST(n_entities AS DOUBLE) / CAST(n_prev AS DOUBLE)
+      |    ELSE 0.0 END AS conv
+      |FROM (
+      |  SELECT 1 AS step, 'view' AS stage, n0 AS n_entities, nt AS n_prev FROM c
+      |  UNION ALL
+      |  SELECT 2, 'click', n1, n0 FROM c
+      |  UNION ALL
+      |  SELECT 3, 'purchase', n2, n1 FROM c)
+      |ORDER BY step""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_asof_purchase" -> (qAsofPurchase(_, _)),
     "q_range_clicks" -> (qRangeClicks(_, _)),
     "q_sessions" -> (qSessions(_, _)),
-    "q_label_join" -> (qLabelJoin(_, _)))
+    "q_label_join" -> (qLabelJoin(_, _)),
+    "q_funnel" -> (qFunnel(_, _)))
 
   val oracleSql: Map[String, String] = Map(
     "q_asof_purchase" -> qAsofPurchaseSql,
     "q_range_clicks" -> qRangeClicksSql,
     "q_sessions" -> qSessionsSql,
-    "q_label_join" -> qLabelJoinSql)
+    "q_label_join" -> qLabelJoinSql,
+    "q_funnel" -> qFunnelSql)
 }

@@ -125,6 +125,49 @@ object TextQueries {
        |  token, n_docs, n_occurrences
        |FROM top ORDER BY rnk""".stripMargin
 
+  // --------------------------------------------------------------- encode
+
+  /** Tokenizer-apply over the same top-k vocabulary: every document as
+    * a space-joined id sequence (rank in the vocab table, 0 = OOV).
+    * Spark side is a zero-shuffle per-row map lookup; the oracle
+    * reassembles ids positionally through an explicit join + ordered
+    * string_agg — an independent formulation, so the hash checks the
+    * lookup semantics, not a shared plan.
+    */
+  def textEncode(spark: SparkSession, dir: String): DataFrame =
+    Vocab.encode(Tables.loadSpread(spark, dir, "documents"),
+        "doc_id", "text", VocabK)
+      .orderBy("doc_id")
+
+  val textEncodeSql: String =
+    s"""WITH t AS (SELECT doc_id,
+       |    regexp_extract_all(lower(text), '${TokenCount.TokenPattern}') AS t
+       |  FROM documents),
+       |p AS (SELECT doc_id, unnest(t) AS token FROM t),
+       |pd AS (SELECT token, doc_id, count(*) AS n FROM p GROUP BY token, doc_id),
+       |tot AS (SELECT token, count(*) AS n_docs, sum(n) AS n_occurrences
+       |  FROM pd GROUP BY token),
+       |v AS (SELECT row_number() OVER (ORDER BY n_occurrences DESC, token)
+       |    AS rnk, token
+       |  FROM (SELECT * FROM tot ORDER BY n_occurrences DESC, token
+       |        LIMIT $VocabK)),
+       |tok AS (SELECT doc_id, unnest(generate_series(1, len(t))) AS pos, t
+       |  FROM t),
+       |tok2 AS (SELECT doc_id, pos, t[pos] AS token FROM tok),
+       |j AS (SELECT tok2.doc_id, tok2.pos,
+       |    CAST(COALESCE(v.rnk, 0) AS BIGINT) AS id
+       |  FROM tok2 LEFT JOIN v ON v.token = tok2.token),
+       |agg AS (SELECT doc_id,
+       |    string_agg(CAST(id AS VARCHAR), ' ' ORDER BY pos) AS token_ids,
+       |    count(*) AS n_tokens,
+       |    sum(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS n_oov
+       |  FROM j GROUP BY doc_id)
+       |SELECT d.doc_id, COALESCE(a.token_ids, '') AS token_ids,
+       |  CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+       |  CAST(COALESCE(a.n_oov, 0) AS BIGINT) AS n_oov
+       |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   // ------------------------------------------------------------ dup spans
 
   private val SpanK = 5
@@ -385,6 +428,20 @@ object TextQueries {
        |FROM tr JOIN ev USING (gram)
        |GROUP BY tr.doc_id ORDER BY doc_id""".stripMargin
 
+  /** The Bloom-prefiltered decontamination path on the same split —
+    * exact-identical output to [[textDecontam]] by construction, so it
+    * shares that oracle verbatim: the hash match proves the
+    * prefilter+verify pipeline loses nothing and admits nothing.
+    */
+  def textDecontamBloom(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.loadSpread(spark, dir, "documents")
+    Decontam.overlapBloom(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", n = 3, minSharedGrams = DecontamMinShared)
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------------------ pii
 
   /** PII redaction. The synthetic corpus carries no PII, so both
@@ -456,6 +513,7 @@ object TextQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_decontam" -> (textDecontam(_, _)),
+    "text_decontam_bloom" -> (textDecontamBloom(_, _)),
     "text_pii" -> (textPii(_, _)),
     "text_chunks" -> (textChunks(_, _)),
     "text_stats" -> (textStats(_, _)),
@@ -465,6 +523,7 @@ object TextQueries {
     "text_fingerprint" -> (textFingerprint(_, _)),
     "text_dupspans" -> (textDupspans(_, _)),
     "text_vocab" -> (textVocab(_, _)),
+    "text_encode" -> (textEncode(_, _)),
     "text_excise" -> (textExcise(_, _)),
     "text_tfidf" -> (textTfidf(_, _)),
     "text_normalize" -> (textNormalize(_, _)),
@@ -473,6 +532,7 @@ object TextQueries {
 
   val oracleSql: Map[String, String] = Map(
     "text_decontam" -> textDecontamSql,
+    "text_decontam_bloom" -> textDecontamSql,
     "text_pii" -> textPiiSql,
     "text_chunks" -> textChunksSql,
     "text_stats" -> textStatsSql,
@@ -482,6 +542,7 @@ object TextQueries {
     "text_fingerprint" -> textFingerprintSql,
     "text_dupspans" -> textDupspansSql,
     "text_vocab" -> textVocabSql,
+    "text_encode" -> textEncodeSql,
     "text_excise" -> textExciseSql,
     "text_tfidf" -> textTfidfSql,
     "text_normalize" -> textNormalizeSql,

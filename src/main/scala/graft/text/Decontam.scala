@@ -2,7 +2,10 @@ package graft.text
 
 import graft.text.TextFeatures._
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.BinaryType
 
 /** Benchmark decontamination — the training-data hygiene pass that
   * finds corpus documents overlapping an evaluation/benchmark set, so
@@ -42,6 +45,56 @@ object Decontam {
     val evalGrams = postings(eval).select("gram").distinct()
     postings(train)
       .join(broadcast(evalGrams), "gram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("shared_grams"))
+      .select(col("doc_id"), col("shared_grams"),
+        when(col("shared_grams") >= minSharedGrams, 1).otherwise(0)
+          .cast("int").as("contaminated"))
+  }
+
+  /** [[overlap]] for eval sets too large to broadcast as strings: a
+    * Bloom filter over the eval grams prefilters the corpus postings,
+    * then an exact gram join verifies the tiny surviving fraction —
+    * same exact result (false positives die in the verify join; Bloom
+    * filters have no false negatives).
+    *
+    * Why this is the 100 TB shape: a 100M-gram eval set is gigabytes
+    * as a broadcast string relation but ~10 bits/element as a Bloom
+    * filter, and the filter is embedded as a plan literal evaluated by
+    * Spark's own codegen'd `BloomFilterMightContain` (the expression
+    * behind AQE runtime filters) INSIDE the corpus scan's projection —
+    * so the corpus-side row stream entering the verify join is already
+    * down to true-overlap + fpp·grams. The verify join carries no
+    * broadcast hint: at that size Spark shuffles only the survivors
+    * (AQE still auto-broadcasts when the eval side turns out small).
+    *
+    * The filter is built distributedly (`stat.bloomFilter` is a
+    * treeAggregate) over `xxhash64(gram)` — the same hash
+    * `BloomFilterMightContain` applies at probe time, so put/probe
+    * agree. Driver holds one filter of bounded size (like the
+    * broadcast in [[overlap]]), never the gram strings.
+    */
+  def overlapBloom(train: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, n: Int = 3, minSharedGrams: Int = 5,
+      fpp: Double = 0.01): DataFrame = {
+    def postings(df: DataFrame) = df
+      .select(col(idCol).as("doc_id"),
+        explode(wordShingles(words(col(textCol)), n)).as("gram"))
+    val evalGrams = postings(eval).select("gram").distinct()
+    val hashed = evalGrams.select(xxhash64(col("gram")).as("h"))
+    val expectedItems = math.max(1L, hashed.count())
+    val bf = hashed.stat.bloomFilter("h", expectedItems, fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    val mightContain = ColumnBridge.column(BloomFilterMightContain(
+      Literal(bytes, BinaryType),
+      ColumnBridge.expression(xxhash64(col("gram")))))
+    postings(train)
+      .filter(mightContain)
+      .join(evalGrams, "gram")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("shared_grams"))
       .select(col("doc_id"), col("shared_grams"),

@@ -46,4 +46,40 @@ object Vocab {
           .cast("bigint"))
       .select(col("rnk"), col("token"), col("n_docs"), col("n_occurrences"))
   }
+
+  /** Tokenizer-apply: encode every document's token stream into vocab
+    * ids (rank in the top-`k` table; 0 = out-of-vocabulary), the step
+    * that turns a curated corpus into model-ready id sequences.
+    *
+    * Shape for a 100 TB corpus — the corpus side NEVER shuffles:
+    * the ranked vocabulary (k rows, bounded by construction) collapses
+    * to a ONE-ROW token→id map which cross-joins back in broadcast
+    * form, so encoding is a pure per-row projection
+    * (`transform` + map lookup) over the corpus scan. Contrast with
+    * the explode/join/re-aggregate formulation, which would shuffle
+    * every (doc, pos, token) posting twice just to reassemble order.
+    * The id sequence is emitted as a space-joined string — the
+    * cross-engine-stable wire form (and what a shard writer would
+    * emit); `n_tokens`/`n_oov` ride along for coverage tracking.
+    *
+    * Output: (doc_id, token_ids, n_tokens, n_oov), empty docs kept
+    * with token_ids = ''.
+    */
+  def encode(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 100): DataFrame = {
+    val vmap = topTokens(docs, idCol, textCol, k)
+      .agg(map_from_entries(collect_list(struct(col("token"), col("rnk"))))
+        .as("__vmap"))
+    docs
+      .crossJoin(broadcast(vmap))
+      .withColumn("__ids",
+        transform(TokenCount.tokens(col(textCol)),
+          t => coalesce(element_at(col("__vmap"), t), lit(0L))))
+      .select(
+        col(idCol).as("doc_id"),
+        array_join(transform(col("__ids"), _.cast("string")), " ")
+          .as("token_ids"),
+        size(col("__ids")).cast("bigint").as("n_tokens"),
+        size(filter(col("__ids"), _ === 0L)).cast("bigint").as("n_oov"))
+  }
 }

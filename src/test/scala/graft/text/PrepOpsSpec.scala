@@ -37,6 +37,36 @@ class PrepOpsSpec extends AnyFunSuite {
     assert(Decontam.overlap(train, eval, "doc_id", "text").count() === 0)
   }
 
+  test("bloom decontam: identical output to the broadcast path") {
+    // a corpus large enough that the bloom actually rejects most grams
+    val eval = Seq(
+      (100L, "alpha beta gamma delta"),
+      (101L, "one two three four five")).toDF("doc_id", "text")
+    val train = (1L to 60L).map { i =>
+      val filler = (0 until 10).map(j => s"w${i}x$j").mkString(" ")
+      val planted =
+        if (i % 7 == 0) " alpha beta gamma" // 1 shared gram
+        else if (i % 11 == 0) " one two three four" // 2 shared grams
+        else ""
+      (i, filler + planted)
+    }.toDF("doc_id", "text")
+    val exact = Decontam.overlap(train, eval, "doc_id", "text",
+      n = 3, minSharedGrams = 2).orderBy("doc_id").collect().toSeq
+    val bloom = Decontam.overlapBloom(train, eval, "doc_id", "text",
+      n = 3, minSharedGrams = 2).orderBy("doc_id").collect().toSeq
+    assert(bloom === exact)
+    assert(exact.nonEmpty) // the comparison must not be vacuous
+  }
+
+  test("bloom decontam: might_contain prefilter sits in the plan") {
+    val eval = Seq((9L, "aa bb cc dd")).toDF("doc_id", "text")
+    val train = Seq((1L, "aa bb cc xx yy zz")).toDF("doc_id", "text")
+    val plan = Decontam.overlapBloom(train, eval, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      s"corpus postings must pass the codegen'd Bloom probe pre-join:\n$plan")
+  }
+
   // ------------------------------------------------------------------ pii
 
   test("pii scrub: replaces emails, ips, phones; counts each type") {

@@ -38,4 +38,38 @@ class VocabSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"),
       s"top-k must be a per-task heap + driver merge:\n$plan")
   }
+
+  test("encode maps tokens to vocab ranks, 0 for OOV, order preserved") {
+    val rows = Vocab.encode(docs, "doc_id", "text", k = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // vocab at k=2: bb -> 1, aa -> 2; everything else OOV -> 0
+    assert(rows.toSeq === Seq(
+      (1L, "2 1 2", 3L, 0L),
+      (2L, "2 0", 2L, 1L),
+      (3L, "1 1 1 1", 4L, 0L),
+      (4L, "0 0 0 0", 4L, 4L)))
+  }
+
+  test("encode keeps empty documents with an empty id sequence") {
+    val withEmpty = docs.union(Seq(5L -> "", 6L -> "!!!").toDF("doc_id", "text"))
+    val rows = Vocab.encode(withEmpty, "doc_id", "text", k = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.filter(_._1 >= 5L).toSeq === Seq(
+      (5L, "", 0L, 0L), (6L, "", 0L, 0L)))
+  }
+
+  test("encode's corpus side is shuffle-free: only the vocab aggregates") {
+    val plan = Vocab.encode(docs, "doc_id", "text", k = 2)
+      .queryExecution.executedPlan.toString
+    // the single BroadcastExchange carries the 1-row vocab map; the
+    // corpus scan must reach the projection with no hash-partitioning
+    // exchange on its path (the only exchanges belong to the vocab agg)
+    assert(plan.contains("BroadcastExchange"),
+      s"vocab map must broadcast:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      s"corpus must pick the map up map-side:\n$plan")
+  }
 }
