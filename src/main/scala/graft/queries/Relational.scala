@@ -131,6 +131,40 @@ object Relational {
       |GROUP BY 1, 2
       |ORDER BY hour, event_type""".stripMargin
 
+  /** Rolling z-score over the same hourly buckets, per event type —
+    * [[graft.operators.Anomaly.rollingZ]]. The oracle recomputes the
+    * trailing-24-bucket statistics with its own window machinery; the
+    * integer sums make the two engines' different windowed-aggregation
+    * algorithms bit-identical, and the double arithmetic is one shared
+    * fixed-form expression.
+    */
+  def qAnomaly(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Anomaly.rollingZ(
+        Tables.loadEvents(spark, dir), "event_type", "ts", window = 24)
+      .orderBy("grp", "bucket_ts")
+
+  val qAnomalySql: String =
+    """WITH b AS (
+      |  SELECT event_type AS grp, date_trunc('hour', ts) AS bucket_ts,
+      |    count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |w AS (
+      |  SELECT grp, bucket_ts, n,
+      |    count(*) OVER win AS cnt,
+      |    sum(n) OVER win AS s,
+      |    sum(n * n) OVER win AS ss
+      |  FROM b WINDOW win AS (PARTITION BY grp ORDER BY bucket_ts
+      |    ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+      |SELECT grp, bucket_ts, CAST(n AS BIGINT) AS n,
+      |  CAST(s AS DOUBLE) / cnt AS mean_n,
+      |  CASE WHEN (CAST(ss AS DOUBLE)
+      |      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / cnt) / cnt > 0
+      |    THEN (CAST(n AS DOUBLE) - CAST(s AS DOUBLE) / cnt)
+      |      / sqrt((CAST(ss AS DOUBLE)
+      |      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / cnt) / cnt)
+      |    ELSE 0.0 END AS z
+      |FROM w ORDER BY grp, bucket_ts""".stripMargin
+
   /** Anti-join coverage: customers with no big urgent orders
     * (distributed left_anti — the scalable formulation of NOT EXISTS;
     * the filter is pushed below the join so only the qualifying order
@@ -341,6 +375,7 @@ object Relational {
     "q5_region_revenue" -> (q5RegionRevenue(_, _)),
     "q_window_top_orders" -> (qWindowTopOrders(_, _)),
     "q_events_hourly" -> (qEventsHourly(_, _)),
+    "q_anomaly" -> (qAnomaly(_, _)),
     "q_cust_no_orders" -> (qCustNoOrders(_, _)),
     "q_rollup" -> (qRollup(_, _)),
     "q_pivot" -> (qPivot(_, _)),
@@ -355,6 +390,7 @@ object Relational {
     "q5_region_revenue" -> q5RegionRevenueSql,
     "q_window_top_orders" -> qWindowTopOrdersSql,
     "q_events_hourly" -> qEventsHourlySql,
+    "q_anomaly" -> qAnomalySql,
     "q_cust_no_orders" -> qCustNoOrdersSql,
     "q_rollup" -> qRollupSql,
     "q_pivot" -> qPivotSql,
