@@ -22,7 +22,8 @@ object Stress {
   def main(args: Array[String]): Unit = {
     val which = if (args.nonEmpty) args.toSet
       else Set("cc", "minhash", "curate", "diff", "diffskew", "pack",
-        "shards", "decontam", "chunks", "kmv", "dupspans", "incr")
+        "shards", "decontam", "bloomdecontam", "encode", "chunks", "kmv",
+        "dupspans", "incr")
     val spark = Sessions.local("32")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -220,6 +221,53 @@ object Stress {
       val corpus = staged(corpus10x)
       timed("chunks") {
         graft.text.Chunker.chunks(corpus, "doc_id", "text").count()
+      }
+    }
+
+    if (which("bloomdecontam")) {
+      // the regime overlapBloom exists for: an eval side whose gram SET
+      // is too big to want as a broadcast string relation — 200k synth
+      // docs of unique tokens (~1.6M distinct 3-grams) plus the real
+      // benchmark slice so the overlap is non-trivial. The Bloom path
+      // must agree with the broadcast path row-for-row in count.
+      val corpus = staged(corpus10x)
+      val uniqueBulk = spark.range(200000L)
+        .select((col("id") + 10000000L).as("doc_id"),
+          concat_ws(" ", (0 until 10).map(j =>
+            md5(concat(col("id").cast("string"), lit(s"_$j")))): _*)
+            .as("text"))
+      val eval = staged(queries.Tables.loadSpread(spark, dir, "documents")
+        .filter(col("doc_id") % 10 === 0).select("doc_id", "text")
+        .unionByName(uniqueBulk))
+      var nBloom = 0L
+      timed("bloomdecon") {
+        nBloom = graft.text.Decontam
+          .overlapBloom(corpus, eval, "doc_id", "text").count()
+        nBloom
+      }
+      timed("decon-ref") { // broadcast path on the same inputs
+        val n = graft.text.Decontam
+          .overlap(corpus, eval, "doc_id", "text").count()
+        require(n == nBloom, s"bloom path $nBloom != broadcast path $n")
+        n
+      }
+    }
+
+    if (which("encode")) {
+      // vocab-encode the 10× corpus: the one-row-map broadcast must keep
+      // the corpus side shuffle-free at 500k docs; every doc comes back,
+      // and clones of the same doc encode identically (spot-checked via
+      // distinct sequences ≤ distinct base docs)
+      val corpus = staged(corpus10x)
+      val nDocs = corpus.count()
+      timed("encode") {
+        val enc = graft.text.Vocab.encode(corpus, "doc_id", "text")
+        val n = enc.count()
+        require(n == nDocs, s"encode dropped docs: $n != $nDocs")
+        val distinctSeqs = enc.select("token_ids").distinct().count()
+        require(distinctSeqs <= nDocs / 10,
+          s"clones must encode identically: $distinctSeqs distinct sequences")
+        n
       }
     }
 

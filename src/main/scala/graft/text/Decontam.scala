@@ -80,9 +80,12 @@ object Decontam {
     def postings(df: DataFrame) = df
       .select(col(idCol).as("doc_id"),
         explode(wordShingles(words(col(textCol)), n)).as("gram"))
-    val evalGrams = postings(eval).select("gram").distinct()
+    // the eval gram set drives three consumers (sizing count, filter
+    // build, verify join) — persist it once; callers release it via
+    // catalog.clearCache() like the other multi-action operators
+    val evalGrams = postings(eval).select("gram").distinct().persist()
     val hashed = evalGrams.select(xxhash64(col("gram")).as("h"))
-    val expectedItems = math.max(1L, hashed.count())
+    val expectedItems = math.max(1L, evalGrams.count())
     val bf = hashed.stat.bloomFilter("h", expectedItems, fpp)
     val bytes = {
       val bos = new java.io.ByteArrayOutputStream()
