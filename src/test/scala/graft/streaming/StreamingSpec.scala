@@ -40,6 +40,47 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("anomaly stream: incremental z equals the batch rollingZ bit-for-bit") {
+    // raw events: group a calm for 4 hours then a spike; group b sparse
+    val events = Seq(
+      ("a", ts("2024-01-01 00:10:00")), ("a", ts("2024-01-01 00:20:00")),
+      ("a", ts("2024-01-01 01:10:00")), ("a", ts("2024-01-01 01:40:00")),
+      ("a", ts("2024-01-01 02:05:00")), ("a", ts("2024-01-01 02:06:00")),
+      ("a", ts("2024-01-01 03:01:00")), ("a", ts("2024-01-01 03:02:00")),
+      ("a", ts("2024-01-01 03:03:00")), ("a", ts("2024-01-01 03:04:00")),
+      ("b", ts("2024-01-01 00:30:00")), ("b", ts("2024-01-01 02:30:00")))
+    val batchScored = graft.operators.Anomaly
+      .rollingZ(events.toDF("g", "ts"), "g", "ts", window = 3)
+      .orderBy("grp", "bucket_ts").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+
+    // the finalized bucket stream: same counts, fed in event-time order
+    // split across two micro-batches (state must carry across)
+    val buckets = events.groupBy(e => (e._1, e._2.getTime / 3600000L))
+      .map { case ((g, h), es) =>
+        AnomalyStream.Bucket(g, new Timestamp(h * 3600000L), es.size.toLong) }
+      .toSeq.sortBy(b => (b.grp, b.bucket_ts.getTime))
+    val (first, rest) = buckets.splitAt(3)
+    val stream = MemoryStream[AnomalyStream.Bucket](spark)
+    implicit val s = spark
+    val q = AnomalyStream.scored(stream.toDS(), window = 3)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("anomstream").start()
+    try {
+      stream.addData(first)
+      q.processAllAvailable()
+      stream.addData(rest)
+      q.processAllAvailable()
+      val streamed = spark.table("anomstream")
+        .orderBy("grp", "bucket_ts").collect()
+        .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2),
+          r.getDouble(3), r.getDouble(4)))
+      assert(streamed.toSeq === batchScored.toSeq)
+      assert(streamed.length === 6) // a: 4 buckets, b: 2 buckets
+    } finally q.stop()
+  }
+
   test("text scoring + repetition projections run unchanged on a stream") {
     // The per-row text family (stats, langid, repetition's bigram
     // histogram on a per-batch basis) is stateless, so the SAME
