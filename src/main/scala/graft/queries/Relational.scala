@@ -165,6 +165,33 @@ object Relational {
       |    ELSE 0.0 END AS z
       |FROM w ORDER BY grp, bucket_ts""".stripMargin
 
+  /** Incremental aggregate maintenance over a history/delta split of
+    * the events table: the standing per-(user, type) aggregate from
+    * days 1–19 merged with the day-20+ batch via
+    * [[graft.operators.AggMerge]]. The oracle aggregates ALL events in
+    * one pass — the hash match IS the incremental ≡ full-recompute
+    * identity (exact decimal sums make it hold bit-for-bit).
+    */
+  def qAggUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.loadEvents(spark, dir)
+    val cut = lit("2024-01-20 00:00:00").cast("timestamp_ntz")
+    val keys = Seq("user_id", "event_type")
+    val base = graft.operators.AggMerge
+      .aggregate(ev.filter(col("ts") < cut), keys, "value")
+    graft.operators.AggMerge
+      .upsert(base, ev.filter(col("ts") >= cut), keys, "value")
+      .select(col("user_id"), col("event_type"), col("n"),
+        col("total").cast("double").as("total"), col("vmin"), col("vmax"))
+      .orderBy("user_id", "event_type")
+  }
+
+  val qAggUpsertSql: String =
+    """SELECT user_id, event_type, count(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(24,4))) AS DOUBLE) AS total,
+      |  min(value) AS vmin, max(value) AS vmax
+      |FROM events GROUP BY user_id, event_type
+      |ORDER BY user_id, event_type""".stripMargin
+
   /** Anti-join coverage: customers with no big urgent orders
     * (distributed left_anti — the scalable formulation of NOT EXISTS;
     * the filter is pushed below the join so only the qualifying order
@@ -376,6 +403,7 @@ object Relational {
     "q_window_top_orders" -> (qWindowTopOrders(_, _)),
     "q_events_hourly" -> (qEventsHourly(_, _)),
     "q_anomaly" -> (qAnomaly(_, _)),
+    "q_agg_upsert" -> (qAggUpsert(_, _)),
     "q_cust_no_orders" -> (qCustNoOrders(_, _)),
     "q_rollup" -> (qRollup(_, _)),
     "q_pivot" -> (qPivot(_, _)),
@@ -391,6 +419,7 @@ object Relational {
     "q_window_top_orders" -> qWindowTopOrdersSql,
     "q_events_hourly" -> qEventsHourlySql,
     "q_anomaly" -> qAnomalySql,
+    "q_agg_upsert" -> qAggUpsertSql,
     "q_cust_no_orders" -> qCustNoOrdersSql,
     "q_rollup" -> qRollupSql,
     "q_pivot" -> qPivotSql,
