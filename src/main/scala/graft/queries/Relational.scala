@@ -192,6 +192,40 @@ object Relational {
       |FROM events GROUP BY user_id, event_type
       |ORDER BY user_id, event_type""".stripMargin
 
+  /** Exact discrete percentiles (p50/p90/p99 of event value per type),
+    * computed from first principles in BOTH engines: rank the values,
+    * pick the row at ceil(p·n) — percentile_disc semantics without
+    * either engine's builtin (whose interpolation/types differ). Ranks
+    * among tied values are arbitrary but the VALUE at any rank inside a
+    * tie run is fixed, so the result is deterministic. One shuffle +
+    * per-group sort; the picked rows collapse via conditional max.
+    */
+  def qPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.loadEvents(spark, dir)
+    val byType = Window.partitionBy(col("event_type"))
+    val ranked = ev
+      .withColumn("rn", row_number().over(byType.orderBy(col("value"))))
+      .withColumn("cnt", count(lit(1)).over(byType))
+    def pick(p: Double) =
+      max(when(col("rn") === ceil(lit(p) * col("cnt")), col("value")))
+    ranked.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), pick(0.5).as("p50"),
+        pick(0.9).as("p90"), pick(0.99).as("p99"))
+      .orderBy("event_type")
+  }
+
+  val qPercentilesSql: String =
+    """WITH r AS (
+      |  SELECT event_type, value,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+      |    count(*) OVER (PARTITION BY event_type) AS cnt
+      |  FROM events)
+      |SELECT event_type, count(*) AS n,
+      |  max(CASE WHEN rn = ceil(0.5 * cnt) THEN value END) AS p50,
+      |  max(CASE WHEN rn = ceil(0.9 * cnt) THEN value END) AS p90,
+      |  max(CASE WHEN rn = ceil(0.99 * cnt) THEN value END) AS p99
+      |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Anti-join coverage: customers with no big urgent orders
     * (distributed left_anti — the scalable formulation of NOT EXISTS;
     * the filter is pushed below the join so only the qualifying order
@@ -404,6 +438,7 @@ object Relational {
     "q_events_hourly" -> (qEventsHourly(_, _)),
     "q_anomaly" -> (qAnomaly(_, _)),
     "q_agg_upsert" -> (qAggUpsert(_, _)),
+    "q_percentiles" -> (qPercentiles(_, _)),
     "q_cust_no_orders" -> (qCustNoOrders(_, _)),
     "q_rollup" -> (qRollup(_, _)),
     "q_pivot" -> (qPivot(_, _)),
@@ -420,6 +455,7 @@ object Relational {
     "q_events_hourly" -> qEventsHourlySql,
     "q_anomaly" -> qAnomalySql,
     "q_agg_upsert" -> qAggUpsertSql,
+    "q_percentiles" -> qPercentilesSql,
     "q_cust_no_orders" -> qCustNoOrdersSql,
     "q_rollup" -> qRollupSql,
     "q_pivot" -> qPivotSql,

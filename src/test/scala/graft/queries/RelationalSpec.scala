@@ -60,6 +60,22 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("percentiles: rank-picked values match a driver-side sort") {
+    val rows = Relational.qPercentiles(spark, dir).collect()
+    val ev = Tables.loadEvents(spark, dir)
+      .select("event_type", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    rows.foreach { r =>
+      val vals = ev(r.getString(0))
+      assert(r.getLong(1) === vals.length.toLong)
+      def disc(p: Double) = vals(math.ceil(p * vals.length).toInt - 1)
+      assert(r.getDouble(2) === disc(0.5), s"${r.getString(0)} p50")
+      assert(r.getDouble(3) === disc(0.9), s"${r.getString(0)} p90")
+      assert(r.getDouble(4) === disc(0.99), s"${r.getString(0)} p99")
+    }
+  }
+
   test("set ops partition: both + urgent_only = distinct urgent customers") {
     val ord = Tables.load(spark, dir, "orders")
     val urgentDistinct = ord.filter(col("o_orderpriority") === "1-URGENT")
