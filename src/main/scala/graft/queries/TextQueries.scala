@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.text._
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, concat, lit}
+import org.apache.spark.sql.functions.{abs, col, concat, lit}
 
 /** Driver-verifiable text-analysis queries over the `documents` table.
   * All but tfidf are pure per-row projections (zero shuffle) ordered by
@@ -167,6 +167,40 @@ object TextQueries {
        |  CAST(COALESCE(a.n_oov, 0) AS BIGINT) AS n_oov
        |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
        |ORDER BY d.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- drift
+
+  private val DriftK = 20
+
+  /** Token drift between the corpus and a re-crawl that lost the
+    * doc_id % 7 == 0 slice: top movers by occurrence-rate change. The
+    * oracle rebuilds both count tables, the outer merge, and the rate
+    * arithmetic independently.
+    */
+  def textDrift(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.loadSpread(spark, dir, "documents")
+    Drift.tokenDrift(docs, docs.filter(col("doc_id") % 7 =!= 0),
+        "text", DriftK)
+      .orderBy(abs(col("delta_rate")).desc, col("token"))
+  }
+
+  val textDriftSql: String =
+    s"""WITH pa AS (SELECT unnest(regexp_extract_all(lower(text),
+       |    '${TokenCount.TokenPattern}')) AS token FROM documents),
+       |ca AS (SELECT token, count(*) AS n_a FROM pa GROUP BY token),
+       |pb AS (SELECT unnest(regexp_extract_all(lower(text),
+       |    '${TokenCount.TokenPattern}')) AS token FROM documents
+       |  WHERE doc_id % 7 != 0),
+       |cb AS (SELECT token, count(*) AS n_b FROM pb GROUP BY token),
+       |tot AS (SELECT (SELECT sum(n_a) FROM ca) AS ta,
+       |  (SELECT sum(n_b) FROM cb) AS tb),
+       |m AS (SELECT COALESCE(ca.token, cb.token) AS token,
+       |    COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
+       |  FROM ca FULL OUTER JOIN cb ON ca.token = cb.token)
+       |SELECT token, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       |  CAST(n_b AS DOUBLE) / tb - CAST(n_a AS DOUBLE) / ta AS delta_rate
+       |FROM m, tot
+       |ORDER BY abs(delta_rate) DESC, token LIMIT $DriftK""".stripMargin
 
   // ------------------------------------------------------------ dup spans
 
@@ -524,6 +558,7 @@ object TextQueries {
     "text_dupspans" -> (textDupspans(_, _)),
     "text_vocab" -> (textVocab(_, _)),
     "text_encode" -> (textEncode(_, _)),
+    "text_drift" -> (textDrift(_, _)),
     "text_excise" -> (textExcise(_, _)),
     "text_tfidf" -> (textTfidf(_, _)),
     "text_normalize" -> (textNormalize(_, _)),
@@ -543,6 +578,7 @@ object TextQueries {
     "text_dupspans" -> textDupspansSql,
     "text_vocab" -> textVocabSql,
     "text_encode" -> textEncodeSql,
+    "text_drift" -> textDriftSql,
     "text_excise" -> textExciseSql,
     "text_tfidf" -> textTfidfSql,
     "text_normalize" -> textNormalizeSql,
