@@ -62,6 +62,7 @@ object SparkEntry {
     "text_decontam", "text_decontam_bloom", "text_pii", "text_chunks",
     "kmv_distinct", "zorder_stats",
     "sim_topk", "sim_lsh_bucket", "sim_ivf", "sim_recall",
-    "mm_meta", "mm_frames", "mm_format_stats", "pipeline_curate",
+    "mm_meta", "mm_frames", "mm_format_stats", "mm_decode",
+    "pipeline_curate",
     "pipeline_mix")
 }

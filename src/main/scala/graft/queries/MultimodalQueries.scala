@@ -84,13 +84,57 @@ object MultimodalQueries {
        |       CAST(SUM(octet_length(unhex(hx))) AS BIGINT) AS total_bytes
        |FROM m GROUP BY fmt ORDER BY fmt""".stripMargin
 
+  // --------------------------------------------------------------- decode
+
+  /** The full decode dispatch ([[graft.multimodal.MediaDecode.decode]]:
+    * batched mapPartitions → ImageIO attempt → audio attempt → stripe
+    * fallback) under the driver gate. The synthesized payloads carry no
+    * image/audio magic bytes, so every record deterministically takes
+    * the stripe path — whose arithmetic is EXACT in float (byte sums
+    * divided by the powers of two 8 and 256), so the DuckDB oracle's
+    * double-precision replica matches bit-for-bit. The real
+    * ImageIO/PCM paths stay golden-spec'd (drawn image, synthesized
+    * sine) — no oracle can express them.
+    */
+  def mmDecode(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    val recs = corpus(spark, dir)
+      .select(col("doc_id"), col("meta.fmt").as("fmt"), col("payload"))
+      .as[MediaDecode.MediaRecord]
+    val featCols = (0 until MediaDecode.FeatureDim).map(i =>
+      col("features")(i).cast("double").as(s"f$i"))
+    MediaDecode.decode(recs)
+      .select(col("doc_id") +: col("fmt") +: featCols: _*)
+      .orderBy("doc_id")
+  }
+
+  val mmDecodeSql: String = {
+    def byteVal(p: Int): String =
+      s"((instr('0123456789abcdef', substr(lhx, ${2 * p + 1}, 1)) - 1) * 16" +
+        s" + instr('0123456789abcdef', substr(lhx, ${2 * p + 2}, 1)) - 1)"
+    val stripe = PayloadBytes / MediaDecode.FeatureDim
+    val feats = (0 until MediaDecode.FeatureDim).map { i =>
+      val s = (0 until stripe).map(j => byteVal(stripe * i + j))
+        .mkString(" + ")
+      s"CAST($s AS DOUBLE) / $stripe / 256 AS f$i"
+    }.mkString(",\n       ")
+    s"""WITH $corpusCte,
+       |lm AS (SELECT doc_id, fmt, lower(hx) AS lhx FROM m)
+       |SELECT doc_id, fmt,
+       |       $feats
+       |FROM lm ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_meta" -> (mmMeta(_, _)),
     "mm_frames" -> (mmFrames(_, _)),
-    "mm_format_stats" -> (mmFormatStats(_, _)))
+    "mm_format_stats" -> (mmFormatStats(_, _)),
+    "mm_decode" -> (mmDecode(_, _)))
 
   val oracleSql: Map[String, String] = Map(
     "mm_meta" -> mmMetaSql,
     "mm_frames" -> mmFramesSql,
-    "mm_format_stats" -> mmFormatStatsSql)
+    "mm_format_stats" -> mmFormatStatsSql,
+    "mm_decode" -> mmDecodeSql)
 }
