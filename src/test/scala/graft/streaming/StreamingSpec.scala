@@ -81,6 +81,50 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("funnel stream: advancement counts equal the batch stage table") {
+    // u1 full funnel; u2 clicks before viewing (never advances past
+    // view); u3 views only; u4 ties click to its view instant (strict >
+    // excludes it). Batches split mid-funnel so state carries across.
+    val events = Seq(
+      FunnelStream.Event("u1", "view", 10L),
+      FunnelStream.Event("u2", "click", 5L),
+      FunnelStream.Event("u2", "view", 10L),
+      FunnelStream.Event("u3", "view", 10L),
+      FunnelStream.Event("u4", "view", 10L),
+      FunnelStream.Event("u4", "click", 10L),
+      // second batch
+      FunnelStream.Event("u1", "click", 20L),
+      FunnelStream.Event("u1", "purchase", 30L),
+      FunnelStream.Event("u2", "purchase", 15L))
+    val (b1, b2) = events.splitAt(6)
+    val stream = MemoryStream[FunnelStream.Event](spark)
+    implicit val s = spark
+    val q = FunnelStream.advances(stream.toDS(),
+        Seq("view", "click", "purchase"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("funstream").start()
+    try {
+      stream.addData(b1); q.processAllAvailable()
+      stream.addData(b2); q.processAllAvailable()
+      val adv = spark.table("funstream").as[FunnelStream.Advance]
+        .collect().toSeq
+      val streamCounts = adv.groupBy(_.step).view.mapValues(_.size.toLong)
+        .toMap
+      val batchCounts = graft.operators.Funnel.stages(
+          events.map(e => (e.entity, e.step, e.ts))
+            .toDF("user_id", "event_type", "ts"),
+          "user_id", "event_type", "ts", Seq("view", "click", "purchase"))
+        .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+      assert((1 to 3).map(i => streamCounts.getOrElse(i, 0L)) ===
+        (1 to 3).map(i => batchCounts(i)))
+      // the u1 chain advanced with the right stamps
+      assert(adv.filter(_.entity == "u1").sortBy(_.step) ===
+        Seq(FunnelStream.Advance("u1", 1, 10L),
+          FunnelStream.Advance("u1", 2, 20L),
+          FunnelStream.Advance("u1", 3, 30L)))
+    } finally q.stop()
+  }
+
   test("text scoring + repetition projections run unchanged on a stream") {
     // The per-row text family (stats, langid, repetition's bigram
     // histogram on a per-batch basis) is stateless, so the SAME
