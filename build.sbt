@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // ~70 bench queries × whole-stage codegen: the 240 MB default code
+  // cache starts sweeping hot compiled methods late in the run, which
+  // shows up as spurious slowdowns of whatever queries run last
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -37,8 +37,12 @@ object SparkEntry {
       MultimodalQueries.oracleSql ++ PipelineQueries.oracleSql ++
       TemporalQueries.oracleSql ++ SketchQueries.oracleSql
 
-  /** Headline queries timed by graft.Bench (ordered) — the full
-    * `queries` surface, so every operator family has a tracked number.
+  /** Headline queries timed by graft.Bench (ordered) — every operator
+    * family has a tracked number. Parameter-preset VARIANTS of an
+    * already-benched operator (the capped/Sharp MinHash configs, which
+    * re-shingle the identical corpus with different knobs) stay
+    * correctness-gated in `queries` but don't occupy bench slots —
+    * their runtime is the family's runtime.
     */
   def benchQueries: Seq[String] = Seq(
     "diff_flags", "diff_flags_skew", "diff_colstats", "diff_rows", "diff_values",
@@ -51,7 +55,7 @@ object SparkEntry {
     "q_funnel",
     "q_json_extract",
     "q_salted_agg",
-    "dedup_exact", "dedup_minhash", "dedup_minhash_capped", "dedup_minhash_sharp", "dedup_simhash", "dedup_ngram",
+    "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_ngram",
     "dedup_embed", "dedup_embed_incr", "dedup_clusters", "dedup_incremental",
     "sample_stratified", "sample_temperature", "shard_assign",
     "quota_cap",

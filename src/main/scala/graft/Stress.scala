@@ -23,7 +23,7 @@ object Stress {
     val which = if (args.nonEmpty) args.toSet
       else Set("cc", "minhash", "curate", "diff", "diffskew", "pack",
         "shards", "decontam", "bloomdecontam", "encode", "chunks", "kmv",
-        "dupspans", "incr")
+        "dupspans", "incr", "aggmerge", "funnel")
     val spark = Sessions.local("32")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -221,6 +221,58 @@ object Stress {
       val corpus = staged(corpus10x)
       timed("chunks") {
         graft.text.Chunker.chunks(corpus, "doc_id", "text").count()
+      }
+    }
+
+    if (which("aggmerge")) {
+      // 10M-key standing aggregate updated by a 100k-row delta — the
+      // daily-ingest ratio; merged result must carry every base key
+      // plus the delta's new ones, with history never rescanned
+      val base = staged(operators.AggMerge.aggregate(
+        spark.range(10000000L).select(
+          col("id").cast("string").as("k"),
+          (col("id") % 1000).cast("double").as("v")),
+        Seq("k"), "v"))
+      val deltaRows = staged(spark.range(100000L).select(
+        // half touch existing keys, half are new
+        when(col("id") % 2 === 0, col("id").cast("string"))
+          .otherwise(concat(lit("new"), col("id").cast("string"))).as("k"),
+        lit(1.5d).as("v")).repartition(32))
+      timed("aggmerge") {
+        val merged = operators.AggMerge.upsert(base, deltaRows, Seq("k"), "v")
+        val n = merged.count()
+        require(n == 10050000L, s"expected 10.05M keys, got $n")
+        n
+      }
+    }
+
+    if (which("funnel")) {
+      // 5M events / 7,499 users (coprime to the 4-type cycle, so every
+      // user's type rotates round-robin): one ts per user per round ⇒
+      // every user hits view→click→purchase in order within 12 rounds
+      // of ~667 — all users complete the funnel, one exchange
+      val ev = staged(spark.range(5000000L).select(
+        (col("id") % 7499L).as("u"),
+        element_at(typedLit(Seq("view", "click", "purchase", "other")),
+          (col("id") % 4 + 1).cast("int")).as("t"),
+        (col("id") / 7499L).as("ts"))
+        .repartition(32))
+      timed("funnel") {
+        val stages = operators.Funnel.stages(ev, "u", "t", "ts",
+          Seq("view", "click", "purchase")).collect()
+        require(stages.length == 3)
+        require(stages.forall(_.getLong(2) == 7499L),
+          s"every user must complete all stages: ${stages.mkString(";")}")
+        stages.length.toLong
+      }
+      timed("anomaly") { // rolling z over the same event volume
+        val scored = operators.Anomaly.rollingZ(
+          spark.range(5000000L).select(
+            (col("id") % 5).cast("string").as("g"),
+            timestamp_micros(lit(1704067200000000L) +
+              (col("id") / 5) * 3000000L).as("ts")), // 3 s apart → ~833 h
+          "g", "ts")
+        scored.count()
       }
     }
 

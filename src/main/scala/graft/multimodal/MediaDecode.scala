@@ -137,25 +137,49 @@ object MediaDecode {
     }
   }
 
-  /** Decode one batch: ImageIO raster features when an image reader
-    * accepts the bytes (PNG/BMP/GIF/JPEG in any stock JDK), PCM audio
-    * features when `javax.sound.sampled` does (WAV/AIFF/AU), stripe
-    * fallback otherwise (video). Batching exists so a future native
-    * codec can amortize per-batch buffers; both JDK decoders are
-    * stateless.
+  /** Container sniff: the JDK decoders discover "not my format" by
+    * registry scan + thrown exception — ruinously slow when most of a
+    * mixed corpus is other media. Dispatch on magic bytes first (what
+    * production decode farms do); a payload whose magic lies (corrupt
+    * container) still falls through to the stripe features, exactly as
+    * the blind-attempt path did.
+    */
+  private[multimodal] def looksImage(p: Array[Byte]): Boolean =
+    p.length >= 4 && (
+      (p(0) == 0x89.toByte && p(1) == 'P' && p(2) == 'N' && p(3) == 'G') ||
+      (p(0) == 0xFF.toByte && p(1) == 0xD8.toByte) || // JPEG SOI
+      (p(0) == 'G' && p(1) == 'I' && p(2) == 'F') ||
+      (p(0) == 'B' && p(1) == 'M'))
+
+  private[multimodal] def looksAudio(p: Array[Byte]): Boolean =
+    p.length >= 4 && (
+      (p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F') || // WAV
+      (p(0) == 'F' && p(1) == 'O' && p(2) == 'R' && p(3) == 'M') || // AIFF
+      (p(0) == '.' && p(1) == 's' && p(2) == 'n' && p(3) == 'd')) // AU
+
+  /** Decode one batch: ImageIO raster features when the bytes carry an
+    * image magic (PNG/BMP/GIF/JPEG in any stock JDK), PCM audio
+    * features on an audio container magic (WAV/AIFF/AU), stripe
+    * fallback otherwise (video, unknown, corrupt). Batching exists so
+    * a future native codec can amortize per-batch buffers; both JDK
+    * decoders are stateless.
     */
   private[multimodal] def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaFeatures] =
     batch.map { r =>
       val img =
-        try ImageIOHolder.read(r.payload)
-        catch { case scala.util.control.NonFatal(_) => null }
+        if (!looksImage(r.payload)) null
+        else
+          try ImageIOHolder.read(r.payload)
+          catch { case scala.util.control.NonFatal(_) => null }
       val feats =
         if (img != null) imageFeatures(img)
         else {
           val audio =
-            try javax.sound.sampled.AudioSystem.getAudioInputStream(
-              new ByteArrayInputStream(r.payload))
-            catch { case scala.util.control.NonFatal(_) => null }
+            if (!looksAudio(r.payload)) null
+            else
+              try javax.sound.sampled.AudioSystem.getAudioInputStream(
+                new ByteArrayInputStream(r.payload))
+              catch { case scala.util.control.NonFatal(_) => null }
           if (audio != null) audioFeatures(audio)
           else stripeFeatures(r.payload)
         }
