@@ -270,7 +270,7 @@ object Stress {
           spark.range(5000000L).select(
             (col("id") % 5).cast("string").as("g"),
             timestamp_micros(lit(1704067200000000L) +
-              (col("id") / 5) * 3000000L).as("ts")), // 3 s apart → ~833 h
+              expr("id DIV 5") * 3000000L).as("ts")), // 3 s apart → ~833 h
           "g", "ts")
         scored.count()
       }
