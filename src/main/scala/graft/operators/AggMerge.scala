@@ -36,23 +36,27 @@ object AggMerge {
         max(col(valueCol)).as("vmax"))
 
   /** Merge a standing aggregate table with a delta batch's aggregate
-    * (both in [[aggregate]]'s shape): full-outer on the keys, states
-    * combined field-wise. Keys present on one side pass through.
+    * (both in [[aggregate]]'s shape): union the state rows and
+    * re-aggregate — each field's combiner is its own aggregate (counts
+    * and decimal sums add, mins/maxes fold). Keys on one side pass
+    * through; NULL keys merge correctly (they are ordinary groupBy
+    * groups — a null-safe full-outer join would need
+    * (coalesce, isnull)-wrapped keys, which costs an extra re-shuffle
+    * per side because the wrapped partitioning no longer matches the
+    * aggregates'). ONE exchange total: both inputs contribute partial
+    * states map-side.
     */
   def merge(base: DataFrame, delta: DataFrame,
       keyCols: Seq[String]): DataFrame = {
-    val joined = base.as("b").join(delta.as("d"),
-      keyCols.map(k => base(k) <=> delta(k)).reduce(_ && _), "full_outer")
-    val keys = keyCols.map(k =>
-      coalesce(col(s"b.$k"), col(s"d.$k")).as(k))
-    joined.select(keys ++ Seq(
-      (coalesce(col("b.n"), lit(0L)) + coalesce(col("d.n"), lit(0L)))
-        .as("n"),
-      (coalesce(col("b.total"), lit(0).cast("decimal(24,4)")) +
-        coalesce(col("d.total"), lit(0).cast("decimal(24,4)")))
-        .cast("decimal(24,4)").as("total"),
-      least(col("b.vmin"), col("d.vmin")).as("vmin"),
-      greatest(col("b.vmax"), col("d.vmax")).as("vmax")): _*)
+    val cols = keyCols ++ Seq("n", "total", "vmin", "vmax")
+    base.select(cols.map(col): _*)
+      .unionByName(delta.select(cols.map(col): _*))
+      .groupBy(keyCols.map(col): _*)
+      .agg(
+        sum(col("n")).as("n"),
+        sum(col("total")).cast("decimal(24,4)").as("total"),
+        min(col("vmin")).as("vmin"),
+        max(col("vmax")).as("vmax"))
   }
 
   /** [[aggregate]] the delta rows, then [[merge]] — the one-call form. */

@@ -42,6 +42,29 @@ class AggMergeSpec extends AnyFunSuite {
     assert((ax._3, ax._4, ax._5, ax._6) === ((3L, 6.0, 1.0, 3.0)))
   }
 
+  test("null keys merge as ordinary groups, not row pairs") {
+    val keys = Seq("k1", "k2")
+    val h = Seq((null.asInstanceOf[String], "x", 1.0), ("a", "x", 2.0))
+      .toDF("k1", "k2", "v")
+    val d = Seq((null.asInstanceOf[String], "x", 3.0)).toDF("k1", "k2", "v")
+    val out = AggMerge.upsert(AggMerge.aggregate(h, keys, "v"), d, keys, "v")
+      .collect().map(r => (Option(r.getString(0)), r.getLong(2))).toMap
+    assert(out(None) === 2L) // both null-key rows fold into ONE group
+    assert(out(Some("a")) === 1L)
+  }
+
+  test("merge is one exchange: both state sets contribute partials map-side") {
+    val keys = Seq("k1", "k2")
+    val base = AggMerge.aggregate(history, keys, "v")
+    val plan = AggMerge.upsert(base, delta, keys, "v")
+      .queryExecution.executedPlan.toString
+    // base agg (1) + the merge re-aggregate over the union (1); a
+    // null-safe full-outer formulation would add a re-shuffle per side
+    val exchanges = "Exchange hashpartitioning".r.findAllMatchIn(plan).length
+    assert(exchanges <= 3, s"expected <= 3 key exchanges, got $exchanges:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), "merge must not join")
+  }
+
   test("merge of three successive deltas folds associatively") {
     val keys = Seq("k1", "k2")
     val d2 = Seq(("a", "y", -4.0)).toDF("k1", "k2", "v")
