@@ -57,6 +57,7 @@ object SparkEntry {
     "q_salted_agg",
     "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_ngram",
     "dedup_embed", "dedup_embed_incr", "dedup_clusters", "dedup_incremental",
+    "train_triplets",
     "sample_stratified", "sample_temperature", "shard_assign",
     "quota_cap",
     "text_stats", "text_repetition", "text_langid", "text_tokens",

@@ -309,6 +309,62 @@ object DedupQueries {
        |WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= 0.8
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ------------------------------------------------------------- triplets
+
+  private val TripletNegatives = 2
+  private val TripletBuckets = 16
+
+  /** Contrastive (anchor, positive, negative) triplets over the ngram
+    * near-dup pairs, negatives drawn by rendezvous hashing — the
+    * oracle replays the pair join, the bucket draw, and the per-slot
+    * arg-min pick digit for digit.
+    */
+  def trainTriplets(spark: SparkSession, dir: String): DataFrame =
+    graft.text.TrainingPairs.contrastive(
+        Tables.loadSpread(spark, dir, "documents"), "doc_id", "text",
+        negatives = TripletNegatives, buckets = TripletBuckets)
+      .orderBy("anchor", "positive", "slot")
+
+  val trainTripletsSql: String = {
+    def h15(e: String) =
+      s"CAST(${OracleDialect.hexPrefixToLong(e, 15)} AS BIGINT)"
+    s"""WITH ${shingleCtes()},
+       |hx AS (SELECT doc_id, ${h15("md5(sh)")} AS shh FROM shx),
+       |sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+       |  FROM hx a JOIN hx b ON a.shh = b.shh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |pairs AS (SELECT doc_a, doc_b,
+       |    CAST(i AS DOUBLE) / (na.n + nb.n - i) AS jaccard
+       |  FROM inter
+       |  JOIN sizes na ON na.doc_id = doc_a
+       |  JOIN sizes nb ON nb.doc_id = doc_b
+       |  WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= 0.8),
+       |partners AS (SELECT doc_a AS anchor, doc_b AS neg FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |db AS (SELECT doc_id AS neg,
+       |    ${h15("md5(CAST(doc_id AS VARCHAR))")} % $TripletBuckets AS bucket
+       |  FROM documents),
+       |sl AS (SELECT doc_a AS anchor, doc_b AS positive, jaccard, s AS slot,
+       |    ${h15("md5(CAST(doc_a AS VARCHAR) || ':' || CAST(s AS VARCHAR))")}
+       |      % $TripletBuckets AS bucket
+       |  FROM pairs CROSS JOIN
+       |    (SELECT unnest(generate_series(0, ${TripletNegatives - 1})) AS s)),
+       |cand AS (SELECT sl.anchor, sl.positive, sl.slot, sl.jaccard, db.neg
+       |  FROM sl JOIN db USING (bucket)
+       |  WHERE db.neg != sl.anchor AND db.neg != sl.positive),
+       |elig AS (SELECT c.* FROM cand c
+       |  LEFT JOIN partners p ON p.anchor = c.anchor AND p.neg = c.neg
+       |  WHERE p.neg IS NULL)
+       |SELECT anchor, positive,
+       |  arg_min(neg, md5(CAST(anchor AS VARCHAR) || ':' ||
+       |    CAST(slot AS VARCHAR) || ':' || CAST(neg AS VARCHAR)))
+       |    AS negative,
+       |  CAST(slot AS BIGINT) AS slot, max(jaccard) AS jaccard
+       |FROM elig GROUP BY anchor, positive, slot
+       |ORDER BY anchor, positive, slot""".stripMargin
+  }
+
   // ---------------------------------------------------------------- embed
 
   private val EmbedThreshold = 0.3
@@ -416,6 +472,7 @@ object DedupQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact(_, _)),
+    "train_triplets" -> (trainTriplets(_, _)),
     "dedup_minhash" -> (dedupMinhash(_, _)),
     "dedup_minhash_capped" -> (dedupMinhashCapped(_, _)),
     "dedup_minhash_sharp" -> (dedupMinhashSharp(_, _)),
@@ -428,6 +485,7 @@ object DedupQueries {
 
   val oracleSql: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
+    "train_triplets" -> trainTripletsSql,
     "dedup_minhash" -> dedupMinhashSql,
     "dedup_minhash_capped" -> dedupMinhashCappedSql,
     "dedup_minhash_sharp" -> dedupMinhashSharpSql,
