@@ -189,17 +189,69 @@ object TemporalQueries {
       |  SELECT 3, 'purchase', n2, n1 FROM c)
       |ORDER BY step""".stripMargin
 
+  /** Cohort retention: users grouped by signup week, retention = share
+    * active (any event) in week k after signup. Week buckets are
+    * Monday-aligned `date_trunc` in both engines; week offsets are
+    * exact integer arithmetic on epoch seconds; retention is one
+    * double division. Shape: one user-keyed shuffle for first-signup,
+    * one distinct over (user, week), one broadcast-sized cohort join.
+    */
+  def qRetention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.loadEvents(spark, dir)
+    val signup = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id"))
+      .agg(min(col("ts")).as("signup_ts"))
+      .select(col("user_id"), col("signup_ts"),
+        date_trunc("week", col("signup_ts")).as("cohort"))
+    val activity = ev.select(col("user_id"),
+        date_trunc("week", col("ts")).as("week"), col("ts"))
+    val active = activity.join(signup, "user_id")
+      .filter(col("ts") >= col("signup_ts"))
+      .select(col("user_id"), col("cohort"),
+        ((col("week").cast("long") - col("cohort").cast("long")) / 604800L)
+          .cast("int").as("week_k"))
+      .distinct()
+    val cohortSizes = signup.groupBy(col("cohort"))
+      .agg(count(lit(1)).as("n_cohort"))
+    active.groupBy(col("cohort"), col("week_k"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(cohortSizes, "cohort")
+      .select(col("cohort"), col("week_k"), col("n_active"), col("n_cohort"),
+        (col("n_active").cast("double") / col("n_cohort")).as("retention"))
+      .orderBy("cohort", "week_k")
+  }
+
+  val qRetentionSql: String =
+    """WITH s AS (
+      |  SELECT user_id, min(ts) AS signup_ts FROM events
+      |  WHERE event_type = 'signup' GROUP BY user_id),
+      |sc AS (SELECT user_id, signup_ts,
+      |    date_trunc('week', signup_ts) AS cohort FROM s),
+      |act AS (SELECT DISTINCT e.user_id, sc.cohort,
+      |    CAST((epoch(date_trunc('week', e.ts)) - epoch(sc.cohort))
+      |      // 604800 AS INT) AS week_k
+      |  FROM events e JOIN sc ON sc.user_id = e.user_id
+      |  WHERE e.ts >= sc.signup_ts),
+      |cs AS (SELECT cohort, count(*) AS n_cohort FROM sc GROUP BY cohort)
+      |SELECT a.cohort, a.week_k, count(*) AS n_active, cs.n_cohort,
+      |  CAST(count(*) AS DOUBLE) / cs.n_cohort AS retention
+      |FROM act a JOIN cs ON cs.cohort = a.cohort
+      |GROUP BY a.cohort, a.week_k, cs.n_cohort
+      |ORDER BY a.cohort, a.week_k""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_asof_purchase" -> (qAsofPurchase(_, _)),
     "q_range_clicks" -> (qRangeClicks(_, _)),
     "q_sessions" -> (qSessions(_, _)),
     "q_label_join" -> (qLabelJoin(_, _)),
-    "q_funnel" -> (qFunnel(_, _)))
+    "q_funnel" -> (qFunnel(_, _)),
+    "q_retention" -> (qRetention(_, _)))
 
   val oracleSql: Map[String, String] = Map(
     "q_asof_purchase" -> qAsofPurchaseSql,
     "q_range_clicks" -> qRangeClicksSql,
     "q_sessions" -> qSessionsSql,
     "q_label_join" -> qLabelJoinSql,
-    "q_funnel" -> qFunnelSql)
+    "q_funnel" -> qFunnelSql,
+    "q_retention" -> qRetentionSql)
 }

@@ -76,6 +76,20 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("retention: week 0 is exactly 1.0 per cohort, later weeks never exceed it") {
+    val rows = TemporalQueries.qRetention(spark, dir).collect()
+      .map(r => (r.getTimestamp(0), r.getInt(1), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    val cohorts = rows.map(_._1).distinct
+    cohorts.foreach { c =>
+      val mine = rows.filter(_._1 == c)
+      // the signup event itself is week-0 activity for every member
+      assert(mine.find(_._2 == 0).exists(_._3 == 1.0),
+        s"cohort $c week-0 retention must be 1.0")
+      assert(mine.forall(_._3 <= 1.0))
+    }
+  }
+
   test("set ops partition: both + urgent_only = distinct urgent customers") {
     val ord = Tables.load(spark, dir, "orders")
     val urgentDistinct = ord.filter(col("o_orderpriority") === "1-URGENT")
