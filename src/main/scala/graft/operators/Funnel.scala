@@ -58,7 +58,8 @@ object Funnel {
       .selectExpr(s"stack(${steps.size}, $stackArgs) AS " +
         "(step, stage, n_entities, n_prev)")
       .select(col("step").cast("int").as("step"), col("stage"),
-        col("n_entities").cast("bigint").as("n_entities"),
+        // sum over ZERO entities is null — surface empty input as 0s
+        coalesce(col("n_entities"), lit(0L)).cast("bigint").as("n_entities"),
         when(col("n_prev") > 0,
             col("n_entities").cast("double") / col("n_prev").cast("double"))
           .otherwise(0.0).as("conv"))

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkTestSession
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 class FunnelSpec extends AnyFunSuite {
@@ -43,6 +44,14 @@ class FunnelSpec extends AnyFunSuite {
     assert(rows.toSeq === Seq(
       (1, "signup", 0L, 0.0),
       (2, "purchase", 0L, 0.0)))
+  }
+
+  test("an entirely empty event stream yields all-zero stages") {
+    val empty = events.filter(col("ts") < 0L)
+    val rows = Funnel.stages(empty, "user_id", "event_type", "ts",
+        Seq("view", "click")).orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getLong(2), r.getDouble(3)))
+    assert(rows.toSeq === Seq((1, 0L, 0.0), (2, 0L, 0.0)))
   }
 
   test("plan shuffles the events relation exactly once") {
