@@ -34,8 +34,13 @@ object TrainingPairs {
   def contrastive(docs: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, threshold: Double = 0.8, negatives: Int = 2,
       buckets: Int = 16): DataFrame = {
+    // the pair table feeds BOTH the partner-exclusion set and the slot
+    // fan-out — persist, or the similarity join runs twice; callers
+    // release via catalog.clearCache() like the other multi-consumer
+    // operators
     val pairs = NgramJaccard
       .nearDuplicatePairs(docs, idCol, textCol, shingleSize, threshold)
+      .persist()
     // both orientations, to exclude accidental positives from draws
     val partners = pairs
       .select(col("doc_a").as("anchor"), col("doc_b").as("neg"))
