@@ -23,7 +23,7 @@ object Stress {
     val which = if (args.nonEmpty) args.toSet
       else Set("cc", "minhash", "curate", "diff", "diffskew", "pack",
         "shards", "decontam", "bloomdecontam", "encode", "chunks", "kmv",
-        "dupspans", "incr", "aggmerge", "funnel")
+        "dupspans", "incr", "aggmerge", "funnel", "anomaly")
     val spark = Sessions.local("32")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -265,7 +265,10 @@ object Stress {
           s"every user must complete all stages: ${stages.mkString(";")}")
         stages.length.toLong
       }
-      timed("anomaly") { // rolling z over the same event volume
+    }
+
+    if (which("anomaly")) {
+      timed("anomaly") { // rolling z over 5M events
         val scored = operators.Anomaly.rollingZ(
           spark.range(5000000L).select(
             (col("id") % 5).cast("string").as("g"),

@@ -149,7 +149,10 @@ object MediaDecode {
       (p(0) == 0x89.toByte && p(1) == 'P' && p(2) == 'N' && p(3) == 'G') ||
       (p(0) == 0xFF.toByte && p(1) == 0xD8.toByte) || // JPEG SOI
       (p(0) == 'G' && p(1) == 'I' && p(2) == 'F') ||
-      (p(0) == 'B' && p(1) == 'M'))
+      (p(0) == 'B' && p(1) == 'M') ||
+      // TIFF, both byte orders — the JDK 9+ registry reads it too
+      (p(0) == 'I' && p(1) == 'I' && p(2) == 0x2A.toByte && p(3) == 0) ||
+      (p(0) == 'M' && p(1) == 'M' && p(2) == 0 && p(3) == 0x2A.toByte))
 
   private[multimodal] def looksAudio(p: Array[Byte]): Boolean =
     p.length >= 4 && (

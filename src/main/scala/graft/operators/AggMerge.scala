@@ -24,14 +24,19 @@ import org.apache.spark.sql.functions._
 object AggMerge {
 
   /** Per-key (n, total, vmin, vmax) over `valueCol`, the mergeable
-    * state this operator maintains. `total` is DECIMAL(24,4) — exact.
+    * state this operator maintains. `total` is DECIMAL(38,4) — exact,
+    * and the SAME type whether the table came from [[aggregate]] or a
+    * [[merge]] (schema drift between the two would poison a standing
+    * table on its first update). Overflow sits at 10^34, unreachable
+    * for any real metric.
     */
   def aggregate(rows: DataFrame, keyCols: Seq[String],
       valueCol: String): DataFrame =
     rows.groupBy(keyCols.map(col): _*)
       .agg(
         count(lit(1)).as("n"),
-        sum(col(valueCol).cast("decimal(24,4)")).as("total"),
+        sum(col(valueCol).cast("decimal(24,4)")).cast("decimal(38,4)")
+          .as("total"),
         min(col(valueCol)).as("vmin"),
         max(col(valueCol)).as("vmax"))
 
@@ -54,7 +59,7 @@ object AggMerge {
       .groupBy(keyCols.map(col): _*)
       .agg(
         sum(col("n")).as("n"),
-        sum(col("total")).cast("decimal(24,4)").as("total"),
+        sum(col("total")).cast("decimal(38,4)").as("total"),
         min(col("vmin")).as("vmin"),
         max(col("vmax")).as("vmax"))
   }

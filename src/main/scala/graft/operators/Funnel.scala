@@ -49,10 +49,12 @@ object Funnel {
       count(lit(1)).as("n_total"),
       steps.indices.map(i =>
         sum(when(col(s"__t$i").isNotNull, 1L).otherwise(0L)).as(s"__n$i")): _*)
-    // unpivot the one-row count vector into (step, stage, n, n_prev)
+    // unpivot the one-row count vector into (step, stage, n, n_prev);
+    // step names embed in a SQL string literal — double any quotes
     val stackArgs = steps.zipWithIndex.map { case (step, i) =>
       val prev = if (i == 0) "n_total" else s"__n${i - 1}"
-      s"${i + 1}, '$step', __n$i, $prev"
+      val lit = step.replace("'", "''")
+      s"${i + 1}, '$lit', __n$i, $prev"
     }.mkString(", ")
     counts
       .selectExpr(s"stack(${steps.size}, $stackArgs) AS " +

@@ -34,6 +34,9 @@ object TrainingPairs {
   def contrastive(docs: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, threshold: Double = 0.8, negatives: Int = 2,
       buckets: Int = 16): DataFrame = {
+    // sequence(0, k-1) counts DOWN for k < 1 (phantom slots 0 and -1)
+    require(negatives >= 1, "need at least one negative slot")
+    require(buckets >= 1, "need at least one draw bucket")
     // the pair table feeds BOTH the partner-exclusion set and the slot
     // fan-out — persist, or the similarity join runs twice; callers
     // release via catalog.clearCache() like the other multi-consumer

@@ -72,8 +72,10 @@ object Vocab {
         .as("__vmap"))
     docs
       .crossJoin(broadcast(vmap))
+      // null text must land as ('', 0, 0), not (null, null, null) —
+      // transform/size/array_join all propagate a null array
       .withColumn("__ids",
-        transform(TokenCount.tokens(col(textCol)),
+        transform(TokenCount.tokens(coalesce(col(textCol), lit(""))),
           t => coalesce(element_at(col("__vmap"), t), lit(0L))))
       .select(
         col(idCol).as("doc_id"),

@@ -27,6 +27,11 @@ class AggMergeSpec extends AnyFunSuite {
       AggMerge.aggregate(history, keys, "v"), delta, keys, "v")
     val recomputed = AggMerge.aggregate(history.union(delta), keys, "v")
     assert(snap(incremental).toSeq === snap(recomputed).toSeq)
+    // a standing table must not change column types on its first
+    // update (nullability differs — count vs sum — and parquet
+    // round-trips erase that distinction anyway)
+    assert(incremental.schema.map(f => (f.name, f.dataType)) ===
+      recomputed.schema.map(f => (f.name, f.dataType)))
   }
 
   test("one-sided keys pass through untouched") {

@@ -54,6 +54,14 @@ class FunnelSpec extends AnyFunSuite {
     assert(rows.toSeq === Seq((1, 0L, 0.0), (2, 0L, 0.0)))
   }
 
+  test("step names containing quotes survive the unpivot") {
+    val ev = Seq(("u1", "it's a view", 1L)).toDF("user_id", "event_type", "ts")
+    val rows = Funnel.stages(ev, "user_id", "event_type", "ts",
+        Seq("it's a view")).collect()
+    assert(rows.length === 1 && rows(0).getString(1) === "it's a view")
+    assert(rows(0).getLong(2) === 1L)
+  }
+
   test("plan shuffles the events relation exactly once") {
     val plan = Funnel.stages(events, "user_id", "event_type", "ts",
         Seq("view", "click", "purchase"))

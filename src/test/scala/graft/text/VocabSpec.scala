@@ -52,12 +52,14 @@ class VocabSpec extends AnyFunSuite {
   }
 
   test("encode keeps empty documents with an empty id sequence") {
-    val withEmpty = docs.union(Seq(5L -> "", 6L -> "!!!").toDF("doc_id", "text"))
+    val withEmpty = docs.union(
+      Seq((5L, ""), (6L, "!!!"), (7L, null.asInstanceOf[String]))
+        .toDF("doc_id", "text"))
     val rows = Vocab.encode(withEmpty, "doc_id", "text", k = 2)
       .orderBy("doc_id").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
     assert(rows.filter(_._1 >= 5L).toSeq === Seq(
-      (5L, "", 0L, 0L), (6L, "", 0L, 0L)))
+      (5L, "", 0L, 0L), (6L, "", 0L, 0L), (7L, "", 0L, 0L)))
   }
 
   test("encode's corpus side is shuffle-free: only the vocab aggregates") {
