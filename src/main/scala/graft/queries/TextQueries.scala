@@ -168,6 +168,57 @@ object TextQueries {
        |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  // ------------------------------------------------------------- lm score
+
+  /** Unigram LM scoring against the same top-k vocabulary. The oracle
+    * rebuilds the model and replays BOTH token-order folds with
+    * list_reduce — rarity_mean is pure IEEE arithmetic (hash-exact);
+    * nll_q is floor-quantized because ln is a libm call where engines
+    * may differ in the final ulp.
+    */
+  def textLmScore(spark: SparkSession, dir: String): DataFrame =
+    LmScore.score(Tables.loadSpread(spark, dir, "documents"),
+        "doc_id", "text", VocabK)
+      .orderBy("doc_id")
+
+  val textLmScoreSql: String =
+    s"""WITH t AS (SELECT doc_id,
+       |    regexp_extract_all(lower(coalesce(text, '')),
+       |      '${TokenCount.TokenPattern}') AS t
+       |  FROM documents),
+       |p AS (SELECT doc_id, unnest(t) AS token FROM t),
+       |tot AS (SELECT count(*) AS total FROM p),
+       |pd AS (SELECT token, doc_id, count(*) AS n FROM p GROUP BY token, doc_id),
+       |tv AS (SELECT token, count(*) AS n_docs, sum(n) AS n_occurrences
+       |  FROM pd GROUP BY token),
+       |v AS (SELECT token, CAST(n_occurrences AS BIGINT) AS cnt FROM
+       |  (SELECT * FROM tv ORDER BY n_occurrences DESC, token LIMIT $VocabK)),
+       |d AS (SELECT CAST(total + $VocabK + 1 AS DOUBLE) AS denom FROM tot),
+       |tok AS (SELECT doc_id, unnest(generate_series(1, len(t))) AS pos, t
+       |  FROM t),
+       |tok2 AS (SELECT doc_id, pos, t[pos] AS token FROM tok),
+       |j AS (SELECT tok2.doc_id, tok2.pos,
+       |    CAST(COALESCE(v.cnt, 0) + 1 AS DOUBLE) AS c,
+       |    CASE WHEN v.cnt IS NULL THEN 1 ELSE 0 END AS oov
+       |  FROM tok2 LEFT JOIN v ON v.token = tok2.token),
+       |terms AS (SELECT j.doc_id, j.pos, j.oov,
+       |    d.denom / j.c AS rar, -ln(j.c / d.denom) AS nll
+       |  FROM j CROSS JOIN d),
+       |agg AS (SELECT doc_id, count(*) AS n,
+       |    CAST(sum(oov) AS BIGINT) AS n_oov,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list(rar ORDER BY pos)), (a, b) -> a + b) AS rarsum,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list(nll ORDER BY pos)), (a, b) -> a + b) AS nllsum
+       |  FROM terms GROUP BY doc_id)
+       |SELECT doc.doc_id,
+       |  CAST(COALESCE(a.n, 0) AS BIGINT) AS n_tokens,
+       |  COALESCE(a.n_oov, 0) AS n_oov,
+       |  COALESCE(a.rarsum / a.n, 0.0) AS rarity_mean,
+       |  CAST(COALESCE(floor(a.nllsum / a.n * 1e6), 0) AS BIGINT) AS nll_q
+       |FROM documents doc LEFT JOIN agg a ON a.doc_id = doc.doc_id
+       |ORDER BY doc.doc_id""".stripMargin
+
   // ---------------------------------------------------------------- drift
 
   private val DriftK = 20
@@ -559,6 +610,7 @@ object TextQueries {
     "text_vocab" -> (textVocab(_, _)),
     "text_encode" -> (textEncode(_, _)),
     "text_drift" -> (textDrift(_, _)),
+    "text_lm_score" -> (textLmScore(_, _)),
     "text_excise" -> (textExcise(_, _)),
     "text_tfidf" -> (textTfidf(_, _)),
     "text_normalize" -> (textNormalize(_, _)),
@@ -579,6 +631,7 @@ object TextQueries {
     "text_vocab" -> textVocabSql,
     "text_encode" -> textEncodeSql,
     "text_drift" -> textDriftSql,
+    "text_lm_score" -> textLmScoreSql,
     "text_excise" -> textExciseSql,
     "text_tfidf" -> textTfidfSql,
     "text_normalize" -> textNormalizeSql,
