@@ -23,7 +23,7 @@ object Stress {
     val which = if (args.nonEmpty) args.toSet
       else Set("cc", "minhash", "curate", "diff", "diffskew", "pack",
         "shards", "decontam", "bloomdecontam", "encode", "chunks", "kmv",
-        "dupspans", "incr", "aggmerge", "funnel", "anomaly")
+        "dupspans", "incr", "aggmerge", "funnel", "anomaly", "lmscore")
     val spark = Sessions.local("32")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -304,6 +304,20 @@ object Stress {
         val n = graft.text.Decontam
           .overlap(corpus, eval, "doc_id", "text").count()
         require(n == nBloom, s"bloom path $nBloom != broadcast path $n")
+        n
+      }
+    }
+
+    if (which("lmscore")) {
+      // score the 10× corpus against its own model: a per-row
+      // projection end to end — must stay within small multiples of
+      // the encode pass
+      val corpus = staged(corpus10x)
+      val nDocs = corpus.count()
+      timed("lmscore") {
+        val out = graft.text.LmScore.score(corpus, "doc_id", "text")
+        val n = out.count()
+        require(n == nDocs, s"lmscore dropped docs: $n != $nDocs")
         n
       }
     }

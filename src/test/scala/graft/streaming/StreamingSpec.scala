@@ -125,6 +125,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("lm scoring: a stream scores against a frozen static corpus model") {
+    val corpus = Seq((1L, "aa aa bb"), (2L, "aa cc")).toDF("doc_id", "text")
+    val fitted = graft.text.LmScore.model(corpus, "doc_id", "text", k = 2)
+    val stream = MemoryStream[(Long, String)](spark)
+    val q = graft.text.LmScore.scoreWith(
+        stream.toDF().toDF("doc_id", "text"), "doc_id", "text", fitted)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("lmstream").start()
+    try {
+      stream.addData(Seq((10L, "aa zz"), (11L, "")))
+      q.processAllAvailable()
+      val streamed = spark.table("lmstream").orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      val batch = graft.text.LmScore.scoreWith(
+          Seq((10L, "aa zz"), (11L, "")).toDF("doc_id", "text"),
+          "doc_id", "text", fitted)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      assert(streamed.toSeq === batch.toSeq)
+      assert(streamed(0)._3 === 1L) // zz is OOV under the frozen model
+    } finally q.stop()
+  }
+
   test("text scoring + repetition projections run unchanged on a stream") {
     // The per-row text family (stats, langid, repetition's bigram
     // histogram on a per-batch basis) is stateless, so the SAME
