@@ -48,7 +48,8 @@ object SparkEntry {
     "diff_flags", "diff_flags_skew", "diff_colstats", "diff_rows", "diff_values",
     "q1_agg", "q_profile", "q3_join_agg", "q5_region_revenue",
     "q_window_top_orders",
-    "q_events_hourly", "q_anomaly", "q_agg_upsert", "q_percentiles",
+    "q_events_hourly", "q_anomaly", "q_anomaly_dense", "q_agg_upsert",
+    "q_percentiles",
     "q_cust_no_orders",
     "q_pivot", "q_rollup", "q_setops",
     "q_asof_purchase", "q_range_clicks", "q_sessions", "q_label_join",

@@ -31,11 +31,24 @@ object Anomaly {
     * identically in both engines.
     */
   def rollingZ(events: DataFrame, groupCol: String, tsCol: String,
-      window: Int = 24): DataFrame = {
-    val buckets = events
+      window: Int = 24): DataFrame =
+    rollingZOnCounts(events
       .groupBy(col(groupCol).as("grp"),
         date_trunc("hour", col(tsCol)).as("bucket_ts"))
-      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n")), window)
+
+  /** [[rollingZ]] over a ZERO-FILLED series ([[GapFill]]): the frame
+    * becomes true trailing wall-clock hours, so a quiet gap pulls the
+    * mean down and the next burst scores as the anomaly it is (the
+    * sparse form silently skips empty hours).
+    */
+  def rollingZDense(events: DataFrame, groupCol: String, tsCol: String,
+      window: Int = 24): DataFrame =
+    rollingZOnCounts(
+      GapFill.denseHourlyCounts(events, groupCol, tsCol), window)
+
+  /** The scoring half, over any (grp, bucket_ts, n) bucket frame. */
+  def rollingZOnCounts(buckets: DataFrame, window: Int): DataFrame = {
     val w = Window.partitionBy(col("grp")).orderBy(col("bucket_ts"))
       .rowsBetween(-(window - 1), Window.currentRow)
     val stats = buckets

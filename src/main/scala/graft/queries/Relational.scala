@@ -165,6 +165,47 @@ object Relational {
       |    ELSE 0.0 END AS z
       |FROM w ORDER BY grp, bucket_ts""".stripMargin
 
+  /** The zero-filled variant: every hour in each type's observed span
+    * gets a row ([[graft.operators.GapFill]]), so the trailing frame is
+    * true wall-clock time. The oracle generates the same per-group
+    * calendar with generate_series.
+    */
+  def qAnomalyDense(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Anomaly.rollingZDense(
+        Tables.loadEvents(spark, dir), "event_type", "ts", window = 24)
+      .orderBy("grp", "bucket_ts")
+
+  val qAnomalyDenseSql: String =
+    """WITH b AS (
+      |  SELECT event_type AS grp, date_trunc('hour', ts) AS bucket_ts,
+      |    count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |sp AS (SELECT grp, min(bucket_ts) AS lo, max(bucket_ts) AS hi
+      |  FROM b GROUP BY grp),
+      |cal AS (SELECT grp,
+      |    unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket_ts
+      |  FROM sp),
+      |d AS (SELECT cal.grp, cal.bucket_ts,
+      |    CAST(COALESCE(b.n, 0) AS BIGINT) AS n
+      |  FROM cal LEFT JOIN b ON b.grp = cal.grp
+      |    AND b.bucket_ts = cal.bucket_ts),
+      |w AS (
+      |  SELECT grp, bucket_ts, n,
+      |    count(*) OVER win AS cnt,
+      |    sum(n) OVER win AS s,
+      |    sum(n * n) OVER win AS ss
+      |  FROM d WINDOW win AS (PARTITION BY grp ORDER BY bucket_ts
+      |    ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+      |SELECT grp, bucket_ts, CAST(n AS BIGINT) AS n,
+      |  CAST(s AS DOUBLE) / cnt AS mean_n,
+      |  CASE WHEN (CAST(ss AS DOUBLE)
+      |      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / cnt) / cnt > 0
+      |    THEN (CAST(n AS DOUBLE) - CAST(s AS DOUBLE) / cnt)
+      |      / sqrt((CAST(ss AS DOUBLE)
+      |      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / cnt) / cnt)
+      |    ELSE 0.0 END AS z
+      |FROM w ORDER BY grp, bucket_ts""".stripMargin
+
   /** Incremental aggregate maintenance over a history/delta split of
     * the events table: the standing per-(user, type) aggregate from
     * days 1–19 merged with the day-20+ batch via
@@ -437,6 +478,7 @@ object Relational {
     "q_window_top_orders" -> (qWindowTopOrders(_, _)),
     "q_events_hourly" -> (qEventsHourly(_, _)),
     "q_anomaly" -> (qAnomaly(_, _)),
+    "q_anomaly_dense" -> (qAnomalyDense(_, _)),
     "q_agg_upsert" -> (qAggUpsert(_, _)),
     "q_percentiles" -> (qPercentiles(_, _)),
     "q_cust_no_orders" -> (qCustNoOrders(_, _)),
@@ -454,6 +496,7 @@ object Relational {
     "q_window_top_orders" -> qWindowTopOrdersSql,
     "q_events_hourly" -> qEventsHourlySql,
     "q_anomaly" -> qAnomalySql,
+    "q_anomaly_dense" -> qAnomalyDenseSql,
     "q_agg_upsert" -> qAggUpsertSql,
     "q_percentiles" -> qPercentilesSql,
     "q_cust_no_orders" -> qCustNoOrdersSql,

@@ -44,6 +44,25 @@ class AnomalySpec extends AnyFunSuite {
     assert(out(2).getDouble(4) === 0.0) // c's single bucket: var 0
   }
 
+  test("dense variant: gaps become zero buckets and depress the mean") {
+    // group d: burst at hour 0, silence for hours 1-3, burst at hour 4
+    val rows = Seq(("d", ts(0, 1)), ("d", ts(0, 2)), ("d", ts(4, 1)),
+      ("d", ts(4, 2)))
+    val out = Anomaly.rollingZDense(rows.toDF("g", "ts"), "g", "ts",
+        window = 24)
+      .orderBy("bucket_ts").collect()
+      .map(r => (r.getLong(2), r.getDouble(3)))
+    // 5 rows now (sparse form would give 2); hour 4 sees counts
+    // (2,0,0,0,2): mean 0.8 — the gap makes the burst anomalous
+    assert(out.length === 5)
+    assert(out.map(_._1).toSeq === Seq(2L, 0L, 0L, 0L, 2L))
+    assert(math.abs(out(4)._2 - 0.8) < 1e-12)
+    val sparse = Anomaly.rollingZ(rows.toDF("g", "ts"), "g", "ts")
+      .collect()
+    assert(sparse.length === 2)
+    assert(sparse.forall(_.getDouble(4) === 0.0)) // constant 2s: calm
+  }
+
   test("plan: events pre-aggregate before the group partitioning") {
     val plan = Anomaly.rollingZ(
         Seq(("a", ts(0))).toDF("g", "ts"), "g", "ts")
