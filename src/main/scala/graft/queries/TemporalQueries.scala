@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.operators.{AsOfJoin, RangeJoin}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Driver-verifiable temporal-join queries over the events table.
@@ -239,13 +240,48 @@ object TemporalQueries {
       |GROUP BY a.cohort, a.week_k, cs.n_cohort
       |ORDER BY a.cohort, a.week_k""".stripMargin
 
+  /** Event transition matrix: for each user's time-ordered stream,
+    * count (event_type → next event_type) steps and each source
+    * type's outgoing share — the Markov/path-analysis staple. Ties in
+    * ts break by event_id so `lead` is deterministic in both engines;
+    * one user-keyed shuffle, then a tiny pair aggregate.
+    */
+  def qTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.loadEvents(spark, dir)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val steps = ev
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = Window.partitionBy(col("event_type"))
+    steps
+      .withColumn("share",
+        col("n").cast("double") / sum(col("n")).over(totals))
+      .orderBy("event_type", "next_type")
+  }
+
+  val qTransitionsSql: String =
+    """WITH s AS (
+      |  SELECT event_type,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS next_type
+      |  FROM events),
+      |c AS (SELECT event_type, next_type, count(*) AS n FROM s
+      |  WHERE next_type IS NOT NULL GROUP BY event_type, next_type)
+      |SELECT event_type, next_type, n,
+      |  CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY event_type) AS share
+      |FROM c ORDER BY event_type, next_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_asof_purchase" -> (qAsofPurchase(_, _)),
     "q_range_clicks" -> (qRangeClicks(_, _)),
     "q_sessions" -> (qSessions(_, _)),
     "q_label_join" -> (qLabelJoin(_, _)),
     "q_funnel" -> (qFunnel(_, _)),
-    "q_retention" -> (qRetention(_, _)))
+    "q_retention" -> (qRetention(_, _)),
+    "q_transitions" -> (qTransitions(_, _)))
 
   val oracleSql: Map[String, String] = Map(
     "q_asof_purchase" -> qAsofPurchaseSql,
@@ -253,5 +289,6 @@ object TemporalQueries {
     "q_sessions" -> qSessionsSql,
     "q_label_join" -> qLabelJoinSql,
     "q_funnel" -> qFunnelSql,
-    "q_retention" -> qRetentionSql)
+    "q_retention" -> qRetentionSql,
+    "q_transitions" -> qTransitionsSql)
 }
