@@ -314,10 +314,19 @@ object Stress {
       // the encode pass
       val corpus = staged(corpus10x)
       val nDocs = corpus.count()
-      timed("lmscore") {
-        val out = graft.text.LmScore.score(corpus, "doc_id", "text")
+      val fitted = graft.text.LmScore.model(corpus, "doc_id", "text")
+      timed("lmscore") { // interpreted HOF fold
+        val out = graft.text.LmScore.scoreWith(corpus, "doc_id", "text",
+          fitted)
         val n = out.count()
         require(n == nDocs, s"lmscore dropped docs: $n != $nDocs")
+        n
+      }
+      timed("lmscore-fast") { // codegen'd UnigramScore expression
+        val out = graft.text.LmScore.scoreFast(corpus, "doc_id", "text",
+          fitted)
+        val n = out.count()
+        require(n == nDocs, s"lmscore-fast dropped docs: $n != $nDocs")
         n
       }
     }

@@ -176,10 +176,15 @@ object TextQueries {
     * nll_q is floor-quantized because ln is a libm call where engines
     * may differ in the final ulp.
     */
-  def textLmScore(spark: SparkSession, dir: String): DataFrame =
-    LmScore.score(Tables.loadSpread(spark, dir, "documents"),
-        "doc_id", "text", VocabK)
+  def textLmScore(spark: SparkSession, dir: String): DataFrame = {
+    // the native-expression path: the oracle hash thereby re-verifies
+    // the codegen'd UnigramScore against DuckDB every round (it is
+    // spec'd bit-identical to the declarative scoreWith fold)
+    val docs = Tables.loadSpread(spark, dir, "documents")
+    LmScore.scoreFast(docs, "doc_id", "text",
+        LmScore.model(docs, "doc_id", "text", VocabK))
       .orderBy("doc_id")
+  }
 
   val textLmScoreSql: String =
     s"""WITH t AS (SELECT doc_id,

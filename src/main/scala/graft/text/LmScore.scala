@@ -57,6 +57,36 @@ object LmScore {
       k: Int = 100): DataFrame =
     scoreWith(docs, idCol, textCol, model(docs, idCol, textCol, k))
 
+  /** [[scoreWith]] through the native codegen'd
+    * [[graft.expressions.UnigramScore]] expression: the bounded model
+    * row is collected once at plan build (the same driver-side class
+    * as a broadcast) and the three accumulators fold in ONE generated
+    * loop with O(1) hash-map lookups — vs interpreted lambda dispatch
+    * plus a LINEAR vocabulary scan per `element_at` in the HOF form.
+    * Bit-identical output (spec'd; the oracle re-proves it per round).
+    */
+  def scoreFast(docs: DataFrame, idCol: String, textCol: String,
+      fitted: DataFrame): DataFrame = {
+    val row = fitted.select(col("__m"), col("__denom")).head()
+    val vocab = row.getAs[Map[String, Long]](0)
+    val denom = row.getDouble(1)
+    val u = col("__u")
+    docs
+      .withColumn("__toks", TokenCount.tokens(coalesce(col(textCol), lit(""))))
+      .withColumn("__n", size(col("__toks")).cast("bigint"))
+      .withColumn("__u",
+        graft.expressions.UnigramScore(col("__toks"), vocab, denom))
+      .select(
+        col(idCol).as("doc_id"),
+        col("__n").as("n_tokens"),
+        u.getItem(2).cast("bigint").as("n_oov"),
+        when(col("__n") > 0, u.getItem(0) / col("__n"))
+          .otherwise(0.0d).as("rarity_mean"),
+        when(col("__n") > 0,
+            floor(u.getItem(1) / col("__n") * 1e6d).cast("bigint"))
+          .otherwise(0L).as("nll_q"))
+  }
+
   /** Score any frame (batch or stream) against a fitted [[model]].
     *
     * ONE fold computes all three accumulators (higher-order functions

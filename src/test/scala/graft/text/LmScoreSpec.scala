@@ -39,6 +39,32 @@ class LmScoreSpec extends AnyFunSuite {
     }
   }
 
+  test("scoreFast (native expression) is bit-identical to the HOF fold") {
+    val docs = ((1L to 30L).map(i => (i, s"aa bb w$i cc w${i}x")) ++
+      Seq((98L, ""), (99L, null.asInstanceOf[String]))).toDF("doc_id", "text")
+    val fitted = LmScore.model(docs, "doc_id", "text", k = 5)
+    val slow = LmScore.scoreWith(docs, "doc_id", "text", fitted)
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    val fast = LmScore.scoreFast(docs, "doc_id", "text", fitted)
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(fast === slow)
+  }
+
+  test("scoreFast runs inside whole-stage codegen") {
+    // a local Seq relation constant-folds at plan time — read parquet
+    // so the projection actually executes on the scan path
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val fitted = LmScore.model(docs, "doc_id", "text", k = 10)
+    val scored = LmScore.scoreFast(docs, "doc_id", "text", fitted)
+    val plan = scored.queryExecution.executedPlan.toString
+    // the "*(n)" prefix is the whole-stage-codegen marker in plan text
+    assert(plan.linesIterator.exists(l =>
+        l.contains("unigram_score") && l.contains("*(")),
+      s"unigram_score must sit inside a codegen stage:\n$plan")
+    assert(scored.count() === docs.count()) // the generated code runs
+  }
+
   test("gibberish scores higher nll than corpus-typical text") {
     val docs = ((1L to 20L).map(i => (i, "the quick brown fox jumps")) ++
       Seq((99L, "zxqv wvut qqpz"))).toDF("doc_id", "text")
