@@ -15,7 +15,19 @@ object TokenCount {
   /** Letter runs or digit runs. */
   val TokenPattern = "[a-z]+|[0-9]+"
 
+  /** Tokenize via the native one-pass byte scanner
+    * ([[graft.expressions.TokenRuns]]) — equivalent to
+    * `regexp_extract_all(lower(text), TokenPattern)` (the form every
+    * DuckDB oracle keeps, so the equivalence is re-proved by every
+    * token-consuming gate each round; see TokenRuns for the exotic
+    * non-ASCII case-folding caveat), without the regex machinery or
+    * the full-row lowered copy.
+    */
   def tokens(text: Column): Column =
+    graft.expressions.TokenRuns(text)
+
+  /** The regex formulation, kept for equivalence testing. */
+  def tokensRegex(text: Column): Column =
     regexp_extract_all(lower(text), lit(TokenPattern), lit(0))
 
   /** (id, n_tokens, n_distinct_tokens, n_numeric_tokens) per document. */
