@@ -314,7 +314,9 @@ object Stress {
       // the encode pass
       val corpus = staged(corpus10x)
       val nDocs = corpus.count()
-      val fitted = graft.text.LmScore.model(corpus, "doc_id", "text")
+      // materialize the fit OUTSIDE the timed blocks — a lazy model
+      // frame would re-run the full corpus fit inside both timings
+      val fitted = staged(graft.text.LmScore.model(corpus, "doc_id", "text"))
       timed("lmscore") { // interpreted HOF fold
         val out = graft.text.LmScore.scoreWith(corpus, "doc_id", "text",
           fitted)

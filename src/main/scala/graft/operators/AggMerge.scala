@@ -35,7 +35,7 @@ object AggMerge {
     rows.groupBy(keyCols.map(col): _*)
       .agg(
         count(lit(1)).as("n"),
-        sum(col(valueCol).cast("decimal(24,4)")).cast("decimal(38,4)")
+        sum(col(valueCol).cast("decimal(38,4)")).cast("decimal(38,4)")
           .as("total"),
         min(col(valueCol)).as("vmin"),
         max(col(valueCol)).as("vmax"))

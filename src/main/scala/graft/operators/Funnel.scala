@@ -50,10 +50,11 @@ object Funnel {
       steps.indices.map(i =>
         sum(when(col(s"__t$i").isNotNull, 1L).otherwise(0L)).as(s"__n$i")): _*)
     // unpivot the one-row count vector into (step, stage, n, n_prev);
-    // step names embed in a SQL string literal — double any quotes
+    // step names embed in a SQL string literal — escape backslashes
+    // (the parser unescapes sequences) then double any quotes
     val stackArgs = steps.zipWithIndex.map { case (step, i) =>
       val prev = if (i == 0) "n_total" else s"__n${i - 1}"
-      val lit = step.replace("'", "''")
+      val lit = step.replace("\\", "\\\\").replace("'", "''")
       s"${i + 1}, '$lit', __n$i, $prev"
     }.mkString(", ")
     counts

@@ -143,27 +143,35 @@ object Relational {
         Tables.loadEvents(spark, dir), "event_type", "ts", window = 24)
       .orderBy("grp", "bucket_ts")
 
-  val qAnomalySql: String =
-    """WITH b AS (
+  /** The shared scoring tail over any (grp, bucket_ts, n) CTE — one
+    * definition so the sparse and dense oracles can't drift apart.
+    */
+  private def zScoreTailSql(src: String): String =
+    s"""w AS (
+       |  SELECT grp, bucket_ts, n,
+       |    count(*) OVER win AS cnt,
+       |    sum(n) OVER win AS s,
+       |    sum(n * n) OVER win AS ss
+       |  FROM $src WINDOW win AS (PARTITION BY grp ORDER BY bucket_ts
+       |    ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+       |SELECT grp, bucket_ts, CAST(n AS BIGINT) AS n,
+       |  CAST(s AS DOUBLE) / cnt AS mean_n,
+       |  CASE WHEN (CAST(ss AS DOUBLE)
+       |      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / cnt) / cnt > 0
+       |    THEN (CAST(n AS DOUBLE) - CAST(s AS DOUBLE) / cnt)
+       |      / sqrt((CAST(ss AS DOUBLE)
+       |      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / cnt) / cnt)
+       |    ELSE 0.0 END AS z
+       |FROM w ORDER BY grp, bucket_ts""".stripMargin
+
+  private val hourlyBucketsCte: String =
+    """b AS (
       |  SELECT event_type AS grp, date_trunc('hour', ts) AS bucket_ts,
       |    count(*) AS n
-      |  FROM events GROUP BY 1, 2),
-      |w AS (
-      |  SELECT grp, bucket_ts, n,
-      |    count(*) OVER win AS cnt,
-      |    sum(n) OVER win AS s,
-      |    sum(n * n) OVER win AS ss
-      |  FROM b WINDOW win AS (PARTITION BY grp ORDER BY bucket_ts
-      |    ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
-      |SELECT grp, bucket_ts, CAST(n AS BIGINT) AS n,
-      |  CAST(s AS DOUBLE) / cnt AS mean_n,
-      |  CASE WHEN (CAST(ss AS DOUBLE)
-      |      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / cnt) / cnt > 0
-      |    THEN (CAST(n AS DOUBLE) - CAST(s AS DOUBLE) / cnt)
-      |      / sqrt((CAST(ss AS DOUBLE)
-      |      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / cnt) / cnt)
-      |    ELSE 0.0 END AS z
-      |FROM w ORDER BY grp, bucket_ts""".stripMargin
+      |  FROM events GROUP BY 1, 2)""".stripMargin
+
+  val qAnomalySql: String =
+    s"WITH $hourlyBucketsCte,\n${zScoreTailSql("b")}"
 
   /** The zero-filled variant: every hour in each type's observed span
     * gets a row ([[graft.operators.GapFill]]), so the trailing frame is
@@ -176,35 +184,17 @@ object Relational {
       .orderBy("grp", "bucket_ts")
 
   val qAnomalyDenseSql: String =
-    """WITH b AS (
-      |  SELECT event_type AS grp, date_trunc('hour', ts) AS bucket_ts,
-      |    count(*) AS n
-      |  FROM events GROUP BY 1, 2),
-      |sp AS (SELECT grp, min(bucket_ts) AS lo, max(bucket_ts) AS hi
-      |  FROM b GROUP BY grp),
-      |cal AS (SELECT grp,
-      |    unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket_ts
-      |  FROM sp),
-      |d AS (SELECT cal.grp, cal.bucket_ts,
-      |    CAST(COALESCE(b.n, 0) AS BIGINT) AS n
-      |  FROM cal LEFT JOIN b ON b.grp = cal.grp
-      |    AND b.bucket_ts = cal.bucket_ts),
-      |w AS (
-      |  SELECT grp, bucket_ts, n,
-      |    count(*) OVER win AS cnt,
-      |    sum(n) OVER win AS s,
-      |    sum(n * n) OVER win AS ss
-      |  FROM d WINDOW win AS (PARTITION BY grp ORDER BY bucket_ts
-      |    ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
-      |SELECT grp, bucket_ts, CAST(n AS BIGINT) AS n,
-      |  CAST(s AS DOUBLE) / cnt AS mean_n,
-      |  CASE WHEN (CAST(ss AS DOUBLE)
-      |      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / cnt) / cnt > 0
-      |    THEN (CAST(n AS DOUBLE) - CAST(s AS DOUBLE) / cnt)
-      |      / sqrt((CAST(ss AS DOUBLE)
-      |      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / cnt) / cnt)
-      |    ELSE 0.0 END AS z
-      |FROM w ORDER BY grp, bucket_ts""".stripMargin
+    s"""WITH $hourlyBucketsCte,
+       |sp AS (SELECT grp, min(bucket_ts) AS lo, max(bucket_ts) AS hi
+       |  FROM b GROUP BY grp),
+       |cal AS (SELECT grp,
+       |    unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket_ts
+       |  FROM sp),
+       |d AS (SELECT cal.grp, cal.bucket_ts,
+       |    CAST(COALESCE(b.n, 0) AS BIGINT) AS n
+       |  FROM cal LEFT JOIN b ON b.grp = cal.grp
+       |    AND b.bucket_ts = cal.bucket_ts),
+       |${zScoreTailSql("d")}""".stripMargin
 
   /** Incremental aggregate maintenance over a history/delta split of
     * the events table: the standing per-(user, type) aggregate from

@@ -100,21 +100,27 @@ object LmScore {
     */
   def scoreWith(docs: DataFrame, idCol: String, textCol: String,
       fitted: DataFrame): DataFrame = {
-    // per-token smoothed count: vocab hit -> cnt+1, OOV -> 1
-    def smoothed(t: Column) =
-      (coalesce(element_at(col("__m"), t), lit(0L)) + lit(1L)).cast("double")
     docs.crossJoin(broadcast(fitted))
       .withColumn("__toks", TokenCount.tokens(coalesce(col(textCol), lit(""))))
       .withColumn("__n", size(col("__toks")).cast("bigint"))
+      // ONE vocab lookup per token (interpreted HOFs do no CSE — the
+      // fold referencing element_at three times would linear-scan the
+      // map three times per token); cnt = 0 means OOV since every
+      // vocab entry has >= 1 occurrence
+      .withColumn("__cnts",
+        transform(col("__toks"),
+          t => coalesce(element_at(col("__m"), t), lit(0L))))
       .withColumn("__acc",
-        aggregate(col("__toks"),
+        aggregate(col("__cnts"),
           struct(lit(0.0d).as("rar"), lit(0.0d).as("nll"),
             lit(0L).as("oov")),
-          (acc, t) => struct(
-            (acc("rar") + col("__denom") / smoothed(t)).as("rar"),
-            (acc("nll") - log(smoothed(t) / col("__denom"))).as("nll"),
-            (acc("oov") + when(element_at(col("__m"), t).isNull, 1L)
-              .otherwise(0L)).as("oov"))))
+          (acc, c) => {
+            val sm = (c + lit(1L)).cast("double")
+            struct(
+              (acc("rar") + col("__denom") / sm).as("rar"),
+              (acc("nll") - log(sm / col("__denom"))).as("nll"),
+              (acc("oov") + when(c === 0L, 1L).otherwise(0L)).as("oov"))
+          }))
       .select(
         col(idCol).as("doc_id"),
         col("__n").as("n_tokens"),

@@ -54,12 +54,16 @@ class FunnelSpec extends AnyFunSuite {
     assert(rows.toSeq === Seq((1, 0L, 0.0), (2, 0L, 0.0)))
   }
 
-  test("step names containing quotes survive the unpivot") {
-    val ev = Seq(("u1", "it's a view", 1L)).toDF("user_id", "event_type", "ts")
-    val rows = Funnel.stages(ev, "user_id", "event_type", "ts",
-        Seq("it's a view")).collect()
-    assert(rows.length === 1 && rows(0).getString(1) === "it's a view")
-    assert(rows(0).getLong(2) === 1L)
+  test("step names containing quotes and backslashes survive the unpivot") {
+    val tricky = Seq("it's a view", """a\b""", """trailing\""")
+    tricky.foreach { name =>
+      val ev = Seq(("u1", name, 1L)).toDF("user_id", "event_type", "ts")
+      val rows = Funnel.stages(ev, "user_id", "event_type", "ts",
+        Seq(name)).collect()
+      assert(rows.length === 1 && rows(0).getString(1) === name,
+        s"step name '$name'")
+      assert(rows(0).getLong(2) === 1L, s"step name '$name'")
+    }
   }
 
   test("plan shuffles the events relation exactly once") {
