@@ -162,17 +162,70 @@ object DiffQueries {
       .orderBy("flag")
   }
 
+  /** SCD2 snapshot apply ([[graft.operators.Scd2]]): orders as the
+    * initial open history (valid_from = 0), the perturbed copy as the
+    * day-1 snapshot (batchTs = 86400). The perturbation exercises every
+    * SCD2 outcome: %100 keys deleted (close), %7 / %13 changed
+    * (close + insert), %97 re-keyed rows inserted, the rest unchanged
+    * (pass through open). Change detection runs over ALL attrs
+    * (including the double price and the timestamp date — exact
+    * comparisons are engine-portable); the gated OUTPUT omits the
+    * double (its to-string isn't, see diff_values note). (key,
+    * valid_from) is unique, so the ORDER BY is total and the row order
+    * hashes deterministically.
+    */
+  def scd2Apply(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+    val history = graft.operators.Scd2.initHistory(orders, asOf = 0L)
+    graft.operators.Scd2
+      .apply(history, perturbedOrders(orders), Seq("o_orderkey"),
+        batchTs = 86400L)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_orderpriority"), col("valid_from"), col("valid_to"))
+      .orderBy("o_orderkey", "valid_from")
+  }
+
+  val scd2ApplySql: String =
+    s"""WITH $S2_SQL,
+       |j AS (
+       |  SELECT c.o_orderkey AS c_key, c.o_custkey AS c_custkey,
+       |         c.o_orderstatus AS c_status, c.o_orderpriority AS c_prio,
+       |         s.o_orderkey AS s_key, s.o_custkey AS s_custkey,
+       |         s.o_orderstatus AS s_status, s.o_orderpriority AS s_prio,
+       |         (c.o_orderkey IS NOT NULL) AS cp,
+       |         (s.o_orderkey IS NOT NULL) AS sp,
+       |         (c.o_custkey IS NOT DISTINCT FROM s.o_custkey
+       |          AND c.o_orderstatus IS NOT DISTINCT FROM s.o_orderstatus
+       |          AND c.o_totalprice IS NOT DISTINCT FROM s.o_totalprice
+       |          AND c.o_orderdate IS NOT DISTINCT FROM s.o_orderdate
+       |          AND c.o_orderpriority IS NOT DISTINCT FROM s.o_orderpriority)
+       |           AS same
+       |  FROM orders c FULL OUTER JOIN s2 s ON c.o_orderkey = s.o_orderkey)
+       |SELECT c_key AS o_orderkey, c_custkey AS o_custkey,
+       |       c_status AS o_orderstatus, c_prio AS o_orderpriority,
+       |       CAST(0 AS BIGINT) AS valid_from,
+       |       CASE WHEN sp AND same THEN CAST(NULL AS BIGINT)
+       |            ELSE CAST(86400 AS BIGINT) END AS valid_to
+       |FROM j WHERE cp
+       |UNION ALL
+       |SELECT s_key, s_custkey, s_status, s_prio,
+       |       CAST(86400 AS BIGINT), CAST(NULL AS BIGINT)
+       |FROM j WHERE sp AND (NOT cp OR NOT same)
+       |ORDER BY o_orderkey, valid_from""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "diff_flags" -> (diffFlags(_, _)),
     "diff_flags_skew" -> (diffFlagsSkew(_, _)),
     "diff_colstats" -> (diffColstats(_, _)),
     "diff_rows" -> (diffRows(_, _)),
-    "diff_values" -> (diffValues(_, _)))
+    "diff_values" -> (diffValues(_, _)),
+    "scd2_apply" -> (scd2Apply(_, _)))
 
   val oracleSql: Map[String, String] = Map(
     "diff_flags" -> diffFlagsSql,
     "diff_flags_skew" -> diffFlagsSql,
     "diff_colstats" -> diffColstatsSql,
     "diff_rows" -> diffRowsSql,
-    "diff_values" -> diffValuesSql)
+    "diff_values" -> diffValuesSql,
+    "scd2_apply" -> scd2ApplySql)
 }
