@@ -60,7 +60,7 @@ object SparkEntry {
     "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_ngram",
     "dedup_embed", "dedup_embed_incr", "dedup_clusters", "dedup_incremental",
     "train_triplets",
-    "sample_stratified", "sample_temperature", "shard_assign",
+    "sample_stratified", "sample_temperature", "sample_epochs", "shard_assign",
     "quota_cap",
     "text_stats", "text_repetition", "text_langid", "text_tokens",
     "text_fingerprint", "text_dupspans", "text_excise", "text_vocab",

@@ -94,6 +94,38 @@ object Sampling {
     * temperatures go through `pow` (deterministic per engine, not
     * proven so across engines).
     */
+  /** Epoch-weighted mix materialization — the upsampling complement of
+    * [[temperatureSample]]'s capped-at-1 rates: stratum s is replicated
+    * `epochs(s)` times (training mixes routinely give small high-quality
+    * sources > 1 epoch). Integer part = exact replication; fractional
+    * part resolves per row from the md5 coordinate, so 1.5 epochs means
+    * every row once plus a DETERMINISTIC half of rows twice — the same
+    * half on every run, engine, and retry. Output rows gain an
+    * `epoch_copy` index (0-based) keeping replicas distinguishable —
+    * downstream shard assignment should salt with it so copies of a
+    * document land in different shards/batches.
+    *
+    * Scale shape: a broadcast-free per-row projection + generator —
+    * replicas are produced WHERE THE DATA LIVES (no shuffle, no join;
+    * the epoch map is a literal CASE). Rows with 0 copies (epochs < 1
+    * acts as sampling) are filtered before the generator runs.
+    */
+  def epochMix(df: DataFrame, idCol: String, strataCol: String,
+      epochs: Map[String, Double], defaultEpochs: Double = 1.0,
+      salt: String = "epoch"): DataFrame = {
+    require((epochs.values ++ Seq(defaultEpochs)).forall(_ >= 0.0),
+      "epochs must be non-negative")
+    val e = epochs.foldLeft(lit(defaultEpochs)) { case (other, (k, v)) =>
+      when(col(strataCol) === k, lit(v)).otherwise(other)
+    }
+    val n = floor(e).cast("bigint") +
+      when(coordinate(col(idCol), salt) < e - floor(e), 1L).otherwise(0L)
+    df.withColumn("__ncopies", n)
+      .filter(col("__ncopies") > 0)
+      .select(df.columns.map(col) :+
+        explode(sequence(lit(0L), col("__ncopies") - 1)).as("epoch_copy"): _*)
+  }
+
   def temperatureSample(df: DataFrame, idCol: String, strataCol: String,
       temperature: Double = 2.0, targetFrac: Double = 0.5,
       salt: String = "temp"): DataFrame = {

@@ -203,11 +203,48 @@ object PipelineQueries {
        |FROM o ORDER BY doc_id""".stripMargin
   }
 
+  private val EpochMap = Map("src0" -> 0.25, "src1" -> 1.5, "src2" -> 3.0)
+  private val EpochDefault = 1.0
+  private val EpochSalt = "epoch"
+
+  /** Epoch-weighted mix materialization: src0 downsampled to a quarter
+    * epoch, src1 at 1.5 (all rows once, a deterministic half twice),
+    * src2 replicated 3×, everything else one epoch. The oracle replays
+    * the copy-count arithmetic and regenerates every (doc, epoch_copy)
+    * row, so the hash pins the exact multiset of replicas. Epoch values
+    * are dyadic or integral — `e - floor(e)` is exact in both engines.
+    */
+  def sampleEpochs(spark: SparkSession, dir: String): DataFrame =
+    Sampling.epochMix(
+        Tables.loadSpread(spark, dir, "documents")
+          .select("doc_id", "source"),
+        "doc_id", "source", EpochMap, EpochDefault, EpochSalt)
+      .orderBy("doc_id", "epoch_copy")
+
+  val sampleEpochsSql: String = {
+    val coord = OracleDialect.hexPrefixToLong(
+      s"md5('$EpochSalt:'||CAST(doc_id AS VARCHAR))", 8)
+    val epCase = EpochMap.foldLeft(EpochDefault.toString) {
+      case (other, (k, v)) => s"CASE WHEN source = '$k' THEN $v ELSE $other END"
+    }
+    s"""WITH n AS (
+       |  SELECT doc_id, source,
+       |    CAST(floor(ep) AS BIGINT) +
+       |      CASE WHEN CAST($coord AS DOUBLE) / 4294967296 < ep - floor(ep)
+       |           THEN 1 ELSE 0 END AS nc
+       |  FROM (SELECT doc_id, source, $epCase AS ep FROM documents))
+       |SELECT doc_id, source,
+       |       unnest(generate_series(0, nc - 1)) AS epoch_copy
+       |FROM n WHERE nc > 0
+       |ORDER BY doc_id, epoch_copy""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_curate" -> (pipelineCurate(_, _)),
     "pipeline_mix" -> (pipelineMix(_, _)),
     "sample_stratified" -> (sampleStratified(_, _)),
     "sample_temperature" -> (sampleTemperature(_, _)),
+    "sample_epochs" -> (sampleEpochs(_, _)),
     "shard_assign" -> (shardAssign(_, _)),
     "quota_cap" -> (quotaCap(_, _)))
 
@@ -216,6 +253,7 @@ object PipelineQueries {
     "pipeline_mix" -> pipelineMixSql,
     "sample_stratified" -> sampleStratifiedSql,
     "sample_temperature" -> sampleTemperatureSql,
+    "sample_epochs" -> sampleEpochsSql,
     "shard_assign" -> shardAssignSql,
     "quota_cap" -> quotaCapSql)
 }

@@ -60,4 +60,44 @@ class SamplingSpec extends AnyFunSuite {
     assert(a === b)
     assert(a.nonEmpty)
   }
+
+  private def copies(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] =
+    df.select("doc_id", "epoch_copy").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+
+  test("epochMix: integer epochs replicate exactly; copies are 0..n-1") {
+    val out = copies(Sampling.epochMix(docs, "doc_id", "source",
+      Map("big" -> 3.0, "small" -> 1.0)))
+    (0 until 16).foreach(i => assert(out(i.toLong) === Seq(0L, 1L, 2L)))
+    (16 until 20).foreach(i => assert(out(i.toLong) === Seq(0L)))
+  }
+
+  test("epochMix: fractional part is a deterministic per-row extra copy") {
+    val out = copies(Sampling.epochMix(docs, "doc_id", "source",
+      Map("big" -> 1.5), defaultEpochs = 1.0))
+    // every big row at least once, the md5-selected subset exactly twice
+    val twice = out.filter { case (id, c) => id < 16 && c.size == 2 }.keySet
+    assert(out.filter(_._1 < 16).values.forall(c => c == Seq(0L) || c == Seq(0L, 1L)))
+    assert(twice.nonEmpty && twice.size < 16)
+    // same subset the sampler itself selects at rate 0.5 under the salt
+    assert(twice === kept(Sampling.sample(
+      docs.filter(col("source") === "big"), "doc_id", 0.5, "epoch")))
+  }
+
+  test("epochMix: epochs below 1 downsample, zero drops the stratum") {
+    val out = copies(Sampling.epochMix(docs, "doc_id", "source",
+      Map("big" -> 0.5, "small" -> 0.0)))
+    assert(out.keySet.forall(_ < 16))
+    assert(out.size < 16 && out.nonEmpty)
+    assert(out.values.forall(_ == Seq(0L)))
+  }
+
+  test("epochMix: partitioning-invariant") {
+    val a = copies(Sampling.epochMix(docs, "doc_id", "source",
+      Map("big" -> 2.5, "small" -> 1.5)))
+    val b = copies(Sampling.epochMix(docs.repartition(7), "doc_id", "source",
+      Map("big" -> 2.5, "small" -> 1.5)))
+    assert(a === b)
+  }
 }
