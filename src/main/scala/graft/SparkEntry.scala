@@ -58,7 +58,8 @@ object SparkEntry {
     "q_json_extract",
     "q_salted_agg",
     "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_ngram",
-    "dedup_embed", "dedup_embed_incr", "dedup_clusters", "dedup_incremental",
+    "dedup_embed", "dedup_embed_incr", "dedup_semantic", "dedup_clusters",
+    "dedup_incremental",
     "train_triplets",
     "sample_stratified", "sample_temperature", "sample_epochs", "shard_assign",
     "quota_cap",

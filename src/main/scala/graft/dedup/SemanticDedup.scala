@@ -1,0 +1,54 @@
+package graft.dedup
+
+import graft.similarity.Cosine._
+import graft.similarity.IVFIndex
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** SemDeDup-style semantic deduplication: cluster the embedding space
+  * with the IVF coarse quantizer ([[graft.similarity.IVFIndex.assign]]),
+  * then prune vectors that have a near-identical neighbor (cosine ≥
+  * threshold) WITHIN their cluster, keeping the lowest id of each
+  * similar group — the keep-first policy every dedup family here uses.
+  *
+  * This is the third semantic-granularity tier: [[ExactDedup]] catches
+  * byte dups, [[MinHashLSH]]/[[NgramJaccard]] catch token-level
+  * near-dups, [[EmbeddingNearDup]] catches paraphrases via hyperplane
+  * buckets, and SemDeDup catches them via cluster-local search — the
+  * formulation of arXiv:2303.09540 (pairwise search restricted to
+  * k-means cells), with the deterministic stride quantizer standing in
+  * for k-means (same plan shape, oracle-reproducible boundaries).
+  *
+  * Scale shape: assignment shuffles one small row per vector (max_by
+  * hash aggregate — see IVFIndex); the pairwise stage shuffles on the
+  * cell id and compares only within cells, so cost is Σ|cell|² — at
+  * production scale the centroid count grows with N to keep |cell|
+  * bounded (FAISS-style √N cells), and a hot cell can be subdivided by
+  * re-quantizing inside it. Nothing is ever all-pairs and nothing
+  * collects to the driver.
+  */
+object SemanticDedup {
+
+  /** Vectors surviving semantic pruning: (vec_id, cell). A vector is
+    * dropped iff some SAME-CELL vector with a smaller id is
+    * cosine-similar at ≥ `threshold` (dropping against an
+    * already-dropped lower id is intentional — the rule is a total
+    * order, not a greedy scan, so it is partitioning-invariant and
+    * engine-reproducible).
+    */
+  def survivors(vectors: DataFrame, idCol: String, vecCol: String,
+      threshold: Double,
+      cfg: IVFIndex.Config = IVFIndex.Config()): DataFrame = {
+    val assigned = IVFIndex.assign(vectors, idCol, vecCol, cfg)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val dropped = assigned.as("a")
+      .join(assigned.as("b"),
+        col("b.cell") === col("a.cell") && col("b.vid") < col("a.vid"))
+      .filter(cosineWithNorms(dot(col("a.v"), col("b.v")),
+        col("a.nrm"), col("b.nrm")) >= threshold)
+      .select(col("a.vid").as("vid")).distinct()
+    assigned.join(dropped, Seq("vid"), "left_anti")
+      .select(col("vid").as("vec_id"), col("cell"))
+  }
+}

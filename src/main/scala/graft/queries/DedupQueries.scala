@@ -444,6 +444,44 @@ object DedupQueries {
        |ORDER BY vec_new, vec_old""".stripMargin
   }
 
+  // ------------------------------------------------------------- semantic
+
+  /** SemDeDup-style pruning: IVF-cell-local cosine search, drop every
+    * vector with a similar (≥ 0.3, see [[dedupEmbed]] threshold note)
+    * lower-id neighbor in its cell. The oracle independently replays
+    * the quantizer assignment (window argmax vs Spark's max_by — two
+    * formulations of the same tie-broken argmax) and the in-cell
+    * drop rule, so the hash pins both the clustering and the pruning.
+    */
+  def dedupSemantic(spark: SparkSession, dir: String): DataFrame =
+    SemanticDedup.survivors(
+        Tables.loadSpread(spark, dir, "embeddings"), "vec_id", "embedding",
+        EmbedThreshold)
+      .orderBy("vec_id")
+
+  val dedupSemanticSql: String = {
+    import OracleDialect.foldDot
+    val stride = graft.similarity.IVFIndex.Config().centroidStride
+    def cosSql(av: String, an: String, bv: String, bn: String): String =
+      s"${foldDot(av, bv)} / (sqrt($an) * sqrt($bn))"
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, ${foldDot("v", "v")} AS nrm FROM v),
+       |c AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n
+       |  WHERE vec_id % $stride = 0),
+       |asg AS (SELECT vid, v, nrm, cell FROM (
+       |  SELECT n.vec_id AS vid, n.v, n.nrm, c.c_id AS cell,
+       |    ROW_NUMBER() OVER (PARTITION BY n.vec_id
+       |      ORDER BY ${cosSql("n.v", "n.nrm", "c.cv", "c.cn")} DESC, c.c_id)
+       |      AS rn
+       |  FROM n CROSS JOIN c) WHERE rn = 1),
+       |dropped AS (SELECT DISTINCT a.vid FROM asg a JOIN asg b
+       |  ON b.cell = a.cell AND b.vid < a.vid
+       |  WHERE ${cosSql("a.v", "a.nrm", "b.v", "b.nrm")} >= $EmbedThreshold)
+       |SELECT a.vid AS vec_id, a.cell FROM asg a
+       |WHERE a.vid NOT IN (SELECT vid FROM dropped)
+       |ORDER BY vec_id""".stripMargin
+  }
+
   // ------------------------------------------------------------- clusters
 
   /** Transitive dedup clusters: connected components over the verified
@@ -479,6 +517,7 @@ object DedupQueries {
     "dedup_simhash" -> (dedupSimhash(_, _)),
     "dedup_ngram" -> (dedupNgram(_, _)),
     "dedup_embed" -> (dedupEmbed(_, _)),
+    "dedup_semantic" -> (dedupSemantic(_, _)),
     "dedup_clusters" -> (dedupClusters(_, _)),
     "dedup_incremental" -> (dedupIncremental(_, _)),
     "dedup_embed_incr" -> (dedupEmbedIncr(_, _)))
@@ -492,6 +531,7 @@ object DedupQueries {
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_ngram" -> dedupNgramSql,
     "dedup_embed" -> dedupEmbedSql,
+    "dedup_semantic" -> dedupSemanticSql,
     "dedup_clusters" -> dedupClustersSql,
     "dedup_incremental" -> dedupIncrementalSql,
     "dedup_embed_incr" -> dedupEmbedIncrSql)
