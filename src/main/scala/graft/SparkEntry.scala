@@ -46,7 +46,7 @@ object SparkEntry {
     */
   def benchQueries: Seq[String] = Seq(
     "diff_flags", "diff_flags_skew", "diff_colstats", "diff_rows", "diff_values",
-    "scd2_apply",
+    "scd2_apply", "scd2_cdc",
     "q1_agg", "q_profile", "q3_join_agg", "q5_region_revenue",
     "q_window_top_orders",
     "q_events_hourly", "q_anomaly", "q_anomaly_dense", "q_agg_upsert",

@@ -55,11 +55,31 @@ object Scd2 {
     * schema.
     */
   def apply(history: DataFrame, snapshot: DataFrame, keys: Seq[String],
-      batchTs: Long): DataFrame = {
+      batchTs: Long): DataFrame =
+    applyInternal(history, snapshot, keys, batchTs,
+      tombstoneCol = None, snapshotMode = true)
+
+  /** CDC-delta variant — the incoming frame is a CHANGE feed, not a
+    * full snapshot: keys absent from the delta stay OPEN (a snapshot
+    * apply would close them), rows flagged true in `tombstoneCol` are
+    * deletes (their attr values are ignored), everything else is an
+    * upsert with [[apply]]'s semantics. This is the per-micro-batch
+    * form a streaming pipeline maintains
+    * ([[graft.streaming.Scd2Stream]]); an upsert whose attrs equal the
+    * open row is a no-op, so redelivered CDC rows don't churn versions.
+    */
+  def applyDelta(history: DataFrame, delta: DataFrame, keys: Seq[String],
+      batchTs: Long, tombstoneCol: Option[String] = None): DataFrame =
+    applyInternal(history, delta, keys, batchTs,
+      tombstoneCol, snapshotMode = false)
+
+  private def applyInternal(history: DataFrame, incoming: DataFrame,
+      keys: Seq[String], batchTs: Long, tombstoneCol: Option[String],
+      snapshotMode: Boolean): DataFrame = {
     val attrs = history.columns.toSeq
       .filterNot(keys.contains).filterNot(Seq(ValidFrom, ValidTo).contains)
-    require((keys ++ attrs).forall(snapshot.columns.contains),
-      s"snapshot must carry ${keys ++ attrs}")
+    require((keys ++ attrs).forall(incoming.columns.contains),
+      s"incoming frame must carry ${keys ++ attrs}")
 
     val closed = history.filter(col(ValidTo).isNotNull)
     val current = history.filter(col(ValidTo).isNull)
@@ -70,8 +90,11 @@ object Scd2 {
     val c = current.select(
       dataCols.map(n => col(n).as(s"c_$n")) ++
         Seq(col(ValidFrom).as("c_vf"), lit(1).as("c_m")): _*)
-    val s = snapshot.select(
-      dataCols.map(n => col(n).as(s"s_$n")) :+ lit(1).as("s_m"): _*)
+    val s = incoming.select(
+      dataCols.map(n => col(n).as(s"s_$n")) ++
+        Seq(lit(1).as("s_m"),
+          tombstoneCol.map(t => coalesce(col(t), lit(false)))
+            .getOrElse(lit(false)).as("s_del")): _*)
 
     val joined = c.join(s,
       keys.map(k => col(s"c_$k") <=> col(s"s_$k")).reduce(_ && _),
@@ -79,6 +102,7 @@ object Scd2 {
 
     val cPresent = col("c_m").isNotNull
     val sPresent = col("s_m").isNotNull
+    val del = col("s_del") === true
     val same = attrs.map(a => col(s"c_$a") <=> col(s"s_$a"))
       .reduceOption(_ && _).getOrElse(lit(true))
 
@@ -87,14 +111,18 @@ object Scd2 {
         dataCols.map(n => col(s"${side}_$n").as(n)) ++
           Seq(vf.as(ValidFrom), vt.as(ValidTo), emit.as("emit")): _*)
 
-    // Current row: survives open if unchanged, else closes at batchTs.
+    // Current row survives open unless this apply closes it: an equal
+    // upsert keeps it; a differing upsert or a tombstone (or, in
+    // snapshot mode, absence from the snapshot) closes it.
+    val closeIt =
+      if (snapshotMode) !sPresent || del || !same
+      else sPresent && (del || !same)
     val keepOrClose = row("c", col("c_vf"),
-      when(sPresent && same, lit(null).cast("bigint"))
-        .otherwise(lit(batchTs)),
+      when(closeIt, lit(batchTs)).otherwise(lit(null).cast("bigint")),
       cPresent)
-    // Snapshot row: inserted open when new or changed.
+    // Incoming row: inserted open when new or changed, never for deletes.
     val insert = row("s", lit(batchTs), lit(null).cast("bigint"),
-      sPresent && (!cPresent || !same))
+      sPresent && !del && (!cPresent || !same))
 
     val out = joined
       .select(inline(filter(array(keepOrClose, insert), _.getField("emit"))))

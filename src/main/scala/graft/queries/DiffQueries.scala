@@ -213,13 +213,47 @@ object DiffQueries {
        |FROM j WHERE sp AND (NOT cp OR NOT same)
        |ORDER BY o_orderkey, valid_from""".stripMargin
 
+  /** The SAME day-1 state reached through a CDC change feed instead of
+    * a full snapshot ([[graft.operators.Scd2.applyDelta]]): upserts for
+    * the %7/%13 changes, inserts for the %97 re-keys, tombstones for
+    * the %100 deletes. The oracle is scd2_apply's SQL VERBATIM — the
+    * gate IS the claim that delta apply ≡ snapshot apply when the feed
+    * encodes the same changes (the skew-diff / bloom-decontam identity
+    * pattern). Tombstones carry the last row image (ignored by the
+    * operator — realistic CDC shape, and it keeps attr types aligned).
+    */
+  def scd2Cdc(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+    val k = col("o_orderkey")
+    val upserts = orders.filter(k % 100 =!= 0)
+      .filter(k % 7 === 0 || k % 13 === 0)
+      .withColumn("o_totalprice",
+        when(k % 7 === 0, col("o_totalprice") + 1.0d)
+          .otherwise(col("o_totalprice")))
+      .withColumn("o_orderpriority",
+        when(k % 13 === 0, lit("X-URGENT")).otherwise(col("o_orderpriority")))
+    val inserts = orders.filter(k % 97 === 0)
+      .withColumn("o_orderkey", k + 100000000L)
+    val tombstones = orders.filter(k % 100 === 0)
+    val delta = upserts.withColumn("is_delete", lit(false))
+      .unionByName(inserts.withColumn("is_delete", lit(false)))
+      .unionByName(tombstones.withColumn("is_delete", lit(true)))
+    graft.operators.Scd2
+      .applyDelta(graft.operators.Scd2.initHistory(orders, asOf = 0L),
+        delta, Seq("o_orderkey"), batchTs = 86400L, Some("is_delete"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_orderpriority"), col("valid_from"), col("valid_to"))
+      .orderBy("o_orderkey", "valid_from")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "diff_flags" -> (diffFlags(_, _)),
     "diff_flags_skew" -> (diffFlagsSkew(_, _)),
     "diff_colstats" -> (diffColstats(_, _)),
     "diff_rows" -> (diffRows(_, _)),
     "diff_values" -> (diffValues(_, _)),
-    "scd2_apply" -> (scd2Apply(_, _)))
+    "scd2_apply" -> (scd2Apply(_, _)),
+    "scd2_cdc" -> (scd2Cdc(_, _)))
 
   val oracleSql: Map[String, String] = Map(
     "diff_flags" -> diffFlagsSql,
@@ -227,5 +261,6 @@ object DiffQueries {
     "diff_colstats" -> diffColstatsSql,
     "diff_rows" -> diffRowsSql,
     "diff_values" -> diffValuesSql,
-    "scd2_apply" -> scd2ApplySql)
+    "scd2_apply" -> scd2ApplySql,
+    "scd2_cdc" -> scd2ApplySql)
 }

@@ -78,6 +78,47 @@ class Scd2Spec extends AnyFunSuite {
     assert(h1.filter(col("valid_to").isNull).count() === 1)
   }
 
+  test("applyDelta: unmentioned keys stay open; tombstones close; equal upserts are no-ops") {
+    val delta = Seq(
+      (2L, "bob", "CH", false),   // changed upsert → version
+      (3L, "carol", "FR", true),  // tombstone → close
+      (1L, "alice", "US", false)) // equal upsert → no-op
+      .toDF("id", "name", "country", "is_delete")
+    val h1 = Scd2.applyDelta(Scd2.initHistory(day0, 0L), delta, Seq("id"),
+      100L, Some("is_delete"))
+    assert(rows(h1) === Seq(
+      (1L, "alice", "US", 0L, None),
+      (2L, "bob", "DE", 0L, Some(100L)),
+      (2L, "bob", "CH", 100L, None),
+      (3L, "carol", "FR", 0L, Some(100L))))
+
+    // redelivering the same feed is idempotent for upserts; the
+    // already-closed tombstone key has no open row so nothing happens
+    val h2 = Scd2.applyDelta(h1, delta, Seq("id"), 200L, Some("is_delete"))
+    assert(rows(h2) === Seq(
+      (1L, "alice", "US", 0L, None),
+      (2L, "bob", "DE", 0L, Some(100L)),
+      (2L, "bob", "CH", 100L, None),
+      (3L, "carol", "FR", 0L, Some(100L))))
+  }
+
+  test("applyDelta: tombstone for an unknown key emits nothing; delete+reinsert reopens") {
+    val h1 = Scd2.applyDelta(Scd2.initHistory(day0, 0L),
+      Seq((9L, "ghost", "XX", true)).toDF("id", "name", "country", "is_delete"),
+      Seq("id"), 100L, Some("is_delete"))
+    assert(h1.count() === 3)
+
+    val h2 = Scd2.applyDelta(h1,
+      Seq((3L, "carol", "FR", true)).toDF("id", "name", "country", "is_delete"),
+      Seq("id"), 200L, Some("is_delete"))
+    val h3 = Scd2.applyDelta(h2,
+      Seq((3L, "carol", "FR", false)).toDF("id", "name", "country", "is_delete"),
+      Seq("id"), 300L, Some("is_delete"))
+    assert(rows(h3.filter(col("id") === 3L)) === Seq(
+      (3L, "carol", "FR", 0L, Some(200L)),
+      (3L, "carol", "FR", 300L, None)))
+  }
+
   test("empty snapshot closes everything; empty history inserts everything") {
     val empty = day0.limit(0)
     val closedAll = Scd2.apply(Scd2.initHistory(day0, 0L), empty, Seq("id"), 9L)

@@ -247,6 +247,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("scd2 stream: CDC micro-batches fold into the sequential batch history") {
+    import graft.operators.Scd2
+    val day0 = Seq((1L, "alice", "US"), (2L, "bob", "DE"))
+      .toDF("id", "name", "country")
+    val stream = MemoryStream[(Long, String, String, Boolean)](spark)
+    val holder = new Scd2Stream.HistoryHolder(Scd2.initHistory(day0, 0L))
+    val q = Scd2Stream.maintain(
+        stream.toDF().toDF("id", "name", "country", "is_delete"),
+        holder, Seq("id"), Some("is_delete"), bid => (bid + 1) * 100)
+      .start()
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("id", "valid_from").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)))).toSeq
+    try {
+      val b0 = Seq((2L, "bob", "CH", false), (3L, "carol", "FR", false))
+      val b1 = Seq((1L, "alice", "US", true), (3L, "carol", "FI", false))
+      stream.addData(b0)
+      q.processAllAvailable()
+      stream.addData(b1)
+      q.processAllAvailable()
+
+      var expect = Scd2.initHistory(day0, 0L)
+      for ((b, ts) <- Seq(b0 -> 100L, b1 -> 200L))
+        expect = Scd2.applyDelta(expect,
+          b.toDF("id", "name", "country", "is_delete"), Seq("id"), ts,
+          Some("is_delete"))
+      assert(snap(holder.history) === snap(expect))
+      // spot-check the end state: alice closed by tombstone, bob on v2,
+      // carol inserted then versioned
+      assert(snap(holder.history) === Seq(
+        (1L, "alice", "US", 0L, Some(200L)),
+        (2L, "bob", "DE", 0L, Some(100L)),
+        (2L, "bob", "CH", 100L, None),
+        (3L, "carol", "FR", 100L, Some(200L)),
+        (3L, "carol", "FI", 200L, None)))
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionization: gap splits, cross-batch close") {
     implicit val sp: org.apache.spark.sql.SparkSession = spark
     val stream = MemoryStream[Sessionize.Click](spark)
