@@ -125,6 +125,41 @@ object TextQueries {
        |  token, n_docs, n_occurrences
        |FROM top ORDER BY rnk""".stripMargin
 
+  // --------------------------------------------------------- collocations
+
+  private val PmiK = 50
+  private val PmiMinPairs = 5L
+
+  /** Top-k adjacent-word pairs by PMI ratio ([[graft.text.Collocations]]):
+    * exact-integer numerator/denominator, one int→double conversion
+    * each, one division — bit-identical doubles, so even the ranking
+    * cut is engine-portable. The oracle builds pairs through an
+    * index-lateral unnest, an independent formulation of the transform/
+    * sequence generator.
+    */
+  def textPmi(spark: SparkSession, dir: String): DataFrame =
+    Collocations.topPmi(Tables.loadSpread(spark, dir, "documents"),
+      "text", PmiK, PmiMinPairs)
+
+  val textPmiSql: String =
+    s"""WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+       |  FROM documents),
+       |p AS (SELECT w.w[t.i] AS tok_a, w.w[t.i + 1] AS tok_b
+       |      FROM w CROSS JOIN UNNEST(generate_series(1, len(w.w) - 1)) AS t(i)),
+       |u AS (SELECT unnest(w) AS tok FROM w),
+       |pc AS (SELECT tok_a, tok_b, count(*) AS c_ab FROM p GROUP BY 1, 2
+       |       HAVING count(*) >= $PmiMinPairs),
+       |uc AS (SELECT tok, count(*) AS c_tok FROM u GROUP BY 1),
+       |t AS (SELECT (SELECT count(*) FROM p) AS n_pairs,
+       |             (SELECT count(*) FROM u) AS n_toks)
+       |SELECT pc.tok_a, pc.tok_b, pc.c_ab, a.c_tok AS c_a, b.c_tok AS c_b,
+       |  CAST(CAST(pc.c_ab AS HUGEINT) * t.n_toks * t.n_toks AS DOUBLE) /
+       |  CAST(CAST(t.n_pairs AS HUGEINT) * a.c_tok * b.c_tok AS DOUBLE)
+       |    AS pmi_ratio
+       |FROM pc JOIN uc a ON a.tok = pc.tok_a JOIN uc b ON b.tok = pc.tok_b
+       |CROSS JOIN t
+       |ORDER BY pmi_ratio DESC, tok_a, tok_b LIMIT $PmiK""".stripMargin
+
   // --------------------------------------------------------------- encode
 
   /** Tokenizer-apply over the same top-k vocabulary: every document as
@@ -613,6 +648,7 @@ object TextQueries {
     "text_fingerprint" -> (textFingerprint(_, _)),
     "text_dupspans" -> (textDupspans(_, _)),
     "text_vocab" -> (textVocab(_, _)),
+    "text_pmi" -> (textPmi(_, _)),
     "text_encode" -> (textEncode(_, _)),
     "text_drift" -> (textDrift(_, _)),
     "text_lm_score" -> (textLmScore(_, _)),
@@ -634,6 +670,7 @@ object TextQueries {
     "text_fingerprint" -> textFingerprintSql,
     "text_dupspans" -> textDupspansSql,
     "text_vocab" -> textVocabSql,
+    "text_pmi" -> textPmiSql,
     "text_encode" -> textEncodeSql,
     "text_drift" -> textDriftSql,
     "text_lm_score" -> textLmScoreSql,
