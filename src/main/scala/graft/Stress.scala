@@ -23,7 +23,8 @@ object Stress {
     val which = if (args.nonEmpty) args.toSet
       else Set("cc", "minhash", "curate", "diff", "diffskew", "pack",
         "shards", "decontam", "bloomdecontam", "encode", "chunks", "kmv",
-        "dupspans", "incr", "aggmerge", "funnel", "anomaly", "lmscore")
+        "dupspans", "incr", "aggmerge", "funnel", "anomaly", "lmscore",
+        "scd2", "semantic", "pmi", "epochs")
     val spark = Sessions.local("32")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -489,6 +490,74 @@ object Stress {
           res.counts.s2Only
         res.diff.unpersist()
         n
+      }
+    }
+
+    if (which("scd2")) {
+      // SCD2 snapshot apply on the 15× orders blow-up: 2.25M-key open
+      // history vs a 2.27M-row snapshot — every outcome class exercised
+      // at scale (the %-derived deletes/changes/inserts of the gated
+      // query, 15× over). Same keyspace-spacing rule as the diff case.
+      val orders = queries.Tables.load(spark, dir, "orders")
+      val big = staged(orders.select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+          col("o_orderpriority"),
+          explode(sequence(lit(0), lit(14))).as("copy"))
+        .select((col("o_orderkey") + col("copy") * 1000000000L).as("o_orderkey"),
+          col("o_custkey"), col("o_orderstatus"), col("o_totalprice"),
+          col("o_orderdate"), col("o_orderpriority"))
+        .repartition(32))
+      timed("scd2") {
+        val hist = operators.Scd2.initHistory(big, 0L)
+        val out = operators.Scd2.apply(hist,
+          queries.DiffQueries.perturbedOrders(big), Seq("o_orderkey"), 86400L)
+        val byState = out.groupBy(col("valid_to").isNull.as("open"))
+          .count().collect().map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+        // closed rows = deletes + changed-version closes; both present
+        require(byState.getOrElse(true, 0L) > 0 && byState.getOrElse(false, 0L) > 0,
+          s"expected open and closed rows, got $byState")
+        byState.values.sum
+      }
+    }
+
+    if (which("semantic")) {
+      // 20 identical re-keyed copies of every embedding: every clone
+      // group shares one cell (identical vectors → identical centroid
+      // argmax) and must collapse to its lowest id — in-cell pair load
+      // is the 20-clone worst case, cross-group cosines stay ≈ 0.5
+      val vecs = queries.Tables.loadSpread(spark, dir, "embeddings")
+      val nBase = vecs.count()
+      val cloned = staged(vecs.select(col("vec_id"), col("embedding"),
+          explode(sequence(lit(0), lit(19))).as("copy"))
+        .select((col("vec_id") + col("copy") * 1000000L).as("vec_id"),
+          col("embedding"))
+        .repartition(32))
+      timed("semantic") {
+        val n = dedup.SemanticDedup
+          .survivors(cloned, "vec_id", "embedding", 0.99).count()
+        require(n == nBase, s"expected $nBase survivors (one per clone group), got $n")
+        n
+      }
+    }
+
+    if (which("pmi")) {
+      val corpus = staged(corpus10x)
+      timed("pmi") {
+        // 500k docs → pair/unigram tables + top-50; the clone structure
+        // multiplies counts 10× but the ratio (and so the ranking) is
+        // scale-invariant — a useful sanity on the arithmetic
+        text.Collocations.topPmi(corpus, "text", 50, 50L).count()
+      }
+    }
+
+    if (which("epochs")) {
+      val corpus = staged(corpus10x
+        .withColumn("source", concat(lit("src"), col("doc_id") % 4)))
+      timed("epochs") {
+        operators.Sampling.epochMix(corpus, "doc_id", "source",
+          Map("src0" -> 3.0, "src1" -> 1.5, "src2" -> 0.25), 1.0)
+          .write.format("noop").mode("overwrite").save()
+        corpus.count()
       }
     }
 

@@ -242,4 +242,47 @@ class PlanAuditSpec extends AnyFunSuite {
       s"assignment must not window the vector×centroid stream:\n$plan")
     assert(plan.contains("max_by"), s"expected max_by aggregate:\n$plan")
   }
+
+  test("scd2: exactly one equi-join (full outer), snapshot and CDC modes alike") {
+    for (name <- Seq("scd2_apply", "scd2_cdc")) {
+      val plan = planOf(name)
+      val joins = "SortMergeJoin".r.findAllIn(plan).length +
+        "ShuffledHashJoin".r.findAllIn(plan).length
+      assert(joins == 1, s"$name must be a single key join:\n$plan")
+      assert(plan.contains("FullOuter"), s"$name join must be full outer")
+      // the per-key outcome is one generator expression, not a second
+      // pass: exactly one Generate (the inline of the outcome array)
+      assert("Generate".r.findAllIn(plan).length == 1,
+        s"$name outcome must be a single inline generator:\n$plan")
+    }
+  }
+
+  test("epoch mix: replicas generate where the data lives — no new exchange") {
+    val plan = planOf("sample_epochs")
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    // loadSpread's repartition + the presentation sort's range exchange
+    assert(exchanges <= 2,
+      s"epoch replication must not shuffle:\n$plan")
+    assert(plan.contains("Generate"), "expected the sequence generator")
+  }
+
+  test("pmi: top-k cut is a TakeOrdered heap and totals ride a broadcast") {
+    val plan = planOf("text_pmi")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"pmi top-k must be per-task heaps, not a global sort:\n$plan")
+    assert(plan.contains("BroadcastExchange"),
+      s"1-row totals must broadcast:\n$plan")
+  }
+
+  test("semantic dedup: pruning joins are hash-keyed on the cell, anti-join hash-keyed") {
+    val plan = planOf("dedup_semantic")
+    assert(plan.contains("LeftAnti"), s"survivors must anti-join:\n$plan")
+    // the in-cell pair stage must be an equi-join on the cell id, never
+    // a nested-loop over vector pairs (the centroid-scoring broadcast
+    // nested loop is the one intentional cross — vector × tiny centroid)
+    val smj = "SortMergeJoin".r.findAllIn(plan).length +
+      "ShuffledHashJoin".r.findAllIn(plan).length +
+      "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(smj >= 2, s"expected hash-keyed cell/anti joins:\n$plan")
+  }
 }
