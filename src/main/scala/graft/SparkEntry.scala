@@ -47,14 +47,14 @@ object SparkEntry {
   def benchQueries: Seq[String] = Seq(
     "diff_flags", "diff_flags_skew", "diff_colstats", "diff_rows", "diff_values",
     "scd2_apply", "scd2_cdc",
-    "q1_agg", "q_profile", "q3_join_agg", "q5_region_revenue",
+    "q1_agg", "q_profile", "q_histogram", "q3_join_agg", "q5_region_revenue",
     "q_window_top_orders",
     "q_events_hourly", "q_anomaly", "q_anomaly_dense", "q_agg_upsert",
     "q_percentiles",
     "q_cust_no_orders",
     "q_pivot", "q_rollup", "q_setops",
     "q_asof_purchase", "q_range_clicks", "q_sessions", "q_label_join",
-    "q_funnel", "q_retention", "q_transitions",
+    "q_funnel", "q_retention", "q_transitions", "q_paths",
     "q_json_extract",
     "q_salted_agg",
     "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_ngram",

@@ -460,8 +460,45 @@ object Relational {
        |FROM m GROUP BY col_name ORDER BY col_name""".stripMargin
   }
 
+  /** Fixed-width 20-bucket histogram of order totals — the
+    * data-profiling staple [[qProfile]] stops short of. The extent is a
+    * 1-row aggregate broadcast onto the scan; the per-row bucket is
+    * `floor((v - min) / width)` with the SAME operation order in both
+    * engines (each step correctly-rounded IEEE, so bucket boundaries
+    * agree bit-for-bit); the top bucket absorbs v = max via `least`.
+    * Shuffle = 20 bucket rows.
+    */
+  def qHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.load(spark, dir, "orders")
+    val ext = ord.agg(min(col("o_totalprice")).as("vmin"),
+      max(col("o_totalprice")).as("vmax"))
+    ord.crossJoin(broadcast(ext))
+      .select(
+        when(col("vmax") === col("vmin"), lit(0L))
+          .otherwise(least(
+            floor((col("o_totalprice") - col("vmin")) /
+              ((col("vmax") - col("vmin")) / 20.0d)),
+            lit(19L)))
+          .as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("bucket")
+  }
+
+  val qHistogramSql: String =
+    """WITH ext AS (
+      |  SELECT min(o_totalprice) AS vmin, max(o_totalprice) AS vmax
+      |  FROM orders)
+      |SELECT CASE WHEN vmax = vmin THEN 0
+      |            ELSE CAST(least(floor((o_totalprice - vmin) /
+      |                   ((vmax - vmin) / 20.0)), 19) AS BIGINT) END AS bucket,
+      |       count(*) AS n
+      |FROM orders CROSS JOIN ext
+      |GROUP BY bucket ORDER BY bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg(_, _)),
+    "q_histogram" -> (qHistogram(_, _)),
     "q_profile" -> (qProfile(_, _)),
     "q3_join_agg" -> (q3JoinAgg(_, _)),
     "q5_region_revenue" -> (q5RegionRevenue(_, _)),
@@ -480,6 +517,7 @@ object Relational {
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
+    "q_histogram" -> qHistogramSql,
     "q_profile" -> qProfileSql,
     "q3_join_agg" -> q3JoinAggSql,
     "q5_region_revenue" -> q5RegionRevenueSql,

@@ -274,8 +274,50 @@ object TemporalQueries {
       |  CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY event_type) AS share
       |FROM c ORDER BY event_type, next_type""".stripMargin
 
+  /** Top user journeys: each user's first five events (time-ordered,
+    * event_id tie-break) concatenated into a path string, ranked by how
+    * many users share the path — the sequence-level companion to the
+    * step-level [[qTransitions]]. One user-keyed shuffle feeds BOTH the
+    * rank filter and the ordered reassembly (the same window key);
+    * path counting is a tiny aggregate; the final cut is orderBy+limit
+    * → TakeOrderedAndProject. The oracle reassembles paths with
+    * `string_agg(... ORDER BY)` — an independent formulation of the
+    * sort_array/transform fold.
+    */
+  def qPaths(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.loadEvents(spark, dir)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    ev.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .groupBy(col("user_id"))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("rn"), col("event_type")))),
+          x => x.getField("event_type")),
+        ">").as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(desc("n_users"), asc("path"))
+      .limit(20)
+  }
+
+  val qPathsSql: String =
+    """WITH r AS (
+      |  SELECT user_id, event_type,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS rn
+      |  FROM events),
+      |p AS (
+      |  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+      |  FROM r WHERE rn <= 5 GROUP BY user_id)
+      |SELECT path, count(*) AS n_users
+      |FROM p GROUP BY path
+      |ORDER BY n_users DESC, path LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_asof_purchase" -> (qAsofPurchase(_, _)),
+    "q_paths" -> (qPaths(_, _)),
     "q_range_clicks" -> (qRangeClicks(_, _)),
     "q_sessions" -> (qSessions(_, _)),
     "q_label_join" -> (qLabelJoin(_, _)),
@@ -285,6 +327,7 @@ object TemporalQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q_asof_purchase" -> qAsofPurchaseSql,
+    "q_paths" -> qPathsSql,
     "q_range_clicks" -> qRangeClicksSql,
     "q_sessions" -> qSessionsSql,
     "q_label_join" -> qLabelJoinSql,
