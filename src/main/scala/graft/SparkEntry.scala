@@ -46,7 +46,10 @@ object SparkEntry {
     */
   def benchQueries: Seq[String] = Seq(
     "diff_flags", "diff_flags_skew", "diff_colstats", "diff_rows", "diff_values",
-    "scd2_apply", "scd2_cdc",
+    // scd2_cdc is a result-identical variant feed of scd2_apply (the
+    // delta ≡ snapshot identity is its gate) — correctness-gated, no
+    // separate bench slot, like the MinHash parameter presets.
+    "scd2_apply",
     "q1_agg", "q_profile", "q_histogram", "q3_join_agg", "q5_region_revenue",
     "q_window_top_orders",
     "q_events_hourly", "q_anomaly", "q_anomaly_dense", "q_agg_upsert",
