@@ -246,8 +246,65 @@ object DiffQueries {
       .orderBy("o_orderkey", "valid_from")
   }
 
+  /** Profile-level drift ([[graft.operators.ProfileDiff]]) between
+    * orders and the perturbed snapshot — the cheap screen a warehouse
+    * runs before the row diff. The perturbation drifts every column:
+    * %100 drop moves all row counts, the %97 re-keys add high keys
+    * (o_orderkey max moves), %7 price bumps and %13 priority rewrites
+    * move distincts/ranges — so the interesting assertions are the
+    * exact stat values, which the oracle recomputes from scratch via
+    * its own melt.
+    */
+  def profileDiff(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.loadSpread(spark, dir, "orders")
+    graft.operators.ProfileDiff.compare(orders, perturbedOrders(orders))
+      .orderBy("col_name")
+  }
+
+  val profileDiffSql: String = {
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority")
+    def melt(rel: String) = cols.map(c =>
+      s"SELECT '$c' AS col_name, CAST($c AS VARCHAR) AS value FROM $rel")
+      .mkString("\n  UNION ALL ")
+    def prof(m: String) =
+      s"""SELECT col_name, count(*) AS n_rows,
+         |    count(*) - count(value) AS n_null,
+         |    count(DISTINCT value) AS n_distinct,
+         |    min(value) AS min_val, max(value) AS max_val
+         |  FROM $m GROUP BY col_name""".stripMargin
+    s"""WITH $S2_SQL,
+       |m1 AS (
+       |  ${melt("orders")}),
+       |m2 AS (
+       |  ${melt("s2")}),
+       |p1 AS (
+       |  ${prof("m1")}),
+       |p2 AS (
+       |  ${prof("m2")})
+       |SELECT coalesce(p1.col_name, p2.col_name) AS col_name,
+       |  CASE WHEN p1.col_name IS NULL THEN 'ADDED'
+       |       WHEN p2.col_name IS NULL THEN 'REMOVED'
+       |       WHEN p1.n_rows IS DISTINCT FROM p2.n_rows
+       |         OR p1.n_null IS DISTINCT FROM p2.n_null
+       |         OR p1.n_distinct IS DISTINCT FROM p2.n_distinct
+       |         OR p1.min_val IS DISTINCT FROM p2.min_val
+       |         OR p1.max_val IS DISTINCT FROM p2.max_val THEN 'DRIFT'
+       |       ELSE 'NODIFF' END AS flag,
+       |  p1.n_rows AS n_rows_1, p2.n_rows AS n_rows_2,
+       |  p1.n_null AS n_null_1, p2.n_null AS n_null_2,
+       |  p1.n_distinct AS n_distinct_1, p2.n_distinct AS n_distinct_2,
+       |  CASE WHEN p1.col_name IS NOT NULL AND p2.col_name IS NOT NULL
+       |       THEN (p1.min_val IS DISTINCT FROM p2.min_val
+       |          OR p1.max_val IS DISTINCT FROM p2.max_val) END
+       |    AS range_changed
+       |FROM p1 FULL OUTER JOIN p2 ON p1.col_name = p2.col_name
+       |ORDER BY col_name""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "diff_flags" -> (diffFlags(_, _)),
+    "profile_diff" -> (profileDiff(_, _)),
     "diff_flags_skew" -> (diffFlagsSkew(_, _)),
     "diff_colstats" -> (diffColstats(_, _)),
     "diff_rows" -> (diffRows(_, _)),
@@ -257,6 +314,7 @@ object DiffQueries {
 
   val oracleSql: Map[String, String] = Map(
     "diff_flags" -> diffFlagsSql,
+    "profile_diff" -> profileDiffSql,
     "diff_flags_skew" -> diffFlagsSql,
     "diff_colstats" -> diffColstatsSql,
     "diff_rows" -> diffRowsSql,

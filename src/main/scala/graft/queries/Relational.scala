@@ -257,6 +257,44 @@ object Relational {
       |  max(CASE WHEN rn = ceil(0.99 * cnt) THEN value END) AS p99
       |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Robust outlier screen over event values
+    * ([[graft.operators.RobustOutliers]]): per event_type exact
+    * median / MAD with k = 3, the resistant alternative to
+    * [[qAnomaly]]'s mean/σ. Same rank-arithmetic portability story as
+    * [[qPercentiles]]; the med/mad doubles are exact data values and
+    * exact IEEE differences, so they hash identically cross-engine.
+    */
+  def qOutliers(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.RobustOutliers
+      .summary(Tables.loadEvents(spark, dir), "event_type", "value")
+      .orderBy("event_type")
+
+  val qOutliersSql: String =
+    """WITH e AS (
+      |  SELECT event_type, value FROM events WHERE value IS NOT NULL),
+      |r1 AS (
+      |  SELECT event_type, value,
+      |    count(*) OVER (PARTITION BY event_type) AS cnt,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn
+      |  FROM e),
+      |r2 AS (
+      |  SELECT *, max(CASE WHEN rn = ceil(0.5 * cnt) THEN value END)
+      |    OVER (PARTITION BY event_type) AS med
+      |  FROM r1),
+      |r3 AS (
+      |  SELECT *, abs(value - med) AS dev,
+      |    row_number() OVER (PARTITION BY event_type
+      |                       ORDER BY abs(value - med)) AS rn2
+      |  FROM r2),
+      |r4 AS (
+      |  SELECT *, max(CASE WHEN rn2 = ceil(0.5 * cnt) THEN dev END)
+      |    OVER (PARTITION BY event_type) AS mad
+      |  FROM r3)
+      |SELECT event_type, count(*) AS n, max(med) AS med, max(mad) AS mad,
+      |  CAST(sum(CASE WHEN dev > 3.0 * mad THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_out
+      |FROM r4 GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Anti-join coverage: customers with no big urgent orders
     * (distributed left_anti — the scalable formulation of NOT EXISTS;
     * the filter is pushed below the join so only the qualifying order
@@ -508,6 +546,7 @@ object Relational {
     "q_anomaly_dense" -> (qAnomalyDense(_, _)),
     "q_agg_upsert" -> (qAggUpsert(_, _)),
     "q_percentiles" -> (qPercentiles(_, _)),
+    "q_outliers" -> (qOutliers(_, _)),
     "q_cust_no_orders" -> (qCustNoOrders(_, _)),
     "q_rollup" -> (qRollup(_, _)),
     "q_pivot" -> (qPivot(_, _)),
@@ -527,6 +566,7 @@ object Relational {
     "q_anomaly_dense" -> qAnomalyDenseSql,
     "q_agg_upsert" -> qAggUpsertSql,
     "q_percentiles" -> qPercentilesSql,
+    "q_outliers" -> qOutliersSql,
     "q_cust_no_orders" -> qCustNoOrdersSql,
     "q_rollup" -> qRollupSql,
     "q_pivot" -> qPivotSql,

@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class ProfileDiffSpec extends AnyFunSuite {
+
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("flags ADDED / REMOVED / DRIFT / NODIFF across schema evolution") {
+    val s1 = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, null, 30.0))
+      .toDF("id", "tag", "gone")
+    // id identical; tag loses its null (null count drifts); `gone`
+    // dropped; `fresh` added
+    val s2 = Seq((1L, "a", true), (2L, "b", true), (3L, "c", true))
+      .toDF("id", "tag", "fresh")
+    val got = ProfileDiff.compare(s1, s2).orderBy("col_name").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(got.toSeq === Seq(
+      ("fresh", "ADDED"), ("gone", "REMOVED"),
+      ("id", "NODIFF"), ("tag", "DRIFT")))
+  }
+
+  test("range-only movement flags DRIFT and sets range_changed") {
+    // same counts/nulls/distincts, max moves: "c" -> "d"
+    val s1 = Seq("a", "c").toDF("v")
+    val s2 = Seq("a", "d").toDF("v")
+    val r = ProfileDiff.compare(s1, s2).collect().head
+    assert(r.getString(1) === "DRIFT")
+    assert(r.getBoolean(8))
+  }
+
+  test("one-sided columns carry null stats and null range_changed") {
+    val s1 = Seq(Tuple1("x")).toDF("only1")
+    val s2 = Seq(Tuple1("y")).toDF("only2")
+    val rows = ProfileDiff.compare(s1, s2).orderBy("col_name").collect()
+    val added = rows.find(_.getString(0) == "only2").get
+    assert(added.getString(1) === "ADDED")
+    assert(added.isNullAt(2) && added.isNullAt(4) && added.isNullAt(6))
+    assert(added.isNullAt(8))
+    val removed = rows.find(_.getString(0) == "only1").get
+    assert(removed.getString(1) === "REMOVED")
+    assert(removed.isNullAt(3) && removed.isNullAt(8))
+  }
+
+  test("row-count-only drift still flags (documented contract)") {
+    val s1 = Seq("a", "a").toDF("v")
+    val s2 = Seq("a", "a", "a").toDF("v")
+    val r = ProfileDiff.compare(s1, s2).collect().head
+    assert(r.getString(1) === "DRIFT")
+    assert(!r.getBoolean(8)) // range identical
+  }
+
+  test("no raw-table join: plan joins only the two profile aggregates") {
+    val s1 = Seq((1L, "a")).toDF("id", "s")
+    val s2 = Seq((1L, "a")).toDF("id", "s")
+    val plan = ProfileDiff.compare(s1, s2)
+      .queryExecution.executedPlan.toString
+    // the only join is the N-column summary/summary full-outer —
+    // broadcast- or tiny-sort-merge regardless of input size; raw rows
+    // were reduced by the per-side aggregates before any join
+    val joins = "(?i)join".r.findAllIn(plan).length
+    assert(joins >= 1, s"expected the profile/profile join:\n$plan")
+    assert(!plan.contains("Expand"),
+      s"profile sides must not expand rows per aggregate:\n$plan")
+  }
+}
