@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{Sampling, Sharding}
+import graft.operators.{CorpusOrder, Sampling, Sharding}
 import graft.text.Curation
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -105,6 +105,36 @@ object PipelineQueries {
        |JOIN r ON r.source = d.source
        |WHERE CAST($coord AS DOUBLE) / 4294967296 < r.rate
        |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Deterministic curriculum order ([[graft.operators.CorpusOrder]]):
+    * length-banded stages (short docs first), seeded md5 shuffle within
+    * each stage. The oracle states the SPEC — a single global
+    * `row_number() OVER (ORDER BY stage, h, doc_id)` — so the hash
+    * match is a machine-checked proof that the distributed two-level
+    * scan equals the global-sort definition it replaces.
+    */
+  def corpusOrder(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    CorpusOrder.orderPlan(docs.select("doc_id", "n_chars"), "doc_id",
+        when(col("n_chars") < 500, 0)
+          .when(col("n_chars") < 2000, 1).otherwise(2))
+      .orderBy("pos")
+  }
+
+  val corpusOrderSql: String = {
+    val h = OracleDialect.hexPrefixToLong(
+      "md5('order:'||CAST(doc_id AS VARCHAR))", 8)
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    CASE WHEN n_chars < 500 THEN 0
+       |         WHEN n_chars < 2000 THEN 1 ELSE 2 END AS stage,
+       |    CAST($h AS BIGINT) AS h
+       |  FROM documents)
+       |SELECT doc_id, stage,
+       |  CAST(row_number() OVER (ORDER BY stage, h, doc_id) - 1 AS BIGINT)
+       |    AS pos
+       |FROM d ORDER BY pos""".stripMargin
   }
 
   /** Shard assignment verified row-exactly: per-shard count plus the
@@ -246,6 +276,7 @@ object PipelineQueries {
     "sample_temperature" -> (sampleTemperature(_, _)),
     "sample_epochs" -> (sampleEpochs(_, _)),
     "shard_assign" -> (shardAssign(_, _)),
+    "corpus_order" -> (corpusOrder(_, _)),
     "quota_cap" -> (quotaCap(_, _)))
 
   val oracleSql: Map[String, String] = Map(
@@ -255,5 +286,6 @@ object PipelineQueries {
     "sample_temperature" -> sampleTemperatureSql,
     "sample_epochs" -> sampleEpochsSql,
     "shard_assign" -> shardAssignSql,
+    "corpus_order" -> corpusOrderSql,
     "quota_cap" -> quotaCapSql)
 }
