@@ -46,6 +46,7 @@ object SparkEntry {
     */
   def benchQueries: Seq[String] = Seq(
     "diff_flags", "diff_flags_skew", "diff_colstats", "diff_rows", "diff_values",
+    "profile_diff",
     // scd2_cdc is a result-identical variant feed of scd2_apply (the
     // delta ≡ snapshot identity is its gate) — correctness-gated, no
     // separate bench slot, like the MinHash parameter presets.
@@ -53,7 +54,7 @@ object SparkEntry {
     "q1_agg", "q_profile", "q_histogram", "q3_join_agg", "q5_region_revenue",
     "q_window_top_orders",
     "q_events_hourly", "q_anomaly", "q_anomaly_dense", "q_agg_upsert",
-    "q_percentiles",
+    "q_percentiles", "q_outliers",
     "q_cust_no_orders",
     "q_pivot", "q_rollup", "q_setops",
     "q_asof_purchase", "q_range_clicks", "q_sessions", "q_label_join",
@@ -65,7 +66,7 @@ object SparkEntry {
     "dedup_incremental",
     "train_triplets",
     "sample_stratified", "sample_temperature", "sample_epochs", "shard_assign",
-    "quota_cap",
+    "corpus_order", "quota_cap",
     "text_stats", "text_repetition", "text_langid", "text_tokens",
     "text_fingerprint", "text_dupspans", "text_excise", "text_vocab",
     "text_pmi",

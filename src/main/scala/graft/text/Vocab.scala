@@ -40,9 +40,13 @@ object Vocab {
       .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_occurrences"))
       .orderBy(col("n_occurrences").desc, col("token"))
       .limit(k)
+    // rank windows only the k survivors; the non-foldable constant
+    // partition key keeps it single-partition BY DESIGN without the
+    // per-run WindowExec warning (see SeqPack.packPlan)
     top.withColumn("rnk",
         row_number().over(
-          Window.orderBy(col("n_occurrences").desc, col("token")))
+          Window.partitionBy(col("n_occurrences") * lit(0L))
+            .orderBy(col("n_occurrences").desc, col("token")))
           .cast("bigint"))
       .select(col("rnk"), col("token"), col("n_docs"), col("n_occurrences"))
   }
