@@ -54,9 +54,13 @@ object CorpusOrder {
       .withColumn("sub", expr(s"h DIV $subWidth"))
 
     // tiny frame: one row per (stage, sub); the single-partition window
-    // scans only this. Non-foldable constant partition key — see
-    // SeqPack.packPlan for why not a literal.
-    val byBucket = Window.partitionBy(col("stage") * lit(0))
+    // scans only this — BY DESIGN (see SeqPack.packPlan). The constant
+    // partition key must ride a NULLABLE column to stay non-foldable
+    // (`sub` inherits id's nullability; `stage * 0` over a CASE with a
+    // literal ELSE is non-nullable and Catalyst folds it away, dropping
+    // the window to an explicit SinglePartition — same execution, but
+    // with the per-run WindowExec warning).
+    val byBucket = Window.partitionBy(col("sub") * lit(0L))
       .orderBy(col("stage"), col("sub"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val bucketBase = keyed.groupBy(col("stage"), col("sub"))

@@ -285,4 +285,72 @@ class PlanAuditSpec extends AnyFunSuite {
       "BroadcastHashJoin".r.findAllIn(plan).length
     assert(smj >= 2, s"expected hash-keyed cell/anti joins:\n$plan")
   }
+
+  test("profile diff: the join consumes summaries, never raw snapshots") {
+    // The operator's whole point: each side reduces to one row per
+    // column BEFORE the only join, so at 100 TB the join moves
+    // N-column frames, not tables. Structurally: below the full-outer
+    // join, every path must hit an aggregate before any parquet scan.
+    val plan = planOf("profile_diff")
+    assert(plan.contains("FullOuter"), s"expected the summary join:\n$plan")
+    assert(!plan.contains("Expand"),
+      s"profile sides must not expand rows per aggregate:\n$plan")
+    val lines = plan.linesIterator.toVector
+    def nodeDepth(l: String): Int =
+      l.indexWhere(c => !" :+-*(0123456789)".contains(c))
+    val ji = lines.indexWhere(_.contains("FullOuter"))
+    val jd = nodeDepth(lines(ji))
+    val subtree = lines.drop(ji + 1).takeWhile(nodeDepth(_) > jd)
+    // walk each scan upward: an aggregate must intervene before the join
+    subtree.zipWithIndex.filter(_._1.contains("Scan parquet")).foreach {
+      case (_, si) =>
+        val above = subtree.take(si)
+        val sd = nodeDepth(subtree(si))
+        val ancestors = above.reverse.filter(nodeDepth(_) < sd)
+        assert(ancestors.exists(_.contains("Aggregate")),
+          s"a raw scan reaches the join unaggregated:\n$plan")
+    }
+  }
+
+  test("robust outliers: rank passes and rollup share one exchange") {
+    val plan = planOf("q_outliers")
+    // one hashpartitioning exchange (the grp key all four windows and
+    // the final aggregate reuse); the only other exchange is the
+    // display orderBy's range partitioning
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashEx == 1,
+      s"windows and rollup must reuse one grp partitioning:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"no global single-partition pass:\n$plan")
+  }
+
+  test("curriculum order: single-partition work only on the bucket frame") {
+    // same contract as text_pack: the corpus crosses one (stage, sub)
+    // exchange; the tiny window — whether it keeps the constant hash
+    // key or Catalyst folds it to an explicit SinglePartition —
+    // consumes the one-row-per-bucket aggregate; offsets broadcast
+    // back. Structural: every exchange that is NOT (stage, sub)-keyed
+    // must sit above an aggregate, never above a raw scan.
+    val plan = planOf("corpus_order")
+    val lines = plan.linesIterator.toVector
+    def nodeDepth(l: String): Int =
+      l.indexWhere(c => !" :+-*(0123456789)".contains(c))
+    val tinyExchanges = lines.zipWithIndex.collect {
+      case (l, i) if l.contains("Exchange SinglePartition") => i
+      case (l, i) if "Exchange hashpartitioning\\(([^)]*)\\)".r
+        .findFirstMatchIn(l).exists(!_.group(1).contains("stage#")) => i
+    }
+    assert(tinyExchanges.length == 1,
+      s"expected exactly one bucket-frame exchange:\n$plan")
+    val i = tinyExchanges.head
+    val d = nodeDepth(lines(i))
+    val subtree = lines.drop(i + 1).takeWhile(nodeDepth(_) > d)
+    val firstAgg = subtree.indexWhere(_.contains("HashAggregate"))
+    val firstScan = subtree.indexWhere(_.contains("Scan parquet"))
+    assert(firstAgg >= 0 && (firstScan < 0 || firstAgg < firstScan),
+      s"the bucket-frame exchange must consume the aggregated " +
+        s"one-row-per-bucket frame, not raw rows:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bucket offsets must join back broadcast:\n$plan")
+  }
 }
