@@ -24,7 +24,8 @@ object Stress {
       else Set("cc", "minhash", "curate", "diff", "diffskew", "pack",
         "shards", "decontam", "bloomdecontam", "encode", "chunks", "kmv",
         "dupspans", "incr", "aggmerge", "funnel", "anomaly", "lmscore",
-        "scd2", "semantic", "pmi", "epochs")
+        "scd2", "semantic", "pmi", "epochs", "order", "profilediff",
+        "outliers")
     val spark = Sessions.local("32")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -558,6 +559,83 @@ object Stress {
           Map("src0" -> 3.0, "src1" -> 1.5, "src2" -> 0.25), 1.0)
           .write.format("noop").mode("overwrite").save()
         corpus.count()
+      }
+    }
+
+    if (which("order")) {
+      // 10M docs through the two-level scan (nSub=1024 → ~3k buckets
+      // across 3 stages; the single-partition window sees only those).
+      // Permutation validity asserted globally: positions are exactly
+      // [0, N) iff count, min, max, and distinct-count all agree.
+      val docs = staged(spark.range(10000000L)
+        .select(col("id"), (col("id") % 3).cast("int").as("band"))
+        .repartition(32))
+      timed("order") {
+        val pos = operators.CorpusOrder.orderPlan(docs, "id", col("band"))
+        val r = pos.agg(count(lit(1)), min(col("pos")), max(col("pos")),
+          count_distinct(col("pos"))).head()
+        require(r.getLong(0) == 10000000L && r.getLong(1) == 0L &&
+          r.getLong(2) == 9999999L && r.getLong(3) == 10000000L,
+          s"positions are not a permutation of [0, 10M): $r")
+        r.getLong(0)
+      }
+    }
+
+    if (which("profilediff")) {
+      // profile screen over two 10×-orders 12-col snapshots (1.5M rows
+      // at sf0.1, 6 derived columns) — the thing it must beat is the
+      // row diff's full-outer over the same pair
+      val orders = queries.Tables.load(spark, dir, "orders")
+      // widen AFTER the drift so the derived columns drift with their
+      // source (each side is an independently-derived snapshot — the
+      // production shape, where a snapshot is materialized end to end)
+      def widen(df: DataFrame) = df.select((col("*") +:
+        (0 until 6).map(j => (col("o_totalprice") * (j + 2))
+          .as(s"derived_$j"))): _*)
+      val narrow = orders.select(col("o_orderkey"),
+          col("o_custkey"), col("o_orderstatus"), col("o_totalprice"),
+          col("o_orderdate"), col("o_orderpriority"),
+          explode(sequence(lit(0), lit(9))).as("copy"))
+        .select((col("o_orderkey") + col("copy") * 1000000000L)
+          .as("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"))
+        .repartition(32)
+      val base = staged(widen(narrow))
+      val drifted = staged(widen(narrow.withColumn("o_totalprice",
+        when(col("o_orderkey") % 97 === 0, col("o_totalprice") + 1.0)
+          .otherwise(col("o_totalprice")))))
+      timed("profilediff") {
+        val flags = operators.ProfileDiff.compare(base, drifted)
+          .groupBy(col("flag")).count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        // o_totalprice and its 6 derivations drifted; the other 5 did not
+        require(flags.getOrElse("DRIFT", 0L) == 7L &&
+          flags.getOrElse("NODIFF", 0L) == 5L, s"unexpected flags: $flags")
+        flags.values.sum
+      }
+      base.unpersist(); drifted.unpersist()
+    }
+
+    if (which("outliers")) {
+      // 5M values over 5k groups (groups ≫ cores — the regime the
+      // operator documents); ~0.1% planted spikes must all be caught
+      // and nothing else (uniform base values stay within 3·MAD).
+      // Modulus 1009 is deliberate: within a group (id ≡ g mod 5000)
+      // ids step by 5000, and 5000·40503 ≡ 0 (mod 1000) — a 1000
+      // modulus would make v CONSTANT per group and mad degenerate;
+      // mod the prime 1009 the step is 628, cycling all residues.
+      timed("outliers") {
+        val df = spark.range(5000000L).select(
+          (col("id") % 5000).cast("string").as("g"),
+          when(pmod(col("id"), lit(997L)) === 0L, lit(1e6)).otherwise(
+            pmod(col("id") * 40503L, lit(1009L)).cast("double")).as("v"))
+        val out = operators.RobustOutliers.summary(df, "g", "v")
+        val r = out.agg(sum(col("n_out")), min(col("mad"))).head()
+        val planted = 5016L // |{id < 5M : id ≡ 0 (mod 997)}|
+        require(r.getLong(0) == planted,
+          s"expected exactly $planted planted spikes, got ${r.getLong(0)}")
+        require(r.getDouble(1) > 0.0, "mad collapsed to zero")
+        out.count()
       }
     }
 
