@@ -58,7 +58,7 @@ object SparkEntry {
     "q_cust_no_orders",
     "q_pivot", "q_rollup", "q_setops",
     "q_asof_purchase", "q_range_clicks", "q_sessions", "q_label_join",
-    "q_funnel", "q_retention", "q_transitions", "q_paths",
+    "q_funnel", "q_retention", "q_transitions", "q_paths", "graph_pagerank",
     "q_json_extract",
     "q_salted_agg",
     "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_ngram",

@@ -25,7 +25,7 @@ object Stress {
         "shards", "decontam", "bloomdecontam", "encode", "chunks", "kmv",
         "dupspans", "incr", "aggmerge", "funnel", "anomaly", "lmscore",
         "scd2", "semantic", "pmi", "epochs", "order", "profilediff",
-        "outliers")
+        "outliers", "pagerank")
     val spark = Sessions.local("32")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -559,6 +559,32 @@ object Stress {
           Map("src0" -> 3.0, "src1" -> 1.5, "src2" -> 0.25), 1.0)
           .write.format("noop").mode("overwrite").save()
         corpus.count()
+      }
+    }
+
+    if (which("pagerank")) {
+      // 5M-edge pseudo-random graph over 500k nodes, 5 rounds — the
+      // operator's shape claim under load: the edge side is shuffled
+      // and sorted ONCE (persisted pre-partitioned), each round pays
+      // only the small rank-frame shuffle + dst aggregate. Mass
+      // conservation bounds the result: every rank ≥ the teleport
+      // base, total ≤ S (leaks are floor remainders + dangling mass).
+      val edges = staged(spark.range(5000000L).select(
+          pmod(col("id") * 2654435761L, lit(500000L)).as("src"),
+          pmod(col("id") * 40503L + 17L, lit(500000L)).as("dst"),
+          (pmod(col("id"), lit(3L)) + 1L).as("w"))
+        .filter(col("src") =!= col("dst"))
+        .repartition(32))
+      timed("pagerank") {
+        val r = operators.PageRank.ranks(edges, "src", "dst", "w", 5)
+        val s = r.agg(sum(col("rank_fp")), min(col("rank_fp")),
+          count(lit(1))).head()
+        val n = s.getLong(2)
+        val base = 3L * operators.PageRank.Scale / (20L * n)
+        require(s.getLong(1) >= base, "a node fell below teleport base")
+        require(s.getLong(0) <= operators.PageRank.Scale,
+          "mass exceeded the simplex bound")
+        n
       }
     }
 

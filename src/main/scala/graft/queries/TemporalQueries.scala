@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{AsOfJoin, RangeJoin}
+import graft.operators.{AsOfJoin, PageRank, RangeJoin}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -315,8 +315,60 @@ object TemporalQueries {
       |FROM p GROUP BY path
       |ORDER BY n_users DESC, path LIMIT 20""".stripMargin
 
+  /** Fixed-point PageRank ([[graft.operators.PageRank]]) over the
+    * event-type transition graph (the same weighted edges as
+    * [[qTransitions]]): Markov importance of event states. The oracle
+    * REPLAYS THE RECURRENCE — five generated CTE rounds of the
+    * identical integer arithmetic — so the hash match proves every
+    * 64-bit rank of an iterative distributed algorithm, something a
+    * floating-point PageRank could never put behind a hash gate.
+    */
+  def qPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.loadEvents(spark, dir)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val edges = ev
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("src"), col("next_type").as("dst"))
+      .agg(count(lit(1)).as("w"))
+    PageRank.ranks(edges, "src", "dst", "w", iters = 5)
+      .orderBy(col("rank_fp").desc, col("node"))
+  }
+
+  val qPagerankSql: String = {
+    val S = PageRank.Scale
+    val rounds = (1 to 5).map { k =>
+      s"""r$k AS (
+         |  SELECT n.node,
+         |    (3 * $S) // (20 * (SELECT cnt FROM nn))
+         |      + (17 * coalesce(c.m, 0)) // 20 AS r
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS node, sum(e.w * (p.r // o.outw)) AS m
+         |    FROM e JOIN r${k - 1} p ON p.node = e.src
+         |    JOIN outw o ON o.src = e.src
+         |    GROUP BY e.dst) c ON c.node = n.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH s AS (
+       |  SELECT event_type AS src,
+       |    lead(event_type) OVER (PARTITION BY user_id
+       |      ORDER BY ts, event_id) AS dst
+       |  FROM events),
+       |e AS (SELECT src, dst, count(*) AS w FROM s
+       |  WHERE dst IS NOT NULL GROUP BY src, dst),
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |nn AS (SELECT count(*) AS cnt FROM nodes),
+       |outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS outw FROM e
+       |  GROUP BY src),
+       |r0 AS (SELECT node, $S // (SELECT cnt FROM nn) AS r FROM nodes),
+       |$rounds
+       |SELECT node, CAST(r AS BIGINT) AS rank_fp FROM r5
+       |ORDER BY rank_fp DESC, node""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_asof_purchase" -> (qAsofPurchase(_, _)),
+    "graph_pagerank" -> (qPagerank(_, _)),
     "q_paths" -> (qPaths(_, _)),
     "q_range_clicks" -> (qRangeClicks(_, _)),
     "q_sessions" -> (qSessions(_, _)),
@@ -327,6 +379,7 @@ object TemporalQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q_asof_purchase" -> qAsofPurchaseSql,
+    "graph_pagerank" -> qPagerankSql,
     "q_paths" -> qPathsSql,
     "q_range_clicks" -> qRangeClicksSql,
     "q_sessions" -> qSessionsSql,
