@@ -51,7 +51,8 @@ object SparkEntry {
     // delta ≡ snapshot identity is its gate) — correctness-gated, no
     // separate bench slot, like the MinHash parameter presets.
     "scd2_apply",
-    "q1_agg", "q_profile", "q_histogram", "q3_join_agg", "q5_region_revenue",
+    "q1_agg", "q_profile", "q_histogram", "q_equidepth", "q3_join_agg",
+    "q5_region_revenue",
     "q_window_top_orders",
     "q_events_hourly", "q_anomaly", "q_anomaly_dense", "q_agg_upsert",
     "q_percentiles", "q_outliers",

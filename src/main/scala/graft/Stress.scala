@@ -25,7 +25,7 @@ object Stress {
         "shards", "decontam", "bloomdecontam", "encode", "chunks", "kmv",
         "dupspans", "incr", "aggmerge", "funnel", "anomaly", "lmscore",
         "scd2", "semantic", "pmi", "epochs", "order", "profilediff",
-        "outliers", "pagerank")
+        "outliers", "pagerank", "equidepth")
     val spark = Sessions.local("32")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -559,6 +559,29 @@ object Stress {
           Map("src0" -> 3.0, "src1" -> 1.5, "src2" -> 0.25), 1.0)
           .write.format("noop").mode("overwrite").save()
         corpus.count()
+      }
+    }
+
+    if (which("equidepth")) {
+      // 10M skewed doubles (quadratic pile-up toward 0) into 100 exact
+      // quantile buckets: counts must differ by ≤ 1, ranges must be
+      // non-overlapping and ordered — the full correctness contract,
+      // asserted without any driver-side sort of the data
+      val vals = staged(spark.range(10000000L).select(col("id"),
+        (col("id").cast("double") * col("id").cast("double")).as("v"))
+        .repartition(32))
+      timed("equidepth") {
+        val h = operators.EquiDepth.histogram(vals, "v", "id", k = 100)
+          .orderBy("bucket").collect()
+        require(h.length == 100, s"expected 100 buckets, got ${h.length}")
+        val ns = h.map(_.getLong(1))
+        require(ns.sum == 10000000L && ns.max - ns.min <= 1,
+          s"bucket sizes unbalanced: min=${ns.min} max=${ns.max}")
+        h.sliding(2).foreach { case Array(a, b) =>
+          require(a.getDouble(3) <= b.getDouble(2),
+            s"overlapping ranges at bucket ${b.getLong(0)}")
+        }
+        h.length.toLong
       }
     }
 

@@ -295,6 +295,30 @@ object Relational {
       |    AS n_out
       |FROM r4 GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Exact equi-depth histogram ([[graft.operators.EquiDepth]]) of
+    * order totals: ten equal-count buckets with their value ranges.
+    * The oracle is the flat global-window definition (`row_number()
+    * OVER (ORDER BY v, id)` through one reducer), so the hash match
+    * proves the two-level-scan formulation — the one that survives
+    * 100 TB — equals the definition it replaces, same gate pattern as
+    * `text_pack`.
+    */
+  def qEquidepth(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.EquiDepth.histogram(
+        Tables.loadSpread(spark, dir, "orders"), "o_totalprice",
+        "o_orderkey", k = 10)
+      .orderBy("bucket")
+
+  val qEquidepthSql: String =
+    """WITH r AS (
+      |  SELECT o_totalprice AS v,
+      |    row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rn,
+      |    count(*) OVER () AS cnt
+      |  FROM orders WHERE o_totalprice IS NOT NULL)
+      |SELECT ((rn - 1) * 10) // cnt AS bucket, count(*) AS n,
+      |  min(v) AS lo, max(v) AS hi
+      |FROM r GROUP BY bucket ORDER BY bucket""".stripMargin
+
   /** Anti-join coverage: customers with no big urgent orders
     * (distributed left_anti — the scalable formulation of NOT EXISTS;
     * the filter is pushed below the join so only the qualifying order
@@ -547,6 +571,7 @@ object Relational {
     "q_agg_upsert" -> (qAggUpsert(_, _)),
     "q_percentiles" -> (qPercentiles(_, _)),
     "q_outliers" -> (qOutliers(_, _)),
+    "q_equidepth" -> (qEquidepth(_, _)),
     "q_cust_no_orders" -> (qCustNoOrders(_, _)),
     "q_rollup" -> (qRollup(_, _)),
     "q_pivot" -> (qPivot(_, _)),
@@ -567,6 +592,7 @@ object Relational {
     "q_agg_upsert" -> qAggUpsertSql,
     "q_percentiles" -> qPercentilesSql,
     "q_outliers" -> qOutliersSql,
+    "q_equidepth" -> qEquidepthSql,
     "q_cust_no_orders" -> qCustNoOrdersSql,
     "q_rollup" -> qRollupSql,
     "q_pivot" -> qPivotSql,
