@@ -353,4 +353,30 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"),
       s"bucket offsets must join back broadcast:\n$plan")
   }
+
+  test("equi-depth: no global window; tiny exchanges consume aggregates") {
+    val plan = planOf("q_equidepth")
+    val lines = plan.linesIterator.toVector
+    def nodeDepth(l: String): Int =
+      l.indexWhere(c => !" :+-*(0123456789)".contains(c))
+    // exchanges that aren't sub-keyed (the distributed rank window) or
+    // the parallelizing round-robin must consume aggregated frames —
+    // the extent and the per-sub-bucket count table — never raw rows
+    val tiny = lines.zipWithIndex.collect {
+      case (l, i) if l.contains("Exchange SinglePartition") => i
+      case (l, i) if "Exchange hashpartitioning\\(([^)]*)\\)".r
+        .findFirstMatchIn(l).exists(!_.group(1).contains("sub#")) => i
+    }
+    tiny.foreach { i =>
+      val d = nodeDepth(lines(i))
+      val subtree = lines.drop(i + 1).takeWhile(nodeDepth(_) > d)
+      val firstAgg = subtree.indexWhere(_.contains("HashAggregate"))
+      val firstScan = subtree.indexWhere(_.contains("Scan parquet"))
+      assert(firstAgg >= 0 && (firstScan < 0 || firstAgg < firstScan),
+        s"an exchange single-partitions raw rows:\n$plan")
+    }
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      s"extent/offsets must broadcast:\n$plan")
+  }
 }
