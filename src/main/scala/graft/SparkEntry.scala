@@ -55,6 +55,10 @@ object SparkEntry {
     "q5_region_revenue",
     "q_window_top_orders",
     "q_events_hourly", "q_anomaly", "q_anomaly_dense", "q_agg_upsert",
+    // q_outliers_spread is the monster-group insurance form of
+    // q_outliers (its gate IS the spread ≡ windowed identity) —
+    // correctness-gated, no bench slot, like scd2_cdc / the MinHash
+    // parameter presets
     "q_percentiles", "q_outliers",
     "q_cust_no_orders",
     "q_pivot", "q_rollup", "q_setops",

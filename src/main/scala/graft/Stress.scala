@@ -25,7 +25,7 @@ object Stress {
         "shards", "decontam", "bloomdecontam", "encode", "chunks", "kmv",
         "dupspans", "incr", "aggmerge", "funnel", "anomaly", "lmscore",
         "scd2", "semantic", "pmi", "epochs", "order", "profilediff",
-        "outliers", "pagerank", "equidepth")
+        "outliers", "pagerank", "equidepth", "outliersbig")
     val spark = Sessions.local("32")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -560,6 +560,32 @@ object Stress {
           .write.format("noop").mode("overwrite").save()
         corpus.count()
       }
+    }
+
+    if (which("outliersbig")) {
+      // ONE 5M-row group: both forms run and must agree bit-for-bit.
+      // At this size the group still sorts in one task's memory, so
+      // the windowed form WINS on wall-clock (see the operator's
+      // regime-boundary note) — what this case proves is the
+      // equivalence and that spread's per-task work stays bounded;
+      // its regime is the group that spills/OOMs a single task.
+      val df = staged(spark.range(5000000L).select(lit("g").as("grp"),
+        when(pmod(col("id"), lit(997L)) === 0L, lit(1e6)).otherwise(
+          pmod(col("id") * 40503L, lit(1009L)).cast("double")).as("v"))
+        .repartition(32))
+      var spread: Array[org.apache.spark.sql.Row] = null
+      timedWarm("outliersbig-sp") {
+        spread = operators.RobustOutliers
+          .summarySpread(df, "grp", "v", nSub = 64).collect()
+        spread.head.getLong(4)
+      }
+      timedWarm("outliersbig-win") {
+        val win = operators.RobustOutliers.summary(df, "grp", "v").collect()
+        require(win.toSeq == spread.toSeq,
+          s"spread diverged: ${spread.toSeq} vs ${win.toSeq}")
+        win.head.getLong(4)
+      }
+      spark.catalog.clearCache()
     }
 
     if (which("equidepth")) {

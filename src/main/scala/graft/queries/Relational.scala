@@ -269,6 +269,17 @@ object Relational {
       .summary(Tables.loadEvents(spark, dir), "event_type", "value")
       .orderBy("event_type")
 
+  /** The monster-group formulation of [[qOutliers]]
+    * ([[graft.operators.RobustOutliers.summarySpread]]): same result
+    * by construction, no task ever holds a whole group. Shares the
+    * q_outliers oracle verbatim, so every round's gate is a
+    * machine-checked spread ≡ windowed identity on real data.
+    */
+  def qOutliersSpread(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.RobustOutliers
+      .summarySpread(Tables.loadEvents(spark, dir), "event_type", "value")
+      .orderBy("event_type")
+
   val qOutliersSql: String =
     """WITH e AS (
       |  SELECT event_type, value FROM events WHERE value IS NOT NULL),
@@ -571,6 +582,7 @@ object Relational {
     "q_agg_upsert" -> (qAggUpsert(_, _)),
     "q_percentiles" -> (qPercentiles(_, _)),
     "q_outliers" -> (qOutliers(_, _)),
+    "q_outliers_spread" -> (qOutliersSpread(_, _)),
     "q_equidepth" -> (qEquidepth(_, _)),
     "q_cust_no_orders" -> (qCustNoOrders(_, _)),
     "q_rollup" -> (qRollup(_, _)),
@@ -592,6 +604,7 @@ object Relational {
     "q_agg_upsert" -> qAggUpsertSql,
     "q_percentiles" -> qPercentilesSql,
     "q_outliers" -> qOutliersSql,
+    "q_outliers_spread" -> qOutliersSql,
     "q_equidepth" -> qEquidepthSql,
     "q_cust_no_orders" -> qCustNoOrdersSql,
     "q_rollup" -> qRollupSql,

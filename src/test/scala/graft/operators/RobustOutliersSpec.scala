@@ -60,4 +60,35 @@ class RobustOutliersSpec extends AnyFunSuite {
     assert(exchanges === 1,
       s"windows and rollup must reuse one grp partitioning:\n$plan")
   }
+
+  test("spread form is bit-identical to the windowed form") {
+    // deterministic pseudo-random shapes: ties, negatives, spikes,
+    // single-value groups, a group of one row
+    val lcg = Iterator.iterate(99991L)(x => (x * 48271) % 2147483647)
+      .drop(1).take(600).toSeq
+    val rows = lcg.zipWithIndex.map { case (x, i) =>
+      val g = s"g${x % 7}"
+      val v = (x % 23) match {
+        case 0 => 1e5 + i           // spikes
+        case t if t < 5 => 4.0      // heavy ties
+        case t => (t - 11).toDouble // negatives and positives
+      }
+      (g, v)
+    } :+ ("lonely", 42.0)
+    val df = rows.toDF("grp", "v").repartition(7)
+    def norm(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("grp").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3), r.getLong(4))).toSeq
+    assert(norm(RobustOutliers.summarySpread(df, "grp", "v", nSub = 4))
+      === norm(RobustOutliers.summary(df, "grp", "v")))
+  }
+
+  test("spread form: no single-partition pass anywhere") {
+    val df = Seq(("g", 1.0), ("g", 2.0), ("h", 3.0)).toDF("grp", "v")
+    val plan = RobustOutliers.summarySpread(df, "grp", "v")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"every stage must stay group- or (group, sub)-keyed:\n$plan")
+  }
 }
