@@ -235,4 +235,76 @@ object OperatorProps extends Properties("Operators") {
         got == unionFind(edges)
       }
     }
+
+  // ---- equi-depth histogram vs flat sorted reference ---------------------
+
+  private val genDoubles: Gen[(Seq[Double], Int)] = for {
+    n <- Gen.choose(1, 80)
+    k <- Gen.choose(1, 7)
+    vals <- Gen.listOfN(n, Gen.oneOf(
+      Gen.choose(-50, 50).map(_.toDouble),    // ties likely
+      Gen.choose(-1e6, 1e6).map(_ / 1000.0))) // spread
+  } yield (vals, k)
+
+  property("EquiDepth == flat sorted bucketing, any k / ties / skew") =
+    forAll(genDoubles) { case (vals, k) =>
+      import spark.implicits._
+      val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("id", "v").repartition(5)
+      val got = EquiDepth.histogram(df, "v", "id", k, nSub = 4)
+        .orderBy("bucket").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+        .toSeq
+      val want = vals.sorted.zipWithIndex
+        .groupBy { case (_, i) => i.toLong * k / vals.size }
+        .toSeq.sortBy(_._1)
+        .map { case (b, g) =>
+          (b, g.size.toLong, g.map(_._1).min, g.map(_._1).max) }
+      got == want
+    }
+
+  // ---- curriculum order vs global sorted rank ----------------------------
+
+  property("CorpusOrder == global row_number over (stage, md5, id)") =
+    forAll(for {
+      n <- Gen.choose(1, 60)
+      ids <- Gen.listOfN(n, Gen.choose(0L, 1000L))
+    } yield ids.distinct) { ids =>
+      ids.isEmpty || {
+        import spark.implicits._
+        val df = ids.map(i => (i, (i % 4).toInt)).toDF("id", "st")
+          .repartition(3)
+        val got = CorpusOrder.orderPlan(df, "id", col("st"), nSub = 8)
+          .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+        def h(id: Long): Long = {
+          val md5 = java.security.MessageDigest.getInstance("MD5")
+            .digest(s"order:$id".getBytes("UTF-8"))
+          java.lang.Long.parseLong(
+            md5.take(4).map(b => f"$b%02x").mkString, 16)
+        }
+        val want = ids.sortBy(i => (i % 4, h(i), i)).zipWithIndex
+          .map { case (i, p) => i -> p.toLong }.toMap
+        got == want
+      }
+    }
+
+  // ---- spread robust outliers vs windowed form ---------------------------
+
+  property("RobustOutliers spread == windowed, random shapes") =
+    forAll(for {
+      n <- Gen.choose(1, 60)
+      rows <- Gen.listOfN(n, for {
+        g <- Gen.oneOf("x", "y", "z")
+        v <- Gen.oneOf(Gen.choose(-9, 9).map(_.toDouble), Gen.const(1e5))
+      } yield (g, v))
+    } yield rows) { rows =>
+      import spark.implicits._
+      val df = rows.toDF("grp", "v").repartition(4)
+      def norm(d: org.apache.spark.sql.DataFrame) =
+        d.orderBy("grp").collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+            r.getDouble(3), r.getLong(4))).toSeq
+      norm(RobustOutliers.summarySpread(df, "grp", "v", nSub = 3)) ==
+        norm(RobustOutliers.summary(df, "grp", "v"))
+    }
 }
