@@ -65,4 +65,14 @@ object ProfileDiff {
       col("n_distinct_1"), col("n_distinct_2"),
       when(in1 && in2, rangeChanged).as("range_changed"))
   }
+
+  /** The screen→diff handoff: columns a row-level diff should compare,
+    * from a [[compare]] result — DRIFT columns only (ADDED/REMOVED
+    * can't be row-compared; NODIFF columns are provably identical in
+    * profile and pruning them is the screen's whole payoff). The
+    * collect is one row per column name — driver-side by design.
+    */
+  def driftedColumns(comparison: DataFrame): Seq[String] =
+    comparison.filter(col("flag") === "DRIFT")
+      .select("col_name").collect().map(_.getString(0)).toSeq.sorted
 }

@@ -52,6 +52,15 @@ class ProfileDiffSpec extends AnyFunSuite {
     assert(!r.getBoolean(8)) // range identical
   }
 
+  test("driftedColumns hands exactly the DRIFT set to the row diff") {
+    val s1 = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, null, 30.0))
+      .toDF("id", "tag", "gone")
+    val s2 = Seq((1L, "a", true), (2L, "b", true), (3L, "c", true))
+      .toDF("id", "tag", "fresh")
+    assert(ProfileDiff.driftedColumns(ProfileDiff.compare(s1, s2))
+      === Seq("tag"))
+  }
+
   test("no raw-table join: plan joins only the two profile aggregates") {
     val s1 = Seq((1L, "a")).toDF("id", "s")
     val s2 = Seq((1L, "a")).toDF("id", "s")
