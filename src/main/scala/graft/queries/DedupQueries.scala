@@ -508,7 +508,84 @@ object DedupQueries {
        |  SELECT r.id, e.dst FROM r JOIN edges e ON e.src = r.v)
        |SELECT id, min(v) AS comp FROM r GROUP BY id ORDER BY id""".stripMargin
 
+  // ------------------------------------------------------- canonical pick
+
+  /** Canonical representative per near-dup cluster — the decision a
+    * dedup pipeline actually ships: which member of each cluster
+    * survives. Composes three proven operators (verified minhash
+    * pairs → connected components → fixed-point PageRank authority
+    * over the UNDIRECTED similarity graph) and picks each component's
+    * highest-authority member (rank desc, id asc): the doc most
+    * similar to the most others wins, not an arbitrary min-id. The
+    * oracle replays all three stages independently (recursive
+    * reachability + 5 generated PageRank rounds), so the gate checks
+    * the COMPOSITION. Correctness-gated without a bench slot: its
+    * runtime is the already-benched minhash + clusters family's.
+    */
+  def dedupCanonical(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = MinHashLSH.nearDuplicatePairs(
+        Tables.loadSpread(spark, dir, "documents"), "doc_id", "text", cfg)
+      .select(col("doc_a"), col("doc_b"))
+    val comps = Clusters.connectedComponents(pairs, "doc_a", "doc_b")
+    val edges = pairs
+      .unionByName(pairs.select(col("doc_b").as("doc_a"),
+        col("doc_a").as("doc_b")))
+      .withColumn("w", lit(1L))
+    val ranks = graft.operators.PageRank.ranks(edges, "doc_a", "doc_b", "w")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("comp"))
+      .orderBy(col("rank_fp").desc, col("id"))
+    comps.join(ranks, comps("id") === ranks("node"))
+      .select(col("id"), col("comp"), col("rank_fp"))
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("comp"))
+      .agg(count(lit(1)).as("n_members"),
+        max(when(col("rn") === 1, col("id"))).as("canonical_id"),
+        max(when(col("rn") === 1, col("rank_fp"))).as("rank_fp"))
+      .orderBy("comp")
+  }
+
+  val dedupCanonicalSql: String = {
+    val S = graft.operators.PageRank.Scale
+    val rounds = (1 to 5).map { k =>
+      s"""pr$k AS (
+         |  SELECT n.node,
+         |    (3 * $S) // (20 * (SELECT cnt FROM nn))
+         |      + (17 * coalesce(c.m, 0)) // 20 AS r
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS node, sum(e.w * (p.r // o.outw)) AS m
+         |    FROM e JOIN pr${k - 1} p ON p.node = e.src
+         |    JOIN outw o ON o.src = e.src
+         |    GROUP BY e.dst) c ON c.node = n.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH RECURSIVE ${minhashJacCtes("documents")},
+       |pairs AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= ${cfg.threshold}),
+       |e AS (SELECT doc_a AS src, doc_b AS dst, 1 AS w FROM pairs
+       |      UNION SELECT doc_b, doc_a, 1 FROM pairs),
+       |cc(id, v) AS (
+       |  SELECT src, src FROM e
+       |  UNION
+       |  SELECT cc.id, e.dst FROM cc JOIN e ON e.src = cc.v),
+       |comp AS (SELECT id, min(v) AS comp FROM cc GROUP BY id),
+       |nodes AS (SELECT DISTINCT src AS node FROM e),
+       |nn AS (SELECT count(*) AS cnt FROM nodes),
+       |outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS outw FROM e
+       |  GROUP BY src),
+       |pr0 AS (SELECT node, $S // (SELECT cnt FROM nn) AS r FROM nodes),
+       |$rounds,
+       |ranked AS (
+       |  SELECT c.comp, c.id, CAST(p.r AS BIGINT) AS rank_fp,
+       |    row_number() OVER (PARTITION BY c.comp
+       |      ORDER BY p.r DESC, c.id) AS rn
+       |  FROM comp c JOIN pr5 p ON p.node = c.id)
+       |SELECT comp, count(*) AS n_members,
+       |  max(CASE WHEN rn = 1 THEN id END) AS canonical_id,
+       |  max(CASE WHEN rn = 1 THEN rank_fp END) AS rank_fp
+       |FROM ranked GROUP BY comp ORDER BY comp""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_canonical" -> (dedupCanonical(_, _)),
     "dedup_exact" -> (dedupExact(_, _)),
     "train_triplets" -> (trainTriplets(_, _)),
     "dedup_minhash" -> (dedupMinhash(_, _)),
@@ -523,6 +600,7 @@ object DedupQueries {
     "dedup_embed_incr" -> (dedupEmbedIncr(_, _)))
 
   val oracleSql: Map[String, String] = Map(
+    "dedup_canonical" -> dedupCanonicalSql,
     "dedup_exact" -> dedupExactSql,
     "train_triplets" -> trainTripletsSql,
     "dedup_minhash" -> dedupMinhashSql,
