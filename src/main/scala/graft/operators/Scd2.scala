@@ -134,4 +134,18 @@ object Scd2 {
   /** Current (open) slice of a history. */
   def currentOf(history: DataFrame): DataFrame =
     history.filter(col(ValidTo).isNull).drop(ValidTo)
+
+  /** Time travel: the table as of `ts` — rows whose validity interval
+    * covers the instant (`valid_from <= ts < valid_to`, open rows
+    * unbounded). Reading as-of any instant BEFORE a batch reproduces
+    * the pre-batch table exactly — applies never destroy state, they
+    * close intervals — which is the identity the `scd2_asof` oracle
+    * checks (as-of 0 after an apply ≡ the original snapshot). On a
+    * history partitioned/z-ordered by the interval columns the filter
+    * prunes to the covering slices at 100 TB.
+    */
+  def asOf(history: DataFrame, ts: Long): DataFrame =
+    history.filter(col(ValidFrom) <= ts &&
+        (col(ValidTo).isNull || col(ValidTo) > ts))
+      .drop(ValidFrom, ValidTo)
 }

@@ -213,6 +213,29 @@ object DiffQueries {
        |FROM j WHERE sp AND (NOT cp OR NOT same)
        |ORDER BY o_orderkey, valid_from""".stripMargin
 
+  /** Time travel ([[graft.operators.Scd2.asOf]]): read the history
+    * back as of instant 0 — BEFORE the day-1 apply — and recover the
+    * original snapshot exactly. The oracle is simply `SELECT ... FROM
+    * orders`: the gate is the identity "an apply never destroys the
+    * past". Gate-only (no bench slot): the runtime is scd2_apply's,
+    * which is benched.
+    */
+  def scd2Asof(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+    val history = graft.operators.Scd2.initHistory(orders, asOf = 0L)
+    val applied = graft.operators.Scd2
+      .apply(history, perturbedOrders(orders), Seq("o_orderkey"),
+        batchTs = 86400L)
+    graft.operators.Scd2.asOf(applied, ts = 0L)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_orderpriority"))
+      .orderBy("o_orderkey")
+  }
+
+  val scd2AsofSql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
   /** The SAME day-1 state reached through a CDC change feed instead of
     * a full snapshot ([[graft.operators.Scd2.applyDelta]]): upserts for
     * the %7/%13 changes, inserts for the %97 re-keys, tombstones for
@@ -310,7 +333,8 @@ object DiffQueries {
     "diff_rows" -> (diffRows(_, _)),
     "diff_values" -> (diffValues(_, _)),
     "scd2_apply" -> (scd2Apply(_, _)),
-    "scd2_cdc" -> (scd2Cdc(_, _)))
+    "scd2_cdc" -> (scd2Cdc(_, _)),
+    "scd2_asof" -> (scd2Asof(_, _)))
 
   val oracleSql: Map[String, String] = Map(
     "diff_flags" -> diffFlagsSql,
@@ -320,5 +344,6 @@ object DiffQueries {
     "diff_rows" -> diffRowsSql,
     "diff_values" -> diffValuesSql,
     "scd2_apply" -> scd2ApplySql,
-    "scd2_cdc" -> scd2ApplySql)
+    "scd2_cdc" -> scd2ApplySql,
+    "scd2_asof" -> scd2AsofSql)
 }

@@ -129,4 +129,20 @@ class Scd2Spec extends AnyFunSuite {
     assert(rows(inserted).map(r => (r._1, r._4, r._5)) ===
       Seq((1L, 9L, None), (2L, 9L, None), (4L, 9L, None)))
   }
+
+  test("asOf reconstructs any instant; boundary is inclusive-from, exclusive-to") {
+    val applied = Scd2.apply(Scd2.initHistory(day0, 0L), day1, Seq("id"), 100L)
+    def snap(ts: Long) = Scd2.asOf(applied, ts).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(2))).toSeq
+    // before the batch: the original table, exactly
+    assert(snap(0L) === Seq((1L, "US"), (2L, "DE"), (3L, "FR")))
+    assert(snap(99L) === Seq((1L, "US"), (2L, "DE"), (3L, "FR")))
+    // at the batch instant (valid_to is exclusive, valid_from inclusive)
+    assert(snap(100L) === Seq((1L, "US"), (2L, "CH"), (4L, "JP")))
+    assert(snap(100L) === snap(5000L)) // open rows extend forever
+    // asOf ≡ currentOf at any instant past the last batch
+    assert(snap(5000L) ===
+      Scd2.currentOf(applied).orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getString(2))).toSeq)
+  }
 }
