@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// pass forked-run stdout through VERBATIM (no "[info] " log prefix):
+// the harness parses graft.Bench's one-line JSON metrics from raw
+// stdout, and sbt's default logger decoration has defeated that parse
+// every round (BENCH_r*.json "parsed": null since round 1)
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ...and keep sbt's own "[success] Total time" epilogue out of the
+// window: the harness keeps only the last 2000 chars of output, and the
+// ~80-char success line would eat the final metric line's tail margin
+// (the 83-query JSON line is ~1850 chars)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
