@@ -74,6 +74,7 @@ object SparkEntry {
     "corpus_order", "quota_cap",
     "text_stats", "text_repetition", "text_langid", "text_tokens",
     "text_fingerprint", "text_dupspans", "text_excise", "text_vocab",
+    "text_heavyhitters",
     "text_pmi",
     "text_encode", "text_drift", "text_lm_score",
     "text_tfidf", "text_normalize", "text_pack", "text_pack_stats",

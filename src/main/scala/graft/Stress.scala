@@ -25,7 +25,7 @@ object Stress {
         "shards", "decontam", "bloomdecontam", "encode", "chunks", "kmv",
         "dupspans", "incr", "aggmerge", "funnel", "anomaly", "lmscore",
         "scd2", "semantic", "pmi", "epochs", "order", "profilediff",
-        "outliers", "pagerank", "equidepth", "outliersbig")
+        "outliers", "pagerank", "equidepth", "outliersbig", "heavyhitters")
     val spark = Sessions.local("32")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -367,6 +367,35 @@ object Stress {
       val distinctSeqs = enc.select("token_ids").distinct().count()
       require(distinctSeqs <= nDocs / 10,
         s"clones must encode identically: $distinctSeqs distinct sequences")
+    }
+
+    if (which("heavyhitters")) {
+      // 20M postings: 16 planted heavy items (30% of mass, each ≥1.25%
+      // share) over a 1M-distinct tail — ~3000× more distinct items
+      // than the 320 MG counters, so eviction runs constantly and the
+      // naive groupBy alternative would shuffle 1M rows to discard all
+      // but 16
+      val items = staged(spark.range(20000000L).select(
+        when(col("id") % 10 < 3,
+            concat(lit("h"), (col("id") % 16).cast("string")))
+          .otherwise(concat(lit("t"), (col("id") % 1000000L).cast("string")))
+          .as("t")).repartition(32))
+      var got: Array[org.apache.spark.sql.Row] = null
+      timed("heavyhitters") {
+        got = operators.HeavyHitters.exact(items, "t", denom = 256, k = 320)
+          .collect() // ≤ k rows by construction
+        require(got.length == 16, s"expected the 16 planted heavy items, " +
+          s"got ${got.length}")
+        got.length.toLong
+      }
+      // exactness cross-check outside the timing: the naive full
+      // frequency table must agree count-for-count
+      val naive = items.groupBy("t").count()
+        .where(col("count") * 256 > 20000000L).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val gotMap = got.map(r => r.getString(0) -> r.getLong(1)).toMap
+      require(gotMap == naive, s"two-pass != naive: $gotMap vs $naive")
+      spark.catalog.clearCache()
     }
 
     if (which("kmv")) {

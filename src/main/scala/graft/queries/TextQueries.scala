@@ -1,8 +1,9 @@
 package graft.queries
 
+import graft.operators.HeavyHitters
 import graft.text._
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{abs, col, concat, lit}
+import org.apache.spark.sql.functions.{abs, col, concat, explode, lit}
 
 /** Driver-verifiable text-analysis queries over the `documents` table.
   * All but tfidf are pure per-row projections (zero shuffle) ordered by
@@ -124,6 +125,39 @@ object TextQueries {
        |SELECT row_number() OVER (ORDER BY n_occurrences DESC, token) AS rnk,
        |  token, n_docs, n_occurrences
        |FROM top ORDER BY rnk""".stripMargin
+
+  // -------------------------------------------------------- heavy hitters
+
+  private val HhGram = 5    // character n-gram length
+  private val HhDenom = 256 // heavy = share > 1/256
+  private val HhK = 320     // MG counters; k+1 > denom ⇒ lossless screen
+
+  /** Exact character-5-gram heavy hitters ([[graft.operators.HeavyHitters]]):
+    * the Misra-Gries sketch pass screens ~2k distinct grams down to
+    * ≤ $HhK candidates in bounded memory (real eviction pressure — the
+    * corpus has ~6× more distinct grams than counters), then the exact
+    * verify pass recovers true counts. The oracle is the NAIVE full
+    * frequency table with the same threshold, so the hash match
+    * re-proves the sketch screen lossless every round.
+    */
+  def textHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.loadSpread(spark, dir, "documents")
+    val items = docs.select(
+      explode(TextFeatures.charShingles(col("text"), HhGram)).as("gram"))
+    HeavyHitters.exact(items, "gram", HhDenom, HhK)
+      .orderBy(col("cnt").desc, col("gram"))
+  }
+
+  val textHeavyHittersSql: String =
+    s"""WITH g AS (SELECT substr(lower(text), CAST(i AS INT), $HhGram) AS gram
+       |    FROM documents,
+       |      LATERAL unnest(range(1, length(text) - ${HhGram - 2})) AS s(i)
+       |    WHERE length(text) >= $HhGram),
+       |tot AS (SELECT count(*) AS n_total FROM g),
+       |c AS (SELECT gram, count(*) AS cnt FROM g GROUP BY gram)
+       |SELECT gram, cnt, CAST(cnt AS DOUBLE) / n_total AS share
+       |FROM c, tot WHERE cnt * $HhDenom > n_total
+       |ORDER BY cnt DESC, gram""".stripMargin
 
   // --------------------------------------------------------- collocations
 
@@ -648,6 +682,7 @@ object TextQueries {
     "text_fingerprint" -> (textFingerprint(_, _)),
     "text_dupspans" -> (textDupspans(_, _)),
     "text_vocab" -> (textVocab(_, _)),
+    "text_heavyhitters" -> (textHeavyHitters(_, _)),
     "text_pmi" -> (textPmi(_, _)),
     "text_encode" -> (textEncode(_, _)),
     "text_drift" -> (textDrift(_, _)),
@@ -670,6 +705,7 @@ object TextQueries {
     "text_fingerprint" -> textFingerprintSql,
     "text_dupspans" -> textDupspansSql,
     "text_vocab" -> textVocabSql,
+    "text_heavyhitters" -> textHeavyHittersSql,
     "text_pmi" -> textPmiSql,
     "text_encode" -> textEncodeSql,
     "text_drift" -> textDriftSql,

@@ -38,6 +38,20 @@ object TextFeatures {
       .otherwise(array().cast(ArrayType(StringType)))
   }
 
+  /** ALL character n-grams (with multiplicity — unlike
+    * [[wordShingles]], occurrences matter to frequency consumers) of
+    * lower-cased text; empty for texts shorter than n chars (guarded —
+    * `sequence(1, k)` counts DOWN for k < 1) and for null text.
+    */
+  def charShingles(text: Column, n: Int): Column = {
+    val t = lower(text)
+    val grams = transform(
+      sequence(lit(1), length(t) - (n - 1)),
+      i => t.substr(i, lit(n)))
+    when(length(t) >= n, grams)
+      .otherwise(array().cast(ArrayType(StringType)))
+  }
+
   /** First `digits` hex chars of a (lowercase-hex) md5 string as a
     * non-negative long. 8 digits = 32 bits — safely inside Long.
     */

@@ -179,6 +179,22 @@ class PlanAuditSpec extends AnyFunSuite {
       s"bucket offsets must join back broadcast:\n$plan")
   }
 
+  test("heavy hitters: bounded object-agg sketch pass, broadcast verify, two scans") {
+    val plan = planOf("text_heavyhitters")
+    // pass 1: the MG typed buffer must aggregate as ObjectHashAggregate
+    // (partial per task, ≤ k counters each) — a sort-based fallback
+    // would mean the sketch state stopped combining map-side
+    assert(plan.contains("ObjectHashAggregate"),
+      s"MG sketch must run as an object hash aggregate:\n$plan")
+    // pass 2: the ≤ k candidates must broadcast onto the re-scan — a
+    // shuffled join here would shuffle the full posting stream
+    assert(plan.contains("BroadcastHashJoin"),
+      s"candidate verify must be a broadcast join:\n$plan")
+    // exactly the two intrinsic scans (sketch + verify), nothing extra
+    assert("Scan parquet".r.findAllIn(plan).length == 2,
+      s"expected exactly two document scans:\n$plan")
+  }
+
   test("runtime bloom filter prunes the fact scan under a selective dim filter") {
     // At 100 TB the fact side of a selective join is the dominant scan;
     // Spark's InjectRuntimeFilter turns the dim filter into a bloom
