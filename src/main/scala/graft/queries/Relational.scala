@@ -569,7 +569,92 @@ object Relational {
       |FROM orders CROSS JOIN ext
       |GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  /** Data-quality expectations run ([[graft.operators.Quality]]): the
+    * per-table rule reports (each ONE scan + one 1-row exchange
+    * regardless of rule count) plus a referential-integrity check,
+    * unioned long-form. The synthetic lineitem "PK" is genuinely
+    * non-unique and the discount/totalprice contracts genuinely fail —
+    * the report exercises both verdicts. The oracle recomputes every
+    * rule as independent SQL, so violation COUNTS (not just pass
+    * flags) are hash-gated.
+    */
+  def dqChecks(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Quality
+    import graft.operators.Quality._
+    val orders = Tables.load(spark, dir, "orders")
+    val lineitem = Tables.load(spark, dir, "lineitem")
+    val events = Tables.load(spark, dir, "events")
+    val customer = Tables.load(spark, dir, "customer")
+    Quality.report(Seq(
+      Quality.check(orders, "orders", Seq(
+        Unique("orders_orderkey_unique", Seq("o_orderkey")),
+        NotNull("orders_custkey_notnull", "o_custkey"),
+        InRange("orders_totalprice_range", "o_totalprice", "0", "400000"),
+        Matches("orders_priority_format", "o_orderpriority", "^[1-5]-"))),
+      Quality.check(lineitem, "lineitem", Seq(
+        Unique("lineitem_pk_unique", Seq("l_orderkey", "l_linenumber")),
+        InRange("lineitem_discount_range", "l_discount", "0.00", "0.08"),
+        NotNull("lineitem_shipdate_notnull", "l_shipdate"))),
+      Quality.foreignKey(events, "events", "user_id",
+        customer, "customer", "c_custkey", "events_user_fk")))
+  }
+
+  val dqChecksSql: String =
+    """WITH r AS (
+      |SELECT 'orders_orderkey_unique' AS rule_id, 'orders' AS table_name,
+      |  '(o_orderkey) unique' AS rule,
+      |  count(*) - count(DISTINCT o_orderkey) AS violations,
+      |  count(*) AS total FROM orders
+      |UNION ALL
+      |SELECT 'orders_custkey_notnull', 'orders', 'o_custkey is not null',
+      |  CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      |  count(*) FROM orders
+      |UNION ALL
+      |SELECT 'orders_totalprice_range', 'orders',
+      |  'o_totalprice between 0 and 400000',
+      |  CAST(sum(CASE WHEN o_totalprice IS NOT NULL
+      |    AND o_totalprice NOT BETWEEN 0 AND 400000
+      |    THEN 1 ELSE 0 END) AS BIGINT),
+      |  count(*) FROM orders
+      |UNION ALL
+      |SELECT 'orders_priority_format', 'orders',
+      |  'o_orderpriority matches ^[1-5]-',
+      |  CAST(sum(CASE WHEN o_orderpriority IS NOT NULL
+      |    AND NOT regexp_matches(o_orderpriority, '^[1-5]-')
+      |    THEN 1 ELSE 0 END) AS BIGINT),
+      |  count(*) FROM orders
+      |UNION ALL
+      |SELECT 'lineitem_pk_unique', 'lineitem',
+      |  '(l_orderkey, l_linenumber) unique',
+      |  count(*) - count(DISTINCT (l_orderkey, l_linenumber)),
+      |  count(*) FROM lineitem
+      |UNION ALL
+      |SELECT 'lineitem_discount_range', 'lineitem',
+      |  'l_discount between 0.00 and 0.08',
+      |  CAST(sum(CASE WHEN l_discount IS NOT NULL
+      |    AND l_discount NOT BETWEEN 0.00 AND 0.08
+      |    THEN 1 ELSE 0 END) AS BIGINT),
+      |  count(*) FROM lineitem
+      |UNION ALL
+      |SELECT 'lineitem_shipdate_notnull', 'lineitem',
+      |  'l_shipdate is not null',
+      |  CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      |  count(*) FROM lineitem
+      |UNION ALL
+      |SELECT 'events_user_fk', 'events',
+      |  'user_id references customer.c_custkey',
+      |  CAST(sum(CASE WHEN e.user_id IS NOT NULL AND c.c_custkey IS NULL
+      |    THEN 1 ELSE 0 END) AS BIGINT),
+      |  count(*)
+      |FROM events e LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+      |  ON c.c_custkey = e.user_id
+      |)
+      |SELECT rule_id, table_name, rule, violations, total,
+      |  violations = 0 AS pass
+      |FROM r ORDER BY table_name, rule_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_checks" -> (dqChecks(_, _)),
     "q1_agg" -> (q1Agg(_, _)),
     "q_histogram" -> (qHistogram(_, _)),
     "q_profile" -> (qProfile(_, _)),
@@ -610,6 +695,7 @@ object Relational {
     "q_rollup" -> qRollupSql,
     "q_pivot" -> qPivotSql,
     "q_setops" -> qSetOpsSql,
+    "dq_checks" -> dqChecksSql,
     "q_json_extract" -> qJsonExtractSql,
     "q_salted_agg" -> qSaltedAggSql)
 }

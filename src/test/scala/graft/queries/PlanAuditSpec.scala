@@ -179,6 +179,21 @@ class PlanAuditSpec extends AnyFunSuite {
       s"bucket offsets must join back broadcast:\n$plan")
   }
 
+  test("dq checks: one scan per table, FK parent broadcast, no Expand") {
+    val plan = planOf("dq_checks")
+    // every rule for a table folds into that table's single aggregate:
+    // 4 tables referenced → exactly 4 scans, however many rules run
+    assert("Scan parquet".r.findAllIn(plan).length == 4,
+      s"expected one scan per table (orders, lineitem, events, customer):\n$plan")
+    // the FK parent key set is dimension-sized and must broadcast
+    assert(plan.contains("BroadcastHashJoin"),
+      s"FK check must broadcast the parent keys:\n$plan")
+    // the single-distinct rewrite must not degrade to Expand (that is
+    // the multi-distinct plan — one Unique rule per table by contract)
+    assert(!plan.contains("Expand"),
+      s"dq aggregate planned an Expand:\n$plan")
+  }
+
   test("heavy hitters: bounded object-agg sketch pass, broadcast verify, two scans") {
     val plan = planOf("text_heavyhitters")
     // pass 1: the MG typed buffer must aggregate as ObjectHashAggregate
