@@ -63,4 +63,35 @@ object HeavyHitters {
       .select(col(itemCol), col("cnt"),
         (col("cnt").cast("double") / col("n_total")).as("share"))
   }
+
+  /** Per-group exact heavy hitters: one MG sketch per group (the
+    * aggregate buffer is per-group state, so the sketch pass is one
+    * map-side-combined shuffle of ≤ k counters per (group, task)),
+    * then the same broadcast verify keyed on (group, item). The
+    * candidate frame is groups × k rows — broadcastable while the
+    * group count is dimension-like (thousands); beyond that, drop the
+    * `broadcast` hint and let AQE pick the join side.
+    *
+    * Output: (groupCol, itemCol, cnt, share), share relative to the
+    * GROUP's total. Same k + 1 > denom lossless-screen contract,
+    * applied per group.
+    */
+  def exactPerGroup(items: DataFrame, groupCol: String, itemCol: String,
+      denom: Int, k: Int): DataFrame = {
+    require(denom >= 2, s"denom must be >= 2, got $denom")
+    require(k + 1 > denom,
+      s"lossless screen needs k + 1 > denom; got k=$k, denom=$denom")
+    val pass1 = items.groupBy(col(groupCol)).agg(
+      MisraGries(col(itemCol), k).as("__sk"),
+      count(lit(1)).as("n_total"))
+    val cand = pass1.select(col(groupCol),
+      explode(map_keys(col("__sk"))).as(itemCol), col("n_total"))
+    items
+      .join(broadcast(cand), Seq(groupCol, itemCol))
+      .groupBy(col(groupCol), col(itemCol), col("n_total"))
+      .agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") * lit(denom.toLong) > col("n_total"))
+      .select(col(groupCol), col(itemCol), col("cnt"),
+        (col("cnt").cast("double") / col("n_total")).as("share"))
+  }
 }

@@ -148,6 +148,37 @@ object TextQueries {
       .orderBy(col("cnt").desc, col("gram"))
   }
 
+  private val HhgGram = 4   // grouped variant: per-source 4-grams
+  private val HhgDenom = 256
+  private val HhgK = 320
+
+  /** Per-source heavy hitters ([[HeavyHitters.exactPerGroup]]) —
+    * parameter/shape variant of `text_heavyhitters` (per-group sketch
+    * state, (group, item) verify key). Gate-only: no bench slot, the
+    * family's runtime is `text_heavyhitters`'s (same policy as the
+    * MinHash presets).
+    */
+  def textHeavyHittersGrouped(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.loadSpread(spark, dir, "documents")
+    val items = docs.select(col("source"),
+      explode(TextFeatures.charShingles(col("text"), HhgGram)).as("gram"))
+    HeavyHitters.exactPerGroup(items, "source", "gram", HhgDenom, HhgK)
+      .orderBy(col("source"), col("cnt").desc, col("gram"))
+  }
+
+  val textHeavyHittersGroupedSql: String =
+    s"""WITH g AS (SELECT source,
+       |      substr(lower(text), CAST(i AS INT), $HhgGram) AS gram
+       |    FROM documents,
+       |      LATERAL unnest(range(1, length(text) - ${HhgGram - 2})) AS s(i)
+       |    WHERE length(text) >= $HhgGram),
+       |tot AS (SELECT source, count(*) AS n_total FROM g GROUP BY source),
+       |c AS (SELECT source, gram, count(*) AS cnt FROM g GROUP BY source, gram)
+       |SELECT c.source, gram, cnt, CAST(cnt AS DOUBLE) / n_total AS share
+       |FROM c JOIN tot ON c.source = tot.source
+       |WHERE cnt * $HhgDenom > n_total
+       |ORDER BY c.source, cnt DESC, gram""".stripMargin
+
   val textHeavyHittersSql: String =
     s"""WITH g AS (SELECT substr(lower(text), CAST(i AS INT), $HhGram) AS gram
        |    FROM documents,
@@ -683,6 +714,7 @@ object TextQueries {
     "text_dupspans" -> (textDupspans(_, _)),
     "text_vocab" -> (textVocab(_, _)),
     "text_heavyhitters" -> (textHeavyHitters(_, _)),
+    "text_heavyhitters_grouped" -> (textHeavyHittersGrouped(_, _)),
     "text_pmi" -> (textPmi(_, _)),
     "text_encode" -> (textEncode(_, _)),
     "text_drift" -> (textDrift(_, _)),
@@ -706,6 +738,7 @@ object TextQueries {
     "text_dupspans" -> textDupspansSql,
     "text_vocab" -> textVocabSql,
     "text_heavyhitters" -> textHeavyHittersSql,
+    "text_heavyhitters_grouped" -> textHeavyHittersGroupedSql,
     "text_pmi" -> textPmiSql,
     "text_encode" -> textEncodeSql,
     "text_drift" -> textDriftSql,

@@ -57,6 +57,23 @@ object HeavyHitterProps extends Properties("HeavyHitters") {
       got == want
     }
 
+  property("per-group two-pass exact == naive per-group filter, any partitioning") =
+    forAll(genCorpus, genCorpus, Gen.choose(2, 6), Gen.choose(1, 6)) {
+      (ca, cb, denom, parts) =>
+        import spark.implicits._
+        val rows = ca.map(("ga", _)) ++ cb.map(("gb", _))
+        val items = rows.toDF("g", "t").repartition(parts)
+        val got = HeavyHitters.exactPerGroup(items, "g", "t", denom, k = denom)
+          .select("g", "t", "cnt").collect()
+          .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+        val want = rows.groupBy(identity).view.mapValues(_.size.toLong)
+          .filter { case ((g, _), c) =>
+            val n = (if (g == "ga") ca else cb).size.toLong
+            c * denom > n
+          }.toMap
+        got == want
+    }
+
   property("null items are ignored; all-null input yields an empty sketch") =
     forAll(Gen.choose(1, 5)) { k =>
       import spark.implicits._
