@@ -25,7 +25,8 @@ object Stress {
         "shards", "decontam", "bloomdecontam", "encode", "chunks", "kmv",
         "dupspans", "incr", "aggmerge", "funnel", "anomaly", "lmscore",
         "scd2", "semantic", "pmi", "epochs", "order", "profilediff",
-        "outliers", "pagerank", "equidepth", "outliersbig", "heavyhitters")
+        "outliers", "pagerank", "equidepth", "outliersbig", "heavyhitters",
+        "hll")
     val spark = Sessions.local("32")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -396,6 +397,29 @@ object Stress {
       val gotMap = got.map(r => r.getString(0) -> r.getLong(1)).toMap
       require(gotMap == naive, s"two-pass != naive: $gotMap vs $naive")
       spark.catalog.clearCache()
+    }
+
+    if (which("hll")) {
+      // same regime as the kmv case: 10M postings / 32 groups, all
+      // values distinct — the constant-size registers must land within
+      // the 6.5%-σ envelope while shuffling 256 bytes per (group, task)
+      val posts = staged(spark.range(10000000L)
+        .select(pmod(col("id"), lit(32L)).cast("string").as("grp"),
+          md5(col("id").cast("string")).as("v"))
+        .repartition(32))
+      timed("hll") {
+        val rows = operators.HllSketch.distinctEstimateAgg(posts, "grp", "v")
+          .collect()
+        rows.foreach { r =>
+          val est = r.getAs[Double]("est_raw")
+          val truth = 312500.0
+          // max-over-32-groups of a 6.5%-σ estimator: 0.3 ≈ 4.6σ (the
+          // kmv case uses the same allowance); observed worst 22%
+          require(math.abs(est - truth) / truth < 0.3,
+            s"group ${r.getString(0)} estimate $est too far from $truth")
+        }
+        rows.length.toLong
+      }
     }
 
     if (which("kmv")) {

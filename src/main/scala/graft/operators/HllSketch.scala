@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.expressions.HllRegisters
+import graft.text.TextFeatures
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** HyperLogLog distinct-count estimation per group — the
+  * constant-size companion sketch to [[KmvSketch]] (256 bytes per
+  * group vs k longs; error fixed at ≈6.5% vs KMV's adaptive bound).
+  *
+  * Two formulations, bit-identical by construction (register maxes are
+  * associative/commutative, the harmonic sum is exact integer
+  * arithmetic — see [[HllRegisters]]):
+  *
+  *   - [[distinctEstimate]] — composable built-ins: per-(group,
+  *     bucket) max-aggregate, then a per-group rollup. Two shuffles,
+  *     but the first is map-side combined to ≤ 256 rows per group per
+  *     task. The SQL oracle recomputes THIS form;
+  *   - [[distinctEstimateAgg]] — ONE aggregation holding the 256-byte
+  *     register array in the buffer ([[HllRegisters]]): a single
+  *     exchange of 256 bytes per group per task. The production form
+  *     at 100 TB, re-proved against the composable oracle every round
+  *     by the `hll_distinct` hash gate.
+  *
+  * Both emit `(grp, n_zero, s41, est_raw)` — raw estimate only; the
+  * linear-counting small-range correction is the caller's (it needs a
+  * ln() no two engines agree on bit-for-bit, and below m distinct the
+  * KMV sketch is exact anyway).
+  */
+object HllSketch {
+
+  /** rho of the low 40 bits of a 48-bit hash: 41 − bitlength(w) via
+    * the bin()-string trick both engines implement (no leading
+    * zeros), w = 0 → 41.
+    */
+  private def rho(w: Column): Column =
+    when(w === 0L, lit(41)).otherwise(lit(41) - length(bin(w)))
+
+  /** Composable form (the oracle's formulation). */
+  def distinctEstimate(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val h = KmvSketch.hash48(col(valueCol))
+    val regs = df
+      .select(col(groupCol).as("grp"),
+        shiftright(h, 40).as("bucket"),
+        rho(h.bitwiseAND(lit((1L << 40) - 1))).as("r"))
+      .groupBy(col("grp"), col("bucket"))
+      .agg(max(col("r")).as("m"))
+    regs
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_regs"),
+        sum(expr("shiftleft(1L, 41 - m)")).as("s_present"))
+      .select(col("grp"),
+        (lit(HllRegisters.M.toLong) - col("n_regs")).as("n_zero"),
+        (col("s_present") +
+          (lit(HllRegisters.M.toLong) - col("n_regs")) *
+            lit(1L << 41)).as("s41"))
+      .withColumn("est_raw",
+        lit(HllRegisters.Alpha) * lit(65536.0) * lit(HllRegisters.Pow41) /
+          col("s41"))
+  }
+
+  /** Single-aggregation form ([[HllRegisters]]) — one exchange. */
+  def distinctEstimateAgg(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame =
+    df.groupBy(col(groupCol).as("grp"))
+      .agg(HllRegisters(KmvSketch.hash48(col(valueCol))).as("sk"))
+      .select(col("grp"), col("sk.n_zero").as("n_zero"),
+        col("sk.s41").as("s41"), col("sk.est_raw").as("est_raw"))
+}

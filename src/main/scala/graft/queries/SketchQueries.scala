@@ -54,6 +54,50 @@ object SketchQueries {
        |FROM r WHERE rk <= $KmvK GROUP BY grp ORDER BY grp""".stripMargin
   }
 
+  /** HLL distinct 3-gram estimate per source — same postings as
+    * `kmv_distinct`, the constant-size register sketch instead of the
+    * bottom-k ([[graft.operators.HllSketch]]). Runs the
+    * single-aggregation [[graft.expressions.HllRegisters]] form; the
+    * oracle recomputes every register and the exact-integer harmonic
+    * sum the composable way, so the hash gate re-proves the custom
+    * aggregate bit-identical each round (including the one double
+    * division both engines must agree on).
+    */
+  def hllDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.loadSpread(spark, dir, "documents")
+    val posts = docs.select(col("source"),
+      explode(TextFeatures.wordShingles(
+        TextFeatures.words(col("text")), 3)).as("gram"))
+    graft.operators.HllSketch.distinctEstimateAgg(posts, "source", "gram")
+      .orderBy("grp")
+  }
+
+  val hllDistinctSql: String = {
+    val h = OracleDialect.hexPrefixToLong("md5(gram)", 12)
+    s"""WITH w AS (SELECT source, string_split(lower(text), ' ') AS w
+       |  FROM documents),
+       |g AS (SELECT source, CASE WHEN len(w) >= 3 THEN
+       |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+       |      for i in generate_series(1, len(w) - 2)])
+       |  ELSE [] END AS grams FROM w),
+       |p AS (SELECT source AS grp, unnest(grams) AS gram FROM g),
+       |h AS (SELECT grp, CAST($h AS BIGINT) AS h FROM p),
+       |r AS (SELECT grp, h >> 40 AS bucket,
+       |    h & 1099511627775 AS wlow FROM h),
+       |reg AS (SELECT grp, bucket,
+       |    max(CASE WHEN wlow = 0 THEN 41
+       |             ELSE 41 - length(bin(wlow)) END) AS m
+       |  FROM r GROUP BY grp, bucket),
+       |agg AS (SELECT grp, count(*) AS n_regs,
+       |    CAST(sum(CAST(1 AS BIGINT) << (41 - m)) AS BIGINT) AS s_present
+       |  FROM reg GROUP BY grp)
+       |SELECT grp, 256 - n_regs AS n_zero,
+       |  s_present + (256 - n_regs) * 2199023255552 AS s41,
+       |  0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 2199023255552.0
+       |    / (s_present + (256 - n_regs) * 2199023255552) AS est_raw
+       |FROM agg ORDER BY grp""".stripMargin
+  }
+
   /** Z-order layout audit over orders, dimensions (o_custkey,
     * order-day): rows bucketed by z-value prefix, each bucket's
     * bounding box in both dimensions — the min/max spans parquet
@@ -87,9 +131,11 @@ object SketchQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kmv_distinct" -> (kmvDistinct(_, _)),
+    "hll_distinct" -> (hllDistinct(_, _)),
     "zorder_stats" -> (zorderStats(_, _)))
 
   val oracleSql: Map[String, String] = Map(
     "kmv_distinct" -> kmvDistinctSql,
+    "hll_distinct" -> hllDistinctSql,
     "zorder_stats" -> zorderStatsSql)
 }
