@@ -98,6 +98,39 @@ object SketchQueries {
        |FROM agg ORDER BY grp""".stripMargin
   }
 
+  /** Per-event-type p50/p95/p99 of `value` via the log-bucketed
+    * quantile sketch ([[graft.operators.LogQuantile]]) — the raw
+    * stream crosses ONE (grp, bucket) count shuffle; ranks and edges
+    * are pure integer arithmetic mirrored verbatim by the oracle, so
+    * the hash gate proves bucket ids, cumulative ranks AND the
+    * reported edges identical.
+    */
+  def quantileSketch(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.load(spark, dir, "events")
+    graft.operators.LogQuantile.quantiles(events, "event_type", "value")
+      .orderBy("grp", "p")
+  }
+
+  val quantileSketchSql: String = {
+    import graft.operators.LogQuantile.{bucketSql, lowerEdgeSql}
+    s"""WITH iv AS (SELECT event_type AS grp,
+       |    CAST(round(value * 100) AS BIGINT) AS iv FROM events),
+       |b AS (SELECT grp, ${bucketSql("iv")} AS bucket FROM iv),
+       |sk AS (SELECT grp, bucket, count(*) AS cnt FROM b GROUP BY grp, bucket),
+       |cum AS (SELECT grp, bucket, cnt, sum(cnt) OVER (PARTITION BY grp
+       |    ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cum FROM sk),
+       |tot AS (SELECT grp, CAST(sum(cnt) AS BIGINT) AS n
+       |  FROM sk GROUP BY grp),
+       |pr AS (SELECT * FROM (VALUES (50, 100, 'p50'), (95, 100, 'p95'),
+       |    (99, 100, 'p99')) AS t(num, den, p)),
+       |sel AS (SELECT c.grp, pr.p, min(c.bucket) AS bucket, max(t.n) AS n
+       |  FROM cum c JOIN tot t ON c.grp = t.grp CROSS JOIN pr
+       |  WHERE c.cum >= (pr.num * t.n + pr.den - 1) // pr.den
+       |  GROUP BY c.grp, pr.p)
+       |SELECT grp, p, CAST(${lowerEdgeSql("bucket")} AS DOUBLE) / 100 AS q, n
+       |FROM sel ORDER BY grp, p""".stripMargin
+  }
+
   /** Z-order layout audit over orders, dimensions (o_custkey,
     * order-day): rows bucketed by z-value prefix, each bucket's
     * bounding box in both dimensions — the min/max spans parquet
@@ -132,10 +165,12 @@ object SketchQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kmv_distinct" -> (kmvDistinct(_, _)),
     "hll_distinct" -> (hllDistinct(_, _)),
+    "quantile_sketch" -> (quantileSketch(_, _)),
     "zorder_stats" -> (zorderStats(_, _)))
 
   val oracleSql: Map[String, String] = Map(
     "kmv_distinct" -> kmvDistinctSql,
     "hll_distinct" -> hllDistinctSql,
+    "quantile_sketch" -> quantileSketchSql,
     "zorder_stats" -> zorderStatsSql)
 }
