@@ -96,6 +96,8 @@ object Bench {
     spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
     println(s"""{"metric":"total_min","value":${f3(results.map(_._2._2).filter(_ >= 0).sum)},"unit":"sec","queries_min":$qsMin}""")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","reps":$reps}""")
+    // sf as basename: the full path cost 15 chars of the ~70-char
+    // tail-window margin the final line lives on
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"${new java.io.File(sfDir).getName}","reps":$reps}""")
   }
 }
