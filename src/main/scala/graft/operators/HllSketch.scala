@@ -37,16 +37,33 @@ object HllSketch {
   private def rho(w: Column): Column =
     when(w === 0L, lit(41)).otherwise(lit(41) - length(bin(w)))
 
-  /** Composable form (the oracle's formulation). */
-  def distinctEstimate(df: DataFrame, groupCol: String,
+  /** The register frame (grp, bucket, m) — the sketch's MATERIAL form
+    * for standing tables: registers of a union are the per-(grp,
+    * bucket) max of register frames ([[merge]]), so a standing sketch
+    * folds a delta batch without rescanning history — the same
+    * incremental-maintenance contract as [[AggMerge]], machine-checked
+    * by the `hll_upsert` gate's incremental ≡ recompute identity.
+    */
+  def registers(df: DataFrame, groupCol: String,
       valueCol: String): DataFrame = {
     val h = KmvSketch.hash48(col(valueCol))
-    val regs = df
-      .select(col(groupCol).as("grp"),
+    df.select(col(groupCol).as("grp"),
         shiftright(h, 40).as("bucket"),
         rho(h.bitwiseAND(lit((1L << 40) - 1))).as("r"))
       .groupBy(col("grp"), col("bucket"))
       .agg(max(col("r")).as("m"))
+  }
+
+  /** Fold a delta register frame into a standing one (max of maxes —
+    * lossless, order-free; one shuffle of two tiny frames).
+    */
+  def merge(standing: DataFrame, delta: DataFrame): DataFrame =
+    standing.unionByName(delta)
+      .groupBy(col("grp"), col("bucket"))
+      .agg(max(col("m")).as("m"))
+
+  /** (grp, n_zero, s41, est_raw) from a register frame. */
+  def estimate(regs: DataFrame): DataFrame =
     regs
       .groupBy(col("grp"))
       .agg(count(lit(1)).as("n_regs"),
@@ -59,7 +76,11 @@ object HllSketch {
       .withColumn("est_raw",
         lit(HllRegisters.Alpha) * lit(65536.0) * lit(HllRegisters.Pow41) /
           col("s41"))
-  }
+
+  /** Composable form (the oracle's formulation). */
+  def distinctEstimate(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame =
+    estimate(registers(df, groupCol, valueCol))
 
   /** Single-aggregation form ([[HllRegisters]]) — one exchange. */
   def distinctEstimateAgg(df: DataFrame, groupCol: String,

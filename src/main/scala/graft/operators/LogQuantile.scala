@@ -66,12 +66,23 @@ object LogQuantile {
     * `ps` are integer fractions (num, den, label).
     */
   def quantiles(df: DataFrame, groupCol: String, valueCol: String,
-      ps: Seq[(Int, Int, String)] = Seq((50, 100, "p50"), (95, 100, "p95"),
-        (99, 100, "p99")),
+      ps: Seq[(Int, Int, String)] = DefaultPs,
+      scale: Int = 100): DataFrame =
+    quantilesFromSketch(sketch(df, groupCol, valueCol, scale), ps, scale)
+
+  val DefaultPs: Seq[(Int, Int, String)] =
+    Seq((50, 100, "p50"), (95, 100, "p95"), (99, 100, "p99"))
+
+  /** Quantiles from an already-built (grp, bucket, cnt) sketch frame
+    * — the entry point for MERGED sketches (standing + delta, or a
+    * streamed window's buckets): everything downstream of the raw
+    * data's one shuffle operates on the tiny bucket frame.
+    */
+  def quantilesFromSketch(sk: DataFrame,
+      ps: Seq[(Int, Int, String)] = DefaultPs,
       scale: Int = 100): DataFrame = {
-    val spark = df.sparkSession
+    val spark = sk.sparkSession
     import spark.implicits._
-    val sk = sketch(df, groupCol, valueCol, scale)
     val w = Window.partitionBy(col("grp")).orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = sk.withColumn("cum", sum(col("cnt")).over(w))

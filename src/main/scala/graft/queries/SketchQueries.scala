@@ -98,6 +98,47 @@ object SketchQueries {
        |FROM agg ORDER BY grp""".stripMargin
   }
 
+  /** Incremental HLL maintenance ([[graft.operators.HllSketch.merge]]):
+    * a standing register table built from pre-cut events folds in the
+    * post-cut delta batch WITHOUT rescanning history; the oracle
+    * recomputes the sketch from ALL events in one pass, so the hash
+    * match is a machine-checked incremental ≡ recompute identity —
+    * the sketch-table analogue of `q_agg_upsert`. Gate-only (no bench
+    * slot): runtime is the hll family's, the identity is the point.
+    */
+  def hllUpsert(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.HllSketch
+    val ev = Tables.loadEvents(spark, dir)
+      .select(col("event_type"), col("ts"),
+        col("event_id").cast("string").as("item"))
+    val cut = lit("2024-01-20 00:00:00").cast("timestamp_ntz")
+    val standing = HllSketch.registers(ev.filter(col("ts") < cut),
+      "event_type", "item")
+    val delta = HllSketch.registers(ev.filter(col("ts") >= cut),
+      "event_type", "item")
+    HllSketch.estimate(HllSketch.merge(standing, delta)).orderBy("grp")
+  }
+
+  val hllUpsertSql: String = {
+    val h = OracleDialect.hexPrefixToLong("md5(CAST(event_id AS VARCHAR))", 12)
+    s"""WITH h AS (SELECT event_type AS grp, CAST($h AS BIGINT) AS h
+       |  FROM events),
+       |r AS (SELECT grp, h >> 40 AS bucket,
+       |    h & 1099511627775 AS wlow FROM h),
+       |reg AS (SELECT grp, bucket,
+       |    max(CASE WHEN wlow = 0 THEN 41
+       |             ELSE 41 - length(bin(wlow)) END) AS m
+       |  FROM r GROUP BY grp, bucket),
+       |agg AS (SELECT grp, count(*) AS n_regs,
+       |    CAST(sum(CAST(1 AS BIGINT) << (41 - m)) AS BIGINT) AS s_present
+       |  FROM reg GROUP BY grp)
+       |SELECT grp, 256 - n_regs AS n_zero,
+       |  s_present + (256 - n_regs) * 2199023255552 AS s41,
+       |  0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 2199023255552.0
+       |    / (s_present + (256 - n_regs) * 2199023255552) AS est_raw
+       |FROM agg ORDER BY grp""".stripMargin
+  }
+
   /** Per-event-type p50/p95/p99 of `value` via the log-bucketed
     * quantile sketch ([[graft.operators.LogQuantile]]) — the raw
     * stream crosses ONE (grp, bucket) count shuffle; ranks and edges
@@ -165,12 +206,14 @@ object SketchQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kmv_distinct" -> (kmvDistinct(_, _)),
     "hll_distinct" -> (hllDistinct(_, _)),
+    "hll_upsert" -> (hllUpsert(_, _)),
     "quantile_sketch" -> (quantileSketch(_, _)),
     "zorder_stats" -> (zorderStats(_, _)))
 
   val oracleSql: Map[String, String] = Map(
     "kmv_distinct" -> kmvDistinctSql,
     "hll_distinct" -> hllDistinctSql,
+    "hll_upsert" -> hllUpsertSql,
     "quantile_sketch" -> quantileSketchSql,
     "zorder_stats" -> zorderStatsSql)
 }

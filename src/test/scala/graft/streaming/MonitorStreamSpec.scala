@@ -3,6 +3,7 @@ package graft.streaming
 import graft.SparkTestSession
 import graft.operators.Quality._
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 import java.sql.Timestamp
 
@@ -55,6 +56,52 @@ class MonitorStreamSpec extends AnyFunSuite {
       QualityMonitor.batchState(Seq((1L, "x")).toDF("id", "s"), "t",
         Seq(Unique("u", Seq("id"))))
     }
+  }
+
+  test("quantile stream: windowed sketch == batch sketch; quantiles agree") {
+    import graft.operators.LogQuantile
+    val w1 = (1 to 40).map(i => (ts("2024-01-01 10:10:00"), "g", i * 7 / 100.0))
+    val w1b = (1 to 25).map(i => (ts("2024-01-01 10:45:00"), "g", i * 31 / 100.0))
+    val w2 = (1 to 10).map(i => (ts("2024-01-01 11:20:00"), "g", i / 100.0))
+
+    val stream = MemoryStream[(Timestamp, String, Double)](spark)
+    val q = QuantileStream.windowedSketch(
+        stream.toDF().toDF("ts", "g", "v"), "ts", "g", "v", "1 hour")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("qsk").start()
+    try {
+      stream.addData(w1)
+      q.processAllAvailable()
+      stream.addData(w1b ++ w2) // second batch extends window 10:00
+      q.processAllAvailable()
+
+      // materialize the emitted frame (as a stored sketch table would
+      // be) — also sidesteps self-join reference dedup over the
+      // memory-sink view inside quantilesFromSketch
+      val streamed = spark.table("qsk")
+        .collect().map(r => (r.getAs[Timestamp]("window_start"),
+          r.getAs[String]("grp"), r.getAs[Long]("bucket"),
+          r.getAs[Long]("cnt"))).toSeq
+      def skOf(win: String) = streamed.filter(_._1 == ts(win))
+        .map(r => (r._2, r._3, r._4)).toDF("grp", "bucket", "cnt")
+      // window 10:00 accumulated across two micro-batches == batch sketch
+      val batch10 = LogQuantile.sketch(
+        (w1 ++ w1b).map(r => (r._2, r._3)).toDF("g", "v"), "g", "v")
+      assert(skOf("2024-01-01 10:00:00").collect().toSet ===
+        batch10.collect().toSet)
+      // quantiles extracted from the STREAMED bucket frame equal the
+      // batch operator end-to-end
+      val gotQ = LogQuantile.quantilesFromSketch(skOf("2024-01-01 10:00:00"))
+        .collect().map(r => r.getAs[String]("p") -> r.getAs[Double]("q")).toMap
+      val wantQ = LogQuantile.quantiles(
+          (w1 ++ w1b).map(r => (r._2, r._3)).toDF("g", "v"), "g", "v")
+        .collect().map(r => r.getAs[String]("p") -> r.getAs[Double]("q")).toMap
+      assert(gotQ === wantQ)
+      // window 11:00 is independent state
+      assert(skOf("2024-01-01 11:00:00").collect().toSet ===
+        LogQuantile.sketch(w2.map(r => (r._2, r._3)).toDF("g", "v"),
+          "g", "v").collect().toSet)
+    } finally q.stop()
   }
 
   test("heavy-hitter stream: cross-batch MG state keeps the deficit guarantee per window") {
