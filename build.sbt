@@ -19,7 +19,8 @@ run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // ...and keep sbt's own "[success] Total time" epilogue out of the
 // window: the harness keeps only the last 2000 chars of output, and the
 // ~80-char success line would eat the final metric line's tail margin
-// (the 83-query JSON line is ~1850 chars)
+// (87 bench queries → ~1920-char line with the sf basename; adding a
+// bench slot costs ~22 chars — re-check the margin when adding slots)
 Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

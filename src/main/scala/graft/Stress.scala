@@ -382,7 +382,10 @@ object Stress {
           .otherwise(concat(lit("t"), (col("id") % 1000000L).cast("string")))
           .as("t")).repartition(32))
       var got: Array[org.apache.spark.sql.Row] = null
-      timed("heavyhitters") {
+      // timedWarm: the naive cross-check below must reuse the STAGED
+      // frame (timed's trailing clearCache would force a full input
+      // rebuild for it — the documented lmscore trap)
+      timedWarm("heavyhitters") {
         got = operators.HeavyHitters.exact(items, "t", denom = 256, k = 320)
           .collect() // ≤ k rows by construction
         require(got.length == 16, s"expected the 16 planted heavy items, " +

@@ -47,7 +47,11 @@ object HllSketch {
   def registers(df: DataFrame, groupCol: String,
       valueCol: String): DataFrame = {
     val h = KmvSketch.hash48(col(valueCol))
-    df.select(col(groupCol).as("grp"),
+    // null values must not materialize a phantom NULL-bucket register:
+    // the typed aggregate ignores nulls (SQL convention), and the two
+    // forms' bit-identity contract depends on this filter matching it
+    df.where(col(valueCol).isNotNull)
+      .select(col(groupCol).as("grp"),
         shiftright(h, 40).as("bucket"),
         rho(h.bitwiseAND(lit((1L << 40) - 1))).as("r"))
       .groupBy(col("grp"), col("bucket"))

@@ -65,6 +65,9 @@ object Quality {
     */
   def check(df: DataFrame, table: String, rules: Seq[Rule]): DataFrame = {
     require(rules.nonEmpty, "no rules given")
+    require(rules.map(_.id).distinct.size == rules.size,
+      s"duplicate rule ids: ${rules.map(_.id).diff(rules.map(_.id).distinct)}" +
+        " — the per-rule aggregate columns are keyed by id")
     require(rules.count(_.isInstanceOf[Unique]) <= 1,
       "several Unique rules on one table would plan an Expand — " +
         "run them as separate check() calls")

@@ -112,10 +112,13 @@ object SketchQueries {
       .select(col("event_type"), col("ts"),
         col("event_id").cast("string").as("item"))
     val cut = lit("2024-01-20 00:00:00").cast("timestamp_ntz")
+    // exhaustive split: a null ts must land SOMEWHERE (the oracle
+    // recomputes from ALL events — a row dropped by both filters
+    // would break the identity on dirty data)
     val standing = HllSketch.registers(ev.filter(col("ts") < cut),
       "event_type", "item")
-    val delta = HllSketch.registers(ev.filter(col("ts") >= cut),
-      "event_type", "item")
+    val delta = HllSketch.registers(
+      ev.filter(col("ts").isNull || col("ts") >= cut), "event_type", "item")
     HllSketch.estimate(HllSketch.merge(standing, delta)).orderBy("grp")
   }
 

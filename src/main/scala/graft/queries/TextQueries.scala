@@ -170,8 +170,8 @@ object TextQueries {
     s"""WITH g AS (SELECT source,
        |      substr(lower(text), CAST(i AS INT), $HhgGram) AS gram
        |    FROM documents,
-       |      LATERAL unnest(range(1, length(text) - ${HhgGram - 2})) AS s(i)
-       |    WHERE length(text) >= $HhgGram),
+       |      LATERAL unnest(range(1, length(lower(text)) - ${HhgGram - 2})) AS s(i)
+       |    WHERE length(lower(text)) >= $HhgGram),
        |tot AS (SELECT source, count(*) AS n_total FROM g GROUP BY source),
        |c AS (SELECT source, gram, count(*) AS cnt FROM g GROUP BY source, gram)
        |SELECT c.source, gram, cnt, CAST(cnt AS DOUBLE) / n_total AS share
@@ -182,8 +182,8 @@ object TextQueries {
   val textHeavyHittersSql: String =
     s"""WITH g AS (SELECT substr(lower(text), CAST(i AS INT), $HhGram) AS gram
        |    FROM documents,
-       |      LATERAL unnest(range(1, length(text) - ${HhGram - 2})) AS s(i)
-       |    WHERE length(text) >= $HhGram),
+       |      LATERAL unnest(range(1, length(lower(text)) - ${HhGram - 2})) AS s(i)
+       |    WHERE length(lower(text)) >= $HhGram),
        |tot AS (SELECT count(*) AS n_total FROM g),
        |c AS (SELECT gram, count(*) AS cnt FROM g GROUP BY gram)
        |SELECT gram, cnt, CAST(cnt AS DOUBLE) / n_total AS share

@@ -26,10 +26,15 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   *
   * Per micro-batch the distributed work is the batch engine itself
   * (one scan + a 1-row exchange per table, parent keys broadcast);
-  * the driver folds one tiny (violations, total) pair per rule. The
-  * closure state does not survive a restart — persist the pairs from
-  * `onBatch` and re-seed by merging, which mergeability makes
-  * lossless.
+  * the driver folds one tiny (violations, total) pair per rule.
+  * Replays of an already-folded batch id within a run are skipped
+  * (foreachBatch is at-least-once). The closure state does not
+  * survive a restart: to recover WITHOUT double counting, persist
+  * (batchId, running pairs) atomically per batch and re-seed from the
+  * LAST persisted snapshot — a replayed batch then either was already
+  * inside the snapshot (its id ≤ the snapshot's) or folds exactly
+  * once; merging two independently-accumulated snapshots of
+  * overlapping batch ranges is NOT lossless.
   */
 object QualityMonitor {
 
@@ -87,9 +92,12 @@ object QualityMonitor {
       "Unique is not additive across batches — screen against a " +
         "standing index (IngestScreen) instead")
     var running = Map.empty[String, RuleState]
+    var lastBatch = -1L
     stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      if (!batch.isEmpty) {
+      // at-least-once: a replayed id must not fold twice
+      if (batchId > lastBatch && !batch.isEmpty) {
         running = mergeStates(running, batchState(batch, table, rules, fks))
+        lastBatch = batchId
         onBatch(batchId, running)
       }
     }
