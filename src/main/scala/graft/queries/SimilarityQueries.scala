@@ -122,6 +122,58 @@ object SimilarityQueries {
        |WHERE rank <= $K ORDER BY q_id, rank""".stripMargin
   }
 
+  // --------------------------------------------------------------- kmeans
+
+  private val kmCfg = KMeans.Config()
+  private val Dim = 64 // embeddings table dimension (TESTDATA.md)
+
+  def embedKmeans(spark: SparkSession, dir: String): DataFrame =
+    KMeans.fit(Tables.loadSpread(spark, dir, "embeddings"),
+        "vec_id", "embedding", kmCfg)
+      .orderBy("vec_id")
+
+  /** The oracle unrolls all Lloyd's iterations as chained CTEs (the
+    * graph_pagerank pattern): seeds → assign → recompute → … → final
+    * assignment. Every number along the chain is either an exact
+    * integer-valued double (quantized components, their sums) or a
+    * deterministic IEEE expression mirrored operand-for-operand
+    * (`qn + cn − 2·dot`, one division per mean), so the final
+    * (vec_id, cluster, dist) rows hash-match bit-for-bit.
+    */
+  val embedKmeansSql: String = {
+    val scale = f"${kmCfg.scale}%.1f"
+    def assignCte(name: String, cents: String) =
+      s"""$name AS (SELECT vec_id, q, qn, cid, dist FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |      ORDER BY dist, cid) AS rn FROM (
+         |    SELECT n.vec_id, n.q, n.qn, c.cid,
+         |      n.qn + c.cn - 2 * ${foldDot("n.q", "c.cv")} AS dist
+         |    FROM n CROSS JOIN $cents c)) WHERE rn = 1)""".stripMargin
+    def centCte(name: String, asg: String) =
+      s"""${name}m AS (
+         |  SELECT cid, g.i AS pos, sum(q[g.i]) / count(*) AS m
+         |  FROM $asg CROSS JOIN generate_series(1, $Dim) AS g(i)
+         |  GROUP BY cid, g.i),
+         |$name AS (
+         |  SELECT cid, cv, ${foldDot("cv", "cv")} AS cn FROM (
+         |    SELECT cid, list(m ORDER BY pos) AS cv
+         |    FROM ${name}m GROUP BY cid))""".stripMargin
+    val rounds = (2 to kmCfg.iters).map { i =>
+      centCte(s"c${i - 1}", s"a${i - 1}") + ",\n" +
+        assignCte(s"a$i", s"c${i - 1}")
+    }.mkString(",\n")
+    s"""WITH v AS (SELECT vec_id,
+       |    [floor(x * $scale) for x in embedding::DOUBLE[]] AS q
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, q, ${foldDot("q", "q")} AS qn FROM v),
+       |c0 AS (SELECT vec_id AS cid, q AS cv, ${foldDot("q", "q")} AS cn
+       |  FROM v WHERE vec_id < ${kmCfg.k}),
+       |${assignCte("a1", "c0")},
+       |$rounds
+       |SELECT vec_id, cid AS cluster, dist FROM a${kmCfg.iters}
+       |ORDER BY vec_id""".stripMargin
+  }
+
   // --------------------------------------------------------------- recall
 
   /** recall@k of the LSH index against exact brute force, per query —
@@ -166,11 +218,13 @@ object SimilarityQueries {
     "sim_topk" -> (simTopk(_, _)),
     "sim_lsh_bucket" -> (simLshBucket(_, _)),
     "sim_ivf" -> (simIvf(_, _)),
-    "sim_recall" -> (simRecall(_, _)))
+    "sim_recall" -> (simRecall(_, _)),
+    "embed_kmeans" -> (embedKmeans(_, _)))
 
   val oracleSql: Map[String, String] = Map(
     "sim_topk" -> simTopkSql,
     "sim_lsh_bucket" -> simLshBucketSql,
     "sim_ivf" -> simIvfSql,
-    "sim_recall" -> simRecallSql)
+    "sim_recall" -> simRecallSql,
+    "embed_kmeans" -> embedKmeansSql)
 }
