@@ -80,7 +80,8 @@ object SparkEntry {
     "text_tfidf", "text_normalize", "text_pack", "text_pack_stats",
     "text_decontam", "text_decontam_bloom", "text_pii", "text_chunks",
     "kmv_distinct", "hll_distinct", "quantile_sketch", "zorder_stats",
-    "sim_topk", "sim_lsh_bucket", "sim_ivf", "sim_recall", "embed_kmeans",
+    "sim_topk", "sim_lsh_bucket", "sim_ivf", "sim_recall", "sim_quant",
+    "embed_kmeans",
     "mm_meta", "mm_frames", "mm_format_stats", "mm_decode",
     "pipeline_curate",
     "pipeline_mix")

@@ -16,6 +16,7 @@ object SimilarityQueries {
 
   private val K = 10
   private val QueryCount = 8 // query set = vec_id < 8
+  private val Dim = 64 // embeddings table dimension (TESTDATA.md)
   private[queries] val lshCfg = HyperplaneLSH.Config()
   private val ivfCfg = IVFIndex.Config()
   import OracleDialect.foldDot
@@ -122,10 +123,55 @@ object SimilarityQueries {
        |WHERE rank <= $K ORDER BY q_id, rank""".stripMargin
   }
 
+  // ----------------------------------------------------------- int8 screen
+
+  private val sqCfg = ScalarQuant.Config()
+
+  def simQuant(spark: SparkSession, dir: String): DataFrame =
+    ScalarQuant.topK(Tables.loadSpread(spark, dir, "embeddings"),
+        "vec_id", "embedding", _ < QueryCount, K, sqCfg)
+      .orderBy("q_id", "rank")
+
+  /** Every quantized code and distance is an exact small integer, and
+    * the exact-cosine re-rank reuses the sim_topk fold — so the whole
+    * screen-then-rerank chain hash-matches without tolerance.
+    */
+  val simQuantSql: String = {
+    val lv = f"${sqCfg.levels.toDouble}%.1f"
+    s"""WITH v0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |mm AS (SELECT g.i AS pos, min(v[g.i]) AS mn, max(v[g.i]) AS mx
+       |  FROM v0 CROSS JOIN generate_series(1, $Dim) AS g(i) GROUP BY g.i),
+       |b AS (SELECT list(mn ORDER BY pos) AS mn, list(mx ORDER BY pos) AS mx
+       |  FROM mm),
+       |n AS (SELECT vec_id, v, ${foldDot("v", "v")} AS nrm,
+       |    [CASE WHEN b.mx[i] - b.mn[i] = 0 THEN 0.0
+       |          ELSE floor((v[i] - b.mn[i]) * $lv / (b.mx[i] - b.mn[i])) END
+       |     for i in generate_series(1, len(v))] AS qv
+       |  FROM v0 CROSS JOIN b),
+       |n2 AS (SELECT vec_id, v, nrm, qv, ${foldDot("qv", "qv")} AS qn2
+       |  FROM n),
+       |p AS (SELECT q.vec_id AS q_id, d.vec_id AS n_id, q.v AS pv,
+       |    q.nrm AS pn, d.v, d.nrm,
+       |    CAST(q.qn2 + d.qn2 - 2 * ${foldDot("q.qv", "d.qv")} AS BIGINT)
+       |      AS dist_q
+       |  FROM n2 q CROSS JOIN n2 d
+       |  WHERE q.vec_id < $QueryCount AND d.vec_id <> q.vec_id),
+       |s AS (SELECT q_id, n_id, dist_q,
+       |    ${foldDot("pv", "v")} / (sqrt(pn) * sqrt(nrm)) AS cos_sim
+       |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY dist_q, n_id) AS srank FROM p)
+       |  WHERE srank <= ${sqCfg.screenK})
+       |SELECT q_id, rank, n_id, cos_sim, dist_q FROM (
+       |  SELECT q_id, n_id, cos_sim, dist_q,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id
+       |                       ORDER BY cos_sim DESC, n_id) AS rank
+       |  FROM s)
+       |WHERE rank <= $K ORDER BY q_id, rank""".stripMargin
+  }
+
   // --------------------------------------------------------------- kmeans
 
   private val kmCfg = KMeans.Config()
-  private val Dim = 64 // embeddings table dimension (TESTDATA.md)
 
   def embedKmeans(spark: SparkSession, dir: String): DataFrame =
     KMeans.fit(Tables.loadSpread(spark, dir, "embeddings"),
@@ -219,6 +265,7 @@ object SimilarityQueries {
     "sim_lsh_bucket" -> (simLshBucket(_, _)),
     "sim_ivf" -> (simIvf(_, _)),
     "sim_recall" -> (simRecall(_, _)),
+    "sim_quant" -> (simQuant(_, _)),
     "embed_kmeans" -> (embedKmeans(_, _)))
 
   val oracleSql: Map[String, String] = Map(
@@ -226,5 +273,6 @@ object SimilarityQueries {
     "sim_lsh_bucket" -> simLshBucketSql,
     "sim_ivf" -> simIvfSql,
     "sim_recall" -> simRecallSql,
+    "sim_quant" -> simQuantSql,
     "embed_kmeans" -> embedKmeansSql)
 }
