@@ -46,7 +46,7 @@ object SparkEntry {
     */
   def benchQueries: Seq[String] = Seq(
     "diff_flags", "diff_flags_skew", "diff_colstats", "diff_rows", "diff_values",
-    "profile_diff", "dq_checks",
+    "profile_diff", "dq_checks", "er_match",
     // scd2_cdc is a result-identical variant feed of scd2_apply (the
     // delta ≡ snapshot identity is its gate) — correctness-gated, no
     // separate bench slot, like the MinHash parameter presets.

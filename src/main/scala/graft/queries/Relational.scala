@@ -653,8 +653,71 @@ object Relational {
       |  violations = 0 AS pass
       |FROM r ORDER BY table_name, rule_id""".stripMargin
 
+  // ------------------------------------------------------ record linkage
+
+  /** Deterministically dirtied customer roster: per md5-derived class,
+    * a two-char transposition typo in the name's word part, a
+    * lowercased initial, or the name untouched — all three classes stay
+    * STRICTLY closer (edit distance 0–2) to their source than to any
+    * other customer (≥ 3 for typo'd, and the argmin tie-break never
+    * reaches impostors for the rest), so linkage ground truth is known.
+    * Blocking keys (nation, segment) are left clean.
+    */
+  private[queries] def dirtyCustomers(cust: DataFrame): DataFrame =
+    cust.select(
+      (col("c_custkey") + lit(10000000L)).as("d_id"),
+      expr("""CASE
+        WHEN substring(md5(cast(c_custkey AS string)), 1, 1)
+            IN ('0','1','2','3','4')
+          THEN concat(substring(c_name, 1, 5), substring(c_name, 7, 1),
+                      substring(c_name, 6, 1), substring(c_name, 8, 100))
+        WHEN substring(md5(cast(c_custkey AS string)), 1, 1)
+            IN ('5','6','7','8','9')
+          THEN concat('c', substring(c_name, 2, 100))
+        ELSE c_name END""").as("d_name"),
+      col("c_nationkey"), col("c_mktsegment"))
+
+  /** Entity resolution of the dirtied roster against the clean one:
+    * blocked on (nation, segment), levenshtein-scored, per-record
+    * argmin. See [[graft.operators.RecordLinkage]].
+    */
+  def erMatch(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(spark, dir, "customer")
+    graft.operators.RecordLinkage.resolve(
+        dirtyCustomers(cust), cust, Seq("c_nationkey", "c_mktsegment"),
+        "d_id", "d_name", "c_custkey", "c_name",
+        graft.operators.RecordLinkage.Config(threshold = 2))
+      .orderBy("d_id")
+  }
+
+  val erMatchSql: String =
+    s"""WITH d AS (SELECT c_custkey + 10000000 AS d_id,
+       |    CASE WHEN substr(md5(CAST(c_custkey AS VARCHAR)), 1, 1)
+       |        IN ('0','1','2','3','4')
+       |      THEN concat(substr(c_name, 1, 5), substr(c_name, 7, 1),
+       |                  substr(c_name, 6, 1), substr(c_name, 8, 100))
+       |    WHEN substr(md5(CAST(c_custkey AS VARCHAR)), 1, 1)
+       |        IN ('5','6','7','8','9')
+       |      THEN concat('c', substr(c_name, 2, 100))
+       |    ELSE c_name END AS d_name,
+       |    c_nationkey, c_mktsegment
+       |  FROM customer),
+       |p AS (SELECT d.d_id, c.c_custkey,
+       |    CAST(levenshtein(d.d_name, c.c_name) AS INTEGER) AS dist
+       |  FROM d JOIN customer c
+       |    ON c.c_nationkey = d.c_nationkey
+       |   AND c.c_mktsegment = d.c_mktsegment
+       |  WHERE levenshtein(d.d_name, c.c_name) <= 2)
+       |SELECT d_id, match_id, match_dist, n_cand FROM (
+       |  SELECT d_id, c_custkey AS match_id, dist AS match_dist,
+       |    count(*) OVER (PARTITION BY d_id) AS n_cand,
+       |    ROW_NUMBER() OVER (PARTITION BY d_id
+       |                       ORDER BY dist, c_custkey) AS rn
+       |  FROM p) WHERE rn = 1 ORDER BY d_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq_checks" -> (dqChecks(_, _)),
+    "er_match" -> (erMatch(_, _)),
     "q1_agg" -> (q1Agg(_, _)),
     "q_histogram" -> (qHistogram(_, _)),
     "q_profile" -> (qProfile(_, _)),
@@ -677,6 +740,7 @@ object Relational {
     "q_salted_agg" -> (qSaltedAgg(_, _)))
 
   val oracleSql: Map[String, String] = Map(
+    "er_match" -> erMatchSql,
     "q1_agg" -> q1AggSql,
     "q_histogram" -> qHistogramSql,
     "q_profile" -> qProfileSql,
