@@ -26,7 +26,7 @@ object Stress {
         "dupspans", "incr", "aggmerge", "funnel", "anomaly", "lmscore",
         "scd2", "semantic", "pmi", "epochs", "order", "profilediff",
         "outliers", "pagerank", "equidepth", "outliersbig", "heavyhitters",
-        "hll")
+        "hll", "kmeans", "simquant", "linkage")
     val spark = Sessions.local("32")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -768,6 +768,96 @@ object Stress {
         require(r.getDouble(1) > 0.0, "mad collapsed to zero")
         out.count()
       }
+    }
+
+    if (which("kmeans")) {
+      // 50 identical re-keyed copies of every sf embedding (100k × 64-dim
+      // at sf0.1). Two invariants make this a distributed-correctness
+      // stress, not just a timing: clones of one vector always land in
+      // one cluster (assignment is a pure function of the vector), and
+      // the TRAINED CENTROIDS must be bit-identical to training on the
+      // base corpus alone — every membership set scales ×50, so every
+      // integer sum and count scales ×50 and the means cancel exactly.
+      val base = queries.Tables.loadSpread(spark, dir, "embeddings")
+      val cloned = staged(base.select(col("vec_id"), col("embedding"),
+          explode(sequence(lit(0), lit(49))).as("copy"))
+        .select((col("vec_id") + col("copy") * 1000000L).as("vec_id"),
+          col("embedding"))
+        .repartition(32))
+      val baseCents = similarity.KMeans
+        .centroids(base, "vec_id", "embedding")
+      spark.catalog.clearCache() // drop base prep; keep the staged clones
+      timed("kmeans") {
+        val cents = similarity.KMeans
+          .centroids(cloned, "vec_id", "embedding")
+        require(cents.map(_.cid) == baseCents.map(_.cid) &&
+          cents.zip(baseCents).forall { case (a, b) =>
+            a.cv.sameElements(b.cv) },
+          "clone-scaled centroids diverged from base-corpus centroids")
+        val asg = similarity.KMeans.fit(cloned, "vec_id", "embedding")
+        val n = asg.count()
+        // every clone family in exactly one cluster
+        val split = asg
+          .groupBy(pmod(col("vec_id"), lit(1000000L)))
+          .agg(countDistinct(col("cluster")).as("nc"))
+          .filter(col("nc") > 1).count()
+        require(split == 0L, s"$split clone families split across clusters")
+        n
+      }
+    }
+
+    if (which("simquant")) {
+      // same 50× cloned corpus: each query's identical clones sit at
+      // quantized distance 0, so the screen's floor is exercised (49
+      // zero-distance candidates per query) while 100k vectors stream
+      // through the int8 codes
+      val base = queries.Tables.loadSpread(spark, dir, "embeddings")
+      val cloned = staged(base.select(col("vec_id"), col("embedding"),
+          explode(sequence(lit(0), lit(49))).as("copy"))
+        .select((col("vec_id") + col("copy") * 1000000L).as("vec_id"),
+          col("embedding"))
+        .repartition(32))
+      timed("simquant") {
+        val out = similarity.ScalarQuant.topK(cloned, "vec_id", "embedding",
+          _ < 8, 10).collect()
+        require(out.length == 80, s"expected 80 rows, got ${out.length}")
+        require(out.forall(_.getLong(4) == 0L),
+          "a non-clone outranked a zero-distance clone in the screen")
+        out.length.toLong
+      }
+    }
+
+    if (which("linkage")) {
+      // 20× cloned reference roster (300k rows at sf0.1): blocks grow
+      // 20-fold (~2,400 rows each), candidate volume ~36M scored pairs —
+      // the blocking join's real load. Clone names carry a "-NN" suffix
+      // (distance ≥ 2 from every copy-0 name), so each dirtied record's
+      // argmin must still be its exact copy-0 source.
+      val cust = queries.Tables.load(spark, dir, "customer")
+      val reference = staged(cust.select(col("c_custkey"), col("c_name"),
+          col("c_nationkey"), col("c_mktsegment"),
+          explode(sequence(lit(0), lit(19))).as("copy"))
+        .select((col("c_custkey") + col("copy") * 10000000L).as("c_custkey"),
+          when(col("copy") === 0, col("c_name"))
+            .otherwise(concat(col("c_name"), lit("-"),
+              col("copy").cast("string"))).as("c_name"),
+          col("c_nationkey"), col("c_mktsegment"))
+        .repartition(32))
+      val dirty = staged(
+        queries.Relational.dirtyCustomers(cust).repartition(32))
+      val nDirty = dirty.count()
+      timedWarm("linkage") {
+        val out = operators.RecordLinkage.resolve(dirty, reference,
+          Seq("c_nationkey", "c_mktsegment"), "d_id", "d_name",
+          "c_custkey", "c_name")
+        val bad = out.filter(col("match_id") =!= col("d_id") - 10000000L)
+          .count()
+        require(bad == 0L, s"$bad records matched an impostor")
+        val n = out.count()
+        require(n == nDirty, s"expected $nDirty resolved, got $n")
+        n
+      }
+      spark.catalog.clearCache()
     }
 
     spark.stop()

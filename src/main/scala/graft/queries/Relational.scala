@@ -663,7 +663,7 @@ object Relational {
     * reaches impostors for the rest), so linkage ground truth is known.
     * Blocking keys (nation, segment) are left clean.
     */
-  private[queries] def dirtyCustomers(cust: DataFrame): DataFrame =
+  private[graft] def dirtyCustomers(cust: DataFrame): DataFrame =
     cust.select(
       (col("c_custkey") + lit(10000000L)).as("d_id"),
       expr("""CASE

@@ -66,6 +66,40 @@ class PlanAuditSpec extends AnyFunSuite {
       "small query set should broadcast:\n" + plan)
   }
 
+  test("kmeans final assignment is a pure projection over the cached prep") {
+    // iterations collapse to literal-centroid projections: the returned
+    // plan must contain NO exchange and NO join — the corpus is never
+    // shuffled to be labeled (the presentation orderBy adds one range
+    // exchange, nothing else)
+    val plan = planOf("embed_kmeans")
+    // the cached prep's stored build plan (below InMemoryTableScan)
+    // repeats the loadSpread exchange in its AQE initial+final text —
+    // audit only the live portion above the cache boundary
+    val live = plan.split("InMemoryTableScan")(0)
+    val exchanges = "Exchange".r.findAllIn(live).length
+    assert(exchanges <= 1, // presentation sort only
+      s"embed_kmeans assignment must not shuffle the corpus:\n$plan")
+    assert(!plan.contains("Join"),
+      s"embed_kmeans assignment must not join:\n$plan")
+    assert(plan.contains("dot_product"),
+      "assignment distances must run through the codegen'd fold")
+  }
+
+  test("record linkage: one blocked equi-join, argmin as a hash aggregate") {
+    val plan = planOf("er_match")
+    assert("SortMergeJoin".r.findAllIn(plan).length +
+      "ShuffledHashJoin".r.findAllIn(plan).length +
+      "BroadcastHashJoin".r.findAllIn(plan).length == 1,
+      s"er_match must score candidates off one blocking equi-join:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoop"),
+      s"er_match must never degrade to an unblocked product:\n$plan")
+    // struct-valued min has no fixed-width mutable buffer, so Spark
+    // plans a SortAggregate — the property that matters is the PARTIAL
+    // mode: candidates collapse map-side before the _lid shuffle
+    assert(plan.contains("partial_min"),
+      s"er_match argmin must partial-aggregate map-side:\n$plan")
+  }
+
   test("top-k windows run as partial+final WindowGroupLimit (rank pushdown)") {
     // Spark's WindowGroupLimit keeps only k rows per key per PARTITION
     // before the shuffle — the property that makes rank<=k top-k safe at
@@ -73,7 +107,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // (kmv_distinct left this list in round 7: its bottom-k now lives in
     // the KmvBottomK aggregate buffer — single-exchange plan asserted in
     // SketchLayoutSpec instead)
-    for (name <- Seq("sim_topk", "q_window_top_orders", "quota_cap")) {
+    for (name <- Seq("sim_topk", "sim_quant", "q_window_top_orders",
+        "quota_cap")) {
       val plan = planOf(name)
       assert(plan.contains("WindowGroupLimit"),
         s"$name lost the rank-limit pushdown:\n$plan")
