@@ -21,10 +21,12 @@ import org.apache.spark.sql.functions._
   * vectors assigned there — corpus/|cells| × nProbe work instead of
   * brute force.
   *
-  * Centroids here are the vectors at a fixed id stride: deterministic
-  * and oracle-reproducible. A production index would k-means them —
-  * that changes WHERE the cell boundaries fall (recall), not the
-  * query-plan shape, which is what this operator pins down.
+  * Centroids default to the vectors at a fixed id stride: deterministic
+  * and oracle-reproducible — that pins the query-plan shape. For a
+  * production index, [[topKWithCentroids]] + [[fromKMeans]] plug in a
+  * [[KMeans]]-trained codebook (the recall knob). Trained centroids live
+  * in the trainer's uniformly-scaled fixed-point space; cosine is
+  * scale-invariant, so they drop in unchanged.
   */
 object IVFIndex {
 
@@ -50,8 +52,11 @@ object IVFIndex {
       cfg: Config = Config()): DataFrame =
     assignPrepared(prepared(vectors, idCol, vecCol), cfg)
 
-  private def assignPrepared(prep: DataFrame, cfg: Config): DataFrame = {
-    val cells = prep.join(centroids(prep, cfg))
+  private def assignPrepared(prep: DataFrame, cfg: Config): DataFrame =
+    assignOver(prep, centroids(prep, cfg))
+
+  private def assignOver(prep: DataFrame, cents: DataFrame): DataFrame = {
+    val cells = prep.join(cents)
       .select(col("vid"), col("c_id"), cosToCentroid.as("c_cos"))
       .groupBy("vid")
       .agg(max_by(col("c_id"), struct(col("c_cos"), -col("c_id"))).as("cell"))
@@ -62,19 +67,43 @@ object IVFIndex {
   def topK(vectors: DataFrame, idCol: String, vecCol: String,
       isQuery: Column => Column, k: Int, cfg: Config = Config()): DataFrame = {
     val prep = prepared(vectors, idCol, vecCol)
-    val assigned = assignPrepared(prep, cfg).persist()
+    topKOver(prep, centroids(prep, cfg), isQuery, k, cfg.nProbe)
+  }
+
+  /** [[topK]] with an EXTERNAL centroid set — e.g. [[KMeans]]-trained
+    * centroids instead of the deterministic stride quantizer. `cents`
+    * must carry (c_id, cv: numeric array, cn: squared norm); see
+    * [[fromKMeans]] for the trained-centroid adapter.
+    */
+  def topKWithCentroids(vectors: DataFrame, idCol: String, vecCol: String,
+      isQuery: Column => Column, k: Int, cents: DataFrame,
+      nProbe: Int = Config().nProbe): DataFrame =
+    topKOver(prepared(vectors, idCol, vecCol), cents, isQuery, k, nProbe)
+
+  /** Centroid frame for [[topKWithCentroids]] from a trained
+    * [[KMeans.Centroid]] set (k rows — a driver-side literal relation).
+    */
+  def fromKMeans(vectors: DataFrame, cents: Seq[KMeans.Centroid]): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    cents.map(c => (c.cid, c.cv.toSeq, c.cn)).toDF("c_id", "cv", "cn")
+  }
+
+  private def topKOver(prep: DataFrame, cents: DataFrame,
+      isQuery: Column => Column, k: Int, nProbe: Int): DataFrame = {
+    val assigned = assignOver(prep, cents).persist()
     val queries = assigned.filter(isQuery(col("vid")))
       .select(col("vid").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
     // probe cells: nProbe nearest centroids per query — the query set is
     // the small side, so a window here is cheap (|queries| × C rows)
     val wq = Window.partitionBy("q_id").orderBy(desc("c_cos"), asc("c_id"))
     val probes = queries
-      .join(centroids(prep, cfg))
+      .join(cents)
       .select(col("q_id"), col("qv"), col("qn"), col("c_id"),
         cosineWithNorms(dot(col("qv"), col("cv")), col("qn"), col("cn"))
           .as("c_cos"))
       .withColumn("rn", row_number().over(wq))
-      .filter(col("rn") <= cfg.nProbe)
+      .filter(col("rn") <= nProbe)
       .select(col("q_id"), col("qv"), col("qn"), col("c_id").as("cell"))
     val pairs = probes.join(assigned, "cell")
       .filter(col("vid") =!= col("q_id"))

@@ -106,4 +106,22 @@ class KMeansSpec extends AnyFunSuite {
     assert(cents(0).cv.toSeq === Seq(0.0, s / 2.0))
     assert(cents(1).cv.toSeq === Seq(22.0 * s / 3.0, 20.0 * s / 3.0))
   }
+
+  test("trained centroids feed IVF and beat the stride quantizer's recall") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val k = 10
+    val exact = BruteForceKNN.topK(emb, "vec_id", "embedding", _ < 8, k)
+    def recallOf(ivf: org.apache.spark.sql.DataFrame): Double = {
+      val per = Recall.atK(exact, ivf, k).collect()
+      per.map(_.getDouble(1)).sum / per.length
+    }
+    val stride = recallOf(
+      IVFIndex.topK(emb, "vec_id", "embedding", _ < 8, k))
+    val cents = IVFIndex.fromKMeans(emb,
+      KMeans.centroids(emb, "vec_id", "embedding", KMeans.Config(k = 8)))
+    val trained = recallOf(IVFIndex.topKWithCentroids(
+      emb, "vec_id", "embedding", _ < 8, k, cents))
+    assert(trained >= stride,
+      s"trained-codebook recall $trained fell below stride recall $stride")
+  }
 }
