@@ -138,6 +138,22 @@ object KMeans {
       .select(col("vid").as("vec_id"), col("cluster"), col("dist"))
   }
 
+  /** Label a frame with an already-trained centroid set: quantize with
+    * the training config and take the same literal-centroid argmin — a
+    * pure stateless projection, so it runs IDENTICALLY on batch and
+    * streaming frames (the [[graft.streaming.EventStream]] one-
+    * definition-for-both pattern; no state, no watermark needed).
+    * This is the serving half of the operator: train once with [[fit]]/
+    * [[centroids]], label every future batch/stream with the frozen
+    * codebook.
+    */
+  def label(vectors: DataFrame, idCol: String, vecCol: String,
+      cents: Seq[Centroid], cfg: Config = Config()): DataFrame = {
+    require(cents.nonEmpty, "label needs at least one centroid")
+    assign(quantize(vectors, idCol, vecCol, cfg), cents)
+      .select(col("vid").as("vec_id"), col("cluster"), col("dist"))
+  }
+
   /** Trained centroids themselves (for feeding an IVF index). */
   def centroids(vectors: DataFrame, idCol: String, vecCol: String,
       cfg: Config = Config()): Seq[Centroid] = {
