@@ -47,9 +47,21 @@ object KMeans {
   /** `scaleBits`: fixed-point quantization of input components. 2^20
     * keeps |q·c| folds for unit-ish embeddings far below 2^53 exactness
     * territory even at dim 64 × 2^40 per term... (2^42 · 64 < 2^49).
+    *
+    * Regime bound: the literal-centroid assignment embeds k·dim double
+    * literals per iteration, so it is built for the coarse-codebook
+    * regime (k up to a few hundred — IVF partitions, PQ sub-codebooks;
+    * k = 64 × dim 64 is spec-proven). For k in the many-thousands,
+    * plan/codegen size grows linearly and the right shape is the
+    * centroid-FRAME broadcast join + `min_by` aggregate that
+    * [[IVFIndex.assign]] already implements — same semantics, one extra
+    * shuffle of (vid, cell) pairs per iteration.
     */
   case class Config(k: Int = 8, iters: Int = 3, scaleBits: Int = 20) {
     require(k >= 1 && iters >= 1 && scaleBits >= 0 && scaleBits <= 26)
+    require(k <= 1024,
+      "literal-centroid assignment is for coarse codebooks; beyond ~1k " +
+        "centroids use the IVFIndex.assign broadcast-join shape")
     def scale: Double = (1L << scaleBits).toDouble
   }
 

@@ -107,6 +107,22 @@ class KMeansSpec extends AnyFunSuite {
     assert(cents(1).cv.toSeq === Seq(22.0 * s / 3.0, 20.0 * s / 3.0))
   }
 
+  test("k=64 codebook (4,096 centroid literals) compiles and labels sanely") {
+    // the upper end of the coarse-codebook regime the Config documents:
+    // 64 centroids × 64 dims of plan literals must still codegen and
+    // produce a full, deterministic labeling
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val cfg = KMeans.Config(k = 64, iters = 2)
+    val out = KMeans.fit(emb, "vec_id", "embedding", cfg)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(out.length === emb.count())
+    val clusters = out.map(_._2).toSet
+    assert(clusters.size > 32 && clusters.forall(c => c >= 0 && c < 64))
+    // seeds label themselves (a seed is at distance 0 from its own
+    // centroid only in iteration 1, but must still be IN a cluster)
+    assert(out.toMap.keySet.intersect((0L until 64L).toSet).size === 64)
+  }
+
   test("trained centroids feed IVF and beat the stride quantizer's recall") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val k = 10
