@@ -178,6 +178,19 @@ object SimilarityQueries {
         "vec_id", "embedding", kmCfg)
       .orderBy("vec_id")
 
+  /** Gate-only (no bench slot — runtime is embed_kmeans's): the SERVING
+    * path. Labeling with the self-trained frozen codebook must
+    * reproduce `fit`'s final assignment exactly, so this query shares
+    * the embed_kmeans oracle verbatim and the driver gate re-proves
+    * label ≡ fit every round.
+    */
+  def embedKmeansLabel(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.loadSpread(spark, dir, "embeddings")
+    KMeans.label(emb, "vec_id", "embedding",
+        KMeans.centroids(emb, "vec_id", "embedding", kmCfg), kmCfg)
+      .orderBy("vec_id")
+  }
+
   /** The oracle unrolls all Lloyd's iterations as chained CTEs (the
     * graph_pagerank pattern): seeds → assign → recompute → … → final
     * assignment. Every number along the chain is either an exact
@@ -266,7 +279,8 @@ object SimilarityQueries {
     "sim_ivf" -> (simIvf(_, _)),
     "sim_recall" -> (simRecall(_, _)),
     "sim_quant" -> (simQuant(_, _)),
-    "embed_kmeans" -> (embedKmeans(_, _)))
+    "embed_kmeans" -> (embedKmeans(_, _)),
+    "embed_kmeans_label" -> (embedKmeansLabel(_, _)))
 
   val oracleSql: Map[String, String] = Map(
     "sim_topk" -> simTopkSql,
@@ -274,5 +288,6 @@ object SimilarityQueries {
     "sim_ivf" -> simIvfSql,
     "sim_recall" -> simRecallSql,
     "sim_quant" -> simQuantSql,
-    "embed_kmeans" -> embedKmeansSql)
+    "embed_kmeans" -> embedKmeansSql,
+    "embed_kmeans_label" -> embedKmeansSql)
 }
