@@ -81,7 +81,7 @@ object SparkEntry {
     "text_decontam", "text_decontam_bloom", "text_pii", "text_chunks",
     "kmv_distinct", "hll_distinct", "quantile_sketch", "zorder_stats",
     "sim_topk", "sim_lsh_bucket", "sim_ivf", "sim_recall", "sim_quant",
-    "embed_kmeans",
+    "sim_pq", "embed_kmeans",
     "mm_meta", "mm_frames", "mm_format_stats", "mm_decode",
     "pipeline_curate",
     "pipeline_mix")

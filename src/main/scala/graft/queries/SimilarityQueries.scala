@@ -169,6 +169,81 @@ object SimilarityQueries {
        |WHERE rank <= $K ORDER BY q_id, rank""".stripMargin
   }
 
+  // ------------------------------------------------------------------- pq
+
+  private val pqCfg = ProductQuant.Config()
+
+  def simPq(spark: SparkSession, dir: String): DataFrame =
+    ProductQuant.topK(Tables.loadSpread(spark, dir, "embeddings"),
+        "vec_id", "embedding", Dim, _ < QueryCount, K, pqCfg)
+      .orderBy("q_id", "rank")
+
+  /** The oracle retrains all `m` subspace codebooks (via the shared
+    * Lloyd's-chain generator), re-derives every document's codes from
+    * the final per-subspace assignments, rebuilds each query's
+    * (cid → distance) table, and sums the ADC chain in the same order —
+    * then re-ranks by the exact cosine. Hash-match means the entire
+    * train→encode→search pipeline is bit-reproducible cross-engine.
+    */
+  val simPqSql: String = {
+    val scale = f"${pqCfg.kmCfg.scale}%.1f"
+    val m = pqCfg.m
+    val sub = Dim / m
+    val fin = pqCfg.iters // final assignment index
+    val chains = (0 until m).map { s =>
+      val lo = s * sub + 1
+      val hi = (s + 1) * sub
+      s"""n_$s AS MATERIALIZED (SELECT vec_id, q[$lo:$hi] AS q,
+         |    ${foldDot(s"q[$lo:$hi]", s"q[$lo:$hi]")} AS qn FROM v),
+         |${kmChainCtes(s"_$s", sub, pqCfg.codeK, pqCfg.iters)}""".stripMargin
+    }.mkString(",\n")
+    val codeCols = (0 until m)
+      .map(s => s"a$s.cid AS c$s").mkString(", ")
+    val codeJoins = (1 until m)
+      .map(s => s"JOIN a$fin" + s"_$s a$s ON a$s.vec_id = a0.vec_id")
+      .mkString("\n  ")
+    val pds = (0 until m).map { s =>
+      s"""pd_$s AS MATERIALIZED (SELECT n.vec_id AS q_id, c.cid,
+         |    n.qn + c.cn - 2 * ${foldDot("n.q", "c.cv")} AS d
+         |  FROM n_$s n CROSS JOIN c${fin - 1}_$s c
+         |  WHERE n.vec_id < $QueryCount)""".stripMargin
+    }.mkString(",\n")
+    val pdJoins = (1 until m)
+      .map(s => s"JOIN pd_$s p$s ON p$s.cid = k.c$s AND p$s.q_id = p0.q_id")
+      .mkString("\n  ")
+    val distSum = (0 until m).map(s => s"p$s.d").mkString(" + ")
+    s"""WITH v AS MATERIALIZED (SELECT vec_id,
+       |    [floor(x * $scale) for x in embedding::DOUBLE[]] AS q
+       |  FROM embeddings),
+       |nf AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS fv FROM embeddings),
+       |nn AS MATERIALIZED (SELECT vec_id, fv, ${foldDot("fv", "fv")} AS nrm FROM nf),
+       |$chains,
+       |codes AS MATERIALIZED (SELECT a0.vec_id, $codeCols
+       |  FROM a$fin${"_0"} a0
+       |  $codeJoins),
+       |$pds,
+       |pq AS MATERIALIZED (SELECT p0.q_id, k.vec_id AS n_id, $distSum AS dist_pq
+       |  FROM codes k
+       |  JOIN pd_0 p0 ON p0.cid = k.c0
+       |  $pdJoins
+       |  WHERE k.vec_id <> p0.q_id),
+       |scr AS MATERIALIZED (SELECT q_id, n_id, dist_pq FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY dist_pq, n_id) AS srank FROM pq)
+       |  WHERE srank <= ${pqCfg.screenK}),
+       |wc AS MATERIALIZED (SELECT s.q_id, s.n_id, s.dist_pq,
+       |    ${foldDot("qf.fv", "df.fv")} / (sqrt(qf.nrm) * sqrt(df.nrm))
+       |      AS cos_sim
+       |  FROM scr s JOIN nn qf ON qf.vec_id = s.q_id
+       |  JOIN nn df ON df.vec_id = s.n_id)
+       |SELECT q_id, rank, n_id, cos_sim, dist_pq FROM (
+       |  SELECT q_id, n_id, cos_sim, dist_pq,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id
+       |                       ORDER BY cos_sim DESC, n_id) AS rank
+       |  FROM wc)
+       |WHERE rank <= $K ORDER BY q_id, rank""".stripMargin
+  }
+
   // --------------------------------------------------------------- kmeans
 
   private val kmCfg = KMeans.Config()
@@ -199,36 +274,47 @@ object SimilarityQueries {
     * (`qn + cn − 2·dot`, one division per mean), so the final
     * (vec_id, cluster, dist) rows hash-match bit-for-bit.
     */
-  val embedKmeansSql: String = {
-    val scale = f"${kmCfg.scale}%.1f"
+  /** Lloyd's-chain CTE generator (shared by embed_kmeans and sim_pq's
+    * per-subspace codebooks): given a CTE `n$sfx` with
+    * (vec_id, q: DOUBLE[], qn), emits seeds `c0$sfx`, assignments
+    * `a{i}$sfx` and refinements `c{i}$sfx`; the final assignment is
+    * `a{iters}$sfx`, the final centroid set `c{iters-1}$sfx`.
+    */
+  private def kmChainCtes(sfx: String, dim: Int, k: Int, iters: Int): String = {
     def assignCte(name: String, cents: String) =
-      s"""$name AS (SELECT vec_id, q, qn, cid, dist FROM (
+      s"""$name AS MATERIALIZED (SELECT vec_id, q, qn, cid, dist FROM (
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
          |      ORDER BY dist, cid) AS rn FROM (
          |    SELECT n.vec_id, n.q, n.qn, c.cid,
          |      n.qn + c.cn - 2 * ${foldDot("n.q", "c.cv")} AS dist
-         |    FROM n CROSS JOIN $cents c)) WHERE rn = 1)""".stripMargin
+         |    FROM n$sfx n CROSS JOIN $cents c)) WHERE rn = 1)""".stripMargin
     def centCte(name: String, asg: String) =
-      s"""${name}m AS (
+      s"""${name}m AS MATERIALIZED (
          |  SELECT cid, g.i AS pos, sum(q[g.i]) / count(*) AS m
-         |  FROM $asg CROSS JOIN generate_series(1, $Dim) AS g(i)
+         |  FROM $asg CROSS JOIN generate_series(1, $dim) AS g(i)
          |  GROUP BY cid, g.i),
-         |$name AS (
+         |$name AS MATERIALIZED (
          |  SELECT cid, cv, ${foldDot("cv", "cv")} AS cn FROM (
          |    SELECT cid, list(m ORDER BY pos) AS cv
          |    FROM ${name}m GROUP BY cid))""".stripMargin
-    val rounds = (2 to kmCfg.iters).map { i =>
-      centCte(s"c${i - 1}", s"a${i - 1}") + ",\n" +
-        assignCte(s"a$i", s"c${i - 1}")
+    val rounds = (2 to iters).map { i =>
+      centCte(s"c${i - 1}$sfx", s"a${i - 1}$sfx") + ",\n" +
+        assignCte(s"a$i$sfx", s"c${i - 1}$sfx")
     }.mkString(",\n")
-    s"""WITH v AS (SELECT vec_id,
+    val seeds =
+      s"""c0$sfx AS MATERIALIZED (SELECT vec_id AS cid, q AS cv, ${foldDot("q", "q")} AS cn
+         |  FROM n$sfx WHERE vec_id < $k)""".stripMargin
+    (Seq(seeds, assignCte(s"a1$sfx", s"c0$sfx")) ++
+      (if (iters >= 2) Seq(rounds) else Nil)).mkString(",\n")
+  }
+
+  val embedKmeansSql: String = {
+    val scale = f"${kmCfg.scale}%.1f"
+    s"""WITH v AS MATERIALIZED (SELECT vec_id,
        |    [floor(x * $scale) for x in embedding::DOUBLE[]] AS q
        |  FROM embeddings),
-       |n AS (SELECT vec_id, q, ${foldDot("q", "q")} AS qn FROM v),
-       |c0 AS (SELECT vec_id AS cid, q AS cv, ${foldDot("q", "q")} AS cn
-       |  FROM v WHERE vec_id < ${kmCfg.k}),
-       |${assignCte("a1", "c0")},
-       |$rounds
+       |n AS MATERIALIZED (SELECT vec_id, q, ${foldDot("q", "q")} AS qn FROM v),
+       |${kmChainCtes("", Dim, kmCfg.k, kmCfg.iters)}
        |SELECT vec_id, cid AS cluster, dist FROM a${kmCfg.iters}
        |ORDER BY vec_id""".stripMargin
   }
@@ -279,6 +365,7 @@ object SimilarityQueries {
     "sim_ivf" -> (simIvf(_, _)),
     "sim_recall" -> (simRecall(_, _)),
     "sim_quant" -> (simQuant(_, _)),
+    "sim_pq" -> (simPq(_, _)),
     "embed_kmeans" -> (embedKmeans(_, _)),
     "embed_kmeans_label" -> (embedKmeansLabel(_, _)))
 
@@ -288,6 +375,7 @@ object SimilarityQueries {
     "sim_ivf" -> simIvfSql,
     "sim_recall" -> simRecallSql,
     "sim_quant" -> simQuantSql,
+    "sim_pq" -> simPqSql,
     "embed_kmeans" -> embedKmeansSql,
     "embed_kmeans_label" -> embedKmeansSql)
 }

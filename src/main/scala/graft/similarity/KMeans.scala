@@ -101,14 +101,22 @@ object KMeans {
     * struct ordering IS the (dist asc, cid asc) argmin with its
     * tie-break.
     */
-  private def bestColumn(cents: Seq[Centroid]): Column = {
+  /** `least(struct(dist, cid)...)` over literal centroids for arbitrary
+    * (quantized-vector, squared-norm) columns — shared with
+    * [[ProductQuant]], which runs one per subspace.
+    */
+  private[similarity] def bestStruct(cents: Seq[Centroid], q: Column,
+      qn: Column): Column = {
     val structs = cents.map { c =>
-      val dist = col("qn") + lit(c.cn) -
-        lit(2.0) * DotProduct(col("q"), array(c.cv.map(lit).toSeq: _*))
+      val dist = qn + lit(c.cn) -
+        lit(2.0) * DotProduct(q, array(c.cv.map(lit).toSeq: _*))
       struct(dist.as("d"), lit(c.cid).as("c"))
     }
     if (structs.sizeIs == 1) structs.head else least(structs: _*)
   }
+
+  private def bestColumn(cents: Seq[Centroid]): Column =
+    bestStruct(cents, col("q"), col("qn"))
 
   private def assign(prep: DataFrame, cents: Seq[Centroid]): DataFrame =
     prep.withColumn("best", bestColumn(cents))

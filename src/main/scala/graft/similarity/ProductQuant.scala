@@ -1,0 +1,119 @@
+package graft.similarity
+
+import graft.expressions.DotProduct
+import graft.similarity.Cosine._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product-quantization (PQ) nearest-neighbor search: the standard
+  * billion-scale ANN compression. The vector space splits into `m`
+  * subspaces; each subspace gets its own [[KMeans]]-trained codebook of
+  * `codeK` centroids; a document is stored as `m` small codes (here
+  * 8 × 4 bits of information per 64-dim vector vs 64 × 8 bits for
+  * [[ScalarQuant]] — a further 8× compression); a query scores a
+  * document by summing, per subspace, its precomputed distance to the
+  * document's code centroid (asymmetric distance computation — the
+  * query side stays unquantized, only documents are coded).
+  *
+  * Search shape: document codes are computed by the same
+  * literal-centroid codegen'd argmin the trainer uses (zero shuffle);
+  * each query carries one tiny literal-derived LUT
+  * (`map(cid → dist)` per subspace, built from the same trained
+  * centroids), so scoring a candidate is `m` map lookups and an add
+  * chain — no vector arithmetic per pair at all. The top `screenK`
+  * survivors re-rank by EXACT float cosine (the [[ScalarQuant]]
+  * discipline: reported similarities carry no quantization error, only
+  * recall can move).
+  *
+  * Determinism: training inherits [[KMeans]]'s fixed-point exactness
+  * per subspace (quantize-then-slice ≡ slice-then-quantize — floor is
+  * elementwise); every ADC distance is `qn_s + cn_s − 2·q_s·c_s`
+  * summed left-to-right over subspaces — the DuckDB oracle recomputes
+  * all `m` training chains, the code assignments, the per-(query, cid)
+  * distance table and the same sum, so the whole pipeline
+  * hash-matches.
+  */
+object ProductQuant {
+
+  /** `m` subspaces × `codeK` codes; `screenK` candidates kept per query
+    * before exact re-rank. Vector dim must divide evenly by `m`.
+    */
+  case class Config(m: Int = 8, codeK: Int = 16, iters: Int = 2,
+      screenK: Int = 20, scaleBits: Int = 20) {
+    require(m >= 1 && codeK >= 2 && iters >= 1 && screenK >= 1)
+    def kmCfg: KMeans.Config =
+      KMeans.Config(k = codeK, iters = iters, scaleBits = scaleBits)
+  }
+
+  /** Per-subspace trained codebooks (driver-side, k·d/m doubles each). */
+  def train(vectors: DataFrame, idCol: String, vecCol: String, dim: Int,
+      cfg: Config = Config()): Seq[Seq[KMeans.Centroid]] = {
+    require(dim % cfg.m == 0, s"dim $dim must divide by m=${cfg.m}")
+    val sub = dim / cfg.m
+    (0 until cfg.m).map { s =>
+      KMeans.centroids(
+        vectors.select(col(idCol),
+          slice(col(vecCol), s * sub + 1, sub).as("sub")),
+        idCol, "sub", cfg.kmCfg)
+    }
+  }
+
+  /** Top-k neighbors per query: ADC screen over PQ codes to `screenK`,
+    * exact cosine re-rank to k. Output:
+    * (q_id, rank, n_id, cos_sim, dist_pq).
+    */
+  def topK(vectors: DataFrame, idCol: String, vecCol: String, dim: Int,
+      isQuery: Column => Column, k: Int, cfg: Config = Config()): DataFrame = {
+    require(cfg.screenK >= k, "screenK must be >= k")
+    val books = train(vectors, idCol, vecCol, dim, cfg)
+    val sub = dim / cfg.m
+    val scale = cfg.kmCfg.scale
+
+    val prep = vectors
+      .select(col(idCol).as("vid"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm", norm2(col("v")))
+      .withColumn("q", transform(col("v"),
+        x => floor(x * lit(scale)).cast("double")))
+    def qs(s: Int): Column = slice(col("q"), s * sub + 1, sub)
+    def qns(s: Int): Column = DotProduct(qs(s), qs(s))
+
+    // documents: m codegen'd argmins → m codes (a pure projection)
+    val coded = prep.select(
+      col("vid") +: col("v") +: col("nrm") +:
+        books.zipWithIndex.map { case (cents, s) =>
+          KMeans.bestStruct(cents, qs(s), qns(s)).getField("c").as(s"c$s")
+        }: _*)
+
+    // queries: per subspace a literal cid→distance map (ADC LUT)
+    val luts = prep.filter(isQuery(col("vid")))
+      .select(
+        col("vid").as("q_id") +: col("v").as("pv") +: col("nrm").as("pn") +:
+          books.zipWithIndex.map { case (cents, s) =>
+            map_from_arrays(
+              array(cents.map(c => lit(c.cid)): _*),
+              array(cents.map { c =>
+                qns(s) + lit(c.cn) -
+                  lit(2.0) * DotProduct(qs(s), array(c.cv.map(lit).toSeq: _*))
+              }: _*)).as(s"lut$s")
+          }: _*)
+
+    // ADC: m map lookups + a left-assoc add chain per candidate
+    val dist = (0 until cfg.m)
+      .map(s => element_at(col(s"lut$s"), col(s"c$s")))
+      .reduceLeft(_ + _)
+    val screened = coded.join(broadcast(luts), col("vid") =!= col("q_id"))
+      .select(col("q_id"), col("vid").as("n_id"), col("pv"), col("pn"),
+        col("v"), col("nrm"), dist.as("dist_pq"))
+    val ws = Window.partitionBy("q_id").orderBy(asc("dist_pq"), asc("n_id"))
+    val cands = screened.withColumn("srank", row_number().over(ws))
+      .filter(col("srank") <= cfg.screenK)
+      .select(col("q_id"), col("n_id"), col("dist_pq"),
+        cosineWithNorms(dot(col("pv"), col("v")), col("pn"), col("nrm"))
+          .as("cos_sim"))
+    val w = Window.partitionBy("q_id").orderBy(desc("cos_sim"), asc("n_id"))
+    cands.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "n_id", "cos_sim", "dist_pq")
+  }
+}
