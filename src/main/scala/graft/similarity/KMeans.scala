@@ -71,7 +71,7 @@ object KMeans {
     */
   final case class Centroid(cid: Long, cv: Array[Double], cn: Double)
 
-  private def leftFoldSq(cv: Array[Double]): Double = {
+  private[similarity] def leftFoldSq(cv: Array[Double]): Double = {
     // ((0 + c0*c0) + c1*c1) + ... — the exact DotProduct/list_reduce order
     var acc = 0.0
     var i = 0

