@@ -33,6 +33,18 @@ object Sessions {
       // suite (× warmup) compiles far more units, and eviction re-pays
       // janino+JIT mid-run (measured 4× on late queries, SURVEY §9)
       .config("spark.sql.codegen.cache.maxEntries", "5000")
+      // Align whole-stage-codegen's bail-out with HotSpot's
+      // -XX:DontCompileHugeMethods limit (8000 bytes of bytecode), not
+      // Spark's 64 KB default. WSCG fuses a stage into ONE method and
+      // cannot split it (operands are locals), so a literal-heavy plan
+      // — k-means/PQ centroid argmins, wide CASE ladders — lands in
+      // the 8 KB..64 KB gap: Spark keeps the fused method, the JIT
+      // refuses it, and the stage runs in the bytecode interpreter
+      // (~10× CPU, silently). Under the limit Spark falls back to
+      // per-operator codegen whose splitExpressions emits many small
+      // JIT-able methods: measured 32 s → 3.5 s executor CPU on the
+      // PQ coding stage, identical results.
+      .config("spark.sql.codegen.hugeMethodLimit", "8000")
       .config("spark.ui.enabled", "false")
 
   /** Build with WARN logging — the shape every main uses. */
