@@ -109,7 +109,7 @@ object MinHashLSH {
   def docShingles(docs: DataFrame, idCol: String, textCol: String,
       cfg: Config = Config()): DataFrame = {
     val raw = docs.select(col(idCol).as("doc_id"),
-      wordShingles(words(col(textCol)), cfg.shingleSize).as("shingles"))
+      textShingles(col(textCol), cfg.shingleSize).as("shingles"))
     cfg.maxShingleDocFreq.fold(raw) { cap =>
       // shingles are distinct per doc (wordShingles → array_distinct),
       // so a plain count over the exploded postings IS the doc freq.
@@ -122,7 +122,7 @@ object MinHashLSH {
       // projection runs twice. Measured 12.5 s → 1.9 s at sf0.1.
       // Cache reclaimed via clearCache like the other internal caches.
       val posts = docs.select(col(idCol).as("doc_id"),
-          explode(wordShingles(words(col(textCol)), cfg.shingleSize)).as("sh"))
+          explode(textShingles(col(textCol), cfg.shingleSize)).as("sh"))
         .persist()
       val over = posts.groupBy("sh").agg(count(lit(1)).as("df"))
         .filter(col("df") > cap).select("sh")

@@ -33,7 +33,7 @@ object NgramJaccard {
     // aggregate) — without the cache each branch re-runs the shingle
     // projection, tripling the query cost (see MinHashLSH note)
     val posts0 = docs.select(col(idCol).as("doc_id"),
-        explode(wordShingles(words(col(textCol)), shingleSize)).as("sh0"))
+        explode(textShingles(col(textCol), shingleSize)).as("sh0"))
       .select(col("doc_id"), hexPrefixToLong(md5(col("sh0")), 15).as("sh"))
       .persist()
     val sizes = posts0.groupBy("doc_id").agg(count(lit(1)).as("n"))

@@ -34,7 +34,7 @@ object SimHash {
   def signatures(docs: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3): DataFrame = {
     val posts = docs.select(col(idCol).as("doc_id"),
-        explode(wordShingles(words(col(textCol)), shingleSize)).as("sh"))
+        explode(textShingles(col(textCol), shingleSize)).as("sh"))
       .select(col("doc_id"), hash32(col("sh")).as("hv"))
     val bitSums = (0 until Bits).map(k =>
       sum(when(shiftright(col("hv"), k) % 2L === 1L, 1L).otherwise(-1L))

@@ -24,8 +24,7 @@ object SketchQueries {
   def kmvDistinct(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.loadSpread(spark, dir, "documents")
     val posts = docs.select(col("source"),
-      explode(TextFeatures.wordShingles(
-        TextFeatures.words(col("text")), 3)).as("gram"))
+      explode(TextFeatures.textShingles(col("text"), 3)).as("gram"))
     // single-aggregation form (custom bottom-k buffer, one exchange);
     // the DuckDB oracle recomputes the sketch the composable way and
     // must hash-match — proving the aggregate's exactness per round
@@ -66,8 +65,7 @@ object SketchQueries {
   def hllDistinct(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.loadSpread(spark, dir, "documents")
     val posts = docs.select(col("source"),
-      explode(TextFeatures.wordShingles(
-        TextFeatures.words(col("text")), 3)).as("gram"))
+      explode(TextFeatures.textShingles(col("text"), 3)).as("gram"))
     graft.operators.HllSketch.distinctEstimateAgg(posts, "source", "gram")
       .orderBy("grp")
   }

@@ -27,14 +27,6 @@ import org.apache.spark.sql.functions._
   */
 object Collocations {
 
-  private def pairStructs(text: Column): Column = {
-    val w = TextFeatures.words(text)
-    when(size(w) >= 2,
-      transform(sequence(lit(1), size(w) - 1),
-        i => struct(element_at(w, i).as("tok_a"),
-          element_at(w, i + 1).as("tok_b"))))
-      .otherwise(array().cast("array<struct<tok_a:string,tok_b:string>>"))
-  }
 
   /** Top-`k` adjacent-word pairs by PMI ratio among pairs seen at least
     * `minPairCount` times: (tok_a, tok_b, c_ab, c_a, c_b, pmi_ratio),
@@ -42,9 +34,16 @@ object Collocations {
     */
   def topPmi(docs: DataFrame, textCol: String, k: Int,
       minPairCount: Long = 5L): DataFrame = {
+    // Adjacent pairs ride the native bigram scan ([[TextFeatures.
+    // textGrams]]): tokens are split on single spaces so they never
+    // CONTAIN one — each bigram's one space is the separator, and
+    // `substring_index` recovers both sides losslessly (empty tokens
+    // included). Fully codegen'd; replaces an interpreted
+    // struct-building HOF (was the slowest text-family scan).
     val pairs = docs
-      .select(explode(pairStructs(col(textCol))).as("p"))
-      .select(col("p.tok_a"), col("p.tok_b"))
+      .select(explode(TextFeatures.textGrams(col(textCol), 2)).as("g"))
+      .select(substring_index(col("g"), " ", 1).as("tok_a"),
+        substring_index(col("g"), " ", -1).as("tok_b"))
     val toks = docs
       .select(explode(TextFeatures.words(col(textCol))).as("tok"))
 

@@ -39,7 +39,7 @@ object Decontam {
       textCol: String, n: Int = 3, minSharedGrams: Int = 5): DataFrame = {
     def postings(df: DataFrame) = df
       .select(col(idCol).as("doc_id"),
-        explode(wordShingles(words(col(textCol)), n)).as("gram"))
+        explode(textShingles(col(textCol), n)).as("gram"))
     // wordShingles distincts per document already; distinct-ing the
     // union of eval docs' grams shrinks the broadcast relation.
     val evalGrams = postings(eval).select("gram").distinct()
@@ -79,7 +79,7 @@ object Decontam {
       fpp: Double = 0.01): DataFrame = {
     def postings(df: DataFrame) = df
       .select(col(idCol).as("doc_id"),
-        explode(wordShingles(words(col(textCol)), n)).as("gram"))
+        explode(textShingles(col(textCol), n)).as("gram"))
     // the eval gram set drives three consumers (sizing count, filter
     // build, verify join) — persist it once; callers release it via
     // catalog.clearCache() like the other multi-action operators

@@ -21,16 +21,13 @@ import org.apache.spark.sql.functions._
 object Repetition {
 
   /** All word bigrams, order-preserved, duplicates kept ([[
-    * TextFeatures.wordShingles]] distincts — here the duplicates ARE
-    * the signal). Empty array for docs shorter than 2 words.
+    * TextFeatures.textShingles]] distincts — here the duplicates ARE
+    * the signal). Empty array for docs shorter than 2 words. Native
+    * one-scan form ([[TextFeatures.textGrams]]); the DuckDB oracle
+    * keeps the HOF formulation, re-proving the equivalence per round.
     */
-  private def bigrams(text: Column): Column = {
-    val w = TextFeatures.words(text)
-    when(size(w) >= 2,
-      transform(sequence(lit(1), size(w) - 1),
-        i => concat_ws(" ", element_at(w, i), element_at(w, i + 1))))
-      .otherwise(array().cast("array<string>"))
-  }
+  private def bigrams(text: Column): Column =
+    TextFeatures.textGrams(text, 2)
 
   def metrics(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs

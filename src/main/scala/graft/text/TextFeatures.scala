@@ -29,6 +29,14 @@ object TextFeatures {
   /** Distinct word n-grams ("shingles") of a token array; empty for
     * documents shorter than n tokens (guarded — Spark's `sequence(1, k)`
     * would count DOWN for k < 1).
+    *
+    * This is the REFERENCE formulation (the shape every DuckDB oracle
+    * mirrors): a higher-order `transform`, which Spark evaluates
+    * interpreted. Hot paths use [[textShingles]] — the native one-scan
+    * [[graft.expressions.WordShingles]] expression, spec-proven
+    * equivalent to this form — and keep this one for the equivalence
+    * property and for callers holding a token array that is not
+    * `words(text)`.
     */
   def wordShingles(w: Column, n: Int): Column = {
     val grams = transform(
@@ -37,6 +45,25 @@ object TextFeatures {
     when(size(w) >= n, array_distinct(grams))
       .otherwise(array().cast(ArrayType(StringType)))
   }
+
+  /** `wordShingles(words(text), n)` as ONE codegen'd byte scan
+    * ([[graft.expressions.WordShingles]]). Null text yields an empty
+    * array, matching the HOF guard's `when(size(w) >= n, ...)` (null
+    * size fails the predicate).
+    */
+  def textShingles(text: Column, n: Int): Column =
+    when(text.isNotNull,
+        graft.expressions.WordShingles(text, n, distinct = true))
+      .otherwise(array().cast(ArrayType(StringType)))
+
+  /** All word n-grams of a text column, duplicates KEPT in order (the
+    * repetition family's signal) — the non-distinct face of
+    * [[textShingles]].
+    */
+  def textGrams(text: Column, n: Int): Column =
+    when(text.isNotNull,
+        graft.expressions.WordShingles(text, n, distinct = false))
+      .otherwise(array().cast(ArrayType(StringType)))
 
   /** ALL character n-grams (with multiplicity — unlike
     * [[wordShingles]], occurrences matter to frequency consumers) of
