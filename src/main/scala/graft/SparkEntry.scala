@@ -78,7 +78,12 @@ object SparkEntry {
     "text_pmi",
     "text_encode", "text_drift", "text_lm_score",
     "text_tfidf", "text_normalize", "text_pack", "text_pack_stats",
-    "text_decontam", "text_decontam_bloom", "text_pii", "text_chunks",
+    // text_decontam_bloom is an execution-strategy variant of
+    // text_decontam (same oracle SQL verbatim; Bloom screen + exact
+    // verify vs broadcast join — the broadcast path wins until the
+    // eval side outgrows broadcast, SURVEY §12). Correctness-gated, no
+    // bench slot, like the MinHash parameter presets.
+    "text_decontam", "text_pii", "text_chunks",
     "kmv_distinct", "hll_distinct", "quantile_sketch", "zorder_stats",
     "sim_topk", "sim_lsh_bucket", "sim_ivf", "sim_recall", "sim_quant",
     "sim_pq", "embed_kmeans",
