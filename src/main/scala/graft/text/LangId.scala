@@ -23,8 +23,13 @@ object LangId {
     "es" -> Seq("el", "la", "de", "y", "es"),
     "fr" -> Seq("le", "la", "de", "et", "est"))
 
+  /** Native one-loop membership count ([[graft.expressions.CountInSet]]
+    * — the HOF `size(filter(w, isin))` evaluates interpreted, and this
+    * runs once PER LANGUAGE per document); equivalence spec'd, and the
+    * langid oracle re-proves it per round.
+    */
   def score(w: Column, lexicon: Seq[String]): Column =
-    size(filter(w, x => x.isin(lexicon: _*))).cast("double") / size(w)
+    graft.expressions.CountInSet(w, lexicon).cast("double") / size(w)
 
   /** (id, lang_pred, lang_score) per document. */
   def predict(docs: DataFrame, idCol: String, textCol: String): DataFrame = {

@@ -21,8 +21,12 @@ object TextStats {
 
   def nWords(w: Column): Column = size(w)
 
+  /** Native one-loop membership count ([[graft.expressions.CountInSet]]
+    * — the HOF `size(filter(w, isin))` evaluates interpreted);
+    * equivalence spec'd, and the stats oracle re-proves it per round.
+    */
   def stopwordCount(w: Column): Column =
-    size(filter(w, x => x.isin(Stopwords: _*)))
+    graft.expressions.CountInSet(w, Stopwords)
 
   /** Heuristic quality score in [0,1]:
     * length factor (saturates at 50 words) × lexical diversity
