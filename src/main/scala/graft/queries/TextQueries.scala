@@ -235,7 +235,7 @@ object TextQueries {
     * lookup semantics, not a shared plan.
     */
   def textEncode(spark: SparkSession, dir: String): DataFrame =
-    Vocab.encode(Tables.loadSpread(spark, dir, "documents"),
+    Vocab.encodeFast(Tables.loadSpread(spark, dir, "documents"),
         "doc_id", "text", VocabK)
       .orderBy("doc_id")
 

@@ -47,19 +47,17 @@ object DupSpans {
   def spans(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 5, minDf: Long = 2): DataFrame = {
     require(k >= 1, s"gram size must be positive, got $k")
-    // inline generator (SURVEY §9): explode the position sequence, then
-    // hash the k-gram assembled from the retained token array — one md5
-    // per posting, the gram string itself is never shuffled
+    // inline generator (SURVEY §9): posexplode the native gram scan
+    // ([[TextFeatures.textGrams]] — each positioned k-gram is a byte
+    // slice of the lowered text; pos0 is the 0-based token start, so
+    // pos0+1 is exactly the old 1-based position-sequence value), then
+    // one md5 per posting — the gram string itself is never shuffled
     val posts = docs
-      .select(col(idCol).as("doc_id"), words(col(textCol)).as("w"))
-      .select(col("doc_id"), col("w"),
-        explode(when(size(col("w")) >= k,
-            sequence(lit(1), size(col("w")) - (k - 1)))
-          .otherwise(array().cast("array<int>"))).as("pos"))
-      .select(col("doc_id"), col("pos"),
-        hexPrefixToLong(md5(concat_ws(" ",
-          (0 until k).map(j => element_at(col("w"), col("pos") + lit(j))): _*)),
-          12).as("gh"))
+      .select(col(idCol).as("doc_id"),
+        posexplode(TextFeatures.textGrams(col(textCol), k))
+          .as(Seq("pos0", "g")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"),
+        hexPrefixToLong(md5(col("g")), 12).as("gh"))
       .persist() // feeds the df aggregate AND the shared-gram join
     val shared = posts.select("gh", "doc_id").distinct()
       .groupBy("gh").agg(count(lit(1)).as("df"))

@@ -88,4 +88,30 @@ object Vocab {
         size(col("__ids")).cast("bigint").as("n_tokens"),
         size(filter(col("__ids"), _ === 0L)).cast("bigint").as("n_oov"))
   }
+
+  /** [[encode]] through the native codegen'd
+    * [[graft.expressions.EncodeTokens]] expression (the
+    * [[LmScore.scoreFast]] design): the bounded vocabulary is
+    * collected once at plan build — the same driver-side class as a
+    * broadcast — and the id string plus both counters build in ONE
+    * generated loop with O(1) hash lookups, vs four interpreted HOF
+    * passes with a LINEAR vocabulary scan per `element_at` in the
+    * declarative form. Bit-identical output (spec'd; the encode oracle
+    * re-proves it per round).
+    */
+  def encodeFast(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 100): DataFrame = {
+    val vocab = topTokens(docs, idCol, textCol, k)
+      .select(col("token"), col("rnk")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val e = col("__e")
+    docs
+      .withColumn("__e", graft.expressions.EncodeTokens(
+        TokenCount.tokens(coalesce(col(textCol), lit(""))), vocab))
+      .select(
+        col(idCol).as("doc_id"),
+        e.getField("token_ids").as("token_ids"),
+        e.getField("n_tokens").as("n_tokens"),
+        e.getField("n_oov").as("n_oov"))
+  }
 }

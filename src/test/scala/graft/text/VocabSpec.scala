@@ -74,4 +74,23 @@ class VocabSpec extends AnyFunSuite {
       plan.contains("BroadcastHashJoin"),
       s"corpus must pick the map up map-side:\n$plan")
   }
+
+  test("encodeFast is bit-identical to encode, incl. empty/null/OOV docs") {
+    val withEdges = docs.union(
+      Seq((5L, ""), (6L, "!!!"), (7L, null.asInstanceOf[String]))
+        .toDF("doc_id", "text"))
+    val slow = Vocab.encode(withEdges, "doc_id", "text", k = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val fast = Vocab.encodeFast(withEdges, "doc_id", "text", k = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(fast.toSeq === slow.toSeq)
+  }
+
+  test("encodeFast has NO join at all: vocab rides the plan as a literal") {
+    val plan = Vocab.encodeFast(docs, "doc_id", "text", k = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"corpus side must be a pure scan:\n$plan")
+  }
 }
