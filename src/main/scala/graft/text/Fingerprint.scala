@@ -20,7 +20,17 @@ object Fingerprint {
 
   val Mod = 1000000007L
 
-  def rollingHash(text: Column): Column = {
+  /** Native one-pass form ([[graft.expressions.RollingFingerprint]]);
+    * [[rollingHashHof]] is the reference formulation it is spec'd
+    * against, and the DuckDB oracle keeps the `list_reduce` shape,
+    * re-proving the equivalence per round.
+    */
+  def rollingHash(text: Column): Column =
+    graft.expressions.RollingFingerprint(text, Mod)
+
+  /** The HOF reference formulation (two interpreted higher-order
+    * passes; kept for the equivalence spec). */
+  def rollingHashHof(text: Column): Column = {
     val tokenHashes = transform(words(text), w => hexPrefixToLong(md5(w), 6))
     aggregate(tokenHashes, lit(0L), (acc, h) => (acc * 31L + h) % Mod)
   }
