@@ -76,7 +76,7 @@ object SparkEntry {
     "text_fingerprint", "text_dupspans", "text_excise", "text_vocab",
     "text_heavyhitters",
     "text_pmi",
-    "text_encode", "text_drift", "text_lm_score",
+    "text_encode", "text_bpe", "text_drift", "text_lm_score",
     "text_tfidf", "text_normalize", "text_pack", "text_pack_stats",
     // text_decontam_bloom is an execution-strategy variant of
     // text_decontam (same oracle SQL verbatim; Bloom screen + exact

@@ -701,7 +701,64 @@ object TextQueries {
        |  md5(array_to_string(toks, ' ')) AS chunk_hash
        |FROM s ORDER BY doc_id, chunk_idx""".stripMargin
 
+  // ------------------------------------------------------------ bpe
+
+  private val BpeMerges = 8
+  private val BpeVocab = 256
+
+  /** BPE merge-rule training ([[graft.text.BpeTrain]]): 8 rounds over
+    * the 256 most frequent words. The oracle re-LEARNS all 8 rounds
+    * independently — chained CTEs (the PageRank/k-means unrolling):
+    * per round a lateral adjacent-pair count, a (total desc, pair asc)
+    * argmax, and a `list_reduce` greedy merge whose string accumulator
+    * reproduces [[graft.expressions.ApplyMerge]]'s left-to-right
+    * no-overlap semantics — so the hash match proves the entire
+    * count→argmax→merge chain bit-reproducible cross-engine.
+    */
+  def textBpe(spark: SparkSession, dir: String): DataFrame =
+    BpeTrain.merges(Tables.loadSpread(spark, dir, "documents"),
+        "text", BpeMerges, BpeVocab)
+      .orderBy("rnk")
+
+  val textBpeSql: String = {
+    def round(r: Int): String =
+      s"""p$r AS (SELECT pr.pair, CAST(SUM(cnt) AS BIGINT) AS total
+         |  FROM (SELECT cnt, string_split(seq, ' ') AS l FROM w${r - 1}) s,
+         |  LATERAL (SELECT s.l[CAST(i AS INT)] || ' ' ||
+         |      s.l[CAST(i AS INT) + 1] AS pair
+         |    FROM unnest(range(1, len(s.l))) AS rr(i)) pr
+         |  GROUP BY pr.pair),
+         |t$r AS (SELECT pair, total,
+         |    string_split(pair, ' ')[1] AS lft,
+         |    string_split(pair, ' ')[2] AS rgt
+         |  FROM p$r ORDER BY total DESC, pair ASC LIMIT 1),
+         |w$r AS (SELECT word, cnt, CASE WHEN len(l) < 2 THEN seq ELSE
+         |    list_reduce(l, (acc, x) -> CASE WHEN x = t.rgt AND
+         |        (acc = t.lft OR right(acc, length(t.lft) + 1) = ' ' || t.lft)
+         |      THEN left(acc, length(acc) - length(t.lft)) || t.lft || t.rgt
+         |      ELSE acc || ' ' || x END) END AS seq
+         |  FROM (SELECT word, cnt, seq, string_split(seq, ' ') AS l
+         |        FROM w${r - 1}), t$r t)""".stripMargin
+    val rounds = (1 to BpeMerges).map(round).mkString(",\n")
+    val unions = (1 to BpeMerges)
+      .map(r => s"SELECT CAST($r AS BIGINT) AS rnk, lft, rgt, total FROM t$r")
+      .mkString("\n  UNION ALL ")
+    s"""WITH toks AS (SELECT unnest(regexp_extract_all(lower(text),
+       |    '${TokenCount.TokenPattern}')) AS word FROM documents),
+       |wf AS (SELECT word, count(*) AS cnt FROM toks GROUP BY word
+       |  ORDER BY cnt DESC, word ASC LIMIT $BpeVocab),
+       |w0 AS (SELECT word, cnt,
+       |    array_to_string(list_transform(range(1, length(word) + 1),
+       |      i -> substr(word, CAST(i AS INT), 1)), ' ') AS seq
+       |  FROM wf),
+       |$rounds
+       |SELECT rnk, lft AS "left", rgt AS "right", total AS pair_count
+       |FROM ($unions)
+       |ORDER BY rnk""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bpe" -> (textBpe(_, _)),
     "text_decontam" -> (textDecontam(_, _)),
     "text_decontam_bloom" -> (textDecontamBloom(_, _)),
     "text_pii" -> (textPii(_, _)),
@@ -726,6 +783,7 @@ object TextQueries {
     "text_pack_stats" -> (textPackStats(_, _)))
 
   val oracleSql: Map[String, String] = Map(
+    "text_bpe" -> textBpeSql,
     "text_decontam" -> textDecontamSql,
     "text_decontam_bloom" -> textDecontamSql,
     "text_pii" -> textPiiSql,
