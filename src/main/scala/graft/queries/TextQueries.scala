@@ -720,7 +720,23 @@ object TextQueries {
         "text", BpeMerges, BpeVocab)
       .orderBy("rnk")
 
-  val textBpeSql: String = {
+  /** The greedy-merge `list_reduce` body over a pre-split list column
+    * `l`, merging trailing `lft` when `rgt` arrives — the oracle's
+    * reproduction of [[graft.expressions.ApplyMerge]]'s exact
+    * left-to-right no-overlap semantics.
+    */
+  private def bpeReduce: String =
+    s"""CASE WHEN len(l) < 2 THEN seq ELSE
+       |    list_reduce(l, (acc, x) -> CASE WHEN x = t.rgt AND
+       |        (acc = t.lft OR right(acc, length(t.lft) + 1) = ' ' || t.lft)
+       |      THEN left(acc, length(acc) - length(t.lft)) || t.lft || t.rgt
+       |      ELSE acc || ' ' || x END) END""".stripMargin
+
+  /** Shared training CTEs: word table `wf`, char-seeded `w0`, and per
+    * round r the pair counts `p_r`, the argmax rule `t_r`, and the
+    * merged table `w_r`.
+    */
+  private def bpeTrainCtes: String = {
     def round(r: Int): String =
       s"""p$r AS (SELECT pr.pair, CAST(SUM(cnt) AS BIGINT) AS total
          |  FROM (SELECT cnt, string_split(seq, ' ') AS l FROM w${r - 1}) s,
@@ -732,18 +748,11 @@ object TextQueries {
          |    string_split(pair, ' ')[1] AS lft,
          |    string_split(pair, ' ')[2] AS rgt
          |  FROM p$r ORDER BY total DESC, pair ASC LIMIT 1),
-         |w$r AS (SELECT word, cnt, CASE WHEN len(l) < 2 THEN seq ELSE
-         |    list_reduce(l, (acc, x) -> CASE WHEN x = t.rgt AND
-         |        (acc = t.lft OR right(acc, length(t.lft) + 1) = ' ' || t.lft)
-         |      THEN left(acc, length(acc) - length(t.lft)) || t.lft || t.rgt
-         |      ELSE acc || ' ' || x END) END AS seq
+         |w$r AS (SELECT word, cnt, $bpeReduce AS seq
          |  FROM (SELECT word, cnt, seq, string_split(seq, ' ') AS l
          |        FROM w${r - 1}), t$r t)""".stripMargin
     val rounds = (1 to BpeMerges).map(round).mkString(",\n")
-    val unions = (1 to BpeMerges)
-      .map(r => s"SELECT CAST($r AS BIGINT) AS rnk, lft, rgt, total FROM t$r")
-      .mkString("\n  UNION ALL ")
-    s"""WITH toks AS (SELECT unnest(regexp_extract_all(lower(text),
+    s"""toks AS (SELECT unnest(regexp_extract_all(lower(text),
        |    '${TokenCount.TokenPattern}')) AS word FROM documents),
        |wf AS (SELECT word, count(*) AS cnt FROM toks GROUP BY word
        |  ORDER BY cnt DESC, word ASC LIMIT $BpeVocab),
@@ -751,14 +760,58 @@ object TextQueries {
        |    array_to_string(list_transform(range(1, length(word) + 1),
        |      i -> substr(word, CAST(i AS INT), 1)), ' ') AS seq
        |  FROM wf),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  val textBpeSql: String = {
+    val unions = (1 to BpeMerges)
+      .map(r => s"SELECT CAST($r AS BIGINT) AS rnk, lft, rgt, total FROM t$r")
+      .mkString("\n  UNION ALL ")
+    s"""WITH $bpeTrainCtes
        |SELECT rnk, lft AS "left", rgt AS "right", total AS pair_count
        |FROM ($unions)
        |ORDER BY rnk""".stripMargin
   }
 
+  /** Serving face: train (as above), then segment EVERY document's
+    * tokens with the learned table — gate-only, no bench slot (the
+    * serving path's runtime is the family's, like `embed_kmeans_label`).
+    * The oracle re-learns the rules AND re-applies all 8 rounds at the
+    * (doc, token) level, reassembling with " | " separators.
+    */
+  def textBpeSegment(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.loadSpread(spark, dir, "documents")
+    val rules = BpeTrain.merges(docs, "text", BpeMerges, BpeVocab)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    BpeTrain.segment(docs, "doc_id", "text", rules).orderBy("doc_id")
+  }
+
+  val textBpeSegmentSql: String = {
+    def round(r: Int): String =
+      s"""d$r AS (SELECT doc_id, ord, $bpeReduce AS seq
+         |  FROM (SELECT doc_id, ord, seq, string_split(seq, ' ') AS l
+         |        FROM d${r - 1}), t$r t)""".stripMargin
+    val rounds = (1 to BpeMerges).map(round).mkString(",\n")
+    s"""WITH $bpeTrainCtes,
+       |dt AS (SELECT doc_id, i AS ord, ts[CAST(i AS INT)] AS tok FROM
+       |  (SELECT doc_id, regexp_extract_all(lower(text),
+       |     '${TokenCount.TokenPattern}') AS ts FROM documents) d,
+       |  LATERAL unnest(range(1, len(d.ts) + 1)) AS rr(i)),
+       |d0 AS (SELECT doc_id, ord,
+       |    array_to_string(list_transform(range(1, length(tok) + 1),
+       |      i -> substr(tok, CAST(i AS INT), 1)), ' ') AS seq
+       |  FROM dt),
+       |$rounds,
+       |agg AS (SELECT doc_id, string_agg(seq, ' | ' ORDER BY ord)
+       |    AS segmented FROM d${BpeMerges} GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(a.segmented, '') AS segmented
+       |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bpe" -> (textBpe(_, _)),
+    "text_bpe_segment" -> (textBpeSegment(_, _)),
     "text_decontam" -> (textDecontam(_, _)),
     "text_decontam_bloom" -> (textDecontamBloom(_, _)),
     "text_pii" -> (textPii(_, _)),
@@ -784,6 +837,7 @@ object TextQueries {
 
   val oracleSql: Map[String, String] = Map(
     "text_bpe" -> textBpeSql,
+    "text_bpe_segment" -> textBpeSegmentSql,
     "text_decontam" -> textDecontamSql,
     "text_decontam_bloom" -> textDecontamSql,
     "text_pii" -> textPiiSql,
