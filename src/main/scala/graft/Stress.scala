@@ -26,7 +26,7 @@ object Stress {
         "dupspans", "incr", "aggmerge", "funnel", "anomaly", "lmscore",
         "scd2", "semantic", "pmi", "epochs", "order", "profilediff",
         "outliers", "pagerank", "equidepth", "outliersbig", "heavyhitters",
-        "hll", "kmeans", "simquant", "linkage")
+        "hll", "kmeans", "simquant", "linkage", "bpe")
     val spark = Sessions.local("32")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -604,6 +604,31 @@ object Stress {
         // multiplies counts 10× but the ratio (and so the ranking) is
         // scale-invariant — a useful sanity on the arithmetic
         text.Collocations.topPmi(corpus, "text", 50, 50L).count()
+      }
+    }
+
+    if (which("bpe")) {
+      // 500k docs, 10k-word vocabulary, 16 merge rounds — the
+      // vocabulary-sized-iteration claim under a 40× larger training
+      // table than the gated query's. Clone-invariance is the
+      // correctness stress (the kmeans pattern): uniform 10× counts
+      // cannot change any round's argmax, so the rules learned from
+      // the cloned corpus must equal the base corpus's exactly, with
+      // pair_count scaled 10×.
+      val base = staged(queries.Tables.loadSpread(spark, dir, "documents"))
+      val baseRules = text.BpeTrain.merges(base, "text", 16, 10000).collect()
+      spark.catalog.clearCache()
+      val corpus = staged(corpus10x)
+      timed("bpe") {
+        val rules = text.BpeTrain.merges(corpus, "text", 16, 10000).collect()
+        require(rules.map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+          .sameElements(baseRules.map(r =>
+            (r.getLong(0), r.getString(1), r.getString(2)))),
+          "10x-cloned corpus learned different merges")
+        require(rules.map(_.getLong(3))
+          .sameElements(baseRules.map(_.getLong(3) * 10)),
+          "pair counts must scale exactly 10x")
+        rules.length.toLong
       }
     }
 

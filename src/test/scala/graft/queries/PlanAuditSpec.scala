@@ -445,4 +445,20 @@ class PlanAuditSpec extends AnyFunSuite {
       plan.contains("BroadcastHashJoin"),
       s"extent/offsets must broadcast:\n$plan")
   }
+
+  test("bpe segment: merge rules are plan literals — no join, no hash exchange") {
+    // trains 8 rounds at plan build (iterative-literal pattern), then
+    // the corpus side must be a pure scan -> chained-ApplyMerge
+    // projection: the only exchange is the output orderBy's range
+    // partitioning, and every learned rule appears as an apply_merge
+    // call in ONE projection pipeline
+    val plan = planOf("text_bpe_segment")
+    spark.catalog.clearCache() // training persisted the word table
+    assert(!plan.contains("Join"),
+      s"segment corpus side must not join:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"segment must not shuffle the corpus:\n$plan")
+    assert("apply_merge".r.findAllIn(plan).length >= 8,
+      s"all 8 learned rules must ride the projection as literals:\n$plan")
+  }
 }
