@@ -1,15 +1,17 @@
 package graft
 
-import graft.expressions.{DotProduct, RewriteDotProduct}
+import graft.expressions._
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Session extension wiring — `.config("spark.sql.extensions",
   * "graft.GraftExtensions")` makes the engine's native expressions
   * available to plain `spark.sql(...)` text, not just the Column API:
   *
   * {{{ SELECT dot_product(a.embedding, b.embedding) FROM ... }}}
+  * {{{ SELECT word_shingles(text, 3), token_runs(text) FROM docs }}}
   *
   * and installs the [[graft.expressions.RewriteDotProduct]] optimizer
   * rule, which upgrades the equivalent built-in
@@ -17,15 +19,71 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * automatically.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  /** Extract a required literal argument (the scan expressions take
+    * their parameters at plan build, like every SQL function with a
+    * static shape argument).
+    */
+  private def intLit(e: Expression, fn: String, pos: Int): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn argument $pos must be an integer literal, got $other")
+  }
+
+  private def strLit(e: Expression, fn: String, pos: Int): String = e match {
+    case Literal(v: UTF8String, _) => v.toString
+    case other => throw new IllegalArgumentException(
+      s"$fn argument $pos must be a string literal, got $other")
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      new FunctionIdentifier("dot_product"),
-      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
-      (args: Seq[Expression]) => {
-        require(args.length == 2,
-          s"dot_product takes 2 arguments, got ${args.length}")
-        DotProduct(args.head, args(1))
-      }))
+    def inject(name: String, builder: Seq[Expression] => Expression): Unit = {
+      // ExpressionInfo className is DESCRIBE-FUNCTION metadata only; the
+      // snake_case name maps to the CamelCase expression class
+      val className = "graft.expressions." +
+        name.split('_').map(_.capitalize).mkString
+      ext.injectFunction((
+        new FunctionIdentifier(name),
+        new ExpressionInfo(className, name),
+        builder))
+    }
+
+    inject("dot_product", { args =>
+      require(args.length == 2,
+        s"dot_product takes 2 arguments, got ${args.length}")
+      DotProduct(args.head, args(1))
+    })
+    inject("token_runs", { args =>
+      require(args.length == 1,
+        s"token_runs takes 1 argument, got ${args.length}")
+      TokenRuns(args.head)
+    })
+    inject("word_shingles", { args =>
+      require(args.length == 2 || args.length == 3,
+        s"word_shingles takes (text, n [, distinct]), got ${args.length}")
+      val distinct = args.length < 3 || (args(2) match {
+        case Literal(b: Boolean, _) => b
+        case other => throw new IllegalArgumentException(
+          s"word_shingles argument 3 must be a boolean literal, got $other")
+      })
+      WordShingles(args.head, intLit(args(1), "word_shingles", 2), distinct)
+    })
+    inject("char_shingles", { args =>
+      require(args.length == 2,
+        s"char_shingles takes (text, n), got ${args.length}")
+      CharShingles(args.head, intLit(args(1), "char_shingles", 2))
+    })
+    inject("rolling_fingerprint", { args =>
+      require(args.length == 1,
+        s"rolling_fingerprint takes 1 argument, got ${args.length}")
+      RollingFingerprint(args.head, graft.text.Fingerprint.Mod)
+    })
+    inject("apply_merge", { args =>
+      require(args.length == 3,
+        s"apply_merge takes (seq, left, right), got ${args.length}")
+      ApplyMerge(args.head, strLit(args(1), "apply_merge", 2),
+        strLit(args(2), "apply_merge", 3))
+    })
     ext.injectOptimizerRule(_ => RewriteDotProduct)
   }
 }
