@@ -105,6 +105,27 @@ class BpeTrainSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("merges equals sequential BPE on 6 random corpora") {
+    val rnd = new scala.util.Random(31) // fixed seed: reproducible
+    (1 to 6).foreach { _ =>
+      // words long enough that 4 rounds cannot starve; alphabet of 2
+      // maximizes pair collisions and tie-breaks
+      val vocabWords = Seq.fill(3 + rnd.nextInt(4))(
+        Seq.fill(5 + rnd.nextInt(4))("ab" (rnd.nextInt(2))).mkString)
+      val docs = Seq.fill(8)(
+        Seq.fill(1 + rnd.nextInt(5))(
+          vocabWords(rnd.nextInt(vocabWords.length))).mkString(" "))
+        .toDF("text")
+      val toks = docs.collect().flatMap(_.getString(0).split(" "))
+        .groupBy(identity).map { case (w, a) => w -> a.length.toLong }
+      val expect = naiveBpe(toks, 4)
+      val got = BpeTrain.merges(docs, "text", 4, 64).collect().map(r =>
+        (r.getLong(0).toInt, r.getString(1), r.getString(2), r.getLong(3)))
+      spark.catalog.clearCache()
+      assert(got.toSeq === expect, s"corpus: $vocabWords")
+    }
+  }
+
   test("merges is partitioning-invariant") {
     val docs = Seq("aaa aab aaa", "aab aab baa", "aaa baa").toDF("text")
     val one = BpeTrain.merges(docs.coalesce(1), "text", 4, 64).collect().toSeq
