@@ -38,9 +38,16 @@ object Bench {
       SparkEntry.queries(name)(spark, dir)
         .write.format("noop").mode("overwrite").save()
 
+    // optional comma-separated subset for local iteration on a few
+    // queries (the driver never sets this — full list by default)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val benched = SparkEntry.benchQueries
+      .filter(q => only.forall(_.contains(q)))
+
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR",
       "/root/testdata/sf0.001")
-    if (warmDir != sfDir) SparkEntry.benchQueries.foreach { name =>
+    if (warmDir != sfDir) benched.foreach { name =>
       // NonFatal only: a warmup OOM must crash, not leave a poisoned JVM
       // silently producing garbage timings.
       try materialize(name, warmDir)
@@ -53,7 +60,7 @@ object Bench {
 
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     var errors = List.empty[(String, String)]
-    val results = SparkEntry.benchQueries.map { name =>
+    val results = benched.map { name =>
       val times = (1 to reps).iterator.map { _ =>
         val t0 = System.nanoTime()
         val t = try {

@@ -24,6 +24,13 @@ import org.apache.spark.sql.functions._
   *     that is the existing [[MinHashLSH.nearDuplicatePairs]] /
   *     [[ExactDedup]] pass, run on the batch alone.
   *
+  * Each side is scanned ONCE: a single persisted (doc_id, h, shingles)
+  * frame per side carries the exact-screen hash AND the shingle sets,
+  * and the band index derives from it — without the shared frame the
+  * exact screen, the signature aggregate, the verify join, and the
+  * final verdict join each re-run the scan + md5/shingle projection
+  * (measured ~1.7× the whole query at sf0.1, SURVEY §9).
+  *
   * Reference scope note: the reference library (find_datacol_diff.py)
   * has no dedup at all; this is an engine extension (SURVEY §2.10).
   */
@@ -34,7 +41,8 @@ object IncrementalDedup {
     * for every ingest batch, so the 100 TB corpus is never re-shingled
     * per batch. All three frames are plain DataFrames, so "persist"
     * is just `.write.parquet(...)` (bucket `bands` by band_val and
-    * `shingles` by doc_id to also skip their shuffles at read time).
+    * `shingles` by doc_id to also skip their shuffles at read time —
+    * [[graft.sources.Bucketing]]).
     *
     *   - textHashes: distinct md5(text) — the exact screen's side;
     *   - bands: (doc_id, band_id, band_val) LSH band index;
@@ -43,17 +51,38 @@ object IncrementalDedup {
   case class CorpusIndex(textHashes: DataFrame, bands: DataFrame,
       shingles: DataFrame)
 
+  /** One persisted scan: (doc_id, h, shingles). Shared by every screen
+    * artifact on its side. Cache reclaimed via clearCache like the
+    * other internal multi-consumer caches.
+    */
+  private def prepared(docs: DataFrame, idCol: String, textCol: String,
+      cfg: MinHashLSH.Config): DataFrame =
+    cfg.maxShingleDocFreq match {
+      case None =>
+        // one projection: hash + shingles in the same scan, no join
+        docs.select(col(idCol).as("doc_id"), md5(col(textCol)).as("h"),
+            textShingles(col(textCol), cfg.shingleSize).as("shingles"))
+          .persist()
+      case Some(_) =>
+        // boilerplate-capped shingle sets come from the df-capped
+        // pipeline (its own aggregate); the hash column rides back in
+        // on doc_id — the capped path's one extra equi-join
+        MinHashLSH.docShingles(docs, idCol, textCol, cfg)
+          .join(docs.select(col(idCol).as("doc_id"),
+            md5(col(textCol)).as("h")), "doc_id")
+          .persist()
+    }
+
   def buildIndex(corpus: DataFrame, idCol: String, textCol: String,
-      cfg: MinHashLSH.Config = MinHashLSH.Config()): CorpusIndex = {
-    // shingles feed the band chain AND are an index artifact — persist
-    // so one build pass scans the corpus once (callers writing the
-    // index to tables get the same effect durably)
-    val cSh = MinHashLSH.docShingles(corpus, idCol, textCol, cfg).persist()
+      cfg: MinHashLSH.Config = MinHashLSH.Config()): CorpusIndex =
+    fromPrepared(prepared(corpus, idCol, textCol, cfg), cfg)
+
+  private def fromPrepared(prep: DataFrame,
+      cfg: MinHashLSH.Config): CorpusIndex =
     CorpusIndex(
-      corpus.select(md5(col(textCol)).as("h")).distinct(),
-      MinHashLSH.bands(cSh, cfg),
-      cSh)
-  }
+      prep.select(col("h")).distinct(),
+      MinHashLSH.bands(prep, cfg),
+      prep.select("doc_id", "shingles"))
 
   /** Per-batch-document verdict against the corpus.
     *
@@ -70,30 +99,30 @@ object IncrementalDedup {
   /** Same verdicts, against a prebuilt (possibly table-backed) index. */
   def verdicts(index: CorpusIndex, batch: DataFrame, idCol: String,
       textCol: String, cfg: MinHashLSH.Config): DataFrame = {
-    val exact = batch
-      .select(col(idCol).as("doc_id"), md5(col(textCol)).as("h"))
+    // the batch prep frame feeds FOUR consumers: the exact screen, the
+    // band signatures, the verify join, and the final verdict spine
+    val bPrep = prepared(batch, idCol, textCol, cfg)
+    val exact = bPrep.select("doc_id", "h")
       .join(index.textHashes, "h")
       .select("doc_id").distinct()
       .withColumn("is_exact", lit(1))
 
-    // the batch shingle frame feeds signatures AND the verify join —
-    // persist like nearDuplicatePairs does (reclaim via clearCache)
-    val bSh = MinHashLSH.docShingles(batch, idCol, textCol, cfg).persist()
-    val cand = MinHashLSH.bands(bSh, cfg).as("b")
+    val cand = MinHashLSH.bands(bPrep, cfg).as("b")
       .join(index.bands.as("c"),
         col("b.band_id") === col("c.band_id") &&
           col("b.band_val") === col("c.band_val"))
       .select(col("b.doc_id").as("b_id"), col("c.doc_id").as("c_id"))
       .distinct()
     val near = cand
-      .join(bSh.select(col("doc_id").as("b_id"), col("shingles").as("sa")), "b_id")
+      .join(bPrep.select(col("doc_id").as("b_id"), col("shingles").as("sa")),
+        "b_id")
       .join(index.shingles
         .select(col("doc_id").as("c_id"), col("shingles").as("sb")), "c_id")
       .filter(jaccard(col("sa"), col("sb")) >= cfg.threshold)
       .select(col("b_id").as("doc_id")).distinct()
       .withColumn("is_near", lit(1))
 
-    batch.select(col(idCol).as("doc_id"))
+    bPrep.select(col("doc_id"))
       .join(exact, Seq("doc_id"), "left")
       .join(near, Seq("doc_id"), "left")
       .select(col("doc_id"),

@@ -17,11 +17,13 @@ import org.apache.spark.sql.functions._
   *     k-means nondeterministic (partial-aggregation order varies run to
   *     run). Distances and means stay bit-identical across Spark's
   *     hash aggregate and the DuckDB oracle's single-threaded fold.
-  *   - '''Assignment is a pure projection.''' Centroids are embedded as
-  *     plan literals each iteration, so assigning a vector is a
-  *     codegen'd `least(struct(dist, cid)...)` over k
-  *     [[graft.expressions.DotProduct]] folds — no join, no shuffle, no
-  *     per-row state. The corpus is scanned once per iteration.
+  *   - '''Assignment is a pure projection.''' The codebook rides the
+  *     plan as one flat-array object each iteration
+  *     ([[graft.expressions.NearestCentroid]] — shipped in the task
+  *     binary like a broadcast variable), so assigning a vector is one
+  *     codegen'd k×dim argmin loop — no join, no shuffle, no per-row
+  *     state, constant plan size in k. The corpus is scanned once per
+  *     iteration.
   *   - '''Only k·d numbers ever reach the driver.''' Per iteration one
   *     map-side-combined `(cluster, pos)` aggregate shuffles ≤ k·d rows
   *     per task and collects k·d sums — the MLlib-style Lloyd's loop,
@@ -48,20 +50,24 @@ object KMeans {
     * keeps |q·c| folds for unit-ish embeddings far below 2^53 exactness
     * territory even at dim 64 × 2^40 per term... (2^42 · 64 < 2^49).
     *
-    * Regime bound: the literal-centroid assignment embeds k·dim double
-    * literals per iteration, so it is built for the coarse-codebook
-    * regime (k up to a few hundred — IVF partitions, PQ sub-codebooks;
-    * k = 64 × dim 64 is spec-proven). For k in the many-thousands,
-    * plan/codegen size grows linearly and the right shape is the
-    * centroid-FRAME broadcast join + `min_by` aggregate that
-    * [[IVFIndex.assign]] already implements — same semantics, one extra
-    * shuffle of (vid, cell) pairs per iteration.
+    * Regime: assignment carries the codebook as one flat array object
+    * ([[graft.expressions.NearestCentroid]] — constant plan and
+    * generated-code size in k), so k is bounded by codebook MEMORY
+    * (k·dim doubles per executor, like any broadcast side) and the
+    * k·dim multiply-adds per row, not by plan size: k=4096 × dim 64 is
+    * stress-proven (Stress entry), the √N-cell regime a 100 TB
+    * IVF/SemDeDup layout needs. The per-iteration driver collect stays
+    * k·dim sums. The cap below is a sanity rail against accidentally
+    * shipping a million-centroid codebook through a projection —
+    * beyond it, assignment IS a join ([[IVFIndex.assign]]'s
+    * centroid-frame shape).
     */
   case class Config(k: Int = 8, iters: Int = 3, scaleBits: Int = 20) {
     require(k >= 1 && iters >= 1 && scaleBits >= 0 && scaleBits <= 26)
-    require(k <= 1024,
-      "literal-centroid assignment is for coarse codebooks; beyond ~1k " +
-        "centroids use the IVFIndex.assign broadcast-join shape")
+    require(k <= 65536,
+      "codebook assignment is for ≤64k centroids (k·dim doubles ride " +
+        "the task binary); beyond that use the IVFIndex.assign " +
+        "centroid-frame join shape")
     def scale: Double = (1L << scaleBits).toDouble
   }
 
@@ -96,16 +102,32 @@ object KMeans {
         Centroid(r.getLong(0), cv, leftFoldSq(cv))
       }.toSeq
 
-  /** `(dist, cluster)` columns for a row against literal centroids:
-    * `least` over per-centroid (dist, cid) structs — lexicographic
-    * struct ordering IS the (dist asc, cid asc) argmin with its
-    * tie-break.
-    */
-  /** `least(struct(dist, cid)...)` over literal centroids for arbitrary
-    * (quantized-vector, squared-norm) columns — shared with
-    * [[ProductQuant]], which runs one per subspace.
+  /** Codebook argmin for arbitrary (quantized-vector, squared-norm)
+    * columns — shared with [[ProductQuant]], which runs one per
+    * subspace. Output struct(d, c): squared distance and centroid id,
+    * ties toward the smaller id.
+    *
+    * Implementation: [[graft.expressions.NearestCentroid]] — the whole
+    * codebook rides the plan as ONE flat-array object (shipped in the
+    * task binary like a broadcast variable, constant generated-code
+    * size), so plan/codegen cost no longer grows with k and the
+    * large-k regime (√N IVF cells, thousands of centroids) is open.
+    * Bit-equal to [[bestStructLiteral]] by the expression's arithmetic
+    * contract, ScalaCheck'd in KMeansSpec.
     */
   private[similarity] def bestStruct(cents: Seq[Centroid], q: Column,
+      qn: Column): Column =
+    graft.expressions.NearestCentroid(q, qn,
+      cents.map(_.cid), cents.map(_.cn), cents.map(_.cv))
+
+  /** The k-literal-subtree formulation bestStruct replaced:
+    * `least(struct(qn + cn − 2·dot(q, lit(c)), cid), ...)` —
+    * lexicographic struct ordering IS the (dist asc, cid asc) argmin
+    * with its tie-break. Kept as the independent reference
+    * implementation the equality spec checks the codebook path
+    * against (two formulations, one arithmetic).
+    */
+  private[similarity] def bestStructLiteral(cents: Seq[Centroid], q: Column,
       qn: Column): Column = {
     val structs = cents.map { c =>
       val dist = qn + lit(c.cn) -

@@ -88,29 +88,31 @@ object DupSpans {
     */
   def excise(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 5, minDf: Long = 2): DataFrame = {
-    val covered = spans(docs, idCol, textCol, k, minDf)
-      .select(col("doc_id"),
-        explode(sequence(col("span_start"), col("span_end"))).as("pos"))
-    val toks = docs
-      .select(col(idCol).as("doc_id"),
-        posexplode(words(col(textCol))).as(Seq("pos0", "token")))
-      .select(col("doc_id"), (col("pos0") + 1).cast("bigint").as("pos"),
-        col("token"))
-    val rebuilt = toks
-      .join(covered, Seq("doc_id", "pos"), "left_anti")
+    // spans are maximal and non-overlapping per doc, so the removal is
+    // a pure array expression once each doc holds its own (small) span
+    // list: no exploded (doc, pos) relation, no token-scale anti-join,
+    // no re-aggregation of the kept tokens — the only shuffles are the
+    // span pipeline's own and one join of docs against the one-row-per-
+    // spanned-doc span lists (docs with no shared span pass through the
+    // left join untouched). Replaces an explode + LEFT ANTI +
+    // collect_list chain that shuffled O(tokens) rows three times —
+    // measured ~1.8× end-to-end at sf0.1 (SURVEY §9).
+    val spanLists = spans(docs, idCol, textCol, k, minDf)
       .groupBy("doc_id")
-      .agg(
-        concat_ws(" ",
-          transform(
-            array_sort(collect_list(struct(col("pos"), col("token")))),
-            (x: Column) => x.getField("token"))).as("clean_text"),
-        count(lit(1)).as("n_kept"))
+      .agg(collect_list(struct(col("span_start").as("s"),
+        col("span_end").as("e"))).as("sp"))
     docs
-      .select(col(idCol).as("doc_id"),
-        coalesce(size(words(col(textCol))).cast("bigint"), lit(0L)).as("n_orig"))
-      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col(idCol).as("doc_id"), words(col(textCol)).as("w"))
+      .join(spanLists, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("w"),
+        when(col("sp").isNull, col("w")).otherwise(
+          filter(col("w"), (t: Column, i: Column) =>
+            !exists(col("sp"), s =>
+              i + 1L >= s.getField("s") && i + 1L <= s.getField("e"))))
+          .as("kept"))
       .select(col("doc_id"),
-        coalesce(col("clean_text"), lit("")).as("clean_text"),
-        (col("n_orig") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+        concat_ws(" ", col("kept")).as("clean_text"),
+        (coalesce(size(col("w")), lit(0)).cast("bigint") -
+          coalesce(size(col("kept")), lit(0)).cast("bigint")).as("n_removed"))
   }
 }

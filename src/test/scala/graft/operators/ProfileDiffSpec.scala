@@ -61,16 +61,17 @@ class ProfileDiffSpec extends AnyFunSuite {
       === Seq("tag"))
   }
 
-  test("no raw-table join: plan joins only the two profile aggregates") {
+  test("no join at all: both snapshots profile through one aggregation") {
     val s1 = Seq((1L, "a")).toDF("id", "s")
     val s2 = Seq((1L, "a")).toDF("id", "s")
     val plan = ProfileDiff.compare(s1, s2)
       .queryExecution.executedPlan.toString
-    // the only join is the N-column summary/summary full-outer —
-    // broadcast- or tiny-sort-merge regardless of input size; raw rows
-    // were reduced by the per-side aggregates before any join
-    val joins = "(?i)join".r.findAllIn(plan).length
-    assert(joins >= 1, s"expected the profile/profile join:\n$plan")
+    // the melted sides union into ONE (col, value) aggregate with the
+    // side folded into the aggregates, so shared values merge before
+    // the shuffle and the per-column comparison is conditional
+    // aggregation — no summary/summary join survives in the plan
+    assert(!"(?i)join".r.findFirstIn(plan).isDefined,
+      s"profile comparison must not join:\n$plan")
     assert(!plan.contains("Expand"),
       s"profile sides must not expand rows per aggregate:\n$plan")
   }

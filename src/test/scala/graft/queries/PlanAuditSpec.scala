@@ -81,8 +81,8 @@ class PlanAuditSpec extends AnyFunSuite {
       s"embed_kmeans assignment must not shuffle the corpus:\n$plan")
     assert(!plan.contains("Join"),
       s"embed_kmeans assignment must not join:\n$plan")
-    assert(plan.contains("dot_product"),
-      "assignment distances must run through the codegen'd fold")
+    assert(plan.contains("nearest_centroid"),
+      "assignment distances must run through the codegen'd codebook argmin")
   }
 
   test("record linkage: one blocked equi-join, argmin as a hash aggregate") {
@@ -352,30 +352,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(smj >= 2, s"expected hash-keyed cell/anti joins:\n$plan")
   }
 
-  test("profile diff: the join consumes summaries, never raw snapshots") {
-    // The operator's whole point: each side reduces to one row per
-    // column BEFORE the only join, so at 100 TB the join moves
-    // N-column frames, not tables. Structurally: below the full-outer
-    // join, every path must hit an aggregate before any parquet scan.
+  test("profile diff: one aggregation pipeline, no join of any kind") {
+    // The operator's whole point: both snapshots melt into ONE
+    // (col, value) aggregate (side folded into the aggregates, so
+    // shared values merge before the shuffle) and the per-column
+    // comparison is conditional aggregation — at 100 TB nothing joins,
+    // the shuffles carry O(distinct values) and then O(columns) rows.
     val plan = planOf("profile_diff")
-    assert(plan.contains("FullOuter"), s"expected the summary join:\n$plan")
+    assert(!"(?i)join".r.findFirstIn(plan).isDefined,
+      s"profile comparison must not join:\n$plan")
     assert(!plan.contains("Expand"),
       s"profile sides must not expand rows per aggregate:\n$plan")
-    val lines = plan.linesIterator.toVector
-    def nodeDepth(l: String): Int =
-      l.indexWhere(c => !" :+-*(0123456789)".contains(c))
-    val ji = lines.indexWhere(_.contains("FullOuter"))
-    val jd = nodeDepth(lines(ji))
-    val subtree = lines.drop(ji + 1).takeWhile(nodeDepth(_) > jd)
-    // walk each scan upward: an aggregate must intervene before the join
-    subtree.zipWithIndex.filter(_._1.contains("Scan parquet")).foreach {
-      case (_, si) =>
-        val above = subtree.take(si)
-        val sd = nodeDepth(subtree(si))
-        val ancestors = above.reverse.filter(nodeDepth(_) < sd)
-        assert(ancestors.exists(_.contains("Aggregate")),
-          s"a raw scan reaches the join unaggregated:\n$plan")
-    }
+    assert(plan.contains("Union"), s"expected the two melted sides:\n$plan")
   }
 
   test("robust outliers: rank passes and rollup share one exchange") {
