@@ -73,6 +73,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         s"char_shingles takes (text, n), got ${args.length}")
       CharShingles(args.head, intLit(args(1), "char_shingles", 2))
     })
+    inject("md5_prefix_long", { args =>
+      require(args.length == 2,
+        s"md5_prefix_long takes (s, digits), got ${args.length}")
+      Md5PrefixLong(args.head, intLit(args(1), "md5_prefix_long", 2))
+    })
     inject("rolling_fingerprint", { args =>
       require(args.length == 1,
         s"rolling_fingerprint takes 1 argument, got ${args.length}")

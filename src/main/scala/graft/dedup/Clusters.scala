@@ -135,8 +135,8 @@ object Clusters {
     // DECIMAL(38) so it cannot overflow at any edge count
     def checksum(e: DataFrame): (Long, java.math.BigDecimal) = {
       val r = e.agg(count(lit(1)),
-        sum(graft.text.TextFeatures.hexPrefixToLong(
-            md5(concat_ws(":", col("u"), col("v"))), 15)
+        sum(graft.text.TextFeatures.md5PrefixLong(
+            concat_ws(":", col("u"), col("v")), 15)
           .cast("decimal(38,0)"))).head()
       (r.getLong(0),
         if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1))

@@ -148,7 +148,7 @@ object MinHashLSH {
   def signatures(shingled: DataFrame, cfg: Config = Config()): DataFrame = {
     val posts = shingled.select(col("doc_id"), explode(col("shingles")).as("sh"))
       .select(col("doc_id"),
-        graft.text.TextFeatures.hexPrefixToLong(md5(col("sh")), 12).as("h0"))
+        graft.text.TextFeatures.md5PrefixLong(col("sh"), 12).as("h0"))
     val aggs = (0 until cfg.numHashes).map { i =>
       val (a, b) = coeffs(i)
       min((col("h0") * a + b).bitwiseAND(lit(Mask48))).as(s"h$i")

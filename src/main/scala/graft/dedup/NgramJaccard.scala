@@ -34,7 +34,7 @@ object NgramJaccard {
     // projection, tripling the query cost (see MinHashLSH note)
     val posts0 = docs.select(col(idCol).as("doc_id"),
         explode(textShingles(col(textCol), shingleSize)).as("sh0"))
-      .select(col("doc_id"), hexPrefixToLong(md5(col("sh0")), 15).as("sh"))
+      .select(col("doc_id"), md5PrefixLong(col("sh0"), 15).as("sh"))
       .persist()
     val sizes = posts0.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val posts = maxShingleDocFreq.fold(posts0) { cap =>

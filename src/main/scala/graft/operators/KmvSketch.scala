@@ -29,7 +29,7 @@ object KmvSketch {
   val HashBits = 48
   val HashSpace: Double = math.pow(2.0, HashBits)
 
-  def hash48(c: Column): Column = TextFeatures.hexPrefixToLong(md5(c), 12)
+  def hash48(c: Column): Column = TextFeatures.md5PrefixLong(c, 12)
 
   /** Per-group distinct estimate of `valueCol`: (group, n_hashes, kth_hash,
     * est_distinct). Groups with fewer than k distinct values report the

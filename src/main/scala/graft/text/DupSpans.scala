@@ -57,7 +57,7 @@ object DupSpans {
         posexplode(TextFeatures.textGrams(col(textCol), k))
           .as(Seq("pos0", "g")))
       .select(col("doc_id"), (col("pos0") + 1).as("pos"),
-        hexPrefixToLong(md5(col("g")), 12).as("gh"))
+        md5PrefixLong(col("g"), 12).as("gh"))
       .persist() // feeds the df aggregate AND the shared-gram join
     val shared = posts.select("gh", "doc_id").distinct()
       .groupBy("gh").agg(count(lit(1)).as("df"))

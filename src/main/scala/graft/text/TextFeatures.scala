@@ -93,12 +93,24 @@ object TextFeatures {
 
   /** First `digits` hex chars of a (lowercase-hex) md5 string as a
     * non-negative long. 8 digits = 32 bits — safely inside Long.
+    * The generic form for ALREADY-hex columns (e.g. persisted digest
+    * strings); hashing a raw string goes through [[md5PrefixLong]],
+    * which skips the hex round-trip.
     */
   def hexPrefixToLong(hex: Column, digits: Int): Column =
     conv(substring(hex, 1, digits), 16, 10).cast(LongType)
 
+  /** `hexPrefixToLong(md5(s), digits)` as ONE native expression
+    * ([[graft.expressions.Md5PrefixLong]]) — digest bytes fold straight
+    * into the long, no 32-char hex string and no base-16 re-parse per
+    * row. Bit-equal to the conv-chain by the expression's contract
+    * (ScalaCheck'd); the oracle SQL keeps the textual conv form.
+    */
+  def md5PrefixLong(s: Column, digits: Int): Column =
+    graft.expressions.Md5PrefixLong(s, digits)
+
   /** 32-bit md5-derived hash of a string column. */
-  def hash32(s: Column): Column = hexPrefixToLong(md5(s), 8)
+  def hash32(s: Column): Column = md5PrefixLong(s, 8)
 
   /** Exact Jaccard similarity of two distinct-element arrays, as the
     * single double division intersect/(|a|+|b|-intersect) — one IEEE op

@@ -50,7 +50,7 @@ object TrainingPairs {
       .unionByName(pairs.select(col("doc_b").as("anchor"),
         col("doc_a").as("neg")))
     val docBuckets = docs.select(col(idCol).as("neg"),
-      pmod(hexPrefixToLong(md5(col(idCol).cast("string")), 15),
+      pmod(md5PrefixLong(col(idCol).cast("string"), 15),
         lit(buckets.toLong)).as("bucket"))
     val slots = pairs
       .select(col("doc_a").as("anchor"), col("doc_b").as("positive"),
@@ -58,8 +58,8 @@ object TrainingPairs {
       .withColumn("slot",
         explode(sequence(lit(0L), lit(negatives - 1L))))
       .withColumn("bucket",
-        pmod(hexPrefixToLong(md5(concat_ws(":",
-          col("anchor").cast("string"), col("slot").cast("string"))), 15),
+        pmod(md5PrefixLong(concat_ws(":",
+          col("anchor").cast("string"), col("slot").cast("string")), 15),
           lit(buckets.toLong)))
     slots.join(docBuckets, "bucket")
       .filter(col("neg") =!= col("anchor") && col("neg") =!= col("positive"))
