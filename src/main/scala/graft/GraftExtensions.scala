@@ -58,6 +58,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         s"token_runs takes 1 argument, got ${args.length}")
       TokenRuns(args.head)
     })
+    inject("token_runs_unicode", { args =>
+      require(args.length == 1,
+        s"token_runs_unicode takes 1 argument, got ${args.length}")
+      TokenRunsUnicode(args.head)
+    })
+    inject("script_counts", { args =>
+      require(args.length == 1,
+        s"script_counts takes 1 argument, got ${args.length}")
+      ScriptCounts(args.head)
+    })
     inject("word_shingles", { args =>
       require(args.length == 2 || args.length == 3,
         s"word_shingles takes (text, n [, distinct]), got ${args.length}")

@@ -14,9 +14,7 @@ object JobTrace {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val names = if (args.nonEmpty) args.toSeq else Seq("profile_diff")
-    val spark = Sessions.local("32")
-    sys.env.get("SPARK_GRAFT_AQE").foreach(v =>
-      spark.conf.set("spark.sql.adaptive.enabled", v))
+    val spark = Sessions.local("32") // SPARK_GRAFT_AQE honored there
 
     val jobStart = mutable.Map.empty[Int, (Long, String)]
     val lines = mutable.ArrayBuffer.empty[String]

@@ -21,7 +21,11 @@ object Sessions {
       // Tables.loadEvents truncate to micros (matches DuckDB)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.sql.adaptive.enabled", "true")
+      // AQE on by default (the 100 TB posture: runtime coalescing +
+      // skew splitting); SPARK_GRAFT_AQE=false is a harness experiment
+      // knob for quantifying AQE's per-stage driver cost at small SF
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       // keep FALSE: letting AQE re-plan cached outputs coalesces small
       // persisted frames to ~1 partition, serializing their CPU-heavy
       // consumers (measured 2× on pipeline_curate, SURVEY §9). The

@@ -72,7 +72,8 @@ object SparkEntry {
     "train_triplets",
     "sample_stratified", "sample_temperature", "sample_epochs", "shard_assign",
     "corpus_order", "quota_cap",
-    "text_stats", "text_repetition", "text_langid", "text_tokens",
+    "text_stats", "text_repetition", "text_langid", "text_langid_uni",
+    "text_tokens",
     "text_fingerprint", "text_dupspans", "text_excise", "text_vocab",
     "text_heavyhitters",
     "text_pmi",
@@ -86,7 +87,7 @@ object SparkEntry {
     "text_decontam", "text_pii", "text_chunks",
     "kmv_distinct", "hll_distinct", "quantile_sketch", "zorder_stats",
     "sim_topk", "sim_lsh_bucket", "sim_ivf", "sim_recall", "sim_quant",
-    "sim_pq", "embed_kmeans",
+    "sim_pq", "sim_ivfpq", "embed_kmeans",
     "mm_meta", "mm_frames", "mm_format_stats", "mm_decode",
     "pipeline_curate",
     "pipeline_mix")

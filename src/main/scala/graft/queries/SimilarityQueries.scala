@@ -244,6 +244,94 @@ object SimilarityQueries {
        |WHERE rank <= $K ORDER BY q_id, rank""".stripMargin
   }
 
+  // --------------------------------------------------------------- ivfadc
+
+  private val ivfPqCfg = IvfPq.Config()
+
+  def simIvfPq(spark: SparkSession, dir: String): DataFrame =
+    IvfPq.topK(Tables.loadSpread(spark, dir, "embeddings"),
+        "vec_id", "embedding", Dim, _ < QueryCount, K, ivfPqCfg)
+      .orderBy("q_id", "rank")
+
+  /** The oracle replays the WHOLE composed pipeline: the coarse
+    * Lloyd's chain, every vector's cell, each query's probed cells,
+    * all `m` PQ subspace chains, document codes, per-query ADC tables,
+    * the cell-restricted ADC screen, and the exact-cosine re-rank —
+    * hash-match proves the full IVFADC layout bit-reproducible
+    * cross-engine.
+    */
+  val simIvfPqSql: String = {
+    val pq = ivfPqCfg.pq
+    val scale = f"${pq.kmCfg.scale}%.1f"
+    val m = pq.m
+    val sub = Dim / m
+    val fin = pq.iters
+    val cFin = ivfPqCfg.coarseIters
+    val chains = (0 until m).map { s =>
+      val lo = s * sub + 1
+      val hi = (s + 1) * sub
+      s"""n_$s AS MATERIALIZED (SELECT vec_id, q[$lo:$hi] AS q,
+         |    ${foldDot(s"q[$lo:$hi]", s"q[$lo:$hi]")} AS qn FROM v),
+         |${kmChainCtes(s"_$s", sub, pq.codeK, pq.iters)}""".stripMargin
+    }.mkString(",\n")
+    val codeCols = (0 until m)
+      .map(s => s"a$s.cid AS c$s").mkString(", ")
+    val codeJoins = (1 until m)
+      .map(s => s"JOIN a$fin" + s"_$s a$s ON a$s.vec_id = a0.vec_id")
+      .mkString("\n  ")
+    val pds = (0 until m).map { s =>
+      s"""pd_$s AS MATERIALIZED (SELECT n.vec_id AS q_id, c.cid,
+         |    n.qn + c.cn - 2 * ${foldDot("n.q", "c.cv")} AS d
+         |  FROM n_$s n CROSS JOIN c${fin - 1}_$s c
+         |  WHERE n.vec_id < $QueryCount)""".stripMargin
+    }.mkString(",\n")
+    val pdJoins = (1 until m)
+      .map(s => s"JOIN pd_$s p$s ON p$s.cid = k.c$s AND p$s.q_id = pb.q_id")
+      .mkString("\n  ")
+    val distSum = (0 until m).map(s => s"p$s.d").mkString(" + ")
+    s"""WITH v AS MATERIALIZED (SELECT vec_id,
+       |    [floor(x * $scale) for x in embedding::DOUBLE[]] AS q
+       |  FROM embeddings),
+       |nf AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS fv FROM embeddings),
+       |nn AS MATERIALIZED (SELECT vec_id, fv, ${foldDot("fv", "fv")} AS nrm FROM nf),
+       |n_cc AS MATERIALIZED (SELECT vec_id, q, ${foldDot("q", "q")} AS qn FROM v),
+       |${kmChainCtes("_cc", Dim, ivfPqCfg.cells, cFin)},
+       |probes AS MATERIALIZED (SELECT q_id, cell FROM (
+       |  SELECT n.vec_id AS q_id, c.cid AS cell,
+       |    ROW_NUMBER() OVER (PARTITION BY n.vec_id
+       |      ORDER BY n.qn + c.cn - 2 * ${foldDot("n.q", "c.cv")}, c.cid)
+       |      AS prn
+       |  FROM n_cc n CROSS JOIN c${cFin - 1}_cc c
+       |  WHERE n.vec_id < $QueryCount) WHERE prn <= ${ivfPqCfg.nProbe}),
+       |$chains,
+       |codes AS MATERIALIZED (SELECT a0.vec_id, cc.cid AS cell, $codeCols
+       |  FROM a$fin${"_0"} a0
+       |  JOIN a${cFin}_cc cc ON cc.vec_id = a0.vec_id
+       |  $codeJoins),
+       |$pds,
+       |pq AS MATERIALIZED (SELECT pb.q_id, k.vec_id AS n_id, $distSum AS dist_pq
+       |  FROM codes k
+       |  JOIN probes pb ON pb.cell = k.cell
+       |  JOIN pd_0 p0 ON p0.cid = k.c0 AND p0.q_id = pb.q_id
+       |  $pdJoins
+       |  WHERE k.vec_id <> pb.q_id),
+       |scr AS MATERIALIZED (SELECT q_id, n_id, dist_pq FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY dist_pq, n_id) AS srank FROM pq)
+       |  WHERE srank <= ${pq.screenK}),
+       |wc AS MATERIALIZED (SELECT s.q_id, s.n_id, s.dist_pq,
+       |    ${foldDot("qf.fv", "df.fv")} / (sqrt(qf.nrm) * sqrt(df.nrm))
+       |      AS cos_sim
+       |  FROM scr s JOIN nn qf ON qf.vec_id = s.q_id
+       |  JOIN nn df ON df.vec_id = s.n_id)
+       |SELECT q_id, rank, n_id, cos_sim, dist_pq FROM (
+       |  SELECT q_id, n_id, cos_sim, dist_pq,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id
+       |                       ORDER BY cos_sim DESC, n_id) AS rank
+       |  FROM wc)
+       |WHERE rank <= $K ORDER BY q_id, rank""".stripMargin
+  }
+
   // --------------------------------------------------------------- kmeans
 
   private val kmCfg = KMeans.Config()
@@ -366,6 +454,7 @@ object SimilarityQueries {
     "sim_recall" -> (simRecall(_, _)),
     "sim_quant" -> (simQuant(_, _)),
     "sim_pq" -> (simPq(_, _)),
+    "sim_ivfpq" -> (simIvfPq(_, _)),
     "embed_kmeans" -> (embedKmeans(_, _)),
     "embed_kmeans_label" -> (embedKmeansLabel(_, _)))
 
@@ -376,6 +465,7 @@ object SimilarityQueries {
     "sim_recall" -> simRecallSql,
     "sim_quant" -> simQuantSql,
     "sim_pq" -> simPqSql,
+    "sim_ivfpq" -> simIvfPqSql,
     "embed_kmeans" -> embedKmeansSql,
     "embed_kmeans_label" -> embedKmeansSql)
 }

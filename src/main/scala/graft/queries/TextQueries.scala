@@ -85,6 +85,81 @@ object TextQueries {
        |FROM ranked ORDER BY doc_id""".stripMargin
   }
 
+  /** Non-Latin fixture rows, synthesized IN-QUERY on both engines
+    * (the generated documents table is ASCII English, so the
+    * script-aware path needs planted multilingual rows to prove
+    * anything). Scripts are caseless (CJK/Korean) or already-lowercase
+    * (Cyrillic/Greek/Arabic), so no cross-engine case-mapping enters
+    * the gate. The last row is majority-Latin with a sub-threshold CJK
+    * admixture — it must fall through the script screen to the
+    * stopword vote.
+    */
+  private[queries] val uniFixtures: Seq[(Long, String)] = Seq(
+    900001L -> "这是一个中文的测试文档 包含汉字与假名 ひらがな カタカナ",
+    900002L -> "한국어 문서 테스트 입니다 한글 텍스트",
+    900003L -> "это тестовый документ на русском языке слова",
+    900004L -> "αυτο ειναι ενα ελληνικο κειμενο δοκιμης",
+    900005L -> "هذا مستند تجريبي باللغة العربية كلمات",
+    900006L -> "the quick brown fox 汉字 jumps over the lazy dog and the end")
+
+  def textLangidUni(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.loadSpread(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .unionByName(uniFixtures.toDF("doc_id", "text"))
+    LangId.predictUnicode(docs, "doc_id", "text").orderBy("doc_id")
+  }
+
+  val textLangidUniSql: String = {
+    val fixtureRows = uniFixtures.map { case (id, t) =>
+      s"SELECT $id AS doc_id, '$t' AS text"
+    }.mkString("\n  UNION ALL ")
+    // range regexes mirror ScriptCounts' documented blocks exactly
+    val ranges = Seq(
+      "c_cjk" -> "[\\x{3040}-\\x{30FF}\\x{3400}-\\x{4DBF}\\x{4E00}-\\x{9FFF}]",
+      "c_hangul" -> "[\\x{AC00}-\\x{D7A3}]",
+      "c_cyr" -> "[\\x{0400}-\\x{04FF}]",
+      "c_greek" -> "[\\x{0370}-\\x{03FF}]",
+      "c_arab" -> "[\\x{0600}-\\x{06FF}]")
+    val rangeCols = ranges.map { case (n, p) =>
+      s"CAST(len(regexp_extract_all(text, '$p')) AS DOUBLE) AS $n"
+    }.mkString(",\n    ")
+    val shareDefs = Seq("sh_ar" -> "c_arab", "sh_cjk" -> "c_cjk",
+      "sh_el" -> "c_greek", "sh_ko" -> "c_hangul", "sh_ru" -> "c_cyr")
+    val shareCols = shareDefs.map { case (s, c) =>
+      s"CASE WHEN letters > 0 THEN $c / letters ELSE 0.0 END AS $s"
+    }.mkString(",\n    ")
+    val shareNames = shareDefs.map(_._1)
+    val scriptCases = shareNames.map { s =>
+      s"WHEN bsh >= ${LangId.ScriptThreshold} AND $s = bsh THEN '${s.stripPrefix("sh_")}'"
+    }.mkString("\n       ")
+    val stopCases = LangId.Lexicons.map(_._1)
+      .map(l => s"WHEN best > 0 AND s_$l = best THEN '$l'")
+      .mkString("\n       ")
+    s"""WITH fix AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL $fixtureRows),
+       |sc AS (SELECT doc_id, text,
+       |    CAST(len(regexp_extract_all(text, '[\\p{L}]')) AS DOUBLE) AS letters,
+       |    $rangeCols
+       |  FROM fix),
+       |sh AS (SELECT doc_id, text,
+       |    $shareCols
+       |  FROM sc),
+       |r AS (SELECT *, greatest(${shareNames.mkString(", ")}) AS bsh,
+       |    string_split(lower(text), ' ') AS w FROM sh),
+       |scores AS (SELECT doc_id, bsh, ${shareNames.mkString(", ")},
+       |    $langScoreSelect
+       |  FROM r),
+       |ranked AS (SELECT *, $langBestExpr AS best FROM scores)
+       |SELECT doc_id,
+       |  CASE $scriptCases
+       |       ELSE ($langPredCase) END AS lang_pred,
+       |  CASE WHEN bsh >= ${LangId.ScriptThreshold} THEN bsh
+       |       ELSE coalesce(best, 0.0) END AS lang_score
+       |FROM ranked ORDER BY doc_id""".stripMargin
+  }
+
   // --------------------------------------------------------------- tokens
 
   def textTokens(spark: SparkSession, dir: String): DataFrame =
@@ -819,6 +894,7 @@ object TextQueries {
     "text_stats" -> (textStats(_, _)),
     "text_repetition" -> (textRepetition(_, _)),
     "text_langid" -> (textLangid(_, _)),
+    "text_langid_uni" -> (textLangidUni(_, _)),
     "text_tokens" -> (textTokens(_, _)),
     "text_fingerprint" -> (textFingerprint(_, _)),
     "text_dupspans" -> (textDupspans(_, _)),
@@ -845,6 +921,7 @@ object TextQueries {
     "text_stats" -> textStatsSql,
     "text_repetition" -> textRepetitionSql,
     "text_langid" -> textLangidSql,
+    "text_langid_uni" -> textLangidUniSql,
     "text_tokens" -> textTokensSql,
     "text_fingerprint" -> textFingerprintSql,
     "text_dupspans" -> textDupspansSql,

@@ -200,6 +200,18 @@ object KMeans {
   def centroids(vectors: DataFrame, idCol: String, vecCol: String,
       cfg: Config = Config()): Seq[Centroid] = {
     val prep = quantize(vectors, idCol, vecCol, cfg).persist()
+    try centroidsPrepared(prep, cfg)
+    finally prep.unpersist(blocking = false)
+  }
+
+  /** [[centroids]] over an existing (vid, q, qn) quantized frame —
+    * lets [[IvfPq]] train the coarse codebook on the same persisted
+    * prep its PQ training and search scans use (one corpus cache, not
+    * one per trainer). The frame must be quantized with THIS config's
+    * scale.
+    */
+  private[similarity] def centroidsPrepared(prep: DataFrame,
+      cfg: Config): Seq[Centroid] = {
     var cents = seeds(prep, cfg)
     (1 until cfg.iters).foreach { _ =>
       cents = recompute(assign(prep, cents))

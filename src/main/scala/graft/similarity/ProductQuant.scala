@@ -71,9 +71,10 @@ object ProductQuant {
   }
 
   /** [[train]] over an existing (vid, q: quantized array<double>)
-    * frame — lets [[topK]] share one persisted prep with the search.
+    * frame — lets [[topK]] (and [[IvfPq]]) share one persisted prep
+    * with the search.
     */
-  private def trainPrepared(prep: DataFrame, dim: Int,
+  private[similarity] def trainPrepared(prep: DataFrame, dim: Int,
       cfg: Config): Seq[Seq[KMeans.Centroid]] = {
     require(dim % cfg.m == 0, s"dim $dim must divide by m=${cfg.m}")
     val sub = dim / cfg.m

@@ -31,6 +31,52 @@ object LangId {
   def score(w: Column, lexicon: Seq[String]): Column =
     graft.expressions.CountInSet(w, lexicon).cast("double") / size(w)
 
+  /** Script blocks the census screens for, in tie-break (alphabetical)
+    * order of their predicted codes: ar, cjk, el, ko, ru.
+    */
+  val ScriptCodes: Seq[(String, String)] = Seq(
+    "ar" -> "n_arabic", "cjk" -> "n_cjk", "el" -> "n_greek",
+    "ko" -> "n_hangul", "ru" -> "n_cyrillic")
+
+  /** A script wins when it holds at least this share of all letters. */
+  val ScriptThreshold: Double = 0.3
+
+  /** Script-aware language id — the multilingual face [[predict]]
+    * lacks: stopword lexicons are structurally blind outside Latin
+    * text (CJK has no token boundaries, Cyrillic tokens never hit a
+    * Latin lexicon), so a 100 TB web corpus scores `und` for whole
+    * scripts. Here one native per-script letter census
+    * ([[graft.expressions.ScriptCounts]] — one code-point scan, no
+    * regex passes) screens first: if a named script holds ≥
+    * [[ScriptThreshold]] of the letters, predict its code (ties break
+    * alphabetically, matching the oracle's CASE order) with the share
+    * as the score; otherwise fall through to the stopword vote over
+    * Latin tokens. Still a pure per-row projection — zero shuffle.
+    */
+  def predictUnicode(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sc = graft.expressions.ScriptCounts(col(textCol))
+    val letters = sc.getField("n_letters").cast("double")
+    val shares = ScriptCodes.map { case (code, field) =>
+      code -> when(letters > 0,
+        sc.getField(field).cast("double") / letters).otherwise(lit(0.0))
+    }
+    val bestShare = greatest(shares.map(_._2): _*)
+    val w = words(col(textCol))
+    val lexScores = Lexicons.map { case (l, lex) => l -> score(w, lex) }
+    val lexBest = greatest(lexScores.map(_._2): _*)
+    val lexPred = lexScores.foldRight(lit("und")) { case ((lang, s), other) =>
+      when(lexBest > 0 && s === lexBest, lit(lang)).otherwise(other)
+    }
+    val pred = shares.foldRight(lexPred) { case ((code, s), other) =>
+      when(bestShare >= ScriptThreshold && s === bestShare, lit(code))
+        .otherwise(other)
+    }
+    val scoreCol = when(bestShare >= ScriptThreshold, bestShare)
+      .otherwise(coalesce(lexBest, lit(0.0)))
+    docs.select(col(idCol).as("doc_id"),
+      pred.as("lang_pred"), scoreCol.as("lang_score"))
+  }
+
   /** (id, lang_pred, lang_score) per document. */
   def predict(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val w = words(col(textCol))

@@ -309,6 +309,22 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("max_by"), s"expected max_by aggregate:\n$plan")
   }
 
+  test("ivfadc: the ADC screen joins hash-keyed on the cell, never corpus × query") {
+    // the composed layout's whole point: the coded corpus meets queries
+    // ONLY through the (cell)-keyed hash join against the broadcast
+    // probe set; the probe fan-out itself is an explode of a literal
+    // cell array (no join at all), so no nested-loop or cartesian may
+    // appear anywhere
+    val plan = planOf("sim_ivfpq")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"ADC screen must never pair corpus × query:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected the cell-keyed broadcast hash screen:\n$plan")
+    assert(plan.contains("nearest_centroid"),
+      s"cell and code assignment must run through the codebook argmin:\n$plan")
+  }
+
   test("scd2: exactly one equi-join (full outer), snapshot and CDC modes alike") {
     for (name <- Seq("scd2_apply", "scd2_cdc")) {
       val plan = planOf(name)
