@@ -3,7 +3,7 @@ package graft
 import graft.expressions._
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Session extension wiring — `.config("spark.sql.extensions",
@@ -20,21 +20,35 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  /** Extract a required literal argument (the scan expressions take
+  /** Extract a required constant argument (the scan expressions take
     * their parameters at plan build, like every SQL function with a
-    * static shape argument).
+    * static shape argument). Any FOLDABLE expression is accepted and
+    * evaluated here — `word_shingles(t, 1+1)` and `CAST(2 AS INT)`
+    * work like they do for Spark's own literal-arg builtins, instead
+    * of being rejected before constant folding would have reduced
+    * them.
     */
-  private def intLit(e: Expression, fn: String, pos: Int): Int = e match {
-    case Literal(v: Int, _) => v
-    case other => throw new IllegalArgumentException(
-      s"$fn argument $pos must be an integer literal, got $other")
+  private def constVal(e: Expression, fn: String, pos: Int): Any = {
+    if (!e.foldable) throw new IllegalArgumentException(
+      s"$fn argument $pos must be a constant expression, got $e")
+    e.eval(org.apache.spark.sql.catalyst.InternalRow.empty)
   }
 
-  private def strLit(e: Expression, fn: String, pos: Int): String = e match {
-    case Literal(v: UTF8String, _) => v.toString
-    case other => throw new IllegalArgumentException(
-      s"$fn argument $pos must be a string literal, got $other")
-  }
+  private def intLit(e: Expression, fn: String, pos: Int): Int =
+    constVal(e, fn, pos) match {
+      case v: Int => v
+      case v: Short => v.toInt
+      case v: Byte => v.toInt
+      case other => throw new IllegalArgumentException(
+        s"$fn argument $pos must be an integer constant, got $other")
+    }
+
+  private def strLit(e: Expression, fn: String, pos: Int): String =
+    constVal(e, fn, pos) match {
+      case v: UTF8String => v.toString
+      case other => throw new IllegalArgumentException(
+        s"$fn argument $pos must be a string constant, got $other")
+    }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     def inject(name: String, builder: Seq[Expression] => Expression): Unit = {
@@ -71,10 +85,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("word_shingles", { args =>
       require(args.length == 2 || args.length == 3,
         s"word_shingles takes (text, n [, distinct]), got ${args.length}")
-      val distinct = args.length < 3 || (args(2) match {
-        case Literal(b: Boolean, _) => b
+      val distinct = args.length < 3 || (constVal(args(2), "word_shingles", 3) match {
+        case b: Boolean => b
         case other => throw new IllegalArgumentException(
-          s"word_shingles argument 3 must be a boolean literal, got $other")
+          s"word_shingles argument 3 must be a boolean constant, got $other")
       })
       WordShingles(args.head, intLit(args(1), "word_shingles", 2), distinct)
     })

@@ -77,6 +77,37 @@ object IncrementalDedup {
       cfg: MinHashLSH.Config = MinHashLSH.Config()): CorpusIndex =
     fromPrepared(prepared(corpus, idCol, textCol, cfg), cfg)
 
+  /** Persist a built index as BUCKETED catalog tables — the durable
+    * form of the staging-table advice above. Buckets pin each frame to
+    * its screen-join key at write time ([[graft.sources.Bucketing]]):
+    * `bands` by `band_val` (a subset of the (band_id, band_val) join
+    * key — hash-partitioning on a subset satisfies the join's
+    * clustering requirement), `shingles` by `doc_id` (the verify
+    * join's corpus side), `textHashes` by `h`. Every later ingest
+    * screen then reads the corpus side ALREADY partitioned: the only
+    * exchanges in a recurring [[verdicts]] run are on the small batch
+    * side (plan-spec'd in IncrementalDedupSpec). One write-time
+    * shuffle, amortized over every nightly batch — at 100 TB the
+    * corpus never moves again.
+    */
+  def writeIndex(index: CorpusIndex, prefix: String,
+      numBuckets: Int = 32): Unit = {
+    graft.sources.Bucketing.writeBucketed(
+      index.bands, s"${prefix}_bands", "band_val", numBuckets)
+    graft.sources.Bucketing.writeBucketed(
+      index.shingles, s"${prefix}_shingles", "doc_id", numBuckets)
+    graft.sources.Bucketing.writeBucketed(
+      index.textHashes, s"${prefix}_hashes", "h", numBuckets)
+  }
+
+  /** Reopen a [[writeIndex]]-persisted index for an ingest screen. */
+  def readIndex(spark: org.apache.spark.sql.SparkSession,
+      prefix: String): CorpusIndex =
+    CorpusIndex(
+      spark.table(s"${prefix}_hashes"),
+      spark.table(s"${prefix}_bands"),
+      spark.table(s"${prefix}_shingles"))
+
   private def fromPrepared(prep: DataFrame,
       cfg: MinHashLSH.Config): CorpusIndex =
     CorpusIndex(

@@ -62,11 +62,32 @@ object DataColDiff {
     * overhead on clean data; reach for it when key uniqueness is not
     * guaranteed.
     */
+    /* `compareCols`: restrict the comparison to these columns (None =
+    * all non-key columns; Some(Nil) is legal and compares nothing —
+    * every matched row NODIFF). The 100 TB lever behind [[screenedDiffPlan]]:
+    * with the array built over a pruned column set, Catalyst prunes the
+    * other columns OUT OF BOTH SCANS and the join shuffles only
+    * keys + compared columns. Semantics contract (spec-gated):
+    * pruned diff ≡ full diff with CompColArr filtered to these columns
+    * and Flag recomputed from the filtered array (a row differing only
+    * in pruned-out columns reports NODIFF). Unknown or key columns in
+    * `compareCols` are a CALLER bug → IllegalArgumentException.
+    */
   def diffPlan(s1: DataFrame, s2: DataFrame, pks: Seq[String],
-      lenient: Boolean = false, skewResilient: Boolean = false):
+      lenient: Boolean = false, skewResilient: Boolean = false,
+      compareCols: Option[Seq[String]] = None):
       Either[SchemaMismatch, DataFrame] =
     Standardize.standardize(s1, s2, lenient).map { case (d1, d2) =>
-      val k = CompCols.derive(s1, pks)
+      val k0 = CompCols.derive(s1, pks)
+      val k = compareCols.fold(k0) { cols =>
+        // case-insensitive, like every other column reference here
+        val want = cols.map(_.toLowerCase)
+        val unknown = want.filterNot(k0.compCols.contains)
+        require(unknown.isEmpty,
+          s"compareCols not among the comparable (non-key) columns: " +
+            unknown.mkString(", "))
+        k0.copy(compCols = k0.compCols.filter(want.contains))
+      }
 
       // AND-ed per-key-pair equalities (reference find_datacol_diff.py:96).
       // `===` (not `<=>`): a null key never matches, same as the reference
@@ -157,6 +178,41 @@ object DataColDiff {
         innerOut.unionByName(s1OnlyOut).unionByName(s2OnlyOut)
       }
     }
+
+  /** The 100 TB screen→diff flow in one call: run the profile screen
+    * ([[graft.operators.ProfileDiff]] — one melt-aggregate pipeline,
+    * shuffle O(distinct values), no join), collect the DRIFT column
+    * set (one row per column), and hand it to [[diffPlan]] as
+    * `compareCols`. The expensive full-outer row diff then scans and
+    * shuffles ONLY keys + drifted columns — on the common "one column
+    * moved" incident that's the difference between re-shuffling two
+    * whole snapshots and shuffling a key + one value. Key columns
+    * always stay (they're the join), so their drift (row adds/drops)
+    * is reported by the ONLY-flags as usual.
+    *
+    * This is a SCREEN, with the profile screen's documented blind
+    * spot (spec-pinned): a change that preserves a column's row/null/
+    * distinct counts AND its min/max — e.g. mutating a few mid-range
+    * values distinct-to-distinct, or swapping values between rows —
+    * is invisible to the profile, and the pruned diff reports NODIFF
+    * where the full diff would report DIFF. Use [[diffPlan]] directly
+    * when that class of change matters more than the pruning payoff.
+    *
+    * Runs 2 screen jobs before the diff plan is returned (the
+    * profile + the one-row-per-column collect) — the point of a
+    * screen; callers wanting zero eager work use [[diffPlan]]
+    * directly.
+    */
+  def screenedDiffPlan(s1: DataFrame, s2: DataFrame, pks: Seq[String],
+      lenient: Boolean = false, skewResilient: Boolean = false):
+      Either[SchemaMismatch, DataFrame] = {
+    import graft.operators.ProfileDiff
+    val drifted = ProfileDiff.driftedColumns(ProfileDiff.compare(s1, s2))
+      .map(_.toLowerCase)
+    val comparable = CompCols.derive(s1, pks).compCols.toSet
+    diffPlan(s1, s2, pks, lenient, skewResilient,
+      compareCols = Some(drifted.filter(comparable.contains)))
+  }
 
   /** Per-column mismatch counts, descending (ties broken by name for
     * determinism) — ONE aggregation replacing the reference's

@@ -32,6 +32,13 @@ import org.apache.spark.unsafe.types.UTF8String
 case class RollingFingerprint(child: Expression, mod: Long)
     extends UnaryExpression {
 
+  // the documented exact-arithmetic contract needs acc*31 + h < 2^63:
+  // with h < 2^24 (6 md5 hex digits) that holds for mod ≤ 2^34; zero
+  // or negative moduli would throw at eval time or emit negative
+  // fingerprints, so reject them at construction (ApplyMerge-style)
+  require(mod > 0 && mod <= (1L << 34),
+    s"rolling_fingerprint modulus must be in (0, 2^34], got $mod")
+
   override def dataType: DataType = LongType
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {

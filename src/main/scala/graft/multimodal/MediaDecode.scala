@@ -201,6 +201,60 @@ object MediaDecode {
     }
   }
 
+  case class FrameFeatures(doc_id: Long, frame_idx: Int,
+      features: Array[Float])
+
+  /** Split an MJPEG-style stream — concatenated baseline JPEGs, the
+    * one video container whose frames a stock JDK CAN decode — into
+    * per-frame byte slices: each frame runs from an SOI marker
+    * (FF D8) to its matching EOI (FF D9). A top-level scan (no marker
+    * nesting) is correct for motion-JPEG streams, whose frames are
+    * baseline JPEGs without embedded thumbnails; bytes between frames
+    * (padding, partial tail) are dropped.
+    */
+  private[multimodal] def splitMjpeg(payload: Array[Byte]): Seq[Array[Byte]] = {
+    val out = Seq.newBuilder[Array[Byte]]
+    var i = 0
+    val n = payload.length
+    while (i + 1 < n) {
+      if (payload(i) == 0xFF.toByte && payload(i + 1) == 0xD8.toByte) {
+        var j = i + 2
+        var end = -1
+        while (j + 1 < n && end < 0) {
+          if (payload(j) == 0xFF.toByte && payload(j + 1) == 0xD9.toByte)
+            end = j + 2
+          j += 1
+        }
+        if (end > 0) { out += payload.slice(i, end); i = end }
+        else i = n // truncated tail frame: drop
+      } else i += 1
+    }
+    out.result()
+  }
+
+  /** REAL video-frame decode for the MJPEG case: split each payload
+    * into JPEG frames and run every frame through the same ImageIO
+    * raster featurizer images use — (doc_id, frame_idx, features) per
+    * frame. Same distribution shape as [[decode]]: `mapPartitions`
+    * where the bytes live, no shuffle. A frame whose JPEG is corrupt
+    * falls back to its stripe features (never dropped silently);
+    * payloads that are not JPEG streams at all yield zero rows —
+    * route those through [[decode]]'s stripe fallback instead.
+    */
+  def decodeMjpeg(records: Dataset[MediaRecord])
+      (implicit spark: SparkSession): Dataset[FrameFeatures] = {
+    import spark.implicits._
+    records.mapPartitions(_.flatMap { r =>
+      splitMjpeg(r.payload).zipWithIndex.map { case (frame, idx) =>
+        val img =
+          try ImageIOHolder.read(frame)
+          catch { case scala.util.control.NonFatal(_) => null }
+        FrameFeatures(r.doc_id, idx,
+          if (img != null) imageFeatures(img) else stripeFeatures(frame))
+      }
+    })
+  }
+
   /** ImageIO entry, isolated so executors initialize headless AWT once
     * per JVM (class-load time) instead of per record.
     */

@@ -838,6 +838,14 @@ object TextQueries {
        |$rounds""".stripMargin
   }
 
+  /** Starvation asymmetry (documented, acceptable): on a corpus that
+    * runs out of adjacent pairs mid-training, `BpeTrain.merges` throws
+    * at the starved round, while the oracle's `t_r ... LIMIT 1` on an
+    * empty pair table silently yields an empty round and a SHORT merge
+    * table — the two engines fail differently, but the gate still
+    * fails loudly either way (Spark errors / row counts mismatch); the
+    * benched corpus never starves at [[BpeMerges]] rounds.
+    */
   val textBpeSql: String = {
     val unions = (1 to BpeMerges)
       .map(r => s"SELECT CAST($r AS BIGINT) AS rnk, lft, rgt, total FROM t$r")

@@ -68,22 +68,30 @@ object BpeTrain {
 
     var cur = seeded
     val rules = Seq.newBuilder[(Int, String, String, Long)]
-    for (r <- 1 to numMerges) {
-      val top = cur
-        .select(explode(TextFeatures.textGrams(col("seq"), 2)).as("pair"),
-          col("cnt"))
-        .groupBy("pair").agg(sum(col("cnt")).as("total"))
-        .orderBy(col("total").desc, col("pair").asc)
-        .limit(1).collect()
-      require(top.nonEmpty,
-        s"corpus starved at merge round $r of $numMerges: no adjacent pairs left")
-      val pair = top(0).getString(0)
-      val total = top(0).getLong(1)
-      val sp = pair.indexOf(' ')
-      val (l, rt) = (pair.substring(0, sp), pair.substring(sp + 1))
-      rules += ((r, l, rt, total))
-      cur = cur.select(col("word"), col("cnt"),
-        ApplyMerge(col("seq"), l, rt).as("seq"))
+    try {
+      for (r <- 1 to numMerges) {
+        val top = cur
+          .select(explode(TextFeatures.textGrams(col("seq"), 2)).as("pair"),
+            col("cnt"))
+          .groupBy("pair").agg(sum(col("cnt")).as("total"))
+          .orderBy(col("total").desc, col("pair").asc)
+          .limit(1).collect()
+        require(top.nonEmpty,
+          s"corpus starved at merge round $r of $numMerges: no adjacent pairs left")
+        val pair = top(0).getString(0)
+        val total = top(0).getLong(1)
+        val sp = pair.indexOf(' ')
+        val (l, rt) = (pair.substring(0, sp), pair.substring(sp + 1))
+        rules += ((r, l, rt, total))
+        cur = cur.select(col("word"), col("cnt"),
+          ApplyMerge(col("seq"), l, rt).as("seq"))
+      }
+    } finally {
+      // the result frame below is built from driver-collected rules —
+      // nothing downstream depends on the cache, so release it here
+      // instead of leaking one cached table per call until a global
+      // clearCache()
+      seeded.unpersist(blocking = false)
     }
     import spark.implicits._
     rules.result().toDF("rnk", "left", "right", "pair_count")

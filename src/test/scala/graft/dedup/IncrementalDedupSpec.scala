@@ -64,6 +64,64 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(out.select("doc_id").distinct().count() === batch.size)
   }
 
+  test("bucketed index tables: identical verdicts, corpus side never re-shuffles") {
+    val corpus = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select($"doc_id", $"text")
+    val batch = Seq(900010L -> longDoc,
+      900011L -> "wholly unrelated fresh ingest text for the keep class")
+      .toDF("doc_id", "text")
+    val cfg = MinHashLSH.Config()
+    IncrementalDedup.writeIndex(
+      IncrementalDedup.buildIndex(corpus, "doc_id", "text", cfg),
+      "graft_idx", numBuckets = 8)
+    try {
+      val screened = IncrementalDedup.verdicts(
+        IncrementalDedup.readIndex(spark, "graft_idx"),
+        batch, "doc_id", "text", cfg)
+      val want = IncrementalDedup.verdicts(corpus, batch, "doc_id", "text", cfg)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+          r.getInt(3))).toSet
+      val got = screened
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+          r.getInt(3))).toSet
+      assert(got === want)
+      // the recurring-ingest contract: every bucketed corpus scan feeds
+      // its join WITHOUT a SHUFFLE above it — walk each bucketed scan
+      // upward and require no hash repartition before the first join.
+      // A BroadcastExchange is allowed: at test scale AQE may broadcast
+      // a tiny corpus table, which still moves no corpus rows through a
+      // shuffle (and at production scale the corpus side is never the
+      // broadcast candidate).
+      val plan = screened.queryExecution.executedPlan.toString
+      val lines = plan.linesIterator.toVector
+      def depth(l: String): Int =
+        l.indexWhere(c => !" :+-*(0123456789)".contains(c))
+      val scans = lines.zipWithIndex.filter(_._1.contains("graft_idx"))
+        .filter(_._1.contains("Scan"))
+      assert(scans.nonEmpty, s"expected bucketed index scans:\n$plan")
+      assert(plan.contains("Bucketed: true"),
+        s"index scans must read bucketed:\n$plan")
+      scans.foreach { case (_, si) =>
+        var d = depth(lines(si))
+        var i = si - 1
+        var metJoin = false
+        while (i >= 0 && !metJoin) {
+          val ld = depth(lines(i))
+          if (ld >= 0 && ld < d) { // the next ancestor up the chain
+            d = ld
+            if (lines(i).contains("Join")) metJoin = true
+            else assert(!lines(i).contains("Exchange hashpartitioning"),
+              s"a bucketed corpus scan re-shuffles before its join:\n$plan")
+          }
+          i -= 1
+        }
+      }
+    } finally {
+      Seq("graft_idx_bands", "graft_idx_shingles", "graft_idx_hashes")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("a parquet-round-tripped corpus index gives identical verdicts") {
     val corpus = Seq(1L -> longDoc,
       2L -> "some other standing corpus document full of words").toDF("doc_id", "text")

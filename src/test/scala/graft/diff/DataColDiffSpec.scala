@@ -246,6 +246,79 @@ class DataColDiffSpec extends AnyFunSuite {
     }
   }
 
+  test("compareCols pruning ≡ full diff filtered to those columns") {
+    import org.apache.spark.sql.functions._
+    val keep = Seq("email", "emp_country")
+    val Right(full) = DataColDiff.diffPlan(emp100, emp101, Seq("id"))
+    val Right(pruned) = DataColDiff.diffPlan(emp100, emp101, Seq("id"),
+      compareCols = Some(keep))
+    // reference semantics: filter the full diff's array to the kept
+    // columns and recompute the flag from the filtered array
+    val filtArr = filter(col(DataColDiff.CompColArr),
+      e => e.getField("col_name").isin(keep: _*))
+    val want = full.select(col("id_s1"), col("id_s2"),
+      filtArr.as(DataColDiff.CompColArr),
+      when(col(DataColDiff.Flag).isin(Flags.S1Only, Flags.S2Only),
+          col(DataColDiff.Flag))
+        .when(size(filtArr) === 0, Flags.NoDiff)
+        .otherwise(Flags.Diff).as(DataColDiff.Flag))
+    def canon(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.select(to_json(struct(df.columns.map(col): _*)))
+        .collect().map(_.getString(0)).toSet
+    assert(canon(pruned) === canon(want))
+    // the pruned plan must actually drop the other columns from BOTH
+    // scans (the whole point at scale): no unkept comparable column
+    // survives in any projection above the relations (the logical
+    // relation line itself always prints the file's full schema)
+    val plan = pruned.queryExecution.optimizedPlan.toString.toLowerCase
+    val projected = plan.linesIterator
+      .filterNot(_.contains("relation")).mkString("\n")
+    assert(!projected.contains("first_name"),
+      s"pruned diff still carries an unkept column:\n$plan")
+    // Some(Nil) is the provably-identical screen verdict: no DIFF rows
+    val Right(none) = DataColDiff.diffPlan(emp100, emp101, Seq("id"),
+      compareCols = Some(Nil))
+    assert(!none.select(DataColDiff.Flag).collect()
+      .map(_.getString(0)).contains(Flags.Diff))
+    // unknown / key columns are caller bugs
+    assertThrows[IllegalArgumentException](DataColDiff.diffPlan(
+      emp100, emp101, Seq("id"), compareCols = Some(Seq("id"))))
+    assertThrows[IllegalArgumentException](DataColDiff.diffPlan(
+      emp100, emp101, Seq("id"), compareCols = Some(Seq("nope"))))
+  }
+
+  test("screenedDiffPlan: profile screen prunes, results match the full diff") {
+    import org.apache.spark.sql.functions._
+    // perturb ONE comparable column in a way the profile SEES (every
+    // value moves, so min/max shift); the screen must prune to it and
+    // the screened diff must equal the full diff (the only moving
+    // column IS the compared one)
+    val s2 = emp100.withColumn("email", concat(col("email"), lit("x")))
+    val Right(screened) = DataColDiff.screenedDiffPlan(emp100, s2, Seq("id"))
+    val Right(full) = DataColDiff.diffPlan(emp100, s2, Seq("id"))
+    def canon(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.select(to_json(struct(df.columns.map(col): _*)))
+        .collect().map(_.getString(0)).toSet
+    assert(canon(screened) === canon(full))
+    val plan = screened.queryExecution.optimizedPlan.toString.toLowerCase
+    val projected = plan.linesIterator
+      .filterNot(_.contains("relation")).mkString("\n")
+    assert(!projected.contains("first_name"),
+      s"screened diff must not read undrifted columns:\n$plan")
+    // the screen's documented blind spot: a perturbation preserving
+    // row/null/distinct counts AND the min/max (e.g. mutating a few
+    // mid-range values distinct-to-distinct) passes the profile
+    // unseen — the screened diff then reports NODIFF where the full
+    // diff reports DIFF. That is the price of screening; the spec pins
+    // the behavior so it stays a documented trade, not a surprise.
+    val sneaky = emp100.withColumn("email",
+      when(col("id").cast("long") === 50L,
+        concat(col("email"), lit("x"))).otherwise(col("email")))
+    val Right(missed) = DataColDiff.screenedDiffPlan(emp100, sneaky, Seq("id"))
+    assert(!missed.select(DataColDiff.Flag).collect()
+      .map(_.getString(0)).contains(Flags.Diff))
+  }
+
   test("skew-resilient mode handles duplicate (dirty) keys like full-outer") {
     import spark.implicits._
     // key 7 duplicated on BOTH sides: full-outer degenerates to a per-key
