@@ -26,7 +26,7 @@ object Stress {
         "dupspans", "incr", "aggmerge", "funnel", "anomaly", "lmscore",
         "scd2", "semantic", "pmi", "epochs", "order", "profilediff",
         "outliers", "pagerank", "equidepth", "outliersbig", "heavyhitters",
-        "hll", "kmeans", "simquant", "linkage", "bpe")
+        "hll", "kmeans", "kmeans4096", "simquant", "linkage", "bpe")
     val spark = Sessions.local("32")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -827,6 +827,39 @@ object Stress {
           .agg(countDistinct(col("cluster")).as("nc"))
           .filter(col("nc") > 1).count()
         require(split == 0L, s"$split clone families split across clusters")
+        n
+      }
+    }
+
+    if (which("kmeans4096")) {
+      // the √N-cell regime the codebook-argmin expression opens
+      // (NearestCentroid — constant plan/codegen size in k): train
+      // k=4096 over 100k vectors (seeds = the 4096 smallest ids, which
+      // include exact clones — duplicate seeds exercise the
+      // tie-toward-smaller-cid and empty-cluster-drop policies at
+      // scale) and label the whole corpus with the frozen codebook.
+      // The 4096×64 codebook is ~2 MB of task-binary payload; under
+      // the old literal-subtree argmin this plan was unbuildable.
+      val base = queries.Tables.loadSpread(spark, dir, "embeddings")
+      val cloned = staged(base.select(col("vec_id"), col("embedding"),
+          explode(sequence(lit(0), lit(49))).as("copy"))
+        .select((col("vec_id") + col("copy") * 1000000L).as("vec_id"),
+          col("embedding"))
+        .repartition(32))
+      timed("kmeans4096") {
+        val cfg = similarity.KMeans.Config(k = 4096, iters = 2)
+        val cents = similarity.KMeans
+          .centroids(cloned, "vec_id", "embedding", cfg)
+        require(cents.nonEmpty && cents.sizeIs <= 4096,
+          s"trained ${cents.size} centroids from a k=4096 config")
+        val labeled = similarity.KMeans
+          .label(cloned, "vec_id", "embedding", cents, cfg)
+        val validCids = cents.map(_.cid).toSet
+        val n = labeled.count()
+        require(n == cloned.count(), "labeling dropped vectors")
+        val bad = labeled.filter(!col("cluster")
+          .isin(validCids.toSeq.map(Long.box): _*)).count()
+        require(bad == 0L, s"$bad vectors labeled with unknown cids")
         n
       }
     }
