@@ -72,8 +72,11 @@ object IvfPq {
         x => floor(x * lit(scale)).cast("double")))
       .withColumn("qn", DotProduct(col("q"), col("q")))
       .persist()
-    val coarse = KMeans.centroidsPrepared(prep, cfg.coarseCfg)
-    val books = ProductQuant.trainPrepared(prep, dim, cfg.pq)
+    // ONE seed collect feeds both trainers (smallest-id seeding is
+    // shared policy; slicing/truncating happens driver-side)
+    val seedRows = KMeans.seedRows(prep, math.max(cfg.cells, cfg.pq.codeK))
+    val coarse = KMeans.centroidsPrepared(prep, cfg.coarseCfg, Some(seedRows))
+    val books = ProductQuant.trainPrepared(prep, dim, cfg.pq, Some(seedRows))
     def qs(s: Int): Column = slice(col("q"), s * sub + 1, sub)
     def qns(s: Int): Column = DotProduct(qs(s), qs(s))
 

@@ -94,13 +94,23 @@ object KMeans {
           x => floor(x * lit(cfg.scale)).cast("double")).as("q"))
       .withColumn("qn", DotProduct(col("q"), col("q")))
 
+  /** The k smallest-id (vid, quantized vector) rows — one TakeOrdered
+    * job. Shared by this trainer's seeding and by composed layouts
+    * ([[IvfPq]]) that seed TWO trainers (coarse + PQ) from a single
+    * collect instead of one job each.
+    */
+  private[similarity] def seedRows(prep: DataFrame,
+      k: Int): Seq[(Long, Array[Double])] =
+    prep.orderBy("vid").limit(k).select("vid", "q").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+
   /** Seed centroids: the k smallest-id vectors (collect is k rows). */
   private def seeds(prep: DataFrame, cfg: Config): Seq[Centroid] =
-    prep.orderBy("vid").limit(cfg.k).select("vid", "q").collect()
-      .map { r =>
-        val cv = r.getSeq[Double](1).toArray
-        Centroid(r.getLong(0), cv, leftFoldSq(cv))
-      }.toSeq
+    fromSeedRows(seedRows(prep, cfg.k))
+
+  private[similarity] def fromSeedRows(
+      rows: Seq[(Long, Array[Double])]): Seq[Centroid] =
+    rows.map { case (vid, cv) => Centroid(vid, cv, leftFoldSq(cv)) }
 
   /** Codebook argmin for arbitrary (quantized-vector, squared-norm)
     * columns — shared with [[ProductQuant]], which runs one per
@@ -210,9 +220,10 @@ object KMeans {
     * one per trainer). The frame must be quantized with THIS config's
     * scale.
     */
-  private[similarity] def centroidsPrepared(prep: DataFrame,
-      cfg: Config): Seq[Centroid] = {
-    var cents = seeds(prep, cfg)
+  private[similarity] def centroidsPrepared(prep: DataFrame, cfg: Config,
+      preSeeds: Option[Seq[(Long, Array[Double])]] = None): Seq[Centroid] = {
+    var cents = preSeeds.fold(seeds(prep, cfg))(r =>
+      fromSeedRows(r.take(cfg.k)))
     (1 until cfg.iters).foreach { _ =>
       cents = recompute(assign(prep, cents))
     }

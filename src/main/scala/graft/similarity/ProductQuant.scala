@@ -75,18 +75,20 @@ object ProductQuant {
     * with the search.
     */
   private[similarity] def trainPrepared(prep: DataFrame, dim: Int,
-      cfg: Config): Seq[Seq[KMeans.Centroid]] = {
+      cfg: Config,
+      preSeeds: Option[Seq[(Long, Array[Double])]] = None): Seq[Seq[KMeans.Centroid]] = {
     require(dim % cfg.m == 0, s"dim $dim must divide by m=${cfg.m}")
     val sub = dim / cfg.m
 
-    // one collect seeds every subspace
-    val seedRows = prep.orderBy("vid").limit(cfg.codeK)
-      .select("vid", "q").collect()
+    // one collect seeds every subspace (or reuse a caller's collect —
+    // IvfPq seeds coarse + all PQ subspaces from a single job)
+    val seedRows = preSeeds.fold(KMeans.seedRows(prep, cfg.codeK))(
+      _.take(cfg.codeK))
     var books: Seq[Seq[KMeans.Centroid]] = (0 until cfg.m).map { s =>
-      seedRows.map { r =>
-        val cv = r.getSeq[Double](1).slice(s * sub, (s + 1) * sub).toArray
-        KMeans.Centroid(r.getLong(0), cv, KMeans.leftFoldSq(cv))
-      }.toSeq
+      seedRows.map { case (vid, full) =>
+        val cv = full.slice(s * sub, (s + 1) * sub)
+        KMeans.Centroid(vid, cv, KMeans.leftFoldSq(cv))
+      }
     }
     def qs(s: Int): Column = slice(col("q"), s * sub + 1, sub)
     def qns(s: Int): Column = DotProduct(qs(s), qs(s))

@@ -54,14 +54,22 @@ object LangId {
     * Latin tokens. Still a pure per-row projection — zero shuffle.
     */
   def predictUnicode(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val sc = graft.expressions.ScriptCounts(col(textCol))
+    // stage the census and token array as ATTRIBUTES first: the share /
+    // best-share / tie-break ladder below references them ~25 times,
+    // and CollapseProject deliberately keeps multiply-referenced
+    // non-cheap aliases staged, so each row runs ONE census scan and
+    // one tokenize instead of one per reference (the §9 melt trap)
+    val staged = docs.select(col(idCol).as("doc_id"),
+      graft.expressions.ScriptCounts(col(textCol)).as("__sc"),
+      words(col(textCol)).as("__w"))
+    val sc = col("__sc")
     val letters = sc.getField("n_letters").cast("double")
     val shares = ScriptCodes.map { case (code, field) =>
       code -> when(letters > 0,
         sc.getField(field).cast("double") / letters).otherwise(lit(0.0))
     }
     val bestShare = greatest(shares.map(_._2): _*)
-    val w = words(col(textCol))
+    val w = col("__w")
     val lexScores = Lexicons.map { case (l, lex) => l -> score(w, lex) }
     val lexBest = greatest(lexScores.map(_._2): _*)
     val lexPred = lexScores.foldRight(lit("und")) { case ((lang, s), other) =>
@@ -73,7 +81,7 @@ object LangId {
     }
     val scoreCol = when(bestShare >= ScriptThreshold, bestShare)
       .otherwise(coalesce(lexBest, lit(0.0)))
-    docs.select(col(idCol).as("doc_id"),
+    staged.select(col("doc_id"),
       pred.as("lang_pred"), scoreCol.as("lang_score"))
   }
 
