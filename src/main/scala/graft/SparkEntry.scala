@@ -86,6 +86,9 @@ object SparkEntry {
     // bench slot, like the MinHash parameter presets.
     "text_decontam", "text_pii", "text_chunks",
     "kmv_distinct", "hll_distinct", "quantile_sketch", "zorder_stats",
+    // sim_ivfpq_res is the residual-encoding variant of sim_ivfpq
+    // (same stage shapes, different vector under the PQ codes) —
+    // correctness-gated, no bench slot, like the MinHash presets.
     "sim_topk", "sim_lsh_bucket", "sim_ivf", "sim_recall", "sim_quant",
     "sim_pq", "sim_ivfpq", "embed_kmeans",
     "mm_meta", "mm_frames", "mm_format_stats", "mm_decode",

@@ -202,15 +202,18 @@ object DedupQueries {
     * SF (72/72/72 at sf0.001).
     */
   private def incrementalBatch(docs: DataFrame): DataFrame = {
-    val a = docs.filter(col("doc_id") % 7 === 0)
-      .select((col("doc_id") + 200000L).as("doc_id"), col("text"))
-    val b = docs.filter(col("doc_id") % 7 === 1)
-      .select((col("doc_id") + 300000L).as("doc_id"),
-        concat(col("text"), lit(" zzz")).as("text"))
-    val c = docs.filter(col("doc_id") % 7 === 2)
-      .select((col("doc_id") + 400000L).as("doc_id"),
-        reverse(col("text")).as("text"))
-    a.unionByName(b).unionByName(c)
+    // one scan, not three union branches: the mod-7 classes are
+    // disjoint, so a CASE projection over `doc_id % 7 <= 2` produces
+    // the same multiset the three-way union did without re-reading
+    // (and re-spreading) the documents parquet per branch
+    val m = col("doc_id") % 7
+    docs.filter(m <= 2)
+      .select(
+        (col("doc_id") + when(m === 0, 200000L)
+          .when(m === 1, 300000L).otherwise(400000L)).as("doc_id"),
+        when(m === 0, col("text"))
+          .when(m === 1, concat(col("text"), lit(" zzz")))
+          .otherwise(reverse(col("text"))).as("text"))
   }
 
   def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
@@ -407,12 +410,16 @@ object DedupQueries {
     */
   def dedupEmbedIncr(spark: SparkSession, dir: String): DataFrame = {
     val vecs = Tables.loadSpread(spark, dir, "embeddings")
-    val a = vecs.filter(col("vec_id") % 5 === 0)
-      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
-    val b = vecs.filter(col("vec_id") % 5 === 1)
-      .select((col("vec_id") + 200000L).as("vec_id"),
-        reverse(col("embedding")).as("embedding"))
-    EmbeddingNearDup.incrementalPairs(vecs, a.unionByName(b),
+    // one scan, not two union branches (same rationale as
+    // incrementalBatch: disjoint mod classes → CASE projection)
+    val m = col("vec_id") % 5
+    val batch = vecs.filter(m <= 1)
+      .select(
+        (col("vec_id") + when(m === 0, 100000L).otherwise(200000L))
+          .as("vec_id"),
+        when(m === 0, col("embedding"))
+          .otherwise(reverse(col("embedding"))).as("embedding"))
+    EmbeddingNearDup.incrementalPairs(vecs, batch,
         "vec_id", "embedding", EmbedThreshold, SimilarityQueries.lshCfg)
       .orderBy("vec_new", "vec_old")
   }

@@ -255,38 +255,65 @@ object SimilarityQueries {
 
   /** The oracle replays the WHOLE composed pipeline: the coarse
     * Lloyd's chain, every vector's cell, each query's probed cells,
-    * all `m` PQ subspace chains, document codes, per-query ADC tables,
-    * the cell-restricted ADC screen, and the exact-cosine re-rank —
-    * hash-match proves the full IVFADC layout bit-reproducible
-    * cross-engine.
+    * all `m` PQ subspace chains (over global vectors or floored
+    * residuals per the config), document codes, per-query (residual:
+    * per-(query, probed-cell)) ADC tables, the cell-restricted ADC
+    * screen, and the exact-cosine re-rank — hash-match proves the full
+    * IVFADC layout bit-reproducible cross-engine.
     */
-  val simIvfPqSql: String = {
-    val pq = ivfPqCfg.pq
+  private def ivfPqOracleSql(cfg: IvfPq.Config): String = {
+    val pq = cfg.pq
     val scale = f"${pq.kmCfg.scale}%.1f"
     val m = pq.m
     val sub = Dim / m
     val fin = pq.iters
-    val cFin = ivfPqCfg.coarseIters
+    val cFin = cfg.coarseIters
+    // residual variant: PQ chains read floored residuals (rdoc), and
+    // each query's ADC table keys on the PROBED cell (rq) instead of
+    // one table per query
+    val srcCte = if (cfg.residual) "rdoc" else "v"
     val chains = (0 until m).map { s =>
       val lo = s * sub + 1
       val hi = (s + 1) * sub
       s"""n_$s AS MATERIALIZED (SELECT vec_id, q[$lo:$hi] AS q,
-         |    ${foldDot(s"q[$lo:$hi]", s"q[$lo:$hi]")} AS qn FROM v),
+         |    ${foldDot(s"q[$lo:$hi]", s"q[$lo:$hi]")} AS qn FROM $srcCte),
          |${kmChainCtes(s"_$s", sub, pq.codeK, pq.iters)}""".stripMargin
     }.mkString(",\n")
+    val residCtes = if (!cfg.residual) "" else {
+      s"""rdoc AS MATERIALIZED (SELECT a.vec_id,
+         |    [floor(a.q[i] - c.cv[i]) for i in generate_series(1, $Dim)] AS q
+         |  FROM a${cFin}_cc a JOIN c${cFin - 1}_cc c ON c.cid = a.cid),
+         |rq AS MATERIALIZED (SELECT pr.q_id, pr.cell,
+         |    [floor(n.q[i] - c.cv[i]) for i in generate_series(1, $Dim)] AS q
+         |  FROM probes pr JOIN n_cc n ON n.vec_id = pr.q_id
+         |  JOIN c${cFin - 1}_cc c ON c.cid = pr.cell),
+         |""".stripMargin
+    }
     val codeCols = (0 until m)
       .map(s => s"a$s.cid AS c$s").mkString(", ")
     val codeJoins = (1 until m)
       .map(s => s"JOIN a$fin" + s"_$s a$s ON a$s.vec_id = a0.vec_id")
       .mkString("\n  ")
     val pds = (0 until m).map { s =>
-      s"""pd_$s AS MATERIALIZED (SELECT n.vec_id AS q_id, c.cid,
-         |    n.qn + c.cn - 2 * ${foldDot("n.q", "c.cv")} AS d
-         |  FROM n_$s n CROSS JOIN c${fin - 1}_$s c
-         |  WHERE n.vec_id < $QueryCount)""".stripMargin
+      if (cfg.residual) {
+        val lo = s * sub + 1
+        val hi = (s + 1) * sub
+        val qsl = s"r.q[$lo:$hi]"
+        s"""pd_$s AS MATERIALIZED (SELECT r.q_id, r.cell, c.cid,
+           |    ${foldDot(qsl, qsl)} + c.cn - 2 * ${foldDot(qsl, "c.cv")} AS d
+           |  FROM rq r CROSS JOIN c${fin - 1}_$s c)""".stripMargin
+      } else
+        s"""pd_$s AS MATERIALIZED (SELECT n.vec_id AS q_id, c.cid,
+           |    n.qn + c.cn - 2 * ${foldDot("n.q", "c.cv")} AS d
+           |  FROM n_$s n CROSS JOIN c${fin - 1}_$s c
+           |  WHERE n.vec_id < $QueryCount)""".stripMargin
     }.mkString(",\n")
+    val cellCond = if (cfg.residual) " AND p0.cell = pb.cell" else ""
     val pdJoins = (1 until m)
-      .map(s => s"JOIN pd_$s p$s ON p$s.cid = k.c$s AND p$s.q_id = pb.q_id")
+      .map { s =>
+        val cc = if (cfg.residual) s" AND p$s.cell = pb.cell" else ""
+        s"JOIN pd_$s p$s ON p$s.cid = k.c$s AND p$s.q_id = pb.q_id$cc"
+      }
       .mkString("\n  ")
     val distSum = (0 until m).map(s => s"p$s.d").mkString(" + ")
     s"""WITH v AS MATERIALIZED (SELECT vec_id,
@@ -295,15 +322,15 @@ object SimilarityQueries {
        |nf AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS fv FROM embeddings),
        |nn AS MATERIALIZED (SELECT vec_id, fv, ${foldDot("fv", "fv")} AS nrm FROM nf),
        |n_cc AS MATERIALIZED (SELECT vec_id, q, ${foldDot("q", "q")} AS qn FROM v),
-       |${kmChainCtes("_cc", Dim, ivfPqCfg.cells, cFin)},
+       |${kmChainCtes("_cc", Dim, cfg.cells, cFin)},
        |probes AS MATERIALIZED (SELECT q_id, cell FROM (
        |  SELECT n.vec_id AS q_id, c.cid AS cell,
        |    ROW_NUMBER() OVER (PARTITION BY n.vec_id
        |      ORDER BY n.qn + c.cn - 2 * ${foldDot("n.q", "c.cv")}, c.cid)
        |      AS prn
        |  FROM n_cc n CROSS JOIN c${cFin - 1}_cc c
-       |  WHERE n.vec_id < $QueryCount) WHERE prn <= ${ivfPqCfg.nProbe}),
-       |$chains,
+       |  WHERE n.vec_id < $QueryCount) WHERE prn <= ${cfg.nProbe}),
+       |$residCtes$chains,
        |codes AS MATERIALIZED (SELECT a0.vec_id, cc.cid AS cell, $codeCols
        |  FROM a$fin${"_0"} a0
        |  JOIN a${cFin}_cc cc ON cc.vec_id = a0.vec_id
@@ -312,7 +339,7 @@ object SimilarityQueries {
        |pq AS MATERIALIZED (SELECT pb.q_id, k.vec_id AS n_id, $distSum AS dist_pq
        |  FROM codes k
        |  JOIN probes pb ON pb.cell = k.cell
-       |  JOIN pd_0 p0 ON p0.cid = k.c0 AND p0.q_id = pb.q_id
+       |  JOIN pd_0 p0 ON p0.cid = k.c0 AND p0.q_id = pb.q_id$cellCond
        |  $pdJoins
        |  WHERE k.vec_id <> pb.q_id),
        |scr AS MATERIALIZED (SELECT q_id, n_id, dist_pq FROM (
@@ -331,6 +358,23 @@ object SimilarityQueries {
        |  FROM wc)
        |WHERE rank <= $K ORDER BY q_id, rank""".stripMargin
   }
+
+  val simIvfPqSql: String = ivfPqOracleSql(ivfPqCfg)
+
+  // ------------------------------------------------------ ivfadc residual
+
+  private val ivfPqResCfg = IvfPq.Config(residual = true)
+
+  /** Gate-only (no bench slot — the runtime face is sim_ivfpq's; the
+    * two variants share every stage shape and differ only in the
+    * vector the PQ codes quantize): the residual-encoding IVFADC.
+    */
+  def simIvfPqRes(spark: SparkSession, dir: String): DataFrame =
+    IvfPq.topK(Tables.loadSpread(spark, dir, "embeddings"),
+        "vec_id", "embedding", Dim, _ < QueryCount, K, ivfPqResCfg)
+      .orderBy("q_id", "rank")
+
+  val simIvfPqResSql: String = ivfPqOracleSql(ivfPqResCfg)
 
   // --------------------------------------------------------------- kmeans
 
@@ -455,6 +499,7 @@ object SimilarityQueries {
     "sim_quant" -> (simQuant(_, _)),
     "sim_pq" -> (simPq(_, _)),
     "sim_ivfpq" -> (simIvfPq(_, _)),
+    "sim_ivfpq_res" -> (simIvfPqRes(_, _)),
     "embed_kmeans" -> (embedKmeans(_, _)),
     "embed_kmeans_label" -> (embedKmeansLabel(_, _)))
 
@@ -466,6 +511,7 @@ object SimilarityQueries {
     "sim_quant" -> simQuantSql,
     "sim_pq" -> simPqSql,
     "sim_ivfpq" -> simIvfPqSql,
+    "sim_ivfpq_res" -> simIvfPqResSql,
     "embed_kmeans" -> embedKmeansSql,
     "embed_kmeans_label" -> embedKmeansSql)
 }

@@ -20,12 +20,24 @@ import org.apache.spark.sql.functions._
   * TPAMI 2011) — and the corpus-side screen join is keyed on the cell
   * id, never query × corpus.
   *
-  * Variant note: codes quantize the GLOBAL vector, not the residual
-  * (x − centroid). Residual coding buys recall at equal code budget
-  * but couples every code to its cell's centroid (re-coding on cell
-  * retrain); the global-code variant keeps the PQ index reusable
-  * across coarse layouts. Documented trade, measured by the recall
-  * spec against brute force.
+  * Variant note: with `Config.residual = false` codes quantize the
+  * GLOBAL vector; with `residual = true` they quantize the residual to
+  * the vector's own coarse cell (`floor(q − centroid)`) — the
+  * FAISS-default IVFADC encoding, which spends the same code budget on
+  * a much smaller-diameter distribution (recall up at equal bits on
+  * CLUSTERED data — measured recall@10 0.70 residual vs 0.59 global
+  * on the spec's 8-cluster corpus; parity on the unclustered uniform
+  * fixture where residuals don't shrink anything, IvfPqSpec).
+  * The trade: residual codes couple to the coarse layout (cell retrain
+  * ⇒ re-code), and each query builds one ADC LUT PER PROBED CELL
+  * (nProbe× LUT work — still query-side-tiny) instead of one total.
+  * The `floor` matters: a raw residual (integer quantized component −
+  * rational centroid mean) would leave the fixed-point domain, making
+  * the PQ trainer's distributed sums order-DEPENDENT; flooring
+  * re-enters it, so every centroid sum stays an exact integer sum and
+  * the DuckDB oracle reproduces the whole pipeline bit-for-bit. The
+  * sub-unit truncation is 2^-20 of a component — noise relative to the
+  * 16-cell-per-subspace quantization the codes then apply.
   *
   * Scale shape: ONE persisted quantized corpus frame feeds coarse
   * training, PQ training, and the coded-corpus projection (zero extra
@@ -46,10 +58,37 @@ object IvfPq {
     * serves both.
     */
   case class Config(cells: Int = 8, coarseIters: Int = 2, nProbe: Int = 2,
+      residual: Boolean = false,
       pq: ProductQuant.Config = ProductQuant.Config()) {
     require(cells >= 1 && coarseIters >= 1 && nProbe >= 1)
     def coarseCfg: KMeans.Config = KMeans.Config(
       k = cells, iters = coarseIters, scaleBits = pq.scaleBits)
+  }
+
+  /** Driver-side mirror of [[graft.expressions.NearestCentroid]]'s
+    * argmin (identical IEEE operand order and smaller-id tie-break)
+    * followed by the floored residual — used to turn the shared seed
+    * collect's GLOBAL vectors into the residual-space seeds the
+    * residual PQ trainer needs, without a second job.
+    */
+  private[similarity] def residualOf(q: Array[Double],
+      cents: Seq[KMeans.Centroid]): Array[Double] = {
+    val qn = KMeans.leftFoldSq(q)
+    var best: KMeans.Centroid = null
+    var bestD = 0.0
+    cents.foreach { c =>
+      var dot = 0.0
+      var i = 0
+      while (i < q.length) { dot += q(i) * c.cv(i); i += 1 }
+      val d = (qn + c.cn) - 2.0 * dot
+      if (best == null || d < bestD || (d == bestD && c.cid < best.cid)) {
+        best = c; bestD = d
+      }
+    }
+    val r = new Array[Double](q.length)
+    var i = 0
+    while (i < q.length) { r(i) = math.floor(q(i) - best.cv(i)); i += 1 }
+    r
   }
 
   /** Top-k neighbors per query: probe `nProbe` coarse cells, ADC-screen
@@ -76,22 +115,53 @@ object IvfPq {
     // shared policy; slicing/truncating happens driver-side)
     val seedRows = KMeans.seedRows(prep, math.max(cfg.cells, cfg.pq.codeK))
     val coarse = KMeans.centroidsPrepared(prep, cfg.coarseCfg, Some(seedRows))
-    val books = ProductQuant.trainPrepared(prep, dim, cfg.pq, Some(seedRows))
-    def qs(s: Int): Column = slice(col("q"), s * sub + 1, sub)
-    def qns(s: Int): Column = DotProduct(qs(s), qs(s))
+
+    // cell id → centroid components, as one literal map (cells × dim
+    // doubles — coarse-codebook-sized, same budget as the cellRows
+    // probe literals below)
+    lazy val centMap = map_from_arrays(
+      array(coarse.map(c => lit(c.cid)): _*),
+      array(coarse.map(c => array(c.cv.map(lit).toSeq: _*)): _*))
+    // floored residual to a cell's centroid — floor re-enters the
+    // fixed-point domain (doc comment above) so the residual PQ
+    // trainer's sums stay exact integers
+    def residTo(q: Column, cell: Column): Column =
+      zip_with(q, element_at(centMap, cell),
+        (a, b) => floor(a - b).cast("double"))
+
+    val cellCol =
+      KMeans.bestStruct(coarse, col("q"), col("qn")).getField("c").as("cell")
+    // `cq`: the vector the PQ codebooks quantize — global, or the
+    // residual to the row's own cell
+    val codeSrc =
+      if (!cfg.residual)
+        prep.withColumn("cell", cellCol).withColumn("cq", col("q"))
+      else
+        prep.withColumn("cell", cellCol)
+          .withColumn("cq", residTo(col("q"), col("cell")))
+    val pqSeeds =
+      if (!cfg.residual) seedRows
+      else seedRows.map { case (vid, q) => (vid, residualOf(q, coarse)) }
+    val books = ProductQuant.trainPrepared(
+      codeSrc.select(col("vid"), col("cq").as("q")), dim, cfg.pq,
+      Some(pqSeeds))
+    def cqs(s: Int): Column = slice(col("cq"), s * sub + 1, sub)
+    def cqns(s: Int): Column = DotProduct(cqs(s), cqs(s))
 
     // documents: coarse cell + m PQ codes — one pure projection
-    val coded = prep.select(
-      col("vid") +: col("v") +: col("nrm") +:
-        KMeans.bestStruct(coarse, col("q"), col("qn")).getField("c").as("cell") +:
+    val coded = codeSrc.select(
+      col("vid") +: col("v") +: col("nrm") +: col("cell") +:
         books.zipWithIndex.map { case (cents, s) =>
-          KMeans.bestStruct(cents, qs(s), qns(s)).getField("c").as(s"c$s")
+          KMeans.bestStruct(cents, cqs(s), cqns(s)).getField("c").as(s"c$s")
         }: _*)
 
     // probes: nProbe nearest cells per query in the SAME quantized
     // distance (ties toward the smaller cell id); the query set is
     // tiny, so the query × cells fan-out and its window are driver-
-    // negligible and the result broadcasts
+    // negligible and the result broadcasts. The ADC LUTs build AFTER
+    // the probe cut, from the probe-relative vector (global: the query
+    // itself; residual: its floored residual to the PROBED cell — one
+    // LUT set per (query, cell), the residual-IVFADC shape).
     val cellRows = coarse.map(c =>
       struct(lit(c.cid).as("cell"),
         (col("qn") + lit(c.cn) -
@@ -102,20 +172,21 @@ object IvfPq {
       map_from_arrays(
         array(cents.map(c => lit(c.cid)): _*),
         array(cents.map { c =>
-          qns(s) + lit(c.cn) -
-            lit(2.0) * DotProduct(qs(s), array(c.cv.map(lit).toSeq: _*))
+          cqns(s) + lit(c.cn) -
+            lit(2.0) * DotProduct(cqs(s), array(c.cv.map(lit).toSeq: _*))
         }: _*)).as(s"lut$s")
     }
     val probes = prep.filter(isQuery(col("vid")))
-      .select(
-        col("vid").as("q_id") +: col("v").as("pv") +: col("nrm").as("pn") +:
-          explode(array(cellRows: _*)).as("pc") +: lutCols: _*)
-      .select(Seq(col("q_id"), col("pv"), col("pn"),
-          col("pc.cell").as("cell"), col("pc.cd").as("cd")) ++
-        (0 until cfg.pq.m).map(s => col(s"lut$s")): _*)
+      .select(col("vid").as("q_id"), col("v").as("pv"), col("nrm").as("pn"),
+        col("q"), explode(array(cellRows: _*)).as("pc"))
+      .select(col("q_id"), col("pv"), col("pn"), col("q"),
+        col("pc.cell").as("cell"), col("pc.cd").as("cd"))
       .withColumn("prn", row_number().over(wp))
       .filter(col("prn") <= cfg.nProbe)
-      .drop("cd", "prn")
+      .withColumn("cq",
+        if (cfg.residual) residTo(col("q"), col("cell")) else col("q"))
+      .select(Seq(col("q_id"), col("pv"), col("pn"),
+        col("cell")) ++ lutCols: _*)
 
     // ADC over probed cells only: broadcast HASH join on the cell id —
     // the corpus never meets a query outside its probed cells
