@@ -24,12 +24,20 @@ object TfIdf {
   /** (stratum, rank, term, score) — top `k` terms per stratum value. */
   def topTerms(docs: DataFrame, idCol: String, textCol: String,
       strataCol: String, k: Int): DataFrame = {
-    val posts = docs.select(col(idCol).as("doc_id"), col(strataCol).as("stratum"),
+    // ONE token-scale shuffle: the raw postings aggregate straight to
+    // distinct (stratum, term, doc_id) occurrence counts (map-side
+    // combined), and BOTH measures derive from that far smaller frame —
+    // tf as the exact long sum of per-doc counts, df as the distinct
+    // doc count. The previous shape shuffled the postings twice (tf
+    // groupBy + the df `distinct`), and the distinct pass combined
+    // almost nothing map-side because (doc, term) pairs are near-unique.
+    val perDoc = docs.select(col(idCol).as("doc_id"),
+        col(strataCol).as("stratum"),
         explode(words(col(textCol))).as("term"))
+      .groupBy("stratum", "term", "doc_id").agg(count(lit(1)).as("c"))
       .persist() // feeds tf + df
-    val tf = posts.groupBy("stratum", "term").agg(count(lit(1)).as("tf"))
-    val df = posts.select("doc_id", "term").distinct()
-      .groupBy("term").agg(count(lit(1)).as("df"))
+    val tf = perDoc.groupBy("stratum", "term").agg(sum("c").as("tf"))
+    val df = perDoc.groupBy("term").agg(count_distinct(col("doc_id")).as("df"))
     val n = docs.select(count(lit(1)).as("n_total"))
     val scored = tf.join(df, "term").crossJoin(broadcast(n))
       .select(col("stratum"), col("term"),
