@@ -91,92 +91,116 @@ object IvfPq {
     r
   }
 
-  /** Top-k neighbors per query: probe `nProbe` coarse cells, ADC-screen
-    * their members to `pq.screenK`, exact-cosine re-rank to k. Output:
-    * (q_id, rank, n_id, cos_sim, dist_pq).
+  /** A trained IVFADC model: the coarse codebook and the `m` PQ
+    * subspace codebooks — driver-side, (cells + m·codeK)·(dim/…)
+    * doubles total; everything else (the coded corpus) is data.
     */
-  def topK(vectors: DataFrame, idCol: String, vecCol: String, dim: Int,
-      isQuery: Column => Column, k: Int, cfg: Config = Config()): DataFrame = {
-    require(cfg.pq.screenK >= k, "screenK must be >= k")
-    val sub = dim / cfg.pq.m
-    val scale = cfg.pq.kmCfg.scale
+  case class Model(coarse: Seq[KMeans.Centroid],
+      books: Seq[Seq[KMeans.Centroid]])
 
-    // ONE persisted quantized frame: coarse trainer + PQ trainer + the
-    // coded-corpus projection + the query probes all scan this cache
-    val prep = vectors
+  /** (vid, v, nrm, q, qn): the quantized prep every stage scans. */
+  private def prepare(vectors: DataFrame, idCol: String, vecCol: String,
+      cfg: Config): DataFrame =
+    vectors
       .select(col(idCol).cast("long").as("vid"),
         col(vecCol).cast("array<double>").as("v"))
       .withColumn("nrm", norm2(col("v")))
       .withColumn("q", transform(col("v"),
-        x => floor(x * lit(scale)).cast("double")))
+        x => floor(x * lit(cfg.pq.kmCfg.scale)).cast("double")))
       .withColumn("qn", DotProduct(col("q"), col("q")))
-      .persist()
-    // ONE seed collect feeds both trainers (smallest-id seeding is
-    // shared policy; slicing/truncating happens driver-side)
-    val seedRows = KMeans.seedRows(prep, math.max(cfg.cells, cfg.pq.codeK))
-    val coarse = KMeans.centroidsPrepared(prep, cfg.coarseCfg, Some(seedRows))
 
-    // cell id → centroid components, as one literal map (cells × dim
-    // doubles — coarse-codebook-sized, same budget as the cellRows
-    // probe literals below)
-    lazy val centMap = map_from_arrays(
+  // cell id → centroid components, as one literal map (cells × dim
+  // doubles — coarse-codebook-sized, same budget as the probe literals)
+  private def centMap(coarse: Seq[KMeans.Centroid]): Column =
+    map_from_arrays(
       array(coarse.map(c => lit(c.cid)): _*),
       array(coarse.map(c => array(c.cv.map(lit).toSeq: _*)): _*))
-    // floored residual to a cell's centroid — floor re-enters the
-    // fixed-point domain (doc comment above) so the residual PQ
-    // trainer's sums stay exact integers
-    def residTo(q: Column, cell: Column): Column =
-      zip_with(q, element_at(centMap, cell),
-        (a, b) => floor(a - b).cast("double"))
 
-    val cellCol =
-      KMeans.bestStruct(coarse, col("q"), col("qn")).getField("c").as("cell")
-    // `cq`: the vector the PQ codebooks quantize — global, or the
-    // residual to the row's own cell
-    val codeSrc =
-      if (!cfg.residual)
-        prep.withColumn("cell", cellCol).withColumn("cq", col("q"))
-      else
-        prep.withColumn("cell", cellCol)
-          .withColumn("cq", residTo(col("q"), col("cell")))
+  // floored residual to a cell's centroid — floor re-enters the
+  // fixed-point domain (doc comment above) so the residual PQ
+  // trainer's sums stay exact integers
+  private def residTo(coarse: Seq[KMeans.Centroid], q: Column,
+      cell: Column): Column =
+    zip_with(q, element_at(centMap(coarse), cell),
+      (a, b) => floor(a - b).cast("double"))
+
+  /** Train coarse + PQ codebooks over a (cached) prep frame. ONE seed
+    * collect feeds both trainers (smallest-id seeding is shared
+    * policy; slicing/truncating happens driver-side).
+    */
+  private def fitModel(prep: DataFrame, dim: Int, cfg: Config): Model = {
+    val seedRows = KMeans.seedRows(prep, math.max(cfg.cells, cfg.pq.codeK))
+    val coarse = KMeans.centroidsPrepared(prep, cfg.coarseCfg, Some(seedRows))
+    val codeSrc = codeSource(prep, coarse, cfg)
     val pqSeeds =
       if (!cfg.residual) seedRows
       else seedRows.map { case (vid, q) => (vid, residualOf(q, coarse)) }
     val books = ProductQuant.trainPrepared(
       codeSrc.select(col("vid"), col("cq").as("q")), dim, cfg.pq,
       Some(pqSeeds))
-    def cqs(s: Int): Column = slice(col("cq"), s * sub + 1, sub)
-    def cqns(s: Int): Column = DotProduct(cqs(s), cqs(s))
+    Model(coarse, books)
+  }
 
-    // documents: coarse cell + m PQ codes — one pure projection
-    val coded = codeSrc.select(
+  /** prep + (cell, cq): `cq` is the vector the PQ codebooks quantize —
+    * global, or the residual to the row's own cell.
+    */
+  private def codeSource(prep: DataFrame, coarse: Seq[KMeans.Centroid],
+      cfg: Config): DataFrame = {
+    val cellCol =
+      KMeans.bestStruct(coarse, col("q"), col("qn")).getField("c").as("cell")
+    if (!cfg.residual)
+      prep.withColumn("cell", cellCol).withColumn("cq", col("q"))
+    else
+      prep.withColumn("cell", cellCol)
+        .withColumn("cq", residTo(coarse, col("q"), col("cell")))
+  }
+
+  private def cqSlice(s: Int, sub: Int): Column =
+    slice(col("cq"), s * sub + 1, sub)
+  private def cqNorm(s: Int, sub: Int): Column =
+    DotProduct(cqSlice(s, sub), cqSlice(s, sub))
+
+  /** Documents: (vid, v, nrm, cell, c0..c{m-1}) — coarse cell + m PQ
+    * codes, one pure projection.
+    */
+  private def coded(prep: DataFrame, model: Model, dim: Int,
+      cfg: Config): DataFrame = {
+    val sub = dim / cfg.pq.m
+    codeSource(prep, model.coarse, cfg).select(
       col("vid") +: col("v") +: col("nrm") +: col("cell") +:
-        books.zipWithIndex.map { case (cents, s) =>
-          KMeans.bestStruct(cents, cqs(s), cqns(s)).getField("c").as(s"c$s")
+        model.books.zipWithIndex.map { case (cents, s) =>
+          KMeans.bestStruct(cents, cqSlice(s, sub), cqNorm(s, sub))
+            .getField("c").as(s"c$s")
         }: _*)
+  }
 
-    // probes: nProbe nearest cells per query in the SAME quantized
-    // distance (ties toward the smaller cell id); the query set is
-    // tiny, so the query × cells fan-out and its window are driver-
-    // negligible and the result broadcasts. The ADC LUTs build AFTER
-    // the probe cut, from the probe-relative vector (global: the query
-    // itself; residual: its floored residual to the PROBED cell — one
-    // LUT set per (query, cell), the residual-IVFADC shape).
-    val cellRows = coarse.map(c =>
+  /** Probes: nProbe nearest cells per query in the SAME quantized
+    * distance (ties toward the smaller cell id); the query set is
+    * tiny, so the query × cells fan-out and its window are driver-
+    * negligible and the result broadcasts. The ADC LUTs build AFTER
+    * the probe cut, from the probe-relative vector (global: the query
+    * itself; residual: its floored residual to the PROBED cell — one
+    * LUT set per (query, cell), the residual-IVFADC shape).
+    */
+  private def probes(queriesPrep: DataFrame, model: Model, dim: Int,
+      cfg: Config): DataFrame = {
+    val sub = dim / cfg.pq.m
+    val cellRows = model.coarse.map(c =>
       struct(lit(c.cid).as("cell"),
         (col("qn") + lit(c.cn) -
           lit(2.0) * DotProduct(col("q"), array(c.cv.map(lit).toSeq: _*)))
           .as("cd")))
     val wp = Window.partitionBy("q_id").orderBy(asc("cd"), asc("cell"))
-    val lutCols = books.zipWithIndex.map { case (cents, s) =>
+    val lutCols = model.books.zipWithIndex.map { case (cents, s) =>
       map_from_arrays(
         array(cents.map(c => lit(c.cid)): _*),
         array(cents.map { c =>
-          cqns(s) + lit(c.cn) -
-            lit(2.0) * DotProduct(cqs(s), array(c.cv.map(lit).toSeq: _*))
+          cqNorm(s, sub) + lit(c.cn) -
+            lit(2.0) * DotProduct(cqSlice(s, sub),
+              array(c.cv.map(lit).toSeq: _*))
         }: _*)).as(s"lut$s")
     }
-    val probes = prep.filter(isQuery(col("vid")))
+    queriesPrep
       .select(col("vid").as("q_id"), col("v").as("pv"), col("nrm").as("pn"),
         col("q"), explode(array(cellRows: _*)).as("pc"))
       .select(col("q_id"), col("pv"), col("pn"), col("q"),
@@ -184,16 +208,23 @@ object IvfPq {
       .withColumn("prn", row_number().over(wp))
       .filter(col("prn") <= cfg.nProbe)
       .withColumn("cq",
-        if (cfg.residual) residTo(col("q"), col("cell")) else col("q"))
+        if (cfg.residual) residTo(model.coarse, col("q"), col("cell"))
+        else col("q"))
       .select(Seq(col("q_id"), col("pv"), col("pn"),
         col("cell")) ++ lutCols: _*)
+  }
 
+  /** ADC screen over probed cells + exact-cosine re-rank — the search
+    * tail shared by the train-and-search and the served-index paths.
+    */
+  private def search(codedDocs: DataFrame, probeSet: DataFrame, k: Int,
+      cfg: Config): DataFrame = {
     // ADC over probed cells only: broadcast HASH join on the cell id —
     // the corpus never meets a query outside its probed cells
     val dist = (0 until cfg.pq.m)
       .map(s => element_at(col(s"lut$s"), col(s"c$s")))
       .reduceLeft(_ + _)
-    val screened = coded.join(broadcast(probes), "cell")
+    val screened = codedDocs.join(broadcast(probeSet), "cell")
       .filter(col("vid") =!= col("q_id"))
       .select(col("q_id"), col("vid").as("n_id"), col("pv"), col("pn"),
         col("v"), col("nrm"), dist.as("dist_pq"))
@@ -207,5 +238,91 @@ object IvfPq {
     cands.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("q_id", "rank", "n_id", "cos_sim", "dist_pq")
+  }
+
+  /** Top-k neighbors per query: probe `nProbe` coarse cells, ADC-screen
+    * their members to `pq.screenK`, exact-cosine re-rank to k. Output:
+    * (q_id, rank, n_id, cos_sim, dist_pq).
+    */
+  def topK(vectors: DataFrame, idCol: String, vecCol: String, dim: Int,
+      isQuery: Column => Column, k: Int, cfg: Config = Config()): DataFrame = {
+    require(cfg.pq.screenK >= k, "screenK must be >= k")
+    // ONE persisted quantized frame: coarse trainer + PQ trainer + the
+    // coded-corpus projection + the query probes all scan this cache
+    val prep = prepare(vectors, idCol, vecCol, cfg).persist()
+    val model = fitModel(prep, dim, cfg)
+    search(coded(prep, model, dim, cfg),
+      probes(prep.filter(isQuery(col("vid"))), model, dim, cfg), k, cfg)
+  }
+
+  // ------------------------------------------------------ persisted index
+
+  /** Write a trained index as catalog tables — the staging-table form a
+    * recurring serving/ingest pipeline reads instead of retraining:
+    *
+    *   - `<table>`: the coded corpus, `partitionBy("cell")` — each
+    *     coarse cell is its own partition directory, so a served query
+    *     batch READS ONLY ITS PROBED CELLS (scan-level partition
+    *     pruning; at 100 TB that is nProbe/cells of the corpus instead
+    *     of all of it);
+    *   - `<table>_model`: the codebooks, one row per centroid
+    *     (part = -1 coarse, s = PQ subspace s). Doubles round-trip
+    *     parquet exactly, so a reread model reproduces the training
+    *     run's results bit-for-bit ([[IvfPqIndexSpec]]).
+    */
+  def writeIndex(vectors: DataFrame, idCol: String, vecCol: String,
+      dim: Int, table: String, cfg: Config = Config()): Model = {
+    val spark = vectors.sparkSession
+    val prep = prepare(vectors, idCol, vecCol, cfg).persist()
+    val model = fitModel(prep, dim, cfg)
+    coded(prep, model, dim, cfg)
+      .write.partitionBy("cell").mode("overwrite").saveAsTable(table)
+    prep.unpersist(blocking = false)
+    val rows = model.coarse.map(c => (-1, c.cid, c.cv.toSeq)) ++
+      model.books.zipWithIndex.flatMap { case (cents, s) =>
+        cents.map(c => (s, c.cid, c.cv.toSeq))
+      }
+    import spark.implicits._
+    rows.toDF("part", "cid", "cv")
+      .write.mode("overwrite").saveAsTable(s"${table}_model")
+    model
+  }
+
+  /** Reopen a [[writeIndex]]-persisted model (norms recomputed with the
+    * same left fold the trainer used — exact).
+    */
+  def readModel(spark: org.apache.spark.sql.SparkSession,
+      table: String): Model = {
+    val rows = spark.table(s"${table}_model")
+      .select("part", "cid", "cv").collect()
+      .map(r => (r.getInt(0), KMeans.Centroid(r.getLong(1),
+        r.getSeq[Double](2).toArray,
+        KMeans.leftFoldSq(r.getSeq[Double](2).toArray))))
+    val coarse = rows.filter(_._1 == -1).map(_._2).sortBy(_.cid).toSeq
+    val books = rows.filter(_._1 >= 0).groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.map(_._2).sortBy(_.cid).toSeq)
+    Model(coarse, books)
+  }
+
+  /** Serve a query batch from a persisted index: zero training jobs,
+    * and the coded-corpus scan is restricted to the PROBED cells via a
+    * partition-pruning IN filter (the probe set is queries × nProbe
+    * rows — collecting its distinct cells is a driver-trivial job).
+    * Output and semantics are [[topK]]'s; [[IvfPqIndexSpec]] asserts
+    * row equality against the train-and-search path and the pruned
+    * scan shape.
+    */
+  def topKIndexed(spark: org.apache.spark.sql.SparkSession, table: String,
+      queries: DataFrame, idCol: String, vecCol: String, dim: Int, k: Int,
+      cfg: Config = Config(), model: Option[Model] = None): DataFrame = {
+    require(cfg.pq.screenK >= k, "screenK must be >= k")
+    val m = model.getOrElse(readModel(spark, table))
+    val probeSet = probes(
+      prepare(queries, idCol, vecCol, cfg), m, dim, cfg).persist()
+    val cells = probeSet.select("cell").distinct().collect()
+      .map(_.getLong(0)).sorted
+    val codedDocs = spark.table(table)
+      .filter(col("cell").isin(cells.map(c => c: Any): _*))
+    search(codedDocs, probeSet, k, cfg)
   }
 }
