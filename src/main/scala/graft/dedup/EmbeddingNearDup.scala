@@ -52,13 +52,38 @@ object EmbeddingNearDup {
     */
   def incrementalPairs(corpus: DataFrame, batch: DataFrame, idCol: String,
       vecCol: String, threshold: Double,
-      cfg: HyperplaneLSH.Config = HyperplaneLSH.Config()): DataFrame = {
-    val b = prep(batch, idCol, vecCol, cfg).as("b")
-    val c = prep(corpus, idCol, vecCol, cfg).as("c")
+      cfg: HyperplaneLSH.Config = HyperplaneLSH.Config()): DataFrame =
+    screen(prep(batch, idCol, vecCol, cfg).as("b"),
+      prep(corpus, idCol, vecCol, cfg).as("c"), threshold)
+
+  private def screen(b: DataFrame, c: DataFrame,
+      threshold: Double): DataFrame =
     b.join(c, col("b.bucket") === col("c.bucket"))
       .select(col("b.vid").as("vec_new"), col("c.vid").as("vec_old"),
         cosineWithNorms(dot(col("b.v"), col("c.v")),
           col("b.nrm"), col("c.nrm")).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
-  }
+
+  /** Persist the corpus bucket index as a BUCKETED catalog table — the
+    * durable form of the staging-table advice above, and the
+    * embedding-space sibling of [[IncrementalDedup.writeIndex]].
+    * bucketBy("bucket") pins corpus rows to their screen-join key at
+    * write time, so a recurring ingest screen reads the corpus ALREADY
+    * partitioned: even when the batch side outgrows broadcast (the SMJ
+    * regime), only the batch shuffles — the corpus never moves again
+    * (plan-spec'd in EmbeddingNearDupSpec).
+    */
+  def writeIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      table: String, cfg: HyperplaneLSH.Config = HyperplaneLSH.Config(),
+      numBuckets: Int = 32): Unit =
+    graft.sources.Bucketing.writeBucketed(
+      prep(corpus, idCol, vecCol, cfg), table, "bucket", numBuckets)
+
+  /** [[incrementalPairs]] against a [[writeIndex]]-persisted corpus. */
+  def incrementalPairsIndexed(spark: org.apache.spark.sql.SparkSession,
+      table: String, batch: DataFrame, idCol: String, vecCol: String,
+      threshold: Double,
+      cfg: HyperplaneLSH.Config = HyperplaneLSH.Config()): DataFrame =
+    screen(prep(batch, idCol, vecCol, cfg).as("b"),
+      spark.table(table).as("c"), threshold)
 }

@@ -124,6 +124,40 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.forall(_._3 >= 0.3))
   }
 
+  test("bucketed embedding index serves the screen without moving the corpus") {
+    val vecs = Tables.load(spark, dir, "embeddings")
+    val clones = vecs.filter(col("vec_id") % 5 === 0)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("vec_new", "vec_old").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    try {
+      EmbeddingNearDup.writeIndex(vecs, "vec_id", "embedding", "emb_idx",
+        numBuckets = 8)
+      val direct = rows(EmbeddingNearDup.incrementalPairs(vecs, clones,
+        "vec_id", "embedding", 0.3))
+      // force the SMJ regime the bucketed layout exists for (a
+      // broadcast batch wouldn't shuffle either side at test scale)
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val served = EmbeddingNearDup.incrementalPairsIndexed(spark,
+          "emb_idx", clones, "vec_id", "embedding", 0.3)
+        val plan = served.queryExecution.executedPlan.toString
+        assert(plan.contains("Bucketed: true"),
+          "corpus scan must use the bucket layout:\n" + plan)
+        // exactly one exchange: the BATCH aligning to the corpus buckets
+        val exchanges =
+          "Exchange hashpartitioning".r.findAllIn(plan).length
+        assert(exchanges === 1,
+          s"corpus side must not shuffle ($exchanges exchanges):\n" + plan)
+        assert(rows(served) === direct)
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      }
+    } finally spark.sql("DROP TABLE IF EXISTS emb_idx")
+  }
+
   test("sharp (16x4) config finds the planted pairs with fewer band rows per doc") {
     val sharp = MinHashLSH.nearDuplicatePairs(docs, "doc_id", "text",
         MinHashLSH.Sharp)
