@@ -707,6 +707,38 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Gate-only (no bench slot — the runtime face is text_decontam's;
+    * same postings + broadcast join + per-doc aggregate, one more
+    * aggregate column): the contamination-FRACTION form. The oracle
+    * re-derives the per-doc denominator independently (len of the
+    * distinct gram list) and the same single division.
+    */
+  def textDecontamFrac(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.loadSpread(spark, dir, "documents")
+    Decontam.overlapFraction(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", n = 3)
+      .orderBy("doc_id")
+  }
+
+  val textDecontamFracSql: String =
+    s"""WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+       |  FROM documents),
+       |g AS (SELECT doc_id, CASE WHEN len(w) >= 3 THEN
+       |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+       |      for i in generate_series(1, len(w) - 2)])
+       |  ELSE [] END AS grams FROM w),
+       |p AS (SELECT doc_id, len(grams) AS total, unnest(grams) AS gram
+       |  FROM g),
+       |ev AS (SELECT DISTINCT gram FROM p WHERE doc_id % 10 = 0),
+       |tr AS (SELECT doc_id, total, gram FROM p WHERE doc_id % 10 != 0)
+       |SELECT tr.doc_id, count(*) AS shared_grams,
+       |  max(total) AS total_grams,
+       |  CAST(count(*) AS DOUBLE) / max(total) AS contaminated_frac
+       |FROM tr JOIN ev USING (gram)
+       |GROUP BY tr.doc_id ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------------ pii
 
   /** PII redaction. The synthetic corpus carries no PII, so both
@@ -897,6 +929,7 @@ object TextQueries {
     "text_bpe_segment" -> (textBpeSegment(_, _)),
     "text_decontam" -> (textDecontam(_, _)),
     "text_decontam_bloom" -> (textDecontamBloom(_, _)),
+    "text_decontam_frac" -> (textDecontamFrac(_, _)),
     "text_pii" -> (textPii(_, _)),
     "text_chunks" -> (textChunks(_, _)),
     "text_stats" -> (textStats(_, _)),
@@ -924,6 +957,7 @@ object TextQueries {
     "text_bpe_segment" -> textBpeSegmentSql,
     "text_decontam" -> textDecontamSql,
     "text_decontam_bloom" -> textDecontamSql,
+    "text_decontam_frac" -> textDecontamFracSql,
     "text_pii" -> textPiiSql,
     "text_chunks" -> textChunksSql,
     "text_stats" -> textStatsSql,

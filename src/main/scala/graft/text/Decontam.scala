@@ -52,6 +52,40 @@ object Decontam {
           .cast("int").as("contaminated"))
   }
 
+  /** [[overlap]] with the overlap expressed as a FRACTION of the
+    * document's distinct n-grams — the leakage measurement form (an
+    * absolute shared-gram floor means different things for a tweet and
+    * a book; eval-set policies are usually "drop if ≥ X% of the doc is
+    * benchmark text"). Zero extra shuffles vs [[overlap]]: the
+    * denominator rides each posting row as a constant-per-doc column
+    * (`size` of the already-distinct shingle array), so the per-doc
+    * aggregate picks it up with `max` instead of joining back against
+    * the corpus.
+    *
+    * Output: (doc_id, shared_grams, total_grams, contaminated_frac) —
+    * zero-overlap docs absent, as in [[overlap]].
+    */
+  def overlapFraction(train: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, n: Int = 3): DataFrame = {
+    val tposts = train
+      .select(col(idCol).as("doc_id"),
+        textShingles(col(textCol), n).as("grams"))
+      .select(col("doc_id"),
+        size(col("grams")).cast("bigint").as("total"),
+        explode(col("grams")).as("gram"))
+    val evalGrams = eval
+      .select(col(idCol).as("doc_id"),
+        explode(textShingles(col(textCol), n)).as("gram"))
+      .select("gram").distinct()
+    tposts
+      .join(broadcast(evalGrams), "gram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("shared_grams"), max("total").as("total_grams"))
+      .select(col("doc_id"), col("shared_grams"), col("total_grams"),
+        (col("shared_grams").cast("double") / col("total_grams"))
+          .as("contaminated_frac"))
+  }
+
   /** [[overlap]] for eval sets too large to broadcast as strings: a
     * Bloom filter over the eval grams prefilters the corpus postings,
     * then an exact gram join verifies the tiny surviving fraction —

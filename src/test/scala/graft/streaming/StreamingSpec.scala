@@ -247,6 +247,48 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("ann serve: per-micro-batch top-k equals the served-index batch operator") {
+    import graft.similarity.IvfPq
+    import graft.queries.Tables
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    try {
+      IvfPq.writeIndex(emb, "vec_id", "embedding", 64, "ann_serve_idx")
+      val queryRows = emb.filter($"vec_id" < 8).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1).toSeq
+      val stream = MemoryStream[(Long, Seq[Float])](spark)
+      val seen = scala.collection.mutable.Map
+        .empty[Long, Set[(Long, Int, Long, Double)]]
+      val q = AnnServe.serve(stream.toDF().toDF("vec_id", "embedding"),
+          "ann_serve_idx", "vec_id", "embedding", 64, 10) { (batchId, topk) =>
+          seen += batchId -> topk.collect()
+            .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+              r.getDouble(3))).toSet
+        }.start()
+      try {
+        val (b1, b2) = queryRows.splitAt(4)
+        stream.addData(b1)
+        q.processAllAvailable()
+        stream.addData(b2)
+        q.processAllAvailable()
+        // stream face ≡ the spec'd batch serving path per micro-batch
+        for ((batch, id) <- Seq(b1 -> 0L, b2 -> 1L)) {
+          val expect = IvfPq.topKIndexed(spark, "ann_serve_idx",
+              batch.toDF("vec_id", "embedding"), "vec_id", "embedding",
+              64, 10)
+            .collect()
+            .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+              r.getDouble(3))).toSet
+          assert(seen(id) === expect)
+          assert(seen(id).size === batch.size * 10)
+        }
+      } finally q.stop()
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ann_serve_idx")
+      spark.sql("DROP TABLE IF EXISTS ann_serve_idx_model")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("scd2 stream: CDC micro-batches fold into the sequential batch history") {
     import graft.operators.Scd2
     val day0 = Seq((1L, "alice", "US"), (2L, "bob", "DE"))
