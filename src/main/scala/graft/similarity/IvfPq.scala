@@ -160,9 +160,17 @@ object IvfPq {
   private def cqNorm(s: Int, sub: Int): Column =
     DotProduct(cqSlice(s, sub), cqSlice(s, sub))
 
-  /** Documents: (vid, v, nrm, cell, c0..c{m-1}) — coarse cell + m PQ
-    * codes, one pure projection.
+  /** Code a frame with a FROZEN model: (vid, v, nrm, cell, c0..c{m-1})
+    * — coarse cell + m PQ codes, one pure stateless projection (the
+    * [[KMeans.label]] serving contract: no training, no shuffle, runs
+    * identically on batch or streaming frames). Rows are EXACTLY what
+    * [[writeIndex]] would produce for them under this model — the
+    * append path's contract ([[appendToIndex]]).
     */
+  def code(vectors: DataFrame, idCol: String, vecCol: String, dim: Int,
+      model: Model, cfg: Config = Config()): DataFrame =
+    coded(prepare(vectors, idCol, vecCol, cfg), model, dim, cfg)
+
   private def coded(prep: DataFrame, model: Model, dim: Int,
       cfg: Config): DataFrame = {
     val sub = dim / cfg.pq.m
@@ -303,6 +311,24 @@ object IvfPq {
       .map(_._2.map(_._2).sortBy(_.cid).toSeq)
     Model(coarse, books)
   }
+
+  /** Code a NEW batch with the frozen model and append it to the
+    * persisted index — the operational ingest loop: the same index
+    * serves queries AND grows per ingest batch, with no retraining and
+    * no re-coding of the standing corpus (appended rows land in their
+    * cells' partition directories; the probed-cell pruning of
+    * [[topKIndexed]] applies to them immediately). Residual or global,
+    * a row's codes depend only on the frozen codebooks and the row
+    * itself, so append-then-serve ≡ coding the union up front
+    * (spec'd in IvfPqIndexSpec). Name-based append (`saveAsTable`):
+    * the catalog table stores the partition column last, position-based
+    * insertion would silently scramble columns.
+    */
+  def appendToIndex(batch: DataFrame, idCol: String, vecCol: String,
+      dim: Int, table: String, model: Model,
+      cfg: Config = Config()): Unit =
+    code(batch, idCol, vecCol, dim, model, cfg)
+      .write.partitionBy("cell").mode("append").saveAsTable(table)
 
   /** Serve a query batch from a persisted index: zero training jobs,
     * and the coded-corpus scan is restricted to the PROBED cells via a

@@ -323,6 +323,13 @@ class PlanAuditSpec extends AnyFunSuite {
       s"expected the cell-keyed broadcast hash screen:\n$plan")
     assert(plan.contains("nearest_centroid"),
       s"cell and code assignment must run through the codebook argmin:\n$plan")
+    // the residual variant shares every stage shape — same guarantees
+    val rplan = planOf("sim_ivfpq_res")
+    assert(!rplan.contains("BroadcastNestedLoopJoin") &&
+      !rplan.contains("CartesianProduct") &&
+      rplan.contains("BroadcastHashJoin") &&
+      rplan.contains("nearest_centroid"),
+      s"residual ADC screen must keep the cell-keyed hash shape:\n$rplan")
   }
 
   test("scd2: exactly one equi-join (full outer), snapshot and CDC modes alike") {

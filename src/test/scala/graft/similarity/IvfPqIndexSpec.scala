@@ -56,4 +56,36 @@ class IvfPqIndexSpec extends AnyFunSuite {
         spark.catalog.clearCache()
       }
     }
+
+  test("append-then-serve ≡ coding the union with the frozen model") {
+    val cfg = IvfPq.Config(residual = true) // the coupling-sensitive case
+    val corpus = emb.filter(col("vec_id") >= 50)
+    val batch = emb.filter(col("vec_id") < 50)
+    try {
+      val model =
+        IvfPq.writeIndex(corpus, "vec_id", "embedding", 64, "ivfpq_grow", cfg)
+      IvfPq.appendToIndex(batch, "vec_id", "embedding", 64, "ivfpq_grow",
+        model, cfg)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select("vid", "cell", "c0", "c3", "c7").orderBy("vid").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+            r.getLong(4))).toSeq
+      // the grown table holds exactly what coding the union up front
+      // under the same frozen model produces
+      assert(rows(spark.table("ivfpq_grow")) ===
+        rows(IvfPq.code(emb, "vec_id", "embedding", 64, model, cfg)))
+      // and appended rows serve immediately: an identical-vector query
+      // finds its batch-resident twin at cosine 1
+      val twin = emb.filter(col("vec_id") === 3)
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+      val served = IvfPq.topKIndexed(spark, "ivfpq_grow", twin,
+          "vec_id", "embedding", 64, 10, cfg, Some(model))
+        .filter(col("n_id") === 3).collect()
+      assert(served.length === 1 && served.head.getDouble(3) > 0.9999)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ivfpq_grow")
+      spark.sql("DROP TABLE IF EXISTS ivfpq_grow_model")
+      spark.catalog.clearCache()
+    }
+  }
 }
