@@ -26,7 +26,8 @@ object Stress {
         "dupspans", "incr", "aggmerge", "funnel", "anomaly", "lmscore",
         "scd2", "semantic", "pmi", "epochs", "order", "profilediff",
         "outliers", "pagerank", "equidepth", "outliersbig", "heavyhitters",
-        "hll", "kmeans", "kmeans4096", "simquant", "linkage", "bpe")
+        "hll", "kmeans", "kmeans4096", "simquant", "ivfserve", "linkage",
+        "bpe")
     val spark = Sessions.local("32")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -862,6 +863,43 @@ object Stress {
         require(bad == 0L, s"$bad vectors labeled with unknown cids")
         n
       }
+    }
+
+    if (which("ivfserve")) {
+      // the persisted-index serving loop at scale: build a 64-cell
+      // residual IVFADC index over 100k vectors (train + code + write
+      // cell-partitioned), then serve a 100-query batch from the
+      // catalog table — the serve pays ZERO training jobs and scans
+      // only its probed cells (nProbe/cells = 1/16 of the corpus)
+      val base = queries.Tables.loadSpread(spark, dir, "embeddings")
+      val cloned = staged(base.select(col("vec_id"), col("embedding"),
+          explode(sequence(lit(0), lit(19))).as("copy"))
+        .select((col("vec_id") + col("copy") * 1000000L).as("vec_id"),
+          col("embedding"))
+        .repartition(32))
+      val cfg = similarity.IvfPq.Config(cells = 64, nProbe = 4,
+        residual = true)
+      var model: similarity.IvfPq.Model = null
+      timedWarm("ivfbuild") {
+        model = similarity.IvfPq.writeIndex(cloned, "vec_id", "embedding",
+          64, "stress_ivf_idx", cfg)
+        spark.table("stress_ivf_idx").count()
+      }
+      def serveOnce(): Long = {
+        val served = similarity.IvfPq.topKIndexed(spark, "stress_ivf_idx",
+          cloned.filter(col("vec_id") < 100), "vec_id", "embedding",
+          64, 10, cfg, Some(model))
+        val n = served.count()
+        require(n == 100L * 10L, s"expected 1000 result rows, got $n")
+        n
+      }
+      timedWarm("ivfserve")(serveOnce())
+      // second serve = the recurring cost (the first pays plan codegen
+      // + JIT for the fresh 64-cell argmin/LUT classes)
+      timedWarm("ivfserve2")(serveOnce())
+      spark.sql("DROP TABLE IF EXISTS stress_ivf_idx")
+      spark.sql("DROP TABLE IF EXISTS stress_ivf_idx_model")
+      spark.catalog.clearCache()
     }
 
     if (which("simquant")) {
