@@ -109,20 +109,30 @@ object IvfPq {
         x => floor(x * lit(cfg.pq.kmCfg.scale)).cast("double")))
       .withColumn("qn", DotProduct(col("q"), col("q")))
 
-  // cell id → centroid components, as one literal map (cells × dim
-  // doubles — coarse-codebook-sized, same budget as the probe literals)
-  private def centMap(coarse: Seq[KMeans.Centroid]): Column =
-    map_from_arrays(
-      array(coarse.map(c => lit(c.cid)): _*),
-      array(coarse.map(c => array(c.cv.map(lit).toSeq: _*)): _*))
-
   // floored residual to a cell's centroid — floor re-enters the
   // fixed-point domain (doc comment above) so the residual PQ
-  // trainer's sums stay exact integers
+  // trainer's sums stay exact integers. Native codegen'd pass
+  // (FloorResidual — the codebook rides as one flat array); the
+  // declarative zip_with formulation below is the ScalaCheck'd
+  // reference (FloorResidualProps), per the interpreted-HOF
+  // discipline.
   private def residTo(coarse: Seq[KMeans.Centroid], q: Column,
       cell: Column): Column =
-    zip_with(q, element_at(centMap(coarse), cell),
+    graft.expressions.FloorResidual(q, cell,
+      coarse.map(_.cid), coarse.map(_.cv))
+
+  /** The HOF reference formulation residTo replaced — kept for the
+    * equivalence property: `zip_with` against a literal cell→centroid
+    * map, flooring each component difference.
+    */
+  private[similarity] def residToHof(coarse: Seq[KMeans.Centroid],
+      q: Column, cell: Column): Column = {
+    val centMap = map_from_arrays(
+      array(coarse.map(c => lit(c.cid)): _*),
+      array(coarse.map(c => array(c.cv.map(lit).toSeq: _*)): _*))
+    zip_with(q, element_at(centMap, cell),
       (a, b) => floor(a - b).cast("double"))
+  }
 
   /** Train coarse + PQ codebooks over a (cached) prep frame. ONE seed
     * collect feeds both trainers (smallest-id seeding is shared
