@@ -78,7 +78,8 @@ object SparkEntry {
     "text_heavyhitters",
     "text_pmi",
     "text_encode", "text_bpe", "text_drift", "text_lm_score",
-    "text_tfidf", "text_normalize", "text_pack", "text_pack_stats",
+    "text_tfidf", "text_bm25", "text_normalize", "text_pack",
+    "text_pack_stats",
     // text_decontam_bloom is an execution-strategy variant of
     // text_decontam (same oracle SQL verbatim; Bloom screen + exact
     // verify vs broadcast join — the broadcast path wins until the

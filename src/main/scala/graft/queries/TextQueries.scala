@@ -556,6 +556,69 @@ object TextQueries {
        |  FROM tf JOIN df USING (term) CROSS JOIN n)
        |WHERE rank <= $TfIdfK ORDER BY stratum, rank""".stripMargin
 
+  // ----------------------------------------------------------------- bm25
+
+  private val Bm25FirstRank = 21
+  private val Bm25Queries = 8
+  private val Bm25K = 10
+
+  /** BM25 keyword retrieval over corpus-derived queries: terms ranked
+    * 21..36 by global frequency (past the stopword plateau), two per
+    * query. Rational idf + fixed-point score sums — see
+    * [[graft.text.Bm25]] for both trades.
+    */
+  def textBm25(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.loadSpread(spark, dir, "documents")
+    Bm25.topDocs(docs, "doc_id", "text",
+        Bm25.rankedQueryTerms(docs, "doc_id", "text", Bm25FirstRank,
+          Bm25Queries),
+        Bm25K)
+      .orderBy("q_id", "rank")
+  }
+
+  /** The oracle rebuilds the inverted index, the df/dl/avgdl model,
+    * the ranked query-term set, and the quantized score sum. Float
+    * literals interpolate from the SAME Scala doubles the engine uses
+    * (`k1 + 1` is 2.1999999999999997, not 2.2 — shortest-roundtrip
+    * toString, so both engines hold the identical bits).
+    */
+  val textBm25Sql: String = {
+    val k1 = 1.2
+    val b = 0.75
+    val scale = (1L << 20).toDouble
+    s"""WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+       |  FROM documents),
+       |p AS (SELECT doc_id, term FROM
+       |  (SELECT doc_id, unnest(ws) AS term FROM w) WHERE term != ''),
+       |pdt AS (SELECT doc_id, term, count(*) AS tf FROM p GROUP BY 1, 2),
+       |dfr AS (SELECT term, count(*) AS df FROM pdt GROUP BY 1),
+       |dlr AS (SELECT doc_id, sum(tf) AS dl FROM pdt GROUP BY 1),
+       |st AS (SELECT n_docs, CAST(tok AS DOUBLE) / n_docs AS avgdl FROM
+       |  (SELECT (SELECT count(*) FROM documents) AS n_docs,
+       |          (SELECT sum(tf) FROM pdt) AS tok)),
+       |vr AS (SELECT term,
+       |    ROW_NUMBER() OVER (ORDER BY count(*) DESC, term) AS r
+       |  FROM p GROUP BY term),
+       |qt AS (SELECT CAST(floor((r - $Bm25FirstRank) / 2) AS BIGINT)
+       |    AS q_id, term
+       |  FROM vr WHERE r >= $Bm25FirstRank
+       |    AND r < ${Bm25FirstRank + 2 * Bm25Queries}),
+       |sc AS (SELECT qt.q_id, pdt.doc_id,
+       |    CAST(floor((((st.n_docs - dfr.df + 0.5) / (dfr.df + 0.5)) *
+       |      ((pdt.tf * ${k1 + 1}) / (pdt.tf + $k1 *
+       |        (${1.0 - b} + $b * (dlr.dl / st.avgdl))))) * $scale)
+       |      AS BIGINT) AS sq
+       |  FROM pdt JOIN qt USING (term) JOIN dfr USING (term)
+       |  JOIN dlr ON dlr.doc_id = pdt.doc_id CROSS JOIN st),
+       |agg AS (SELECT q_id, doc_id, sum(sq) AS score_q
+       |  FROM sc GROUP BY 1, 2)
+       |SELECT q_id, rank, doc_id, score_q / $scale AS score FROM (
+       |  SELECT q_id, doc_id, score_q,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY score_q DESC, doc_id) AS rank FROM agg)
+       |WHERE rank <= $Bm25K ORDER BY q_id, rank""".stripMargin
+  }
+
   // ------------------------------------------------------------ normalize
 
   /** Canonical normalized text + dedup key per document (case /
@@ -948,6 +1011,7 @@ object TextQueries {
     "text_lm_score" -> (textLmScore(_, _)),
     "text_excise" -> (textExcise(_, _)),
     "text_tfidf" -> (textTfidf(_, _)),
+    "text_bm25" -> (textBm25(_, _)),
     "text_normalize" -> (textNormalize(_, _)),
     "text_pack" -> (textPack(_, _)),
     "text_pack_stats" -> (textPackStats(_, _)))
@@ -976,6 +1040,7 @@ object TextQueries {
     "text_lm_score" -> textLmScoreSql,
     "text_excise" -> textExciseSql,
     "text_tfidf" -> textTfidfSql,
+    "text_bm25" -> textBm25Sql,
     "text_normalize" -> textNormalizeSql,
     "text_pack" -> textPackSql,
     "text_pack_stats" -> textPackStatsSql)

@@ -1,0 +1,119 @@
+package graft.text
+
+import graft.text.TextFeatures._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** BM25 keyword retrieval — the lexical complement to the vector-ANN
+  * family (the `graft.similarity` package): top-k documents per
+  * keyword query, scored
+  * by term-frequency saturation × rarity. A training-data pipeline
+  * uses exactly this for corpus inspection ("show me the docs these
+  * terms live in"), targeted curation sweeps, and the lexical half of
+  * hybrid retrieval.
+  *
+  * Two deliberate deviations from textbook BM25, both forced by the
+  * engine's bit-reproducibility bar and both documented trades:
+  *
+  *   - '''rational idf''' `(N − df + 0.5) / (df + 0.5)` instead of its
+  *     log: `ln` is not correctly rounded in either engine's libm, so
+  *     a log score could never hash-verify (the [[TfIdf]] precedent).
+  *     Rankings agree with log-BM25 for single-term queries exactly
+  *     (log is monotone) and closely for multi-term queries (the log
+  *     damps rare-term dominance; the rational form lets the rarest
+  *     term weigh more).
+  *   - '''fixed-point score sums''': the per-term score quantizes to
+  *     `floor(s · 2^20)` BEFORE the per-(query, doc) sum, so the
+  *     distributed aggregation adds exact integers (order-independent
+  *     — a raw double sum would vary with partial-aggregation order).
+  *     The reported score divides back by 2^20 (a power of two —
+  *     exact), so quantization error is bounded by terms · 2^-20.
+  *
+  * Scale shape: one postings-scale aggregate to (doc, term, tf); df
+  * and doc length derive from it (df is a term-keyed aggregate, dl an
+  * exact long sum per doc — no second corpus scan); the query-term
+  * relation and the 1-row (N, avgdl) stats frame broadcast; the only
+  * corpus-scale join is postings ⋈ query-terms on the term key
+  * (at 100 TB: bucket the postings table by term and it never
+  * shuffles again — [[graft.sources.Bucketing]]); the final top-k is
+  * a partial+final WindowGroupLimit.
+  */
+object Bm25 {
+
+  private val ScoreScale = (1L << 20).toDouble
+
+  /** Top `k` docs per query. `queryTerms`: (q_id, term) rows — a query
+    * scores the sum of its terms' BM25 contributions. Output:
+    * (q_id, rank, doc_id, score) — score is the quantized BM25 sum
+    * scaled back to double; docs sharing no term with a query are
+    * absent (at scale that is almost all of them).
+    */
+  def topDocs(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: DataFrame, k: Int, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    // (doc_id, term, tf) — the inverted index with frequencies; feeds
+    // df, dl AND the scoring join (callers release the cache via
+    // catalog.clearCache() like the other multi-consumer operators)
+    val perDocTerm = docs
+      .select(col(idCol).as("doc_id"), explode(words(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .persist()
+    val df = perDocTerm.groupBy("term").agg(count(lit(1)).as("df"))
+    val dl = perDocTerm.groupBy("doc_id").agg(sum("tf").as("dl"))
+    // N counts ALL documents (token-less docs contribute to the
+    // average's denominator); total tokens is an exact long sum
+    val stats = docs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(perDocTerm.agg(sum("tf").as("total_tokens")))
+      .select(col("n_docs"),
+        (col("total_tokens").cast("double") / col("n_docs")).as("avgdl"))
+
+    val idf = (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+    // literal constants are interpolated into the oracle SQL from the
+    // SAME Scala doubles (shortest-roundtrip toString), so e.g.
+    // k1 + 1 = 2.1999999999999997 is the identical double both sides —
+    // re-deriving it from a "2.2" SQL literal would NOT be
+    val sat = (col("tf") * lit(k1 + 1)) /
+      (col("tf") + lit(k1) *
+        (lit(1.0 - b) + lit(b) * (col("dl") / col("avgdl"))))
+    // (term, df) for just the query terms — driver-small, broadcast
+    // into the corpus-side postings join
+    val qdf = queryTerms.join(df, "term")
+    val scored = perDocTerm
+      .join(broadcast(qdf), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("q_id"), col("doc_id"),
+        floor((idf * sat) * lit(ScoreScale)).cast("bigint").as("sq"))
+      .groupBy("q_id", "doc_id").agg(sum("sq").as("score_q"))
+    val w = Window.partitionBy("q_id").orderBy(desc("score_q"), asc("doc_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("doc_id"),
+        (col("score_q") / lit(ScoreScale)).as("score"))
+  }
+
+  /** Deterministic corpus-derived query set for harness/gate use:
+    * terms ranked `firstRank .. firstRank + 2·nQueries − 1` by global
+    * frequency (count desc, term asc — skipping the top ranks skips
+    * the stopword plateau), paired off two terms per query:
+    * (q_id = 0 .. nQueries−1, term).
+    */
+  def rankedQueryTerms(docs: DataFrame, idCol: String, textCol: String,
+      firstRank: Int, nQueries: Int): DataFrame = {
+    // global TakeOrdered cut first (distributed top-m heap — the
+    // text_vocab discipline), THEN the single-partition rank window
+    // over the ≤ firstRank + 2·nQueries surviving rows
+    val top = docs.select(explode(words(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("term").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("term"))
+      .limit(firstRank + 2 * nQueries - 1)
+    val w = Window.orderBy(desc("n"), asc("term"))
+    top.withColumn("r", row_number().over(w))
+      .filter(col("r") >= firstRank)
+      .select(floor((col("r") - lit(firstRank)) / lit(2)).as("q_id"),
+        col("term"))
+  }
+}

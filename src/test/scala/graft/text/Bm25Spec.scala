@@ -1,0 +1,68 @@
+package graft.text
+
+import graft.SparkTestSession
+import graft.queries.Tables
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class Bm25Spec extends AnyFunSuite {
+
+  private val spark = SparkTestSession.spark
+
+  private lazy val docs =
+    Tables.load(spark, "/root/testdata/sf0.001", "documents")
+
+  test("results are partitioning-invariant (fixed-point score sums)") {
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Bm25.topDocs(d, "doc_id", "text",
+          Bm25.rankedQueryTerms(d, "doc_id", "text", 21, 8), 10)
+        .orderBy("q_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .toSeq
+    val a = run(docs)
+    val b = run(docs.repartition(7))
+    assert(a.nonEmpty)
+    assert(a === b)
+    spark.catalog.clearCache()
+  }
+
+  test("single-term ranking matches driver-computed log-idf BM25") {
+    // for a one-term query, rational idf is a constant factor, so the
+    // engine's ranking must equal textbook (log-idf) BM25's exactly
+    import spark.implicits._
+    val rows = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def toks(t: String): Seq[String] =
+      t.toLowerCase.split(" ", -1).toSeq.filter(_.nonEmpty)
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    rows.foreach(r => toks(r._2).foreach(t =>
+      counts(t) = counts.getOrElse(t, 0L) + 1))
+    // need positive log idf (df well under n/2) or the textbook score
+    // ORDER ITSELF inverts — take the first ranked term past the
+    // stopword plateau that is rare enough
+    val docFreq = scala.collection.mutable.Map.empty[String, Int]
+    rows.foreach(r => toks(r._2).distinct.foreach(t =>
+      docFreq(t) = docFreq.getOrElse(t, 0) + 1))
+    val term = counts.toSeq.sortBy { case (t, n) => (-n, t) }
+      .drop(20).map(_._1).find(t => docFreq(t) <= rows.length / 3).get
+
+    val n = rows.length.toDouble
+    val dl = rows.map { case (id, t) => id -> toks(t).length.toDouble }.toMap
+    val avgdl = dl.values.sum / n
+    val tf = rows.map { case (id, t) =>
+      id -> toks(t).count(_ == term).toDouble
+    }.filter(_._2 > 0)
+    val dfT = tf.length.toDouble
+    val (k1, b) = (1.2, 0.75)
+    val expected = tf.map { case (id, f) =>
+      val sat = f * (k1 + 1) / (f + k1 * (1 - b + b * dl(id) / avgdl))
+      (id, math.log((n - dfT + 0.5) / (dfT + 0.5)) * sat)
+    }.sortBy { case (id, s) => (-s, id) }.take(10).map(_._1).toSeq
+
+    val got = Bm25.topDocs(docs, "doc_id", "text",
+        Seq((0L, term)).toDF("q_id", "term"), 10)
+      .orderBy("rank").collect().map(_.getLong(2)).toSeq
+    assert(got === expected)
+    spark.catalog.clearCache()
+  }
+}
