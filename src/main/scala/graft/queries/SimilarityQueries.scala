@@ -376,6 +376,44 @@ object SimilarityQueries {
 
   val simIvfPqResSql: String = ivfPqOracleSql(ivfPqResCfg)
 
+  // ---------------------------------------------------------------- fused
+
+  private val RrfK0 = 60
+
+  /** Gate-only (no bench slot — both constituent searches own slots
+    * and the fusion itself joins two queries × k broadcast-size
+    * frames): hybrid-retrieval rank fusion of the hyperplane-LSH and
+    * IVF rankings via RRF.
+    */
+  def simFused(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.loadSpread(spark, dir, "embeddings")
+    RankFusion.rrf(
+        HyperplaneLSH.topKInBucket(emb, "vec_id", "embedding",
+          _ < QueryCount, K, lshCfg),
+        IVFIndex.topK(emb, "vec_id", "embedding", _ < QueryCount, K, ivfCfg),
+        K, RrfK0)
+      .orderBy("q_id", "rank")
+  }
+
+  /** The oracle rebuilds BOTH input rankings (the sim_lsh_bucket and
+    * sim_ivf chains, each as a CTE-scoped subquery) and fuses with the
+    * identical fixed-operand-order expression.
+    */
+  val simFusedSql: String =
+    s"""WITH la AS (SELECT q_id, rank, n_id FROM ($simLshBucketSql)),
+       |lb AS (SELECT q_id, rank, n_id FROM ($simIvfSql)),
+       |j AS (SELECT COALESCE(la.q_id, lb.q_id) AS q_id,
+       |    COALESCE(la.n_id, lb.n_id) AS n_id,
+       |    COALESCE(1.0 / ($RrfK0 + la.rank), 0.0) +
+       |      COALESCE(1.0 / ($RrfK0 + lb.rank), 0.0) AS score
+       |  FROM la FULL JOIN lb
+       |    ON lb.q_id = la.q_id AND lb.n_id = la.n_id)
+       |SELECT q_id, rank, n_id, score FROM (
+       |  SELECT q_id, n_id, score,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY score DESC, n_id) AS rank FROM j)
+       |WHERE rank <= $K ORDER BY q_id, rank""".stripMargin
+
   // --------------------------------------------------------------- kmeans
 
   private val kmCfg = KMeans.Config()
@@ -500,6 +538,7 @@ object SimilarityQueries {
     "sim_pq" -> (simPq(_, _)),
     "sim_ivfpq" -> (simIvfPq(_, _)),
     "sim_ivfpq_res" -> (simIvfPqRes(_, _)),
+    "sim_fused" -> (simFused(_, _)),
     "embed_kmeans" -> (embedKmeans(_, _)),
     "embed_kmeans_label" -> (embedKmeansLabel(_, _)))
 
@@ -512,6 +551,7 @@ object SimilarityQueries {
     "sim_pq" -> simPqSql,
     "sim_ivfpq" -> simIvfPqSql,
     "sim_ivfpq_res" -> simIvfPqResSql,
+    "sim_fused" -> simFusedSql,
     "embed_kmeans" -> embedKmeansSql,
     "embed_kmeans_label" -> embedKmeansSql)
 }

@@ -605,7 +605,7 @@ object TextQueries {
        |    AND r < ${Bm25FirstRank + 2 * Bm25Queries}),
        |sc AS (SELECT qt.q_id, pdt.doc_id,
        |    CAST(floor((((st.n_docs - dfr.df + 0.5) / (dfr.df + 0.5)) *
-       |      ((pdt.tf * ${k1 + 1}) / (pdt.tf + $k1 *
+       |      ((pdt.tf * CAST(${k1 + 1} AS DOUBLE)) / (pdt.tf + $k1 *
        |        (${1.0 - b} + $b * (dlr.dl / st.avgdl))))) * $scale)
        |      AS BIGINT) AS sq
        |  FROM pdt JOIN qt USING (term) JOIN dfr USING (term)
