@@ -108,7 +108,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // the KmvBottomK aggregate buffer — single-exchange plan asserted in
     // SketchLayoutSpec instead)
     for (name <- Seq("sim_topk", "sim_quant", "q_window_top_orders",
-        "quota_cap")) {
+        "quota_cap", "text_bm25")) {
       val plan = planOf(name)
       assert(plan.contains("WindowGroupLimit"),
         s"$name lost the rank-limit pushdown:\n$plan")
@@ -330,6 +330,16 @@ class PlanAuditSpec extends AnyFunSuite {
       rplan.contains("BroadcastHashJoin") &&
       rplan.contains("nearest_centroid"),
       s"residual ADC screen must keep the cell-keyed hash shape:\n$rplan")
+  }
+
+  test("bm25: the query-term side broadcasts into the postings join") {
+    // the corpus-scale relation is the (doc, term, tf) inverted index;
+    // it must meet the 16-row query-term set through a broadcast hash
+    // join on the term key — never by shuffling the postings toward a
+    // driver-small relation
+    val plan = planOf("text_bm25")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bm25 postings ⋈ query-terms must broadcast the tiny side:\n$plan")
   }
 
   test("scd2: exactly one equi-join (full outer), snapshot and CDC modes alike") {
