@@ -27,7 +27,7 @@ object Stress {
         "scd2", "semantic", "pmi", "epochs", "order", "profilediff",
         "outliers", "pagerank", "equidepth", "outliersbig", "heavyhitters",
         "hll", "kmeans", "kmeans4096", "simquant", "ivfserve", "linkage",
-        "bpe")
+        "bpe", "bm25")
     val spark = Sessions.local("32")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -861,6 +861,23 @@ object Stress {
         val bad = labeled.filter(!col("cluster")
           .isin(validCids.toSeq.map(Long.box): _*)).count()
         require(bad == 0L, s"$bad vectors labeled with unknown cids")
+        n
+      }
+    }
+
+    if (which("bm25")) {
+      // keyword retrieval over the 10× corpus (~500k docs at sf0.1):
+      // the inverted-index aggregate is the postings-scale stage; the
+      // query-term join stays broadcast and the top-k WindowGroupLimit
+      // ships ~k rows per task. Clones multiply every tf/df/dl by 10
+      // but leave avgdl and the RANKING structure intact — each query
+      // fills its k from the clone families.
+      val corpus = staged(corpus10x)
+      timed("bm25") {
+        val out = text.Bm25.topDocs(corpus, "doc_id", "text",
+          text.Bm25.rankedQueryTerms(corpus, "doc_id", "text", 21, 8), 10)
+        val n = out.count()
+        require(n > 0 && n <= 80, s"expected <=80 result rows, got $n")
         n
       }
     }
