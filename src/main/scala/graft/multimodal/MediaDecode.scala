@@ -263,4 +263,14 @@ object MediaDecode {
     def read(bytes: Array[Byte]): java.awt.image.BufferedImage =
       javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
   }
+
+  /** Raster read for sibling decode stages ([[MediaDedup]]) — throws
+    * on undecodable bytes (callers decide their fallback).
+    */
+  private[multimodal] def readImage(
+      bytes: Array[Byte]): java.awt.image.BufferedImage = {
+    val img = ImageIOHolder.read(bytes)
+    if (img == null) throw new java.io.IOException("undecodable image bytes")
+    img
+  }
 }

@@ -1,0 +1,120 @@
+package graft.multimodal
+
+import graft.multimodal.MediaDecode.MediaRecord
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Perceptual (near-duplicate) image dedup — the visual face of the
+  * dedup family: re-encodes, resizes, format shifts and mild
+  * brightness/compression changes defeat byte-level hashes
+  * (`mm_meta`'s checksum catches only exact copies), but they barely
+  * move a 64-bit average hash (aHash) of the 8×8 mean-luma grid.
+  *
+  * Pipeline: decode (the [[MediaDecode]] `mapPartitions` stage — a
+  * JDK ImageIO raster read cannot be a Catalyst expression) →
+  * 64-bit aHash per image → byte-banded candidate join (the
+  * [[graft.dedup.SimHash]] shape: hamming ≤ 7 is GUARANTEED caught by
+  * the 8-band pigeonhole, no all-pairs comparison anywhere) →
+  * `bit_count(xor)` verify.
+  *
+  * Verification: golden ScalaTest (synthesized images — identical,
+  * uniformly brightened, unrelated), like the other real-codec paths
+  * (SURVEY §2.10 M3) — a DuckDB oracle cannot decode PNGs.
+  * Determinism: the hash is a pure function of the decoded raster
+  * (fixed sampling grid, integer luma sums, one mean comparison per
+  * cell), so retries and both sides of a shuffle agree.
+  */
+object MediaDedup {
+
+  /** 64-bit average hash of an image raster: bit (8·by + bx) is set
+    * iff cell (bx, by)'s mean luma exceeds the mean of the 64 cell
+    * means. Pixels are sampled on the same bounded ≤64×64 grid as
+    * [[MediaDecode.imageFeatures]]; a cell the sampling grid misses
+    * (degenerate tiny images) scores the global mean → bit 0.
+    * Uniform brightness shifts move every cell mean AND the global
+    * mean together, so the hash is invariant to them up to clipping —
+    * the property the golden spec pins.
+    */
+  private[multimodal] def aHash64(img: java.awt.image.BufferedImage): Long = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val (sx, sy) = (math.max(1, w / 64), math.max(1, h / 64))
+    val sums = new Array[Double](64)
+    val counts = new Array[Long](64)
+    var y = 0
+    while (y < h) {
+      val by = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val bx = x * 8 / w
+        val rgb = img.getRGB(x, y)
+        val l = 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+          0.114 * (rgb & 0xff)
+        val c = 8 * by + bx
+        sums(c) += l
+        counts(c) += 1
+        x += sx
+      }
+      y += sy
+    }
+    val present = counts.count(_ > 0)
+    var total = 0.0
+    var c = 0
+    while (c < 64) {
+      if (counts(c) > 0) total += sums(c) / counts(c)
+      c += 1
+    }
+    val mean = if (present > 0) total / present else 0.0
+    var hash = 0L
+    c = 0
+    while (c < 64) {
+      if (counts(c) > 0 && sums(c) / counts(c) > mean) hash |= 1L << c
+      c += 1
+    }
+    hash
+  }
+
+  /** (doc_id, phash) for every record whose payload decodes as an
+    * image; undecodable rows are absent (they have no visual content
+    * to compare — exact byte dedup via `mm_meta`'s checksum still
+    * covers them).
+    */
+  def perceptualHashes(records: Dataset[MediaRecord],
+      batchSize: Int = 64): DataFrame = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.flatMap { r =>
+          if (!MediaDecode.looksImage(r.payload)) None
+          else
+            try Some((r.doc_id, aHash64(MediaDecode.readImage(r.payload))))
+            catch { case scala.util.control.NonFatal(_) => None }
+        }
+      }
+    }.toDF("doc_id", "phash")
+  }
+
+  /** Near-duplicate pairs among hashed images: (doc_a, doc_b,
+    * hamming), doc_a < doc_b, hamming ≤ `maxHamming`. The candidate
+    * join is byte-banded — complete for `maxHamming` ≤ 7 by
+    * pigeonhole (8 bands, at most 7 differing bits can dirty at most
+    * 7 of them).
+    */
+  def nearDuplicatePairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 7,
+      "the 8-band pigeonhole guarantees completeness only for hamming <= 7")
+    def sr(v: org.apache.spark.sql.Column, s: org.apache.spark.sql.Column) =
+      call_function("shiftright", v, s)
+    val bytes = hashes.select(col("doc_id"), col("phash"),
+        explode(sequence(lit(0), lit(7))).as("byte_id"))
+      .withColumn("byte_val",
+        sr(col("phash"), col("byte_id") * 8).bitwiseAND(lit(255L)))
+    bytes.as("a").join(bytes.as("b"),
+        col("a.byte_id") === col("b.byte_id") &&
+          col("a.byte_val") === col("b.byte_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.phash").bitwiseXOR(col("b.phash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}
