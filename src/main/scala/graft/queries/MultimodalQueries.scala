@@ -19,15 +19,17 @@ object MultimodalQueries {
   private val PayloadBytes = 64
 
   /** Shared oracle CTE: the synthesized payload in hex space + format. */
-  private val corpusCte: String = {
+  private def corpusCteFrom(src: String): String = {
     val hx = (0 until 4).map(i => s"md5('blk$i:'||text)").mkString("||")
     val fmts = MediaIngest.Formats
     val cases = fmts.zipWithIndex.dropRight(1)
       .map { case (f, i) => s"WHEN $i THEN '$f'" }.mkString(" ")
     s"""m AS (SELECT doc_id, upper($hx) AS hx,
        |  CASE ((doc_id % ${fmts.size} + ${fmts.size}) % ${fmts.size}) $cases ELSE '${fmts.last}' END AS fmt
-       |  FROM documents)""".stripMargin
+       |  FROM $src)""".stripMargin
   }
+
+  private val corpusCte: String = corpusCteFrom("documents")
 
   private def corpus(spark: SparkSession, dir: String): DataFrame =
     MediaIngest.synthesizeCorpus(
@@ -126,13 +128,55 @@ object MultimodalQueries {
        |FROM lm ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- dedup
+
+  /** Gate-only (runtime face is mm_meta's — a checksum aggregate over
+    * the same metadata projection): exact media dedup by payload
+    * checksum, over a corpus carrying PLANTED byte-identical copies
+    * (every doc_id % 9 == 0 document re-keyed — identical text ⇒
+    * identical synthesized payload; the raw sf tables hold no exact
+    * text dups, so without the plant the keep column would be
+    * vacuously constant). The min-id member of each checksum group
+    * keeps (the [[graft.dedup.ExactDedup]] policy); a copy's format
+    * tag may differ (fmt derives from doc_id) — dedup is on BYTES, as
+    * it must be. Perceptual near-dup of media is
+    * [[graft.multimodal.MediaDedup]] — golden-spec'd, no SQL mirror
+    * for a raster decode.
+    */
+  def mmDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.loadSpread(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val planted = docs.unionByName(
+      docs.filter(col("doc_id") % 9 === 0)
+        .select((col("doc_id") + 700000L).as("doc_id"), col("text")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("checksum").orderBy("doc_id")
+    MediaIngest.synthesizeCorpus(planted, "doc_id", "text")
+      .select(col("doc_id"), col("meta.checksum").as("checksum"))
+      .withColumn("keep",
+        when(row_number().over(w) === 1, 1).otherwise(0).cast("int"))
+      .orderBy("doc_id")
+  }
+
+  val mmDedupSql: String =
+    s"""WITH mdocs AS (SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT doc_id + 700000, text FROM documents
+       |  WHERE doc_id % 9 = 0),
+       |${corpusCteFrom("mdocs")}
+       |SELECT doc_id, md5(hx) AS checksum,
+       |  CAST(CASE WHEN ROW_NUMBER() OVER (PARTITION BY md5(hx)
+       |    ORDER BY doc_id) = 1 THEN 1 ELSE 0 END AS INT) AS keep
+       |FROM m ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_dedup" -> (mmDedup(_, _)),
     "mm_meta" -> (mmMeta(_, _)),
     "mm_frames" -> (mmFrames(_, _)),
     "mm_format_stats" -> (mmFormatStats(_, _)),
     "mm_decode" -> (mmDecode(_, _)))
 
   val oracleSql: Map[String, String] = Map(
+    "mm_dedup" -> mmDedupSql,
     "mm_meta" -> mmMetaSql,
     "mm_frames" -> mmFramesSql,
     "mm_format_stats" -> mmFormatStatsSql,
