@@ -153,4 +153,50 @@ class SketchLayoutSpec extends AnyFunSuite {
       assert(r.getLong(5) - r.getLong(4) <= 15) // y span
     }
   }
+
+  test("z-ordered parquet actually skips row groups under a 2-D box filter") {
+    // the END of the z-order story: after a clustered write, parquet
+    // row-group min/max stats must let the reader SKIP most of the
+    // data for a filter selective in both dimensions, while the same
+    // rows written round-robin (every file spans the full key range)
+    // skip nothing. Measured via the scan's numOutputRows metric —
+    // rows surviving the reader, i.e. after row-group pruning.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val n = 40000
+    val df = (0 until n).map(i => ((i * 131) % 2000, (i * 71) % 2000, i))
+      .toDF("x", "y", "payload")
+    val tmp = java.nio.file.Files.createTempDirectory("zskip").toString
+    ZOrder.cluster(df, col("x"), col("y"), numFiles = 16)
+      .write.parquet(s"$tmp/z")
+    df.repartition(16).write.parquet(s"$tmp/n")
+    def scanned(path: String): (Long, Long) = {
+      val q = spark.read.parquet(path)
+        .filter(col("x").between(0, 240) && col("y").between(0, 240))
+      // collect() executes THIS Dataset's queryExecution, so the scan
+      // node's metrics are the ones we read (a count() would build and
+      // execute a different plan); scan→filter has no exchange, so the
+      // plan is non-adaptive and the scan is directly collectible
+      val kept = q.collect().length.toLong
+      val scan = q.queryExecution.executedPlan.collect {
+        case s: FileSourceScanExec => s
+      }
+      (scan.map(_.metrics("numOutputRows").value).sum, kept)
+    }
+    try {
+      val (zRows, zKept) = scanned(s"$tmp/z")
+      val (nRows, nKept) = scanned(s"$tmp/n")
+      assert(zKept === nKept) // same answer from both layouts
+      // round-robin: every row group spans the full range → no skipping
+      assert(nRows === n, s"expected the natural layout to scan all $n")
+      // z-ordered: the ~1.4% box must prune the vast majority
+      assert(zRows <= n / 4,
+        s"z-ordered scan read $zRows of $n rows — min/max pruning failed")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(new java.io.File(tmp))
+    }
+  }
 }
