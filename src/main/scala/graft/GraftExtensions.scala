@@ -50,6 +50,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         s"$fn argument $pos must be a string constant, got $other")
     }
 
+  /** Constant numeric-array argument (codebook ids/components for the
+    * ANN expressions) — any foldable array of integral or floating
+    * elements, evaluated at plan build.
+    */
+  private def numArr(e: Expression, fn: String, pos: Int): Seq[Double] = {
+    import org.apache.spark.sql.types._
+    val data = constVal(e, fn, pos) match {
+      case a: org.apache.spark.sql.catalyst.util.ArrayData => a
+      case other => throw new IllegalArgumentException(
+        s"$fn argument $pos must be a constant array, got $other")
+    }
+    e.dataType match {
+      case ArrayType(IntegerType, _) => data.toIntArray().toSeq.map(_.toDouble)
+      case ArrayType(LongType, _) => data.toLongArray().toSeq.map(_.toDouble)
+      case ArrayType(DoubleType, _) => data.toDoubleArray().toSeq
+      case ArrayType(FloatType, _) => data.toFloatArray().toSeq.map(_.toDouble)
+      case other => throw new IllegalArgumentException(
+        s"$fn argument $pos must be a numeric array, got ${other.sql}")
+    }
+  }
+
+  private def longArr(e: Expression, fn: String, pos: Int): Seq[Long] =
+    numArr(e, fn, pos).map(_.toLong)
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     def inject(name: String, builder: Seq[Expression] => Expression): Unit = {
       // ExpressionInfo className is DESCRIBE-FUNCTION metadata only; the
@@ -112,6 +136,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         s"apply_merge takes (seq, left, right), got ${args.length}")
       ApplyMerge(args.head, strLit(args(1), "apply_merge", 2),
         strLit(args(2), "apply_merge", 3))
+    })
+    // the ANN codebook primitives: the codebook rides as constant
+    // array arguments (ids, norms, k×dim components flattened
+    // row-major), evaluated at plan build — plain SQL reaches the
+    // same codegen'd argmin/residual loops the Column API uses
+    inject("nearest_centroid", { args =>
+      require(args.length == 5,
+        s"nearest_centroid takes (q, qn, cids, cns, flat), got ${args.length}")
+      NearestCentroid(args.head, args(1),
+        longArr(args(2), "nearest_centroid", 3),
+        numArr(args(3), "nearest_centroid", 4),
+        numArr(args(4), "nearest_centroid", 5))
+    })
+    inject("floor_residual", { args =>
+      require(args.length == 4,
+        s"floor_residual takes (q, cell, cids, flat), got ${args.length}")
+      FloorResidual(args.head, args(1),
+        longArr(args(2), "floor_residual", 3),
+        numArr(args(3), "floor_residual", 4))
     })
     ext.injectOptimizerRule(_ => RewriteDotProduct)
   }

@@ -48,4 +48,26 @@ class SqlRegistrationSpec extends AnyFunSuite {
     intercept[Exception](
       spark.sql("SELECT apply_merge(t, t, 'b') FROM sql_reg_in").collect())
   }
+
+  test("nearest_centroid parses from SQL with constant codebook arrays") {
+    // two 2-dim centroids (0,0) and (10,10); q=(9,9) → cell 1,
+    // d = qn + cn − 2·dot = 162 + 200 − 360 = 2
+    val r = spark.sql(
+      """SELECT nearest_centroid(array(9.0D, 9.0D), 162.0D,
+        |  array(0L, 1L), array(0.0D, 200.0D),
+        |  array(0.0D, 0.0D, 10.0D, 10.0D))""".stripMargin).head.getStruct(0)
+    assert(r.getLong(1) === 1L && r.getDouble(0) === 2.0)
+    // a non-constant codebook argument is rejected at plan build
+    intercept[Exception](spark.sql(
+      "SELECT nearest_centroid(array(1.0D), 1.0D, array(id), " +
+        "array(1.0D), array(1.0D)) FROM sql_reg_in").collect())
+  }
+
+  test("floor_residual parses from SQL and matches the argmin's cell") {
+    val r = spark.sql(
+      """SELECT floor_residual(array(9.0D, 8.5D), 1L,
+        |  array(0L, 1L), array(0.0D, 0.0D, 10.0D, 10.0D))""".stripMargin)
+      .head.getSeq[Double](0)
+    assert(r === Seq(-1.0, -2.0)) // floor(9-10), floor(8.5-10)
+  }
 }
