@@ -65,4 +65,34 @@ class Bm25Spec extends AnyFunSuite {
     assert(got === expected)
     spark.catalog.clearCache()
   }
+
+  test("served index reproduces topDocs without touching the corpus") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("q_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .toSeq
+    // materialize the query terms (a real workload's queries arrive as
+    // data, not as corpus lineage — and the no-Generate assertion
+    // below must see only the SERVING plan)
+    import spark.implicits._
+    val qt = Bm25.rankedQueryTerms(docs, "doc_id", "text", 21, 8)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      .toDF("q_id", "term")
+    try {
+      Bm25.writeIndex(docs, "doc_id", "text", "bm25_idx", numBuckets = 8)
+      val served = Bm25.topDocsIndexed(spark, "bm25_idx", qt, 10)
+      // no corpus scan, no tokenization: the served plan has no
+      // generator (explode) anywhere — the query-term derivation is
+      // the caller's own frame
+      val plan = served.queryExecution.executedPlan.toString
+      assert(!plan.contains("Generate"),
+        s"served BM25 must not re-tokenize anything:\n$plan")
+      assert(rows(served) ===
+        rows(Bm25.topDocs(docs, "doc_id", "text", qt, 10)))
+    } finally {
+      Seq("postings", "df", "dl", "stats").foreach(s =>
+        spark.sql(s"DROP TABLE IF EXISTS bm25_idx_$s"))
+      spark.catalog.clearCache()
+    }
+  }
 }
