@@ -123,6 +123,47 @@ object SimilarityQueries {
        |WHERE rank <= $K ORDER BY q_id, rank""".stripMargin
   }
 
+  // ------------------------------------------------------------ knn graph
+
+  private val KnnK = 5
+
+  /** Cell-local k-NN GRAPH ([[graft.similarity.KnnGraph]]): top-$KnnK
+    * cosine neighbors of EVERY vector, candidates restricted to the
+    * vector's own IVF cell — the all-sources face of `sim_ivf` and the
+    * artifact NN-descent / graph clustering / SemDeDup++ consume. The
+    * oracle replays cell assignment, the cell self-join, and the
+    * (cos DESC, n_id) rank window, so the hash gate pins candidate
+    * generation AND ranking.
+    */
+  def simKnnGraph(spark: SparkSession, dir: String): DataFrame =
+    KnnGraph.build(Tables.loadSpread(spark, dir, "embeddings"),
+        "vec_id", "embedding", KnnK, ivfCfg)
+      .orderBy("src_id", "rank")
+
+  val simKnnGraphSql: String = {
+    def cosSql(av: String, an: String, bv: String, bn: String): String =
+      s"${foldDot(av, bv)} / (sqrt($an) * sqrt($bn))"
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, ${foldDot("v", "v")} AS nrm FROM v),
+       |c AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n
+       |  WHERE vec_id % ${ivfCfg.centroidStride} = 0),
+       |asg AS (SELECT vid, v, nrm, cell FROM (
+       |  SELECT n.vec_id AS vid, n.v, n.nrm, c.c_id AS cell,
+       |    ROW_NUMBER() OVER (PARTITION BY n.vec_id
+       |      ORDER BY ${cosSql("n.v", "n.nrm", "c.cv", "c.cn")} DESC, c.c_id)
+       |      AS rn
+       |  FROM n CROSS JOIN c) WHERE rn = 1),
+       |p AS (SELECT a.vid AS src_id, b.vid AS n_id,
+       |    ${cosSql("a.v", "a.nrm", "b.v", "b.nrm")} AS cos_sim
+       |  FROM asg a JOIN asg b ON b.cell = a.cell AND b.vid <> a.vid)
+       |SELECT src_id, rank, n_id, cos_sim FROM (
+       |  SELECT src_id, n_id, cos_sim,
+       |    ROW_NUMBER() OVER (PARTITION BY src_id
+       |                       ORDER BY cos_sim DESC, n_id) AS rank
+       |  FROM p)
+       |WHERE rank <= $KnnK ORDER BY src_id, rank""".stripMargin
+  }
+
   // ----------------------------------------------------------- int8 screen
 
   private val sqCfg = ScalarQuant.Config()
@@ -533,6 +574,7 @@ object SimilarityQueries {
     "sim_topk" -> (simTopk(_, _)),
     "sim_lsh_bucket" -> (simLshBucket(_, _)),
     "sim_ivf" -> (simIvf(_, _)),
+    "sim_knn_graph" -> (simKnnGraph(_, _)),
     "sim_recall" -> (simRecall(_, _)),
     "sim_quant" -> (simQuant(_, _)),
     "sim_pq" -> (simPq(_, _)),
@@ -546,6 +588,7 @@ object SimilarityQueries {
     "sim_topk" -> simTopkSql,
     "sim_lsh_bucket" -> simLshBucketSql,
     "sim_ivf" -> simIvfSql,
+    "sim_knn_graph" -> simKnnGraphSql,
     "sim_recall" -> simRecallSql,
     "sim_quant" -> simQuantSql,
     "sim_pq" -> simPqSql,

@@ -14,6 +14,8 @@ import org.apache.spark.sql.functions._
 object SketchQueries {
 
   private val KmvK = 64
+  private val CmsCfg = graft.operators.CountMin.Config()
+  private val CmsDenom = 512 // heavy = share > 1/512 of the token stream
 
   /** Distinct 3-gram estimate per document source — the sketch pass a
     * corpus profiler runs when exact count-distinct per group is too
@@ -140,6 +142,57 @@ object SketchQueries {
        |FROM agg ORDER BY grp""".stripMargin
   }
 
+  /** Count-Min point-frequency estimates
+    * ([[graft.operators.CountMin]]) for the corpus's heavy tokens:
+    * every token whose exact occurrence count exceeds `1/CmsDenom` of
+    * the stream is probed against a depth×width sketch built from the
+    * SAME stream, and the output carries both the
+    * exact count and the sketch's (≥-biased) estimate — so the hash
+    * gate re-proves every counter cell AND the min-over-rows probe
+    * arithmetic each round, and the est/exact gap on collisions is
+    * visible in the gated rows rather than asserted away.
+    */
+  def cmsCounts(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.CountMin
+    import graft.text.TokenCount
+    val docs = Tables.loadSpread(spark, dir, "documents")
+    val toks = docs.select(
+      explode(TokenCount.tokens(col("text"))).as("token"))
+    val sketch = CountMin.cells(toks, "token", CmsCfg)
+    val exact = toks.groupBy("token").agg(count(lit(1)).as("exact_cnt"))
+    val total = exact.agg(sum(col("exact_cnt")).as("n"))
+    val probes = exact.crossJoin(broadcast(total))
+      .filter(col("exact_cnt") * CmsDenom > col("n"))
+      .select("token", "exact_cnt")
+    CountMin.estimates(sketch, probes, "token", CmsCfg)
+      .orderBy(col("exact_cnt").desc, col("token"))
+  }
+
+  val cmsCountsSql: String = {
+    val w = CmsCfg.width - 1
+    val h = OracleDialect.hexPrefixToLong(
+      "md5(CAST(rr.r AS VARCHAR) || ':' || token)", 12)
+    s"""WITH t AS (SELECT unnest(regexp_extract_all(lower(text),
+       |    '${graft.text.TokenCount.TokenPattern}')) AS token
+       |  FROM documents),
+       |ex AS (SELECT token, count(*) AS exact_cnt FROM t GROUP BY token),
+       |tot AS (SELECT CAST(sum(exact_cnt) AS BIGINT) AS n FROM ex),
+       |pr AS (SELECT token, exact_cnt FROM ex, tot
+       |  WHERE exact_cnt * $CmsDenom > n),
+       |rb AS (SELECT token, rr.r AS r,
+       |    (CAST($h AS BIGINT) & $w) AS bucket
+       |  FROM t CROSS JOIN range(${CmsCfg.depth}) rr(r)),
+       |sk AS (SELECT r, bucket, count(*) AS cnt FROM rb
+       |  GROUP BY r, bucket),
+       |pb AS (SELECT p.token, p.exact_cnt, rr.r AS r,
+       |    (CAST($h AS BIGINT) & $w) AS bucket
+       |  FROM pr p CROSS JOIN range(${CmsCfg.depth}) rr(r))
+       |SELECT pb.token, pb.exact_cnt, min(sk.cnt) AS est_cnt
+       |FROM pb JOIN sk ON sk.r = pb.r AND sk.bucket = pb.bucket
+       |GROUP BY pb.token, pb.exact_cnt
+       |ORDER BY exact_cnt DESC, token""".stripMargin
+  }
+
   /** Per-event-type p50/p95/p99 of `value` via the log-bucketed
     * quantile sketch ([[graft.operators.LogQuantile]]) — the raw
     * stream crosses ONE (grp, bucket) count shuffle; ranks and edges
@@ -208,6 +261,7 @@ object SketchQueries {
     "kmv_distinct" -> (kmvDistinct(_, _)),
     "hll_distinct" -> (hllDistinct(_, _)),
     "hll_upsert" -> (hllUpsert(_, _)),
+    "cms_counts" -> (cmsCounts(_, _)),
     "quantile_sketch" -> (quantileSketch(_, _)),
     "zorder_stats" -> (zorderStats(_, _)))
 
@@ -215,6 +269,7 @@ object SketchQueries {
     "kmv_distinct" -> kmvDistinctSql,
     "hll_distinct" -> hllDistinctSql,
     "hll_upsert" -> hllUpsertSql,
+    "cms_counts" -> cmsCountsSql,
     "quantile_sketch" -> quantileSketchSql,
     "zorder_stats" -> zorderStatsSql)
 }

@@ -107,8 +107,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // (kmv_distinct left this list in round 7: its bottom-k now lives in
     // the KmvBottomK aggregate buffer — single-exchange plan asserted in
     // SketchLayoutSpec instead)
-    for (name <- Seq("sim_topk", "sim_quant", "q_window_top_orders",
-        "quota_cap", "text_bm25")) {
+    for (name <- Seq("sim_topk", "sim_quant", "sim_knn_graph",
+        "q_window_top_orders", "quota_cap", "text_bm25")) {
       val plan = planOf(name)
       assert(plan.contains("WindowGroupLimit"),
         s"$name lost the rank-limit pushdown:\n$plan")
@@ -371,6 +371,27 @@ class PlanAuditSpec extends AnyFunSuite {
       s"pmi top-k must be per-task heaps, not a global sort:\n$plan")
     assert(plan.contains("BroadcastExchange"),
       s"1-row totals must broadcast:\n$plan")
+  }
+
+  test("cms: probe join broadcasts the bounded cell table, no cartesian") {
+    val plan = planOf("cms_counts")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"cms probes must broadcast-join the depth x width cell table:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"cms_counts contains a cartesian product:\n$plan")
+  }
+
+  test("knn graph: candidate join is cell-keyed, no cartesian") {
+    val plan = planOf("sim_knn_graph")
+    assert(!plan.contains("CartesianProduct"),
+      s"sim_knn_graph contains a cartesian product:\n$plan")
+    // the pair stage must be an equi-join on the cell id (the centroid
+    // scoring broadcast nested loop is the one intentional cross —
+    // vector × tiny centroid set, the IVF assign shape)
+    val keyed = "SortMergeJoin".r.findAllIn(plan).length +
+      "ShuffledHashJoin".r.findAllIn(plan).length +
+      "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(keyed >= 1, s"expected a hash-keyed cell self-join:\n$plan")
   }
 
   test("semantic dedup: pruning joins are hash-keyed on the cell, anti-join hash-keyed") {
