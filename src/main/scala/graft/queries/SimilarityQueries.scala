@@ -164,6 +164,70 @@ object SimilarityQueries {
        |WHERE rank <= $KnnK ORDER BY src_id, rank""".stripMargin
   }
 
+  // ------------------------------------------------------------ nn-descent
+
+  private val NndSeedBuckets = 128
+
+  /** One NN-descent round over the cell-local graph
+    * ([[graft.similarity.NnDescent]]): md5 hash-bucket seed pairs (the
+    * deterministic random-init analogue) ∪ undirected base edges ∪
+    * their two-hop expansion, scored exactly, new top-$KnnK kept. The
+    * oracle replays the base graph, both expansions, the seed buckets,
+    * and the re-rank — so the gate pins the whole refinement round,
+    * including the dedup of the three candidate sources.
+    */
+  def simNnDescent(spark: SparkSession, dir: String): DataFrame =
+    NnDescent.refine(Tables.loadSpread(spark, dir, "embeddings"),
+        "vec_id", "embedding", KnnK, ivfCfg, NndSeedBuckets)
+      .orderBy("src_id", "rank")
+
+  val simNnDescentSql: String = {
+    def cosSql(av: String, an: String, bv: String, bn: String): String =
+      s"${foldDot(av, bv)} / (sqrt($an) * sqrt($bn))"
+    val sbHash = OracleDialect.hexPrefixToLong(
+      "md5(CAST(vid AS VARCHAR))", 12)
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, ${foldDot("v", "v")} AS nrm FROM v),
+       |c AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n
+       |  WHERE vec_id % ${ivfCfg.centroidStride} = 0),
+       |asg AS (SELECT vid, v, nrm, cell FROM (
+       |  SELECT n.vec_id AS vid, n.v, n.nrm, c.c_id AS cell,
+       |    ROW_NUMBER() OVER (PARTITION BY n.vec_id
+       |      ORDER BY ${cosSql("n.v", "n.nrm", "c.cv", "c.cn")} DESC, c.c_id)
+       |      AS rn
+       |  FROM n CROSS JOIN c) WHERE rn = 1),
+       |p AS (SELECT a.vid AS src_id, b.vid AS n_id,
+       |    ${cosSql("a.v", "a.nrm", "b.v", "b.nrm")} AS cos_sim
+       |  FROM asg a JOIN asg b ON b.cell = a.cell AND b.vid <> a.vid),
+       |base AS (SELECT src_id, n_id FROM (
+       |  SELECT src_id, n_id,
+       |    ROW_NUMBER() OVER (PARTITION BY src_id
+       |                       ORDER BY cos_sim DESC, n_id) AS rank
+       |  FROM p) WHERE rank <= $KnnK),
+       |und AS (SELECT DISTINCT a, b FROM (
+       |  SELECT src_id AS a, n_id AS b FROM base
+       |  UNION ALL SELECT n_id, src_id FROM base)),
+       |twohop AS (SELECT e1.a AS a, e2.b AS b FROM und e1
+       |  JOIN und e2 ON e2.a = e1.b WHERE e1.a <> e2.b),
+       |sb AS (SELECT vid, (CAST($sbHash AS BIGINT)
+       |    & ${NndSeedBuckets - 1}) AS sb FROM asg),
+       |seeds AS (SELECT s1.vid AS a, s2.vid AS b FROM sb s1
+       |  JOIN sb s2 ON s2.sb = s1.sb AND s2.vid <> s1.vid),
+       |cand AS (SELECT DISTINCT a, b FROM (
+       |  SELECT a, b FROM und UNION ALL SELECT a, b FROM twohop
+       |  UNION ALL SELECT a, b FROM seeds)),
+       |sc AS (SELECT cand.a AS src_id, cand.b AS n_id,
+       |    ${cosSql("x.v", "x.nrm", "y.v", "y.nrm")} AS cos_sim
+       |  FROM cand JOIN n x ON x.vec_id = cand.a
+       |    JOIN n y ON y.vec_id = cand.b)
+       |SELECT src_id, rank, n_id, cos_sim FROM (
+       |  SELECT src_id, n_id, cos_sim,
+       |    ROW_NUMBER() OVER (PARTITION BY src_id
+       |                       ORDER BY cos_sim DESC, n_id) AS rank
+       |  FROM sc)
+       |WHERE rank <= $KnnK ORDER BY src_id, rank""".stripMargin
+  }
+
   // ----------------------------------------------------------- int8 screen
 
   private val sqCfg = ScalarQuant.Config()
@@ -575,6 +639,7 @@ object SimilarityQueries {
     "sim_lsh_bucket" -> (simLshBucket(_, _)),
     "sim_ivf" -> (simIvf(_, _)),
     "sim_knn_graph" -> (simKnnGraph(_, _)),
+    "sim_nn_descent" -> (simNnDescent(_, _)),
     "sim_recall" -> (simRecall(_, _)),
     "sim_quant" -> (simQuant(_, _)),
     "sim_pq" -> (simPq(_, _)),
@@ -589,6 +654,7 @@ object SimilarityQueries {
     "sim_lsh_bucket" -> simLshBucketSql,
     "sim_ivf" -> simIvfSql,
     "sim_knn_graph" -> simKnnGraphSql,
+    "sim_nn_descent" -> simNnDescentSql,
     "sim_recall" -> simRecallSql,
     "sim_quant" -> simQuantSql,
     "sim_pq" -> simPqSql,
