@@ -569,10 +569,8 @@ object TextQueries {
     */
   def textBm25(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.loadSpread(spark, dir, "documents")
-    Bm25.topDocs(docs, "doc_id", "text",
-        Bm25.rankedQueryTerms(docs, "doc_id", "text", Bm25FirstRank,
-          Bm25Queries),
-        Bm25K)
+    Bm25.topDocsDerivedQueries(docs, "doc_id", "text", Bm25FirstRank,
+        Bm25Queries, Bm25K)
       .orderBy("q_id", "rank")
   }
 

@@ -55,30 +55,62 @@ object Bm25 {
     // (doc_id, term, tf) — the inverted index with frequencies; feeds
     // df, dl AND the scoring join (callers release the cache via
     // catalog.clearCache() like the other multi-consumer operators)
-    val perDocTerm = docs
+    val perDocTerm = postings(docs, idCol, textCol).persist()
+    val df = perDocTerm.groupBy("term").agg(count(lit(1)).as("df"))
+    score(perDocTerm, queryTerms.join(df, "term"),
+      docLengths(perDocTerm), corpusStats(docs, perDocTerm), k, k1, b)
+  }
+
+  /** [[topDocs]] with the gate/harness query set derived IN-PLAN from
+    * the corpus: one postings aggregate feeds term totals (the query
+    * ranking), df (riding the SAME term-keyed aggregate — a second
+    * corpus-wide df shuffle would serve only the broadcast side), dl,
+    * stats, and the scoring join. Result-identical to
+    * `topDocs(docs, …, rankedQueryTerms(docs, …), k)`, which tokenizes
+    * and aggregates the corpus twice (spec-asserted equal).
+    */
+  def topDocsDerivedQueries(docs: DataFrame, idCol: String, textCol: String,
+      firstRank: Int, nQueries: Int, k: Int, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val perDocTerm = postings(docs, idCol, textCol).persist()
+    val termStats = perDocTerm.groupBy("term")
+      .agg(sum("tf").as("n"), count(lit(1)).as("df"))
+    val qdf = rankTerms(termStats, firstRank, nQueries)
+      .select(col("q_id"), col("term"), col("df"))
+    score(perDocTerm, qdf, docLengths(perDocTerm),
+      corpusStats(docs, perDocTerm), k, k1, b)
+  }
+
+  /** (doc_id, term, tf) over the whitespace tokens — the inverted
+    * index with frequencies, the one postings-scale aggregate every
+    * BM25 face starts from.
+    */
+  private def postings(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs
       .select(col(idCol).as("doc_id"), explode(words(col(textCol))).as("term"))
       .filter(col("term") =!= "")
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      .persist()
-    val df = perDocTerm.groupBy("term").agg(count(lit(1)).as("df"))
-    val dl = perDocTerm.groupBy("doc_id").agg(sum("tf").as("dl"))
-    // N counts ALL documents (token-less docs contribute to the
-    // average's denominator); total tokens is an exact long sum
-    val stats = docs.agg(count(lit(1)).as("n_docs"))
+
+  private def docLengths(perDocTerm: DataFrame): DataFrame =
+    perDocTerm.groupBy("doc_id").agg(sum("tf").as("dl"))
+
+  /** N counts ALL documents (token-less docs contribute to the
+    * average's denominator); total tokens is an exact long sum.
+    */
+  private def corpusStats(docs: DataFrame, perDocTerm: DataFrame): DataFrame =
+    docs.agg(count(lit(1)).as("n_docs"))
       .crossJoin(perDocTerm.agg(sum("tf").as("total_tokens")))
       .select(col("n_docs"),
         (col("total_tokens").cast("double") / col("n_docs")).as("avgdl"))
-    score(perDocTerm, df, dl, stats, queryTerms, k, k1, b)
-  }
 
   /** The scoring tail shared by [[topDocs]] and the served-index path:
-    * postings ⋈ broadcast (query terms ⋈ df) on the term key, doc
-    * lengths and the 1-row stats frame joined in, quantized sums,
-    * per-query top-k.
+    * postings ⋈ broadcast `qdf` (query terms WITH their df) on the
+    * term key, doc lengths and the 1-row stats frame joined in,
+    * quantized sums, per-query top-k.
     */
-  private def score(perDocTerm: DataFrame, df: DataFrame, dl: DataFrame,
-      stats: DataFrame, queryTerms: DataFrame, k: Int, k1: Double,
-      b: Double): DataFrame = {
+  private def score(perDocTerm: DataFrame, qdf: DataFrame, dl: DataFrame,
+      stats: DataFrame, k: Int, k1: Double, b: Double): DataFrame = {
     val idf = (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
     // literal constants are interpolated into the oracle SQL from the
     // SAME Scala doubles (shortest-roundtrip toString), so e.g.
@@ -87,9 +119,6 @@ object Bm25 {
     val sat = (col("tf") * lit(k1 + 1)) /
       (col("tf") + lit(k1) *
         (lit(1.0 - b) + lit(b) * (col("dl") / col("avgdl"))))
-    // (term, df) for just the query terms — driver-small, broadcast
-    // into the corpus-side postings join
-    val qdf = queryTerms.join(df, "term")
     val scored = perDocTerm
       .join(broadcast(qdf), "term")
       .join(dl, "doc_id")
@@ -144,9 +173,10 @@ object Bm25 {
   def topDocsIndexed(spark: org.apache.spark.sql.SparkSession,
       table: String, queryTerms: DataFrame, k: Int, k1: Double = 1.2,
       b: Double = 0.75): DataFrame =
-    score(spark.table(s"${table}_postings"), spark.table(s"${table}_df"),
+    score(spark.table(s"${table}_postings"),
+      queryTerms.join(spark.table(s"${table}_df"), "term"),
       spark.table(s"${table}_dl"), spark.table(s"${table}_stats"),
-      queryTerms, k, k1, b)
+      k, k1, b)
 
   /** Deterministic corpus-derived query set for harness/gate use:
     * terms ranked `firstRank .. firstRank + 2·nQueries − 1` by global
@@ -155,19 +185,28 @@ object Bm25 {
     * (q_id = 0 .. nQueries−1, term).
     */
   def rankedQueryTerms(docs: DataFrame, idCol: String, textCol: String,
-      firstRank: Int, nQueries: Int): DataFrame = {
-    // global TakeOrdered cut first (distributed top-m heap — the
-    // text_vocab discipline), THEN the single-partition rank window
-    // over the ≤ firstRank + 2·nQueries surviving rows
-    val top = docs.select(explode(words(col(textCol))).as("term"))
-      .filter(col("term") =!= "")
-      .groupBy("term").agg(count(lit(1)).as("n"))
+      firstRank: Int, nQueries: Int): DataFrame =
+    rankTerms(
+      docs.select(explode(words(col(textCol))).as("term"))
+        .filter(col("term") =!= "")
+        .groupBy("term").agg(count(lit(1)).as("n")),
+      firstRank, nQueries)
+      .select(col("q_id"), col("term"))
+
+  /** The rank-and-pair-off tail of [[rankedQueryTerms]], over any
+    * (term, n, …) frame: global TakeOrdered cut first (distributed
+    * top-m heap — the text_vocab discipline), THEN the
+    * single-partition rank window over the ≤ firstRank + 2·nQueries
+    * surviving rows. Extra input columns pass through.
+    */
+  private def rankTerms(termCounts: DataFrame, firstRank: Int,
+      nQueries: Int): DataFrame = {
+    val top = termCounts
       .orderBy(desc("n"), asc("term"))
       .limit(firstRank + 2 * nQueries - 1)
     val w = Window.orderBy(desc("n"), asc("term"))
     top.withColumn("r", row_number().over(w))
       .filter(col("r") >= firstRank)
-      .select(floor((col("r") - lit(firstRank)) / lit(2)).as("q_id"),
-        col("term"))
+      .withColumn("q_id", floor((col("r") - lit(firstRank)) / lit(2)))
   }
 }

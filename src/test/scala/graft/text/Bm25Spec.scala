@@ -26,6 +26,23 @@ class Bm25Spec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("derived-query fused path == topDocs over rankedQueryTerms") {
+    // topDocsDerivedQueries folds query ranking and df into the one
+    // postings aggregate; the two-scan reference formulation must
+    // produce the identical frame
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("q_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .toSeq
+    val reference = rows(Bm25.topDocs(docs, "doc_id", "text",
+      Bm25.rankedQueryTerms(docs, "doc_id", "text", 21, 8), 10))
+    val fused = rows(Bm25.topDocsDerivedQueries(docs, "doc_id", "text",
+      21, 8, 10))
+    assert(reference.nonEmpty)
+    assert(fused === reference)
+    spark.catalog.clearCache()
+  }
+
   test("single-term ranking matches driver-computed log-idf BM25") {
     // for a one-term query, rational idf is a constant factor, so the
     // engine's ranking must equal textbook (log-idf) BM25's exactly
