@@ -44,8 +44,12 @@ object CountMin {
       s"width must be a power of two >= 2, got $width")
   }
 
-  /** The (r, bucket) explode of one item occurrence: `depth` rows. */
-  private def cellKeys(itemCol: String, cfg: Config) =
+  /** The (r, bucket) explode of one item occurrence: `depth` rows.
+    * Shared with the streaming face
+    * ([[graft.streaming.CmsStream]]) — same keys, so streaming cells
+    * merge with (and verify against) batch cells.
+    */
+  private[graft] def cellKeys(itemCol: String, cfg: Config) =
     explode(array((0 until cfg.depth).map { r =>
       struct(lit(r).as("r"),
         TextFeatures.md5PrefixLong(
