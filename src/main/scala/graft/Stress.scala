@@ -27,7 +27,7 @@ object Stress {
         "scd2", "semantic", "pmi", "epochs", "order", "profilediff",
         "outliers", "pagerank", "equidepth", "outliersbig", "heavyhitters",
         "hll", "kmeans", "kmeans4096", "simquant", "ivfserve", "linkage",
-        "bpe", "bm25")
+        "bpe", "bm25", "knngraph")
     val spark = Sessions.local("32")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -916,6 +916,47 @@ object Stress {
       timedWarm("ivfserve2")(serveOnce())
       spark.sql("DROP TABLE IF EXISTS stress_ivf_idx")
       spark.sql("DROP TABLE IF EXISTS stress_ivf_idx_model")
+      spark.catalog.clearCache()
+    }
+
+    if (which("knngraph")) {
+      // the all-sources graph at 100k vectors (50× cloned corpus —
+      // every vector carries 49 exact clones, so cells are dense and
+      // cosine TIES are everywhere, exercising the (cos DESC, n_id)
+      // total order): build the cell-local graph, then one seeded
+      // NN-descent round (which rebuilds the base graph internally —
+      // the honest end-to-end cost of graph + repair)
+      val base = queries.Tables.loadSpread(spark, dir, "embeddings")
+      val cloned = staged(base.select(col("vec_id"), col("embedding"),
+          explode(sequence(lit(0), lit(49))).as("copy"))
+        .select((col("vec_id") + col("copy") * 1000000L).as("vec_id"),
+          col("embedding"))
+        .repartition(32))
+      timedWarm("knngraph") {
+        val g = similarity.KnnGraph.build(cloned, "vec_id", "embedding", 5)
+        val bad = g.groupBy("src_id")
+          .agg(count(lit(1)).as("d"), max("rank").as("mr"))
+          .filter(col("d") > 5 || col("mr") =!= col("d")).count()
+        require(bad == 0L, s"$bad sources with degree > k or rank gaps")
+        g.count()
+      }
+      timedWarm("nndescent") {
+        similarity.NnDescent
+          .refine(cloned, "vec_id", "embedding", 5, seedBuckets = 4096)
+          .count()
+      }
+      // the TRAINED-codebook path (the real scale config): the stride
+      // quantizer's centroid count grows as N/31 here, so assignment
+      // is quadratic-ish (N²/31 pair scores); a √N-cell codebook keeps
+      // it N^1.5 with the NearestCentroid flat-loop argmin
+      timedWarm("knngtrained") {
+        val cfg = similarity.KMeans.Config(k = 316, iters = 1)
+        val cents = similarity.KMeans
+          .centroids(cloned, "vec_id", "embedding", cfg)
+        similarity.KnnGraph.buildWithCentroids(cloned, "vec_id",
+            "embedding", 5, similarity.IVFIndex.fromKMeans(cloned, cents))
+          .count()
+      }
       spark.catalog.clearCache()
     }
 

@@ -89,6 +89,16 @@ object IVFIndex {
     cents.map(c => (c.cid, c.cv.toSeq, c.cn)).toDF("c_id", "cv", "cn")
   }
 
+  /** [[assign]] with an EXTERNAL centroid set (e.g. [[KMeans]]-trained
+    * via [[fromKMeans]]) — the scale path: the stride default grows the
+    * centroid count as N/stride, so assignment cost is N²/stride,
+    * while a trained √N-cell codebook keeps it N^1.5 with bounded
+    * cells. `cents` must carry (c_id, cv, cn).
+    */
+  def assignWithCentroids(vectors: DataFrame, idCol: String, vecCol: String,
+      cents: DataFrame): DataFrame =
+    assignOver(prepared(vectors, idCol, vecCol), cents)
+
   private def topKOver(prep: DataFrame, cents: DataFrame,
       isQuery: Column => Column, k: Int, nProbe: Int): DataFrame = {
     val assigned = assignOver(prep, cents).persist()

@@ -36,9 +36,24 @@ object KnnGraph {
     * a padded one).
     */
   def build(vectors: DataFrame, idCol: String, vecCol: String, k: Int,
-      cfg: IVFIndex.Config = IVFIndex.Config()): DataFrame = {
-    val assigned = IVFIndex.assign(vectors, idCol, vecCol, cfg)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      cfg: IVFIndex.Config = IVFIndex.Config()): DataFrame =
+    rankCellPairs(IVFIndex.assign(vectors, idCol, vecCol, cfg), k)
+
+  /** [[build]] with a TRAINED centroid set ([[KMeans]] via
+    * [[IVFIndex.fromKMeans]]) — the scale path: the stride quantizer's
+    * centroid count grows as N/stride (assignment cost N²/stride,
+    * measured super-linear in the stress harness), while a √N-cell
+    * codebook keeps assignment N^1.5 and cells bounded. Same output
+    * contract; the stride form stays the oracle-reproducible gate
+    * config.
+    */
+  def buildWithCentroids(vectors: DataFrame, idCol: String, vecCol: String,
+      k: Int, cents: DataFrame): DataFrame =
+    rankCellPairs(
+      IVFIndex.assignWithCentroids(vectors, idCol, vecCol, cents), k)
+
+  private def rankCellPairs(assignedRaw: DataFrame, k: Int): DataFrame = {
+    val assigned = assignedRaw.persist(StorageLevel.MEMORY_AND_DISK)
     assigned.as("a")
       .join(assigned.as("b"),
         col("b.cell") === col("a.cell") && col("b.vid") =!= col("a.vid"))

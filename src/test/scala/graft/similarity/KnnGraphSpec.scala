@@ -1,6 +1,7 @@
 package graft.similarity
 
 import graft.SparkTestSession
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** kNN-graph contract over a hand-built two-cell space: per-source
@@ -58,6 +59,21 @@ class KnnGraphSpec extends AnyFunSuite {
       2L -> Seq(0f, 1f, 0f))       // alone in cell B
     val out = edges(KnnGraph.build(df, "vec_id", "embedding", 2, cfg))
     assert(out.map(_._1).toSet === Set(0L, 1L))
+  }
+
+  test("buildWithCentroids over the stride centroid set == build") {
+    val df = vecs(
+      0L -> Seq(1f, 0f, 0f),
+      1L -> Seq(0.9f, 0.1f, 0f),
+      3L -> Seq(0.8f, 0.3f, 0f),
+      2L -> Seq(0f, 1f, 0f),
+      5L -> Seq(0f, 0.9f, 0.1f))
+    val cents = df.filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id").as("c_id"), col("embedding").as("cv"),
+        Cosine.norm2(col("embedding")).as("cn"))
+    assert(
+      edges(KnnGraph.buildWithCentroids(df, "vec_id", "embedding", 2, cents))
+        === edges(KnnGraph.build(df, "vec_id", "embedding", 2, cfg)))
   }
 
   test("k caps the degree even in a dense cell") {
