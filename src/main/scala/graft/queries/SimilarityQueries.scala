@@ -164,6 +164,60 @@ object SimilarityQueries {
        |WHERE rank <= $KnnK ORDER BY src_id, rank""".stripMargin
   }
 
+  // ------------------------------------------------------- graph clusters
+
+  /** Mutual-kNN clustering: keep only RECIPROCATED graph edges (i ∈
+    * kNN(j) AND j ∈ kNN(i) — the standard hub-pruning step: a hub that
+    * ranks in everyone's top-k but reciprocates almost nobody stops
+    * chaining clusters together), then transitive components over the
+    * mutual edges ([[graft.dedup.Clusters.connectedComponents]]).
+    * The embedding-space analogue of `dedup_clusters`, composing two
+    * proven operators; vectors with no mutual edge are absent — the
+    * honest "unclustered" answer. Gate-only: runtime face is the
+    * benched knn-graph candidate stage + the `dedup_clusters` CC loop.
+    */
+  def simGraphClusters(spark: SparkSession, dir: String): DataFrame = {
+    val mutual = KnnGraph.mutualEdges(
+      KnnGraph.build(Tables.loadSpread(spark, dir, "embeddings"),
+        "vec_id", "embedding", KnnK, ivfCfg))
+    graft.dedup.Clusters.connectedComponents(mutual, "a", "b")
+      .orderBy("id")
+  }
+
+  val simGraphClustersSql: String = {
+    def cosSql(av: String, an: String, bv: String, bn: String): String =
+      s"${foldDot(av, bv)} / (sqrt($an) * sqrt($bn))"
+    s"""WITH RECURSIVE
+       |v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, ${foldDot("v", "v")} AS nrm FROM v),
+       |c AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n
+       |  WHERE vec_id % ${ivfCfg.centroidStride} = 0),
+       |asg AS (SELECT vid, v, nrm, cell FROM (
+       |  SELECT n.vec_id AS vid, n.v, n.nrm, c.c_id AS cell,
+       |    ROW_NUMBER() OVER (PARTITION BY n.vec_id
+       |      ORDER BY ${cosSql("n.v", "n.nrm", "c.cv", "c.cn")} DESC, c.c_id)
+       |      AS rn
+       |  FROM n CROSS JOIN c) WHERE rn = 1),
+       |p AS (SELECT a.vid AS src_id, b.vid AS n_id,
+       |    ${cosSql("a.v", "a.nrm", "b.v", "b.nrm")} AS cos_sim
+       |  FROM asg a JOIN asg b ON b.cell = a.cell AND b.vid <> a.vid),
+       |base AS (SELECT src_id, n_id FROM (
+       |  SELECT src_id, n_id,
+       |    ROW_NUMBER() OVER (PARTITION BY src_id
+       |                       ORDER BY cos_sim DESC, n_id) AS rank
+       |  FROM p) WHERE rank <= $KnnK),
+       |mut AS (SELECT f.src_id AS a, f.n_id AS b FROM base f
+       |  JOIN base r ON r.src_id = f.n_id AND r.n_id = f.src_id
+       |  WHERE f.src_id < f.n_id),
+       |edges AS (SELECT a AS src, b AS dst FROM mut
+       |          UNION SELECT b, a FROM mut),
+       |r(id, v) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT r.id, e.dst FROM r JOIN edges e ON e.src = r.v)
+       |SELECT id, min(v) AS comp FROM r GROUP BY id ORDER BY id""".stripMargin
+  }
+
   // ------------------------------------------------------------ nn-descent
 
   private val NndSeedBuckets = 128
@@ -640,6 +694,7 @@ object SimilarityQueries {
     "sim_ivf" -> (simIvf(_, _)),
     "sim_knn_graph" -> (simKnnGraph(_, _)),
     "sim_nn_descent" -> (simNnDescent(_, _)),
+    "sim_graph_clusters" -> (simGraphClusters(_, _)),
     "sim_recall" -> (simRecall(_, _)),
     "sim_quant" -> (simQuant(_, _)),
     "sim_pq" -> (simPq(_, _)),
@@ -655,6 +710,7 @@ object SimilarityQueries {
     "sim_ivf" -> simIvfSql,
     "sim_knn_graph" -> simKnnGraphSql,
     "sim_nn_descent" -> simNnDescentSql,
+    "sim_graph_clusters" -> simGraphClustersSql,
     "sim_recall" -> simRecallSql,
     "sim_quant" -> simQuantSql,
     "sim_pq" -> simPqSql,

@@ -52,6 +52,21 @@ object KnnGraph {
     rankCellPairs(
       IVFIndex.assignWithCentroids(vectors, idCol, vecCol, cents), k)
 
+  /** Reciprocated edges of a [[build]]-shaped graph, as (a, b) with
+    * a < b: i—j survives iff i ∈ kNN(j) AND j ∈ kNN(i). The standard
+    * hub-pruning step before graph clustering — a hub that ranks in
+    * everyone's top-k but reciprocates almost nobody stops chaining
+    * unrelated clusters together. Self-join on the (src, n) pair key;
+    * output at most |E|/2 rows.
+    */
+  def mutualEdges(graph: DataFrame): DataFrame =
+    graph.select(col("src_id"), col("n_id")).as("f")
+      .join(graph.select(col("src_id"), col("n_id")).as("r"),
+        col("f.src_id") === col("r.n_id") &&
+          col("f.n_id") === col("r.src_id"))
+      .filter(col("f.src_id") < col("f.n_id"))
+      .select(col("f.src_id").as("a"), col("f.n_id").as("b"))
+
   private def rankCellPairs(assignedRaw: DataFrame, k: Int): DataFrame = {
     val assigned = assignedRaw.persist(StorageLevel.MEMORY_AND_DISK)
     assigned.as("a")

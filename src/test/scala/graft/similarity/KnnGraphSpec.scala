@@ -61,6 +61,20 @@ class KnnGraphSpec extends AnyFunSuite {
     assert(out.map(_._1).toSet === Set(0L, 1L))
   }
 
+  test("mutualEdges keeps only reciprocated pairs (hub pruning)") {
+    // one cell; k=1: 0's nearest is 1 and 1's nearest is 0 (mutual);
+    // 3's nearest is 1 (cos(3,1)=0.97 > cos(3,0)=0.94) but 1's is 0 —
+    // the 3→1 edge is unreciprocated and must be pruned
+    val df = vecs(
+      0L -> Seq(1f, 0f, 0f),
+      1L -> Seq(0.99f, 0.01f, 0f),
+      3L -> Seq(0.9f, 0.25f, 0f))
+    val g = KnnGraph.build(df, "vec_id", "embedding", 1, cfg)
+    val mut = KnnGraph.mutualEdges(g).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(mut === Seq((0L, 1L)))
+  }
+
   test("buildWithCentroids over the stride centroid set == build") {
     val df = vecs(
       0L -> Seq(1f, 0f, 0f),
