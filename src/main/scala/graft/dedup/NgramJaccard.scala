@@ -26,16 +26,22 @@ import org.apache.spark.sql.functions._
   */
 object NgramJaccard {
 
+  /** (doc_id, sh) hashed distinct-shingle postings — the inverted
+    * index both the resemblance and containment faces self-join.
+    */
+  private def hashedShingles(docs: DataFrame, idCol: String,
+      textCol: String, shingleSize: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(textShingles(col(textCol), shingleSize)).as("sh0"))
+      .select(col("doc_id"), md5PrefixLong(col("sh0"), 15).as("sh"))
+
   def nearDuplicatePairs(docs: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, threshold: Double = 0.8,
       maxShingleDocFreq: Option[Long] = None): DataFrame = {
     // persisted: the postings feed both self-join sides (plus the size
     // aggregate) — without the cache each branch re-runs the shingle
     // projection, tripling the query cost (see MinHashLSH note)
-    val posts0 = docs.select(col(idCol).as("doc_id"),
-        explode(textShingles(col(textCol), shingleSize)).as("sh0"))
-      .select(col("doc_id"), md5PrefixLong(col("sh0"), 15).as("sh"))
-      .persist()
+    val posts0 = hashedShingles(docs, idCol, textCol, shingleSize).persist()
     val sizes = posts0.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val posts = maxShingleDocFreq.fold(posts0) { cap =>
       val keep = posts0.groupBy("sh").agg(count(lit(1)).as("df"))
@@ -55,5 +61,35 @@ object NgramJaccard {
         (col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
           .as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** DIRECTED containment pairs (Broder's containment, not
+    * resemblance): c(A→B) = |A∩B| / |A| over distinct shingle sets —
+    * "A's content is mostly inside B". Catches what Jaccard
+    * structurally cannot: a short document quoted whole inside a much
+    * longer one has containment ≈ 1 while its resemblance
+    * |A∩B|/|A∪B| is tiny (diluted by B's extra content) — the
+    * aggregator-page / quotation case a dedup pipeline wants flagged
+    * separately from near-clones.
+    *
+    * Same inverted-index self-join shape (and scale posture) as
+    * [[nearDuplicatePairs]]; output is directed, so a mutual-subset
+    * pair appears in both orientations. The single integer division
+    * is one IEEE op — bit-identical across engines.
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val posts = hashedShingles(docs, idCol, textCol, shingleSize).persist()
+    val sizes = posts.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = posts.as("a").join(posts.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")),
+        "doc_a")
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") / col("na")).as("containment"))
+      .filter(col("containment") >= threshold)
   }
 }

@@ -317,6 +317,31 @@ object DedupQueries {
   private val TripletNegatives = 2
   private val TripletBuckets = 16
 
+  /** Directed n-gram CONTAINMENT pairs
+    * ([[graft.dedup.NgramJaccard.containmentPairs]]): c(A→B) =
+    * |A∩B|/|A| ≥ 0.8 — the quotation/aggregator screen resemblance
+    * misses. Gate-only: runtime face is `dedup_ngram`'s postings
+    * self-join.
+    */
+  def dedupContainment(spark: SparkSession, dir: String): DataFrame =
+    NgramJaccard.containmentPairs(
+        Tables.loadSpread(spark, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_a", "doc_b")
+
+  val dedupContainmentSql: String =
+    s"""WITH ${shingleCtes()},
+       |hx AS (SELECT doc_id,
+       |  CAST(${OracleDialect.hexPrefixToLong("md5(sh)", 15)} AS BIGINT)
+       |    AS shh FROM shx),
+       |sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+       |  FROM hx a JOIN hx b ON a.shh = b.shh AND a.doc_id <> b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, CAST(i AS DOUBLE) / na.n AS containment
+       |FROM inter JOIN sizes na ON na.doc_id = doc_a
+       |WHERE CAST(i AS DOUBLE) / na.n >= 0.8
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   /** Contrastive (anchor, positive, negative) triplets over the ngram
     * near-dup pairs, negatives drawn by rendezvous hashing — the
     * oracle replays the pair join, the bucket draw, and the per-slot
@@ -600,6 +625,7 @@ object DedupQueries {
     "dedup_minhash_sharp" -> (dedupMinhashSharp(_, _)),
     "dedup_simhash" -> (dedupSimhash(_, _)),
     "dedup_ngram" -> (dedupNgram(_, _)),
+    "dedup_containment" -> (dedupContainment(_, _)),
     "dedup_embed" -> (dedupEmbed(_, _)),
     "dedup_semantic" -> (dedupSemantic(_, _)),
     "dedup_clusters" -> (dedupClusters(_, _)),
@@ -615,6 +641,7 @@ object DedupQueries {
     "dedup_minhash_sharp" -> dedupMinhashSharpSql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_ngram" -> dedupNgramSql,
+    "dedup_containment" -> dedupContainmentSql,
     "dedup_embed" -> dedupEmbedSql,
     "dedup_semantic" -> dedupSemanticSql,
     "dedup_clusters" -> dedupClustersSql,

@@ -59,6 +59,22 @@ class DedupSpec extends AnyFunSuite {
     assert(sh.map(t => (t._1, t._2)).toSet.subsetOf(exact))
   }
 
+  test("containment flags a quoted-whole doc that resemblance misses") {
+    import spark.implicits._
+    // B quotes ALL of A inside much more of its own content: every
+    // trigram of A is in B (containment A→B = 1.0) while the Jaccard
+    // resemblance is diluted far below any dedup threshold
+    val a = "alpha beta gamma delta epsilon zeta"
+    val filler = (1 to 40).map(i => s"w$i").mkString(" ")
+    val corpus = Seq(1L -> a, 2L -> s"$filler $a $filler").toDF("doc_id", "text")
+    val cont = NgramJaccard.containmentPairs(corpus, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(cont.toSeq === Seq((1L, 2L, 1.0)),
+      "expected exactly the directed A-in-B containment edge")
+    val jac = NgramJaccard.nearDuplicatePairs(corpus, "doc_id", "text")
+    assert(jac.count() === 0, "resemblance must NOT fire on this pair")
+  }
+
   test("ngram jaccard frequency cap drops boilerplate-only pairs") {
     // cap=1 keeps only shingles unique to a single doc — no pair can
     // share one, so the join must return nothing
