@@ -164,6 +164,48 @@ object SimilarityQueries {
        |WHERE rank <= $KnnK ORDER BY src_id, rank""".stripMargin
   }
 
+  // ---------------------------------------------------------- embed drift
+
+  /** Embedding-space drift ([[graft.similarity.EmbedDrift]]): per-label
+    * centroid cosine between the even- and odd-id snapshot halves —
+    * the vector-space `profile_diff`. Fixed-point component sums keep
+    * every per-(label, dim) aggregate an exact integer, so the oracle
+    * reproduces the centroids (and the one cosine per label)
+    * bit-for-bit. Gate-only: runtime face is the `embed_kmeans`
+    * (label, dim) sum shape.
+    */
+  def embedDrift(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.loadSpread(spark, dir, "embeddings")
+    EmbedDrift.centroidShift(
+        emb.filter(col("vec_id") % 2 === 0),
+        emb.filter(col("vec_id") % 2 === 1),
+        "label", "embedding")
+      .orderBy("label")
+  }
+
+  val embedDriftSql: String = {
+    val scale = "1048576e0" // 2^20, EmbedDrift.ScaleBits
+    def side(tag: String, parity: Int): String =
+      s"""ex_$tag AS (SELECT label,
+         |  unnest([{'pos': i, 'qx': floor(v[i] * $scale)}
+         |    for i in generate_series(1, len(v))], recursive := true)
+         |  FROM base WHERE vec_id % 2 = $parity),
+         |sums_$tag AS (SELECT label, pos, sum(qx) AS s, count(*) AS cnt
+         |  FROM ex_$tag GROUP BY 1, 2),
+         |cent_$tag AS (SELECT label, list(s / cnt ORDER BY pos) AS cv,
+         |  max(cnt) AS n FROM sums_$tag GROUP BY label)""".stripMargin
+    s"""WITH base AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+       |  FROM embeddings),
+       |${side("a", 0)},
+       |${side("b", 1)}
+       |SELECT a.label AS label, a.n AS n_a, b.n AS n_b,
+       |  ${foldDot("a.cv", "b.cv")}
+       |    / (sqrt(${foldDot("a.cv", "a.cv")})
+       |       * sqrt(${foldDot("b.cv", "b.cv")})) AS centroid_cos
+       |FROM cent_a a JOIN cent_b b ON b.label = a.label
+       |ORDER BY label""".stripMargin
+  }
+
   // ------------------------------------------------------- graph clusters
 
   /** Mutual-kNN clustering: keep only RECIPROCATED graph edges (i ∈
@@ -695,6 +737,7 @@ object SimilarityQueries {
     "sim_knn_graph" -> (simKnnGraph(_, _)),
     "sim_nn_descent" -> (simNnDescent(_, _)),
     "sim_graph_clusters" -> (simGraphClusters(_, _)),
+    "embed_drift" -> (embedDrift(_, _)),
     "sim_recall" -> (simRecall(_, _)),
     "sim_quant" -> (simQuant(_, _)),
     "sim_pq" -> (simPq(_, _)),
@@ -711,6 +754,7 @@ object SimilarityQueries {
     "sim_knn_graph" -> simKnnGraphSql,
     "sim_nn_descent" -> simNnDescentSql,
     "sim_graph_clusters" -> simGraphClustersSql,
+    "embed_drift" -> embedDriftSql,
     "sim_recall" -> simRecallSql,
     "sim_quant" -> simQuantSql,
     "sim_pq" -> simPqSql,

@@ -61,6 +61,50 @@ class NnDescentSpec extends AnyFunSuite {
     assert(edges(refined).map(_._1).toSet === Set(0L, 1L, 2L))
   }
 
+  test("one seeded round improves recall vs exact on a clustered corpus") {
+    // 8 tight clusters of 12 vectors in 16-dim space; stride-5 cells
+    // split true clusters across cells, so the base graph must miss
+    // true neighbors that one seeded round can recover
+    val rnd = new scala.util.Random(7)
+    val rows = for {
+      c <- 0 until 8; j <- 0 until 12
+    } yield {
+      val base = Array.tabulate(16)(d => if (d == c * 2) 1f else 0f)
+      val v = base.map(x => x + (rnd.nextFloat() - 0.5f) * 0.12f)
+      (c * 12L + j) -> v.toSeq
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val k = 5
+    val cfgS = IVFIndex.Config(centroidStride = 5)
+
+    // driver-side exact top-k per source
+    val vecs = rows.toMap
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val (da, db) = (a.map(_.toDouble), b.map(_.toDouble))
+      val dot = da.zip(db).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(da.map(x => x * x).sum) *
+        math.sqrt(db.map(x => x * x).sum))
+    }
+    val exact = vecs.keys.map { s =>
+      s -> vecs.keys.filter(_ != s).toSeq
+        .sortBy(n => (-cos(vecs(s), vecs(n)), n)).take(k).toSet
+    }.toMap
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.collect().map(r => r.getLong(0) -> r.getLong(2))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+      // keys is a Set — map through a Seq or the recalls dedup
+      vecs.keys.toSeq.map(s =>
+        got.getOrElse(s, Set.empty).intersect(exact(s)).size.toDouble / k)
+        .sum / vecs.size
+    }
+    val base = recall(KnnGraph.build(df, "vec_id", "embedding", k, cfgS))
+    val refined = recall(NnDescent.refine(df, "vec_id", "embedding", k,
+      cfgS, seedBuckets = 8))
+    assert(base < 1.0, "fixture must actually split clusters across cells")
+    assert(refined > base,
+      f"refined recall $refined%.3f must beat base $base%.3f")
+  }
+
   test("seedBuckets must be a power of two") {
     intercept[IllegalArgumentException](
       NnDescent.refine(crossCell, "vec_id", "embedding", 2, cfg,
