@@ -32,8 +32,12 @@ object EmbedDrift {
   val ScaleBits = 20
   private val Scale = (1L << ScaleBits).toDouble
 
-  /** Per-label quantized-mean centroid: (label, n, cv). */
-  def labelCentroids(snapshot: DataFrame, labelCol: String,
+  /** (label, pos, s, cnt): exact integer-valued component sums — the
+    * mergeable representation (sums and counts ADD across shards or
+    * micro-batches, which the streaming face
+    * [[graft.streaming.EmbedDriftStream]] relies on).
+    */
+  def labelSums(snapshot: DataFrame, labelCol: String,
       vecCol: String): DataFrame =
     snapshot
       .select(col(labelCol).as("label"),
@@ -41,6 +45,11 @@ object EmbedDrift {
           x => floor(x * lit(Scale)).cast("double"))))
       .groupBy(col("label"), col("pos"))
       .agg(sum(col("col")).as("s"), count(lit(1)).as("cnt"))
+
+  /** Per-label quantized-mean centroid: (label, n, cv). */
+  def labelCentroids(snapshot: DataFrame, labelCol: String,
+      vecCol: String): DataFrame =
+    labelSums(snapshot, labelCol, vecCol)
       .withColumn("m", col("s") / col("cnt"))
       .groupBy(col("label"))
       .agg(
