@@ -142,6 +142,32 @@ object SketchQueries {
        |FROM agg ORDER BY grp""".stripMargin
   }
 
+  /** Incremental quantile-sketch maintenance
+    * ([[graft.operators.LogQuantile]]): a standing (grp, bucket, cnt)
+    * sketch built from pre-cut events folds in the post-cut delta by
+    * bucket-count ADDITION — no history rescan — and quantiles extract
+    * from the merged frame. The oracle recomputes the sketch from ALL
+    * events in one pass, so the hash match is a machine-checked
+    * incremental ≡ recompute identity: the `hll_upsert` pattern for
+    * the quantile family. Gate-only (no bench slot): runtime is
+    * `quantile_sketch`'s, the identity is the point.
+    */
+  def quantileUpsert(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.LogQuantile
+    val ev = Tables.loadEvents(spark, dir)
+      .select(col("event_type"), col("ts"), col("value"))
+    val cut = lit("2024-01-20 00:00:00").cast("timestamp_ntz")
+    // exhaustive split, like hll_upsert: null ts must land somewhere
+    val standing = LogQuantile.sketch(
+      ev.filter(col("ts") < cut), "event_type", "value")
+    val delta = LogQuantile.sketch(
+      ev.filter(col("ts").isNull || col("ts") >= cut),
+      "event_type", "value")
+    val merged = standing.unionByName(delta)
+      .groupBy(col("grp"), col("bucket")).agg(sum(col("cnt")).as("cnt"))
+    LogQuantile.quantilesFromSketch(merged).orderBy("grp", "p")
+  }
+
   /** Count-Min point-frequency estimates
     * ([[graft.operators.CountMin]]) for the corpus's heavy tokens:
     * every token whose exact occurrence count exceeds `1/CmsDenom` of
@@ -263,6 +289,7 @@ object SketchQueries {
     "hll_upsert" -> (hllUpsert(_, _)),
     "cms_counts" -> (cmsCounts(_, _)),
     "quantile_sketch" -> (quantileSketch(_, _)),
+    "quantile_upsert" -> (quantileUpsert(_, _)),
     "zorder_stats" -> (zorderStats(_, _)))
 
   val oracleSql: Map[String, String] = Map(
@@ -271,5 +298,6 @@ object SketchQueries {
     "hll_upsert" -> hllUpsertSql,
     "cms_counts" -> cmsCountsSql,
     "quantile_sketch" -> quantileSketchSql,
+    "quantile_upsert" -> quantileSketchSql,
     "zorder_stats" -> zorderStatsSql)
 }
