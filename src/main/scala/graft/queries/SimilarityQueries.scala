@@ -16,6 +16,13 @@ object SimilarityQueries {
 
   private val K = 10
   private val QueryCount = 8 // query set = vec_id < 8
+  // graph-family constants live HERE, above every val that
+  // interpolates them into oracle SQL: object vals initialize in
+  // declaration order, and a forward reference silently reads 0
+  // (caught once as `& -1` in a generated mask)
+  private val KnnK = 5
+  private val NndSeedBuckets = 128
+  private val RecallSrc = 64 // recall probe set: sources with vec_id < 64
   private val Dim = 64 // embeddings table dimension (TESTDATA.md)
   private[queries] val lshCfg = HyperplaneLSH.Config()
   private val ivfCfg = IVFIndex.Config()
@@ -125,8 +132,6 @@ object SimilarityQueries {
 
   // ------------------------------------------------------------ knn graph
 
-  private val KnnK = 5
-
   /** Cell-local k-NN GRAPH ([[graft.similarity.KnnGraph]]): top-$KnnK
     * cosine neighbors of EVERY vector, candidates restricted to the
     * vector's own IVF cell — the all-sources face of `sim_ivf` and the
@@ -206,6 +211,99 @@ object SimilarityQueries {
        |ORDER BY label""".stripMargin
   }
 
+  // ------------------------------------------------------ nn-descent recall
+
+  /** GATED recall accounting for the graph family: exact-top-k hit
+    * counts of the cell-local graph vs one NN-descent round, over the
+    * `vec_id < $RecallSrc` probe sources — (variant, hits, denom) with
+    * denom = |exact rows|, all integers, so the measured improvement
+    * is hash-pinned, not asserted in a spec alone. Gate-only: runtime
+    * faces are `sim_knn_graph`/`sim_nn_descent`'s.
+    */
+  def simNndRecall(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.loadSpread(spark, dir, "embeddings")
+    val exact = BruteForceKNN
+      .topK(emb, "vec_id", "embedding", _ < RecallSrc, KnnK)
+      .select(col("q_id"), col("n_id").as("e_id"))
+    def hits(g: DataFrame, variant: String): DataFrame = {
+      val probe = g.filter(col("src_id") < RecallSrc)
+        .select(col("src_id"), col("n_id"))
+      probe.join(exact,
+          probe("src_id") === exact("q_id") && probe("n_id") === exact("e_id"))
+        .agg(count(lit(1)).as("hits"))
+        .crossJoin(exact.agg(count(lit(1)).as("denom")))
+        .select(lit(variant).as("variant"), col("hits"), col("denom"))
+    }
+    hits(KnnGraph.build(emb, "vec_id", "embedding", KnnK, ivfCfg), "base")
+      .unionByName(hits(
+        NnDescent.refine(emb, "vec_id", "embedding", KnnK, ivfCfg,
+          NndSeedBuckets), "refined"))
+      .orderBy("variant")
+  }
+
+  val simNndRecallSql: String = {
+    def cosSql(av: String, an: String, bv: String, bn: String): String =
+      s"${foldDot(av, bv)} / (sqrt($an) * sqrt($bn))"
+    val sbHash = OracleDialect.hexPrefixToLong(
+      "md5(CAST(vid AS VARCHAR))", 12)
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, ${foldDot("v", "v")} AS nrm FROM v),
+       |c AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n
+       |  WHERE vec_id % ${ivfCfg.centroidStride} = 0),
+       |asg AS (SELECT vid, v, nrm, cell FROM (
+       |  SELECT n.vec_id AS vid, n.v, n.nrm, c.c_id AS cell,
+       |    ROW_NUMBER() OVER (PARTITION BY n.vec_id
+       |      ORDER BY ${cosSql("n.v", "n.nrm", "c.cv", "c.cn")} DESC, c.c_id)
+       |      AS rn
+       |  FROM n CROSS JOIN c) WHERE rn = 1),
+       |p AS (SELECT a.vid AS src_id, b.vid AS n_id,
+       |    ${cosSql("a.v", "a.nrm", "b.v", "b.nrm")} AS cos_sim
+       |  FROM asg a JOIN asg b ON b.cell = a.cell AND b.vid <> a.vid),
+       |base AS (SELECT src_id, n_id FROM (
+       |  SELECT src_id, n_id,
+       |    ROW_NUMBER() OVER (PARTITION BY src_id
+       |                       ORDER BY cos_sim DESC, n_id) AS rank
+       |  FROM p) WHERE rank <= $KnnK),
+       |und AS (SELECT DISTINCT a, b FROM (
+       |  SELECT src_id AS a, n_id AS b FROM base
+       |  UNION ALL SELECT n_id, src_id FROM base)),
+       |twohop AS (SELECT e1.a AS a, e2.b AS b FROM und e1
+       |  JOIN und e2 ON e2.a = e1.b WHERE e1.a <> e2.b),
+       |sb AS (SELECT vid, (CAST($sbHash AS BIGINT)
+       |    & ${NndSeedBuckets - 1}) AS sb FROM asg),
+       |seeds AS (SELECT s1.vid AS a, s2.vid AS b FROM sb s1
+       |  JOIN sb s2 ON s2.sb = s1.sb AND s2.vid <> s1.vid),
+       |cand AS (SELECT DISTINCT a, b FROM (
+       |  SELECT a, b FROM und UNION ALL SELECT a, b FROM twohop
+       |  UNION ALL SELECT a, b FROM seeds)),
+       |sc AS (SELECT cand.a AS src_id, cand.b AS n_id,
+       |    ${cosSql("x.v", "x.nrm", "y.v", "y.nrm")} AS cos_sim
+       |  FROM cand JOIN n x ON x.vec_id = cand.a
+       |    JOIN n y ON y.vec_id = cand.b),
+       |refined AS (SELECT src_id, n_id FROM (
+       |  SELECT src_id, n_id, cos_sim,
+       |    ROW_NUMBER() OVER (PARTITION BY src_id
+       |                       ORDER BY cos_sim DESC, n_id) AS rank
+       |  FROM sc) WHERE rank <= $KnnK),
+       |bf AS (SELECT q_id, n_id FROM (
+       |  SELECT q.vec_id AS q_id, d.vec_id AS n_id,
+       |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${cosSql("q.v", "q.nrm", "d.v", "d.nrm")} DESC,
+       |        d.vec_id) AS rank
+       |  FROM n q CROSS JOIN n d
+       |  WHERE q.vec_id < $RecallSrc AND d.vec_id <> q.vec_id)
+       |  WHERE rank <= $KnnK),
+       |denom AS (SELECT count(*) AS denom FROM bf)
+       |SELECT 'base' AS variant, count(*) AS hits, max(d.denom) AS denom
+       |  FROM base g JOIN bf ON bf.q_id = g.src_id AND bf.n_id = g.n_id
+       |  CROSS JOIN denom d WHERE g.src_id < $RecallSrc
+       |UNION ALL
+       |SELECT 'refined', count(*), max(d.denom)
+       |  FROM refined g JOIN bf ON bf.q_id = g.src_id AND bf.n_id = g.n_id
+       |  CROSS JOIN denom d WHERE g.src_id < $RecallSrc
+       |ORDER BY variant""".stripMargin
+  }
+
   // ------------------------------------------------------- graph clusters
 
   /** Mutual-kNN clustering: keep only RECIPROCATED graph edges (i ∈
@@ -261,8 +359,6 @@ object SimilarityQueries {
   }
 
   // ------------------------------------------------------------ nn-descent
-
-  private val NndSeedBuckets = 128
 
   /** One NN-descent round over the cell-local graph
     * ([[graft.similarity.NnDescent]]): md5 hash-bucket seed pairs (the
@@ -738,6 +834,7 @@ object SimilarityQueries {
     "sim_nn_descent" -> (simNnDescent(_, _)),
     "sim_graph_clusters" -> (simGraphClusters(_, _)),
     "embed_drift" -> (embedDrift(_, _)),
+    "sim_nnd_recall" -> (simNndRecall(_, _)),
     "sim_recall" -> (simRecall(_, _)),
     "sim_quant" -> (simQuant(_, _)),
     "sim_pq" -> (simPq(_, _)),
@@ -755,6 +852,7 @@ object SimilarityQueries {
     "sim_nn_descent" -> simNnDescentSql,
     "sim_graph_clusters" -> simGraphClustersSql,
     "embed_drift" -> embedDriftSql,
+    "sim_nnd_recall" -> simNndRecallSql,
     "sim_recall" -> simRecallSql,
     "sim_quant" -> simQuantSql,
     "sim_pq" -> simPqSql,
