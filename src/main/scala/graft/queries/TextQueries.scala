@@ -3,7 +3,8 @@ package graft.queries
 import graft.operators.HeavyHitters
 import graft.text._
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{abs, col, concat, explode, lit}
+import org.apache.spark.sql.functions.{abs, col, concat, count, explode,
+  floor, greatest, lit, md5, row_number, size, sum, when}
 
 /** Driver-verifiable text-analysis queries over the `documents` table.
   * All but tfidf are pure per-row projections (zero shuffle) ordered by
@@ -985,7 +986,93 @@ object TextQueries {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  // ------------------------------------------------------------ datasheet
+
+  /** Per-source corpus DATASHEET — the one-call "data card" a corpus
+    * release ships: document and token counts, fixed-point quality
+    * mass (sum of floor(quality·2^20) — exact integers, so the mean is
+    * derivable and the gate is hash-safe), exact-duplicate involvement
+    * (rows whose md5(text) repeats within the source), and the
+    * majority predicted language with its document count. Composes
+    * the verified quality/langid/dedup primitives; one corpus scan
+    * feeds three group-keyed aggregates joined as summary frames (the
+    * distinct-token face stays `kmv_distinct`'s sketch — an exact
+    * per-source distinct is deliberately NOT here, it would be the one
+    * non-bounded aggregate in the report). Gate-only: runtime face is
+    * the text family's one-scan shapes.
+    */
+  def pipelineDatasheet(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.loadSpread(spark, dir, "documents")
+    val w = TextFeatures.words(col("text"))
+    val scores = LangId.Lexicons.map { case (l, lex) =>
+      l -> LangId.score(w, lex) }
+    val best = greatest(scores.map(_._2): _*)
+    val pred = scores.foldRight(lit("und")) { case ((l, s), other) =>
+      when(best > 0 && s === best, lit(l)).otherwise(other) }
+    val perDoc = docs.select(col("source"),
+        size(w).cast("long").as("n_toks"),
+        floor(TextStats.qualityScore(w) * lit((1L << 20).toDouble))
+          .cast("long").as("q_fp"),
+        pred.as("lang"), md5(col("text")).as("h"))
+      .persist()
+    val base = perDoc.groupBy("source").agg(
+      count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"),
+      sum("q_fp").as("q_sum_fp"))
+    val dups = perDoc.groupBy(col("source"), col("h"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("source")
+      .agg(sum(when(col("cnt") > 1, col("cnt")).otherwise(0L))
+        .as("n_dup_rows"))
+    val w2 = org.apache.spark.sql.expressions.Window.partitionBy("source")
+      .orderBy(col("cnt").desc, col("lang"))
+    val langs = perDoc.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(w2))
+      .filter(col("rn") === 1)
+      .select(col("source"), col("lang").as("top_lang"),
+        col("cnt").as("top_lang_docs"))
+    base.join(dups, "source").join(langs, "source").orderBy("source")
+  }
+
+  val pipelineDatasheetSql: String =
+    s"""WITH w AS (SELECT source, text, string_split(lower(text), ' ') AS w
+       |  FROM documents),
+       |sc AS (SELECT source, len(w) AS n_toks,
+       |    CAST(floor(($qualityExpr) * 1048576e0) AS BIGINT) AS q_fp,
+       |    md5(text) AS h,
+       |    $langScoreSelect
+       |  FROM w),
+       |pd AS (SELECT source, n_toks, q_fp, h,
+       |    $langBestExpr AS best,
+       |    ${LangId.Lexicons.map(l => s"s_${l._1}").mkString(", ")}
+       |  FROM sc),
+       |pl AS (SELECT source, n_toks, q_fp, h,
+       |    $langPredCase AS lang FROM pd),
+       |base AS (SELECT source, count(*) AS n_docs,
+       |    CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+       |    CAST(sum(q_fp) AS BIGINT) AS q_sum_fp
+       |  FROM pl GROUP BY source),
+       |dup0 AS (SELECT source, h, count(*) AS cnt FROM pl
+       |  GROUP BY source, h),
+       |dups AS (SELECT source,
+       |    CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT)
+       |      AS n_dup_rows
+       |  FROM dup0 GROUP BY source),
+       |lc AS (SELECT source, lang, count(*) AS cnt FROM pl
+       |  GROUP BY source, lang),
+       |langs AS (SELECT source, lang AS top_lang, cnt AS top_lang_docs
+       |  FROM (SELECT source, lang, cnt,
+       |      row_number() OVER (PARTITION BY source
+       |        ORDER BY cnt DESC, lang) AS rn FROM lc)
+       |  WHERE rn = 1)
+       |SELECT b.source, b.n_docs, b.n_tokens, b.q_sum_fp,
+       |  d.n_dup_rows, l.top_lang, l.top_lang_docs
+       |FROM base b JOIN dups d ON d.source = b.source
+       |JOIN langs l ON l.source = b.source
+       |ORDER BY b.source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_datasheet" -> (pipelineDatasheet(_, _)),
     "text_bpe" -> (textBpe(_, _)),
     "text_bpe_segment" -> (textBpeSegment(_, _)),
     "text_decontam" -> (textDecontam(_, _)),
@@ -1015,6 +1102,7 @@ object TextQueries {
     "text_pack_stats" -> (textPackStats(_, _)))
 
   val oracleSql: Map[String, String] = Map(
+    "pipeline_datasheet" -> pipelineDatasheetSql,
     "text_bpe" -> textBpeSql,
     "text_bpe_segment" -> textBpeSegmentSql,
     "text_decontam" -> textDecontamSql,
