@@ -213,6 +213,40 @@ object SimilarityQueries {
 
   // ------------------------------------------------------ nn-descent recall
 
+  /** IVF layout audit: per-cell population of the coarse quantizer —
+    * the `zorder_stats` analogue for the vector index. |cell| skew is
+    * THE operational health metric of every cell-local operator here
+    * (pair cost is Σ|cell|², probe cost ∝ probed-cell sizes); this is
+    * the frame you read before growing the centroid count or
+    * subdividing a hot cell. Gate-only: runtime face is the IVF
+    * assign aggregate every sim_* query already pays.
+    */
+  def simIvfStats(spark: SparkSession, dir: String): DataFrame =
+    IVFIndex.assign(Tables.loadSpread(spark, dir, "embeddings"),
+        "vec_id", "embedding", ivfCfg)
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vectors"),
+        min(col("vid")).as("min_vid"), max(col("vid")).as("max_vid"))
+      .orderBy("cell")
+
+  val simIvfStatsSql: String = {
+    def cosSql(av: String, an: String, bv: String, bn: String): String =
+      s"${foldDot(av, bv)} / (sqrt($an) * sqrt($bn))"
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, ${foldDot("v", "v")} AS nrm FROM v),
+       |c AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n
+       |  WHERE vec_id % ${ivfCfg.centroidStride} = 0),
+       |asg AS (SELECT vid, cell FROM (
+       |  SELECT n.vec_id AS vid, c.c_id AS cell,
+       |    ROW_NUMBER() OVER (PARTITION BY n.vec_id
+       |      ORDER BY ${cosSql("n.v", "n.nrm", "c.cv", "c.cn")} DESC, c.c_id)
+       |      AS rn
+       |  FROM n CROSS JOIN c) WHERE rn = 1)
+       |SELECT cell, count(*) AS n_vectors,
+       |  min(vid) AS min_vid, max(vid) AS max_vid
+       |FROM asg GROUP BY cell ORDER BY cell""".stripMargin
+  }
+
   /** GATED recall accounting for the graph family: exact-top-k hit
     * counts of the cell-local graph vs one NN-descent round, over the
     * `vec_id < $RecallSrc` probe sources — (variant, hits, denom) with
@@ -835,6 +869,7 @@ object SimilarityQueries {
     "sim_graph_clusters" -> (simGraphClusters(_, _)),
     "embed_drift" -> (embedDrift(_, _)),
     "sim_nnd_recall" -> (simNndRecall(_, _)),
+    "sim_ivf_stats" -> (simIvfStats(_, _)),
     "sim_recall" -> (simRecall(_, _)),
     "sim_quant" -> (simQuant(_, _)),
     "sim_pq" -> (simPq(_, _)),
@@ -853,6 +888,7 @@ object SimilarityQueries {
     "sim_graph_clusters" -> simGraphClustersSql,
     "embed_drift" -> embedDriftSql,
     "sim_nnd_recall" -> simNndRecallSql,
+    "sim_ivf_stats" -> simIvfStatsSql,
     "sim_recall" -> simRecallSql,
     "sim_quant" -> simQuantSql,
     "sim_pq" -> simPqSql,
