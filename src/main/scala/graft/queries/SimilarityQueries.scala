@@ -213,6 +213,54 @@ object SimilarityQueries {
 
   // ------------------------------------------------------ nn-descent recall
 
+  /** Incremental kNN-graph maintenance
+    * ([[graft.similarity.GraphIngest]]): the corpus is vec_id % 5 ≠ 0,
+    * the ingest batch the remaining 20%; the standing graph (built
+    * under FROZEN corpus centroids) folds the batch in via
+    * |batch|-proportional cell pairs — corpus×corpus pairs are never
+    * recomputed. The oracle rebuilds the whole graph from scratch over
+    * corpus ∪ batch under the same frozen centroids, so the hash match
+    * is the incremental ≡ recompute identity (the `q_agg_upsert` /
+    * `hll_upsert` pattern for the graph family). Gate-only: runtime
+    * face is `sim_knn_graph`'s.
+    */
+  def simGraphIncr(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.loadSpread(spark, dir, "embeddings")
+    val corpus = emb.filter(col("vec_id") % 5 =!= 0)
+    val batch = emb.filter(col("vec_id") % 5 === 0)
+    val cents = GraphIngest.strideCentroids(corpus, "vec_id", "embedding",
+      ivfCfg.centroidStride)
+    val standing = KnnGraph.buildWithCentroids(corpus, "vec_id",
+      "embedding", KnnK, cents)
+    GraphIngest.merged(corpus, batch, standing, "vec_id", "embedding",
+        KnnK, cents)
+      .orderBy("src_id", "rank")
+  }
+
+  val simGraphIncrSql: String = {
+    def cosSql(av: String, an: String, bv: String, bn: String): String =
+      s"${foldDot(av, bv)} / (sqrt($an) * sqrt($bn))"
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, ${foldDot("v", "v")} AS nrm FROM v),
+       |c AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n
+       |  WHERE vec_id % ${ivfCfg.centroidStride} = 0 AND vec_id % 5 <> 0),
+       |asg AS (SELECT vid, v, nrm, cell FROM (
+       |  SELECT n.vec_id AS vid, n.v, n.nrm, c.c_id AS cell,
+       |    ROW_NUMBER() OVER (PARTITION BY n.vec_id
+       |      ORDER BY ${cosSql("n.v", "n.nrm", "c.cv", "c.cn")} DESC, c.c_id)
+       |      AS rn
+       |  FROM n CROSS JOIN c) WHERE rn = 1),
+       |p AS (SELECT a.vid AS src_id, b.vid AS n_id,
+       |    ${cosSql("a.v", "a.nrm", "b.v", "b.nrm")} AS cos_sim
+       |  FROM asg a JOIN asg b ON b.cell = a.cell AND b.vid <> a.vid)
+       |SELECT src_id, rank, n_id, cos_sim FROM (
+       |  SELECT src_id, n_id, cos_sim,
+       |    ROW_NUMBER() OVER (PARTITION BY src_id
+       |                       ORDER BY cos_sim DESC, n_id) AS rank
+       |  FROM p)
+       |WHERE rank <= $KnnK ORDER BY src_id, rank""".stripMargin
+  }
+
   /** IVF layout audit: per-cell population of the coarse quantizer —
     * the `zorder_stats` analogue for the vector index. |cell| skew is
     * THE operational health metric of every cell-local operator here
@@ -870,6 +918,7 @@ object SimilarityQueries {
     "embed_drift" -> (embedDrift(_, _)),
     "sim_nnd_recall" -> (simNndRecall(_, _)),
     "sim_ivf_stats" -> (simIvfStats(_, _)),
+    "sim_graph_incr" -> (simGraphIncr(_, _)),
     "sim_recall" -> (simRecall(_, _)),
     "sim_quant" -> (simQuant(_, _)),
     "sim_pq" -> (simPq(_, _)),
@@ -889,6 +938,7 @@ object SimilarityQueries {
     "embed_drift" -> embedDriftSql,
     "sim_nnd_recall" -> simNndRecallSql,
     "sim_ivf_stats" -> simIvfStatsSql,
+    "sim_graph_incr" -> simGraphIncrSql,
     "sim_recall" -> simRecallSql,
     "sim_quant" -> simQuantSql,
     "sim_pq" -> simPqSql,
