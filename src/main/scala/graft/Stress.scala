@@ -949,13 +949,32 @@ object Stress {
       // quantizer's centroid count grows as N/31 here, so assignment
       // is quadratic-ish (N²/31 pair scores); a √N-cell codebook keeps
       // it N^1.5 with the NearestCentroid flat-loop argmin
-      timedWarm("knngtrained") {
+      val trainedCents = {
         val cfg = similarity.KMeans.Config(k = 316, iters = 1)
-        val cents = similarity.KMeans
-          .centroids(cloned, "vec_id", "embedding", cfg)
-        similarity.KnnGraph.buildWithCentroids(cloned, "vec_id",
-            "embedding", 5, similarity.IVFIndex.fromKMeans(cloned, cents))
-          .count()
+        similarity.IVFIndex.fromKMeans(cloned, similarity.KMeans
+          .centroids(cloned, "vec_id", "embedding", cfg))
+          .persist()
+      }
+      var standing: org.apache.spark.sql.DataFrame = null
+      timedWarm("knngtrained") {
+        standing = similarity.KnnGraph.buildWithCentroids(cloned, "vec_id",
+            "embedding", 5, trainedCents)
+          .persist()
+        standing.count()
+      }
+      // incremental maintenance: a 2k-vector batch folds into the
+      // 100k-vector standing graph — the merge must cost a small
+      // fraction of the build (|batch|-proportional pairs; the corpus
+      // pair fanout is never re-paid)
+      val batch = staged(base.limit(1000)
+        .select((col("vec_id") + 777000000L).as("vec_id"),
+          col("embedding")))
+      timedWarm("knngingest") {
+        val merged = similarity.GraphIngest.merged(cloned, batch, standing,
+          "vec_id", "embedding", 5, trainedCents)
+        val n = merged.count()
+        require(n >= standing.count(), "merge lost sources")
+        n
       }
       spark.catalog.clearCache()
     }
