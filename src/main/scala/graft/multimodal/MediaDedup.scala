@@ -73,6 +73,76 @@ object MediaDedup {
     hash
   }
 
+  /** 64-bit ENERGY-ENVELOPE hash of an audio stream — the aHash
+    * analogue for sound: samples (16-bit PCM conversion, ≤ 4 MiB read
+    * bound, both exactly as [[MediaDecode.audioFeatures]]) split into
+    * 64 equal time windows; bit i is set iff window i's mean |sample|
+    * exceeds the mean of the 64 window means. Uniform volume scaling
+    * moves every window mean AND the global mean together, so the
+    * hash is gain-invariant up to clipping — the exact brightness
+    * argument of [[aHash64]], transposed to amplitude. Re-encodes and
+    * mild noise barely move the envelope; a different temporal
+    * structure (where the loud parts ARE) flips many bits.
+    */
+  private[multimodal] def audioHash64(
+      stream: javax.sound.sampled.AudioInputStream): Long = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    val base = stream.getFormat
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+      base.getSampleRate, 16, base.getChannels, 2 * base.getChannels,
+      base.getSampleRate, false)
+    val pcm = AudioSystem.getAudioInputStream(fmt, stream)
+    val bytes = pcm.readNBytes(4 << 20)
+    val n = bytes.length / 2
+    if (n == 0) return 0L
+    val sums = new Array[Double](64)
+    val counts = new Array[Long](64)
+    var i = 0
+    while (i < n) {
+      val s = ((bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)).toShort.toInt
+      val w = (i.toLong * 64 / n).toInt
+      sums(w) += math.abs(s)
+      counts(w) += 1
+      i += 1
+    }
+    var total = 0.0
+    var present = 0
+    var w = 0
+    while (w < 64) {
+      if (counts(w) > 0) { total += sums(w) / counts(w); present += 1 }
+      w += 1
+    }
+    val mean = if (present > 0) total / present else 0.0
+    var hash = 0L
+    w = 0
+    while (w < 64) {
+      if (counts(w) > 0 && sums(w) / counts(w) > mean) hash |= 1L << w
+      w += 1
+    }
+    hash
+  }
+
+  /** (doc_id, phash) for every record whose payload decodes as audio —
+    * the sonic face of [[perceptualHashes]]; the pair stage is the
+    * same [[nearDuplicatePairs]] byte-banded join.
+    */
+  def audioPerceptualHashes(records: Dataset[MediaRecord],
+      batchSize: Int = 64): DataFrame = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.flatMap { r =>
+          if (!MediaDecode.looksAudio(r.payload)) None
+          else
+            try Some((r.doc_id, audioHash64(
+              javax.sound.sampled.AudioSystem.getAudioInputStream(
+                new java.io.ByteArrayInputStream(r.payload)))))
+            catch { case scala.util.control.NonFatal(_) => None }
+        }
+      }
+    }.toDF("doc_id", "phash")
+  }
+
   /** (doc_id, phash) for every record whose payload decodes as an
     * image; undecodable rows are absent (they have no visual content
     * to compare — exact byte dedup via `mm_meta`'s checksum still

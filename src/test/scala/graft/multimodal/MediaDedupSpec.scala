@@ -47,6 +47,64 @@ class MediaDedupSpec extends AnyFunSuite {
       s"unrelated images suspiciously close: ${hamming(base, other)} bits")
   }
 
+  // amplitude-modulated tone: the ENVELOPE (where the loud windows
+  // are) is the perceptual signature; `gain` scales every sample,
+  // `envPhase` moves the loud parts, `noiseAmp` adds jitter
+  private def wav(envPhase: Double, gain: Double = 1.0,
+      noiseAmp: Double = 0.0, seed: Long = 5): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val sr = 8000
+    val n = 4000
+    val rnd = new scala.util.Random(seed)
+    val bytes = new Array[Byte](n * 2)
+    for (i <- 0 until n) {
+      val env = 0.55 + 0.45 * math.sin(2 * math.Pi * 3 * i / n + envPhase)
+      val v = gain * env * 12000.0 * math.sin(2 * math.Pi * 440 * i / sr) +
+        noiseAmp * (rnd.nextDouble() - 0.5) * 2000.0
+      val s = math.max(-32768, math.min(32767, math.round(v))).toInt
+      bytes(2 * i) = (s & 0xff).toByte
+      bytes(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new AudioFormat(sr.toFloat, 16, 1, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(new java.io.ByteArrayInputStream(bytes), fmt, n),
+      AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("audio hash: gain-invariant for near-dups, far for a moved envelope") {
+    def hashOf(payload: Array[Byte]): Long =
+      MediaDedup.audioHash64(
+        javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload)))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val base = hashOf(wav(0.0))
+    val quiet = hashOf(wav(0.0, gain = 0.4))
+    val noisy = hashOf(wav(0.0, noiseAmp = 1.0))
+    val moved = hashOf(wav(math.Pi)) // loud windows relocated
+    assert(hamming(base, quiet) <= 2,
+      s"volume-scaled copy drifted ${hamming(base, quiet)} bits")
+    assert(hamming(base, noisy) <= 3,
+      s"noisy copy drifted ${hamming(base, noisy)} bits")
+    assert(hamming(base, moved) > 10,
+      s"relocated envelope suspiciously close: ${hamming(base, moved)} bits")
+  }
+
+  test("audio pipeline finds the gain pair, skips non-audio payloads") {
+    import spark.implicits._
+    val records = Seq(
+      MediaRecord(1L, "wav", wav(0.0)),
+      MediaRecord(2L, "wav", wav(0.0, gain = 0.4)),
+      MediaRecord(3L, "wav", wav(math.Pi)),
+      MediaRecord(4L, "png", png(noiseImage(7)))).toDS()
+    val hashes = MediaDedup.audioPerceptualHashes(records)
+    assert(hashes.count() === 3) // the png row is not audio
+    val pairs = MediaDedup.nearDuplicatePairs(hashes, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
   test("pipeline finds the perceptual pair, skips undecodable payloads") {
     import spark.implicits._
     val records = Seq(
