@@ -114,8 +114,10 @@ object Bench {
     // line as a scalar so the judge always sees it.
     spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
-    println(s"""{"metric":"total_min","value":${f3(totalMin)},"unit":"sec","queries_min":$qsMin}""")
+    // reps rides THIS line (not the final one): at 96 slots the final
+    // line needs every tail-window char for the per-query map
+    println(s"""{"metric":"total_min","value":${f3(totalMin)},"unit":"sec","reps":$reps,"queries_min":$qsMin}""")
     // sf as basename: the full path cost 15 chars of tail-window margin
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","total_min":${f3(totalMin)},"queries":$qs,$errs"sf":"${new java.io.File(sfDir).getName}","reps":$reps}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","total_min":${f3(totalMin)},"queries":$qs,$errs"sf":"${new java.io.File(sfDir).getName}"}""")
   }
 }

@@ -86,12 +86,19 @@ object SparkEntry {
     // eval side outgrows broadcast, SURVEY §12). Correctness-gated, no
     // bench slot, like the MinHash parameter presets.
     "text_decontam", "text_pii", "text_chunks",
-    "kmv_distinct", "hll_distinct", "quantile_sketch", "zorder_stats",
+    // cms_counts: the Count-Min family's tracked number (its upsert/
+    // stream faces stay gate-only)
+    "kmv_distinct", "hll_distinct", "cms_counts", "quantile_sketch",
+    "zorder_stats",
     // sim_ivfpq_res is the residual-encoding variant of sim_ivfpq
     // (same stage shapes, different vector under the PQ codes) —
     // correctness-gated, no bench slot, like the MinHash presets.
     "sim_topk", "sim_lsh_bucket", "sim_ivf", "sim_recall", "sim_quant",
     "sim_pq", "sim_ivfpq", "embed_kmeans",
+    // sim_knn_graph: the graph family's tracked number; nn-descent /
+    // clusters / incr / recall / ivf-stats are gate-only faces of the
+    // same candidate stage
+    "sim_knn_graph",
     "mm_meta", "mm_frames", "mm_format_stats", "mm_decode",
     "pipeline_curate",
     "pipeline_mix")

@@ -78,9 +78,19 @@ object NgramJaccard {
     * is one IEEE op — bit-identical across engines.
     */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
-      shingleSize: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val posts = hashedShingles(docs, idCol, textCol, shingleSize).persist()
-    val sizes = posts.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      shingleSize: Int = 3, threshold: Double = 0.8,
+      maxShingleDocFreq: Option[Long] = None): DataFrame = {
+    val posts0 = hashedShingles(docs, idCol, textCol, shingleSize).persist()
+    // the denominator |A| stays the FULL set size — the cap prunes
+    // candidate generation (boilerplate fanout), not the score's
+    // meaning; pairs supported only by capped shingles are missed,
+    // the same documented recall trade as the resemblance face
+    val sizes = posts0.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val posts = maxShingleDocFreq.fold(posts0) { cap =>
+      val keep = posts0.groupBy("sh").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= cap).select("sh")
+      posts0.join(keep, "sh")
+    }
     val inter = posts.as("a").join(posts.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") =!= col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))

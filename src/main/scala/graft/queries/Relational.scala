@@ -223,6 +223,38 @@ object Relational {
       |FROM events GROUP BY user_id, event_type
       |ORDER BY user_id, event_type""".stripMargin
 
+  /** Winsorized per-type stats ([[graft.operators.Winsorize]]): values
+    * clipped to the exact [p01, p99] band, clipped counts on each
+    * side, and the fixed-point clipped sum — the feature-prep
+    * transform gate. Gate-only: runtime face is `q_percentiles`'s
+    * rank window plus one aggregate.
+    */
+  def qWinsorize(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Winsorize.clippedStats(
+        Tables.loadEvents(spark, dir).select(col("event_type"), col("value")),
+        "event_type", "value")
+      .orderBy("event_type")
+
+  val qWinsorizeSql: String =
+    """WITH r AS (
+      |  SELECT event_type, value,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+      |    count(*) OVER (PARTITION BY event_type) AS cnt
+      |  FROM events),
+      |b AS (SELECT event_type,
+      |    max(CASE WHEN rn = ceil(0.01 * cnt) THEN value END) AS lo_v,
+      |    max(CASE WHEN rn = ceil(0.99 * cnt) THEN value END) AS hi_v
+      |  FROM r GROUP BY event_type)
+      |SELECT e.event_type, count(*) AS n,
+      |  CAST(sum(CASE WHEN e.value < b.lo_v THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_clipped_lo,
+      |  CAST(sum(CASE WHEN e.value > b.hi_v THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_clipped_hi,
+      |  CAST(sum(CAST(round(least(greatest(e.value, b.lo_v), b.hi_v) * 100)
+      |    AS BIGINT)) AS BIGINT) AS sum_clipped_fp
+      |FROM events e JOIN b ON b.event_type = e.event_type
+      |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin
+
   /** Exact discrete percentiles (p50/p90/p99 of event value per type),
     * computed from first principles in BOTH engines: rank the values,
     * pick the row at ceil(p·n) — percentile_disc semantics without
@@ -734,6 +766,7 @@ object Relational {
     "q_anomaly_dense" -> (qAnomalyDense(_, _)),
     "q_agg_upsert" -> (qAggUpsert(_, _)),
     "q_percentiles" -> (qPercentiles(_, _)),
+    "q_winsorize" -> (qWinsorize(_, _)),
     "q_outliers" -> (qOutliers(_, _)),
     "q_outliers_spread" -> (qOutliersSpread(_, _)),
     "q_equidepth" -> (qEquidepth(_, _)),
@@ -757,6 +790,7 @@ object Relational {
     "q_anomaly_dense" -> qAnomalyDenseSql,
     "q_agg_upsert" -> qAggUpsertSql,
     "q_percentiles" -> qPercentilesSql,
+    "q_winsorize" -> qWinsorizeSql,
     "q_outliers" -> qOutliersSql,
     "q_outliers_spread" -> qOutliersSql,
     "q_equidepth" -> qEquidepthSql,

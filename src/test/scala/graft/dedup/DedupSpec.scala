@@ -75,6 +75,25 @@ class DedupSpec extends AnyFunSuite {
     assert(jac.count() === 0, "resemblance must NOT fire on this pair")
   }
 
+  test("containment doc-freq cap drops boilerplate-only containments") {
+    import spark.implicits._
+    // doc 1's ONLY trigram is the boilerplate footer shared by all
+    // docs: uncapped, it is "contained" in everything; capped, the
+    // ubiquitous shingle is pruned and the spurious edges vanish
+    val footer = "all rights reserved"
+    val corpus = Seq(
+      1L -> footer,
+      2L -> s"alpha beta gamma $footer",
+      3L -> s"delta epsilon zeta $footer",
+      4L -> s"eta theta iota $footer").toDF("doc_id", "text")
+    val uncapped = NgramJaccard.containmentPairs(corpus, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped === Set((1L, 2L), (1L, 3L), (1L, 4L)))
+    val capped = NgramJaccard.containmentPairs(corpus, "doc_id", "text",
+      maxShingleDocFreq = Some(2))
+    assert(capped.count() === 0)
+  }
+
   test("ngram jaccard frequency cap drops boilerplate-only pairs") {
     // cap=1 keeps only shingles unique to a single doc — no pair can
     // share one, so the join must return nothing
