@@ -986,6 +986,79 @@ object TextQueries {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  // ------------------------------------------------------------ bigram lm
+
+  /** Bigram LM scoring ([[graft.text.BigramLm]]): model fit on the
+    * EVEN doc_ids, odd docs scored — so unseen transitions actually
+    * occur and the smoothing floor is exercised under the gate.
+    * Gate-only: runtime face is `text_lm_score`'s broadcast-model
+    * projection shape (one map lookup per bigram instead of per
+    * token).
+    */
+  def textBigramLm(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.loadSpread(spark, dir, "documents")
+    val fitted = graft.text.BigramLm.model(
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", VocabK)
+    graft.text.BigramLm.scoreWith(
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", fitted)
+      .orderBy("doc_id")
+  }
+
+  val textBigramLmSql: String = {
+    val kd = VocabK + 2
+    def side(tag: String, parity: Int): String =
+      s"""t_$tag AS (SELECT doc_id,
+         |    regexp_extract_all(lower(coalesce(text, '')),
+         |      '${TokenCount.TokenPattern}') AS t
+         |  FROM documents WHERE doc_id % 2 = $parity),
+         |tok_$tag AS (SELECT doc_id, pos, t[pos] AS token FROM
+         |  (SELECT doc_id, unnest(generate_series(1, len(t))) AS pos, t
+         |   FROM t_$tag)),
+         |cls_$tag AS (SELECT k.doc_id, k.pos,
+         |    CASE WHEN v.token IS NULL THEN chr(1) ELSE k.token END AS cls
+         |  FROM tok_$tag k LEFT JOIN v ON v.token = k.token),
+         |pair_$tag AS (SELECT a.doc_id, a.pos, a.cls AS c1, b.cls AS c2
+         |  FROM cls_$tag a JOIN cls_$tag b
+         |    ON b.doc_id = a.doc_id AND b.pos = a.pos + 1)""".stripMargin
+    s"""WITH ptr AS (SELECT doc_id,
+       |    unnest(regexp_extract_all(lower(coalesce(text, '')),
+       |      '${TokenCount.TokenPattern}')) AS token
+       |  FROM documents WHERE doc_id % 2 = 0),
+       |pd AS (SELECT token, doc_id, count(*) AS n FROM ptr
+       |  GROUP BY token, doc_id),
+       |tv AS (SELECT token, sum(n) AS n_occurrences FROM pd GROUP BY token),
+       |v AS (SELECT token FROM
+       |  (SELECT * FROM tv ORDER BY n_occurrences DESC, token
+       |   LIMIT $VocabK)),
+       |${side("tr", 0)},
+       |b12 AS (SELECT c1, c2, count(*) AS cnt FROM pair_tr GROUP BY c1, c2),
+       |b1 AS (SELECT c1, CAST(sum(cnt) AS BIGINT) AS cnt1 FROM b12
+       |  GROUP BY c1),
+       |${side("sc", 1)},
+       |terms AS (SELECT p.doc_id, p.pos,
+       |    CAST(COALESCE(b12.cnt, 0) + 1 AS DOUBLE) AS c,
+       |    CAST(COALESCE(b1.cnt1, 0) + $kd AS DOUBLE) AS dc1,
+       |    CASE WHEN b12.cnt IS NULL THEN 1 ELSE 0 END AS unseen
+       |  FROM pair_sc p LEFT JOIN b12 ON b12.c1 = p.c1 AND b12.c2 = p.c2
+       |  LEFT JOIN b1 ON b1.c1 = p.c1),
+       |tt AS (SELECT doc_id, pos, unseen, dc1 / c AS rar,
+       |    -ln(c / dc1) AS nll FROM terms),
+       |agg AS (SELECT doc_id, count(*) AS nb,
+       |    CAST(sum(unseen) AS BIGINT) AS n_unseen,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list(rar ORDER BY pos)), (a, b) -> a + b) AS rarsum,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list(nll ORDER BY pos)), (a, b) -> a + b) AS nllsum
+       |  FROM tt GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  CAST(COALESCE(a.nb, 0) AS BIGINT) AS n_bigrams,
+       |  COALESCE(a.n_unseen, 0) AS n_unseen,
+       |  COALESCE(a.rarsum / a.nb, 0.0) AS rarity_mean,
+       |  CAST(COALESCE(floor(a.nllsum / a.nb * 1e6), 0) AS BIGINT) AS nll_q
+       |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+       |WHERE d.doc_id % 2 = 1 ORDER BY d.doc_id""".stripMargin
+  }
+
   // ------------------------------------------------------------ datasheet
 
   /** Per-source corpus DATASHEET — the one-call "data card" a corpus
@@ -1073,6 +1146,7 @@ object TextQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_datasheet" -> (pipelineDatasheet(_, _)),
+    "text_bigram_lm" -> (textBigramLm(_, _)),
     "text_bpe" -> (textBpe(_, _)),
     "text_bpe_segment" -> (textBpeSegment(_, _)),
     "text_decontam" -> (textDecontam(_, _)),
@@ -1103,6 +1177,7 @@ object TextQueries {
 
   val oracleSql: Map[String, String] = Map(
     "pipeline_datasheet" -> pipelineDatasheetSql,
+    "text_bigram_lm" -> textBigramLmSql,
     "text_bpe" -> textBpeSql,
     "text_bpe_segment" -> textBpeSegmentSql,
     "text_decontam" -> textDecontamSql,
