@@ -27,7 +27,7 @@ object Stress {
         "scd2", "semantic", "pmi", "epochs", "order", "profilediff",
         "outliers", "pagerank", "equidepth", "outliersbig", "heavyhitters",
         "hll", "kmeans", "kmeans4096", "simquant", "ivfserve", "linkage",
-        "bpe", "bm25", "knngraph")
+        "bpe", "bm25", "knngraph", "cms")
     val spark = Sessions.local("32")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -916,6 +916,26 @@ object Stress {
       timedWarm("ivfserve2")(serveOnce())
       spark.sql("DROP TABLE IF EXISTS stress_ivf_idx")
       spark.sql("DROP TABLE IF EXISTS stress_ivf_idx_model")
+      spark.catalog.clearCache()
+    }
+
+    if (which("cms")) {
+      // bounded-state claim at 10× corpus: ~3.5M token occurrences
+      // explode ×depth yet aggregate to ≤ depth×width cells — the
+      // shuffle carries bounded state per partition regardless of
+      // stream size; the probe pass estimates EVERY distinct token
+      // against the broadcast cell table
+      val toks = staged(corpus10x.select(
+        explode(graft.text.TokenCount.tokens(col("text"))).as("token")))
+      val cfg = operators.CountMin.Config()
+      timedWarm("cms") {
+        val cells = operators.CountMin.cells(toks, "token", cfg).persist()
+        val nc = cells.count()
+        require(nc <= cfg.depth.toLong * cfg.width,
+          s"cell table exceeded its bound: $nc")
+        operators.CountMin
+          .estimates(cells, toks.distinct(), "token", cfg).count()
+      }
       spark.catalog.clearCache()
     }
 
