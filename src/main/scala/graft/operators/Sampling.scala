@@ -42,6 +42,30 @@ object Sampling {
       salt: String = "split"): Column =
     when(coordinate(id, salt) < evalFraction, lit("eval")).otherwise(lit("train"))
 
+  /** Dedup-aware train/eval split — the eval-contamination guard: a
+    * near-duplicate of a training document sitting in the eval set
+    * silently inflates every metric, and a per-document split CANNOT
+    * prevent it (the two docs draw independently). Here the split
+    * coordinate draws once per GROUP: `comps` is an (id, comp)
+    * components frame over verified near-dup pairs (any
+    * [[graft.dedup.Clusters.connectedComponents]] output); clustered
+    * docs inherit their component's draw, singletons draw on their own
+    * id — so no near-dup pair can ever straddle the split, while
+    * singleton assignment stays exactly [[splitColumn]].
+    *
+    * Scale shape: one left equi-join of the corpus ids against the
+    * components frame (bounded by the clustered-doc count — at real
+    * dup rates far smaller than the corpus, and broadcast when small);
+    * the split itself is a pure projection.
+    */
+  def leakageFreeSplit(docs: DataFrame, comps: DataFrame, idCol: String,
+      evalFraction: Double, salt: String = "split"): DataFrame =
+    docs.select(col(idCol))
+      .join(comps.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        splitColumn(coalesce(col("comp"), col(idCol)), evalFraction, salt)
+          .as("split"))
+
   /** Keep at most `cap` rows per stratum — the domain/source quota of a
     * training mix (no single crawl domain may dominate). Which rows
     * survive is deterministic: rank by the md5 coordinate (a fixed

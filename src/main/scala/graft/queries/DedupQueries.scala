@@ -540,6 +540,48 @@ object DedupQueries {
        |  SELECT r.id, e.dst FROM r JOIN edges e ON e.src = r.v)
        |SELECT id, min(v) AS comp FROM r GROUP BY id ORDER BY id""".stripMargin
 
+  // --------------------------------------------------- leakage-free split
+
+  /** Leakage-free train/eval split
+    * ([[graft.operators.Sampling.leakageFreeSplit]]): the md5 split
+    * coordinate draws once per near-dup COMPONENT (verified minhash
+    * pairs → connected components), so no near-duplicate pair can
+    * straddle the split — the eval-contamination guard a per-document
+    * split cannot provide. Gate-only: runtime face is the benched
+    * minhash + clusters family plus a projection.
+    */
+  def sampleSplitSafe(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.loadSpread(spark, dir, "documents")
+    val comps = Clusters.connectedComponents(
+      MinHashLSH.nearDuplicatePairs(docs, "doc_id", "text", cfg)
+        .select(col("doc_a"), col("doc_b")),
+      "doc_a", "doc_b")
+    graft.operators.Sampling
+      .leakageFreeSplit(docs, comps, "doc_id", evalFraction = 0.2)
+      .orderBy("doc_id")
+  }
+
+  val sampleSplitSafeSql: String = {
+    val coord = OracleDialect.hexPrefixToLong(
+      "md5('split:'||CAST(gkey AS VARCHAR))", 8)
+    s"""WITH RECURSIVE ${minhashJacCtes("documents")},
+       |pairs AS (SELECT doc_a, doc_b FROM jac
+       |  WHERE jaccard >= ${cfg.threshold}),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |          UNION SELECT doc_b, doc_a FROM pairs),
+       |r(id, v) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT r.id, e.dst FROM r JOIN edges e ON e.src = r.v),
+       |comp AS (SELECT id, min(v) AS comp FROM r GROUP BY id),
+       |keyed AS (SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS gkey
+       |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)
+       |SELECT doc_id,
+       |  CASE WHEN CAST($coord AS DOUBLE) / 4294967296 < 0.2
+       |    THEN 'eval' ELSE 'train' END AS split
+       |FROM keyed ORDER BY doc_id""".stripMargin
+  }
+
   // ------------------------------------------------------- canonical pick
 
   /** Canonical representative per near-dup cluster — the decision a
@@ -629,6 +671,7 @@ object DedupQueries {
     "dedup_embed" -> (dedupEmbed(_, _)),
     "dedup_semantic" -> (dedupSemantic(_, _)),
     "dedup_clusters" -> (dedupClusters(_, _)),
+    "sample_split_safe" -> (sampleSplitSafe(_, _)),
     "dedup_incremental" -> (dedupIncremental(_, _)),
     "dedup_embed_incr" -> (dedupEmbedIncr(_, _)))
 
@@ -645,6 +688,7 @@ object DedupQueries {
     "dedup_embed" -> dedupEmbedSql,
     "dedup_semantic" -> dedupSemanticSql,
     "dedup_clusters" -> dedupClustersSql,
+    "sample_split_safe" -> sampleSplitSafeSql,
     "dedup_incremental" -> dedupIncrementalSql,
     "dedup_embed_incr" -> dedupEmbedIncrSql)
 }
