@@ -29,7 +29,7 @@ object NgramJaccard {
   /** (doc_id, sh) hashed distinct-shingle postings — the inverted
     * index both the resemblance and containment faces self-join.
     */
-  private def hashedShingles(docs: DataFrame, idCol: String,
+  private[dedup] def hashedShingles(docs: DataFrame, idCol: String,
       textCol: String, shingleSize: Int): DataFrame =
     docs.select(col(idCol).as("doc_id"),
         explode(textShingles(col(textCol), shingleSize)).as("sh0"))

@@ -312,6 +312,50 @@ object DedupQueries {
        |WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= 0.8
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Prefix-filtered EXACT similarity self-join
+    * ([[graft.dedup.PrefixFilterJoin]]): same contract and result set
+    * as `dedup_ngram` (the equality is spec'd AND both gates hash the
+    * same oracle-side row set), but candidates come only from each
+    * document's rarest `|A| - ceil(0.8|A|) + 1` shingles under the
+    * global (df ASC, sh ASC) order — complete by the prefix-filter
+    * theorem, with fanout collapsing toward the true-pair count
+    * instead of Σ df². Gate-only: runtime face is `dedup_ngram`'s
+    * inverted-index self-join (this path strictly reduces it).
+    */
+  def dedupSsjoin(spark: SparkSession, dir: String): DataFrame =
+    PrefixFilterJoin.nearDuplicatePairs(
+        Tables.loadSpread(spark, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_a", "doc_b")
+
+  val dedupSsjoinSql: String =
+    s"""WITH ${shingleCtes()},
+       |hx AS (SELECT doc_id,
+       |  CAST(${OracleDialect.hexPrefixToLong("md5(sh)", 15)} AS BIGINT)
+       |    AS shh FROM shx),
+       |dfreq AS (SELECT shh, count(*) AS df FROM hx GROUP BY shh),
+       |ranked AS (SELECT h.doc_id, h.shh,
+       |    row_number() OVER (PARTITION BY h.doc_id
+       |      ORDER BY d.df, h.shh) AS pos,
+       |    count(*) OVER (PARTITION BY h.doc_id) AS n
+       |  FROM hx h JOIN dfreq d ON d.shh = h.shh),
+       |pfx AS (SELECT doc_id, shh FROM ranked
+       |  WHERE pos <= n - ceil(CAST(n AS DOUBLE) * 0.8) + 1),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM pfx a JOIN pfx b ON a.shh = b.shh AND a.doc_id < b.doc_id),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM hx GROUP BY doc_id),
+       |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS i
+       |  FROM cand c
+       |  JOIN hx a ON a.doc_id = c.doc_a
+       |  JOIN hx b ON b.doc_id = c.doc_b AND b.shh = a.shh
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |  CAST(i AS DOUBLE) / (na.n + nb.n - i) AS jaccard
+       |FROM inter
+       |JOIN sizes na ON na.doc_id = doc_a
+       |JOIN sizes nb ON nb.doc_id = doc_b
+       |WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= 0.8
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   // ------------------------------------------------------------- triplets
 
   private val TripletNegatives = 2
@@ -667,6 +711,7 @@ object DedupQueries {
     "dedup_minhash_sharp" -> (dedupMinhashSharp(_, _)),
     "dedup_simhash" -> (dedupSimhash(_, _)),
     "dedup_ngram" -> (dedupNgram(_, _)),
+    "dedup_ssjoin" -> (dedupSsjoin(_, _)),
     "dedup_containment" -> (dedupContainment(_, _)),
     "dedup_embed" -> (dedupEmbed(_, _)),
     "dedup_semantic" -> (dedupSemantic(_, _)),
@@ -684,6 +729,7 @@ object DedupQueries {
     "dedup_minhash_sharp" -> dedupMinhashSharpSql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_ngram" -> dedupNgramSql,
+    "dedup_ssjoin" -> dedupSsjoinSql,
     "dedup_containment" -> dedupContainmentSql,
     "dedup_embed" -> dedupEmbedSql,
     "dedup_semantic" -> dedupSemanticSql,
