@@ -91,6 +91,53 @@ object SimilarityQueries {
        |  FROM p)
        |WHERE rank <= $K ORDER BY q_id, rank""".stripMargin
 
+  // ------------------------------------------------------------ multiprobe
+
+  private val MpProbes = 3 // own bucket + 2 lowest-margin bit flips
+
+  /** Multi-probe LSH ([[graft.similarity.HyperplaneLSH.topKMultiProbe]]):
+    * each query also searches the buckets reached by flipping its
+    * $MpProbes - 1 lowest-margin sign bits. Gate-only: runtime face is
+    * `sim_lsh_bucket`'s bucket equi-join (the probe fan-out explodes
+    * `numPlanes` rows per QUERY, not per corpus vector).
+    */
+  def simLshMultiprobe(spark: SparkSession, dir: String): DataFrame =
+    HyperplaneLSH.topKMultiProbe(Tables.loadSpread(spark, dir, "embeddings"),
+        "vec_id", "embedding", _ < QueryCount, K, MpProbes, lshCfg)
+      .orderBy("q_id", "rank")
+
+  val simLshMultiprobeSql: String = {
+    val marginArms = (0 until lshCfg.numPlanes).map { p =>
+      s"""SELECT vec_id, v, nrm, bucket, $p AS p,
+         |    abs(${foldDot("v", s"pl.p$p")}) AS mg
+         |  FROM b JOIN planes pl ON TRUE WHERE vec_id < $QueryCount"""
+        .stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH $planesCteSql,
+       |v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, ${foldDot("v", "v")} AS nrm FROM v),
+       |b AS (SELECT vec_id, v, nrm,
+       |    $bucketSql AS bucket
+       |  FROM n CROSS JOIN planes pl),
+       |m AS ($marginArms),
+       |flips AS (SELECT vec_id, v, nrm, xor(bucket, 1 << p) AS pb FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |      ORDER BY mg, p) AS rn FROM m)
+       |  WHERE rn <= ${MpProbes - 1}),
+       |probes AS (SELECT vec_id, v, nrm, bucket AS pb FROM b
+       |    WHERE vec_id < $QueryCount
+       |  UNION ALL SELECT vec_id, v, nrm, pb FROM flips),
+       |p AS (SELECT q.vec_id AS q_id, d.vec_id AS n_id,
+       |    ${foldDot("q.v", "d.v")} / (sqrt(q.nrm) * sqrt(d.nrm)) AS cos_sim
+       |  FROM probes q JOIN b d ON d.bucket = q.pb AND d.vec_id <> q.vec_id)
+       |SELECT q_id, rank, n_id, cos_sim FROM (
+       |  SELECT q_id, n_id, cos_sim,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id
+       |                       ORDER BY cos_sim DESC, n_id) AS rank
+       |  FROM p)
+       |WHERE rank <= $K ORDER BY q_id, rank""".stripMargin
+  }
+
   // ------------------------------------------------------------------ ivf
 
   def simIvf(spark: SparkSession, dir: String): DataFrame =
@@ -911,6 +958,7 @@ object SimilarityQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk" -> (simTopk(_, _)),
     "sim_lsh_bucket" -> (simLshBucket(_, _)),
+    "sim_lsh_multiprobe" -> (simLshMultiprobe(_, _)),
     "sim_ivf" -> (simIvf(_, _)),
     "sim_knn_graph" -> (simKnnGraph(_, _)),
     "sim_nn_descent" -> (simNnDescent(_, _)),
@@ -931,6 +979,7 @@ object SimilarityQueries {
   val oracleSql: Map[String, String] = Map(
     "sim_topk" -> simTopkSql,
     "sim_lsh_bucket" -> simLshBucketSql,
+    "sim_lsh_multiprobe" -> simLshMultiprobeSql,
     "sim_ivf" -> simIvfSql,
     "sim_knn_graph" -> simKnnGraphSql,
     "sim_nn_descent" -> simNnDescentSql,

@@ -73,4 +73,54 @@ object HyperplaneLSH {
       .filter(col("rank") <= k)
       .select("q_id", "rank", "n_id", "cos_sim")
   }
+
+  /** Multi-probe variant (Lv et al., VLDB 2007, transposed to
+    * hyperplane LSH): besides its own bucket, each query probes the
+    * buckets reached by flipping the `nProbe - 1` sign bits whose
+    * margin `|q·plane_p|` is smallest — the planes the query sits
+    * closest to, where a true neighbor most plausibly landed on the
+    * other side. Recall rises toward brute force without growing the
+    * table count or shrinking the planes; search cost is
+    * `nProbe × |corpus| / 2^planes` per query.
+    *
+    * Shape: margins explode `numPlanes` rows per QUERY (the small
+    * side); the rank window partitions by q_id; every probe is a
+    * distinct bucket and each corpus vector lives in exactly one
+    * bucket, so candidates never duplicate and no distinct step is
+    * needed. The bucket equi-join stays the only corpus-scale
+    * shuffle, identical to [[topKInBucket]].
+    */
+  def topKMultiProbe(vectors: DataFrame, idCol: String, vecCol: String,
+      isQuery: Column => Column, k: Int, nProbe: Int,
+      cfg: Config = Config()): DataFrame = {
+    require(nProbe >= 1 && nProbe <= cfg.numPlanes + 1,
+      s"nProbe must be in [1, numPlanes + 1], got $nProbe")
+    val prepared = vectors.select(col(idCol).as("vid"), col(vecCol).as("v"))
+      .withColumn("nrm", norm2(col("v")))
+      .withColumn("bucket", bucketExpr(col("v"), cfg))
+    val q = prepared.filter(isQuery(col("vid")))
+      .select(col("vid").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("bucket").as("qb"))
+    val margins = q.select(col("q_id"), col("qv"), col("qn"), col("qb"),
+      posexplode(array(planes(cfg).map(p =>
+        abs(dot(col("qv"), typedLit(p)))): _*)).as(Seq("p", "mg")))
+    val byMargin = Window.partitionBy("q_id").orderBy(col("mg"), col("p"))
+    val flips = margins
+      .withColumn("rn", row_number().over(byMargin))
+      .filter(col("rn") <= nProbe - 1)
+      .select(col("q_id"), col("qv"), col("qn"),
+        col("qb").bitwiseXOR(expr("shiftleft(1, p)")).as("pb"))
+    val probes = q.select(col("q_id"), col("qv"), col("qn"),
+        col("qb").as("pb"))
+      .unionByName(flips)
+    val pairs = prepared.join(probes,
+        col("bucket") === col("pb") && col("vid") =!= col("q_id"))
+      .select(col("q_id"), col("vid").as("n_id"),
+        cosineWithNorms(dot(col("qv"), col("v")), col("qn"), col("nrm"))
+          .as("cos_sim"))
+    val w = Window.partitionBy("q_id").orderBy(desc("cos_sim"), asc("n_id"))
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "n_id", "cos_sim")
+  }
 }
