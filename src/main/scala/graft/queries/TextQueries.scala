@@ -694,6 +694,63 @@ object TextQueries {
        |FROM p, tot
        |GROUP BY pack_first, stream_end ORDER BY pack_id""".stripMargin
 
+  // -------------------------------------------------------- gopher rules
+
+  /** Composite rule screen ([[graft.text.GopherRules]]). Gate-only:
+    * runtime faces are `text_stats`' shuffle-free projection and
+    * `text_repetition`'s bigram aggregate — this query adds one
+    * id-keyed summary join and the verdict projection.
+    */
+  def textGopher(spark: SparkSession, dir: String): DataFrame =
+    GopherRules.screen(
+        Tables.loadSpread(spark, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
+  val textGopherSql: String = {
+    val cfg = GopherRules.Config()
+    val stop = OracleDialect.stringList(TextStats.Stopwords)
+    s"""WITH w AS (
+       |  SELECT doc_id, text, string_split(lower(text), ' ') AS w
+       |  FROM documents),
+       |scalar AS (SELECT doc_id,
+       |  CAST(len(w) AS BIGINT) AS n_words,
+       |  CAST(length(text) - len(w) + 1 AS DOUBLE) / len(w) AS avg_word_len,
+       |  CAST(len(list_filter(w, x -> list_contains($stop, x))) AS DOUBLE)
+       |    / len(w) AS stopword_ratio,
+       |  CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS diversity
+       |  FROM w),
+       |g AS (
+       |  SELECT doc_id, CASE WHEN len(w) >= 2 THEN
+       |      [w[i] || ' ' || w[i+1] for i in generate_series(1, len(w)-1)]
+       |    ELSE [] END AS grams FROM w),
+       |e AS (
+       |  SELECT doc_id, UNNEST(CASE WHEN len(grams) = 0 THEN [NULL]
+       |    ELSE grams END) AS gram FROM g),
+       |h AS (
+       |  SELECT doc_id, gram, count(gram) AS n FROM e GROUP BY doc_id, gram),
+       |rep AS (
+       |  SELECT doc_id,
+       |    CASE WHEN COALESCE(sum(n), 0) > 0
+       |      THEN CAST(max(n) AS DOUBLE) / CAST(sum(n) AS BIGINT)
+       |      ELSE 0.0 END AS top_2gram_frac
+       |  FROM h GROUP BY doc_id),
+       |v AS (SELECT s.*, rep.top_2gram_frac,
+       |  concat_ws(',',
+       |    CASE WHEN n_words < ${cfg.minWords} OR n_words > ${cfg.maxWords}
+       |      THEN 'wordcount' END,
+       |    CASE WHEN avg_word_len < ${cfg.minAvgWordLen}
+       |           OR avg_word_len > ${cfg.maxAvgWordLen} THEN 'meanlen' END,
+       |    CASE WHEN stopword_ratio < ${cfg.minStopwordRatio}
+       |      THEN 'stopword' END,
+       |    CASE WHEN diversity < ${cfg.minDiversity} THEN 'diversity' END,
+       |    CASE WHEN top_2gram_frac > ${cfg.maxTopBigramFrac}
+       |      THEN 'repetition' END) AS reasons
+       |  FROM scalar s JOIN rep ON rep.doc_id = s.doc_id)
+       |SELECT doc_id, n_words, avg_word_len, stopword_ratio, diversity,
+       |  top_2gram_frac, reasons = '' AS keep, reasons
+       |FROM v ORDER BY doc_id""".stripMargin
+  }
+
   // ---------------------------------------------------------- repetition
 
   def textRepetition(spark: SparkSession, dir: String): DataFrame =
@@ -1156,6 +1213,7 @@ object TextQueries {
     "text_chunks" -> (textChunks(_, _)),
     "text_stats" -> (textStats(_, _)),
     "text_repetition" -> (textRepetition(_, _)),
+    "text_gopher" -> (textGopher(_, _)),
     "text_langid" -> (textLangid(_, _)),
     "text_langid_uni" -> (textLangidUni(_, _)),
     "text_tokens" -> (textTokens(_, _)),
@@ -1187,6 +1245,7 @@ object TextQueries {
     "text_chunks" -> textChunksSql,
     "text_stats" -> textStatsSql,
     "text_repetition" -> textRepetitionSql,
+    "text_gopher" -> textGopherSql,
     "text_langid" -> textLangidSql,
     "text_langid_uni" -> textLangidUniSql,
     "text_tokens" -> textTokensSql,
