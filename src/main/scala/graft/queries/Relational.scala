@@ -752,7 +752,63 @@ object Relational {
        |                       ORDER BY dist, c_custkey) AS rn
        |  FROM p) WHERE rn = 1 ORDER BY d_id""".stripMargin
 
+  /** Sorted-neighborhood linkage
+    * ([[graft.operators.SortedNeighborhood]]): the dirty roster
+    * resolved WITHOUT any equality blocking key — records pair inside
+    * a 4-row window of the global (digit-tail, side, id) order, so
+    * even a record whose every blocking column is corrupted still
+    * meets its clean twin. Gate-only: runtime face is `er_match`'s
+    * levenshtein + argmin (the rank adds one range exchange and a
+    * band-keyed join). The oracle states the SPEC — a single global
+    * `row_number() OVER (ORDER BY sk, side, id)` — so the hash match
+    * proves the two-level range rank equals the global-sort
+    * definition.
+    */
+  def erSorted(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(spark, dir, "customer")
+    graft.operators.SortedNeighborhood.resolve(
+        dirtyCustomers(Tables.loadSpread(spark, dir, "customer")), cust,
+        "d_id", "d_name", expr("right(d_name, 8)"),
+        "c_custkey", "c_name", expr("right(c_name, 8)"),
+        graft.operators.SortedNeighborhood.Config(window = 4, threshold = 2))
+      .orderBy("d_id")
+  }
+
+  val erSortedSql: String =
+    s"""WITH d AS (SELECT c_custkey + 10000000 AS d_id,
+       |    CASE WHEN substr(md5(CAST(c_custkey AS VARCHAR)), 1, 1)
+       |        IN ('0','1','2','3','4')
+       |      THEN concat(substr(c_name, 1, 5), substr(c_name, 7, 1),
+       |                  substr(c_name, 6, 1), substr(c_name, 8, 100))
+       |    WHEN substr(md5(CAST(c_custkey AS VARCHAR)), 1, 1)
+       |        IN ('5','6','7','8','9')
+       |      THEN concat('c', substr(c_name, 2, 100))
+       |    ELSE c_name END AS d_name
+       |  FROM customer),
+       |u AS (SELECT 0 AS side, d_id AS id, d_name AS txt,
+       |    right(d_name, 8) AS sk FROM d
+       |  UNION ALL SELECT 1, c_custkey, c_name, right(c_name, 8)
+       |  FROM customer),
+       |rk AS (SELECT side, id, txt,
+       |    row_number() OVER (ORDER BY sk, side, id) - 1 AS rank FROM u),
+       |l AS (SELECT id AS lid, txt AS ltxt, rank AS lr, rank // 3 AS band
+       |  FROM rk WHERE side = 0),
+       |r AS (SELECT id AS rid, txt AS rtxt, rank AS rr,
+       |    rank // 3 + t.dd AS band
+       |  FROM rk, (VALUES (-1), (0), (1)) t(dd) WHERE side = 1),
+       |p AS (SELECT lid, rid,
+       |    CAST(levenshtein(ltxt, rtxt) AS INTEGER) AS dist
+       |  FROM l JOIN r USING (band)
+       |  WHERE abs(lr - rr) <= 3 AND levenshtein(ltxt, rtxt) <= 2)
+       |SELECT d_id, match_id, match_dist, n_cand FROM (
+       |  SELECT lid AS d_id, rid AS match_id, dist AS match_dist,
+       |    count(*) OVER (PARTITION BY lid) AS n_cand,
+       |    ROW_NUMBER() OVER (PARTITION BY lid
+       |                       ORDER BY dist, rid) AS rn
+       |  FROM p) WHERE rn = 1 ORDER BY d_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "er_sorted" -> (erSorted(_, _)),
     "dq_checks" -> (dqChecks(_, _)),
     "er_match" -> (erMatch(_, _)),
     "q1_agg" -> (q1Agg(_, _)),
@@ -779,6 +835,7 @@ object Relational {
 
   val oracleSql: Map[String, String] = Map(
     "er_match" -> erMatchSql,
+    "er_sorted" -> erSortedSql,
     "q1_agg" -> q1AggSql,
     "q_histogram" -> qHistogramSql,
     "q_profile" -> qProfileSql,
