@@ -289,6 +289,48 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("keyword serve: per-micro-batch top-k equals the served-index batch operator") {
+    import graft.text.Bm25
+    import graft.queries.Tables
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    try {
+      Bm25.writeIndex(docs, "doc_id", "text", "kw_serve_idx")
+      val termRows = Bm25.rankedQueryTerms(docs, "doc_id", "text",
+          firstRank = 20, nQueries = 4)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      val stream = MemoryStream[(Long, String)](spark)
+      val seen = scala.collection.mutable.Map
+        .empty[Long, Set[(Long, Int, Long, Double)]]
+      val q = KeywordServe.serve(stream.toDF().toDF("q_id", "term"),
+          "kw_serve_idx", 5) { (batchId, topk) =>
+          seen += batchId -> topk.collect()
+            .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+              r.getDouble(3))).toSet
+        }.start()
+      try {
+        val (b1, b2) = termRows.partition(_._1 < 2)
+        stream.addData(b1)
+        q.processAllAvailable()
+        stream.addData(b2)
+        q.processAllAvailable()
+        // stream face ≡ the spec'd batch serving path per micro-batch
+        for ((batch, id) <- Seq(b1 -> 0L, b2 -> 1L)) {
+          val expect = Bm25.topDocsIndexed(spark, "kw_serve_idx",
+              batch.toDF("q_id", "term"), 5)
+            .collect()
+            .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+              r.getDouble(3))).toSet
+          assert(seen(id) === expect)
+          assert(seen(id).nonEmpty)
+        }
+      } finally q.stop()
+    } finally {
+      for (s <- Seq("postings", "df", "dl", "stats"))
+        spark.sql(s"DROP TABLE IF EXISTS kw_serve_idx_$s")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("scd2 stream: CDC micro-batches fold into the sequential batch history") {
     import graft.operators.Scd2
     val day0 = Seq((1L, "alice", "US"), (2L, "bob", "DE"))
