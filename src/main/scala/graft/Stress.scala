@@ -27,7 +27,7 @@ object Stress {
         "scd2", "semantic", "pmi", "epochs", "order", "profilediff",
         "outliers", "pagerank", "equidepth", "outliersbig", "heavyhitters",
         "hll", "kmeans", "kmeans4096", "simquant", "ivfserve", "linkage",
-        "bpe", "bm25", "knngraph", "cms")
+        "bpe", "bm25", "knngraph", "cms", "ssjoin")
     val spark = Sessions.local("32")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -93,6 +93,41 @@ object Stress {
       val corpus = staged(corpus10x)
       timed("minhash") {
         MinHashLSH.nearDuplicatePairs(corpus, "doc_id", "text").count()
+      }
+    }
+
+    if (which("ssjoin")) {
+      // the prefix-filter join's reason to exist, at scale: 51k docs
+      // ALL sharing a 10-word boilerplate footer. The plain postings
+      // self-join would fan out df² ≈ 51k² candidate rows through each
+      // of the ~8 footer shingles (~2·10^10 rows — unrunnable); the
+      // footer shingles sort LAST in the (df, sh) order and never
+      // enter any prefix, so the exact join runs in seconds. Copies
+      // get per-copy word suffixes (disjoint shingles across copies);
+      // every 50th doc also plants an exact-clone twin at id + 10^7.
+      val footer = (0 until 10).map(i => s"foot$i").mkString(" ")
+      val base = queries.Tables.loadSpread(spark, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(0), lit(9))).as("copy"))
+        .select((col("doc_id") + col("copy") * 1000000L).as("doc_id"),
+          concat(
+            expr("array_join(transform(split(text, ' '), " +
+              "w -> concat(w, '_c', copy)), ' ')"),
+            lit(s" $footer")).as("text"))
+      val twins = base.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+      val corpus = staged(base.unionByName(twins).repartition(32))
+      val nTwins = twins.count()
+      timed("ssjoin") {
+        val pairs = graft.dedup.PrefixFilterJoin
+          .nearDuplicatePairs(corpus, "doc_id", "text").persist()
+        val cross = pairs.filter(col("doc_b") >= 10000000L)
+        // completeness: every planted twin pair must be found (J = 1)
+        val planted = cross
+          .filter(col("doc_b") - col("doc_a") === 10000000L).count()
+        require(planted == nTwins,
+          s"expected all $nTwins planted twin pairs, got $planted")
+        pairs.count()
       }
     }
 
