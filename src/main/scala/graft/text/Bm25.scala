@@ -158,10 +158,50 @@ object Bm25 {
     graft.sources.Bucketing.writeBucketed(
       perDocTerm.groupBy("doc_id").agg(sum("tf").as("dl")),
       s"${table}_dl", "doc_id", numBuckets)
+    // total_tokens rides along so incremental maintenance can fold in
+    // a batch with exact integer arithmetic (avgdl alone would force a
+    // lossy total = avgdl × n reconstruction)
     docs.agg(count(lit(1)).as("n_docs"))
       .crossJoin(perDocTerm.agg(sum("tf").as("total_tokens")))
-      .select(col("n_docs"),
+      .select(col("n_docs"), col("total_tokens"),
         (col("total_tokens").cast("double") / col("n_docs")).as("avgdl"))
+      .write.mode("overwrite").saveAsTable(s"${table}_stats")
+    perDocTerm.unpersist(blocking = false)
+  }
+
+  /** Fold a document batch into a [[writeIndex]]-persisted model —
+    * the lexical sibling of `IvfPq.appendToIndex` (same contract:
+    * batch ids disjoint from the indexed corpus). Postings and dl
+    * rows APPEND with the standing bucket spec; df and the 1-row
+    * stats fold the batch deltas into a `localCheckpoint`'d snapshot
+    * of the standing tables (lineage cut so the overwrite may read
+    * its own table — the Scd2Stream discipline). Cost per batch is
+    * batch + vocabulary scale; the corpus-scale postings are never
+    * re-scanned. Append-then-serve ≡ index-the-union (spec'd).
+    */
+  def appendToIndex(batch: DataFrame, idCol: String, textCol: String,
+      table: String, numBuckets: Int = 32): Unit = {
+    val spark = batch.sparkSession
+    val perDocTerm = postings(batch, idCol, textCol).persist()
+    perDocTerm.write.bucketBy(numBuckets, "term").sortBy("term")
+      .mode("append").saveAsTable(s"${table}_postings")
+    docLengths(perDocTerm).write.bucketBy(numBuckets, "doc_id")
+      .sortBy("doc_id").mode("append").saveAsTable(s"${table}_dl")
+    val oldDf = spark.table(s"${table}_df").localCheckpoint()
+    graft.sources.Bucketing.writeBucketed(
+      oldDf.unionByName(
+          perDocTerm.groupBy("term").agg(count(lit(1)).as("df")))
+        .groupBy("term").agg(sum("df").as("df")),
+      s"${table}_df", "term", numBuckets)
+    val oldStats = spark.table(s"${table}_stats").localCheckpoint()
+    oldStats
+      .crossJoin(broadcast(batch.agg(count(lit(1)).as("_bn"))
+        .crossJoin(perDocTerm.agg(
+          coalesce(sum("tf"), lit(0L)).as("_bt")))))
+      .select((col("n_docs") + col("_bn")).as("n_docs"),
+        (col("total_tokens") + col("_bt")).as("total_tokens"))
+      .withColumn("avgdl",
+        col("total_tokens").cast("double") / col("n_docs"))
       .write.mode("overwrite").saveAsTable(s"${table}_stats")
     perDocTerm.unpersist(blocking = false)
   }

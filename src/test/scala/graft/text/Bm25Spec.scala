@@ -112,4 +112,49 @@ class Bm25Spec extends AnyFunSuite {
       spark.catalog.clearCache()
     }
   }
+
+  test("append-then-serve == index-the-union (incremental maintenance)") {
+    import spark.implicits._
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("q_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .toSeq
+    val evens = docs.filter(col("doc_id") % 2 === 0)
+    // plant one batch-only doc with a vocabulary-unique term so the
+    // immediate-retrievability claim below cannot be vacuous
+    val odds = docs.filter(col("doc_id") % 2 === 1)
+      .unionByName(Seq((999999L, "zzzuniq zzzuniq word table", "en",
+        "src0", 26L)).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val qt = Bm25.rankedQueryTerms(docs, "doc_id", "text", 21, 8)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      .toDF("q_id", "term")
+    try {
+      Bm25.writeIndex(evens, "doc_id", "text", "bm25_incr", numBuckets = 8)
+      Bm25.appendToIndex(odds, "doc_id", "text", "bm25_incr",
+        numBuckets = 8)
+      Bm25.writeIndex(evens.unionByName(odds), "doc_id", "text",
+        "bm25_full", numBuckets = 8)
+      assert(rows(Bm25.topDocsIndexed(spark, "bm25_incr", qt, 10)) ===
+        rows(Bm25.topDocsIndexed(spark, "bm25_full", qt, 10)))
+      // stats folded exactly: integer counts identical, avgdl the same
+      // single division
+      val si = spark.table("bm25_incr_stats").collect().head
+      val sf = spark.table("bm25_full_stats").collect().head
+      assert(si.getLong(0) === sf.getLong(0))
+      assert(si.getLong(1) === sf.getLong(1))
+      assert(si.getDouble(2) === sf.getDouble(2))
+      // the planted batch-only document is immediately retrievable,
+      // and only batch docs carry its unique term
+      val hits = Bm25.topDocsIndexed(spark, "bm25_incr",
+        Seq((0L, "zzzuniq")).toDF("q_id", "term"), 10).collect()
+      assert(hits.length === 1 && hits.head.getLong(2) === 999999L,
+        "the appended doc must be served for its unique term")
+    } finally {
+      Seq("postings", "df", "dl", "stats").foreach { s =>
+        spark.sql(s"DROP TABLE IF EXISTS bm25_incr_$s")
+        spark.sql(s"DROP TABLE IF EXISTS bm25_full_$s")
+      }
+      spark.catalog.clearCache()
+    }
+  }
 }
