@@ -126,6 +126,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         s"md5_prefix_long takes (s, digits), got ${args.length}")
       Md5PrefixLong(args.head, intLit(args(1), "md5_prefix_long", 2))
     })
+    inject("hilbert_index", { args =>
+      require(args.length == 2,
+        s"hilbert_index takes (x, y), got ${args.length}")
+      HilbertIndex(args.head, args(1))
+    })
     inject("rolling_fingerprint", { args =>
       require(args.length == 1,
         s"rolling_fingerprint takes 1 argument, got ${args.length}")

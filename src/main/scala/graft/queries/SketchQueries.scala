@@ -283,7 +283,41 @@ object SketchQueries {
        |FROM z GROUP BY 1 ORDER BY z_bucket""".stripMargin
   }
 
+  /** Hilbert-layout audit ([[graft.operators.HilbertLayout]]): the
+    * `zorder_stats` frame on the locality-superior curve, over the
+    * same (custkey, order-day) dimensions. Gate-only: runtime face is
+    * `zorder_stats`' quantize + bucket aggregate (the index swap is a
+    * per-row expression). The oracle replays Hamilton's 16-step walk
+    * as chained CTEs, so the hash verifies every index bit.
+    */
+  def hilbertStats(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+    graft.operators.HilbertLayout.bucketStats(orders,
+        col("o_custkey"),
+        datediff(col("o_orderdate"), lit("1992-01-01")),
+        prefixShift = 18)
+      .orderBy("h_bucket")
+  }
+
+  val hilbertStatsSql: String = {
+    val day = "date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))"
+    val (walk, last) = graft.expressions.HilbertIndex.walkSql("q",
+      keep = Seq("hx", "hy"))
+    s"""WITH base AS (SELECT CAST(o_custkey AS BIGINT) AS hx,
+       |    CAST($day AS BIGINT) AS hy FROM orders),
+       |s AS (SELECT ${ZOrder.quantShiftSql("max(hx)")} AS xs,
+       |    ${ZOrder.quantShiftSql("max(hy)")} AS ys FROM base),
+       |q AS (SELECT (hx >> xs) & 65535 AS x, (hy >> ys) & 65535 AS y,
+       |    CAST(0 AS BIGINT) AS d, hx, hy FROM base, s),
+       |$walk
+       |SELECT d >> 18 AS h_bucket, count(*) AS n,
+       |  min(hx) AS x_min, max(hx) AS x_max,
+       |  min(hy) AS y_min, max(hy) AS y_max
+       |FROM $last GROUP BY 1 ORDER BY h_bucket""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "hilbert_stats" -> (hilbertStats(_, _)),
     "kmv_distinct" -> (kmvDistinct(_, _)),
     "hll_distinct" -> (hllDistinct(_, _)),
     "hll_upsert" -> (hllUpsert(_, _)),
@@ -293,6 +327,7 @@ object SketchQueries {
     "zorder_stats" -> (zorderStats(_, _)))
 
   val oracleSql: Map[String, String] = Map(
+    "hilbert_stats" -> hilbertStatsSql,
     "kmv_distinct" -> kmvDistinctSql,
     "hll_distinct" -> hllDistinctSql,
     "hll_upsert" -> hllUpsertSql,

@@ -33,6 +33,12 @@ class SqlRegistrationSpec extends AnyFunSuite {
     assert(r.getSeq[String](0) === Seq("ab", "bé", "éd"))
   }
 
+  test("hilbert_index parses from SQL and matches the static walk") {
+    val r = spark.sql(
+      "SELECT hilbert_index(CAST(7 AS BIGINT), CAST(11 AS BIGINT))").head
+    assert(r.getLong(0) === HilbertIndex.index(7L, 11L))
+  }
+
   test("rolling_fingerprint matches the Column-API form") {
     val sql = spark.sql("SELECT rolling_fingerprint(t) FROM sql_reg_in")
       .head.getLong(0)
