@@ -138,6 +138,80 @@ object SimilarityQueries {
        |WHERE rank <= $K ORDER BY q_id, rank""".stripMargin
   }
 
+  // ----------------------------------------------------------- eval
+
+  /** Ranking-quality leaderboard row ([[RetrievalEval.metrics]]):
+    * multi-probe LSH scored against brute-force truth — hits,
+    * precision@k, recall@k, reciprocal rank, all rational (no logs)
+    * so the eval frame itself hash-verifies. Gate-only: runtime faces
+    * are `sim_topk` + `sim_lsh_multiprobe`'s searches plus one
+    * query×k-scale join.
+    */
+  def simEval(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.loadSpread(spark, dir, "embeddings")
+    RetrievalEval.metrics(
+        BruteForceKNN.topK(emb, "vec_id", "embedding", _ < QueryCount, K),
+        HyperplaneLSH.topKMultiProbe(emb, "vec_id", "embedding",
+          _ < QueryCount, K, MpProbes, lshCfg),
+        K)
+      .orderBy("q_id")
+  }
+
+  val simEvalSql: String = {
+    val marginArms = (0 until lshCfg.numPlanes).map { p =>
+      s"""SELECT vec_id, v, nrm, bucket, $p AS p,
+         |    abs(${foldDot("v", s"pl.p$p")}) AS mg
+         |  FROM b JOIN planes pl ON TRUE WHERE vec_id < $QueryCount"""
+        .stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH $planesCteSql,
+       |v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, ${foldDot("v", "v")} AS nrm FROM v),
+       |b AS (SELECT vec_id, v, nrm,
+       |    $bucketSql AS bucket
+       |  FROM n CROSS JOIN planes pl),
+       |m AS ($marginArms),
+       |flips AS (SELECT vec_id, v, nrm, xor(bucket, 1 << p) AS pb FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |      ORDER BY mg, p) AS rn FROM m)
+       |  WHERE rn <= ${MpProbes - 1}),
+       |probes AS (SELECT vec_id, v, nrm, bucket AS pb FROM b
+       |    WHERE vec_id < $QueryCount
+       |  UNION ALL SELECT vec_id, v, nrm, pb FROM flips),
+       |ap AS (SELECT q.vec_id AS q_id, d.vec_id AS n_id,
+       |    ${foldDot("q.v", "d.v")} / (sqrt(q.nrm) * sqrt(d.nrm)) AS cos_sim
+       |  FROM probes q JOIN b d ON d.bucket = q.pb AND d.vec_id <> q.vec_id),
+       |apx AS (SELECT q_id, n_id, rank FROM (
+       |  SELECT q_id, n_id,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id
+       |                       ORDER BY cos_sim DESC, n_id) AS rank
+       |  FROM ap) WHERE rank <= $K),
+       |tp AS (SELECT q.vec_id AS q_id, d.vec_id AS n_id,
+       |    ${foldDot("q.v", "d.v")} / (sqrt(q.nrm) * sqrt(d.nrm)) AS cos_sim
+       |  FROM n q CROSS JOIN n d
+       |  WHERE q.vec_id < $QueryCount AND d.vec_id <> q.vec_id),
+       |tru AS (SELECT q_id, n_id FROM (
+       |  SELECT q_id, n_id,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id
+       |                       ORDER BY cos_sim DESC, n_id) AS rank
+       |  FROM tp) WHERE rank <= $K),
+       |tn AS (SELECT q_id, count(*) AS n_truth FROM tru GROUP BY q_id),
+       |mt AS (SELECT a.q_id, a.rank,
+       |    CASE WHEN t.n_id IS NOT NULL THEN 1 END AS hit
+       |  FROM apx a LEFT JOIN tru t
+       |    ON t.q_id = a.q_id AND t.n_id = a.n_id),
+       |pq AS (SELECT q_id, count(hit) AS hits,
+       |    min(CASE WHEN hit = 1 THEN rank END) AS first_rel
+       |  FROM mt GROUP BY q_id)
+       |SELECT tn.q_id AS q_id,
+       |  COALESCE(hits, 0) AS hits,
+       |  CAST(COALESCE(hits, 0) AS DOUBLE) / $K AS precision,
+       |  CAST(COALESCE(hits, 0) AS DOUBLE) / n_truth AS recall,
+       |  COALESCE(1.0 / first_rel, 0.0) AS rr
+       |FROM tn LEFT JOIN pq ON pq.q_id = tn.q_id
+       |ORDER BY tn.q_id""".stripMargin
+  }
+
   // ------------------------------------------------------------------ ivf
 
   def simIvf(spark: SparkSession, dir: String): DataFrame =
@@ -959,6 +1033,7 @@ object SimilarityQueries {
     "sim_topk" -> (simTopk(_, _)),
     "sim_lsh_bucket" -> (simLshBucket(_, _)),
     "sim_lsh_multiprobe" -> (simLshMultiprobe(_, _)),
+    "sim_eval" -> (simEval(_, _)),
     "sim_ivf" -> (simIvf(_, _)),
     "sim_knn_graph" -> (simKnnGraph(_, _)),
     "sim_nn_descent" -> (simNnDescent(_, _)),
@@ -980,6 +1055,7 @@ object SimilarityQueries {
     "sim_topk" -> simTopkSql,
     "sim_lsh_bucket" -> simLshBucketSql,
     "sim_lsh_multiprobe" -> simLshMultiprobeSql,
+    "sim_eval" -> simEvalSql,
     "sim_ivf" -> simIvfSql,
     "sim_knn_graph" -> simKnnGraphSql,
     "sim_nn_descent" -> simNnDescentSql,
