@@ -42,13 +42,37 @@ object SortedNeighborhood {
   case class Config(window: Int = 4, threshold: Int = 2)
 
   /** Global 0-based rank of `df` under ORDER BY (sortCols...) — an
-    * exact total-order rank computed with one range exchange and a
-    * per-partition window; `sortCols` must be a total order (append
-    * the id). Output: input columns + `rank`.
+    * exact total-order rank computed with ONE range exchange;
+    * `sortCols` must be a total order (append the id). Output: input
+    * columns + `rank`.
+    *
+    * In-partition positions come from `monotonically_increasing_id`
+    * over the range-partitioned, partition-sorted rows — its
+    * documented layout (partition id in the upper bits, an in-order
+    * counter in the lower 33) IS (pid, local rank), so no window (a
+    * `partitionBy(_pid)` window would force a SECOND corpus-scale
+    * hash exchange right after the range exchange — caught by the
+    * plan audit). Both consumers of the ranked frame derive from the
+    * same exchange subtree, so the sampled range boundaries are
+    * computed once (ReuseExchange) and the counted offsets always
+    * describe the very partitions the ids were minted in; the rank
+    * itself is partition-boundary-invariant either way.
     */
   def globalRank(df: DataFrame, sortCols: Seq[Column]): DataFrame = {
+    // persisted: the id-stamped frame feeds BOTH the offsets aggregate
+    // and the final join, and monotonically_increasing_id never
+    // canonicalizes equal — without the cache the two branches lose
+    // exchange reuse and sample DIFFERENT range boundaries, so the
+    // counted offsets would describe partitions the ids were not
+    // minted in (observed: dropped/duplicated ranks). Callers release
+    // via catalog.clearCache(), the family convention.
     val parted = df.repartitionByRange(sortCols: _*)
-      .withColumn("_pid", spark_partition_id())
+      .sortWithinPartitions(sortCols: _*)
+      .withColumn("_mid", monotonically_increasing_id())
+      .select(col("*"),
+        shiftright(col("_mid"), 33).as("_pid"),
+        col("_mid").bitwiseAND(lit((1L << 33) - 1)).as("_rn"))
+      .persist()
     // tiny frame: one row per shuffle partition; the unpartitioned
     // window scans only this (nullable zero key keeps Catalyst from
     // folding the partition spec away — the CorpusOrder note)
@@ -57,12 +81,10 @@ object SortedNeighborhood {
     val offsets = parted.groupBy("_pid").agg(count(lit(1)).as("_n"))
       .select(col("_pid"), coalesce(sum(col("_n")).over(byPid), lit(0L))
         .as("_off"))
-    val inPart = Window.partitionBy("_pid").orderBy(sortCols: _*)
     parted
-      .withColumn("_rn", row_number().over(inPart).cast("bigint") - 1L)
       .join(broadcast(offsets), "_pid")
       .withColumn("rank", col("_off") + col("_rn"))
-      .drop("_pid", "_rn", "_off")
+      .drop("_mid", "_pid", "_rn", "_off")
   }
 
   /** Best right-side match per left record among candidates within the

@@ -462,6 +462,73 @@ class PlanAuditSpec extends AnyFunSuite {
       s"bucket offsets must join back broadcast:\n$plan")
   }
 
+  test("prefix-filter join: doc-partitioned windows, hash-keyed joins only") {
+    // gate-only query — outside the benchQueries cartesian sweep, so
+    // it gets its own audit
+    val plan = planOf("dedup_ssjoin")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"every ssjoin join must be equi-keyed:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"the rank windows must stay doc-partitioned:\n$plan")
+  }
+
+  test("sorted neighborhood: range rank, banded equi-join, no global sort of rows") {
+    val plan = planOf("er_sorted")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"window pairing must be the banded equi-join:\n$plan")
+    assert(plan.contains("Exchange rangepartitioning"),
+      s"the global rank must come from a range exchange:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"no frame may be globally single-partitioned " +
+        s"(offsets ride a constant-key hash exchange):\n$plan")
+    // the one constant-keyed exchange is the per-partition count
+    // frame: its subtree must aggregate before any scan appears
+    val lines = plan.linesIterator.toVector
+    def nodeDepth(l: String): Int =
+      l.indexWhere(c => !" :+-*(0123456789)".contains(c))
+    val constantKeyed = lines.zipWithIndex.flatMap { case (l, i) =>
+      "Exchange hashpartitioning\\(([^)]*)\\)".r.findFirstMatchIn(l)
+        .filterNot(m => m.group(1).contains("_band#") ||
+          m.group(1).contains("_lid#"))
+        .map(_ => i)
+    }
+    constantKeyed.foreach { i =>
+      val d = nodeDepth(lines(i))
+      val subtree = lines.drop(i + 1).takeWhile(nodeDepth(_) > d)
+      val firstAgg = subtree.indexWhere(_.contains("HashAggregate"))
+      val firstScan = subtree.indexWhere(_.contains("Scan parquet"))
+      assert(firstAgg >= 0 && (firstScan < 0 || firstAgg < firstScan),
+        s"a constant-key exchange consumes raw rows:\n$plan")
+    }
+  }
+
+  test("multi-probe lsh: probe fan-out stays query-side, bucket join equi-keyed") {
+    val plan = planOf("sim_lsh_multiprobe")
+    assert(!plan.contains("CartesianProduct"),
+      s"multiprobe must never cross corpus and queries:\n$plan")
+    // the margin explode must sit above a query-side filter (vec_id
+    // predicate pushed below the generator), never above the full
+    // corpus
+    val lines = plan.linesIterator.toVector
+    val gen = lines.indexWhere(_.contains("Generate explode"))
+    assert(gen >= 0, s"expected the probe explode:\n$plan")
+    val below = lines.drop(gen).mkString("\n")
+    assert(below.contains("vec_id"),
+      s"probe explode must be on the filtered query side:\n$plan")
+  }
+
+  test("hilbert layout audit: one aggregation, shifts broadcast, no shuffle of raw rows") {
+    val plan = planOf("hilbert_stats")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"no global single-partition stage:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      s"the 1-row quant-shift frame must broadcast:\n$plan")
+  }
+
   test("equi-depth: no global window; tiny exchanges consume aggregates") {
     val plan = planOf("q_equidepth")
     val lines = plan.linesIterator.toVector
