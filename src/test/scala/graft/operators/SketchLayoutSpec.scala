@@ -199,4 +199,48 @@ class SketchLayoutSpec extends AnyFunSuite {
       rm(new java.io.File(tmp))
     }
   }
+
+  test("hilbert-clustered parquet skips row groups at least as hard as z-order") {
+    // the same end-to-end min/max-pruning proof for the Hilbert
+    // layout: identical rows written hilbert-clustered vs z-clustered
+    // vs round-robin, the same 2-D box over all three
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val n = 40000
+    val df = (0 until n).map(i => ((i * 131) % 2000, (i * 71) % 2000, i))
+      .toDF("x", "y", "payload")
+    val tmp = java.nio.file.Files.createTempDirectory("hskip").toString
+    HilbertLayout.cluster(df, col("x"), col("y"), numFiles = 16)
+      .write.parquet(s"$tmp/h")
+    ZOrder.cluster(df, col("x"), col("y"), numFiles = 16)
+      .write.parquet(s"$tmp/z")
+    df.repartition(16).write.parquet(s"$tmp/n")
+    def scanned(path: String): (Long, Long) = {
+      val q = spark.read.parquet(path)
+        .filter(col("x").between(0, 240) && col("y").between(0, 240))
+      val kept = q.collect().length.toLong
+      val scan = q.queryExecution.executedPlan.collect {
+        case s: FileSourceScanExec => s
+      }
+      (scan.map(_.metrics("numOutputRows").value).sum, kept)
+    }
+    try {
+      val (hRows, hKept) = scanned(s"$tmp/h")
+      val (zRows, zKept) = scanned(s"$tmp/z")
+      val (nRows, nKept) = scanned(s"$tmp/n")
+      assert(hKept === nKept && zKept === nKept)
+      assert(nRows === n)
+      assert(hRows <= n / 4,
+        s"hilbert scan read $hRows of $n rows — min/max pruning failed")
+      // the locality claim, end to end: the connected curve's files
+      // never over-read more than the jumping curve's
+      assert(hRows <= zRows,
+        s"hilbert scanned $hRows but z-order only $zRows")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(new java.io.File(tmp))
+    }
+  }
 }
