@@ -561,6 +561,102 @@ object SimilarityQueries {
        |SELECT id, min(v) AS comp FROM r GROUP BY id ORDER BY id""".stripMargin
   }
 
+  /** Shared mutual-kNN-graph CTE prefix (v … mut) — the scaffold the
+    * clusters/LPA/triangle oracles all replay before their own tails.
+    */
+  private def mutualGraphCtes: String = {
+    def cosSql(av: String, an: String, bv: String, bn: String): String =
+      s"${foldDot(av, bv)} / (sqrt($an) * sqrt($bn))"
+    s"""v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, ${foldDot("v", "v")} AS nrm FROM v),
+       |c AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n
+       |  WHERE vec_id % ${ivfCfg.centroidStride} = 0),
+       |asg AS (SELECT vid, v, nrm, cell FROM (
+       |  SELECT n.vec_id AS vid, n.v, n.nrm, c.c_id AS cell,
+       |    ROW_NUMBER() OVER (PARTITION BY n.vec_id
+       |      ORDER BY ${cosSql("n.v", "n.nrm", "c.cv", "c.cn")} DESC, c.c_id)
+       |      AS rn
+       |  FROM n CROSS JOIN c) WHERE rn = 1),
+       |p AS (SELECT a.vid AS src_id, b.vid AS n_id,
+       |    ${cosSql("a.v", "a.nrm", "b.v", "b.nrm")} AS cos_sim
+       |  FROM asg a JOIN asg b ON b.cell = a.cell AND b.vid <> a.vid),
+       |base AS (SELECT src_id, n_id FROM (
+       |  SELECT src_id, n_id,
+       |    ROW_NUMBER() OVER (PARTITION BY src_id
+       |                       ORDER BY cos_sim DESC, n_id) AS rank
+       |  FROM p) WHERE rank <= $KnnK),
+       |mut AS (SELECT f.src_id AS a, f.n_id AS b FROM base f
+       |  JOIN base r ON r.src_id = f.n_id AND r.n_id = f.src_id
+       |  WHERE f.src_id < f.n_id)""".stripMargin
+  }
+
+  private val LpaRounds = 4
+
+  /** Label-propagation communities
+    * ([[graft.operators.LabelPropagation]]) over the mutual-kNN
+    * graph — the step past `sim_graph_clusters`' components: a bridge
+    * edge fuses components but loses the neighbor vote. Gate-only:
+    * runtime face is the benched knn-graph candidate stage plus
+    * per-round joins of the SMALL label frame. The oracle replays
+    * $LpaRounds synchronous rounds as chained CTEs.
+    */
+  def simGraphLpa(spark: SparkSession, dir: String): DataFrame = {
+    val mutual = KnnGraph.mutualEdges(
+      KnnGraph.build(Tables.loadSpread(spark, dir, "embeddings"),
+        "vec_id", "embedding", KnnK, ivfCfg))
+    graft.operators.LabelPropagation.communities(mutual, "a", "b",
+        LpaRounds)
+      .orderBy("id")
+  }
+
+  val simGraphLpaSql: String = {
+    val rounds = (1 to LpaRounds).map { k =>
+      val prev = if (k == 1) "l0" else s"l${k - 1}"
+      s"""cnt$k AS (SELECT e.src, l.lab, count(*) AS c
+         |  FROM edges e JOIN $prev l ON l.id = e.dst GROUP BY 1, 2),
+         |l$k AS (SELECT src AS id, lab FROM (
+         |  SELECT src, lab, ROW_NUMBER() OVER (PARTITION BY src
+         |    ORDER BY c DESC, lab) AS rn FROM cnt$k) WHERE rn = 1)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH $mutualGraphCtes,
+       |edges AS (SELECT a AS src, b AS dst FROM mut
+       |          UNION SELECT b, a FROM mut),
+       |l0 AS (SELECT DISTINCT src AS id, src AS lab FROM edges),
+       |$rounds
+       |SELECT id, lab AS community FROM l$LpaRounds ORDER BY id"""
+      .stripMargin
+  }
+
+  /** Per-node triangle counts ([[graft.operators.Triangles]]) over
+    * the mutual-kNN graph — the local-cohesion score separating
+    * clique-like embedding neighborhoods from chains. Gate-only:
+    * runtime face is the knn candidate stage plus the ordered-wedge
+    * joins (Σ deg² on ordered degrees, k-bounded here).
+    */
+  def simGraphTriangles(spark: SparkSession, dir: String): DataFrame = {
+    val mutual = KnnGraph.mutualEdges(
+      KnnGraph.build(Tables.loadSpread(spark, dir, "embeddings"),
+        "vec_id", "embedding", KnnK, ivfCfg))
+    graft.operators.Triangles.perNode(mutual, "a", "b")
+      .orderBy("id")
+  }
+
+  val simGraphTrianglesSql: String =
+    s"""WITH $mutualGraphCtes,
+       |tri AS (SELECT ab.a, ab.b, bc.b AS c
+       |  FROM mut ab
+       |  JOIN mut bc ON bc.a = ab.b
+       |  JOIN mut ac ON ac.a = ab.a AND ac.b = bc.b),
+       |ids AS (SELECT a AS id FROM mut UNION SELECT b FROM mut),
+       |cnt AS (SELECT id, count(*) AS n_tri FROM (
+       |    SELECT a AS id FROM tri
+       |    UNION ALL SELECT b FROM tri
+       |    UNION ALL SELECT c FROM tri) GROUP BY id)
+       |SELECT ids.id, COALESCE(cnt.n_tri, 0) AS n_tri
+       |FROM ids LEFT JOIN cnt ON cnt.id = ids.id
+       |ORDER BY ids.id""".stripMargin
+
   // ------------------------------------------------------------ nn-descent
 
   /** One NN-descent round over the cell-local graph
@@ -1038,6 +1134,8 @@ object SimilarityQueries {
     "sim_knn_graph" -> (simKnnGraph(_, _)),
     "sim_nn_descent" -> (simNnDescent(_, _)),
     "sim_graph_clusters" -> (simGraphClusters(_, _)),
+    "sim_graph_lpa" -> (simGraphLpa(_, _)),
+    "sim_graph_triangles" -> (simGraphTriangles(_, _)),
     "embed_drift" -> (embedDrift(_, _)),
     "sim_nnd_recall" -> (simNndRecall(_, _)),
     "sim_ivf_stats" -> (simIvfStats(_, _)),
@@ -1060,6 +1158,8 @@ object SimilarityQueries {
     "sim_knn_graph" -> simKnnGraphSql,
     "sim_nn_descent" -> simNnDescentSql,
     "sim_graph_clusters" -> simGraphClustersSql,
+    "sim_graph_lpa" -> simGraphLpaSql,
+    "sim_graph_triangles" -> simGraphTrianglesSql,
     "embed_drift" -> embedDriftSql,
     "sim_nnd_recall" -> simNndRecallSql,
     "sim_ivf_stats" -> simIvfStatsSql,
