@@ -584,6 +584,45 @@ object DedupQueries {
        |  SELECT r.id, e.dst FROM r JOIN edges e ON e.src = r.v)
        |SELECT id, min(v) AS comp FROM r GROUP BY id ORDER BY id""".stripMargin
 
+  /** Dedup-cluster audit frame: the size histogram of the near-dup
+    * components plus the corpus totals a curation run reports
+    * (clustered docs, would-be-removed docs) — the QA face of the
+    * dedup family: a sudden mass of giant clusters means boilerplate
+    * broke through the shingle caps; a histogram of pairs-only means
+    * the threshold is too tight. One aggregate over the (already
+    * gated) component frame. Gate-only: runtime face is
+    * `dedup_clusters`.
+    */
+  def dedupClusterStats(spark: SparkSession, dir: String): DataFrame = {
+    val comps = Clusters.connectedComponents(
+      MinHashLSH.nearDuplicatePairs(
+          Tables.loadSpread(spark, dir, "documents"), "doc_id", "text", cfg)
+        .select(col("doc_a"), col("doc_b")),
+      "doc_a", "doc_b")
+    comps.groupBy("comp").agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("sz")).cast("bigint").as("n_docs"),
+        (sum(col("sz")) - count(lit(1))).cast("bigint").as("n_removable"))
+      .orderBy("cluster_size")
+  }
+
+  val dedupClusterStatsSql: String =
+    s"""WITH RECURSIVE ${minhashJacCtes("documents")},
+       |pairs AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= ${cfg.threshold}),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |          UNION SELECT doc_b, doc_a FROM pairs),
+       |r(id, v) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT r.id, e.dst FROM r JOIN edges e ON e.src = r.v),
+       |comps AS (SELECT id, min(v) AS comp FROM r GROUP BY id),
+       |szs AS (SELECT comp, count(*) AS sz FROM comps GROUP BY comp)
+       |SELECT sz AS cluster_size, count(*) AS n_clusters,
+       |  CAST(sum(sz) AS BIGINT) AS n_docs,
+       |  CAST(sum(sz) - count(*) AS BIGINT) AS n_removable
+       |FROM szs GROUP BY sz ORDER BY cluster_size""".stripMargin
+
   // --------------------------------------------------- leakage-free split
 
   /** Leakage-free train/eval split
@@ -716,6 +755,7 @@ object DedupQueries {
     "dedup_embed" -> (dedupEmbed(_, _)),
     "dedup_semantic" -> (dedupSemantic(_, _)),
     "dedup_clusters" -> (dedupClusters(_, _)),
+    "dedup_cluster_stats" -> (dedupClusterStats(_, _)),
     "sample_split_safe" -> (sampleSplitSafe(_, _)),
     "dedup_incremental" -> (dedupIncremental(_, _)),
     "dedup_embed_incr" -> (dedupEmbedIncr(_, _)))
@@ -734,6 +774,7 @@ object DedupQueries {
     "dedup_embed" -> dedupEmbedSql,
     "dedup_semantic" -> dedupSemanticSql,
     "dedup_clusters" -> dedupClustersSql,
+    "dedup_cluster_stats" -> dedupClusterStatsSql,
     "sample_split_safe" -> sampleSplitSafeSql,
     "dedup_incremental" -> dedupIncrementalSql,
     "dedup_embed_incr" -> dedupEmbedIncrSql)

@@ -751,6 +751,36 @@ object TextQueries {
        |FROM v ORDER BY doc_id""".stripMargin
   }
 
+  // --------------------------------------------------------- calibration
+
+  /** Within-source percentile calibration of the quality score
+    * ([[graft.text.QualityCalibration]]) — makes "keep the top X%"
+    * mean the same thing in every source regardless of score
+    * distribution. Gate-only: runtime face is `text_stats`' projection
+    * plus one source-partitioned rank window.
+    */
+  def textQualityCalib(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.loadSpread(spark, dir, "documents")
+    val scored = docs.select(col("doc_id"), col("source"),
+      TextStats.qualityScore(
+        graft.text.TextFeatures.words(col("text"))).as("quality"))
+    QualityCalibration.percentileRank(scored, "doc_id", "source",
+        col("quality"))
+      .orderBy("doc_id")
+  }
+
+  val textQualityCalibSql: String =
+    s"""WITH $wordsCte,
+       |sc AS (SELECT w.doc_id, d.source, $qualityExpr AS quality
+       |  FROM w JOIN documents d ON d.doc_id = w.doc_id)
+       |SELECT doc_id, source, quality,
+       |  CASE WHEN count(*) OVER (PARTITION BY source) > 1
+       |    THEN CAST(row_number() OVER (PARTITION BY source
+       |           ORDER BY quality, doc_id) - 1 AS DOUBLE)
+       |         / (count(*) OVER (PARTITION BY source) - 1)
+       |    ELSE 0.0 END AS pct
+       |FROM sc ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------- repetition
 
   def textRepetition(spark: SparkSession, dir: String): DataFrame =
@@ -1214,6 +1244,7 @@ object TextQueries {
     "text_stats" -> (textStats(_, _)),
     "text_repetition" -> (textRepetition(_, _)),
     "text_gopher" -> (textGopher(_, _)),
+    "text_quality_calib" -> (textQualityCalib(_, _)),
     "text_langid" -> (textLangid(_, _)),
     "text_langid_uni" -> (textLangidUni(_, _)),
     "text_tokens" -> (textTokens(_, _)),
@@ -1246,6 +1277,7 @@ object TextQueries {
     "text_stats" -> textStatsSql,
     "text_repetition" -> textRepetitionSql,
     "text_gopher" -> textGopherSql,
+    "text_quality_calib" -> textQualityCalibSql,
     "text_langid" -> textLangidSql,
     "text_langid_uni" -> textLangidUniSql,
     "text_tokens" -> textTokensSql,
