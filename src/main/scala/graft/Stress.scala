@@ -625,10 +625,27 @@ object Stress {
         .select((col("vec_id") + col("copy") * 1000000L).as("vec_id"),
           col("embedding"))
         .repartition(32))
-      timed("semantic") {
+      timedWarm("semantic") {
         val n = dedup.SemanticDedup
           .survivors(cloned, "vec_id", "embedding", 0.99).count()
         require(n == nBase, s"expected $nBase survivors (one per clone group), got $n")
+        n
+      }
+      // the true-scale form: a TRAINED √N-cell codebook instead of the
+      // stride quantizer (identical drop rule; cells differ, so the
+      // survivor INVARIANT — one per clone group — is the check, not
+      // row equality with the stride run)
+      val k = math.max(16, math.sqrt(nBase * 20.0).toInt)
+      val trained = similarity.IVFIndex.fromKMeans(cloned,
+        similarity.KMeans.centroids(cloned, "vec_id", "embedding",
+          similarity.KMeans.Config(k = k, iters = 1))).persist()
+      timed("semtrained") {
+        val n = dedup.SemanticDedup
+          .survivorsWithCentroids(cloned, "vec_id", "embedding", 0.99,
+            trained)
+          .count()
+        require(n == nBase,
+          s"expected $nBase survivors (one per clone group), got $n")
         n
       }
     }

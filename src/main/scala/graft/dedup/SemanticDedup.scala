@@ -39,9 +39,26 @@ object SemanticDedup {
     */
   def survivors(vectors: DataFrame, idCol: String, vecCol: String,
       threshold: Double,
-      cfg: IVFIndex.Config = IVFIndex.Config()): DataFrame = {
-    val assigned = IVFIndex.assign(vectors, idCol, vecCol, cfg)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      cfg: IVFIndex.Config = IVFIndex.Config()): DataFrame =
+    prune(IVFIndex.assign(vectors, idCol, vecCol, cfg), threshold)
+
+  /** [[survivors]] over an EXTERNAL (e.g. [[graft.similarity.KMeans]]-
+    * trained) centroid frame — the true-scale form: the stride
+    * quantizer's centroid count grows as N/stride (assignment
+    * N²/stride), while a trained √N-cell codebook keeps assignment
+    * N^1.5 with bounded Σ|cell|² pair cost, which is exactly the
+    * arXiv:2303.09540 formulation (pairwise search inside k-means
+    * cells). Same drop rule, so the result over the stride centroid
+    * frame is spec'd EQUAL to [[survivors]] (the
+    * `KnnGraph.buildWithCentroids` precedent).
+    */
+  def survivorsWithCentroids(vectors: DataFrame, idCol: String,
+      vecCol: String, threshold: Double, cents: DataFrame): DataFrame =
+    prune(IVFIndex.assignWithCentroids(vectors, idCol, vecCol, cents),
+      threshold)
+
+  private def prune(assignedRaw: DataFrame, threshold: Double): DataFrame = {
+    val assigned = assignedRaw.persist(StorageLevel.MEMORY_AND_DISK)
     val dropped = assigned.as("a")
       .join(assigned.as("b"),
         col("b.cell") === col("a.cell") && col("b.vid") < col("a.vid"))

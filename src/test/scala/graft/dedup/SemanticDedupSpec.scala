@@ -64,4 +64,22 @@ class SemanticDedupSpec extends AnyFunSuite {
     val out = SemanticDedup.survivors(df, "vec_id", "embedding", 0.9999, cfg)
     assert(surviving(out) === Seq(0L, 1L, 2L))
   }
+
+  test("survivorsWithCentroids over the stride centroid frame == survivors") {
+    // the large-k scale path must be drop-in: same cells, same rule →
+    // identical survivor set (the KnnGraph.buildWithCentroids
+    // precedent), on real embeddings
+    val emb = graft.queries.Tables
+      .load(spark, "/root/testdata/sf0.001", "embeddings")
+    val cents = graft.similarity.GraphIngest
+      .strideCentroids(emb, "vec_id", "embedding", cfg.centroidStride)
+    val a = SemanticDedup
+      .survivors(emb, "vec_id", "embedding", 0.95, cfg)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = SemanticDedup
+      .survivorsWithCentroids(emb, "vec_id", "embedding", 0.95, cents)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.catalog.clearCache()
+    assert(a.nonEmpty && a === b)
+  }
 }
