@@ -88,4 +88,51 @@ object PageRank {
     eOut.unpersist()
     r.select(col("node"), col("r").as("rank_fp"))
   }
+
+  /** Personalized PageRank: identical integer fixed-point frame, but
+    * ALL teleport mass restarts at the `seeds` instead of spreading
+    * uniformly — rank becomes proximity TO the seed set (the
+    * graph-similarity / related-entities form: "what is reachable
+    * from here", not "what is globally central"). Seeds are literal
+    * node values (the personalization vector is part of the query,
+    * like a filter predicate);
+    *
+    *   r_0(v)     = 1[v ∈ seeds] · (S div |seeds|)
+    *   r_{k+1}(v) = 1[v ∈ seeds] · ((3·S) div (20·|seeds|))
+    *              + (17 · Σ inbound mass) div 20
+    *
+    * — every step floor-divided integers, so the oracle replays the
+    * recurrence exactly ([[ranks]]' determinism argument verbatim).
+    */
+  def personalizedRanks(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, seeds: Seq[String], iters: Int = 5): DataFrame = {
+    require(iters >= 1 && iters <= 100, s"iters in [1,100], got $iters")
+    require(seeds.nonEmpty, "need at least one seed node")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+      col(weightCol).cast("bigint").as("w"))
+    val ns = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(false)
+    val outW = e.groupBy("src").agg(sum(col("w")).as("outw"))
+    val eOut = e.join(outW, "src").repartition(col("src")).persist()
+    val isSeed = col("node").isin(seeds: _*)
+    val nSeeds = seeds.length.toLong
+    var r = ns.select(col("node"),
+        when(isSeed, lit(Scale / nSeeds)).otherwise(lit(0L)).as("r"))
+      .localCheckpoint(false)
+    val base = 3L * Scale / (20L * nSeeds)
+    for (k <- 1 to iters) {
+      val contrib = eOut
+        .join(r.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("w") * expr("r DIV outw")).as("m"))
+      r = ns.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (when(isSeed, lit(base)).otherwise(lit(0L)) +
+            expr("(17 * coalesce(m, 0L)) DIV 20")).as("r"))
+        .localCheckpoint(eager = k == iters)
+    }
+    eOut.unpersist()
+    r.select(col("node"), col("r").as("rank_fp"))
+  }
 }

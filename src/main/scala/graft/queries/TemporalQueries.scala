@@ -366,9 +366,68 @@ object TemporalQueries {
        |ORDER BY rank_fp DESC, node""".stripMargin
   }
 
+  private val PprSeeds = Seq("signup", "purchase")
+
+  /** Personalized PageRank ([[graft.operators.PageRank
+    * .personalizedRanks]]): all teleport mass restarts at
+    * {signup, purchase}, so rank becomes proximity to the conversion
+    * states instead of global centrality — the related-entities form.
+    * Gate-only: runtime face is `graph_pagerank`'s per-round join +
+    * aggregate; the oracle replays the seeded recurrence for all five
+    * rounds.
+    */
+  def qPpr(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.loadEvents(spark, dir)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val edges = ev
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("src"), col("next_type").as("dst"))
+      .agg(count(lit(1)).as("w"))
+    PageRank.personalizedRanks(edges, "src", "dst", "w", PprSeeds,
+        iters = 5)
+      .orderBy(col("rank_fp").desc, col("node"))
+  }
+
+  val qPprSql: String = {
+    val S = PageRank.Scale
+    val seedList = PprSeeds.map(s => s"'$s'").mkString("(", ", ", ")")
+    val nSeeds = PprSeeds.length
+    val rounds = (1 to 5).map { k =>
+      s"""r$k AS (
+         |  SELECT n.node,
+         |    (CASE WHEN n.node IN $seedList
+         |       THEN (3 * $S) // (20 * $nSeeds) ELSE 0 END)
+         |      + (17 * coalesce(c.m, 0)) // 20 AS r
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS node, sum(e.w * (p.r // o.outw)) AS m
+         |    FROM e JOIN r${k - 1} p ON p.node = e.src
+         |    JOIN outw o ON o.src = e.src
+         |    GROUP BY e.dst) c ON c.node = n.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH s AS (
+       |  SELECT event_type AS src,
+       |    lead(event_type) OVER (PARTITION BY user_id
+       |      ORDER BY ts, event_id) AS dst
+       |  FROM events),
+       |e AS (SELECT src, dst, count(*) AS w FROM s
+       |  WHERE dst IS NOT NULL GROUP BY src, dst),
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS outw FROM e
+       |  GROUP BY src),
+       |r0 AS (SELECT node,
+       |  CASE WHEN node IN $seedList THEN $S // $nSeeds ELSE 0 END AS r
+       |  FROM nodes),
+       |$rounds
+       |SELECT node, CAST(r AS BIGINT) AS rank_fp FROM r5
+       |ORDER BY rank_fp DESC, node""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_asof_purchase" -> (qAsofPurchase(_, _)),
     "graph_pagerank" -> (qPagerank(_, _)),
+    "graph_ppr" -> (qPpr(_, _)),
     "q_paths" -> (qPaths(_, _)),
     "q_range_clicks" -> (qRangeClicks(_, _)),
     "q_sessions" -> (qSessions(_, _)),
@@ -380,6 +439,7 @@ object TemporalQueries {
   val oracleSql: Map[String, String] = Map(
     "q_asof_purchase" -> qAsofPurchaseSql,
     "graph_pagerank" -> qPagerankSql,
+    "graph_ppr" -> qPprSql,
     "q_paths" -> qPathsSql,
     "q_range_clicks" -> qRangeClicksSql,
     "q_sessions" -> qSessionsSql,

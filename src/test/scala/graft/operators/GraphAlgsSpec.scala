@@ -56,6 +56,20 @@ class GraphAlgsSpec extends AnyFunSuite {
       7L -> 0L, 20L -> 0L, 21L -> 0L, 22L -> 0L))
   }
 
+  test("personalized pagerank: mass flows only from the seed set") {
+    // a → b → c, plus d → a (d reaches the seed but is unreachable
+    // FROM it): rank must be positive exactly on {a, b, c}
+    val edges = Seq(("a", "b", 1L), ("b", "c", 1L), ("d", "a", 1L))
+      .toDF("src", "dst", "w")
+    val r = PageRank.personalizedRanks(edges, "src", "dst", "w",
+        seeds = Seq("a"), iters = 5)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r("a") > 0 && r("b") > 0 && r("c") > 0)
+    assert(r("d") === 0L, "a node unreachable from the seeds has no mass")
+    assert(r("a") > r("b") && r("b") > r("c"),
+      "proximity to the seed must decay along the chain")
+  }
+
   test("triangles: duplicate and reversed input pairs do not double-count") {
     val pairs = Seq((0L, 1L), (1L, 0L), (1L, 2L), (2L, 0L), (0L, 2L))
       .toDF("a", "b")
