@@ -610,6 +610,34 @@ object Relational {
     * rule as independent SQL, so violation COUNTS (not just pass
     * flags) are hash-gated.
     */
+  /** Source × language contingency audit
+    * ([[graft.operators.Contingency]]): does the corpus mix leak
+    * source identity into language (or any pair that should be
+    * independent)? Per-cell observed/expected/χ²-contribution, each a
+    * single exact-integer division so the frame hash-verifies (a
+    * summed χ² would be aggregation-order-dependent). Gate-only:
+    * runtime face is one (a, b) count aggregate plus re-aggregates of
+    * the tiny cell frame.
+    */
+  def dqContingency(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Contingency.table(
+        Tables.load(spark, dir, "documents"), "source", "lang")
+      .orderBy("a", "b")
+
+  val dqContingencySql: String =
+    """WITH cells AS (
+      |  SELECT source AS a, lang AS b, count(*) AS o
+      |  FROM documents GROUP BY 1, 2),
+      |ra AS (SELECT a, sum(o) AS r FROM cells GROUP BY a),
+      |cb AS (SELECT b, sum(o) AS c FROM cells GROUP BY b),
+      |tot AS (SELECT sum(o) AS n FROM cells)
+      |SELECT cells.a, cells.b, o AS observed,
+      |  CAST(r * c AS DOUBLE) / n AS expected,
+      |  (CAST(o * n - r * c AS DOUBLE) * CAST(o * n - r * c AS DOUBLE))
+      |    / CAST(r * c * n AS DOUBLE) AS contrib
+      |FROM cells JOIN ra USING (a) JOIN cb USING (b) CROSS JOIN tot
+      |ORDER BY a, b""".stripMargin
+
   def dqChecks(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.Quality
     import graft.operators.Quality._
@@ -810,6 +838,7 @@ object Relational {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "er_sorted" -> (erSorted(_, _)),
     "dq_checks" -> (dqChecks(_, _)),
+    "dq_contingency" -> (dqContingency(_, _)),
     "er_match" -> (erMatch(_, _)),
     "q1_agg" -> (q1Agg(_, _)),
     "q_histogram" -> (qHistogram(_, _)),
@@ -856,6 +885,7 @@ object Relational {
     "q_pivot" -> qPivotSql,
     "q_setops" -> qSetOpsSql,
     "dq_checks" -> dqChecksSql,
+    "dq_contingency" -> dqContingencySql,
     "q_json_extract" -> qJsonExtractSql,
     "q_salted_agg" -> qSaltedAggSql)
 }
