@@ -1,0 +1,37 @@
+package graft.streaming
+
+import graft.text.Bm25
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+/** Streaming maintenance of the persisted BM25 index: each micro-batch
+  * of NEW documents folds into the standing tables via the verified
+  * incremental append ([[Bm25.appendToIndex]] — append-then-serve ≡
+  * index-the-union, spec'd), so the index a [[KeywordServe]] query
+  * stream reads stays fresh without ever re-tokenizing the standing
+  * corpus. Together the two faces are the full retrieval lifecycle as
+  * streams: documents in, rankings out, one persisted model between.
+  *
+  * foreachBatch is the right lift (the [[Scd2Stream]] reasoning —
+  * maintenance of an external table is inherently batch-vs-state);
+  * ordering across micro-batches is the stream's own (per-batch
+  * appends commute only BETWEEN disjoint doc sets, which is exactly
+  * the append contract: batch ids disjoint from the corpus).
+  */
+object IndexIngestStream {
+
+  /** Wire a streaming frame of (id, text) documents into per-batch
+    * index appends. `onBatch` fires after each fold with the batch id
+    * (for checkpoint/monitoring hooks).
+    */
+  def maintain(docs: DataFrame, idCol: String, textCol: String,
+      table: String, numBuckets: Int = 32)(
+      onBatch: Long => Unit = _ => ()): DataStreamWriter[Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      if (!batch.isEmpty) {
+        Bm25.appendToIndex(batch, idCol, textCol, table, numBuckets)
+        batch.sparkSession.catalog.clearCache()
+        onBatch(batchId)
+      }
+    }
+}

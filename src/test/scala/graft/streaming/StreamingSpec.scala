@@ -331,6 +331,49 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("index ingest stream: maintained BM25 index == full rebuild, fresh docs servable") {
+    import graft.text.Bm25
+    import graft.queries.Tables
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text")
+    val seed = docs.filter($"doc_id" < 300)
+    val rest = docs.filter($"doc_id" >= 300).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val qt = Bm25.rankedQueryTerms(docs, "doc_id", "text", 21, 6)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      .toDF("q_id", "term")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("q_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .toSeq
+    try {
+      Bm25.writeIndex(seed, "doc_id", "text", "kw_ingest_idx",
+        numBuckets = 8)
+      val stream = MemoryStream[(Long, String)](spark)
+      val folded = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val q = IndexIngestStream.maintain(
+          stream.toDF().toDF("doc_id", "text"), "doc_id", "text",
+          "kw_ingest_idx", numBuckets = 8)(folded += _).start()
+      try {
+        val (b1, b2) = rest.splitAt(rest.length / 2)
+        stream.addData(b1)
+        q.processAllAvailable()
+        stream.addData(b2)
+        q.processAllAvailable()
+        assert(folded.size === 2)
+      } finally q.stop()
+      Bm25.writeIndex(docs, "doc_id", "text", "kw_full_idx", numBuckets = 8)
+      assert(rows(Bm25.topDocsIndexed(spark, "kw_ingest_idx", qt, 5)) ===
+        rows(Bm25.topDocsIndexed(spark, "kw_full_idx", qt, 5)))
+    } finally {
+      for (s <- Seq("postings", "df", "dl", "stats")) {
+        spark.sql(s"DROP TABLE IF EXISTS kw_ingest_idx_$s")
+        spark.sql(s"DROP TABLE IF EXISTS kw_full_idx_$s")
+      }
+      spark.catalog.clearCache()
+    }
+  }
+
   test("scd2 stream: CDC micro-batches fold into the sequential batch history") {
     import graft.operators.Scd2
     val day0 = Seq((1L, "alice", "US"), (2L, "bob", "DE"))
