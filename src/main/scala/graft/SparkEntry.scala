@@ -28,14 +28,16 @@ object SparkEntry {
     DiffQueries.queries ++ Relational.queries ++ DedupQueries.queries ++
       TextQueries.queries ++ SimilarityQueries.queries ++
       MultimodalQueries.queries ++ PipelineQueries.queries ++
-      TemporalQueries.queries ++ SketchQueries.queries
+      TemporalQueries.queries ++ SketchQueries.queries ++
+      ClassifierQueries.queries
 
   /** DuckDB-runnable oracle per query key. */
   def oracleSql: Map[String, String] =
     DiffQueries.oracleSql ++ Relational.oracleSql ++ DedupQueries.oracleSql ++
       TextQueries.oracleSql ++ SimilarityQueries.oracleSql ++
       MultimodalQueries.oracleSql ++ PipelineQueries.oracleSql ++
-      TemporalQueries.oracleSql ++ SketchQueries.oracleSql
+      TemporalQueries.oracleSql ++ SketchQueries.oracleSql ++
+      ClassifierQueries.oracleSql
 
   /** Headline queries timed by graft.Bench (ordered) — every operator
     * family has a tracked number. Parameter-preset VARIANTS of an

@@ -1,0 +1,97 @@
+package graft.queries
+
+import graft.text.{NbQuality, TokenCount}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Model-based corpus filters: classifiers whose training is exact
+  * counting, so trainer AND scorer replay in the DuckDB oracle (a
+  * gradient trainer would put a float-order-sensitive loop between the
+  * data and the gate).
+  */
+object ClassifierQueries {
+
+  private val NbCfg = NbQuality.Config(
+    posSources = Seq("src0", "src1"), negRate = 0.25,
+    negSalt = "nbneg", vocabK = 200)
+
+  /** Naive Bayes reference-domain classifier over the whole corpus:
+    * fit on the src0/src1 positive seed vs a deterministic negative
+    * draw, score every document. The oracle replays seed labeling, the
+    * per-class token counts, the shared top-K vocabulary, both
+    * smoothing denominators, the priors, and every token-ordered nll
+    * fold — one hash pins trainer and scorer together.
+    */
+  def textNbQuality(spark: SparkSession, dir: String): DataFrame =
+    NbQuality.score(Tables.loadSpread(spark, dir, "documents"),
+        "doc_id", "text", NbCfg)
+      .orderBy("doc_id")
+
+  val textNbQualitySql: String = {
+    val coord = OracleDialect.hexPrefixToLong(
+      s"md5('${NbCfg.negSalt}:'||CAST(doc_id AS VARCHAR))", 8)
+    val posList = OracleDialect.stringList(NbCfg.posSources).stripPrefix("[")
+      .stripSuffix("]")
+    val k = NbCfg.vocabK
+    s"""WITH s AS (SELECT doc_id,
+       |    regexp_extract_all(lower(coalesce(text, '')),
+       |      '${TokenCount.TokenPattern}') AS t,
+       |    CASE WHEN source IN ($posList) THEN 1 ELSE 0 END AS lbl
+       |  FROM documents
+       |  WHERE source IN ($posList)
+       |     OR CAST($coord AS DOUBLE) / 4294967296 < ${NbCfg.negRate}),
+       |p AS (SELECT lbl, unnest(t) AS token FROM s),
+       |vc AS (SELECT token, sum(lbl) AS n_pos, sum(1 - lbl) AS n_neg
+       |  FROM p GROUP BY token),
+       |v AS (SELECT token, n_pos, n_neg FROM vc
+       |  ORDER BY (n_pos + n_neg) DESC, token LIMIT $k),
+       |tot AS (SELECT
+       |    sum(CASE WHEN lbl = 1 THEN len(t) ELSE 0 END) AS tp,
+       |    sum(CASE WHEN lbl = 0 THEN len(t) ELSE 0 END) AS tn,
+       |    sum(lbl) AS dp, sum(1 - lbl) AS dn
+       |  FROM s),
+       |d AS (SELECT CAST(tp + $k + 1 AS DOUBLE) AS dpos,
+       |    CAST(tn + $k + 1 AS DOUBLE) AS dneg,
+       |    ln(CAST(dp AS DOUBLE)) - ln(CAST(dn AS DOUBLE)) AS prior
+       |  FROM tot),
+       |at AS (SELECT doc_id,
+       |    regexp_extract_all(lower(coalesce(text, '')),
+       |      '${TokenCount.TokenPattern}') AS t
+       |  FROM documents),
+       |tok AS (SELECT doc_id, unnest(generate_series(1, len(t))) AS pos, t
+       |  FROM at),
+       |tok2 AS (SELECT doc_id, pos, t[pos] AS token FROM tok),
+       |j AS (SELECT tok2.doc_id, tok2.pos,
+       |    CAST(COALESCE(v.n_pos, 0) + 1 AS DOUBLE) AS cp,
+       |    CAST(COALESCE(v.n_neg, 0) + 1 AS DOUBLE) AS cn,
+       |    CASE WHEN v.token IS NULL THEN 1 ELSE 0 END AS oov
+       |  FROM tok2 LEFT JOIN v ON v.token = tok2.token),
+       |terms AS (SELECT j.doc_id, j.pos, j.oov,
+       |    -ln(j.cp / d.dpos) AS nllp, -ln(j.cn / d.dneg) AS nlln
+       |  FROM j CROSS JOIN d),
+       |agg AS (SELECT doc_id, count(*) AS n,
+       |    CAST(sum(oov) AS BIGINT) AS n_oov,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list(nllp ORDER BY pos)), (a, b) -> a + b) AS np,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list(nlln ORDER BY pos)), (a, b) -> a + b) AS nn
+       |  FROM terms GROUP BY doc_id),
+       |sc AS (SELECT doc.doc_id,
+       |    CAST(COALESCE(a.n, 0) AS BIGINT) AS n_tokens,
+       |    COALESCE(a.n_oov, 0) AS n_oov,
+       |    CAST(floor((d.prior +
+       |      (COALESCE(a.nn, 0.0) - COALESCE(a.np, 0.0))) * 1e6)
+       |      AS BIGINT) AS logodds_q
+       |  FROM documents doc
+       |  LEFT JOIN agg a ON a.doc_id = doc.doc_id
+       |  CROSS JOIN d)
+       |SELECT doc_id, n_tokens, n_oov, logodds_q,
+       |  CASE WHEN logodds_q > 0 THEN 1 ELSE 0 END AS pred
+       |FROM sc ORDER BY doc_id""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_nbquality" -> (textNbQuality(_, _)))
+
+  val oracleSql: Map[String, String] = Map(
+    "text_nbquality" -> textNbQualitySql)
+}
