@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.text.{NbQuality, TokenCount}
+import graft.text.{Dsir, NbQuality, TokenCount}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Model-based corpus filters: classifiers whose training is exact
@@ -89,9 +89,75 @@ object ClassifierQueries {
        |FROM sc ORDER BY doc_id""".stripMargin
   }
 
+  private val DsirCfg = Dsir.Config(
+    targetSources = Seq("src0", "src1"), buckets = 512)
+
+  /** DSIR hashed-ngram importance weights over the whole corpus: fit
+    * target (src0/src1) and raw bucket distributions, score every
+    * document's log importance weight. The oracle replays the feature
+    * hashing (unigrams then bigrams, md5-prefix mod buckets), both
+    * histograms, and every position-ordered ln fold.
+    */
+  def textDsir(spark: SparkSession, dir: String): DataFrame =
+    Dsir.score(Tables.loadSpread(spark, dir, "documents"),
+        "doc_id", "text", DsirCfg)
+      .orderBy("doc_id")
+
+  val textDsirSql: String = {
+    val b = DsirCfg.buckets
+    val posList = OracleDialect.stringList(DsirCfg.targetSources)
+      .stripPrefix("[").stripSuffix("]")
+    def bucket(expr: String) =
+      s"CAST((${OracleDialect.hexPrefixToLong(s"md5($expr)", 8)}) % $b AS VARCHAR)"
+    s"""WITH at AS (SELECT doc_id, source,
+       |    regexp_extract_all(lower(coalesce(text, '')),
+       |      '${TokenCount.TokenPattern}') AS t
+       |  FROM documents),
+       |f AS (SELECT doc_id, source,
+       |    list_concat(
+       |      list_transform(t, x -> ${bucket("x")}),
+       |      list_transform(generate_series(1, len(t) - 1),
+       |        i -> ${bucket("t[i] || ' ' || t[i + 1]")})) AS f
+       |  FROM at),
+       |p AS (SELECT source, unnest(f) AS b FROM f),
+       |vc AS (SELECT b,
+       |    sum(CASE WHEN source IN ($posList) THEN 1 ELSE 0 END) AS n_t,
+       |    count(*) AS n_r
+       |  FROM p GROUP BY b),
+       |tot AS (SELECT sum(n_t) AS tt, sum(n_r) AS tr FROM vc),
+       |d AS (SELECT CAST(tt + $b AS DOUBLE) AS dt,
+       |    CAST(tr + $b AS DOUBLE) AS dr FROM tot),
+       |tok AS (SELECT doc_id, unnest(generate_series(1, len(f))) AS pos, f
+       |  FROM f),
+       |tok2 AS (SELECT doc_id, pos, f[pos] AS b FROM tok),
+       |j AS (SELECT tok2.doc_id, tok2.pos,
+       |    CAST(COALESCE(vc.n_t, 0) + 1 AS DOUBLE) AS ct,
+       |    CAST(COALESCE(vc.n_r, 0) + 1 AS DOUBLE) AS cr
+       |  FROM tok2 LEFT JOIN vc ON vc.b = tok2.b),
+       |terms AS (SELECT j.doc_id, j.pos,
+       |    -ln(j.ct / d.dt) AS nt, -ln(j.cr / d.dr) AS nr
+       |  FROM j CROSS JOIN d),
+       |agg AS (SELECT doc_id, count(*) AS n,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list(nt ORDER BY pos)), (a, b) -> a + b) AS nts,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list(nr ORDER BY pos)), (a, b) -> a + b) AS nrs
+       |  FROM terms GROUP BY doc_id),
+       |sc AS (SELECT doc.doc_id,
+       |    CAST(COALESCE(a.n, 0) AS BIGINT) AS n_feats,
+       |    CAST(floor((COALESCE(a.nrs, 0.0) - COALESCE(a.nts, 0.0)) * 1e6)
+       |      AS BIGINT) AS logw_q
+       |  FROM documents doc LEFT JOIN agg a ON a.doc_id = doc.doc_id)
+       |SELECT doc_id, n_feats, logw_q,
+       |  CASE WHEN logw_q > 0 THEN 1 ELSE 0 END AS keep
+       |FROM sc ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "text_nbquality" -> (textNbQuality(_, _)))
+    "text_nbquality" -> (textNbQuality(_, _)),
+    "text_dsir" -> (textDsir(_, _)))
 
   val oracleSql: Map[String, String] = Map(
-    "text_nbquality" -> textNbQualitySql)
+    "text_nbquality" -> textNbQualitySql,
+    "text_dsir" -> textDsirSql)
 }

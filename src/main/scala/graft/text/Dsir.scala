@@ -71,9 +71,11 @@ object Dsir {
       pmod(TextFeatures.hash32(s), lit(buckets.toLong)).cast("string")
     val uni = transform(toks, t => bucket(t))
     // zip_with pads the shorter side with null; the trailing null
-    // bigram is filtered before hashing so position order is exact
+    // bigram is filtered before hashing so position order is exact.
+    // (slice length must be a real size — start+length saturating at
+    // Int.MaxValue silently yields an empty slice)
     val bi = transform(
-      filter(zip_with(toks, slice(toks, 2, 2147483647),
+      filter(zip_with(toks, slice(toks, lit(2), greatest(size(toks), lit(1))),
         (a, b) => when(b.isNotNull, concat(a, lit(" "), b))),
         p => p.isNotNull),
       p => bucket(p))
