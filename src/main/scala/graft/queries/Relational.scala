@@ -835,7 +835,73 @@ object Relational {
        |                       ORDER BY dist, rid) AS rn
        |  FROM p) WHERE rn = 1 ORDER BY d_id""".stripMargin
 
+  // ------------------------------------------------------------------ psi
+
+  /** PSI numeric-drift gate ([[graft.operators.Psi]]) on order totals
+    * between the corpus and the doc_id%7-dropped recrawl slice (the
+    * text_drift fixture convention). Gate-only: runtime face is
+    * text_drift's count-merge shape over ≤ nBins rows. The oracle
+    * replays both bin tables, the smoothing, and every quantized
+    * contribution.
+    */
+  def qPsi(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+    graft.operators.Psi.stability(
+        orders, orders.filter(col("o_orderkey") % 7 =!= 0),
+        "o_totalprice", lo = 0.0, width = 50000.0, nBins = 10)
+      .orderBy("bin")
+  }
+
+  val qPsiSql: String =
+    """WITH a AS (SELECT CAST(least(greatest(
+      |    floor(o_totalprice / 50000.0), 0.0), 9.0) AS BIGINT) AS bin
+      |  FROM orders WHERE o_totalprice IS NOT NULL),
+      |ac AS (SELECT bin, count(*) AS n_a FROM a GROUP BY bin),
+      |b AS (SELECT CAST(least(greatest(
+      |    floor(o_totalprice / 50000.0), 0.0), 9.0) AS BIGINT) AS bin
+      |  FROM orders WHERE o_totalprice IS NOT NULL AND o_orderkey % 7 != 0),
+      |bc AS (SELECT bin, count(*) AS n_b FROM b GROUP BY bin),
+      |tot AS (SELECT (SELECT sum(n_a) FROM ac) AS ta,
+      |  (SELECT sum(n_b) FROM bc) AS tb),
+      |m AS (SELECT COALESCE(ac.bin, bc.bin) AS bin,
+      |    COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
+      |  FROM ac FULL OUTER JOIN bc ON ac.bin = bc.bin),
+      |r AS (SELECT bin, n_a, n_b,
+      |    CAST(n_a + 1 AS DOUBLE) / CAST(ta + 10 AS DOUBLE) AS pa,
+      |    CAST(n_b + 1 AS DOUBLE) / CAST(tb + 10 AS DOUBLE) AS pb
+      |  FROM m, tot)
+      |SELECT bin, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+      |  CAST(floor(((pb - pa) * ln(pb / pa)) * 1e9) AS BIGINT) AS psi_q
+      |FROM r ORDER BY bin""".stripMargin
+
+  // ---------------------------------------------------------- k-anonymity
+
+  /** k-anonymity audit ([[graft.operators.KAnonymity]]) over customer
+    * quasi-identifiers (segment, nation, account-balance band): the
+    * under-k combination worklist. Gate-only: runtime face is the
+    * benched groupBy-count shape (q1_agg). The oracle replays the
+    * banding, the combination counts, and the under-k cut.
+    */
+  def dqKanon(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.KAnonymity.violations(
+        Tables.load(spark, dir, "customer")
+          .withColumn("bal_band", floor(col("c_acctbal") / 1000.0d)
+            .cast("bigint")),
+        Seq("c_mktsegment", "c_nationkey", "bal_band"), k = 5L)
+      .orderBy(col("n"), col("c_mktsegment"), col("c_nationkey"),
+        col("bal_band"))
+
+  val dqKanonSql: String =
+    """SELECT c_mktsegment, c_nationkey,
+      |  CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+      |  count(*) AS n
+      |FROM customer
+      |GROUP BY 1, 2, 3 HAVING count(*) < 5
+      |ORDER BY n, c_mktsegment, c_nationkey, bal_band""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_psi" -> (qPsi(_, _)),
+    "dq_kanon" -> (dqKanon(_, _)),
     "er_sorted" -> (erSorted(_, _)),
     "dq_checks" -> (dqChecks(_, _)),
     "dq_contingency" -> (dqContingency(_, _)),
@@ -864,6 +930,8 @@ object Relational {
 
   val oracleSql: Map[String, String] = Map(
     "er_match" -> erMatchSql,
+    "q_psi" -> qPsiSql,
+    "dq_kanon" -> dqKanonSql,
     "er_sorted" -> erSortedSql,
     "q1_agg" -> q1AggSql,
     "q_histogram" -> qHistogramSql,

@@ -3,8 +3,8 @@ package graft.queries
 import graft.operators.HeavyHitters
 import graft.text._
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{abs, col, concat, count, explode,
-  floor, greatest, lit, md5, row_number, size, sum, when}
+import org.apache.spark.sql.functions.{abs, coalesce, col, concat, count,
+  explode, floor, greatest, lit, md5, row_number, size, sum, when}
 
 /** Driver-verifiable text-analysis queries over the `documents` table.
   * All but tfidf are pure per-row projections (zero shuffle) ordered by
@@ -43,6 +43,48 @@ object TextQueries {
     "least(1.0, CAST(len(w) AS DOUBLE) / 50.0)" +
       " * (CAST(len(list_distinct(w)) AS DOUBLE) / len(w))"
 
+
+  // -------------------------------------------------------------- entropy
+
+  /** Character-distribution screen via the native one-pass
+    * [[graft.expressions.CharEntropy]] fold — (doc_id, n_cp,
+    * distinct_cp, entropy_q). Gate-only: runtime face is the benched
+    * shuffle-free per-row feature shape (text_stats). The oracle
+    * replays the per-character histogram and the code-point-ordered
+    * entropy fold, re-proving the native expression every round.
+    */
+  def textEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val e = graft.expressions.CharEntropy(coalesce(col("text"), lit("")))
+    Tables.loadSpread(spark, dir, "documents")
+      .withColumn("__e", e)
+      .select(col("doc_id"),
+        col("__e").getItem(0).cast("bigint").as("n_cp"),
+        col("__e").getItem(2).cast("bigint").as("distinct_cp"),
+        floor(col("__e").getItem(1) * 1e6d).cast("bigint").as("entropy_q"))
+      .orderBy("doc_id")
+  }
+
+  val textEntropySql: String =
+    """WITH t AS (SELECT doc_id, coalesce(text, '') AS s FROM documents),
+      |pos AS (SELECT doc_id, unnest(generate_series(1, length(s))) AS i, s
+      |  FROM t),
+      |hc AS (SELECT doc_id, substr(s, i, 1) AS c, count(*) AS cnt
+      |  FROM pos GROUP BY doc_id, c),
+      |n AS (SELECT doc_id, sum(cnt) AS n FROM hc GROUP BY doc_id),
+      |terms AS (SELECT hc.doc_id, hc.c,
+      |    -(CAST(hc.cnt AS DOUBLE) / n.n) * ln(CAST(hc.cnt AS DOUBLE) / n.n)
+      |      AS term
+      |  FROM hc JOIN n ON n.doc_id = hc.doc_id),
+      |e AS (SELECT doc_id, count(*) AS distinct_cp,
+      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list(term ORDER BY c)), (a, b) -> a + b) AS h
+      |  FROM terms GROUP BY doc_id)
+      |SELECT t.doc_id,
+      |  CAST(length(t.s) AS BIGINT) AS n_cp,
+      |  CAST(COALESCE(e.distinct_cp, 0) AS BIGINT) AS distinct_cp,
+      |  CAST(floor(COALESCE(e.h, 0.0) * 1e6) AS BIGINT) AS entropy_q
+      |FROM t LEFT JOIN e ON e.doc_id = t.doc_id
+      |ORDER BY t.doc_id""".stripMargin
 
   // ---------------------------------------------------------------- stats
 
@@ -1242,6 +1284,7 @@ object TextQueries {
     "text_pii" -> (textPii(_, _)),
     "text_chunks" -> (textChunks(_, _)),
     "text_stats" -> (textStats(_, _)),
+    "text_entropy" -> (textEntropy(_, _)),
     "text_repetition" -> (textRepetition(_, _)),
     "text_gopher" -> (textGopher(_, _)),
     "text_quality_calib" -> (textQualityCalib(_, _)),
@@ -1275,6 +1318,7 @@ object TextQueries {
     "text_pii" -> textPiiSql,
     "text_chunks" -> textChunksSql,
     "text_stats" -> textStatsSql,
+    "text_entropy" -> textEntropySql,
     "text_repetition" -> textRepetitionSql,
     "text_gopher" -> textGopherSql,
     "text_quality_calib" -> textQualityCalibSql,
