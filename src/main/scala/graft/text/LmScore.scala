@@ -35,18 +35,40 @@ object LmScore {
     */
   def model(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 100): DataFrame = {
-    val counts = Vocab.topTokens(docs, idCol, textCol, k)
-      .select(col("token"), col("n_occurrences").as("cnt"))
-    counts
-      .agg(map_from_entries(collect_list(struct(col("token"), col("cnt"))))
-        .as("__m"))
-      .crossJoin(
-        docs.select(explode(TokenCount.tokens(coalesce(col(textCol),
-          lit("")))).as("t"))
-          .agg(count(lit(1)).as("__total")))
-      .select(col("__m"),
-        (col("__total") + lit(k.toLong) + lit(1L)).cast("double")
-          .as("__denom"))
+    // ONE corpus tokenize feeds both the top-k cut and the smoothing
+    // denominator: the per-token table persists (vocabulary-sized —
+    // the staging table a 100 TB model build would write anyway) and
+    // the two tiny aggregates read it back, instead of re-scanning and
+    // re-tokenizing the corpus for the total. The model is computed
+    // EAGERLY (it is one bounded row by construction) so the staging
+    // cache can drop before this returns; the returned frame is a
+    // local relation — broadcastable, persistable, and stream-static
+    // joinable exactly like the lazy form it replaces.
+    val perDoc = docs
+      .select(col(idCol).as("doc_id"),
+        explode(TokenCount.tokens(coalesce(col(textCol), lit(""))))
+          .as("token"))
+      .groupBy(col("token"), col("doc_id"))
+      .agg(count(lit(1)).as("n"))
+    val tokTable = perDoc
+      .groupBy(col("token"))
+      .agg(sum(col("n")).as("n_occurrences"))
+      .persist()
+    try {
+      val fitted = tokTable
+        .orderBy(col("n_occurrences").desc, col("token"))
+        .limit(k)
+        .agg(map_from_entries(
+          collect_list(struct(col("token"), col("n_occurrences"))))
+          .as("__m"))
+        .crossJoin(tokTable.agg(sum(col("n_occurrences")).as("__total")))
+        .select(col("__m"),
+          (col("__total") + lit(k.toLong) + lit(1L)).cast("double")
+            .as("__denom"))
+      val row = fitted.head()
+      fitted.sparkSession.createDataFrame(
+        java.util.List.of(row), fitted.schema)
+    } finally tokTable.unpersist()
   }
 
   /** (doc_id, n_tokens, n_oov, rarity_mean, nll_q) per document; empty
