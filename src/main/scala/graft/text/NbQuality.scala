@@ -127,6 +127,69 @@ object NbQuality {
       nPosDocs = t.getLong(2), nNegDocs = t.getLong(3))
   }
 
+  /** [[fit]] against a FIXED caller-supplied vocabulary instead of the
+    * seed's top-K — the incremental-maintenance form: with the
+    * vocabulary pinned, every model component is an exact integer (or
+    * derived from one), so batch models [[merge]] EXACTLY into a
+    * standing model (the AggMerge discipline) — a nightly crawl folds
+    * in without ever re-scanning the corpus. The shuffle also shrinks:
+    * only vocabulary tokens survive the pre-aggregate filter.
+    */
+  def fitWithVocab(docs: DataFrame, idCol: String, textCol: String,
+      cfg: Config, vocab: Seq[String]): Model = {
+    require(vocab.nonEmpty, "vocabulary must be non-empty")
+    require(vocab.distinct.size == vocab.size, "vocabulary has duplicates")
+    val s = seed(docs, idCol, textCol, cfg)
+    val seen = s
+      .select(col("__lbl"), explode(TokenCount.tokens(col("text"))).as("token"))
+      .filter(col("token").isin(vocab: _*))
+      .groupBy(col("token"))
+      .agg(sum(col("__lbl")).as("n_pos"),
+        sum(lit(1L) - col("__lbl")).as("n_neg"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val t = s
+      .select(col("__lbl"),
+        size(TokenCount.tokens(col("text"))).cast("long").as("__n"))
+      .agg(
+        sum(when(col("__lbl") === 1L, col("__n")).otherwise(0L)).as("tp"),
+        sum(when(col("__lbl") === 0L, col("__n")).otherwise(0L)).as("tn"),
+        sum(col("__lbl")).as("dp"),
+        sum(lit(1L) - col("__lbl")).as("dn"))
+      .head()
+    val k = vocab.size.toLong
+    def lng(i: Int): Long = if (t.isNullAt(i)) 0L else t.getLong(i)
+    Model(
+      posCounts = vocab.map(t0 => t0 -> seen.get(t0).map(_._1).getOrElse(0L))
+        .toMap,
+      posDenom = (lng(0) + k + 1L).toDouble,
+      negCounts = vocab.map(t0 => t0 -> seen.get(t0).map(_._2).getOrElse(0L))
+        .toMap,
+      negDenom = (lng(1) + k + 1L).toDouble,
+      nPosDocs = lng(2), nNegDocs = lng(3))
+  }
+
+  /** Exact merge of two fixed-vocabulary models (same key set
+    * required): counts and totals sum pointwise — integers, so
+    * `merge(fit(a), fit(b)) == fitWithVocab(a ∪ b)` EXACTLY (spec'd),
+    * bit-equal scores included. Token totals are recovered from the
+    * denominators (`denom = total + k + 1`, all integer-valued).
+    */
+  def merge(a: Model, b: Model): Model = {
+    require(a.posCounts.keySet == b.posCounts.keySet &&
+      a.negCounts.keySet == b.negCounts.keySet,
+      "models must share one fixed vocabulary")
+    val k = a.posCounts.size.toLong
+    def total(denom: Double): Long = denom.toLong - k - 1L
+    Model(
+      posCounts = a.posCounts.map { case (t, n) => t -> (n + b.posCounts(t)) },
+      posDenom = (total(a.posDenom) + total(b.posDenom) + k + 1L).toDouble,
+      negCounts = a.negCounts.map { case (t, n) => t -> (n + b.negCounts(t)) },
+      negDenom = (total(a.negDenom) + total(b.negDenom) + k + 1L).toDouble,
+      nPosDocs = a.nPosDocs + b.nPosDocs,
+      nNegDocs = a.nNegDocs + b.nNegDocs)
+  }
+
   /** Score every document against a fitted model. Pure projection (two
     * native UnigramScore folds over ONE shared token array); the class
     * prior folds in driver-side so the whole log-odds agrees with the

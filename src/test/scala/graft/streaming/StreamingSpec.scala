@@ -148,6 +148,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("nb classifier: a stream screens against a frozen merged model") {
+    // the model-based quality screen at ingest: batch-fit (or exactly
+    // merged) NB model, pure-projection scoring — the same composition
+    // as the lm face above, so the standing model can be maintained by
+    // NbQuality.merge between micro-batch generations
+    val cfg = graft.text.NbQuality.Config(
+      posSources = Seq("src0"), negRate = 1.0, negSalt = "t", vocabK = 8)
+    val vocab = Seq("aa", "bb", "cc", "zz")
+    val b1 = Seq((1L, "aa aa bb", "src0"), (2L, "cc cc", "srcX"))
+      .toDF("doc_id", "text", "source")
+    val b2 = Seq((3L, "aa bb", "src0"), (4L, "zz cc", "srcY"))
+      .toDF("doc_id", "text", "source")
+    val standing = graft.text.NbQuality.merge(
+      graft.text.NbQuality.fitWithVocab(b1, "doc_id", "text", cfg, vocab),
+      graft.text.NbQuality.fitWithVocab(b2, "doc_id", "text", cfg, vocab))
+    val stream = MemoryStream[(Long, String)](spark)
+    val q = graft.text.NbQuality.scoreWith(
+        stream.toDF().toDF("doc_id", "text"), "doc_id", "text", standing)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("nbstream").start()
+    try {
+      stream.addData(Seq((10L, "aa aa bb"), (11L, "cc zz")))
+      q.processAllAvailable()
+      val streamed = spark.table("nbstream").orderBy("doc_id").collect()
+        .map(_.toString).toSeq
+      val batch = graft.text.NbQuality.scoreWith(
+          Seq((10L, "aa aa bb"), (11L, "cc zz")).toDF("doc_id", "text"),
+          "doc_id", "text", standing)
+        .orderBy("doc_id").collect().map(_.toString).toSeq
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("text scoring + repetition projections run unchanged on a stream") {
     // The per-row text family (stats, langid, repetition's bigram
     // histogram on a per-batch basis) is stateless, so the SAME

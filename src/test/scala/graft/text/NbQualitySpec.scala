@@ -95,6 +95,41 @@ class NbQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("fixed-vocab batch models merge exactly into the union fit") {
+    val vocab = Seq("aa", "bb", "cc", "zz")
+    val b1 = Seq(
+      (1L, "aa aa bb", "src0"), (2L, "cc cc bb", "srcX")).toDF(
+      "doc_id", "text", "source")
+    val b2 = Seq(
+      (3L, "aa bb zz qq", "src0"), (4L, "zz cc", "srcY")).toDF(
+      "doc_id", "text", "source")
+    val merged = NbQuality.merge(
+      NbQuality.fitWithVocab(b1, "doc_id", "text", cfg, vocab),
+      NbQuality.fitWithVocab(b2, "doc_id", "text", cfg, vocab))
+    val union = NbQuality.fitWithVocab(b1.union(b2), "doc_id", "text",
+      cfg, vocab)
+    assert(merged === union) // exact: counts, denoms, priors
+    // bit-equal scores through the merged model ("qq" stays OOV — the
+    // fixed vocab is what makes the fold identical on both paths)
+    val docs = b1.union(b2)
+    val viaMerged = NbQuality.scoreWith(docs, "doc_id", "text", merged)
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    val viaUnion = NbQuality.scoreWith(docs, "doc_id", "text", union)
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(viaMerged === viaUnion)
+  }
+
+  test("fixed-vocab fit counts only vocabulary tokens, totals count all") {
+    val docs = Seq((1L, "aa qq qq", "src0"), (2L, "bb", "srcX"))
+      .toDF("doc_id", "text", "source")
+    val m = NbQuality.fitWithVocab(docs, "doc_id", "text", cfg,
+      Seq("aa", "bb"))
+    assert(m.posCounts === Map("aa" -> 1L, "bb" -> 0L))
+    assert(m.negCounts === Map("aa" -> 0L, "bb" -> 1L))
+    assert(m.posDenom === 6.0) // 3 pos tokens (qq included) + k=2 + 1
+    assert(m.negDenom === 4.0)
+  }
+
   test("scoring is a pure projection — no exchange on the score path") {
     val docs = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")
