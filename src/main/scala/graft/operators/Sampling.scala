@@ -150,6 +150,27 @@ object Sampling {
         explode(sequence(lit(0L), col("__ncopies") - 1)).as("epoch_copy"): _*)
   }
 
+  /** Per-ROW weighted sampling — soft quality filtering: each row's
+    * acceptance probability is its own weight column raised to an
+    * integer `power` (power 1 = linear, 2+ sharpens toward the
+    * high-quality end — the Llama-3-style alternative to a hard
+    * quality cutoff, which keeps a calibrated tail of mid-quality
+    * text instead of a cliff at the threshold).
+    *
+    * `power` is an INT and the exponent is applied by repeated IEEE
+    * multiplication (not libm `pow`), so the acceptance threshold is
+    * bit-identical in any engine — the same exactness discipline as
+    * [[coordinate]]. Weights must lie in [0, 1]: 0 never keeps, 1
+    * always keeps. Pure projection + filter, pushed to the scan.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+      power: Int = 1, salt: String = "wq"): DataFrame = {
+    require(power >= 1, s"power must be at least 1, got $power")
+    val w = col(weightCol).cast("double")
+    val threshold = (2 to power).foldLeft(w)((acc, _) => acc * w)
+    df.filter(coordinate(col(idCol), salt) < threshold)
+  }
+
   def temperatureSample(df: DataFrame, idCol: String, strataCol: String,
       temperature: Double = 2.0, targetFrac: Double = 0.5,
       salt: String = "temp"): DataFrame = {

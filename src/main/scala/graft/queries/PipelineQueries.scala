@@ -233,6 +233,34 @@ object PipelineQueries {
        |FROM o ORDER BY doc_id""".stripMargin
   }
 
+  /** Quality-weighted (soft) downsampling: each doc kept with
+    * probability quality², via [[graft.operators.Sampling
+    * .weightedSample]] — no hard threshold cliff. Gate-only: runtime
+    * face is sample_stratified's pushed-filter projection. The oracle
+    * replays the quality score, the squared threshold, and the md5
+    * coordinate, pinning the exact kept row SET.
+    */
+  def sampleQuality(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.{TextFeatures, TextStats}
+    val docs = Tables.loadSpread(spark, dir, "documents")
+    val scored = docs.select(col("doc_id"),
+      TextStats.qualityScore(TextFeatures.words(col("text"))).as("quality"))
+    Sampling.weightedSample(scored, "doc_id", "quality",
+        power = 2, salt = "wq")
+      .orderBy("doc_id")
+  }
+
+  val sampleQualitySql: String = {
+    val coord = OracleDialect.hexPrefixToLong(
+      "md5('wq:'||CAST(doc_id AS VARCHAR))", 8)
+    s"""WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+       |  FROM documents),
+       |q AS (SELECT doc_id, ${TextQueries.qualityExpr} AS quality FROM w)
+       |SELECT doc_id, quality FROM q
+       |WHERE CAST($coord AS DOUBLE) / 4294967296 < quality * quality
+       |ORDER BY doc_id""".stripMargin
+  }
+
   private val EpochMap = Map("src0" -> 0.25, "src1" -> 1.5, "src2" -> 3.0)
   private val EpochDefault = 1.0
   private val EpochSalt = "epoch"
@@ -274,6 +302,7 @@ object PipelineQueries {
     "pipeline_mix" -> (pipelineMix(_, _)),
     "sample_stratified" -> (sampleStratified(_, _)),
     "sample_temperature" -> (sampleTemperature(_, _)),
+    "sample_quality" -> (sampleQuality(_, _)),
     "sample_epochs" -> (sampleEpochs(_, _)),
     "shard_assign" -> (shardAssign(_, _)),
     "corpus_order" -> (corpusOrder(_, _)),
@@ -284,6 +313,7 @@ object PipelineQueries {
     "pipeline_mix" -> pipelineMixSql,
     "sample_stratified" -> sampleStratifiedSql,
     "sample_temperature" -> sampleTemperatureSql,
+    "sample_quality" -> sampleQualitySql,
     "sample_epochs" -> sampleEpochsSql,
     "shard_assign" -> shardAssignSql,
     "corpus_order" -> corpusOrderSql,

@@ -100,4 +100,26 @@ class SamplingSpec extends AnyFunSuite {
       Map("big" -> 2.5, "small" -> 1.5)))
     assert(a === b)
   }
+
+  test("weightedSample: degenerate weights; sharpening nests per salt") {
+    import spark.implicits._
+    val rows = (1L to 400L).map(i =>
+      (i, if (i % 4 == 0) 0.0 else if (i % 4 == 1) 1.0 else 0.6))
+      .toDF("doc_id", "w")
+    def ids(power: Int) =
+      Sampling.weightedSample(rows, "doc_id", "w", power, "s")
+        .collect().map(_.getLong(0)).toSet
+    val p1 = ids(1); val p2 = ids(2)
+    // weight 0 never keeps, weight 1 always keeps
+    assert(rows.filter("w = 0.0").count() > 0)
+    assert(p1.intersect((4L to 400L by 4).toSet).isEmpty)
+    assert((1L to 400L by 4).toSet.subsetOf(p1))
+    // squaring only LOWERS thresholds -> power-2 keeps a subset
+    assert(p2.subsetOf(p1) && p2.size < p1.size)
+    // mid-weight rows keep at roughly w^power rates
+    val mid = (1L to 400L).filter(i => i % 4 == 2 || i % 4 == 3).toSet
+    val k1 = p1.intersect(mid).size / 200.0
+    val k2 = p2.intersect(mid).size / 200.0
+    assert(math.abs(k1 - 0.6) < 0.15 && math.abs(k2 - 0.36) < 0.15)
+  }
 }
