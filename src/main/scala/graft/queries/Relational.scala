@@ -899,7 +899,79 @@ object Relational {
       |GROUP BY 1, 2, 3 HAVING count(*) < 5
       |ORDER BY n, c_mktsegment, c_nationkey, bal_band""".stripMargin
 
+  // -------------------------------------------------------- bradley-terry
+
+  /** Bradley-Terry supplier leaderboard from per-part price
+    * tournaments ([[graft.operators.BradleyTerry]]): each part where
+    * two suppliers quote different minimum unit prices is one game,
+    * the MM fixed point turns the win matrix into strengths. The
+    * oracle replays the tournament, the game summary, and ALL MM
+    * iterations (ordered folds — no libm anywhere, so the gate hashes
+    * RAW doubles). Gate-only: the distributed stage is the benched
+    * part-keyed aggregate + self-join shape (dedup_ngram's postings
+    * class); the MM loop is entity-bounded.
+    */
+  def qBtrank(spark: SparkSession, dir: String): DataFrame = {
+    val up = Tables.load(spark, dir, "lineitem")
+      .groupBy(col("l_partkey").as("p"), col("l_suppkey").as("s"))
+      .agg(min(col("l_extendedprice") / col("l_quantity")).as("mp"))
+    val a = up.select(col("p"), col("s").as("sa"), col("mp").as("pa"))
+    val b = up.select(col("p"), col("s").as("sb"), col("mp").as("pb"))
+    val outcomes = a.join(b, Seq("p"))
+      .filter(col("sa") < col("sb") && col("pa") =!= col("pb"))
+      .select(
+        when(col("pa") < col("pb"), col("sa")).otherwise(col("sb"))
+          .as("winner"),
+        when(col("pa") < col("pb"), col("sb")).otherwise(col("sa"))
+          .as("loser"))
+    graft.operators.BradleyTerry.strengths(spark,
+        graft.operators.BradleyTerry.games(outcomes, "winner", "loser"),
+        iters = 8)
+      .orderBy(col("strength").desc, col("id"))
+  }
+
+  val qBtrankSql: String = {
+    val fold = "(x, y) -> x + y"
+    def iter(k: Int): String = {
+      val prev = s"s${k - 1}"
+      s"""u$k AS MATERIALIZED (SELECT o.i AS id,
+         |    w.n_wins / list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list(o.n / (si.s + sj.s) ORDER BY o.j)), $fold) AS su
+         |  FROM opps o
+         |  JOIN $prev si ON si.id = o.i
+         |  JOIN $prev sj ON sj.id = o.j
+         |  JOIN ent w ON w.id = o.i
+         |  GROUP BY o.i, w.n_wins, si.s),
+         |t$k AS MATERIALIZED (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |    list(su ORDER BY id)), $fold) AS t FROM u$k),
+         |s$k AS MATERIALIZED (SELECT id, su / t AS s FROM u$k, t$k)""".stripMargin
+    }
+    s"""WITH up AS MATERIALIZED (SELECT l_partkey AS p, l_suppkey AS s,
+       |    min(l_extendedprice / l_quantity) AS mp
+       |  FROM lineitem GROUP BY 1, 2),
+       |g0 AS (SELECT a.s AS a, b.s AS b,
+       |    CASE WHEN a.mp < b.mp THEN 1 ELSE 0 END AS wa
+       |  FROM up a JOIN up b ON a.p = b.p AND a.s < b.s
+       |  WHERE a.mp != b.mp),
+       |gs AS MATERIALIZED (SELECT a, b, count(*) AS n, CAST(sum(wa) AS BIGINT) AS wa
+       |  FROM g0 GROUP BY a, b),
+       |ent AS MATERIALIZED (SELECT id, CAST(sum(n) AS BIGINT) AS n_games,
+       |    CAST(sum(w) AS BIGINT) AS n_wins
+       |  FROM (SELECT a AS id, n, wa AS w FROM gs
+       |        UNION ALL SELECT b, n, n - wa FROM gs)
+       |  GROUP BY id),
+       |cnt AS (SELECT count(*) AS m FROM ent),
+       |s0 AS MATERIALIZED (SELECT id, CAST(1 AS DOUBLE) / m AS s FROM ent, cnt),
+       |opps AS MATERIALIZED (SELECT a AS i, b AS j, n FROM gs
+       |         UNION ALL SELECT b, a, n FROM gs),
+       |${(1 to 8).map(iter).mkString(",\n")}
+       |SELECT e.id AS id, e.n_games, e.n_wins, s8.s AS strength
+       |FROM ent e JOIN s8 ON s8.id = e.id
+       |ORDER BY strength DESC, e.id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_btrank" -> (qBtrank(_, _)),
     "q_psi" -> (qPsi(_, _)),
     "dq_kanon" -> (dqKanon(_, _)),
     "er_sorted" -> (erSorted(_, _)),
@@ -930,6 +1002,7 @@ object Relational {
 
   val oracleSql: Map[String, String] = Map(
     "er_match" -> erMatchSql,
+    "q_btrank" -> qBtrankSql,
     "q_psi" -> qPsiSql,
     "dq_kanon" -> dqKanonSql,
     "er_sorted" -> erSortedSql,
