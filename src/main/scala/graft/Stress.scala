@@ -27,7 +27,7 @@ object Stress {
         "scd2", "semantic", "pmi", "epochs", "order", "profilediff",
         "outliers", "pagerank", "equidepth", "outliersbig", "heavyhitters",
         "hll", "kmeans", "kmeans4096", "simquant", "ivfserve", "linkage",
-        "bpe", "bm25", "knngraph", "cms", "ssjoin")
+        "bpe", "bm25", "knngraph", "cms", "ssjoin", "classifier")
     val spark = Sessions.local("32")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -384,6 +384,44 @@ object Stress {
       val n = graft.text.LmScore
         .scoreFast(corpus, "doc_id", "text", fitted).count()
       require(n == nDocs, s"lmscore dropped docs: $n != $nDocs")
+      spark.catalog.clearCache()
+    }
+
+    if (which("classifier")) {
+      // NB + DSIR at the 500k-doc scale: both trainers are aggregates
+      // with bounded outputs (top-K vocab rows / B bucket cells), both
+      // scorers are pure projections — fit must stay near one corpus
+      // tokenize, scoring near the lmscore-fast pass, and the screen
+      // must stay non-degenerate on the cloned corpus
+      val docs = queries.Tables.loadSpread(spark, dir, "documents")
+      val corpus = staged(docs
+        .select(col("doc_id"), col("text"), col("source"),
+          explode(sequence(lit(0), lit(9))).as("copy"))
+        .select((col("doc_id") + col("copy") * 1000000L).as("doc_id"),
+          col("text"), col("source"))
+        .repartition(32))
+      val nDocs = corpus.count()
+      val cfg = graft.text.NbQuality.Config()
+      var m: graft.text.NbQuality.Model = null
+      timedWarm("nbfit") {
+        m = graft.text.NbQuality.fit(corpus, "doc_id", "text", cfg); nDocs
+      }
+      timedWarm("nbscore") {
+        graft.text.NbQuality.scoreWith(corpus, "doc_id", "text", m)
+          .write.format("noop").mode("overwrite").save(); nDocs
+      }
+      val dcfg = graft.text.Dsir.Config()
+      var dm: graft.text.Dsir.Model = null
+      timedWarm("dsirfit") {
+        dm = graft.text.Dsir.fit(corpus, "doc_id", "text", dcfg); nDocs
+      }
+      timedWarm("dsirscore") {
+        graft.text.Dsir.scoreWith(corpus, "doc_id", "text", dcfg.buckets, dm)
+          .write.format("noop").mode("overwrite").save(); nDocs
+      }
+      val kept = graft.text.NbQuality.scoreWith(corpus, "doc_id", "text", m)
+        .filter(col("pred") === 1).count()
+      require(kept > 0 && kept < nDocs, s"nb screen degenerate: $kept/$nDocs")
       spark.catalog.clearCache()
     }
 
