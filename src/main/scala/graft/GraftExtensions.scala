@@ -131,6 +131,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         s"hilbert_index takes (x, y), got ${args.length}")
       HilbertIndex(args.head, args(1))
     })
+    inject("char_entropy", { args =>
+      require(args.length == 1,
+        s"char_entropy takes 1 argument, got ${args.length}")
+      CharEntropy(args.head)
+    })
     inject("rolling_fingerprint", { args =>
       require(args.length == 1,
         s"rolling_fingerprint takes 1 argument, got ${args.length}")

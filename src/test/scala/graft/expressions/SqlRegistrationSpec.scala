@@ -33,6 +33,13 @@ class SqlRegistrationSpec extends AnyFunSuite {
     assert(r.getSeq[String](0) === Seq("ab", "bé", "éd"))
   }
 
+  test("char_entropy parses from SQL and matches the Column form") {
+    val r = spark.sql("SELECT char_entropy('aab')").head.getSeq[Double](0)
+    assert(r(0) === 3.0 && r(2) === 2.0)
+    val p1 = 2.0 / 3; val p2 = 1.0 / 3
+    assert(r(1) === 0.0 - p1 * StrictMath.log(p1) - p2 * StrictMath.log(p2))
+  }
+
   test("hilbert_index parses from SQL and matches the static walk") {
     val r = spark.sql(
       "SELECT hilbert_index(CAST(7 AS BIGINT), CAST(11 AS BIGINT))").head
