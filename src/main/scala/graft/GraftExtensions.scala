@@ -167,5 +167,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         numArr(args(3), "floor_residual", 4))
     })
     ext.injectOptimizerRule(_ => RewriteDotProduct)
+    // materialized-summary routing (graft.plans.SummaryCatalog): route
+    // covered aggregates over a base table to its registered rollup
+    ext.injectOptimizerRule(session => graft.plans.SummaryRewrite(session))
   }
 }

@@ -1,0 +1,99 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DataType
+import scala.collection.concurrent.TrieMap
+
+/** Registry of materialized aggregate summaries — the engine's
+  * materialized-view layer. A summary is a small parquet table holding
+  * per-key partial aggregates of a large base table; once registered,
+  * [[SummaryRewrite]] transparently routes matching aggregate queries
+  * over the BASE table to the summary — users keep writing the
+  * straightforward query, the optimizer serves it from the rollup
+  * (the Calcite/warehouse MV-routing feature, scoped to exact
+  * aggregate containment).
+  *
+  * Exactness contract (what keeps rewritten answers HASH-identical,
+  * not just close): every measure must be re-aggregation-exact —
+  * counts, integral/decimal sums, min/max. A raw DOUBLE sum is
+  * order-dependent, so re-summing per-key partials can differ in the
+  * last ulp from the direct sum; [[register]] refuses such a measure
+  * rather than silently changing answers (the caller casts to decimal
+  * first — the engine's established money-sum discipline).
+  */
+object SummaryCatalog {
+
+  /** One aggregate the summary can serve. `cast` mirrors the cast the
+    * query applies INSIDE the aggregate (`sum(cast(x as decimal))`).
+    */
+  final case class Measure(op: String, baseCol: String,
+      cast: Option[DataType] = None) {
+    require(Set("sum", "count", "min", "max")(op), s"unsupported op $op")
+    def summaryCol: String =
+      if (op == "count") "cnt" else s"${op}_$baseCol"
+  }
+
+  final case class Summary(basePath: String, summaryPath: String,
+      keys: Seq[String], measures: Seq[Measure])
+
+  private val registry = TrieMap.empty[String, Summary]
+
+  private[plans] def normalize(path: String): String =
+    new java.io.File(path.stripPrefix("file:")).getAbsolutePath
+
+  def register(s: Summary): Unit = {
+    s.measures.foreach { m =>
+      val exact = m.op != "sum" ||
+        m.cast.orElse(None).exists(t =>
+          t.isInstanceOf[org.apache.spark.sql.types.DecimalType]) ||
+        m.cast.isEmpty // integral sums resolved at build; see build()
+      require(exact, s"measure $m is not re-aggregation-exact")
+    }
+    registry.put(normalize(s.basePath), s)
+  }
+
+  def lookup(basePath: String): Option[Summary] =
+    registry.get(normalize(basePath))
+
+  def clear(): Unit = registry.clear()
+
+  /** Compute the summary from the base parquet, write it, register
+    * it. The build is the engine's standard map-side-combined
+    * aggregate — ONE shuffle of per-key partials; at 100 TB this is
+    * the nightly rollup job whose output then serves every dashboard
+    * aggregate at summary (not base) scan cost.
+    */
+  def build(spark: SparkSession, basePath: String, summaryPath: String,
+      keys: Seq[String], measures: Seq[Measure]): Summary = {
+    require(keys.nonEmpty, "summary needs at least one key")
+    require(measures.nonEmpty, "summary needs at least one measure")
+    val base = spark.read.parquet(basePath)
+    def input(m: Measure) =
+      m.cast.fold(col(m.baseCol))(t => col(m.baseCol).cast(t))
+    measures.filter(m => m.op == "sum" && m.cast.isEmpty).foreach { m =>
+      import org.apache.spark.sql.types._
+      val exact = base.schema(m.baseCol).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _: DecimalType => true
+        case _ => false
+      }
+      require(exact,
+        s"sum(${m.baseCol}: ${base.schema(m.baseCol).dataType}) is not " +
+          "re-aggregation-exact — cast to decimal in the measure (the " +
+          "money-sum discipline)")
+    }
+    val aggs = measures.map {
+      case m if m.op == "count" => count(lit(1)).as(m.summaryCol)
+      case m if m.op == "sum" => sum(input(m)).as(m.summaryCol)
+      case m if m.op == "min" => min(input(m)).as(m.summaryCol)
+      case m => max(input(m)).as(m.summaryCol)
+    }
+    base.groupBy(keys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .write.mode("overwrite").parquet(summaryPath)
+    val s = Summary(basePath, summaryPath, keys, measures)
+    register(s)
+    s
+  }
+}

@@ -970,7 +970,51 @@ object Relational {
        |ORDER BY strength DESC, e.id""".stripMargin
   }
 
+  // ------------------------------------------------- materialized routing
+
+  /** Materialized-summary routing end to end
+    * ([[graft.plans.SummaryCatalog]] + [[graft.plans.SummaryRewrite]]):
+    * build and register a (returnflag, linestatus) rollup of lineitem,
+    * then issue the NATURAL aggregate against the BASE table grouped
+    * by a strict key subset — the optimizer must serve it from the
+    * summary (plan-asserted in SummaryRewriteSpec) with answers
+    * hash-identical to the oracle's direct aggregation, which is the
+    * rewrite's whole correctness claim. Gate-only: the summary build
+    * is q1_agg's benched aggregate shape; the routed query reads a
+    * 4-row table.
+    */
+  def qMvRollup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.plans.SummaryCatalog
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(18, 2)
+    val base = s"$dir/lineitem.parquet"
+    val sumPath = s"${System.getProperty("java.io.tmpdir")}/graft_mv/" +
+      s"${new java.io.File(dir).getName}/lineitem_rfls"
+    SummaryCatalog.build(spark, base, sumPath,
+      keys = Seq("l_returnflag", "l_linestatus"),
+      measures = Seq(
+        SummaryCatalog.Measure("count", ""),
+        SummaryCatalog.Measure("sum", "l_quantity", Some(dec)),
+        SummaryCatalog.Measure("max", "l_shipdate")))
+    spark.read.parquet(base)
+      .groupBy("l_returnflag")
+      .agg(
+        sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"),
+        count(lit(1)).as("n"),
+        max(col("l_shipdate")).as("last_ship"))
+      .orderBy("l_returnflag")
+  }
+
+  val qMvRollupSql: String =
+    """SELECT l_returnflag,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  COUNT(*) AS n,
+      |  MAX(l_shipdate) AS last_ship
+      |FROM lineitem GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mv_rollup" -> (qMvRollup(_, _)),
     "q_btrank" -> (qBtrank(_, _)),
     "q_psi" -> (qPsi(_, _)),
     "dq_kanon" -> (dqKanon(_, _)),
@@ -1002,6 +1046,7 @@ object Relational {
 
   val oracleSql: Map[String, String] = Map(
     "er_match" -> erMatchSql,
+    "q_mv_rollup" -> qMvRollupSql,
     "q_btrank" -> qBtrankSql,
     "q_psi" -> qPsiSql,
     "dq_kanon" -> dqKanonSql,

@@ -1,0 +1,118 @@
+package graft.plans
+
+import graft.SparkTestSession
+import graft.plans.SummaryCatalog.Measure
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.scalatest.funsuite.AnyFunSuite
+
+class SummaryRewriteSpec extends AnyFunSuite {
+
+  private val spark = SparkTestSession.spark
+
+  private val base = "/root/testdata/sf0.001/lineitem.parquet"
+  private val sumPath =
+    s"${System.getProperty("java.io.tmpdir")}/graft_mv_spec/lineitem_rfls"
+  private val dec = DecimalType(18, 2)
+
+  private def buildSummary(): Unit =
+    SummaryCatalog.build(spark, base, sumPath,
+      keys = Seq("l_returnflag", "l_linestatus"),
+      measures = Seq(
+        Measure("count", ""),
+        Measure("sum", "l_quantity", Some(dec)),
+        Measure("min", "l_shipdate"), Measure("max", "l_shipdate")))
+
+  private def baseQuery() = spark.read.parquet(base)
+    .groupBy("l_returnflag", "l_linestatus")
+    .agg(
+      sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"),
+      count(lit(1)).as("n"),
+      min(col("l_shipdate")).as("first_ship"))
+    .orderBy("l_returnflag", "l_linestatus")
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    // executedPlan: the FileScan node prints its Location (the logical
+    // Relation node does not), so the assertions can see WHICH table
+    // the rewritten plan actually reads
+    df.queryExecution.executedPlan.toString
+
+  test("covered aggregate routes to the summary with identical answers") {
+    SummaryCatalog.clear()
+    val direct = baseQuery().collect().map(_.toString).toSeq
+    buildSummary()
+    val routed = baseQuery()
+    assert(planOf(routed).contains("graft_mv_spec"), planOf(routed))
+    assert(!planOf(routed).contains("lineitem.parquet"), planOf(routed))
+    assert(routed.collect().map(_.toString).toSeq === direct)
+    SummaryCatalog.clear()
+  }
+
+  test("strict key subsets roll the summary up further, globals too") {
+    // a Dataset caches its QueryExecution once forced — every probe
+    // below REBUILDS the frame so planning sees the current registry
+    SummaryCatalog.clear()
+    def byFlag() = spark.read.parquet(base).groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(dec)).cast("double").as("q"))
+      .orderBy("l_returnflag")
+    def global() = spark.read.parquet(base)
+      .agg(count(lit(1)).as("n"), max(col("l_shipdate")).as("last"))
+    val (d1, d2) = (byFlag().collect().map(_.toString).toSeq,
+      global().collect().map(_.toString).toSeq)
+    buildSummary()
+    assert(planOf(byFlag()).contains("graft_mv_spec"))
+    assert(planOf(global()).contains("graft_mv_spec"))
+    assert(byFlag().collect().map(_.toString).toSeq === d1)
+    assert(global().collect().map(_.toString).toSeq === d2)
+    SummaryCatalog.clear()
+  }
+
+  test("post-aggregation arithmetic rewrites inside (derived average)") {
+    SummaryCatalog.clear()
+    def avg() = spark.read.parquet(base).groupBy("l_returnflag")
+      .agg((sum(col("l_quantity").cast(dec)).cast("double") /
+        count(lit(1))).as("avg_qty"))
+      .orderBy("l_returnflag")
+    val d = avg().collect().map(_.toString).toSeq
+    buildSummary()
+    assert(planOf(avg()).contains("graft_mv_spec"))
+    assert(avg().collect().map(_.toString).toSeq === d)
+    SummaryCatalog.clear()
+  }
+
+  test("anything not contained stays on the base table") {
+    buildSummary()
+    // a filter between aggregate and scan
+    val filtered = spark.read.parquet(base)
+      .filter(col("l_quantity") > 10).groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"))
+    assert(!planOf(filtered).contains("graft_mv_spec"))
+    // an unregistered measure
+    val otherSum = spark.read.parquet(base).groupBy("l_returnflag")
+      .agg(sum(col("l_extendedprice").cast(dec)).as("s"))
+    assert(!planOf(otherSum).contains("graft_mv_spec"))
+    // a raw double sum (exactness discipline: not even the registered
+    // column without its decimal cast)
+    val rawSum = spark.read.parquet(base).groupBy("l_returnflag")
+      .agg(sum(col("l_quantity")).as("s"))
+    assert(!planOf(rawSum).contains("graft_mv_spec"))
+    // grouping outside the key set
+    val otherKey = spark.read.parquet(base).groupBy("l_suppkey")
+      .agg(count(lit(1)).as("n"))
+    assert(!planOf(otherKey).contains("graft_mv_spec"))
+    // DISTINCT aggregates
+    val distinctAgg = spark.read.parquet(base).groupBy("l_returnflag")
+      .agg(countDistinct(col("l_suppkey")).as("n"))
+    assert(!planOf(distinctAgg).contains("graft_mv_spec"))
+    SummaryCatalog.clear()
+  }
+
+  test("catalog refuses a raw double sum measure") {
+    intercept[IllegalArgumentException] {
+      SummaryCatalog.build(spark, base, sumPath + "_bad",
+        keys = Seq("l_returnflag"),
+        measures = Seq(Measure("sum", "l_quantity")))
+    }
+  }
+}
