@@ -96,4 +96,45 @@ object SummaryCatalog {
     register(s)
     s
   }
+
+  /** Incremental refresh: fold a BATCH of new base rows into the
+    * standing summary without re-scanning the base table — the
+    * [[graft.operators.AggMerge]] discipline applied to the MV layer
+    * (count/sum partials merge by sum, min/max by min/max — each
+    * exact for the types the catalog admits, so append-then-route ≡
+    * rebuild-then-route row-for-row, spec-gated). The standing table
+    * is `localCheckpoint`ed before the overwrite so the write may
+    * read its own previous generation (the Bm25.appendToIndex
+    * lineage-cut discipline); re-aggregated columns cast back to the
+    * standing schema so the table's types never widen generation
+    * over generation.
+    */
+  def append(spark: SparkSession, s: Summary, batch: org.apache.spark.sql.DataFrame): Unit = {
+    def input(m: Measure) =
+      m.cast.fold(col(m.baseCol))(t => col(m.baseCol).cast(t))
+    val aggs = s.measures.map {
+      case m if m.op == "count" => count(lit(1)).as(m.summaryCol)
+      case m if m.op == "sum" => sum(input(m)).as(m.summaryCol)
+      case m if m.op == "min" => min(input(m)).as(m.summaryCol)
+      case m => max(input(m)).as(m.summaryCol)
+    }
+    val batchAgg = batch.groupBy(s.keys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+    val standing = spark.read.parquet(s.summaryPath).localCheckpoint()
+    val standingTypes = standing.schema.fields.map(f => f.name -> f.dataType).toMap
+    val reAggs = s.measures.map { m =>
+      val c = col(m.summaryCol)
+      val merged = m.op match {
+        case "count" | "sum" => sum(c)
+        case "min" => min(c)
+        case _ => max(c)
+      }
+      merged.cast(standingTypes(m.summaryCol)).as(m.summaryCol)
+    }
+    standing
+      .unionByName(batchAgg.select(standing.columns.map(col): _*))
+      .groupBy(s.keys.map(col): _*)
+      .agg(reAggs.head, reAggs.tail: _*)
+      .write.mode("overwrite").parquet(s.summaryPath)
+  }
 }

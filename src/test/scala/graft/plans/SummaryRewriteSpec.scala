@@ -108,6 +108,49 @@ class SummaryRewriteSpec extends AnyFunSuite {
     SummaryCatalog.clear()
   }
 
+  test("incremental append == rebuild; routing stays exact as data grows") {
+    SummaryCatalog.clear()
+    val tmp = System.getProperty("java.io.tmpdir")
+    val p1 = s"$tmp/graft_mv_spec/base_gen1"
+    val sp = s"$tmp/graft_mv_spec/lineitem_incr"
+    val full = spark.read.parquet(base)
+    full.filter(col("l_orderkey") % 3 =!= 0).write.mode("overwrite").parquet(p1)
+    val summary = SummaryCatalog.build(spark, p1, sp,
+      keys = Seq("l_returnflag", "l_linestatus"),
+      measures = Seq(Measure("count", ""),
+        Measure("sum", "l_quantity", Some(dec)),
+        Measure("max", "l_shipdate")))
+    SummaryCatalog.append(spark, summary,
+      full.filter(col("l_orderkey") % 3 === 0))
+    // the folded summary must equal a from-scratch aggregation of the
+    // WHOLE base, row for row
+    val folded = spark.read.parquet(sp)
+      .orderBy("l_returnflag", "l_linestatus")
+      .collect().map(_.toString).toSeq
+    val rebuilt = full.groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("l_quantity").cast(dec)).as("sum_l_quantity"),
+        max(col("l_shipdate")).as("max_l_shipdate"))
+      .orderBy("l_returnflag", "l_linestatus")
+      .collect().map(_.toString).toSeq
+    assert(folded === rebuilt)
+    // and routing the grown base through the maintained summary is
+    // still hash-identical to the direct aggregate
+    SummaryCatalog.register(SummaryCatalog.Summary(base, sp,
+      summary.keys, summary.measures))
+    def q() = spark.read.parquet(base).groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(dec)).cast("double").as("q"))
+      .orderBy("l_returnflag")
+    assert(planOf(q()).contains("lineitem_incr"))
+    SummaryCatalog.clear()
+    val direct = q().collect().map(_.toString).toSeq
+    SummaryCatalog.register(SummaryCatalog.Summary(base, sp,
+      summary.keys, summary.measures))
+    assert(q().collect().map(_.toString).toSeq === direct)
+    SummaryCatalog.clear()
+  }
+
   test("catalog refuses a raw double sum measure") {
     intercept[IllegalArgumentException] {
       SummaryCatalog.build(spark, base, sumPath + "_bad",
