@@ -148,6 +148,48 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("psi stream: windowed bins + frozen-reference scoring equal the batch gate") {
+    val rows = Seq(
+      (ts("2024-01-01 10:05:00"), 5.0), (ts("2024-01-01 10:15:00"), 5.0),
+      (ts("2024-01-01 10:25:00"), 15.0), (ts("2024-01-01 10:35:00"), 25.0),
+      (ts("2024-01-01 11:10:00"), 5.0), (ts("2024-01-01 11:20:00"), 35.0))
+    val stream = MemoryStream[(Timestamp, Double)](spark)
+    val q = PsiStream.bins(stream.toDF().toDF("ts", "v"), "ts", "v",
+        "1 hour", lo = 0.0, width = 10.0, nBins = 4,
+        watermark = Some("2 hours"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("psibins").start()
+    try {
+      stream.addData(rows.take(3)); q.processAllAvailable()
+      stream.addData(rows.drop(3)); q.processAllAvailable() // state merges
+      val winBins = spark.table("psibins")
+      // streaming bins == batch bins of the concatenated stream
+      val batchBins = PsiStream.bins(rows.toDF("ts", "v"), "ts", "v",
+        "1 hour", 0.0, 10.0, 4)
+      assert(winBins.orderBy("window_start", "bin").collect().toSeq ===
+        batchBins.orderBy("window_start", "bin").collect().toSeq)
+      // scoring the 10h window against a reference == the batch PSI
+      // gate on the same slice (identical smoothing + quantization)
+      import org.apache.spark.sql.functions.{col, count, floor, greatest, least, lit}
+      val refRaw = Seq(5.0, 5.0, 5.0, 15.0, 25.0, 35.0).toDF("v")
+      val ref = refRaw.select(
+          least(greatest(floor(col("v") / 10.0), lit(0.0)), lit(3.0))
+            .cast("bigint").as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as("n_a"))
+      val scored = PsiStream.scoreAgainst(winBins, ref, nBins = 4)
+        .filter(col("window_start") === ts("2024-01-01 10:00:00"))
+        .orderBy("bin").collect()
+        .map(r => (r.getLong(1), r.getLong(4))).toMap
+      val h10 = rows.filter(_._1.getTime < ts("2024-01-01 11:00:00").getTime)
+      val gate = graft.operators.Psi.stability(
+          refRaw, h10.map(_._2).toDF("v"), "v", 0.0, 10.0, 4)
+        .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+      gate.foreach { case (bin, psiQ) => assert(scored(bin) === psiQ, s"bin $bin") }
+      // full-domain rows absent from both sides carry exactly zero
+      scored.keySet.diff(gate.keySet).foreach(b => assert(scored(b) === 0L))
+    } finally q.stop()
+  }
+
   test("nb classifier: a stream screens against a frozen merged model") {
     // the model-based quality screen at ingest: batch-fit (or exactly
     // merged) NB model, pure-projection scoring — the same composition
