@@ -48,6 +48,54 @@ object PipelineQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Per-document curation decision log
+    * ([[graft.text.Curation.curateAudit]]): every doc with its
+    * verdict (kept / first dropping stage) and the representative a
+    * dedup drop lost to. Gate-only: runtime face is pipeline_curate
+    * plus one md5-keyed window. The oracle replays every stage verdict
+    * independently, so the hash pins the WHOLE decision table, not
+    * just the kept set.
+    */
+  def pipelineAudit(spark: SparkSession, dir: String): DataFrame =
+    Curation.curateAudit(
+        Tables.loadSpread(spark, dir, "documents"), "doc_id", "text", cfg)
+      .orderBy("doc_id")
+
+  val pipelineAuditSql: String = {
+    import TextQueries.{langBestExpr, langPredCase, langScoreSelect, qualityExpr}
+    s"""WITH w0 AS (SELECT doc_id, text, string_split(lower(text), ' ') AS w
+       |  FROM documents),
+       |rep AS (SELECT doc_id,
+       |    min(doc_id) OVER (PARTITION BY md5(text)) AS rep
+       |  FROM documents),
+       |feat AS (SELECT doc_id, text,
+       |    $qualityExpr AS quality,
+       |    $langScoreSelect
+       |  FROM w0),
+       |ranked AS (SELECT *, $langBestExpr AS best FROM feat),
+       |scored AS (SELECT doc_id, text, quality,
+       |    $langPredCase AS lang_pred
+       |  FROM ranked),
+       |surv AS (SELECT s.doc_id, s.text FROM scored s
+       |  JOIN rep r ON r.doc_id = s.doc_id
+       |  WHERE r.rep = s.doc_id AND s.quality >= ${cfg.minQuality}
+       |    AND s.lang_pred = '${cfg.lang}'),
+       |${DedupQueries.minhashJacCtes("surv")},
+       |losers AS (SELECT doc_b AS doc_id, min(doc_a) AS lost_to FROM jac
+       |  WHERE jaccard >= ${cfg.lsh.threshold} GROUP BY doc_b)
+       |SELECT s.doc_id, s.quality, s.lang_pred,
+       |  CASE WHEN s.doc_id != r.rep THEN 'exact_dup'
+       |       WHEN s.quality < ${cfg.minQuality} THEN 'quality'
+       |       WHEN s.lang_pred != '${cfg.lang}' THEN 'language'
+       |       WHEN l.lost_to IS NOT NULL THEN 'near_dup'
+       |       ELSE 'kept' END AS verdict,
+       |  CASE WHEN s.doc_id != r.rep THEN r.rep ELSE l.lost_to END AS lost_to
+       |FROM scored s
+       |JOIN rep r ON r.doc_id = s.doc_id
+       |LEFT JOIN losers l ON l.doc_id = s.doc_id
+       |ORDER BY s.doc_id""".stripMargin
+  }
+
   // ------------------------------------------------- deterministic mixing
 
   private val MixRates = Map("src0" -> 0.9, "src1" -> 0.5, "src2" -> 0.25)
@@ -299,6 +347,7 @@ object PipelineQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_curate" -> (pipelineCurate(_, _)),
+    "pipeline_audit" -> (pipelineAudit(_, _)),
     "pipeline_mix" -> (pipelineMix(_, _)),
     "sample_stratified" -> (sampleStratified(_, _)),
     "sample_temperature" -> (sampleTemperature(_, _)),
@@ -310,6 +359,7 @@ object PipelineQueries {
 
   val oracleSql: Map[String, String] = Map(
     "pipeline_curate" -> pipelineCurateSql,
+    "pipeline_audit" -> pipelineAuditSql,
     "pipeline_mix" -> pipelineMixSql,
     "sample_stratified" -> sampleStratifiedSql,
     "sample_temperature" -> sampleTemperatureSql,

@@ -42,6 +42,60 @@ object Curation {
       lang: String = "en",
       lsh: MinHashLSH.Config = MinHashLSH.Config())
 
+  /** The audit face of [[curate]]: EVERY input document with its
+    * verdict — `kept` or the FIRST stage that dropped it
+    * (`exact_dup` → `quality` → `language` → `near_dup`, the pipeline
+    * order), plus the scores and, for dedup drops, the surviving
+    * representative it lost to. The per-document decision log a data
+    * governance review asks for ("why is this doc not in the training
+    * set?"); same stage operators, same configs, so
+    * `curateAudit.filter(verdict = 'kept')` ≡ [[curate]]'s row set
+    * (spec-pinned, and the oracle replays every stage verdict).
+    *
+    * Scale shape: identical to [[curate]] plus one md5-keyed window
+    * for the exact-dup representative and a broadcast-sized join of
+    * near-dup losers — no new data-scale stage.
+    */
+  def curateAudit(docs: DataFrame, idCol: String, textCol: String,
+      cfg: Config = Config()): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    // exact-dup verdict: the min-id representative of each text group
+    // survives; clones record it
+    // md5(text) WITHOUT coalesce — null-text docs hash to null and
+    // window partitioning groups null keys exactly like curate's
+    // keepBest groupKey does
+    val rep = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("text")))
+    val withRep = base.withColumn("__rep", min(col("doc_id")).over(rep))
+    val w = words(col("text"))
+    val scores = LangId.Lexicons.map { case (l, lex) => l -> LangId.score(w, lex) }
+    val best = greatest(scores.map(_._2): _*)
+    val pred = scores.foldRight(lit("und")) { case ((l, s), other) =>
+      when(best > 0 && s === best, lit(l)).otherwise(other)
+    }
+    val scored = withRep.select(col("doc_id"), col("text"), col("__rep"),
+      TextStats.qualityScore(w).as("quality"), pred.as("lang_pred"))
+    // near-dup losers come from the SAME pair pipeline curate runs —
+    // over the kept-so-far survivors only (pipeline order matters: a
+    // quality-dropped doc never reaches the LSH stage)
+    val survivors = scored
+      .filter(col("doc_id") === col("__rep") &&
+        col("quality") >= cfg.minQuality && col("lang_pred") === cfg.lang)
+    val losers = MinHashLSH
+      .nearDuplicatePairs(survivors, "doc_id", "text", cfg.lsh)
+      .groupBy(col("doc_b").as("doc_id"))
+      .agg(min(col("doc_a")).as("__lost_to"))
+    scored.join(losers, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("quality"), col("lang_pred"),
+        when(col("doc_id") =!= col("__rep"), lit("exact_dup"))
+          .when(col("quality") < cfg.minQuality, lit("quality"))
+          .when(col("lang_pred") =!= cfg.lang, lit("language"))
+          .when(col("__lost_to").isNotNull, lit("near_dup"))
+          .otherwise(lit("kept")).as("verdict"),
+        when(col("doc_id") =!= col("__rep"), col("__rep"))
+          .otherwise(col("__lost_to")).as("lost_to"))
+  }
+
   /** Kept documents: (doc_id, lang_pred, quality), ascending ids. */
   def curate(docs: DataFrame, idCol: String, textCol: String,
       cfg: Config = Config()): DataFrame = {

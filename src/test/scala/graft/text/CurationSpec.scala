@@ -30,6 +30,59 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("audit: kept set equals curate; every verdict class is justified") {
+    val cfg = Curation.Config()
+    val audit = Curation.curateAudit(docs, "doc_id", "text", cfg).collect()
+    assert(audit.length === docs.count()) // EVERY doc gets a verdict
+    val byVerdict = audit.groupBy(_.getString(3))
+    // kept rows are exactly curate's output
+    val curKept = Curation.curate(docs, "doc_id", "text", cfg)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(byVerdict("kept").map(_.getLong(0)).toSet === curKept)
+    // dropped-by-stage rows each violate exactly their stage's gate
+    byVerdict.getOrElse("quality", Array()).foreach(r =>
+      assert(r.isNullAt(1) || r.getDouble(1) < cfg.minQuality))
+    byVerdict.getOrElse("language", Array()).foreach(r =>
+      assert(r.getString(2) != cfg.lang))
+    // every dedup drop names a surviving lower-id representative
+    (byVerdict.getOrElse("exact_dup", Array()) ++
+      byVerdict.getOrElse("near_dup", Array())).foreach { r =>
+        assert(!r.isNullAt(4) && r.getLong(4) < r.getLong(0))
+      }
+    // kept and quality/language drops name no one
+    byVerdict("kept").foreach(r => assert(r.isNullAt(4)))
+  }
+
+  test("audit: planted docs land in each verdict class") {
+    import spark.implicits._
+    val en = "the quick brown fox jumps over a lazy dog and then walks " +
+      "back home with other animals during this quiet evening while " +
+      "birds sing from tall green trees near clear running water as " +
+      "children play games outside their warm little houses before " +
+      "dinner is finally served to everyone around that big wooden table"
+    val planted = Seq(
+      (1L, en),                          // kept
+      (2L, en),                          // exact dup of 1
+      (3L, en + " tiny extra words here"), // near dup of 1
+      (4L, "zz zz zz zz zz zz zz zz"),   // low diversity -> quality
+      (5L, "der schnelle braune fuchs springt gern weit über einen " +
+        "faulen hund und läuft dann wieder nach hause zu den anderen " +
+        "tieren während vögel von hohen grünen bäumen singen als kinder " +
+        "draußen vor ihren warmen kleinen häusern viele schöne spiele " +
+        "spielen bevor das abendessen endlich allen am großen tisch " +
+        "serviert wird"))
+      .toDF("doc_id", "text")
+    val a = Curation.curateAudit(planted, "doc_id", "text",
+        Curation.Config(lsh = graft.dedup.MinHashLSH.Config(threshold = 0.5)))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(3), if (r.isNullAt(4)) -1L else r.getLong(4))).toMap
+    assert(a(1L) === (("kept", -1L)))
+    assert(a(2L) === (("exact_dup", 1L)))
+    assert(a(3L) === (("near_dup", 1L)))
+    assert(a(4L)._1 === "quality")
+    assert(a(5L)._1 === "language")
+  }
+
   test("keep-first policy: the lower id of each surviving pair is the one kept") {
     val cfg = Curation.Config(minQuality = 0.0, lang = "en")
     val kept = Curation.curate(docs, "doc_id", "text", cfg)
