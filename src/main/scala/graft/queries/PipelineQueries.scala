@@ -309,6 +309,57 @@ object PipelineQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  private val MixTarget = Map(
+    "src0" -> 0.20, "src1" -> 0.20, "src2" -> 0.10).withDefaultValue(0.0)
+  private val MixTargetDefault = 0.5 / 17 // remaining mass over 17 sources
+
+  /** Training-mix audit: per-source ACTUAL token share vs the
+    * configured TARGET mix, with each source's KL contribution
+    * `p·ln(p/q)` — the governance number a mix change is judged by
+    * (sum the contributions for the headline divergence). One
+    * map-side-combined (source, token-count) aggregate; shares are
+    * single divisions of exact integers; the ln term floor-quantizes
+    * at 1e-9 (the PSI discipline). Gate-only: runtime face is
+    * text_tokens' projection + a tiny aggregate.
+    */
+  def pipelineMixAudit(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.TokenCount
+    val docs = Tables.loadSpread(spark, dir, "documents")
+    val bySrc = docs
+      .select(col("source"),
+        size(TokenCount.tokens(coalesce(col("text"), lit(""))))
+          .cast("long").as("__n"))
+      .groupBy("source").agg(sum(col("__n")).as("n_tokens"))
+    val total = bySrc.agg(sum(col("n_tokens")).as("t"))
+    val target = MixTarget.toSeq.foldLeft(lit(MixTargetDefault)) {
+      case (other, (k, v)) => when(col("source") === k, v).otherwise(other)
+    }
+    val p = col("n_tokens").cast("double") / col("t").cast("double")
+    bySrc.crossJoin(broadcast(total))
+      .select(col("source"), col("n_tokens"), target.as("q_target"),
+        p.as("p_actual"),
+        floor((p * log(p / target)) * 1e9d).cast("bigint").as("kl_q"))
+      .orderBy("source")
+  }
+
+  val pipelineMixAuditSql: String = {
+    val targetCase = MixTarget.toSeq.foldLeft(MixTargetDefault.toString) {
+      case (other, (k, v)) => s"CASE WHEN source = '$k' THEN $v ELSE $other END"
+    }
+    s"""WITH c AS (SELECT source,
+       |    CAST(sum(len(regexp_extract_all(lower(coalesce(text, '')),
+       |      '${graft.text.TokenCount.TokenPattern}'))) AS BIGINT)
+       |      AS n_tokens
+       |  FROM documents GROUP BY source),
+       |t AS (SELECT sum(n_tokens) AS t FROM c)
+       |SELECT source, n_tokens, $targetCase AS q_target,
+       |  CAST(n_tokens AS DOUBLE) / CAST(t AS DOUBLE) AS p_actual,
+       |  CAST(floor(((CAST(n_tokens AS DOUBLE) / CAST(t AS DOUBLE)) *
+       |    ln((CAST(n_tokens AS DOUBLE) / CAST(t AS DOUBLE)) /
+       |      ($targetCase))) * 1e9) AS BIGINT) AS kl_q
+       |FROM c, t ORDER BY source""".stripMargin
+  }
+
   private val EpochMap = Map("src0" -> 0.25, "src1" -> 1.5, "src2" -> 3.0)
   private val EpochDefault = 1.0
   private val EpochSalt = "epoch"
@@ -349,6 +400,7 @@ object PipelineQueries {
     "pipeline_curate" -> (pipelineCurate(_, _)),
     "pipeline_audit" -> (pipelineAudit(_, _)),
     "pipeline_mix" -> (pipelineMix(_, _)),
+    "pipeline_mix_audit" -> (pipelineMixAudit(_, _)),
     "sample_stratified" -> (sampleStratified(_, _)),
     "sample_temperature" -> (sampleTemperature(_, _)),
     "sample_quality" -> (sampleQuality(_, _)),
@@ -361,6 +413,7 @@ object PipelineQueries {
     "pipeline_curate" -> pipelineCurateSql,
     "pipeline_audit" -> pipelineAuditSql,
     "pipeline_mix" -> pipelineMixSql,
+    "pipeline_mix_audit" -> pipelineMixAuditSql,
     "sample_stratified" -> sampleStratifiedSql,
     "sample_temperature" -> sampleTemperatureSql,
     "sample_quality" -> sampleQualitySql,
