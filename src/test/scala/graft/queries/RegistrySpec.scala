@@ -1,0 +1,37 @@
+package graft.queries
+
+import graft.SparkEntry
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Driver-contract integrity: the three registries (queries, oracles,
+  * bench slots) must stay mutually consistent — a query with a
+  * mistyped key in one map silently weakens the correctness gate.
+  */
+class RegistrySpec extends AnyFunSuite {
+
+  test("every oracle belongs to a registered query, and vice versa") {
+    val qs = SparkEntry.queries.keySet
+    val os = SparkEntry.oracleSql.keySet
+    assert(os.subsetOf(qs), s"orphan oracles: ${os.diff(qs)}")
+    // this engine gates EVERY query — a queries entry without an
+    // oracle records only the driver's weaker rows-only check
+    assert(qs.subsetOf(os), s"un-gated queries: ${qs.diff(os)}")
+  }
+
+  test("every bench slot is a registered query, no slot repeats") {
+    val b = SparkEntry.benchQueries
+    assert(b.distinct.size === b.size,
+      s"duplicate slots: ${b.diff(b.distinct)}")
+    val missing = b.filterNot(SparkEntry.queries.keySet)
+    assert(missing.isEmpty, s"bench slots without queries: $missing")
+  }
+
+  test("the bench metric line fits the harness tail window") {
+    // ~22 bytes per slot on the final line ("name":12.34,) plus fixed
+    // overhead must stay under 2000 chars — the driver keeps only the
+    // last 2 KB of output, and an overflowing line zeroes the round's
+    // bench. Estimate with worst-case 6-char values.
+    val est = 80 + SparkEntry.benchQueries.map(_.length + 10).sum
+    assert(est < 2000, s"metric line estimate $est chars — trim slots")
+  }
+}
