@@ -105,7 +105,12 @@ object SparkEntry {
     "text_fingerprint", "text_dupspans", "text_excise", "text_vocab",
     "text_heavyhitters",
     "text_pmi",
+    // text_novelty is gate-only: its postings → bounded-agg → join-back
+    // runtime shape is the benched text_tfidf / dedup_ngram family.
+    // text_ppl_buckets holds the grouped-exact-rank (range-exchange)
+    // shape's slot — no other benched query executes globalRank.
     "text_encode", "text_bpe", "text_drift", "text_lm_score",
+    "text_ppl_buckets",
     // text_pack_stats is the audit aggregate OVER text_pack's benched
     // plan (one extra groupBy on its output) — pack holds the slot.
     "text_tfidf", "text_bm25", "text_normalize", "text_pack",

@@ -404,8 +404,12 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
-  val textLmScoreSql: String =
-    s"""WITH t AS (SELECT doc_id,
+  /** The lm-score CTE chain (model fit + per-doc token folds) ending in
+    * `agg(doc_id, n, n_oov, rarsum, nllsum)` — shared by the lm-score
+    * and perplexity-bucket oracles.
+    */
+  private val lmScoreCtes: String =
+    s"""t AS (SELECT doc_id,
        |    regexp_extract_all(lower(coalesce(text, '')),
        |      '${TokenCount.TokenPattern}') AS t
        |  FROM documents),
@@ -433,7 +437,10 @@ object TextQueries {
        |      list(rar ORDER BY pos)), (a, b) -> a + b) AS rarsum,
        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
        |      list(nll ORDER BY pos)), (a, b) -> a + b) AS nllsum
-       |  FROM terms GROUP BY doc_id)
+       |  FROM terms GROUP BY doc_id)""".stripMargin
+
+  val textLmScoreSql: String =
+    s"""WITH $lmScoreCtes
        |SELECT doc.doc_id,
        |  CAST(COALESCE(a.n, 0) AS BIGINT) AS n_tokens,
        |  COALESCE(a.n_oov, 0) AS n_oov,
@@ -441,6 +448,71 @@ object TextQueries {
        |  CAST(COALESCE(floor(a.nllsum / a.n * 1e6), 0) AS BIGINT) AS nll_q
        |FROM documents doc LEFT JOIN agg a ON a.doc_id = doc.doc_id
        |ORDER BY doc.doc_id""".stripMargin
+
+  // ---------------------------------------------- CCNet perplexity buckets
+
+  private val NPplBuckets = 3
+
+  /** CCNet head/middle/tail: per-LANGUAGE terciles of the unigram-LM
+    * mean NLL (`nll_q`, the quantized score `text_lm_score` gates), so
+    * each document competes only against its language peers — absolute
+    * thresholds would brand every low-resource language "tail" because
+    * its LM fits worse. The grouped rank is
+    * [[graft.operators.GroupedNtile]]'s one-range-exchange two-level
+    * scan, NOT `ntile() OVER (PARTITION BY lang)` — window parallelism
+    * by group would put ~90% of a real corpus through one reducer. The
+    * oracle replays the window formulation; the hash match proves the
+    * distributed rank ≡ the per-group sort.
+    */
+  def textPplBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.loadSpread(spark, dir, "documents")
+    val scored = LmScore.scoreFast(docs, "doc_id", "text",
+        LmScore.model(docs, "doc_id", "text", VocabK), keep = Seq("lang"))
+      .select("doc_id", "lang", "nll_q")
+    graft.operators.GroupedNtile
+      .bucketPlan(scored, "lang", Seq(col("nll_q")), "doc_id", NPplBuckets)
+      .orderBy("doc_id")
+  }
+
+  val textPplBucketsSql: String =
+    s"""WITH $lmScoreCtes,
+       |sc AS (SELECT d.doc_id, d.lang,
+       |    CAST(COALESCE(floor(a.nllsum / a.n * 1e6), 0) AS BIGINT) AS nll_q
+       |  FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id),
+       |r AS (SELECT doc_id, lang, nll_q,
+       |    row_number() OVER (PARTITION BY lang ORDER BY nll_q, doc_id) - 1
+       |      AS lr,
+       |    count(*) OVER (PARTITION BY lang) AS n FROM sc)
+       |SELECT lang, doc_id, nll_q,
+       |  CAST((lr * $NPplBuckets) // n AS BIGINT) AS bucket
+       |FROM r ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------- novelty
+
+  /** Marginal-contribution novelty under crawl (doc_id) order: the
+    * share of each document's distinct shingles first seen in that
+    * document ([[graft.text.Novelty]]). The signal dedup misses — a
+    * document can clear every near-dup gate yet contribute nothing new.
+    */
+  def textNovelty(spark: SparkSession, dir: String): DataFrame =
+    Novelty.noveltyPlan(
+        Tables.loadSpread(spark, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
+  val textNoveltySql: String =
+    s"""WITH ${DedupQueries.shingleCtes()},
+       |hx AS (SELECT doc_id,
+       |  CAST(${OracleDialect.hexPrefixToLong("md5(sh)", 15)} AS BIGINT)
+       |    AS shh FROM shx),
+       |f AS (SELECT shh, min(doc_id) AS fd FROM hx GROUP BY shh),
+       |agg AS (SELECT hx.doc_id, count(*) AS n,
+       |    sum(CASE WHEN hx.doc_id = f.fd THEN 1 ELSE 0 END) AS n_new
+       |  FROM hx JOIN f ON f.shh = hx.shh GROUP BY hx.doc_id)
+       |SELECT d.doc_id, CAST(COALESCE(a.n, 0) AS BIGINT) AS n_shingles,
+       |  CAST(COALESCE(a.n_new, 0) AS BIGINT) AS n_new,
+       |  COALESCE(CAST(a.n_new AS DOUBLE) / a.n, 0.0) AS novelty
+       |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
 
   // ---------------------------------------------------------------- drift
 
@@ -1300,6 +1372,8 @@ object TextQueries {
     "text_encode" -> (textEncode(_, _)),
     "text_drift" -> (textDrift(_, _)),
     "text_lm_score" -> (textLmScore(_, _)),
+    "text_ppl_buckets" -> (textPplBuckets(_, _)),
+    "text_novelty" -> (textNovelty(_, _)),
     "text_excise" -> (textExcise(_, _)),
     "text_tfidf" -> (textTfidf(_, _)),
     "text_bm25" -> (textBm25(_, _)),
@@ -1334,6 +1408,8 @@ object TextQueries {
     "text_encode" -> textEncodeSql,
     "text_drift" -> textDriftSql,
     "text_lm_score" -> textLmScoreSql,
+    "text_ppl_buckets" -> textPplBucketsSql,
+    "text_novelty" -> textNoveltySql,
     "text_excise" -> textExciseSql,
     "text_tfidf" -> textTfidfSql,
     "text_bm25" -> textBm25Sql,

@@ -88,7 +88,7 @@ object LmScore {
     * Bit-identical output (spec'd; the oracle re-proves it per round).
     */
   def scoreFast(docs: DataFrame, idCol: String, textCol: String,
-      fitted: DataFrame): DataFrame = {
+      fitted: DataFrame, keep: Seq[String] = Nil): DataFrame = {
     val row = fitted.select(col("__m"), col("__denom")).head()
     val vocab = row.getAs[Map[String, Long]](0)
     val denom = row.getDouble(1)
@@ -98,7 +98,7 @@ object LmScore {
       .withColumn("__n", size(col("__toks")).cast("bigint"))
       .withColumn("__u",
         graft.expressions.UnigramScore(col("__toks"), vocab, denom))
-      .select(
+      .select(Seq(
         col(idCol).as("doc_id"),
         col("__n").as("n_tokens"),
         u.getItem(2).cast("bigint").as("n_oov"),
@@ -107,6 +107,9 @@ object LmScore {
         when(col("__n") > 0,
             floor(u.getItem(1) / col("__n") * 1e6d).cast("bigint"))
           .otherwise(0L).as("nll_q"))
+        // `keep`: grouping columns ride the projection (a re-join on
+        // doc_id to recover them would be a corpus-scale shuffle)
+        ++ keep.map(col): _*)
   }
 
   /** Score any frame (batch or stream) against a fitted [[model]].

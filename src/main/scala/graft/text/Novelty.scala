@@ -1,0 +1,64 @@
+package graft.text
+
+import graft.text.TextFeatures._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Per-document NOVELTY under a corpus order: the fraction of a
+  * document's distinct shingles whose FIRST occurrence in the corpus is
+  * this document. The marginal-contribution signal dedup scores miss:
+  * a document can clear every near-dup gate yet add almost nothing new
+  * (its shingles all appeared, scattered, across earlier documents —
+  * the recombined-aggregator case), and conversely a late crawl of a
+  * mostly-duplicated site still gets credit for its genuinely new
+  * sections. Curation uses it to rank sources by marginal value and to
+  * cut ingestion once novelty-per-document collapses.
+  *
+  * Exact, not sketched: first ownership is `min(order)` per shingle —
+  * a map-side-combinable aggregate over the hashed postings (the
+  * inverted index [[graft.dedup.NgramJaccard]] self-joins, but folded
+  * once, never paired). Cost is O(postings) + one postings-keyed join
+  * back; no stage depends on group sizes or document frequencies, so
+  * boilerplate shingles cost their posting count and nothing more —
+  * the shape survives 100 TB where the pairwise index would fan out.
+  *
+  * The order column must be a total order (ties would make "first"
+  * ambiguous across runs); ingest ids are the natural choice. The
+  * 60-bit md5 shingle keys share [[graft.dedup.NgramJaccard]]'s
+  * collision posture (and the oracle hashes identically).
+  */
+object Novelty {
+
+  /** (doc_id, n_shingles, n_new, novelty) for every input row —
+    * documents shorter than `shingleSize` tokens score (0, 0, 0.0).
+    * `novelty = n_new / n_shingles` is one IEEE division.
+    *
+    * `orderCol` defaults to the id itself; pass e.g. a crawl timestamp
+    * disambiguated by id (`struct(ts, id)` won't fold into `min` here —
+    * re-key to a single orderable column) to score a different order.
+    */
+  def noveltyPlan(docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, orderCol: Option[Column] = None): DataFrame = {
+    val ord = orderCol.getOrElse(col(idCol))
+    // persisted: the postings feed the first-owner aggregate AND the
+    // join back (the NgramJaccard note); released with the query.
+    val posts = docs
+      .select(col(idCol).as("doc_id"), ord.as("_ord"),
+        explode(textShingles(col(textCol), shingleSize)).as("sh0"))
+      .select(col("doc_id"), col("_ord"), md5PrefixLong(col("sh0"), 15).as("sh"))
+      .persist()
+    val first = posts.groupBy("sh").agg(min("_ord").as("_first"))
+    val perDoc = posts.join(first, "sh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("_ord") === col("_first"), 1L).otherwise(0L))
+          .as("n_new"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        coalesce(col("n_new").cast("double") / col("n_shingles"), lit(0.0d))
+          .as("novelty"))
+  }
+}

@@ -512,6 +512,33 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("ppl buckets: grouped rank rides the range exchange, never a per-lang window") {
+    val plan = planOf("text_ppl_buckets")
+    assert(plan.contains("Exchange rangepartitioning"),
+      s"the grouped rank must come from globalRank's range exchange:\n$plan")
+    // the hazard this operator exists to avoid: a corpus-scale window
+    // partitioned by the group column (one reducer per language)
+    assert(!plan.linesIterator.exists(l =>
+        l.contains("Window") && l.contains("lang#")),
+      s"no window may partition the corpus by language:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the per-group count/base frame must broadcast back:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    spark.catalog.clearCache()
+  }
+
+  test("novelty: first-owner aggregate + hash joins, corpus never paired") {
+    val plan = planOf("text_novelty")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"novelty must never pair documents:\n$plan")
+    // no window anywhere: ownership is min() per shingle, an aggregate
+    assert(!plan.contains("Window"),
+      s"novelty needs no window functions:\n$plan")
+    spark.catalog.clearCache()
+  }
+
   test("multi-probe lsh: probe fan-out stays query-side, bucket join equi-keyed") {
     val plan = planOf("sim_lsh_multiprobe")
     assert(!plan.contains("CartesianProduct"),
