@@ -61,9 +61,12 @@ object PipelineQueries {
         Tables.loadSpread(spark, dir, "documents"), "doc_id", "text", cfg)
       .orderBy("doc_id")
 
-  val pipelineAuditSql: String = {
+  /** The audit CTE chain (scores, exact-dup reps, survivor LSH,
+    * near-dup losers) — shared by the audit and funnel oracles.
+    */
+  private val pipelineAuditCtes: String = {
     import TextQueries.{langBestExpr, langPredCase, langScoreSelect, qualityExpr}
-    s"""WITH w0 AS (SELECT doc_id, text, string_split(lower(text), ' ') AS w
+    s"""w0 AS (SELECT doc_id, text, string_split(lower(text), ' ') AS w
        |  FROM documents),
        |rep AS (SELECT doc_id,
        |    min(doc_id) OVER (PARTITION BY md5(text)) AS rep
@@ -82,7 +85,11 @@ object PipelineQueries {
        |    AND s.lang_pred = '${cfg.lang}'),
        |${DedupQueries.minhashJacCtes("surv")},
        |losers AS (SELECT doc_b AS doc_id, min(doc_a) AS lost_to FROM jac
-       |  WHERE jaccard >= ${cfg.lsh.threshold} GROUP BY doc_b)
+       |  WHERE jaccard >= ${cfg.lsh.threshold} GROUP BY doc_b)""".stripMargin
+  }
+
+  val pipelineAuditSql: String =
+    s"""WITH $pipelineAuditCtes
        |SELECT s.doc_id, s.quality, s.lang_pred,
        |  CASE WHEN s.doc_id != r.rep THEN 'exact_dup'
        |       WHEN s.quality < ${cfg.minQuality} THEN 'quality'
@@ -94,7 +101,49 @@ object PipelineQueries {
        |JOIN rep r ON r.doc_id = s.doc_id
        |LEFT JOIN losers l ON l.doc_id = s.doc_id
        |ORDER BY s.doc_id""".stripMargin
-  }
+
+  /** Stage-wise attrition funnel ([[graft.text.Curation.funnel]]):
+    * docs AND tokens each pipeline stage dropped, and the corpus left
+    * after it. Gate-only: the corpus-scale work is pipeline_audit's
+    * benched composition (runtime face pipeline_curate) plus one
+    * token-count join; the funnel itself is ≤6-row arithmetic. The
+    * oracle re-derives every verdict, both token totals, and the
+    * cumulative remainders — the hash pins the whole report.
+    */
+  def pipelineFunnel(spark: SparkSession, dir: String): DataFrame =
+    Curation.funnel(
+        Tables.loadSpread(spark, dir, "documents"), "doc_id", "text", cfg)
+      .orderBy("stage_idx")
+
+  val pipelineFunnelSql: String =
+    s"""WITH $pipelineAuditCtes,
+       |verd AS (SELECT s.doc_id,
+       |    CASE WHEN s.doc_id != r.rep THEN 'exact_dup'
+       |         WHEN s.quality < ${cfg.minQuality} THEN 'quality'
+       |         WHEN s.lang_pred != '${cfg.lang}' THEN 'language'
+       |         WHEN l.lost_to IS NOT NULL THEN 'near_dup'
+       |         ELSE 'kept' END AS verdict
+       |  FROM scored s
+       |  JOIN rep r ON r.doc_id = s.doc_id
+       |  LEFT JOIN losers l ON l.doc_id = s.doc_id),
+       |tk AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS nt FROM w0),
+       |bv AS (SELECT verdict, count(*) AS nd, CAST(sum(tk.nt) AS BIGINT) AS nt
+       |  FROM verd JOIN tk ON tk.doc_id = verd.doc_id GROUP BY verdict),
+       |tot AS (SELECT CAST(sum(nd) AS BIGINT) AS td,
+       |    CAST(sum(nt) AS BIGINT) AS tt FROM bv),
+       |st AS (SELECT * FROM (VALUES ('input', 0), ('exact_dup', 1),
+       |    ('quality', 2), ('language', 3), ('near_dup', 4))
+       |  AS v(stage, stage_idx)),
+       |j AS (SELECT st.stage, st.stage_idx,
+       |    CAST(COALESCE(bv.nd, 0) AS BIGINT) AS docs_dropped,
+       |    CAST(COALESCE(bv.nt, 0) AS BIGINT) AS tokens_dropped
+       |  FROM st LEFT JOIN bv ON bv.verdict = st.stage)
+       |SELECT j.stage, j.stage_idx, j.docs_dropped, j.tokens_dropped,
+       |  CAST(tot.td - sum(j.docs_dropped) OVER (ORDER BY j.stage_idx)
+       |    AS BIGINT) AS docs_left,
+       |  CAST(tot.tt - sum(j.tokens_dropped) OVER (ORDER BY j.stage_idx)
+       |    AS BIGINT) AS tokens_left
+       |FROM j CROSS JOIN tot ORDER BY j.stage_idx""".stripMargin
 
   // ------------------------------------------------- deterministic mixing
 
@@ -399,6 +448,7 @@ object PipelineQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_curate" -> (pipelineCurate(_, _)),
     "pipeline_audit" -> (pipelineAudit(_, _)),
+    "pipeline_funnel" -> (pipelineFunnel(_, _)),
     "pipeline_mix" -> (pipelineMix(_, _)),
     "pipeline_mix_audit" -> (pipelineMixAudit(_, _)),
     "sample_stratified" -> (sampleStratified(_, _)),
@@ -412,6 +462,7 @@ object PipelineQueries {
   val oracleSql: Map[String, String] = Map(
     "pipeline_curate" -> pipelineCurateSql,
     "pipeline_audit" -> pipelineAuditSql,
+    "pipeline_funnel" -> pipelineFunnelSql,
     "pipeline_mix" -> pipelineMixSql,
     "pipeline_mix_audit" -> pipelineMixAuditSql,
     "sample_stratified" -> sampleStratifiedSql,

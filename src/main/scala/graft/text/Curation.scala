@@ -122,4 +122,54 @@ object Curation {
     kept.join(losers, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("lang_pred"), col("quality"))
   }
+
+  /** The attrition funnel over [[curateAudit]]'s verdicts: one row per
+    * pipeline stage with the documents and TOKENS it dropped and the
+    * corpus remaining after it — the headline numbers of every curation
+    * report ("near-dedup cost us 9% of tokens"), and the first place a
+    * mis-ordered or over-aggressive stage shows up. Token attrition is
+    * the number that matters for a training run; doc counts alone hide
+    * a stage that preferentially drops long documents.
+    *
+    * Stage rows are a LITERAL frame (`input` + the four dropping
+    * stages, in pipeline order), so the output shape is fixed even
+    * when a stage drops nothing. The corpus-scale work is one
+    * doc-keyed join of the audit with per-doc token counts and one
+    * verdict-keyed aggregate; the funnel arithmetic (cumulative drops,
+    * remainders) runs on the ≤6-row summary — the bounded frame is
+    * persisted because totals and per-stage rows both read it.
+    */
+  def funnel(docs: DataFrame, idCol: String, textCol: String,
+      cfg: Config = Config()): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol).as("doc_id"),
+      size(words(col(textCol))).cast("long").as("__nt"))
+    val byVerdict = curateAudit(docs, idCol, textCol, cfg)
+      .join(toks, "doc_id")
+      .groupBy("verdict")
+      .agg(count(lit(1)).as("__nd"), sum("__nt").as("__t"))
+      .persist()
+    val tot = byVerdict.agg(sum("__nd").as("__tot_d"), sum("__t").as("__tot_t"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val stages = Seq(("input", 0), ("exact_dup", 1), ("quality", 2),
+      ("language", 3), ("near_dup", 4)).toDF("stage", "stage_idx")
+    // tiny frame: 5 rows. Nullable-constant partition key keeps the
+    // cumulative window off an explicit SinglePartition (the
+    // CorpusOrder note); __nd is nullable via the left join.
+    val cum = Window.partitionBy(when(col("docs_dropped") >= 0, lit(0)))
+      .orderBy("stage_idx")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    stages
+      .join(byVerdict.withColumnRenamed("verdict", "stage"), Seq("stage"), "left")
+      .select(col("stage"), col("stage_idx"),
+        coalesce(col("__nd"), lit(0L)).as("docs_dropped"),
+        coalesce(col("__t"), lit(0L)).as("tokens_dropped"))
+      .crossJoin(broadcast(tot))
+      .select(col("stage"), col("stage_idx"),
+        col("docs_dropped"), col("tokens_dropped"),
+        (col("__tot_d") - sum(col("docs_dropped")).over(cum)).as("docs_left"),
+        (col("__tot_t") - sum(col("tokens_dropped")).over(cum))
+          .as("tokens_left"))
+  }
 }

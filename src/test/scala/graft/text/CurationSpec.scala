@@ -101,4 +101,28 @@ class CurationSpec extends AnyFunSuite {
       assert(kept(a) || losers(a), s"lower id $a of pair ($a,$b) must be kept")
     }
   }
+
+  test("funnel: fixed stage rows, conserved counts, final row equals curate") {
+    val cfg = Curation.Config()
+    val rows = Curation.funnel(docs, "doc_id", "text", cfg)
+      .orderBy("stage_idx").collect()
+    // fixed shape even when a stage drops nothing
+    assert(rows.map(_.getString(0)).toSeq ===
+      Seq("input", "exact_dup", "quality", "language", "near_dup"))
+    val totalDocs = docs.count()
+    val totalToks = docs
+      .agg(sum(size(split(lower(col("text")), " ")))).head().getLong(0)
+    assert(rows.head.getLong(2) === 0L && rows.head.getLong(3) === 0L)
+    assert(rows.head.getLong(4) === totalDocs &&
+      rows.head.getLong(5) === totalToks)
+    // each row's remainder is the previous remainder minus its drops
+    rows.sliding(2).foreach { case Array(prev, cur) =>
+      assert(cur.getLong(4) === prev.getLong(4) - cur.getLong(2))
+      assert(cur.getLong(5) === prev.getLong(5) - cur.getLong(3))
+    }
+    // the funnel's final remainder IS the curated corpus
+    val kept = Curation.curate(docs, "doc_id", "text", cfg)
+    assert(rows.last.getLong(4) === kept.count())
+    spark.catalog.clearCache()
+  }
 }
