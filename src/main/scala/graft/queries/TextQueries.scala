@@ -487,6 +487,60 @@ object TextQueries {
        |  CAST((lr * $NPplBuckets) // n AS BIGINT) AS bucket
        |FROM r ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------- distinctive terms
+
+  /** Per-source distinctive vocabulary ([[graft.text.Distinctive]]):
+    * weighted log-odds vs the rest of the corpus with an informative
+    * Dirichlet prior, top 10 per source by z-score. The oracle replays
+    * the vocab cut, both count tables, the prior, every named
+    * intermediate in its pinned association order, the 1e-6
+    * quantization, and the per-source rank — over the bounded
+    * sources × vocab summary, where a window partition is safe.
+    * Gate-only: the corpus-scale stages are the benched text_vocab /
+    * text_pmi token-aggregate shapes; everything after runs on the
+    * bounded summary.
+    */
+  def textDistinctive(spark: SparkSession, dir: String): DataFrame =
+    Distinctive.distinctiveTerms(
+        Tables.loadSpread(spark, dir, "documents"), "source", "text",
+        vocabK = VocabK, topPerGroup = 10, alpha0 = 500.0)
+      .orderBy(col("source"), col("z_q").desc, col("token"))
+
+  val textDistinctiveSql: String =
+    s"""WITH p AS (SELECT doc_id, source,
+       |    unnest(regexp_extract_all(lower(coalesce(text, '')),
+       |      '${TokenCount.TokenPattern}')) AS token
+       |  FROM documents),
+       |tv AS (SELECT token, count(*) AS yw FROM p GROUP BY token),
+       |v AS (SELECT token, CAST(yw AS BIGINT) AS yw FROM
+       |  (SELECT * FROM tv ORDER BY yw DESC, token LIMIT $VocabK)),
+       |n AS (SELECT CAST(sum(yw) AS BIGINT) AS n FROM v),
+       |g AS (SELECT p.source AS grp, p.token, count(*) AS ysw
+       |  FROM p JOIN v ON v.token = p.token GROUP BY p.source, p.token),
+       |ns AS (SELECT grp, CAST(sum(ysw) AS BIGINT) AS ns FROM g GROUP BY grp),
+       |e AS (SELECT g.grp, g.token, g.ysw, v.yw,
+       |    500.0 * v.yw / n.n AS aw,
+       |    g.ysw + 500.0 * v.yw / n.n AS a,
+       |    ns.ns + 500.0 - g.ysw - 500.0 * v.yw / n.n AS b,
+       |    (v.yw - g.ysw) + 500.0 * v.yw / n.n AS c,
+       |    (n.n - ns.ns) + 500.0 - (v.yw - g.ysw) - 500.0 * v.yw / n.n AS d
+       |  FROM g JOIN v ON v.token = g.token
+       |  JOIN ns ON ns.grp = g.grp CROSS JOIN n),
+       |s AS (SELECT grp, token, ysw, yw,
+       |    ln(a / b) - ln(c / d) AS delta,
+       |    (ln(a / b) - ln(c / d)) / sqrt(1.0 / a + 1.0 / c) AS z
+       |  FROM e),
+       |q AS (SELECT grp, token, ysw, yw,
+       |    CAST(floor(delta * 1e6) AS BIGINT) AS delta_q,
+       |    CAST(floor(z * 1e6) AS BIGINT) AS z_q
+       |  FROM s),
+       |rk AS (SELECT *, row_number()
+       |    OVER (PARTITION BY grp ORDER BY z_q DESC, token) AS rk FROM q)
+       |SELECT grp AS source, token, ysw AS n_group, yw AS n_corpus,
+       |  delta_q, z_q
+       |FROM rk WHERE rk <= 10
+       |ORDER BY source, z_q DESC, token""".stripMargin
+
   // -------------------------------------------------------------- novelty
 
   /** Marginal-contribution novelty under crawl (doc_id) order: the
@@ -1374,6 +1428,7 @@ object TextQueries {
     "text_lm_score" -> (textLmScore(_, _)),
     "text_ppl_buckets" -> (textPplBuckets(_, _)),
     "text_novelty" -> (textNovelty(_, _)),
+    "text_distinctive" -> (textDistinctive(_, _)),
     "text_excise" -> (textExcise(_, _)),
     "text_tfidf" -> (textTfidf(_, _)),
     "text_bm25" -> (textBm25(_, _)),
@@ -1410,6 +1465,7 @@ object TextQueries {
     "text_lm_score" -> textLmScoreSql,
     "text_ppl_buckets" -> textPplBucketsSql,
     "text_novelty" -> textNoveltySql,
+    "text_distinctive" -> textDistinctiveSql,
     "text_excise" -> textExciseSql,
     "text_tfidf" -> textTfidfSql,
     "text_bm25" -> textBm25Sql,
