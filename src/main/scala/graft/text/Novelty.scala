@@ -61,4 +61,65 @@ object Novelty {
         coalesce(col("n_new").cast("double") / col("n_shingles"), lit(0.0d))
           .as("novelty"))
   }
+
+  /** The standing first-seen index `(sh, first_ord)`: one row per
+    * distinct corpus shingle with the earliest order value that
+    * carries it — the persisted artifact a recurring ingest screens
+    * against (the [[graft.text.Bm25]] standing-table discipline).
+    */
+  def index(docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, orderCol: Option[Column] = None): DataFrame = {
+    val ord = orderCol.getOrElse(col(idCol))
+    docs
+      .select(ord.as("_ord"),
+        explode(textShingles(col(textCol), shingleSize)).as("sh0"))
+      .select(md5PrefixLong(col("sh0"), 15).as("sh"), col("_ord"))
+      .groupBy("sh").agg(min("_ord").as("first_ord"))
+  }
+
+  /** Score a batch of NEW documents against a frozen [[index]]: a
+    * shingle is novel iff absent from the index. Each batch doc is
+    * scored INDEPENDENTLY against the frozen index — two batch docs
+    * sharing an unseen shingle both count it novel, where
+    * [[noveltyPlan]] over the union would credit only the earlier one.
+    * The exact correspondence (spec-pinned): screening documents one
+    * at a time in corpus order, folding each into the index via
+    * [[appendToIndex]] before the next, reproduces [[noveltyPlan]]
+    * row-for-row — the screen is the streaming limit of the batch
+    * operator. The batch side shuffles by shingle key; the index side
+    * is the standing aggregate — at scale, read back bucketed by `sh`
+    * so the join co-locates.
+    */
+  def screenAgainst(idx: DataFrame, batch: DataFrame, idCol: String,
+      textCol: String, shingleSize: Int = 3): DataFrame = {
+    val posts = batch
+      .select(col(idCol).as("doc_id"),
+        explode(textShingles(col(textCol), shingleSize)).as("sh0"))
+      .select(col("doc_id"), md5PrefixLong(col("sh0"), 15).as("sh"))
+    val perDoc = posts.join(idx.select(col("sh"), lit(1).as("_hit")),
+        Seq("sh"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("_hit").isNull, 1L).otherwise(0L)).as("n_new"))
+    batch.select(col(idCol).as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        coalesce(col("n_new").cast("double") / col("n_shingles"), lit(0.0d))
+          .as("novelty"))
+  }
+
+  /** Fold a batch into the standing index without re-scanning the
+    * corpus: min-merge of the old rows with the batch's own first-seen
+    * aggregate — exact for any order values (min is the merge), so
+    * `appendToIndex(index(a), b) ≡ index(a ∪ b)` row-for-row
+    * (spec-pinned). Callers overwriting a persisted index must
+    * lineage-cut first (the Bm25.appendToIndex discipline).
+    */
+  def appendToIndex(idx: DataFrame, batch: DataFrame, idCol: String,
+      textCol: String, shingleSize: Int = 3,
+      orderCol: Option[Column] = None): DataFrame =
+    idx.unionByName(index(batch, idCol, textCol, shingleSize, orderCol))
+      .groupBy("sh").agg(min("first_ord").as("first_ord"))
 }

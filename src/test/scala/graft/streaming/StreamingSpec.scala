@@ -322,6 +322,46 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("novelty screen: per-micro-batch scores equal the batch operator") {
+    import graft.text.Novelty
+    val corpus = Seq(1L -> "a b c d e f", 2L -> "x y z a b c")
+      .toDF("doc_id", "text")
+    val idx = Novelty.index(corpus, "doc_id", "text")
+      .localCheckpoint(true) // frozen snapshot, the standing artifact
+    val stream = MemoryStream[(Long, String)](spark)
+    val seen = scala.collection.mutable.Map
+      .empty[Long, Set[(Long, Long, Long, Double)]]
+    val q = NoveltyScreen.screen(
+        stream.toDF().toDF("doc_id", "text"), idx, "doc_id", "text") {
+        (batchId, s) =>
+          seen += batchId -> s.collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+              r.getDouble(3)))
+            .toSet
+      }.start()
+    try {
+      val b1 = Seq(10L -> "a b c d e f", 11L -> "q r s t u")
+      val b2 = Seq(12L -> "x y z a b c q") // one unseen shingle: b-c-q
+      stream.addData(b1)
+      q.processAllAvailable()
+      stream.addData(b2)
+      q.processAllAvailable()
+      // stream face ≡ the spec'd batch screen per micro-batch
+      for ((batch, id) <- Seq(b1 -> 0L, b2 -> 1L)) {
+        val expect = Novelty
+          .screenAgainst(idx, batch.toDF("doc_id", "text"), "doc_id", "text")
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getDouble(3)))
+          .toSet
+        assert(seen(id) === expect)
+      }
+      // verbatim re-crawl scores zero; fresh content scores high
+      assert(seen(0L) === Set((10L, 4L, 0L, 0.0), (11L, 3L, 3L, 1.0)))
+      assert(seen(1L) === Set((12L, 5L, 1L, 0.2)))
+    } finally q.stop()
+  }
+
   test("ann serve: per-micro-batch top-k equals the served-index batch operator") {
     import graft.similarity.IvfPq
     import graft.queries.Tables
