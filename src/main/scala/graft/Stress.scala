@@ -27,7 +27,8 @@ object Stress {
         "scd2", "semantic", "pmi", "epochs", "order", "profilediff",
         "outliers", "pagerank", "equidepth", "outliersbig", "heavyhitters",
         "hll", "kmeans", "kmeans4096", "simquant", "ivfserve", "linkage",
-        "bpe", "bm25", "knngraph", "cms", "ssjoin", "classifier")
+        "bpe", "bm25", "knngraph", "cms", "ssjoin", "classifier",
+        "ntile", "novelty")
     val spark = Sessions.local("32")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -1141,6 +1142,49 @@ object Stress {
         n
       }
       spark.catalog.clearCache()
+    }
+
+    if (which("ntile")) {
+      // grouped n-tile on the real-corpus skew: one group carries 90%
+      // of 2M rows — the shape where ntile() OVER (PARTITION BY g)
+      // funnels the majority group through one reducer; GroupedNtile's
+      // range-exchange rank must stay data-parallel. Exactness checked
+      // by the per-group bucket-size spread invariant.
+      val rows = staged(spark.range(2000000L).select(
+          when(col("id") % 10 < 9, lit("en"))
+            .otherwise(concat(lit("l"), (col("id") % 10).cast("string")))
+            .as("grp"),
+          graft.text.TextFeatures.hash32(col("id").cast("string")).as("s"),
+          col("id"))
+        .repartition(32))
+      timed("ntile") {
+        val sizes = operators.GroupedNtile
+          .bucketPlan(rows, "grp", Seq(col("s")), "id", 3)
+          .groupBy("grp", "bucket").count()
+          .groupBy("grp").agg((max("count") - min("count")).as("spread"),
+            sum("count").as("n"))
+          .collect()
+        sizes.foreach(r => require(r.getLong(1) <= 1,
+          s"bucket spread ${r.getLong(1)} in group ${r.getString(0)}"))
+        sizes.map(_.getLong(2)).sum
+      }
+    }
+
+    if (which("novelty")) {
+      // first-occurrence scoring where EVERY shingle has df >= 10 (the
+      // ten-clone corpus): the min-owner aggregate must stay one
+      // map-side-combinable pass — cost tracks postings, not df². The
+      // nine later clones of each doc must score exactly zero novelty.
+      val corpus = staged(corpus10x)
+      timed("novelty") {
+        val out = graft.text.Novelty
+          .noveltyPlan(corpus, "doc_id", "text").persist()
+        val clonesWithNew = out
+          .filter(col("doc_id") >= 1000000L && col("n_new") > 0).count()
+        require(clonesWithNew == 0L,
+          s"$clonesWithNew later clones claimed novel content")
+        out.count()
+      }
     }
 
     spark.stop()
