@@ -145,6 +145,58 @@ object PipelineQueries {
        |    AS BIGINT) AS tokens_left
        |FROM j CROSS JOIN tot ORDER BY j.stage_idx""".stripMargin
 
+  /** [[pipelineFunnel]] broken out per source
+    * ([[graft.text.Curation.funnelBy]]): which feed loses most tokens
+    * at which stage. Gate-only like the corpus funnel (same benched
+    * composition); the oracle re-derives the whole sources × stages
+    * grid, so the hash pins every feed's report.
+    */
+  def pipelineSrcFunnel(spark: SparkSession, dir: String): DataFrame =
+    Curation.funnelBy(
+        Tables.loadSpread(spark, dir, "documents"), "doc_id", "text",
+        Seq("source"), cfg)
+      .orderBy("source", "stage_idx")
+
+  val pipelineSrcFunnelSql: String =
+    s"""WITH $pipelineAuditCtes,
+       |verd AS (SELECT s.doc_id,
+       |    CASE WHEN s.doc_id != r.rep THEN 'exact_dup'
+       |         WHEN s.quality < ${cfg.minQuality} THEN 'quality'
+       |         WHEN s.lang_pred != '${cfg.lang}' THEN 'language'
+       |         WHEN l.lost_to IS NOT NULL THEN 'near_dup'
+       |         ELSE 'kept' END AS verdict
+       |  FROM scored s
+       |  JOIN rep r ON r.doc_id = s.doc_id
+       |  LEFT JOIN losers l ON l.doc_id = s.doc_id),
+       |tk AS (SELECT w0.doc_id, d.source, CAST(len(w0.w) AS BIGINT) AS nt
+       |  FROM w0 JOIN documents d ON d.doc_id = w0.doc_id),
+       |bv AS (SELECT tk.source, verdict, count(*) AS nd,
+       |    CAST(sum(tk.nt) AS BIGINT) AS nt
+       |  FROM verd JOIN tk ON tk.doc_id = verd.doc_id
+       |  GROUP BY tk.source, verdict),
+       |tot AS (SELECT source, CAST(sum(nd) AS BIGINT) AS td,
+       |    CAST(sum(nt) AS BIGINT) AS tt FROM bv GROUP BY source),
+       |st AS (SELECT * FROM (VALUES ('input', 0), ('exact_dup', 1),
+       |    ('quality', 2), ('language', 3), ('near_dup', 4))
+       |  AS v(stage, stage_idx)),
+       |grid AS (SELECT g.source, st.stage, st.stage_idx
+       |  FROM (SELECT DISTINCT source FROM bv) g CROSS JOIN st),
+       |j AS (SELECT grid.source, grid.stage, grid.stage_idx,
+       |    CAST(COALESCE(bv.nd, 0) AS BIGINT) AS docs_dropped,
+       |    CAST(COALESCE(bv.nt, 0) AS BIGINT) AS tokens_dropped
+       |  FROM grid LEFT JOIN bv
+       |    ON bv.source = grid.source AND bv.verdict = grid.stage)
+       |SELECT j.source, j.stage, j.stage_idx, j.docs_dropped,
+       |  j.tokens_dropped,
+       |  CAST(tot.td - sum(j.docs_dropped)
+       |    OVER (PARTITION BY j.source ORDER BY j.stage_idx)
+       |    AS BIGINT) AS docs_left,
+       |  CAST(tot.tt - sum(j.tokens_dropped)
+       |    OVER (PARTITION BY j.source ORDER BY j.stage_idx)
+       |    AS BIGINT) AS tokens_left
+       |FROM j JOIN tot ON tot.source = j.source
+       |ORDER BY j.source, j.stage_idx""".stripMargin
+
   // ------------------------------------------------- deterministic mixing
 
   private val MixRates = Map("src0" -> 0.9, "src1" -> 0.5, "src2" -> 0.25)
@@ -449,6 +501,7 @@ object PipelineQueries {
     "pipeline_curate" -> (pipelineCurate(_, _)),
     "pipeline_audit" -> (pipelineAudit(_, _)),
     "pipeline_funnel" -> (pipelineFunnel(_, _)),
+    "pipeline_src_funnel" -> (pipelineSrcFunnel(_, _)),
     "pipeline_mix" -> (pipelineMix(_, _)),
     "pipeline_mix_audit" -> (pipelineMixAudit(_, _)),
     "sample_stratified" -> (sampleStratified(_, _)),
@@ -463,6 +516,7 @@ object PipelineQueries {
     "pipeline_curate" -> pipelineCurateSql,
     "pipeline_audit" -> pipelineAuditSql,
     "pipeline_funnel" -> pipelineFunnelSql,
+    "pipeline_src_funnel" -> pipelineSrcFunnelSql,
     "pipeline_mix" -> pipelineMixSql,
     "pipeline_mix_audit" -> pipelineMixAuditSql,
     "sample_stratified" -> sampleStratifiedSql,

@@ -140,36 +140,62 @@ object Curation {
     * persisted because totals and per-stage rows both read it.
     */
   def funnel(docs: DataFrame, idCol: String, textCol: String,
-      cfg: Config = Config()): DataFrame = {
+      cfg: Config = Config()): DataFrame =
+    funnelBy(docs, idCol, textCol, Nil, cfg)
+
+  /** [[funnel]] broken out by grouping columns (e.g. `source`): which
+    * feed loses most tokens at which stage — the report that catches a
+    * single source whose crawl is 90% near-duplicates while the
+    * corpus-level funnel still looks healthy. One funnel per observed
+    * group value, each with the fixed stage shape; the summary is
+    * groups × 5 rows and all arithmetic runs there.
+    */
+  def funnelBy(docs: DataFrame, idCol: String, textCol: String,
+      groupCols: Seq[String], cfg: Config = Config()): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = docs.select(col(idCol).as("doc_id"),
-      size(words(col(textCol))).cast("long").as("__nt"))
+    val gcols = groupCols.map(col)
+    val toks = docs.select(col(idCol).as("doc_id") +: gcols :+
+      size(words(col(textCol))).cast("long").as("__nt"): _*)
     val byVerdict = curateAudit(docs, idCol, textCol, cfg)
+      .select("doc_id", "verdict")
       .join(toks, "doc_id")
-      .groupBy("verdict")
+      .groupBy(gcols :+ col("verdict"): _*)
       .agg(count(lit(1)).as("__nd"), sum("__nt").as("__t"))
       .persist()
-    val tot = byVerdict.agg(sum("__nd").as("__tot_d"), sum("__t").as("__tot_t"))
+    val tot = byVerdict.groupBy(gcols: _*)
+      .agg(sum("__nd").as("__tot_d"), sum("__t").as("__tot_t"))
     val spark = docs.sparkSession
     import spark.implicits._
     val stages = Seq(("input", 0), ("exact_dup", 1), ("quality", 2),
       ("language", 3), ("near_dup", 4)).toDF("stage", "stage_idx")
-    // tiny frame: 5 rows. Nullable-constant partition key keeps the
+    // tiny frames throughout: 5 stage rows × observed groups. Every
+    // group gets the full fixed stage shape even where it dropped
+    // nothing (the grid is groups × stages, not observed verdicts).
+    val grid =
+      if (groupCols.isEmpty) stages
+      else byVerdict.select(gcols: _*).distinct().crossJoin(broadcast(stages))
+    // nullable-constant partition key for the ungrouped form keeps the
     // cumulative window off an explicit SinglePartition (the
-    // CorpusOrder note); __nd is nullable via the left join.
-    val cum = Window.partitionBy(when(col("docs_dropped") >= 0, lit(0)))
+    // CorpusOrder note); grouped forms partition by the group.
+    val cumKeys =
+      if (groupCols.isEmpty) Seq(when(col("docs_dropped") >= 0, lit(0)))
+      else gcols
+    val cum = Window.partitionBy(cumKeys: _*)
       .orderBy("stage_idx")
       .rowsBetween(Window.unboundedPreceding, 0)
-    stages
-      .join(byVerdict.withColumnRenamed("verdict", "stage"), Seq("stage"), "left")
-      .select(col("stage"), col("stage_idx"),
-        coalesce(col("__nd"), lit(0L)).as("docs_dropped"),
-        coalesce(col("__t"), lit(0L)).as("tokens_dropped"))
-      .crossJoin(broadcast(tot))
-      .select(col("stage"), col("stage_idx"),
-        col("docs_dropped"), col("tokens_dropped"),
-        (col("__tot_d") - sum(col("docs_dropped")).over(cum)).as("docs_left"),
-        (col("__tot_t") - sum(col("tokens_dropped")).over(cum))
-          .as("tokens_left"))
+    val joined = grid
+      .join(byVerdict.withColumnRenamed("verdict", "stage"),
+        groupCols :+ "stage", "left")
+      .select(gcols :+ col("stage") :+ col("stage_idx") :+
+        coalesce(col("__nd"), lit(0L)).as("docs_dropped") :+
+        coalesce(col("__t"), lit(0L)).as("tokens_dropped"): _*)
+    val withTot =
+      if (groupCols.isEmpty) joined.crossJoin(broadcast(tot))
+      else joined.join(broadcast(tot), groupCols)
+    withTot.select(gcols :+ col("stage") :+ col("stage_idx") :+
+      col("docs_dropped") :+ col("tokens_dropped") :+
+      (col("__tot_d") - sum(col("docs_dropped")).over(cum)).as("docs_left") :+
+      (col("__tot_t") - sum(col("tokens_dropped")).over(cum))
+        .as("tokens_left"): _*)
   }
 }

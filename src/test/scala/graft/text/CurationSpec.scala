@@ -125,4 +125,25 @@ class CurationSpec extends AnyFunSuite {
     assert(rows.last.getLong(4) === kept.count())
     spark.catalog.clearCache()
   }
+
+  test("per-source funnel sums to the corpus funnel, stage by stage") {
+    val cfg = Curation.Config()
+    val whole = Curation.funnel(docs, "doc_id", "text", cfg)
+      .collect().map(r => r.getInt(1) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val bySrc = Curation
+      .funnelBy(docs, "doc_id", "text", Seq("source"), cfg)
+      .collect()
+      .groupBy(_.getInt(2)) // stage_idx
+      .view.mapValues(rs => (rs.map(_.getLong(3)).sum,
+        rs.map(_.getLong(4)).sum, rs.map(_.getLong(5)).sum,
+        rs.map(_.getLong(6)).sum)).toMap
+    // every source reports the full fixed stage shape
+    assert(bySrc.keySet === whole.keySet)
+    for ((idx, (d, t, dl, tl)) <- bySrc) {
+      assert((d, t, dl, tl) === whole(idx),
+        s"stage $idx: source breakdown does not sum to the corpus funnel")
+    }
+    spark.catalog.clearCache()
+  }
 }
