@@ -197,6 +197,51 @@ object PipelineQueries {
        |FROM j JOIN tot ON tot.source = j.source
        |ORDER BY j.source, j.stage_idx""".stripMargin
 
+  /** Dedup flow matrix: for every exact/near-dup drop, which source
+    * lost content to which — the redundancy structure BETWEEN feeds
+    * ("src3 is mostly re-hosting src1"), invisible in any per-source
+    * rollup. Built from [[graft.text.Curation.curateAudit]]'s
+    * `lost_to` column: two doc-keyed joins onto the (doc_id, source)
+    * projection — the loser side is only the dropped rows — then one
+    * bounded sources² aggregate. Gate-only: runtime face is
+    * pipeline_curate's benched composition, like the audit itself.
+    */
+  def pipelineDedupFlow(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.loadSpread(spark, dir, "documents")
+    val src = docs.select(col("doc_id"), col("source"))
+    Curation.curateAudit(docs, "doc_id", "text", cfg)
+      .filter(col("lost_to").isNotNull)
+      .select(col("doc_id"), col("verdict"), col("lost_to"))
+      .join(src, "doc_id")
+      .join(src.select(col("doc_id").as("lost_to"),
+        col("source").as("won_source")), "lost_to")
+      .groupBy("verdict", "source", "won_source")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("verdict", "source", "won_source")
+  }
+
+  val pipelineDedupFlowSql: String =
+    s"""WITH $pipelineAuditCtes,
+       |av AS (SELECT s.doc_id,
+       |    CASE WHEN s.doc_id != r.rep THEN 'exact_dup'
+       |         WHEN s.quality < ${cfg.minQuality} THEN 'quality'
+       |         WHEN s.lang_pred != '${cfg.lang}' THEN 'language'
+       |         WHEN l.lost_to IS NOT NULL THEN 'near_dup'
+       |         ELSE 'kept' END AS verdict,
+       |    CASE WHEN s.doc_id != r.rep THEN r.rep ELSE l.lost_to END
+       |      AS lost_to
+       |  FROM scored s
+       |  JOIN rep r ON r.doc_id = s.doc_id
+       |  LEFT JOIN losers l ON l.doc_id = s.doc_id)
+       |SELECT av.verdict, dl.source, dw.source AS won_source,
+       |  count(*) AS n_docs
+       |FROM av
+       |JOIN documents dl ON dl.doc_id = av.doc_id
+       |JOIN documents dw ON dw.doc_id = av.lost_to
+       |WHERE av.lost_to IS NOT NULL
+       |GROUP BY av.verdict, dl.source, dw.source
+       |ORDER BY av.verdict, dl.source, won_source""".stripMargin
+
   // ------------------------------------------------- deterministic mixing
 
   private val MixRates = Map("src0" -> 0.9, "src1" -> 0.5, "src2" -> 0.25)
@@ -502,6 +547,7 @@ object PipelineQueries {
     "pipeline_audit" -> (pipelineAudit(_, _)),
     "pipeline_funnel" -> (pipelineFunnel(_, _)),
     "pipeline_src_funnel" -> (pipelineSrcFunnel(_, _)),
+    "pipeline_dedup_flow" -> (pipelineDedupFlow(_, _)),
     "pipeline_mix" -> (pipelineMix(_, _)),
     "pipeline_mix_audit" -> (pipelineMixAudit(_, _)),
     "sample_stratified" -> (sampleStratified(_, _)),
@@ -517,6 +563,7 @@ object PipelineQueries {
     "pipeline_audit" -> pipelineAuditSql,
     "pipeline_funnel" -> pipelineFunnelSql,
     "pipeline_src_funnel" -> pipelineSrcFunnelSql,
+    "pipeline_dedup_flow" -> pipelineDedupFlowSql,
     "pipeline_mix" -> pipelineMixSql,
     "pipeline_mix_audit" -> pipelineMixAuditSql,
     "sample_stratified" -> sampleStratifiedSql,
