@@ -487,6 +487,35 @@ object TextQueries {
        |  CAST((lr * $NPplBuckets) // n AS BIGINT) AS bucket
        |FROM r ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------- oov coverage
+
+  /** Per-source vocabulary coverage at the gated vocab size
+    * ([[graft.text.Vocab.coverageBy]]): the vocab-sizing audit — a
+    * feed with outlier OOV is code, another language, or gibberish.
+    * Gate-only: one tokenize + one (source) aggregate, the benched
+    * text_vocab / text_stats shapes.
+    */
+  def textOov(spark: SparkSession, dir: String): DataFrame =
+    Vocab.coverageBy(Tables.loadSpread(spark, dir, "documents"),
+        "source", "text", "doc_id", VocabK)
+      .orderBy("source")
+
+  val textOovSql: String =
+    s"""WITH p AS (SELECT doc_id, source,
+       |    unnest(regexp_extract_all(lower(coalesce(text, '')),
+       |      '${TokenCount.TokenPattern}')) AS token
+       |  FROM documents),
+       |tv AS (SELECT token, count(*) AS yw FROM p GROUP BY token),
+       |v AS (SELECT token FROM
+       |  (SELECT * FROM tv ORDER BY yw DESC, token LIMIT $VocabK)),
+       |agg AS (SELECT source, count(*) AS n_tokens,
+       |    sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS n_oov
+       |  FROM p LEFT JOIN v ON v.token = p.token GROUP BY source)
+       |SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  CAST(n_oov AS BIGINT) AS n_oov,
+       |  CAST(n_oov AS DOUBLE) / n_tokens AS oov_rate
+       |FROM agg ORDER BY source""".stripMargin
+
   // ---------------------------------------------------- distinctive terms
 
   /** Per-source distinctive vocabulary ([[graft.text.Distinctive]]):
@@ -1429,6 +1458,7 @@ object TextQueries {
     "text_ppl_buckets" -> (textPplBuckets(_, _)),
     "text_novelty" -> (textNovelty(_, _)),
     "text_distinctive" -> (textDistinctive(_, _)),
+    "text_oov" -> (textOov(_, _)),
     "text_excise" -> (textExcise(_, _)),
     "text_tfidf" -> (textTfidf(_, _)),
     "text_bm25" -> (textBm25(_, _)),
@@ -1466,6 +1496,7 @@ object TextQueries {
     "text_ppl_buckets" -> textPplBucketsSql,
     "text_novelty" -> textNoveltySql,
     "text_distinctive" -> textDistinctiveSql,
+    "text_oov" -> textOovSql,
     "text_excise" -> textExciseSql,
     "text_tfidf" -> textTfidfSql,
     "text_bm25" -> textBm25Sql,

@@ -114,4 +114,29 @@ object Vocab {
         e.getField("n_tokens").as("n_tokens"),
         e.getField("n_oov").as("n_oov"))
   }
+
+  /** Vocabulary coverage per group: (group, n_tokens, n_oov, oov_rate)
+    * — what share of each source/feed's token mass a `k`-entry
+    * vocabulary fails to cover. The vocab-sizing audit: a feed whose
+    * OOV rate is an outlier is code, a different language, or
+    * gibberish, and will fragment badly under a tokenizer built at
+    * this k. One corpus tokenize + one map-side-combined (group)
+    * aggregate; the vocab rides a broadcast membership join
+    * ([[encode]]'s bounded-model discipline); `oov_rate` is a single
+    * IEEE division.
+    */
+  def coverageBy(docs: DataFrame, groupCol: String, textCol: String,
+      idCol: String, k: Int = 100): DataFrame = {
+    val toks = docs.select(col(groupCol).as("grp"),
+      explode(TokenCount.tokens(coalesce(col(textCol), lit(""))))
+        .as("token"))
+    val vocab = topTokens(docs, idCol, textCol, k)
+      .select(col("token"), lit(1).as("__hit"))
+    toks.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__hit").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("grp").as(groupCol), col("n_tokens"), col("n_oov"),
+        (col("n_oov").cast("double") / col("n_tokens")).as("oov_rate"))
+  }
 }
