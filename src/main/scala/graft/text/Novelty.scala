@@ -122,4 +122,31 @@ object Novelty {
       orderCol: Option[Column] = None): DataFrame =
     idx.unionByName(index(batch, idCol, textCol, shingleSize, orderCol))
       .groupBy("sh").agg(min("first_ord").as("first_ord"))
+
+  /** Persist the standing index bucketed by `sh`
+    * ([[graft.sources.Bucketing]]): a recurring [[screenAgainst]] then
+    * joins the index WITHOUT re-shuffling it — only the (small) batch
+    * side exchanges. The write pays the one shuffle, amortized over
+    * every nightly screen (the IncrementalDedup / Bm25 discipline).
+    */
+  def writeIndex(idx: DataFrame, table: String, numBuckets: Int = 32): Unit =
+    graft.sources.Bucketing.writeBucketed(idx, table, "sh", numBuckets)
+
+  def readIndex(spark: org.apache.spark.sql.SparkSession,
+      table: String): DataFrame = spark.table(table)
+
+  /** Fold a batch into the PERSISTED index in place: min-merge against
+    * a `localCheckpoint`'d snapshot (lineage cut so the overwrite may
+    * read its own previous generation — the Scd2Stream discipline),
+    * rewritten with the standing bucket spec. Maintained table ≡
+    * rebuild (the [[appendToIndex]] spec), amortized at batch scale.
+    */
+  def appendIndexed(spark: org.apache.spark.sql.SparkSession, table: String,
+      batch: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, orderCol: Option[Column] = None,
+      numBuckets: Int = 32): Unit =
+    writeIndex(
+      appendToIndex(spark.table(table).localCheckpoint(true), batch,
+        idCol, textCol, shingleSize, orderCol),
+      table, numBuckets)
 }

@@ -94,8 +94,16 @@ class IncrementalDedupSpec extends AnyFunSuite {
       // broadcast candidate).
       val plan = screened.queryExecution.executedPlan.toString
       val lines = plan.linesIterator.toVector
-      def depth(l: String): Int =
-        l.indexWhere(c => !" :+-*(0123456789)".contains(c))
+      // marker-based depth: the `*(k) ` codegen prefix makes a
+      // codegen'd parent's first CONTENT char sit deeper than a
+      // non-codegen child's (BroadcastQueryStage), which made the
+      // first-char heuristic skip join lines on the walk (caught by
+      // the NoveltySpec sibling of this test)
+      def depth(l: String): Int = {
+        val i = l.indexOf("+- "); val j = l.indexOf(":- ")
+        if (i < 0 && j < 0) 0
+        else if (i < 0) j else if (j < 0) i else math.min(i, j)
+      }
       val scans = lines.zipWithIndex.filter(_._1.contains("graft_idx"))
         .filter(_._1.contains("Scan"))
       assert(scans.nonEmpty, s"expected bucketed index scans:\n$plan")

@@ -72,6 +72,68 @@ class NoveltySpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("persisted index: identical screen, no index-side shuffle, exact fold") {
+    val (a, b) = corpus.splitAt(4)
+    val batch = b.toDF("doc_id", "text")
+    Novelty.writeIndex(
+      Novelty.index(a.toDF("doc_id", "text"), "doc_id", "text"),
+      "graft_nov_idx", numBuckets = 8)
+    try {
+      val screened = Novelty.screenAgainst(
+        Novelty.readIndex(spark, "graft_nov_idx"), batch, "doc_id", "text")
+      val want = Novelty.screenAgainst(
+          Novelty.index(a.toDF("doc_id", "text"), "doc_id", "text"),
+          batch, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(screened.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet === want)
+      // the recurring-ingest contract (the IncrementalDedupSpec walk):
+      // the bucketed index scan reaches its join without a hash
+      // repartition above it — only the batch side exchanges
+      val plan = screened.queryExecution.executedPlan.toString
+      val lines = plan.linesIterator.toVector
+      // depth = the tree-marker position, NOT the first content char:
+      // the `*(k) ` codegen prefix would make a codegen'd parent look
+      // DEEPER than its non-codegen child (e.g. BroadcastQueryStage),
+      // and the upward walk would skip the join line
+      def depth(l: String): Int = {
+        val i = l.indexOf("+- "); val j = l.indexOf(":- ")
+        if (i < 0 && j < 0) 0
+        else if (i < 0) j else if (j < 0) i else math.min(i, j)
+      }
+      val scans = lines.zipWithIndex
+        .filter(_._1.contains("graft_nov_idx")).filter(_._1.contains("Scan"))
+      assert(scans.nonEmpty && plan.contains("Bucketed: true"),
+        s"index must scan bucketed:\n$plan")
+      scans.foreach { case (_, si) =>
+        var d = depth(lines(si))
+        var i = si - 1
+        var metJoin = false
+        while (i >= 0 && !metJoin) {
+          val ld = depth(lines(i))
+          if (ld >= 0 && ld < d) {
+            d = ld
+            if (lines(i).contains("Join")) metJoin = true
+            else assert(!lines(i).contains("Exchange hashpartitioning"),
+              s"bucketed index scan re-shuffles before its join:\n$plan")
+          }
+          i -= 1
+        }
+      }
+      // in-place fold ≡ rebuild, and the maintained table still screens
+      Novelty.appendIndexed(spark, "graft_nov_idx", batch, "doc_id", "text")
+      val maintained = Novelty.readIndex(spark, "graft_nov_idx")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val rebuilt = Novelty
+        .index(corpus.toDF("doc_id", "text"), "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(maintained === rebuilt)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_nov_idx")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("appendToIndex(index(a), b) equals index(a ++ b) row-for-row") {
     val (a, b) = corpus.splitAt(3)
     val merged = Novelty.appendToIndex(
