@@ -51,4 +51,43 @@ object GroupedNtile {
       .withColumn("bucket", expr(s"((rank - _gbase) * ${n}L) div _gn"))
       .drop("rank", "_gn", "_gbase")
   }
+
+  /** Frozen bucket BOUNDARIES per group — the production split of
+    * [[bucketPlan]] (the CCNet offline/online shape): derive cut
+    * points from a reference corpus once, then label any frame —
+    * including a stream, since applying is a pure projection — against
+    * the frozen cuts. One row per group: the sorted array of each
+    * bucket b ≥ 1's FIRST (order, id) pair. Bounded: groups × (n−1)
+    * cut structs.
+    */
+  def boundaries(df: DataFrame, groupCol: String, orderCol: Column,
+      idCol: String, n: Int): DataFrame =
+    bucketPlan(df, groupCol, Seq(orderCol), idCol, n)
+      .filter(col("bucket") >= 1L)
+      .groupBy(col(groupCol), col("bucket"))
+      .agg(min(struct(orderCol.as("o"), col(idCol).as("i"))).as("cut"))
+      .groupBy(groupCol)
+      .agg(sort_array(collect_list(struct(col("bucket"), col("cut"))))
+        .as("_cuts"))
+
+  /** Label `df` against frozen [[boundaries]]: bucket = #cuts ≤lex
+    * (order, id). For the reference corpus itself this equals
+    * [[bucketPlan]] EXACTLY — a cut is its own bucket's first row, so
+    * the lexicographic count reproduces the rank arithmetic (the
+    * text_ppl_apply gate hashes against the rank oracle to prove it).
+    * One broadcast join on the group + a bounded array scan per row:
+    * no rank, no shuffle beyond the broadcast — the stream-safe face.
+    * Groups absent from the reference get bucket 0 (all-new group:
+    * nothing to compare against).
+    */
+  def applyBoundaries(df: DataFrame, bounds: DataFrame, groupCol: String,
+      orderCol: Column, idCol: String): DataFrame = {
+    val x = struct(orderCol.as("o"), col(idCol).as("i"))
+    df.join(broadcast(bounds), Seq(groupCol), "left")
+      .withColumn("bucket",
+        coalesce(
+          size(filter(col("_cuts"), c => c.getField("cut") <= x)).cast("long"),
+          lit(0L)))
+      .drop("_cuts")
+  }
 }

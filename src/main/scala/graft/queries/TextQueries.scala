@@ -487,6 +487,31 @@ object TextQueries {
        |  CAST((lr * $NPplBuckets) // n AS BIGINT) AS bucket
        |FROM r ORDER BY doc_id""".stripMargin
 
+  /** The production (offline/online) face of `text_ppl_buckets`:
+    * freeze per-language cut points from the reference corpus
+    * ([[graft.operators.GroupedNtile.boundaries]]), then label by pure
+    * projection against the frozen cuts — the stream-safe shape (new
+    * documents route to head/middle/tail with no rank at all). Labeling
+    * the reference corpus itself must reproduce the rank-based buckets
+    * EXACTLY, so this gate reuses `text_ppl_buckets`' rank-formulated
+    * oracle verbatim — the hash match IS the boundaries ≡ ranks proof.
+    * Gate-only: runtime face is text_ppl_buckets.
+    */
+  def textPplApply(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.loadSpread(spark, dir, "documents")
+    // persisted: the scored frame feeds boundary derivation AND the
+    // apply side; without the cache the LM fit + scoring run twice
+    val scored = LmScore.scoreFast(docs, "doc_id", "text",
+        LmScore.model(docs, "doc_id", "text", VocabK), keep = Seq("lang"))
+      .select("doc_id", "lang", "nll_q")
+      .persist()
+    val cuts = graft.operators.GroupedNtile
+      .boundaries(scored, "lang", col("nll_q"), "doc_id", NPplBuckets)
+    graft.operators.GroupedNtile
+      .applyBoundaries(scored, cuts, "lang", col("nll_q"), "doc_id")
+      .orderBy("doc_id")
+  }
+
   // --------------------------------------------------------- oov coverage
 
   /** Per-source vocabulary coverage at the gated vocab size
@@ -1459,6 +1484,7 @@ object TextQueries {
     "text_novelty" -> (textNovelty(_, _)),
     "text_distinctive" -> (textDistinctive(_, _)),
     "text_oov" -> (textOov(_, _)),
+    "text_ppl_apply" -> (textPplApply(_, _)),
     "text_excise" -> (textExcise(_, _)),
     "text_tfidf" -> (textTfidf(_, _)),
     "text_bm25" -> (textBm25(_, _)),
@@ -1497,6 +1523,9 @@ object TextQueries {
     "text_novelty" -> textNoveltySql,
     "text_distinctive" -> textDistinctiveSql,
     "text_oov" -> textOovSql,
+    // shared verbatim: labeling the reference corpus against its own
+    // frozen boundaries must equal the rank-based bucketing
+    "text_ppl_apply" -> textPplBucketsSql,
     "text_excise" -> textExciseSql,
     "text_tfidf" -> textTfidfSql,
     "text_bm25" -> textBm25Sql,
