@@ -322,6 +322,48 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("ppl router: stateless stream-static routing equals the batch face") {
+    import graft.operators.GroupedNtile
+    import graft.text.LmScore
+    // frozen artifacts from a reference corpus: 9 en docs with token
+    // rarity increasing by id, 3 de docs — boundaries are per-language
+    val ref = ((1L to 9L).map(i =>
+        (i, "en", ("common " * (10 - i.toInt) + s"rare$i " * i.toInt).trim)) ++
+      (10L to 12L).map(i => (i, "de", s"der doc nummer$i")))
+      .toDF("doc_id", "lang", "text")
+    val fitted = LmScore.model(ref, "doc_id", "text", 10)
+    val scoredRef = LmScore.scoreFast(ref, "doc_id", "text", fitted,
+        keep = Seq("lang"))
+      .select($"doc_id", $"lang", $"nll_q")
+    val bounds = GroupedNtile
+      .boundaries(scoredRef, "lang", $"nll_q", "doc_id", 3)
+      .localCheckpoint(true) // frozen, like a table read back at serve time
+    val rows = Seq((20L, "en", "common common common common"),
+      (21L, "en", "utterly novel words here"),
+      (22L, "de", "der doc nummer10"),
+      (23L, "fr", "langue absente")) // group absent from the reference
+    val stream = MemoryStream[(Long, String, String)](spark)
+    val q = PplRouter.route(stream.toDF().toDF("doc_id", "lang", "text"),
+        fitted, bounds, "doc_id", "text", "lang")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("pplroute").start()
+    try {
+      stream.addData(rows)
+      q.processAllAvailable()
+      val streamed = spark.table("pplroute").orderBy("doc_id").collect()
+        .map(r => (r.getLong(1), r.getString(0), r.getLong(2), r.getLong(3)))
+      val batch = PplRouter.route(rows.toDF("doc_id", "lang", "text"),
+          fitted, bounds, "doc_id", "text", "lang")
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(1), r.getString(0), r.getLong(2), r.getLong(3)))
+      assert(streamed.toSeq === batch.toSeq)
+      val byId = streamed.map(t => t._1 -> t._4).toMap
+      assert(byId(20L) === 0L, "all-common doc must route to head")
+      assert(byId(21L) === 2L, "all-OOV doc must route to tail")
+      assert(byId(23L) === 0L, "unseen group routes to 0 by contract")
+    } finally q.stop()
+  }
+
   test("novelty screen: per-micro-batch scores equal the batch operator") {
     import graft.text.Novelty
     val corpus = Seq(1L -> "a b c d e f", 2L -> "x y z a b c")
