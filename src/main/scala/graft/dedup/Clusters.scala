@@ -191,4 +191,55 @@ object Clusters {
       .select(col("id").as(idCol))
     docs.join(losers, Seq(idCol), "left_anti")
   }
+
+  /** Fold NEW duplicate pairs into a standing (id, comp) assignment
+    * without re-running components over the full graph — the
+    * incremental face recurring ingest needs: each batch's verified
+    * pairs (from [[IncrementalDedup]] / the LSH screens) may extend a
+    * cluster, MERGE standing clusters through a new bridge document,
+    * or open brand-new ones.
+    *
+    * Exactness by contraction: each standing component collapses to
+    * its representative (labels are min-ids, so the rep IS the
+    * component minimum); new edges project endpoint → rep (a node
+    * unseen by the standing assignment is its own rep); components of
+    * the contracted graph, expanded back through the standing labels,
+    * equal components of the full union graph — `appendComponents
+    * (cc(a), b) ≡ cc(a ∪ b)` row-for-row (spec'd, including a
+    * cross-cluster merge, a new-node extension, and a disjoint new
+    * chain).
+    *
+    * Scale shape: the iterative CC runs on the CONTRACTED edges —
+    * batch-pair-sized, not corpus-sized; the standing table pays two
+    * hash joins (rep projection, final relabel through the
+    * batch-bounded merge map) and is never iterated over. The
+    * standing frame is persisted (four consumers); callers release
+    * via `catalog.clearCache()`, the family convention.
+    */
+  def appendComponents(standing: DataFrame, newPairs: DataFrame,
+      aCol: String, bCol: String, maxIter: Int = 20): DataFrame = {
+    val st = standing.select(col("id"), col("comp")).persist()
+    val contracted = newPairs
+      .select(col(aCol).as("_a"), col(bCol).as("_b"))
+      .join(st.select(col("id").as("_a"), col("comp").as("_ca")),
+        Seq("_a"), "left")
+      .join(st.select(col("id").as("_b"), col("comp").as("_cb")),
+        Seq("_b"), "left")
+      .select(coalesce(col("_ca"), col("_a")).as("u"),
+        coalesce(col("_cb"), col("_b")).as("v"))
+      // both endpoints already share a component: nothing to merge
+      .filter(col("u") =!= col("v"))
+    val m = connectedComponents(contracted, "u", "v", maxIter)
+      .select(col("id").as("_rep"), col("comp").as("_nc"))
+    val updated = st.join(m, st("comp") === m("_rep"), "left")
+      .select(st("id"), coalesce(col("_nc"), st("comp")).as("comp"))
+    // endpoints the standing assignment has never seen: rep = own id,
+    // so the contracted components already carry their final label
+    val fresh = newPairs
+      .select(explode(array(col(aCol), col(bCol))).as("id")).distinct()
+      .join(st.select("id"), Seq("id"), "left_anti")
+    updated.unionByName(
+      fresh.join(m, fresh("id") === m("_rep"), "left")
+        .select(fresh("id"), coalesce(col("_nc"), col("id")).as("comp")))
+  }
 }

@@ -29,6 +29,39 @@ class ClustersSpec extends AnyFunSuite {
     assert(kept.toSeq === Seq(1L, 10L, 99L))
   }
 
+  test("appendComponents(cc(a), b) equals cc(a ++ b) across merge shapes") {
+    // standing: clusters {1,2,3}, {10,11}, {20,21}; the batch (b)
+    // bridges two standing clusters (11-20), extends one with a new
+    // node (3-30), opens a disjoint new chain (40-41-42), and adds a
+    // pair internal to an existing cluster (1-3, a no-op)
+    val a = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L))
+      .toDF("doc_a", "doc_b")
+    val b = Seq((11L, 20L), (3L, 30L), (40L, 41L), (41L, 42L), (1L, 3L))
+      .toDF("doc_a", "doc_b")
+    val standing = Clusters.connectedComponents(a, "doc_a", "doc_b")
+    val got = Clusters.appendComponents(standing, b, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = Clusters
+      .connectedComponents(a.unionByName(b), "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === want)
+    // shape sanity: the bridge merged {10,11} with {20,21}, the new
+    // node joined cluster 1, and the chain labeled by its own minimum
+    assert(got(21L) === 10L && got(30L) === 1L && got(42L) === 40L)
+    spark.catalog.clearCache()
+  }
+
+  test("appendComponents with only internal pairs is the identity") {
+    val a = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val standing = Clusters.connectedComponents(a, "doc_a", "doc_b")
+    val before = standing.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = Clusters.appendComponents(standing,
+        Seq((1L, 3L)).toDF("doc_a", "doc_b"), "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === before)
+    spark.catalog.clearCache()
+  }
+
   test("two-star CC solves a 300-node CHAIN within its O(log n) round budget") {
     // diameter 300: min-label propagation would need 300 rounds; the
     // large-star/small-star rewrite must finish well inside maxIter=25

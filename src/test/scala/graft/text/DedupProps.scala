@@ -124,4 +124,27 @@ object DedupProps extends Properties("Round8Dedup") {
         e == exactWant && nearSound && keep == (if (e == 0 && n == 0) 1 else 0)
       }
     }
+
+  private val genEdges: Gen[Seq[(Long, Long)]] = for {
+    n <- Gen.choose(1, 12)
+    edges <- Gen.listOfN(n, for {
+      a <- Gen.choose(0L, 9L)
+      b <- Gen.choose(0L, 9L) if a != b
+    } yield (a, b))
+  } yield edges
+
+  property("appendComponents(cc(a), b) == cc(a ++ b) on random graphs") =
+    forAll(genEdges, genEdges) { (ea, eb) =>
+      import spark.implicits._
+      val a = ea.toDF("x", "y")
+      val b = eb.toDF("x", "y")
+      val standing = graft.dedup.Clusters.connectedComponents(a, "x", "y")
+      val got = graft.dedup.Clusters.appendComponents(standing, b, "x", "y")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = graft.dedup.Clusters
+        .connectedComponents(a.unionByName(b), "x", "y")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      spark.catalog.clearCache()
+      got == want
+    }
 }
