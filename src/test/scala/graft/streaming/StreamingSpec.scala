@@ -322,6 +322,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("cluster maintain: folded standing table equals full recompute") {
+    import graft.dedup.Clusters
+    val seed = Seq((1L, 2L), (10L, 11L)).toDF("doc_a", "doc_b")
+    // standing store for the spec: a var the callbacks read and write
+    var standing = Clusters.connectedComponents(seed, "doc_a", "doc_b")
+      .localCheckpoint(true)
+    val stream = MemoryStream[(Long, Long)](spark)
+    val q = ClusterMaintain.maintain(
+        stream.toDF().toDF("doc_a", "doc_b"), "doc_a", "doc_b") {
+        () => standing
+      } { folded => standing = folded.localCheckpoint(true) }
+      .start()
+    try {
+      // batch 1 bridges the two seed clusters; batch 2 opens a new one
+      // and extends the merged cluster with a fresh node
+      val b1 = Seq(2L -> 10L)
+      val b2 = Seq(20L -> 21L, 11L -> 30L)
+      stream.addData(b1)
+      q.processAllAvailable()
+      stream.addData(b2)
+      q.processAllAvailable()
+      val got = standing.collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = Clusters.connectedComponents(
+          seed.unionByName((b1 ++ b2).toDF("doc_a", "doc_b")),
+          "doc_a", "doc_b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === want)
+      assert(got(30L) === 1L && got(21L) === 20L) // merged + fresh cluster
+    } finally q.stop()
+  }
+
   test("ppl router: stateless stream-static routing equals the batch face") {
     import graft.operators.GroupedNtile
     import graft.text.LmScore
