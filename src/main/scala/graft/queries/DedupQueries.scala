@@ -573,6 +573,33 @@ object DedupQueries {
         "doc_a", "doc_b")
       .orderBy("id")
 
+  /** Incremental clusters ([[Clusters.appendComponents]]): standing
+    * components from the doc_id % 5 != 0 slice's pairs, then the
+    * batch's pairs (any pair touching a % 5 == 0 doc) folded in. Pair
+    * candidacy is PAIRWISE under the default config (no doc-frequency
+    * cap), so old∩old pairs are identical whether mined from the slice
+    * or the full corpus — the fold's input is exactly a partition of
+    * the full pair set, and the folded table must equal the full
+    * recompute. The oracle is therefore `dedup_clusters`' recursive
+    * closure over ALL pairs, verbatim: the hash match IS the
+    * append ≡ rebuild proof at corpus scale (the ScalaCheck property
+    * pins it on random graphs). Gate-only: runtime face is
+    * dedup_clusters + dedup_incremental's screen.
+    */
+  def dedupClustersIncr(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.loadSpread(spark, dir, "documents")
+    val oldPairs = MinHashLSH.nearDuplicatePairs(
+        docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text", cfg)
+      .select(col("doc_a"), col("doc_b"))
+    val standing = Clusters.connectedComponents(oldPairs, "doc_a", "doc_b")
+    val batchPairs = MinHashLSH
+      .nearDuplicatePairs(docs, "doc_id", "text", cfg)
+      .filter(col("doc_a") % 5 === 0 || col("doc_b") % 5 === 0)
+      .select(col("doc_a"), col("doc_b"))
+    Clusters.appendComponents(standing, batchPairs, "doc_a", "doc_b")
+      .orderBy("id")
+  }
+
   val dedupClustersSql: String =
     s"""WITH RECURSIVE ${minhashJacCtes("documents")},
        |pairs AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= ${cfg.threshold}),
@@ -755,6 +782,7 @@ object DedupQueries {
     "dedup_embed" -> (dedupEmbed(_, _)),
     "dedup_semantic" -> (dedupSemantic(_, _)),
     "dedup_clusters" -> (dedupClusters(_, _)),
+    "dedup_clusters_incr" -> (dedupClustersIncr(_, _)),
     "dedup_cluster_stats" -> (dedupClusterStats(_, _)),
     "sample_split_safe" -> (sampleSplitSafe(_, _)),
     "dedup_incremental" -> (dedupIncremental(_, _)),
@@ -774,6 +802,9 @@ object DedupQueries {
     "dedup_embed" -> dedupEmbedSql,
     "dedup_semantic" -> dedupSemanticSql,
     "dedup_clusters" -> dedupClustersSql,
+    // shared verbatim: the folded standing table must equal the full
+    // recompute, which is exactly what the closure oracle states
+    "dedup_clusters_incr" -> dedupClustersSql,
     "dedup_cluster_stats" -> dedupClusterStatsSql,
     "sample_split_safe" -> sampleSplitSafeSql,
     "dedup_incremental" -> dedupIncrementalSql,
