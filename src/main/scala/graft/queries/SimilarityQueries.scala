@@ -1125,7 +1125,61 @@ object SimilarityQueries {
        |FROM e LEFT JOIN a ON a.q_id = e.q_id AND a.n_id = e.n_id
        |GROUP BY e.q_id ORDER BY q""".stripMargin
 
+  /** Embedding-health audit — the silent-breakage check every vector
+    * pipeline needs before indexing: per label, zero vectors (cosine
+    * is undefined on them), non-finite components (one NaN poisons
+    * every dot product it touches), wrong-dimension rows (a concat
+    * or truncation bug), and the quantized-norm envelope (min / max /
+    * sum — a collapsed norm range means the encoder saturated). Pure
+    * per-row projection (the shared codegen'd `DotProduct` fold) + ONE
+    * map-side-combined aggregate; norms floor-quantize at 1e-6 before
+    * the integer min/max/sum so the stats are order-independent
+    * (summing raw doubles would be partition-order-dependent).
+    * Non-finite rows are excluded from the norm stats on BOTH sides
+    * (their fold is NaN). Gate-only: the text_stats per-row shape.
+    */
+  def dqEmbed(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.loadSpread(spark, dir, "embeddings")
+    val e = emb.select(col("label"),
+      Cosine.norm2(col("embedding")).as("n2"),
+      exists(col("embedding"), x => isnan(x) ||
+        x === lit(Float.PositiveInfinity) ||
+        x === lit(Float.NegativeInfinity)).as("bad"),
+      size(col("embedding")).as("dim"))
+    val nq = when(!col("bad"),
+      floor(sqrt(col("n2")) * 1e6d).cast("bigint"))
+    e.groupBy("label").agg(
+        count(lit(1)).as("n_vecs"),
+        sum(when(!col("bad") && col("n2") === 0.0d, 1L).otherwise(0L))
+          .as("n_zero"),
+        sum(when(col("bad"), 1L).otherwise(0L)).as("n_nonfinite"),
+        sum(when(col("dim") =!= Dim, 1L).otherwise(0L)).as("n_wrong_dim"),
+        min(nq).as("norm_q_min"), max(nq).as("norm_q_max"),
+        sum(nq).as("norm_q_sum"))
+      .orderBy("label")
+  }
+
+  val dqEmbedSql: String =
+    s"""WITH v AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+       |e AS (SELECT label, ${foldDot("v", "v")} AS n2,
+       |    len(list_filter(v, x -> isnan(x) OR isinf(x))) > 0 AS bad,
+       |    len(v) AS dim FROM v),
+       |q AS (SELECT label, n2, bad, dim,
+       |    CASE WHEN NOT bad THEN CAST(floor(sqrt(n2) * 1e6) AS BIGINT)
+       |         ELSE NULL END AS nq
+       |  FROM e)
+       |SELECT label, count(*) AS n_vecs,
+       |  CAST(sum(CASE WHEN NOT bad AND n2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_zero,
+       |  CAST(sum(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT) AS n_nonfinite,
+       |  CAST(sum(CASE WHEN dim != $Dim THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_wrong_dim,
+       |  min(nq) AS norm_q_min, max(nq) AS norm_q_max,
+       |  CAST(sum(nq) AS BIGINT) AS norm_q_sum
+       |FROM q GROUP BY label ORDER BY label""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_embed" -> (dqEmbed(_, _)),
     "sim_topk" -> (simTopk(_, _)),
     "sim_lsh_bucket" -> (simLshBucket(_, _)),
     "sim_lsh_multiprobe" -> (simLshMultiprobe(_, _)),
@@ -1150,6 +1204,7 @@ object SimilarityQueries {
     "embed_kmeans_label" -> (embedKmeansLabel(_, _)))
 
   val oracleSql: Map[String, String] = Map(
+    "dq_embed" -> dqEmbedSql,
     "sim_topk" -> simTopkSql,
     "sim_lsh_bucket" -> simLshBucketSql,
     "sim_lsh_multiprobe" -> simLshMultiprobeSql,
