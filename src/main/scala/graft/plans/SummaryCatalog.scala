@@ -42,12 +42,27 @@ object SummaryCatalog {
   private[plans] def normalize(path: String): String =
     new java.io.File(path.stripPrefix("file:")).getAbsolutePath
 
-  def register(s: Summary): Unit = {
+  /** Validating registration. Reads the summary parquet's schema so a
+    * castless `sum` measure over a floating column cannot slip in via
+    * direct registration (the restore-from-disk path): re-summing a
+    * summary column is exact iff that column is integral or decimal.
+    * A cast measure must cast to decimal. Either way the exactness
+    * contract is enforced at EVERY entry point, not just [[build]].
+    */
+  def register(spark: SparkSession, s: Summary): Unit = {
+    lazy val sumSchema = spark.read.parquet(s.summaryPath).schema
     s.measures.foreach { m =>
-      val exact = m.op != "sum" ||
-        m.cast.orElse(None).exists(t =>
-          t.isInstanceOf[org.apache.spark.sql.types.DecimalType]) ||
-        m.cast.isEmpty // integral sums resolved at build; see build()
+      import org.apache.spark.sql.types._
+      val exact = m.op != "sum" || (m.cast match {
+        case Some(t) => t.isInstanceOf[DecimalType]
+        case None =>
+          sumSchema.fields.find(_.name == m.summaryCol).exists(
+            _.dataType match {
+              case ByteType | ShortType | IntegerType | LongType => true
+              case _: DecimalType => true
+              case _ => false
+            })
+      })
       require(exact, s"measure $m is not re-aggregation-exact")
     }
     registry.put(normalize(s.basePath), s)
@@ -89,11 +104,18 @@ object SummaryCatalog {
       case m if m.op == "min" => min(input(m)).as(m.summaryCol)
       case m => max(input(m)).as(m.summaryCol)
     }
+    // Suspend routing for this base during the build: if the base is
+    // already registered (a REBUILD), SummaryRewrite would route this
+    // very groupBy (keys+measures match by construction) to the
+    // summary parquet the overwrite below is about to delete —
+    // optimization happens after the analysis-time overlap check, so
+    // nothing else catches the read-own-output hazard.
+    registry.remove(normalize(basePath))
     base.groupBy(keys.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
       .write.mode("overwrite").parquet(summaryPath)
     val s = Summary(basePath, summaryPath, keys, measures)
-    register(s)
+    register(spark, s)
     s
   }
 
@@ -110,6 +132,20 @@ object SummaryCatalog {
     * over generation.
     */
   def append(spark: SparkSession, s: Summary, batch: org.apache.spark.sql.DataFrame): Unit = {
+    // Same routing suspension as build(): if `batch` is a bare scan of
+    // the registered base, SummaryRewrite would route batchAgg to the
+    // summary parquet this write is about to overwrite. Optimization
+    // of the whole job happens inside the write action below, so
+    // removing the registration here covers batchAgg's planning too;
+    // restored after the write completes.
+    val registered = registry.remove(normalize(s.basePath))
+    try {
+      appendImpl(spark, s, batch)
+    } finally registered.foreach(r => registry.put(normalize(r.basePath), r))
+  }
+
+  private def appendImpl(spark: SparkSession, s: Summary,
+      batch: org.apache.spark.sql.DataFrame): Unit = {
     def input(m: Measure) =
       m.cast.fold(col(m.baseCol))(t => col(m.baseCol).cast(t))
     val aggs = s.measures.map {

@@ -58,7 +58,14 @@ case class SummaryRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     lr.relation match {
       case hfs: HadoopFsRelation =>
         hfs.location.rootPaths.toSeq match {
-          case Seq(root) => SummaryCatalog.lookup(root.toUri.getPath)
+          // refuse a summary that would route a scan to ITSELF (a
+          // registration with basePath == summaryPath) — a rewrite
+          // loop in the best case, a read-own-overwrite in the worst
+          case Seq(root) =>
+            val p = root.toUri.getPath
+            SummaryCatalog.lookup(p).filterNot(s =>
+              SummaryCatalog.normalize(s.summaryPath) ==
+                SummaryCatalog.normalize(p))
           case _ => None
         }
       case _ => None

@@ -39,8 +39,11 @@ object PsiStream {
     * the FULL bin domain per window — identical arithmetic to
     * [[graft.operators.Psi.stability]] (add-one smoothing, 1e-9 floor
     * quantization), so a window's rows equal the batch gate's on the
-    * same slice (spec-pinned). Bins absent from both sides carry
-    * psi_q = 0.
+    * same slice (spec-pinned). Bins absent from BOTH sides emit
+    * psi_q = 0 explicitly: smoothing alone would give them a
+    * spurious positive term whenever the two totals differ
+    * (pa = 1/(ta+nBins) vs pb = 1/(tb+nBins)), diverging from the
+    * batch headline, which never sees such bins at all.
     */
   def scoreAgainst(winBins: DataFrame, ref: DataFrame, nBins: Int)
       : DataFrame = {
@@ -68,6 +71,8 @@ object PsiStream {
     val pa = rate(col("n_a"), col("ta"))
     val pb = rate(col("n_b"), col("tb"))
     merged.select(col("window_start"), col("bin"), col("n_a"), col("n_b"),
-      floor((pb - pa) * log(pb / pa) * 1e9d).cast("bigint").as("psi_q"))
+      when(col("n_a") === 0L && col("n_b") === 0L, lit(0L))
+        .otherwise(floor((pb - pa) * log(pb / pa) * 1e9d).cast("bigint"))
+        .as("psi_q"))
   }
 }

@@ -75,10 +75,15 @@ object NbQuality {
     * Collected in TWO jobs (vocab top-k, scalar totals) regardless of
     * corpus size.
     */
+  /** `vocabK` is the K used in the smoothing denominators
+    * (`denom = total + vocabK + 1`) — stored explicitly because the
+    * count maps can hold FEWER than K entries (a seed corpus with a
+    * small vocabulary), so [[merge]] must not infer K from map size.
+    */
   final case class Model(
       posCounts: Map[String, Long], posDenom: Double,
       negCounts: Map[String, Long], negDenom: Double,
-      nPosDocs: Long, nNegDocs: Long)
+      nPosDocs: Long, nNegDocs: Long, vocabK: Int)
 
   private def isPos(cfg: Config) = col("source").isin(cfg.posSources: _*)
 
@@ -124,7 +129,8 @@ object NbQuality {
       posDenom = (t.getLong(0) + k + 1L).toDouble,
       negCounts = vocab.map(r => r.getString(0) -> r.getLong(2)).toMap,
       negDenom = (t.getLong(1) + k + 1L).toDouble,
-      nPosDocs = t.getLong(2), nNegDocs = t.getLong(3))
+      nPosDocs = t.getLong(2), nNegDocs = t.getLong(3),
+      vocabK = cfg.vocabK)
   }
 
   /** [[fit]] against a FIXED caller-supplied vocabulary instead of the
@@ -166,7 +172,7 @@ object NbQuality {
       negCounts = vocab.map(t0 => t0 -> seen.get(t0).map(_._2).getOrElse(0L))
         .toMap,
       negDenom = (lng(1) + k + 1L).toDouble,
-      nPosDocs = lng(2), nNegDocs = lng(3))
+      nPosDocs = lng(2), nNegDocs = lng(3), vocabK = vocab.size)
   }
 
   /** Exact merge of two fixed-vocabulary models (same key set
@@ -179,7 +185,11 @@ object NbQuality {
     require(a.posCounts.keySet == b.posCounts.keySet &&
       a.negCounts.keySet == b.negCounts.keySet,
       "models must share one fixed vocabulary")
-    val k = a.posCounts.size.toLong
+    require(a.vocabK == b.vocabK,
+      s"models smooth over different K: ${a.vocabK} vs ${b.vocabK}")
+    // token totals recovered via the STORED K, not map size — a fit()
+    // model's maps can be smaller than its smoothing K
+    val k = a.vocabK.toLong
     def total(denom: Double): Long = denom.toLong - k - 1L
     Model(
       posCounts = a.posCounts.map { case (t, n) => t -> (n + b.posCounts(t)) },
@@ -187,7 +197,7 @@ object NbQuality {
       negCounts = a.negCounts.map { case (t, n) => t -> (n + b.negCounts(t)) },
       negDenom = (total(a.negDenom) + total(b.negDenom) + k + 1L).toDouble,
       nPosDocs = a.nPosDocs + b.nPosDocs,
-      nNegDocs = a.nNegDocs + b.nNegDocs)
+      nNegDocs = a.nNegDocs + b.nNegDocs, vocabK = a.vocabK)
   }
 
   /** Score every document against a fitted model. Pure projection (two

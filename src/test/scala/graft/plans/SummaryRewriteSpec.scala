@@ -136,7 +136,7 @@ class SummaryRewriteSpec extends AnyFunSuite {
     assert(folded === rebuilt)
     // and routing the grown base through the maintained summary is
     // still hash-identical to the direct aggregate
-    SummaryCatalog.register(SummaryCatalog.Summary(base, sp,
+    SummaryCatalog.register(spark, SummaryCatalog.Summary(base, sp,
       summary.keys, summary.measures))
     def q() = spark.read.parquet(base).groupBy("l_returnflag")
       .agg(count(lit(1)).as("n"),
@@ -145,7 +145,7 @@ class SummaryRewriteSpec extends AnyFunSuite {
     assert(planOf(q()).contains("lineitem_incr"))
     SummaryCatalog.clear()
     val direct = q().collect().map(_.toString).toSeq
-    SummaryCatalog.register(SummaryCatalog.Summary(base, sp,
+    SummaryCatalog.register(spark, SummaryCatalog.Summary(base, sp,
       summary.keys, summary.measures))
     assert(q().collect().map(_.toString).toSeq === direct)
     SummaryCatalog.clear()
@@ -157,5 +157,77 @@ class SummaryRewriteSpec extends AnyFunSuite {
         keys = Seq("l_returnflag"),
         measures = Seq(Measure("sum", "l_quantity")))
     }
+  }
+
+  test("register() also refuses a castless double sum (restore path)") {
+    SummaryCatalog.clear()
+    val sp = s"${System.getProperty("java.io.tmpdir")}/graft_mv_spec/dbl_sum"
+    // a summary parquet whose sum column is DOUBLE — re-summing it is
+    // order-dependent, so direct registration must refuse it even
+    // though the Measure carries no cast (the r9 vacuous-check hole)
+    spark.read.parquet(base).groupBy("l_returnflag")
+      .agg(sum(col("l_quantity")).as("sum_l_quantity"))
+      .write.mode("overwrite").parquet(sp)
+    intercept[IllegalArgumentException] {
+      SummaryCatalog.register(spark, SummaryCatalog.Summary(base, sp,
+        Seq("l_returnflag"), Seq(Measure("sum", "l_quantity"))))
+    }
+    assert(SummaryCatalog.lookup(base).isEmpty)
+  }
+
+  test("rebuild while registered does not route the build to its own output") {
+    SummaryCatalog.clear()
+    buildSummary() // gen 1: registers base -> sumPath
+    // gen 2: the build's internal groupBy matches the registered
+    // summary exactly; without routing suspension SummaryRewrite would
+    // read sumPath while mode(overwrite) deletes it. The rebuilt
+    // summary must equal a direct base aggregation, proving it
+    // re-scanned the BASE.
+    buildSummary()
+    val rebuilt = spark.read.parquet(sumPath)
+      .orderBy("l_returnflag", "l_linestatus").collect().map(_.toString).toSeq
+    SummaryCatalog.clear()
+    val direct = spark.read.parquet(base)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("l_quantity").cast(dec)).as("sum_l_quantity"),
+        min(col("l_shipdate")).as("min_l_shipdate"),
+        max(col("l_shipdate")).as("max_l_shipdate"))
+      .orderBy("l_returnflag", "l_linestatus").collect().map(_.toString).toSeq
+    assert(rebuilt === direct)
+  }
+
+  test("append with a bare base-scan batch does not route to the summary") {
+    SummaryCatalog.clear()
+    val tmp = System.getProperty("java.io.tmpdir")
+    val sp = s"$tmp/graft_mv_spec/self_append"
+    val summary = SummaryCatalog.build(spark, base, sp,
+      keys = Seq("l_returnflag", "l_linestatus"),
+      measures = Seq(Measure("count", ""),
+        Measure("sum", "l_quantity", Some(dec))))
+    // base stays REGISTERED and the batch is a bare scan of it — the
+    // r9 hazard: batchAgg matches the summary and would be routed to
+    // sp mid-overwrite. With suspension, append folds the full base in
+    // a second time, so every count/sum exactly doubles.
+    SummaryCatalog.append(spark, summary, spark.read.parquet(base))
+    val doubled = spark.read.parquet(sp)
+      .orderBy("l_returnflag", "l_linestatus").collect()
+    // the registration survives the append (restored after write)
+    assert(SummaryCatalog.lookup(base).isDefined)
+    SummaryCatalog.clear()
+    val single = spark.read.parquet(base)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("l_quantity").cast(dec)).as("sum_l_quantity"))
+      .orderBy("l_returnflag", "l_linestatus").collect()
+    assert(doubled.length === single.length)
+    doubled.zip(single).foreach { case (d, s) =>
+      assert(d.getLong(d.fieldIndex("cnt")) ===
+        2L * s.getLong(s.fieldIndex("cnt")))
+      assert(d.getDecimal(d.fieldIndex("sum_l_quantity")) ===
+        s.getDecimal(s.fieldIndex("sum_l_quantity")).add(
+          s.getDecimal(s.fieldIndex("sum_l_quantity"))))
+    }
+    SummaryCatalog.clear()
   }
 }

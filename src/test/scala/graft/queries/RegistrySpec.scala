@@ -26,6 +26,18 @@ class RegistrySpec extends AnyFunSuite {
     assert(missing.isEmpty, s"bench slots without queries: $missing")
   }
 
+  test("README's advertised query count equals the registry") {
+    // the count is user-facing documentation; parsing it here keeps it
+    // from rotting as the registry grows (it drifted 122 vs 155 once)
+    val readme = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("README.md")), "UTF-8")
+    val m = """(\d+) queries\)""".r.findFirstMatchIn(readme)
+    assert(m.isDefined, "README no longer states the query count")
+    assert(m.get.group(1).toInt === SparkEntry.queries.size,
+      s"README says ${m.get.group(1)} but the registry holds " +
+        s"${SparkEntry.queries.size} — update README.md")
+  }
+
   test("the bench metric line fits the harness tail window") {
     // ~22 bytes per slot on the final line ("name":12.34,) plus fixed
     // overhead must stay under 2000 chars — the driver keeps only the

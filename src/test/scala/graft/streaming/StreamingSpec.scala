@@ -190,6 +190,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("psi scoring: a bin absent from BOTH sides carries exactly zero") {
+    // totals differ (ref 3 rows vs window 2), so smoothing alone would
+    // give the empty bin a positive psi term (pa = 1/(3+5) != pb =
+    // 1/(2+5)) — the r9 advice hole; the explicit zero matches the
+    // batch gate's bin set, which never emits such bins
+    import org.apache.spark.sql.functions.col
+    val ref = Seq((0L, 2L), (1L, 1L)).toDF("bin", "n_a")
+    val winBins = Seq((ts("2024-01-01 10:00:00"), 0L, 1L),
+      (ts("2024-01-01 10:00:00"), 3L, 1L))
+      .toDF("window_start", "bin", "n_b")
+      .select(col("window_start"), col("bin"), col("n_b").as("n"))
+    val scored = PsiStream.scoreAgainst(winBins, ref, nBins = 5)
+      .orderBy("bin").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(scored.length === 5) // full domain
+    // bins 2 and 4: absent from both sides -> psi_q exactly 0
+    Seq(2L, 4L).foreach { b =>
+      val row = scored.find(_._1 == b).get
+      assert(row._2 === 0L && row._3 === 0L && row._4 === 0L, s"bin $b")
+    }
+    // one-sided bins keep their smoothed (nonzero) contribution
+    Seq(1L, 3L).foreach { b => assert(scored.find(_._1 == b).get._4 !== 0L) }
+  }
+
   test("nb classifier: a stream screens against a frozen merged model") {
     // the model-based quality screen at ingest: batch-fit (or exactly
     // merged) NB model, pure-projection scoring — the same composition

@@ -119,6 +119,26 @@ class NbQualitySpec extends AnyFunSuite {
     assert(viaMerged === viaUnion)
   }
 
+  test("merge uses the stored smoothing K, not map size (small-vocab fit)") {
+    // seed vocabulary (3 distinct tokens) far smaller than vocabK=200,
+    // so posCounts.size != K — the r9 advice hole: inferring K from
+    // map size would corrupt the recovered token totals
+    val docs = Seq(
+      (1L, "aa aa bb", "src0"), (2L, "cc bb", "srcX")).toDF(
+      "doc_id", "text", "source")
+    val m = NbQuality.fit(docs, "doc_id", "text", cfg.copy(negRate = 1.0))
+    assert(m.posCounts.size < m.vocabK)
+    val merged = NbQuality.merge(m, m)
+    // totals double exactly: denom = 2*total + K + 1
+    assert(merged.posDenom === (2L * 3L + cfg.vocabK + 1L).toDouble)
+    assert(merged.negDenom === (2L * 2L + cfg.vocabK + 1L).toDouble)
+    assert(merged.nPosDocs === 2L && merged.nNegDocs === 2L)
+    // and models smoothed over different K refuse to merge
+    intercept[IllegalArgumentException] {
+      NbQuality.merge(m, m.copy(vocabK = m.vocabK + 1))
+    }
+  }
+
   test("fixed-vocab fit counts only vocabulary tokens, totals count all") {
     val docs = Seq((1L, "aa qq qq", "src0"), (2L, "bb", "srcX"))
       .toDF("doc_id", "text", "source")
