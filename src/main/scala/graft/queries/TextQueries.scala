@@ -223,6 +223,10 @@ object TextQueries {
   // ----------------------------------------------------------- vocabulary
 
   private val VocabK = 100
+  // union corpus holds ~31 ASCII + ~45 fixture tokens — 100 keeps the
+  // ENTIRE multilingual vocabulary in the gate, so every fixture token
+  // must survive tokenization to hash-match
+  private val VocabUniK = 100
 
   def textVocab(spark: SparkSession, dir: String): DataFrame =
     Vocab.topTokens(Tables.loadSpread(spark, dir, "documents"),
@@ -243,6 +247,55 @@ object TextQueries {
        |SELECT row_number() OVER (ORDER BY n_occurrences DESC, token) AS rnk,
        |  token, n_docs, n_occurrences
        |FROM top ORDER BY rnk""".stripMargin
+
+  /** The multilingual vocabulary gate — the SAME operator as
+    * [[textVocab]] with [[TokenCount.Unicode]] routed into the
+    * production token path, over the corpus plus the CJK / Hangul /
+    * Cyrillic / Greek / Arabic fixture docs ([[uniFixtures]]): under
+    * the Ascii tokenizer those documents dissolve into separators;
+    * here their tokens must survive INTO the ranked vocabulary and
+    * hash-match the oracle's `[\p{L}]+` extraction with per-match
+    * lowercasing. This is the end-to-end proof that the token path is
+    * multilingual-ready, not just the tokenizer expression (SURVEY
+    * §2.10 T9).
+    */
+  def textVocabUni(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.loadSpread(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .unionByName(uniFixtures.toDF("doc_id", "text"))
+    // k covers the whole union vocabulary's head far enough that every
+    // fixture token (1-2 occurrences) competes on the tie-broken tail
+    Vocab.topTokens(docs, "doc_id", "text", VocabUniK,
+        mode = TokenCount.Unicode)
+      .orderBy("rnk")
+  }
+
+  val textVocabUniSql: String = {
+    val fixtureRows = uniFixtures.map { case (id, t) =>
+      s"SELECT $id AS doc_id, '$t' AS text"
+    }.mkString("\n  UNION ALL ")
+    // lower() applies PER MATCH: code-point lowering and full-string
+    // lowering agree because no fixture carries a cased non-ASCII
+    // capital (the context-sensitive mappings TokenRunsUnicode
+    // excludes by contract)
+    s"""WITH fix AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL $fixtureRows),
+       |t AS (SELECT doc_id,
+       |    lower(unnest(regexp_extract_all(text,
+       |      '${TokenCount.TokenPatternUnicode}'))) AS token
+       |  FROM fix),
+       |pd AS (SELECT token, doc_id, count(*) AS n FROM t GROUP BY token, doc_id),
+       |tot AS (SELECT token, count(*) AS n_docs,
+       |    CAST(sum(n) AS BIGINT) AS n_occurrences
+       |  FROM pd GROUP BY token),
+       |top AS (SELECT * FROM tot
+       |  ORDER BY n_occurrences DESC, token LIMIT $VocabUniK)
+       |SELECT row_number() OVER (ORDER BY n_occurrences DESC, token) AS rnk,
+       |  token, n_docs, n_occurrences
+       |FROM top ORDER BY rnk""".stripMargin
+  }
 
   // -------------------------------------------------------- heavy hitters
 
@@ -1474,6 +1527,7 @@ object TextQueries {
     "text_fingerprint" -> (textFingerprint(_, _)),
     "text_dupspans" -> (textDupspans(_, _)),
     "text_vocab" -> (textVocab(_, _)),
+    "text_vocab_uni" -> (textVocabUni(_, _)),
     "text_heavyhitters" -> (textHeavyHitters(_, _)),
     "text_heavyhitters_grouped" -> (textHeavyHittersGrouped(_, _)),
     "text_pmi" -> (textPmi(_, _)),
@@ -1513,6 +1567,7 @@ object TextQueries {
     "text_fingerprint" -> textFingerprintSql,
     "text_dupspans" -> textDupspansSql,
     "text_vocab" -> textVocabSql,
+    "text_vocab_uni" -> textVocabUniSql,
     "text_heavyhitters" -> textHeavyHittersSql,
     "text_heavyhitters_grouped" -> textHeavyHittersGroupedSql,
     "text_pmi" -> textPmiSql,

@@ -137,8 +137,20 @@ object IvfPq {
   /** Train coarse + PQ codebooks over a (cached) prep frame. ONE seed
     * collect feeds both trainers (smallest-id seeding is shared
     * policy; slicing/truncating happens driver-side).
+    *
+    * Global (non-residual) encoding trains FUSED
+    * ([[fitModelFused]]): the PQ books quantize the same `q` the
+    * coarse trainer scans, so the two refinement chains are
+    * independent and each round collapses to ONE aggregate job.
+    * Residual encoding keeps the sequential path — its PQ input is
+    * defined by the FINISHED coarse codebook.
     */
-  private def fitModel(prep: DataFrame, dim: Int, cfg: Config): Model = {
+  private def fitModel(prep: DataFrame, dim: Int, cfg: Config): Model =
+    if (cfg.residual) fitModelSequential(prep, dim, cfg)
+    else fitModelFused(prep, dim, cfg)
+
+  private[similarity] def fitModelSequential(prep: DataFrame, dim: Int,
+      cfg: Config): Model = {
     val seedRows = KMeans.seedRows(prep, math.max(cfg.cells, cfg.pq.codeK))
     val coarse = KMeans.centroidsPrepared(prep, cfg.coarseCfg, Some(seedRows))
     val codeSrc = codeSource(prep, coarse, cfg)
@@ -148,6 +160,92 @@ object IvfPq {
     val books = ProductQuant.trainPrepared(
       codeSrc.select(col("vid"), col("cq").as("q")), dim, cfg.pq,
       Some(pqSeeds))
+    Model(coarse, books)
+  }
+
+  /** The fused trainer (global encoding only): per refinement round,
+    * coarse assignment and all `m` PQ subspace assignments project in
+    * one pass, and BOTH trainers' (cluster, position) integer sums ride
+    * ONE map-side-combined aggregate — the per-row explode tags each
+    * (pos, x) twice (tag 0 = coarse label, tag 1 = its subspace's PQ
+    * label), so the collected state is the exact UNION of the two
+    * sequential collects (no cross-product grouping — the large-k
+    * regime keeps its bounds), and each round costs ONE job instead of
+    * two. Arithmetic is bit-identical to the sequential path: same
+    * argmins, same integer sums, same one-division means
+    * ([[IvfPqSpec]] asserts Model equality; every IVFADC oracle
+    * re-proves it end-to-end).
+    */
+  private[similarity] def fitModelFused(prep: DataFrame, dim: Int,
+      cfg: Config): Model = {
+    require(!cfg.residual, "fused training is the global-encoding path")
+    require(dim % cfg.pq.m == 0, s"dim $dim must divide by m=${cfg.pq.m}")
+    val sub = dim / cfg.pq.m
+    val seedRows = KMeans.seedRows(prep, math.max(cfg.cells, cfg.pq.codeK))
+    var coarse = KMeans.fromSeedRows(seedRows.take(cfg.cells))
+    var books: Seq[Seq[KMeans.Centroid]] = (0 until cfg.pq.m).map { s =>
+      seedRows.take(cfg.pq.codeK).map { case (vid, full) =>
+        val cv = full.slice(s * sub, (s + 1) * sub)
+        KMeans.Centroid(vid, cv, KMeans.leftFoldSq(cv))
+      }
+    }
+    def qs(s: Int): Column = slice(col("q"), s * sub + 1, sub)
+    def qns(s: Int): Column = DotProduct(qs(s), qs(s))
+    for (round <- 2 to math.max(cfg.coarseIters, cfg.pq.iters)) {
+      val refineCoarse = round <= cfg.coarseIters
+      val refinePq = round <= cfg.pq.iters
+      // labels materialize in their own projection BELOW the explodes
+      // (the ExtractGenerator hoisting discipline — see
+      // ProductQuant.trainPrepared)
+      val labelCols =
+        (if (refineCoarse)
+          Seq(KMeans.bestStruct(coarse, col("q"), col("qn"))
+            .getField("c").as("cc"))
+        else Nil) ++
+        (if (refinePq)
+          Seq(array((0 until cfg.pq.m).map { s =>
+            KMeans.bestStruct(books(s), qs(s), qns(s)).getField("c")
+          }: _*).as("ls"))
+        else Nil)
+      val entries =
+        (if (refineCoarse)
+          Seq(struct(lit(0).as("tag"), col("cc").as("cl"),
+            col("pos"), col("x")))
+        else Nil) ++
+        (if (refinePq)
+          Seq(struct(lit(1).as("tag"),
+            element_at(col("ls"),
+              (col("pos") / lit(sub)).cast("int") + 1).as("cl"),
+            col("pos"), col("x")))
+        else Nil)
+      val keep = (if (refineCoarse) Seq(col("cc")) else Nil) ++
+        (if (refinePq) Seq(col("ls")) else Nil)
+      val rows = prep
+        .select(col("q") +: labelCols: _*)
+        .select(keep :+ posexplode(col("q")).as(Seq("pos", "x")): _*)
+        .select(explode(array(entries: _*)).as("e"))
+        .select(col("e.tag").as("tag"), col("e.cl").as("cl"),
+          col("e.pos").as("pos"), col("e.x").as("x"))
+        .groupBy("tag", "cl", "pos")
+        .agg(sum("x").as("sm"), count(lit(1)).as("n"))
+        .collect()
+      def rebuild(sel: org.apache.spark.sql.Row => Boolean,
+          posOf: Int => Int): Seq[KMeans.Centroid] =
+        rows.filter(r => sel(r))
+          .groupBy(_.getLong(1)).toSeq.sortBy(_._1)
+          .map { case (cid, rs) =>
+            val cv = rs.sortBy(r => posOf(r.getInt(2)))
+              .map(r => r.getDouble(3) / r.getLong(4)).toArray
+            KMeans.Centroid(cid, cv, KMeans.leftFoldSq(cv))
+          }
+      if (refineCoarse)
+        coarse = rebuild(_.getInt(0) == 0, identity)
+      if (refinePq)
+        books = (0 until cfg.pq.m).map { s =>
+          rebuild(r => r.getInt(0) == 1 && r.getInt(2) / sub == s,
+            _ % sub)
+        }
+    }
     Model(coarse, books)
   }
 
@@ -203,26 +301,23 @@ object IvfPq {
   private def probes(queriesPrep: DataFrame, model: Model, dim: Int,
       cfg: Config): DataFrame = {
     val sub = dim / cfg.pq.m
-    val cellRows = model.coarse.map(c =>
-      struct(lit(c.cid).as("cell"),
-        (col("qn") + lit(c.cn) -
-          lit(2.0) * DotProduct(col("q"), array(c.cv.map(lit).toSeq: _*)))
-          .as("cd")))
+    // coarse probe distances and per-subspace ADC LUTs both ride
+    // CentroidDistMap — ONE flat-array expression per codebook instead
+    // of k literal DotProduct trees (constant plan/codegen size in k;
+    // bit-equal arithmetic, see the expression's contract)
+    val coarseDists = graft.expressions.CentroidDistMap(
+      col("q"), col("qn"),
+      model.coarse.map(_.cid), model.coarse.map(_.cn),
+      model.coarse.map(_.cv))
     val wp = Window.partitionBy("q_id").orderBy(asc("cd"), asc("cell"))
     val lutCols = model.books.zipWithIndex.map { case (cents, s) =>
-      map_from_arrays(
-        array(cents.map(c => lit(c.cid)): _*),
-        array(cents.map { c =>
-          cqNorm(s, sub) + lit(c.cn) -
-            lit(2.0) * DotProduct(cqSlice(s, sub),
-              array(c.cv.map(lit).toSeq: _*))
-        }: _*)).as(s"lut$s")
+      graft.expressions.CentroidDistMap(
+        cqSlice(s, sub), cqNorm(s, sub),
+        cents.map(_.cid), cents.map(_.cn), cents.map(_.cv)).as(s"lut$s")
     }
     queriesPrep
       .select(col("vid").as("q_id"), col("v").as("pv"), col("nrm").as("pn"),
-        col("q"), explode(array(cellRows: _*)).as("pc"))
-      .select(col("q_id"), col("pv"), col("pn"), col("q"),
-        col("pc.cell").as("cell"), col("pc.cd").as("cd"))
+        col("q"), explode(coarseDists).as(Seq("cell", "cd")))
       .withColumn("prn", row_number().over(wp))
       .filter(col("prn") <= cfg.nProbe)
       .withColumn("cq",

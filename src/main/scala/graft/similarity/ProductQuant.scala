@@ -158,17 +158,16 @@ object ProductQuant {
           KMeans.bestStruct(cents, qs(s), qns(s)).getField("c").as(s"c$s")
         }: _*)
 
-    // queries: per subspace a literal cid→distance map (ADC LUT)
+    // queries: per subspace a cid→distance map (ADC LUT) — one
+    // flat-array CentroidDistMap per codebook, not k literal
+    // DotProduct trees (constant plan size; bit-equal arithmetic)
     val luts = prep.filter(isQuery(col("vid")))
       .select(
         col("vid").as("q_id") +: col("v").as("pv") +: col("nrm").as("pn") +:
           books.zipWithIndex.map { case (cents, s) =>
-            map_from_arrays(
-              array(cents.map(c => lit(c.cid)): _*),
-              array(cents.map { c =>
-                qns(s) + lit(c.cn) -
-                  lit(2.0) * DotProduct(qs(s), array(c.cv.map(lit).toSeq: _*))
-              }: _*)).as(s"lut$s")
+            graft.expressions.CentroidDistMap(qs(s), qns(s),
+              cents.map(_.cid), cents.map(_.cn), cents.map(_.cv))
+              .as(s"lut$s")
           }: _*)
 
     // ADC: m map lookups + a left-assoc add chain per candidate

@@ -15,6 +15,27 @@ object TokenCount {
   /** Letter runs or digit runs. */
   val TokenPattern = "[a-z]+|[0-9]+"
 
+  /** Unicode-mode pattern: letter runs of ANY script. The oracle form
+    * applies `lower()` per MATCH (not per string) — see
+    * [[graft.expressions.TokenRunsUnicode]] for the case-folding
+    * contract that keeps the two engines bit-identical.
+    */
+  val TokenPatternUnicode = "[\\p{L}]+|[0-9]+"
+
+  /** Tokenizer selection for every token-consuming operator: [[Ascii]]
+    * (the default — the reference corpora are English, and the ASCII
+    * byte scan is the fastest path) or [[Unicode]] (any-script letter
+    * runs — the 100 TB multilingual setting, where CJK/Cyrillic text
+    * must survive tokenization instead of dissolving into separators).
+    * On pure-ASCII input the two modes produce IDENTICAL token arrays
+    * (ScalaCheck'd in TokenRunsUnicodeSpec), so switching a pipeline
+    * to Unicode never changes its behavior on the data the Ascii mode
+    * was built for.
+    */
+  sealed trait Mode
+  case object Ascii extends Mode
+  case object Unicode extends Mode
+
   /** Tokenize via the native one-pass byte scanner
     * ([[graft.expressions.TokenRuns]]) — equivalent to
     * `regexp_extract_all(lower(text), TokenPattern)` (the form every
@@ -25,6 +46,17 @@ object TokenCount {
     */
   def tokens(text: Column): Column =
     graft.expressions.TokenRuns(text)
+
+  /** Mode-routed tokenization — the production entry point: Ascii
+    * keeps the established byte scan, Unicode routes to the code-point
+    * scan ([[graft.expressions.TokenRunsUnicode]]). Both are native
+    * one-pass codegen'd expressions; the route is decided at PLAN
+    * time, so the mode costs nothing per row.
+    */
+  def tokens(text: Column, mode: Mode): Column = mode match {
+    case Ascii => graft.expressions.TokenRuns(text)
+    case Unicode => graft.expressions.TokenRunsUnicode(text)
+  }
 
   /** The regex formulation, kept for equivalence testing. */
   def tokensRegex(text: Column): Column =

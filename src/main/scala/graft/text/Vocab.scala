@@ -29,10 +29,11 @@ object Vocab {
     * the latter collides with the SQL window keyword in some engines.)
     */
   def topTokens(docs: DataFrame, idCol: String, textCol: String,
-      k: Int = 100): DataFrame = {
+      k: Int = 100,
+      mode: TokenCount.Mode = TokenCount.Ascii): DataFrame = {
     val perDoc = docs
       .select(col(idCol).as("doc_id"),
-        explode(TokenCount.tokens(col(textCol))).as("token"))
+        explode(TokenCount.tokens(col(textCol), mode)).as("token"))
       .groupBy(col("token"), col("doc_id"))
       .agg(count(lit(1)).as("n"))
     val top = perDoc

@@ -83,4 +83,35 @@ class UnicodeTextSpec extends AnyFunSuite {
       .collect()
     both.foreach(r => assert(r.getSeq[String](0) === r.getSeq[String](1)))
   }
+
+  test("mode equivalence on ASCII holds on 500 random printable strings") {
+    // the TokenCount.Mode contract: switching a pipeline to Unicode
+    // never changes behavior on the data Ascii was built for — checked
+    // property-style over the full printable-ASCII alphabet
+    val rnd = new scala.util.Random(20260814)
+    val strs = (1 to 500).map { _ =>
+      val n = rnd.nextInt(40)
+      (0 until n).map(_ => (32 + rnd.nextInt(95)).toChar).mkString
+    }
+    val both = strs.toDF("t")
+      .select(graft.text.TokenCount.tokens(col("t"),
+          graft.text.TokenCount.Ascii).as("a"),
+        graft.text.TokenCount.tokens(col("t"),
+          graft.text.TokenCount.Unicode).as("u"))
+      .collect()
+    strs.zip(both).foreach { case (s, r) =>
+      assert(r.getSeq[String](0) === r.getSeq[String](1), s"on: $s")
+    }
+  }
+
+  test("vocab routing: Unicode mode == Ascii mode on a pure-ASCII corpus") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val a = graft.text.Vocab.topTokens(docs, "doc_id", "text", 50)
+      .collect().map(_.toString).toSeq
+    val u = graft.text.Vocab.topTokens(docs, "doc_id", "text", 50,
+        mode = graft.text.TokenCount.Unicode)
+      .collect().map(_.toString).toSeq
+    assert(a === u)
+  }
 }

@@ -29,6 +29,68 @@ class IvfPqSpec extends AnyFunSuite {
     }
   }
 
+  test("fused trainer produces the sequential trainer's exact Model") {
+    // the one-job-per-round fused path (global encoding) must be
+    // BIT-identical — same argmins, same integer sums, same means
+    import org.apache.spark.sql.functions._
+    val cfg = IvfPq.Config(cells = 4, coarseIters = 3,
+      pq = ProductQuant.Config(m = 8, codeK = 8, iters = 2))
+    val prep = emb
+      .select(col("vec_id").cast("long").as("vid"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("q", transform(col("v"),
+        x => floor(x * lit(cfg.pq.kmCfg.scale)).cast("double")))
+      .withColumn("qn", graft.expressions.DotProduct(col("q"), col("q")))
+      .persist()
+    val fused = IvfPq.fitModelFused(prep, 64, cfg)
+    val seq = IvfPq.fitModelSequential(prep, 64, cfg)
+    prep.unpersist(blocking = false)
+    def flat(m: IvfPq.Model): Seq[(Long, Seq[Double], Double)] =
+      (m.coarse ++ m.books.flatten).map(c => (c.cid, c.cv.toSeq, c.cn))
+    assert(flat(fused) === flat(seq))
+  }
+
+  test("CentroidDistMap is bit-equal to the literal distance formulation") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(42)
+    val cents = (0 until 7).map { i =>
+      val cv = Array.fill(16)(math.floor(rnd.nextDouble() * 100))
+      KMeans.Centroid(i.toLong * 3, cv, KMeans.leftFoldSq(cv))
+    }
+    import spark.implicits._
+    val vecs = (1 to 50)
+      .map(i => (i.toLong, Seq.fill(16)(math.floor(rnd.nextDouble() * 100))))
+      .toDF("vid", "q")
+      .withColumn("q", col("q").cast("array<double>"))
+      .withColumn("qn", graft.expressions.DotProduct(col("q"), col("q")))
+    val literal = map_from_arrays(
+      array(cents.map(c => lit(c.cid)): _*),
+      array(cents.map { c =>
+        col("qn") + lit(c.cn) - lit(2.0) *
+          graft.expressions.DotProduct(col("q"),
+            array(c.cv.map(lit).toSeq: _*))
+      }: _*))
+    val native = graft.expressions.CentroidDistMap(col("q"), col("qn"),
+      cents.map(_.cid), cents.map(_.cn), cents.map(_.cv))
+    val rows = vecs.select(literal.as("l"), native.as("n")).collect()
+    rows.foreach { r =>
+      val l = r.getMap[Long, Double](0)
+      val n = r.getMap[Long, Double](1)
+      assert(l.keySet === n.keySet)
+      l.keysIterator.foreach { k =>
+        assert(java.lang.Double.doubleToRawLongBits(l(k)) ===
+          java.lang.Double.doubleToRawLongBits(n(k)), s"cid $k")
+      }
+    }
+    // null contracts: null vector/norm and dim mismatch -> null map
+    val bad = Seq((Seq(1.0, 2.0), 5.0)).toDF("q", "qn")
+      .withColumn("q", col("q").cast("array<double>"))
+      .select(graft.expressions.CentroidDistMap(col("q"), col("qn"),
+        cents.map(_.cid), cents.map(_.cn), cents.map(_.cv)).as("m"))
+      .collect()
+    assert(bad.head.isNullAt(0))
+  }
+
   test("IVFADC recall@10 vs brute force clears the documented floor") {
     val k = 10
     val exact = BruteForceKNN.topK(emb, "vec_id", "embedding", _ < 8, k)
