@@ -507,6 +507,93 @@ object SimilarityQueries {
        |ORDER BY variant""".stripMargin
   }
 
+  // -------------------------------------------------------- graph search
+
+  private val gsCfg = GraphSearch.Config(beamWidth = 8, hops = 2, entryK = 4)
+  private val GsK = 10
+
+  /** Graph-ANN SERVING ([[graft.similarity.GraphSearch]]): beam search
+    * over the cell-local kNN graph with coarse-cell entry points — the
+    * face that makes the graph an index (HNSW's idea in declarative,
+    * oracle-replayable form: fixed $gsCfg.hops hops, beam
+    * ${gsCfg.beamWidth}, ties (cos DESC, n_id)). Gate-only: the benched
+    * runtime face is `sim_knn_graph` (graph construction dominates;
+    * the walk itself is |queries|×beam broadcast joins).
+    */
+  def simGraphSearch(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.loadSpread(spark, dir, "embeddings")
+    val graph = KnnGraph.build(emb, "vec_id", "embedding", KnnK, ivfCfg)
+    GraphSearch.search(emb, "vec_id", "embedding", graph,
+        _ < QueryCount, GsK, gsCfg, ivfCfg)
+      .orderBy("q_id", "rank")
+  }
+
+  val simGraphSearchSql: String = {
+    def cosSql(av: String, an: String, bv: String, bn: String): String =
+      s"${foldDot(av, bv)} / (sqrt($an) * sqrt($bn))"
+    // one scored-hop CTE pair per hop, unrolled exactly like the plan
+    val hopCtes = (1 to gsCfg.hops).map { t =>
+      s"""c$t AS (SELECT DISTINCT f.q_id, u.b AS n_id
+         |  FROM f${t - 1} f JOIN und u ON u.a = f.n_id
+         |  WHERE u.b <> f.q_id),
+         |s$t AS (SELECT c.q_id, c.n_id,
+         |    ${cosSql("qy.qv", "qy.qn", "a.v", "a.nrm")} AS cos_sim
+         |  FROM c$t c JOIN asg a ON a.vid = c.n_id
+         |    JOIN qy ON qy.q_id = c.q_id),
+         |f$t AS (SELECT q_id, n_id FROM (
+         |  SELECT q_id, n_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id
+         |                       ORDER BY cos_sim DESC, n_id) AS rn
+         |  FROM s$t) WHERE rn <= ${gsCfg.beamWidth})""".stripMargin
+    }.mkString(",\n")
+    val seenUnion = (0 to gsCfg.hops).map(t => s"SELECT * FROM s$t")
+      .mkString(" UNION ALL ")
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, ${foldDot("v", "v")} AS nrm FROM v),
+       |c AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n
+       |  WHERE vec_id % ${ivfCfg.centroidStride} = 0),
+       |asg AS (SELECT vid, v, nrm, cell FROM (
+       |  SELECT n.vec_id AS vid, n.v, n.nrm, c.c_id AS cell,
+       |    ROW_NUMBER() OVER (PARTITION BY n.vec_id
+       |      ORDER BY ${cosSql("n.v", "n.nrm", "c.cv", "c.cn")} DESC, c.c_id)
+       |      AS rn
+       |  FROM n CROSS JOIN c) WHERE rn = 1),
+       |p AS (SELECT a.vid AS src_id, b.vid AS n_id,
+       |    ${cosSql("a.v", "a.nrm", "b.v", "b.nrm")} AS cos_sim
+       |  FROM asg a JOIN asg b ON b.cell = a.cell AND b.vid <> a.vid),
+       |g AS (SELECT src_id, n_id FROM (
+       |  SELECT src_id, n_id,
+       |    ROW_NUMBER() OVER (PARTITION BY src_id
+       |                       ORDER BY cos_sim DESC, n_id) AS rank
+       |  FROM p) WHERE rank <= $KnnK),
+       |und AS (SELECT DISTINCT a, b FROM (
+       |  SELECT src_id AS a, n_id AS b FROM g
+       |  UNION ALL SELECT n_id, src_id FROM g)),
+       |qy AS (SELECT vid AS q_id, v AS qv, nrm AS qn, cell AS q_cell
+       |  FROM asg WHERE vid < $QueryCount),
+       |ent AS (SELECT q_id, n_id FROM (
+       |  SELECT qy.q_id, a.vid AS n_id,
+       |    ROW_NUMBER() OVER (PARTITION BY qy.q_id ORDER BY a.vid) AS rn
+       |  FROM qy JOIN asg a ON a.cell = qy.q_cell AND a.vid <> qy.q_id)
+       |  WHERE rn <= ${gsCfg.entryK}),
+       |s0 AS (SELECT e.q_id, e.n_id,
+       |    ${cosSql("qy.qv", "qy.qn", "a.v", "a.nrm")} AS cos_sim
+       |  FROM ent e JOIN asg a ON a.vid = e.n_id
+       |    JOIN qy ON qy.q_id = e.q_id),
+       |f0 AS (SELECT q_id, n_id FROM (
+       |  SELECT q_id, n_id,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id
+       |                       ORDER BY cos_sim DESC, n_id) AS rn
+       |  FROM s0) WHERE rn <= ${gsCfg.beamWidth}),
+       |$hopCtes,
+       |seen AS (SELECT DISTINCT q_id, n_id, cos_sim FROM ($seenUnion))
+       |SELECT q_id, rank, n_id, cos_sim FROM (
+       |  SELECT q_id, n_id, cos_sim,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id
+       |                       ORDER BY cos_sim DESC, n_id) AS rank
+       |  FROM seen) WHERE rank <= $GsK ORDER BY q_id, rank""".stripMargin
+  }
+
   // ------------------------------------------------------- graph clusters
 
   /** Mutual-kNN clustering: keep only RECIPROCATED graph edges (i ∈
@@ -1199,6 +1286,7 @@ object SimilarityQueries {
     "sim_pq" -> (simPq(_, _)),
     "sim_ivfpq" -> (simIvfPq(_, _)),
     "sim_ivfpq_res" -> (simIvfPqRes(_, _)),
+    "sim_graph_search" -> (simGraphSearch(_, _)),
     "sim_fused" -> (simFused(_, _)),
     "embed_kmeans" -> (embedKmeans(_, _)),
     "embed_kmeans_label" -> (embedKmeansLabel(_, _)))
@@ -1212,6 +1300,7 @@ object SimilarityQueries {
     "sim_ivf" -> simIvfSql,
     "sim_knn_graph" -> simKnnGraphSql,
     "sim_nn_descent" -> simNnDescentSql,
+    "sim_graph_search" -> simGraphSearchSql,
     "sim_graph_clusters" -> simGraphClustersSql,
     "sim_graph_lpa" -> simGraphLpaSql,
     "sim_graph_triangles" -> simGraphTrianglesSql,
