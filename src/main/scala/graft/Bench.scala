@@ -70,6 +70,33 @@ object Bench {
     // timed runs at larger scale factors.
     spark.catalog.clearCache()
 
+    // ---- calibration slot (not part of the query total) -------------
+    // A fixed-cost synthetic job — pure integer arithmetic over
+    // spark.range, no repo data, no shuffle — measuring the BOX (cpu
+    // speed + scheduler latency + contention), not the engine. The
+    // reported total divides out box speed via
+    //   total_norm = total * (CalibRef / calib)
+    // so gate comparisons across differently-loaded machines stop
+    // depending on idle-box luck (round-9/10 observed the same tree
+    // at 68 s idle vs 82 s straight after the test suite — ±20% —
+    // while per-slot ratios stayed flat). CalibRef is the idle-box
+    // median on the build box, pinned once; bench_schema versions the
+    // methodology (v3 = r9's stripGlobalSort slot set + r10's calib)
+    // per the round-9 advice to re-baseline explicitly.
+    val CalibRef = 0.82
+    def calibOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 4096L << 20, 1L, 64)
+        .selectExpr("sum(((id % 1048576) * 2654435761) % 1000003) AS s")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    calibOnce() // untimed: JIT + scheduler warm, like every slot
+    val calib = {
+      val ts = (1 to 5).map(_ => calibOnce()).sorted
+      ts(2)
+    }
+
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     var errors = List.empty[(String, String)]
     val results = benched.map { name =>
@@ -128,8 +155,8 @@ object Bench {
     spark.stop()
     // reps rides THIS line (not the final one): at 96 slots the final
     // line needs every tail-window char for the per-query map
-    println(s"""{"metric":"total_min","value":${f3(totalMin)},"unit":"sec","reps":$reps,"queries_min":$qsMin}""")
+    println(s"""{"metric":"total_min","value":${f3(totalMin)},"unit":"sec","reps":$reps,"bench_schema":3,"queries_min":$qsMin}""")
     // sf as basename: the full path cost 15 chars of tail-window margin
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","total_min":${f3(totalMin)},"queries":$qs,$errs"sf":"${new java.io.File(sfDir).getName}"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","total_min":${f3(totalMin)},"calib":${f3(calib)},"total_norm":${f3(total * CalibRef / calib)},"queries":$qs,$errs"sf":"${new java.io.File(sfDir).getName}"}""")
   }
 }

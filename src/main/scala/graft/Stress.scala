@@ -28,7 +28,7 @@ object Stress {
         "outliers", "pagerank", "equidepth", "outliersbig", "heavyhitters",
         "hll", "kmeans", "kmeans4096", "simquant", "ivfserve", "linkage",
         "bpe", "bm25", "knngraph", "cms", "ssjoin", "classifier",
-        "ntile", "novelty")
+        "ntile", "novelty", "semantic1m")
     val spark = Sessions.local("32")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -685,6 +685,55 @@ object Stress {
           .count()
         require(n == nBase,
           s"expected $nBase survivors (one per clone group), got $n")
+        n
+      }
+    }
+
+    if (which("semantic1m")) {
+      // SemDeDup at the Σ|cell|² regime's intended scale: 1,000,000
+      // synthetic vectors (murmur3-mixed, dim 16), 10% EXACT
+      // duplicates (ids >= 900000 clone id - 900000), k = 4096 trained
+      // cells (the FAISS-style ~4·√N multiple), NearestCentroid
+      // assignment — the survivorsWithCodebook production path.
+      // Asserted: the exact survivor count (every dup collapses to its
+      // base, nothing else at τ=0.99), a cell-balance envelope
+      // (max|cell| and Σ|cell|² within small multiples of the
+      // balanced ideal N/k and N²/k), and the wall time prints for
+      // the record. Σ|cell|² ≈ 2.4e8 scored pairs here vs N²/2 =
+      // 5·10^11 all-pairs — the 2000× reduction IS the regime claim.
+      val n1m = 1000000L
+      val dupBase = 900000L
+      val dim = 16
+      val k = 4096
+      val vecs1m = staged(spark.range(0L, n1m, 1L, 32)
+        .select(col("id").as("vec_id"),
+          transform(sequence(lit(0), lit(dim - 1)),
+            j => hash(pmod(col("id"), lit(dupBase)), j).cast("double")
+              / 2147483648.0d).as("embedding")))
+      val kmCfg = similarity.KMeans.Config(k = k, iters = 1)
+      val cents1m = similarity.KMeans.centroids(
+        vecs1m, "vec_id", "embedding", kmCfg)
+      timed("semantic1m") {
+        val surv = dedup.SemanticDedup.survivorsWithCodebook(
+          vecs1m, "vec_id", "embedding", 0.99, cents1m, kmCfg)
+          .persist()
+        val n = surv.count()
+        require(n == dupBase,
+          s"expected $dupBase survivors (dups collapse to bases), got $n")
+        // cell-size envelope over the SURVIVOR assignment (same cells)
+        val sizes = surv.groupBy("cell").count().collect()
+          .map(_.getLong(1)).sorted
+        val sumSq = sizes.map(s => s * s).sum
+        val balancedSq = dupBase * (dupBase / k) // N²/k at perfect balance
+        println(f"STRESS semantic1m cells=${sizes.length} " +
+          f"p50=${sizes(sizes.length / 2)} " +
+          f"p95=${sizes((sizes.length * 95) / 100)} max=${sizes.last} " +
+          f"sumSq=$sumSq%d (${sumSq.toDouble / balancedSq}%.1fx balanced)")
+        require(sizes.last <= 50L * dupBase / k,
+          s"hot cell ${sizes.last} exceeds 50x the balanced N/k")
+        require(sumSq <= 20L * balancedSq,
+          s"sumSq $sumSq exceeds 20x the balanced N^2/k")
+        surv.unpersist(blocking = false)
         n
       }
     }

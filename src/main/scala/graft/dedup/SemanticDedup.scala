@@ -57,6 +57,40 @@ object SemanticDedup {
     prune(IVFIndex.assignWithCentroids(vectors, idCol, vecCol, cents),
       threshold)
 
+  /** [[survivors]] with a DRIVER-SIDE trained codebook assigned via
+    * [[graft.expressions.NearestCentroid]] — the large-k production
+    * form: assignment is a pure projection (one k×dim loop per row,
+    * constant plan size), so k can grow to the thousands of cells a
+    * 100 TB corpus needs WITHOUT the N×k row blow-up of the
+    * centroid-frame join in [[survivorsWithCentroids]] (the max_by
+    * aggregate streams N·k rows; this streams N). Cell boundaries
+    * follow the quantized-L2 argmin (the [[graft.similarity.KMeans]]
+    * convention — the codebook was trained in that metric), not the
+    * stride gate's cosine argmax, so results differ from [[survivors]]
+    * by cell SHAPE only; the drop rule — smaller same-cell id with
+    * cosine ≥ threshold wins — is identical, and identical vectors
+    * always share a cell (deterministic argmin), which is the
+    * invariant the 1M-vector stress asserts.
+    */
+  def survivorsWithCodebook(vectors: DataFrame, idCol: String,
+      vecCol: String, threshold: Double,
+      cents: Seq[graft.similarity.KMeans.Centroid],
+      kmCfg: graft.similarity.KMeans.Config =
+        graft.similarity.KMeans.Config()): DataFrame = {
+    val prep = vectors
+      .select(col(idCol).cast("long").as("vid"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm", norm2(col("v")))
+      .withColumn("q", transform(col("v"),
+        x => floor(x * lit(kmCfg.scale)).cast("double")))
+      .withColumn("qn", graft.expressions.DotProduct(col("q"), col("q")))
+    val assigned = prep.select(col("vid"), col("v"), col("nrm"),
+      graft.expressions.NearestCentroid(col("q"), col("qn"),
+        cents.map(_.cid), cents.map(_.cn), cents.map(_.cv))
+        .getField("c").as("cell"))
+    prune(assigned, threshold)
+  }
+
   private def prune(assignedRaw: DataFrame, threshold: Double): DataFrame = {
     val assigned = assignedRaw.persist(StorageLevel.MEMORY_AND_DISK)
     val dropped = assigned.as("a")

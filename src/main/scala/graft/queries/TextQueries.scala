@@ -257,7 +257,10 @@ object TextQueries {
     * hash-match the oracle's `[\p{L}]+` extraction with per-match
     * lowercasing. This is the end-to-end proof that the token path is
     * multilingual-ready, not just the tokenizer expression (SURVEY
-    * §2.10 T9).
+    * §2.10 T9). Gate-only: the benched runtime face is `text_vocab`
+    * (identical plan shape — explode, two map-side-combined
+    * aggregates, TakeOrderedAndProject; only the scanner expression
+    * and the 6-row fixture union differ).
     */
   def textVocabUni(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

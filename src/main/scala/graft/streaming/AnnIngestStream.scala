@@ -1,0 +1,49 @@
+package graft.streaming
+
+import graft.similarity.IvfPq
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+/** Streaming maintenance of the persisted IVFADC index — the
+  * embedding-side sibling of [[IndexIngestStream]]: each micro-batch
+  * of NEW vectors is coded with the FROZEN codebooks (coarse cell +
+  * m PQ codes — a pure stateless projection, [[IvfPq.code]]) and
+  * appended into its cells' partition directories
+  * ([[IvfPq.appendToIndex]]), so the index an [[AnnServe]] query
+  * stream reads stays fresh with zero retraining and zero re-coding
+  * of the standing corpus. Together the two faces close the ANN
+  * serving lifecycle as streams: vectors in, neighbors out, one
+  * persisted model between.
+  *
+  * foreachBatch is the right lift (the [[IndexIngestStream]] /
+  * [[Scd2Stream]] reasoning — maintenance of an external table is
+  * inherently batch-vs-state). Because a row's codes depend only on
+  * the frozen model and the row itself, append-then-serve ≡
+  * code-the-union-up-front EXACTLY (the [[IvfPq.appendToIndex]]
+  * contract, re-proved stream-shaped in StreamingSpec), and appends
+  * of disjoint batches commute — the stream's arrival order never
+  * changes the final index content.
+  *
+  * 100 TB shape: the standing corpus is never read — each batch costs
+  * one projection + one partitioned append; codebook drift is handled
+  * by the OFFLINE retrain + [[IvfPq.writeIndex]] swap (the
+  * cluster-maintenance discipline of [[ClusterMaintain]]), never
+  * in-stream.
+  */
+object AnnIngestStream {
+
+  /** Wire a streaming frame of (id, vector) rows into per-batch coded
+    * appends under a frozen model. `onBatch` fires after each fold.
+    */
+  def maintain(vectors: DataFrame, idCol: String, vecCol: String,
+      dim: Int, table: String, model: IvfPq.Model,
+      cfg: IvfPq.Config = IvfPq.Config())(
+      onBatch: Long => Unit = _ => ()): DataStreamWriter[Row] =
+    vectors.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      if (!batch.isEmpty) {
+        IvfPq.appendToIndex(batch, idCol, vecCol, dim, table, model, cfg)
+        batch.sparkSession.catalog.clearCache()
+        onBatch(batchId)
+      }
+    }
+}

@@ -43,7 +43,8 @@ class RegistrySpec extends AnyFunSuite {
     // overhead must stay under 2000 chars — the driver keeps only the
     // last 2 KB of output, and an overflowing line zeroes the round's
     // bench. Estimate with worst-case 6-char values.
-    val est = 80 + SparkEntry.benchQueries.map(_.length + 10).sum
+    // fixed overhead includes the calib/total_norm fields (bench v3)
+    val est = 130 + SparkEntry.benchQueries.map(_.length + 10).sum
     assert(est < 2000, s"metric line estimate $est chars — trim slots")
   }
 }
