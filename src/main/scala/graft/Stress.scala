@@ -28,7 +28,7 @@ object Stress {
         "outliers", "pagerank", "equidepth", "outliersbig", "heavyhitters",
         "hll", "kmeans", "kmeans4096", "simquant", "ivfserve", "linkage",
         "bpe", "bm25", "knngraph", "cms", "ssjoin", "classifier",
-        "ntile", "novelty", "semantic1m")
+        "ntile", "novelty", "semantic1m", "ivfpq4096")
     val spark = Sessions.local("32")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -734,6 +734,55 @@ object Stress {
         require(sumSq <= 20L * balancedSq,
           s"sumSq $sumSq exceeds 20x the balanced N^2/k")
         surv.unpersist(blocking = false)
+        n
+      }
+    }
+
+    if (which("ivfpq4096")) {
+      // the WHOLE IVFADC search path at the √N-cell regime the
+      // round-10 expressions open: k = 4096 coarse cells over 500k
+      // clustered vectors (dim 32), fused one-job-per-round training,
+      // NearestCentroid coding, CentroidDistMap probe/LUT build (one
+      // 4096-entry distance map per query — the literal formulation
+      // could not plan at this k), cell-keyed ADC screen, exact
+      // re-rank. Asserted: every query fills its k, no self matches,
+      // and every reported cosine BIT-matches the brute-force cosine
+      // of the same pair (the re-rank exactness contract at scale).
+      val nV = 500000L
+      val dimV = 32
+      val nQ = 16
+      val vecs = staged(spark.range(0L, nV, 1L, 32)
+        .select(col("id").as("vec_id"),
+          transform(sequence(lit(0), lit(dimV - 1)),
+            j => (hash(pmod(col("id"), lit(64L)), j).cast("double")
+                / 2147483648.0d
+              + hash(col("id"), j + lit(1000)).cast("double")
+                / 2147483648.0d * 0.05d)).as("embedding")))
+      timed("ivfpq4096") {
+        val cfg = similarity.IvfPq.Config(cells = 4096, nProbe = 8)
+        val k = 10
+        val got = similarity.IvfPq.topK(vecs, "vec_id", "embedding",
+            dimV, _ < nQ, k, cfg).persist()
+        val n = got.count()
+        require(n == nQ.toLong * k, s"expected ${nQ * k} rows, got $n")
+        require(got.filter(col("q_id") === col("n_id")).count() == 0,
+          "self match leaked")
+        val pairs = got.select(col("q_id"), col("n_id"), col("cos_sim"))
+          .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+        val brute = similarity.BruteForceKNN
+          .topK(vecs, "vec_id", "embedding", _ < nQ, 1000)
+          .select(col("q_id"), col("n_id"), col("cos_sim")).collect()
+          .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+        val hits = pairs.count { case (key, _) => brute.contains(key) }
+        pairs.filter { case (key, _) => brute.contains(key) }.foreach {
+          case (key, cs) =>
+            require(java.lang.Double.doubleToRawLongBits(brute(key)) ==
+              java.lang.Double.doubleToRawLongBits(cs),
+              s"cosine of $key differs from brute force")
+        }
+        println(f"STRESS ivfpq4096 recall@$k vs top-1000 pool: " +
+          f"${hits.toDouble / pairs.length}%.3f")
+        got.unpersist(blocking = false)
         n
       }
     }

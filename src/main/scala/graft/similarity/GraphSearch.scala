@@ -59,18 +59,34 @@ object GraphSearch {
     */
   def searchOver(assigned: DataFrame, graph: DataFrame,
       isQuery: Column => Column, k: Int,
-      cfg: Config = Config()): DataFrame = {
-    val queries = assigned.filter(isQuery(col("vid")))
-      .select(col("vid").as("q_id"), col("v").as("qv"),
-        col("nrm").as("qn"), col("cell").as("q_cell"))
-    val vecs = assigned.select(col("vid"), col("v"), col("nrm"))
+      cfg: Config = Config()): DataFrame =
+    searchQueries(assigned,
+      // undirected edges: a hop may enter a node through its reverse
+      // edge — the standard graph-ANN trick that roughly doubles
+      // reachable neighborhoods at no index cost
+      undirected(graph),
+      assigned.filter(isQuery(col("vid")))
+        .select(col("vid").as("q_id"), col("v").as("qv"),
+          col("nrm").as("qn"), col("cell").as("q_cell")),
+      k, cfg)
 
-    // undirected edges: a hop may enter a node through its reverse
-    // edge — the standard graph-ANN trick that roughly doubles
-    // reachable neighborhoods at no index cost
-    val und = graph.select(col("src_id").as("a"), col("n_id").as("b"))
+  /** (a, b) undirected distinct edges of a (src_id, n_id) graph. */
+  private[similarity] def undirected(graph: DataFrame): DataFrame =
+    graph.select(col("src_id").as("a"), col("n_id").as("b"))
       .union(graph.select(col("n_id").as("a"), col("src_id").as("b")))
       .distinct()
+
+  /** The walk over prepared pieces — `assigned` = the corpus
+    * (vid, v, nrm, cell), `und` = undirected (a, b) edges, `queries` =
+    * (q_id, qv, qn, q_cell) which may be corpus members OR external
+    * vectors assigned against the same centroid layer (the served
+    * form). A candidate sharing the query's id is excluded — for
+    * corpus-member queries that is self-exclusion; external query ids
+    * should be disjoint from corpus ids (the serving contract).
+    */
+  private[similarity] def searchQueries(assigned: DataFrame,
+      und: DataFrame, queries: DataFrame, k: Int, cfg: Config): DataFrame = {
+    val vecs = assigned.select(col("vid"), col("v"), col("nrm"))
 
     // entry points: entryK smallest-id cellmates of each query
     val we = Window.partitionBy("q_id").orderBy(asc("vid"))
@@ -125,4 +141,54 @@ object GraphSearch {
       ivfCfg: IVFIndex.Config = IVFIndex.Config()): DataFrame =
     searchOver(IVFIndex.assign(vectors, idCol, vecCol, ivfCfg), graph,
       isQuery, k, cfg)
+
+  // ------------------------------------------------------ persisted index
+
+  /** Persist the graph index as catalog tables — the staging form a
+    * recurring serving pipeline reads instead of rebuilding (the
+    * [[IvfPq.writeIndex]] / [[graft.text.Bm25]] discipline):
+    *
+    *   - `<table>_vectors`: the assigned corpus (vid, v, nrm),
+    *     `partitionBy("cell")` — entry-point lookups for a query batch
+    *     read ONLY the batch's cells (scan-level partition pruning);
+    *   - `<table>_edges`: the UNDIRECTED distinct edge list (a, b) —
+    *     stored undirected so serving never re-derives it;
+    *   - `<table>_cents`: the coarse centroid frame — later query
+    *     batches assign against the IDENTICAL cell boundaries.
+    */
+  def writeIndex(vectors: DataFrame, idCol: String, vecCol: String,
+      graphK: Int, table: String,
+      ivfCfg: IVFIndex.Config = IVFIndex.Config()): Unit = {
+    val cents = IVFIndex.centroidFrame(vectors, idCol, vecCol, ivfCfg)
+    cents.write.mode("overwrite").saveAsTable(s"${table}_cents")
+    val spark = vectors.sparkSession
+    val frozen = spark.table(s"${table}_cents")
+    val assigned = IVFIndex
+      .assignWithCentroids(vectors, idCol, vecCol, frozen).persist()
+    assigned.write.partitionBy("cell").mode("overwrite")
+      .saveAsTable(s"${table}_vectors")
+    undirected(KnnGraph.buildWithCentroids(vectors, idCol, vecCol,
+        graphK, frozen))
+      .write.mode("overwrite").saveAsTable(s"${table}_edges")
+    assigned.unpersist(blocking = false)
+  }
+
+  /** Serve a query batch from a persisted index: zero build work — the
+    * batch assigns against the frozen centroid table, entry-point
+    * lookup prunes the vectors scan to the batch's cells, and the walk
+    * runs [[searchQueries]] verbatim, so served answers are spec'd
+    * row-equal to the build-and-search path for the same vectors.
+    * Query ids must be disjoint from corpus ids (the id-exclusion
+    * contract documented on [[searchQueries]]).
+    */
+  def searchIndexed(spark: org.apache.spark.sql.SparkSession,
+      table: String, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, cfg: Config = Config()): DataFrame = {
+    val q = IVFIndex.assignWithCentroids(queries, idCol, vecCol,
+        spark.table(s"${table}_cents"))
+      .select(col("vid").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("cell").as("q_cell"))
+    searchQueries(spark.table(s"${table}_vectors"),
+      spark.table(s"${table}_edges"), q, k, cfg)
+  }
 }

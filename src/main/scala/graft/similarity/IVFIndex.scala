@@ -52,6 +52,15 @@ object IVFIndex {
       cfg: Config = Config()): DataFrame =
     assignPrepared(prepared(vectors, idCol, vecCol), cfg)
 
+  /** The stride quantizer's centroid frame (c_id, cv, cn) — public so
+    * an index writer can PERSIST the coarse layer alongside its data
+    * tables and assign later arrivals/queries against the identical
+    * boundaries ([[assignWithCentroids]]).
+    */
+  def centroidFrame(vectors: DataFrame, idCol: String, vecCol: String,
+      cfg: Config = Config()): DataFrame =
+    centroids(prepared(vectors, idCol, vecCol), cfg)
+
   private def assignPrepared(prep: DataFrame, cfg: Config): DataFrame =
     assignOver(prep, centroids(prep, cfg))
 

@@ -84,6 +84,42 @@ class GraphSearchSpec extends AnyFunSuite {
     assert(r >= 0.5, f"clustered recall@10 $r%.3f below absolute floor")
   }
 
+  test("persisted index serves external queries identically to direct pieces") {
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    // corpus = ids >= 8; queries = the first 8 vectors RE-KEYED to a
+    // disjoint id range (the serving contract)
+    val corpus = emb.filter(col("vec_id") >= 8)
+    val queries = emb.filter(col("vec_id") < 8).collect()
+      .map(r => (r.getLong(0) + 1000000L, r.getSeq[Float](1))).toSeq
+      .toDF("vec_id", "embedding")
+    try {
+      GraphSearch.writeIndex(corpus, "vec_id", "embedding", 5, "gs_idx")
+      val served = GraphSearch.searchIndexed(spark, "gs_idx", queries,
+        "vec_id", "embedding", k).collect().map(_.toString).sorted.toSeq
+      // direct path over the same frozen pieces — doubles round-trip
+      // parquet exactly, so rows must be EQUAL, not merely close
+      val cents = spark.table("gs_idx_cents")
+      val assigned = IVFIndex.assignWithCentroids(corpus, "vec_id",
+        "embedding", cents)
+      val g = KnnGraph.buildWithCentroids(corpus, "vec_id", "embedding",
+        5, cents)
+      val q = IVFIndex.assignWithCentroids(queries, "vec_id", "embedding",
+          cents)
+        .select(col("vid").as("q_id"), col("v").as("qv"),
+          col("nrm").as("qn"), col("cell").as("q_cell"))
+      val direct = GraphSearch.searchQueries(assigned,
+          GraphSearch.undirected(g), q, k, GraphSearch.Config())
+        .collect().map(_.toString).sorted.toSeq
+      assert(served.nonEmpty && served === direct)
+    } finally {
+      Seq("gs_idx_vectors", "gs_idx_edges", "gs_idx_cents")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      spark.catalog.clearCache()
+    }
+  }
+
   test("more hops never lose candidates (pool is monotone)") {
     def run(hops: Int) =
       GraphSearch.search(emb, "vec_id", "embedding", graph, _ < 8, 1000,

@@ -508,6 +508,46 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("graph serve: per-micro-batch beam search equals the served-index operator") {
+    import graft.similarity.GraphSearch
+    import graft.queries.Tables
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val corpus = emb.filter($"vec_id" >= 8)
+    val queryRows = emb.filter($"vec_id" < 8).collect()
+      .map(r => (r.getLong(0) + 1000000L, r.getSeq[Float](1)))
+      .sortBy(_._1).toSeq
+    try {
+      GraphSearch.writeIndex(corpus, "vec_id", "embedding", 5, "graph_srv")
+      val stream = MemoryStream[(Long, Seq[Float])](spark)
+      val seen = scala.collection.mutable.Map
+        .empty[Long, Set[(Long, Int, Long, Double)]]
+      val q = GraphServe.serve(stream.toDF().toDF("vec_id", "embedding"),
+          "graph_srv", "vec_id", "embedding", 10) { (batchId, topk) =>
+          seen += batchId -> topk.collect()
+            .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+              r.getDouble(3))).toSet
+        }.start()
+      try {
+        val (b1, b2) = queryRows.splitAt(4)
+        stream.addData(b1); q.processAllAvailable()
+        stream.addData(b2); q.processAllAvailable()
+        for ((batch, id) <- Seq(b1 -> 0L, b2 -> 1L)) {
+          val expect = GraphSearch.searchIndexed(spark, "graph_srv",
+              batch.toDF("vec_id", "embedding"), "vec_id", "embedding", 10)
+            .collect()
+            .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+              r.getDouble(3))).toSet
+          assert(seen(id) === expect)
+          assert(seen(id).nonEmpty)
+        }
+      } finally q.stop()
+    } finally {
+      Seq("graph_srv_vectors", "graph_srv_edges", "graph_srv_cents")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      spark.catalog.clearCache()
+    }
+  }
+
   test("ann serve: per-micro-batch top-k equals the served-index batch operator") {
     import graft.similarity.IvfPq
     import graft.queries.Tables
