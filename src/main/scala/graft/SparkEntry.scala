@@ -69,7 +69,10 @@ object SparkEntry {
     // delta ≡ snapshot identity is its gate) — correctness-gated, no
     // separate bench slot, like the MinHash parameter presets.
     "scd2_apply",
-    "q1_agg", "q_profile", "q_histogram", "q_equidepth", "q3_join_agg",
+    // q_histogram (equi-width) is a bucket projection + count groupBy —
+    // the q1_agg aggregate shape; q_equidepth (boundary scan + assign)
+    // holds the histogram family's slot.
+    "q1_agg", "q_profile", "q_equidepth", "q3_join_agg",
     "q5_region_revenue",
     "q_window_top_orders",
     // q_anomaly is the sparse-calendar subset of q_anomaly_dense
@@ -81,8 +84,10 @@ object SparkEntry {
     // correctness-gated, no bench slot, like scd2_cdc / the MinHash
     // parameter presets
     "q_percentiles", "q_outliers",
+    // q_setops' distinct-keyed union/intersect/except plans are the
+    // dedup_exact hash-dedup + q_cust_no_orders anti-join shapes.
     "q_cust_no_orders",
-    "q_pivot", "q_rollup", "q_setops",
+    "q_pivot", "q_rollup",
     "q_asof_purchase", "q_range_clicks", "q_sessions", "q_label_join",
     "q_funnel", "q_retention", "q_transitions", "q_paths", "graph_pagerank",
     "q_json_extract",
@@ -95,7 +100,10 @@ object SparkEntry {
     "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_ngram",
     "dedup_embed", "dedup_semantic", "dedup_clusters",
     "dedup_incremental",
-    "sample_stratified", "sample_temperature", "sample_epochs", "shard_assign",
+    // sample_epochs is the md5-coordinate projection family
+    // (sample_temperature's shape with an epoch replication explode) —
+    // temperature holds the family's slot.
+    "sample_stratified", "sample_temperature", "shard_assign",
     "corpus_order", "quota_cap",
     // text_langid (ASCII stopword profiles) is the Latin-only subset
     // of text_langid_uni's staged script census — the superset face
@@ -134,6 +142,9 @@ object SparkEntry {
     // (like gate-only sim_eval). Each stays correctness-gated.
     "sim_topk", "sim_lsh_bucket", "sim_ivf",
     "sim_ivfpq", "embed_kmeans",
+    // embed_cov: new plan shape — per-row d² pair explode into a
+    // d²-bounded one-pass aggregate (the Gram/PCA building block)
+    "embed_cov",
     // sim_knn_graph: the graph family's tracked number; nn-descent /
     // clusters / incr / recall / ivf-stats are gate-only faces of the
     // same candidate stage

@@ -1265,8 +1265,132 @@ object SimilarityQueries {
        |  CAST(sum(nq) AS BIGINT) AS norm_q_sum
        |FROM q GROUP BY label ORDER BY label""".stripMargin
 
+  private val KcoreK = 3
+  private val KcoreRounds = 3
+
+  /** k-core peeling ([[graft.operators.KCore]]) over the mutual-kNN
+    * graph — the density filter past `sim_graph_triangles`: strip
+    * degree-&lt;$KcoreK fringe nodes for $KcoreRounds synchronous
+    * rounds and report each survivor with its residual degree (the
+    * dense-neighborhood subset a graph-based curation pass keeps).
+    * Gate-only: runtime face is the benched knn-graph candidate stage
+    * plus per-round degree-aggregate + semi-joins on the SMALL edge
+    * frame — the `sim_graph_lpa` round shape. The oracle replays every
+    * peel round as chained CTEs.
+    */
+  def simGraphKcore(spark: SparkSession, dir: String): DataFrame = {
+    val mutual = KnnGraph.mutualEdges(
+      KnnGraph.build(Tables.loadSpread(spark, dir, "embeddings"),
+        "vec_id", "embedding", KnnK, ivfCfg))
+    graft.operators.KCore.peel(mutual, "a", "b", KcoreK, KcoreRounds)
+      .orderBy("id")
+  }
+
+  val simGraphKcoreSql: String = {
+    // MATERIALIZED: every round references its predecessor more than
+    // once — inlining would duplicate the whole knn-graph subtree
+    // exponentially in the round count (DuckDB OOMs at sf0.1)
+    val rounds = (1 to KcoreRounds).map { r =>
+      s"""k$r AS MATERIALIZED (SELECT src AS id FROM e${r - 1}
+         |  GROUP BY src HAVING count(*) >= $KcoreK),
+         |e$r AS MATERIALIZED (SELECT e.src, e.dst FROM e${r - 1} e
+         |  JOIN k$r s ON s.id = e.src
+         |  JOIN k$r d ON d.id = e.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $mutualGraphCtes,
+       |e0 AS MATERIALIZED (SELECT a AS src, b AS dst FROM mut
+       |       UNION SELECT b, a FROM mut),
+       |$rounds
+       |SELECT src AS id, count(*) AS deg FROM e$KcoreRounds
+       |GROUP BY src ORDER BY id""".stripMargin
+  }
+
+  private val BfsSeedMod = 50
+  private val BfsHopsMax = 4
+
+  /** Multi-source BFS hop distance ([[graft.operators.BfsHops]]) from
+    * the deterministic seed set vec_id % $BfsSeedMod = 0 over the
+    * mutual-kNN graph — the discrete "distance from curated seeds"
+    * tiering signal (`graph_ppr` gives the continuous analogue).
+    * Gate-only: runtime face is the benched knn-graph candidate stage
+    * plus per-round frontier joins on the SMALL node frame — the
+    * `graph_pagerank` round shape. The oracle replays seed init and
+    * all $BfsHopsMax frontier expansions as chained CTEs.
+    */
+  def simGraphBfs(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.loadSpread(spark, dir, "embeddings")
+    val mutual = KnnGraph.mutualEdges(
+      KnnGraph.build(emb, "vec_id", "embedding", KnnK, ivfCfg))
+    graft.operators.BfsHops.minHops(mutual, "a", "b",
+        emb.filter(col("vec_id") % BfsSeedMod === 0).select("vec_id"),
+        BfsHopsMax)
+      .orderBy("id")
+  }
+
+  val simGraphBfsSql: String = {
+    // MATERIALIZED: d/f rounds reference their predecessors multiple
+    // times — inlining would duplicate the knn-graph subtree
+    // exponentially in the hop count (DuckDB OOMs at sf0.1)
+    val rounds = (1 to BfsHopsMax).map { h =>
+      s"""f$h AS MATERIALIZED (SELECT DISTINCT e.dst AS id FROM edges e
+         |  JOIN f${h - 1} f ON f.id = e.src
+         |  WHERE e.dst NOT IN (SELECT id FROM d${h - 1})),
+         |d$h AS MATERIALIZED (SELECT id, hops FROM d${h - 1}
+         |  UNION ALL SELECT id, $h AS hops FROM f$h)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $mutualGraphCtes,
+       |edges AS MATERIALIZED (SELECT a AS src, b AS dst FROM mut
+       |          UNION SELECT b, a FROM mut),
+       |f0 AS MATERIALIZED (SELECT DISTINCT vec_id AS id FROM embeddings
+       |       WHERE vec_id % $BfsSeedMod = 0),
+       |d0 AS MATERIALIZED (SELECT id, 0 AS hops FROM f0),
+       |$rounds
+       |SELECT id, hops FROM d$BfsHopsMax ORDER BY id""".stripMargin
+  }
+
+  /** One-pass Gram/covariance matrix ([[graft.similarity.GramMatrix]])
+    * over the embedding corpus — all 2 080 upper-triangle second
+    * moments (and first moments, and the exact n²-scaled covariance
+    * numerator) in ONE scan with a d²-bounded aggregate state: the
+    * PCA/whitening/correlation-audit building block. The oracle
+    * replays the fixed-point quantization, the pair melt, and the
+    * integer moment sums (the 128-bit covariance numerator crosses
+    * the gate as exact digit strings on both engines), so the hash
+    * gate pins every one of the 2 080 cells exactly. Benched: a genuinely new plan shape (per-row d²
+    * pair explode into a tiny-group aggregate).
+    */
+  def embedCov(spark: SparkSession, dir: String): DataFrame =
+    graft.similarity.GramMatrix
+      .upperTriangle(Tables.loadSpread(spark, dir, "embeddings"),
+        "embedding")
+      .orderBy("i", "j")
+
+  val embedCovSql: String = {
+    val scale = GramMatrix.Scale
+    s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v
+       |  FROM embeddings WHERE embedding IS NOT NULL),
+       |e AS (SELECT vec_id,
+       |  unnest([{'pos': i,
+       |           'qx': CAST(floor(v[i] * $scale) AS BIGINT)}
+       |    for i in generate_series(1, len(v))], recursive := true)
+       |  FROM base),
+       |p AS (SELECT a.pos - 1 AS i, b.pos - 1 AS j,
+       |    a.qx AS qi, b.qx AS qj
+       |  FROM e a JOIN e b ON b.vec_id = a.vec_id AND b.pos >= a.pos)
+       |SELECT i, j, count(*) AS n,
+       |  CAST(sum(qi) AS BIGINT) AS sx_fp,
+       |  CAST(sum(qj) AS BIGINT) AS sy_fp,
+       |  CAST(sum(qi * qj) AS BIGINT) AS sxy_fp,
+       |  CAST(count(*) * sum(qi * qj) - sum(qi) * sum(qj)
+       |    AS VARCHAR) AS cov_fp
+       |FROM p GROUP BY i, j ORDER BY i, j""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq_embed" -> (dqEmbed(_, _)),
+    "sim_graph_kcore" -> (simGraphKcore(_, _)),
+    "sim_graph_bfs" -> (simGraphBfs(_, _)),
+    "embed_cov" -> (embedCov(_, _)),
     "sim_topk" -> (simTopk(_, _)),
     "sim_lsh_bucket" -> (simLshBucket(_, _)),
     "sim_lsh_multiprobe" -> (simLshMultiprobe(_, _)),
@@ -1293,6 +1417,9 @@ object SimilarityQueries {
 
   val oracleSql: Map[String, String] = Map(
     "dq_embed" -> dqEmbedSql,
+    "sim_graph_kcore" -> simGraphKcoreSql,
+    "sim_graph_bfs" -> simGraphBfsSql,
+    "embed_cov" -> embedCovSql,
     "sim_topk" -> simTopkSql,
     "sim_lsh_bucket" -> simLshBucketSql,
     "sim_lsh_multiprobe" -> simLshMultiprobeSql,

@@ -316,7 +316,71 @@ object SketchQueries {
        |FROM $last GROUP BY 1 ORDER BY h_bucket""".stripMargin
   }
 
+  /** Pairwise cross-source content overlap from KMV sketches
+    * ([[KmvSketch.pairwiseOverlap]]) — the theta-sketch intersection
+    * rule over the SAME per-source 3-gram sketches as `kmv_distinct`:
+    * estimated Jaccard and distinct-intersection size for all 190
+    * source pairs WITHOUT joining the full gram populations (at
+    * 100 TB: one sketch-construction pass, then sketch-frame-only
+    * joins — the cross-corpus contamination/overlap audit an ingest
+    * pipeline runs per snapshot pair). Gate-only: the data-scale
+    * runtime face is `kmv_distinct`'s sketch construction; everything
+    * past it runs on ≤ groups·k rows. The oracle replays the bottom-k
+    * sketches, the per-pair θ = min rule, and both estimate divisions.
+    */
+  def sketchOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.loadSpread(spark, dir, "documents")
+    val posts = docs.select(col("source"),
+      explode(TextFeatures.textShingles(col("text"), 3)).as("gram"))
+    KmvSketch.pairwiseOverlap(posts, "source", "gram", KmvK)
+      .orderBy("src_a", "src_b")
+  }
+
+  val sketchOverlapSql: String = {
+    val h = OracleDialect.hexPrefixToLong("md5(gram)", 12)
+    val spaceInt = KmvSketch.HashSpaceLong // 2^48 as exact BIGINT
+    val spaceDbl = "281474976710656e0"
+    s"""WITH w AS (SELECT source, string_split(lower(text), ' ') AS w
+       |  FROM documents),
+       |g0 AS (SELECT source, CASE WHEN len(w) >= 3 THEN
+       |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+       |      for i in generate_series(1, len(w) - 2)])
+       |  ELSE [] END AS grams FROM w),
+       |p AS (SELECT source AS grp, unnest(grams) AS gram FROM g0),
+       |h AS (SELECT DISTINCT grp, CAST($h AS BIGINT) AS h FROM p),
+       |r AS (SELECT grp, h,
+       |    row_number() OVER (PARTITION BY grp ORDER BY h) AS rk FROM h),
+       |sk AS (SELECT grp, h FROM r WHERE rk <= $KmvK),
+       |g AS (SELECT grp, CASE WHEN count(*) < $KmvK THEN $spaceInt
+       |    ELSE max(h) END AS theta FROM sk GROUP BY grp),
+       |pr AS (SELECT a.grp AS src_a, b.grp AS src_b,
+       |    least(a.theta, b.theta) AS theta
+       |  FROM g a JOIN g b ON a.grp < b.grp),
+       |cm AS (SELECT a.grp AS src_a, b.grp AS src_b,
+       |    count(*) AS n_common
+       |  FROM sk a JOIN sk b ON b.h = a.h AND a.grp < b.grp
+       |  GROUP BY 1, 2),
+       |ba AS (SELECT p.src_a, p.src_b, count(*) AS n_a FROM pr p
+       |  JOIN sk s ON s.grp = p.src_a AND s.h <= p.theta GROUP BY 1, 2),
+       |bb AS (SELECT p.src_a, p.src_b, count(*) AS n_b FROM pr p
+       |  JOIN sk s ON s.grp = p.src_b AND s.h <= p.theta GROUP BY 1, 2),
+       |j AS (SELECT p.src_a, p.src_b, p.theta,
+       |    COALESCE(cm.n_common, 0) AS n_common,
+       |    COALESCE(ba.n_a, 0) + COALESCE(bb.n_b, 0)
+       |      - COALESCE(cm.n_common, 0) AS n_union
+       |  FROM pr p
+       |  LEFT JOIN ba ON ba.src_a = p.src_a AND ba.src_b = p.src_b
+       |  LEFT JOIN bb ON bb.src_a = p.src_a AND bb.src_b = p.src_b
+       |  LEFT JOIN cm ON cm.src_a = p.src_a AND cm.src_b = p.src_b)
+       |SELECT src_a, src_b, theta, n_common, n_union,
+       |  CASE WHEN n_union = 0 THEN 0.0
+       |    ELSE CAST(n_common AS DOUBLE) / n_union END AS est_jaccard,
+       |  CAST(n_common AS DOUBLE) * $spaceDbl / theta AS est_inter
+       |FROM j ORDER BY src_a, src_b""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sketch_overlap" -> (sketchOverlap(_, _)),
     "hilbert_stats" -> (hilbertStats(_, _)),
     "kmv_distinct" -> (kmvDistinct(_, _)),
     "hll_distinct" -> (hllDistinct(_, _)),
@@ -327,6 +391,7 @@ object SketchQueries {
     "zorder_stats" -> (zorderStats(_, _)))
 
   val oracleSql: Map[String, String] = Map(
+    "sketch_overlap" -> sketchOverlapSql,
     "hilbert_stats" -> hilbertStatsSql,
     "kmv_distinct" -> kmvDistinctSql,
     "hll_distinct" -> hllDistinctSql,
