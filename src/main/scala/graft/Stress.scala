@@ -28,7 +28,7 @@ object Stress {
         "outliers", "pagerank", "equidepth", "outliersbig", "heavyhitters",
         "hll", "kmeans", "kmeans4096", "simquant", "ivfserve", "linkage",
         "bpe", "bm25", "knngraph", "cms", "ssjoin", "classifier",
-        "ntile", "novelty", "semantic1m", "ivfpq4096")
+        "ntile", "novelty", "semantic1m", "ivfpq4096", "gram")
     val spark = Sessions.local("32")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -784,6 +784,52 @@ object Stress {
           f"${hits.toDouble / pairs.length}%.3f")
         got.unpersist(blocking = false)
         n
+      }
+    }
+
+    if (which("gram")) {
+      // the one-pass Gram/covariance aggregate at pipeline scale:
+      // 100k vectors × dim 64 → 208M exploded (i, j) pair terms
+      // through ONE map-side-combined aggregate whose shuffled state
+      // is 2 080 groups per task regardless of N. Asserted: exactly
+      // d(d+1)/2 cells, every cell saw all N rows, and the
+      // shard-merge identity (two half-corpus states summed cell-wise
+      // == the whole-corpus state, exact — the AggMerge-style scale
+      // path past the int64 moment bound documented in GramMatrix).
+      val nG = 100000L
+      val dimG = 64
+      val vecsG = staged(spark.range(0L, nG, 1L, 32)
+        .select(col("id").as("vec_id"),
+          transform(sequence(lit(0), lit(dimG - 1)),
+            j => hash(col("id"), j).cast("double") / 2147483648.0d)
+            .as("embedding")))
+      timed("gram") {
+        val whole = similarity.GramMatrix
+          .upperTriangle(vecsG, "embedding")
+          .select("i", "j", "n", "sx_fp", "sy_fp", "sxy_fp")
+          .collect()
+          .map(r => (r.getInt(0), r.getInt(1)) ->
+            (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+          .toMap
+        require(whole.size == dimG * (dimG + 1) / 2,
+          s"expected ${dimG * (dimG + 1) / 2} cells, got ${whole.size}")
+        require(whole.values.forall(_._1 == nG),
+          "a cell missed rows")
+        def half(p: Int) = similarity.GramMatrix
+          .upperTriangle(vecsG.filter(col("vec_id") % 2 === p), "embedding")
+          .select("i", "j", "n", "sx_fp", "sy_fp", "sxy_fp")
+          .collect()
+          .map(r => (r.getInt(0), r.getInt(1)) ->
+            (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+          .toMap
+        val (a, b) = (half(0), half(1))
+        whole.foreach { case (cell, (n, sx, sy, sxy)) =>
+          val (na, sxa, sya, sxya) = a(cell)
+          val (nb, sxb, syb, sxyb) = b(cell)
+          require(na + nb == n && sxa + sxb == sx && sya + syb == sy &&
+            sxya + sxyb == sxy, s"shard merge mismatch at $cell")
+        }
+        whole.size.toLong
       }
     }
 

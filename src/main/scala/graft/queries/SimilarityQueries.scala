@@ -1386,8 +1386,38 @@ object SimilarityQueries {
        |FROM p GROUP BY i, j ORDER BY i, j""".stripMargin
   }
 
+  private val rpCfg = RandomProjection.config(p = 16, dim = 64, seed = "rp")
+
+  /** Johnson–Lindenstrauss random projection
+    * ([[graft.similarity.RandomProjection]]): every embedding reduced
+    * to 16 md5-derived projections, melted to (vec_id, plane, proj) —
+    * the map-only pre-reduction in front of ANN/dedup at 100 TB (the
+    * p×d matrix rides the plan; no shuffle, no join). Gate-only: the
+    * runtime face is the benched `embed_kmeans` codegen'd-projection
+    * scan shape. The oracle replays all 16 left-fold dot products per
+    * vector from the same 3-decimal plane literals, so every output
+    * DOUBLE is hash-pinned bit-exactly.
+    */
+  def embedRproj(spark: SparkSession, dir: String): DataFrame =
+    RandomProjection.project(Tables.loadSpread(spark, dir, "embeddings"),
+        "vec_id", "embedding", rpCfg)
+      .orderBy("vec_id", "plane")
+
+  val embedRprojSql: String = {
+    val rows = HyperplaneLSH.planes(rpCfg).zipWithIndex
+      .map { case (plane, p) =>
+        s"($p, ${plane.map(v => f"$v%.3f").mkString("[", ", ", "]")}::DOUBLE[])"
+      }.mkString(",\n    ")
+    s"""WITH rp(plane, pv) AS (VALUES
+       |    $rows),
+       |v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+       |SELECT v.vec_id, rp.plane, ${foldDot("v.v", "rp.pv")} AS proj
+       |FROM v CROSS JOIN rp ORDER BY vec_id, plane""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq_embed" -> (dqEmbed(_, _)),
+    "embed_rproj" -> (embedRproj(_, _)),
     "sim_graph_kcore" -> (simGraphKcore(_, _)),
     "sim_graph_bfs" -> (simGraphBfs(_, _)),
     "embed_cov" -> (embedCov(_, _)),
@@ -1417,6 +1447,7 @@ object SimilarityQueries {
 
   val oracleSql: Map[String, String] = Map(
     "dq_embed" -> dqEmbedSql,
+    "embed_rproj" -> embedRprojSql,
     "sim_graph_kcore" -> simGraphKcoreSql,
     "sim_graph_bfs" -> simGraphBfsSql,
     "embed_cov" -> embedCovSql,
