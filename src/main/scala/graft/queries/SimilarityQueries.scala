@@ -1386,6 +1386,71 @@ object SimilarityQueries {
        |FROM p GROUP BY i, j ORDER BY i, j""".stripMargin
   }
 
+  private val MmrPick = 5 // diversified picks per query
+
+  /** MMR diversified top-k ([[graft.similarity.Mmr]]): each query's
+    * $K brute-force candidates greedily re-ranked to $MmrPick picks by
+    * `0.5·rel − 0.5·maxsim-to-selected` — the diversity re-rank face
+    * over any retriever's pool. Gate-only: candidate generation is the
+    * benched `sim_topk` shape and the greedy loop is the `sim_graph_
+    * kcore` round shape; per-query work is candK·k pair sims,
+    * corpus-independent. The oracle unrolls all $MmrPick greedy rounds
+    * CTE-for-CTE (argmax ties (score DESC, n_id); scores are two
+    * IEEE-exact ops on the shared fold cosine, so every double
+    * hash-pins).
+    */
+  def simMmr(spark: SparkSession, dir: String): DataFrame =
+    Mmr.diversify(Tables.loadSpread(spark, dir, "embeddings"),
+        "vec_id", "embedding", _ < QueryCount, candK = K, k = MmrPick)
+      .orderBy("q_id", "pick")
+
+  val simMmrSql: String = {
+    def cosSql(av: String, an: String, bv: String, bn: String): String =
+      s"${foldDot(av, bv)} / (sqrt($an) * sqrt($bn))"
+    val rounds = (2 to MmrPick).map { r =>
+      val seen = (1 until r).map(i => s"SELECT q_id, n_id FROM sel$i")
+        .mkString(" UNION ALL ")
+      s"""selv$r AS (SELECT s.q_id, c.v AS sv, c.nrm AS sn
+         |  FROM ($seen) s JOIN cv c ON c.q_id = s.q_id AND c.n_id = s.n_id),
+         |ms$r AS (SELECT r.q_id, r.n_id, r.rel,
+         |    MAX(${cosSql("r.v", "r.nrm", "s.sv", "s.sn")}) AS maxsim
+         |  FROM cv r JOIN selv$r s ON s.q_id = r.q_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM ($seen) t
+         |    WHERE t.q_id = r.q_id AND t.n_id = r.n_id)
+         |  GROUP BY r.q_id, r.n_id, r.rel),
+         |sc$r AS (SELECT q_id, n_id, rel,
+         |    0.5 * rel - 0.5 * maxsim AS score FROM ms$r),
+         |sel$r AS MATERIALIZED (SELECT q_id, n_id, rel, score, $r AS pick
+         |  FROM (SELECT q_id, n_id, rel, score,
+         |      ROW_NUMBER() OVER (PARTITION BY q_id
+         |                         ORDER BY score DESC, n_id) AS rn
+         |    FROM sc$r) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val all = (1 to MmrPick).map(r => s"SELECT * FROM sel$r")
+      .mkString(" UNION ALL ")
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, ${foldDot("v", "v")} AS nrm FROM v),
+       |p AS (SELECT q.vec_id AS q_id, d.vec_id AS n_id,
+       |    ${cosSql("q.v", "q.nrm", "d.v", "d.nrm")} AS rel
+       |  FROM n q CROSS JOIN n d
+       |  WHERE q.vec_id < $QueryCount AND d.vec_id <> q.vec_id),
+       |cand AS MATERIALIZED (SELECT q_id, n_id, rel FROM (
+       |  SELECT q_id, n_id, rel,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id
+       |                       ORDER BY rel DESC, n_id) AS rank
+       |  FROM p) WHERE rank <= $K),
+       |cv AS MATERIALIZED (SELECT c.q_id, c.n_id, c.rel, d.v, d.nrm
+       |  FROM cand c JOIN n d ON d.vec_id = c.n_id),
+       |sel1 AS MATERIALIZED (SELECT q_id, n_id, rel, rel AS score, 1 AS pick
+       |  FROM (SELECT q_id, n_id, rel,
+       |      ROW_NUMBER() OVER (PARTITION BY q_id
+       |                         ORDER BY rel DESC, n_id) AS rn
+       |    FROM cand) WHERE rn = 1),
+       |$rounds
+       |SELECT q_id, pick, n_id, rel, score FROM ($all)
+       |ORDER BY q_id, pick""".stripMargin
+  }
+
   private val rpCfg = RandomProjection.config(p = 16, dim = 64, seed = "rp")
 
   /** Johnson–Lindenstrauss random projection
@@ -1418,6 +1483,7 @@ object SimilarityQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq_embed" -> (dqEmbed(_, _)),
     "embed_rproj" -> (embedRproj(_, _)),
+    "sim_mmr" -> (simMmr(_, _)),
     "sim_graph_kcore" -> (simGraphKcore(_, _)),
     "sim_graph_bfs" -> (simGraphBfs(_, _)),
     "embed_cov" -> (embedCov(_, _)),
@@ -1448,6 +1514,7 @@ object SimilarityQueries {
   val oracleSql: Map[String, String] = Map(
     "dq_embed" -> dqEmbedSql,
     "embed_rproj" -> embedRprojSql,
+    "sim_mmr" -> simMmrSql,
     "sim_graph_kcore" -> simGraphKcoreSql,
     "sim_graph_bfs" -> simGraphBfsSql,
     "embed_cov" -> embedCovSql,
