@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{AsOfJoin, PageRank, RangeJoin}
+import graft.operators.{AsOfJoin, PageRank, RangeJoin, TrendFit}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -424,7 +424,51 @@ object TemporalQueries {
        |ORDER BY rank_fp DESC, node""".stripMargin
   }
 
+  /** Epoch seconds of 2024-01-01 UTC — the x baseline for the trend
+    * gate (relative x keeps the 128-bit closed-form pieces far from
+    * the DECIMAL(38,0) bound; see [[TrendFit]] overflow note).
+    */
+  private val TrendEpoch = 1704067200L
+
+  /** Per-event-type metric trend ([[graft.operators.TrendFit]]): the
+    * exact-rational OLS slope of `value` on seconds-since-2024 — the
+    * "which feeds are drifting, which way, how fast" monitor as ONE
+    * grouped aggregate (|event_type| summary rows after map-side
+    * combine). Gate-only: the runtime face is the `q1_agg`-class
+    * grouped-aggregate scan shape; what this gate adds is the
+    * 128-bit closed-form arithmetic, pinned digit-for-digit.
+    */
+  def eventsTrend(spark: SparkSession, dir: String): DataFrame =
+    TrendFit.fit(Tables.loadEvents(spark, dir), Seq("event_type"),
+        // ntz → ltz is a wall-clock reinterpretation under the pinned
+        // UTC session, so the long matches the oracle's epoch(ts)
+        col("ts").cast("timestamp").cast("long") - TrendEpoch,
+        col("value"))
+      .orderBy("event_type")
+
+  val eventsTrendSql: String =
+    s"""WITH e AS (SELECT event_type,
+       |    CAST(floor(epoch(ts)) AS BIGINT) - $TrendEpoch AS x,
+       |    CAST(floor(value * ${TrendFit.Scale}.0) AS BIGINT) AS y
+       |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+       |m AS (SELECT event_type, COUNT(*) AS n,
+       |    CAST(SUM(x) AS BIGINT) AS sx,
+       |    CAST(SUM(y) AS BIGINT) AS sy_fp,
+       |    SUM(CAST(x AS HUGEINT) * y) AS sxy,
+       |    SUM(CAST(x AS HUGEINT) * x) AS sxx,
+       |    SUM(CAST(y AS HUGEINT) * y) AS syy
+       |  FROM e GROUP BY event_type)
+       |SELECT event_type, n, sx, sy_fp,
+       |  CAST(CAST(n AS HUGEINT) * sxy
+       |    - CAST(sx AS HUGEINT) * sy_fp AS VARCHAR) AS slope_num,
+       |  CAST(CAST(n AS HUGEINT) * sxx
+       |    - CAST(sx AS HUGEINT) * sx AS VARCHAR) AS slope_den,
+       |  CAST(CAST(n AS HUGEINT) * syy
+       |    - CAST(sy_fp AS HUGEINT) * sy_fp AS VARCHAR) AS yvar_num
+       |FROM m ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_trend" -> (eventsTrend(_, _)),
     "q_asof_purchase" -> (qAsofPurchase(_, _)),
     "graph_pagerank" -> (qPagerank(_, _)),
     "graph_ppr" -> (qPpr(_, _)),
@@ -437,6 +481,7 @@ object TemporalQueries {
     "q_transitions" -> (qTransitions(_, _)))
 
   val oracleSql: Map[String, String] = Map(
+    "events_trend" -> eventsTrendSql,
     "q_asof_purchase" -> qAsofPurchaseSql,
     "graph_pagerank" -> qPagerankSql,
     "graph_ppr" -> qPprSql,
