@@ -1386,6 +1386,100 @@ object SimilarityQueries {
        |FROM p GROUP BY i, j ORDER BY i, j""".stripMargin
   }
 
+  private val PcaComps = 2 // principal components fit + projected
+
+  /** PCA projection ([[graft.similarity.Pca]]): top-$PcaComps
+    * principal components by FIXED-40-step power iteration over
+    * [[graft.similarity.GramMatrix]]'s exact moments, corpus projected
+    * onto them. The eigensolve is deterministic IEEE arithmetic from a
+    * constant start — so the oracle replays the ENTIRE solve: moments
+    * (exact integers), the pinned covariance-entry formula, all 40
+    * mat-vec/normalize steps per component, deflation, centering, and
+    * the final map-only projection, CTE-for-CTE. Gate-only: fit is the
+    * benched `embed_cov` aggregate + bounded driver math; projection
+    * is the `embed_kmeans`/`embed_rproj` literal-array scan shape.
+    */
+  def embedPca(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.loadSpread(spark, dir, "embeddings")
+    val model = Pca.fit(emb, "embedding", PcaComps)
+    Pca.project(emb, "vec_id", "embedding", model)
+      .orderBy("vec_id", "comp")
+  }
+
+  val embedPcaSql: String = {
+    val d = Dim
+    val T = Pca.Iters
+    def sumFold(term: String, idx: String): String =
+      s"list_reduce(list_prepend(0.0, [$term for $idx in " +
+        s"generate_series(1, $d)]), (x, y) -> x + y)"
+    val meanOf = s"CAST(sx AS DOUBLE) / (CAST(n AS DOUBLE) * 1048576.0)"
+    val entry =
+      s"""CAST(sxy AS DOUBLE) / (CAST(n AS DOUBLE) * 1099511627776.0)
+         |    - (CAST(sx AS DOUBLE) / (CAST(n AS DOUBLE) * 1048576.0))
+         |    * (CAST(sy AS DOUBLE) / (CAST(n AS DOUBLE) * 1048576.0))"""
+        .stripMargin
+    def powerCtes(c: Int): String = {
+      val iters = (1 to T).map { t =>
+        s"""u${c}_$t AS MATERIALIZED (SELECT
+           |  [${sumFold(s"m.m[i][j] * p.v[j]", "j")}
+           |   for i in generate_series(1, $d)] AS u
+           |  FROM mat$c m, v${c}_${t - 1} p),
+           |v${c}_$t AS MATERIALIZED (SELECT
+           |  [u.u[i] / sqrt(${sumFold("u.u[k] * u.u[k]", "k")})
+           |   for i in generate_series(1, $d)] AS v
+           |  FROM u${c}_$t u)""".stripMargin
+      }.mkString(",\n")
+      val deflate = if (c + 1 < PcaComps)
+        s""",
+           |w$c AS (SELECT
+           |  [${sumFold(s"m.m[i][j] * p.v[j]", "j")}
+           |   for i in generate_series(1, $d)] AS w
+           |  FROM mat$c m, v${c}_$T p),
+           |l$c AS (SELECT ${sumFold("p.v[k] * w.w[k]", "k")} AS lam
+           |  FROM v${c}_$T p, w$c w),
+           |mat${c + 1} AS MATERIALIZED (SELECT
+           |  [[m.m[i][j] - l.lam * p.v[i] * p.v[j]
+           |    for j in generate_series(1, $d)]
+           |   for i in generate_series(1, $d)] AS m
+           |  FROM mat$c m, v${c}_$T p, l$c l)""".stripMargin
+      else ""
+      s"""v${c}_0 AS (SELECT [1.0 / sqrt($d.0)
+         |  for i in generate_series(1, $d)] AS v),
+         |$iters$deflate""".stripMargin
+    }
+    val projections = (0 until PcaComps).map { c =>
+      s"""SELECT b.vec_id, $c AS comp,
+         |  ${foldDot("b.v", "p.v")} - ${sumFold("mn.mv[k] * p.v[k]", "k")}
+         |    AS proj
+         |FROM base b, v${c}_$T p, mean mn""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v
+       |  FROM embeddings WHERE embedding IS NOT NULL),
+       |e AS (SELECT vec_id,
+       |  unnest([{'pos': i,
+       |           'qx': CAST(floor(v[i] * ${GramMatrix.Scale}) AS BIGINT)}
+       |    for i in generate_series(1, len(v))], recursive := true)
+       |  FROM base),
+       |cells AS MATERIALIZED (SELECT a.pos - 1 AS i, b.pos - 1 AS j,
+       |    count(*) AS n,
+       |    CAST(sum(a.qx) AS BIGINT) AS sx,
+       |    CAST(sum(b.qx) AS BIGINT) AS sy,
+       |    CAST(sum(a.qx * b.qx) AS BIGINT) AS sxy
+       |  FROM e a JOIN e b ON b.vec_id = a.vec_id AND b.pos >= a.pos
+       |  GROUP BY 1, 2),
+       |fullm AS (SELECT i, j, $entry AS a FROM cells
+       |  UNION ALL
+       |  SELECT j, i, $entry AS a FROM cells WHERE i <> j),
+       |mat0 AS MATERIALIZED (SELECT list(row ORDER BY i) AS m FROM (
+       |  SELECT i, list(a ORDER BY j) AS row FROM fullm GROUP BY i)),
+       |mean AS (SELECT list($meanOf ORDER BY i) AS mv FROM cells
+       |  WHERE i = j),
+       |${(0 until PcaComps).map(powerCtes).mkString(",\n")}
+       |SELECT vec_id, comp, proj FROM (
+       |$projections)
+       |ORDER BY vec_id, comp""".stripMargin
+  }
+
   private val MmrPick = 5 // diversified picks per query
 
   /** MMR diversified top-k ([[graft.similarity.Mmr]]): each query's
@@ -1484,6 +1578,7 @@ object SimilarityQueries {
     "dq_embed" -> (dqEmbed(_, _)),
     "embed_rproj" -> (embedRproj(_, _)),
     "sim_mmr" -> (simMmr(_, _)),
+    "embed_pca" -> (embedPca(_, _)),
     "sim_graph_kcore" -> (simGraphKcore(_, _)),
     "sim_graph_bfs" -> (simGraphBfs(_, _)),
     "embed_cov" -> (embedCov(_, _)),
@@ -1515,6 +1610,7 @@ object SimilarityQueries {
     "dq_embed" -> dqEmbedSql,
     "embed_rproj" -> embedRprojSql,
     "sim_mmr" -> simMmrSql,
+    "embed_pca" -> embedPcaSql,
     "sim_graph_kcore" -> simGraphKcoreSql,
     "sim_graph_bfs" -> simGraphBfsSql,
     "embed_cov" -> embedCovSql,

@@ -1,0 +1,144 @@
+package graft.similarity
+
+import graft.SparkTestSession
+import graft.queries.Tables
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** PCA: the fixed-step power iteration must produce genuine
+  * eigenpairs (residual, orthogonality, ordering), recover a planted
+  * dominant direction, and the distributed projection must equal a
+  * driver-side replay; the projected variance must match the
+  * eigenvalue (the quantity PCA is supposed to maximize).
+  */
+class PcaSpec extends AnyFunSuite {
+
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private lazy val emb =
+    Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+  private lazy val model = Pca.fit(emb, "embedding", 2)
+
+  private def applyMat(a: Array[Array[Double]], v: Array[Double]) =
+    a.indices.map(i => a(i).indices.foldLeft(0.0d)((s, j) =>
+      s + a(i)(j) * v(j))).toArray
+
+  test("eigenpair quality: residual, orthogonality, ordering") {
+    assert(model.eigenvalues(0) >= model.eigenvalues(1))
+    assert(model.eigenvalues(1) > 0)
+    // rebuild the covariance the model was fit on and check A·v ≈ λ·v
+    val cells = GramMatrix.upperTriangle(emb, "embedding")
+      .select("i", "j", "n", "sx_fp", "sy_fp", "sxy_fp").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val d = model.d
+    val a = Array.tabulate(d, d) { (i, j) =>
+      val (n, sx, sy, sxy) = cells((math.min(i, j), math.max(i, j)))
+      sxy.toDouble / (n.toDouble * (1L << 40).toDouble) -
+        (sx.toDouble / (n.toDouble * (1L << 20).toDouble)) *
+        (sy.toDouble / (n.toDouble * (1L << 20).toDouble))
+    }
+    // the synthetic corpus is near-isotropic (flat spectrum), where
+    // NO fixed-step power iteration converges tightly — quality here
+    // is a sanity bound; the tight eigenpair check runs on the
+    // separated-spectrum fixture below
+    for (c <- 0 until 2) {
+      val v = model.components(c)
+      val av = applyMat(a, v)
+      val lam = model.eigenvalues(c)
+      val res = math.sqrt(v.indices.map(i =>
+        math.pow(av(i) - lam * v(i), 2)).sum)
+      assert(res / lam < 0.05, s"component $c residual $res vs λ=$lam")
+      val nrm = math.sqrt(v.map(x => x * x).sum)
+      assert(math.abs(nrm - 1.0) < 1e-12)
+    }
+    val ortho = model.components(0).indices.map(i =>
+      model.components(0)(i) * model.components(1)(i)).sum
+    assert(math.abs(ortho) < 0.05, s"components not orthogonal: $ortho")
+  }
+
+  test("tight eigenpairs on a separated spectrum") {
+    // two planted orthogonal axes with scales 5 and 2 (λ ratio 6.25)
+    // → 40 power steps converge far past 1e-8
+    val a1 = Array(0.6, 0.8, 0.0)
+    val a2 = Array(-0.8, 0.6, 0.0)
+    val rows = (0 until 600).map { i =>
+      val t = ((i % 41).toDouble - 20.0) / 4.0
+      val s = (((i * 17) % 29).toDouble - 14.0) / 5.6
+      val n3 = (((i * 7919) % 23).toDouble - 11.0) / 110.0
+      (i.toLong, Seq((5 * t * a1(0) + 2 * s * a2(0)).toFloat,
+        (5 * t * a1(1) + 2 * s * a2(1)).toFloat, n3.toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val m = Pca.fit(df, "embedding", 2)
+    val cells = GramMatrix.upperTriangle(df, "embedding")
+      .select("i", "j", "n", "sx_fp", "sy_fp", "sxy_fp").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val a = Array.tabulate(3, 3) { (i, j) =>
+      val (n, sx, sy, sxy) = cells((math.min(i, j), math.max(i, j)))
+      sxy.toDouble / (n.toDouble * (1L << 40).toDouble) -
+        (sx.toDouble / (n.toDouble * (1L << 20).toDouble)) *
+        (sy.toDouble / (n.toDouble * (1L << 20).toDouble))
+    }
+    assert(m.eigenvalues(0) > m.eigenvalues(1) * 4)
+    for (c <- 0 until 2) {
+      val v = m.components(c)
+      val av = applyMat(a, v)
+      val lam = m.eigenvalues(c)
+      val res = math.sqrt(v.indices.map(i =>
+        math.pow(av(i) - lam * v(i), 2)).sum)
+      assert(res / lam < 1e-8, s"component $c residual $res vs λ=$lam")
+      val axis = if (c == 0) a1 else a2
+      val cosAx = v.indices.map(i => v(i) * axis(i)).sum
+      assert(math.abs(cosAx) > 0.999,
+        s"component $c ${v.toSeq} vs planted ${axis.toSeq}")
+    }
+    val ortho = m.components(0).indices.map(i =>
+      m.components(0)(i) * m.components(1)(i)).sum
+    assert(math.abs(ortho) < 1e-9, s"components not orthogonal: $ortho")
+  }
+
+  test("recovers a planted dominant direction") {
+    // x_i = t_i * axis + small noise, axis = (3,4)/5
+    val axis = Array(0.6, 0.8)
+    val rows = (0 until 400).map { i =>
+      val t = (i % 41).toDouble - 20.0
+      val noise = ((i * 7919) % 13).toDouble / 13.0 - 0.5
+      (i.toLong, Seq((t * axis(0) + noise * 0.05).toFloat,
+        (t * axis(1) - noise * 0.05).toFloat))
+    }
+    val m = Pca.fit(rows.toDF("vec_id", "embedding"), "embedding", 1)
+    val cosToAxis = m.components(0)(0) * axis(0) +
+      m.components(0)(1) * axis(1)
+    assert(math.abs(cosToAxis) > 0.999,
+      s"top component ${m.components(0).toSeq} vs axis ${axis.toSeq}")
+  }
+
+  test("distributed projection equals driver replay; variance = λ") {
+    val got = Pca.project(emb, "vec_id", "embedding", model)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val raw = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    for ((id, v) <- raw.take(10); c <- 0 until 2) {
+      val w = model.components(c)
+      val dotv = v.indices.foldLeft(0.0d)((s, k) =>
+        s + v(k).toDouble * w(k))
+      val center = w.indices.foldLeft(0.0d)((s, k) =>
+        s + model.mean(k) * w(k))
+      assert(got((id, c)) === dotv - center, s"replay mismatch ($id, $c)")
+    }
+    // projected variance tracks the eigenvalue (quantization of the
+    // moments vs raw floats costs ~1e-6 relative)
+    for (c <- 0 until 2) {
+      val ps = raw.keys.toSeq.map(id => got((id, c)))
+      val meanP = ps.sum / ps.size
+      val varP = ps.map(p => (p - meanP) * (p - meanP)).sum / ps.size
+      assert(math.abs(varP - model.eigenvalues(c)) /
+        model.eigenvalues(c) < 1e-3,
+        s"comp $c: projected var $varP vs λ ${model.eigenvalues(c)}")
+    }
+  }
+}
