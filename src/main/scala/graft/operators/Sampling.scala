@@ -171,6 +171,41 @@ object Sampling {
     df.filter(coordinate(col(idCol), salt) < threshold)
   }
 
+  /** EXACT-SIZE weighted sample without replacement per stratum
+    * (Efraimidis–Spirakis A-ES): each row draws the deterministic
+    * uniform `u = (md5_32(salt:id) + 0.5) / 2^32` (never 0 or 1) and
+    * races with key `ln(u) / w` — the k LARGEST keys per stratum win,
+    * which selects each row with probability ∝ its weight. The "give
+    * me exactly k docs per source, quality-weighted" primitive that
+    * Bernoulli rates ([[weightedSample]]) can't express; rows with
+    * w ≤ 0 never win (filtered — the honest zero-weight semantics).
+    *
+    * Determinism: u is the md5 coordinate; the key floor-quantizes at
+    * 1e-9 into a LONG (the mix-audit ln discipline — raw libm doubles
+    * never cross the gate) and ranks tie-break (key DESC, id ASC).
+    *
+    * Distributed shape: one projection + one per-stratum top-k window
+    * — Spark's WindowGroupLimit keeps each partition's local top k
+    * before the exchange, so ~k·|strata| rows shuffle regardless of
+    * corpus size (the [[graft.similarity.BruteForceKNN]] note). No
+    * join, no global sort, no second pass.
+    */
+  def weightedTopK(df: DataFrame, idCol: String, strataCol: String,
+      weightCol: String, k: Int, salt: String = "aes"): DataFrame = {
+    require(k >= 1, s"k must be at least 1, got $k")
+    val u = (hash32(concat(lit(s"$salt:"), col(idCol).cast("string")))
+      .cast("double") + 0.5) / Bucket
+    val keyQ = floor(log(u) / col(weightCol).cast("double") * 1e9)
+      .cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCol).orderBy(desc("key_q"), col(idCol).asc)
+    df.filter(col(weightCol).cast("double") > 0)
+      .select(col(strataCol), col(idCol), keyQ.as("key_q"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(strataCol), col("rank"), col(idCol), col("key_q"))
+  }
+
   def temperatureSample(df: DataFrame, idCol: String, strataCol: String,
       temperature: Double = 2.0, targetFrac: Double = 0.5,
       salt: String = "temp"): DataFrame = {

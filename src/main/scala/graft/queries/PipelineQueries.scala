@@ -455,6 +455,38 @@ object PipelineQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  private val WkK = 20 // exact sample size per source
+
+  /** Exact-size weighted sampling per stratum
+    * ([[graft.operators.Sampling.weightedTopK]], Efraimidis–Spirakis):
+    * exactly $WkK docs per source, selection probability ∝ n_chars —
+    * the fixed-token-budget data-selection primitive. Gate-only: one
+    * projection + the `sim_topk` WindowGroupLimit top-k shape
+    * (~k·|strata| rows shuffle). The oracle replays the md5 uniform,
+    * the 1e-9-quantized ln race key, and the (key DESC, id) ranks.
+    */
+  def sampleWeightedK(spark: SparkSession, dir: String): DataFrame =
+    Sampling.weightedTopK(Tables.loadSpread(spark, dir, "documents"),
+        "doc_id", "source", "n_chars", WkK)
+      .orderBy("source", "rank")
+
+  val sampleWeightedKSql: String = {
+    val coord = OracleDialect.hexPrefixToLong(
+      "md5('aes:'||CAST(doc_id AS VARCHAR))", 8)
+    s"""WITH d AS (SELECT source, doc_id,
+       |    CAST(n_chars AS DOUBLE) AS w FROM documents
+       |  WHERE CAST(n_chars AS DOUBLE) > 0),
+       |kx AS (SELECT source, doc_id,
+       |  CAST(floor(ln((CAST($coord AS DOUBLE) + 0.5) / 4294967296)
+       |    / w * 1000000000.0) AS BIGINT) AS key_q FROM d)
+       |SELECT source, rank, doc_id, key_q FROM (
+       |  SELECT source, doc_id, key_q,
+       |    ROW_NUMBER() OVER (PARTITION BY source
+       |                       ORDER BY key_q DESC, doc_id) AS rank
+       |  FROM kx)
+       |WHERE rank <= $WkK ORDER BY source, rank""".stripMargin
+  }
+
   private val MixTarget = Map(
     "src0" -> 0.20, "src1" -> 0.20, "src2" -> 0.10).withDefaultValue(0.0)
   private val MixTargetDefault = 0.5 / 17 // remaining mass over 17 sources
@@ -553,6 +585,7 @@ object PipelineQueries {
     "sample_stratified" -> (sampleStratified(_, _)),
     "sample_temperature" -> (sampleTemperature(_, _)),
     "sample_quality" -> (sampleQuality(_, _)),
+    "sample_weighted_k" -> (sampleWeightedK(_, _)),
     "sample_epochs" -> (sampleEpochs(_, _)),
     "shard_assign" -> (shardAssign(_, _)),
     "corpus_order" -> (corpusOrder(_, _)),
@@ -569,6 +602,7 @@ object PipelineQueries {
     "sample_stratified" -> sampleStratifiedSql,
     "sample_temperature" -> sampleTemperatureSql,
     "sample_quality" -> sampleQualitySql,
+    "sample_weighted_k" -> sampleWeightedKSql,
     "sample_epochs" -> sampleEpochsSql,
     "shard_assign" -> shardAssignSql,
     "corpus_order" -> corpusOrderSql,
