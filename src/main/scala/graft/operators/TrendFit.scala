@@ -51,14 +51,12 @@ object TrendFit {
 
   private val dec = "decimal(38,0)"
 
-  /** Exact OLS moments and slope rational per group.
-    *
-    * @param xCol integral column (epoch seconds, day index, …)
-    * @param yCol numeric column, quantized to floor(y·2^20)
-    * @return groupCols ++ (n, sx, sy_fp, slope_num, slope_den,
-    *         yvar_num) — the rationals as DECIMAL(38,0) digit strings
+  /** The exactly-mergeable moment frame per group: (groupCols, n, sx,
+    * sy_fp, sxy, sxx, syy) with the second moments as DECIMAL(38,0) —
+    * the state [[graft.streaming.TrendStream]] folds across
+    * micro-batches (integer sums add in any order).
     */
-  def fit(df: DataFrame, groupCols: Seq[String], xCol: Column,
+  def moments(df: DataFrame, groupCols: Seq[String], xCol: Column,
       yCol: Column): DataFrame = {
     val prepared = df.select(
       groupCols.map(col) :+
@@ -74,6 +72,18 @@ object TrendFit {
         sum(col("x").cast(dec) * col("y").cast(dec)).as("sxy"),
         sum(col("x").cast(dec) * col("x").cast(dec)).as("sxx"),
         sum(col("y").cast(dec) * col("y").cast(dec)).as("syy"))
+  }
+
+  /** Exact OLS moments and slope rational per group.
+    *
+    * @param xCol integral column (epoch seconds, day index, …)
+    * @param yCol numeric column, quantized to floor(y·2^20)
+    * @return groupCols ++ (n, sx, sy_fp, slope_num, slope_den,
+    *         yvar_num) — the rationals as DECIMAL(38,0) digit strings
+    */
+  def fit(df: DataFrame, groupCols: Seq[String], xCol: Column,
+      yCol: Column): DataFrame = {
+    moments(df, groupCols, xCol, yCol)
       .select(
         groupCols.map(col) ++ Seq(
           col("n"),

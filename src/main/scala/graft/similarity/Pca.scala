@@ -92,6 +92,28 @@ object Pca {
     Model(n, mean, comps.result(), lams.result())
   }
 
+  /** Whitened reduction (idCol, wproj array&lt;double&gt;): the centered
+    * projection of each vector onto all c components, each coordinate
+    * scaled by `1/sqrt(λ_c)` so every output dimension has unit
+    * variance — the standard pre-conditioning in front of cosine/L2
+    * ANN when raw dimensions dominate unevenly. Same map-only
+    * literal-array scan as [[project]]: the scale folds into the
+    * component literals at plan time (w'_k = w_k/sqrt(λ)), so
+    * whitening costs nothing over projecting.
+    */
+  def whiten(df: DataFrame, idCol: String, vecCol: String,
+      model: Model): DataFrame = {
+    val cols = model.components.zip(model.eigenvalues).map {
+      case (w, lam) =>
+        val s = 1.0 / math.sqrt(lam)
+        val ws = w.map(_ * s)
+        val center = (0 until model.d)
+          .foldLeft(0.0d)((k, i) => k + model.mean(i) * ws(i))
+        dot(col(vecCol), typedLit(ws.toIndexedSeq)) - lit(center)
+    }
+    df.select(col(idCol), array(cols.toIndexedSeq: _*).as("wproj"))
+  }
+
   /** Melted projection (idCol, comp, proj): each vector's coordinate
     * along each principal component, centered —
     * `proj = Σ v_k·w_k − Σ mean_k·w_k` (two pinned left folds, the

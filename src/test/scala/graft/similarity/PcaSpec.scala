@@ -116,6 +116,18 @@ class PcaSpec extends AnyFunSuite {
       s"top component ${m.components(0).toSeq} vs axis ${axis.toSeq}")
   }
 
+  test("whitened coordinates have unit variance and a shuffle-free plan") {
+    val wh = Pca.whiten(emb, "vec_id", "embedding", model)
+    assert(!wh.queryExecution.executedPlan.toString.contains("Exchange"))
+    val coords = wh.collect().map(_.getSeq[Double](1))
+    for (c <- 0 until 2) {
+      val ps = coords.map(_(c))
+      val meanP = ps.sum / ps.size
+      val varP = ps.map(p => (p - meanP) * (p - meanP)).sum / ps.size
+      assert(math.abs(varP - 1.0) < 1e-3, s"comp $c whitened var $varP")
+    }
+  }
+
   test("distributed projection equals driver replay; variance = λ") {
     val got = Pca.project(emb, "vec_id", "embedding", model)
       .collect()
