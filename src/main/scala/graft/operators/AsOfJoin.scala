@@ -72,6 +72,55 @@ object AsOfJoin {
         rvCols.map(c => col(s"__carried.$c").as(s"$prefix$c")): _*)
   }
 
+  /** Forward as-of join: for each left row, attach the EARLIEST right
+    * row whose time is ≥ the left row's time, per key — next-event
+    * attribution (click → next purchase, exposure → first outcome,
+    * time-to-event labels). Same one-shuffle union formulation as
+    * [[joinAsOf]], scanning time DESCENDING so the running window
+    * carries the nearest FUTURE right payload backward onto each left
+    * row; identical cost and skew story. Ties: right rows at the left
+    * row's exact time match (≥, not >); equal-time right rows resolve
+    * to the greatest payload struct, mirroring [[joinAsOf]].
+    */
+  def joinAsOfForward(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String, rightVals: Seq[String],
+      prefix: String = "next_"): DataFrame = {
+    require(keys.nonEmpty, "as-of join needs at least one key column")
+    val rvCols = (rightTime +: rightVals).distinct
+    val rvStruct = struct(rvCols.map(col): _*)
+    val rvType = right.select(rvStruct.as("__rv")).schema("__rv").dataType
+    val lrowStruct = struct(left.columns.map(col).toIndexedSeq: _*)
+    val lrowType = left.select(lrowStruct.as("__lrow")).schema("__lrow").dataType
+
+    val lSide = left.select(
+      keys.map(col) ++ Seq(
+        col(leftTime).as("__t"),
+        lrowStruct.as("__lrow"),
+        lit(null).cast(rvType).as("__rv"),
+        lit(0).as("__isR")): _*)
+    val rSide = right.select(
+      keys.map(col) ++ Seq(
+        col(rightTime).as("__t"),
+        lit(null).cast(lrowType).as("__lrow"),
+        rvStruct.as("__rv"),
+        lit(1).as("__isR")): _*)
+
+    // scan latest→earliest; right rows sort BEFORE left rows at the
+    // same timestamp so "≥" includes equal times; the cumulative
+    // last() hands each left row the nearest future right payload
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t").desc, col("__isR").desc, col("__rv").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val anyKeyNull = keys.map(col(_).isNull).reduce(_ || _)
+
+    lSide.unionByName(rSide)
+      .withColumn("__carried",
+        when(!anyKeyNull, last(col("__rv"), ignoreNulls = true).over(w)))
+      .filter(col("__isR") === 0)
+      .select(col("__lrow.*") +:
+        rvCols.map(c => col(s"__carried.$c").as(s"$prefix$c")): _*)
+  }
+
   /** Skew-safe variant: the same as-of semantics with the window
     * partitioned by (keys, time-bucket) instead of keys alone, so a hot
     * key's rows spread across its time range instead of landing in one

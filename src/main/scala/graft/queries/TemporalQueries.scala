@@ -41,6 +41,36 @@ object TemporalQueries {
       |  ON c.user_id = p.user_id AND p.ts <= c.ts
       |ORDER BY c.event_id""".stripMargin
 
+  /** Each click annotated with the user's NEXT purchase at-or-after
+    * the click ([[graft.operators.AsOfJoin.joinAsOfForward]]) — the
+    * time-to-conversion / next-event attribution label. Same
+    * one-shuffle union-scan shape as `q_asof_purchase`, scanning
+    * descending; the oracle is DuckDB's native ASOF with the
+    * inequality flipped.
+    */
+  def qAsofNext(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.loadEvents(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id", "ts").agg(max(col("value")).as("pvalue"))
+    AsOfJoin.joinAsOfForward(clicks, purchases, Seq("user_id"), "ts", "ts",
+        Seq("pvalue"))
+      .orderBy("event_id")
+  }
+
+  val qAsofNextSql: String =
+    """WITH clicks AS (
+      |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+      |pur AS (
+      |  SELECT user_id, ts, max(value) AS pvalue FROM events
+      |  WHERE event_type = 'purchase' GROUP BY 1, 2)
+      |SELECT c.event_id, c.user_id, c.ts,
+      |       p.ts AS next_ts, p.pvalue AS next_pvalue
+      |FROM clicks c ASOF LEFT JOIN pur p
+      |  ON c.user_id = p.user_id AND p.ts >= c.ts
+      |ORDER BY c.event_id""".stripMargin
+
   /** Per purchase: how many clicks the user made in the hour leading up
     * to it (attribution-window count; purchases with zero clicks in
     * window are absent — inner range-join).
@@ -470,6 +500,7 @@ object TemporalQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_trend" -> (eventsTrend(_, _)),
     "q_asof_purchase" -> (qAsofPurchase(_, _)),
+    "q_asof_next" -> (qAsofNext(_, _)),
     "graph_pagerank" -> (qPagerank(_, _)),
     "graph_ppr" -> (qPpr(_, _)),
     "q_paths" -> (qPaths(_, _)),
@@ -483,6 +514,7 @@ object TemporalQueries {
   val oracleSql: Map[String, String] = Map(
     "events_trend" -> eventsTrendSql,
     "q_asof_purchase" -> qAsofPurchaseSql,
+    "q_asof_next" -> qAsofNextSql,
     "graph_pagerank" -> qPagerankSql,
     "graph_ppr" -> qPprSql,
     "q_paths" -> qPathsSql,

@@ -39,6 +39,61 @@ class TemporalJoinSpec extends AnyFunSuite {
       ("l4", None, None)))
   }
 
+  test("forward as-of join: earliest right row at-or-after, per key") {
+    val left = Seq(
+      ("u1", ts("2024-01-01 10:00:00"), "l1"), // next = 10:30 (not 12:00)
+      ("u1", ts("2024-01-01 12:00:00"), "l2"), // EQUAL time → matches (≥)
+      ("u1", ts("2024-01-01 13:00:00"), "l3"), // after all u1 right rows
+      ("u2", ts("2024-01-01 09:00:00"), "l4")  // no u2 right rows at all
+    ).toDF("k", "t", "tag")
+    val right = Seq(
+      ("u1", ts("2024-01-01 10:30:00"), 1.0),
+      ("u1", ts("2024-01-01 12:00:00"), 2.0)
+    ).toDF("k", "rt", "v")
+
+    val got = AsOfJoin.joinAsOfForward(left, right, Seq("k"), "t", "rt",
+        Seq("v"))
+      .orderBy("tag")
+      .select("tag", "next_rt", "next_v")
+      .collect()
+      .map(r => (r.getString(0),
+        Option(r.getTimestamp(1)).map(_.toString),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    assert(got.toSeq === Seq(
+      ("l1", Some("2024-01-01 10:30:00.0"), Some(1.0)),
+      ("l2", Some("2024-01-01 12:00:00.0"), Some(2.0)),
+      ("l3", None, None),
+      ("l4", None, None)))
+  }
+
+  test("forward as-of join == naive earliest-at-or-after on real events") {
+    val ev = graft.queries.Tables.load(spark, "/root/testdata/sf0.001",
+      "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val pur = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id", "ts").agg(max("value").as("pv"))
+    import java.time.LocalDateTime
+    val got = AsOfJoin.joinAsOfForward(clicks, pur, Seq("user_id"),
+        "ts", "ts", Seq("pv"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (Option(r.getAs[LocalDateTime](3)), if (r.isNullAt(4)) None
+          else Some(r.getDouble(4)))).toMap
+    val purRows = pur.collect()
+      .map(r => (r.getLong(0), r.getAs[LocalDateTime](1), r.getDouble(2)))
+    val want = clicks.collect().map { c =>
+      val ct = c.getAs[LocalDateTime](2)
+      val cand = purRows.filter(p => p._1 == c.getLong(1) &&
+        !p._2.isBefore(ct))
+      c.getLong(0) -> (if (cand.isEmpty) (None, None)
+        else { val b = cand.minBy(_._2)(Ordering.fromLessThan[LocalDateTime](
+          _.isBefore(_)))
+          (Some(b._2), Some(b._3)) })
+    }.toMap
+    assert(got === want)
+  }
+
   test("as-of join: null keys never match (SQL equality semantics)") {
     val left = Seq((Option.empty[String], ts("2024-01-01 10:00:00"), "l"))
       .toDF("k", "t", "tag")
