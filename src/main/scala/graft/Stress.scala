@@ -28,7 +28,8 @@ object Stress {
         "outliers", "pagerank", "equidepth", "outliersbig", "heavyhitters",
         "hll", "kmeans", "kmeans4096", "simquant", "ivfserve", "linkage",
         "bpe", "bm25", "knngraph", "cms", "ssjoin", "classifier",
-        "ntile", "novelty", "semantic1m", "ivfpq4096", "gram")
+        "ntile", "novelty", "semantic1m", "ivfpq4096", "gram", "trend",
+        "mmr")
     val spark = Sessions.local("32")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -830,6 +831,78 @@ object Stress {
             sxya + sxyb == sxy, s"shard merge mismatch at $cell")
         }
         whole.size.toLong
+      }
+    }
+
+    if (which("trend")) {
+      // exact-rational OLS trend over 50M rows / 1000 groups: ONE
+      // map-side-combined aggregate whose shuffled state is 1000
+      // moment tuples regardless of N. Asserted: every group present,
+      // and the two-shard merge identity (half-corpus moment states
+      // summed as BigInt == whole-corpus state — the AggMerge-style
+      // scale path for corpora past a single aggregation scope).
+      val nT = 50000000L
+      val rowsT = staged(spark.range(0L, nT, 1L, 32).select(
+        (col("id") % 1000L).cast("string").as("g"),
+        (col("id") % 86400L).as("x"),
+        ((col("id") % 997L).cast("double") / 9.97).as("y"),
+        // block-alternating shard tag: every group has rows in both
+        (expr("id div 1000") % 2L).as("shard")))
+      def collectMoments(df: DataFrame) =
+        operators.TrendFit.moments(df, Seq("g"), col("x"), col("y"))
+          .collect()
+          .map { r =>
+            def big(i: Int) = BigInt(r.getDecimal(i).toBigInteger)
+            r.getString(0) -> (BigInt(r.getLong(1)), BigInt(r.getLong(2)),
+              BigInt(r.getLong(3)), big(4), big(5), big(6))
+          }.toMap
+      timed("trend") {
+        val whole = collectMoments(rowsT)
+        require(whole.size == 1000, s"expected 1000 groups, got ${whole.size}")
+        require(whole.values.map(_._1).sum == BigInt(nT), "rows lost")
+        val a = collectMoments(rowsT.filter(col("shard") === 0))
+        val b = collectMoments(rowsT.filter(col("shard") === 1))
+        whole.foreach { case (g, w) =>
+          val x = a(g); val y = b(g)
+          val merged = (x._1 + y._1, x._2 + y._2, x._3 + y._3,
+            x._4 + y._4, x._5 + y._5, x._6 + y._6)
+          require(merged == w, s"shard merge mismatch at group $g")
+        }
+        whole.size.toLong
+      }
+    }
+
+    if (which("mmr")) {
+      // MMR greedy re-rank at serving scale: 20k queries × 20
+      // candidates (the pool any ANN face emits), k=5 picks. The k−1
+      // rounds join candidate-pool-sized frames only — corpus size
+      // never appears. Asserted: exactly 5 dense picks per query and
+      // pick 1 == the pool's pure-relevance argmax for every query.
+      val nQ = 20000L
+      val candsM = staged(spark.range(0L, nQ * 20L, 1L, 32).select(
+        expr("id div 20").as("q_id"),
+        col("id").as("n_id"),
+        ((col("id") % 1009L).cast("double") / 1009.0).as("rel"),
+        transform(sequence(lit(0), lit(7)),
+          j => hash(col("id"), j).cast("double") / 2147483648.0d)
+          .as("v"))
+        .withColumn("nrm", expr("aggregate(v, 0.0d, (s, x) -> s + x * x)")))
+      timed("mmr") {
+        val picks = similarity.Mmr.rerank(candsM, k = 5).persist()
+        val nPicks = picks.count()
+        require(nPicks == nQ * 5, s"expected ${nQ * 5} picks, got $nPicks")
+        val badRanks = picks.groupBy("q_id")
+          .agg(sum("pick").as("s")).filter(col("s") =!= 15L).count()
+        require(badRanks == 0, "a query's picks are not dense 1..5")
+        val top1 = candsM.groupBy("q_id")
+          .agg(max_by(col("n_id"), struct(col("rel"), -col("n_id")))
+            .as("best"))
+        val wrongFirst = picks.filter(col("pick") === 1)
+          .join(top1, "q_id")
+          .filter(col("n_id") =!= col("best")).count()
+        require(wrongFirst == 0, s"$wrongFirst queries' pick 1 != argmax rel")
+        picks.unpersist()
+        nPicks
       }
     }
 
