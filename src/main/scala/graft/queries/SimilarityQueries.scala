@@ -1386,6 +1386,58 @@ object SimilarityQueries {
        |FROM p GROUP BY i, j ORDER BY i, j""".stripMargin
   }
 
+  private val MarginKAvg = 5 // neighborhood size for margin denominators
+
+  /** Margin-based mining ([[graft.similarity.BitextMargin]], the
+    * Artetxe–Schwenk ratio margin): each query's top-$K cosines
+    * re-scored relative to both endpoints' exact $MarginKAvg-NN
+    * neighborhood sums — hubness-corrected pair mining. Gate-only: the
+    * neighborhood sums are the `sim_knn_graph` aggregate face and the
+    * scoring joins are broadcast-sized. The oracle replays the
+    * (cos, id)-ordered neighborhood folds and the pinned
+    * two-division margin, so ranks and raw doubles both hash-pin.
+    */
+  def simMargin(spark: SparkSession, dir: String): DataFrame =
+    BitextMargin.score(Tables.loadSpread(spark, dir, "embeddings"),
+        "vec_id", "embedding", _ < QueryCount, K, MarginKAvg)
+      .orderBy("q_id", "margin_rank")
+
+  val simMarginSql: String = {
+    def cosSql(av: String, an: String, bv: String, bn: String): String =
+      s"${foldDot(av, bv)} / (sqrt($an) * sqrt($bn))"
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, ${foldDot("v", "v")} AS nrm FROM v),
+       |p AS MATERIALIZED (SELECT q.vec_id AS src_id, d.vec_id AS n_id,
+       |    ${cosSql("q.v", "q.nrm", "d.v", "d.nrm")} AS cos_sim
+       |  FROM n q CROSS JOIN n d WHERE d.vec_id <> q.vec_id),
+       |g AS (SELECT src_id, n_id, cos_sim FROM (
+       |  SELECT src_id, n_id, cos_sim,
+       |    ROW_NUMBER() OVER (PARTITION BY src_id
+       |                       ORDER BY cos_sim DESC, n_id) AS rank
+       |  FROM p) WHERE rank <= $MarginKAvg),
+       |sums AS MATERIALIZED (SELECT src_id AS id,
+       |    list_reduce(list_prepend(0.0,
+       |      list(cos_sim ORDER BY cos_sim, n_id)), (x, y) -> x + y)
+       |      AS nnsum
+       |  FROM g GROUP BY src_id),
+       |cand AS (SELECT src_id AS q_id, n_id, cos_sim FROM (
+       |  SELECT src_id, n_id, cos_sim,
+       |    ROW_NUMBER() OVER (PARTITION BY src_id
+       |                       ORDER BY cos_sim DESC, n_id) AS rank
+       |  FROM p WHERE src_id < $QueryCount) WHERE rank <= $K),
+       |m AS (SELECT c.q_id, c.n_id, c.cos_sim,
+       |    c.cos_sim / (sq.nnsum / ${2.0 * MarginKAvg}
+       |      + sn.nnsum / ${2.0 * MarginKAvg}) AS margin
+       |  FROM cand c JOIN sums sq ON sq.id = c.q_id
+       |    JOIN sums sn ON sn.id = c.n_id)
+       |SELECT q_id, margin_rank, n_id, cos_sim, margin FROM (
+       |  SELECT q_id, n_id, cos_sim, margin,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id
+       |                       ORDER BY margin DESC, n_id) AS margin_rank
+       |  FROM m)
+       |ORDER BY q_id, margin_rank""".stripMargin
+  }
+
   private val PcaComps = 2 // principal components fit + projected
 
   /** PCA projection ([[graft.similarity.Pca]]): top-$PcaComps
@@ -1579,6 +1631,7 @@ object SimilarityQueries {
     "embed_rproj" -> (embedRproj(_, _)),
     "sim_mmr" -> (simMmr(_, _)),
     "embed_pca" -> (embedPca(_, _)),
+    "sim_margin" -> (simMargin(_, _)),
     "sim_graph_kcore" -> (simGraphKcore(_, _)),
     "sim_graph_bfs" -> (simGraphBfs(_, _)),
     "embed_cov" -> (embedCov(_, _)),
@@ -1611,6 +1664,7 @@ object SimilarityQueries {
     "embed_rproj" -> embedRprojSql,
     "sim_mmr" -> simMmrSql,
     "embed_pca" -> embedPcaSql,
+    "sim_margin" -> simMarginSql,
     "sim_graph_kcore" -> simGraphKcoreSql,
     "sim_graph_bfs" -> simGraphBfsSql,
     "embed_cov" -> embedCovSql,
