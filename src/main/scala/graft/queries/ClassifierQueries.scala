@@ -89,6 +89,33 @@ object ClassifierQueries {
        |FROM sc ORDER BY doc_id""".stripMargin
   }
 
+  private val UncK = 50 // labeling budget per active-learning round
+
+  /** Active-learning selection ([[graft.operators.UncertaintySample]]):
+    * the $UncK documents whose NB log-odds sit closest to the decision
+    * boundary — the "label these next" face over the `text_nbquality`
+    * classifier. Gate-only: scoring is the benched NB face; selection
+    * is a TakeOrderedAndProject (per-partition top-k, no global sort).
+    * The oracle nests the full NB replay and re-ranks by
+    * (|logodds_q|, doc_id) — exact because the score is already a
+    * quantized LONG.
+    */
+  def clfUncertain(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.UncertaintySample.topUncertain(
+      NbQuality.score(Tables.loadSpread(spark, dir, "documents"),
+        "doc_id", "text", NbCfg),
+      "doc_id", "logodds_q", UncK)
+
+  val clfUncertainSql: String =
+    s"""WITH nb AS MATERIALIZED (
+       |$textNbQualitySql
+       |)
+       |SELECT rank, doc_id, logodds_q FROM (
+       |  SELECT doc_id, logodds_q,
+       |    ROW_NUMBER() OVER (ORDER BY abs(logodds_q), doc_id) AS rank
+       |  FROM nb)
+       |WHERE rank <= $UncK ORDER BY rank""".stripMargin
+
   private val DsirCfg = Dsir.Config(
     targetSources = Seq("src0", "src1"), buckets = 512)
 
@@ -155,9 +182,11 @@ object ClassifierQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_nbquality" -> (textNbQuality(_, _)),
+    "clf_uncertain" -> (clfUncertain(_, _)),
     "text_dsir" -> (textDsir(_, _)))
 
   val oracleSql: Map[String, String] = Map(
     "text_nbquality" -> textNbQualitySql,
+    "clf_uncertain" -> clfUncertainSql,
     "text_dsir" -> textDsirSql)
 }
