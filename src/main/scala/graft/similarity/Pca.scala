@@ -52,6 +52,25 @@ object Pca {
       .map(r => (r.getInt(0), r.getInt(1)) ->
         (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
       .toMap
+    fitFromCells(cells, c, iters)
+  }
+
+  /** Fit from an already-maintained moment state — e.g. the running
+    * state a [[graft.streaming.CovMonitor]] folds across micro-batches
+    * (its cells ARE GramMatrix's, exactly mergeable), so a streaming
+    * deployment refreshes its PCA model after every batch WITHOUT ever
+    * rescanning the corpus: `fit(batch stream) ≡ fitFromState(running
+    * state)` bit-for-bit (spec-asserted). Driver-only — no jobs.
+    */
+  def fitFromState(state: Map[(Int, Int),
+        graft.streaming.CovMonitor.CellState],
+      c: Int, iters: Int = Iters): Model =
+    fitFromCells(state.map { case (k, s) => k -> (s.n, s.sx, s.sy, s.sxy) },
+      c, iters)
+
+  private def fitFromCells(
+      cells: Map[(Int, Int), (Long, Long, Long, Long)],
+      c: Int, iters: Int): Model = {
     val d = cells.keysIterator.map(_._2).max + 1
     val s1 = (1L << 20).toDouble
     val s2 = (1L << 40).toDouble

@@ -24,6 +24,11 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   * bounded-by-construction driver collect class; the per-batch
   * distributed work is [[GramMatrix.upperTriangle]]'s one-pass
   * aggregate over batch-sized data.
+  *
+  * The running state doubles as a PCA trainer input:
+  * [[graft.similarity.Pca.fitFromState]] refits the model from it
+  * after any batch, bit-identical to a batch fit over the
+  * concatenated stream — model refresh without a corpus rescan.
   */
 object CovMonitor {
 

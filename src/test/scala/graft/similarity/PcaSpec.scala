@@ -116,6 +116,23 @@ class PcaSpec extends AnyFunSuite {
       s"top component ${m.components(0).toSeq} vs axis ${axis.toSeq}")
   }
 
+  test("fitFromState(streamed moments) == fit(batch), bit-for-bit") {
+    // fold the corpus through the CovMonitor state in three chunks —
+    // the streaming-maintained moments must refit the IDENTICAL model
+    import graft.streaming.CovMonitor
+    val rows = emb.collect().map(r => r.getSeq[Float](1)).toSeq
+    val chunks = rows.grouped((rows.size + 2) / 3).toSeq
+    val state = chunks.map(c =>
+        CovMonitor.state(c.toDF("embedding"), "embedding"))
+      .reduce(CovMonitor.mergeStates)
+    val m2 = Pca.fitFromState(state, 2)
+    assert(m2.n === model.n)
+    assert(m2.mean.toSeq === model.mean.toSeq)
+    assert(m2.eigenvalues.toSeq === model.eigenvalues.toSeq)
+    assert(m2.components.map(_.toSeq).toSeq ===
+      model.components.map(_.toSeq).toSeq)
+  }
+
   test("whitened coordinates have unit variance and a shuffle-free plan") {
     val wh = Pca.whiten(emb, "vec_id", "embedding", model)
     assert(!wh.queryExecution.executedPlan.toString.contains("Exchange"))
