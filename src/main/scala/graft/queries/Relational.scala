@@ -835,6 +835,61 @@ object Relational {
        |                       ORDER BY dist, rid) AS rn
        |  FROM p) WHERE rn = 1 ORDER BY d_id""".stripMargin
 
+  /** Blocking-FREE linkage of the dirtied roster via deletion
+    * neighborhoods ([[graft.operators.SymDeleteJoin]], d = 1): no
+    * equality block, no sort key — candidates are pairs sharing a
+    * ≤1-deletion variant, verified `levenshtein ≤ 1`. The lev-2
+    * transposition class drops out by design (the high-precision
+    * tier); the lowercased-initial class lands on its source at
+    * dist 1, untouched names argmin to themselves at dist 0 with
+    * their one-digit neighbors counted in `n_cand`. Gate-only:
+    * the variant-postings equi-join + bounded verify is the benched
+    * `dedup_ngram` postings-join shape; the oracle restates the d=1
+    * neighborhood with DuckDB list comprehensions, so the hash match
+    * re-proves the native [[graft.expressions.DeletionNeighborhood]]
+    * against character-indexed `substr` semantics end-to-end.
+    */
+  def erSymdel(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(spark, dir, "customer")
+    graft.operators.SymDeleteJoin.resolve(
+        dirtyCustomers(Tables.loadSpread(spark, dir, "customer")), cust,
+        "d_id", "d_name", "c_custkey", "c_name", d = 1)
+      .orderBy("d_id")
+  }
+
+  val erSymdelSql: String =
+    s"""WITH d AS (SELECT c_custkey + 10000000 AS d_id,
+       |    CASE WHEN substr(md5(CAST(c_custkey AS VARCHAR)), 1, 1)
+       |        IN ('0','1','2','3','4')
+       |      THEN concat(substr(c_name, 1, 5), substr(c_name, 7, 1),
+       |                  substr(c_name, 6, 1), substr(c_name, 8, 100))
+       |    WHEN substr(md5(CAST(c_custkey AS VARCHAR)), 1, 1)
+       |        IN ('5','6','7','8','9')
+       |      THEN concat('c', substr(c_name, 2, 100))
+       |    ELSE c_name END AS d_name
+       |  FROM customer),
+       |lv AS (SELECT d_id, d_name,
+       |    unnest(list_distinct([d_name] ||
+       |      [substr(d_name, 1, i - 1) || substr(d_name, i + 1)
+       |       for i in generate_series(1, length(d_name))])) AS v
+       |  FROM d),
+       |rv AS (SELECT c_custkey, c_name,
+       |    unnest(list_distinct([c_name] ||
+       |      [substr(c_name, 1, i - 1) || substr(c_name, i + 1)
+       |       for i in generate_series(1, length(c_name))])) AS v
+       |  FROM customer),
+       |cand AS (SELECT DISTINCT lv.d_id, rv.c_custkey, lv.d_name, rv.c_name
+       |  FROM lv JOIN rv USING (v)),
+       |p AS (SELECT d_id, c_custkey,
+       |    CAST(levenshtein(d_name, c_name) AS INTEGER) AS dist
+       |  FROM cand WHERE levenshtein(d_name, c_name) <= 1)
+       |SELECT d_id, match_id, match_dist, n_cand FROM (
+       |  SELECT d_id, c_custkey AS match_id, dist AS match_dist,
+       |    count(*) OVER (PARTITION BY d_id) AS n_cand,
+       |    ROW_NUMBER() OVER (PARTITION BY d_id
+       |                       ORDER BY dist, c_custkey) AS rn
+       |  FROM p) WHERE rn = 1 ORDER BY d_id""".stripMargin
+
   // ------------------------------------------------------------------ psi
 
   /** PSI numeric-drift gate ([[graft.operators.Psi]]) on order totals
@@ -1019,6 +1074,7 @@ object Relational {
     "q_psi" -> (qPsi(_, _)),
     "dq_kanon" -> (dqKanon(_, _)),
     "er_sorted" -> (erSorted(_, _)),
+    "er_symdel" -> (erSymdel(_, _)),
     "dq_checks" -> (dqChecks(_, _)),
     "dq_contingency" -> (dqContingency(_, _)),
     "er_match" -> (erMatch(_, _)),
@@ -1051,6 +1107,7 @@ object Relational {
     "q_psi" -> qPsiSql,
     "dq_kanon" -> dqKanonSql,
     "er_sorted" -> erSortedSql,
+    "er_symdel" -> erSymdelSql,
     "q1_agg" -> q1AggSql,
     "q_histogram" -> qHistogramSql,
     "q_profile" -> qProfileSql,

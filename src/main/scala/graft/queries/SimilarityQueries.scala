@@ -744,6 +744,40 @@ object SimilarityQueries {
        |FROM ids LEFT JOIN cnt ON cnt.id = ids.id
        |ORDER BY ids.id""".stripMargin
 
+  /** Resource-Allocation link prediction
+    * ([[graft.similarity.LinkPredict]]) over the kNN graph: the
+    * top-100 non-adjacent pairs ranked by Σ 1/deg over shared
+    * neighbors — near-duplicate suspects one hop past the ANN screen.
+    * Integer fixed-point (`1e9 div deg`, summed as longs) keeps the
+    * score engine-exact. Gate-only: runtime face is `sim_knn_graph`'s
+    * candidate stage plus the `sim_graph_triangles` wedge-join shape
+    * (Σ deg², K-bounded). The oracle replays symmetrize → degree →
+    * wedge → anti-adjacency → aggregate on the same `base` edge CTE.
+    */
+  def simLinkpred(spark: SparkSession, dir: String): DataFrame = {
+    val edges = KnnGraph.build(Tables.loadSpread(spark, dir, "embeddings"),
+      "vec_id", "embedding", KnnK, ivfCfg)
+    LinkPredict.resourceAllocation(edges, "src_id", "n_id",
+      minCommon = 2, topN = 100)
+  }
+
+  val simLinkpredSql: String =
+    s"""WITH $mutualGraphCtes,
+       |und AS (SELECT src_id AS n, n_id AS nbr FROM base
+       |  UNION SELECT n_id, src_id FROM base),
+       |deg AS (SELECT nbr AS w, count(*) AS d FROM und GROUP BY nbr),
+       |wedge AS (SELECT u1.n AS x, u2.n AS y, 1000000000 // d.d AS term
+       |  FROM und u1
+       |  JOIN und u2 ON u2.nbr = u1.nbr AND u1.n < u2.n
+       |  JOIN deg d ON d.w = u1.nbr),
+       |nonadj AS (SELECT x, y, term FROM wedge w
+       |  WHERE NOT EXISTS (SELECT 1 FROM und a
+       |                    WHERE a.n = w.x AND a.nbr = w.y))
+       |SELECT x AS node_a, y AS node_b,
+       |  count(*) AS common_n, CAST(sum(term) AS BIGINT) AS ra_q
+       |FROM nonadj GROUP BY x, y HAVING count(*) >= 2
+       |ORDER BY ra_q DESC, node_a, node_b LIMIT 100""".stripMargin
+
   // ------------------------------------------------------------ nn-descent
 
   /** One NN-descent round over the cell-local graph
@@ -1645,6 +1679,7 @@ object SimilarityQueries {
     "sim_graph_clusters" -> (simGraphClusters(_, _)),
     "sim_graph_lpa" -> (simGraphLpa(_, _)),
     "sim_graph_triangles" -> (simGraphTriangles(_, _)),
+    "sim_linkpred" -> (simLinkpred(_, _)),
     "embed_drift" -> (embedDrift(_, _)),
     "sim_nnd_recall" -> (simNndRecall(_, _)),
     "sim_ivf_stats" -> (simIvfStats(_, _)),
@@ -1679,6 +1714,7 @@ object SimilarityQueries {
     "sim_graph_clusters" -> simGraphClustersSql,
     "sim_graph_lpa" -> simGraphLpaSql,
     "sim_graph_triangles" -> simGraphTrianglesSql,
+    "sim_linkpred" -> simLinkpredSql,
     "embed_drift" -> embedDriftSql,
     "sim_nnd_recall" -> simNndRecallSql,
     "sim_ivf_stats" -> simIvfStatsSql,
