@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Periodic (seasonal) profile of an event stream: how much of each
+  * group's volume lands on each phase of a fixed period — the
+  * classical ratio-to-overall seasonal index (the constant-trend
+  * special case of ratio-to-moving-average decomposition), kept in
+  * exact integer arithmetic end to end.
+  *
+  * Day index is `epoch_seconds div 86400` and phase is `day mod P` —
+  * pure modular arithmetic, no calendar API, so the bucketing is
+  * engine- and locale-independent (P = 7 gives day-of-week classes up
+  * to a constant phase shift). The denominator counts CALENDAR days of
+  * that phase inside the observed [min_day, max_day] span — closed
+  * form, not `count(observed)` — so a group that never fires on
+  * Sundays still gets the honest zero-rate denominator and sparse
+  * calendars don't inflate the index (the [[GapFill]] concern, solved
+  * arithmetically instead of by materializing the gap rows).
+  *
+  * Fixed-point outputs: `mean_ppm = 1e6·n div cal_days` (volume per
+  * calendar day of the phase) and `season_ppm = (1e6·n·span) div
+  * (cal_days·total)` (ratio to the group's overall daily mean; 1e6 =
+  * flat) — integer div of bounded longs, bit-stable across engines
+  * and partitionings, no libm.
+  *
+  * 100 TB shape: ONE map-side-combined (group, day) aggregate bounds
+  * the first shuffle by groups × days; everything after runs on
+  * summary frames (phase rollup, per-group totals broadcast back, the
+  * global span as a broadcast scalar). No window, no explode.
+  *
+  * Reference scope note: the reference engine has no temporal surface
+  * — extension operator (ingest-cadence seasonality for crawl
+  * scheduling and anomaly baselines).
+  */
+object Seasonality {
+
+  /** @param period phase count in days (7 = weekly)
+    * @return groupCols ++ (phase, n_events, obs_days, cal_days,
+    *         mean_ppm, season_ppm)
+    */
+  def profile(df: DataFrame, groupCols: Seq[String], tsCol: Column,
+      period: Int = 7): DataFrame = {
+    require(period >= 2, s"period must be >= 2, got $period")
+    val days = df
+      .select(groupCols.map(col) :+
+        (tsCol.cast("timestamp").cast("long")).as("_secs"): _*)
+      .filter(col("_secs").isNotNull)
+      .withColumn("_day", expr("_secs div 86400"))
+    val daily = days.groupBy(groupCols.map(col) :+ col("_day"): _*)
+      .agg(count(lit(1)).as("_n"))
+    val span = daily.agg(min(col("_day")).as("_mind"),
+      max(col("_day")).as("_maxd"))
+    val totals = daily.groupBy(groupCols.map(col): _*)
+      .agg(sum(col("_n")).as("_total"))
+    val byPhase = daily
+      .withColumn("phase", col("_day") % period)
+      .groupBy(groupCols.map(col) :+ col("phase"): _*)
+      .agg(sum(col("_n")).as("n_events"), count(lit(1)).as("obs_days"))
+    byPhase
+      .join(broadcast(totals), groupCols)
+      .crossJoin(broadcast(span))
+      // first calendar day of this phase at or after _mind, then the
+      // stride count to _maxd — closed form, exact
+      .withColumn("_first",
+        expr(s"_mind + (((phase - _mind % $period) % $period + $period) % $period)"))
+      .withColumn("cal_days",
+        when(col("_first") > col("_maxd"), lit(0L))
+          .otherwise(expr(s"(_maxd - _first) div $period + 1")))
+      .select(
+        groupCols.map(col) ++ Seq(
+          col("phase"), col("n_events"), col("obs_days"), col("cal_days"),
+          expr("(1000000 * n_events) div cal_days").as("mean_ppm"),
+          expr("(1000000 * n_events * (_maxd - _mind + 1)) div " +
+            "(cal_days * _total)").as("season_ppm")): _*)
+  }
+}

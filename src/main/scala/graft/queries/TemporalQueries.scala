@@ -497,7 +497,49 @@ object TemporalQueries {
        |    - CAST(sy_fp AS HUGEINT) * sy_fp AS VARCHAR) AS yvar_num
        |FROM m ORDER BY event_type""".stripMargin
 
+  /** Weekly seasonality profile ([[graft.operators.Seasonality]]) of
+    * event volume per type: phase = epoch-day mod 7, calendar-exact
+    * denominators, ppm fixed-point indices — the cadence baseline the
+    * anomaly/trend monitors normalize against. Gate-only: runtime
+    * face is the `q_events_hourly` grouped-aggregate scan (the phase
+    * rollup and broadcast joins run on summary frames); what this
+    * gate adds is the closed-form calendar-day arithmetic, pinned
+    * exactly.
+    */
+  def qSeasonal(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Seasonality.profile(Tables.loadEvents(spark, dir),
+        Seq("event_type"), col("ts"), period = 7)
+      .orderBy("event_type", "phase")
+
+  val qSeasonalSql: String =
+    """WITH e AS (SELECT event_type,
+      |    (CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS day
+      |  FROM events WHERE ts IS NOT NULL),
+      |daily AS (SELECT event_type, day, count(*) AS n FROM e
+      |  GROUP BY 1, 2),
+      |rng AS (SELECT min(day) AS mind, max(day) AS maxd FROM daily),
+      |tot AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS total
+      |  FROM daily GROUP BY 1),
+      |ph AS (SELECT event_type, day % 7 AS phase,
+      |    CAST(sum(n) AS BIGINT) AS n_events, count(*) AS obs_days
+      |  FROM daily GROUP BY 1, 2),
+      |c AS (SELECT p.event_type, p.phase, p.n_events, p.obs_days,
+      |    r.mind + (((p.phase - r.mind % 7) % 7 + 7) % 7) AS first_day,
+      |    r.maxd, r.maxd - r.mind + 1 AS span, t.total
+      |  FROM ph p CROSS JOIN rng r
+      |  JOIN tot t ON t.event_type = p.event_type),
+      |c2 AS (SELECT event_type, phase, n_events, obs_days,
+      |    CASE WHEN first_day > maxd THEN 0
+      |         ELSE (maxd - first_day) // 7 + 1 END AS cal_days,
+      |    span, total
+      |  FROM c)
+      |SELECT event_type, phase, n_events, obs_days, cal_days,
+      |  (1000000 * n_events) // cal_days AS mean_ppm,
+      |  (1000000 * n_events * span) // (cal_days * total) AS season_ppm
+      |FROM c2 ORDER BY event_type, phase""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_seasonal" -> (qSeasonal(_, _)),
     "events_trend" -> (eventsTrend(_, _)),
     "q_asof_purchase" -> (qAsofPurchase(_, _)),
     "q_asof_next" -> (qAsofNext(_, _)),
@@ -512,6 +554,7 @@ object TemporalQueries {
     "q_transitions" -> (qTransitions(_, _)))
 
   val oracleSql: Map[String, String] = Map(
+    "q_seasonal" -> qSeasonalSql,
     "events_trend" -> eventsTrendSql,
     "q_asof_purchase" -> qAsofPurchaseSql,
     "q_asof_next" -> qAsofNextSql,
