@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.text.{Dsir, NbQuality, TokenCount}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, when}
 
 /** Model-based corpus filters: classifiers whose training is exact
   * counting, so trainer AND scorer replay in the DuckDB oracle (a
@@ -116,6 +117,61 @@ object ClassifierQueries {
        |  FROM nb)
        |WHERE rank <= $UncK ORDER BY rank""".stripMargin
 
+  /** Decile lift/calibration audit ([[graft.operators.LiftCurve]]) of
+    * the NB domain classifier against its own ground truth (source ∈
+    * posSources): exact global (score DESC, id) ranks via the
+    * range-exchange bucket plan, then a 10-row summary frame of
+    * per-decile and cumulative positive rates in ppm fixed-point.
+    * Gate-only: scoring is the benched NB face and ranking is
+    * `text_ppl_buckets`' grouped-exact-rank shape (one stratum);
+    * what this gate adds is the cumulative lift arithmetic, pinned
+    * exactly. The oracle nests the full NB replay and restates rank,
+    * buckets, and every ppm ratio.
+    */
+  def clfLift(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.loadSpread(spark, dir, "documents")
+    val scored = NbQuality.score(docs, "doc_id", "text", NbCfg)
+      .select("doc_id", "logodds_q")
+    val labeled = scored.join(
+      docs.select(col("doc_id"),
+        when(col("source").isin(NbCfg.posSources: _*), 1L)
+          .otherwise(0L).as("label")),
+      "doc_id")
+    graft.operators.LiftCurve.deciles(labeled, "doc_id", "logodds_q",
+      "label", nBuckets = 10)
+  }
+
+  val clfLiftSql: String = {
+    val posList = OracleDialect.stringList(NbCfg.posSources)
+      .stripPrefix("[").stripSuffix("]")
+    s"""WITH nb AS MATERIALIZED (
+       |$textNbQualitySql
+       |),
+       |lab AS (SELECT nb.doc_id, nb.logodds_q,
+       |    CASE WHEN d.source IN ($posList) THEN 1 ELSE 0 END AS label
+       |  FROM nb JOIN documents d ON d.doc_id = nb.doc_id),
+       |r AS (SELECT doc_id, logodds_q, label,
+       |    row_number() OVER (ORDER BY logodds_q DESC, doc_id) - 1 AS rk,
+       |    count(*) OVER () AS nn
+       |  FROM lab),
+       |b AS (SELECT (rk * 10) // nn AS bucket, label FROM r),
+       |per AS (SELECT bucket, count(*) AS n,
+       |    CAST(sum(label) AS BIGINT) AS n_pos
+       |  FROM b GROUP BY bucket),
+       |c AS (SELECT bucket, n, n_pos,
+       |    CAST(sum(n) OVER (ORDER BY bucket) AS BIGINT) AS cum_n,
+       |    CAST(sum(n_pos) OVER (ORDER BY bucket) AS BIGINT) AS cum_pos,
+       |    CAST(sum(n) OVER () AS BIGINT) AS tn,
+       |    CAST(sum(n_pos) OVER () AS BIGINT) AS tp
+       |  FROM per)
+       |SELECT bucket, n, n_pos,
+       |  (1000000 * n_pos) // n AS rate_ppm,
+       |  cum_n, cum_pos,
+       |  (1000000 * cum_pos) // cum_n AS cum_rate_ppm,
+       |  (1000000 * cum_pos * tn) // (cum_n * tp) AS cum_lift_ppm
+       |FROM c ORDER BY bucket""".stripMargin
+  }
+
   private val DsirCfg = Dsir.Config(
     targetSources = Seq("src0", "src1"), buckets = 512)
 
@@ -183,10 +239,12 @@ object ClassifierQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_nbquality" -> (textNbQuality(_, _)),
     "clf_uncertain" -> (clfUncertain(_, _)),
+    "clf_lift" -> (clfLift(_, _)),
     "text_dsir" -> (textDsir(_, _)))
 
   val oracleSql: Map[String, String] = Map(
     "text_nbquality" -> textNbQualitySql,
     "clf_uncertain" -> clfUncertainSql,
+    "clf_lift" -> clfLiftSql,
     "text_dsir" -> textDsirSql)
 }
