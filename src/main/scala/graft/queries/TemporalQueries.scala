@@ -538,8 +538,51 @@ object TemporalQueries {
       |  (1000000 * n_events * span) // (cal_days * total) AS season_ppm
       |FROM c2 ORDER BY event_type, phase""".stripMargin
 
+  /** Theil-Sen robust daily-volume trend ([[graft.operators.TheilSen]])
+    * per event type: median pairwise slope over the (type, day, count)
+    * summary frame — the outlier-immune companion of `events_trend`'s
+    * OLS (a crawler-outage day drags OLS, not the median). Gate-only:
+    * the corpus-scale work is the `q_events_hourly`-class daily
+    * aggregate; the pair join + rank run calendar-bounded (30 days →
+    * 435 pairs/group). The oracle replays pairs, the (value, num, den)
+    * rank, the lower-median pick, and the quantization.
+    */
+  def eventsTheilsen(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.loadEvents(spark, dir)
+      .filter(col("ts").isNotNull)
+      .groupBy(col("event_type"),
+        // ntz → ltz → long under the pinned UTC session (the
+        // events_trend convention), then the epoch-day bucket
+        expr("cast(cast(ts as timestamp) as long) div 86400").as("day"))
+      .agg(count(lit(1)).as("y"))
+    graft.operators.TheilSen.fit(daily, Seq("event_type"),
+        col("day"), col("y"))
+      .orderBy("event_type")
+  }
+
+  val eventsTheilsenSql: String =
+    """WITH e AS (SELECT event_type,
+      |    (CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS x,
+      |    count(*) AS y
+      |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+      |p AS (SELECT a.event_type, b.y - a.y AS num, b.x - a.x AS den
+      |  FROM e a JOIN e b ON b.event_type = a.event_type AND a.x < b.x),
+      |r AS (SELECT event_type, num, den,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY CAST(num AS DOUBLE) / den, num, den) AS rn,
+      |    count(*) OVER (PARTITION BY event_type) AS np
+      |  FROM p),
+      |d AS (SELECT event_type, count(*) AS n_days FROM e GROUP BY 1)
+      |SELECT r.event_type, d.n_days, CAST(np AS BIGINT) AS n_pairs,
+      |  num AS med_num, den AS med_den,
+      |  CAST(floor(1000000.0 * num / den) AS BIGINT) AS slope_q
+      |FROM r JOIN d ON d.event_type = r.event_type
+      |WHERE rn = (np + 1) // 2
+      |ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_seasonal" -> (qSeasonal(_, _)),
+    "events_theilsen" -> (eventsTheilsen(_, _)),
     "events_trend" -> (eventsTrend(_, _)),
     "q_asof_purchase" -> (qAsofPurchase(_, _)),
     "q_asof_next" -> (qAsofNext(_, _)),
@@ -555,6 +598,7 @@ object TemporalQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q_seasonal" -> qSeasonalSql,
+    "events_theilsen" -> eventsTheilsenSql,
     "events_trend" -> eventsTrendSql,
     "q_asof_purchase" -> qAsofPurchaseSql,
     "q_asof_next" -> qAsofNextSql,
