@@ -42,7 +42,6 @@ object Seasonality {
     */
   def profile(df: DataFrame, groupCols: Seq[String], tsCol: Column,
       period: Int = 7): DataFrame = {
-    require(period >= 2, s"period must be >= 2, got $period")
     val days = df
       .select(groupCols.map(col) :+
         (tsCol.cast("timestamp").cast("long")).as("_secs"): _*)
@@ -50,6 +49,19 @@ object Seasonality {
       .withColumn("_day", expr("_secs div 86400"))
     val daily = days.groupBy(groupCols.map(col) :+ col("_day"): _*)
       .agg(count(lit(1)).as("_n"))
+    profileFromDaily(daily, groupCols, "_day", "_n", period)
+  }
+
+  /** The profile over an already-built (group, day, n) daily frame —
+    * the entry the streaming face ([[graft.streaming.CadenceStream]])
+    * re-runs on its folded state: daily counts are exactly mergeable
+    * longs, so running profile ≡ batch profile bit-for-bit.
+    */
+  def profileFromDaily(daily0: DataFrame, groupCols: Seq[String],
+      dayCol: String, nCol: String, period: Int = 7): DataFrame = {
+    require(period >= 2, s"period must be >= 2, got $period")
+    val daily = daily0.select(groupCols.map(col) :+
+      col(dayCol).as("_day") :+ col(nCol).cast("long").as("_n"): _*)
     val span = daily.agg(min(col("_day")).as("_mind"),
       max(col("_day")).as("_maxd"))
     val totals = daily.groupBy(groupCols.map(col): _*)
