@@ -929,6 +929,47 @@ object Relational {
       |  CAST(floor(((pb - pa) * ln(pb / pa)) * 1e9) AS BIGINT) AS psi_q
       |FROM r ORDER BY bin""".stripMargin
 
+  /** Wasserstein-1 (EMD) drift gate ([[graft.operators.Emd]]) on the
+    * q_psi fixture — the transport companion: PSI reads rate ratios,
+    * W1 reads how FAR the mass moved (a 1-bin vs 10-bin shift of the
+    * same mass separate). Cross-multiplied integer CDF terms — no
+    * division crosses the gate. Gate-only: runtime face is q_psi's
+    * two count-aggregates + bounded-bin merge; what this gate adds is
+    * the dense bin spine and the exact transport arithmetic.
+    */
+  def qEmd(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+    graft.operators.Emd.w1Binned(
+        orders, orders.filter(col("o_orderkey") % 7 =!= 0),
+        "o_totalprice", lo = 0.0, width = 50000.0, nBins = 10)
+      .orderBy("bin")
+  }
+
+  val qEmdSql: String =
+    """WITH a AS (SELECT CAST(least(greatest(
+      |    floor(o_totalprice / 50000.0), 0.0), 9.0) AS BIGINT) AS bin
+      |  FROM orders WHERE o_totalprice IS NOT NULL),
+      |ac AS (SELECT bin, count(*) AS n_a FROM a GROUP BY bin),
+      |b AS (SELECT CAST(least(greatest(
+      |    floor(o_totalprice / 50000.0), 0.0), 9.0) AS BIGINT) AS bin
+      |  FROM orders WHERE o_totalprice IS NOT NULL AND o_orderkey % 7 != 0),
+      |bc AS (SELECT bin, count(*) AS n_b FROM b GROUP BY bin),
+      |tot AS (SELECT CAST((SELECT sum(n_a) FROM ac) AS BIGINT) AS ta,
+      |  CAST((SELECT sum(n_b) FROM bc) AS BIGINT) AS tb),
+      |spine AS (SELECT unnest(generate_series(0, 9)) AS bin),
+      |m AS (SELECT s.bin,
+      |    CAST(COALESCE(ac.n_a, 0) AS BIGINT) AS n_a,
+      |    CAST(COALESCE(bc.n_b, 0) AS BIGINT) AS n_b
+      |  FROM spine s LEFT JOIN ac ON ac.bin = s.bin
+      |  LEFT JOIN bc ON bc.bin = s.bin),
+      |c AS (SELECT bin, n_a, n_b,
+      |    CAST(sum(n_a) OVER (ORDER BY bin) AS BIGINT) AS cum_a,
+      |    CAST(sum(n_b) OVER (ORDER BY bin) AS BIGINT) AS cum_b
+      |  FROM m)
+      |SELECT bin, n_a, n_b, cum_a, cum_b,
+      |  abs(cum_a * tb - cum_b * ta) AS w1_num
+      |FROM c, tot ORDER BY bin""".stripMargin
+
   // ---------------------------------------------------------- k-anonymity
 
   /** k-anonymity audit ([[graft.operators.KAnonymity]]) over customer
@@ -1072,6 +1113,7 @@ object Relational {
     "q_mv_rollup" -> (qMvRollup(_, _)),
     "q_btrank" -> (qBtrank(_, _)),
     "q_psi" -> (qPsi(_, _)),
+    "q_emd" -> (qEmd(_, _)),
     "dq_kanon" -> (dqKanon(_, _)),
     "er_sorted" -> (erSorted(_, _)),
     "er_symdel" -> (erSymdel(_, _)),
@@ -1105,6 +1147,7 @@ object Relational {
     "q_mv_rollup" -> qMvRollupSql,
     "q_btrank" -> qBtrankSql,
     "q_psi" -> qPsiSql,
+    "q_emd" -> qEmdSql,
     "dq_kanon" -> dqKanonSql,
     "er_sorted" -> erSortedSql,
     "er_symdel" -> erSymdelSql,
