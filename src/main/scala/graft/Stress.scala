@@ -29,7 +29,7 @@ object Stress {
         "hll", "kmeans", "kmeans4096", "simquant", "ivfserve", "linkage",
         "bpe", "bm25", "knngraph", "cms", "ssjoin", "classifier",
         "ntile", "novelty", "semantic1m", "ivfpq4096", "gram", "trend",
-        "mmr")
+        "mmr", "symdel")
     val spark = Sessions.local("32")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -903,6 +903,41 @@ object Stress {
         require(wrongFirst == 0, s"$wrongFirst queries' pick 1 != argmax rel")
         picks.unpersist()
         nPicks
+      }
+    }
+
+    if (which("symdel")) {
+      // Deletion-neighborhood fuzzy join at roster scale: 1M clean
+      // 10-hex-char keys (md5-derived — a DENSE numeric roster would
+      // put every probe at distance 1 from dozens of keys; random hex
+      // keeps spurious dist-1 neighbors at ~1e-4%), a probe side with
+      // a hash-positioned char DELETED from half the records (the
+      // other half clean), resolved blocking-free at d=1. Postings =
+      // 11M variants per side keyed by variant string; verify cost ∝
+      // candidate pairs. Asserted: every probe resolves (the screen
+      // is lossless), and ≥ 99% of probes argmin to their own source.
+      val nK = 1000000L
+      val cleanS = staged(spark.range(0L, nK, 1L, 32).select(
+        col("id").as("c_id"),
+        substring(md5(col("id").cast("string")), 1, 10).as("c_key")))
+      val dirtyS = staged(cleanS.select(
+        (col("c_id") + lit(10000000L)).as("d_id"),
+        when(col("c_id") % 2 === 0,
+          expr("concat(substring(c_key, 1, cast(pmod(hash(c_id), 10) as int)), " +
+            "substring(c_key, cast(pmod(hash(c_id), 10) as int) + 2))"))
+          .otherwise(col("c_key")).as("d_key")))
+      timed("symdel") {
+        val resolved = operators.SymDeleteJoin.resolve(
+          dirtyS, cleanS, "d_id", "d_key", "c_id", "c_key", d = 1)
+          .persist()
+        val n = resolved.count()
+        require(n == nK, s"lossless screen: expected $nK resolved, got $n")
+        val own = resolved
+          .filter(col("match_id") === col("d_id") - lit(10000000L)).count()
+        require(own >= (nK * 99L) / 100L,
+          s"only $own of $nK probes resolved to their own source")
+        resolved.unpersist()
+        n
       }
     }
 
