@@ -48,4 +48,39 @@ object RangeJoin {
       .filter(col(rightTime) >= col(startCol) && col(rightTime) <= col(endCol))
       .drop("__bucket")
   }
+
+  /** Interval-OVERLAP join: pair each left `[lStart, lEnd]` window
+    * with the right `[rStart, rEnd]` windows it intersects (closed
+    * intervals: touching endpoints overlap), per key — the
+    * interval×interval face of [[joinRange]]'s interval×point.
+    *
+    * Both sides explode into the fixed-width buckets their windows
+    * touch and join as a pure equi-join on (keys, bucket). A pair
+    * whose overlap spans b buckets would surface b times; instead of
+    * a result-wide DISTINCT (a second corpus-scale shuffle, and one
+    * that would need every output column in the key), the join keeps
+    * ONLY the row where the bucket equals the truncated
+    * `greatest(lStart, rStart)` — the overlap's FIRST bucket, which
+    * both sides provably explode — so each overlapping pair emits
+    * exactly once by construction. Same skew story as [[joinRange]]:
+    * the shuffle key (keys, bucket) spreads a hot key across time.
+    */
+  def joinOverlap(left: DataFrame, right: DataFrame, keys: Seq[String],
+      lStart: String, lEnd: String, rStart: String, rEnd: String,
+      bucket: String = "hour"): DataFrame = {
+    require(keys.nonEmpty, "overlap join needs at least one key column")
+    def explodeBuckets(df: DataFrame, s: String, e: String) =
+      df.filter(col(s) <= col(e)).withColumn("__bucket",
+        explode(sequence(
+          date_trunc(bucket, col(s)),
+          date_trunc(bucket, col(e)),
+          expr(s"INTERVAL 1 $bucket"))))
+    val lb = explodeBuckets(left, lStart, lEnd)
+    val rb = explodeBuckets(right, rStart, rEnd)
+    lb.join(rb, keys :+ "__bucket")
+      .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd))
+      .filter(col("__bucket") ===
+        date_trunc(bucket, greatest(col(lStart), col(rStart))))
+      .drop("__bucket")
+  }
 }

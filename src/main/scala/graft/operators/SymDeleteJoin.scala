@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.expressions.DeletionNeighborhood
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Blocking-free fuzzy join via deletion neighborhoods (FastSS /
@@ -36,17 +36,14 @@ import org.apache.spark.sql.functions._
   */
 object SymDeleteJoin {
 
-  /** All verified pairs: (leftId, rightId, dist ≤ d), exact-distance
-    * annotated. Duplicate variant collisions collapse BEFORE the
-    * levenshtein verify so each surviving pair is scored once.
-    */
-  def candidates(left: DataFrame, right: DataFrame,
-      leftId: String, leftText: String, rightId: String, rightText: String,
-      d: Int): DataFrame = {
-    val lv = left.select(col(leftId).as("_lid"), col(leftText).as("_ltxt"),
-      explode(DeletionNeighborhood.of(col(leftText), d)).as("_v"))
-    val rv = right.select(col(rightId).as("_rid"), col(rightText).as("_rtxt"),
-      explode(DeletionNeighborhood.of(col(rightText), d)).as("_v"))
+  private def variantSide(df: DataFrame, id: String, text: String,
+      idAs: String, txtAs: String, d: Int): DataFrame =
+    df.select(col(id).as(idAs), col(text).as(txtAs),
+      explode(DeletionNeighborhood.of(col(text), d)).as("_v"))
+
+  /** Screen + verify over two pre-exploded variant relations. */
+  private def verified(lv: DataFrame, rv: DataFrame,
+      leftId: String, rightId: String, d: Int): DataFrame =
     lv.join(rv, "_v")
       .select(col("_lid"), col("_rid"), col("_ltxt"), col("_rtxt"))
       .distinct()
@@ -55,7 +52,18 @@ object SymDeleteJoin {
       .filter(col("_dist") <= d)
       .select(col("_lid").as(leftId), col("_rid").as(rightId),
         col("_dist").as("dist"))
-  }
+
+  /** All verified pairs: (leftId, rightId, dist ≤ d), exact-distance
+    * annotated. Duplicate variant collisions collapse BEFORE the
+    * levenshtein verify so each surviving pair is scored once.
+    */
+  def candidates(left: DataFrame, right: DataFrame,
+      leftId: String, leftText: String, rightId: String, rightText: String,
+      d: Int): DataFrame =
+    verified(
+      variantSide(left, leftId, leftText, "_lid", "_ltxt", d),
+      variantSide(right, rightId, rightText, "_rid", "_rtxt", d),
+      leftId, rightId, d)
 
   /** Per-left-record argmin match — (leftId, match_id, match_dist,
     * n_cand), the [[RecordLinkage.resolve]] output contract, via the
@@ -65,10 +73,49 @@ object SymDeleteJoin {
   def resolve(left: DataFrame, right: DataFrame,
       leftId: String, leftText: String, rightId: String, rightText: String,
       d: Int): DataFrame =
-    candidates(left, right, leftId, leftText, rightId, rightText, d)
+    argmin(candidates(left, right, leftId, leftText, rightId, rightText, d),
+      leftId, rightId)
+
+  private def argmin(cands: DataFrame, leftId: String,
+      rightId: String): DataFrame =
+    cands
       .groupBy(col(leftId))
       .agg(min(struct(col("dist"), col(rightId))).as("_best"),
         count(lit(1)).as("n_cand"))
       .select(col(leftId), col(s"_best.$rightId").as("match_id"),
         col("_best.dist").as("match_dist"), col("n_cand"))
+
+  /** Persist the reference side's variant postings as ONE bucketed
+    * catalog table keyed by the variant string — the
+    * [[graft.dedup.IncrementalDedup.writeIndex]] discipline for the
+    * fuzzy-lookup screen: the write-time shuffle is paid once, and
+    * every later probe batch joins the index ALREADY partitioned on
+    * `_v` (plan-spec'd in SymDeleteIndexSpec — no Exchange above the
+    * bucketed scan before its join). Schema: (_rid, _rtxt, _v).
+    */
+  def writeIndex(right: DataFrame, rightId: String, rightText: String,
+      d: Int, table: String, numBuckets: Int = 32): Unit =
+    graft.sources.Bucketing.writeBucketed(
+      variantSide(right, rightId, rightText, "_rid", "_rtxt", d),
+      table, "_v", numBuckets)
+
+  /** [[candidates]] against a [[writeIndex]]-persisted reference —
+    * identical pairs, zero reference-side shuffle per probe batch.
+    * `d` must match the index's (variants are baked in at write time).
+    */
+  def candidatesIndexed(spark: SparkSession, table: String,
+      left: DataFrame, leftId: String, leftText: String,
+      d: Int): DataFrame =
+    verified(
+      variantSide(left, leftId, leftText, "_lid", "_ltxt", d),
+      spark.table(table), leftId, "_rid", d)
+
+  /** [[resolve]] against the persisted index; match ids surface from
+    * the index's `_rid` column.
+    */
+  def resolveIndexed(spark: SparkSession, table: String,
+      left: DataFrame, leftId: String, leftText: String,
+      d: Int): DataFrame =
+    argmin(candidatesIndexed(spark, table, left, leftId, leftText, d),
+      leftId, "_rid")
 }

@@ -102,6 +102,46 @@ object TemporalQueries {
       |  ON c.user_id = p.user_id AND c.c_ts >= p.w_start AND c.c_ts <= p.p_ts
       |GROUP BY p.p_id ORDER BY p.p_id""".stripMargin
 
+  /** Interval-OVERLAP attribution ([[graft.operators.RangeJoin
+    * .joinOverlap]]): per user, purchase attribution windows
+    * [ts−1h, ts] × click engagement windows [ts, ts+30m] — how many
+    * engagement windows INTERSECT each purchase window (window×window,
+    * where `q_range_clicks` is window×point). Gate-only: runtime face
+    * is `q_range_clicks`' bucketized equi-join; what this gate adds is
+    * the two-sided explode + the emit-once first-overlap-bucket rule
+    * (no result-wide DISTINCT), which the naive theta-join oracle
+    * proves pair-exact.
+    */
+  def qOverlapAttr(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.loadEvents(spark, dir)
+    val pur = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"),
+        (col("ts") - expr("INTERVAL 1 HOUR")).as("p_start"),
+        col("ts").as("p_end"))
+    val clk = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("c_start"),
+        (col("ts") + expr("INTERVAL 30 MINUTE")).as("c_end"))
+    graft.operators.RangeJoin.joinOverlap(pur, clk, Seq("user_id"),
+        "p_start", "p_end", "c_start", "c_end", "hour")
+      .groupBy(col("p_id"))
+      .agg(count(lit(1)).as("n_windows"))
+      .orderBy("p_id")
+  }
+
+  val qOverlapAttrSql: String =
+    """WITH pur AS (
+      |  SELECT event_id AS p_id, user_id,
+      |         ts - INTERVAL 1 HOUR AS p_start, ts AS p_end
+      |  FROM events WHERE event_type = 'purchase'),
+      |clk AS (
+      |  SELECT user_id, ts AS c_start, ts + INTERVAL 30 MINUTE AS c_end
+      |  FROM events WHERE event_type = 'click')
+      |SELECT p.p_id, count(*) AS n_windows
+      |FROM pur p JOIN clk c
+      |  ON c.user_id = p.user_id
+      | AND p.p_start <= c.c_end AND c.c_start <= p.p_end
+      |GROUP BY p.p_id ORDER BY p.p_id""".stripMargin
+
   /** Batch sessionization via Spark's `session_window` (the batch face
     * of [[graft.streaming.Sessionize]]): per-user sessions split at
     * ≥30-minute gaps. The oracle derives the same sessions through the
@@ -590,6 +630,7 @@ object TemporalQueries {
     "graph_ppr" -> (qPpr(_, _)),
     "q_paths" -> (qPaths(_, _)),
     "q_range_clicks" -> (qRangeClicks(_, _)),
+    "q_overlap_attr" -> (qOverlapAttr(_, _)),
     "q_sessions" -> (qSessions(_, _)),
     "q_label_join" -> (qLabelJoin(_, _)),
     "q_funnel" -> (qFunnel(_, _)),
@@ -606,6 +647,7 @@ object TemporalQueries {
     "graph_ppr" -> qPprSql,
     "q_paths" -> qPathsSql,
     "q_range_clicks" -> qRangeClicksSql,
+    "q_overlap_attr" -> qOverlapAttrSql,
     "q_sessions" -> qSessionsSql,
     "q_label_join" -> qLabelJoinSql,
     "q_funnel" -> qFunnelSql,

@@ -4,7 +4,7 @@ import graft.operators.HeavyHitters
 import graft.text._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{abs, coalesce, col, concat, count,
-  explode, floor, greatest, lit, md5, row_number, size, sum, when}
+  explode, floor, greatest, lit, log, md5, row_number, size, sum, when}
 
 /** Driver-verifiable text-analysis queries over the `documents` table.
   * All but tfidf are pure per-row projections (zero shuffle) ordered by
@@ -247,6 +247,53 @@ object TextQueries {
        |SELECT row_number() OVER (ORDER BY n_occurrences DESC, token) AS rnk,
        |  token, n_docs, n_occurrences
        |FROM top ORDER BY rnk""".stripMargin
+
+  /** Zipf-law fit of the ranked vocabulary — the power-law audit a
+    * corpus census reads before trusting token statistics (natural
+    * text slopes ≈ −1; a flat slope flags synthetic/boilerplate
+    * corpora, a cliff flags truncated crawls): exact OLS of
+    * ln(frequency) on ln(rank) over the top-$VocabK rows via
+    * [[graft.operators.TrendFit]] — the corpus-scale work IS the
+    * benched `text_vocab` census, the regression runs on the
+    * K-row summary frame. ln outputs cross the gate only after the
+    * family's floor quantization (x at 1e-6, y through TrendFit's
+    * 2^20 fixed point); the slope leaves as the exact
+    * DECIMAL(38,0) rational. −slope_num/slope_den ≈ the Zipf
+    * exponent α. Gate-only: `text_vocab` face + the `events_trend`
+    * closed form.
+    */
+  def textZipf(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = Vocab.topTokens(Tables.loadSpread(spark, dir, "documents"),
+      "doc_id", "text", VocabK)
+    graft.operators.TrendFit.fit(vocab, Seq(),
+      floor(log(col("rnk").cast("double")) * lit(1e6d)).cast("long"),
+      log(col("n_occurrences").cast("double")))
+  }
+
+  val textZipfSql: String =
+    s"""WITH v AS MATERIALIZED (
+       |$textVocabSql
+       |),
+       |e AS (SELECT
+       |    CAST(floor(ln(CAST(rnk AS DOUBLE)) * 1e6) AS BIGINT) AS x,
+       |    CAST(floor(ln(CAST(n_occurrences AS DOUBLE))
+       |      * ${graft.operators.TrendFit.Scale}.0) AS BIGINT) AS y
+       |  FROM v),
+       |m AS (SELECT COUNT(*) AS n,
+       |    CAST(SUM(x) AS BIGINT) AS sx,
+       |    CAST(SUM(y) AS BIGINT) AS sy_fp,
+       |    SUM(CAST(x AS HUGEINT) * y) AS sxy,
+       |    SUM(CAST(x AS HUGEINT) * x) AS sxx,
+       |    SUM(CAST(y AS HUGEINT) * y) AS syy
+       |  FROM e)
+       |SELECT n, sx, sy_fp,
+       |  CAST(CAST(n AS HUGEINT) * sxy
+       |    - CAST(sx AS HUGEINT) * sy_fp AS VARCHAR) AS slope_num,
+       |  CAST(CAST(n AS HUGEINT) * sxx
+       |    - CAST(sx AS HUGEINT) * sx AS VARCHAR) AS slope_den,
+       |  CAST(CAST(n AS HUGEINT) * syy
+       |    - CAST(sy_fp AS HUGEINT) * sy_fp AS VARCHAR) AS yvar_num
+       |FROM m""".stripMargin
 
   /** The multilingual vocabulary gate — the SAME operator as
     * [[textVocab]] with [[TokenCount.Unicode]] routed into the
@@ -1530,6 +1577,7 @@ object TextQueries {
     "text_fingerprint" -> (textFingerprint(_, _)),
     "text_dupspans" -> (textDupspans(_, _)),
     "text_vocab" -> (textVocab(_, _)),
+    "text_zipf" -> (textZipf(_, _)),
     "text_vocab_uni" -> (textVocabUni(_, _)),
     "text_heavyhitters" -> (textHeavyHitters(_, _)),
     "text_heavyhitters_grouped" -> (textHeavyHittersGrouped(_, _)),
@@ -1570,6 +1618,7 @@ object TextQueries {
     "text_fingerprint" -> textFingerprintSql,
     "text_dupspans" -> textDupspansSql,
     "text_vocab" -> textVocabSql,
+    "text_zipf" -> textZipfSql,
     "text_vocab_uni" -> textVocabUniSql,
     "text_heavyhitters" -> textHeavyHittersSql,
     "text_heavyhitters_grouped" -> textHeavyHittersGroupedSql,

@@ -102,6 +102,36 @@ object OperatorProps extends Properties("Operators") {
       bucketed == naive
     }
 
+  property("joinOverlap == naive theta join, exactly once per pair") =
+    forAll(for {
+      nl <- Gen.choose(1, 10); nr <- Gen.choose(0, 15)
+      left <- Gen.listOfN(nl, for {
+        k <- Gen.oneOf("a", "b"); s <- Gen.choose(0L, 100L)
+        len <- Gen.choose(0L, 30000L) // up to ~8 hours
+      } yield (k, s, s + len))
+      right <- Gen.listOfN(nr, for {
+        k <- Gen.oneOf("a", "b"); s <- Gen.choose(0L, 40000L)
+        len <- Gen.choose(0L, 10000L)
+      } yield (k, s, s + len))
+    } yield (left, right)) { case (left, right) =>
+      import spark.implicits._
+      val l = left.zipWithIndex
+        .map { case ((k, s, e), i) => (k, ts(s), ts(e), i.toLong) }
+        .toDF("k", "ls", "le", "lid")
+      val r = right.zipWithIndex
+        .map { case ((k, s, e), i) => (k, ts(s), ts(e), i.toLong) }
+        .toDF("k", "rs", "re", "rid")
+      def pairs(df: org.apache.spark.sql.DataFrame) =
+        df.select("lid", "rid").collect()
+          .map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+      val bucketed =
+        pairs(RangeJoin.joinOverlap(l, r, Seq("k"), "ls", "le", "rs", "re"))
+      val naive = pairs(l.join(r,
+        l("k") === r("k") && col("ls") <= col("re") && col("rs") <= col("le")))
+      // sorted (not set) comparison: a pair emitted twice would differ
+      bucketed == naive
+    }
+
   // ---- stream-join batch face vs driver-side interval scan ---------------
 
   property("StreamJoin.withinHorizon == driver-side interval match") =
