@@ -970,6 +970,41 @@ object Relational {
       |  abs(cum_a * tb - cum_b * ta) AS w1_num
       |FROM c, tot ORDER BY bin""".stripMargin
 
+  /** Benford first-digit audit ([[graft.operators.Benford]]) of order
+    * totals — the forensic governance screen beside `dq_checks`:
+    * per-digit observed vs log10(1+1/d) expected rates in ppm with a
+    * χ²-style integer deviation. Gate-only: runtime face is the q_psi
+    * one-count-aggregate + bounded-spine shape; the expected table is
+    * baked into plan AND oracle from the same Scala constants (zero
+    * runtime libm).
+    */
+  def dqBenford(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Benford.firstDigitAudit(
+        Tables.load(spark, dir, "orders"), "o_totalprice")
+      .orderBy("digit")
+
+  val dqBenfordSql: String = {
+    val expCase = (1 to 9)
+      .map(d => s"WHEN $d THEN ${graft.operators.Benford.ExpectedPpm(d - 1)}")
+      .mkString("CASE digit ", " ", " END")
+    s"""WITH c AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100)
+       |      AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+       |  FROM orders
+       |  WHERE o_totalprice IS NOT NULL AND o_totalprice > 0
+       |    AND floor(o_totalprice * 100) >= 1),
+       |g AS (SELECT digit, count(*) AS n FROM c GROUP BY digit),
+       |spine AS (SELECT unnest(generate_series(1, 9)) AS digit),
+       |t AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM g),
+       |m AS (SELECT s.digit, CAST(COALESCE(g.n, 0) AS BIGINT) AS n
+       |  FROM spine s LEFT JOIN g ON g.digit = s.digit),
+       |p AS (SELECT digit, n, (1000000 * n) // t AS obs_ppm,
+       |    $expCase AS exp_ppm
+       |  FROM m, t)
+       |SELECT digit, n, obs_ppm, exp_ppm,
+       |  ((obs_ppm - exp_ppm) * (obs_ppm - exp_ppm)) // exp_ppm AS dev_q
+       |FROM p ORDER BY digit""".stripMargin
+  }
+
   // ---------------------------------------------------------- k-anonymity
 
   /** k-anonymity audit ([[graft.operators.KAnonymity]]) over customer
@@ -1114,6 +1149,7 @@ object Relational {
     "q_btrank" -> (qBtrank(_, _)),
     "q_psi" -> (qPsi(_, _)),
     "q_emd" -> (qEmd(_, _)),
+    "dq_benford" -> (dqBenford(_, _)),
     "dq_kanon" -> (dqKanon(_, _)),
     "er_sorted" -> (erSorted(_, _)),
     "er_symdel" -> (erSymdel(_, _)),
@@ -1148,6 +1184,7 @@ object Relational {
     "q_btrank" -> qBtrankSql,
     "q_psi" -> qPsiSql,
     "q_emd" -> qEmdSql,
+    "dq_benford" -> dqBenfordSql,
     "dq_kanon" -> dqKanonSql,
     "er_sorted" -> erSortedSql,
     "er_symdel" -> erSymdelSql,
