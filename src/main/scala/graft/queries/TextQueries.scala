@@ -295,6 +295,44 @@ object TextQueries {
        |    - CAST(sy_fp AS HUGEINT) * sy_fp AS VARCHAR) AS yvar_num
        |FROM m""".stripMargin
 
+  /** Heaps'-law vocabulary-growth curve ([[VocabGrowth]]): cumulative
+    * distinct tokens vs cumulative tokens at 20 id-order checkpoints —
+    * the dedup/diversity audit beside `text_zipf`'s frequency
+    * power-law. Gate-only: runtime faces are the `corpus_order`-class
+    * rank exchange and the `text_vocab` token census; what this gate
+    * adds is the first-occurrence bucketing + the k-row cumulative
+    * frame. The oracle replays rank, buckets, first-seen minima, and
+    * all three cumulative sums.
+    */
+  def textHeaps(spark: SparkSession, dir: String): DataFrame =
+    VocabGrowth.curve(Tables.loadSpread(spark, dir, "documents"),
+        "doc_id", "text", k = 20)
+      .orderBy("checkpoint")
+
+  val textHeapsSql: String =
+    s"""WITH d AS (SELECT doc_id,
+       |    regexp_extract_all(lower(text), '${TokenCount.TokenPattern}') AS t
+       |  FROM documents),
+       |r AS (SELECT doc_id, t,
+       |    row_number() OVER (ORDER BY doc_id) - 1 AS rank,
+       |    count(*) OVER () AS n
+       |  FROM d),
+       |b AS (SELECT doc_id, t, (rank * 20) // n AS bucket FROM r),
+       |dt AS (SELECT bucket, count(*) AS docs,
+       |    CAST(sum(len(t)) AS BIGINT) AS toks
+       |  FROM b GROUP BY bucket),
+       |fs0 AS (SELECT unnest(t) AS tok, bucket FROM b),
+       |fs AS (SELECT tok, min(bucket) AS fb FROM fs0 GROUP BY tok),
+       |nv AS (SELECT fb AS bucket, count(*) AS novel FROM fs GROUP BY fb),
+       |c AS (SELECT dt.bucket, dt.docs, dt.toks,
+       |    CAST(COALESCE(nv.novel, 0) AS BIGINT) AS novel
+       |  FROM dt LEFT JOIN nv ON nv.bucket = dt.bucket)
+       |SELECT bucket AS checkpoint,
+       |  CAST(sum(docs) OVER (ORDER BY bucket) AS BIGINT) AS docs_cum,
+       |  CAST(sum(toks) OVER (ORDER BY bucket) AS BIGINT) AS tokens_cum,
+       |  CAST(sum(novel) OVER (ORDER BY bucket) AS BIGINT) AS vocab_cum
+       |FROM c ORDER BY checkpoint""".stripMargin
+
   /** The multilingual vocabulary gate — the SAME operator as
     * [[textVocab]] with [[TokenCount.Unicode]] routed into the
     * production token path, over the corpus plus the CJK / Hangul /
@@ -1578,6 +1616,7 @@ object TextQueries {
     "text_dupspans" -> (textDupspans(_, _)),
     "text_vocab" -> (textVocab(_, _)),
     "text_zipf" -> (textZipf(_, _)),
+    "text_heaps" -> (textHeaps(_, _)),
     "text_vocab_uni" -> (textVocabUni(_, _)),
     "text_heavyhitters" -> (textHeavyHitters(_, _)),
     "text_heavyhitters_grouped" -> (textHeavyHittersGrouped(_, _)),
@@ -1619,6 +1658,7 @@ object TextQueries {
     "text_dupspans" -> textDupspansSql,
     "text_vocab" -> textVocabSql,
     "text_zipf" -> textZipfSql,
+    "text_heaps" -> textHeapsSql,
     "text_vocab_uni" -> textVocabUniSql,
     "text_heavyhitters" -> textHeavyHittersSql,
     "text_heavyhitters_grouped" -> textHeavyHittersGroupedSql,
