@@ -56,14 +56,32 @@ object SymDeleteJoin {
   /** All verified pairs: (leftId, rightId, dist ≤ d), exact-distance
     * annotated. Duplicate variant collisions collapse BEFORE the
     * levenshtein verify so each surviving pair is scored once.
+    *
+    * `maxVariantFreq` is the skew hatch for DENSE key spaces (the
+    * [[RecordLinkage]] `maxBlockSize` / [[graft.dedup.NgramJaccard]]
+    * doc-frequency-cap pattern): on a roster where thousands of keys
+    * collapse onto one deletion variant (sequential ids, fixed
+    * prefixes), that variant's postings join is the quadratic hot
+    * bucket. With the cap set, variants whose REFERENCE-side postings
+    * exceed it drop from candidate generation — the over-cap list is
+    * tiny by definition and broadcasts. Capped screening is no longer
+    * lossless: a pair is found iff it still shares an under-cap
+    * variant (precision is untouched — verify is exact); the honest
+    * trade the d-neighborhood literature makes at scale.
     */
   def candidates(left: DataFrame, right: DataFrame,
       leftId: String, leftText: String, rightId: String, rightText: String,
-      d: Int): DataFrame =
+      d: Int, maxVariantFreq: Option[Long] = None): DataFrame = {
+    val rv0 = variantSide(right, rightId, rightText, "_rid", "_rtxt", d)
+    val rv = maxVariantFreq.fold(rv0) { cap =>
+      val hot = rv0.groupBy(col("_v")).agg(count(lit(1)).as("_vn"))
+        .filter(col("_vn") > cap).drop("_vn")
+      rv0.join(broadcast(hot), Seq("_v"), "left_anti")
+    }
     verified(
       variantSide(left, leftId, leftText, "_lid", "_ltxt", d),
-      variantSide(right, rightId, rightText, "_rid", "_rtxt", d),
-      leftId, rightId, d)
+      rv, leftId, rightId, d)
+  }
 
   /** Per-left-record argmin match — (leftId, match_id, match_dist,
     * n_cand), the [[RecordLinkage.resolve]] output contract, via the

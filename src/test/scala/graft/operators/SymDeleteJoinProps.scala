@@ -56,6 +56,26 @@ object SymDeleteJoinProps extends Properties("SymDeleteJoin") {
       got == want
     }
 
+  property("variant cap: precision untouched, candidates a subset") =
+    forAll(genCorpus, genCorpus, Gen.choose(1, 2), Gen.choose(1L, 4L)) {
+      (ls, rs, d, cap) =>
+        import spark.implicits._
+        val left = ls.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+          .toDF("lid", "ltxt")
+        val right = rs.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+          .toDF("rid", "rtxt")
+        def pairs(mv: Option[Long]) = SymDeleteJoin
+          .candidates(left, right, "lid", "ltxt", "rid", "rtxt", d, mv)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+          .toSet
+        val capped = pairs(Some(cap))
+        val full = pairs(None)
+        capped.subsetOf(full) &&
+          capped.forall { case (li, ri, dist) =>
+            lev(ls(li.toInt), rs(ri.toInt)) == dist && dist <= d
+          }
+    }
+
   property("neighborhood is the distinct <=d deletion closure") =
     forAll(genStr, Gen.choose(1, 2)) { (s, d) =>
       val got = DeletionNeighborhood
