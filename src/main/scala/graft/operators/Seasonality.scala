@@ -52,6 +52,41 @@ object Seasonality {
     profileFromDaily(daily, groupCols, "_day", "_n", period)
   }
 
+  /** Seasonally-adjusted daily anomalies: each (group, day)'s volume
+    * as a ppm ratio to its own PHASE's per-calendar-day mean — the
+    * batch face of [[graft.streaming.CadenceStream]]'s latest-day
+    * verdict, over every day at once. A Monday spike is judged
+    * against Mondays, so weekly rhythm stops masquerading as anomaly
+    * (the plain rolling z-score's known blind spot). Exact integers:
+    * `ratio_ppm = 1e6·n·cal_days div phase_total`; SPIKE above
+    * `hiPpm`, DROP below `loPpm`, QUIET between. Output is the
+    * (groups × days) summary frame — the broadcast-joined profile is
+    * groups × period rows.
+    */
+  def dailyAnomalies(df: DataFrame, groupCols: Seq[String], tsCol: Column,
+      period: Int, loPpm: Long, hiPpm: Long): DataFrame = {
+    val days = df
+      .select(groupCols.map(col) :+
+        (tsCol.cast("timestamp").cast("long")).as("_secs"): _*)
+      .filter(col("_secs").isNotNull)
+      .withColumn("_day", expr("_secs div 86400"))
+    val daily = days.groupBy(groupCols.map(col) :+ col("_day"): _*)
+      .agg(count(lit(1)).as("n"))
+    val prof = profileFromDaily(daily, groupCols, "_day", "n", period)
+      .select(groupCols.map(col) :+ col("phase") :+
+        col("n_events").as("_pt") :+ col("cal_days").as("_cd"): _*)
+    daily
+      .withColumn("phase", col("_day") % period)
+      .join(broadcast(prof), groupCols :+ "phase")
+      .withColumn("ratio_ppm", expr("(1000000 * n * _cd) div _pt"))
+      .withColumn("verdict",
+        when(col("ratio_ppm") > hiPpm, lit("SPIKE"))
+          .when(col("ratio_ppm") < loPpm, lit("DROP"))
+          .otherwise(lit("QUIET")))
+      .select(groupCols.map(col) ++ Seq(col("_day").as("day"), col("phase"),
+        col("n"), col("ratio_ppm"), col("verdict")): _*)
+  }
+
   /** The profile over an already-built (group, day, n) daily frame —
     * the entry the streaming face ([[graft.streaming.CadenceStream]])
     * re-runs on its folded state: daily counts are exactly mergeable

@@ -578,6 +578,49 @@ object TemporalQueries {
       |  (1000000 * n_events * span) // (cal_days * total) AS season_ppm
       |FROM c2 ORDER BY event_type, phase""".stripMargin
 
+  /** Seasonally-adjusted daily anomalies
+    * ([[graft.operators.Seasonality.dailyAnomalies]]): every (type,
+    * day) judged against ITS OWN weekday phase's mean — the weekly
+    * rhythm stops masquerading as anomaly (`q_anomaly`'s rolling z
+    * reads calendar-blind). Gate-only: the `q_events_hourly` daily
+    * aggregate + a broadcast join of the (groups × period) profile;
+    * what the gate adds is the per-day ratio/verdict arithmetic,
+    * all-integer.
+    */
+  def qSeasonalAnom(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Seasonality.dailyAnomalies(
+        Tables.loadEvents(spark, dir), Seq("event_type"), col("ts"),
+        period = 7, loPpm = 950000L, hiPpm = 1050000L)
+      .orderBy("event_type", "day")
+
+  val qSeasonalAnomSql: String =
+    """WITH e AS (SELECT event_type,
+      |    (CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS day
+      |  FROM events WHERE ts IS NOT NULL),
+      |daily AS (SELECT event_type, day, count(*) AS n FROM e
+      |  GROUP BY 1, 2),
+      |rng AS (SELECT min(day) AS mind, max(day) AS maxd FROM daily),
+      |ph AS (SELECT event_type, day % 7 AS phase,
+      |    CAST(sum(n) AS BIGINT) AS pt
+      |  FROM daily GROUP BY 1, 2),
+      |c AS (SELECT p.event_type, p.phase, p.pt,
+      |    r.mind + (((p.phase - r.mind % 7) % 7 + 7) % 7) AS first_day,
+      |    r.maxd
+      |  FROM ph p CROSS JOIN rng r),
+      |c2 AS (SELECT event_type, phase, pt,
+      |    CASE WHEN first_day > maxd THEN 0
+      |         ELSE (maxd - first_day) // 7 + 1 END AS cd
+      |  FROM c),
+      |j AS (SELECT d.event_type, d.day, d.day % 7 AS phase, d.n,
+      |    (1000000 * d.n * c2.cd) // c2.pt AS ratio_ppm
+      |  FROM daily d JOIN c2 ON c2.event_type = d.event_type
+      |    AND c2.phase = d.day % 7)
+      |SELECT event_type, day, phase, n, ratio_ppm,
+      |  CASE WHEN ratio_ppm > 1050000 THEN 'SPIKE'
+      |       WHEN ratio_ppm < 950000 THEN 'DROP'
+      |       ELSE 'QUIET' END AS verdict
+      |FROM j ORDER BY event_type, day""".stripMargin
+
   /** Theil-Sen robust daily-volume trend ([[graft.operators.TheilSen]])
     * per event type: median pairwise slope over the (type, day, count)
     * summary frame — the outlier-immune companion of `events_trend`'s
@@ -623,6 +666,7 @@ object TemporalQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_seasonal" -> (qSeasonal(_, _)),
     "events_theilsen" -> (eventsTheilsen(_, _)),
+    "q_seasonal_anom" -> (qSeasonalAnom(_, _)),
     "events_trend" -> (eventsTrend(_, _)),
     "q_asof_purchase" -> (qAsofPurchase(_, _)),
     "q_asof_next" -> (qAsofNext(_, _)),
@@ -640,6 +684,7 @@ object TemporalQueries {
   val oracleSql: Map[String, String] = Map(
     "q_seasonal" -> qSeasonalSql,
     "events_theilsen" -> eventsTheilsenSql,
+    "q_seasonal_anom" -> qSeasonalAnomSql,
     "events_trend" -> eventsTrendSql,
     "q_asof_purchase" -> qAsofPurchaseSql,
     "q_asof_next" -> qAsofNextSql,

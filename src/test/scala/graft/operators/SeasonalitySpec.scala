@@ -49,6 +49,25 @@ class SeasonalitySpec extends AnyFunSuite {
     assert(got.toSeq === want)
   }
 
+  test("dailyAnomalies: burst day flags SPIKE against its own phase") {
+    import spark.implicits._
+    // phase-0 days carry 2 events, except one burst day with 8;
+    // a phase-3 day with 3 events is normal FOR ITS PHASE
+    val rows =
+      Seq((21000L, 2), (21007L, 2), (21014L, 8), (21021L, 2),
+        (21003L, 3), (21010L, 3))
+        .flatMap { case (d, n) => (0 until n).map(i => ("g", tsOfDay(d, i))) }
+    val got = Seasonality.dailyAnomalies(rows.toDF("grp", "ts"), Seq("grp"),
+        col("ts"), period = 7, loPpm = 700000L, hiPpm = 1600000L)
+      .orderBy("day").collect()
+      .map(r => (r.getLong(1), r.getLong(3), r.getString(5)))
+    // phase 0: total 14 over 4 cal days -> mean 3.5/day; burst 8 ->
+    // ratio 8*4e6/14 = 2285714 SPIKE; quiet days 2*4e6/14 = 571428 DROP
+    assert(got.toSeq === Seq(
+      (21000L, 2L, "DROP"), (21003L, 3L, "QUIET"), (21007L, 2L, "DROP"),
+      (21010L, 3L, "QUIET"), (21014L, 8L, "SPIKE"), (21021L, 2L, "DROP")))
+  }
+
   test("phase counts over a full dense week are uniform") {
     import spark.implicits._
     val df = (0 until 70).map(i => ("g", tsOfDay(21000L + i % 14, 0)))
