@@ -29,7 +29,7 @@ object Stress {
         "hll", "kmeans", "kmeans4096", "simquant", "ivfserve", "linkage",
         "bpe", "bm25", "knngraph", "cms", "ssjoin", "classifier",
         "ntile", "novelty", "semantic1m", "ivfpq4096", "gram", "trend",
-        "mmr", "symdel")
+        "mmr", "symdel", "linkpred")
     val spark = Sessions.local("32")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -938,6 +938,36 @@ object Stress {
           s"only $own of $nK probes resolved to their own source")
         resolved.unpersist()
         n
+      }
+    }
+
+    if (which("linkpred")) {
+      // RA link prediction at graph scale: 500k nodes, 2M directed
+      // edges with 100 planted hubs (~2k in-degree each — their
+      // wedges alone would be ~4e8 rows). The maxDegree cap drops hub
+      // CENTERS from wedge generation; remaining Σ deg² stays ~1e7.
+      // Asserted: exactly topN rows, total (ra DESC, a, b) order, a
+      // second run returns the identical frame (determinism under
+      // re-execution).
+      val nN = 500000L
+      val edgesS = staged(spark.range(0L, 2000000L, 1L, 32).select(
+        (col("id") % nN).as("src"),
+        when(col("id") % 10 === 0, col("id") % 100L)
+          .otherwise(expr(s"pmod(hash(id), ${nN}L)")).as("dst")))
+      timed("linkpred") {
+        def run() = similarity.LinkPredict.resourceAllocation(
+          edgesS, "src", "dst", minCommon = 2, topN = 200,
+          maxDegree = Some(64L))
+        val top = run().persist()
+        val rows = top.collect()
+        require(rows.length == 200, s"expected 200 rows, got ${rows.length}")
+        val key = rows.map(r => (-r.getLong(3), r.getLong(0), r.getLong(1)))
+        require(key.sameElements(key.sorted), "total order violated")
+        val again = run().collect()
+        require(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq,
+          "re-execution returned a different frame")
+        top.unpersist()
+        rows.length.toLong
       }
     }
 
