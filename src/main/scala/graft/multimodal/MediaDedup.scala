@@ -163,6 +163,59 @@ object MediaDedup {
     }.toDF("doc_id", "phash")
   }
 
+  /** (doc_id, frame_idx, phash) for every decodable frame of an
+    * MJPEG-style video payload ([[MediaDecode.splitMjpeg]] + the same
+    * ImageIO path + [[aHash64]]): the frame-level content signature
+    * under cross-video reuse detection. Corrupt frames are absent
+    * (no raster, no perceptual content); same `mapPartitions`-where-
+    * the-bytes-live shape as [[MediaDecode.decodeMjpeg]].
+    */
+  def videoFrameHashes(records: Dataset[MediaDecode.MediaRecord]): DataFrame = {
+    import records.sparkSession.implicits._
+    records.mapPartitions(_.flatMap { r =>
+      MediaDecode.splitMjpeg(r.payload).zipWithIndex.flatMap {
+        case (frame, idx) =>
+          try Some((r.doc_id, idx, aHash64(MediaDecode.readImage(frame))))
+          catch { case scala.util.control.NonFatal(_) => None }
+      }
+    }).toDF("doc_id", "frame_idx", "phash")
+  }
+
+  /** Cross-video content reuse: pairs of videos sharing at least
+    * `minShared` near-duplicate frames (frame-pair hamming ≤
+    * `maxHamming`) — re-encoded, re-cut, or watermarked copies whose
+    * byte checksums (and often whole-payload hashes) all differ. The
+    * candidate join is the same byte-banded pigeonhole as
+    * [[nearDuplicatePairs]] (complete for hamming ≤ 7), KEYED ON THE
+    * HASH BYTES, so cost follows hash-bucket collisions, never
+    * |frames|². Output: (doc_a, doc_b, n_shared, min_hamming),
+    * doc_a < doc_b.
+    */
+  def videoNearDupPairs(frameHashes: DataFrame, maxHamming: Int = 3,
+      minShared: Int = 2): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 7,
+      "the 8-band pigeonhole guarantees completeness only for hamming <= 7")
+    def sr(v: org.apache.spark.sql.Column, s: org.apache.spark.sql.Column) =
+      call_function("shiftright", v, s)
+    val bytes = frameHashes
+      .select(col("doc_id"), col("frame_idx"), col("phash"),
+        explode(sequence(lit(0), lit(7))).as("byte_id"))
+      .withColumn("byte_val",
+        sr(col("phash"), col("byte_id") * 8).bitwiseAND(lit(255L)))
+    bytes.as("a").join(bytes.as("b"),
+        col("a.byte_id") === col("b.byte_id") &&
+          col("a.byte_val") === col("b.byte_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("a.frame_idx").as("fa"),
+        col("b.doc_id").as("doc_b"), col("b.frame_idx").as("fb"),
+        bit_count(col("a.phash").bitwiseXOR(col("b.phash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"), min(col("hamming")).as("min_hamming"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Near-duplicate pairs among hashed images: (doc_a, doc_b,
     * hamming), doc_a < doc_b, hamming ≤ `maxHamming`. The candidate
     * join is byte-banded — complete for `maxHamming` ≤ 7 by

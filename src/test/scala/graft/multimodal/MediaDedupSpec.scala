@@ -118,4 +118,29 @@ class MediaDedupSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs === Set((1L, 2L)))
   }
+
+  test("video frame near-dup: re-encoded copy found, disjoint video not") {
+    import spark.implicits._
+    def jpeg(img: BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    def video(frames: BufferedImage*): Array[Byte] =
+      frames.map(jpeg).reduce(_ ++ _)
+    // v1 and v2 share two frames up to a uniform brightening (aHash
+    // thresholds at the mean, so the shift cancels); v3 is disjoint
+    val v1 = video(noiseImage(1), noiseImage(2), noiseImage(3))
+    val v2 = video(noiseImage(1, brighten = 4), noiseImage(2, brighten = 4),
+      noiseImage(99))
+    val v3 = video(noiseImage(50), noiseImage(60))
+    val ds = Seq(MediaRecord(1L, "mjpeg", v1), MediaRecord(2L, "mjpeg", v2),
+      MediaRecord(3L, "mjpeg", v3)).toDS()
+    val hashes = MediaDedup.videoFrameHashes(ds)
+    assert(hashes.count() === 8) // 3 + 3 + 2 decodable frames
+    val pairs = MediaDedup
+      .videoNearDupPairs(hashes, maxHamming = 7, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSeq === Seq((1L, 2L, 2L)))
+  }
 }
