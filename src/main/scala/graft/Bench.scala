@@ -82,7 +82,8 @@ object Bench {
     // while per-slot ratios stayed flat). CalibRef is the idle-box (in-bench, truly quiesced)
     // median on the build box, pinned once; bench_schema versions the
     // methodology (v3 = r9's stripGlobalSort slot set + r10's calib)
-    // per the round-9 advice to re-baseline explicitly.
+    // per the round-9 advice to re-baseline explicitly
+    // (v4 = v3 + run-spanning calibration, see below).
     val CalibRef = 0.72
     def calibOnce(): Double = {
       val t0 = System.nanoTime()
@@ -92,14 +93,22 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     calibOnce() // untimed: JIT + scheduler warm, like every slot
-    val calib = {
-      val ts = (1 to 5).map(_ => calibOnce()).sorted
-      ts(2)
-    }
+    // Box speed is sampled at the START, MIDPOINT, and END of the run
+    // (3 samples each; calib = median of 9) — bench_schema 4. The v3
+    // single pre-run sample misrepresented a DRIFTING host: observed
+    // back-to-back full runs at raw 83.6 s with pre-run calib 0.712
+    // (normalized 84.5 — the host slowed AFTER the sample) then raw
+    // 77.3 s with calib 0.902 (normalized 61.7); spanning the run
+    // makes the normalization see the same host regime the slots saw.
+    val calibSamples = scala.collection.mutable.ArrayBuffer.empty[Double]
+    calibSamples ++= (1 to 3).map(_ => calibOnce())
 
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     var errors = List.empty[(String, String)]
-    val results = benched.map { name =>
+    val midpoint = benched.size / 2
+    val results = benched.zipWithIndex.map { case (name, slotIdx) =>
+      if (slotIdx == midpoint)
+        calibSamples ++= (1 to 3).map(_ => calibOnce())
       val times = (1 to reps).iterator.map { _ =>
         val t0 = System.nanoTime()
         val t = try {
@@ -119,6 +128,8 @@ object Bench {
       if (times.length < reps) name -> (-1.0, -1.0)
       else name -> (times.sorted.apply(reps / 2), times.min)
     }
+    calibSamples ++= (1 to 3).map(_ => calibOnce())
+    val calib = calibSamples.sorted.apply(calibSamples.size / 2)
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""
@@ -155,7 +166,7 @@ object Bench {
     spark.stop()
     // reps rides THIS line (not the final one): at 96 slots the final
     // line needs every tail-window char for the per-query map
-    println(s"""{"metric":"total_min","value":${f3(totalMin)},"unit":"sec","reps":$reps,"bench_schema":3,"queries_min":$qsMin}""")
+    println(s"""{"metric":"total_min","value":${f3(totalMin)},"unit":"sec","reps":$reps,"bench_schema":4,"queries_min":$qsMin}""")
     // sf as basename: the full path cost 15 chars of tail-window margin
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","total_min":${f3(totalMin)},"calib":${f3(calib)},"total_norm":${f3(total * CalibRef / calib)},"queries":$qs,$errs"sf":"${new java.io.File(sfDir).getName}"}""")
   }
