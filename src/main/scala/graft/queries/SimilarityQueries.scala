@@ -715,6 +715,60 @@ object SimilarityQueries {
       .stripMargin
   }
 
+  /** Newman modularity ([[graft.operators.Modularity]]) of the LPA
+    * communities over the mutual-kNN graph — the community-QUALITY
+    * audit past `sim_graph_lpa`'s assignment: per-community integer
+    * numerators `4·m·intra − deg²`; Σ/(4m²) is the headline Q. The
+    * single division stays driver-side so only longs cross the gate.
+    * Gate-only: runtime faces are the benched knn-graph candidate
+    * stage + the LPA round joins; what the gate adds is the
+    * modularity arithmetic, replayed term-for-term.
+    */
+  def simGraphModularity(spark: SparkSession, dir: String): DataFrame = {
+    val mutual = KnnGraph.mutualEdges(
+      KnnGraph.build(Tables.loadSpread(spark, dir, "embeddings"),
+        "vec_id", "embedding", KnnK, ivfCfg))
+    val labels = graft.operators.LabelPropagation
+      .communities(mutual, "a", "b", LpaRounds)
+    graft.operators.Modularity.byCommunity(mutual, "a", "b",
+        labels, "id", "community")
+      .orderBy("community")
+  }
+
+  val simGraphModularitySql: String = {
+    val rounds = (1 to LpaRounds).map { k =>
+      val prev = if (k == 1) "l0" else s"l${k - 1}"
+      s"""cnt$k AS (SELECT e.src, l.lab, count(*) AS c
+         |  FROM edges e JOIN $prev l ON l.id = e.dst GROUP BY 1, 2),
+         |l$k AS (SELECT src AS id, lab FROM (
+         |  SELECT src, lab, ROW_NUMBER() OVER (PARTITION BY src
+         |    ORDER BY c DESC, lab) AS rn FROM cnt$k) WHERE rn = 1)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH $mutualGraphCtes,
+       |edges AS (SELECT a AS src, b AS dst FROM mut
+       |          UNION SELECT b, a FROM mut),
+       |l0 AS (SELECT DISTINCT src AS id, src AS lab FROM edges),
+       |$rounds,
+       |lab AS (SELECT id, lab FROM l$LpaRounds),
+       |mm AS (SELECT count(*) AS m FROM mut),
+       |deg AS (SELECT src AS id, count(*) AS d FROM edges GROUP BY 1),
+       |dc AS (SELECT l.lab AS community, count(*) AS n_nodes,
+       |    CAST(sum(d.d) AS BIGINT) AS deg_sum
+       |  FROM lab l JOIN deg d ON d.id = l.id GROUP BY 1),
+       |ie AS (SELECT la.lab AS community, count(*) AS intra
+       |  FROM mut e JOIN lab la ON la.id = e.a
+       |  JOIN lab lb ON lb.id = e.b
+       |  WHERE la.lab = lb.lab GROUP BY 1)
+       |SELECT dc.community, dc.n_nodes,
+       |  CAST(COALESCE(ie.intra, 0) AS BIGINT) AS intra_edges,
+       |  dc.deg_sum,
+       |  4 * mm.m * CAST(COALESCE(ie.intra, 0) AS BIGINT)
+       |    - dc.deg_sum * dc.deg_sum AS q_num
+       |FROM dc LEFT JOIN ie ON ie.community = dc.community
+       |CROSS JOIN mm ORDER BY 1""".stripMargin
+  }
+
   /** Per-node triangle counts ([[graft.operators.Triangles]]) over
     * the mutual-kNN graph — the local-cohesion score separating
     * clique-like embedding neighborhoods from chains. Gate-only:
@@ -1680,6 +1734,7 @@ object SimilarityQueries {
     "sim_graph_lpa" -> (simGraphLpa(_, _)),
     "sim_graph_triangles" -> (simGraphTriangles(_, _)),
     "sim_linkpred" -> (simLinkpred(_, _)),
+    "sim_graph_modularity" -> (simGraphModularity(_, _)),
     "embed_drift" -> (embedDrift(_, _)),
     "sim_nnd_recall" -> (simNndRecall(_, _)),
     "sim_ivf_stats" -> (simIvfStats(_, _)),
@@ -1715,6 +1770,7 @@ object SimilarityQueries {
     "sim_graph_lpa" -> simGraphLpaSql,
     "sim_graph_triangles" -> simGraphTrianglesSql,
     "sim_linkpred" -> simLinkpredSql,
+    "sim_graph_modularity" -> simGraphModularitySql,
     "embed_drift" -> embedDriftSql,
     "sim_nnd_recall" -> simNndRecallSql,
     "sim_ivf_stats" -> simIvfStatsSql,
