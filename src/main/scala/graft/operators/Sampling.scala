@@ -66,6 +66,31 @@ object Sampling {
         splitColumn(coalesce(col("comp"), col(idCol)), evalFraction, salt)
           .as("split"))
 
+  /** Fold index ∈ [0, k) from the md5 draw: `(h·k) >> 32` over the
+    * 32-bit hash — integer arithmetic (h·k < 2^35 for practical k), so
+    * the assignment is engine-exact and fold sizes differ only by
+    * hash granularity.
+    */
+  def foldColumn(id: Column, k: Int, salt: String = "fold"): Column =
+    shiftright(
+      hash32(concat(lit(s"$salt:"), id.cast("string"))) * lit(k.toLong), 32)
+
+  /** Dedup-aware k-FOLD assignment — the cross-validation face of
+    * [[leakageFreeSplit]]: the fold draw happens once per near-dup
+    * COMPONENT, so no near-duplicate pair ever lands in different
+    * folds (train-on-fold-A / validate-on-fold-B contamination), while
+    * singletons draw on their own id. Same join shape and salt
+    * discipline as the split.
+    */
+  def leakageFreeFolds(docs: DataFrame, comps: DataFrame, idCol: String,
+      k: Int, salt: String = "fold"): DataFrame = {
+    require(k >= 2 && k <= 1024, s"fold count in [2,1024], got $k")
+    docs.select(col(idCol))
+      .join(comps.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        foldColumn(coalesce(col("comp"), col(idCol)), k, salt).as("fold"))
+  }
+
   /** Keep at most `cap` rows per stratum — the domain/source quota of a
     * training mix (no single crawl domain may dominate). Which rows
     * survive is deterministic: rank by the md5 coordinate (a fixed

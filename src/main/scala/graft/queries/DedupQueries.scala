@@ -692,6 +692,45 @@ object DedupQueries {
        |FROM keyed ORDER BY doc_id""".stripMargin
   }
 
+  /** Dedup-aware k-fold assignment
+    * ([[graft.operators.Sampling.leakageFreeFolds]], k = 5): the fold
+    * draw happens once per near-dup component, so cross-validation
+    * never trains on one member of a near-dup pair and validates on
+    * the other. Fold = `(h·k) >> 32` over the group's md5 draw —
+    * integer-exact. Gate-only: the `sample_split_safe` component
+    * face with the fold arithmetic on top.
+    */
+  def sampleKfold(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.loadSpread(spark, dir, "documents")
+    val comps = Clusters.connectedComponents(
+      MinHashLSH.nearDuplicatePairs(docs, "doc_id", "text", cfg)
+        .select(col("doc_a"), col("doc_b")),
+      "doc_a", "doc_b")
+    graft.operators.Sampling
+      .leakageFreeFolds(docs, comps, "doc_id", k = 5)
+      .orderBy("doc_id")
+  }
+
+  val sampleKfoldSql: String = {
+    val coord = OracleDialect.hexPrefixToLong(
+      "md5('fold:'||CAST(gkey AS VARCHAR))", 8)
+    s"""WITH RECURSIVE ${minhashJacCtes("documents")},
+       |pairs AS (SELECT doc_a, doc_b FROM jac
+       |  WHERE jaccard >= ${cfg.threshold}),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |          UNION SELECT doc_b, doc_a FROM pairs),
+       |r(id, v) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT r.id, e.dst FROM r JOIN edges e ON e.src = r.v),
+       |comp AS (SELECT id, min(v) AS comp FROM r GROUP BY id),
+       |keyed AS (SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS gkey
+       |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)
+       |SELECT doc_id,
+       |  (CAST($coord AS BIGINT) * 5) // 4294967296 AS fold
+       |FROM keyed ORDER BY doc_id""".stripMargin
+  }
+
   // ------------------------------------------------------- canonical pick
 
   /** Canonical representative per near-dup cluster — the decision a
@@ -785,6 +824,7 @@ object DedupQueries {
     "dedup_clusters_incr" -> (dedupClustersIncr(_, _)),
     "dedup_cluster_stats" -> (dedupClusterStats(_, _)),
     "sample_split_safe" -> (sampleSplitSafe(_, _)),
+    "sample_kfold" -> (sampleKfold(_, _)),
     "dedup_incremental" -> (dedupIncremental(_, _)),
     "dedup_embed_incr" -> (dedupEmbedIncr(_, _)))
 
@@ -807,6 +847,7 @@ object DedupQueries {
     "dedup_clusters_incr" -> dedupClustersSql,
     "dedup_cluster_stats" -> dedupClusterStatsSql,
     "sample_split_safe" -> sampleSplitSafeSql,
+    "sample_kfold" -> sampleKfoldSql,
     "dedup_incremental" -> dedupIncrementalSql,
     "dedup_embed_incr" -> dedupEmbedIncrSql)
 }

@@ -42,4 +42,27 @@ class LeakageFreeSplitSpec extends AnyFunSuite {
   test("fraction 0 puts everything in train") {
     assert(splits(0.0).values.toSet === Set("train"))
   }
+
+  test("k-fold: clustered docs share a fold, assignment == md5 replay") {
+    val k = 5
+    val folds = Sampling.leakageFreeFolds(docs, comps, "doc_id", k)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(folds.values.forall(f => f >= 0 && f < k))
+    assert(folds(1L) === folds(2L) && folds(2L) === folds(3L))
+    assert(folds(10L) === folds(11L))
+    // exact replay: (md5-prefix-8 of "fold:<gkey>" * k) >> 32
+    def h32(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.take(4).map(b => f"${b & 0xff}%02x").mkString, 16)
+    }
+    (1L to 50L).foreach { i =>
+      val gkey = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L)
+        .getOrElse(i, i)
+      assert(folds(i) === (h32(s"fold:$gkey") * k) >> 32, s"doc $i")
+    }
+    // with 46 independent draws over 5 folds every fold is hit
+    assert(folds.values.toSet.size === k)
+  }
 }
