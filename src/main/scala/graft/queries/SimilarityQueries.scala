@@ -138,6 +138,118 @@ object SimilarityQueries {
        |WHERE rank <= $K ORDER BY q_id, rank""".stripMargin
   }
 
+  // ------------------------------------------------------ binary quant
+
+  // 128-bit fingerprints at 12× oversampling hold recall@10 = 0.95 on
+  // the weakly-structured test corpus (true top-10 sit at mean cos
+  // ≈ 0.29 — a hostile regime; production embeddings with real
+  // neighbor structure need far less of both)
+  private val BqCandidates = 120
+  private val BqBits = 128
+
+  /** Binary sign-quantization search
+    * ([[graft.similarity.BinaryQuant.topKReranked]]): pack each
+    * vector's sign pattern into dim/32 integer words, screen the
+    * corpus by Hamming distance on the 16-byte codes (a 16× scan-
+    * bandwidth cut vs the float column), exact-cosine re-rank the
+    * $BqCandidates survivors. Gate-only: the screen is the benched
+    * `sim_topk` broadcast-scan + WindowGroupLimit face (integer
+    * bit_count instead of the float dot), the candidate re-join is
+    * `sim_ivfpq`'s screen-join face. Constants: see BqBits above.
+    */
+  def simBinquant(spark: SparkSession, dir: String): DataFrame =
+    BinaryQuant.topKReranked(Tables.loadSpread(spark, dir, "embeddings"),
+        "vec_id", "embedding", _ < QueryCount, Dim, BqBits, BqCandidates, K)
+      .orderBy("q_id", "rank")
+
+  val simBinquantSql: String = {
+    // plane CTE + one sign CASE per bit, MSB-first weights — generated
+    // from the same md5-derived 3-decimal constants BinaryQuant bakes
+    // into the plan, so the two engines fingerprint bit-identically
+    val pls = BinaryQuant.planes(BqBits, Dim)
+    val planeCte = pls.zipWithIndex.map { case (plane, i) =>
+      plane.map(v => f"$v%.3f").mkString("[", ", ", s"]::DOUBLE[] AS bp$i")
+    }.mkString("bpl AS (SELECT\n    ", ",\n    ", ")")
+    val words = (0 until BqBits / BinaryQuant.WordBits).map { w =>
+      (0 until BinaryQuant.WordBits).map { j =>
+        val i = w * BinaryQuant.WordBits + j
+        val wt = 1L << (BinaryQuant.WordBits - 1 - j)
+        s"(CASE WHEN ${foldDot("v", s"bpl.bp$i")} > 0" +
+          s" THEN ${wt} ELSE 0 END)"
+      }.mkString("", "\n     + ", s" AS c$w")
+    }.mkString(",\n    ")
+    val ham = (0 until BqBits / BinaryQuant.WordBits)
+      .map(w => s"bit_count(xor(q.c$w, d.c$w))").mkString(" + ")
+    s"""WITH $planeCte,
+       |v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, ${foldDot("v", "v")} AS nrm,
+       |    $words
+       |  FROM v CROSS JOIN bpl),
+       |p AS (SELECT q.vec_id AS q_id, d.vec_id AS n_id,
+       |    CAST($ham AS BIGINT) AS hamming
+       |  FROM n q JOIN n d ON d.vec_id <> q.vec_id
+       |  WHERE q.vec_id < $QueryCount),
+       |cand AS (SELECT q_id, n_id, hamming FROM (
+       |    SELECT q_id, n_id, hamming,
+       |      ROW_NUMBER() OVER (PARTITION BY q_id
+       |                         ORDER BY hamming, n_id) AS hrank
+       |    FROM p)
+       |  WHERE hrank <= $BqCandidates),
+       |r AS (SELECT c.q_id, c.n_id, c.hamming,
+       |    ${foldDot("q.v", "d.v")} / (sqrt(q.nrm) * sqrt(d.nrm)) AS cos_sim
+       |  FROM cand c
+       |  JOIN n q ON q.vec_id = c.q_id
+       |  JOIN n d ON d.vec_id = c.n_id)
+       |SELECT q_id, rank, n_id, hamming, cos_sim FROM (
+       |  SELECT q_id, n_id, hamming, cos_sim,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id
+       |                       ORDER BY cos_sim DESC, n_id) AS rank
+       |  FROM r)
+       |WHERE rank <= $K ORDER BY q_id, rank""".stripMargin
+  }
+
+  // ------------------------------------------------------- hard mining
+
+  private val HardMargin = 0.05
+
+  /** Batch-hard triplet mining
+    * ([[graft.similarity.HardMining.hardestTriplets]]): per anchor,
+    * the same-label vector at MINIMUM cosine and the different-label
+    * vector at MAXIMUM cosine, plus the margin-violation flag — the
+    * metric-learning curriculum read. Gate-only: the anchor-broadcast
+    * corpus scan is the benched `sim_topk` face; the extremes fold in
+    * one map-side-combined `min/max(struct)` aggregate (no window, no
+    * second scan).
+    */
+  def simHardmine(spark: SparkSession, dir: String): DataFrame =
+    HardMining.hardestTriplets(Tables.loadSpread(spark, dir, "embeddings"),
+        "vec_id", "embedding", "label", _ < QueryCount, HardMargin)
+      .orderBy("q_id")
+
+  val simHardmineSql: String =
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v, label
+       |    FROM embeddings),
+       |n AS (SELECT vec_id, v, label, ${foldDot("v", "v")} AS nrm FROM v),
+       |p AS (SELECT q.vec_id AS q_id, q.label AS qlbl,
+       |    d.vec_id AS n_id, d.label AS lbl,
+       |    ${foldDot("q.v", "d.v")} / (sqrt(q.nrm) * sqrt(d.nrm)) AS cos_sim
+       |  FROM n q JOIN n d ON d.vec_id <> q.vec_id
+       |  WHERE q.vec_id < $QueryCount),
+       |ext AS (SELECT q_id, qlbl AS label,
+       |    min(cos_sim) FILTER (WHERE lbl = qlbl) AS pos_cos,
+       |    max(cos_sim) FILTER (WHERE lbl <> qlbl) AS neg_cos
+       |  FROM p GROUP BY q_id, qlbl),
+       |agg AS (SELECT e.q_id, e.label, e.pos_cos, e.neg_cos,
+       |    min(CASE WHEN p.lbl = e.label AND p.cos_sim = e.pos_cos
+       |             THEN p.n_id END) AS pos_id,
+       |    min(CASE WHEN p.lbl <> e.label AND p.cos_sim = e.neg_cos
+       |             THEN p.n_id END) AS neg_id
+       |  FROM ext e JOIN p ON p.q_id = e.q_id
+       |  GROUP BY e.q_id, e.label, e.pos_cos, e.neg_cos)
+       |SELECT q_id, label, pos_id, pos_cos, neg_id, neg_cos,
+       |  (pos_cos - neg_cos) < $HardMargin AS violated
+       |FROM agg ORDER BY q_id""".stripMargin
+
   // ----------------------------------------------------------- eval
 
   /** Ranking-quality leaderboard row ([[RetrievalEval.metrics]]):
@@ -1726,6 +1838,8 @@ object SimilarityQueries {
     "sim_topk" -> (simTopk(_, _)),
     "sim_lsh_bucket" -> (simLshBucket(_, _)),
     "sim_lsh_multiprobe" -> (simLshMultiprobe(_, _)),
+    "sim_binquant" -> (simBinquant(_, _)),
+    "sim_hardmine" -> (simHardmine(_, _)),
     "sim_eval" -> (simEval(_, _)),
     "sim_ivf" -> (simIvf(_, _)),
     "sim_knn_graph" -> (simKnnGraph(_, _)),
@@ -1761,6 +1875,8 @@ object SimilarityQueries {
     "sim_topk" -> simTopkSql,
     "sim_lsh_bucket" -> simLshBucketSql,
     "sim_lsh_multiprobe" -> simLshMultiprobeSql,
+    "sim_binquant" -> simBinquantSql,
+    "sim_hardmine" -> simHardmineSql,
     "sim_eval" -> simEvalSql,
     "sim_ivf" -> simIvfSql,
     "sim_knn_graph" -> simKnnGraphSql,

@@ -203,6 +203,42 @@ object TextQueries {
        |FROM ranked ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------------------------------------------------ fertility
+
+  /** Tokenizer-fertility audit ([[graft.text.Fertility.byLanguage]]):
+    * bytes-per-token by predicted language, the under-served-language
+    * read before adopting a tokenizer. Gate-only: the per-row vote +
+    * census is `text_langid`'s + `text_tokens`' benched projections;
+    * the rollup is one |languages|-row map-side-combined aggregate.
+    */
+  def textFertility(spark: SparkSession, dir: String): DataFrame =
+    Fertility.byLanguage(
+      Tables.loadSpread(spark, dir, "documents"), "doc_id", "text")
+
+  val textFertilitySql: String = {
+    val langs = LangId.Lexicons.map(_._1)
+    s"""WITH $wordsCte,
+       |scores AS (SELECT doc_id, text,
+       |    $langScoreSelect
+       |  FROM w),
+       |ranked AS (SELECT doc_id, text, ${langs.map(l => s"s_$l").mkString(", ")},
+       |    $langBestExpr AS best FROM scores),
+       |per AS (SELECT
+       |    $langPredCase AS lang,
+       |    CAST(strlen(text) AS BIGINT) AS bytes,
+       |    CAST(len(regexp_extract_all(lower(text),
+       |      '${TokenCount.TokenPattern}')) AS BIGINT) AS toks
+       |  FROM ranked)
+       |SELECT lang,
+       |  count(*) AS n_docs,
+       |  CAST(sum(bytes) AS BIGINT) AS n_bytes,
+       |  CAST(sum(toks) AS BIGINT) AS n_tokens,
+       |  CASE WHEN sum(toks) > 0
+       |    THEN CAST(sum(bytes) * 1000 AS BIGINT) // CAST(sum(toks) AS BIGINT)
+       |    ELSE NULL END AS bpt_milli
+       |FROM per GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   // --------------------------------------------------------------- tokens
 
   def textTokens(spark: SparkSession, dir: String): DataFrame =
@@ -1610,6 +1646,7 @@ object TextQueries {
     "text_gopher" -> (textGopher(_, _)),
     "text_quality_calib" -> (textQualityCalib(_, _)),
     "text_langid" -> (textLangid(_, _)),
+    "text_fertility" -> (textFertility(_, _)),
     "text_langid_uni" -> (textLangidUni(_, _)),
     "text_tokens" -> (textTokens(_, _)),
     "text_fingerprint" -> (textFingerprint(_, _)),
@@ -1652,6 +1689,7 @@ object TextQueries {
     "text_gopher" -> textGopherSql,
     "text_quality_calib" -> textQualityCalibSql,
     "text_langid" -> textLangidSql,
+    "text_fertility" -> textFertilitySql,
     "text_langid_uni" -> textLangidUniSql,
     "text_tokens" -> textTokensSql,
     "text_fingerprint" -> textFingerprintSql,

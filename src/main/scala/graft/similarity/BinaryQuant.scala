@@ -1,0 +1,129 @@
+package graft.similarity
+
+import graft.similarity.Cosine._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Binary embedding quantization — a `bits`-bit SimHash fingerprint
+  * per vector (Charikar signed random projections) searched by Hamming
+  * distance, then exact-cosine re-ranked: the 1-bit-per-projection
+  * compression modern vector stores run as their cheapest coarse
+  * filter.
+  *
+  * Bit i is the sign of the vector's dot product with deterministic
+  * pseudo-random hyperplane i ([[HyperplaneLSH.planes]] — md5-derived
+  * constants, identical in the plan and in generated oracle SQL, no
+  * RNG anywhere). P[bit match] = 1 − θ/π per plane, so with 64 bits a
+  * cos≈0.8 neighbor sits ~13 bit-flips away while a random vector sits
+  * ~32 — a ≈5σ separation; a top-`candidates` Hamming screen keeps the
+  * true cosine neighbors with high probability and the exact re-rank
+  * restores true order. Axis-aligned sign bits (no rotation) are NOT a
+  * substitute: on clustered corpora they barely beat a random screen —
+  * measured here before the projections went in.
+  *
+  * Scale shape (100 TB): fingerprinting is a one-time pure projection
+  * (`bits` codegen'd [[graft.expressions.DotProduct]] folds per row —
+  * the cost of ONE brute-force query, paid once, never per query).
+  * The screen pass then touches ONLY (id, code) — 16 bytes per 64-bit
+  * code vs 256 bytes of floats, a 16× scan-bandwidth cut, and per-pair
+  * work is `bit_count(xor)` on two longs instead of a 64-term float
+  * dot. The query side is broadcast; Spark's WindowGroupLimit rewrite
+  * cuts each partition to its local top-`candidates` per query BEFORE
+  * the shuffle, so ~candidates·|queries| rows move regardless of
+  * corpus size. Float vectors re-enter only for the candidate set (a
+  * join back on n_id — the candidate side broadcasts), so the
+  * expensive column is read for C·|Q| rows, not the corpus. A
+  * persisted code index (the [[graft.dedup.EmbeddingNearDup]]
+  * `writeIndex` discipline) drops even the fingerprint pass for
+  * recurring query batches.
+  *
+  * Determinism: plane constants are 3-decimal md5-derived literals,
+  * the sign test compares identically-folded doubles, Hamming is
+  * integer, ties break by n_id, and the re-rank cosine reuses the
+  * left-fold [[Cosine]] contract — bit-identical to the oracle.
+  */
+object BinaryQuant {
+
+  /** Bits per code word. 32 keeps every packed value < 2^31 —
+    * representable and positive in any engine's BIGINT.
+    */
+  val WordBits = 32
+
+  /** Projection planes for a `bits`-bit fingerprint over `dim`-dim
+    * vectors — seed "bq" keeps them independent of the LSH bucket
+    * family.
+    */
+  def planes(bits: Int, dim: Int): Seq[IndexedSeq[Double]] =
+    HyperplaneLSH.planes(HyperplaneLSH.Config(bits, dim, seed = "bq"))
+
+  /** MSB-first weight of bit position `j` within a word. */
+  private def weight(j: Int): Long = 1L << (WordBits - 1 - j)
+
+  /** Packs the `planes.size`-bit sign pattern of `vec` into an
+    * `array<long>` of `planes.size / WordBits` words: bit j of word w
+    * is set iff `vec · planes(w·32+j) > 0`, MSB first. The plane
+    * constants ride the plan as array literals through the native
+    * DotProduct — fully codegen'd, plan size constant in the data.
+    */
+  def packWords(vec: Column, planes: Seq[IndexedSeq[Double]]): Column = {
+    val bits = planes.size
+    require(bits % WordBits == 0, s"bits must be a multiple of $WordBits")
+    val words = (0 until bits / WordBits).map { w =>
+      (0 until WordBits).map { j =>
+        when(dot(vec, typedLit(planes(w * WordBits + j))) > 0,
+          lit(weight(j))).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
+    array(words: _*)
+  }
+
+  /** Hamming distance between two packed codes of `nWords` words —
+    * an unrolled `bit_count(xor)` sum, codegen'd.
+    */
+  def hamming(a: Column, b: Column, nWords: Int): Column =
+    (0 until nWords).map { w =>
+      bit_count(a.getItem(w).bitwiseXOR(b.getItem(w))).cast("long")
+    }.reduce(_ + _)
+
+  /** Top-k cosine neighbors per query via the Hamming screen:
+    * fingerprint the corpus, rank by (hamming asc, id asc), keep
+    * `candidates`, re-rank those by exact cosine (desc, id asc),
+    * keep `k`.
+    *
+    * @return (q_id, rank, n_id, hamming, cos_sim)
+    */
+  def topKReranked(vectors: DataFrame, idCol: String, vecCol: String,
+      isQuery: Column => Column, dim: Int, bits: Int, candidates: Int,
+      k: Int): DataFrame = {
+    require(candidates >= k, "candidate pool must cover the final k")
+    val pl = planes(bits, dim)
+    val nWords = bits / WordBits
+    val corpus = vectors.select(col(idCol).as("vid"), col(vecCol).as("v"))
+    // screen frame: ids + codes only — the bandwidth-critical pass
+    val coded = corpus.select(col("vid"), packWords(col("v"), pl).as("code"))
+    val q = coded.filter(isQuery(col("vid")))
+      .select(col("vid").as("q_id"), col("code").as("qcode"))
+    val wH = Window.partitionBy("q_id").orderBy(asc("hamming"), asc("n_id"))
+    val cand = coded.join(q, col("vid") =!= col("q_id"))
+      .select(col("q_id"), col("vid").as("n_id"),
+        hamming(col("qcode"), col("code"), nWords).as("hamming"))
+      .withColumn("hrank", row_number().over(wH))
+      .filter(col("hrank") <= candidates)
+      .drop("hrank")
+    // floats re-enter for candidates only
+    val normed = corpus.withColumn("nrm", norm2(col("v")))
+    val qv = normed.select(col("vid").as("q_id"), col("v").as("qv"),
+      col("nrm").as("qn"))
+    val wC = Window.partitionBy("q_id").orderBy(desc("cos_sim"), asc("n_id"))
+    cand
+      .join(qv, Seq("q_id"))
+      .join(normed.withColumnRenamed("vid", "n_id"), Seq("n_id"))
+      .select(col("q_id"), col("n_id"), col("hamming"),
+        cosineWithNorms(dot(col("qv"), col("v")), col("qn"), col("nrm"))
+          .as("cos_sim"))
+      .withColumn("rank", row_number().over(wC))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "n_id", "hamming", "cos_sim")
+  }
+}

@@ -88,14 +88,26 @@ object LangId {
   /** (id, lang_pred, lang_score) per document. */
   def predict(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val w = words(col(textCol))
+    docs.select(col(idCol).as("doc_id"),
+      predictCol(w).as("lang_pred"), bestScore(w).as("lang_score"))
+  }
+
+  /** The predicted-language label as a composable per-row COLUMN over
+    * a whitespace token array — the face operators that fold language
+    * into a wider projection (fertility, curation) build on, so the
+    * vote stays a single pass with no join back.
+    */
+  def predictCol(w: Column): Column = {
     val scores = Lexicons.map { case (lang, lex) => lang -> score(w, lex) }
     val best = greatest(scores.map(_._2): _*)
     // first-match-wins over the alphabetically ordered languages = the
     // deterministic tie-break; exactly mirrored by the oracle's CASE
-    val pred = scores.foldRight(lit("und")) { case ((lang, s), other) =>
+    scores.foldRight(lit("und")) { case ((lang, s), other) =>
       when(best > 0 && s === best, lit(lang)).otherwise(other)
     }
-    docs.select(col(idCol).as("doc_id"),
-      pred.as("lang_pred"), best.as("lang_score"))
   }
+
+  /** The winning stopword-vote score (greatest across lexicons). */
+  def bestScore(w: Column): Column =
+    greatest(Lexicons.map { case (_, lex) => score(w, lex) }: _*)
 }
