@@ -1372,6 +1372,44 @@ object SimilarityQueries {
        |ORDER BY vec_id""".stripMargin
   }
 
+  // ------------------------------------------------------------- mislabel
+
+  /** Label-noise audit ([[graft.similarity.MislabelAudit.audit]]):
+    * one fixed-point centroid per LABEL, every vector assigned to its
+    * nearest label centroid, geometry-vs-annotation disagreements
+    * flagged. Gate-only: the fit is `embed_kmeans`' (label, pos)
+    * aggregate face, the assignment its NearestCentroid projection;
+    * the own-label distance adds one broadcast |labels|-row join.
+    */
+  def embedMislabel(spark: SparkSession, dir: String): DataFrame =
+    MislabelAudit.audit(Tables.loadSpread(spark, dir, "embeddings"),
+        "vec_id", "embedding", "label", kmCfg)
+      .orderBy("vec_id")
+
+  val embedMislabelSql: String = {
+    val scale = f"${kmCfg.scale}%.1f"
+    s"""WITH v AS (SELECT vec_id, CAST(label AS BIGINT) AS lbl,
+       |    [floor(x * $scale) for x in embedding::DOUBLE[]] AS q
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, lbl, q, ${foldDot("q", "q")} AS qn FROM v),
+       |cm AS (SELECT lbl, g.i AS pos, sum(q[g.i]) / count(*) AS m
+       |  FROM n CROSS JOIN generate_series(1, $Dim) AS g(i)
+       |  GROUP BY lbl, g.i),
+       |c AS (SELECT lbl AS clbl, cv, ${foldDot("cv", "cv")} AS cn FROM (
+       |  SELECT lbl, list(m ORDER BY pos) AS cv FROM cm GROUP BY lbl)),
+       |d AS (SELECT n.vec_id, n.lbl, n.qn, c.clbl, c.cn,
+       |    n.qn + c.cn - 2 * ${foldDot("n.q", "c.cv")} AS dist
+       |  FROM n CROSS JOIN c),
+       |best AS (SELECT vec_id, lbl, clbl, dist FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |    ORDER BY dist, clbl) AS rn FROM d) WHERE rn = 1),
+       |own AS (SELECT vec_id, dist AS d_own FROM d WHERE clbl = lbl)
+       |SELECT b.vec_id, b.lbl AS label, b.clbl AS pred, b.dist AS d_pred,
+       |  o.d_own, (b.clbl <> b.lbl) AS mislabeled
+       |FROM best b JOIN own o ON o.vec_id = b.vec_id
+       |ORDER BY b.vec_id""".stripMargin
+  }
+
   // --------------------------------------------------------------- recall
 
   /** recall@k of the LSH index against exact brute force, per query —
@@ -1840,6 +1878,7 @@ object SimilarityQueries {
     "sim_lsh_multiprobe" -> (simLshMultiprobe(_, _)),
     "sim_binquant" -> (simBinquant(_, _)),
     "sim_hardmine" -> (simHardmine(_, _)),
+    "embed_mislabel" -> (embedMislabel(_, _)),
     "sim_eval" -> (simEval(_, _)),
     "sim_ivf" -> (simIvf(_, _)),
     "sim_knn_graph" -> (simKnnGraph(_, _)),
@@ -1877,6 +1916,7 @@ object SimilarityQueries {
     "sim_lsh_multiprobe" -> simLshMultiprobeSql,
     "sim_binquant" -> simBinquantSql,
     "sim_hardmine" -> simHardmineSql,
+    "embed_mislabel" -> embedMislabelSql,
     "sim_eval" -> simEvalSql,
     "sim_ivf" -> simIvfSql,
     "sim_knn_graph" -> simKnnGraphSql,
