@@ -1,7 +1,7 @@
 package graft.similarity
 
 import graft.similarity.Cosine._
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -86,6 +86,35 @@ object BinaryQuant {
       bit_count(a.getItem(w).bitwiseXOR(b.getItem(w))).cast("long")
     }.reduce(_ + _)
 
+  /** Hamming screen + exact-cosine re-rank over prepared frames:
+    * `coded` (vid, code), `normed` (vid, v, nrm), `qCoded`
+    * (q_id, qcode), `qNormed` (q_id, qv, qn). The shared core of the
+    * inline and the indexed search faces.
+    */
+  private def searchFrom(coded: DataFrame, normed: DataFrame,
+      qCoded: DataFrame, qNormed: DataFrame, nWords: Int,
+      candidates: Int, k: Int): DataFrame = {
+    require(candidates >= k, "candidate pool must cover the final k")
+    val wH = Window.partitionBy("q_id").orderBy(asc("hamming"), asc("n_id"))
+    val cand = coded.join(qCoded, col("vid") =!= col("q_id"))
+      .select(col("q_id"), col("vid").as("n_id"),
+        hamming(col("qcode"), col("code"), nWords).as("hamming"))
+      .withColumn("hrank", row_number().over(wH))
+      .filter(col("hrank") <= candidates)
+      .drop("hrank")
+    // floats re-enter for candidates only
+    val wC = Window.partitionBy("q_id").orderBy(desc("cos_sim"), asc("n_id"))
+    cand
+      .join(qNormed, Seq("q_id"))
+      .join(normed.withColumnRenamed("vid", "n_id"), Seq("n_id"))
+      .select(col("q_id"), col("n_id"), col("hamming"),
+        cosineWithNorms(dot(col("qv"), col("v")), col("qn"), col("nrm"))
+          .as("cos_sim"))
+      .withColumn("rank", row_number().over(wC))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "n_id", "hamming", "cos_sim")
+  }
+
   /** Top-k cosine neighbors per query via the Hamming screen:
     * fingerprint the corpus, rank by (hamming asc, id asc), keep
     * `candidates`, re-rank those by exact cosine (desc, id asc),
@@ -96,34 +125,68 @@ object BinaryQuant {
   def topKReranked(vectors: DataFrame, idCol: String, vecCol: String,
       isQuery: Column => Column, dim: Int, bits: Int, candidates: Int,
       k: Int): DataFrame = {
-    require(candidates >= k, "candidate pool must cover the final k")
     val pl = planes(bits, dim)
-    val nWords = bits / WordBits
     val corpus = vectors.select(col(idCol).as("vid"), col(vecCol).as("v"))
     // screen frame: ids + codes only — the bandwidth-critical pass
     val coded = corpus.select(col("vid"), packWords(col("v"), pl).as("code"))
     val q = coded.filter(isQuery(col("vid")))
       .select(col("vid").as("q_id"), col("code").as("qcode"))
-    val wH = Window.partitionBy("q_id").orderBy(asc("hamming"), asc("n_id"))
-    val cand = coded.join(q, col("vid") =!= col("q_id"))
-      .select(col("q_id"), col("vid").as("n_id"),
-        hamming(col("qcode"), col("code"), nWords).as("hamming"))
-      .withColumn("hrank", row_number().over(wH))
-      .filter(col("hrank") <= candidates)
-      .drop("hrank")
-    // floats re-enter for candidates only
     val normed = corpus.withColumn("nrm", norm2(col("v")))
-    val qv = normed.select(col("vid").as("q_id"), col("v").as("qv"),
-      col("nrm").as("qn"))
-    val wC = Window.partitionBy("q_id").orderBy(desc("cos_sim"), asc("n_id"))
-    cand
-      .join(qv, Seq("q_id"))
-      .join(normed.withColumnRenamed("vid", "n_id"), Seq("n_id"))
-      .select(col("q_id"), col("n_id"), col("hamming"),
-        cosineWithNorms(dot(col("qv"), col("v")), col("qn"), col("nrm"))
-          .as("cos_sim"))
-      .withColumn("rank", row_number().over(wC))
-      .filter(col("rank") <= k)
-      .select("q_id", "rank", "n_id", "hamming", "cos_sim")
+    val qv = normed.filter(isQuery(col("vid")))
+      .select(col("vid").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    searchFrom(coded, normed, q, qv, bits / WordBits, candidates, k)
+  }
+
+  // ------------------------------------------------------ persisted index
+
+  /** Persist the fingerprinted corpus as ONE catalog table of
+    * (vid, code, v) — the standing index a serving pipeline reads
+    * instead of re-fingerprinting. No partition/bucket key: the
+    * Hamming screen is a SCAN by design, and parquet column pruning
+    * delivers the bandwidth contract — the screen reads only
+    * (vid, code), the re-rank re-scans only (vid, v) for the
+    * candidate join.
+    */
+  def writeIndex(vectors: DataFrame, idCol: String, vecCol: String,
+      dim: Int, bits: Int, table: String): Unit =
+    code(vectors, idCol, vecCol, dim, bits)
+      .write.mode("overwrite").saveAsTable(table)
+
+  /** Fingerprint a NEW batch with the (compile-time constant) planes
+    * and append it — codes depend only on the planes and the row, so
+    * append-then-search ≡ indexing the union up front.
+    */
+  def appendIndex(batch: DataFrame, idCol: String, vecCol: String,
+      dim: Int, bits: Int, table: String): Unit =
+    code(batch, idCol, vecCol, dim, bits)
+      .write.mode("append").saveAsTable(table)
+
+  private def code(vectors: DataFrame, idCol: String, vecCol: String,
+      dim: Int, bits: Int): DataFrame =
+    vectors.select(col(idCol).as("vid"), col(vecCol).as("v"))
+      .select(col("vid"), packWords(col("v"), planes(bits, dim)).as("code"),
+        col("v"))
+
+  /** [[topKReranked]] for an EXTERNAL query frame against a
+    * [[writeIndex]]-persisted corpus: fingerprint only the query
+    * batch, screen against the index's code columns, re-rank against
+    * its float columns. Query ids share the corpus id space convention
+    * (a query row never matches itself).
+    */
+  def topKIndexed(spark: SparkSession, table: String, queries: DataFrame,
+      idCol: String, vecCol: String, dim: Int, bits: Int,
+      candidates: Int, k: Int): DataFrame = {
+    val idx = spark.table(table)
+    val coded = idx.select("vid", "code")
+    val normed = idx.select(col("vid"), col("v"))
+      .withColumn("nrm", norm2(col("v")))
+    val pl = planes(bits, dim)
+    val qPrep = queries.select(col(idCol).as("q_id"), col(vecCol).as("qv"))
+    val qCoded = qPrep.select(col("q_id"),
+      packWords(col("qv"), pl).as("qcode"))
+    val qNormed = qPrep.withColumn("qn", norm2(col("qv")))
+    searchFrom(coded, normed, qCoded, qNormed, bits / WordBits,
+      candidates, k)
   }
 }
