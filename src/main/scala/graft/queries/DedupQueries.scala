@@ -731,6 +731,57 @@ object DedupQueries {
        |FROM keyed ORDER BY doc_id""".stripMargin
   }
 
+  // -------------------------------------------------------- blocking eval
+
+  private val BlockSample = 500L
+
+  /** Blocking-quality audit ([[graft.dedup.BlockingEval.eval]]):
+    * reduction ratio on the full corpus, pairs completeness + pairs
+    * quality on an exact-Jaccard labeled sample (doc_id < $BlockSample
+    * — quadratic only in the sample, the labeled-subset convention).
+    * Gate-only: the candidate stage is `dedup_minhash`'s benched band
+    * join; the brute-force truth frame is sample-bounded.
+    */
+  def dedupBlockingEval(spark: SparkSession, dir: String): DataFrame =
+    BlockingEval.eval(Tables.loadSpread(spark, dir, "documents"),
+      "doc_id", "text", BlockSample, cfg)
+
+  val dedupBlockingEvalSql: String = {
+    val inter = "len(list_filter(sa.s, x -> list_contains(sb.s, x)))"
+    s"""WITH ${minhashJacCtes("documents")},
+       |tr AS (SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b
+       |  FROM sh sa JOIN sh sb ON sa.doc_id < sb.doc_id
+       |  WHERE sa.doc_id < $BlockSample AND sb.doc_id < $BlockSample
+       |    AND (len(sa.s) + len(sb.s) - $inter) > 0
+       |    AND CAST($inter AS DOUBLE) / (len(sa.s) + len(sb.s) - $inter)
+       |        >= ${cfg.threshold}),
+       |h AS (SELECT t.doc_a, t.doc_b FROM tr t
+       |  JOIN cand c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b),
+       |agg AS (SELECT
+       |  (SELECT count(*) FROM docs) AS n_docs,
+       |  (SELECT count(*) FROM cand) AS n_cand,
+       |  (SELECT count(*) FROM tr) AS n_truth,
+       |  (SELECT count(*) FROM h) AS n_hit,
+       |  (SELECT count(*) FROM cand
+       |     WHERE doc_a < $BlockSample AND doc_b < $BlockSample)
+       |    AS n_cand_s)
+       |SELECT CAST(n_docs AS BIGINT) AS n_docs,
+       |  CAST(n_cand AS BIGINT) AS n_cand,
+       |  CAST(n_truth AS BIGINT) AS n_truth,
+       |  CAST(n_hit AS BIGINT) AS n_hit,
+       |  CAST(n_cand_s AS BIGINT) AS n_cand_s,
+       |  CAST(1000000 - (CAST(n_cand AS HUGEINT) * 1000000) //
+       |    ((CAST(n_docs AS HUGEINT) * (n_docs - 1)) // 2) AS BIGINT)
+       |    AS rr_ppm,
+       |  CASE WHEN n_truth > 0 THEN
+       |    CAST((CAST(n_hit AS HUGEINT) * 1000000) // n_truth AS BIGINT)
+       |    END AS pc_ppm,
+       |  CASE WHEN n_cand_s > 0 THEN
+       |    CAST((CAST(n_hit AS HUGEINT) * 1000000) // n_cand_s AS BIGINT)
+       |    END AS pq_ppm
+       |FROM agg""".stripMargin
+  }
+
   // ------------------------------------------------------- canonical pick
 
   /** Canonical representative per near-dup cluster — the decision a
@@ -825,6 +876,7 @@ object DedupQueries {
     "dedup_cluster_stats" -> (dedupClusterStats(_, _)),
     "sample_split_safe" -> (sampleSplitSafe(_, _)),
     "sample_kfold" -> (sampleKfold(_, _)),
+    "dedup_blocking_eval" -> (dedupBlockingEval(_, _)),
     "dedup_incremental" -> (dedupIncremental(_, _)),
     "dedup_embed_incr" -> (dedupEmbedIncr(_, _)))
 
@@ -848,6 +900,7 @@ object DedupQueries {
     "dedup_cluster_stats" -> dedupClusterStatsSql,
     "sample_split_safe" -> sampleSplitSafeSql,
     "sample_kfold" -> sampleKfoldSql,
+    "dedup_blocking_eval" -> dedupBlockingEvalSql,
     "dedup_incremental" -> dedupIncrementalSql,
     "dedup_embed_incr" -> dedupEmbedIncrSql)
 }

@@ -1101,6 +1101,35 @@ object Relational {
        |ORDER BY strength DESC, e.id""".stripMargin
   }
 
+  // --------------------------------------------------------- key skew
+
+  /** Shuffle-key hotspot pre-flight
+    * ([[graft.operators.KeySkew.profile]] over `events.user_id`): the
+    * top-key share + HHI concentration read taken before keying a
+    * 100 TB join or aggregate on a column — the number that decides
+    * the salting / AQE-skew hatches. Gate-only: one key census (the
+    * `q_psi` count-aggregate face) + a single-row fold; Σ cnt² in
+    * DECIMAL(38,0).
+    */
+  def dqKeyskew(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.KeySkew.profile(
+      Tables.load(spark, dir, "events"), "user_id")
+
+  val dqKeyskewSql: String =
+    """WITH c AS (SELECT user_id, count(*) AS cnt FROM events
+      |  GROUP BY user_id),
+      |a AS (SELECT CAST(sum(cnt) AS BIGINT) AS n,
+      |    count(*) AS n_keys,
+      |    CAST(max(cnt) AS BIGINT) AS max_cnt,
+      |    sum(CAST(cnt AS HUGEINT) * cnt) AS s2
+      |  FROM c)
+      |SELECT n, n_keys, max_cnt,
+      |  CAST((CAST(max_cnt AS HUGEINT) * 1000000) // n AS BIGINT)
+      |    AS top1_ppm,
+      |  CAST((s2 * 1000000) // (CAST(n AS HUGEINT) * n) AS BIGINT)
+      |    AS hhi_ppm
+      |FROM a""".stripMargin
+
   // ------------------------------------------------- materialized routing
 
   /** Materialized-summary routing end to end
@@ -1150,6 +1179,7 @@ object Relational {
     "q_psi" -> (qPsi(_, _)),
     "q_emd" -> (qEmd(_, _)),
     "dq_benford" -> (dqBenford(_, _)),
+    "dq_keyskew" -> (dqKeyskew(_, _)),
     "dq_kanon" -> (dqKanon(_, _)),
     "er_sorted" -> (erSorted(_, _)),
     "er_symdel" -> (erSymdel(_, _)),
@@ -1185,6 +1215,7 @@ object Relational {
     "q_psi" -> qPsiSql,
     "q_emd" -> qEmdSql,
     "dq_benford" -> dqBenfordSql,
+    "dq_keyskew" -> dqKeyskewSql,
     "dq_kanon" -> dqKanonSql,
     "er_sorted" -> erSortedSql,
     "er_symdel" -> erSymdelSql,
