@@ -29,7 +29,7 @@ object Stress {
         "hll", "kmeans", "kmeans4096", "simquant", "ivfserve", "linkage",
         "bpe", "bm25", "knngraph", "cms", "ssjoin", "classifier",
         "ntile", "novelty", "semantic1m", "ivfpq4096", "gram", "trend",
-        "mmr", "symdel", "linkpred")
+        "mmr", "symdel", "linkpred", "binquant1m")
     val spark = Sessions.local("32")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -964,6 +964,50 @@ object Stress {
         val key = rows.map(r => (-r.getLong(3), r.getLong(0), r.getLong(1)))
         require(key.sameElements(key.sorted), "total order violated")
         val again = run().collect()
+        require(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq,
+          "re-execution returned a different frame")
+        top.unpersist()
+        rows.length.toLong
+      }
+    }
+
+    if (which("binquant1m")) {
+      // Binary SimHash search at corpus scale: 1,000,000 vectors
+      // (dim 64; ids >= 900000 are EXACT duplicates of id - 900000),
+      // 128-bit fingerprints, Hamming screen to 512 candidates, exact
+      // re-rank to k = 10. The screen is 1M × 8 unrolled bit_count
+      // folds over 4-long codes — the 8×-cheaper-than-floats scan the
+      // operator exists for. Asserted: every query (a planted
+      // duplicate) ranks its base vector first (hamming 0, cosine ≈ 1
+      // — the screen provably cannot lose a hamming-0 twin), all k
+      // slots fill, no self matches, and a second run returns the
+      // identical frame.
+      val nB = 1000000L
+      val dupBaseB = 900000L
+      val dimB = 64
+      val vecsB = staged(spark.range(0L, nB, 1L, 32)
+        .select(col("id").as("vec_id"),
+          transform(sequence(lit(0), lit(dimB - 1)),
+            j => hash(pmod(col("id"), lit(dupBaseB)), j).cast("double")
+              / 2147483648.0d).as("embedding")))
+      timed("binquant1m") {
+        def run() = similarity.BinaryQuant.topKReranked(vecsB,
+          "vec_id", "embedding",
+          q => q >= dupBaseB && q < dupBaseB + 8L,
+          dim = dimB, bits = 128, candidates = 512, k = 10)
+        val top = run().persist()
+        val rows = top.orderBy("q_id", "rank").collect()
+        require(rows.length == 80, s"expected 80 rows, got ${rows.length}")
+        rows.filter(_.getInt(1) == 1).foreach { r =>
+          require(r.getLong(2) == r.getLong(0) - dupBaseB,
+            s"query ${r.getLong(0)} rank-1 is ${r.getLong(2)}, " +
+              s"expected its base ${r.getLong(0) - dupBaseB}")
+          require(r.getLong(3) == 0L, "twin must sit at hamming 0")
+          require(r.getDouble(4) > 0.999999, "twin cosine must be ~1")
+        }
+        require(rows.forall(r => r.getLong(2) != r.getLong(0)),
+          "self match leaked")
+        val again = run().orderBy("q_id", "rank").collect()
         require(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq,
           "re-execution returned a different frame")
         top.unpersist()
