@@ -62,13 +62,26 @@ object BinaryQuant {
 
   /** Packs the `planes.size`-bit sign pattern of `vec` into an
     * `array<long>` of `planes.size / WordBits` words: bit j of word w
-    * is set iff `vec · planes(w·32+j) > 0`, MSB first. The plane
-    * constants ride the plan as array literals through the native
-    * DotProduct — fully codegen'd, plan size constant in the data.
+    * is set iff `vec · planes(w·32+j) > 0`, MSB first. One fused
+    * native loop ([[graft.expressions.SignPackWords]] — the plane
+    * matrix rides the plan as a flat array object, generated-code size
+    * constant in `bits`); bit-equal to [[packWordsLiteral]] by the
+    * expression's arithmetic contract (spec'd).
     */
   def packWords(vec: Column, planes: Seq[IndexedSeq[Double]]): Column = {
+    require(planes.size % WordBits == 0,
+      s"bits must be a multiple of $WordBits")
+    graft.expressions.SignPackWords(vec, planes)
+  }
+
+  /** The `bits`-subtree formulation packWords replaced — one
+    * [[Cosine.dot]] + when per plane. Kept as the independent
+    * reference implementation the equality spec checks the fused
+    * expression against (two formulations, one arithmetic).
+    */
+  private[similarity] def packWordsLiteral(vec: Column,
+      planes: Seq[IndexedSeq[Double]]): Column = {
     val bits = planes.size
-    require(bits % WordBits == 0, s"bits must be a multiple of $WordBits")
     val words = (0 until bits / WordBits).map { w =>
       (0 until WordBits).map { j =>
         when(dot(vec, typedLit(planes(w * WordBits + j))) > 0,

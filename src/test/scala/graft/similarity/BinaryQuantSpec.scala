@@ -46,6 +46,36 @@ class BinaryQuantSpec extends AnyFunSuite {
     }
   }
 
+  test("fused SignPackWords ≡ the literal dot/when formulation") {
+    val dim = 64
+    val pl = BinaryQuant.planes(128, dim)
+    val rnd = new scala.util.Random(4321)
+    val rows = (0 until 64).map { i =>
+      (i.toLong, Seq.fill(dim)(rnd.nextFloat() * 2f - 1f))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val both = df.select(col("vec_id"),
+        BinaryQuant.packWords(col("embedding"), pl).as("fused"),
+        BinaryQuant.packWordsLiteral(col("embedding"), pl).as("lit"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getSeq[Long](1) === r.getSeq[Long](2), s"vec ${r.getLong(0)}")
+    }
+  }
+
+  test("SignPackWords null contract: mismatched dim and null element") {
+    val pl = BinaryQuant.planes(32, 4)
+    val out = Seq(
+      (0L, Seq(1f, 2f, 3f, 4f)),     // ok
+      (1L, Seq(1f, 2f, 3f)))         // wrong dim
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        BinaryQuant.packWords(col("embedding"), pl).as("code"))
+      .orderBy("vec_id").collect()
+    assert(!out(0).isNullAt(1))
+    assert(out(1).isNullAt(1))
+  }
+
   test("hamming == popcount of the fingerprint xor") {
     val dim = 64
     val pl = BinaryQuant.planes(64, dim)
