@@ -1101,6 +1101,50 @@ object Relational {
        |ORDER BY strength DESC, e.id""".stripMargin
   }
 
+  // ------------------------------------------------------- correlation
+
+  /** Exact-moment Pearson correlation
+    * ([[graft.operators.Correlate.pearson]]): quantity vs extended
+    * price per returnflag — the linear-association screen at the
+    * TrendFit determinism standard (exact DECIMAL(38,0) rationals; one
+    * sqrt leaves floor-quantized). Gate-only: `events_trend`'s
+    * one-scan moment-aggregate face plus the correlation arithmetic.
+    */
+  def qCorr(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Correlate.pearson(
+        Tables.load(spark, dir, "lineitem")
+          .select(col("l_returnflag").as("grp"),
+            col("l_quantity"), col("l_extendedprice")),
+        Seq("grp"), col("l_quantity"), col("l_extendedprice"))
+      .orderBy("grp")
+
+  val qCorrSql: String =
+    """WITH p AS (SELECT l_returnflag AS grp,
+      |    CAST(l_quantity AS BIGINT) AS x,
+      |    CAST(floor(l_extendedprice * 1048576.0) AS BIGINT) AS y
+      |  FROM lineitem
+      |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+      |m AS (SELECT grp, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+      |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+      |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+      |    sum(CAST(y AS HUGEINT) * y) AS syy
+      |  FROM p GROUP BY grp),
+      |r AS (SELECT grp, n,
+      |    CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS cov,
+      |    CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS xvar,
+      |    CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS yvar
+      |  FROM m)
+      |SELECT grp, CAST(n AS BIGINT) AS n,
+      |  CAST(cov AS VARCHAR) AS cov_num,
+      |  CAST(xvar AS VARCHAR) AS xvar_num,
+      |  CAST(yvar AS VARCHAR) AS yvar_num,
+      |  CASE WHEN xvar > 0 AND yvar > 0 THEN
+      |    CAST(floor(1000000.0 * (CAST(cov AS DOUBLE) /
+      |      (sqrt(CAST(xvar AS DOUBLE)) * sqrt(CAST(yvar AS DOUBLE)))))
+      |      AS BIGINT)
+      |  END AS corr_q
+      |FROM r ORDER BY grp""".stripMargin
+
   // --------------------------------------------------------- key skew
 
   /** Shuffle-key hotspot pre-flight
@@ -1180,6 +1224,7 @@ object Relational {
     "q_emd" -> (qEmd(_, _)),
     "dq_benford" -> (dqBenford(_, _)),
     "dq_keyskew" -> (dqKeyskew(_, _)),
+    "q_corr" -> (qCorr(_, _)),
     "dq_kanon" -> (dqKanon(_, _)),
     "er_sorted" -> (erSorted(_, _)),
     "er_symdel" -> (erSymdel(_, _)),
@@ -1216,6 +1261,7 @@ object Relational {
     "q_emd" -> qEmdSql,
     "dq_benford" -> dqBenfordSql,
     "dq_keyskew" -> dqKeyskewSql,
+    "q_corr" -> qCorrSql,
     "dq_kanon" -> dqKanonSql,
     "er_sorted" -> erSortedSql,
     "er_symdel" -> erSymdelSql,
