@@ -40,6 +40,18 @@ object TrendStream {
     def slope: Option[Double] =
       if (slopeDen == 0) None
       else Some(slopeNum.toDouble / slopeDen.toDouble)
+
+    def yVarNum: BigInt = BigInt(n) * syy - BigInt(sy) * BigInt(sy)
+
+    /** Pearson correlation from the SAME running moments — the
+      * streaming face of [[graft.operators.Correlate.pearson]], exact
+      * operand-order mirror of its `corr_q` (spec-asserted ⌊10^6·r⌋
+      * equality); None when either variance is zero.
+      */
+    def corr: Option[Double] =
+      if (slopeDen == 0 || yVarNum == 0) None
+      else Some(slopeNum.toDouble /
+        (math.sqrt(slopeDen.toDouble) * math.sqrt(yVarNum.toDouble)))
   }
 
   type TrendState = Map[String, GroupState]

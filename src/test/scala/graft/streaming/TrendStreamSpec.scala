@@ -46,6 +46,23 @@ class TrendStreamSpec extends AnyFunSuite {
       assert((st.slopeNum, st.slopeDen) === gate(g), s"closed form at $g")
   }
 
+  test("state.corr floor-quantizes to the batch gate's corr_q exactly") {
+    val rows = Seq(
+      ("a", 1L, 2.5), ("a", 2L, 4.5), ("a", 3L, 7.25), ("a", 4L, 8.0),
+      ("b", 1L, 9.0), ("b", 2L, 5.0), ("b", 3L, 1.5),
+      ("c", 5L, 1.0), ("c", 5L, 2.0)) // zero x variance -> undefined
+    val st = TrendStream.state(frame(rows), "g", col("x"), col("y"))
+    val gate = graft.operators.Correlate.pearson(frame(rows), Seq("g"),
+        col("x"), col("y")).collect()
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(5)) None else Some(r.getLong(5)))).toMap
+    for ((g, want) <- gate) {
+      val got = st(g).corr.map(c => math.floor(c * 1000000.0).toLong)
+      assert(got === want, s"corr at $g")
+    }
+    assert(st("c").corr.isEmpty)
+  }
+
   test("verdict flips when a flat stream starts climbing") {
     val stream = MemoryStream[(String, Long, Double)](spark)
     var seen = Vector.empty[(Long, String)]
