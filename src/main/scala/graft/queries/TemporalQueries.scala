@@ -546,6 +546,39 @@ object TemporalQueries {
     * gate adds is the closed-form calendar-day arithmetic, pinned
     * exactly.
     */
+  /** Exact dyadic EWMA ([[graft.operators.Ewma.dailyHalfLife]]):
+    * half-life-one-day smoothed daily volume per event type at the
+    * latest day, all integer arithmetic (power-of-two decay in a 2^60
+    * DECIMAL fixed point — no floating point anywhere). Gate-only:
+    * the daily census is `q_events_hourly`'s aggregate face; the fold
+    * runs over ≤ 60·|groups| summary rows.
+    */
+  def eventsEwma(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Ewma.dailyHalfLife(Tables.loadEvents(spark, dir),
+        Seq("event_type"), col("ts"))
+      .orderBy("event_type")
+
+  val eventsEwmaSql: String = {
+    val h = graft.operators.Ewma.HorizonDays
+    s"""WITH e AS (SELECT event_type,
+       |    (CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS day
+       |  FROM events WHERE ts IS NOT NULL),
+       |daily AS (SELECT event_type, day, count(*) AS n FROM e
+       |  GROUP BY 1, 2),
+       |mx AS (SELECT event_type, max(day) AS maxd FROM daily
+       |  GROUP BY 1),
+       |t AS (SELECT d.event_type, d.n, d.day, m.maxd
+       |  FROM daily d JOIN mx m USING (event_type)
+       |  WHERE d.day > m.maxd - $h),
+       |s AS (SELECT event_type, maxd,
+       |    sum(CAST((1::BIGINT << CAST($h + t.day - t.maxd AS INTEGER))
+       |        AS HUGEINT) * t.n) AS num
+       |  FROM t GROUP BY event_type, maxd)
+       |SELECT event_type, maxd AS day,
+       |  CAST(num // ${1L << (h - 20)} AS BIGINT) AS ewma_q
+       |FROM s ORDER BY event_type""".stripMargin
+  }
+
   def qSeasonal(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Seasonality.profile(Tables.loadEvents(spark, dir),
         Seq("event_type"), col("ts"), period = 7)
@@ -665,6 +698,7 @@ object TemporalQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_seasonal" -> (qSeasonal(_, _)),
+    "events_ewma" -> (eventsEwma(_, _)),
     "events_theilsen" -> (eventsTheilsen(_, _)),
     "q_seasonal_anom" -> (qSeasonalAnom(_, _)),
     "events_trend" -> (eventsTrend(_, _)),
@@ -683,6 +717,7 @@ object TemporalQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q_seasonal" -> qSeasonalSql,
+    "events_ewma" -> eventsEwmaSql,
     "events_theilsen" -> eventsTheilsenSql,
     "q_seasonal_anom" -> qSeasonalAnomSql,
     "events_trend" -> eventsTrendSql,
