@@ -44,6 +44,25 @@ object CadenceStream {
     (a.keySet ++ b.keySet).iterator
       .map(k => k -> (a.getOrElse(k, 0L) + b.getOrElse(k, 0L))).toMap
 
+  /** Exact dyadic EWMA per group from the folded daily state — the
+    * streaming face of [[graft.operators.Ewma.dailyHalfLife]]: the
+    * same 2^60-fixed-point integer fold (BigInt here), so the value is
+    * BIT-equal to the batch gate's `ewma_q` over the concatenated
+    * stream (spec-asserted). Returns (group → (latest day, ewma_q)).
+    */
+  def ewmaQ(running: CadenceState): Map[String, (Long, Long)] = {
+    val h = graft.operators.Ewma.HorizonDays
+    running.keys.map(_._1).toSeq.distinct.map { g =>
+      val days = running.collect { case ((`g`, d), n) => (d, n) }.toSeq
+      val maxd = days.map(_._1).max
+      val num = days.filter(_._1 > maxd - h)
+        .map { case (d, n) =>
+          BigInt(n) * (BigInt(1) << (h + (d - maxd)).toInt) }
+        .sum
+      g -> (maxd, (num / (BigInt(1) << (h - 20))).toLong)
+    }.toMap
+  }
+
   /** The batch profile recomputed over the folded daily state. */
   def profile(spark: SparkSession, running: CadenceState,
       period: Int): DataFrame = {

@@ -48,6 +48,22 @@ class CadenceStreamSpec extends AnyFunSuite {
     assert(got.toSeq === want.toSeq)
   }
 
+  test("ewmaQ over folded state == batch Ewma gate, bit-equal") {
+    val rows = Seq.fill(3)(("a", ts(100, 0))) ++
+      Seq.fill(2)(("a", ts(99, 0))) ++ Seq.fill(4)(("a", ts(97, 0))) ++
+      Seq(("b", ts(50, 0)))
+    // fold in two arbitrary batches
+    val st = CadenceStream.mergeStates(
+      CadenceStream.state(rows.take(4).toDF("g", "ts"), "g", col("ts")),
+      CadenceStream.state(rows.drop(4).toDF("g", "ts"), "g", col("ts")))
+    val got = CadenceStream.ewmaQ(st)
+    val want = graft.operators.Ewma.dailyHalfLife(
+        rows.toDF("g", "ts"), Seq("g"), col("ts"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2))).toMap
+    assert(got === want)
+  }
+
   test("merge is associative and order-independent") {
     val s = Seq(
       Map(("a", 1L) -> 2L, ("b", 3L) -> 1L),
