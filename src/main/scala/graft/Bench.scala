@@ -92,7 +92,29 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
+    // Second, WORKLOAD-MATCHED probe (bench_schema 5): the integer
+    // probe above is pure register arithmetic, and the round-10
+    // host-variance investigation (SURVEY appendix) showed it moving
+    // +8% while allocation/memory-bandwidth-heavy text slots moved
+    // +15-25% — a CPU probe under-corrects for the degradation the
+    // slots actually feel. This one hashes per-row strings (allocation
+    // + md5 + UTF-8 traffic, the text-slot resource mix).
+    // CalibMemRef = this probe's in-bench median from the round-10
+    // close run (raw 72.1 s, calib 0.801 — the best measured anchor
+    // available; the 0.72-regime box no longer exists to sample). By
+    // construction `norm_mem` ≈ raw for THAT run; it becomes the
+    // cross-regime comparison statistic from r11 onward.
+    val CalibMemRef = 1.06
+    def calibMemOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 48L << 20, 1L, 64)
+        .selectExpr(
+          "sum(length(md5(CAST(id % 16777216 AS STRING)))) AS s")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
     calibOnce() // untimed: JIT + scheduler warm, like every slot
+    calibMemOnce()
     // Box speed is sampled at the START, MIDPOINT, and END of the run
     // (3 samples each; calib = median of 9) — bench_schema 4. The v3
     // single pre-run sample misrepresented a DRIFTING host: observed
@@ -101,14 +123,18 @@ object Bench {
     // 77.3 s with calib 0.902 (normalized 61.7); spanning the run
     // makes the normalization see the same host regime the slots saw.
     val calibSamples = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val calibMemSamples = scala.collection.mutable.ArrayBuffer.empty[Double]
     calibSamples ++= (1 to 3).map(_ => calibOnce())
+    calibMemSamples ++= (1 to 3).map(_ => calibMemOnce())
 
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     var errors = List.empty[(String, String)]
     val midpoint = benched.size / 2
     val results = benched.zipWithIndex.map { case (name, slotIdx) =>
-      if (slotIdx == midpoint)
+      if (slotIdx == midpoint) {
         calibSamples ++= (1 to 3).map(_ => calibOnce())
+        calibMemSamples ++= (1 to 3).map(_ => calibMemOnce())
+      }
       val times = (1 to reps).iterator.map { _ =>
         val t0 = System.nanoTime()
         val t = try {
@@ -129,7 +155,9 @@ object Bench {
       else name -> (times.sorted.apply(reps / 2), times.min)
     }
     calibSamples ++= (1 to 3).map(_ => calibOnce())
+    calibMemSamples ++= (1 to 3).map(_ => calibMemOnce())
     val calib = calibSamples.sorted.apply(calibSamples.size / 2)
+    val calibMem = calibMemSamples.sorted.apply(calibMemSamples.size / 2)
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""
@@ -166,8 +194,8 @@ object Bench {
     spark.stop()
     // reps rides THIS line (not the final one): at 96 slots the final
     // line needs every tail-window char for the per-query map
-    println(s"""{"metric":"total_min","value":${f3(totalMin)},"unit":"sec","reps":$reps,"bench_schema":4,"queries_min":$qsMin}""")
+    println(s"""{"metric":"total_min","value":${f3(totalMin)},"unit":"sec","reps":$reps,"bench_schema":5,"queries_min":$qsMin}""")
     // sf as basename: the full path cost 15 chars of tail-window margin
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","total_min":${f3(totalMin)},"calib":${f3(calib)},"total_norm":${f3(total * CalibRef / calib)},"queries":$qs,$errs"sf":"${new java.io.File(sfDir).getName}"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","total_min":${f3(totalMin)},"calib":${f3(calib)},"total_norm":${f3(total * CalibRef / calib)},"calib_mem":${f2(calibMem)},"norm_mem":${f2(total * CalibMemRef / calibMem)},"queries":$qs,$errs"sf":"${new java.io.File(sfDir).getName}"}""")
   }
 }
