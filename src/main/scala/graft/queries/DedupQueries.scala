@@ -731,6 +731,52 @@ object DedupQueries {
        |FROM keyed ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------------------------------------------- dedup weights
+
+  /** Near-dup-aware sampling weights — the SOFT-dedup alternative to
+    * dropping: every document stays, but each near-dup cluster's
+    * members weigh `1/|cluster|` (ppm, integer div) so duplicated
+    * content is not over-represented in a sampled mix. Composes the
+    * `dedup_clusters` component face with one cluster-size census;
+    * singletons weigh exactly 1e6. Gate-only: `dedup_clusters`' join
+    * shapes + a broadcast |clusters|-row size join.
+    */
+  def sampleDedupWeight(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.loadSpread(spark, dir, "documents")
+    val comps = Clusters.connectedComponents(
+      MinHashLSH.nearDuplicatePairs(docs, "doc_id", "text", cfg)
+        .select(col("doc_a"), col("doc_b")),
+      "doc_a", "doc_b")
+    val keyed = docs.select(col("doc_id"))
+      .join(comps.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("comp"), col("doc_id")).as("gkey"))
+    val sizes = keyed.groupBy("gkey").agg(count(lit(1)).as("csize"))
+    keyed.join(broadcast(sizes), Seq("gkey"))
+      .select(col("doc_id"), col("gkey"), col("csize"),
+        expr("1000000L div csize").as("weight_ppm"))
+      .orderBy("doc_id")
+  }
+
+  val sampleDedupWeightSql: String =
+    s"""WITH RECURSIVE ${minhashJacCtes("documents")},
+       |pairs AS (SELECT doc_a, doc_b FROM jac
+       |  WHERE jaccard >= ${cfg.threshold}),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |          UNION SELECT doc_b, doc_a FROM pairs),
+       |r(id, v) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT r.id, e.dst FROM r JOIN edges e ON e.src = r.v),
+       |comp AS (SELECT id, min(v) AS comp FROM r GROUP BY id),
+       |keyed AS (SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS gkey
+       |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+       |sz AS (SELECT gkey, count(*) AS csize FROM keyed GROUP BY gkey)
+       |SELECT k.doc_id, k.gkey, CAST(s.csize AS BIGINT) AS csize,
+       |  1000000 // CAST(s.csize AS BIGINT) AS weight_ppm
+       |FROM keyed k JOIN sz s ON s.gkey = k.gkey
+       |ORDER BY k.doc_id""".stripMargin
+
   // -------------------------------------------------------- blocking eval
 
   private val BlockSample = 500L
@@ -877,6 +923,7 @@ object DedupQueries {
     "sample_split_safe" -> (sampleSplitSafe(_, _)),
     "sample_kfold" -> (sampleKfold(_, _)),
     "dedup_blocking_eval" -> (dedupBlockingEval(_, _)),
+    "sample_dedup_weight" -> (sampleDedupWeight(_, _)),
     "dedup_incremental" -> (dedupIncremental(_, _)),
     "dedup_embed_incr" -> (dedupEmbedIncr(_, _)))
 
@@ -901,6 +948,7 @@ object DedupQueries {
     "sample_split_safe" -> sampleSplitSafeSql,
     "sample_kfold" -> sampleKfoldSql,
     "dedup_blocking_eval" -> dedupBlockingEvalSql,
+    "sample_dedup_weight" -> sampleDedupWeightSql,
     "dedup_incremental" -> dedupIncrementalSql,
     "dedup_embed_incr" -> dedupEmbedIncrSql)
 }
