@@ -29,7 +29,7 @@ object Stress {
         "hll", "kmeans", "kmeans4096", "simquant", "ivfserve", "linkage",
         "bpe", "bm25", "knngraph", "cms", "ssjoin", "classifier",
         "ntile", "novelty", "semantic1m", "ivfpq4096", "gram", "trend",
-        "mmr", "symdel", "linkpred", "binquant1m")
+        "mmr", "symdel", "linkpred", "binquant1m", "hardmine1m")
     val spark = Sessions.local("32")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -1008,6 +1008,48 @@ object Stress {
         require(rows.forall(r => r.getLong(2) != r.getLong(0)),
           "self match leaked")
         val again = run().orderBy("q_id", "rank").collect()
+        require(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq,
+          "re-execution returned a different frame")
+        top.unpersist()
+        rows.length.toLong
+      }
+    }
+
+    if (which("hardmine1m")) {
+      // Batch-hard triplet mining at corpus scale: 1,000,000 labeled
+      // vectors (dim 64), 8 anchors, ONE broadcast scan + ONE
+      // conditional min/max(struct) aggregate — no window over the
+      // anchor×corpus stream. Ids >= 900000 duplicate id − 900000 with
+      // a DIFFERENT label (label = (id + id div 900000) % 100), so
+      // each anchor's hardest negative MUST be its cross-label twin at
+      // cosine ≈ 1 and every anchor violates any positive margin.
+      // Asserted: exactly 8 rows, twin negatives, violation flags, and
+      // a second run returns the identical frame.
+      val nH = 1000000L
+      val dupBaseH = 900000L
+      val dimH = 64
+      val vecsH = staged(spark.range(0L, nH, 1L, 32)
+        .select(col("id").as("vec_id"),
+          transform(sequence(lit(0), lit(dimH - 1)),
+            j => hash(pmod(col("id"), lit(dupBaseH)), j).cast("double")
+              / 2147483648.0d).as("embedding"),
+          ((col("id") + expr(s"id div ${dupBaseH}L")) % 100L)
+            .cast("int").as("label")))
+      timed("hardmine1m") {
+        def run() = similarity.HardMining.hardestTriplets(vecsH,
+          "vec_id", "embedding", "label",
+          q => q >= dupBaseH && q < dupBaseH + 8L, margin = 0.05)
+        val top = run().persist()
+        val rows = top.orderBy("q_id").collect()
+        require(rows.length == 8, s"expected 8 anchors, got ${rows.length}")
+        rows.foreach { r =>
+          require(r.getLong(4) == r.getLong(0) - dupBaseH,
+            s"anchor ${r.getLong(0)}: hardest negative ${r.getLong(4)} " +
+              s"is not its cross-label twin ${r.getLong(0) - dupBaseH}")
+          require(r.getDouble(5) > 0.999999, "twin cosine must be ~1")
+          require(r.getBoolean(6), "twin at cos 1 must violate the margin")
+        }
+        val again = run().orderBy("q_id").collect()
         require(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq,
           "re-execution returned a different frame")
         top.unpersist()
