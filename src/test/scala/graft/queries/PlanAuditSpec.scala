@@ -601,6 +601,45 @@ class PlanAuditSpec extends AnyFunSuite {
       s"extent/offsets must broadcast:\n$plan")
   }
 
+  test("binquant: WindowGroupLimit screen, fused pack, hash re-join") {
+    val plan = planOf("sim_binquant")
+    spark.catalog.clearCache() // the operator persists the code frame
+    // the Hamming screen must keep the partial top-candidates cut
+    assert(plan.contains("WindowGroupLimit"),
+      s"screen lost its partial per-partition top-k:\n$plan")
+    // fingerprints ride one fused expression, not 128 dot sub-trees
+    assert(plan.contains("sign_pack_words"),
+      s"pack must run through the fused SignPackWords:\n$plan")
+    // candidates re-join the corpus through a hash join, not a loop
+    assert(plan.contains("BroadcastHashJoin"),
+      s"re-rank must hash-join the candidate set:\n$plan")
+  }
+
+  test("hardmine: ONE aggregate pass, never a window over anchor×corpus") {
+    val plan = planOf("sim_hardmine")
+    assert(!plan.contains("Window"),
+      s"extremes must fold in the aggregate, not a window:\n$plan")
+    assert(plan.contains("partial_"),
+      s"the extremes aggregate lost its map-side phase:\n$plan")
+  }
+
+  test("keyskew and corr: single-scan aggregates, no joins anywhere") {
+    for (name <- Seq("dq_keyskew", "q_corr")) {
+      val plan = planOf(name)
+      assert(!plan.contains("Join"), s"$name must not join:\n$plan")
+      assert(!plan.contains("Window"), s"$name must not window:\n$plan")
+      assert("Scan parquet".r.findAllIn(plan).length == 1,
+        s"$name must scan its table exactly once:\n$plan")
+    }
+  }
+
+  test("ewma: daily census + broadcast max-day, no window, no range sort") {
+    val plan = planOf("events_ewma")
+    assert(!plan.contains("Window"), s"ewma must not window:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the max-day frame must broadcast:\n$plan")
+  }
+
   test("bpe segment: merge rules are plan literals — no join, no hash exchange") {
     // trains 8 rounds at plan build (iterative-literal pattern), then
     // the corpus side must be a pure scan -> chained-ApplyMerge
