@@ -49,9 +49,13 @@ object BlockingEval {
     val truth = sa.join(sb, col("doc_a") < col("doc_b"))
       .filter(uni > 0 && jaccard(col("sa"), col("sb")) >= cfg.threshold)
       .select("doc_a", "doc_b")
-    val hit = truth.join(cand, Seq("doc_a", "doc_b"), "left_semi")
     val candS = cand.filter(col("doc_a") < sampleMax &&
       col("doc_b") < sampleMax)
+    // truth ⊆ sample², so the hit intersection needs only the
+    // sample-restricted candidates — both sides stay sample-bounded
+    // (semi-joining against the FULL candidate set would shuffle the
+    // corpus-scale frame for an answer the filter already determines)
+    val hit = truth.join(candS, Seq("doc_a", "doc_b"), "left_semi")
     docs.agg(count(lit(1)).as("n_docs"))
       .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
       .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
