@@ -74,6 +74,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def longArr(e: Expression, fn: String, pos: Int): Seq[Long] =
     numArr(e, fn, pos).map(_.toLong)
 
+  /** Constant string-array argument (lexicons, stopword sets). */
+  private def strArr(e: Expression, fn: String, pos: Int): Seq[String] = {
+    import org.apache.spark.sql.types._
+    val data = constVal(e, fn, pos) match {
+      case a: org.apache.spark.sql.catalyst.util.ArrayData => a
+      case other => throw new IllegalArgumentException(
+        s"$fn argument $pos must be a constant array, got $other")
+    }
+    e.dataType match {
+      case ArrayType(StringType, _) =>
+        (0 until data.numElements())
+          .map(i => data.getUTF8String(i).toString)
+      case other => throw new IllegalArgumentException(
+        s"$fn argument $pos must be a string array, got ${other.sql}")
+    }
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     def inject(name: String, builder: Seq[Expression] => Expression): Unit = {
       // ExpressionInfo className is DESCRIBE-FUNCTION metadata only; the
@@ -165,6 +182,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FloorResidual(args.head, args(1),
         longArr(args(2), "floor_residual", 3),
         numArr(args(3), "floor_residual", 4))
+    })
+    inject("sign_pack_words", { args =>
+      require(args.length == 3,
+        s"sign_pack_words takes (vec, flat_planes, bits), got ${args.length}")
+      SignPackWords(args.head, numArr(args(1), "sign_pack_words", 2),
+        intLit(args(2), "sign_pack_words", 3))
+    })
+    inject("deflate_length", { args =>
+      require(args.length == 1,
+        s"deflate_length takes 1 argument, got ${args.length}")
+      DeflateLength(args.head)
+    })
+    inject("count_in_set", { args =>
+      require(args.length == 2,
+        s"count_in_set takes (arr, items), got ${args.length}")
+      CountInSet(args.head, strArr(args(1), "count_in_set", 2))
+    })
+    inject("deletion_neighborhood", { args =>
+      require(args.length == 2,
+        s"deletion_neighborhood takes (s, max_del), got ${args.length}")
+      DeletionNeighborhood(args.head,
+        intLit(args(1), "deletion_neighborhood", 2))
     })
     ext.injectOptimizerRule(_ => RewriteDotProduct)
     // materialized-summary routing (graft.plans.SummaryCatalog): route

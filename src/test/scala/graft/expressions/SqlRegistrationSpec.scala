@@ -83,4 +83,41 @@ class SqlRegistrationSpec extends AnyFunSuite {
       .head.getSeq[Double](0)
     assert(r === Seq(-1.0, -2.0)) // floor(9-10), floor(8.5-10)
   }
+
+  test("sign_pack_words parses from SQL with a constant plane matrix") {
+    // 32 planes over dim 2: plane i = (1,0) for even i, (0,-1) odd →
+    // vec (3, 5): even bits set (3>0), odd bits clear (-5<0) →
+    // word = 0b1010...10 = 0xAAAAAAAA
+    val flat = (0 until 32).map(i => if (i % 2 == 0) "1.0D, 0.0D"
+      else "0.0D, -1.0D").mkString(", ")
+    val r = spark.sql(
+      s"SELECT sign_pack_words(array(3.0D, 5.0D), array($flat), 32)")
+      .head.getSeq[Long](0)
+    assert(r === Seq(0xAAAAAAAAL))
+  }
+
+  test("deflate_length parses from SQL and matches driver-side zlib") {
+    val s = "abcabcabcabcabc"
+    val got = spark.sql(s"SELECT deflate_length('$s')").head.getLong(0)
+    val d = new java.util.zip.Deflater(6, true)
+    d.setInput(s.getBytes("UTF-8")); d.finish()
+    val buf = new Array[Byte](256)
+    var n = 0
+    while (!d.finished()) n += d.deflate(buf)
+    d.end()
+    assert(got === n)
+  }
+
+  test("count_in_set parses from SQL with a constant lexicon") {
+    val r = spark.sql(
+      "SELECT count_in_set(token_runs(t), array('the', 'fox')) " +
+        "FROM sql_reg_in").head
+    assert(r.getInt(0) === 3) // the, the, fox
+  }
+
+  test("deletion_neighborhood parses from SQL; d=1 variants") {
+    val r = spark.sql("SELECT deletion_neighborhood('abc', 1)")
+      .head.getSeq[String](0)
+    assert(r.toSet === Set("abc", "bc", "ac", "ab"))
+  }
 }
