@@ -99,12 +99,14 @@ object Bench {
     // +15-25% — a CPU probe under-corrects for the degradation the
     // slots actually feel. This one hashes per-row strings (allocation
     // + md5 + UTF-8 traffic, the text-slot resource mix).
-    // CalibMemRef = this probe's in-bench median from the round-10
-    // close run (raw 72.1 s, calib 0.801 — the best measured anchor
-    // available; the 0.72-regime box no longer exists to sample). By
-    // construction `norm_mem` ≈ raw for THAT run; it becomes the
-    // cross-regime comparison statistic from r11 onward.
-    val CalibMemRef = 1.06
+    // CalibMemRef pinned from the round-10 close run where the CPU
+    // probe read 0.717 — i.e. the SAME quiesced regime CalibRef=0.72
+    // was pinned in (raw total 63.5 s, under the gate). Validation
+    // across that session's degraded/recovered run pair: the mem
+    // probe's ratio (1.06/0.91 = 1.16) tracked the slots' actual
+    // drift (72.1/63.5 = 1.14) far better than the CPU probe's
+    // (0.801/0.717 = 1.12) — the reason this probe exists.
+    val CalibMemRef = 0.91
     def calibMemOnce(): Double = {
       val t0 = System.nanoTime()
       spark.range(0L, 48L << 20, 1L, 64)
