@@ -84,8 +84,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     e.dataType match {
       case ArrayType(StringType, _) =>
-        (0 until data.numElements())
-          .map(i => data.getUTF8String(i).toString)
+        (0 until data.numElements()).map { i =>
+          if (data.isNullAt(i)) throw new IllegalArgumentException(
+            s"$fn argument $pos must not contain NULL elements " +
+              s"(element $i is NULL)")
+          data.getUTF8String(i).toString
+        }
       case other => throw new IllegalArgumentException(
         s"$fn argument $pos must be a string array, got ${other.sql}")
     }

@@ -34,7 +34,11 @@ object Emd {
   /** Per-bin transport table: (bin, n_a, n_b, cum_a, cum_b, w1_num)
     * for ALL `nBins` bins, w1_num = |cum_a·t_b − cum_b·t_a| (the last
     * bin's term is 0 by construction — both CDFs end at 1).
-    * Σ w1_num · width / (t_a·t_b) is the headline W1.
+    * Σ w1_num · width / (t_a·t_b) is the headline W1. w1_num is a
+    * product of two row counts, so it is computed in DECIMAL(38,0)
+    * and emitted as a digit string (same carrier as [[TrendFit]] — a
+    * long wraps past ~3·10^9 rows per snapshot, the exact bound
+    * [[graft.dedup.BlockingEval]] documents).
     */
   def w1Binned(snapA: DataFrame, snapB: DataFrame, valueCol: String,
       lo: Double, width: Double, nBins: Int): DataFrame = {
@@ -67,7 +71,8 @@ object Emd {
       .crossJoin(broadcast(totals))
       .select(col("bin"), col("n_a"), col("n_b"), col("cum_a"),
         col("cum_b"),
-        abs(col("cum_a") * col("tb") - col("cum_b") * col("ta"))
-          .as("w1_num"))
+        abs(col("cum_a").cast("decimal(38,0)") * col("tb")
+            - col("cum_b").cast("decimal(38,0)") * col("ta"))
+          .cast("decimal(38,0)").cast("string").as("w1_num"))
   }
 }

@@ -61,7 +61,11 @@ object LiftCurve {
         expr("(1000000 * n_pos) div n").as("rate_ppm"),
         col("cum_n"), col("cum_pos"),
         expr("(1000000 * cum_pos) div cum_n").as("cum_rate_ppm"),
-        expr("(1000000 * cum_pos * _tn) div (cum_n * _tp)")
+        // cum_pos·_tn is a product of two row counts: DECIMAL(38,0)
+        // like KeySkew/BlockingEval (a long wraps past ~3e9 rows once
+        // the 1e6 ppm scale is applied); `div` lands back on BIGINT
+        expr("""(1000000 * CAST(cum_pos AS DECIMAL(38,0)) * _tn)
+               div (CAST(cum_n AS DECIMAL(38,0)) * _tp)""")
           .as("cum_lift_ppm"))
       .orderBy("bucket")
   }

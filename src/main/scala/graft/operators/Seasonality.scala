@@ -119,7 +119,12 @@ object Seasonality {
         groupCols.map(col) ++ Seq(
           col("phase"), col("n_events"), col("obs_days"), col("cal_days"),
           expr("(1000000 * n_events) div cal_days").as("mean_ppm"),
-          expr("(1000000 * n_events * (_maxd - _mind + 1)) div " +
-            "(cal_days * _total)").as("season_ppm")): _*)
+          // n_events·span is count×days: DECIMAL(38,0) before the 1e6
+          // ppm scale (a long wraps past ~9e12 count-days); `div`
+          // lands back on BIGINT
+          expr("""(1000000 * CAST(n_events AS DECIMAL(38,0))
+                  * (_maxd - _mind + 1))
+                 div (CAST(cal_days AS DECIMAL(38,0)) * _total)""")
+            .as("season_ppm")): _*)
   }
 }

@@ -110,13 +110,24 @@ object SummaryCatalog {
     // summary parquet the overwrite below is about to delete —
     // optimization happens after the analysis-time overlap check, so
     // nothing else catches the read-own-output hazard.
-    registry.remove(normalize(basePath))
-    base.groupBy(keys.map(col): _*)
-      .agg(aggs.head, aggs.tail: _*)
-      .write.mode("overwrite").parquet(summaryPath)
-    val s = Summary(basePath, summaryPath, keys, measures)
-    register(spark, s)
-    s
+    // Same suspension discipline as append(): hold the displaced
+    // registration and restore it if the rebuild throws, so a failed
+    // overwrite doesn't silently disable routing for a previously
+    // valid summary.
+    val displaced = registry.remove(normalize(basePath))
+    val s =
+      try {
+        base.groupBy(keys.map(col): _*)
+          .agg(aggs.head, aggs.tail: _*)
+          .write.mode("overwrite").parquet(summaryPath)
+        val built = Summary(basePath, summaryPath, keys, measures)
+        register(spark, built)
+        Some(built)
+      } finally {
+        if (registry.get(normalize(basePath)).isEmpty)
+          displaced.foreach(r => registry.put(normalize(r.basePath), r))
+      }
+    s.get
   }
 
   /** Incremental refresh: fold a BATCH of new base rows into the

@@ -168,7 +168,8 @@ object ClassifierQueries {
        |  (1000000 * n_pos) // n AS rate_ppm,
        |  cum_n, cum_pos,
        |  (1000000 * cum_pos) // cum_n AS cum_rate_ppm,
-       |  (1000000 * cum_pos * tn) // (cum_n * tp) AS cum_lift_ppm
+       |  CAST((1000000 * CAST(cum_pos AS HUGEINT) * tn)
+       |    // (CAST(cum_n AS HUGEINT) * tp) AS BIGINT) AS cum_lift_ppm
        |FROM c ORDER BY bucket""".stripMargin
   }
 

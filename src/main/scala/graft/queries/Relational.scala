@@ -967,7 +967,8 @@ object Relational {
       |    CAST(sum(n_b) OVER (ORDER BY bin) AS BIGINT) AS cum_b
       |  FROM m)
       |SELECT bin, n_a, n_b, cum_a, cum_b,
-      |  abs(cum_a * tb - cum_b * ta) AS w1_num
+      |  CAST(abs(CAST(cum_a AS HUGEINT) * tb - CAST(cum_b AS HUGEINT) * ta)
+      |    AS VARCHAR) AS w1_num
       |FROM c, tot ORDER BY bin""".stripMargin
 
   /** Benford first-digit audit ([[graft.operators.Benford]]) of order

@@ -608,7 +608,8 @@ object TemporalQueries {
       |  FROM c)
       |SELECT event_type, phase, n_events, obs_days, cal_days,
       |  (1000000 * n_events) // cal_days AS mean_ppm,
-      |  (1000000 * n_events * span) // (cal_days * total) AS season_ppm
+      |  CAST((1000000 * CAST(n_events AS HUGEINT) * span)
+      |    // (CAST(cal_days AS HUGEINT) * total) AS BIGINT) AS season_ppm
       |FROM c2 ORDER BY event_type, phase""".stripMargin
 
   /** Seasonally-adjusted daily anomalies

@@ -16,8 +16,9 @@ class EmdSpec extends AnyFunSuite {
     Emd.w1Binned(a.toDF("v"), b.toDF("v"), "v", lo = 0.0, width = 1.0,
         nBins = nBins)
       .orderBy("bin").collect()
+      // w1_num crosses the gate as a DECIMAL(38,0) digit string
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
-        r.getLong(4), r.getLong(5)))
+        r.getLong(4), r.getString(5).toLong))
   }
 
   private def brute(a: Seq[Double], b: Seq[Double], nBins: Int) = {
