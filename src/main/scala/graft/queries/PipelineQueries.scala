@@ -22,10 +22,14 @@ object PipelineQueries {
         Tables.loadSpread(spark, dir, "documents"), "doc_id", "text", cfg)
       .orderBy("doc_id")
 
-  val pipelineCurateSql: String = {
+  /** The curate oracle body over any (doc_id, text) relation — shared
+    * by `pipeline_curate` (straight off `documents`) and
+    * `pipeline_curate_html` (off the extraction CTE).
+    */
+  private def curateSqlFrom(rel: String): String = {
     import TextQueries.{langBestExpr, langPredCase, langScoreSelect, qualityExpr}
     s"""WITH w0 AS (SELECT doc_id, text, string_split(lower(text), ' ') AS w
-       |  FROM documents),
+       |  FROM $rel),
        |feat AS (SELECT doc_id, text,
        |    $qualityExpr AS quality,
        |    $langScoreSelect
@@ -46,6 +50,36 @@ object PipelineQueries {
        |SELECT doc_id, lang_pred, quality FROM dedup
        |WHERE doc_id NOT IN (SELECT doc_b FROM losers)
        |ORDER BY doc_id""".stripMargin
+  }
+
+  val pipelineCurateSql: String = curateSqlFrom("documents")
+
+  /** The raw-crawl composition: HTML fixture → [[graft.text.Extract]]
+    * → the full curate pipeline — the missing front stage wired into
+    * the existing flow, so the whole documents→html→text→curated
+    * chain is pinned by one hash. The extraction runs the NATIVE
+    * scanner; the oracle chains the declarative extraction CTEs into
+    * the already-proven curate body.
+    */
+  def pipelineCurateHtml(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.loadSpread(spark, dir, "documents")
+    val ext = graft.text.Extract.fromHtml(
+      docs.select(col("doc_id"),
+        graft.text.Extract.syntheticHtml(col("doc_id"), col("source"),
+          col("lang"), col("text")).as("html")),
+      "doc_id", "html")
+    Curation.curate(ext.select(col("doc_id"), col("text")),
+        "doc_id", "text", cfg)
+      .orderBy("doc_id")
+  }
+
+  val pipelineCurateHtmlSql: String = {
+    import graft.text.Extract
+    s"""WITH hh AS (SELECT doc_id, ${Extract.syntheticHtmlSql} AS html
+       |  FROM documents),
+       |${Extract.extractSqlCtes("hh")},
+       |ext AS (SELECT doc_id, array_to_string(ks, chr(10)) AS text FROM x7),
+       |${curateSqlFrom("ext").stripPrefix("WITH ")}""".stripMargin
   }
 
   /** Per-document curation decision log
@@ -576,6 +610,7 @@ object PipelineQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_curate" -> (pipelineCurate(_, _)),
+    "pipeline_curate_html" -> (pipelineCurateHtml(_, _)),
     "pipeline_audit" -> (pipelineAudit(_, _)),
     "pipeline_funnel" -> (pipelineFunnel(_, _)),
     "pipeline_src_funnel" -> (pipelineSrcFunnel(_, _)),
@@ -593,6 +628,7 @@ object PipelineQueries {
 
   val oracleSql: Map[String, String] = Map(
     "pipeline_curate" -> pipelineCurateSql,
+    "pipeline_curate_html" -> pipelineCurateHtmlSql,
     "pipeline_audit" -> pipelineAuditSql,
     "pipeline_funnel" -> pipelineFunnelSql,
     "pipeline_src_funnel" -> pipelineSrcFunnelSql,

@@ -1630,7 +1630,34 @@ object TextQueries {
        |JOIN langs l ON l.source = b.source
        |ORDER BY b.source""".stripMargin
 
+  /** HTML → text extraction ([[graft.text.Extract]]) over a
+    * deterministic crawl fixture built from `documents` (page chrome +
+    * the text as two escaped paragraphs — construction mirrored in the
+    * oracle, see [[graft.text.Extract.syntheticHtml]]). The gate runs
+    * the NATIVE single-scan expression; the oracle replays the
+    * five-regex declarative definition, so the generated code is
+    * re-proven against an independent engine every round.
+    */
+  def textExtract(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.loadSpread(spark, dir, "documents")
+    Extract.fromHtml(
+        docs.select(col("doc_id"),
+          Extract.syntheticHtml(col("doc_id"), col("source"), col("lang"),
+            col("text")).as("html")),
+        "doc_id", "html")
+      .orderBy("doc_id")
+  }
+
+  val textExtractSql: String =
+    s"""WITH h AS (SELECT doc_id, ${Extract.syntheticHtmlSql} AS html
+       |  FROM documents),
+       |${Extract.extractSqlCtes("h")}
+       |SELECT doc_id, array_to_string(ks, chr(10)) AS text,
+       |  CAST(len(nz) AS INT) AS n_lines, CAST(len(ks) AS INT) AS n_kept
+       |FROM x7 ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_extract" -> (textExtract(_, _)),
     "pipeline_datasheet" -> (pipelineDatasheet(_, _)),
     "text_bigram_lm" -> (textBigramLm(_, _)),
     "text_bpe" -> (textBpe(_, _)),
@@ -1674,6 +1701,7 @@ object TextQueries {
     "text_pack_stats" -> (textPackStats(_, _)))
 
   val oracleSql: Map[String, String] = Map(
+    "text_extract" -> textExtractSql,
     "pipeline_datasheet" -> pipelineDatasheetSql,
     "text_bigram_lm" -> textBigramLmSql,
     "text_bpe" -> textBpeSql,
