@@ -82,6 +82,108 @@ object PipelineQueries {
        |${curateSqlFrom("ext").stripPrefix("WITH ")}""".stripMargin
   }
 
+  // ---- URL/domain-level curation (graft.operators.DomainCuration) --
+  // The testdata has no URL column; the gates plant a deterministic
+  // one (3 hosts × 13 registrable domains), mirrored in SQL.
+
+  private def withUrls(docs: DataFrame): DataFrame =
+    docs.withColumn("url", concat(
+      lit("https://w"), (col("doc_id") % 3).cast("string"),
+      lit(".d"), (col("doc_id") % 13).cast("string"),
+      lit(".example/doc/"), col("doc_id").cast("string")))
+
+  private val urlSqlExpr: String =
+    "'https://w' || CAST(doc_id % 3 AS VARCHAR) || '.d' || " +
+      "CAST(doc_id % 13 AS VARCHAR) || '.example/doc/' || " +
+      "CAST(doc_id AS VARCHAR)"
+
+  /** url → (doc_id…, domain) CTE chain shared by both domain oracles:
+    * authority-host regex, then the last-two-labels registrable
+    * domain (the [[graft.operators.DomainCuration]] definitions).
+    */
+  private def domainCtes(cols: String): String =
+    s"""u AS (SELECT $cols, $urlSqlExpr AS url FROM documents),
+       |hp AS (SELECT $cols, lower(regexp_extract(url,
+       |    '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1))
+       |    AS host FROM u),
+       |dp AS (SELECT $cols, host,
+       |    CASE WHEN len(string_split(host, '.')) <= 2 THEN host
+       |         ELSE string_split(host, '.')[-2] || '.' ||
+       |              string_split(host, '.')[-1] END AS domain
+       |  FROM hp)""".stripMargin
+
+  /** Per-domain curation datasheet
+    * ([[graft.operators.DomainCuration.domainStats]]): docs, hosts,
+    * tokens, fixed-point quality mass, within-domain dup rows — the
+    * numbers a per-domain governance review keys on.
+    */
+  def domainStats(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.DomainCuration.domainStats(
+        withUrls(Tables.loadSpread(spark, dir, "documents")), "url", "text")
+      .orderBy("domain")
+
+  val domainStatsSql: String = {
+    import TextQueries.qualityExpr
+    s"""WITH ${domainCtes("doc_id, text")},
+       |w AS (SELECT domain, host, md5(text) AS h,
+       |    string_split(lower(text), ' ') AS w FROM dp),
+       |sc AS (SELECT domain, host, h,
+       |    CAST(len(w) AS BIGINT) AS n_toks,
+       |    CAST(floor(($qualityExpr) * 1048576e0) AS BIGINT) AS q_fp
+       |  FROM w),
+       |base AS (SELECT domain, count(*) AS n_docs,
+       |    CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+       |    CAST(sum(q_fp) AS BIGINT) AS q_sum_fp
+       |  FROM sc GROUP BY domain),
+       |h0 AS (SELECT domain, host, count(*) AS c FROM sc
+       |  GROUP BY domain, host),
+       |hosts AS (SELECT domain, CAST(count(*) AS BIGINT) AS n_hosts
+       |  FROM h0 GROUP BY domain),
+       |d0 AS (SELECT domain, h, count(*) AS cnt FROM sc GROUP BY domain, h),
+       |dups AS (SELECT domain,
+       |    CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT)
+       |      AS n_dup_rows
+       |  FROM d0 GROUP BY domain)
+       |SELECT b.domain, b.n_docs, h.n_hosts, b.n_tokens, b.q_sum_fp,
+       |  d.n_dup_rows
+       |FROM base b JOIN hosts h ON h.domain = b.domain
+       |JOIN dups d ON d.domain = b.domain
+       |ORDER BY b.domain""".stripMargin
+  }
+
+  private val BlockedDomains = Seq("d3.example", "d7.example")
+
+  /** Blocklist screen + per-domain quota
+    * ([[graft.operators.DomainCuration.screenBlocked]] →
+    * [[graft.operators.DomainCuration.capPerDomain]]): blocked
+    * domains anti-joined out (broadcast), then at most 5 docs per
+    * surviving domain chosen by the deterministic salted coordinate —
+    * the per-domain governance levers composed end to end.
+    */
+  def pipelineDomainCap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = withUrls(Tables.loadSpread(spark, dir, "documents"))
+      .select(col("doc_id"), col("url"))
+    val screened = graft.operators.DomainCuration.screenBlocked(
+      docs, "url", BlockedDomains.toDF("domain"))
+    graft.operators.DomainCuration.capPerDomain(screened, "doc_id", "url", 5)
+      .select(col("doc_id"), col("domain"))
+      .orderBy("doc_id")
+  }
+
+  val pipelineDomainCapSql: String = {
+    val coord = OracleDialect.hexPrefixToLong(
+      "md5('domain-quota:'||CAST(doc_id AS VARCHAR))", 8)
+    val blocked = BlockedDomains.map(d => s"'$d'").mkString(", ")
+    s"""WITH ${domainCtes("doc_id")},
+       |scr AS (SELECT doc_id, domain FROM dp
+       |  WHERE domain NOT IN ($blocked))
+       |SELECT doc_id, domain FROM scr
+       |QUALIFY row_number() OVER (PARTITION BY domain
+       |  ORDER BY CAST($coord AS DOUBLE) / 4294967296, doc_id) <= 5
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Per-document curation decision log
     * ([[graft.text.Curation.curateAudit]]): every doc with its
     * verdict (kept / first dropping stage) and the representative a
@@ -611,6 +713,8 @@ object PipelineQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_curate" -> (pipelineCurate(_, _)),
     "pipeline_curate_html" -> (pipelineCurateHtml(_, _)),
+    "domain_stats" -> (domainStats(_, _)),
+    "pipeline_domain_cap" -> (pipelineDomainCap(_, _)),
     "pipeline_audit" -> (pipelineAudit(_, _)),
     "pipeline_funnel" -> (pipelineFunnel(_, _)),
     "pipeline_src_funnel" -> (pipelineSrcFunnel(_, _)),
@@ -629,6 +733,8 @@ object PipelineQueries {
   val oracleSql: Map[String, String] = Map(
     "pipeline_curate" -> pipelineCurateSql,
     "pipeline_curate_html" -> pipelineCurateHtmlSql,
+    "domain_stats" -> domainStatsSql,
+    "pipeline_domain_cap" -> pipelineDomainCapSql,
     "pipeline_audit" -> pipelineAuditSql,
     "pipeline_funnel" -> pipelineFunnelSql,
     "pipeline_src_funnel" -> pipelineSrcFunnelSql,
