@@ -29,7 +29,8 @@ object Stress {
         "hll", "kmeans", "kmeans4096", "simquant", "ivfserve", "linkage",
         "bpe", "bm25", "knngraph", "cms", "ssjoin", "classifier",
         "ntile", "novelty", "semantic1m", "ivfpq4096", "gram", "trend",
-        "mmr", "symdel", "linkpred", "binquant1m", "hardmine1m")
+        "mmr", "symdel", "linkpred", "binquant1m", "hardmine1m",
+        "coldcatalog", "hotband")
     val spark = Sessions.local("32")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -1552,6 +1553,196 @@ object Stress {
         require(clonesWithNew == 0L,
           s"$clonesWithNew later clones claimed novel content")
         out.count()
+      }
+    }
+
+    if (which("hotband")) {
+      // THE band-join skew case: 10% of the corpus shares a long
+      // boilerplate prefix that dominates every minhash coordinate, so
+      // without intervention ALL of them land in ONE band bucket per
+      // band and the self-join goes quadratic in the hot-bucket size.
+      // This is the case the df cap exists for (site chrome shared by
+      // a large doc fraction); the stress (a) demonstrates the
+      // quadratic candidate regime on a small corpus, (b) proves the
+      // cap restores ~linear candidate volume at 10× that size while
+      // STILL recovering every planted twin pair (twins share unique
+      // tails — their post-cap shingle sets are identical, J = 1), and
+      // (c) pins the documented recall trade: pairs supported ONLY by
+      // capped boilerplate are missed by construction.
+      val boiler = (1 to 40).map(i => s"boilerplate$i").mkString(" ")
+      def corpus(n: Long): DataFrame = {
+        val id = col("id")
+        // twin tails: ids ≡ 0 and ≡ 10 (mod 200) share a tail seed
+        val seed = when(id % 200 === 10, id - 10).otherwise(id)
+        val tail = concat_ws(" ", transform(sequence(lit(0), lit(11)),
+          i => substring(md5(concat(seed.cast("string"), lit(":"),
+            i.cast("string"))), 1, 8)))
+        spark.range(n).select(id.as("doc_id"),
+          when(id % 10 === 0, concat(lit(boiler), lit(" "), tail))
+            .otherwise(tail).as("text"))
+      }
+      val cfgCap = dedup.MinHashLSH.Config(maxShingleDocFreq = Some(1000L))
+
+      // (a) small corpus, NO cap: the hot bucket is quadratic — count
+      // raw band-join candidates (500 boiler docs → ≈ 500²·6 rows)
+      val small = staged(corpus(5000))
+      timedWarm("hotband-raw") {
+        val sh = dedup.MinHashLSH.docShingles(small, "doc_id", "text")
+          .persist()
+        val b = dedup.MinHashLSH.bands(sh, dedup.MinHashLSH.Config())
+        val cand = b.as("a").join(b.as("b"),
+          col("a.band_id") === col("b.band_id") &&
+            col("a.band_val") === col("b.band_val") &&
+            col("a.doc_id") < col("b.doc_id")).count()
+        require(cand > 500L * 499L / 2,
+          s"expected a quadratic hot bucket, saw $cand candidates")
+        cand
+      }
+      spark.catalog.clearCache()
+
+      // (b) 10× corpus WITH the cap: candidates collapse to the twin
+      // collisions (~linear), and every planted twin still verifies
+      val big = staged(corpus(50000))
+      timed("hotband-cap") {
+        val sh = dedup.MinHashLSH.docShingles(big, "doc_id", "text", cfgCap)
+          .persist()
+        val b = dedup.MinHashLSH.bands(sh, cfgCap)
+        val cand = b.as("a").join(b.as("b"),
+          col("a.band_id") === col("b.band_id") &&
+            col("a.band_val") === col("b.band_val") &&
+            col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id"), col("b.doc_id")).distinct().count()
+        require(cand < 20L * 50000L,
+          s"cap failed to linearize the hot bucket: $cand candidates")
+        val pairs = dedup.MinHashLSH
+          .nearDuplicatePairs(big, "doc_id", "text", cfgCap)
+          .filter(col("doc_b") === col("doc_a") + 10 &&
+            col("doc_a") % 200 === 0).count()
+        require(pairs == 250L, s"expected all 250 planted twins, got $pairs")
+        cand
+      }
+    }
+
+    if (which("coldcatalog")) {
+      // the production-restart round-trip: write EVERY persisted index
+      // family (bm25, binary-simhash, IVFADC, symdelete, embedding
+      // buckets, dedup bands) to the catalog, drop all in-memory state
+      // (clearCache + a FRESH SparkSession — no cached frames, no temp
+      // state; the shared external catalog is what a metastore-backed
+      // restart reopens), and serve a query batch from each purely off
+      // the tables. Asserted: cold-session results ≡ the same request
+      // served before the restart (and, where the family API takes an
+      // external query frame, ≡ the INLINE no-index path). Each index
+      // already round-trips in its own spec; this entry proves all six
+      // survive the SAME restart in one catalog.
+      val docs = staged(queries.Tables.loadSpread(spark, dir, "documents")
+        .select(col("doc_id"), col("text")))
+      val vecs = staged(queries.Tables.loadSpread(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding")))
+      def snap(df: DataFrame): Seq[String] =
+        df.collect().map(_.toString).sorted.toSeq
+
+      // query batches (all deterministic, all external frames)
+      val bm25Terms = {
+        import spark.implicits._
+        Seq((0L, "table"), (0L, "query"), (1L, "spark"), (1L, "value"),
+          (1L, "join")).toDF("q_id", "term")
+      }
+      val vecBatch = vecs.filter(col("vec_id") % 20 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      val vocab = docs
+        .select(explode(graft.text.TextFeatures.words(col("text"))).as("w"))
+        .filter(length(col("w")) >= 4).distinct()
+        .withColumn("rid", col("w"))
+      val probes = vocab.filter(col("w").rlike("^[a-z]{5,}$")).limit(100)
+        .select(col("w").as("lid"), expr("substring(w, 2)").as("ltxt"))
+      val dedupBatch = docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 200000L).as("doc_id"), col("text"))
+
+      // a previous aborted run may have left orphan warehouse dirs the
+      // fresh in-memory catalog no longer knows about — clear them
+      locally {
+        val wh = new java.io.File("spark-warehouse")
+        Option(wh.listFiles()).getOrElse(Array.empty)
+          .filter(_.getName.startsWith("cold_"))
+          .foreach { d =>
+            def rm(f: java.io.File): Unit = {
+              Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+              f.delete(): Unit
+            }
+            rm(d)
+          }
+      }
+      timed("coldwrite") {
+        graft.text.Bm25.writeIndex(docs, "doc_id", "text", "cold_bm25")
+        similarity.BinaryQuant.writeIndex(vecs, "vec_id", "embedding",
+          dim = 64, bits = 128, table = "cold_bq")
+        similarity.IvfPq.writeIndex(vecs, "vec_id", "embedding", 64,
+          "cold_ivfpq")
+        operators.SymDeleteJoin.writeIndex(vocab, "rid", "w", d = 1,
+          table = "cold_symdel")
+        dedup.EmbeddingNearDup.writeIndex(vecs, "vec_id", "embedding",
+          "cold_embed")
+        dedup.IncrementalDedup.writeIndex(
+          dedup.IncrementalDedup.buildIndex(docs, "doc_id", "text"),
+          "cold_dedup")
+        spark.catalog.clearCache()
+        6L
+      }
+
+      // warm serves (+ inline paths where the API takes external
+      // queries) — the reference answers, collected BEFORE the restart
+      val warmBm25 = snap(graft.text.Bm25.topDocsIndexed(
+        spark, "cold_bm25", bm25Terms, k = 10))
+      val inlineBm25 = snap(graft.text.Bm25.topDocs(
+        docs, "doc_id", "text", bm25Terms, k = 10))
+      val warmBq = snap(similarity.BinaryQuant.topKIndexed(spark, "cold_bq",
+        vecBatch, "vec_id", "embedding", 64, 128, candidates = 256, k = 10))
+      val warmIvf = snap(similarity.IvfPq.topKIndexed(spark, "cold_ivfpq",
+        vecBatch, "vec_id", "embedding", 64, k = 10))
+      val warmSym = snap(operators.SymDeleteJoin.resolveIndexed(
+        spark, "cold_symdel", probes, "lid", "ltxt", d = 1))
+      val inlineSym = snap(operators.SymDeleteJoin.resolve(
+        probes, vocab, "lid", "ltxt", "rid", "w", d = 1))
+      val warmEmb = snap(dedup.EmbeddingNearDup.incrementalPairsIndexed(
+        spark, "cold_embed", vecBatch, "vec_id", "embedding", 0.9))
+      val inlineEmb = snap(dedup.EmbeddingNearDup.incrementalPairs(
+        vecs, vecBatch, "vec_id", "embedding", 0.9))
+      val warmDedup = snap(dedup.IncrementalDedup.verdicts(
+        dedup.IncrementalDedup.readIndex(spark, "cold_dedup"),
+        dedupBatch, "doc_id", "text", dedup.MinHashLSH.Config()))
+      val inlineDedup = snap(dedup.IncrementalDedup.verdicts(
+        docs, dedupBatch, "doc_id", "text"))
+      require(warmBm25 == inlineBm25, "bm25 indexed != inline")
+      require(warmSym == inlineSym, "symdel indexed != inline")
+      require(warmEmb == inlineEmb, "embed indexed != inline")
+      require(warmDedup == inlineDedup, "dedup indexed != inline")
+
+      // THE RESTART: fresh session, zero cached state
+      spark.catalog.clearCache()
+      val cold = spark.newSession()
+      timed("coldcatalog") {
+        val coldBm25 = snap(graft.text.Bm25.topDocsIndexed(
+          cold, "cold_bm25", bm25Terms, k = 10))
+        val coldBq = snap(similarity.BinaryQuant.topKIndexed(cold, "cold_bq",
+          vecBatch, "vec_id", "embedding", 64, 128, candidates = 256, k = 10))
+        val coldIvf = snap(similarity.IvfPq.topKIndexed(cold, "cold_ivfpq",
+          vecBatch, "vec_id", "embedding", 64, k = 10))
+        val coldSym = snap(operators.SymDeleteJoin.resolveIndexed(
+          cold, "cold_symdel", probes, "lid", "ltxt", d = 1))
+        val coldEmb = snap(dedup.EmbeddingNearDup.incrementalPairsIndexed(
+          cold, "cold_embed", vecBatch, "vec_id", "embedding", 0.9))
+        val coldDedup = snap(dedup.IncrementalDedup.verdicts(
+          dedup.IncrementalDedup.readIndex(cold, "cold_dedup"),
+          dedupBatch, "doc_id", "text", dedup.MinHashLSH.Config()))
+        require(coldBm25 == warmBm25, "bm25 cold != warm")
+        require(coldBq == warmBq, "binquant cold != warm")
+        require(coldIvf == warmIvf, "ivfpq cold != warm")
+        require(coldSym == warmSym, "symdel cold != warm")
+        require(coldEmb == warmEmb, "embed cold != warm")
+        require(coldDedup == warmDedup, "dedup cold != warm")
+        (coldBm25.size + coldBq.size + coldIvf.size + coldSym.size +
+          coldEmb.size + coldDedup.size).toLong
       }
     }
 
