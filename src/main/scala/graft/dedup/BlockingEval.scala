@@ -56,13 +56,21 @@ object BlockingEval {
     // (semi-joining against the FULL candidate set would shuffle the
     // corpus-scale frame for an answer the filter already determines)
     val hit = truth.join(candS, Seq("doc_a", "doc_b"), "left_semi")
-    docs.agg(count(lit(1)).as("n_docs"))
+    ratios(docs.agg(count(lit(1)).as("n_docs"))
       .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
       .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
       .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
-      .crossJoin(candS.agg(count(lit(1)).as("n_cand_s")))
-      .select(col("n_docs"), col("n_cand"), col("n_truth"), col("n_hit"),
-        col("n_cand_s"),
+      .crossJoin(candS.agg(count(lit(1)).as("n_cand_s"))))
+  }
+
+  /** The ppm projection over a (n_docs, n_cand, n_truth, n_hit,
+    * n_cand_s) counts frame — shared with the streaming monitor
+    * ([[graft.streaming.BlockingMonitor.report]]) so both audit faces
+    * emit the identical one-row shape.
+    */
+  private[graft] def ratios(counts: DataFrame): DataFrame =
+    counts.select(col("n_docs"), col("n_cand"), col("n_truth"),
+        col("n_hit"), col("n_cand_s"),
         expr("""CAST(1000000 -
           (CAST(n_cand AS DECIMAL(38,0)) * 1000000) div
           ((CAST(n_docs AS DECIMAL(38,0)) * (n_docs - 1)) div 2)
@@ -73,5 +81,4 @@ object BlockingEval {
         expr("""CASE WHEN n_cand_s > 0 THEN
           CAST((CAST(n_hit AS DECIMAL(38,0)) * 1000000) div n_cand_s
           AS BIGINT) END""").as("pq_ppm"))
-  }
 }
