@@ -196,7 +196,10 @@ object Bench {
     spark.stop()
     // reps rides THIS line (not the final one): at 96 slots the final
     // line needs every tail-window char for the per-query map
-    println(s"""{"metric":"total_min","value":${f3(totalMin)},"unit":"sec","reps":$reps,"bench_schema":5,"queries_min":$qsMin}""")
+    // bench_schema 6 = schema 5 + shuffle partitions sized to the SF
+    // (cpus/2 session default — see Sessions.builder; slot set and
+    // calibration pins unchanged, probes are map-side-dominated)
+    println(s"""{"metric":"total_min","value":${f3(totalMin)},"unit":"sec","reps":$reps,"bench_schema":6,"queries_min":$qsMin}""")
     // sf as basename: the full path cost 15 chars of tail-window margin
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","total_min":${f3(totalMin)},"calib":${f3(calib)},"total_norm":${f3(total * CalibRef / calib)},"calib_mem":${f2(calibMem)},"norm_mem":${f2(total * CalibMemRef / calibMem)},"queries":$qs,$errs"sf":"${new java.io.File(sfDir).getName}"}""")
   }

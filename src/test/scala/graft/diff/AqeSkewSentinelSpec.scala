@@ -14,8 +14,11 @@ import org.scalatest.funsuite.AnyFunSuite
   * multi-partition map side (the split works at map-output granularity,
   * so single-split inputs can never split), a hot partition several
   * times the median in COMPRESSED shuffle bytes (full rows, not a
-  * constant key column that RLE-compresses away), and thresholds low
-  * enough for the small test volume.
+  * constant key column that RLE-compresses away), thresholds low
+  * enough for the small test volume, and a pinned multi-partition
+  * REDUCE side (skew is judged against the median reduce partition, so
+  * at the session default — sized to data volume, 2 in the 4-cpu test
+  * JVM — the hot partition would BE the median and never qualify).
   */
 class AqeSkewSentinelSpec extends AnyFunSuite {
 
@@ -24,6 +27,7 @@ class AqeSkewSentinelSpec extends AnyFunSuite {
 
   private def skewMarkers(joinType: String): Int = {
     val confs = Seq(
+      "spark.sql.shuffle.partitions" -> "32",
       "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "100k",
       "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "100k",
       "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
