@@ -29,7 +29,7 @@ object SparkEntry {
       TextQueries.queries ++ SimilarityQueries.queries ++
       MultimodalQueries.queries ++ PipelineQueries.queries ++
       TemporalQueries.queries ++ SketchQueries.queries ++
-      ClassifierQueries.queries
+      ClassifierQueries.queries ++ TableQueries.queries
 
   /** DuckDB-runnable oracle per query key. */
   def oracleSql: Map[String, String] =
@@ -37,7 +37,7 @@ object SparkEntry {
       TextQueries.oracleSql ++ SimilarityQueries.oracleSql ++
       MultimodalQueries.oracleSql ++ PipelineQueries.oracleSql ++
       TemporalQueries.oracleSql ++ SketchQueries.oracleSql ++
-      ClassifierQueries.oracleSql
+      ClassifierQueries.oracleSql ++ TableQueries.oracleSql
 
   /** Headline queries timed by graft.Bench (ordered) — ONE tracked
     * number per distinct runtime plan shape, so the bench total

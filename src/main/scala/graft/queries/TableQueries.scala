@@ -1,0 +1,157 @@
+package graft.queries
+
+import graft.tables.{CowTable, TxLog}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Oracle gates for the [[graft.tables.CowTable]] transactional table
+  * format. Unlike every other gate these are REAL round trips: each
+  * creates an on-disk table under `java.io.tmpdir` (fixed per-SF path,
+  * self-cleaned at entry — the qMvRollup precedent), runs the physical
+  * operation sequence (create → merge / append → compact), and returns
+  * the snapshot READ BACK FROM DISK, so the DuckDB oracle pins the
+  * whole log-fold + zone-map + copy-on-write machinery end to end: any
+  * file the merge wrongly rewrote, dropped, or double-counted changes
+  * the returned multiset. Table CONTENTS are a pure function of the
+  * input frames (file layout is not, and is spec-pinned instead —
+  * CowTableSpec).
+  */
+object TableQueries {
+
+  private def scratch(dir: String, name: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_cow/" +
+      s"${new java.io.File(dir).getName}/$name"
+
+  private def reset(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = TxLog.fs(spark, path)
+    if (fs.exists(p)) { fs.delete(p, true); () }
+  }
+
+  /** MERGE round trip on orders keyed o_orderkey (lineitem's composite
+    * key is NOT unique in this testdata, so orders is the keyed table
+    * here): one in seven keys is upserted (+100 total price, restatus
+    * 'U'), one in 21 deleted, one in 997 cloned to a fresh key range as
+    * inserts. The returned frame is the post-merge snapshot read from
+    * disk.
+    */
+  def tableMerge(spark: SparkSession, dir: String): DataFrame = {
+    val t = scratch(dir, "merge")
+    reset(spark, t)
+    val base = Tables.load(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+    CowTable.create(spark, t,
+      base.repartitionByRange(8, col("o_orderkey")), Seq("o_orderkey"))
+    val updates = base.filter(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey"), col("o_custkey"),
+        (col("o_totalprice") + 100.0d).as("o_totalprice"),
+        lit("U").as("o_orderstatus"),
+        (col("o_orderkey") % 21 === 0).as("del"))
+      .unionByName(base.filter(col("o_orderkey") % 997 === 1)
+        .select((col("o_orderkey") + 1000000000L).as("o_orderkey"),
+          col("o_custkey"), lit(1.0d).as("o_totalprice"),
+          lit("N").as("o_orderstatus"), lit(false).as("del")))
+    CowTable.merge(spark, t, updates, Seq("o_orderkey"), Some("del"))
+    CowTable.read(spark, t).orderBy("o_orderkey")
+  }
+
+  val tableMergeSql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+      |  FROM orders)
+      |SELECT * FROM (
+      |  SELECT * FROM base WHERE o_orderkey % 7 <> 0
+      |  UNION ALL
+      |  SELECT o_orderkey, o_custkey, o_totalprice + 100 AS o_totalprice,
+      |         'U' AS o_orderstatus
+      |  FROM base WHERE o_orderkey % 7 = 0 AND o_orderkey % 21 <> 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 1000000000 AS o_orderkey, o_custkey,
+      |         CAST(1 AS DOUBLE) AS o_totalprice, 'N' AS o_orderstatus
+      |  FROM base WHERE o_orderkey % 997 = 1)
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Time travel: after a merge, version 1 must still read as the
+    * ORIGINAL table (commits close over immutable files, never mutate
+    * them) — both versions are read from disk and summarized per
+    * order status. One in five orders is restatused, one in 25 deleted.
+    */
+  def tableTimetravel(spark: SparkSession, dir: String): DataFrame = {
+    val t = scratch(dir, "timetravel")
+    reset(spark, t)
+    val base = Tables.load(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderstatus")
+    CowTable.create(spark, t,
+      base.repartitionByRange(4, col("o_orderkey")), Seq("o_orderkey"))
+    val updates = base.filter(col("o_orderkey") % 5 === 0)
+      .select(col("o_orderkey"), col("o_custkey"),
+        lit("X").as("o_orderstatus"),
+        (col("o_orderkey") % 25 === 0).as("del"))
+    CowTable.merge(spark, t, updates, Seq("o_orderkey"), Some("del"))
+    def summarize(v: Long): DataFrame =
+      CowTable.read(spark, t, Some(v))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("o_orderkey")).as("key_sum"))
+        .withColumn("version", lit(v))
+    summarize(1L).unionByName(summarize(2L))
+      .select("version", "o_orderstatus", "cnt", "key_sum")
+      .orderBy("version", "o_orderstatus")
+  }
+
+  val tableTimetravelSql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus FROM orders),
+      |v2 AS (
+      |  SELECT o_orderkey, o_orderstatus FROM base WHERE o_orderkey % 5 <> 0
+      |  UNION ALL
+      |  SELECT o_orderkey, 'X' AS o_orderstatus
+      |  FROM base WHERE o_orderkey % 5 = 0 AND o_orderkey % 25 <> 0)
+      |SELECT * FROM (
+      |  SELECT 1 AS version, o_orderstatus, COUNT(*) AS cnt,
+      |         CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+      |  FROM base GROUP BY o_orderstatus
+      |  UNION ALL
+      |  SELECT 2, o_orderstatus, COUNT(*),
+      |         CAST(SUM(o_orderkey) AS BIGINT)
+      |  FROM v2 GROUP BY o_orderstatus)
+      |ORDER BY version, o_orderstatus""".stripMargin
+
+  /** Append + compact round trip on customer: contents must be
+    * identical through the bin-pack rewrite (layout is the only thing
+    * compaction may change).
+    */
+  def tableCompact(spark: SparkSession, dir: String): DataFrame = {
+    val t = scratch(dir, "compact")
+    reset(spark, t)
+    val base = Tables.load(spark, dir, "customer")
+      .select("c_custkey", "c_nationkey", "c_acctbal")
+    CowTable.create(spark, t,
+      base.repartitionByRange(10, col("c_custkey")), Seq("c_custkey"))
+    CowTable.append(spark, t,
+      base.filter(col("c_custkey") % 10 === 3)
+        .select((col("c_custkey") + 1000000000L).as("c_custkey"),
+          col("c_nationkey"), (col("c_acctbal") * 2.0d).as("c_acctbal")))
+    CowTable.compact(spark, t, smallFileRows = Long.MaxValue,
+      targetFileCount = 2)
+    CowTable.read(spark, t).orderBy("c_custkey")
+  }
+
+  val tableCompactSql: String =
+    """SELECT * FROM (
+      |  SELECT c_custkey, c_nationkey, c_acctbal FROM customer
+      |  UNION ALL
+      |  SELECT c_custkey + 1000000000, c_nationkey, c_acctbal * 2
+      |  FROM customer WHERE c_custkey % 10 = 3)
+      |ORDER BY c_custkey""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "table_merge" -> (tableMerge(_, _)),
+    "table_timetravel" -> (tableTimetravel(_, _)),
+    "table_compact" -> (tableCompact(_, _)))
+
+  val oracleSql: Map[String, String] = Map(
+    "table_merge" -> tableMergeSql,
+    "table_timetravel" -> tableTimetravelSql,
+    "table_compact" -> tableCompactSql)
+}

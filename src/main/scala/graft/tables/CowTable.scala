@@ -1,0 +1,318 @@
+package graft.tables
+
+import graft.tables.TxLog.{AddFile, ColStats, Commit, Snapshot}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Copy-on-write transactional table over plain parquet + [[TxLog]] —
+  * the table-format sink a production deployment of the engine's
+  * keyed-maintenance operators ([[graft.operators.Scd2]],
+  * [[graft.operators.AggMerge]]) writes into. Supports atomic create /
+  * append / MERGE (upsert + delete) / compaction / vacuum, snapshot
+  * reads at any retained version (time travel), and zone-map file
+  * pruning on merge.
+  *
+  * '''Why copy-on-write''': MERGE rewrites only the files that contain
+  * a matched key and leaves every other file untouched, so the unit of
+  * write amplification is the FILE, not the table. With updates
+  * clustered on the stats columns (e.g. ingest date or key ranges —
+  * [[graft.operators.ZOrder]] layouts compose here), the zone maps
+  * prune the candidate set to the files whose min/max actually overlap
+  * the batch's key range; a merge touching 0.1% of keys rewrites ~0.1%
+  * of a well-laid-out 100 TB table. Reads need no merge-on-read
+  * reconciliation — a snapshot IS a plain parquet file list, at full
+  * scan parallelism with all pushdown intact.
+  *
+  * '''Merge semantics''' (one batch): full-row upsert with optional
+  * delete flag — `WHEN MATCHED AND del THEN DELETE / WHEN MATCHED THEN
+  * UPDATE SET * / WHEN NOT MATCHED AND NOT del THEN INSERT *`. Update
+  * batches must be unique per key (checked with one cheap aggregate;
+  * disable via `checkUniqueKeys` for pre-deduped production feeds).
+  *
+  * '''Determinism''': table CONTENTS after any operation sequence are a
+  * pure function of the input frames — file layout (how rows pack into
+  * files) varies with partitioning, but every read returns the same
+  * multiset, which is exactly what the `table_*` oracle gates pin
+  * end-to-end through a real on-disk create→merge→read round trip.
+  *
+  * '''Concurrency''': operations are optimistic transactions — compute
+  * against snapshot v, attempt to publish v+1 via [[TxLog.tryCommit]]'s
+  * rename-CAS, and on losing the race re-read and REPLAY the operation
+  * against the winner's snapshot (bounded retries). Appends from
+  * disjoint writers thus serialize without coordination; concurrent
+  * merges serialize by replay (the loser re-resolves its touched-file
+  * set, so a file rewritten by the winner is never removed twice).
+  */
+object CowTable {
+
+  /** Manifest-derived merge accounting: `addedRows`/`removedRows` are
+    * the rewritten-file row deltas (free from the log — no extra scan),
+    * so `removedRows - addedRows + <inserts>` = net deletes.
+    */
+  final case class MergeMetrics(version: Long, candidateFiles: Long,
+      touchedFiles: Long, prunedFiles: Long, addedRows: Long,
+      removedRows: Long)
+
+  private val MaxRetries = 10
+
+  /** Create a new table at `path` from `df`. `statsCols` are the
+    * columns zone-mapped in the manifest (typically the merge keys);
+    * long/double/string columns participate in pruning, others are
+    * recorded as unprunable.
+    */
+  def create(spark: SparkSession, path: String, df: DataFrame,
+      statsCols: Seq[String]): Unit = {
+    require(TxLog.latestVersion(spark, path) == 0,
+      s"table already exists at $path")
+    val adds = writeFiles(spark, path, df, statsCols)
+    val c = Commit(1L, "create", adds, Seq.empty,
+      Some(df.schema.toDDL), Some(statsCols))
+    require(TxLog.tryCommit(spark, path, c),
+      s"concurrent create at $path")
+  }
+
+  /** Atomically append `df` (no key semantics — a blind add). */
+  def append(spark: SparkSession, path: String, df: DataFrame): Unit =
+    retrying(s"append to $path") {
+      val snap = TxLog.snapshot(spark, path)
+      val adds = writeFiles(spark, path, conform(df, snap), snap.statsCols)
+      TxLog.tryCommit(spark, path,
+        Commit(snap.version + 1, "append", adds, Seq.empty, None, None))
+    }
+
+  /** Snapshot read; `asOfVersion` time-travels to a retained version.
+    * Schema is pinned from the log, so a read is stable even while a
+    * concurrent commit lands.
+    */
+  def read(spark: SparkSession, path: String,
+      asOfVersion: Option[Long] = None): DataFrame = {
+    val snap = TxLog.snapshot(spark, path, asOfVersion)
+    readSnapshot(spark, path, snap)
+  }
+
+  /** MERGE `updates` into the table on `keys`: full-row upsert, rows
+    * flagged true in `deleteCol` are deletes. Only files containing a
+    * matched key are rewritten; the candidate set is pre-pruned by the
+    * manifest zone maps against the batch's key bounds.
+    */
+  def merge(spark: SparkSession, path: String, updates: DataFrame,
+      keys: Seq[String], deleteCol: Option[String] = None,
+      checkUniqueKeys: Boolean = true): MergeMetrics = {
+    require(keys.nonEmpty, "merge needs at least one key column")
+    val up = updates.persist()
+    try {
+      if (checkUniqueKeys) {
+        val dup = up.groupBy(keys.map(col): _*).count()
+          .filter(col("count") > 1).limit(1).collect()
+        require(dup.isEmpty,
+          s"duplicate keys in the update batch: ${dup.mkString(",")}")
+      }
+      // Batch key bounds for zone-map pruning: one tiny driver row.
+      val prunableKey = keys.headOption
+      val bounds = prunableKey.map { k =>
+        up.agg(min(col(k)).cast("string"), max(col(k)).cast("string"))
+          .collect()(0)
+      }
+
+      var result: Option[MergeMetrics] = None
+      retrying(s"merge into $path") {
+        val snap = TxLog.snapshot(spark, path)
+        val del = deleteCol.map(c => coalesce(col(c), lit(false)))
+          .getOrElse(lit(false))
+        // _gf_m is the presence marker (diff-core technique): after the
+        // left join it distinguishes "no update for this row" from an
+        // update that legitimately sets a column to NULL — a coalesce
+        // on the data column would silently resurrect the old value.
+        val upData = up.select(
+          readSchemaCols(snap).map(col) ++
+            Seq(del.as("_gf_del"), lit(1).as("_gf_m")): _*)
+
+        // 1. Prune: files whose zone map can't overlap the batch's key
+        //    bounds are untouched by construction.
+        val candidates = snap.files.filter { f =>
+          (for { k <- prunableKey; b <- bounds; st <- f.stats.get(k) }
+            yield b.isNullAt(0) || st.mayOverlap(b.getString(0), b.getString(1))
+          ).getOrElse(true)
+        }
+        val pruned = snap.files.size - candidates.size
+
+        // 2. Touched files: candidates holding >=1 matched key. One
+        //    semi-join scan over candidates only; the file list is
+        //    manifest-sized (driver-safe).
+        val candDf = readFiles(spark, path, snap, candidates)
+          .withColumn("_gf", input_file_name())
+        val keyJoin = keys.map(k => candDf(k) <=> upData(k)).reduce(_ && _)
+        val touchedPaths = candDf.join(upData, keyJoin, "left_semi")
+          .select("_gf").distinct().collect()
+          .map(r => new Path(r.getString(0)).toUri.getPath).toSet
+        val touched = candidates.filter(f =>
+          touchedPaths.exists(_.endsWith("/" + f.path)))
+
+        // 3. Rewrite touched rows (left join: survivors pass through,
+        //    matches update or delete) + insert unmatched batch rows.
+        val touchedDf = readFiles(spark, path, snap, touched)
+        val tJoin = keys.map(k => touchedDf(k) <=> upData(k)).reduce(_ && _)
+        val dataCols = readSchemaCols(snap)
+        val rewritten = touchedDf.join(upData, tJoin, "left_outer")
+          .filter(upData("_gf_del").isNull || !upData("_gf_del"))
+          .select(dataCols.map(c =>
+            when(upData("_gf_m").isNotNull, upData(c))
+              .otherwise(touchedDf(c)).as(c)): _*)
+        val inserts = upData.filter(!col("_gf_del"))
+          .join(touchedDf, tJoin, "left_anti")
+          .select(dataCols.map(col): _*)
+        val out = rewritten.unionByName(inserts)
+
+        val adds = writeFiles(spark, path, out, snap.statsCols)
+        val committed = TxLog.tryCommit(spark, path,
+          Commit(snap.version + 1, "merge", adds,
+            touched.map(_.path), None, None))
+        // On a lost race: undo nothing (orphan files are vacuumable),
+        // replay the whole resolve against the winner's snapshot.
+        if (committed)
+          result = Some(MergeMetrics(snap.version + 1,
+            candidates.size.toLong, touched.size.toLong, pruned.toLong,
+            adds.map(_.rows).sum, touched.map(_.rows).sum))
+        committed
+      }
+      result.get
+    } finally { up.unpersist(); () }
+  }
+
+  /** Bin-pack files smaller than `smallFileRows` into full rewrites of
+    * `targetFileCount` output files. Contents are untouched; only
+    * layout changes (the identity the `table_compact` gate pins).
+    */
+  def compact(spark: SparkSession, path: String, smallFileRows: Long,
+      targetFileCount: Int): Unit =
+    retrying(s"compact $path") {
+      val snap = TxLog.snapshot(spark, path)
+      val smalls = snap.files.filter(_.rows < smallFileRows)
+      if (smalls.size <= 1) true
+      else {
+        val packed = readFiles(spark, path, snap, smalls)
+          .repartition(targetFileCount)
+        val adds = writeFiles(spark, path, packed, snap.statsCols)
+        TxLog.tryCommit(spark, path, Commit(snap.version + 1, "compact",
+          adds, smalls.map(_.path), None, None))
+      }
+    }
+
+  /** Delete data files referenced by NO snapshot within the last
+    * `retainVersions` versions (older versions become unreadable —
+    * the standard retention trade). Returns deleted relative paths.
+    */
+  def vacuum(spark: SparkSession, path: String,
+      retainVersions: Int = 2): Seq[String] = {
+    val f = TxLog.fs(spark, path)
+    val latest = TxLog.latestVersion(spark, path)
+    val keep = (math.max(1, latest - retainVersions + 1) to latest)
+      .flatMap(v => TxLog.snapshot(spark, path, Some(v)).files.map(_.path))
+      .toSet
+    val dataDir = new Path(path, "data")
+    if (!f.exists(dataDir)) return Seq.empty
+    val root = new Path(path).toUri.getPath.stripSuffix("/")
+    val it = f.listFiles(dataDir, true)
+    val deleted = scala.collection.mutable.ArrayBuffer[String]()
+    while (it.hasNext) {
+      val st = it.next()
+      val rel = st.getPath.toUri.getPath
+        .stripPrefix(root).stripPrefix("/")
+      if (st.isFile && !keep.contains(rel) && rel.endsWith(".parquet")) {
+        f.delete(st.getPath, false)
+        deleted += rel
+      }
+    }
+    deleted.toSeq
+  }
+
+  /** Rows ADDED by commit `v` (the file-level change feed; for merges
+    * this is rewritten survivors + updates + inserts — file-layout
+    * dependent, so spec-pinned rather than oracle-pinned).
+    */
+  def changesAt(spark: SparkSession, path: String, v: Long): DataFrame = {
+    val c = TxLog.commitAt(spark, path, v)
+    val snap = TxLog.snapshot(spark, path, Some(v))
+    readFiles(spark, path, snap, c.adds)
+  }
+
+  // ---------------------------------------------------------------- //
+
+  private def conform(df: DataFrame, snap: Snapshot): DataFrame = {
+    val cols = readSchemaCols(snap)
+    require(cols.forall(df.columns.contains),
+      s"append frame missing columns: ${cols.filterNot(df.columns.contains)}")
+    df.select(cols.map(col): _*)
+  }
+
+  private def readSchemaCols(snap: Snapshot): Seq[String] =
+    StructType.fromDDL(snap.schemaDDL).fields.map(_.name).toSeq
+
+  private def readSnapshot(spark: SparkSession, path: String,
+      snap: Snapshot): DataFrame =
+    readFiles(spark, path, snap, snap.files)
+
+  private def readFiles(spark: SparkSession, path: String, snap: Snapshot,
+      files: Seq[AddFile]): DataFrame = {
+    val schema = StructType.fromDDL(snap.schemaDDL)
+    if (files.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else
+      spark.read.schema(schema)
+        .parquet(files.map(f => s"$path/${f.path}"): _*)
+  }
+
+  /** Write `df` as a fresh op directory of parquet files and return the
+    * manifest entries (relative paths + row counts + zone maps). Stats
+    * come from ONE metadata-shaped aggregate over the just-written
+    * files (group by file name; output rows = file count).
+    */
+  private def writeFiles(spark: SparkSession, path: String, df: DataFrame,
+      statsCols: Seq[String]): Seq[AddFile] = {
+    val opId = java.util.UUID.randomUUID().toString
+    val opDir = s"data/$opId"
+    df.write.parquet(s"$path/$opDir")
+
+    val written = spark.read.parquet(s"$path/$opDir")
+    val statAggs = statsCols.flatMap { c =>
+      Seq(min(col(c)).cast("string").as(s"_min_$c"),
+        max(col(c)).cast("string").as(s"_max_$c"))
+    }
+    val kinds: Map[String, String] = statsCols.map { c =>
+      c -> (written.schema(c).dataType match {
+        case LongType | IntegerType | ShortType | ByteType => "long"
+        case DoubleType | FloatType                        => "double"
+        case StringType                                    => "string"
+        case _                                             => "opaque"
+      })
+    }.toMap
+    written
+      .groupBy(input_file_name().as("_gf"))
+      .agg(count(lit(1)).as("_rows"), statAggs: _*)
+      .collect()
+      .map { r =>
+        val uriPath = new Path(r.getString(0)).toUri.getPath
+        val name = uriPath.substring(uriPath.lastIndexOf('/') + 1)
+        val stats = statsCols.map { c =>
+          val mn = r.getAs[String](s"_min_$c")
+          val mx = r.getAs[String](s"_max_$c")
+          c -> (if (mn == null || mx == null) ColStats("opaque", "", "")
+          else ColStats(kinds(c), mn, mx))
+        }.toMap
+        AddFile(s"$opDir/$name", r.getAs[Long]("_rows"), stats)
+      }.toSeq
+  }
+
+  private def retrying(what: String)(attempt: => Boolean): Unit = {
+    var tries = 0
+    var done = false
+    while (!done && tries < MaxRetries) {
+      done = attempt
+      tries += 1
+    }
+    require(done, s"$what: lost the commit race $MaxRetries times")
+  }
+}

@@ -1,0 +1,216 @@
+package graft.tables
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+import org.json4s.jackson.Serialization
+
+/** Transaction log for [[CowTable]] — the "production holder" the
+  * Scd2/AggMerge scaladocs defer to: a versioned, atomically-committed
+  * manifest of which parquet files constitute the table, in the style
+  * the open table formats (Delta/Iceberg/Hudi) established, built from
+  * nothing but Hadoop `FileSystem` + JSON.
+  *
+  * Layout under the table root:
+  * {{{
+  *   _txlog/00000000000000000001.json             one file per commit
+  *   _txlog/00000000000000000020.checkpoint.json  folded snapshot
+  *   data/<op-uuid>/part-*.parquet                one dir per write op
+  * }}}
+  *
+  * Commit `v` is a single JSON document: the files it ADDS (with row
+  * counts and per-column min/max zone maps), the live files it REMOVES,
+  * and — on commit 1 — the pinned schema DDL. The live file set at
+  * version v is the ordered fold of commits 1..v (adds ∪, removes ∖);
+  * nothing is ever rewritten in place, so every historical version
+  * stays readable until [[CowTable.vacuum]] reclaims it (time travel).
+  *
+  * '''Atomicity / concurrency''' — optimistic: a writer computes its
+  * changes against snapshot version v, serializes them to a temp file,
+  * and publishes by renaming to `_txlog/{v+1}.json`. Exactly one writer
+  * can create that name: HDFS `rename` is atomic and fails when the
+  * destination exists, so the loser observes `false` (or sees the
+  * winner's file), re-reads the log, and replays its operation against
+  * the new snapshot ([[CowTable.merge]] retries this loop). On a raw
+  * object store without atomic rename-if-absent this final publish
+  * needs a conditional-put primitive (the same caveat every log-based
+  * format documents); everything else is plain immutable-file I/O.
+  *
+  * '''Scale shape''' — the log is METADATA: its size tracks file count,
+  * not data volume. Opening a table reads the latest checkpoint (one
+  * folded JSON, written every [[CheckpointInterval]] commits) plus the
+  * commit tail — O(files + interval) driver-side work, zero executor
+  * work. At 100 TB / ~1 GB files that is ~1e5 manifest entries; the
+  * fold is a driver hash-map pass. Zone-map stats ride the manifest, so
+  * merge-time file pruning ([[CowTable.merge]]) never touches parquet
+  * footers.
+  */
+object TxLog {
+
+  val LogDir = "_txlog"
+  val CheckpointInterval = 20
+
+  /** One data file in the manifest. `path` is RELATIVE to the table
+    * root so the table directory can be relocated wholesale. Zone maps
+    * (`stats`) cover the table's declared stats columns; min/max are
+    * encoded as strings with a kind tag so the manifest stays
+    * schema-stable JSON (compared after decoding, [[ColStats.contains]]).
+    */
+  final case class AddFile(path: String, rows: Long,
+      stats: Map[String, ColStats])
+
+  final case class ColStats(kind: String, min: String, max: String) {
+    /** Could a row with `value` for this column live in this file?
+      * Conservative: unknown kinds never prune.
+      */
+    def mayContain(value: Any): Boolean = kind match {
+      case "long" =>
+        val v = value.toString.toLong
+        min.toLong <= v && v <= max.toLong
+      case "double" =>
+        val v = value.toString.toDouble
+        min.toDouble <= v && v <= max.toDouble
+      case "string" =>
+        val v = value.toString
+        min <= v && v <= max
+      case _ => true
+    }
+    /** Range-overlap form: could this file intersect [lo, hi]? */
+    def mayOverlap(lo: Any, hi: Any): Boolean = kind match {
+      case "long"   => min.toLong <= hi.toString.toLong &&
+        lo.toString.toLong <= max.toLong
+      case "double" => min.toDouble <= hi.toString.toDouble &&
+        lo.toString.toDouble <= max.toDouble
+      case "string" => min <= hi.toString && lo.toString <= max
+      case _        => true
+    }
+  }
+
+  /** A committed version: what it added/removed, and (v1 only) the
+    * pinned schema + stats columns.
+    */
+  final case class Commit(version: Long, op: String, adds: Seq[AddFile],
+      removes: Seq[String], schemaDDL: Option[String],
+      statsCols: Option[Seq[String]])
+
+  /** Folded view of the log at a version. */
+  final case class Snapshot(version: Long, files: Seq[AddFile],
+      schemaDDL: String, statsCols: Seq[String]) {
+    def filePaths(root: String): Seq[String] =
+      files.map(f => s"$root/${f.path}")
+  }
+
+  private implicit val formats: Formats = Serialization.formats(NoTypeHints)
+
+  def fs(spark: SparkSession, table: String): FileSystem =
+    new Path(table).getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def logPath(table: String): Path = new Path(table, LogDir)
+  private def commitPath(table: String, v: Long): Path =
+    new Path(logPath(table), f"$v%020d.json")
+  private def checkpointPath(table: String, v: Long): Path =
+    new Path(logPath(table), f"$v%020d.checkpoint.json")
+
+  private def writeString(fs: FileSystem, p: Path, s: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(s.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readString(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try {
+      val bs = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](65536)
+      var n = in.read(buf)
+      while (n >= 0) { bs.write(buf, 0, n); n = in.read(buf) }
+      bs.toString("UTF-8")
+    } finally in.close()
+  }
+
+  /** Latest committed version, 0 if the table doesn't exist yet. */
+  def latestVersion(spark: SparkSession, table: String): Long = {
+    val f = fs(spark, table)
+    val dir = logPath(table)
+    if (!f.exists(dir)) 0L
+    else f.listStatus(dir).iterator
+      .map(_.getPath.getName)
+      .filter(_.matches("\\d{20}\\.json"))
+      .map(_.take(20).toLong)
+      .foldLeft(0L)(math.max)
+  }
+
+  /** Attempt to publish `commit` as version `commit.version`. Returns
+    * true iff THIS writer won the version (the CAS described in the
+    * object doc). On success, also writes a checkpoint when the version
+    * lands on the interval.
+    */
+  def tryCommit(spark: SparkSession, table: String, commit: Commit): Boolean = {
+    val f = fs(spark, table)
+    f.mkdirs(logPath(table))
+    val dst = commitPath(table, commit.version)
+    if (f.exists(dst)) return false
+    val tmp = new Path(logPath(table),
+      s".tmp-${java.util.UUID.randomUUID()}-${commit.version}.json")
+    writeString(f, tmp, Serialization.write(commit))
+    val won = try f.rename(tmp, dst) && f.exists(dst)
+    catch { case _: java.io.IOException => false }
+    if (!won) { try f.delete(tmp, false) catch { case _: Exception => () } }
+    else if (commit.version % CheckpointInterval == 0) {
+      // Checkpoint failures are benign: readers fall back to the full
+      // commit fold; the next interval retries.
+      try {
+        val snap = snapshot(spark, table, Some(commit.version))
+        writeString(f, checkpointPath(table, commit.version),
+          Serialization.write(snap))
+      } catch { case _: Exception => () }
+    }
+    won
+  }
+
+  /** Fold the log into the live-file set at `asOf` (default: latest).
+    * Starts from the newest checkpoint ≤ asOf when one exists.
+    */
+  def snapshot(spark: SparkSession, table: String,
+      asOf: Option[Long] = None): Snapshot = {
+    val f = fs(spark, table)
+    val dir = logPath(table)
+    require(f.exists(dir), s"not a CowTable (no ${LogDir}): $table")
+    val names = f.listStatus(dir).map(_.getPath.getName)
+    val target = asOf.getOrElse(
+      names.filter(_.matches("\\d{20}\\.json"))
+        .map(_.take(20).toLong).foldLeft(0L)(math.max))
+    require(target > 0, s"empty log at $table")
+
+    val ckptV = names.filter(_.matches("\\d{20}\\.checkpoint\\.json"))
+      .map(_.take(20).toLong).filter(_ <= target)
+      .foldLeft(0L)(math.max)
+    val base: Snapshot =
+      if (ckptV == 0) Snapshot(0L, Seq.empty, "", Seq.empty)
+      else Serialization.read[Snapshot](
+        readString(f, checkpointPath(table, ckptV)))
+
+    var files = scala.collection.mutable.LinkedHashMap(
+      base.files.map(a => a.path -> a): _*)
+    var schemaDDL = base.schemaDDL
+    var statsCols = base.statsCols
+    var v = ckptV + 1
+    while (v <= target) {
+      val p = commitPath(table, v)
+      require(f.exists(p), s"log has a hole at version $v: $table")
+      val c = JsonMethods.parse(readString(f, p)).extract[Commit]
+      c.schemaDDL.foreach(schemaDDL = _)
+      c.statsCols.foreach(statsCols = _)
+      c.removes.foreach(files.remove)
+      c.adds.foreach(a => files.update(a.path, a))
+      v += 1
+    }
+    Snapshot(target, files.values.toSeq, schemaDDL, statsCols)
+  }
+
+  /** Raw commit `v` (for audits / change inspection). */
+  def commitAt(spark: SparkSession, table: String, v: Long): Commit = {
+    val f = fs(spark, table)
+    JsonMethods.parse(readString(f, commitPath(table, v))).extract[Commit]
+  }
+}

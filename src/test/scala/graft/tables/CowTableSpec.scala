@@ -1,0 +1,230 @@
+package graft.tables
+
+import graft.SparkTestSession
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class CowTableSpec extends AnyFunSuite {
+
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def withTable(f: String => Unit): Unit = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cow_").toFile
+    try f(dir.getAbsolutePath + "/t")
+    finally rmrf(dir)
+  }
+
+  private def rmrf(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(rmrf)
+    f.delete(); ()
+  }
+
+  /** Keyed fixture clustered on k so files carry disjoint zone maps. */
+  private def base(n: Int, parts: Int): DataFrame =
+    spark.range(n).select(col("id").as("k"),
+        (col("id") * 7 % 100).as("v"),
+        concat(lit("row"), col("id")).as("s"))
+      .repartitionByRange(parts, col("k"))
+
+  private def contents(df: DataFrame): Set[(Long, Long, String)] =
+    df.select("k", "v", "s").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+
+  test("create/read round trip preserves contents and schema") {
+    withTable { t =>
+      val df = base(1000, 4)
+      CowTable.create(spark, t, df, Seq("k"))
+      val back = CowTable.read(spark, t)
+      assert(back.schema.map(f => (f.name, f.dataType)) ===
+        df.schema.map(f => (f.name, f.dataType)))
+      assert(contents(back) === contents(df))
+      assert(TxLog.snapshot(spark, t).files.size === 4)
+    }
+  }
+
+  test("create refuses an existing table") {
+    withTable { t =>
+      CowTable.create(spark, t, base(10, 1), Seq("k"))
+      intercept[IllegalArgumentException] {
+        CowTable.create(spark, t, base(10, 1), Seq("k"))
+      }
+    }
+  }
+
+  test("append adds rows atomically and conforms column order") {
+    withTable { t =>
+      CowTable.create(spark, t, base(100, 2), Seq("k"))
+      val extra = spark.range(100, 150).select(
+        concat(lit("row"), col("id")).as("s"),   // shuffled column order
+        (col("id") * 7 % 100).as("v"), col("id").as("k"))
+      CowTable.append(spark, t, extra)
+      assert(contents(CowTable.read(spark, t)) ===
+        contents(base(150, 1)))
+    }
+  }
+
+  test("merge: upsert + delete + insert, only touched files rewritten") {
+    withTable { t =>
+      CowTable.create(spark, t, base(1000, 8), Seq("k"))
+      val before = TxLog.snapshot(spark, t).files.map(_.path).toSet
+      // All update keys live in [0, 110) ⊂ the first of 8 range files,
+      // so the batch's key bounds prune the other seven outright.
+      val updates = spark.range(50).select(col("id").as("k"),
+          lit(-1L).as("v"), lit("upd").as("s"), lit(false).as("del"))
+        .union(spark.range(100, 110).select(col("id"), col("id") * 0 - 2,
+          lit("x"), lit(true)))                    // deletes: keys 100..109
+      val m = CowTable.merge(spark, t, updates, Seq("k"), Some("del"))
+
+      val expect1 = contents(base(1000, 1))
+        .filterNot { case (k, _, _) => k < 50 || (k >= 100 && k < 110) } ++
+        (0L until 50L).map(k => (k, -1L, "upd"))
+      assert(contents(CowTable.read(spark, t)) === expect1)
+
+      // COW discipline: the 7 untouched range files survive verbatim.
+      val nowPaths = TxLog.snapshot(spark, t).files.map(_.path).toSet
+      assert((before & nowPaths).size === 7)
+      assert(m.touchedFiles === 1)
+      assert(m.prunedFiles >= 6, s"zone maps should prune, got $m")
+      assert(m.removedRows === 125 && m.addedRows === 125 - 10)
+
+      // Insert-only batch: bounds overlap NO file — everything prunes,
+      // nothing rewrites, the batch lands as a fresh file.
+      val inserts = spark.range(5000, 5010).select(col("id").as("k"),
+        lit(9L).as("v"), lit("new").as("s"))
+      val m2 = CowTable.merge(spark, t, inserts, Seq("k"))
+      assert(m2.touchedFiles === 0 && m2.removedRows === 0 &&
+        m2.addedRows === 10)
+      assert(contents(CowTable.read(spark, t)) ===
+        expect1 ++ (5000L until 5010L).map(k => (k, 9L, "new")))
+    }
+  }
+
+  test("merge with a NULL update value sets null (no resurrect)") {
+    withTable { t =>
+      CowTable.create(spark, t, base(20, 1), Seq("k"))
+      val upd = Seq((3L, null.asInstanceOf[java.lang.Long], "nulled"))
+        .toDF("k", "v", "s")
+        .select(col("k"), col("v").cast("long").as("v"), col("s"))
+      CowTable.merge(spark, t, upd, Seq("k"))
+      val row = CowTable.read(spark, t).filter(col("k") === 3)
+        .select("v", "s").collect()(0)
+      assert(row.isNullAt(0) && row.getString(1) === "nulled")
+    }
+  }
+
+  test("merge rejects duplicate keys in the batch") {
+    withTable { t =>
+      CowTable.create(spark, t, base(10, 1), Seq("k"))
+      val dup = Seq((1L, 1L, "a"), (1L, 2L, "b")).toDF("k", "v", "s")
+      intercept[IllegalArgumentException] {
+        CowTable.merge(spark, t, dup, Seq("k"))
+      }
+    }
+  }
+
+  test("time travel: every pre-merge version stays readable") {
+    withTable { t =>
+      val v1 = base(200, 2)
+      CowTable.create(spark, t, v1, Seq("k"))
+      CowTable.merge(spark, t,
+        Seq((5L, 999L, "m")).toDF("k", "v", "s"), Seq("k"))
+      assert(contents(CowTable.read(spark, t, Some(1))) === contents(v1))
+      assert(contents(CowTable.read(spark, t))
+        .contains((5L, 999L, "m")))
+    }
+  }
+
+  test("compact: layout shrinks, contents identical") {
+    withTable { t =>
+      CowTable.create(spark, t, base(100, 10), Seq("k"))
+      val before = contents(CowTable.read(spark, t))
+      CowTable.compact(spark, t, smallFileRows = 1000, targetFileCount = 2)
+      assert(TxLog.snapshot(spark, t).files.size === 2)
+      assert(contents(CowTable.read(spark, t)) === before)
+    }
+  }
+
+  test("vacuum reclaims dropped files but keeps retained versions") {
+    withTable { t =>
+      CowTable.create(spark, t, base(100, 4), Seq("k"))
+      CowTable.merge(spark, t,
+        Seq((0L, 1L, "a")).toDF("k", "v", "s"), Seq("k"))   // v2
+      CowTable.merge(spark, t,
+        Seq((0L, 2L, "b")).toDF("k", "v", "s"), Seq("k"))   // v3
+      val deleted = CowTable.vacuum(spark, t, retainVersions = 2)
+      assert(deleted.nonEmpty)
+      // v2 and v3 retained; v1's rewritten file is gone.
+      assert(contents(CowTable.read(spark, t, Some(3)))
+        .contains((0L, 2L, "b")))
+      assert(contents(CowTable.read(spark, t, Some(2)))
+        .contains((0L, 1L, "a")))
+      intercept[Exception] {
+        CowTable.read(spark, t, Some(1)).collect()
+      }
+    }
+  }
+
+  test("commit CAS: exactly one writer wins a version") {
+    withTable { t =>
+      CowTable.create(spark, t, base(10, 1), Seq("k"))
+      val c = TxLog.Commit(2L, "append", Seq.empty, Seq.empty, None, None)
+      assert(TxLog.tryCommit(spark, t, c))
+      assert(!TxLog.tryCommit(spark, t, c.copy(op = "rival")))
+      assert(TxLog.commitAt(spark, t, 2L).op === "append")
+    }
+  }
+
+  test("log replay: operations against a moved snapshot land after it") {
+    withTable { t =>
+      CowTable.create(spark, t, base(10, 1), Seq("k"))
+      // A rival lands version 2 directly; the merge must serialize
+      // after it (replay loop), not clobber it.
+      assert(TxLog.tryCommit(spark, t,
+        TxLog.Commit(2L, "append", Seq.empty, Seq.empty, None, None)))
+      val m = CowTable.merge(spark, t,
+        Seq((1L, 42L, "m")).toDF("k", "v", "s"), Seq("k"))
+      assert(m.version === 3L)
+      assert(contents(CowTable.read(spark, t)).contains((1L, 42L, "m")))
+    }
+  }
+
+  test("checkpoint: long logs fold from the checkpoint, same contents") {
+    withTable { t =>
+      CowTable.create(spark, t, base(10, 1), Seq("k"))
+      (1 to 21).foreach { i =>
+        CowTable.append(spark, t,
+          Seq((1000L + i, i.toLong, s"a$i")).toDF("k", "v", "s"))
+      }
+      val f = TxLog.fs(spark, t)
+      assert(f.exists(new org.apache.hadoop.fs.Path(t,
+        f"${TxLog.LogDir}/${20L}%020d.checkpoint.json")))
+      val snap = TxLog.snapshot(spark, t)
+      assert(snap.version === 22L)
+      assert(contents(CowTable.read(spark, t)) ===
+        contents(base(10, 1)) ++
+          (1 to 21).map(i => (1000L + i, i.toLong, s"a$i")))
+    }
+  }
+
+  test("changesAt exposes a commit's added rows") {
+    withTable { t =>
+      CowTable.create(spark, t, base(10, 1), Seq("k"))
+      CowTable.append(spark, t, Seq((99L, 9L, "z")).toDF("k", "v", "s"))
+      assert(contents(CowTable.changesAt(spark, t, 2L)) ===
+        Set((99L, 9L, "z")))
+    }
+  }
+
+  test("ColStats pruning predicates are conservative and exact") {
+    val longSt = TxLog.ColStats("long", "10", "20")
+    assert(longSt.mayOverlap(15, 30) && longSt.mayOverlap(0, 10) &&
+      !longSt.mayOverlap(21, 99) && !longSt.mayOverlap(-5, 9))
+    assert(longSt.mayContain(10) && !longSt.mayContain(9))
+    val strSt = TxLog.ColStats("string", "b", "d")
+    assert(strSt.mayOverlap("a", "b") && !strSt.mayOverlap("e", "z"))
+    val opaque = TxLog.ColStats("opaque", "", "")
+    assert(opaque.mayOverlap("anything", "at all"))
+  }
+}
