@@ -17,9 +17,10 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   * The history is re-materialized per batch with `localCheckpoint` to
   * cut lineage — an unbounded stream would otherwise stack one
   * full-outer join per batch into a single growing plan. In production
-  * the holder is a storage-backed table (Delta/Iceberg merge or a
-  * parquet overwrite of the current slice); the holder object is the
-  * in-process stand-in that keeps the operator testable.
+  * the holder is a storage-backed table — [[TableSink.mergeSink]] over
+  * a [[graft.tables.CowTable]] is that holder in-repo (exactly-once
+  * via log-stamped batches); this in-process holder object remains the
+  * lighter-weight harness for operator-level tests.
   */
 object Scd2Stream {
 

@@ -73,13 +73,21 @@ object CowTable {
       s"concurrent create at $path")
   }
 
-  /** Atomically append `df` (no key semantics — a blind add). */
-  def append(spark: SparkSession, path: String, df: DataFrame): Unit =
+  /** Atomically append `df` (no key semantics — a blind add). A `txn`
+    * stamp makes the append idempotent: a replay whose batch version is
+    * already stamped in the log is skipped ([[TxLog.Txn]]).
+    */
+  def append(spark: SparkSession, path: String, df: DataFrame,
+      txn: Option[TxLog.Txn] = None): Unit =
     retrying(s"append to $path") {
       val snap = TxLog.snapshot(spark, path)
-      val adds = writeFiles(spark, path, conform(df, snap), snap.statsCols)
-      TxLog.tryCommit(spark, path,
-        Commit(snap.version + 1, "append", adds, Seq.empty, None, None))
+      if (alreadyApplied(snap, txn)) true
+      else {
+        val adds = writeFiles(spark, path, conform(df, snap), snap.statsCols)
+        TxLog.tryCommit(spark, path,
+          Commit(snap.version + 1, "append", adds, Seq.empty, None, None,
+            txn))
+      }
     }
 
   /** Snapshot read; `asOfVersion` time-travels to a retained version.
@@ -99,7 +107,8 @@ object CowTable {
     */
   def merge(spark: SparkSession, path: String, updates: DataFrame,
       keys: Seq[String], deleteCol: Option[String] = None,
-      checkUniqueKeys: Boolean = true): MergeMetrics = {
+      checkUniqueKeys: Boolean = true,
+      txn: Option[TxLog.Txn] = None): MergeMetrics = {
     require(keys.nonEmpty, "merge needs at least one key column")
     val up = updates.persist()
     try {
@@ -119,67 +128,79 @@ object CowTable {
       var result: Option[MergeMetrics] = None
       retrying(s"merge into $path") {
         val snap = TxLog.snapshot(spark, path)
-        val del = deleteCol.map(c => coalesce(col(c), lit(false)))
-          .getOrElse(lit(false))
-        // _gf_m is the presence marker (diff-core technique): after the
-        // left join it distinguishes "no update for this row" from an
-        // update that legitimately sets a column to NULL — a coalesce
-        // on the data column would silently resurrect the old value.
-        val upData = up.select(
-          readSchemaCols(snap).map(col) ++
-            Seq(del.as("_gf_del"), lit(1).as("_gf_m")): _*)
+        if (alreadyApplied(snap, txn)) {
+          // Replayed batch (streaming retry / restart from an old
+          // checkpoint): the log already carries this stamp — no-op.
+          result = Some(MergeMetrics(snap.version, 0, 0, 0, 0, 0))
+          true
+        } else {
+          val del = deleteCol.map(c => coalesce(col(c), lit(false)))
+            .getOrElse(lit(false))
+          // _gf_m is the presence marker (diff-core technique): after
+          // the left join it distinguishes "no update for this row"
+          // from an update that legitimately sets a column to NULL — a
+          // coalesce on the data column would resurrect the old value.
+          val upData = up.select(
+            readSchemaCols(snap).map(col) ++
+              Seq(del.as("_gf_del"), lit(1).as("_gf_m")): _*)
 
-        // 1. Prune: files whose zone map can't overlap the batch's key
-        //    bounds are untouched by construction.
-        val candidates = snap.files.filter { f =>
-          (for { k <- prunableKey; b <- bounds; st <- f.stats.get(k) }
-            yield b.isNullAt(0) || st.mayOverlap(b.getString(0), b.getString(1))
-          ).getOrElse(true)
+          // 1. Prune: files whose zone map can't overlap the batch's
+          //    key bounds are untouched by construction.
+          val candidates = snap.files.filter { f =>
+            (for { k <- prunableKey; b <- bounds; st <- f.stats.get(k) }
+              yield b.isNullAt(0) ||
+                st.mayOverlap(b.getString(0), b.getString(1))
+            ).getOrElse(true)
+          }
+          val pruned = snap.files.size - candidates.size
+
+          // 2. Touched files: candidates holding >=1 matched key. One
+          //    semi-join scan over candidates only; the file list is
+          //    manifest-sized (driver-safe).
+          val candDf = readFiles(spark, path, snap, candidates)
+            .withColumn("_gf", input_file_name())
+          val keyJoin = keys.map(k => candDf(k) <=> upData(k)).reduce(_ && _)
+          val touchedPaths = candDf.join(upData, keyJoin, "left_semi")
+            .select("_gf").distinct().collect()
+            .map(r => new Path(r.getString(0)).toUri.getPath).toSet
+          val touched = candidates.filter(f =>
+            touchedPaths.exists(_.endsWith("/" + f.path)))
+
+          // 3. Rewrite touched rows (left join: survivors pass through,
+          //    matches update or delete) + insert unmatched batch rows.
+          val touchedDf = readFiles(spark, path, snap, touched)
+          val tJoin = keys.map(k => touchedDf(k) <=> upData(k)).reduce(_ && _)
+          val dataCols = readSchemaCols(snap)
+          val rewritten = touchedDf.join(upData, tJoin, "left_outer")
+            .filter(upData("_gf_del").isNull || !upData("_gf_del"))
+            .select(dataCols.map(c =>
+              when(upData("_gf_m").isNotNull, upData(c))
+                .otherwise(touchedDf(c)).as(c)): _*)
+          val inserts = upData.filter(!col("_gf_del"))
+            .join(touchedDf, tJoin, "left_anti")
+            .select(dataCols.map(col): _*)
+          val out = rewritten.unionByName(inserts)
+
+          val adds = writeFiles(spark, path, out, snap.statsCols)
+          val committed = TxLog.tryCommit(spark, path,
+            Commit(snap.version + 1, "merge", adds,
+              touched.map(_.path), None, None, txn))
+          // On a lost race: undo nothing (orphan files are vacuumable),
+          // replay the whole resolve against the winner's snapshot.
+          if (committed)
+            result = Some(MergeMetrics(snap.version + 1,
+              candidates.size.toLong, touched.size.toLong, pruned.toLong,
+              adds.map(_.rows).sum, touched.map(_.rows).sum))
+          committed
         }
-        val pruned = snap.files.size - candidates.size
-
-        // 2. Touched files: candidates holding >=1 matched key. One
-        //    semi-join scan over candidates only; the file list is
-        //    manifest-sized (driver-safe).
-        val candDf = readFiles(spark, path, snap, candidates)
-          .withColumn("_gf", input_file_name())
-        val keyJoin = keys.map(k => candDf(k) <=> upData(k)).reduce(_ && _)
-        val touchedPaths = candDf.join(upData, keyJoin, "left_semi")
-          .select("_gf").distinct().collect()
-          .map(r => new Path(r.getString(0)).toUri.getPath).toSet
-        val touched = candidates.filter(f =>
-          touchedPaths.exists(_.endsWith("/" + f.path)))
-
-        // 3. Rewrite touched rows (left join: survivors pass through,
-        //    matches update or delete) + insert unmatched batch rows.
-        val touchedDf = readFiles(spark, path, snap, touched)
-        val tJoin = keys.map(k => touchedDf(k) <=> upData(k)).reduce(_ && _)
-        val dataCols = readSchemaCols(snap)
-        val rewritten = touchedDf.join(upData, tJoin, "left_outer")
-          .filter(upData("_gf_del").isNull || !upData("_gf_del"))
-          .select(dataCols.map(c =>
-            when(upData("_gf_m").isNotNull, upData(c))
-              .otherwise(touchedDf(c)).as(c)): _*)
-        val inserts = upData.filter(!col("_gf_del"))
-          .join(touchedDf, tJoin, "left_anti")
-          .select(dataCols.map(col): _*)
-        val out = rewritten.unionByName(inserts)
-
-        val adds = writeFiles(spark, path, out, snap.statsCols)
-        val committed = TxLog.tryCommit(spark, path,
-          Commit(snap.version + 1, "merge", adds,
-            touched.map(_.path), None, None))
-        // On a lost race: undo nothing (orphan files are vacuumable),
-        // replay the whole resolve against the winner's snapshot.
-        if (committed)
-          result = Some(MergeMetrics(snap.version + 1,
-            candidates.size.toLong, touched.size.toLong, pruned.toLong,
-            adds.map(_.rows).sum, touched.map(_.rows).sum))
-        committed
       }
       result.get
     } finally { up.unpersist(); () }
   }
+
+  private def alreadyApplied(snap: Snapshot,
+      txn: Option[TxLog.Txn]): Boolean =
+    txn.exists(t => snap.txnVersion(t.app).exists(_ >= t.version))
 
   /** Bin-pack files smaller than `smallFileRows` into full rewrites of
     * `targetFileCount` output files. Contents are untouched; only

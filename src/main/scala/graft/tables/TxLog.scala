@@ -87,18 +87,32 @@ object TxLog {
     }
   }
 
-  /** A committed version: what it added/removed, and (v1 only) the
-    * pinned schema + stats columns.
+  /** Idempotence stamp for exactly-once writers (the streaming sink):
+    * a commit carrying `Txn(app, v)` marks "application `app` has
+    * applied its batch `v`". A writer replaying batch ≤ v (retries,
+    * restarts from an old streaming checkpoint) observes the stamp in
+    * the snapshot and skips — the replay becomes a no-op instead of a
+    * double-apply.
+    */
+  final case class Txn(app: String, version: Long)
+
+  /** A committed version: what it added/removed, (v1 only) the pinned
+    * schema + stats columns, and an optional idempotence stamp.
     */
   final case class Commit(version: Long, op: String, adds: Seq[AddFile],
       removes: Seq[String], schemaDDL: Option[String],
-      statsCols: Option[Seq[String]])
+      statsCols: Option[Seq[String]], txn: Option[Txn] = None)
 
-  /** Folded view of the log at a version. */
+  /** Folded view of the log at a version. `txns` holds the highest
+    * stamped batch version per writer application.
+    */
   final case class Snapshot(version: Long, files: Seq[AddFile],
-      schemaDDL: String, statsCols: Seq[String]) {
+      schemaDDL: String, statsCols: Seq[String],
+      txns: Option[Map[String, Long]] = None) {
     def filePaths(root: String): Seq[String] =
       files.map(f => s"$root/${f.path}")
+    def txnVersion(app: String): Option[Long] =
+      txns.getOrElse(Map.empty).get(app)
   }
 
   private implicit val formats: Formats = Serialization.formats(NoTypeHints)
@@ -190,8 +204,10 @@ object TxLog {
       else Serialization.read[Snapshot](
         readString(f, checkpointPath(table, ckptV)))
 
-    var files = scala.collection.mutable.LinkedHashMap(
+    val files = scala.collection.mutable.LinkedHashMap(
       base.files.map(a => a.path -> a): _*)
+    val txns = scala.collection.mutable.Map[String, Long](
+      base.txns.getOrElse(Map.empty).toSeq: _*)
     var schemaDDL = base.schemaDDL
     var statsCols = base.statsCols
     var v = ckptV + 1
@@ -201,11 +217,14 @@ object TxLog {
       val c = JsonMethods.parse(readString(f, p)).extract[Commit]
       c.schemaDDL.foreach(schemaDDL = _)
       c.statsCols.foreach(statsCols = _)
+      c.txn.foreach(t => txns.update(t.app,
+        math.max(t.version, txns.getOrElse(t.app, Long.MinValue))))
       c.removes.foreach(files.remove)
       c.adds.foreach(a => files.update(a.path, a))
       v += 1
     }
-    Snapshot(target, files.values.toSeq, schemaDDL, statsCols)
+    Snapshot(target, files.values.toSeq, schemaDDL, statsCols,
+      if (txns.isEmpty) None else Some(txns.toMap))
   }
 
   /** Raw commit `v` (for audits / change inspection). */
