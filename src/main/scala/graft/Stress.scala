@@ -30,7 +30,7 @@ object Stress {
         "bpe", "bm25", "knngraph", "cms", "ssjoin", "classifier",
         "ntile", "novelty", "semantic1m", "ivfpq4096", "gram", "trend",
         "mmr", "symdel", "linkpred", "binquant1m", "hardmine1m",
-        "coldcatalog", "hotband")
+        "coldcatalog", "hotband", "cowtable")
     val spark = Sessions.local("32")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -1744,6 +1744,68 @@ object Stress {
         (coldBm25.size + coldBq.size + coldIvf.size + coldSym.size +
           coldEmb.size + coldDedup.size).toLong
       }
+    }
+
+    if (which("cowtable")) {
+      // the table-format write-amplification claim, measured: on a
+      // 200-file / 2.25M-row key-clustered CowTable, a key-CLUSTERED
+      // merge (one file's key range) must rewrite only that file —
+      // zone maps prune the rest before any scan — while a SCATTERED
+      // merge (keys spread over every file) pays the full-table
+      // rewrite. The gap IS the format's value at scale; both results
+      // are content-asserted.
+      import tables.{CowTable, TxLog}
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_stress_cow"
+      val rootP = new org.apache.hadoop.fs.Path(root)
+      val rfs = TxLog.fs(spark, root)
+      if (rfs.exists(rootP)) { rfs.delete(rootP, true); () }
+      val t = s"$root/t"
+      val orders = queries.Tables.load(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val big = staged((0 until 15).map(i => orders.select(
+          (col("o_orderkey") + lit(i * 10000000L)).as("k"),
+          col("o_custkey").as("c"), col("o_totalprice").as("p")))
+        .reduce(_ unionByName _))
+      val nRows = big.count()
+
+      timedWarm("cowcreate") {
+        CowTable.create(spark, t, big.repartitionByRange(200, col("k")),
+          Seq("k"))
+        nRows
+      }
+      timedWarm("cowclustered") {
+        // ~1 file's worth of keys: the first copy's low range.
+        val upd = big.filter(col("k") < 12000)
+          .select(col("k"), col("c"), (col("p") + 1.0d).as("p"))
+        val m = CowTable.merge(spark, t, upd, Seq("k"),
+          checkUniqueKeys = false)
+        require(m.touchedFiles <= 4,
+          s"clustered merge touched ${m.touchedFiles} files")
+        require(m.prunedFiles >= 190,
+          s"zone maps pruned only ${m.prunedFiles}")
+        m.addedRows
+      }
+      timedWarm("cowscattered") {
+        // keys ≡ 3 (mod 1000) across the WHOLE range: bounds prune
+        // nothing and nearly every file holds a match.
+        val upd = big.filter(col("k") % 1000 === 3)
+          .select(col("k"), col("c"), (col("p") + 2.0d).as("p"))
+        val m = CowTable.merge(spark, t, upd, Seq("k"),
+          checkUniqueKeys = false)
+        require(m.touchedFiles >= 150,
+          s"scattered merge touched only ${m.touchedFiles} files")
+        m.addedRows
+      }
+      timed("cowverify") {
+        val got = CowTable.read(spark, t)
+          .agg(count(lit(1)), sum(when(col("k") % 1000 === 3, 1L)
+            .otherwise(0L))).collect()(0)
+        require(got.getLong(0) == nRows, s"row drift: ${got.getLong(0)}")
+        val deleted = CowTable.vacuum(spark, t, retainVersions = 1)
+        require(deleted.nonEmpty, "vacuum reclaimed nothing")
+        got.getLong(0)
+      }
+      if (rfs.exists(rootP)) { rfs.delete(rootP, true); () }
     }
 
     spark.stop()
