@@ -145,12 +145,36 @@ object TableQueries {
       |  FROM customer WHERE c_custkey % 10 = 3)
       |ORDER BY c_custkey""".stripMargin
 
+  /** OPTIMIZE round trip: scattered ingest, then a Z-order relayout
+    * ([[graft.operators.ZOrder.cluster]] on (custkey, orderkey))
+    * through the real remove-all/add-all commit; contents must be
+    * untouched through the clustering rewrite (the selectivity gain
+    * itself is spec-pinned — CowTableSpec's before/after pruning test —
+    * since file layout is invisible to a contents oracle).
+    */
+  def tableOptimize(spark: SparkSession, dir: String): DataFrame = {
+    val t = scratch(dir, "optimize")
+    reset(spark, t)
+    val base = Tables.load(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    CowTable.create(spark, t, base.repartition(6), Seq("o_orderkey"))
+    CowTable.optimize(spark, t, df => graft.operators.ZOrder
+      .cluster(df, col("o_custkey"), col("o_orderkey"), numFiles = 8))
+    CowTable.read(spark, t).orderBy("o_orderkey")
+  }
+
+  val tableOptimizeSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "table_optimize" -> (tableOptimize(_, _)),
     "table_merge" -> (tableMerge(_, _)),
     "table_timetravel" -> (tableTimetravel(_, _)),
     "table_compact" -> (tableCompact(_, _)))
 
   val oracleSql: Map[String, String] = Map(
+    "table_optimize" -> tableOptimizeSql,
     "table_merge" -> tableMergeSql,
     "table_timetravel" -> tableTimetravelSql,
     "table_compact" -> tableCompactSql)

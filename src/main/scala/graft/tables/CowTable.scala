@@ -221,6 +221,32 @@ object CowTable {
       }
     }
 
+  /** OPTIMIZE: rewrite the whole table through `layout` — a clustering
+    * transform such as `_.repartitionByRange(n, col(k))
+    * .sortWithinPartitions(k)` or [[graft.operators.ZOrder.cluster]] /
+    * [[graft.operators.HilbertLayout.cluster]] for multi-dimension
+    * workloads. Contents are untouched (same identity as [[compact]]);
+    * what changes is the FILE↔KEY-RANGE correspondence, which is what
+    * makes the manifest zone maps selective: after ingest has scattered
+    * keys across files, merges and stats-pruned reads degrade to
+    * full-table work — one optimize restores O(touched-range) behavior
+    * (CowTableSpec pins exactly this before/after). At 100 TB this
+    * runs incrementally in production (optimize the files a predicate
+    * selects, not the world); the whole-table form here is the
+    * building block, and time travel keeps the pre-layout versions
+    * readable.
+    */
+  def optimize(spark: SparkSession, path: String,
+      layout: DataFrame => DataFrame): Unit =
+    retrying(s"optimize $path") {
+      val snap = TxLog.snapshot(spark, path)
+      val out = layout(readSnapshot(spark, path, snap))
+        .select(readSchemaCols(snap).map(col): _*)
+      val adds = writeFiles(spark, path, out, snap.statsCols)
+      TxLog.tryCommit(spark, path, Commit(snap.version + 1, "optimize",
+        adds, snap.files.map(_.path), None, None))
+    }
+
   /** Delete data files referenced by NO snapshot within the last
     * `retainVersions` versions (older versions become unreadable —
     * the standard retention trade). Returns deleted relative paths.

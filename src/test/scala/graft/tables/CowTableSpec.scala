@@ -166,6 +166,35 @@ class CowTableSpec extends AnyFunSuite {
     }
   }
 
+  test("optimize restores zone-map selectivity after scattered ingest") {
+    withTable { t =>
+      // Round-robin ingest: every file spans the whole key range, so
+      // zone maps are useless — a narrow merge touches everything.
+      CowTable.create(spark, t, base(1000, 1).repartition(8), Seq("k"))
+      val upd1 = spark.range(50).select(col("id").as("k"),
+        lit(-1L).as("v"), lit("u1").as("s"))
+      val m1 = CowTable.merge(spark, t, upd1, Seq("k"))
+      assert(m1.prunedFiles === 0 && m1.touchedFiles >= 6,
+        s"scattered layout should defeat pruning, got $m1")
+
+      val before = contents(CowTable.read(spark, t))
+      CowTable.optimize(spark, t,
+        _.repartitionByRange(8, col("k")).sortWithinPartitions("k"))
+      assert(contents(CowTable.read(spark, t)) === before)
+
+      // Same narrow key range again: now the clustered layout prunes
+      // everything but the low-range file(s).
+      val upd2 = spark.range(50).select(col("id").as("k"),
+        lit(-2L).as("v"), lit("u2").as("s"))
+      val m2 = CowTable.merge(spark, t, upd2, Seq("k"))
+      assert(m2.prunedFiles >= 6 && m2.touchedFiles <= 2,
+        s"optimize should restore pruning, got $m2")
+      assert(contents(CowTable.read(spark, t)) ===
+        before.filterNot(_._1 < 50) ++
+          (0L until 50L).map(k => (k, -2L, "u2")))
+    }
+  }
+
   test("commit CAS: exactly one writer wins a version") {
     withTable { t =>
       CowTable.create(spark, t, base(10, 1), Seq("k"))
