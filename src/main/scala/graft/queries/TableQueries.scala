@@ -167,13 +167,51 @@ object TableQueries {
     """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Partitioned MERGE round trip: customer hive-partitioned by
+    * nation, keyed (c_nationkey, c_custkey) so the nation bounds of
+    * the update batch partition-prune the merge; updates hit three
+    * low nations (+1000 balance), one in nine of those deleted. The
+    * returned frame is the post-merge snapshot read from disk,
+    * partition column reconstructed from the directory layout.
+    */
+  def tablePartitioned(spark: SparkSession, dir: String): DataFrame = {
+    val t = scratch(dir, "partitioned")
+    reset(spark, t)
+    val base = Tables.load(spark, dir, "customer")
+      .select("c_custkey", "c_nationkey", "c_acctbal")
+    CowTable.create(spark, t, base, Seq("c_custkey"),
+      partitionBy = Seq("c_nationkey"))
+    val updates = base
+      .filter(col("c_custkey") % 3 === 0 && col("c_nationkey") < 3)
+      .select(col("c_custkey"), col("c_nationkey"),
+        (col("c_acctbal") + 1000.0d).as("c_acctbal"),
+        (col("c_custkey") % 9 === 0).as("del"))
+    CowTable.merge(spark, t, updates,
+      Seq("c_nationkey", "c_custkey"), Some("del"))
+    CowTable.read(spark, t).orderBy("c_custkey")
+  }
+
+  val tablePartitionedSql: String =
+    """WITH base AS (
+      |  SELECT c_custkey, c_nationkey, c_acctbal FROM customer)
+      |SELECT * FROM (
+      |  SELECT * FROM base
+      |  WHERE NOT (c_custkey % 3 = 0 AND c_nationkey < 3)
+      |  UNION ALL
+      |  SELECT c_custkey, c_nationkey, c_acctbal + 1000 AS c_acctbal
+      |  FROM base
+      |  WHERE c_custkey % 3 = 0 AND c_nationkey < 3 AND c_custkey % 9 <> 0)
+      |ORDER BY c_custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "table_partitioned" -> (tablePartitioned(_, _)),
     "table_optimize" -> (tableOptimize(_, _)),
     "table_merge" -> (tableMerge(_, _)),
     "table_timetravel" -> (tableTimetravel(_, _)),
     "table_compact" -> (tableCompact(_, _)))
 
   val oracleSql: Map[String, String] = Map(
+    "table_partitioned" -> tablePartitionedSql,
     "table_optimize" -> tableOptimizeSql,
     "table_merge" -> tableMergeSql,
     "table_timetravel" -> tableTimetravelSql,

@@ -60,15 +60,23 @@ object CowTable {
   /** Create a new table at `path` from `df`. `statsCols` are the
     * columns zone-mapped in the manifest (typically the merge keys);
     * long/double/string columns participate in pruning, others are
-    * recorded as unprunable.
+    * recorded as unprunable. `partitionBy` columns get hive-style
+    * directory layout (`data/<op>/col=value/part-*.parquet`); their
+    * per-file constant value rides the same stats map, so partition
+    * pruning IS zone-map pruning with exact (point) bounds — one
+    * mechanism, no separate partition-filter machinery.
     */
   def create(spark: SparkSession, path: String, df: DataFrame,
-      statsCols: Seq[String]): Unit = {
+      statsCols: Seq[String], partitionBy: Seq[String] = Seq.empty): Unit = {
     require(TxLog.latestVersion(spark, path) == 0,
       s"table already exists at $path")
-    val adds = writeFiles(spark, path, df, statsCols)
+    require(partitionBy.forall(df.columns.contains),
+      s"partition columns not in frame: ${partitionBy.filterNot(df.columns.contains)}")
+    val allStats = (statsCols ++ partitionBy.filterNot(statsCols.contains))
+    val adds = writeFiles(spark, path, df, allStats, partitionBy)
     val c = Commit(1L, "create", adds, Seq.empty,
-      Some(df.schema.toDDL), Some(statsCols))
+      Some(df.schema.toDDL), Some(allStats), None,
+      if (partitionBy.isEmpty) None else Some(partitionBy))
     require(TxLog.tryCommit(spark, path, c),
       s"concurrent create at $path")
   }
@@ -83,7 +91,8 @@ object CowTable {
       val snap = TxLog.snapshot(spark, path)
       if (alreadyApplied(snap, txn)) true
       else {
-        val adds = writeFiles(spark, path, conform(df, snap), snap.statsCols)
+        val adds = writeFiles(spark, path, conform(df, snap), snap.statsCols,
+          snap.partitionCols.getOrElse(Seq.empty))
         TxLog.tryCommit(spark, path,
           Commit(snap.version + 1, "append", adds, Seq.empty, None, None,
             txn))
@@ -118,11 +127,23 @@ object CowTable {
         require(dup.isEmpty,
           s"duplicate keys in the update batch: ${dup.mkString(",")}")
       }
-      // Batch key bounds for zone-map pruning: one tiny driver row.
-      val prunableKey = keys.headOption
-      val bounds = prunableKey.map { k =>
-        up.agg(min(col(k)).cast("string"), max(col(k)).cast("string"))
-          .collect()(0)
+      // Batch key bounds for zone-map pruning — EVERY key column in
+      // one tiny driver row. Pruning on key columns only is what keeps
+      // it sound: a match requires equality on all of them, so a file
+      // whose zone map is disjoint from the batch's bounds on ANY key
+      // column cannot hold a match. (Partition-scoped merges get
+      // partition pruning by simply including the partition column in
+      // the merge key — date-partitioned facts keyed (date, id).)
+      val bounds: Map[String, (String, String)] = {
+        val aggs = keys.flatMap(k => Seq(
+          min(col(k)).cast("string").as(s"_lo_$k"),
+          max(col(k)).cast("string").as(s"_hi_$k")))
+        val r = up.agg(aggs.head, aggs.tail: _*).collect()(0)
+        keys.flatMap { k =>
+          val lo = r.getAs[String](s"_lo_$k")
+          val hi = r.getAs[String](s"_hi_$k")
+          if (lo == null || hi == null) None else Some(k -> (lo, hi))
+        }.toMap
       }
 
       var result: Option[MergeMetrics] = None
@@ -144,13 +165,12 @@ object CowTable {
             readSchemaCols(snap).map(col) ++
               Seq(del.as("_gf_del"), lit(1).as("_gf_m")): _*)
 
-          // 1. Prune: files whose zone map can't overlap the batch's
-          //    key bounds are untouched by construction.
+          // 1. Prune: a file survives only if its zone map overlaps the
+          //    batch bounds on EVERY stats-covered key column.
           val candidates = snap.files.filter { f =>
-            (for { k <- prunableKey; b <- bounds; st <- f.stats.get(k) }
-              yield b.isNullAt(0) ||
-                st.mayOverlap(b.getString(0), b.getString(1))
-            ).getOrElse(true)
+            bounds.forall { case (k, (lo, hi)) =>
+              f.stats.get(k).forall(_.mayOverlap(lo, hi))
+            }
           }
           val pruned = snap.files.size - candidates.size
 
@@ -181,7 +201,8 @@ object CowTable {
             .select(dataCols.map(col): _*)
           val out = rewritten.unionByName(inserts)
 
-          val adds = writeFiles(spark, path, out, snap.statsCols)
+          val adds = writeFiles(spark, path, out, snap.statsCols,
+            snap.partitionCols.getOrElse(Seq.empty))
           val committed = TxLog.tryCommit(spark, path,
             Commit(snap.version + 1, "merge", adds,
               touched.map(_.path), None, None, txn))
@@ -215,7 +236,8 @@ object CowTable {
       else {
         val packed = readFiles(spark, path, snap, smalls)
           .repartition(targetFileCount)
-        val adds = writeFiles(spark, path, packed, snap.statsCols)
+        val adds = writeFiles(spark, path, packed, snap.statsCols,
+          snap.partitionCols.getOrElse(Seq.empty))
         TxLog.tryCommit(spark, path, Commit(snap.version + 1, "compact",
           adds, smalls.map(_.path), None, None))
       }
@@ -242,7 +264,8 @@ object CowTable {
       val snap = TxLog.snapshot(spark, path)
       val out = layout(readSnapshot(spark, path, snap))
         .select(readSchemaCols(snap).map(col): _*)
-      val adds = writeFiles(spark, path, out, snap.statsCols)
+      val adds = writeFiles(spark, path, out, snap.statsCols,
+        snap.partitionCols.getOrElse(Seq.empty))
       TxLog.tryCommit(spark, path, Commit(snap.version + 1, "optimize",
         adds, snap.files.map(_.path), None, None))
     }
@@ -272,6 +295,12 @@ object CowTable {
         deleted += rel
       }
     }
+    // Crashed-writer leftovers. Like every log-based format's vacuum,
+    // this assumes no writer is mid-flight (their un-committed staging
+    // would be reclaimed and the commit attempt then fails cleanly at
+    // the publish rename).
+    val staging = new Path(path, ".staging")
+    if (f.exists(staging)) { f.delete(staging, true); () }
     deleted.toSeq
   }
 
@@ -307,23 +336,44 @@ object CowTable {
     if (files.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else
-      spark.read.schema(schema)
+    else {
+      // basePath makes the hive-style `col=value` segments of a
+      // partitioned layout parse back into columns even though we hand
+      // the reader an explicit FILE list; `data/` is the single
+      // partition root (writeFiles' staged-rename layout).
+      val reader = spark.read.schema(schema)
+        .option("basePath", s"$path/data")
         .parquet(files.map(f => s"$path/${f.path}"): _*)
+      reader.select(schema.fields.map(f => col(f.name)): _*)
+    }
   }
 
-  /** Write `df` as a fresh op directory of parquet files and return the
-    * manifest entries (relative paths + row counts + zone maps). Stats
-    * come from ONE metadata-shaped aggregate over the just-written
-    * files (group by file name; output rows = file count).
+  /** Write `df` as a fresh batch of parquet files under `data/` and
+    * return the manifest entries (relative paths + row counts + zone
+    * maps). Stats come from ONE metadata-shaped aggregate over the
+    * just-written files (group by file name; output rows = file count).
+    *
+    * Layout is standard hive style — partition dirs FIRST, op-unique
+    * file names (`data/b=2/<op>-part-*.parquet`): files are staged
+    * under `.staging/<op>` and RENAMED in, so the whole `data/` tree is
+    * one consistent partition root (Spark's partition discovery rejects
+    * per-op subroots) and a snapshot reads as a single relation. The
+    * renames are per-file metadata ops on HDFS/local; an object-store
+    * deployment writes final names directly instead (the same caveat
+    * as the log's rename-CAS).
     */
   private def writeFiles(spark: SparkSession, path: String, df: DataFrame,
-      statsCols: Seq[String]): Seq[AddFile] = {
+      statsCols: Seq[String],
+      partitionCols: Seq[String] = Seq.empty): Seq[AddFile] = {
     val opId = java.util.UUID.randomUUID().toString
-    val opDir = s"data/$opId"
-    df.write.parquet(s"$path/$opDir")
+    val opDir = s".staging/$opId"
+    val w = df.write
+    (if (partitionCols.isEmpty) w else w.partitionBy(partitionCols: _*))
+      .parquet(s"$path/$opDir")
 
-    val written = spark.read.parquet(s"$path/$opDir")
+    val written = spark.read.schema(df.schema)
+      .option("basePath", s"$path/$opDir")
+      .parquet(s"$path/$opDir")
     val statAggs = statsCols.flatMap { c =>
       Seq(min(col(c)).cast("string").as(s"_min_$c"),
         max(col(c)).cast("string").as(s"_max_$c"))
@@ -342,15 +392,33 @@ object CowTable {
       .collect()
       .map { r =>
         val uriPath = new Path(r.getString(0)).toUri.getPath
-        val name = uriPath.substring(uriPath.lastIndexOf('/') + 1)
+        // staging-relative path: `b=2/part-...parquet` (partition
+        // segments + task file name)
+        val stagedRel = uriPath.substring(
+          uriPath.lastIndexOf(s"/$opDir/") + opDir.length + 2)
+        val segs = stagedRel.split('/')
+        val rel = ("data" +: segs.init :+ s"$opId-${segs.last}")
+          .mkString("/")
         val stats = statsCols.map { c =>
           val mn = r.getAs[String](s"_min_$c")
           val mx = r.getAs[String](s"_max_$c")
           c -> (if (mn == null || mx == null) ColStats("opaque", "", "")
           else ColStats(kinds(c), mn, mx))
         }.toMap
-        AddFile(s"$opDir/$name", r.getAs[Long]("_rows"), stats)
-      }.toSeq
+        (stagedRel, AddFile(rel, r.getAs[Long]("_rows"), stats))
+      }.toSeq match { case staged =>
+        // publish: rename each staged file to its final hive-layout
+        // path, then drop the staging dir
+        val f = TxLog.fs(spark, path)
+        staged.foreach { case (stagedRel, add) =>
+          val dst = new Path(path, add.path)
+          f.mkdirs(dst.getParent)
+          require(f.rename(new Path(s"$path/$opDir/$stagedRel"), dst),
+            s"failed to publish $dst")
+        }
+        f.delete(new Path(path, opDir), true)
+        staged.map(_._2)
+      }
   }
 
   private def retrying(what: String)(attempt: => Boolean): Unit = {

@@ -101,14 +101,20 @@ object TxLog {
     */
   final case class Commit(version: Long, op: String, adds: Seq[AddFile],
       removes: Seq[String], schemaDDL: Option[String],
-      statsCols: Option[Seq[String]], txn: Option[Txn] = None)
+      statsCols: Option[Seq[String]], txn: Option[Txn] = None,
+      partitionCols: Option[Seq[String]] = None)
 
   /** Folded view of the log at a version. `txns` holds the highest
-    * stamped batch version per writer application.
+    * stamped batch version per writer application; `partitionCols` the
+    * hive-style layout columns pinned at create time (their per-file
+    * CONSTANT value rides the same stats map as any zone map, so
+    * partition pruning and zone-map pruning are one mechanism with
+    * exact bounds).
     */
   final case class Snapshot(version: Long, files: Seq[AddFile],
       schemaDDL: String, statsCols: Seq[String],
-      txns: Option[Map[String, Long]] = None) {
+      txns: Option[Map[String, Long]] = None,
+      partitionCols: Option[Seq[String]] = None) {
     def filePaths(root: String): Seq[String] =
       files.map(f => s"$root/${f.path}")
     def txnVersion(app: String): Option[Long] =
@@ -210,6 +216,7 @@ object TxLog {
       base.txns.getOrElse(Map.empty).toSeq: _*)
     var schemaDDL = base.schemaDDL
     var statsCols = base.statsCols
+    var partitionCols = base.partitionCols
     var v = ckptV + 1
     while (v <= target) {
       val p = commitPath(table, v)
@@ -217,6 +224,7 @@ object TxLog {
       val c = JsonMethods.parse(readString(f, p)).extract[Commit]
       c.schemaDDL.foreach(schemaDDL = _)
       c.statsCols.foreach(statsCols = _)
+      c.partitionCols.foreach(pc => partitionCols = Some(pc))
       c.txn.foreach(t => txns.update(t.app,
         math.max(t.version, txns.getOrElse(t.app, Long.MinValue))))
       c.removes.foreach(files.remove)
@@ -224,7 +232,7 @@ object TxLog {
       v += 1
     }
     Snapshot(target, files.values.toSeq, schemaDDL, statsCols,
-      if (txns.isEmpty) None else Some(txns.toMap))
+      if (txns.isEmpty) None else Some(txns.toMap), partitionCols)
   }
 
   /** Raw commit `v` (for audits / change inspection). */

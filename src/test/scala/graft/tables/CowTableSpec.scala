@@ -166,6 +166,52 @@ class CowTableSpec extends AnyFunSuite {
     }
   }
 
+  test("partitioned table: hive layout, round trip, partition pruning") {
+    withTable { t =>
+      val df = base(400, 2).withColumn("b", col("k") % 4)
+      CowTable.create(spark, t, df, Seq("k"), partitionBy = Seq("b"))
+
+      // Files live under hive-style b=<v> segments and carry the
+      // partition value as exact point stats.
+      val snap = TxLog.snapshot(spark, t)
+      assert(snap.partitionCols === Some(Seq("b")))
+      assert(snap.files.nonEmpty && snap.files.forall(_.path.contains("/b=")))
+      assert(snap.files.forall { f =>
+        val st = f.stats("b"); st.min === st.max
+      })
+
+      // Round trip reconstructs the partition column from the dirs.
+      val back = CowTable.read(spark, t)
+      assert(back.select("k", "v", "s", "b").collect().map(_.toSeq).toSet ===
+        df.collect().map(_.toSeq).toSet)
+
+      // Merge keyed (b, k): bounds on b prune every other partition.
+      val upd = spark.range(100).select((col("id") * 4 + 2).as("k"))
+        .filter(col("k") < 120)
+        .select(col("k"), lit(-7L).as("v"), lit("p").as("s"),
+          lit(2L).as("b"))
+      val m = CowTable.merge(spark, t, upd, Seq("b", "k"))
+      assert(m.prunedFiles > 0 &&
+        m.prunedFiles + m.candidateFiles === snap.files.size)
+      // every non-b=2 file survived untouched
+      val after = TxLog.snapshot(spark, t)
+      assert(snap.files.filterNot(_.path.contains("/b=2/")).toSet
+        .subsetOf(after.files.toSet))
+      // rewritten + appended rows land back under their partition dirs
+      assert(after.files.forall(_.path.contains("/b=")))
+      assert(CowTable.read(spark, t).filter(col("v") === -7L).count() ===
+        upd.count())
+
+      // compact preserves the partitioned layout and the contents
+      val pre = CowTable.read(spark, t).collect().map(_.toSeq).toSet
+      CowTable.compact(spark, t, smallFileRows = Long.MaxValue,
+        targetFileCount = 1)
+      val cSnap = TxLog.snapshot(spark, t)
+      assert(cSnap.files.forall(_.path.contains("/b=")))
+      assert(CowTable.read(spark, t).collect().map(_.toSeq).toSet === pre)
+    }
+  }
+
   test("optimize restores zone-map selectivity after scattered ingest") {
     withTable { t =>
       // Round-robin ingest: every file spans the whole key range, so
