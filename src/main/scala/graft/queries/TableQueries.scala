@@ -203,7 +203,44 @@ object TableQueries {
       |  WHERE c_custkey % 3 = 0 AND c_nationkey < 3 AND c_custkey % 9 <> 0)
       |ORDER BY c_custkey""".stripMargin
 
+  /** SCD2 history MAINTAINED IN a CowTable ([[graft.tables.Scd2Table]]):
+    * the same day-1 CDC feed as `scd2_cdc`, but the history lives
+    * on disk and the batch becomes one open-partition-pruned MERGE.
+    * The oracle is scd2_apply's SQL VERBATIM (the scd2_cdc identity
+    * pattern, now proven THROUGH the storage round trip): delta apply
+    * into a table ≡ snapshot apply in memory.
+    */
+  def tableScd2(spark: SparkSession, dir: String): DataFrame = {
+    val t = scratch(dir, "scd2")
+    reset(spark, t)
+    val orders = Tables.load(spark, dir, "orders")
+    val k = col("o_orderkey")
+    val upserts = orders.filter(k % 100 =!= 0)
+      .filter(k % 7 === 0 || k % 13 === 0)
+      .withColumn("o_totalprice",
+        when(k % 7 === 0, col("o_totalprice") + 1.0d)
+          .otherwise(col("o_totalprice")))
+      .withColumn("o_orderpriority",
+        when(k % 13 === 0, lit("X-URGENT"))
+          .otherwise(col("o_orderpriority")))
+    val inserts = orders.filter(k % 97 === 0)
+      .withColumn("o_orderkey", k + 100000000L)
+    val tombstones = orders.filter(k % 100 === 0)
+    val delta = upserts.withColumn("is_delete", lit(false))
+      .unionByName(inserts.withColumn("is_delete", lit(false)))
+      .unionByName(tombstones.withColumn("is_delete", lit(true)))
+    graft.tables.Scd2Table.init(spark, t, orders, Seq("o_orderkey"),
+      asOf = 0L)
+    graft.tables.Scd2Table.applyDelta(spark, t, delta, Seq("o_orderkey"),
+      batchTs = 86400L, Some("is_delete"))
+    graft.tables.Scd2Table.history(spark, t)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_orderpriority"), col("valid_from"), col("valid_to"))
+      .orderBy("o_orderkey", "valid_from")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "table_scd2" -> (tableScd2(_, _)),
     "table_partitioned" -> (tablePartitioned(_, _)),
     "table_optimize" -> (tableOptimize(_, _)),
     "table_merge" -> (tableMerge(_, _)),
@@ -211,6 +248,7 @@ object TableQueries {
     "table_compact" -> (tableCompact(_, _)))
 
   val oracleSql: Map[String, String] = Map(
+    "table_scd2" -> DiffQueries.scd2ApplySql,
     "table_partitioned" -> tablePartitionedSql,
     "table_optimize" -> tableOptimizeSql,
     "table_merge" -> tableMergeSql,
