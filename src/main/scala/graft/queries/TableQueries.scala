@@ -239,7 +239,31 @@ object TableQueries {
       .orderBy("o_orderkey", "valid_from")
   }
 
+  /** Standing aggregates MAINTAINED IN a CowTable
+    * ([[graft.tables.AggTable]]): q_agg_upsert's exact split (events
+    * before/after the cut), but the standing table lives on disk and
+    * the late batch folds in via a manifest-pruned read + churn-only
+    * merge. Oracle is q_agg_upsert's SQL VERBATIM — incremental ≡
+    * recompute, proven through the storage round trip.
+    */
+  def tableAggmerge(spark: SparkSession, dir: String): DataFrame = {
+    val t = scratch(dir, "aggmerge")
+    reset(spark, t)
+    val ev = Tables.loadEvents(spark, dir)
+    val cut = lit("2024-01-20 00:00:00").cast("timestamp_ntz")
+    val keys = Seq("user_id", "event_type")
+    graft.tables.AggTable.init(spark, t,
+      ev.filter(col("ts") < cut), keys, "value")
+    graft.tables.AggTable.fold(spark, t,
+      ev.filter(col("ts") >= cut), keys, "value")
+    graft.tables.AggTable.read(spark, t)
+      .select(col("user_id"), col("event_type"), col("n"),
+        col("total").cast("double").as("total"), col("vmin"), col("vmax"))
+      .orderBy("user_id", "event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "table_aggmerge" -> (tableAggmerge(_, _)),
     "table_scd2" -> (tableScd2(_, _)),
     "table_partitioned" -> (tablePartitioned(_, _)),
     "table_optimize" -> (tableOptimize(_, _)),
@@ -248,6 +272,7 @@ object TableQueries {
     "table_compact" -> (tableCompact(_, _)))
 
   val oracleSql: Map[String, String] = Map(
+    "table_aggmerge" -> Relational.qAggUpsertSql,
     "table_scd2" -> DiffQueries.scd2ApplySql,
     "table_partitioned" -> tablePartitionedSql,
     "table_optimize" -> tableOptimizeSql,

@@ -109,6 +109,22 @@ object CowTable {
     readSnapshot(spark, path, snap)
   }
 
+  /** Stats-pruned read: only the files whose zone map on `column` may
+    * overlap `[lo, hi]` (string-encoded bounds, [[TxLog.ColStats]]
+    * comparison rules). File-granular — rows OUTSIDE the range can
+    * appear (callers filter); rows inside it cannot be missed. This is
+    * the manifest-level pushdown a key-clustered layout earns: a
+    * narrow-range read of a 100 TB table plans only the covering
+    * files, before any parquet footer is opened.
+    */
+  def readOverlapping(spark: SparkSession, path: String, column: String,
+      lo: String, hi: String,
+      asOfVersion: Option[Long] = None): DataFrame = {
+    val snap = TxLog.snapshot(spark, path, asOfVersion)
+    readFiles(spark, path, snap,
+      snap.files.filter(_.stats.get(column).forall(_.mayOverlap(lo, hi))))
+  }
+
   /** MERGE `updates` into the table on `keys`: full-row upsert, rows
     * flagged true in `deleteCol` are deletes. Only files containing a
     * matched key are rewritten; the candidate set is pre-pruned by the
