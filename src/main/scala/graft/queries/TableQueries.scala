@@ -262,7 +262,38 @@ object TableQueries {
       .orderBy("user_id", "event_type")
   }
 
+  /** Additive schema evolution round trip: an evolved append lands a
+    * new `risk` column; every pre-evolution row must read it as NULL
+    * through the explicit-schema parquet read (files are never
+    * rewritten for an evolution — the DDL just advances in the log).
+    */
+  def tableEvolve(spark: SparkSession, dir: String): DataFrame = {
+    val t = scratch(dir, "evolve")
+    reset(spark, t)
+    val base = Tables.load(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey")
+    CowTable.create(spark, t, base, Seq("o_orderkey"))
+    CowTable.append(spark, t,
+      base.filter(col("o_orderkey") % 11 === 0)
+        .select((col("o_orderkey") + 1000000000L).as("o_orderkey"),
+          col("o_custkey"),
+          (col("o_custkey") % 100).cast("double").as("risk")),
+      mergeSchema = true)
+    CowTable.read(spark, t).orderBy("o_orderkey")
+  }
+
+  val tableEvolveSql: String =
+    """SELECT * FROM (
+      |  SELECT o_orderkey, o_custkey, CAST(NULL AS DOUBLE) AS risk
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT o_orderkey + 1000000000, o_custkey,
+      |         CAST(o_custkey % 100 AS DOUBLE)
+      |  FROM orders WHERE o_orderkey % 11 = 0)
+      |ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "table_evolve" -> (tableEvolve(_, _)),
     "table_aggmerge" -> (tableAggmerge(_, _)),
     "table_scd2" -> (tableScd2(_, _)),
     "table_partitioned" -> (tablePartitioned(_, _)),
@@ -272,6 +303,7 @@ object TableQueries {
     "table_compact" -> (tableCompact(_, _)))
 
   val oracleSql: Map[String, String] = Map(
+    "table_evolve" -> tableEvolveSql,
     "table_aggmerge" -> Relational.qAggUpsertSql,
     "table_scd2" -> DiffQueries.scd2ApplySql,
     "table_partitioned" -> tablePartitionedSql,

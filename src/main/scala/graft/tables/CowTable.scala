@@ -84,17 +84,24 @@ object CowTable {
   /** Atomically append `df` (no key semantics — a blind add). A `txn`
     * stamp makes the append idempotent: a replay whose batch version is
     * already stamped in the log is skipped ([[TxLog.Txn]]).
+    * `mergeSchema` lets new columns in `df` evolve the table schema
+    * additively ([[evolvedSchema]]); pre-evolution files read them as
+    * null, and pre-evolution VERSIONS keep their old schema under time
+    * travel (the DDL folds with the log).
     */
   def append(spark: SparkSession, path: String, df: DataFrame,
-      txn: Option[TxLog.Txn] = None): Unit =
+      txn: Option[TxLog.Txn] = None, mergeSchema: Boolean = false): Unit =
     retrying(s"append to $path") {
       val snap = TxLog.snapshot(spark, path)
       if (alreadyApplied(snap, txn)) true
       else {
-        val adds = writeFiles(spark, path, conform(df, snap), snap.statsCols,
-          snap.partitionCols.getOrElse(Seq.empty))
+        val (ddl, cols) = evolvedSchema(snap, df, mergeSchema, Set.empty)
+        require(cols.forall(df.columns.contains),
+          s"append frame missing columns: ${cols.filterNot(df.columns.contains)}")
+        val adds = writeFiles(spark, path, df.select(cols.map(col): _*),
+          snap.statsCols, snap.partitionCols.getOrElse(Seq.empty))
         TxLog.tryCommit(spark, path,
-          Commit(snap.version + 1, "append", adds, Seq.empty, None, None,
+          Commit(snap.version + 1, "append", adds, Seq.empty, ddl, None,
             txn))
       }
     }
@@ -133,7 +140,8 @@ object CowTable {
   def merge(spark: SparkSession, path: String, updates: DataFrame,
       keys: Seq[String], deleteCol: Option[String] = None,
       checkUniqueKeys: Boolean = true,
-      txn: Option[TxLog.Txn] = None): MergeMetrics = {
+      txn: Option[TxLog.Txn] = None,
+      mergeSchema: Boolean = false): MergeMetrics = {
     require(keys.nonEmpty, "merge needs at least one key column")
     val up = updates.persist()
     try {
@@ -173,12 +181,19 @@ object CowTable {
         } else {
           val del = deleteCol.map(c => coalesce(col(c), lit(false)))
             .getOrElse(lit(false))
+          // Additive evolution: new update columns become trailing
+          // table columns; pre-evolution rows surface them as null.
+          val (ddl, allCols) = evolvedSchema(snap, up, mergeSchema,
+            deleteCol.toSet)
+          val newFields = up.schema.fields.filter(f =>
+            allCols.contains(f.name) &&
+              !readSchemaCols(snap).contains(f.name))
           // _gf_m is the presence marker (diff-core technique): after
           // the left join it distinguishes "no update for this row"
           // from an update that legitimately sets a column to NULL — a
           // coalesce on the data column would resurrect the old value.
           val upData = up.select(
-            readSchemaCols(snap).map(col) ++
+            allCols.map(col) ++
               Seq(del.as("_gf_del"), lit(1).as("_gf_m")): _*)
 
           // 1. Prune: a file survives only if its zone map overlaps the
@@ -204,24 +219,27 @@ object CowTable {
 
           // 3. Rewrite touched rows (left join: survivors pass through,
           //    matches update or delete) + insert unmatched batch rows.
-          val touchedDf = readFiles(spark, path, snap, touched)
+          //    Evolved columns don't exist in the old files — typed
+          //    nulls stand in on the survivor side.
+          val touchedOld = readFiles(spark, path, snap, touched)
+          val touchedDf = newFields.foldLeft(touchedOld)((d, f) =>
+            d.withColumn(f.name, lit(null).cast(f.dataType)))
           val tJoin = keys.map(k => touchedDf(k) <=> upData(k)).reduce(_ && _)
-          val dataCols = readSchemaCols(snap)
           val rewritten = touchedDf.join(upData, tJoin, "left_outer")
             .filter(upData("_gf_del").isNull || !upData("_gf_del"))
-            .select(dataCols.map(c =>
+            .select(allCols.map(c =>
               when(upData("_gf_m").isNotNull, upData(c))
                 .otherwise(touchedDf(c)).as(c)): _*)
           val inserts = upData.filter(!col("_gf_del"))
             .join(touchedDf, tJoin, "left_anti")
-            .select(dataCols.map(col): _*)
+            .select(allCols.map(col): _*)
           val out = rewritten.unionByName(inserts)
 
           val adds = writeFiles(spark, path, out, snap.statsCols,
             snap.partitionCols.getOrElse(Seq.empty))
           val committed = TxLog.tryCommit(spark, path,
             Commit(snap.version + 1, "merge", adds,
-              touched.map(_.path), None, None, txn))
+              touched.map(_.path), ddl, None, txn))
           // On a lost race: undo nothing (orphan files are vacuumable),
           // replay the whole resolve against the winner's snapshot.
           if (committed)
@@ -332,11 +350,36 @@ object CowTable {
 
   // ---------------------------------------------------------------- //
 
-  private def conform(df: DataFrame, snap: Snapshot): DataFrame = {
-    val cols = readSchemaCols(snap)
-    require(cols.forall(df.columns.contains),
-      s"append frame missing columns: ${cols.filterNot(df.columns.contains)}")
-    df.select(cols.map(col): _*)
+  /** Additive schema evolution: columns in `df` beyond the table's
+    * schema (minus `ignore` — operational flags like the delete
+    * column) become NEW trailing table columns when `allow` is set;
+    * files written before the evolution read them as null (the
+    * explicit-schema parquet read fills missing columns). Existing
+    * columns must keep their exact type — parquet files are immutable,
+    * so a retype would leave files of mixed physical types behind one
+    * logical column; rejected loudly, like SchemaConform's
+    * incompatible-retype rule. Returns the DDL to stamp into the
+    * commit (None if nothing changed) and the effective column list.
+    */
+  private def evolvedSchema(snap: Snapshot, df: DataFrame, allow: Boolean,
+      ignore: Set[String]): (Option[String], Seq[String]) = {
+    val cur = StructType.fromDDL(snap.schemaDDL)
+    df.schema.fields.filter(f => cur.fieldNames.contains(f.name))
+      .foreach { f =>
+        val want = cur(f.name).dataType
+        require(f.dataType == want,
+          s"column ${f.name}: table has $want, frame has ${f.dataType} — " +
+            "retypes are not supported (files are immutable)")
+      }
+    val extra = df.schema.fields.filterNot(f =>
+      cur.fieldNames.contains(f.name) || ignore.contains(f.name))
+    // Without mergeSchema, extra frame columns are operational
+    // passengers (sequence/flag columns) and simply don't land.
+    if (extra.isEmpty || !allow) (None, cur.fieldNames.toSeq)
+    else {
+      val ns = StructType(cur.fields ++ extra.map(_.copy(nullable = true)))
+      (Some(ns.toDDL), ns.fieldNames.toSeq)
+    }
   }
 
   private def readSchemaCols(snap: Snapshot): Seq[String] =

@@ -292,6 +292,45 @@ class CowTableSpec extends AnyFunSuite {
     }
   }
 
+  test("schema evolution: additive columns, typed nulls, old versions") {
+    withTable { t =>
+      CowTable.create(spark, t, base(20, 1), Seq("k"))
+      // un-evolved append drops extra passenger columns silently
+      CowTable.append(spark, t, Seq((100L, 1L, "x", 9.5))
+        .toDF("k", "v", "s", "extra"))
+      assert(!CowTable.read(spark, t).columns.contains("extra"))
+
+      // evolved append adds the column; every pre-evolution row null
+      CowTable.append(spark, t,
+        Seq((101L, 2L, "y", 7.5)).toDF("k", "v", "s", "score"),
+        mergeSchema = true)
+      val r = CowTable.read(spark, t)
+      assert(r.schema("score").dataType ===
+        org.apache.spark.sql.types.DoubleType)
+      assert(r.filter(col("score").isNotNull).count() === 1)
+      assert(r.count() === 22)
+
+      // pre-evolution versions keep their old schema (time travel)
+      assert(!CowTable.read(spark, t, Some(2)).columns.contains("score"))
+
+      // evolved MERGE: matched row gets the value, survivors stay null
+      CowTable.merge(spark, t,
+        Seq((3L, 3L, "z", 1.25, 4.5)).toDF("k", "v", "s", "score", "w"),
+        Seq("k"), mergeSchema = true)
+      val r2 = CowTable.read(spark, t)
+      assert(r2.filter(col("k") === 3).select("w").collect()(0)
+        .getDouble(0) === 4.5)
+      assert(r2.filter(col("w").isNotNull).count() === 1)
+
+      // retypes are rejected loudly
+      val err = intercept[IllegalArgumentException] {
+        CowTable.append(spark, t,
+          Seq(("nope", 1L, "s")).toDF("k", "v", "s"))
+      }
+      assert(err.getMessage.contains("retypes are not supported"))
+    }
+  }
+
   test("ColStats pruning predicates are conservative and exact") {
     val longSt = TxLog.ColStats("long", "10", "20")
     assert(longSt.mayOverlap(15, 30) && longSt.mayOverlap(0, 10) &&
