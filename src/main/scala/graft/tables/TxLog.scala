@@ -1,7 +1,7 @@
 package graft.tables
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.json4s._
 import org.json4s.jackson.JsonMethods
 import org.json4s.jackson.Serialization
@@ -239,5 +239,20 @@ object TxLog {
   def commitAt(spark: SparkSession, table: String, v: Long): Commit = {
     val f = fs(spark, table)
     JsonMethods.parse(readString(f, commitPath(table, v))).extract[Commit]
+  }
+
+  /** DESCRIBE HISTORY: one row per commit — version, operation, files
+    * and rows added/removed, idempotence stamp — the audit frame a
+    * governance review reads before trusting a table. Driver-side over
+    * the log (metadata-sized by construction).
+    */
+  def describeHistory(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    (1L to latestVersion(spark, table)).map { v =>
+      val c = commitAt(spark, table, v)
+      (c.version, c.op, c.adds.size.toLong, c.adds.map(_.rows).sum,
+        c.removes.size.toLong, c.txn.map(t => s"${t.app}@${t.version}"))
+    }.toDF("version", "op", "files_added", "rows_added",
+      "files_removed", "txn")
   }
 }

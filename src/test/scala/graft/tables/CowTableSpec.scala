@@ -283,6 +283,24 @@ class CowTableSpec extends AnyFunSuite {
     }
   }
 
+  test("describeHistory reports each commit's accounting") {
+    withTable { t =>
+      CowTable.create(spark, t, base(100, 4), Seq("k"))
+      CowTable.append(spark, t, Seq((999L, 1L, "z")).toDF("k", "v", "s"),
+        Some(TxLog.Txn("app", 5L)))
+      CowTable.merge(spark, t, Seq((0L, 1L, "m")).toDF("k", "v", "s"),
+        Seq("k"))
+      val h = TxLog.describeHistory(spark, t)
+        .orderBy("version").collect()
+      assert(h.map(r => (r.getLong(0), r.getString(1))).toSeq ===
+        Seq((1L, "create"), (2L, "append"), (3L, "merge")))
+      assert(h(0).getAs[Long]("rows_added") === 100 &&
+        h(0).getAs[Long]("files_removed") === 0)
+      assert(h(1).getAs[String]("txn") === "app@5")
+      assert(h(2).getAs[Long]("files_removed") === 1)
+    }
+  }
+
   test("changesAt exposes a commit's added rows") {
     withTable { t =>
       CowTable.create(spark, t, base(10, 1), Seq("k"))
