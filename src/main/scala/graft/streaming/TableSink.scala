@@ -72,4 +72,21 @@ object TableSink {
         CowTable.append(batch.sparkSession, path, batch,
           Some(TxLog.Txn(appId, batchId)))
     }
+
+  /** Standing-aggregate variant: each micro-batch of RAW rows folds
+    * into a [[graft.tables.AggTable]] (map-side delta aggregate →
+    * pruned touched-key read → proven combiners → one stamped merge).
+    * The exactly-once stamp matters doubly here — a replayed additive
+    * fold would silently double-count, not just duplicate rows.
+    */
+  def aggSink(stream: DataFrame, path: String, keys: Seq[String],
+      valueCol: String,
+      appId: String = "table-agg"): DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      if (!batch.isEmpty) {
+        graft.tables.AggTable.fold(batch.sparkSession, path, batch,
+          keys, valueCol, Some(TxLog.Txn(appId, batchId)))
+        ()
+      }
+    }
 }

@@ -108,6 +108,36 @@ class TableSinkSpec extends AnyFunSuite {
     }
   }
 
+  test("agg sink: streamed folds == recompute of all rows so far") {
+    withTable { t =>
+      import graft.operators.AggMerge
+      import graft.tables.AggTable
+      val b1 = Seq((1L, 10.0), (2L, 4.0))
+      val b2 = Seq((1L, -2.0), (3L, 7.0))
+      AggTable.init(spark, t, b1.toDF("g", "value"), Seq("g"), "value")
+      val stream = MemoryStream[(Long, Double)](spark)
+      val q = TableSink.aggSink(stream.toDF().toDF("g", "value"),
+          t, Seq("g"), "value", appId = "agg-spec")
+        .start()
+      try {
+        stream.addData(b2)
+        q.processAllAvailable()
+      } finally q.stop()
+      val want = AggMerge.aggregate((b1 ++ b2).toDF("g", "value"),
+        Seq("g"), "value")
+      assert(AggTable.read(spark, t)
+        .select("g", "n", "total", "vmin", "vmax")
+        .collect().map(_.toSeq).toSet ===
+        want.select("g", "n", "total", "vmin", "vmax")
+          .collect().map(_.toSeq).toSet)
+      // a replay cannot double-count
+      graft.tables.AggTable.fold(spark, t, b2.toDF("g", "value"),
+        Seq("g"), "value", Some(TxLog.Txn("agg-spec", 0L)))
+      assert(AggTable.read(spark, t).agg(sum("n")).collect()(0)
+        .getLong(0) === 4L)
+    }
+  }
+
   test("checkpointed txn stamps survive the log fold") {
     withTable { t =>
       CowTable.create(spark, t,
