@@ -64,26 +64,42 @@ object TxLog {
     /** Could a row with `value` for this column live in this file?
       * Conservative: unknown kinds never prune.
       */
-    def mayContain(value: Any): Boolean = kind match {
-      case "long" =>
-        val v = value.toString.toLong
-        min.toLong <= v && v <= max.toLong
-      case "double" =>
-        val v = value.toString.toDouble
-        min.toDouble <= v && v <= max.toDouble
-      case "string" =>
-        val v = value.toString
-        min <= v && v <= max
-      case _ => true
-    }
-    /** Range-overlap form: could this file intersect [lo, hi]? */
+    def mayContain(value: Any): Boolean =
+      mayOverlap(value, value)
+    /** Range-overlap form: could this file intersect [lo, hi]?
+      * Pruning must use the SAME total order Spark's min/max used to
+      * build the stats, or a real match can be pruned into a silent
+      * duplicate insert:
+      *   - strings compare as UTF-8 BYTES (Spark's UTF8String binary
+      *     order = code-point order), NOT Java compareTo (UTF-16 units
+      *     rank supplementary-plane chars below U+E000);
+      *   - NaN bounds answer true (every NaN comparison is false, so a
+      *     NaN-keyed batch would otherwise prune the very files that
+      *     hold its rows — NaN sorts above all doubles in Spark, a
+      *     range test can't place it).
+      */
     def mayOverlap(lo: Any, hi: Any): Boolean = kind match {
       case "long"   => min.toLong <= hi.toString.toLong &&
         lo.toString.toLong <= max.toLong
-      case "double" => min.toDouble <= hi.toString.toDouble &&
-        lo.toString.toDouble <= max.toDouble
-      case "string" => min <= hi.toString && lo.toString <= max
+      case "double" =>
+        val (l, h) = (lo.toString.toDouble, hi.toString.toDouble)
+        val (mn, mx) = (min.toDouble, max.toDouble)
+        l.isNaN || h.isNaN || mn.isNaN || mx.isNaN ||
+          (mn <= h && l <= mx)
+      case "string" =>
+        utf8Lte(min, hi.toString) && utf8Lte(lo.toString, max)
       case _        => true
+    }
+    private def utf8Lte(a: String, b: String): Boolean = {
+      val (x, y) = (a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+      val n = math.min(x.length, y.length)
+      var i = 0
+      while (i < n) {
+        val c = (x(i) & 0xff) - (y(i) & 0xff)
+        if (c != 0) return c < 0
+        i += 1
+      }
+      x.length <= y.length
     }
   }
 

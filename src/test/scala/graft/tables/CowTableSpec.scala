@@ -358,5 +358,20 @@ class CowTableSpec extends AnyFunSuite {
     assert(strSt.mayOverlap("a", "b") && !strSt.mayOverlap("e", "z"))
     val opaque = TxLog.ColStats("opaque", "", "")
     assert(opaque.mayOverlap("anything", "at all"))
+
+    // A file spanning ["", U+10000] CONTAINS U+FFFD under code-point
+    // order; Java compareTo ranks the supplementary max (surrogate
+    // 0xD800...) BELOW U+FFFD and would prune the matching file.
+    val supp = new String(Character.toChars(0x10000))
+    val span = TxLog.ColStats("string", "", supp)
+    assert(span.mayContain("\uFFFD"),
+      "UTF-16 comparison would wrongly prune this file")
+    assert(span.mayContain(supp) && span.mayContain("a"))
+    val above = TxLog.ColStats("string", supp, supp)
+    assert(!above.mayContain("\uFFFD") && above.mayContain(supp))
+    // NaN bounds never prune (NaN sorts above all doubles in Spark)
+    assert(TxLog.ColStats("double", "1.0", "2.0")
+      .mayOverlap("NaN", "NaN"))
+    assert(TxLog.ColStats("double", "NaN", "NaN").mayOverlap("5.0", "6.0"))
   }
 }
