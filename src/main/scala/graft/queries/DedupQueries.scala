@@ -201,7 +201,7 @@ object DedupQueries {
     * (genuinely new). All three verdict classes are populated at every
     * SF (72/72/72 at sf0.001).
     */
-  private def incrementalBatch(docs: DataFrame): DataFrame = {
+  private[queries] def incrementalBatch(docs: DataFrame): DataFrame = {
     // one scan, not three union branches: the mod-7 classes are
     // disjoint, so a CASE projection over `doc_id % 7 <= 2` produces
     // the same multiset the three-way union did without re-reading

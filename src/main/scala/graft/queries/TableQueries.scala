@@ -292,7 +292,51 @@ object TableQueries {
       |  FROM orders WHERE o_orderkey % 11 = 0)
       |ORDER BY o_orderkey""".stripMargin
 
+  /** The transactional corpus-ingest loop, end to end: a standing
+    * document corpus held in a CowTable, a new batch screened against
+    * it with the PROVEN incremental-dedup verdicts (exact + LSH-banded
+    * near screens — the `dedup_incremental` pipeline and fixture,
+    * verbatim), and only the `keep` verdicts appended atomically. The
+    * final table IS the gate output, so the oracle pins the
+    * composition: screening semantics AND the transactional append in
+    * one hash. This is the 100 TB nightly-ingest shape — corpus never
+    * rescreened, batch work O(|batch|), the append one commit.
+    */
+  def pipelineTableIngest(spark: SparkSession, dir: String): DataFrame = {
+    val t = scratch(dir, "ingest")
+    reset(spark, t)
+    val docs = Tables.loadSpread(spark, dir, "documents")
+      .select("doc_id", "text")
+    val batch = DedupQueries.incrementalBatch(docs)
+    CowTable.create(spark, t, docs, Seq("doc_id"))
+    val keeps = batch.join(
+      graft.dedup.IncrementalDedup.verdicts(docs, batch, "doc_id", "text")
+        .filter(col("keep") === 1).select("doc_id"),
+      "doc_id")
+    CowTable.append(spark, t, keeps)
+    CowTable.read(spark, t).orderBy("doc_id")
+  }
+
+  val pipelineTableIngestSql: String =
+    s"""WITH v AS (
+       |${DedupQueries.dedupIncrementalSql}
+       |), batch2 AS (
+       |  SELECT doc_id + 200000 AS doc_id, text FROM documents
+       |  WHERE doc_id % 7 = 0
+       |  UNION ALL SELECT doc_id + 300000, text || ' zzz' FROM documents
+       |  WHERE doc_id % 7 = 1
+       |  UNION ALL SELECT doc_id + 400000, reverse(text) FROM documents
+       |  WHERE doc_id % 7 = 2)
+       |SELECT * FROM (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT b.doc_id, b.text FROM batch2 b
+       |  JOIN v ON v.doc_id = b.doc_id
+       |  WHERE v.keep = 1)
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_table_ingest" -> (pipelineTableIngest(_, _)),
     "table_evolve" -> (tableEvolve(_, _)),
     "table_aggmerge" -> (tableAggmerge(_, _)),
     "table_scd2" -> (tableScd2(_, _)),
@@ -303,6 +347,7 @@ object TableQueries {
     "table_compact" -> (tableCompact(_, _)))
 
   val oracleSql: Map[String, String] = Map(
+    "pipeline_table_ingest" -> pipelineTableIngestSql,
     "table_evolve" -> tableEvolveSql,
     "table_aggmerge" -> Relational.qAggUpsertSql,
     "table_scd2" -> DiffQueries.scd2ApplySql,
