@@ -90,21 +90,31 @@ object CowTable {
     * travel (the DDL folds with the log).
     */
   def append(spark: SparkSession, path: String, df: DataFrame,
-      txn: Option[TxLog.Txn] = None, mergeSchema: Boolean = false): Unit =
+      txn: Option[TxLog.Txn] = None, mergeSchema: Boolean = false): Unit = {
+    val snap0 = TxLog.snapshot(spark, path)
+    if (alreadyApplied(snap0, txn)) return
+    val (_, cols) = evolvedSchema(snap0, df, mergeSchema, Set.empty)
+    require(cols.forall(df.columns.contains),
+      s"append frame missing columns: ${cols.filterNot(df.columns.contains)}")
+    // Files are snapshot-independent for an append (unlike a merge),
+    // so write ONCE and retry only the cheap version CAS — under
+    // contention a loser re-reads the log, not the data. The DDL is
+    // recomputed per attempt so a concurrent evolution can't be
+    // regressed (if the rival added our columns first, ours folds to
+    // a no-op DDL).
+    val adds = writeFiles(spark, path, df.select(cols.map(col): _*),
+      snap0.statsCols, snap0.partitionCols.getOrElse(Seq.empty))
     retrying(s"append to $path") {
       val snap = TxLog.snapshot(spark, path)
       if (alreadyApplied(snap, txn)) true
       else {
-        val (ddl, cols) = evolvedSchema(snap, df, mergeSchema, Set.empty)
-        require(cols.forall(df.columns.contains),
-          s"append frame missing columns: ${cols.filterNot(df.columns.contains)}")
-        val adds = writeFiles(spark, path, df.select(cols.map(col): _*),
-          snap.statsCols, snap.partitionCols.getOrElse(Seq.empty))
+        val (ddl, _) = evolvedSchema(snap, df, mergeSchema, Set.empty)
         TxLog.tryCommit(spark, path,
           Commit(snap.version + 1, "append", adds, Seq.empty, ddl, None,
             txn))
       }
     }
+  }
 
   /** Snapshot read; `asOfVersion` time-travels to a retained version.
     * Schema is pinned from the log, so a read is stable even while a
@@ -211,9 +221,15 @@ object CowTable {
           val candDf = readFiles(spark, path, snap, candidates)
             .withColumn("_gf", input_file_name())
           val keyJoin = keys.map(k => candDf(k) <=> upData(k)).reduce(_ && _)
+          // input_file_name returns a URI: one java.net.URI decode
+          // restores the ON-DISK path (hive-escaped partition dirs
+          // like `region=eu%3Awest` come back RE-encoded as %253A).
+          // Task-file names alone would NOT do — partitionBy reuses
+          // part-00000-... across partition dirs within one op (the
+          // table_partitioned gate caught exactly that collision).
           val touchedPaths = candDf.join(upData, keyJoin, "left_semi")
             .select("_gf").distinct().collect()
-            .map(r => new Path(r.getString(0)).toUri.getPath).toSet
+            .map(r => new java.net.URI(r.getString(0)).getPath).toSet
           val touched = candidates.filter(f =>
             touchedPaths.exists(_.endsWith("/" + f.path)))
 
@@ -445,16 +461,33 @@ object CowTable {
         case _                                             => "opaque"
       })
     }.toMap
-    written
+    val statRows = written
       .groupBy(input_file_name().as("_gf"))
       .agg(count(lit(1)).as("_rows"), statAggs: _*)
       .collect()
       .map { r =>
-        val uriPath = new Path(r.getString(0)).toUri.getPath
-        // staging-relative path: `b=2/part-...parquet` (partition
-        // segments + task file name)
-        val stagedRel = uriPath.substring(
-          uriPath.lastIndexOf(s"/$opDir/") + opDir.length + 2)
+        // Key by the DECODED staging-relative path. One java.net.URI
+        // decode maps input_file_name back to the on-disk name
+        // (hive-escaped partition dirs arrive URI-RE-encoded); the
+        // task-file name alone is NOT unique — partitionBy reuses
+        // part-00000-... across partition dirs within one write.
+        new java.net.URI(r.getString(0)).getPath -> r
+      }.toMap
+
+    val f = TxLog.fs(spark, path)
+    val stagingRoot = new Path(path, opDir)
+    val it = f.listFiles(stagingRoot, true)
+    val rootPath = stagingRoot.toUri.getPath.stripSuffix("/")
+    val out = scala.collection.mutable.ArrayBuffer[AddFile]()
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile && st.getPath.getName.endsWith(".parquet")) {
+        val onDisk = st.getPath.toUri.getPath
+        val r = statRows.getOrElse(onDisk,
+          sys.error(s"no stats row for staged file ${st.getPath} " +
+            s"(have: ${statRows.keys.take(3).mkString(", ")}...)"))
+        val stagedRel = st.getPath.toUri.getPath
+          .stripPrefix(rootPath).stripPrefix("/")
         val segs = stagedRel.split('/')
         val rel = ("data" +: segs.init :+ s"$opId-${segs.last}")
           .mkString("/")
@@ -464,20 +497,14 @@ object CowTable {
           c -> (if (mn == null || mx == null) ColStats("opaque", "", "")
           else ColStats(kinds(c), mn, mx))
         }.toMap
-        (stagedRel, AddFile(rel, r.getAs[Long]("_rows"), stats))
-      }.toSeq match { case staged =>
-        // publish: rename each staged file to its final hive-layout
-        // path, then drop the staging dir
-        val f = TxLog.fs(spark, path)
-        staged.foreach { case (stagedRel, add) =>
-          val dst = new Path(path, add.path)
-          f.mkdirs(dst.getParent)
-          require(f.rename(new Path(s"$path/$opDir/$stagedRel"), dst),
-            s"failed to publish $dst")
-        }
-        f.delete(new Path(path, opDir), true)
-        staged.map(_._2)
+        val dst = new Path(path, rel)
+        f.mkdirs(dst.getParent)
+        require(f.rename(st.getPath, dst), s"failed to publish $dst")
+        out += AddFile(rel, r.getAs[Long]("_rows"), stats)
       }
+    }
+    f.delete(stagingRoot, true)
+    out.toSeq
   }
 
   private def retrying(what: String)(attempt: => Boolean): Unit = {

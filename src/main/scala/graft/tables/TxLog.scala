@@ -180,6 +180,16 @@ object TxLog {
     * true iff THIS writer won the version (the CAS described in the
     * object doc). On success, also writes a checkpoint when the version
     * lands on the interval.
+    *
+    * The publish primitive is filesystem-specific: HDFS `rename` is
+    * atomic and FAILS when the destination exists — a true CAS. POSIX
+    * `rename(2)` REPLACES an existing destination, so on a local
+    * filesystem two racing writers would both "win" and one commit
+    * would silently vanish (caught by the concurrent-writer spec);
+    * there the claim is an atomic hard LINK (`link(2)` fails EEXIST,
+    * and the destination carries the full content the instant it
+    * exists). Object stores need a conditional put, as the object doc
+    * notes.
     */
   def tryCommit(spark: SparkSession, table: String, commit: Commit): Boolean = {
     val f = fs(spark, table)
@@ -189,10 +199,23 @@ object TxLog {
     val tmp = new Path(logPath(table),
       s".tmp-${java.util.UUID.randomUUID()}-${commit.version}.json")
     writeString(f, tmp, Serialization.write(commit))
-    val won = try f.rename(tmp, dst) && f.exists(dst)
-    catch { case _: java.io.IOException => false }
-    if (!won) { try f.delete(tmp, false) catch { case _: Exception => () } }
-    else if (commit.version % CheckpointInterval == 0) {
+    val local = Option(dst.toUri.getScheme).forall(_ == "file") &&
+      f.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem]
+    val won =
+      if (local) {
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(dst.toUri.getPath),
+            java.nio.file.Paths.get(tmp.toUri.getPath))
+          true
+        } catch { case _: java.nio.file.FileAlreadyExistsException => false
+                  case _: java.io.IOException => false }
+      } else {
+        try f.rename(tmp, dst) && f.exists(dst)
+        catch { case _: java.io.IOException => false }
+      }
+    try f.delete(tmp, false) catch { case _: Exception => () }
+    if (won && commit.version % CheckpointInterval == 0) {
       // Checkpoint failures are benign: readers fall back to the full
       // commit fold; the next interval retries.
       try {

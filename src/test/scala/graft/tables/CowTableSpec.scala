@@ -310,6 +310,45 @@ class CowTableSpec extends AnyFunSuite {
     }
   }
 
+  test("string partition values survive hive escaping (space, colon)") {
+    withTable { t =>
+      val df = Seq((1L, "us east"), (2L, "eu:west"), (3L, "us east"))
+        .toDF("k", "region")
+      CowTable.create(spark, t, df, Seq("k"), partitionBy = Seq("region"))
+      val back = CowTable.read(spark, t)
+      assert(back.select("k", "region").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet ===
+        Set(1L -> "us east", 2L -> "eu:west", 3L -> "us east"))
+      CowTable.merge(spark, t,
+        Seq((2L, "eu:west")).toDF("k", "region"), Seq("k"))
+      assert(CowTable.read(spark, t).count() === 3)
+    }
+  }
+
+  test("concurrent writers all serialize through the CAS, none lost") {
+    withTable { t =>
+      CowTable.create(spark, t, base(10, 1), Seq("k"))
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val writers = (0 until 4).map { w =>
+        Future {
+          (0 until 5).foreach { i =>
+            CowTable.append(spark, t,
+              Seq((1000L + w * 100 + i, w.toLong, s"w$w-$i"))
+                .toDF("k", "v", "s"))
+          }
+        }
+      }
+      Await.result(Future.sequence(writers), 600.seconds)
+      // 1 create + 20 appends, every row exactly once
+      assert(TxLog.latestVersion(spark, t) === 21L)
+      assert(CowTable.read(spark, t).count() === 30L)
+      assert(CowTable.read(spark, t).filter(col("k") >= 1000)
+        .select("k").distinct().count() === 20L)
+    }
+  }
+
   test("schema evolution: additive columns, typed nulls, old versions") {
     withTable { t =>
       CowTable.create(spark, t, base(20, 1), Seq("k"))
