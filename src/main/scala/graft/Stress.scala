@@ -1805,6 +1805,36 @@ object Stress {
         require(deleted.nonEmpty, "vacuum reclaimed nothing")
         got.getLong(0)
       }
+      // Hive-partitioned face at the same scale: 15 date-like
+      // partitions × 2.25M rows; a single-partition-keyed merge must
+      // prune every other partition from the manifest and leave their
+      // files untouched on disk.
+      val tp = s"$root/tp"
+      timedWarm("cowpartwrite") {
+        CowTable.create(spark, tp,
+          big.withColumn("day", col("k") % 15), Seq("k"),
+          partitionBy = Seq("day"))
+        nRows
+      }
+      timed("cowpartmerge") {
+        val before = tables.TxLog.snapshot(spark, tp).files
+          .filterNot(_.path.contains("/day=7/")).map(_.path).toSet
+        val upd = big.filter(col("k") % 15 === 7 && col("k") < 1000000)
+          .select(col("k"), col("c"), (col("p") + 3.0d).as("p"),
+            (col("k") % 15).as("day"))
+        val total = before.size + tables.TxLog.snapshot(spark, tp)
+          .files.count(_.path.contains("/day=7/"))
+        val m = CowTable.merge(spark, tp, upd, Seq("day", "k"),
+          checkUniqueKeys = false)
+        require(m.prunedFiles > 0 && m.candidateFiles < total,
+          s"partition pruning failed: $m of $total files")
+        val after = tables.TxLog.snapshot(spark, tp).files
+          .filterNot(_.path.contains("/day=7/")).map(_.path).toSet
+        require(after == before,
+          "files outside the merged partition moved")
+        require(CowTable.read(spark, tp).count() == nRows, "row drift")
+        m.addedRows
+      }
       if (rfs.exists(rootP)) { rfs.delete(rootP, true); () }
     }
 
