@@ -1801,7 +1801,7 @@ object Stress {
           .agg(count(lit(1)), sum(when(col("k") % 1000 === 3, 1L)
             .otherwise(0L))).collect()(0)
         require(got.getLong(0) == nRows, s"row drift: ${got.getLong(0)}")
-        val deleted = CowTable.vacuum(spark, t, retainVersions = 1)
+        val deleted = CowTable.vacuum(spark, t, retainVersions = 1, retentionMs = 0L)
         require(deleted.nonEmpty, "vacuum reclaimed nothing")
         got.getLong(0)
       }

@@ -113,7 +113,14 @@ object SummaryCatalog {
     // Same suspension discipline as append(): hold the displaced
     // registration and restore it if the rebuild throws, so a failed
     // overwrite doesn't silently disable routing for a previously
-    // valid summary.
+    // valid summary — UNLESS the displaced summary lives at the very
+    // path the failed overwrite targeted: mode("overwrite") deletes
+    // the old parquet before writing, so after a failed rebuild that
+    // path holds a destroyed/partial table and restoring its
+    // registration would route matching aggregates to garbage where
+    // the unrouted base-table scan is correct. In that case the base
+    // stays unregistered (queries fall back to the base scan) and the
+    // rebuild failure propagates to the caller.
     val displaced = registry.remove(normalize(basePath))
     val s =
       try {
@@ -125,7 +132,9 @@ object SummaryCatalog {
         Some(built)
       } finally {
         if (registry.get(normalize(basePath)).isEmpty)
-          displaced.foreach(r => registry.put(normalize(r.basePath), r))
+          displaced
+            .filter(r => normalize(r.summaryPath) != normalize(summaryPath))
+            .foreach(r => registry.put(normalize(r.basePath), r))
       }
     s.get
   }

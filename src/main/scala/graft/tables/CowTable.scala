@@ -168,15 +168,26 @@ object CowTable {
       // column cannot hold a match. (Partition-scoped merges get
       // partition pruning by simply including the partition column in
       // the merge key — date-partitioned facts keyed (date, id).)
-      val bounds: Map[String, (String, String)] = {
+      // Null keys are tracked SEPARATELY: the join matches with
+      // null-safe <=>, so a batch row with a null key can match file
+      // rows invisible to min/max (which ignore nulls) — the range test
+      // alone would prune the very file holding the match and the
+      // update would silently re-insert. Per key: the non-null range
+      // (None when the batch is all-null on it) plus a does-the-batch-
+      // hold-a-null flag checked against the file's ColStats.nulls.
+      val keyBounds: Map[String, (Option[(String, String)], Boolean)] = {
         val aggs = keys.flatMap(k => Seq(
           min(col(k)).cast("string").as(s"_lo_$k"),
-          max(col(k)).cast("string").as(s"_hi_$k")))
-        val r = up.agg(aggs.head, aggs.tail: _*).collect()(0)
-        keys.flatMap { k =>
+          max(col(k)).cast("string").as(s"_hi_$k"),
+          max(col(k).isNull.cast("int")).as(s"_nul_$k")))
+        val rows = up.agg(aggs.head, aggs.tail: _*).collect()
+        keys.map { k =>
+          val r = rows(0)
           val lo = r.getAs[String](s"_lo_$k")
           val hi = r.getAs[String](s"_hi_$k")
-          if (lo == null || hi == null) None else Some(k -> (lo, hi))
+          val hasNull = Option(r.getAs[Any](s"_nul_$k")).exists(_ == 1)
+          k -> (if (lo == null || hi == null) None else Some((lo, hi)),
+            hasNull)
         }.toMap
       }
 
@@ -206,11 +217,19 @@ object CowTable {
             allCols.map(col) ++
               Seq(del.as("_gf_del"), lit(1).as("_gf_m")): _*)
 
-          // 1. Prune: a file survives only if its zone map overlaps the
-          //    batch bounds on EVERY stats-covered key column.
+          // 1. Prune: a file survives only if, on EVERY stats-covered
+          //    key column, it could hold a match — its zone map
+          //    overlaps the batch's non-null bounds, OR the batch has a
+          //    null on that key and the file may hold nulls in it
+          //    (ColStats.nulls; legacy manifests answer true). An
+          //    all-null batch key (range None) keeps only files that
+          //    may hold nulls; an EMPTY batch keeps nothing.
           val candidates = snap.files.filter { f =>
-            bounds.forall { case (k, (lo, hi)) =>
-              f.stats.get(k).forall(_.mayOverlap(lo, hi))
+            keyBounds.forall { case (k, (range, batchNull)) =>
+              f.stats.get(k).forall { s =>
+                range.exists { case (lo, hi) => s.mayOverlap(lo, hi) } ||
+                  (batchNull && s.mayHaveNulls)
+              }
             }
           }
           val pruned = snap.files.size - candidates.size
@@ -227,11 +246,23 @@ object CowTable {
           // Task-file names alone would NOT do — partitionBy reuses
           // part-00000-... across partition dirs within one op (the
           // table_partitioned gate caught exactly that collision).
-          val touchedPaths = candDf.join(upData, keyJoin, "left_semi")
+          // Matching keys an exact decoded-absolute-path map (O(cands +
+          // touched), not the old O(cands × touched) endsWith scan),
+          // and a path that resolves to NO manifest entry fails LOUDLY
+          // — silently dropping it would turn matched updates into
+          // duplicate inserts.
+          val tableRoot = TxLog.fs(spark, path)
+            .makeQualified(new Path(path)).toUri.getPath.stripSuffix("/")
+          val byAbs: Map[String, AddFile] =
+            candidates.map(f => s"$tableRoot/${f.path}" -> f).toMap
+          val touched = candDf.join(upData, keyJoin, "left_semi")
             .select("_gf").distinct().collect()
-            .map(r => new java.net.URI(r.getString(0)).getPath).toSet
-          val touched = candidates.filter(f =>
-            touchedPaths.exists(_.endsWith("/" + f.path)))
+            .map { r =>
+              val abs = new java.net.URI(r.getString(0)).getPath
+              byAbs.getOrElse(abs, sys.error(
+                s"scanned file $abs not in the candidate manifest " +
+                  s"(root $tableRoot) — path decode mismatch"))
+            }.toSeq
 
           // 3. Rewrite touched rows (left join: survivors pass through,
           //    matches update or delete) + insert unmatched batch rows.
@@ -323,9 +354,23 @@ object CowTable {
   /** Delete data files referenced by NO snapshot within the last
     * `retainVersions` versions (older versions become unreadable —
     * the standard retention trade). Returns deleted relative paths.
+    *
+    * '''Safe alongside writers''' via the age gate: an in-flight
+    * operation publishes its data files into `data/` BEFORE its log
+    * commit ([[writeFiles]] renames, then [[TxLog.tryCommit]]), so an
+    * unreferenced-but-fresh parquet may be a commit-in-progress, not
+    * garbage — deleting it would let the subsequent commit succeed
+    * while referencing destroyed files (permanent read failure). Only
+    * unreferenced files older than `retentionMs` are reclaimed (the
+    * Delta `deletedFileRetentionDuration` discipline, default 7 days);
+    * the same gate covers `.staging` op dirs, so a crashed writer's
+    * leftovers are swept while a live writer's staging survives. The
+    * residual assumption is bounded and documented: a single
+    * write-to-commit window must not exceed the retention horizon.
     */
   def vacuum(spark: SparkSession, path: String,
-      retainVersions: Int = 2): Seq[String] = {
+      retainVersions: Int = 2,
+      retentionMs: Long = 7L * 24 * 3600 * 1000): Seq[String] = {
     val f = TxLog.fs(spark, path)
     val latest = TxLog.latestVersion(spark, path)
     val keep = (math.max(1, latest - retainVersions + 1) to latest)
@@ -333,24 +378,43 @@ object CowTable {
       .toSet
     val dataDir = new Path(path, "data")
     if (!f.exists(dataDir)) return Seq.empty
+    val horizon = System.currentTimeMillis() - retentionMs
     val root = new Path(path).toUri.getPath.stripSuffix("/")
-    val it = f.listFiles(dataDir, true)
+    // Plain listStatus recursion, tolerant per entry: vacuum runs
+    // ALONGSIDE writers, whose task commits rename files out from
+    // under the walk — a vanished entry is simply not reclaimable this
+    // pass. (Hadoop's recursive listFiles also shells out for
+    // permissions on the local FS and throws on exactly that race.)
+    def walk(dir: Path): Seq[org.apache.hadoop.fs.FileStatus] =
+      (try f.listStatus(dir).toSeq
+      catch { case _: java.io.IOException => Seq.empty })
+        .flatMap(st => if (st.isDirectory) walk(st.getPath) else Seq(st))
     val deleted = scala.collection.mutable.ArrayBuffer[String]()
-    while (it.hasNext) {
-      val st = it.next()
+    walk(dataDir).foreach { st =>
       val rel = st.getPath.toUri.getPath
         .stripPrefix(root).stripPrefix("/")
-      if (st.isFile && !keep.contains(rel) && rel.endsWith(".parquet")) {
-        f.delete(st.getPath, false)
-        deleted += rel
+      if (st.isFile && !keep.contains(rel) && rel.endsWith(".parquet") &&
+          st.getModificationTime <= horizon) {
+        try { f.delete(st.getPath, false); deleted += rel }
+        catch { case _: java.io.IOException => () }
       }
     }
-    // Crashed-writer leftovers. Like every log-based format's vacuum,
-    // this assumes no writer is mid-flight (their un-committed staging
-    // would be reclaimed and the commit attempt then fails cleanly at
-    // the publish rename).
+    // Crashed-writer staging leftovers: reclaim an op dir only when its
+    // NEWEST file predates the horizon — a live writer's staging is
+    // still being written (or was written within the window) and its
+    // publish renames would find the files gone.
     val staging = new Path(path, ".staging")
-    if (f.exists(staging)) { f.delete(staging, true); () }
+    val opDirs =
+      try { if (f.exists(staging)) f.listStatus(staging).toSeq else Seq.empty }
+      catch { case _: java.io.IOException => Seq.empty }
+    opDirs.foreach { opDir =>
+      val newest = (opDir.getModificationTime +:
+        walk(opDir.getPath).map(_.getModificationTime)).max
+      if (newest <= horizon) {
+        try { f.delete(opDir.getPath, true); () }
+        catch { case _: java.io.IOException => () }
+      }
+    }
     deleted.toSeq
   }
 
@@ -449,9 +513,14 @@ object CowTable {
     val written = spark.read.schema(df.schema)
       .option("basePath", s"$path/$opDir")
       .parquet(s"$path/$opDir")
+    // The null flag rides the same one-pass aggregate: min/max ignore
+    // nulls, so without it a file holding null-keyed rows plus a
+    // disjoint non-null range would be pruned against a null-keyed
+    // merge batch (which matches via <=>) — a silent duplicate insert.
     val statAggs = statsCols.flatMap { c =>
       Seq(min(col(c)).cast("string").as(s"_min_$c"),
-        max(col(c)).cast("string").as(s"_max_$c"))
+        max(col(c)).cast("string").as(s"_max_$c"),
+        max(col(c).isNull.cast("int")).as(s"_nul_$c"))
     }
     val kinds: Map[String, String] = statsCols.map { c =>
       c -> (written.schema(c).dataType match {
@@ -494,8 +563,10 @@ object CowTable {
         val stats = statsCols.map { c =>
           val mn = r.getAs[String](s"_min_$c")
           val mx = r.getAs[String](s"_max_$c")
-          c -> (if (mn == null || mx == null) ColStats("opaque", "", "")
-          else ColStats(kinds(c), mn, mx))
+          val hasNulls = Some(r.getAs[Int](s"_nul_$c") == 1)
+          c -> (if (mn == null || mx == null)
+            ColStats("opaque", "", "", hasNulls)
+          else ColStats(kinds(c), mn, mx, hasNulls))
         }.toMap
         val dst = new Path(path, rel)
         f.mkdirs(dst.getParent)

@@ -60,12 +60,24 @@ object TxLog {
   final case class AddFile(path: String, rows: Long,
       stats: Map[String, ColStats])
 
-  final case class ColStats(kind: String, min: String, max: String) {
+  final case class ColStats(kind: String, min: String, max: String,
+      nulls: Option[Boolean] = None) {
     /** Could a row with `value` for this column live in this file?
       * Conservative: unknown kinds never prune.
       */
     def mayContain(value: Any): Boolean =
       mayOverlap(value, value)
+    /** Could this file hold a row with a NULL in this column? Spark's
+      * min/max aggregates IGNORE nulls, so the range alone says nothing
+      * about null presence — yet merge joins with null-safe `<=>`, so a
+      * null-keyed batch row CAN match a null-keyed file row whose
+      * non-null range is disjoint from the batch bounds. Pruning such a
+      * file would silently turn the update into a duplicate insert (the
+      * round-12 advice bug). `nulls` is recorded at writeFiles time;
+      * None (a pre-upgrade manifest) answers true — legacy files never
+      * prune against null-keyed batches.
+      */
+    def mayHaveNulls: Boolean = nulls.getOrElse(true)
     /** Range-overlap form: could this file intersect [lo, hi]?
       * Pruning must use the SAME total order Spark's min/max used to
       * build the stats, or a real match can be pruned into a silent
@@ -176,6 +188,21 @@ object TxLog {
       .foldLeft(0L)(math.max)
   }
 
+  /** Does this filesystem's `rename` REPLACE an existing destination
+    * (POSIX `rename(2)`) instead of failing like HDFS? Such filesystems
+    * must claim a version with an atomic hard link, or two racing
+    * writers both "win" and one commit silently vanishes.
+    * RawLocalFileSystem counts alongside its checksum wrapper
+    * LocalFileSystem: a `file://` deployment configured with
+    * `fs.file.impl=org.apache.hadoop.fs.RawLocalFileSystem` falls
+    * through to the very same POSIX rename (the round-12 advice item) —
+    * matching only the wrapper would reopen the lost-commit race the
+    * link path was added to close.
+    */
+  private[tables] def posixRenameSemantics(f: FileSystem): Boolean =
+    f.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem] ||
+      f.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem]
+
   /** Attempt to publish `commit` as version `commit.version`. Returns
     * true iff THIS writer won the version (the CAS described in the
     * object doc). On success, also writes a checkpoint when the version
@@ -200,7 +227,7 @@ object TxLog {
       s".tmp-${java.util.UUID.randomUUID()}-${commit.version}.json")
     writeString(f, tmp, Serialization.write(commit))
     val local = Option(dst.toUri.getScheme).forall(_ == "file") &&
-      f.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem]
+      posixRenameSemantics(f)
     val won =
       if (local) {
         try {

@@ -153,7 +153,7 @@ class CowTableSpec extends AnyFunSuite {
         Seq((0L, 1L, "a")).toDF("k", "v", "s"), Seq("k"))   // v2
       CowTable.merge(spark, t,
         Seq((0L, 2L, "b")).toDF("k", "v", "s"), Seq("k"))   // v3
-      val deleted = CowTable.vacuum(spark, t, retainVersions = 2)
+      val deleted = CowTable.vacuum(spark, t, retainVersions = 2, retentionMs = 0L)
       assert(deleted.nonEmpty)
       // v2 and v3 retained; v1's rewritten file is gone.
       assert(contents(CowTable.read(spark, t, Some(3)))
@@ -412,5 +412,160 @@ class CowTableSpec extends AnyFunSuite {
     assert(TxLog.ColStats("double", "1.0", "2.0")
       .mayOverlap("NaN", "NaN"))
     assert(TxLog.ColStats("double", "NaN", "NaN").mayOverlap("5.0", "6.0"))
+
+    // Null tracking: legacy manifests (no flag) never prune against a
+    // null-keyed batch; recorded flags answer exactly.
+    assert(TxLog.ColStats("long", "10", "20").mayHaveNulls)
+    assert(TxLog.ColStats("long", "10", "20", Some(true)).mayHaveNulls)
+    assert(!TxLog.ColStats("long", "10", "20", Some(false)).mayHaveNulls)
+  }
+
+  test("merge with null keys keeps the file whose range hides the null") {
+    withTable { t =>
+      // File A: a null-keyed row + keys 0..9 (nulls sort FIRST under
+      // range partitioning); file B: keys 1000..1009. A's zone map
+      // reads [0, 9] — min/max ignore nulls — so a range-only pruner
+      // drops A against a batch bounded at 1005 even though the
+      // batch's null key MATCHES A's null row via <=> (the round-12
+      // advice bug: the update would silently duplicate).
+      val rows = (0L to 9L).map(k => (java.lang.Long.valueOf(k), k, "a")) ++
+        Seq((null.asInstanceOf[java.lang.Long], -1L, "null-row")) ++
+        (1000L to 1009L).map(k => (java.lang.Long.valueOf(k), k, "b"))
+      val df = rows.toDF("k", "v", "s").repartitionByRange(2, col("k"))
+      CowTable.create(spark, t, df, Seq("k"))
+      val snap = TxLog.snapshot(spark, t)
+      assert(snap.files.size === 2)
+      assert(snap.files.count(_.stats("k").mayHaveNulls) === 1)
+
+      val upd = Seq(
+        (null.asInstanceOf[java.lang.Long], -2L, "null-upd"),
+        (java.lang.Long.valueOf(1005L), -3L, "b-upd")).toDF("k", "v", "s")
+      val m = CowTable.merge(spark, t, upd, Seq("k"))
+      assert(m.candidateFiles === 2, s"null-holding file was pruned: $m")
+
+      val back = CowTable.read(spark, t)
+      assert(back.count() === 21, "a pruned null match became a duplicate")
+      val nullRows = back.filter(col("k").isNull)
+        .select("v", "s").collect()
+      assert(nullRows.length === 1 &&
+        nullRows(0).getLong(0) === -2L &&
+        nullRows(0).getString(1) === "null-upd")
+      assert(back.filter(col("k") === 1005).select("s").collect()(0)
+        .getString(0) === "b-upd")
+    }
+  }
+
+  test("all-null-key batch prunes every null-free file") {
+    withTable { t =>
+      val rows = (0L to 9L).map(k => (java.lang.Long.valueOf(k), k, "a")) ++
+        Seq((null.asInstanceOf[java.lang.Long], -1L, "null-row")) ++
+        (1000L to 1009L).map(k => (java.lang.Long.valueOf(k), k, "b"))
+      val df = rows.toDF("k", "v", "s").repartitionByRange(2, col("k"))
+      CowTable.create(spark, t, df, Seq("k"))
+
+      val upd = Seq((null.asInstanceOf[java.lang.Long], -2L, "null-upd"))
+        .toDF("k", "v", "s")
+      val m = CowTable.merge(spark, t, upd, Seq("k"))
+      // only the null-holding file is a candidate; the null-free file
+      // is pruned AND survives verbatim
+      assert(m.candidateFiles === 1 && m.prunedFiles === 1)
+      val back = CowTable.read(spark, t)
+      assert(back.count() === 21)
+      assert(back.filter(col("k").isNull).select("s").collect()(0)
+        .getString(0) === "null-upd")
+    }
+  }
+
+  test("vacuum age gate protects in-flight writers' published files") {
+    withTable { t =>
+      CowTable.create(spark, t, base(100, 4), Seq("k"))
+      CowTable.merge(spark, t,
+        Seq((0L, 1L, "a")).toDF("k", "v", "s"), Seq("k"))   // v2
+      val tDir = new java.io.File(t)
+
+      // Simulate an in-flight writer: a data file PUBLISHED into data/
+      // (writeFiles renames before TxLog.tryCommit) and a staging dir
+      // still being written — both fresh, neither referenced by any
+      // snapshot yet.
+      val dataDir = new java.io.File(tDir, "data")
+      val inflight = new java.io.File(dataDir, "inflight-part-0.parquet")
+      java.nio.file.Files.write(inflight.toPath, Array[Byte](1, 2, 3))
+      val stagingOp = new java.io.File(tDir, ".staging/op-live")
+      stagingOp.mkdirs()
+      java.nio.file.Files.write(
+        new java.io.File(stagingOp, "part-0.parquet").toPath,
+        Array[Byte](4, 5))
+
+      // Retention 1h: NOTHING is young enough to reclaim — the
+      // unreferenced v1 file, the in-flight publish, and the live
+      // staging all survive.
+      val d1 = CowTable.vacuum(spark, t, retainVersions = 1,
+        retentionMs = 3600L * 1000)
+      assert(d1.isEmpty && inflight.exists && stagingOp.exists)
+
+      // Age ONLY the truly-dead v1 file past the horizon: vacuum
+      // reclaims it while the fresh in-flight artifacts still survive.
+      val live = TxLog.snapshot(spark, t).files.map(_.path).toSet
+      val old = java.lang.System.currentTimeMillis() - 7200L * 1000
+      val root = tDir.getAbsolutePath
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(dataDir).foreach { f =>
+        val rel = f.getAbsolutePath.stripPrefix(root).stripPrefix("/")
+        if (!live.contains(rel) && f != inflight) f.setLastModified(old)
+      }
+      val d2 = CowTable.vacuum(spark, t, retainVersions = 1,
+        retentionMs = 3600L * 1000)
+      assert(d2.nonEmpty && inflight.exists && stagingOp.exists)
+      assert(CowTable.read(spark, t).count() === 100)
+
+      // A crashed writer's staging (everything old) IS swept.
+      walk(stagingOp).foreach(_.setLastModified(old))
+      stagingOp.setLastModified(old)
+      CowTable.vacuum(spark, t, retainVersions = 1,
+        retentionMs = 3600L * 1000)
+      assert(!stagingOp.exists)
+    }
+  }
+
+  test("appends racing a vacuum loop lose nothing under the age gate") {
+    withTable { t =>
+      CowTable.create(spark, t, base(10, 1), Seq("k"))
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val writers = (0 until 2).map { w =>
+        Future {
+          (0 until 4).foreach { i =>
+            CowTable.append(spark, t,
+              Seq((2000L + w * 100 + i, w.toLong, s"w$w-$i"))
+                .toDF("k", "v", "s"))
+          }
+        }
+      }
+      val vacuums = Future {
+        (0 until 6).foreach { _ =>
+          CowTable.vacuum(spark, t, retainVersions = 1,
+            retentionMs = 3600L * 1000)
+          Thread.sleep(50)
+        }
+      }
+      Await.result(Future.sequence(writers :+ vacuums), 600.seconds)
+      assert(CowTable.read(spark, t).count() === 18L)
+      assert(CowTable.read(spark, t).filter(col("k") >= 2000)
+        .select("k").distinct().count() === 8L)
+    }
+  }
+
+  test("posix-rename detection covers RawLocalFileSystem too") {
+    // LocalFileSystem is the checksum WRAPPER around RawLocalFileSystem;
+    // a file:// deployment with fs.file.impl overridden to the raw form
+    // has the same replace-on-rename semantics and must take the
+    // hard-link CAS path (matching only the wrapper reopens the
+    // lost-commit race).
+    assert(TxLog.posixRenameSemantics(
+      new org.apache.hadoop.fs.LocalFileSystem()))
+    assert(TxLog.posixRenameSemantics(
+      new org.apache.hadoop.fs.RawLocalFileSystem()))
   }
 }
