@@ -335,7 +335,185 @@ object TableQueries {
        |  WHERE v.keep = 1)
        |ORDER BY doc_id""".stripMargin
 
+  /** Conditional MERGE round trip (`WHEN MATCHED AND <cond> THEN
+    * UPDATE SET <cols>`): one in five orders arrives as a CDC update
+    * whose price moved by 100·((key mod 3) − 1) — the matched clause
+    * `src.price > tgt.price` admits only the key%3=2 third (the
+    * out-of-order-guard shape), and the partial SET writes ONLY
+    * (price, status): the update batch carries a poisoned custkey that
+    * must never land. Tombstones (key%35=0) delete regardless of the
+    * clause; a disjoint key band inserts full rows. The oracle replays
+    * exactly these clause semantics in DuckDB.
+    */
+  def tableMergeCond(spark: SparkSession, dir: String): DataFrame = {
+    val t = scratch(dir, "mergecond")
+    reset(spark, t)
+    val base = Tables.load(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+    CowTable.create(spark, t,
+      base.repartitionByRange(8, col("o_orderkey")), Seq("o_orderkey"))
+    val updates = base.filter(col("o_orderkey") % 5 === 0)
+      .select(col("o_orderkey"), lit(-1L).as("o_custkey"), // poisoned
+        (col("o_totalprice") +
+          ((col("o_orderkey") % 3) - 1).cast("double") * 100.0d)
+          .as("o_totalprice"),
+        lit("C").as("o_orderstatus"),
+        (col("o_orderkey") % 35 === 0).as("del"))
+      .unionByName(base.filter(col("o_orderkey") % 499 === 7)
+        .select((col("o_orderkey") + 1000000000L).as("o_orderkey"),
+          col("o_custkey"), lit(5.0d).as("o_totalprice"),
+          lit("I").as("o_orderstatus"), lit(false).as("del")))
+    CowTable.merge(spark, t, updates, Seq("o_orderkey"), Some("del"),
+      matchedCondition =
+        Some((tgt, src) => src("o_totalprice") > tgt("o_totalprice")),
+      setCols = Some(Seq("o_totalprice", "o_orderstatus")))
+    CowTable.read(spark, t).orderBy("o_orderkey")
+  }
+
+  val tableMergeCondSql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+      |  FROM orders),
+      |upd AS (
+      |  SELECT o_orderkey,
+      |         o_totalprice + ((o_orderkey % 3) - 1) * 100 AS new_price
+      |  FROM base WHERE o_orderkey % 5 = 0)
+      |SELECT * FROM (
+      |  SELECT b.o_orderkey, b.o_custkey,
+      |    CASE WHEN u.o_orderkey IS NOT NULL AND u.new_price > b.o_totalprice
+      |         THEN u.new_price ELSE b.o_totalprice END AS o_totalprice,
+      |    CASE WHEN u.o_orderkey IS NOT NULL AND u.new_price > b.o_totalprice
+      |         THEN 'C' ELSE b.o_orderstatus END AS o_orderstatus
+      |  FROM base b LEFT JOIN upd u ON b.o_orderkey = u.o_orderkey
+      |  WHERE NOT (b.o_orderkey % 35 = 0 AND b.o_orderkey % 5 = 0)
+      |  UNION ALL
+      |  SELECT o_orderkey + 1000000000, o_custkey,
+      |         CAST(5 AS DOUBLE), 'I'
+      |  FROM base WHERE o_orderkey % 499 = 7)
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Predicate-scoped OPTIMIZE round trip: a range-clustered table
+    * takes a scattered append (one wide-range file degrading every
+    * narrow merge), then `optimizeWhere` re-clusters ONLY the files
+    * overlapping the low half of the key space in one remove/add
+    * commit. Contents must be untouched through the scoped relayout
+    * (the untouched-files-survive-byte-identical and
+    * selectivity-restored halves are spec-pinned — layout is invisible
+    * to a contents oracle).
+    */
+  def tableOptimizeWhere(spark: SparkSession, dir: String): DataFrame = {
+    val t = scratch(dir, "optwhere")
+    reset(spark, t)
+    val base = Tables.load(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    CowTable.create(spark, t,
+      base.repartitionByRange(8, col("o_orderkey")), Seq("o_orderkey"))
+    CowTable.append(spark, t,
+      base.filter(col("o_orderkey") % 17 === 3)
+        .select((col("o_orderkey") + 1000000000L).as("o_orderkey"),
+          col("o_custkey"), (col("o_totalprice") / 2.0d).as("o_totalprice"))
+        .repartition(1))
+    CowTable.optimizeWhere(spark, t, "o_orderkey",
+      lo = "1000000000", hi = "9999999999",
+      layout = _.repartitionByRange(4, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey"))
+    CowTable.read(spark, t).orderBy("o_orderkey")
+  }
+
+  val tableOptimizeWhereSql: String =
+    """SELECT * FROM (
+      |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |  UNION ALL
+      |  SELECT o_orderkey + 1000000000, o_custkey, o_totalprice / 2
+      |  FROM orders WHERE o_orderkey % 17 = 3)
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** The table as a streaming SOURCE ([[graft.streaming.TableChangeFeed]]):
+    * three commits land (create + two appends), then the change feed is
+    * read as a real Structured Streaming query into a memory sink —
+    * every row stamped with the commit version that added it. Appends
+    * make the feed contents layout-independent (each commit's adds are
+    * exactly its appended rows), so the DuckDB oracle replays the
+    * per-version multisets; merge-fed feeds are spec-pinned instead
+    * (changesAt's documented layout dependence).
+    */
+  def tableChangefeed(spark: SparkSession, dir: String): DataFrame = {
+    val t = scratch(dir, "changefeed")
+    reset(spark, t)
+    val base = Tables.load(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderstatus")
+    val k = col("o_orderkey")
+    CowTable.create(spark, t, base.filter(k % 3 === 0), Seq("o_orderkey"))
+    CowTable.append(spark, t, base.filter(k % 3 === 1))
+    CowTable.append(spark, t, base.filter(k % 3 === 2))
+    val sink = s"cf_${new java.io.File(dir).getName.replace('.', '_')}"
+    val q = graft.streaming.TableChangeFeed.readChanges(spark, t)
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try { q.processAllAvailable() } finally q.stop()
+    spark.table(sink)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col(graft.streaming.TableChangeFeed.VersionCol)
+          .as("commit_version"))
+      .orderBy("commit_version", "o_orderkey")
+  }
+
+  val tableChangefeedSql: String =
+    """SELECT * FROM (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus,
+      |         CAST(1 AS BIGINT) AS commit_version
+      |  FROM orders WHERE o_orderkey % 3 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, o_custkey, o_orderstatus, 2
+      |  FROM orders WHERE o_orderkey % 3 = 1
+      |  UNION ALL
+      |  SELECT o_orderkey, o_custkey, o_orderstatus, 3
+      |  FROM orders WHERE o_orderkey % 3 = 2)
+      |ORDER BY commit_version, o_orderkey""".stripMargin
+
+  /** The table DRIVING its own consumer: an events table's change feed
+    * (from version 2 — version 1 seeds the consumer) streams through
+    * the exactly-once [[graft.streaming.TableSink.aggSink]] into a
+    * standing [[graft.tables.AggTable]]; the gate output is the final
+    * aggregate state read from disk, so one hash pins the feed's
+    * completeness AND the fold's correctness. Oracle = the plain
+    * aggregate over all rows (q_agg_upsert's shape): streamed
+    * table→table maintenance ≡ batch recompute.
+    */
+  def pipelineChangefeedAgg(spark: SparkSession, dir: String): DataFrame = {
+    val src = scratch(dir, "cfagg_src")
+    val agg = scratch(dir, "cfagg_dst")
+    val ckpt = scratch(dir, "cfagg_ckpt")
+    reset(spark, src); reset(spark, agg); reset(spark, ckpt)
+    val ev = Tables.loadEvents(spark, dir)
+      .select("user_id", "event_type", "value")
+    val cut1 = col("user_id") % 3 === 0
+    val cut2 = col("user_id") % 3 === 1
+    CowTable.create(spark, src, ev.filter(cut1),
+      Seq("user_id"))                                    // v1 seeds
+    CowTable.append(spark, src, ev.filter(cut2))         // v2 streams
+    CowTable.append(spark, src, ev.filter(!cut1 && !cut2)) // v3 streams
+    graft.tables.AggTable.init(spark, agg,
+      CowTable.read(spark, src, Some(1L)),
+      Seq("user_id", "event_type"), "value")
+    val feed = graft.streaming.TableChangeFeed
+      .readChanges(spark, src, startingVersion = 2L)
+      .select("user_id", "event_type", "value")
+    val q = graft.streaming.TableSink
+      .aggSink(feed, agg, Seq("user_id", "event_type"), "value")
+      .option("checkpointLocation", ckpt).start()
+    try { q.processAllAvailable() } finally q.stop()
+    graft.tables.AggTable.read(spark, agg)
+      .select(col("user_id"), col("event_type"), col("n"),
+        col("total").cast("double").as("total"), col("vmin"), col("vmax"))
+      .orderBy("user_id", "event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "table_merge_cond" -> (tableMergeCond(_, _)),
+    "table_optimize_where" -> (tableOptimizeWhere(_, _)),
+    "table_changefeed" -> (tableChangefeed(_, _)),
+    "pipeline_changefeed_agg" -> (pipelineChangefeedAgg(_, _)),
     "pipeline_table_ingest" -> (pipelineTableIngest(_, _)),
     "table_evolve" -> (tableEvolve(_, _)),
     "table_aggmerge" -> (tableAggmerge(_, _)),
@@ -347,6 +525,10 @@ object TableQueries {
     "table_compact" -> (tableCompact(_, _)))
 
   val oracleSql: Map[String, String] = Map(
+    "table_merge_cond" -> tableMergeCondSql,
+    "table_optimize_where" -> tableOptimizeWhereSql,
+    "table_changefeed" -> tableChangefeedSql,
+    "pipeline_changefeed_agg" -> Relational.qAggUpsertSql,
     "pipeline_table_ingest" -> pipelineTableIngestSql,
     "table_evolve" -> tableEvolveSql,
     "table_aggmerge" -> Relational.qAggUpsertSql,

@@ -1,0 +1,167 @@
+package graft.streaming
+
+import graft.tables.{CowTable, TxLog}
+import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset => V1Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+/** Streaming face #34: a [[CowTable]] as a streaming SOURCE — the
+  * change feed every log-based table format grew because users asked
+  * (Delta CDF, Iceberg incremental reads). The table's own commit log
+  * IS the offset sequence: offset v = "everything through commit v",
+  * so a micro-batch is the union of [[CowTable.changesAt]] over the
+  * commit range (start, end] — commit-granular, replayable from any
+  * retained version, and EXACTLY what the batch API answers (the spec
+  * pins streamed ≡ concatenated `changesAt`). With this face a table
+  * drives its own downstream consumers (IngestScreen / AggTable /
+  * ProfileMonitor) instead of being fed by an external stream beside
+  * the writes.
+  *
+  * Rows carry two metadata columns: `_commit_version` (the commit that
+  * added them) and `_commit_op` (create/append/merge/...). For merge
+  * commits the adds include rewritten SURVIVORS of touched files (the
+  * documented [[CowTable.changesAt]] contract — file-layout dependent,
+  * which is why merge-fed gates pin contents through consumers, while
+  * append-only feeds are exactly the appended rows). Consumers that
+  * need pure deltas filter on op or key their fold idempotently (the
+  * [[TableSink]] stamp discipline composes).
+  *
+  * Scale shape: getOffset is one driver-side log listing (metadata);
+  * a micro-batch plans only the files its commits ADDED — O(batch), at
+  * full scan parallelism, never a table rescan. The offset is the
+  * commit version, so checkpoint recovery needs those versions' files
+  * retained: [[CowTable.vacuum]]'s `retainVersions` must cover the
+  * deepest restart window (the same retention contract as time
+  * travel).
+  *
+  * Schema is pinned at stream start (additive evolution mid-stream:
+  * new columns are dropped until the stream restarts — Structured
+  * Streaming requires a fixed schema per query); pre-evolution commits
+  * surface later columns as typed nulls, exactly like the batch read.
+  */
+object TableChangeFeed {
+
+  val VersionCol = "_commit_version"
+  val OpCol = "_commit_op"
+
+  /** The stream schema: table data columns + commit metadata. */
+  def changeSchema(dataDDL: String): StructType = {
+    val data = StructType.fromDDL(dataDDL)
+    StructType(data.fields ++ Seq(
+      StructField(VersionCol, LongType, nullable = false),
+      StructField(OpCol, StringType, nullable = false)))
+  }
+
+  /** `readStream` face: commit-granular changes of the table at `path`
+    * from `startingVersion` (inclusive) onward, including commits that
+    * already exist when the stream starts (catch-up), then every new
+    * commit as it lands. The table schema is pinned HERE — analysis
+    * time — and threaded to the source through the options, so an
+    * additive evolution landing between `load()` and query start
+    * cannot desync the relation's schema from the batches' (columns
+    * evolved after this call surface on the next stream start).
+    */
+  def readChanges(spark: SparkSession, path: String,
+      startingVersion: Long = 1L): DataFrame =
+    spark.readStream
+      .format(classOf[TableChangeFeedProvider].getName)
+      .option("path", path)
+      .option("startingVersion", startingVersion.toString)
+      .option("schemaDDL", TxLog.snapshot(spark, path).schemaDDL)
+      .load()
+}
+
+/** DSv1 stream source provider (`format(<this class name>)` or the
+  * `cowtable-changes` short name where service registration applies).
+  */
+class TableChangeFeedProvider extends StreamSourceProvider
+    with DataSourceRegister {
+
+  override def shortName(): String = "cowtable-changes"
+
+  private def tablePath(parameters: Map[String, String]): String =
+    parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "cowtable-changes needs option 'path' (the table root)"))
+
+  /** Pinned DDL when threaded by [[TableChangeFeed.readChanges]] (the
+    * analysis-time snapshot); a raw `format(...)` user without it gets
+    * the current snapshot — resolved identically in [[sourceSchema]]
+    * and [[createSource]] either way.
+    */
+  private def dataDDL(sqlContext: SQLContext,
+      parameters: Map[String, String]): String =
+    parameters.getOrElse("schemaDDL",
+      TxLog.snapshot(sqlContext.sparkSession,
+        tablePath(parameters)).schemaDDL)
+
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) =
+    (shortName(),
+      TableChangeFeed.changeSchema(dataDDL(sqlContext, parameters)))
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source =
+    new TableChangeSource(sqlContext, tablePath(parameters),
+      parameters.getOrElse("startingVersion", "1").toLong,
+      dataDDL(sqlContext, parameters))
+}
+
+/** The source itself: offsets are commit versions (a [[LongOffset]] of
+  * the latest version); `getBatch(start, end)` unions `changesAt` over
+  * (start, end] conformed to the pinned stream schema.
+  */
+class TableChangeSource(sqlContext: SQLContext, path: String,
+    startingVersion: Long, dataDDL: String) extends Source {
+  require(startingVersion >= 1, s"startingVersion >= 1, got $startingVersion")
+
+  private val spark = sqlContext.sparkSession
+  // Pinned at analysis time (threaded through the options): the fixed
+  // schema Structured Streaming requires. Later additive evolutions
+  // surface after a restart.
+  override val schema: StructType = TableChangeFeed.changeSchema(dataDDL)
+  private val dataFields =
+    schema.fields.dropRight(2) // minus the two _commit columns
+
+  override def getOffset: Option[V1Offset] = {
+    val latest = TxLog.latestVersion(spark, path)
+    if (latest < startingVersion) None else Some(LongOffset(latest))
+  }
+
+  private def version(o: V1Offset): Long = o match {
+    case l: LongOffset => l.offset
+    case other => other.json.toLong // SerializedOffset after a restart
+  }
+
+  override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
+    val from = start.map(version(_) + 1).getOrElse(startingVersion)
+    val to = version(end)
+    val frames = (from to to).map { v =>
+      val op = TxLog.commitAt(spark, path, v).op
+      val changed = CowTable.changesAt(spark, path, v)
+      // Conform to the pinned schema: a pre-evolution commit lacks
+      // later columns (typed nulls, like the batch read); columns
+      // evolved AFTER stream start are dropped until a restart.
+      val cols = dataFields.map { f =>
+        if (changed.columns.contains(f.name)) col(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }
+      changed.select(cols: _*)
+        .withColumn(TableChangeFeed.VersionCol, lit(v))
+        .withColumn(TableChangeFeed.OpCol, lit(op))
+    }
+    // getBatch must return a STREAMING-tagged frame (MicroBatchExecution
+    // asserts it) — same wrap Spark's own FileStreamSource uses.
+    org.apache.spark.sql.graft.PlanSurgery.asStreamingFrame(
+      frames.reduceOption(_.unionByName(_)).getOrElse(
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)))
+  }
+
+  override def stop(): Unit = ()
+}

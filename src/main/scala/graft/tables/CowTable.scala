@@ -146,12 +146,30 @@ object CowTable {
     * flagged true in `deleteCol` are deletes. Only files containing a
     * matched key are rewritten; the candidate set is pre-pruned by the
     * manifest zone maps against the batch's key bounds.
+    *
+    * '''Conditional clauses''' (the `WHEN MATCHED AND <cond> THEN
+    * UPDATE SET <cols>` form — the first thing a CDC user with
+    * partial-column feeds needs):
+    *   - `matchedCondition(target, source)` gates the UPDATE: a matched
+    *     row failing it passes through UNCHANGED (and its batch row is
+    *     NOT inserted — it matched). The standard use is an
+    *     out-of-order guard, `(t, s) => s("seq") > t("seq")`. Clause
+    *     order is Delta's: `WHEN MATCHED AND del THEN DELETE` fires
+    *     first and is NOT gated by `matchedCondition` (a tombstone
+    *     deletes regardless);
+    *   - `setCols` restricts which columns the update writes; the rest
+    *     keep their target values (partial-column SET). Inserts of
+    *     not-matched rows are always full-row — the batch must carry
+    *     the full schema either way, so a partial feed fills
+    *     don't-care columns arbitrarily for rows it knows are matched.
     */
   def merge(spark: SparkSession, path: String, updates: DataFrame,
       keys: Seq[String], deleteCol: Option[String] = None,
       checkUniqueKeys: Boolean = true,
       txn: Option[TxLog.Txn] = None,
-      mergeSchema: Boolean = false): MergeMetrics = {
+      mergeSchema: Boolean = false,
+      matchedCondition: Option[(DataFrame, DataFrame) => Column] = None,
+      setCols: Option[Seq[String]] = None): MergeMetrics = {
     require(keys.nonEmpty, "merge needs at least one key column")
     val up = updates.persist()
     try {
@@ -272,11 +290,23 @@ object CowTable {
           val touchedDf = newFields.foldLeft(touchedOld)((d, f) =>
             d.withColumn(f.name, lit(null).cast(f.dataType)))
           val tJoin = keys.map(k => touchedDf(k) <=> upData(k)).reduce(_ && _)
+          val sets = setCols.map(_.toSet).getOrElse(allCols.toSet)
+          require(setCols.forall(_.forall(allCols.contains)),
+            s"setCols not in the table: ${setCols.getOrElse(Seq.empty)
+              .filterNot(allCols.contains)}")
+          // update fires only for matched rows passing the clause
+          // condition (null condition result = clause not taken, the
+          // SQL three-valued convention); unmatched/failing rows keep
+          // their target values column by column.
+          val upd = upData("_gf_m").isNotNull &&
+            matchedCondition.fold(lit(true))(c =>
+              coalesce(c(touchedDf, upData), lit(false)))
           val rewritten = touchedDf.join(upData, tJoin, "left_outer")
             .filter(upData("_gf_del").isNull || !upData("_gf_del"))
             .select(allCols.map(c =>
-              when(upData("_gf_m").isNotNull, upData(c))
-                .otherwise(touchedDf(c)).as(c)): _*)
+              (if (sets.contains(c)) when(upd, upData(c))
+                .otherwise(touchedDf(c))
+              else touchedDf(c)).as(c)): _*)
           val inserts = upData.filter(!col("_gf_del"))
             .join(touchedDf, tJoin, "left_anti")
             .select(allCols.map(col): _*)
@@ -350,6 +380,40 @@ object CowTable {
       TxLog.tryCommit(spark, path, Commit(snap.version + 1, "optimize",
         adds, snap.files.map(_.path), None, None))
     }
+
+  /** Predicate-scoped OPTIMIZE — the form production actually runs at
+    * 100 TB (the whole-table [[optimize]] is the building block; its
+    * own scaladoc says so). Only files whose zone map on `column` may
+    * overlap `[lo, hi]` (string-encoded bounds, [[TxLog.ColStats]]
+    * comparison rules — the [[readOverlapping]] pruning verbatim) are
+    * read, re-clustered through `layout`, and republished in ONE
+    * remove/add commit; every file OUTSIDE the predicate survives
+    * byte-identical on disk and its manifest entry never moves. This is
+    * how a nightly job restores zone-map selectivity over just the
+    * ingest range that scattered (e.g. yesterday's partition) at
+    * O(range) cost instead of O(table). Returns the number of files
+    * rewritten (0 = nothing selected, no commit).
+    */
+  def optimizeWhere(spark: SparkSession, path: String, column: String,
+      lo: String, hi: String, layout: DataFrame => DataFrame): Long = {
+    var rewritten = 0L
+    retrying(s"optimizeWhere $path") {
+      val snap = TxLog.snapshot(spark, path)
+      val sel = snap.files.filter(
+        _.stats.get(column).forall(_.mayOverlap(lo, hi)))
+      rewritten = sel.size.toLong
+      if (sel.isEmpty) true
+      else {
+        val out = layout(readFiles(spark, path, snap, sel))
+          .select(readSchemaCols(snap).map(col): _*)
+        val adds = writeFiles(spark, path, out, snap.statsCols,
+          snap.partitionCols.getOrElse(Seq.empty))
+        TxLog.tryCommit(spark, path, Commit(snap.version + 1, "optimize",
+          adds, sel.map(_.path), None, None))
+      }
+    }
+    rewritten
+  }
 
   /** Delete data files referenced by NO snapshot within the last
     * `retainVersions` versions (older versions become unreadable —

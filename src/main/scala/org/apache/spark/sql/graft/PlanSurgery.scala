@@ -31,4 +31,17 @@ object PlanSurgery {
           child)
       case _ => df
     }
+
+  /** Re-tag a batch frame as STREAMING — what a DSv1 `Source.getBatch`
+    * must return (MicroBatchExecution asserts `isStreaming`), exactly
+    * how Spark's own FileStreamSource wraps the per-batch file read:
+    * the computed rows ride an `internalCreateDataFrame(_, _,
+    * isStreaming = true)`, which is `private[sql]` — hence this shim.
+    */
+  def asStreamingFrame(df: DataFrame): DataFrame = {
+    val cs = df.sparkSession
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    cs.internalCreateDataFrame(df.queryExecution.toRdd, df.schema,
+      isStreaming = true)
+  }
 }

@@ -1,0 +1,149 @@
+package graft.streaming
+
+import graft.SparkTestSession
+import graft.tables.{CowTable, TxLog}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[TableChangeFeed]]: the table's commit log as a streaming source —
+  * the streamed feed must equal the CONCATENATION of
+  * [[CowTable.changesAt]] across the commit range (the MemoryStream-
+  * style identity the round-11 verdict asked for), restarts must
+  * resume from the checkpointed version, and `startingVersion` must
+  * skip history.
+  */
+class TableChangeFeedSpec extends AnyFunSuite {
+
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def withDir(f: java.io.File => Unit): Unit = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cf_").toFile
+    try f(dir) finally rmrf(dir)
+  }
+  private def rmrf(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(rmrf)
+    f.delete(); ()
+  }
+
+  private def rows(df: DataFrame): Set[(Long, Long, String, Long, String)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+      r.getLong(3), r.getString(4))).toSet
+
+  /** Drain the feed into a buffer via foreachBatch (checkpointed). */
+  private def drain(feed: DataFrame, ckpt: String,
+      into: scala.collection.mutable.Set[(Long, Long, String, Long, String)])
+      : Unit = {
+    val q = feed.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        into.synchronized { into ++= rows(b) }; ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
+  test("streamed feed == concatenated changesAt across commits") {
+    withDir { dir =>
+      val t = dir.getAbsolutePath + "/t"
+      CowTable.create(spark, t,
+        Seq((1L, 10L, "a"), (2L, 20L, "b")).toDF("k", "v", "s"), Seq("k"))
+      CowTable.append(spark, t, Seq((3L, 30L, "c")).toDF("k", "v", "s"))
+      // a merge too: its adds include rewritten survivors — the feed
+      // must surface exactly what changesAt reports for that commit
+      CowTable.merge(spark, t,
+        Seq((2L, 21L, "b2"), (4L, 40L, "d")).toDF("k", "v", "s"), Seq("k"))
+
+      val got = scala.collection.mutable.Set
+        .empty[(Long, Long, String, Long, String)]
+      drain(TableChangeFeed.readChanges(spark, t),
+        dir.getAbsolutePath + "/ck1", got)
+
+      val expect = (1L to 3L).flatMap { v =>
+        val op = TxLog.commitAt(spark, t, v).op
+        CowTable.changesAt(spark, t, v).collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getString(2), v, op))
+      }.toSet
+      assert(got.toSet === expect)
+      assert(got.map(_._5) === Set("create", "append", "merge"))
+    }
+  }
+
+  test("restart resumes from the checkpoint; new commits only") {
+    withDir { dir =>
+      val t = dir.getAbsolutePath + "/t"
+      val ckpt = dir.getAbsolutePath + "/ck"
+      CowTable.create(spark, t,
+        Seq((1L, 10L, "a")).toDF("k", "v", "s"), Seq("k"))
+      CowTable.append(spark, t, Seq((2L, 20L, "b")).toDF("k", "v", "s"))
+
+      val got1 = scala.collection.mutable.Set
+        .empty[(Long, Long, String, Long, String)]
+      drain(TableChangeFeed.readChanges(spark, t), ckpt, got1)
+      assert(got1.map(_._4) === Set(1L, 2L))
+
+      // Two more commits while the stream is DOWN; the restarted query
+      // (same checkpoint) must emit exactly versions 3 and 4.
+      CowTable.append(spark, t, Seq((3L, 30L, "c")).toDF("k", "v", "s"))
+      CowTable.append(spark, t, Seq((4L, 40L, "d")).toDF("k", "v", "s"))
+      val got2 = scala.collection.mutable.Set
+        .empty[(Long, Long, String, Long, String)]
+      drain(TableChangeFeed.readChanges(spark, t), ckpt, got2)
+      assert(got2.map(_._4) === Set(3L, 4L))
+      assert(got2.map(r => (r._1, r._2, r._3)) ===
+        Set((3L, 30L, "c"), (4L, 40L, "d")))
+    }
+  }
+
+  test("startingVersion skips history; pre-start table yields no rows") {
+    withDir { dir =>
+      val t = dir.getAbsolutePath + "/t"
+      CowTable.create(spark, t,
+        Seq((1L, 10L, "a")).toDF("k", "v", "s"), Seq("k"))
+      CowTable.append(spark, t, Seq((2L, 20L, "b")).toDF("k", "v", "s"))
+      val got = scala.collection.mutable.Set
+        .empty[(Long, Long, String, Long, String)]
+      drain(TableChangeFeed.readChanges(spark, t, startingVersion = 2L),
+        dir.getAbsolutePath + "/ck2", got)
+      assert(got.map(_._4) === Set(2L))
+      assert(got.map(_._1) === Set(2L))
+    }
+  }
+
+  test("schema evolution mid-stream: pinned schema, nulls backfill") {
+    withDir { dir =>
+      val t = dir.getAbsolutePath + "/t"
+      CowTable.create(spark, t,
+        Seq((1L, 10L, "a")).toDF("k", "v", "s"), Seq("k"))
+      // feed created against the 3-column schema
+      val feed = TableChangeFeed.readChanges(spark, t)
+      assert(feed.columns.toSeq ===
+        Seq("k", "v", "s", "_commit_version", "_commit_op"))
+      // evolve AFTER stream creation: the new column is dropped from
+      // this stream's batches (pinned schema); rows still arrive
+      CowTable.append(spark, t,
+        Seq((2L, 20L, "b", 1.5)).toDF("k", "v", "s", "w"),
+        mergeSchema = true)
+      val got = scala.collection.mutable.Set
+        .empty[(Long, Long, String, Long, String)]
+      drain(feed, dir.getAbsolutePath + "/ck3", got)
+      assert(got.map(r => (r._1, r._4)) === Set((1L, 1L), (2L, 2L)))
+
+      // a FRESH stream sees the evolved schema, with pre-evolution
+      // commits backfilling the new column as null
+      val feed2 = TableChangeFeed.readChanges(spark, t)
+      assert(feed2.columns.contains("w"))
+      val all = scala.collection.mutable.ArrayBuffer.empty[(Long, Any)]
+      val q = feed2.writeStream
+        .option("checkpointLocation", dir.getAbsolutePath + "/ck4")
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          all.synchronized {
+            all ++= b.select("k", "w").collect()
+              .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getDouble(1)))
+          }; ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+      assert(all.toSet === Set[(Long, Any)]((1L, null), (2L, 1.5)))
+    }
+  }
+}

@@ -557,6 +557,88 @@ class CowTableSpec extends AnyFunSuite {
     }
   }
 
+  test("conditional merge: clause gates updates, SET stays partial") {
+    withTable { t =>
+      CowTable.create(spark, t, base(20, 2), Seq("k"))
+      // guard: update only when the incoming v EXCEEDS the standing v
+      // (the out-of-order CDC shape); SET only (v) — s is poisoned and
+      // must never land; tombstone on k=4 deletes regardless of the
+      // clause (4*7%100=28 > 1, clause would PASS; and k=6 tombstone
+      // where clause FAILS: 6*7=42 > 999 false — both must delete).
+      val upd = Seq(
+        (1L, 999L, "poison", false),  // 1*7=7   < 999 → update
+        (2L, 0L, "poison", false),    // 2*7=14  > 0   → unchanged
+        (4L, 1L, "poison", true),     // delete (clause true)
+        (6L, -1L, "poison", true),    // delete (clause false)
+        (100L, 5L, "new", false))     // no match → full-row insert
+        .toDF("k", "v", "s", "del")
+      val m = CowTable.merge(spark, t, upd, Seq("k"), Some("del"),
+        matchedCondition = Some((tgt, src) => src("v") > tgt("v")),
+        setCols = Some(Seq("v")))
+      val got = contents(CowTable.read(spark, t))
+      val expect = contents(base(20, 1))
+        .filterNot { case (k, _, _) => Set(1L, 4L, 6L).contains(k) } ++
+        Set((1L, 999L, "row1"),   // v updated, s kept (partial SET)
+          (100L, 5L, "new"))      // insert is always full-row
+      assert(got === expect)
+      assert(m.removedRows > 0)
+    }
+  }
+
+  test("conditional merge rejects SET columns outside the table") {
+    withTable { t =>
+      CowTable.create(spark, t, base(5, 1), Seq("k"))
+      val e = intercept[IllegalArgumentException] {
+        CowTable.merge(spark, t, Seq((1L, 2L, "x")).toDF("k", "v", "s"),
+          Seq("k"), setCols = Some(Seq("nope")))
+      }
+      assert(e.getMessage.contains("setCols"))
+    }
+  }
+
+  test("optimizeWhere rewrites only the predicate's files") {
+    withTable { t =>
+      // 8 range-clustered files, then ONE scattered file spanning the
+      // whole key space (the ingest-pollution shape).
+      CowTable.create(spark, t, base(1000, 8), Seq("k"))
+      CowTable.append(spark, t,
+        Seq((5L, 1L, "sc1"), (995L, 1L, "sc2")).toDF("k", "v", "s")
+          .repartition(1))
+      val before = TxLog.snapshot(spark, t)
+      val beforeContents = contents(CowTable.read(spark, t))
+
+      // Scope: low half of the key space — selects the scattered file
+      // plus the low range files; the HIGH range files survive with
+      // their manifest entries (and bytes) untouched.
+      val highFiles = before.files.filter(f =>
+        f.stats("k").min.toLong >= 500).map(_.path).toSet
+      assert(highFiles.nonEmpty)
+      val rewritten = CowTable.optimizeWhere(spark, t, "k", "0", "499",
+        _.repartitionByRange(4, col("k")).sortWithinPartitions("k"))
+      assert(rewritten > 0 &&
+        rewritten < before.files.size, s"scoped rewrite hit $rewritten")
+
+      val after = TxLog.snapshot(spark, t)
+      assert(highFiles.subsetOf(after.files.map(_.path).toSet),
+        "files outside the predicate must survive untouched")
+      assert(contents(CowTable.read(spark, t)) === beforeContents)
+
+      // Selectivity restored: a narrow low-range merge prunes again
+      // (before the optimize, the scattered file was a candidate for
+      // EVERY range).
+      val m = CowTable.merge(spark, t,
+        Seq((5L, -9L, "m")).toDF("k", "v", "s"), Seq("k"))
+      assert(m.prunedFiles >= after.files.size - 2,
+        s"zone maps should prune after the scoped optimize: $m")
+
+      // Empty predicate range: no files selected, no commit.
+      val v = TxLog.latestVersion(spark, t)
+      assert(CowTable.optimizeWhere(spark, t, "k",
+        "5000000", "6000000", identity) === 0L)
+      assert(TxLog.latestVersion(spark, t) === v)
+    }
+  }
+
   test("posix-rename detection covers RawLocalFileSystem too") {
     // LocalFileSystem is the checksum WRAPPER around RawLocalFileSystem;
     // a file:// deployment with fs.file.impl overridden to the raw form
