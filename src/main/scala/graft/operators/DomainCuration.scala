@@ -57,7 +57,65 @@ object DomainCuration {
       .otherwise(concat(element_at(sp, -2), lit("."), element_at(sp, -1)))
   }
 
+  /** Deterministic public-suffix snapshot: the TWO-LABEL suffixes of
+    * the high-traffic ccTLD registries (publicsuffix.org is the full
+    * upstream; this is a pinned, reviewable subset — production swaps
+    * the file in, the expression shape is unchanged). Hosts whose last
+    * two labels match group one label DEEPER (bbc.co.uk, not co.uk);
+    * everything else falls back to the PSL default rule `*` = the
+    * last-two-labels heuristic. Shared verbatim with the oracle SQL so
+    * both engines group with literally the same snapshot.
+    */
+  val PslSnapshot: Seq[String] = Seq(
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk", "sch.uk",
+    "plc.uk", "ltd.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "asn.au", "id.au",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp", "ad.jp",
+    "co.kr", "or.kr", "ne.kr", "go.kr", "re.kr", "pe.kr",
+    "com.br", "net.br", "org.br", "gov.br",
+    "com.mx", "org.mx", "gob.mx", "edu.mx",
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn",
+    "com.tw", "org.tw", "net.tw",
+    "co.in", "net.in", "org.in", "gen.in", "firm.in", "ind.in",
+    "co.za", "org.za", "net.za", "gov.za", "ac.za", "web.za",
+    "com.ar", "net.ar", "org.ar",
+    "com.tr", "net.tr", "org.tr", "gov.tr",
+    "co.nz", "net.nz", "org.nz", "govt.nz", "ac.nz", "geek.nz",
+    "com.sg", "net.sg", "org.sg", "edu.sg", "gov.sg",
+    "com.my", "net.my", "org.my", "gov.my", "edu.my",
+    "com.hk", "net.hk", "org.hk", "edu.hk", "gov.hk",
+    "co.id", "or.id", "web.id", "ac.id", "go.id",
+    "com.ph", "net.ph", "org.ph",
+    "com.vn", "net.vn", "org.vn",
+    "com.ua", "net.ua", "org.ua",
+    "co.th", "or.th", "ac.th", "go.th",
+    "com.pl", "net.pl", "org.pl", "edu.pl",
+    "com.eg", "com.sa", "com.pk", "com.bd", "com.ng", "co.ke",
+    "co.il", "org.il", "ac.il")
+
+  /** PSL-backed registrable domain (the round-11 verdict item): the
+    * last-two-labels heuristic misgroups co.uk/com.au hosts (every
+    * *.co.uk site collapses into "co.uk"); against the snapshot, a
+    * host whose last two labels are a public suffix keeps THREE
+    * labels. A host that IS a bare public suffix (h = "co.uk") returns
+    * itself — the PSL's "domain is itself a suffix" degenerate,
+    * surfaced rather than nulled so groupings stay total. Still a pure
+    * per-row projection (the `isin` compiles to a hash-set membership
+    * test); the plan shape is [[registrableDomain]]'s exactly, as the
+    * original scaladoc promised.
+    */
+  def registrableDomainPsl(h: Column): Column = {
+    val sp = split(h, "\\.")
+    val last2 = concat(element_at(sp, -2), lit("."), element_at(sp, -1))
+    val last3 = concat(element_at(sp, -3), lit("."), last2)
+    when(size(sp) <= 2, h)
+      .otherwise(when(last2.isin(PslSnapshot: _*), last3)
+        .otherwise(last2))
+  }
+
   def domainOf(url: Column): Column = registrableDomain(host(url))
+
+  def domainOfPsl(url: Column): Column = registrableDomainPsl(host(url))
 
   /** Per-domain curation datasheet: one row per registrable domain —
     * (domain, n_docs, n_hosts, n_tokens, q_sum_fp, n_dup_rows).
@@ -67,10 +125,12 @@ object DomainCuration {
     * text md5 repeats WITHIN the domain — the per-domain dup rate's
     * numerator, and the first spam-farm tell.
     */
-  def domainStats(docs: DataFrame, urlCol: String, textCol: String): DataFrame = {
+  def domainStats(docs: DataFrame, urlCol: String, textCol: String,
+      psl: Boolean = false): DataFrame = {
     val w = TextFeatures.words(col(textCol))
+    val dom = if (psl) domainOfPsl(col(urlCol)) else domainOf(col(urlCol))
     val perDoc = docs.select(
-        domainOf(col(urlCol)).as("domain"),
+        dom.as("domain"),
         host(col(urlCol)).as("host"),
         size(w).cast("long").as("n_toks"),
         floor(TextStats.qualityScore(w) * lit((1L << 20).toDouble))

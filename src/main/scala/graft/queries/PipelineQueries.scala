@@ -710,7 +710,227 @@ object PipelineQueries {
        |ORDER BY doc_id, epoch_copy""".stripMargin
   }
 
+  /** Deterministic messy-URL fixture over orders: mixed-case scheme
+    * and host, default and non-default ports (":80" lands on BOTH
+    * schemes across the key space — default for http, semantic for
+    * https), empty paths, tracking params scrambled among real ones,
+    * fragments containing a fake '?', and a non-URL band (k%97=31)
+    * that must pass through unchanged. Mirrored expression-for-
+    * expression in SQL (the withUrls discipline).
+    */
+  private def withMessyUrls(orders: DataFrame): DataFrame = {
+    val k = col("o_orderkey")
+    orders.select(k).withColumn("url",
+      when(k % 97 === 31, concat(lit("not-a-url-"), k.cast("string")))
+        .otherwise(concat(
+          when(k % 2 === 0, lit("HtTp")).otherwise(lit("HTTPS")),
+          lit("://WWW.Site"), (k % 5).cast("string"), lit(".Example.COM"),
+          when(k % 3 === 0, lit(":80"))
+            .when(k % 3 === 1, lit(":8080")).otherwise(lit("")),
+          when(k % 4 === 0, lit(""))
+            .otherwise(concat(lit("/P/"), (k % 7).cast("string"))),
+          when(k % 2 === 0, lit("?utm_source=x&b=2&a=1&utm_campaign=y"))
+            .otherwise(lit("?z=9&utm_medium=m&gclid=123&a=1")),
+          when(k % 5 === 0, lit("#frag?fake=1")).otherwise(lit("")))))
+  }
+
+  // NOTE: embedded into stripMargin'd outer templates — no line here
+  // may START with '|' after this inner strip (the outer strip would
+  // eat the first pipe of a leading '||'), so concatenations trail.
+  private val messyUrlSqlExpr: String =
+    """CASE WHEN o_orderkey % 97 = 31
+      |  THEN 'not-a-url-' || CAST(o_orderkey AS VARCHAR)
+      |  ELSE (CASE WHEN o_orderkey % 2 = 0 THEN 'HtTp' ELSE 'HTTPS' END) ||
+      |    '://WWW.Site' || CAST(o_orderkey % 5 AS VARCHAR) ||
+      |    '.Example.COM' ||
+      |    (CASE WHEN o_orderkey % 3 = 0 THEN ':80'
+      |          WHEN o_orderkey % 3 = 1 THEN ':8080' ELSE '' END) ||
+      |    (CASE WHEN o_orderkey % 4 = 0 THEN ''
+      |          ELSE '/P/' || CAST(o_orderkey % 7 AS VARCHAR) END) ||
+      |    (CASE WHEN o_orderkey % 2 = 0
+      |          THEN '?utm_source=x&b=2&a=1&utm_campaign=y'
+      |          ELSE '?z=9&utm_medium=m&gclid=123&a=1' END) ||
+      |    (CASE WHEN o_orderkey % 5 = 0 THEN '#frag?fake=1' ELSE '' END)
+      |END""".stripMargin
+
+  /** The full [[graft.operators.UrlCanon]] rule set replayed in DuckDB
+    * over the fixture CTE `u(o_orderkey, url)` → `canon(o_orderkey,
+    * url, canon_url)`.
+    */
+  private val canonCtesSql: String = {
+    val tracking = graft.operators.UrlCanon.TrackingParams
+      .map(p => s"'$p'").mkString("[", ", ", "]")
+    s"""c AS (SELECT o_orderkey, url,
+       |    lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1))
+       |      AS sch,
+       |    lower(regexp_extract(url,
+       |      '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1))
+       |      AS hst,
+       |    regexp_extract(url,
+       |      '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?[^/?#:]+:([0-9]+)',
+       |      1) AS prt,
+       |    regexp_extract(url,
+       |      '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS pth,
+       |    regexp_extract(url, '^[^#?]*\\?([^#]*)', 1) AS qry
+       |  FROM u),
+       |cq AS (SELECT o_orderkey, url, sch, hst, prt, pth,
+       |    array_to_string(list_sort(list_filter(string_split(qry, '&'),
+       |      p -> p <> '' AND NOT starts_with(split_part(p, '=', 1), 'utm_')
+       |        AND NOT list_contains($tracking, split_part(p, '=', 1)))),
+       |      '&') AS qs
+       |  FROM c),
+       |canon AS (SELECT o_orderkey, url,
+       |    CASE WHEN hst = '' THEN url ELSE
+       |      sch || '://' || hst ||
+       |      (CASE WHEN prt <> '' AND NOT (sch = 'http' AND prt = '80')
+       |            AND NOT (sch = 'https' AND prt = '443')
+       |            THEN ':' || prt ELSE '' END) ||
+       |      (CASE WHEN pth = '' THEN '/' ELSE pth END) ||
+       |      (CASE WHEN qs = '' THEN '' ELSE '?' || qs END)
+       |    END AS canon_url
+       |  FROM cq)""".stripMargin
+  }
+
+  /** URL canonicalization ([[graft.operators.UrlCanon]]): the messy
+    * fixture canonicalized row by row — scheme/host case, default
+    * ports, tracking params, param order, fragments, empty paths, and
+    * the non-URL passthrough all pinned byte-exact against the DuckDB
+    * replay of every rule.
+    */
+  def urlCanon(spark: SparkSession, dir: String): DataFrame =
+    withMessyUrls(Tables.load(spark, dir, "orders"))
+      .select(col("o_orderkey"),
+        graft.operators.UrlCanon.canonicalize(col("url")).as("canon_url"))
+      .orderBy("o_orderkey")
+
+  val urlCanonSql: String =
+    s"""WITH u AS (SELECT o_orderkey, $messyUrlSqlExpr AS url FROM orders),
+       |$canonCtesSql
+       |SELECT o_orderkey, canon_url FROM canon
+       |ORDER BY o_orderkey""".stripMargin
+
+  /** URL dedup BEFORE content dedup — the standard crawl stage the
+    * canon exists for: group by canonical URL, keep the smallest key
+    * (deterministic representative), count the spellings collapsed.
+    * The fixture's dozen spellings per resource compress ~40:1 here;
+    * at crawl scale this is one hash aggregate at full parallelism.
+    */
+  def pipelineUrlDedup(spark: SparkSession, dir: String): DataFrame =
+    withMessyUrls(Tables.load(spark, dir, "orders"))
+      .select(col("o_orderkey"),
+        graft.operators.UrlCanon.canonicalize(col("url")).as("canon_url"))
+      .groupBy("canon_url")
+      .agg(min(col("o_orderkey")).as("keep_key"),
+        count(lit(1)).as("n_spellings"))
+      .orderBy("canon_url")
+
+  val pipelineUrlDedupSql: String =
+    s"""WITH u AS (SELECT o_orderkey, $messyUrlSqlExpr AS url FROM orders),
+       |$canonCtesSql
+       |SELECT canon_url, CAST(min(o_orderkey) AS BIGINT) AS keep_key,
+       |  count(*) AS n_spellings
+       |FROM canon GROUP BY canon_url
+       |ORDER BY canon_url""".stripMargin
+
+  /** PSL-host fixture: co.uk / com.au hosts at several depths, plain
+    * .com with and without www, and a bare-suffix degenerate — the
+    * cases where the last-two-labels heuristic and the PSL snapshot
+    * DISAGREE (www.s3.co.uk and shop.s3.co.uk must group as s3.co.uk,
+    * not co.uk).
+    */
+  private def withPslUrls(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    docs.withColumn("url", concat(lit("https://"),
+      when(id % 7 === 0,
+        concat(lit("www.s"), (id % 5).cast("string"), lit(".co.uk")))
+        .when(id % 7 === 1,
+          concat(lit("shop.s"), (id % 5).cast("string"), lit(".co.uk")))
+        .when(id % 7 === 2,
+          concat(lit("s"), (id % 5).cast("string"), lit(".com.au")))
+        .when(id % 7 === 3,
+          concat(lit("a.b.s"), (id % 5).cast("string"), lit(".com.au")))
+        .when(id % 7 === 4,
+          concat(lit("plain"), (id % 4).cast("string"), lit(".com")))
+        .when(id % 7 === 5,
+          concat(lit("www.plain"), (id % 4).cast("string"), lit(".com")))
+        .otherwise(lit("co.uk")),
+      lit("/doc/"), id.cast("string")))
+  }
+
+  private val pslUrlSqlExpr: String =
+    """'https://' ||
+      |  (CASE doc_id % 7
+      |     WHEN 0 THEN 'www.s'  || CAST(doc_id % 5 AS VARCHAR) || '.co.uk'
+      |     WHEN 1 THEN 'shop.s' || CAST(doc_id % 5 AS VARCHAR) || '.co.uk'
+      |     WHEN 2 THEN 's'      || CAST(doc_id % 5 AS VARCHAR) || '.com.au'
+      |     WHEN 3 THEN 'a.b.s'  || CAST(doc_id % 5 AS VARCHAR) || '.com.au'
+      |     WHEN 4 THEN 'plain'     || CAST(doc_id % 4 AS VARCHAR) || '.com'
+      |     WHEN 5 THEN 'www.plain' || CAST(doc_id % 4 AS VARCHAR) || '.com'
+      |     ELSE 'co.uk' END) ||
+      |  '/doc/' || CAST(doc_id AS VARCHAR)""".stripMargin
+
+  /** The datasheet keyed by the PSL-backed registrable domain
+    * ([[graft.operators.DomainCuration.registrableDomainPsl]]) — same
+    * aggregates as `domain_stats`, grouping decided by the pinned
+    * public-suffix snapshot (shared VERBATIM with this oracle's IN
+    * list, so both engines group with literally the same data file).
+    */
+  def domainStatsPsl(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.DomainCuration.domainStats(
+        withPslUrls(Tables.loadSpread(spark, dir, "documents")),
+        "url", "text", psl = true)
+      .orderBy("domain")
+
+  val domainStatsPslSql: String = {
+    import TextQueries.qualityExpr
+    val snapshot = graft.operators.DomainCuration.PslSnapshot
+      .map(s => s"'$s'").mkString("[", ", ", "]")
+    s"""WITH u AS (SELECT doc_id, text, $pslUrlSqlExpr AS url
+       |  FROM documents),
+       |hp AS (SELECT doc_id, text, lower(regexp_extract(url,
+       |    '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1))
+       |    AS host FROM u),
+       |dp AS (SELECT doc_id, text, host,
+       |    CASE WHEN len(string_split(host, '.')) <= 2 THEN host
+       |         WHEN list_contains($snapshot,
+       |             string_split(host, '.')[-2] || '.' ||
+       |             string_split(host, '.')[-1])
+       |           THEN string_split(host, '.')[-3] || '.' ||
+       |                string_split(host, '.')[-2] || '.' ||
+       |                string_split(host, '.')[-1]
+       |         ELSE string_split(host, '.')[-2] || '.' ||
+       |              string_split(host, '.')[-1] END AS domain
+       |  FROM hp),
+       |w AS (SELECT domain, host, md5(text) AS h,
+       |    string_split(lower(text), ' ') AS w FROM dp),
+       |sc AS (SELECT domain, host, h,
+       |    CAST(len(w) AS BIGINT) AS n_toks,
+       |    CAST(floor(($qualityExpr) * 1048576e0) AS BIGINT) AS q_fp
+       |  FROM w),
+       |base AS (SELECT domain, count(*) AS n_docs,
+       |    CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+       |    CAST(sum(q_fp) AS BIGINT) AS q_sum_fp
+       |  FROM sc GROUP BY domain),
+       |h0 AS (SELECT domain, host, count(*) AS c FROM sc
+       |  GROUP BY domain, host),
+       |hosts AS (SELECT domain, CAST(count(*) AS BIGINT) AS n_hosts
+       |  FROM h0 GROUP BY domain),
+       |d0 AS (SELECT domain, h, count(*) AS cnt FROM sc GROUP BY domain, h),
+       |dups AS (SELECT domain,
+       |    CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT)
+       |      AS n_dup_rows
+       |  FROM d0 GROUP BY domain)
+       |SELECT b.domain, b.n_docs, h.n_hosts, b.n_tokens, b.q_sum_fp,
+       |  d.n_dup_rows
+       |FROM base b JOIN hosts h ON h.domain = b.domain
+       |JOIN dups d ON d.domain = b.domain
+       |ORDER BY b.domain""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "url_canon" -> (urlCanon(_, _)),
+    "pipeline_url_dedup" -> (pipelineUrlDedup(_, _)),
+    "domain_stats_psl" -> (domainStatsPsl(_, _)),
     "pipeline_curate" -> (pipelineCurate(_, _)),
     "pipeline_curate_html" -> (pipelineCurateHtml(_, _)),
     "domain_stats" -> (domainStats(_, _)),
@@ -731,6 +951,9 @@ object PipelineQueries {
     "quota_cap" -> (quotaCap(_, _)))
 
   val oracleSql: Map[String, String] = Map(
+    "url_canon" -> urlCanonSql,
+    "pipeline_url_dedup" -> pipelineUrlDedupSql,
+    "domain_stats_psl" -> domainStatsPslSql,
     "pipeline_curate" -> pipelineCurateSql,
     "pipeline_curate_html" -> pipelineCurateHtmlSql,
     "domain_stats" -> domainStatsSql,

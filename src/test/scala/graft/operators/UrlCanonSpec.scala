@@ -1,0 +1,67 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[UrlCanon]] rule-by-rule edges and the PSL-backed registrable
+  * domain's disagreement cases with the last-two-labels heuristic.
+  */
+class UrlCanonSpec extends AnyFunSuite {
+
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def canon(url: String): String =
+    Seq(url).toDF("u").select(UrlCanon.canonicalize(col("u"))).collect()(0)
+      .getString(0)
+
+  test("scheme/host lowercase, userinfo dropped, fragment stripped") {
+    assert(canon("HtTpS://User:Pw@WWW.Ex.COM/Path#frag") ===
+      "https://www.ex.com/Path")
+    // path case is PRESERVED (RFC: paths are case-sensitive)
+    assert(canon("http://A.B/CaSe") === "http://a.b/CaSe")
+  }
+
+  test("default ports strip per scheme; explicit others survive") {
+    assert(canon("http://h:80/x") === "http://h/x")
+    assert(canon("https://h:443/x") === "https://h/x")
+    assert(canon("https://h:80/x") === "https://h:80/x") // not its default
+    assert(canon("http://h:8080/x") === "http://h:8080/x")
+  }
+
+  test("empty path becomes '/'") {
+    assert(canon("http://h") === "http://h/")
+    assert(canon("http://h?a=1") === "http://h/?a=1")
+  }
+
+  test("query: tracking stripped, params sorted, '?' dropped when empty") {
+    assert(canon("http://h/p?utm_source=x&b=2&a=1&utm_campaign=y") ===
+      "http://h/p?a=1&b=2")
+    assert(canon("http://h/p?gclid=1&fbclid=2&utm_medium=m") ===
+      "http://h/p")
+    assert(canon("http://h/p?flag&b=2&&a=1") === "http://h/p?a=1&b=2&flag")
+    // a '?' inside the fragment is NOT a query
+    assert(canon("http://h/p#frag?fake=1") === "http://h/p")
+  }
+
+  test("non-URLs pass through unchanged") {
+    assert(canon("not a url") === "not a url")
+    assert(canon("doc-12345") === "doc-12345")
+  }
+
+  test("PSL registrable domain: suffix hosts group one label deeper") {
+    val hosts = Seq("www.bbc.co.uk", "shop.x.co.uk", "a.b.s.com.au",
+      "www.ex.com", "ex.com", "co.uk", "localhost", "deep.go.jp")
+    val got = hosts.toDF("h")
+      .select(DomainCuration.registrableDomainPsl(col("h")))
+      .collect().map(_.getString(0)).toSeq
+    assert(got === Seq("bbc.co.uk", "x.co.uk", "s.com.au",
+      "ex.com", "ex.com", "co.uk", "localhost", "deep.go.jp"))
+    // ...where the heuristic would have collapsed the ccTLD families
+    val heur = hosts.toDF("h")
+      .select(DomainCuration.registrableDomain(col("h")))
+      .collect().map(_.getString(0)).toSeq
+    assert(heur.take(3) === Seq("co.uk", "co.uk", "com.au"))
+  }
+}
