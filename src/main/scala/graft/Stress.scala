@@ -1835,6 +1835,35 @@ object Stress {
         require(CowTable.read(spark, tp).count() == nRows, "row drift")
         m.addedRows
       }
+      // Merge PLANNING at manifest scale (VERDICT r11 item 8): 2,000
+      // manifest entries — the log fold plus the candidate/touched
+      // resolution (an exact decoded-path map since round 12, not the
+      // old O(candidates × touched) endsWith scan) must stay
+      // sub-second driver work. Planning cost tracks FILE COUNT, so
+      // 2,000 entries is the shape proxy for the ~1e5 of a 100 TB
+      // table at 1 GB files (the fold is a linear hash-map pass).
+      val tm = s"$root/tm"
+      timedWarm("cowmanifest") {
+        CowTable.create(spark, tm,
+          big.repartitionByRange(2000, col("k")), Seq("k"))
+        TxLog.snapshot(spark, tm).files.size.toLong
+      }
+      timed("cowplan") {
+        val t0 = System.nanoTime()
+        val snap = TxLog.snapshot(spark, tm)
+        val foldMs = (System.nanoTime() - t0) / 1e6
+        require(snap.files.size >= 1990,
+          s"expected ~2000 manifest entries, got ${snap.files.size}")
+        require(foldMs < 1000, f"manifest fold took $foldMs%.0f ms")
+        val upd = big.filter(col("k") < 3000)
+          .select(col("k"), col("c"), (col("p") + 9.0d).as("p"))
+        val m = CowTable.merge(spark, tm, upd, Seq("k"),
+          checkUniqueKeys = false)
+        require(m.prunedFiles >= 1990,
+          s"pruned only ${m.prunedFiles} of ${snap.files.size}")
+        require(m.touchedFiles <= 4, s"touched ${m.touchedFiles} files")
+        m.addedRows
+      }
       if (rfs.exists(rootP)) { rfs.delete(rootP, true); () }
     }
 
