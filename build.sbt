@@ -42,4 +42,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // cache starts sweeping hot compiled methods late in the run, which
   // shows up as spurious slowdowns of whatever queries run last
   "-XX:ReservedCodeCacheSize=512m",
-)
+  // Throughput collector, NOT the G1 default. Measured on the full
+  // 85-slot bench fleet (same host, back-to-back): G1 raw 51.6 s vs
+  // ParallelGC 36.7 s (−29%), and the allocation-heavy calibration
+  // probe itself dropped 2.16 → 0.95 — G1's concurrent cycles +
+  // region management were the "memory regime" sensitivity the bench
+  // chased for four rounds: short-lived batch queries over a 16 GB
+  // heap want max throughput and tolerate pauses, the exact ParallelGC
+  // trade. A real cluster sets its own executor GC; this flag is the
+  // HARNESS JVM. SPARK_GRAFT_GC overrides (e.g. =G1 to compare).
+) ++ Seq(s"-XX:+Use${sys.env.getOrElse("SPARK_GRAFT_GC", "Parallel")}GC")
