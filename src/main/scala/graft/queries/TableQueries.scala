@@ -509,7 +509,78 @@ object TableQueries {
       .orderBy("user_id", "event_type")
   }
 
+  /** DELETE WHERE round trip (SQL null semantics pinned): orders with
+    * a band of prices NULLed first (via an evolved column would change
+    * schema, so the fixture nulls through a MERGE), then
+    * `deleteWhere(price*2 > threshold)` — TRUE rows go, FALSE and NULL
+    * rows STAY (a `filter(!cond)` would wrongly drop the NULL rows;
+    * the oracle's `WHERE NOT coalesce(cond, false)` pins the
+    * three-valued contract through the storage round trip).
+    */
+  def tableDeleteWhere(spark: SparkSession, dir: String): DataFrame = {
+    val t = scratch(dir, "delwhere")
+    reset(spark, t)
+    val base = Tables.load(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    CowTable.create(spark, t,
+      base.repartitionByRange(8, col("o_orderkey")), Seq("o_orderkey"))
+    // null a price band so the delete predicate goes three-valued
+    CowTable.merge(spark, t,
+      base.filter(col("o_orderkey") % 19 === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          lit(null).cast("double").as("o_totalprice")),
+      Seq("o_orderkey"))
+    CowTable.deleteWhere(spark, t,
+      col("o_totalprice") * 2.0d > 300000.0d &&
+        col("o_orderkey") % 3 === 1)
+    CowTable.read(spark, t).orderBy("o_orderkey")
+  }
+
+  val tableDeleteWhereSql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_custkey,
+      |    CASE WHEN o_orderkey % 19 = 0 THEN NULL
+      |         ELSE o_totalprice END AS o_totalprice
+      |  FROM orders)
+      |SELECT * FROM base
+      |WHERE NOT coalesce(o_totalprice * 2 > 300000 AND o_orderkey % 3 = 1,
+      |                   false)
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** UPDATE ... SET ... WHERE round trip: big urgent-band orders get a
+    * computed restatement (price-derived SET expression referencing the
+    * row's own columns); unmatched rows — including NULL-predicate
+    * rows — pass through byte-identical.
+    */
+  def tableUpdateWhere(spark: SparkSession, dir: String): DataFrame = {
+    val t = scratch(dir, "updwhere")
+    reset(spark, t)
+    val base = Tables.load(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+    CowTable.create(spark, t,
+      base.repartitionByRange(8, col("o_orderkey")), Seq("o_orderkey"))
+    CowTable.updateWhere(spark, t,
+      col("o_totalprice") > 250000.0d && col("o_orderkey") % 2 === 0,
+      Map(
+        "o_totalprice" -> (col("o_totalprice") * 0.9d +
+          (col("o_custkey") % 100).cast("double")),
+        "o_orderstatus" -> lit("R")))
+    CowTable.read(spark, t).orderBy("o_orderkey")
+  }
+
+  val tableUpdateWhereSql: String =
+    """SELECT o_orderkey, o_custkey,
+      |  CASE WHEN o_totalprice > 250000 AND o_orderkey % 2 = 0
+      |       THEN o_totalprice * 0.9 + CAST(o_custkey % 100 AS DOUBLE)
+      |       ELSE o_totalprice END AS o_totalprice,
+      |  CASE WHEN o_totalprice > 250000 AND o_orderkey % 2 = 0
+      |       THEN 'R' ELSE o_orderstatus END AS o_orderstatus
+      |FROM orders
+      |ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "table_delete_where" -> (tableDeleteWhere(_, _)),
+    "table_update_where" -> (tableUpdateWhere(_, _)),
     "table_merge_cond" -> (tableMergeCond(_, _)),
     "table_optimize_where" -> (tableOptimizeWhere(_, _)),
     "table_changefeed" -> (tableChangefeed(_, _)),
@@ -525,6 +596,8 @@ object TableQueries {
     "table_compact" -> (tableCompact(_, _)))
 
   val oracleSql: Map[String, String] = Map(
+    "table_delete_where" -> tableDeleteWhereSql,
+    "table_update_where" -> tableUpdateWhereSql,
     "table_merge_cond" -> tableMergeCondSql,
     "table_optimize_where" -> tableOptimizeWhereSql,
     "table_changefeed" -> tableChangefeedSql,

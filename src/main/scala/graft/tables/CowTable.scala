@@ -330,6 +330,89 @@ object CowTable {
     } finally { up.unpersist(); () }
   }
 
+  /** Accounting for the predicate ops: files rewritten vs untouched,
+    * and the net row change (rows removed minus rows re-added).
+    */
+  final case class RewriteMetrics(version: Long, touchedFiles: Long,
+      prunedFiles: Long, rowsBefore: Long, rowsAfter: Long)
+
+  /** DELETE WHERE `cond` — SQL semantics: rows where the predicate is
+    * TRUE are removed; FALSE and NULL rows stay. Copy-on-write at file
+    * granularity: ONE probe scan (predicate pushed to parquet) finds
+    * the files holding ≥1 matching row, only those are rewritten
+    * without their matches, every other file survives verbatim. No
+    * matches → no commit (version unchanged). At 100 TB a clustered
+    * predicate (the usual retention/GDPR delete keyed on date or id
+    * range) touches O(matching files), and the probe scan itself reads
+    * only the predicate's columns with the filter pushed down.
+    */
+  def deleteWhere(spark: SparkSession, path: String,
+      cond: Column): RewriteMetrics =
+    rewriteWhere(spark, path, cond, "delete") { touchedDf =>
+      touchedDf.filter(!coalesce(cond, lit(false)))
+    }
+
+  /** UPDATE ... SET `set` WHERE `cond` — rows where the predicate is
+    * TRUE get each `set` column replaced by its expression (which may
+    * reference the row's current columns); FALSE and NULL rows pass
+    * through. Same file-granular COW discipline as [[deleteWhere]].
+    */
+  def updateWhere(spark: SparkSession, path: String, cond: Column,
+      set: Map[String, Column]): RewriteMetrics = {
+    require(set.nonEmpty, "updateWhere needs at least one SET column")
+    rewriteWhere(spark, path, cond, "update") { touchedDf =>
+      val hit = coalesce(cond, lit(false))
+      touchedDf.select(touchedDf.columns.map { c =>
+        set.get(c).map(e => when(hit, e).otherwise(col(c)).as(c))
+          .getOrElse(col(c))
+      }.toSeq: _*)
+    }
+  }
+
+  /** Shared predicate-op skeleton: probe for touched files, rewrite
+    * them through `transform`, publish one remove/add commit.
+    */
+  private def rewriteWhere(spark: SparkSession, path: String,
+      cond: Column, op: String)(
+      transform: DataFrame => DataFrame): RewriteMetrics = {
+    var result: Option[RewriteMetrics] = None
+    retrying(s"$op-where on $path") {
+      val snap = TxLog.snapshot(spark, path)
+      val tableRoot = TxLog.fs(spark, path)
+        .makeQualified(new Path(path)).toUri.getPath.stripSuffix("/")
+      val byAbs: Map[String, AddFile] =
+        snap.files.map(f => s"$tableRoot/${f.path}" -> f).toMap
+      val touched = readSnapshot(spark, path, snap)
+        .withColumn("_gf", input_file_name())
+        .filter(coalesce(cond, lit(false)))
+        .select("_gf").distinct().collect()
+        .map { r =>
+          val abs = new java.net.URI(r.getString(0)).getPath
+          byAbs.getOrElse(abs, sys.error(
+            s"scanned file $abs not in the manifest (root $tableRoot)"))
+        }.toSeq
+      if (touched.isEmpty) {
+        result = Some(RewriteMetrics(snap.version, 0,
+          snap.files.size.toLong, 0, 0))
+        true
+      } else {
+        val out = transform(readFiles(spark, path, snap, touched))
+          .select(readSchemaCols(snap).map(col): _*)
+        val adds = writeFiles(spark, path, out, snap.statsCols,
+          snap.partitionCols.getOrElse(Seq.empty))
+        val committed = TxLog.tryCommit(spark, path,
+          Commit(snap.version + 1, op, adds, touched.map(_.path),
+            None, None))
+        if (committed)
+          result = Some(RewriteMetrics(snap.version + 1,
+            touched.size.toLong, (snap.files.size - touched.size).toLong,
+            touched.map(_.rows).sum, adds.map(_.rows).sum))
+        committed
+      }
+    }
+    result.get
+  }
+
   private def alreadyApplied(snap: Snapshot,
       txn: Option[TxLog.Txn]): Boolean =
     txn.exists(t => snap.txnVersion(t.app).exists(_ >= t.version))

@@ -639,6 +639,59 @@ class CowTableSpec extends AnyFunSuite {
     }
   }
 
+  test("deleteWhere: TRUE rows go, NULL rows stay, files untouched") {
+    withTable { t =>
+      CowTable.create(spark, t, base(1000, 8), Seq("k"))
+      // null one row's v so the predicate goes three-valued
+      CowTable.merge(spark, t,
+        Seq((700L, null.asInstanceOf[java.lang.Long], "nullv"))
+          .toDF("k", "v", "s")
+          .select(col("k"), col("v").cast("long").as("v"), col("s")),
+        Seq("k"))
+      val before = TxLog.snapshot(spark, t).files.map(_.path).toSet
+
+      // matches live only in [0, 110): keys k<110 with v = k*7%100 > 50
+      val m = CowTable.deleteWhere(spark, t,
+        col("v") > 50 && col("k") < 110)
+      assert(m.touchedFiles >= 1 && m.prunedFiles >= 6,
+        s"probe should touch only the low files: $m")
+      val nowPaths = TxLog.snapshot(spark, t).files.map(_.path).toSet
+      assert((before -- nowPaths).size === m.touchedFiles)
+
+      // the NULL-v row SURVIVES a TRUE-only delete (three-valued SQL)
+      assert(CowTable.read(spark, t).filter(col("k") === 700).count() === 1)
+      val nDeleted = contents(base(1000, 1))
+        .count { case (k, v, _) => v > 50 && k < 110 && k != 700L }
+      assert(nDeleted > 0 &&
+        CowTable.read(spark, t).count() === 1000L - nDeleted)
+      assert(CowTable.read(spark, t)
+        .filter(col("v") > 50 && col("k") < 110).count() === 0)
+
+      // no matches → no commit
+      val v = TxLog.latestVersion(spark, t)
+      val m2 = CowTable.deleteWhere(spark, t, col("k") === -42L)
+      assert(m2.touchedFiles === 0 && TxLog.latestVersion(spark, t) === v)
+    }
+  }
+
+  test("updateWhere: SET may reference the row, misses pass through") {
+    withTable { t =>
+      CowTable.create(spark, t, base(100, 4), Seq("k"))
+      val m = CowTable.updateWhere(spark, t, col("k") < 10,
+        Map("v" -> (col("v") * 100L + col("k")), "s" -> lit("upd")))
+      assert(m.touchedFiles === 1 && m.rowsBefore === m.rowsAfter)
+      val got = contents(CowTable.read(spark, t))
+      val expect = contents(base(100, 1)).map {
+        case (k, v, _) if k < 10 => (k, v * 100L + k, "upd")
+        case r => r
+      }
+      assert(got === expect)
+      intercept[IllegalArgumentException] {
+        CowTable.updateWhere(spark, t, col("k") < 5, Map.empty)
+      }
+    }
+  }
+
   test("posix-rename detection covers RawLocalFileSystem too") {
     // LocalFileSystem is the checksum WRAPPER around RawLocalFileSystem;
     // a file:// deployment with fs.file.impl overridden to the raw form
