@@ -65,13 +65,17 @@ object TableChangeFeed {
     * evolved after this call surface on the next stream start).
     */
   def readChanges(spark: SparkSession, path: String,
-      startingVersion: Long = 1L): DataFrame =
-    spark.readStream
+      startingVersion: Long = 1L,
+      maxVersionsPerTrigger: Option[Int] = None): DataFrame = {
+    val r = spark.readStream
       .format(classOf[TableChangeFeedProvider].getName)
       .option("path", path)
       .option("startingVersion", startingVersion.toString)
       .option("schemaDDL", TxLog.snapshot(spark, path).schemaDDL)
+    maxVersionsPerTrigger
+      .fold(r)(n => r.option("maxVersionsPerTrigger", n.toString))
       .load()
+  }
 }
 
 /** DSv1 stream source provider (`format(<this class name>)` or the
@@ -109,7 +113,8 @@ class TableChangeFeedProvider extends StreamSourceProvider
       parameters: Map[String, String]): Source =
     new TableChangeSource(sqlContext, tablePath(parameters),
       parameters.getOrElse("startingVersion", "1").toLong,
-      dataDDL(sqlContext, parameters))
+      dataDDL(sqlContext, parameters),
+      parameters.get("maxVersionsPerTrigger").map(_.toInt))
 }
 
 /** The source itself: offsets are commit versions (a [[LongOffset]] of
@@ -117,8 +122,11 @@ class TableChangeFeedProvider extends StreamSourceProvider
   * (start, end] conformed to the pinned stream schema.
   */
 class TableChangeSource(sqlContext: SQLContext, path: String,
-    startingVersion: Long, dataDDL: String) extends Source {
+    startingVersion: Long, dataDDL: String,
+    maxVersionsPerTrigger: Option[Int] = None) extends Source {
   require(startingVersion >= 1, s"startingVersion >= 1, got $startingVersion")
+  require(maxVersionsPerTrigger.forall(_ >= 1),
+    s"maxVersionsPerTrigger >= 1, got $maxVersionsPerTrigger")
 
   private val spark = sqlContext.sparkSession
   // Pinned at analysis time (threaded through the options): the fixed
@@ -128,9 +136,21 @@ class TableChangeSource(sqlContext: SQLContext, path: String,
   private val dataFields =
     schema.fields.dropRight(2) // minus the two _commit columns
 
+  // Highest version already handed out through getBatch — what the
+  // rate cap counts FROM. Recovery batches (the restart replay of the
+  // checkpointed range) advance it before the first live getOffset.
+  @volatile private var dealt: Long = startingVersion - 1
+
+  /** Rate-limited offer: at most `maxVersionsPerTrigger` commits per
+    * micro-batch (the Delta `maxFilesPerTrigger` analog — a catch-up
+    * over a deep log proceeds in bounded batches instead of one
+    * mega-batch unioning every commit).
+    */
   override def getOffset: Option[V1Offset] = {
     val latest = TxLog.latestVersion(spark, path)
-    if (latest < startingVersion) None else Some(LongOffset(latest))
+    val capped = maxVersionsPerTrigger
+      .fold(latest)(n => math.min(latest, math.max(dealt, startingVersion - 1) + n))
+    if (capped < startingVersion) None else Some(LongOffset(capped))
   }
 
   private def version(o: V1Offset): Long = o match {
@@ -141,6 +161,7 @@ class TableChangeSource(sqlContext: SQLContext, path: String,
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
     val from = start.map(version(_) + 1).getOrElse(startingVersion)
     val to = version(end)
+    if (to > dealt) dealt = to
     val frames = (from to to).map { v =>
       val op = TxLog.commitAt(spark, path, v).op
       val changed = CowTable.changesAt(spark, path, v)

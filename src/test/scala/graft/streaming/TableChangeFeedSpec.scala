@@ -110,6 +110,34 @@ class TableChangeFeedSpec extends AnyFunSuite {
     }
   }
 
+  test("maxVersionsPerTrigger bounds catch-up micro-batches") {
+    withDir { dir =>
+      val t = dir.getAbsolutePath + "/t"
+      CowTable.create(spark, t,
+        Seq((1L, 10L, "a")).toDF("k", "v", "s"), Seq("k"))
+      (2 to 4).foreach(i => CowTable.append(spark, t,
+        Seq((i.toLong, i * 10L, s"r$i")).toDF("k", "v", "s")))
+
+      val perBatch = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+      val q = TableChangeFeed
+        .readChanges(spark, t, maxVersionsPerTrigger = Some(1))
+        .writeStream
+        .option("checkpointLocation", dir.getAbsolutePath + "/ckr")
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          val vs = b.select(TableChangeFeed.VersionCol).collect()
+            .map(_.getLong(0)).toSet
+          perBatch.synchronized { perBatch += vs }; ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+
+      // a 4-commit catch-up arrives as 4 one-version batches, in order
+      val nonEmpty = perBatch.filter(_.nonEmpty)
+      assert(nonEmpty.forall(_.size === 1),
+        s"a batch spanned versions: $perBatch")
+      assert(nonEmpty.map(_.head).toSeq === Seq(1L, 2L, 3L, 4L))
+    }
+  }
+
   test("schema evolution mid-stream: pinned schema, nulls backfill") {
     withDir { dir =>
       val t = dir.getAbsolutePath + "/t"
