@@ -578,7 +578,111 @@ object TableQueries {
       |FROM orders
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Row-level CDC round trip: the `table_merge` fixture rules re-run
+    * with `cdc = true`, and the GATE OUTPUT is the commit's CDC read
+    * ([[CowTable.changesCdcAt]]) — update pre/postimages, delete
+    * preimages, inserts. Unlike the file-level change feed this is
+    * layout-INDEPENDENT, so DuckDB replays the exact change multiset:
+    * one hash pins that the sidecar holds precisely the rows that
+    * changed, with the right images.
+    */
+  def tableMergeCdc(spark: SparkSession, dir: String): DataFrame = {
+    val t = scratch(dir, "mergecdc")
+    reset(spark, t)
+    val base = Tables.load(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+    CowTable.create(spark, t,
+      base.repartitionByRange(8, col("o_orderkey")), Seq("o_orderkey"))
+    val updates = base.filter(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey"), col("o_custkey"),
+        (col("o_totalprice") + 100.0d).as("o_totalprice"),
+        lit("U").as("o_orderstatus"),
+        (col("o_orderkey") % 21 === 0).as("del"))
+      .unionByName(base.filter(col("o_orderkey") % 997 === 1)
+        .select((col("o_orderkey") + 1000000000L).as("o_orderkey"),
+          col("o_custkey"), lit(1.0d).as("o_totalprice"),
+          lit("N").as("o_orderstatus"), lit(false).as("del")))
+    CowTable.merge(spark, t, updates, Seq("o_orderkey"), Some("del"),
+      cdc = true)
+    CowTable.changesCdcAt(spark, t, 2L)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderstatus"),
+        col(CowTable.ChangeTypeCol).as("change_type"))
+      .orderBy("change_type", "o_orderkey")
+  }
+
+  val tableMergeCdcSql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+      |  FROM orders)
+      |SELECT * FROM (
+      |  SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus,
+      |         'update_preimage' AS change_type
+      |  FROM base WHERE o_orderkey % 7 = 0 AND o_orderkey % 21 <> 0
+      |  UNION ALL
+      |  SELECT o_orderkey, o_custkey, o_totalprice + 100, 'U',
+      |         'update_postimage'
+      |  FROM base WHERE o_orderkey % 7 = 0 AND o_orderkey % 21 <> 0
+      |  UNION ALL
+      |  SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus,
+      |         'delete'
+      |  FROM base WHERE o_orderkey % 21 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 1000000000, o_custkey, CAST(1 AS DOUBLE),
+      |         'N', 'insert'
+      |  FROM base WHERE o_orderkey % 997 = 1)
+      |ORDER BY change_type, o_orderkey""".stripMargin
+
+  /** RESTORE round trip: create → bad merge → restore(1) — the head
+    * must read as the ORIGINAL table through one rollback commit
+    * (history never rewritten; the bad version stays time-travelable,
+    * which the second output block pins by reading it back too).
+    */
+  def tableRestore(spark: SparkSession, dir: String): DataFrame = {
+    val t = scratch(dir, "restore")
+    reset(spark, t)
+    val base = Tables.load(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderstatus")
+    CowTable.create(spark, t,
+      base.repartitionByRange(4, col("o_orderkey")), Seq("o_orderkey"))
+    val bad = base.filter(col("o_orderkey") % 5 === 0)
+      .select(col("o_orderkey"), col("o_custkey"),
+        lit("X").as("o_orderstatus"),
+        (col("o_orderkey") % 25 === 0).as("del"))
+    CowTable.merge(spark, t, bad, Seq("o_orderkey"), Some("del"))
+    CowTable.restore(spark, t, 1L)
+    def summarize(v: Option[Long], tag: Long): DataFrame =
+      CowTable.read(spark, t, v)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), sum(col("o_orderkey")).as("key_sum"))
+        .withColumn("snap", lit(tag))
+    summarize(None, 0L)           // restored head == original
+      .unionByName(summarize(Some(2L), 2L)) // bad version still readable
+      .select("snap", "o_orderstatus", "cnt", "key_sum")
+      .orderBy("snap", "o_orderstatus")
+  }
+
+  val tableRestoreSql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus FROM orders),
+      |v2 AS (
+      |  SELECT o_orderkey, o_orderstatus FROM base WHERE o_orderkey % 5 <> 0
+      |  UNION ALL
+      |  SELECT o_orderkey, 'X' AS o_orderstatus
+      |  FROM base WHERE o_orderkey % 5 = 0 AND o_orderkey % 25 <> 0)
+      |SELECT * FROM (
+      |  SELECT 0 AS snap, o_orderstatus, COUNT(*) AS cnt,
+      |         CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+      |  FROM base GROUP BY o_orderstatus
+      |  UNION ALL
+      |  SELECT 2, o_orderstatus, COUNT(*),
+      |         CAST(SUM(o_orderkey) AS BIGINT)
+      |  FROM v2 GROUP BY o_orderstatus)
+      |ORDER BY snap, o_orderstatus""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "table_merge_cdc" -> (tableMergeCdc(_, _)),
+    "table_restore" -> (tableRestore(_, _)),
     "table_delete_where" -> (tableDeleteWhere(_, _)),
     "table_update_where" -> (tableUpdateWhere(_, _)),
     "table_merge_cond" -> (tableMergeCond(_, _)),
@@ -596,6 +700,8 @@ object TableQueries {
     "table_compact" -> (tableCompact(_, _)))
 
   val oracleSql: Map[String, String] = Map(
+    "table_merge_cdc" -> tableMergeCdcSql,
+    "table_restore" -> tableRestoreSql,
     "table_delete_where" -> tableDeleteWhereSql,
     "table_update_where" -> tableUpdateWhereSql,
     "table_merge_cond" -> tableMergeCondSql,

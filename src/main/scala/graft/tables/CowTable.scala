@@ -163,13 +163,19 @@ object CowTable {
     *     the full schema either way, so a partial feed fills
     *     don't-care columns arbitrarily for rows it knows are matched.
     */
+  /** Column carrying the row's change kind in a CDC read:
+    * insert / update_preimage / update_postimage / delete.
+    */
+  val ChangeTypeCol = "_change_type"
+
   def merge(spark: SparkSession, path: String, updates: DataFrame,
       keys: Seq[String], deleteCol: Option[String] = None,
       checkUniqueKeys: Boolean = true,
       txn: Option[TxLog.Txn] = None,
       mergeSchema: Boolean = false,
       matchedCondition: Option[(DataFrame, DataFrame) => Column] = None,
-      setCols: Option[Seq[String]] = None): MergeMetrics = {
+      setCols: Option[Seq[String]] = None,
+      cdc: Boolean = false): MergeMetrics = {
     require(keys.nonEmpty, "merge needs at least one key column")
     val up = updates.persist()
     try {
@@ -312,11 +318,41 @@ object CowTable {
             .select(allCols.map(col): _*)
           val out = rewritten.unionByName(inserts)
 
+          // Row-level CDC sidecar (opt-in): the EXACT change rows —
+          // update pre/postimages, delete preimages, inserts — written
+          // under _cdc/ and referenced by the commit. Unlike the
+          // file-level changesAt (adds include rewritten SURVIVORS),
+          // this is layout-INDEPENDENT: cost tracks the CHANGE volume,
+          // not the touched-file volume, which is why every open table
+          // format stores CDC as explicit change files rather than
+          // re-deriving it from data files at read time.
+          val cdcDir = if (!cdc) None else {
+            val matched = touchedDf.join(upData, tJoin, "inner")
+            val hit = matchedCondition.fold(lit(true))(c =>
+              coalesce(c(touchedDf, upData), lit(false)))
+            val delHit = upData("_gf_del")
+            def tagged(rows: DataFrame, cols: Seq[Column], t: String) =
+              rows.select(cols :+ lit(t).as(ChangeTypeCol): _*)
+            val oldCols = allCols.map(c => touchedDf(c).as(c))
+            val newCols = allCols.map(c =>
+              (if (sets.contains(c)) upData(c) else touchedDf(c)).as(c))
+            val changes = tagged(matched.filter(!delHit && hit), oldCols,
+                "update_preimage")
+              .unionByName(tagged(matched.filter(!delHit && hit), newCols,
+                "update_postimage"))
+              .unionByName(tagged(matched.filter(delHit), oldCols,
+                "delete"))
+              .unionByName(tagged(inserts, allCols.map(col(_)), "insert"))
+            val rel = s"_cdc/${java.util.UUID.randomUUID()}"
+            changes.write.parquet(s"$path/$rel")
+            Some(rel)
+          }
+
           val adds = writeFiles(spark, path, out, snap.statsCols,
             snap.partitionCols.getOrElse(Seq.empty))
           val committed = TxLog.tryCommit(spark, path,
             Commit(snap.version + 1, "merge", adds,
-              touched.map(_.path), ddl, None, txn))
+              touched.map(_.path), ddl, None, txn, None, cdcDir))
           // On a lost race: undo nothing (orphan files are vacuumable),
           // replay the whole resolve against the winner's snapshot.
           if (committed)
@@ -546,6 +582,26 @@ object CowTable {
         catch { case _: java.io.IOException => () }
       }
     }
+    // CDC sidecars: reclaim _cdc dirs not referenced by any RETAINED
+    // version, behind the same age gate (a fresh unreferenced dir may
+    // be a commit-in-progress).
+    val cdcKeep = (math.max(1, latest - retainVersions + 1) to latest)
+      .flatMap(v => scala.util.Try(
+        TxLog.commitAt(spark, path, v).cdcDir).toOption.flatten)
+      .toSet
+    val cdcRoot = new Path(path, "_cdc")
+    val cdcDirs =
+      try { if (f.exists(cdcRoot)) f.listStatus(cdcRoot).toSeq else Seq.empty }
+      catch { case _: java.io.IOException => Seq.empty }
+    cdcDirs.foreach { d =>
+      val rel = s"_cdc/${d.getPath.getName}"
+      val newest = (d.getModificationTime +:
+        walk(d.getPath).map(_.getModificationTime)).max
+      if (!cdcKeep.contains(rel) && newest <= horizon) {
+        try { f.delete(d.getPath, true); deleted += rel }
+        catch { case _: java.io.IOException => () }
+      }
+    }
     // Crashed-writer staging leftovers: reclaim an op dir only when its
     // NEWEST file predates the horizon — a live writer's staging is
     // still being written (or was written within the window) and its
@@ -565,6 +621,41 @@ object CowTable {
     deleted.toSeq
   }
 
+  /** RESTORE to `version` — the rollback every table format grows for
+    * the bad-deploy morning: ONE new commit whose removes are the
+    * files added since `version` and whose adds are the files that
+    * version held but the head lost. History is NEVER rewritten — the
+    * bad commits stay readable under time travel (audit), the restore
+    * is itself a commit (restorable again), and since data files are
+    * immutable the restored adds are pure manifest references, zero
+    * bytes copied. Requires the target version's files to still exist
+    * (i.e. not vacuumed — the same retention contract as time travel);
+    * verified against the manifest before committing so a reaped
+    * restore fails loudly rather than publishing dead references.
+    */
+  def restore(spark: SparkSession, path: String, version: Long): Unit =
+    retrying(s"restore $path to v$version") {
+      val head = TxLog.snapshot(spark, path)
+      val target = TxLog.snapshot(spark, path, Some(version))
+      val headPaths = head.files.map(_.path).toSet
+      val targetPaths = target.files.map(_.path).toSet
+      val f = TxLog.fs(spark, path)
+      target.files.filterNot(a => headPaths.contains(a.path)).foreach { a =>
+        require(f.exists(new Path(path, a.path)),
+          s"cannot restore to v$version: ${a.path} was vacuumed")
+      }
+      val removes = head.files.map(_.path).filterNot(targetPaths.contains)
+      val adds = target.files.filterNot(a => headPaths.contains(a.path))
+      if (removes.isEmpty && adds.isEmpty) true
+      else TxLog.tryCommit(spark, path, Commit(head.version + 1,
+        "restore", adds, removes,
+        // the restored SCHEMA travels too: a post-target evolution is
+        // rolled back with the data (old files can't fill new columns
+        // the restored rows never had — restating the target DDL keeps
+        // reads consistent)
+        Some(target.schemaDDL), None, None))
+    }
+
   /** Rows ADDED by commit `v` (the file-level change feed; for merges
     * this is rewritten survivors + updates + inserts — file-layout
     * dependent, so spec-pinned rather than oracle-pinned).
@@ -573,6 +664,23 @@ object CowTable {
     val c = TxLog.commitAt(spark, path, v)
     val snap = TxLog.snapshot(spark, path, Some(v))
     readFiles(spark, path, snap, c.adds)
+  }
+
+  /** Row-level CDC of commit `v` (a `merge(cdc = true)` commit): the
+    * exact change rows with [[ChangeTypeCol]] ∈ insert /
+    * update_preimage / update_postimage / delete. Layout-independent
+    * (unlike [[changesAt]]), so downstream consumers see pure deltas —
+    * and the `table_merge_cdc` gate can pin it against a DuckDB replay.
+    * Fails loudly when the commit wasn't CDC-enabled.
+    */
+  def changesCdcAt(spark: SparkSession, path: String, v: Long): DataFrame = {
+    val c = TxLog.commitAt(spark, path, v)
+    val dir = c.cdcDir.getOrElse(sys.error(
+      s"commit $v of $path carries no CDC (merge ran without cdc=true)"))
+    val schema = StructType(
+      StructType.fromDDL(TxLog.snapshot(spark, path, Some(v)).schemaDDL)
+        .fields :+ StructField(ChangeTypeCol, StringType, nullable = false))
+    spark.read.schema(schema).parquet(s"$path/$dir")
   }
 
   // ---------------------------------------------------------------- //

@@ -125,12 +125,16 @@ object TxLog {
   final case class Txn(app: String, version: Long)
 
   /** A committed version: what it added/removed, (v1 only) the pinned
-    * schema + stats columns, and an optional idempotence stamp.
+    * schema + stats columns, an optional idempotence stamp, and — for
+    * CDC-enabled merges — the table-relative dir of the commit's
+    * row-level change file ([[CowTable.changesCdcAt]]). All optional
+    * fields default None so pre-upgrade logs parse unchanged.
     */
   final case class Commit(version: Long, op: String, adds: Seq[AddFile],
       removes: Seq[String], schemaDDL: Option[String],
       statsCols: Option[Seq[String]], txn: Option[Txn] = None,
-      partitionCols: Option[Seq[String]] = None)
+      partitionCols: Option[Seq[String]] = None,
+      cdcDir: Option[String] = None)
 
   /** Folded view of the log at a version. `txns` holds the highest
     * stamped batch version per writer application; `partitionCols` the

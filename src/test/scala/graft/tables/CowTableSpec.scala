@@ -692,6 +692,68 @@ class CowTableSpec extends AnyFunSuite {
     }
   }
 
+  test("restore: head returns to the target version, history intact") {
+    withTable { t =>
+      val orig = base(200, 2)
+      CowTable.create(spark, t, orig, Seq("k"))                    // v1
+      CowTable.merge(spark, t,
+        Seq((5L, 999L, "bad")).toDF("k", "v", "s"), Seq("k"))      // v2
+      CowTable.deleteWhere(spark, t, col("k") < 20)                // v3
+      CowTable.restore(spark, t, 1L)                               // v4
+      assert(TxLog.latestVersion(spark, t) === 4L)
+      assert(contents(CowTable.read(spark, t)) === contents(orig))
+      // the bad history is STILL auditable (no rewrite)
+      assert(contents(CowTable.read(spark, t, Some(2)))
+        .contains((5L, 999L, "bad")))
+      // restoring to the restore commit is a no-op (no new version)
+      CowTable.restore(spark, t, 4L)
+      assert(TxLog.latestVersion(spark, t) === 4L)
+      // vacuumed target fails loudly instead of publishing dead refs
+      CowTable.merge(spark, t,
+        Seq((6L, 1L, "x")).toDF("k", "v", "s"), Seq("k"))          // v5
+      CowTable.vacuum(spark, t, retainVersions = 1, retentionMs = 0L)
+      val e = intercept[IllegalArgumentException] {
+        CowTable.restore(spark, t, 2L)
+      }
+      assert(e.getMessage.contains("vacuum"))
+    }
+  }
+
+  test("merge cdc sidecar: exact pre/post/delete/insert rows") {
+    withTable { t =>
+      CowTable.create(spark, t, base(100, 4), Seq("k"))
+      val upd = Seq(
+        (3L, -3L, "u3", false),    // update
+        (7L, -7L, "u7", false),    // update gated OFF by the condition
+        (5L, 0L, "", true),        // delete
+        (900L, 9L, "new", false))  // insert
+        .toDF("k", "v", "s", "del")
+      CowTable.merge(spark, t, upd, Seq("k"), Some("del"),
+        matchedCondition = Some((tgt, src) => src("k") =!= 7L),
+        cdc = true)
+      val cdc = CowTable.changesCdcAt(spark, t, 2L)
+        .collect().map(r => (r.getString(3), r.getLong(0), r.getLong(1),
+          r.getString(2))).toSet
+      // base row k: (k, k*7%100, "row"+k)
+      assert(cdc === Set(
+        ("update_preimage", 3L, 21L, "row3"),
+        ("update_postimage", 3L, -3L, "u3"),
+        ("delete", 5L, 35L, "row5"),
+        ("insert", 900L, 9L, "new")))
+      // a failed-condition match emits NOTHING (k=7 untouched)
+      assert(contents(CowTable.read(spark, t)).contains((7L, 49L, "row7")))
+      // non-CDC commits answer loudly
+      intercept[RuntimeException] {
+        CowTable.changesCdcAt(spark, t, 1L)
+      }
+      // vacuum keeps retained CDC, reaps aged unreferenced dirs
+      val kept = CowTable.vacuum(spark, t, retainVersions = 2,
+        retentionMs = 0L)
+      assert(CowTable.changesCdcAt(spark, t, 2L).count() === 4)
+      assert(!kept.exists(_.startsWith("_cdc/")))
+    }
+  }
+
   test("posix-rename detection covers RawLocalFileSystem too") {
     // LocalFileSystem is the checksum WRAPPER around RawLocalFileSystem;
     // a file:// deployment with fs.file.impl overridden to the raw form
