@@ -680,7 +680,70 @@ object TableQueries {
       |  FROM v2 GROUP BY o_orderstatus)
       |ORDER BY snap, o_orderstatus""".stripMargin
 
+  /** Table REPLICATION over the row-level change feed: the source
+    * takes a create, a CDC merge (upserts + deletes + inserts), a
+    * plain append, and CDC predicate-DML; [[graft.streaming
+    * .TableReplica.replicaSink]] folds [[graft.streaming
+    * .TableChangeFeed.readCdc]] into a second table, and the GATE
+    * OUTPUT is the REPLICA read from disk — one hash pins feed
+    * totality (every op representable), image correctness, and the
+    * latest-commit-wins fold. Oracle = the source's expected contents
+    * replayed in DuckDB: replica ≡ source ≡ oracle.
+    */
+  def pipelineTableReplica(spark: SparkSession, dir: String): DataFrame = {
+    val src = scratch(dir, "repl_src")
+    val dst = scratch(dir, "repl_dst")
+    val ckpt = scratch(dir, "repl_ckpt")
+    reset(spark, src); reset(spark, dst); reset(spark, ckpt)
+    val base = Tables.load(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+    CowTable.create(spark, src,
+      base.repartitionByRange(8, col("o_orderkey")), Seq("o_orderkey"))
+    val updates = base.filter(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey"), col("o_custkey"),
+        (col("o_totalprice") + 100.0d).as("o_totalprice"),
+        lit("U").as("o_orderstatus"),
+        (col("o_orderkey") % 21 === 0).as("del"))
+    CowTable.merge(spark, src, updates, Seq("o_orderkey"), Some("del"),
+      cdc = true)
+    CowTable.append(spark, src,
+      base.filter(col("o_orderkey") % 997 === 1)
+        .select((col("o_orderkey") + 1000000000L).as("o_orderkey"),
+          col("o_custkey"), lit(1.0d).as("o_totalprice"),
+          lit("N").as("o_orderstatus")))
+    CowTable.deleteWhere(spark, src,
+      col("o_orderkey") % 113 === 5, cdc = true)
+    CowTable.updateWhere(spark, src, col("o_orderkey") % 131 === 7,
+      Map("o_orderstatus" -> lit("W")), cdc = true)
+    val q = graft.streaming.TableReplica.replicaSink(
+      graft.streaming.TableChangeFeed.readCdc(spark, src),
+      dst, Seq("o_orderkey"))
+      .option("checkpointLocation", ckpt).start()
+    try { q.processAllAvailable() } finally q.stop()
+    CowTable.read(spark, dst).orderBy("o_orderkey")
+  }
+
+  val pipelineTableReplicaSql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+      |  FROM orders),
+      |merged AS (
+      |  SELECT * FROM base WHERE o_orderkey % 7 <> 0
+      |  UNION ALL
+      |  SELECT o_orderkey, o_custkey, o_totalprice + 100, 'U'
+      |  FROM base WHERE o_orderkey % 7 = 0 AND o_orderkey % 21 <> 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 1000000000, o_custkey, CAST(1 AS DOUBLE), 'N'
+      |  FROM base WHERE o_orderkey % 997 = 1)
+      |SELECT o_orderkey, o_custkey, o_totalprice,
+      |  CASE WHEN o_orderkey % 131 = 7 THEN 'W'
+      |       ELSE o_orderstatus END AS o_orderstatus
+      |FROM merged
+      |WHERE o_orderkey % 113 <> 5
+      |ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_table_replica" -> (pipelineTableReplica(_, _)),
     "table_merge_cdc" -> (tableMergeCdc(_, _)),
     "table_restore" -> (tableRestore(_, _)),
     "table_delete_where" -> (tableDeleteWhere(_, _)),
@@ -700,6 +763,7 @@ object TableQueries {
     "table_compact" -> (tableCompact(_, _)))
 
   val oracleSql: Map[String, String] = Map(
+    "pipeline_table_replica" -> pipelineTableReplicaSql,
     "table_merge_cdc" -> tableMergeCdcSql,
     "table_restore" -> tableRestoreSql,
     "table_delete_where" -> tableDeleteWhereSql,

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.tables.{CowTable, TxLog}
-import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SQLContext, SparkSession}
 import org.apache.spark.sql.execution.streaming.{Offset => V1Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.functions._
@@ -47,12 +47,15 @@ object TableChangeFeed {
   val VersionCol = "_commit_version"
   val OpCol = "_commit_op"
 
-  /** The stream schema: table data columns + commit metadata. */
-  def changeSchema(dataDDL: String): StructType = {
+  /** The stream schema: table data columns + commit metadata (file
+    * mode: op tag; cdc mode: [[graft.tables.CowTable.ChangeTypeCol]]).
+    */
+  def changeSchema(dataDDL: String, cdc: Boolean = false): StructType = {
     val data = StructType.fromDDL(dataDDL)
     StructType(data.fields ++ Seq(
       StructField(VersionCol, LongType, nullable = false),
-      StructField(OpCol, StringType, nullable = false)))
+      StructField(if (cdc) graft.tables.CowTable.ChangeTypeCol else OpCol,
+        StringType, nullable = false)))
   }
 
   /** `readStream` face: commit-granular changes of the table at `path`
@@ -66,12 +69,35 @@ object TableChangeFeed {
     */
   def readChanges(spark: SparkSession, path: String,
       startingVersion: Long = 1L,
-      maxVersionsPerTrigger: Option[Int] = None): DataFrame = {
+      maxVersionsPerTrigger: Option[Int] = None): DataFrame =
+    reader(spark, path, startingVersion, maxVersionsPerTrigger,
+      cdc = false)
+
+  /** Row-level CDC stream: create/append commits arrive as `insert`
+    * rows; CDC-enabled merge/delete/update commits arrive as their
+    * EXACT change rows ([[graft.tables.CowTable.changesCdcAt]] —
+    * pre/postimages, delete preimages); layout-only commits
+    * (compact/optimize) correctly emit NOTHING. A row-changing commit
+    * written WITHOUT `cdc = true` (or a restore) cannot be represented
+    * and fails the stream loudly — silence there would desync every
+    * downstream replica. This is the feed [[TableReplica]] folds into
+    * an exact copy.
+    */
+  def readCdc(spark: SparkSession, path: String,
+      startingVersion: Long = 1L,
+      maxVersionsPerTrigger: Option[Int] = None): DataFrame =
+    reader(spark, path, startingVersion, maxVersionsPerTrigger,
+      cdc = true)
+
+  private def reader(spark: SparkSession, path: String,
+      startingVersion: Long, maxVersionsPerTrigger: Option[Int],
+      cdc: Boolean): DataFrame = {
     val r = spark.readStream
       .format(classOf[TableChangeFeedProvider].getName)
       .option("path", path)
       .option("startingVersion", startingVersion.toString)
       .option("schemaDDL", TxLog.snapshot(spark, path).schemaDDL)
+      .option("cdc", cdc.toString)
     maxVersionsPerTrigger
       .fold(r)(n => r.option("maxVersionsPerTrigger", n.toString))
       .load()
@@ -106,7 +132,8 @@ class TableChangeFeedProvider extends StreamSourceProvider
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): (String, StructType) =
     (shortName(),
-      TableChangeFeed.changeSchema(dataDDL(sqlContext, parameters)))
+      TableChangeFeed.changeSchema(dataDDL(sqlContext, parameters),
+        parameters.get("cdc").exists(_.toBoolean)))
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
@@ -114,7 +141,8 @@ class TableChangeFeedProvider extends StreamSourceProvider
     new TableChangeSource(sqlContext, tablePath(parameters),
       parameters.getOrElse("startingVersion", "1").toLong,
       dataDDL(sqlContext, parameters),
-      parameters.get("maxVersionsPerTrigger").map(_.toInt))
+      parameters.get("maxVersionsPerTrigger").map(_.toInt),
+      parameters.get("cdc").exists(_.toBoolean))
 }
 
 /** The source itself: offsets are commit versions (a [[LongOffset]] of
@@ -123,7 +151,8 @@ class TableChangeFeedProvider extends StreamSourceProvider
   */
 class TableChangeSource(sqlContext: SQLContext, path: String,
     startingVersion: Long, dataDDL: String,
-    maxVersionsPerTrigger: Option[Int] = None) extends Source {
+    maxVersionsPerTrigger: Option[Int] = None,
+    cdc: Boolean = false) extends Source {
   require(startingVersion >= 1, s"startingVersion >= 1, got $startingVersion")
   require(maxVersionsPerTrigger.forall(_ >= 1),
     s"maxVersionsPerTrigger >= 1, got $maxVersionsPerTrigger")
@@ -132,9 +161,10 @@ class TableChangeSource(sqlContext: SQLContext, path: String,
   // Pinned at analysis time (threaded through the options): the fixed
   // schema Structured Streaming requires. Later additive evolutions
   // surface after a restart.
-  override val schema: StructType = TableChangeFeed.changeSchema(dataDDL)
+  override val schema: StructType =
+    TableChangeFeed.changeSchema(dataDDL, cdc)
   private val dataFields =
-    schema.fields.dropRight(2) // minus the two _commit columns
+    schema.fields.dropRight(2) // minus the two metadata columns
 
   // Highest version already handed out through getBatch — what the
   // rate cap counts FROM. Recovery batches (the restart replay of the
@@ -162,19 +192,41 @@ class TableChangeSource(sqlContext: SQLContext, path: String,
     val from = start.map(version(_) + 1).getOrElse(startingVersion)
     val to = version(end)
     if (to > dealt) dealt = to
-    val frames = (from to to).map { v =>
-      val op = TxLog.commitAt(spark, path, v).op
-      val changed = CowTable.changesAt(spark, path, v)
-      // Conform to the pinned schema: a pre-evolution commit lacks
-      // later columns (typed nulls, like the batch read); columns
-      // evolved AFTER stream start are dropped until a restart.
-      val cols = dataFields.map { f =>
+    // Conform DATA columns to the pinned schema: a pre-evolution
+    // commit lacks later columns (typed nulls, like the batch read);
+    // columns evolved AFTER stream start are dropped until a restart.
+    def dataCols(changed: DataFrame): Seq[Column] =
+      dataFields.toSeq.map { f =>
         if (changed.columns.contains(f.name)) col(f.name)
         else lit(null).cast(f.dataType).as(f.name)
       }
-      changed.select(cols: _*)
-        .withColumn(TableChangeFeed.VersionCol, lit(v))
-        .withColumn(TableChangeFeed.OpCol, lit(op))
+    val ct = graft.tables.CowTable.ChangeTypeCol
+    val frames = (from to to).flatMap { v =>
+      val c = TxLog.commitAt(spark, path, v)
+      val rows: Option[DataFrame] =
+        if (!cdc) {
+          val changed = CowTable.changesAt(spark, path, v)
+          Some(changed.select(dataCols(changed) :+
+            lit(c.op).as(TableChangeFeed.OpCol): _*))
+        } else if (c.cdcDir.isDefined) {
+          val changed = CowTable.changesCdcAt(spark, path, v)
+          Some(changed.select(dataCols(changed) :+ col(ct): _*))
+        } else c.op match {
+          case "create" | "append" =>
+            // pure adds: the commit's rows ARE inserts
+            val changed = CowTable.changesAt(spark, path, v)
+            Some(changed.select(dataCols(changed) :+
+              lit("insert").as(ct): _*))
+          case "compact" | "optimize" =>
+            None // layout-only: contents unchanged, nothing to emit
+          case other => sys.error(
+            s"commit $v ($other) of $path carries no CDC — run " +
+              "row-changing ops with cdc = true (or restart replicas " +
+              "after a restore); emitting nothing would silently " +
+              "desync every downstream consumer")
+        }
+      rows.map(_.withColumn(TableChangeFeed.VersionCol, lit(v))
+        .select(schema.fieldNames.map(col(_)).toSeq: _*))
     }
     // getBatch must return a STREAMING-tagged frame (MicroBatchExecution
     // asserts it) — same wrap Spark's own FileStreamSource uses.

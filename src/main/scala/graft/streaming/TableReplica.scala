@@ -1,0 +1,51 @@
+package graft.streaming
+
+import graft.tables.{CowTable, TxLog}
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+/** Streaming face #35: table REPLICATION over the row-level change
+  * feed — [[TableChangeFeed.readCdc]] folded into an exact copy, the
+  * composition CDC exists for (read replicas, cross-region copies,
+  * downstream materializations that must not re-scan the source).
+  *
+  * Per micro-batch: preimages are dropped (informational), the
+  * effects (insert / update_postimage / delete) are resolved
+  * latest-commit-wins per key — one batch may span several commits
+  * touching the same key, and within a commit a key appears at most
+  * once as an effect (merge batches are unique per key) — then
+  * applied through [[TableSink.applyBatch]]'s stamped MERGE, so the
+  * replica inherits exactly-once semantics: a replayed batch (sink
+  * retry, restart from an old checkpoint) observes its own Txn stamp
+  * and no-ops.
+  *
+  * The replica table is created on the first non-empty batch (empty,
+  * schema from the feed) — O(change volume) per trigger thereafter,
+  * never a source rescan. A source `restore` is not representable in
+  * the CDC stream (the feed fails loudly); restore the replica and
+  * restart the stream past it, the same runbook every CDC replication
+  * product documents.
+  */
+object TableReplica {
+
+  /** Wire a [[TableChangeFeed.readCdc]] frame into an exact replica
+    * CowTable at `path`, keyed by `keys`.
+    */
+  def replicaSink(cdcFeed: DataFrame, path: String, keys: Seq[String],
+      appId: String = "table-replica"): DataStreamWriter[Row] =
+    cdcFeed.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      if (!batch.isEmpty) {
+        val ct = CowTable.ChangeTypeCol
+        val vc = TableChangeFeed.VersionCol
+        val fx = batch.filter(col(ct) =!= "update_preimage")
+          .withColumn("_gf_rdel", col(ct) === "delete")
+          .drop(ct)
+        if (TxLog.latestVersion(batch.sparkSession, path) == 0)
+          CowTable.create(batch.sparkSession, path,
+            fx.drop(vc, "_gf_rdel").limit(0), statsCols = keys)
+        TableSink.applyBatch(path, keys, Some("_gf_rdel"), Some(vc),
+          appId)(fx, batchId)
+      }
+    }
+}

@@ -382,9 +382,13 @@ object CowTable {
     * range) touches O(matching files), and the probe scan itself reads
     * only the predicate's columns with the filter pushed down.
     */
-  def deleteWhere(spark: SparkSession, path: String,
-      cond: Column): RewriteMetrics =
-    rewriteWhere(spark, path, cond, "delete") { touchedDf =>
+  def deleteWhere(spark: SparkSession, path: String, cond: Column,
+      cdc: Boolean = false): RewriteMetrics =
+    rewriteWhere(spark, path, cond, "delete",
+      cdcRows = if (!cdc) None else Some { touchedDf =>
+        touchedDf.filter(coalesce(cond, lit(false)))
+          .withColumn(ChangeTypeCol, lit("delete"))
+      }) { touchedDf =>
       touchedDf.filter(!coalesce(cond, lit(false)))
     }
 
@@ -394,22 +398,35 @@ object CowTable {
     * through. Same file-granular COW discipline as [[deleteWhere]].
     */
   def updateWhere(spark: SparkSession, path: String, cond: Column,
-      set: Map[String, Column]): RewriteMetrics = {
+      set: Map[String, Column], cdc: Boolean = false): RewriteMetrics = {
     require(set.nonEmpty, "updateWhere needs at least one SET column")
-    rewriteWhere(spark, path, cond, "update") { touchedDf =>
-      val hit = coalesce(cond, lit(false))
-      touchedDf.select(touchedDf.columns.map { c =>
+    def setSelect(df: DataFrame, always: Boolean): DataFrame = {
+      val hit = if (always) lit(true) else coalesce(cond, lit(false))
+      df.select(df.columns.filterNot(_ == ChangeTypeCol).map { c =>
         set.get(c).map(e => when(hit, e).otherwise(col(c)).as(c))
           .getOrElse(col(c))
       }.toSeq: _*)
+    }
+    rewriteWhere(spark, path, cond, "update",
+      cdcRows = if (!cdc) None else Some { touchedDf =>
+        val hits = touchedDf.filter(coalesce(cond, lit(false)))
+        hits.withColumn(ChangeTypeCol, lit("update_preimage"))
+          .unionByName(setSelect(hits, always = true)
+            .withColumn(ChangeTypeCol, lit("update_postimage")))
+      }) { touchedDf =>
+      setSelect(touchedDf, always = false)
     }
   }
 
   /** Shared predicate-op skeleton: probe for touched files, rewrite
     * them through `transform`, publish one remove/add commit.
+    * `cdcRows` (optional) builds the tagged row-level change frame
+    * from the touched rows; written as a `_cdc/` sidecar and
+    * referenced by the commit, exactly like `merge(cdc = true)`.
     */
   private def rewriteWhere(spark: SparkSession, path: String,
-      cond: Column, op: String)(
+      cond: Column, op: String,
+      cdcRows: Option[DataFrame => DataFrame] = None)(
       transform: DataFrame => DataFrame): RewriteMetrics = {
     var result: Option[RewriteMetrics] = None
     retrying(s"$op-where on $path") {
@@ -432,13 +449,19 @@ object CowTable {
           snap.files.size.toLong, 0, 0))
         true
       } else {
-        val out = transform(readFiles(spark, path, snap, touched))
+        val touchedDf = readFiles(spark, path, snap, touched)
+        val out = transform(touchedDf)
           .select(readSchemaCols(snap).map(col): _*)
+        val cdcDir = cdcRows.map { build =>
+          val rel = s"_cdc/${java.util.UUID.randomUUID()}"
+          build(touchedDf).write.parquet(s"$path/$rel")
+          rel
+        }
         val adds = writeFiles(spark, path, out, snap.statsCols,
           snap.partitionCols.getOrElse(Seq.empty))
         val committed = TxLog.tryCommit(spark, path,
           Commit(snap.version + 1, op, adds, touched.map(_.path),
-            None, None))
+            None, None, None, None, cdcDir))
         if (committed)
           result = Some(RewriteMetrics(snap.version + 1,
             touched.size.toLong, (snap.files.size - touched.size).toLong,
@@ -807,9 +830,19 @@ object CowTable {
       val st = it.next()
       if (st.isFile && st.getPath.getName.endsWith(".parquet")) {
         val onDisk = st.getPath.toUri.getPath
-        val r = statRows.getOrElse(onDisk,
-          sys.error(s"no stats row for staged file ${st.getPath} " +
-            s"(have: ${statRows.keys.take(3).mkString(", ")}...)"))
+        // A staged parquet with NO stats row is either a ZERO-ROW part
+        // (Spark emits one for an empty plan — e.g. a merge whose
+        // touched rows were all deleted; nothing to publish, skip it)
+        // or a path-decode mismatch (must stay loud). One single-file
+        // count distinguishes them; it only runs on this rare path.
+        val r = statRows.getOrElse(onDisk, {
+          val empty = spark.read.schema(df.schema)
+            .parquet(st.getPath.toString).isEmpty
+          if (empty) null
+          else sys.error(s"no stats row for staged file ${st.getPath} " +
+            s"(have: ${statRows.keys.take(3).mkString(", ")}...)")
+        })
+        if (r == null) { /* zero-row part: not published */ } else {
         val stagedRel = st.getPath.toUri.getPath
           .stripPrefix(rootPath).stripPrefix("/")
         val segs = stagedRel.split('/')
@@ -827,7 +860,7 @@ object CowTable {
         f.mkdirs(dst.getParent)
         require(f.rename(st.getPath, dst), s"failed to publish $dst")
         out += AddFile(rel, r.getAs[Long]("_rows"), stats)
-      }
+      } }
     }
     f.delete(stagingRoot, true)
     out.toSeq

@@ -754,6 +754,23 @@ class CowTableSpec extends AnyFunSuite {
     }
   }
 
+  test("merge that deletes every touched row publishes no empty file") {
+    withTable { t =>
+      CowTable.create(spark, t, base(10, 1), Seq("k"))
+      val m = CowTable.merge(spark, t,
+        base(10, 1).select(col("k"), col("v"), col("s"),
+          lit(true).as("del")),
+        Seq("k"), Some("del"))
+      assert(m.removedRows === 10)
+      assert(CowTable.read(spark, t).count() === 0)
+      // the manifest holds NO zero-row stragglers
+      assert(TxLog.snapshot(spark, t).files.forall(_.rows > 0))
+      // and the table keeps working afterwards
+      CowTable.append(spark, t, Seq((99L, 1L, "z")).toDF("k", "v", "s"))
+      assert(contents(CowTable.read(spark, t)) === Set((99L, 1L, "z")))
+    }
+  }
+
   test("posix-rename detection covers RawLocalFileSystem too") {
     // LocalFileSystem is the checksum WRAPPER around RawLocalFileSystem;
     // a file:// deployment with fs.file.impl overridden to the raw form
