@@ -771,6 +771,70 @@ class CowTableSpec extends AnyFunSuite {
     }
   }
 
+  test("racing CDC merges: committed sidecars fold to the final state") {
+    withTable { t =>
+      // Both writers touch the SAME file (keys 0..9 in one file), so
+      // one loses the version CAS and must REPLAY — the hazard is a
+      // committed commit referencing the sidecar of the PRE-replay
+      // attempt (computed against the stale snapshot). Folding the
+      // committed sidecars over the v1 contents must reproduce the
+      // final table exactly.
+      CowTable.create(spark, t, base(10, 1), Seq("k"))
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val ops = Seq(
+        Seq((2L, -2L, "w1", false), (8L, 0L, "", true)),  // upd + del
+        Seq((3L, -3L, "w2", false), (11L, 1L, "ins", false)))
+        .map(rows => Future {
+          CowTable.merge(spark, t, rows.toDF("k", "v", "s", "del"),
+            Seq("k"), Some("del"), cdc = true)
+        })
+      Await.result(Future.sequence(ops), 600.seconds)
+      assert(TxLog.latestVersion(spark, t) === 3L)
+
+      // driver-side CDC fold: apply effects version by version
+      var state = contents(CowTable.read(spark, t, Some(1L)))
+        .map(r => r._1 -> r).toMap
+      (2L to 3L).foreach { v =>
+        CowTable.changesCdcAt(spark, t, v).collect().foreach { r =>
+          val row = (r.getLong(0), r.getLong(1), r.getString(2))
+          r.getString(3) match {
+            case "insert" | "update_postimage" => state += row._1 -> row
+            case "delete" => state -= row._1
+            case "update_preimage" => ()
+          }
+        }
+      }
+      assert(state.values.toSet === contents(CowTable.read(spark, t)),
+        "committed CDC does not reproduce the committed table")
+    }
+  }
+
+  test("deleteWhere racing an append serializes to a coherent state") {
+    withTable { t =>
+      CowTable.create(spark, t, base(100, 2), Seq("k"))
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val del = Future {
+        CowTable.deleteWhere(spark, t, col("v") > 50)
+      }
+      val app = Future {
+        CowTable.append(spark, t,
+          Seq((500L, 99L, "late"), (501L, 10L, "low"))
+            .toDF("k", "v", "s"))
+      }
+      Await.result(Future.sequence(Seq(del.map(_ => ()), app)), 600.seconds)
+      val got = contents(CowTable.read(spark, t))
+      val kept = contents(base(100, 1)).filterNot(_._2 > 50)
+      // serialization decides whether the late v=99 row was screened
+      val a = kept ++ Set((500L, 99L, "late"), (501L, 10L, "low"))
+      val b = kept + ((501L, 10L, "low"))
+      assert(got === a || got === b, s"incoherent state: $got")
+    }
+  }
+
   test("posix-rename detection covers RawLocalFileSystem too") {
     // LocalFileSystem is the checksum WRAPPER around RawLocalFileSystem;
     // a file:// deployment with fs.file.impl overridden to the raw form
