@@ -366,11 +366,14 @@ object CowTable {
     } finally { up.unpersist(); () }
   }
 
-  /** Accounting for the predicate ops: files rewritten vs untouched,
-    * and the net row change (rows removed minus rows re-added).
+  /** Accounting for the predicate ops: manifest-pruned candidates
+    * (files the probe scan actually read — [[StatsPredicate]] prunes
+    * the rest before any I/O), files rewritten vs untouched, and the
+    * net row change (rows removed minus rows re-added).
     */
-  final case class RewriteMetrics(version: Long, touchedFiles: Long,
-      prunedFiles: Long, rowsBefore: Long, rowsAfter: Long)
+  final case class RewriteMetrics(version: Long, candidateFiles: Long,
+      touchedFiles: Long, prunedFiles: Long, rowsBefore: Long,
+      rowsAfter: Long)
 
   /** DELETE WHERE `cond` — SQL semantics: rows where the predicate is
     * TRUE are removed; FALSE and NULL rows stay. Copy-on-write at file
@@ -431,11 +434,16 @@ object CowTable {
     var result: Option[RewriteMetrics] = None
     retrying(s"$op-where on $path") {
       val snap = TxLog.snapshot(spark, path)
+      // Manifest pre-prune: the probe scan reads ONLY the files whose
+      // zone maps could hold a TRUE row (StatsPredicate's conservative
+      // range analysis) — a clustered range delete over a 100 TB table
+      // probes O(matching files), not the world.
+      val candidates = StatsPredicate.prune(snap.files, cond)
       val tableRoot = TxLog.fs(spark, path)
         .makeQualified(new Path(path)).toUri.getPath.stripSuffix("/")
       val byAbs: Map[String, AddFile] =
-        snap.files.map(f => s"$tableRoot/${f.path}" -> f).toMap
-      val touched = readSnapshot(spark, path, snap)
+        candidates.map(f => s"$tableRoot/${f.path}" -> f).toMap
+      val touched = readFiles(spark, path, snap, candidates)
         .withColumn("_gf", input_file_name())
         .filter(coalesce(cond, lit(false)))
         .select("_gf").distinct().collect()
@@ -445,8 +453,8 @@ object CowTable {
             s"scanned file $abs not in the manifest (root $tableRoot)"))
         }.toSeq
       if (touched.isEmpty) {
-        result = Some(RewriteMetrics(snap.version, 0,
-          snap.files.size.toLong, 0, 0))
+        result = Some(RewriteMetrics(snap.version, candidates.size.toLong,
+          0, snap.files.size.toLong, 0, 0))
         true
       } else {
         val touchedDf = readFiles(spark, path, snap, touched)
@@ -464,7 +472,8 @@ object CowTable {
             None, None, None, None, cdcDir))
         if (committed)
           result = Some(RewriteMetrics(snap.version + 1,
-            touched.size.toLong, (snap.files.size - touched.size).toLong,
+            candidates.size.toLong, touched.size.toLong,
+            (snap.files.size - touched.size).toLong,
             touched.map(_.rows).sum, adds.map(_.rows).sum))
         committed
       }

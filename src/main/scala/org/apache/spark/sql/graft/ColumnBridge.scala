@@ -16,4 +16,48 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Conservative (column, lo, hi) range extraction from a Column's
+    * node graph — the manifest-pruning input of
+    * [[graft.tables.StatsPredicate]]. Spark 4 Columns carry a LAZY
+    * `ColumnNode` tree (`org.apache.spark.sql.internal`, `private[sql]`
+    * — hence this shim): top-level `and`s decompose, simple
+    * `col <op> literal` comparisons (either operand order) yield
+    * ranges with `None` = unbounded, and any other shape yields
+    * nothing (callers prune only on what IS recognized; strict bounds
+    * are reported inclusive — conservatism is free, pruning may only
+    * widen).
+    */
+  def simpleRanges(c: Column): Seq[(String, Option[Any], Option[Any])] = {
+    import org.apache.spark.sql.internal.{ColumnNode, Literal, UnresolvedAttribute, UnresolvedFunction}
+    def conjuncts(n: ColumnNode): Seq[ColumnNode] = n match {
+      case f: UnresolvedFunction if f.functionName == "and" =>
+        f.arguments.flatMap(conjuncts)
+      case other => Seq(other)
+    }
+    object A {
+      def unapply(n: ColumnNode): Option[String] = n match {
+        case a: UnresolvedAttribute => a.nameParts.lastOption
+        case _ => None
+      }
+    }
+    object L {
+      def unapply(n: ColumnNode): Option[Any] = n match {
+        case l: Literal if l.value != null => Some(l.value)
+        case _ => None
+      }
+    }
+    conjuncts(c.node).flatMap {
+      case f: UnresolvedFunction => (f.functionName, f.arguments) match {
+        case ("=" | "==", Seq(A(n), L(v))) => Some((n, Some(v), Some(v)))
+        case ("=" | "==", Seq(L(v), A(n))) => Some((n, Some(v), Some(v)))
+        case (">" | ">=", Seq(A(n), L(v))) => Some((n, Some(v), None))
+        case (">" | ">=", Seq(L(v), A(n))) => Some((n, None, Some(v)))
+        case ("<" | "<=", Seq(A(n), L(v))) => Some((n, None, Some(v)))
+        case ("<" | "<=", Seq(L(v), A(n))) => Some((n, Some(v), None))
+        case _ => None
+      }
+      case _ => None
+    }
+  }
 }

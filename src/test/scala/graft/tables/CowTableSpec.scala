@@ -655,6 +655,10 @@ class CowTableSpec extends AnyFunSuite {
         col("v") > 50 && col("k") < 110)
       assert(m.touchedFiles >= 1 && m.prunedFiles >= 6,
         s"probe should touch only the low files: $m")
+      // the k < 110 conjunct pre-prunes the probe at the MANIFEST:
+      // only the low range files are scanned at all
+      assert(m.candidateFiles <= 2,
+        s"manifest pre-prune should bound the probe: $m")
       val nowPaths = TxLog.snapshot(spark, t).files.map(_.path).toSet
       assert((before -- nowPaths).size === m.touchedFiles)
 
