@@ -742,7 +742,32 @@ object TableQueries {
       |WHERE o_orderkey % 113 <> 5
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Predicate read round trip: a key-clustered table read back
+    * through [[CowTable.readWhere]] — manifest ranges prune the plan,
+    * the full predicate (including the non-prunable price conjunct)
+    * applies row-exactly. Oracle = the plain WHERE.
+    */
+  def tableReadWhere(spark: SparkSession, dir: String): DataFrame = {
+    val t = scratch(dir, "readwhere")
+    reset(spark, t)
+    val base = Tables.load(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    CowTable.create(spark, t,
+      base.repartitionByRange(8, col("o_orderkey")), Seq("o_orderkey"))
+    CowTable.readWhere(spark, t,
+      col("o_orderkey") >= 1000L && col("o_orderkey") < 30000L &&
+        col("o_totalprice") > 100000.0d)
+      .orderBy("o_orderkey")
+  }
+
+  val tableReadWhereSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |WHERE o_orderkey >= 1000 AND o_orderkey < 30000
+      |  AND o_totalprice > 100000
+      |ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "table_read_where" -> (tableReadWhere(_, _)),
     "pipeline_table_replica" -> (pipelineTableReplica(_, _)),
     "table_merge_cdc" -> (tableMergeCdc(_, _)),
     "table_restore" -> (tableRestore(_, _)),
@@ -763,6 +788,7 @@ object TableQueries {
     "table_compact" -> (tableCompact(_, _)))
 
   val oracleSql: Map[String, String] = Map(
+    "table_read_where" -> tableReadWhereSql,
     "pipeline_table_replica" -> pipelineTableReplicaSql,
     "table_merge_cdc" -> tableMergeCdcSql,
     "table_restore" -> tableRestoreSql,

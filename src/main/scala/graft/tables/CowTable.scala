@@ -142,6 +142,22 @@ object CowTable {
       snap.files.filter(_.stats.get(column).forall(_.mayOverlap(lo, hi))))
   }
 
+  /** Predicate read: manifest pruning ([[StatsPredicate]] — simple
+    * conjuncts of `cond` become zone-map ranges) plans only the files
+    * that could hold a TRUE row, then the FULL predicate applies
+    * row-exactly on top. Unlike [[readOverlapping]] (file-granular,
+    * callers filter) this returns exactly the matching rows; a
+    * key-clustered narrow read of a 100 TB table plans O(covering
+    * files) before any parquet footer opens, with parquet pushdown
+    * doing the row-group work inside them.
+    */
+  def readWhere(spark: SparkSession, path: String, cond: Column,
+      asOfVersion: Option[Long] = None): DataFrame = {
+    val snap = TxLog.snapshot(spark, path, asOfVersion)
+    readFiles(spark, path, snap, StatsPredicate.prune(snap.files, cond))
+      .filter(cond)
+  }
+
   /** MERGE `updates` into the table on `keys`: full-row upsert, rows
     * flagged true in `deleteCol` are deletes. Only files containing a
     * matched key are rewritten; the candidate set is pre-pruned by the

@@ -839,6 +839,23 @@ class CowTableSpec extends AnyFunSuite {
     }
   }
 
+  test("readWhere plans only the covering files, rows exact") {
+    withTable { t =>
+      CowTable.create(spark, t, base(1000, 8), Seq("k"))
+      val narrow = CowTable.readWhere(spark, t,
+        col("k") >= 10L && col("k") < 50L && col("s") =!= "row11")
+      // exact rows: the FULL predicate applies, not just the ranges
+      assert(narrow.count() === 39)
+      // manifest pruning: only the low range file(s) are planned
+      assert(narrow.inputFiles.length <= 2,
+        s"planned ${narrow.inputFiles.length} of 8 files")
+      // an unprunable predicate still answers exactly over all files
+      val all = CowTable.readWhere(spark, t, length(col("s")) > 5)
+      assert(all.count() === contents(base(1000, 1))
+        .count(_._3.length > 5))
+    }
+  }
+
   test("posix-rename detection covers RawLocalFileSystem too") {
     // LocalFileSystem is the checksum WRAPPER around RawLocalFileSystem;
     // a file:// deployment with fs.file.impl overridden to the raw form
