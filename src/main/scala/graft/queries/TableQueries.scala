@@ -766,7 +766,72 @@ object TableQueries {
       |  AND o_totalprice > 100000
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Feed-driven SCD2 audit history ([[graft.streaming.TableHistory]]):
+    * the source takes a CDC merge then a CDC range delete; the history
+    * is maintained purely from the change feed, and the GATE OUTPUT is
+    * the history's reconstruction of EVERY source version
+    * (`Scd2Table.asOf(v)` summarized per status) — history ≡ the
+    * source's own time travel, replayed state-by-state by the oracle.
+    */
+  def pipelineTableHistory(spark: SparkSession, dir: String): DataFrame = {
+    val src = scratch(dir, "hist_src")
+    val hist = scratch(dir, "hist_dst")
+    val ckpt = scratch(dir, "hist_ckpt")
+    reset(spark, src); reset(spark, hist); reset(spark, ckpt)
+    val base = Tables.load(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderstatus")
+    CowTable.create(spark, src,
+      base.repartitionByRange(4, col("o_orderkey")), Seq("o_orderkey"))
+    graft.tables.Scd2Table.init(spark, hist,
+      CowTable.read(spark, src, Some(1L)), Seq("o_orderkey"), asOf = 1L)
+    val updates = base.filter(col("o_orderkey") % 5 === 0)
+      .select(col("o_orderkey"), col("o_custkey"),
+        lit("X").as("o_orderstatus"),
+        (col("o_orderkey") % 25 === 0).as("del"))
+    CowTable.merge(spark, src, updates, Seq("o_orderkey"), Some("del"),
+      cdc = true)                                               // v2
+    CowTable.deleteWhere(spark, src,
+      col("o_orderkey") % 7 === 3, cdc = true)                  // v3
+    val q = graft.streaming.TableHistory.scd2Sink(
+      graft.streaming.TableChangeFeed.readCdc(spark, src,
+        startingVersion = 2L),
+      hist, Seq("o_orderkey"))
+      .option("checkpointLocation", ckpt).start()
+    try { q.processAllAvailable() } finally q.stop()
+    (1L to 3L).map { v =>
+      graft.tables.Scd2Table.asOf(spark, hist, v)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), sum(col("o_orderkey")).as("key_sum"))
+        .withColumn("snap", lit(v))
+    }.reduce(_.unionByName(_))
+      .select("snap", "o_orderstatus", "cnt", "key_sum")
+      .orderBy("snap", "o_orderstatus")
+  }
+
+  val pipelineTableHistorySql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus FROM orders),
+      |v2 AS (
+      |  SELECT o_orderkey, o_orderstatus FROM base WHERE o_orderkey % 5 <> 0
+      |  UNION ALL
+      |  SELECT o_orderkey, 'X' AS o_orderstatus
+      |  FROM base WHERE o_orderkey % 5 = 0 AND o_orderkey % 25 <> 0),
+      |v3 AS (
+      |  SELECT * FROM v2 WHERE o_orderkey % 7 <> 3)
+      |SELECT * FROM (
+      |  SELECT 1 AS snap, o_orderstatus, COUNT(*) AS cnt,
+      |         CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+      |  FROM base GROUP BY o_orderstatus
+      |  UNION ALL
+      |  SELECT 2, o_orderstatus, COUNT(*), CAST(SUM(o_orderkey) AS BIGINT)
+      |  FROM v2 GROUP BY o_orderstatus
+      |  UNION ALL
+      |  SELECT 3, o_orderstatus, COUNT(*), CAST(SUM(o_orderkey) AS BIGINT)
+      |  FROM v3 GROUP BY o_orderstatus)
+      |ORDER BY snap, o_orderstatus""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_table_history" -> (pipelineTableHistory(_, _)),
     "table_read_where" -> (tableReadWhere(_, _)),
     "pipeline_table_replica" -> (pipelineTableReplica(_, _)),
     "table_merge_cdc" -> (tableMergeCdc(_, _)),
@@ -788,6 +853,7 @@ object TableQueries {
     "table_compact" -> (tableCompact(_, _)))
 
   val oracleSql: Map[String, String] = Map(
+    "pipeline_table_history" -> pipelineTableHistorySql,
     "table_read_where" -> tableReadWhereSql,
     "pipeline_table_replica" -> pipelineTableReplicaSql,
     "table_merge_cdc" -> tableMergeCdcSql,
