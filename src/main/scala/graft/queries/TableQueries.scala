@@ -830,7 +830,47 @@ object TableQueries {
       |  FROM v3 GROUP BY o_orderstatus)
       |ORDER BY snap, o_orderstatus""".stripMargin
 
+  /** CHECK constraints round trip: the `table_merge` rules run against
+    * a constrained table (`o_totalprice >= 0` — every legitimate write
+    * passes), then a poisoned batch with negative prices is REJECTED
+    * whole; the gate output is the final read, which must equal the
+    * unconstrained merge result exactly — i.e. the rejected batch
+    * provably published nothing and the constraint machinery is
+    * contents-invisible for passing writes. Oracle = tableMergeSql
+    * VERBATIM.
+    */
+  def tableConstraint(spark: SparkSession, dir: String): DataFrame = {
+    val t = scratch(dir, "constraint")
+    reset(spark, t)
+    val base = Tables.load(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+    CowTable.create(spark, t,
+      base.repartitionByRange(8, col("o_orderkey")), Seq("o_orderkey"))
+    CowTable.addConstraint(spark, t, "price_nonneg", "o_totalprice >= 0")
+    val updates = base.filter(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey"), col("o_custkey"),
+        (col("o_totalprice") + 100.0d).as("o_totalprice"),
+        lit("U").as("o_orderstatus"),
+        (col("o_orderkey") % 21 === 0).as("del"))
+      .unionByName(base.filter(col("o_orderkey") % 997 === 1)
+        .select((col("o_orderkey") + 1000000000L).as("o_orderkey"),
+          col("o_custkey"), lit(1.0d).as("o_totalprice"),
+          lit("N").as("o_orderstatus"), lit(false).as("del")))
+    CowTable.merge(spark, t, updates, Seq("o_orderkey"), Some("del"))
+    val poisoned = base.filter(col("o_orderkey") % 501 === 2)
+      .select((col("o_orderkey") + 2000000000L).as("o_orderkey"),
+        col("o_custkey"), lit(-5.0d).as("o_totalprice"),
+        lit("P").as("o_orderstatus"))
+    val rejected =
+      try { CowTable.append(spark, t, poisoned); false }
+      catch { case e: RuntimeException
+        if e.getMessage.contains("price_nonneg") => true }
+    require(rejected, "the poisoned batch must be rejected")
+    CowTable.read(spark, t).orderBy("o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "table_constraint" -> (tableConstraint(_, _)),
     "pipeline_table_history" -> (pipelineTableHistory(_, _)),
     "table_read_where" -> (tableReadWhere(_, _)),
     "pipeline_table_replica" -> (pipelineTableReplica(_, _)),
@@ -853,6 +893,7 @@ object TableQueries {
     "table_compact" -> (tableCompact(_, _)))
 
   val oracleSql: Map[String, String] = Map(
+    "table_constraint" -> tableMergeSql,
     "pipeline_table_history" -> pipelineTableHistorySql,
     "table_read_where" -> tableReadWhereSql,
     "pipeline_table_replica" -> pipelineTableReplicaSql,

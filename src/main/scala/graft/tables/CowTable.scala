@@ -103,7 +103,8 @@ object CowTable {
     // regressed (if the rival added our columns first, ours folds to
     // a no-op DDL).
     val adds = writeFiles(spark, path, df.select(cols.map(col): _*),
-      snap0.statsCols, snap0.partitionCols.getOrElse(Seq.empty))
+      snap0.statsCols, snap0.partitionCols.getOrElse(Seq.empty),
+      snap0.checkConstraints)
     retrying(s"append to $path") {
       val snap = TxLog.snapshot(spark, path)
       if (alreadyApplied(snap, txn)) true
@@ -141,6 +142,44 @@ object CowTable {
     readFiles(spark, path, snap,
       snap.files.filter(_.stats.get(column).forall(_.mayOverlap(lo, hi))))
   }
+
+  /** Add a CHECK constraint: `exprSql` must not evaluate FALSE for any
+    * row (SQL CHECK semantics — NULL passes), validated against the
+    * EXISTING table before the constraint commits, then enforced on
+    * every row-adding write (append / merge / updateWhere; layout-only
+    * rewrites carry rows that already passed). A violating write fails
+    * BEFORE publishing anything — the staged files are discarded — so
+    * a table with constraints can never hold a violating row, which is
+    * the whole point: the ingest bug surfaces at the write that
+    * introduced it, not in a downstream consumer three tables later.
+    */
+  def addConstraint(spark: SparkSession, path: String, name: String,
+      exprSql: String): Unit =
+    retrying(s"add constraint $name on $path") {
+      val snap = TxLog.snapshot(spark, path)
+      require(!snap.checkConstraints.contains(name),
+        s"constraint '$name' already exists on $path")
+      val viol = readSnapshot(spark, path, snap)
+        .filter(expr(exprSql) === false).limit(1).collect()
+      require(viol.isEmpty,
+        s"cannot add constraint '$name' ($exprSql): existing row " +
+          s"violates it: ${viol.headOption.getOrElse("")}")
+      TxLog.tryCommit(spark, path, Commit(snap.version + 1, "constraint",
+        Seq.empty, Seq.empty, None, None,
+        constraintsAdd = Some(Map(name -> exprSql))))
+    }
+
+  /** Drop a CHECK constraint (future writes stop validating it). */
+  def dropConstraint(spark: SparkSession, path: String,
+      name: String): Unit =
+    retrying(s"drop constraint $name on $path") {
+      val snap = TxLog.snapshot(spark, path)
+      require(snap.checkConstraints.contains(name),
+        s"no constraint '$name' on $path")
+      TxLog.tryCommit(spark, path, Commit(snap.version + 1, "constraint",
+        Seq.empty, Seq.empty, None, None,
+        constraintsDrop = Some(Seq(name))))
+    }
 
   /** Predicate read: manifest pruning ([[StatsPredicate]] — simple
     * conjuncts of `cond` become zone-map ranges) plans only the files
@@ -365,7 +404,8 @@ object CowTable {
           }
 
           val adds = writeFiles(spark, path, out, snap.statsCols,
-            snap.partitionCols.getOrElse(Seq.empty))
+            snap.partitionCols.getOrElse(Seq.empty),
+            snap.checkConstraints)
           val committed = TxLog.tryCommit(spark, path,
             Commit(snap.version + 1, "merge", adds,
               touched.map(_.path), ddl, None, txn, None, cdcDir))
@@ -482,7 +522,8 @@ object CowTable {
           rel
         }
         val adds = writeFiles(spark, path, out, snap.statsCols,
-          snap.partitionCols.getOrElse(Seq.empty))
+          snap.partitionCols.getOrElse(Seq.empty),
+          snap.checkConstraints)
         val committed = TxLog.tryCommit(spark, path,
           Commit(snap.version + 1, op, adds, touched.map(_.path),
             None, None, None, None, cdcDir))
@@ -806,7 +847,8 @@ object CowTable {
     */
   private def writeFiles(spark: SparkSession, path: String, df: DataFrame,
       statsCols: Seq[String],
-      partitionCols: Seq[String] = Seq.empty): Seq[AddFile] = {
+      partitionCols: Seq[String] = Seq.empty,
+      constraints: Map[String, String] = Map.empty): Seq[AddFile] = {
     val opId = java.util.UUID.randomUUID().toString
     val opDir = s".staging/$opId"
     val w = df.write
@@ -816,6 +858,17 @@ object CowTable {
     val written = spark.read.schema(df.schema)
       .option("basePath", s"$path/$opDir")
       .parquet(s"$path/$opDir")
+    // CHECK constraints validate the STAGED data (one cheap re-read —
+    // never a recompute of the op's plan) BEFORE anything publishes:
+    // a violation discards the staging dir and fails the write whole.
+    constraints.foreach { case (name, e) =>
+      val viol = written.filter(expr(e) === false).limit(1).collect()
+      if (viol.nonEmpty) {
+        TxLog.fs(spark, path).delete(new Path(path, opDir), true)
+        sys.error(s"CHECK constraint '$name' ($e) violated by this " +
+          s"write: ${viol.head}")
+      }
+    }
     // The null flag rides the same one-pass aggregate: min/max ignore
     // nulls, so without it a file holding null-keyed rows plus a
     // disjoint non-null range would be pruned against a null-keyed

@@ -134,7 +134,9 @@ object TxLog {
       removes: Seq[String], schemaDDL: Option[String],
       statsCols: Option[Seq[String]], txn: Option[Txn] = None,
       partitionCols: Option[Seq[String]] = None,
-      cdcDir: Option[String] = None)
+      cdcDir: Option[String] = None,
+      constraintsAdd: Option[Map[String, String]] = None,
+      constraintsDrop: Option[Seq[String]] = None)
 
   /** Folded view of the log at a version. `txns` holds the highest
     * stamped batch version per writer application; `partitionCols` the
@@ -146,11 +148,14 @@ object TxLog {
   final case class Snapshot(version: Long, files: Seq[AddFile],
       schemaDDL: String, statsCols: Seq[String],
       txns: Option[Map[String, Long]] = None,
-      partitionCols: Option[Seq[String]] = None) {
+      partitionCols: Option[Seq[String]] = None,
+      constraints: Option[Map[String, String]] = None) {
     def filePaths(root: String): Seq[String] =
       files.map(f => s"$root/${f.path}")
     def txnVersion(app: String): Option[Long] =
       txns.getOrElse(Map.empty).get(app)
+    def checkConstraints: Map[String, String] =
+      constraints.getOrElse(Map.empty)
   }
 
   private implicit val formats: Formats = Serialization.formats(NoTypeHints)
@@ -284,6 +289,8 @@ object TxLog {
       base.files.map(a => a.path -> a): _*)
     val txns = scala.collection.mutable.Map[String, Long](
       base.txns.getOrElse(Map.empty).toSeq: _*)
+    val constraints = scala.collection.mutable.LinkedHashMap[String, String](
+      base.constraints.getOrElse(Map.empty).toSeq: _*)
     var schemaDDL = base.schemaDDL
     var statsCols = base.statsCols
     var partitionCols = base.partitionCols
@@ -297,12 +304,16 @@ object TxLog {
       c.partitionCols.foreach(pc => partitionCols = Some(pc))
       c.txn.foreach(t => txns.update(t.app,
         math.max(t.version, txns.getOrElse(t.app, Long.MinValue))))
+      c.constraintsAdd.foreach(_.foreach { case (k, e) =>
+        constraints.update(k, e) })
+      c.constraintsDrop.foreach(_.foreach(constraints.remove))
       c.removes.foreach(files.remove)
       c.adds.foreach(a => files.update(a.path, a))
       v += 1
     }
     Snapshot(target, files.values.toSeq, schemaDDL, statsCols,
-      if (txns.isEmpty) None else Some(txns.toMap), partitionCols)
+      if (txns.isEmpty) None else Some(txns.toMap), partitionCols,
+      if (constraints.isEmpty) None else Some(constraints.toMap))
   }
 
   /** Raw commit `v` (for audits / change inspection). */

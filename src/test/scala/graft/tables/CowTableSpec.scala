@@ -856,6 +856,53 @@ class CowTableSpec extends AnyFunSuite {
     }
   }
 
+  test("CHECK constraints gate every row-adding write, wholly") {
+    withTable { t =>
+      CowTable.create(spark, t, base(20, 1), Seq("k"))
+      CowTable.addConstraint(spark, t, "v_nonneg", "v >= 0")
+      val v0 = TxLog.latestVersion(spark, t)
+
+      // a violating append publishes NOTHING — not even its valid rows
+      val e = intercept[RuntimeException] {
+        CowTable.append(spark, t,
+          Seq((100L, 5L, "ok"), (101L, -1L, "bad")).toDF("k", "v", "s"))
+      }
+      assert(e.getMessage.contains("v_nonneg"))
+      assert(TxLog.latestVersion(spark, t) === v0)
+      assert(CowTable.read(spark, t).count() === 20)
+
+      // a violating UPDATE through merge fails wholly too
+      intercept[RuntimeException] {
+        CowTable.merge(spark, t,
+          Seq((3L, -7L, "neg")).toDF("k", "v", "s"), Seq("k"))
+      }
+      assert(contents(CowTable.read(spark, t)).contains((3L, 21L, "row3")))
+
+      // NULL passes (SQL CHECK semantics) and clean writes land
+      CowTable.merge(spark, t,
+        Seq((4L, null.asInstanceOf[java.lang.Long], "nullv"))
+          .toDF("k", "v", "s")
+          .select(col("k"), col("v").cast("long").as("v"), col("s")),
+        Seq("k"))
+      CowTable.append(spark, t, Seq((100L, 5L, "ok")).toDF("k", "v", "s"))
+      assert(CowTable.read(spark, t).count() === 21)
+
+      // adding a constraint the EXISTING data violates is refused
+      val e2 = intercept[IllegalArgumentException] {
+        CowTable.addConstraint(spark, t, "s_short", "length(s) < 2")
+      }
+      assert(e2.getMessage.contains("existing row"))
+
+      // dropped constraints stop validating
+      CowTable.dropConstraint(spark, t, "v_nonneg")
+      CowTable.merge(spark, t,
+        Seq((5L, -9L, "neg-ok")).toDF("k", "v", "s"), Seq("k"))
+      val r5 = CowTable.read(spark, t).filter(col("k") === 5)
+        .select("v", "s").collect()(0)
+      assert(r5.getLong(0) === -9L && r5.getString(1) === "neg-ok")
+    }
+  }
+
   test("posix-rename detection covers RawLocalFileSystem too") {
     // LocalFileSystem is the checksum WRAPPER around RawLocalFileSystem;
     // a file:// deployment with fs.file.impl overridden to the raw form
