@@ -219,6 +219,8 @@ class TableChangeSource(sqlContext: SQLContext, path: String,
               lit("insert").as(ct): _*))
           case "compact" | "optimize" =>
             None // layout-only: contents unchanged, nothing to emit
+          case _ if c.adds.isEmpty && c.removes.isEmpty =>
+            None // metadata-only (constraint add/drop, no-op): silent
           case other => sys.error(
             s"commit $v ($other) of $path carries no CDC — run " +
               "row-changing ops with cdc = true (or restart replicas " +

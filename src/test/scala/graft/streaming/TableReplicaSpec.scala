@@ -53,7 +53,10 @@ class TableReplicaSpec extends AnyFunSuite {
       drain(src, dst, ckpt)
       assert(contents(dst) === contents(src))
 
-      // more commits while the stream is down, then a second drain
+      // more commits while the stream is down, then a second drain —
+      // including a METADATA-ONLY commit (constraint add), which must
+      // pass through the CDC feed silently, not fail it
+      CowTable.addConstraint(spark, src, "v_nonneg", "v >= 0")
       CowTable.append(spark, src,
         Seq((5L, 50L, "e")).toDF("k", "v", "s"))                // v3
       CowTable.updateWhere(spark, src, col("k") === 1L,
