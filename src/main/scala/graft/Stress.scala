@@ -1864,6 +1864,38 @@ object Stress {
         require(m.touchedFiles <= 4, s"touched ${m.touchedFiles} files")
         m.addedRows
       }
+      // Replication at scale: a 2.25M-row / 200-file source takes a
+      // key-clustered CDC merge; the replica drains the whole history
+      // (catch-up: create + merge) through the rate-unlimited feed and
+      // must agree on count AND a content checksum. The merge-commit
+      // leg of the feed ships rewritten survivors + CDC rows — the
+      // cost is O(touched + changes), never a source rescan.
+      val rsrc = s"$root/rsrc"
+      val rdst = s"$root/rdst"
+      timedWarm("cowreplsrc") {
+        CowTable.create(spark, rsrc,
+          big.repartitionByRange(200, col("k")), Seq("k"))
+        CowTable.merge(spark, rsrc,
+          big.filter(col("k") < 12000)
+            .select(col("k"), col("c"), (col("p") + 7.0d).as("p"),
+              (col("k") % 97 === 3).as("del")),
+          Seq("k"), Some("del"), checkUniqueKeys = false, cdc = true)
+        nRows
+      }
+      timed("cowreplica") {
+        val q = streaming.TableReplica.replicaSink(
+          streaming.TableChangeFeed.readCdc(spark, rsrc),
+          rdst, Seq("k"))
+          .option("checkpointLocation", s"$root/rckpt").start()
+        try q.processAllAvailable() finally q.stop()
+        val s = CowTable.read(spark, rsrc)
+          .agg(count(lit(1)), sum(col("k") * col("c"))).collect()(0)
+        val d = CowTable.read(spark, rdst)
+          .agg(count(lit(1)), sum(col("k") * col("c"))).collect()(0)
+        require(s.getLong(0) == d.getLong(0) && s.getLong(1) == d.getLong(1),
+          s"replica diverged: $s vs $d")
+        d.getLong(0)
+      }
       if (rfs.exists(rootP)) { rfs.delete(rootP, true); () }
     }
 
