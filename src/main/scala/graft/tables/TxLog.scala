@@ -322,6 +322,22 @@ object TxLog {
     JsonMethods.parse(readString(f, commitPath(table, v))).extract[Commit]
   }
 
+  /** DESCRIBE DETAIL: the one-row table summary an operator reads
+    * first — current version, live file/row counts, layout and
+    * governance surface (partition columns, stats columns, named
+    * constraints). Pure manifest fold, zero executor work.
+    */
+  def describeDetail(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    val s = snapshot(spark, table)
+    Seq((s.version, s.files.size.toLong, s.files.map(_.rows).sum,
+      s.statsCols.mkString(","),
+      s.partitionCols.getOrElse(Seq.empty).mkString(","),
+      s.checkConstraints.keys.toSeq.sorted.mkString(",")))
+      .toDF("version", "num_files", "num_rows", "stats_cols",
+        "partition_cols", "constraints")
+  }
+
   /** DESCRIBE HISTORY: one row per commit — version, operation, files
     * and rows added/removed, idempotence stamp — the audit frame a
     * governance review reads before trusting a table. Driver-side over

@@ -903,6 +903,22 @@ class CowTableSpec extends AnyFunSuite {
     }
   }
 
+  test("describeDetail summarizes version, files, rows, governance") {
+    withTable { t =>
+      CowTable.create(spark, t, base(100, 4).withColumn("b", col("k") % 2),
+        Seq("k"), partitionBy = Seq("b"))
+      CowTable.addConstraint(spark, t, "v_nonneg", "v >= 0")
+      CowTable.append(spark, t,
+        Seq((200L, 1L, "x", 0L)).toDF("k", "v", "s", "b"))
+      val d = TxLog.describeDetail(spark, t).collect()(0)
+      assert(d.getLong(0) === 3L)        // create + constraint + append
+      assert(d.getLong(2) === 101L)      // rows
+      assert(d.getString(3).contains("k"))
+      assert(d.getString(4) === "b")
+      assert(d.getString(5) === "v_nonneg")
+    }
+  }
+
   test("posix-rename detection covers RawLocalFileSystem too") {
     // LocalFileSystem is the checksum WRAPPER around RawLocalFileSystem;
     // a file:// deployment with fs.file.impl overridden to the raw form
