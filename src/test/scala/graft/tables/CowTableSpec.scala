@@ -919,6 +919,28 @@ class CowTableSpec extends AnyFunSuite {
     }
   }
 
+  test("constraints survive the checkpointed log fold") {
+    withTable { t =>
+      CowTable.create(spark, t, base(10, 1), Seq("k"))
+      CowTable.addConstraint(spark, t, "v_nonneg", "v >= 0")
+      // push the log PAST a checkpoint interval (20) so a fresh
+      // snapshot folds from the checkpoint, not the full commit chain
+      (0 until 20).foreach { i =>
+        CowTable.append(spark, t,
+          Seq((1000L + i, i.toLong, s"a$i")).toDF("k", "v", "s"))
+      }
+      assert(TxLog.latestVersion(spark, t) > TxLog.CheckpointInterval)
+      val snap = TxLog.snapshot(spark, t)
+      assert(snap.checkConstraints === Map("v_nonneg" -> "v >= 0"))
+      // ...and it still ENFORCES after the fold
+      intercept[RuntimeException] {
+        CowTable.append(spark, t,
+          Seq((2000L, -1L, "bad")).toDF("k", "v", "s"))
+      }
+      assert(CowTable.read(spark, t).count() === 30)
+    }
+  }
+
   test("posix-rename detection covers RawLocalFileSystem too") {
     // LocalFileSystem is the checksum WRAPPER around RawLocalFileSystem;
     // a file:// deployment with fs.file.impl overridden to the raw form
