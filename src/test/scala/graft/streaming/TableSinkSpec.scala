@@ -88,6 +88,28 @@ class TableSinkSpec extends AnyFunSuite {
     }
   }
 
+  test("a constraint-violating batch fails the sink whole, then recovers") {
+    withTable { t =>
+      CowTable.create(spark, t,
+        Seq((1L, 10L, 0L)).toDF("k", "v", "seq"), Seq("k"))
+      CowTable.addConstraint(spark, t, "v_nonneg", "v >= 0")
+      val apply = TableSink.applyBatch(t, Seq("k"), None,
+        Some("seq"), "cstr-spec") _
+      // the bad batch rejects WHOLE — even its valid row doesn't land,
+      // and no stamp is recorded, so the FIXED retry of the same batch
+      // id is not mistaken for a replay
+      val e = intercept[RuntimeException] {
+        apply(Seq((1L, 11L, 1L), (2L, -5L, 1L)).toDF("k", "v", "seq"), 0L)
+      }
+      assert(e.getMessage.contains("v_nonneg"))
+      assert(CowTable.read(spark, t).count() === 1)
+      assert(TxLog.snapshot(spark, t).txnVersion("cstr-spec").isEmpty)
+      apply(Seq((1L, 11L, 1L), (2L, 5L, 1L)).toDF("k", "v", "seq"), 0L)
+      assert(CowTable.read(spark, t).count() === 2)
+      assert(TxLog.snapshot(spark, t).txnVersion("cstr-spec") === Some(0L))
+    }
+  }
+
   test("append sink: batches land once, replay skipped") {
     withTable { t =>
       CowTable.create(spark, t,
