@@ -253,11 +253,22 @@ object TxLog {
     try f.delete(tmp, false) catch { case _: Exception => () }
     if (won && commit.version % CheckpointInterval == 0) {
       // Checkpoint failures are benign: readers fall back to the full
-      // commit fold; the next interval retries.
+      // commit fold; the next interval retries. The publish must be
+      // ATOMIC (stage + rename), NOT an in-place create: a concurrent
+      // reader lists the log between create and close, sees the
+      // checkpoint name, and parses a half-written file — the
+      // end-of-input race the 4-writer spec caught. A POSIX
+      // rename-replace is safe here (unlike the version CAS): only the
+      // version's winner writes its checkpoint, and replacing it with
+      // identical content would be harmless anyway.
       try {
         val snap = snapshot(spark, table, Some(commit.version))
-        writeString(f, checkpointPath(table, commit.version),
-          Serialization.write(snap))
+        val stage = new Path(logPath(table),
+          s".ckpt-${java.util.UUID.randomUUID()}-${commit.version}.tmp")
+        writeString(f, stage, Serialization.write(snap))
+        if (!f.rename(stage, checkpointPath(table, commit.version)))
+          f.delete(stage, false)
+        ()
       } catch { case _: Exception => () }
     }
     won
@@ -277,13 +288,19 @@ object TxLog {
         .map(_.take(20).toLong).foldLeft(0L)(math.max))
     require(target > 0, s"empty log at $table")
 
-    val ckptV = names.filter(_.matches("\\d{20}\\.checkpoint\\.json"))
+    val ckptV0 = names.filter(_.matches("\\d{20}\\.checkpoint\\.json"))
       .map(_.take(20).toLong).filter(_ <= target)
       .foldLeft(0L)(math.max)
-    val base: Snapshot =
-      if (ckptV == 0) Snapshot(0L, Seq.empty, "", Seq.empty)
-      else Serialization.read[Snapshot](
-        readString(f, checkpointPath(table, ckptV)))
+    // A torn/unreadable checkpoint (pre-atomic-publish logs, or a
+    // mid-write crash) must degrade to the FULL commit fold, never
+    // fail the read: the checkpoint is an optimization, the commits
+    // are the truth.
+    val (base: Snapshot, ckptV: Long) =
+      if (ckptV0 == 0) (Snapshot(0L, Seq.empty, "", Seq.empty), 0L)
+      else try (Serialization.read[Snapshot](
+        readString(f, checkpointPath(table, ckptV0))), ckptV0)
+      catch { case scala.util.control.NonFatal(_) =>
+        (Snapshot(0L, Seq.empty, "", Seq.empty), 0L) }
 
     val files = scala.collection.mutable.LinkedHashMap(
       base.files.map(a => a.path -> a): _*)

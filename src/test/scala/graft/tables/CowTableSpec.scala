@@ -941,6 +941,29 @@ class CowTableSpec extends AnyFunSuite {
     }
   }
 
+  test("a torn checkpoint degrades to the full fold, never fails reads") {
+    withTable { t =>
+      CowTable.create(spark, t, base(10, 1), Seq("k"))
+      (0 until 20).foreach { i =>
+        CowTable.append(spark, t,
+          Seq((100L + i, i.toLong, s"x$i")).toDF("k", "v", "s"))
+      }
+      val before = CowTable.read(spark, t).count()
+      // simulate the pre-fix race / a mid-write crash: an EMPTY file
+      // where the version-20 checkpoint lives
+      val ckpt = new java.io.File(t,
+        f"_txlog/${20L}%020d.checkpoint.json")
+      assert(ckpt.exists, "fixture expects a checkpoint at version 20")
+      java.nio.file.Files.write(ckpt.toPath, Array.empty[Byte])
+      // reads fold from the commits instead; contents exact
+      assert(CowTable.read(spark, t).count() === before)
+      assert(TxLog.snapshot(spark, t).files.nonEmpty)
+      // and the table keeps committing (the next interval re-heals)
+      CowTable.append(spark, t, Seq((999L, 9L, "z")).toDF("k", "v", "s"))
+      assert(CowTable.read(spark, t).count() === before + 1)
+    }
+  }
+
   test("posix-rename detection covers RawLocalFileSystem too") {
     // LocalFileSystem is the checksum WRAPPER around RawLocalFileSystem;
     // a file:// deployment with fs.file.impl overridden to the raw form
