@@ -707,6 +707,22 @@ object CowTable {
         catch { case _: java.io.IOException => () }
       }
     }
+    // Crashed-writer leftovers in the LOG dir: commit temps
+    // (.tmp-*.json) and staged checkpoints (.ckpt-*.tmp) are transient
+    // by construction — every durable log artifact is a bare
+    // <version>.json / <version>.checkpoint.json — so any aged dotfile
+    // is safe to sweep behind the same gate.
+    val logDir = new Path(path, TxLog.LogDir)
+    val logTmp =
+      try { if (f.exists(logDir)) f.listStatus(logDir).toSeq else Seq.empty }
+      catch { case _: java.io.IOException => Seq.empty }
+    logTmp.foreach { st =>
+      if (st.isFile && st.getPath.getName.startsWith(".") &&
+          st.getModificationTime <= horizon) {
+        try { f.delete(st.getPath, false); () }
+        catch { case _: java.io.IOException => () }
+      }
+    }
     deleted.toSeq
   }
 

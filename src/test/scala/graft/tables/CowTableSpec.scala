@@ -525,6 +525,22 @@ class CowTableSpec extends AnyFunSuite {
       CowTable.vacuum(spark, t, retainVersions = 1,
         retentionMs = 3600L * 1000)
       assert(!stagingOp.exists)
+
+      // Crashed-writer LOG leftovers (commit temps / staged
+      // checkpoints): fresh ones survive, aged ones are swept, real
+      // log files are untouched either way.
+      val logDir = new java.io.File(tDir, "_txlog")
+      val freshTmp = new java.io.File(logDir, ".tmp-crash-99.json")
+      val agedTmp = new java.io.File(logDir, ".ckpt-crash-20.tmp")
+      java.nio.file.Files.write(freshTmp.toPath, Array[Byte](1))
+      java.nio.file.Files.write(agedTmp.toPath, Array[Byte](2))
+      agedTmp.setLastModified(old)
+      val nLogs = logDir.listFiles().count(!_.getName.startsWith("."))
+      CowTable.vacuum(spark, t, retainVersions = 1,
+        retentionMs = 3600L * 1000)
+      assert(freshTmp.exists && !agedTmp.exists)
+      assert(logDir.listFiles().count(!_.getName.startsWith(".")) === nLogs)
+      assert(CowTable.read(spark, t).count() === 100)
     }
   }
 
