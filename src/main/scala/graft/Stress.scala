@@ -1854,7 +1854,17 @@ object Stress {
         val foldMs = (System.nanoTime() - t0) / 1e6
         require(snap.files.size >= 1990,
           s"expected ~2000 manifest entries, got ${snap.files.size}")
-        require(foldMs < 1000, f"manifest fold took $foldMs%.0f ms")
+        // The fold is expected sub-second; report it as a metric and
+        // only hard-fail at a 10x backstop so a loaded host can't fail
+        // the stress run for a timing reason unrelated to correctness
+        // (ADVICE r12). Structural regressions (a super-linear fold)
+        // still trip the backstop.
+        println(f"STRESS cowplan manifest fold: $foldMs%.0f ms")
+        if (foldMs >= 1000)
+          println(f"STRESS cowplan WARNING: fold $foldMs%.0f ms " +
+            "exceeds the expected sub-second budget (loaded host?)")
+        require(foldMs < 10000, f"manifest fold took $foldMs%.0f ms " +
+          "(10x over budget -- structural, not host noise)")
         val upd = big.filter(col("k") < 3000)
           .select(col("k"), col("c"), (col("p") + 9.0d).as("p"))
         val m = CowTable.merge(spark, tm, upd, Seq("k"),

@@ -24,9 +24,14 @@ import org.apache.spark.sql.functions._
   *     dedup key; '?' dropped when nothing survives;
   *   - fragment dropped (never sent to the server).
   *
-  * A URL that does not parse (no scheme://host) passes through
-  * UNCHANGED — callers triage those rows; silently rewriting them
-  * would corrupt non-URL ids sharing the column.
+  * Bracketed IP-literal hosts (RFC 3986 §3.2.2, `http://[::1]:8080/`)
+  * parse with the colon inside the brackets NOT treated as the port
+  * separator; the same case/port rules apply.
+  *
+  * A URL that does not parse (no scheme://host, or an unclosed
+  * IP-literal bracket) passes through UNCHANGED — callers triage
+  * those rows; silently rewriting them would corrupt non-URL ids
+  * sharing the column.
   *
   * Scale shape: a pure per-row projection over Spark builtins
   * (regexp_extract / split / filter / array_sort / concat) — no UDF,
@@ -48,14 +53,22 @@ object UrlCanon {
 
   private val SchemeRe = "^[a-zA-Z][a-zA-Z0-9+.-]*://"
 
+  /** Host: a bracketed IP-literal (RFC 3986 §3.2.2 — the colon inside
+    * `[::1]` is NOT a port separator) or a colon-terminated reg-name.
+    * The bracketed alternative must come FIRST or `[^/?#:]+` stops at
+    * the first ':' inside the brackets and the canon corrupts.
+    */
+  private val HostRe = "(\\[[^\\]/?#]*\\]|[^/?#:]+)"
+  private val HostReNc = "(?:\\[[^\\]/?#]*\\]|[^/?#:]+)"
+
   /** The canonical form of `url` (see object doc for the rule set). */
   def canonicalize(url: Column): Column = {
     val scheme = lower(regexp_extract(url,
       "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
     val host = lower(regexp_extract(url,
-      SchemeRe + "(?:[^/?#@]*@)?([^/?#:]+)", 1))
+      SchemeRe + "(?:[^/?#@]*@)?" + HostRe, 1))
     val port = regexp_extract(url,
-      SchemeRe + "(?:[^/?#@]*@)?[^/?#:]+:([0-9]+)", 1)
+      SchemeRe + "(?:[^/?#@]*@)?" + HostReNc + ":([0-9]+)", 1)
     val path = regexp_extract(url, SchemeRe + "[^/?#]*([^?#]*)", 1)
     // first '?' BEFORE any '#': a '?' inside the fragment is not a query
     val query = regexp_extract(url, "^[^#?]*\\?([^#]*)", 1)
@@ -74,6 +87,12 @@ object UrlCanon {
       when(keepPort, concat(lit(":"), port)).otherwise(lit("")),
       when(path === "", lit("/")).otherwise(path),
       when(q === "", lit("")).otherwise(concat(lit("?"), q)))
-    when(host === "", url).otherwise(canon)
+    // Passthrough: no scheme://host at all, OR a broken IP-literal
+    // (an unclosed '[' falls through to the reg-name branch as a bare
+    // '[' — rewriting it would corrupt the URL, the documented
+    // unparseable-passes-through contract).
+    when(host === "" ||
+      (host.startsWith("[") && !host.endsWith("]")), url)
+      .otherwise(canon)
   }
 }

@@ -722,6 +722,12 @@ object PipelineQueries {
     val k = col("o_orderkey")
     orders.select(k).withColumn("url",
       when(k % 97 === 31, concat(lit("not-a-url-"), k.cast("string")))
+        .when(k % 97 === 62, concat(
+          when(k % 2 === 0, lit("HTTP://[2001:DB8::1]:80"))
+            .otherwise(lit("https://User@[2001:DB8::1]:8443")),
+          lit("/v6/"), (k % 7).cast("string")))
+        .when(k % 97 === 93,
+          concat(lit("http://[::1/broken/"), k.cast("string")))
         .otherwise(concat(
           when(k % 2 === 0, lit("HtTp")).otherwise(lit("HTTPS")),
           lit("://WWW.Site"), (k % 5).cast("string"), lit(".Example.COM"),
@@ -740,6 +746,12 @@ object PipelineQueries {
   private val messyUrlSqlExpr: String =
     """CASE WHEN o_orderkey % 97 = 31
       |  THEN 'not-a-url-' || CAST(o_orderkey AS VARCHAR)
+      |  WHEN o_orderkey % 97 = 62
+      |  THEN (CASE WHEN o_orderkey % 2 = 0 THEN 'HTTP://[2001:DB8::1]:80'
+      |             ELSE 'https://User@[2001:DB8::1]:8443' END) ||
+      |    '/v6/' || CAST(o_orderkey % 7 AS VARCHAR)
+      |  WHEN o_orderkey % 97 = 93
+      |  THEN 'http://[::1/broken/' || CAST(o_orderkey AS VARCHAR)
       |  ELSE (CASE WHEN o_orderkey % 2 = 0 THEN 'HtTp' ELSE 'HTTPS' END) ||
       |    '://WWW.Site' || CAST(o_orderkey % 5 AS VARCHAR) ||
       |    '.Example.COM' ||
@@ -764,23 +776,25 @@ object PipelineQueries {
        |    lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1))
        |      AS sch,
        |    lower(regexp_extract(url,
-       |      '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1))
-       |      AS hst,
+       |      '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?(\\[[^\\]/?#]*\\]|[^/?#:]+)',
+       |      1)) AS hst,
        |    regexp_extract(url,
-       |      '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?[^/?#:]+:([0-9]+)',
+       |      '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?(?:\\[[^\\]/?#]*\\]|[^/?#:]+):([0-9]+)',
        |      1) AS prt,
        |    regexp_extract(url,
        |      '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS pth,
        |    regexp_extract(url, '^[^#?]*\\?([^#]*)', 1) AS qry
        |  FROM u),
        |cq AS (SELECT o_orderkey, url, sch, hst, prt, pth,
-       |    array_to_string(list_sort(list_filter(string_split(qry, '&'),
+       |    coalesce(array_to_string(list_sort(list_filter(
+       |      string_split(qry, '&'),
        |      p -> p <> '' AND NOT starts_with(split_part(p, '=', 1), 'utm_')
        |        AND NOT list_contains($tracking, split_part(p, '=', 1)))),
-       |      '&') AS qs
+       |      '&'), '') AS qs
        |  FROM c),
        |canon AS (SELECT o_orderkey, url,
-       |    CASE WHEN hst = '' THEN url ELSE
+       |    CASE WHEN hst = ''
+       |           OR (hst LIKE '[%' AND hst NOT LIKE '%]') THEN url ELSE
        |      sch || '://' || hst ||
        |      (CASE WHEN prt <> '' AND NOT (sch = 'http' AND prt = '80')
        |            AND NOT (sch = 'https' AND prt = '443')

@@ -102,13 +102,40 @@ object CowTable {
     // recomputed per attempt so a concurrent evolution can't be
     // regressed (if the rival added our columns first, ours folds to
     // a no-op DDL).
-    val adds = writeFiles(spark, path, df.select(cols.map(col): _*),
+    val written = df.select(cols.map(col): _*)
+    val adds = writeFiles(spark, path, written,
       snap0.statsCols, snap0.partitionCols.getOrElse(Seq.empty),
       snap0.checkConstraints)
+    // Constraints validated so far: snap0's, via writeFiles above. A
+    // concurrent addConstraint landing between snap0 and our winning
+    // CAS is a conflicting METADATA commit — each retry re-reads the
+    // snapshot, and any (name, expr) pair we haven't validated yet
+    // must re-validate the published-but-uncommitted adds BEFORE the
+    // commit, or a violating append publishes into a constrained
+    // table (ADVICE r12; merge/deleteWhere/updateWhere restage per
+    // retry and re-validate naturally — only append reuses files).
+    var validated = snap0.checkConstraints.toSet
     retrying(s"append to $path") {
       val snap = TxLog.snapshot(spark, path)
       if (alreadyApplied(snap, txn)) true
       else {
+        val fresh = snap.checkConstraints.filterNot(validated)
+        if (fresh.nonEmpty) {
+          val addsDf = readAddsAs(spark, path, written.schema, adds)
+          fresh.foreach { case (name, e) =>
+            firstViolation(addsDf, e).foreach { row =>
+              // unreferenced — reclaim eagerly instead of waiting for
+              // a vacuum horizon
+              val f = TxLog.fs(spark, path)
+              adds.foreach(a =>
+                try { f.delete(new Path(path, a.path), false); () }
+                catch { case _: java.io.IOException => () })
+              sys.error(s"CHECK constraint '$name' ($e) was added " +
+                s"concurrently and this append violates it: $row")
+            }
+          }
+          validated ++= fresh
+        }
         val (ddl, _) = evolvedSchema(snap, df, mergeSchema, Set.empty)
         TxLog.tryCommit(spark, path,
           Commit(snap.version + 1, "append", adds, Seq.empty, ddl, None,
@@ -751,6 +778,22 @@ object CowTable {
       }
       val removes = head.files.map(_.path).filterNot(targetPaths.contains)
       val adds = target.files.filterNot(a => headPaths.contains(a.path))
+      // Re-added files may predate a constraint: addConstraint only
+      // scanned the then-LIVE snapshot, so a file removed before the
+      // constraint landed was never validated against it. Validate
+      // the re-adds against the head's constraints before publishing
+      // (ADVICE r12) — a constraint referencing a column the target
+      // schema lacks fails analysis, which is equally loud.
+      if (head.checkConstraints.nonEmpty && adds.nonEmpty) {
+        val readded = readAddsAs(spark, path,
+          StructType.fromDDL(target.schemaDDL), adds)
+        head.checkConstraints.foreach { case (name, e) =>
+          firstViolation(readded, e).foreach(row => sys.error(
+            s"cannot restore $path to v$version: re-added rows violate " +
+              s"CHECK constraint '$name' ($e): $row — drop the " +
+              "constraint first or restore to a version it holds on"))
+        }
+      }
       if (removes.isEmpty && adds.isEmpty) true
       else TxLog.tryCommit(spark, path, Commit(head.version + 1,
         "restore", adds, removes,
@@ -959,6 +1002,25 @@ object CowTable {
     f.delete(stagingRoot, true)
     out.toSeq
   }
+
+  /** First row of `df` violating CHECK `exprSql` — FALSE only, NULL
+    * passes (SQL CHECK semantics).
+    */
+  private def firstViolation(df: DataFrame,
+      exprSql: String): Option[org.apache.spark.sql.Row] =
+    df.filter(expr(exprSql) === false).limit(1).collect().headOption
+
+  /** Read published manifest entries under an explicit schema (the
+    * [[readFiles]] discipline without a snapshot — constraint
+    * re-validation paths where the relevant schema is the writer's or
+    * a time-traveled one, not the head's).
+    */
+  private def readAddsAs(spark: SparkSession, path: String,
+      schema: StructType, adds: Seq[AddFile]): DataFrame =
+    spark.read.schema(schema)
+      .option("basePath", s"$path/data")
+      .parquet(adds.map(a => s"$path/${a.path}"): _*)
+      .select(schema.fields.map(f => col(f.name)): _*)
 
   private def retrying(what: String)(attempt: => Boolean): Unit = {
     var tries = 0

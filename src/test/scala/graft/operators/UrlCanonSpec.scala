@@ -50,6 +50,19 @@ class UrlCanonSpec extends AnyFunSuite {
     assert(canon("doc-12345") === "doc-12345")
   }
 
+  test("bracketed IPv6 hosts: colon inside [] is not a port separator") {
+    // ADVICE r12: [^/?#:]+ stopped at the ':' in '[::1]' and rewrote
+    // the URL to a corrupted 'http://[/x'.
+    assert(canon("http://[::1]:8080/x") === "http://[::1]:8080/x")
+    assert(canon("HTTP://[2001:DB8::1]:80/x") === "http://[2001:db8::1]/x")
+    assert(canon("https://User@[2001:DB8::1]:8443/v6") ===
+      "https://[2001:db8::1]:8443/v6")
+    assert(canon("https://[::1]?b=2&utm_source=x&a=1") ===
+      "https://[::1]/?a=1&b=2")
+    // an unclosed bracket is unparseable → passthrough, not a rewrite
+    assert(canon("http://[::1/broken") === "http://[::1/broken")
+  }
+
   test("PSL registrable domain: suffix hosts group one label deeper") {
     val hosts = Seq("www.bbc.co.uk", "shop.x.co.uk", "a.b.s.com.au",
       "www.ex.com", "ex.com", "co.uk", "localhost", "deep.go.jp")

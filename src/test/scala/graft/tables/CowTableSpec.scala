@@ -919,6 +919,81 @@ class CowTableSpec extends AnyFunSuite {
     }
   }
 
+  test("append re-validates constraints added during its write window") {
+    // ADVICE r12: append validated constraints once, against snap0,
+    // OUTSIDE the retry loop — an addConstraint landing between snap0
+    // and the winning CAS could let violating rows publish into a
+    // constrained table. The retry loop must treat a changed
+    // constraint set as a conflicting metadata commit and re-validate
+    // the published-but-uncommitted adds. Interleaving: wait for the
+    // append's .staging dir (it has read snap0 and is writing), then
+    // land the constraint; bounded re-tries keep the spec honest if
+    // the narrow lose-the-race window ever hits.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    var raced = false
+    var attempt = 0
+    while (!raced && attempt < 5) {
+      attempt += 1
+      withTable { t =>
+        CowTable.create(spark, t, base(100, 2), Seq("k"))
+        val bad = spark.range(2000, 52000)
+          .select(col("id").as("k"), lit(1000L).as("v"),
+            concat(lit("bad"), col("id")).as("s"))
+          .repartition(16)
+        val fut = Future(CowTable.append(spark, t, bad))
+        val stag = new java.io.File(t, ".staging")
+        val deadline = System.currentTimeMillis + 30000
+        while (!stag.exists && System.currentTimeMillis < deadline)
+          Thread.sleep(2)
+        assert(stag.exists, "append never started staging")
+        try {
+          CowTable.addConstraint(spark, t, "vcap", "v < 500")
+          // constraint won the serialization: append MUST fail whole
+          val e = intercept[Exception] { Await.result(fut, Duration.Inf) }
+          assert(e.getMessage.contains("vcap"), e.getMessage)
+          assert(CowTable.read(spark, t)
+            .filter(col("v") >= 500).isEmpty,
+            "violating rows published into a constrained table")
+          assert(CowTable.read(spark, t).count() === 100)
+          assert(TxLog.snapshot(spark, t).checkConstraints
+            .contains("vcap"))
+          raced = true
+        } catch {
+          case iae: IllegalArgumentException
+              if iae.getMessage.contains("existing row") =>
+            // append committed first — the legal other order; the
+            // table is simply unconstrained with the rows in. Retry
+            // the interleaving.
+            Await.result(fut, Duration.Inf)
+        }
+      }
+    }
+    assert(raced, "constraint never won the race in 5 attempts")
+  }
+
+  test("restore validates re-added files against later constraints") {
+    withTable { t =>
+      CowTable.create(spark, t, base(100, 2), Seq("k")) // v1
+      // v2: rows a LATER constraint would reject, in their own files
+      CowTable.append(spark, t,
+        Seq((200L, 900L, "hot"), (201L, 901L, "hot")).toDF("k", "v", "s"))
+      // v3: remove them — the constraint's liveness scan never sees them
+      CowTable.deleteWhere(spark, t, col("v") >= 500)
+      CowTable.addConstraint(spark, t, "vcap", "v < 500") // v4, passes
+      // ADVICE r12: restore to v2 would re-add never-validated files;
+      // must fail LOUDLY before publishing, head + constraint intact
+      val e = intercept[RuntimeException] { CowTable.restore(spark, t, 2) }
+      assert(e.getMessage.contains("vcap"), e.getMessage)
+      assert(CowTable.read(spark, t).filter(col("v") >= 500).isEmpty)
+      assert(TxLog.snapshot(spark, t).checkConstraints.contains("vcap"))
+      // restoring to a version the constraint HOLDS on still works
+      CowTable.restore(spark, t, 1)
+      assert(CowTable.read(spark, t).count() === 100)
+    }
+  }
+
   test("describeDetail summarizes version, files, rows, governance") {
     withTable { t =>
       CowTable.create(spark, t, base(100, 4).withColumn("b", col("k") % 2),
