@@ -195,6 +195,56 @@ object DedupQueries {
        |)""".stripMargin
   }
 
+  /** One full incremental-dedup SCREEN as prefixed CTEs ending in
+    * `${vp}keeps(doc_id, text)` — the batch docs neither exact- nor
+    * near-duplicated in the corpus. [[sigCtes]] runs over both
+    * relations under distinct prefixes, so several screens chain in
+    * ONE statement: the sequential-replay oracle the feed-curation
+    * gate needs (batch 2 screens against corpus ∪ keeps 1).
+    */
+  private[queries] def screenCtes(corpusRel: String, batchRel: String,
+      cp: String, bp: String, vp: String): String = {
+    val inter = "len(list_filter(sa.s, x -> list_contains(sb.s, x)))"
+    s"""${sigCtes(corpusRel, cp)},
+       |${sigCtes(batchRel, bp)},
+       |${vp}cand AS (SELECT DISTINCT bb.doc_id AS b_id, cc.doc_id AS c_id
+       |  FROM ${bp}bands bb JOIN ${cp}bands cc
+       |    ON bb.band_id = cc.band_id AND bb.band_val = cc.band_val),
+       |${vp}jac AS (SELECT cd.b_id,
+       |    CAST($inter AS DOUBLE) / (len(sa.s) + len(sb.s) - $inter)
+       |      AS jaccard
+       |  FROM ${vp}cand cd
+       |  JOIN ${bp}sh sa ON sa.doc_id = cd.b_id
+       |  JOIN ${cp}sh sb ON sb.doc_id = cd.c_id),
+       |${vp}near AS (SELECT DISTINCT b_id FROM ${vp}jac
+       |  WHERE jaccard >= ${cfg.threshold}),
+       |${vp}exact AS (SELECT DISTINCT bt.doc_id FROM $batchRel bt
+       |  JOIN $corpusRel c ON md5(bt.text) = md5(c.text)),
+       |${vp}keeps AS (SELECT bt.doc_id, bt.text FROM $batchRel bt
+       |  LEFT JOIN ${vp}exact e ON e.doc_id = bt.doc_id
+       |  LEFT JOIN ${vp}near n ON n.b_id = bt.doc_id
+       |  WHERE e.doc_id IS NULL AND n.b_id IS NULL)""".stripMargin
+  }
+
+  /** Second ingest wave for the feed-curation gate, built so its
+    * verdicts DEPEND on wave 1's keeps having entered the curated
+    * corpus: exact and near copies of wave 1's reversed-text KEEPS
+    * (rejected only under sequential screening), a fresh reversed
+    * slice (keeps), and a near copy of the seed (rejected either way).
+    */
+  private[queries] def curateBatch2(docs: DataFrame): DataFrame = {
+    val m = col("doc_id") % 7
+    docs.filter(m === 2 || m === 3 || m === 4)
+      .select(
+        (col("doc_id") + when(m === 2, 500000L).when(m === 3, 600000L)
+          .otherwise(700000L)).as("doc_id"),
+        when(m === 2 || m === 3, reverse(col("text")))
+          .otherwise(concat(col("text"), lit(" zzz"))).as("text"))
+      .unionByName(docs.filter(m === 2).select(
+        (col("doc_id") + 800000L).as("doc_id"),
+        concat(reverse(col("text")), lit(" qqq")).as("text")))
+  }
+
   /** The new-ingest batch screened against the standing corpus: a
     * re-keyed exact-copy slice (exact dups), an appended-token slice
     * (near dups — the planted-pair shape), and a reversed-text slice

@@ -869,7 +869,69 @@ object TableQueries {
     CowTable.read(spark, t).orderBy("o_orderkey")
   }
 
+  /** The continuous-curation loop, end to end and SELF-DRIVEN: raw
+    * ingest commits land in one CowTable (wave 1 create, wave 2
+    * append); its change feed streams through
+    * [[graft.streaming.TableCuration.curateSink]], which screens each
+    * commit IN VERSION ORDER against the curated table with the
+    * proven incremental-dedup verdicts and appends only the keeps,
+    * Txn-stamped. Wave 2 contains exact and near copies of wave 1's
+    * KEEPS — rejected only because wave 1's keeps already entered the
+    * curated corpus, so the hash pins the sequential-screen semantics,
+    * the feed's completeness, and the transactional appends in one.
+    * Both waves arrive in ONE catch-up micro-batch here, exercising
+    * the per-version split inside a single trigger. The oracle
+    * replays the two screens sequentially in DuckDB
+    * ([[DedupQueries.screenCtes]] chained over corpus then
+    * corpus ∪ keeps₁).
+    */
+  def pipelineFeedCurate(spark: SparkSession, dir: String): DataFrame = {
+    val raw = scratch(dir, "fc_raw")
+    val cur = scratch(dir, "fc_cur")
+    val ckpt = scratch(dir, "fc_ckpt")
+    reset(spark, raw); reset(spark, cur); reset(spark, ckpt)
+    val docs = Tables.loadSpread(spark, dir, "documents")
+      .select("doc_id", "text")
+    CowTable.create(spark, cur, docs, Seq("doc_id"))
+    CowTable.create(spark, raw,
+      DedupQueries.incrementalBatch(docs), Seq("doc_id"))        // v1
+    CowTable.append(spark, raw, DedupQueries.curateBatch2(docs)) // v2
+    val feed = graft.streaming.TableChangeFeed
+      .readChanges(spark, raw, startingVersion = 1L)
+    val q = graft.streaming.TableCuration
+      .curateSink(feed, cur, "doc_id", "text")
+      .option("checkpointLocation", ckpt).start()
+    try { q.processAllAvailable() } finally q.stop()
+    CowTable.read(spark, cur).orderBy("doc_id")
+  }
+
+  val pipelineFeedCurateSql: String =
+    s"""WITH batch1 AS (
+       |  SELECT doc_id + 200000 AS doc_id, text FROM documents
+       |  WHERE doc_id % 7 = 0
+       |  UNION ALL SELECT doc_id + 300000, text || ' zzz' FROM documents
+       |  WHERE doc_id % 7 = 1
+       |  UNION ALL SELECT doc_id + 400000, reverse(text) FROM documents
+       |  WHERE doc_id % 7 = 2),
+       |${DedupQueries.screenCtes("documents", "batch1", "c", "b", "v1")},
+       |corpus2 AS (SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT doc_id, text FROM v1keeps),
+       |batch2 AS (
+       |  SELECT doc_id + 500000 AS doc_id, reverse(text) AS text
+       |  FROM documents WHERE doc_id % 7 = 2
+       |  UNION ALL SELECT doc_id + 600000, reverse(text) FROM documents
+       |  WHERE doc_id % 7 = 3
+       |  UNION ALL SELECT doc_id + 700000, text || ' zzz' FROM documents
+       |  WHERE doc_id % 7 = 4
+       |  UNION ALL SELECT doc_id + 800000, reverse(text) || ' qqq'
+       |  FROM documents WHERE doc_id % 7 = 2),
+       |${DedupQueries.screenCtes("corpus2", "batch2", "d", "e", "v2")}
+       |SELECT doc_id, text FROM corpus2
+       |UNION ALL SELECT doc_id, text FROM v2keeps
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_feed_curate" -> (pipelineFeedCurate(_, _)),
     "table_constraint" -> (tableConstraint(_, _)),
     "pipeline_table_history" -> (pipelineTableHistory(_, _)),
     "table_read_where" -> (tableReadWhere(_, _)),
@@ -893,6 +955,7 @@ object TableQueries {
     "table_compact" -> (tableCompact(_, _)))
 
   val oracleSql: Map[String, String] = Map(
+    "pipeline_feed_curate" -> pipelineFeedCurateSql,
     "table_constraint" -> tableMergeSql,
     "pipeline_table_history" -> pipelineTableHistorySql,
     "table_read_where" -> tableReadWhereSql,

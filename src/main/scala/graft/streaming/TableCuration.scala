@@ -1,0 +1,78 @@
+package graft.streaming
+
+import graft.dedup.{IncrementalDedup, MinHashLSH}
+import graft.tables.{CowTable, TxLog}
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+/** Streaming face #37: a SELF-CURATING corpus — the change feed's
+  * fourth consumer (beside the aggregate sink, the replica, and the
+  * SCD2 history): a raw ingest table's commits stream through the
+  * PROVEN incremental-dedup screen ([[IncrementalDedup.verdicts]] —
+  * exact md5 + LSH-banded near, the `dedup_incremental` semantics
+  * verbatim) against the CURRENT curated table, and only the `keep`
+  * verdicts append. This closes the continuous-curation loop a 100 TB
+  * training pipeline actually runs: raw crawl batches land in a
+  * transactional table; the curated corpus maintains ITSELF from that
+  * table's feed — no external orchestration deciding what's new, no
+  * corpus rescan, O(|commit|) screen work per trigger.
+  *
+  * '''Order matters and is pinned''': a batch-2 document that
+  * near-duplicates a batch-1 KEEP must be rejected, which only holds
+  * if commits screen in version order against a corpus that already
+  * absorbed the earlier keeps. A catch-up micro-batch may span several
+  * source commits, so the sink splits it by `_commit_version` and
+  * screens sequentially (the [[TableHistory]] discipline).
+  *
+  * '''Exactly-once''': each source commit's keeps append stamped
+  * `Txn(appId, sourceVersion)` — a replayed trigger (sink retry,
+  * checkpoint recovery) sees the stamp and skips the version whole,
+  * BEFORE paying the screen again.
+  *
+  * '''Within-batch duplicates''' are out of scope here, same as the
+  * batch operator's contract ([[IncrementalDedup]] scaladoc): run
+  * [[StreamDedup]] (exact) upstream, or pre-clean each raw commit.
+  *
+  * The screen persists shared scan frames internally; the sink
+  * reclaims the session cache after each micro-batch (the same
+  * discipline as the Verify harness) — co-locate other cache-relying
+  * pipelines in their own session.
+  */
+object TableCuration {
+
+  /** Wire a [[TableChangeFeed.readChanges]] frame of a raw ingest
+    * table into a curated CowTable at `curatedPath` (pre-created with
+    * the seed corpus; stream the feed from the first un-curated
+    * version). `idCol`/`textCol` name the document key and body in
+    * BOTH tables.
+    */
+  def curateSink(feed: DataFrame, curatedPath: String, idCol: String,
+      textCol: String, cfg: MinHashLSH.Config = MinHashLSH.Config(),
+      appId: String = "table-curation"): DataStreamWriter[Row] =
+    feed.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      if (!batch.isEmpty) {
+        val spark = batch.sparkSession
+        val vc = TableChangeFeed.VersionCol
+        val versions = batch.select(vc).distinct().collect()
+          .map(_.getLong(0)).sorted
+        versions.foreach { v =>
+          val applied = TxLog.snapshot(spark, curatedPath)
+            .txnVersion(appId).exists(_ >= v)
+          if (!applied) {
+            val docs = batch.filter(col(vc) === v)
+              .select(col(idCol), col(textCol))
+            val curated = CowTable.read(spark, curatedPath)
+            val keeps = docs.join(
+              IncrementalDedup.verdicts(curated, docs, idCol, textCol, cfg)
+                .filter(col("keep") === 1)
+                .select(col("doc_id").as(idCol)),
+              idCol)
+            CowTable.append(spark, curatedPath, keeps,
+              txn = Some(TxLog.Txn(appId, v)))
+          }
+        }
+        spark.catalog.clearCache()
+      }
+    }
+}

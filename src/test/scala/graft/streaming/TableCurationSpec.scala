@@ -1,0 +1,108 @@
+package graft.streaming
+
+import graft.SparkTestSession
+import graft.tables.{CowTable, TxLog}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[TableCuration]]: a raw ingest table's change feed drives the
+  * incremental-dedup screen into a curated table — commits screen in
+  * version order against the keeps already admitted, and replays
+  * no-op on the Txn stamps. The cross-engine verdict semantics are
+  * the `pipeline_feed_curate` oracle's; this spec pins the
+  * streaming-specific contracts.
+  */
+class TableCurationSpec extends AnyFunSuite {
+
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def withDir(f: java.io.File => Unit): Unit = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cur_").toFile
+    try f(dir) finally rmrf(dir)
+  }
+  private def rmrf(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(rmrf)
+    f.delete(); ()
+  }
+
+  private def doc(words: Int, salt: String): String =
+    (0 until words).map(i => s"$salt$i").mkString(" ")
+
+  private def drain(raw: String, cur: String, ckpt: String): Unit = {
+    val q = TableCuration.curateSink(
+      TableChangeFeed.readChanges(spark, raw), cur, "doc_id", "text")
+      .option("checkpointLocation", ckpt).start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
+  private def ids(cur: String): Set[Long] =
+    CowTable.read(spark, cur).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+
+  test("commits screen in version order against earlier keeps") {
+    withDir { dir =>
+      val raw = dir.getAbsolutePath + "/raw"
+      val cur = dir.getAbsolutePath + "/cur"
+      val ckpt = dir.getAbsolutePath + "/ck"
+      CowTable.create(spark, cur,
+        Seq((1L, doc(24, "seed"))).toDF("doc_id", "text"), Seq("doc_id"))
+      // v1: B is new; v2: B' near-dups B (one appended token — the
+      // planted-pair shape) and C is new. B' must be rejected, which
+      // only happens if v1's keep entered the corpus before v2 screened
+      // — BOTH commits arrive in one catch-up micro-batch here.
+      CowTable.create(spark, raw,
+        Seq((2L, doc(24, "bee"))).toDF("doc_id", "text"), Seq("doc_id"))
+      CowTable.append(spark, raw,
+        Seq((3L, doc(24, "bee") + " zzz"), (4L, doc(24, "sea")))
+          .toDF("doc_id", "text"))
+      drain(raw, cur, ckpt)
+      assert(ids(cur) === Set(1L, 2L, 4L))
+      // curated table carries one Txn stamp per screened version
+      assert(TxLog.snapshot(spark, cur)
+        .txnVersion("table-curation") === Some(2L))
+    }
+  }
+
+  test("replays no-op: fresh checkpoint, same feed, no re-admission") {
+    withDir { dir =>
+      val raw = dir.getAbsolutePath + "/raw"
+      val cur = dir.getAbsolutePath + "/cur"
+      CowTable.create(spark, cur,
+        Seq((1L, doc(24, "seed"))).toDF("doc_id", "text"), Seq("doc_id"))
+      CowTable.create(spark, raw,
+        Seq((2L, doc(24, "bee"))).toDF("doc_id", "text"), Seq("doc_id"))
+      drain(raw, cur, dir.getAbsolutePath + "/ck1")
+      val v = TxLog.latestVersion(spark, cur)
+      // a FRESH checkpoint replays the whole feed; the Txn stamps must
+      // skip every version BEFORE paying the screen, leaving the
+      // curated log untouched (doc 2 is now an exact dup of itself —
+      // re-screening would wrongly reject-or-duplicate it)
+      drain(raw, cur, dir.getAbsolutePath + "/ck2")
+      assert(TxLog.latestVersion(spark, cur) === v)
+      assert(ids(cur) === Set(1L, 2L))
+    }
+  }
+
+  test("checkpoint restart screens only the new commits") {
+    withDir { dir =>
+      val raw = dir.getAbsolutePath + "/raw"
+      val cur = dir.getAbsolutePath + "/cur"
+      val ckpt = dir.getAbsolutePath + "/ck"
+      CowTable.create(spark, cur,
+        Seq((1L, doc(24, "seed"))).toDF("doc_id", "text"), Seq("doc_id"))
+      CowTable.create(spark, raw,
+        Seq((2L, doc(24, "bee"))).toDF("doc_id", "text"), Seq("doc_id"))
+      drain(raw, cur, ckpt)
+      // while the stream is down: an exact dup of an admitted keep and
+      // a new doc land in the raw table
+      CowTable.append(spark, raw,
+        Seq((5L, doc(24, "bee")), (6L, doc(24, "new")))
+          .toDF("doc_id", "text"))
+      drain(raw, cur, ckpt)
+      assert(ids(cur) === Set(1L, 2L, 6L))
+      assert(TxLog.snapshot(spark, cur)
+        .txnVersion("table-curation") === Some(2L))
+    }
+  }
+}
