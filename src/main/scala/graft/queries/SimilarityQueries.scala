@@ -1259,6 +1259,169 @@ object SimilarityQueries {
 
   val simIvfPqResSql: String = ivfPqOracleSql(ivfPqResCfg)
 
+  // -------------------------------------------------------- feed-fed ANN
+
+  /** Seed-epoch membership for the feed-ANN gate. The floor keeps ids
+    * 0..63 in the seed so BOTH trainers' "k smallest ids" seeding
+    * (cells = 8 coarse, codeK = 16 PQ) reduces to `vec_id < k` over
+    * the fit relation — the form the SQL chain seeds with.
+    */
+  private val FeedSeedCond = "(vec_id < 64 OR vec_id % 3 <> 2)"
+
+  /** The ANN index maintained from a TABLE's change feed — feed
+    * consumer #5, closing the embedding-side incremental loop: vectors
+    * live in a transactional CowTable; the seed epoch fits the IVFADC
+    * model and bootstraps the persisted index OFFLINE
+    * ([[IvfPq.writeIndex]] — model FROZEN from that epoch, the
+    * production retrain discipline); the day's ingest appends to the
+    * table and its change feed streams through
+    * [[graft.streaming.AnnIngestStream]], coding each commit's vectors
+    * with the frozen model into their cells' partitions. Queries then
+    * serve from the final index ([[IvfPq.topKIndexed]] — probed-cell
+    * partition pruning). Because a row's codes depend only on the
+    * frozen model and the row, append-then-serve ≡ coding the union up
+    * front; the oracle replays the WHOLE pipeline with the fit
+    * restricted to the seed epoch and the assignment over everything —
+    * so the hash pins the feed's completeness, the stream coding, AND
+    * the split-epoch model semantics in one.
+    */
+  def pipelineFeedAnn(spark: SparkSession, dir: String): DataFrame = {
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_cow/" +
+      s"${new java.io.File(dir).getName}"
+    val raw = s"$root/fa_src"
+    val ckpt = s"$root/fa_ckpt"
+    Seq(raw, ckpt).foreach { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = graft.tables.TxLog.fs(spark, p)
+      if (fs.exists(hp)) { fs.delete(hp, true); () }
+    }
+    // DROP clears this session's catalog; the WAREHOUSE dir outlives
+    // the JVM (a prior Verify run's managed table), so reclaim the
+    // location too or saveAsTable refuses with LOCATION_ALREADY_EXISTS
+    Seq("graft_feedann", "graft_feedann_model").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new org.apache.hadoop.fs.Path(
+        s"${spark.conf.get("spark.sql.warehouse.dir")}/$t")
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) { fs.delete(loc, true); () }
+    }
+    val emb = Tables.loadSpread(spark, dir, "embeddings")
+      .select("vec_id", "embedding")
+    val seedCut = col("vec_id") < 64 || col("vec_id") % 3 =!= 2
+    graft.tables.CowTable.create(spark, raw, emb.filter(seedCut),
+      Seq("vec_id"))                                       // v1: seed epoch
+    val model = IvfPq.writeIndex(
+      graft.tables.CowTable.read(spark, raw, Some(1L)),
+      "vec_id", "embedding", Dim, "graft_feedann", ivfPqCfg)
+    graft.tables.CowTable.append(spark, raw, emb.filter(!seedCut)) // v2
+    val feed = graft.streaming.TableChangeFeed
+      .readChanges(spark, raw, startingVersion = 2L)
+      .select("vec_id", "embedding")
+    val q = graft.streaming.AnnIngestStream
+      .maintain(feed, "vec_id", "embedding", Dim, "graft_feedann", model,
+        ivfPqCfg)()
+      .option("checkpointLocation", ckpt).start()
+    try { q.processAllAvailable() } finally q.stop()
+    IvfPq.topKIndexed(spark, "graft_feedann",
+        emb.filter(col("vec_id") < QueryCount), "vec_id", "embedding",
+        Dim, K, ivfPqCfg)
+      .orderBy("q_id", "rank")
+  }
+
+  /** [[ivfPqOracleSql]]'s non-residual chain with the EPOCH SPLIT the
+    * feed gate needs: every Lloyd's iteration (coarse and all `m` PQ
+    * subspaces) reads only the seed slice, then ONE extra assignment
+    * CTE per codebook codes ALL vectors against the frozen final
+    * centroids — fit-on-seed, assign-everything, exactly
+    * [[IvfPq.writeIndex]] + [[IvfPq.appendToIndex]].
+    */
+  private def feedAnnOracleSql(cfg: IvfPq.Config): String = {
+    require(!cfg.residual, "feed gate replays the global-coding variant")
+    val pq = cfg.pq
+    val scale = f"${pq.kmCfg.scale}%.1f"
+    val m = pq.m
+    val sub = Dim / m
+    val fin = pq.iters
+    val cFin = cfg.coarseIters
+    def assignAll(name: String, src: String, cents: String) =
+      s"""$name AS MATERIALIZED (SELECT vec_id, q, qn, cid, dist FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |      ORDER BY dist, cid) AS rn FROM (
+         |    SELECT n.vec_id, n.q, n.qn, c.cid,
+         |      n.qn + c.cn - 2 * ${foldDot("n.q", "c.cv")} AS dist
+         |    FROM $src n CROSS JOIN $cents c)) WHERE rn = 1)""".stripMargin
+    val chains = (0 until m).map { s =>
+      val lo = s * sub + 1
+      val hi = (s + 1) * sub
+      s"""n_$s AS MATERIALIZED (SELECT vec_id, q[$lo:$hi] AS q,
+         |    ${foldDot(s"q[$lo:$hi]", s"q[$lo:$hi]")} AS qn FROM v),
+         |nfit_$s AS MATERIALIZED (SELECT * FROM n_$s
+         |  WHERE $FeedSeedCond),
+         |${kmChainCtes(s"fit_$s", sub, pq.codeK, pq.iters)},
+         |${assignAll(s"af_$s", s"n_$s", s"c${fin - 1}fit_$s")}""".stripMargin
+    }.mkString(",\n")
+    val codeCols = (0 until m)
+      .map(s => s"a$s.cid AS c$s").mkString(", ")
+    val codeJoins = (1 until m)
+      .map(s => s"JOIN af_$s a$s ON a$s.vec_id = a0.vec_id")
+      .mkString("\n  ")
+    val pds = (0 until m).map { s =>
+      s"""pd_$s AS MATERIALIZED (SELECT n.vec_id AS q_id, c.cid,
+         |    n.qn + c.cn - 2 * ${foldDot("n.q", "c.cv")} AS d
+         |  FROM n_$s n CROSS JOIN c${fin - 1}fit_$s c
+         |  WHERE n.vec_id < $QueryCount)""".stripMargin
+    }.mkString(",\n")
+    val pdJoins = (1 until m)
+      .map(s => s"JOIN pd_$s p$s ON p$s.cid = k.c$s AND p$s.q_id = pb.q_id")
+      .mkString("\n  ")
+    val distSum = (0 until m).map(s => s"p$s.d").mkString(" + ")
+    s"""WITH v AS MATERIALIZED (SELECT vec_id,
+       |    [floor(x * $scale) for x in embedding::DOUBLE[]] AS q
+       |  FROM embeddings),
+       |nf AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS fv FROM embeddings),
+       |nn AS MATERIALIZED (SELECT vec_id, fv, ${foldDot("fv", "fv")} AS nrm FROM nf),
+       |n_cc AS MATERIALIZED (SELECT vec_id, q, ${foldDot("q", "q")} AS qn FROM v),
+       |nfit_cc AS MATERIALIZED (SELECT * FROM n_cc WHERE $FeedSeedCond),
+       |${kmChainCtes("fit_cc", Dim, cfg.cells, cFin)},
+       |${assignAll("af_cc", "n_cc", s"c${cFin - 1}fit_cc")},
+       |probes AS MATERIALIZED (SELECT q_id, cell FROM (
+       |  SELECT n.vec_id AS q_id, c.cid AS cell,
+       |    ROW_NUMBER() OVER (PARTITION BY n.vec_id
+       |      ORDER BY n.qn + c.cn - 2 * ${foldDot("n.q", "c.cv")}, c.cid)
+       |      AS prn
+       |  FROM n_cc n CROSS JOIN c${cFin - 1}fit_cc c
+       |  WHERE n.vec_id < $QueryCount) WHERE prn <= ${cfg.nProbe}),
+       |$chains,
+       |codes AS MATERIALIZED (SELECT a0.vec_id, cc.cid AS cell, $codeCols
+       |  FROM af_0 a0
+       |  JOIN af_cc cc ON cc.vec_id = a0.vec_id
+       |  $codeJoins),
+       |$pds,
+       |pq AS MATERIALIZED (SELECT pb.q_id, k.vec_id AS n_id, $distSum AS dist_pq
+       |  FROM codes k
+       |  JOIN probes pb ON pb.cell = k.cell
+       |  JOIN pd_0 p0 ON p0.cid = k.c0 AND p0.q_id = pb.q_id
+       |  $pdJoins
+       |  WHERE k.vec_id <> pb.q_id),
+       |scr AS MATERIALIZED (SELECT q_id, n_id, dist_pq FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY dist_pq, n_id) AS srank FROM pq)
+       |  WHERE srank <= ${pq.screenK}),
+       |wc AS MATERIALIZED (SELECT s.q_id, s.n_id, s.dist_pq,
+       |    ${foldDot("qf.fv", "df.fv")} / (sqrt(qf.nrm) * sqrt(df.nrm))
+       |      AS cos_sim
+       |  FROM scr s JOIN nn qf ON qf.vec_id = s.q_id
+       |  JOIN nn df ON df.vec_id = s.n_id)
+       |SELECT q_id, rank, n_id, cos_sim, dist_pq FROM (
+       |  SELECT q_id, n_id, cos_sim, dist_pq,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id
+       |                       ORDER BY cos_sim DESC, n_id) AS rank
+       |  FROM wc)
+       |WHERE rank <= $K ORDER BY q_id, rank""".stripMargin
+  }
+
+  val pipelineFeedAnnSql: String = feedAnnOracleSql(ivfPqCfg)
+
   // ---------------------------------------------------------------- fused
 
   private val RrfK0 = 60
@@ -1897,6 +2060,7 @@ object SimilarityQueries {
     "sim_pq" -> (simPq(_, _)),
     "sim_ivfpq" -> (simIvfPq(_, _)),
     "sim_ivfpq_res" -> (simIvfPqRes(_, _)),
+    "pipeline_feed_ann" -> (pipelineFeedAnn(_, _)),
     "sim_graph_search" -> (simGraphSearch(_, _)),
     "sim_fused" -> (simFused(_, _)),
     "embed_kmeans" -> (embedKmeans(_, _)),
@@ -1936,6 +2100,7 @@ object SimilarityQueries {
     "sim_pq" -> simPqSql,
     "sim_ivfpq" -> simIvfPqSql,
     "sim_ivfpq_res" -> simIvfPqResSql,
+    "pipeline_feed_ann" -> pipelineFeedAnnSql,
     "sim_fused" -> simFusedSql,
     "embed_kmeans" -> embedKmeansSql,
     "embed_kmeans_label" -> embedKmeansSql)
