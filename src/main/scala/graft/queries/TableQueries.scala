@@ -930,7 +930,43 @@ object TableQueries {
        |UNION ALL SELECT doc_id, text FROM v2keeps
        |ORDER BY doc_id""".stripMargin
 
+  /** Shallow-clone round trip with divergence on BOTH sides: the clone
+    * references the range-clustered source's files by absolute path
+    * (zero copies), a narrow predicate UPDATE on the clone rewrites
+    * ONLY the touched low-key file into the clone's own data dir
+    * (externally-referenced candidates probed, touched external entry
+    * swapped for a local rewrite — the COW-on-clone path), then a
+    * source-side DELETE removes every fifth key FROM THE SOURCE ONLY.
+    * Gate output = the clone read back: a mixed external+local
+    * snapshot where any leak of the source delete, any miss of the
+    * clone update, or any broken external reference changes the hash.
+    */
+  def tableClone(spark: SparkSession, dir: String): DataFrame = {
+    val src = scratch(dir, "clone_src")
+    val dst = scratch(dir, "clone_dst")
+    reset(spark, src); reset(spark, dst)
+    val base = Tables.load(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+    CowTable.create(spark, src,
+      base.repartitionByRange(8, col("o_orderkey")), Seq("o_orderkey"))
+    CowTable.shallowClone(spark, src, dst)
+    CowTable.updateWhere(spark, dst, col("o_orderkey") < 2000,
+      Map("o_totalprice" -> (col("o_totalprice") + 100.0d),
+        "o_orderstatus" -> lit("U")))
+    CowTable.deleteWhere(spark, src, col("o_orderkey") % 5 === 0)
+    CowTable.read(spark, dst).orderBy("o_orderkey")
+  }
+
+  val tableCloneSql: String =
+    """SELECT o_orderkey, o_custkey,
+      |  CASE WHEN o_orderkey < 2000 THEN o_totalprice + 100.0
+      |       ELSE o_totalprice END AS o_totalprice,
+      |  CASE WHEN o_orderkey < 2000 THEN 'U'
+      |       ELSE o_orderstatus END AS o_orderstatus
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "table_clone" -> (tableClone(_, _)),
     "pipeline_feed_curate" -> (pipelineFeedCurate(_, _)),
     "table_constraint" -> (tableConstraint(_, _)),
     "pipeline_table_history" -> (pipelineTableHistory(_, _)),
@@ -955,6 +991,7 @@ object TableQueries {
     "table_compact" -> (tableCompact(_, _)))
 
   val oracleSql: Map[String, String] = Map(
+    "table_clone" -> tableCloneSql,
     "pipeline_feed_curate" -> pipelineFeedCurateSql,
     "table_constraint" -> tableMergeSql,
     "pipeline_table_history" -> pipelineTableHistorySql,

@@ -360,7 +360,7 @@ object CowTable {
           val tableRoot = TxLog.fs(spark, path)
             .makeQualified(new Path(path)).toUri.getPath.stripSuffix("/")
           val byAbs: Map[String, AddFile] =
-            candidates.map(f => s"$tableRoot/${f.path}" -> f).toMap
+            candidates.map(f => fileUri(tableRoot, f.path) -> f).toMap
           val touched = candDf.join(upData, keyJoin, "left_semi")
             .select("_gf").distinct().collect()
             .map { r =>
@@ -525,7 +525,7 @@ object CowTable {
       val tableRoot = TxLog.fs(spark, path)
         .makeQualified(new Path(path)).toUri.getPath.stripSuffix("/")
       val byAbs: Map[String, AddFile] =
-        candidates.map(f => s"$tableRoot/${f.path}" -> f).toMap
+        candidates.map(f => fileUri(tableRoot, f.path) -> f).toMap
       val touched = readFiles(spark, path, snap, candidates)
         .withColumn("_gf", input_file_name())
         .filter(coalesce(cond, lit(false)))
@@ -773,7 +773,7 @@ object CowTable {
       val targetPaths = target.files.map(_.path).toSet
       val f = TxLog.fs(spark, path)
       target.files.filterNot(a => headPaths.contains(a.path)).foreach { a =>
-        require(f.exists(new Path(path, a.path)),
+        require(f.exists(new Path(fileUri(path, a.path))),
           s"cannot restore to v$version: ${a.path} was vacuumed")
       }
       val removes = head.files.map(_.path).filterNot(targetPaths.contains)
@@ -803,6 +803,50 @@ object CowTable {
         // reads consistent)
         Some(target.schemaDDL), None, None))
     }
+
+  /** SHALLOW CLONE: create a new table at `dstPath` whose manifest
+    * REFERENCES `srcPath`'s data files by absolute path — zero bytes
+    * copied, one metadata commit, however large the source. The
+    * dev/test/experiment workflow every table format grows: fork a
+    * 100 TB production table in milliseconds, run destructive
+    * experiments against the fork, throw it away.
+    *
+    * The clone is an INDEPENDENT table from birth: its own log, so
+    * writes to either side never affect the other (the source's files
+    * are immutable — a clone-side merge/delete REWRITES its copy of a
+    * touched file into the clone's own `data/` and drops the external
+    * reference; zone maps, constraints, schema and partition layout
+    * carry over; `asOfVersion` clones a time-traveled snapshot).
+    * A whole-table [[optimize]] doubles as MATERIALIZE: after it, no
+    * external references remain.
+    *
+    * '''Retention contract''' (the Delta shallow-clone caveat,
+    * documented not hidden): the source's [[vacuum]] does not know
+    * about clones — reaping a file a clone still references breaks
+    * that clone's reads (loudly, at scan time). Clone lifetimes must
+    * sit inside the source's retention horizon, or materialize first.
+    * The clone's own vacuum only ever walks the clone's `data/`, so it
+    * can never delete source files.
+    */
+  def shallowClone(spark: SparkSession, srcPath: String, dstPath: String,
+      asOfVersion: Option[Long] = None): Unit = {
+    require(TxLog.latestVersion(spark, dstPath) == 0,
+      s"table already exists at $dstPath")
+    val snap = TxLog.snapshot(spark, srcPath, asOfVersion)
+    val srcRoot = TxLog.fs(spark, srcPath)
+      .makeQualified(new Path(srcPath)).toUri.getPath.stripSuffix("/")
+    // a clone of a clone keeps grand-source references as they are —
+    // external entries are already absolute
+    val adds = snap.files.map(f =>
+      f.copy(path = fileUri(srcRoot, f.path)))
+    val c = Commit(1L, "clone", adds, Seq.empty, Some(snap.schemaDDL),
+      Some(snap.statsCols), None, snap.partitionCols, None,
+      constraintsAdd =
+        if (snap.checkConstraints.isEmpty) None
+        else Some(snap.checkConstraints))
+    require(TxLog.tryCommit(spark, dstPath, c),
+      s"concurrent create at $dstPath")
+  }
 
   /** Rows ADDED by commit `v` (the file-level change feed; for merges
     * this is rewritten survivors + updates + inserts — file-layout
@@ -872,21 +916,53 @@ object CowTable {
       snap: Snapshot): DataFrame =
     readFiles(spark, path, snap, snap.files)
 
+  /** Manifest entries are table-root-relative — EXCEPT a shallow
+    * clone's, which reference the SOURCE's files by absolute path
+    * (zero bytes copied, [[shallowClone]]).
+    */
+  private def isExternal(p: String): Boolean = p.startsWith("/")
+
+  /** On-disk location of a manifest entry under its owning root. */
+  private def fileUri(root: String, p: String): String =
+    if (isExternal(p)) p else s"$root/$p"
+
+  /** The `data/` partition root that owns a manifest entry — the
+    * basePath hive-style `col=value` segments parse against. External
+    * (clone) entries parse against the SOURCE's data root; hive
+    * escaping %-encodes '/' inside values, so the last literal
+    * `/data/` segment is unambiguous.
+    */
+  private def dataRootOf(tableRoot: String, p: String): String =
+    if (!isExternal(p)) s"$tableRoot/data"
+    else p.substring(0, p.lastIndexOf("/data/") + "/data".length)
+
   private def readFiles(spark: SparkSession, path: String, snap: Snapshot,
-      files: Seq[AddFile]): DataFrame = {
-    val schema = StructType.fromDDL(snap.schemaDDL)
+      files: Seq[AddFile]): DataFrame =
+    readGrouped(spark, path, StructType.fromDDL(snap.schemaDDL), files)
+
+  /** Read manifest entries under an explicit schema, grouped by their
+    * owning partition root: basePath makes the hive-style `col=value`
+    * segments of a partitioned layout parse back into columns even
+    * though we hand the reader an explicit FILE list, and a cloned
+    * table may hold entries under BOTH its own `data/` and its
+    * source's (one read per root, unioned — root count is the clone
+    * chain depth, almost always 1 or 2).
+    */
+  private def readGrouped(spark: SparkSession, path: String,
+      schema: StructType, files: Seq[AddFile]): DataFrame = {
     if (files.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else {
-      // basePath makes the hive-style `col=value` segments of a
-      // partitioned layout parse back into columns even though we hand
-      // the reader an explicit FILE list; `data/` is the single
-      // partition root (writeFiles' staged-rename layout).
-      val reader = spark.read.schema(schema)
-        .option("basePath", s"$path/data")
-        .parquet(files.map(f => s"$path/${f.path}"): _*)
-      reader.select(schema.fields.map(f => col(f.name)): _*)
+      val frames = files.groupBy(f => dataRootOf(path, f.path))
+        .toSeq.sortBy(_._1)
+        .map { case (root, fs) =>
+          spark.read.schema(schema)
+            .option("basePath", root)
+            .parquet(fs.map(f => fileUri(path, f.path)): _*)
+        }
+      frames.reduce(_ unionByName _)
+        .select(schema.fields.map(f => col(f.name)): _*)
     }
   }
 
@@ -1017,10 +1093,7 @@ object CowTable {
     */
   private def readAddsAs(spark: SparkSession, path: String,
       schema: StructType, adds: Seq[AddFile]): DataFrame =
-    spark.read.schema(schema)
-      .option("basePath", s"$path/data")
-      .parquet(adds.map(a => s"$path/${a.path}"): _*)
-      .select(schema.fields.map(f => col(f.name)): _*)
+    readGrouped(spark, path, schema, adds)
 
   private def retrying(what: String)(attempt: => Boolean): Unit = {
     var tries = 0

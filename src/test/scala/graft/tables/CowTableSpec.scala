@@ -994,6 +994,87 @@ class CowTableSpec extends AnyFunSuite {
     }
   }
 
+  test("shallow clone: zero bytes copied, contents and governance carry") {
+    withTable { t =>
+      val dst = t + "_clone"
+      CowTable.create(spark, t, base(1000, 4), Seq("k"))
+      CowTable.addConstraint(spark, t, "v_nonneg", "v >= 0")
+      CowTable.shallowClone(spark, t, dst)
+      // identical contents and schema, but NO data directory of its own
+      assert(contents(CowTable.read(spark, dst)) ===
+        contents(CowTable.read(spark, t)))
+      assert(!new java.io.File(dst, "data").exists,
+        "a shallow clone must not copy data files")
+      val snap = TxLog.snapshot(spark, dst)
+      assert(snap.files.forall(_.path.startsWith("/")))
+      assert(snap.checkConstraints.contains("v_nonneg"))
+      // constraints ENFORCE on the clone too
+      intercept[RuntimeException] {
+        CowTable.append(spark, dst, Seq((5000L, -1L, "bad"))
+          .toDF("k", "v", "s"))
+      }
+    }
+  }
+
+  test("clone and source diverge independently; zone maps still prune") {
+    withTable { t =>
+      val dst = t + "_clone"
+      CowTable.create(spark, t, base(1000, 8), Seq("k"))
+      CowTable.shallowClone(spark, t, dst)
+      // clone-side COW: a narrow update probes only the covering
+      // EXTERNAL files and rewrites them into the clone's own data/
+      val m = CowTable.updateWhere(spark, dst, col("k") < 100,
+        Map("v" -> lit(7777L)))
+      assert(m.candidateFiles <= 2, s"external pruning broke: $m")
+      val dsnap = TxLog.snapshot(spark, dst)
+      assert(dsnap.files.count(f => !f.path.startsWith("/")) >= 1)
+      assert(dsnap.files.count(_.path.startsWith("/")) >= 6)
+      // source never saw any of it
+      assert(contents(CowTable.read(spark, t)) === contents(base(1000, 8)))
+      // source-side divergence never reaches the clone
+      CowTable.deleteWhere(spark, t, col("k") >= 900)
+      assert(CowTable.read(spark, dst).count() === 1000)
+      // clone's vacuum must not reclaim SOURCE files it references
+      CowTable.vacuum(spark, dst, retainVersions = 1, retentionMs = 0)
+      assert(CowTable.read(spark, dst).count() === 1000)
+      assert(CowTable.read(spark, t).count() === 900)
+    }
+  }
+
+  test("clone at a version; optimize materializes external references") {
+    withTable { t =>
+      val dst = t + "_clone"
+      CowTable.create(spark, t, base(100, 2), Seq("k"))           // v1
+      CowTable.append(spark, t, Seq((900L, 1L, "late"))
+        .toDF("k", "v", "s"))                                     // v2
+      CowTable.shallowClone(spark, t, dst, asOfVersion = Some(1L))
+      assert(contents(CowTable.read(spark, dst)) ===
+        contents(CowTable.read(spark, t, Some(1L))))
+      CowTable.optimize(spark, dst,
+        _.repartitionByRange(2, col("k")).sortWithinPartitions("k"))
+      val snap = TxLog.snapshot(spark, dst)
+      assert(snap.files.forall(f => !f.path.startsWith("/")),
+        "optimize must materialize every external reference")
+      assert(contents(CowTable.read(spark, dst)) ===
+        contents(base(100, 2)))
+    }
+  }
+
+  test("clone of a partitioned table parses source partition values") {
+    withTable { t =>
+      val dst = t + "_clone"
+      CowTable.create(spark, t,
+        base(200, 2).withColumn("b", col("k") % 3),
+        Seq("k"), partitionBy = Seq("b"))
+      CowTable.shallowClone(spark, t, dst)
+      // hive col=value segments live under the SOURCE's data root;
+      // the grouped read must parse them against that basePath
+      val got = CowTable.read(spark, dst).groupBy("b").count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === Map(0L -> 67L, 1L -> 67L, 2L -> 66L))
+    }
+  }
+
   test("describeDetail summarizes version, files, rows, governance") {
     withTable { t =>
       CowTable.create(spark, t, base(100, 4).withColumn("b", col("k") % 2),
