@@ -843,7 +843,10 @@ object CowTable {
       Some(snap.statsCols), None, snap.partitionCols, None,
       constraintsAdd =
         if (snap.checkConstraints.isEmpty) None
-        else Some(snap.checkConstraints))
+        else Some(snap.checkConstraints),
+      // a protocol-1 reader would resolve the absolute references
+      // against the clone root and read nothing — refuse it loudly
+      minReader = Some(2))
     require(TxLog.tryCommit(spark, dstPath, c),
       s"concurrent create at $dstPath")
   }

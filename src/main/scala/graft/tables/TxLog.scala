@@ -136,7 +136,22 @@ object TxLog {
       partitionCols: Option[Seq[String]] = None,
       cdcDir: Option[String] = None,
       constraintsAdd: Option[Map[String, String]] = None,
-      constraintsDrop: Option[Seq[String]] = None)
+      constraintsDrop: Option[Seq[String]] = None,
+      minReader: Option[Int] = None)
+
+  /** The reader-protocol version THIS engine folds correctly. A commit
+    * whose feature an older reader would silently MISINTERPRET (not
+    * merely ignore) stamps `minReader`; folding any commit stamped
+    * above this constant fails LOUDLY instead of producing wrong reads
+    * — the forward-compatibility contract every open table format
+    * carries, and the difference between "upgrade the engine" and a
+    * silent wrong answer. History: 1 = the round-11 base format (json4s
+    * ignores unknown JSON fields, so every ADDITIVE evolution — txns,
+    * cdcDir, constraints, stats nulls — stayed at 1); 2 = shallow-clone
+    * external file references (a v1 reader would resolve an absolute
+    * manifest path against the table root and read nothing).
+    */
+  val ReaderVersion: Int = 2
 
   /** Folded view of the log at a version. `txns` holds the highest
     * stamped batch version per writer application; `partitionCols` the
@@ -149,7 +164,8 @@ object TxLog {
       schemaDDL: String, statsCols: Seq[String],
       txns: Option[Map[String, Long]] = None,
       partitionCols: Option[Seq[String]] = None,
-      constraints: Option[Map[String, String]] = None) {
+      constraints: Option[Map[String, String]] = None,
+      minReader: Option[Int] = None) {
     def filePaths(root: String): Seq[String] =
       files.map(f => s"$root/${f.path}")
     def txnVersion(app: String): Option[Long] =
@@ -302,6 +318,16 @@ object TxLog {
       catch { case scala.util.control.NonFatal(_) =>
         (Snapshot(0L, Seq.empty, "", Seq.empty), 0L) }
 
+    // Protocol gate: the checkpoint records the max requirement folded
+    // into it, so a fold that starts there still sees pre-checkpoint
+    // feature commits.
+    var minReader = base.minReader.getOrElse(1)
+    def requireReadable(m: Int, where: String): Unit =
+      require(m <= ReaderVersion,
+        s"$table requires reader protocol $m ($where) but this engine " +
+          s"supports $ReaderVersion — upgrade the engine (or time-travel " +
+          "below the feature commit)")
+    requireReadable(minReader, s"checkpoint v$ckptV")
     val files = scala.collection.mutable.LinkedHashMap(
       base.files.map(a => a.path -> a): _*)
     val txns = scala.collection.mutable.Map[String, Long](
@@ -316,6 +342,10 @@ object TxLog {
       val p = commitPath(table, v)
       require(f.exists(p), s"log has a hole at version $v: $table")
       val c = JsonMethods.parse(readString(f, p)).extract[Commit]
+      c.minReader.foreach { m =>
+        requireReadable(m, s"commit v$v, op '${c.op}'")
+        minReader = math.max(minReader, m)
+      }
       c.schemaDDL.foreach(schemaDDL = _)
       c.statsCols.foreach(statsCols = _)
       c.partitionCols.foreach(pc => partitionCols = Some(pc))
@@ -330,7 +360,8 @@ object TxLog {
     }
     Snapshot(target, files.values.toSeq, schemaDDL, statsCols,
       if (txns.isEmpty) None else Some(txns.toMap), partitionCols,
-      if (constraints.isEmpty) None else Some(constraints.toMap))
+      if (constraints.isEmpty) None else Some(constraints.toMap),
+      if (minReader <= 1) None else Some(minReader))
   }
 
   /** Raw commit `v` (for audits / change inspection). */

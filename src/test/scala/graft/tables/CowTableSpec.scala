@@ -1075,6 +1075,41 @@ class CowTableSpec extends AnyFunSuite {
     }
   }
 
+  test("reader protocol: future features fail loudly, not wrongly") {
+    withTable { t =>
+      CowTable.create(spark, t, base(50, 1), Seq("k"))            // v1
+      // a commit stamped with a protocol this engine doesn't speak —
+      // folding past it would silently misinterpret the feature
+      assert(TxLog.tryCommit(spark, t, TxLog.Commit(2L, "future",
+        Seq.empty, Seq.empty, None, None, minReader = Some(99))))
+      val e = intercept[IllegalArgumentException] {
+        TxLog.snapshot(spark, t)
+      }
+      assert(e.getMessage.contains("protocol 99"), e.getMessage)
+      // time travel BELOW the feature commit still reads fine
+      assert(CowTable.read(spark, t, Some(1L)).count() === 50)
+    }
+  }
+
+  test("reader protocol rides the checkpoint, not just the tail") {
+    withTable { t =>
+      val dst = t + "_c"
+      CowTable.create(spark, t, base(50, 1), Seq("k"))
+      CowTable.shallowClone(spark, t, dst)
+      assert(TxLog.snapshot(spark, dst).minReader === Some(2))
+      // push the clone log past a checkpoint: the fold then starts at
+      // the checkpoint and never re-reads the clone commit, so the
+      // requirement must survive INSIDE the checkpoint
+      (1 to TxLog.CheckpointInterval).foreach { i =>
+        CowTable.append(spark, dst,
+          Seq((10000L + i, 1L, "x")).toDF("k", "v", "s"))
+      }
+      assert(new java.io.File(dst, "_txlog").list()
+        .exists(_.endsWith(".checkpoint.json")))
+      assert(TxLog.snapshot(spark, dst).minReader === Some(2))
+    }
+  }
+
   test("describeDetail summarizes version, files, rows, governance") {
     withTable { t =>
       CowTable.create(spark, t, base(100, 4).withColumn("b", col("k") % 2),
