@@ -108,6 +108,33 @@ object IncrementalDedup {
       spark.table(s"${prefix}_bands"),
       spark.table(s"${prefix}_shingles"))
 
+  /** Extend a persisted index with newly ADMITTED documents — the
+    * O(|batch|) maintenance write that keeps a recurring ingest screen
+    * from ever re-shingling the standing corpus: the batch's hash/
+    * band/shingle frames append into the same bucket layout
+    * ([[graft.sources.Bucketing.appendBucketed]]), so the screen joins
+    * stay shuffle-free as the index grows. Callers append KEEPS only
+    * (admitted docs are exact-unique vs the corpus by construction, so
+    * the `textHashes` distinctness invariant holds across appends).
+    * The index is DERIVED state: if a crash splits it from its source
+    * table, heal by rebuilding ([[buildIndex]] + [[writeIndex]] over
+    * the table) — same discipline as any materialized view.
+    */
+  def appendToIndex(admitted: DataFrame, idCol: String, textCol: String,
+      cfg: MinHashLSH.Config, prefix: String,
+      numBuckets: Int = 32): Unit = {
+    val prep = prepared(admitted, idCol, textCol, cfg)
+    val idx = fromPrepared(prep, cfg)
+    graft.sources.Bucketing.appendBucketed(
+      idx.bands, s"${prefix}_bands", "band_val", numBuckets)
+    graft.sources.Bucketing.appendBucketed(
+      idx.shingles, s"${prefix}_shingles", "doc_id", numBuckets)
+    graft.sources.Bucketing.appendBucketed(
+      idx.textHashes, s"${prefix}_hashes", "h", numBuckets)
+    prep.unpersist(blocking = false)
+    ()
+  }
+
   private def fromPrepared(prep: DataFrame,
       cfg: MinHashLSH.Config): CorpusIndex =
     CorpusIndex(

@@ -26,6 +26,20 @@ object Bucketing {
       .mode("overwrite")
       .saveAsTable(table)
 
+  /** Append to an existing bucketed table under the SAME bucket spec
+    * (Spark validates the spec against the catalog's): each append
+    * adds per-bucket files, so the zero-shuffle join property holds
+    * for the grown table — the incremental-maintenance write path of
+    * a standing index ([[graft.dedup.IncrementalDedup.appendToIndex]]).
+    */
+  def appendBucketed(df: DataFrame, table: String, key: String,
+      numBuckets: Int): Unit =
+    df.write
+      .bucketBy(numBuckets, key)
+      .sortBy(key)
+      .mode("append")
+      .saveAsTable(table)
+
   /** Join two same-bucketed tables on their bucket key. With equal
     * bucket counts the planner aligns buckets 1:1 and the plan contains
     * no Exchange above either scan (assert it — see BucketingSpec).

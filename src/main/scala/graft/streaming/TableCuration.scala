@@ -34,6 +34,21 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   * batch operator's contract ([[IncrementalDedup]] scaladoc): run
   * [[StreamDedup]] (exact) upstream, or pre-clean each raw commit.
   *
+  * '''Screen cost''': with `indexPrefix` set (production), verdicts
+  * run against the PERSISTED bucketed corpus index and each admitted
+  * batch extends it ([[IncrementalDedup.appendToIndex]]) — O(|batch|)
+  * shingle work per trigger, the standing corpus never re-shingled.
+  * Without it, the screen rebuilds the index from the curated table
+  * every version — O(|corpus|) shingle cost per trigger, fine for
+  * small curated sets and the zero-setup default, wrong at 100 TB.
+  * The index is DERIVED state (the curated table is the truth): the
+  * table append commits FIRST (Txn-stamped), the index extension
+  * follows, so a crash between the two leaves the index missing that
+  * version's keeps — and the replay skips the stamped version whole.
+  * Heal by rebuilding the index from the curated table
+  * ([[IncrementalDedup.writeIndex]]), the materialized-view
+  * discipline; the indexed ≡ rebuilt identity is spec-pinned.
+  *
   * The screen persists shared scan frames internally; the sink
   * reclaims the session cache after each micro-batch (the same
   * discipline as the Verify harness) — co-locate other cache-relying
@@ -45,11 +60,15 @@ object TableCuration {
     * table into a curated CowTable at `curatedPath` (pre-created with
     * the seed corpus; stream the feed from the first un-curated
     * version). `idCol`/`textCol` name the document key and body in
-    * BOTH tables.
+    * BOTH tables. `indexPrefix`: catalog-table prefix of a persisted
+    * [[IncrementalDedup.writeIndex]] index built from the seed —
+    * screens against it and extends it per admitted batch (see object
+    * doc for the cost and recovery contract).
     */
   def curateSink(feed: DataFrame, curatedPath: String, idCol: String,
       textCol: String, cfg: MinHashLSH.Config = MinHashLSH.Config(),
-      appId: String = "table-curation"): DataStreamWriter[Row] =
+      appId: String = "table-curation",
+      indexPrefix: Option[String] = None): DataStreamWriter[Row] =
     feed.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
       if (!batch.isEmpty) {
         val spark = batch.sparkSession
@@ -62,14 +81,23 @@ object TableCuration {
           if (!applied) {
             val docs = batch.filter(col(vc) === v)
               .select(col(idCol), col(textCol))
-            val curated = CowTable.read(spark, curatedPath)
+            val verdicts = indexPrefix match {
+              case Some(p) => IncrementalDedup.verdicts(
+                IncrementalDedup.readIndex(spark, p), docs, idCol,
+                textCol, cfg)
+              case None => IncrementalDedup.verdicts(
+                CowTable.read(spark, curatedPath), docs, idCol,
+                textCol, cfg)
+            }
             val keeps = docs.join(
-              IncrementalDedup.verdicts(curated, docs, idCol, textCol, cfg)
-                .filter(col("keep") === 1)
-                .select(col("doc_id").as(idCol)),
-              idCol)
+                verdicts.filter(col("keep") === 1)
+                  .select(col("doc_id").as(idCol)),
+                idCol)
+              .persist()
             CowTable.append(spark, curatedPath, keeps,
               txn = Some(TxLog.Txn(appId, v)))
+            indexPrefix.foreach(p =>
+              IncrementalDedup.appendToIndex(keeps, idCol, textCol, cfg, p))
           }
         }
         spark.catalog.clearCache()

@@ -84,6 +84,49 @@ class TableCurationSpec extends AnyFunSuite {
     }
   }
 
+  test("indexed screen == rebuild screen, and the index grows O(batch)") {
+    withDir { dir =>
+      import graft.dedup.IncrementalDedup
+      val spark2 = spark
+      Seq("tcur_idx_hashes", "tcur_idx_bands", "tcur_idx_shingles")
+        .foreach { t =>
+          spark2.sql(s"DROP TABLE IF EXISTS $t")
+          val loc = new org.apache.hadoop.fs.Path(
+            s"${spark2.conf.get("spark.sql.warehouse.dir")}/$t")
+          val fs = loc.getFileSystem(
+            spark2.sparkContext.hadoopConfiguration)
+          if (fs.exists(loc)) { fs.delete(loc, true); () }
+        }
+      val seed = Seq((1L, doc(24, "seed"))).toDF("doc_id", "text")
+      val waves = Seq(
+        Seq((2L, doc(24, "bee"))),
+        Seq((3L, doc(24, "bee") + " zzz"), (4L, doc(24, "sea"))))
+      def runMode(tag: String, idx: Option[String]): Set[Long] = {
+        val raw = s"${dir.getAbsolutePath}/raw_$tag"
+        val cur = s"${dir.getAbsolutePath}/cur_$tag"
+        CowTable.create(spark, cur, seed, Seq("doc_id"))
+        idx.foreach(p => IncrementalDedup.writeIndex(
+          IncrementalDedup.buildIndex(seed, "doc_id", "text"), p))
+        CowTable.create(spark, raw, waves(0).toDF("doc_id", "text"),
+          Seq("doc_id"))
+        CowTable.append(spark, raw, waves(1).toDF("doc_id", "text"))
+        val q = TableCuration.curateSink(
+          TableChangeFeed.readChanges(spark, raw), cur, "doc_id", "text",
+          indexPrefix = idx)
+          .option("checkpointLocation", s"${dir.getAbsolutePath}/ck_$tag")
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        ids(cur)
+      }
+      val rebuilt = runMode("rb", None)
+      val indexed = runMode("ix", Some("tcur_idx"))
+      assert(indexed === rebuilt)
+      assert(indexed === Set(1L, 2L, 4L)) // 3 near-dups the admitted 2
+      // the index absorbed exactly the admitted keeps (1 seed + 2)
+      assert(spark.table("tcur_idx_shingles").count() === 3L)
+    }
+  }
+
   test("checkpoint restart screens only the new commits") {
     withDir { dir =>
       val raw = dir.getAbsolutePath + "/raw"
