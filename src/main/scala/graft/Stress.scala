@@ -1874,6 +1874,30 @@ object Stress {
         require(m.touchedFiles <= 4, s"touched ${m.touchedFiles} files")
         m.addedRows
       }
+      // Shallow clone at manifest scale: forking the 2,000-file table
+      // is ONE metadata commit (no data job — the "fork 100 TB in
+      // milliseconds" claim, measured), and the fork stays fully
+      // functional: a narrow merge against the clone's EXTERNAL
+      // references plans with the same zone-map selectivity and
+      // rewrites into the clone's own data dir, source untouched.
+      val tclone = s"$root/tclone"
+      timed("cowclone") {
+        val t0 = System.nanoTime()
+        CowTable.shallowClone(spark, tm, tclone)
+        val cloneMs = (System.nanoTime() - t0) / 1e6
+        println(f"STRESS cowclone fork: $cloneMs%.0f ms (2,000 files)")
+        require(cloneMs < 10000, f"clone took $cloneMs%.0f ms")
+        val srcV = TxLog.latestVersion(spark, tm)
+        val upd = big.filter(col("k") >= 5000 && col("k") < 8000)
+          .select(col("k"), col("c"), (col("p") + 11.0d).as("p"))
+        val m = CowTable.merge(spark, tclone, upd, Seq("k"),
+          checkUniqueKeys = false)
+        require(m.prunedFiles >= 1990,
+          s"external pruning broke: $m")
+        require(TxLog.latestVersion(spark, tm) == srcV,
+          "clone merge leaked a commit into the source")
+        m.addedRows
+      }
       // Replication at scale: a 2.25M-row / 200-file source takes a
       // key-clustered CDC merge; the replica drains the whole history
       // (catch-up: create + merge) through the rate-unlimited feed and

@@ -1075,6 +1075,36 @@ class CowTableSpec extends AnyFunSuite {
     }
   }
 
+  test("optimize racing a merge: both land, nothing lost either order") {
+    // The layout rewrite and a content merge hit the same files; the
+    // CAS loser must REPLAY against the winner's snapshot — a stale
+    // optimize landing as-is would resurrect pre-merge rows (it
+    // republishes every file it read), a stale merge would rewrite
+    // files the optimize already removed. Run several rounds to vary
+    // the interleaving.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    (0 until 3).foreach { round =>
+      withTable { t =>
+        CowTable.create(spark, t, base(2000, 8), Seq("k"))
+        val upd = spark.range(100, 200).select(col("id").as("k"),
+          lit(9999L).as("v"), concat(lit("m"), col("id")).as("s"))
+        val fo = Future(CowTable.optimize(spark, t,
+          _.repartitionByRange(4, col("k")).sortWithinPartitions("k")))
+        val fm = Future(CowTable.merge(spark, t, upd, Seq("k"),
+          checkUniqueKeys = false))
+        Await.result(fo.zip(fm), 600.seconds)
+        val got = CowTable.read(spark, t)
+        assert(got.count() === 2000L, s"round $round: row drift")
+        assert(got.filter(col("k").between(100, 199) && col("v") === 9999L)
+          .count() === 100L, s"round $round: merge effect lost")
+        assert(got.filter(col("v") === 9999L).count() === 100L,
+          s"round $round: merge rows duplicated or leaked")
+      }
+    }
+  }
+
   test("reader protocol: future features fail loudly, not wrongly") {
     withTable { t =>
       CowTable.create(spark, t, base(50, 1), Seq("k"))            // v1
