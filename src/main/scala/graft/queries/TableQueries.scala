@@ -980,7 +980,47 @@ object TableQueries {
       |       ELSE o_orderstatus END AS o_orderstatus
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
+  /** The maintenance loop end to end: a range-clustered table takes
+    * three SCATTERED full-range ingests (each append's files span the
+    * whole key domain — the fragmentation every nightly pipeline
+    * accumulates), then ONE `Maintenance.maintain` call reads the
+    * manifest, detects the over-covered range via the typed interval
+    * sweep, and re-clusters exactly it. Contents must be untouched —
+    * the gate hash pins that the advisor's detect → scope → rewrite
+    * loop is layout-only; the quality contract (detected before,
+    * quiet after, selectivity restored) is MaintenanceSpec's.
+    */
+  def tableMaintain(spark: SparkSession, dir: String): DataFrame = {
+    val t = scratch(dir, "maintain")
+    reset(spark, t)
+    val base = Tables.load(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+    CowTable.create(spark, t,
+      base.repartitionByRange(8, col("o_orderkey")), Seq("o_orderkey"))
+    (0 until 3).foreach { r =>
+      CowTable.append(spark, t,
+        base.filter(col("o_orderkey") % 3 === r)
+          .select(col("o_orderkey"), col("o_custkey"),
+            (col("o_totalprice") + (r + 1) * 10.0d).as("o_totalprice"),
+            col("o_orderstatus"))
+          .repartition(4))
+    }
+    graft.tables.Maintenance.maintain(spark, t,
+      maxOverlapDepth = 3, smallFileRows = 0L)
+    CowTable.read(spark, t).orderBy("o_orderkey")
+  }
+
+  val tableMaintainSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+      |FROM orders
+      |UNION ALL
+      |SELECT o_orderkey, o_custkey,
+      |  o_totalprice + 10.0 * (o_orderkey % 3 + 1), o_orderstatus
+      |FROM orders
+      |ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "table_maintain" -> (tableMaintain(_, _)),
     "table_clone" -> (tableClone(_, _)),
     "pipeline_feed_curate" -> (pipelineFeedCurate(_, _)),
     "table_constraint" -> (tableConstraint(_, _)),
@@ -1006,6 +1046,7 @@ object TableQueries {
     "table_compact" -> (tableCompact(_, _)))
 
   val oracleSql: Map[String, String] = Map(
+    "table_maintain" -> tableMaintainSql,
     "table_clone" -> tableCloneSql,
     "pipeline_feed_curate" -> pipelineFeedCurateSql,
     "table_constraint" -> tableMergeSql,

@@ -937,7 +937,11 @@ object CowTable {
     */
   private def dataRootOf(tableRoot: String, p: String): String =
     if (!isExternal(p)) s"$tableRoot/data"
-    else p.substring(0, p.lastIndexOf("/data/") + "/data".length)
+    else {
+      val i = p.lastIndexOf("/data/")
+      require(i >= 0, s"external manifest entry outside any data root: $p")
+      p.substring(0, i + "/data".length)
+    }
 
   private def readFiles(spark: SparkSession, path: String, snap: Snapshot,
       files: Seq[AddFile]): DataFrame =

@@ -1,0 +1,164 @@
+package graft.tables
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+
+/** Manifest-driven maintenance advisor — the nightly-ops loop that
+  * decides WHEN the layout tools ([[CowTable.compact]],
+  * [[CowTable.optimizeWhere]]) are worth running, from the zone maps
+  * alone: zero executor work, one log fold, O(files · log files)
+  * driver time. At 100 TB "optimize the whole table nightly" is not a
+  * plan; "optimize the ranges whose files actually overlap" is — and
+  * the manifest already knows which ranges those are.
+  *
+  * '''Overlap depth''' is the fragmentation signal: in a well-laid-out
+  * table each key range is covered by ~1 file, so a stats-pruned read
+  * or merge touches O(selected range) files. Every scattered ingest
+  * stacks another full-range file on top; once `maxOverlapDepth` files
+  * cover the same key range, a narrow read pays depth× its fair cost.
+  * The advisor sweeps the per-file [min, max] intervals of a stats
+  * column (the classic interval endpoint sweep) under the SAME typed
+  * order the zone maps prune with ([[TxLog.ColStats]] — UTF-8 byte
+  * order for strings, not Java compareTo), and reports each maximal
+  * range whose cover depth exceeds the threshold, bounds string-encoded
+  * exactly as [[CowTable.optimizeWhere]] consumes them.
+  *
+  * [[maintain]] applies the advice: one scoped optimize per hot range
+  * (file count sized from the manifest's row counts), then a compact
+  * if small files accumulated. Contents are untouched by construction
+  * (both tools are layout-only); the `table_maintain` gate pins that
+  * end to end, and the spec pins the quality contract (scattered →
+  * detected; after maintain → quiet, selectivity restored).
+  */
+object Maintenance {
+
+  /** A maximal key range covered by more than the threshold number of
+    * files: `[lo, hi]` in the stats string encoding, the peak cover
+    * `depth`, and how many distinct files intersect the range.
+    */
+  final case class HotRange(column: String, lo: String, hi: String,
+      depth: Int, files: Int)
+
+  final case class Advice(totalFiles: Long, smallFiles: Long,
+      compactRecommended: Boolean, hotRanges: Seq[HotRange]) {
+    def quiet: Boolean = !compactRecommended && hotRanges.isEmpty
+  }
+
+  /** Analyze the manifest. `column` defaults to the table's first
+    * stats column (the primary clustering key); files without a
+    * comparable stat on it (opaque kinds) don't join the sweep.
+    */
+  def advise(spark: SparkSession, path: String,
+      column: Option[String] = None,
+      maxOverlapDepth: Int = 4,
+      smallFileRows: Long = 100000L,
+      maxSmallFiles: Int = 8): Advice = {
+    val snap = TxLog.snapshot(spark, path)
+    val c = column.getOrElse(snap.statsCols.headOption.getOrElse(
+      sys.error(s"$path has no stats columns to advise on")))
+    val smalls = snap.files.count(_.rows < smallFileRows).toLong
+
+    val stats = snap.files.flatMap(f => f.stats.get(c)
+      .filter(s => s.kind == "long" || s.kind == "double" ||
+        s.kind == "string"))
+    val hot =
+      if (stats.isEmpty) Seq.empty[HotRange]
+      else sweep(c, stats, maxOverlapDepth)
+    Advice(snap.files.size.toLong, smalls,
+      smalls > maxSmallFiles, hot)
+  }
+
+  /** Apply the advice: a scoped optimize per hot range (layout =
+    * range-repartition + sort on the advised column, file count from
+    * the manifest rows in range), then a compact when small files
+    * accumulated. Returns the PRE-maintenance advice for reporting.
+    */
+  def maintain(spark: SparkSession, path: String,
+      column: Option[String] = None,
+      maxOverlapDepth: Int = 4,
+      smallFileRows: Long = 100000L,
+      maxSmallFiles: Int = 8,
+      targetFileRows: Long = 500000L): Advice = {
+    val a = advise(spark, path, column, maxOverlapDepth, smallFileRows,
+      maxSmallFiles)
+    a.hotRanges.foreach { hr =>
+      val snap = TxLog.snapshot(spark, path)
+      val rows = snap.files
+        .filter(_.stats.get(hr.column).forall(_.mayOverlap(hr.lo, hr.hi)))
+        .map(_.rows).sum
+      val n = math.max(1L, (rows + targetFileRows - 1) / targetFileRows)
+      CowTable.optimizeWhere(spark, path, hr.column, hr.lo, hr.hi,
+        _.repartitionByRange(n.toInt, col(hr.column))
+          .sortWithinPartitions(hr.column))
+      ()
+    }
+    if (a.compactRecommended)
+      CowTable.compact(spark, path, smallFileRows,
+        targetFileCount = math.max(1,
+          (a.smallFiles * smallFileRows / targetFileRows).toInt max 1))
+    a
+  }
+
+  // ---------------------------------------------------------------- //
+
+  /** Endpoint sweep over inclusive [min, max] intervals: +1 at each
+    * min, −1 after each max; at EQUAL values starts order before ends
+    * (two files sharing one key value DO overlap there). Emits each
+    * maximal value range where depth > threshold, with the peak depth
+    * and the count of distinct files intersecting it.
+    */
+  private def sweep(column: String, stats: Seq[TxLog.ColStats],
+      maxDepth: Int): Seq[HotRange] = {
+    val kind = stats.head.kind
+    val lt: (String, String) => Boolean = kind match {
+      case "long"   => (a, b) => a.toLong < b.toLong
+      case "double" => (a, b) => a.toDouble < b.toDouble
+      case _        => (a, b) => utf8Lt(a, b)
+    }
+    // (value, isStart): starts sort before ends at the same value
+    val events = stats.flatMap(s => Seq((s.min, true), (s.max, false)))
+      .sortWith { case ((v1, s1), (v2, s2)) =>
+        if (lt(v1, v2)) true
+        else if (lt(v2, v1)) false
+        else s1 && !s2
+      }
+    val out = scala.collection.mutable.ArrayBuffer[HotRange]()
+    var depth = 0
+    var peak = 0
+    var files = 0
+    var lo: Option[String] = None
+    events.foreach { case (v, isStart) =>
+      if (isStart) {
+        depth += 1
+        if (depth > maxDepth && lo.isEmpty) {
+          lo = Some(v)
+          // files already open contribute to the range too
+          peak = depth
+          files = depth
+        } else if (lo.nonEmpty) {
+          files += 1
+          peak = math.max(peak, depth)
+        }
+      } else {
+        if (lo.nonEmpty && depth - 1 <= maxDepth) {
+          out += HotRange(column, lo.get, v, peak, files)
+          lo = None; peak = 0; files = 0
+        }
+        depth -= 1
+      }
+    }
+    out.toSeq
+  }
+
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val (x, y) = (a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+}

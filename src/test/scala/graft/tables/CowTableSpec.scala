@@ -1105,6 +1105,23 @@ class CowTableSpec extends AnyFunSuite {
     }
   }
 
+  test("clone of a clone: chained external roots all resolve") {
+    withTable { t =>
+      val c1 = t + "_c1"
+      val c2 = t + "_c2"
+      CowTable.create(spark, t, base(300, 3), Seq("k"))
+      CowTable.shallowClone(spark, t, c1)
+      // a local rewrite inside c1, so c2's manifest references BOTH
+      // the original source's data root and c1's
+      CowTable.updateWhere(spark, c1, col("k") < 50, Map("v" -> lit(1L)))
+      CowTable.shallowClone(spark, c1, c2)
+      assert(TxLog.snapshot(spark, c2).files.forall(_.path.startsWith("/")))
+      assert(CowTable.read(spark, c2).count() === 300)
+      assert(CowTable.read(spark, c2)
+        .filter(col("k") < 50 && col("v") === 1L).count() === 50)
+    }
+  }
+
   test("reader protocol: future features fail loudly, not wrongly") {
     withTable { t =>
       CowTable.create(spark, t, base(50, 1), Seq("k"))            // v1
