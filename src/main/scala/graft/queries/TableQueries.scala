@@ -1019,7 +1019,74 @@ object TableQueries {
       |FROM orders
       |ORDER BY o_orderkey""".stripMargin
 
+  /** The curation loop's AUDIT side: the same two-wave feed-curation
+    * run, but the gate output is the QUARANTINE table — every reject
+    * with its verdict flags, Txn-stamped per source commit ("what did
+    * we drop and why", queryable like any table). Runs the
+    * rebuild-mode screen so both curateSink modes stay gate-covered
+    * (the indexed mode is `pipeline_feed_curate`'s). The oracle
+    * replays both screens sequentially and selects the complements.
+    */
+  def pipelineFeedQuarantine(spark: SparkSession, dir: String): DataFrame = {
+    val raw = scratch(dir, "fq_raw")
+    val cur = scratch(dir, "fq_cur")
+    val quar = scratch(dir, "fq_quar")
+    val ckpt = scratch(dir, "fq_ckpt")
+    Seq(raw, cur, quar, ckpt).foreach(reset(spark, _))
+    val docs = Tables.loadSpread(spark, dir, "documents")
+      .select("doc_id", "text")
+    CowTable.create(spark, cur, docs, Seq("doc_id"))
+    CowTable.create(spark, raw,
+      DedupQueries.incrementalBatch(docs), Seq("doc_id"))        // v1
+    CowTable.append(spark, raw, DedupQueries.curateBatch2(docs)) // v2
+    val feed = graft.streaming.TableChangeFeed
+      .readChanges(spark, raw, startingVersion = 1L)
+    val q = graft.streaming.TableCuration
+      .curateSink(feed, cur, "doc_id", "text",
+        quarantinePath = Some(quar))
+      .option("checkpointLocation", ckpt).start()
+    try { q.processAllAvailable() } finally q.stop()
+    CowTable.read(spark, quar).orderBy("doc_id")
+  }
+
+  val pipelineFeedQuarantineSql: String = {
+    def rejects(batchRel: String, vp: String) =
+      s"""SELECT bt.doc_id, bt.text,
+         |  CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END AS exact_dup,
+         |  CASE WHEN n.b_id IS NOT NULL THEN 1 ELSE 0 END AS near_dup
+         |FROM $batchRel bt
+         |LEFT JOIN ${vp}exact e ON e.doc_id = bt.doc_id
+         |LEFT JOIN ${vp}near n ON n.b_id = bt.doc_id
+         |WHERE e.doc_id IS NOT NULL OR n.b_id IS NOT NULL""".stripMargin
+    s"""WITH batch1 AS (
+       |  SELECT doc_id + 200000 AS doc_id, text FROM documents
+       |  WHERE doc_id % 7 = 0
+       |  UNION ALL SELECT doc_id + 300000, text || ' zzz' FROM documents
+       |  WHERE doc_id % 7 = 1
+       |  UNION ALL SELECT doc_id + 400000, reverse(text) FROM documents
+       |  WHERE doc_id % 7 = 2),
+       |${DedupQueries.screenCtes("documents", "batch1", "c", "b", "v1")},
+       |corpus2 AS (SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT doc_id, text FROM v1keeps),
+       |batch2 AS (
+       |  SELECT doc_id + 500000 AS doc_id, reverse(text) AS text
+       |  FROM documents WHERE doc_id % 7 = 2
+       |  UNION ALL SELECT doc_id + 600000, reverse(text) FROM documents
+       |  WHERE doc_id % 7 = 3
+       |  UNION ALL SELECT doc_id + 700000, text || ' zzz' FROM documents
+       |  WHERE doc_id % 7 = 4
+       |  UNION ALL SELECT doc_id + 800000, reverse(text) || ' qqq'
+       |  FROM documents WHERE doc_id % 7 = 2),
+       |${DedupQueries.screenCtes("corpus2", "batch2", "d", "e", "v2")}
+       |SELECT * FROM (
+       |${rejects("batch1", "v1")}
+       |UNION ALL
+       |${rejects("batch2", "v2")})
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_feed_quarantine" -> (pipelineFeedQuarantine(_, _)),
     "table_maintain" -> (tableMaintain(_, _)),
     "table_clone" -> (tableClone(_, _)),
     "pipeline_feed_curate" -> (pipelineFeedCurate(_, _)),
@@ -1046,6 +1113,7 @@ object TableQueries {
     "table_compact" -> (tableCompact(_, _)))
 
   val oracleSql: Map[String, String] = Map(
+    "pipeline_feed_quarantine" -> pipelineFeedQuarantineSql,
     "table_maintain" -> tableMaintainSql,
     "table_clone" -> tableCloneSql,
     "pipeline_feed_curate" -> pipelineFeedCurateSql,

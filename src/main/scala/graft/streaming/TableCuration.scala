@@ -64,11 +64,21 @@ object TableCuration {
     * [[IncrementalDedup.writeIndex]] index built from the seed —
     * screens against it and extends it per admitted batch (see object
     * doc for the cost and recovery contract).
+    *
+    * `quarantinePath`: the rejects land in their own CowTable with the
+    * verdict flags — the audit trail a curation run owes its operators
+    * ("what did we drop and why"), queryable like any table. Apply
+    * order is quarantine THEN curated, both Txn-stamped per source
+    * version, and the skip check gates on the CURATED stamp (the last
+    * write): a crash between the two replays the screen against a
+    * corpus that did NOT yet absorb the keeps (so verdicts stay
+    * correct) and each append no-ops independently on its stamp.
     */
   def curateSink(feed: DataFrame, curatedPath: String, idCol: String,
       textCol: String, cfg: MinHashLSH.Config = MinHashLSH.Config(),
       appId: String = "table-curation",
-      indexPrefix: Option[String] = None): DataStreamWriter[Row] =
+      indexPrefix: Option[String] = None,
+      quarantinePath: Option[String] = None): DataStreamWriter[Row] =
     feed.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
       if (!batch.isEmpty) {
         val spark = batch.sparkSession
@@ -81,13 +91,24 @@ object TableCuration {
           if (!applied) {
             val docs = batch.filter(col(vc) === v)
               .select(col(idCol), col(textCol))
-            val verdicts = indexPrefix match {
+            val verdicts = (indexPrefix match {
               case Some(p) => IncrementalDedup.verdicts(
                 IncrementalDedup.readIndex(spark, p), docs, idCol,
                 textCol, cfg)
               case None => IncrementalDedup.verdicts(
                 CowTable.read(spark, curatedPath), docs, idCol,
                 textCol, cfg)
+            }).persist()
+            quarantinePath.foreach { qp =>
+              val rejects = docs.join(
+                verdicts.filter(col("keep") === 0)
+                  .select(col("doc_id").as(idCol),
+                    col("exact_dup"), col("near_dup")),
+                idCol)
+              if (TxLog.latestVersion(spark, qp) == 0)
+                CowTable.create(spark, qp, rejects.limit(0), Seq(idCol))
+              CowTable.append(spark, qp, rejects,
+                txn = Some(TxLog.Txn(appId, v)))
             }
             val keeps = docs.join(
                 verdicts.filter(col("keep") === 1)
