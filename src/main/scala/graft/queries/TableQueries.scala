@@ -1085,7 +1085,41 @@ object TableQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Row provenance round trip: three disjoint ingest waves (create +
+    * two re-keyed appends), then `readWithProvenance` — every row must
+    * come back tagged with the commit version that wrote its file.
+    * Wave membership is key-determined, so provenance is
+    * layout-INdependent here and the oracle replays it as a CASE.
+    */
+  def tableProvenance(spark: SparkSession, dir: String): DataFrame = {
+    val t = scratch(dir, "provenance")
+    reset(spark, t)
+    val base = Tables.load(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey")
+    CowTable.create(spark, t,
+      base.repartitionByRange(4, col("o_orderkey")), Seq("o_orderkey"))
+    CowTable.append(spark, t, base.filter(col("o_orderkey") % 3 === 0)
+      .select((col("o_orderkey") + 1000000000L).as("o_orderkey"),
+        col("o_custkey")))
+    CowTable.append(spark, t, base.filter(col("o_orderkey") % 3 === 1)
+      .select((col("o_orderkey") + 2000000000L).as("o_orderkey"),
+        col("o_custkey")))
+    CowTable.readWithProvenance(spark, t).orderBy("o_orderkey")
+  }
+
+  val tableProvenanceSql: String =
+    """SELECT o_orderkey, o_custkey, CAST(1 AS BIGINT) AS _commit_version
+      |FROM orders
+      |UNION ALL
+      |SELECT o_orderkey + 1000000000, o_custkey, 2 FROM orders
+      |WHERE o_orderkey % 3 = 0
+      |UNION ALL
+      |SELECT o_orderkey + 2000000000, o_custkey, 3 FROM orders
+      |WHERE o_orderkey % 3 = 1
+      |ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "table_provenance" -> (tableProvenance(_, _)),
     "pipeline_feed_quarantine" -> (pipelineFeedQuarantine(_, _)),
     "table_maintain" -> (tableMaintain(_, _)),
     "table_clone" -> (tableClone(_, _)),
@@ -1113,6 +1147,7 @@ object TableQueries {
     "table_compact" -> (tableCompact(_, _)))
 
   val oracleSql: Map[String, String] = Map(
+    "table_provenance" -> tableProvenanceSql,
     "pipeline_feed_quarantine" -> pipelineFeedQuarantineSql,
     "table_maintain" -> tableMaintainSql,
     "table_clone" -> tableCloneSql,

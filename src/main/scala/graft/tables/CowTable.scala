@@ -851,6 +851,42 @@ object CowTable {
       s"concurrent create at $dstPath")
   }
 
+  /** Column name [[readWithProvenance]] stamps. */
+  val ProvenanceCol = "_commit_version"
+
+  /** Snapshot read with ROW PROVENANCE: each row tagged with the
+    * commit version whose write produced its file — the "which ingest
+    * brought this row" audit a debugging session starts from, and the
+    * join key back into [[TxLog.describeHistory]]'s per-commit
+    * accounting. File→version comes from ONE driver-side log scan
+    * (manifest-sized); rows join a broadcast (file-name → version) map
+    * on the op-unique file name, so the tag costs one broadcast hash
+    * join over the scan, no shuffle.
+    *
+    * Provenance is WRITE provenance: layout ops (compact / optimize)
+    * and clone commits re-stamp the rows they rewrite or re-reference
+    * — the same contract as every file-metadata-based lineage column.
+    * Under an append/merge-only history it is exact ingest lineage.
+    */
+  def readWithProvenance(spark: SparkSession, path: String,
+      asOfVersion: Option[Long] = None): DataFrame = {
+    val snap = TxLog.snapshot(spark, path, asOfVersion)
+    val addedAt = scala.collection.mutable.Map[String, Long]()
+    (1L to snap.version).foreach { v =>
+      TxLog.commitAt(spark, path, v).adds.foreach(a =>
+        addedAt.update(a.path.split('/').last, v))
+    }
+    val live = snap.files.map(f => f.path.split('/').last).toSet
+    import spark.implicits._
+    val nameToV = addedAt.toSeq.filter(p => live.contains(p._1))
+      .toDF("_gf_name", ProvenanceCol)
+    readSnapshot(spark, path, snap)
+      .withColumn("_gf_name",
+        element_at(split(input_file_name(), "/"), -1))
+      .join(broadcast(nameToV), "_gf_name")
+      .drop("_gf_name")
+  }
+
   /** Rows ADDED by commit `v` (the file-level change feed; for merges
     * this is rewritten survivors + updates + inserts — file-layout
     * dependent, so spec-pinned rather than oracle-pinned).

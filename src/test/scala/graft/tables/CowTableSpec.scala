@@ -1122,6 +1122,35 @@ class CowTableSpec extends AnyFunSuite {
     }
   }
 
+  test("provenance: write lineage exact, layout ops re-stamp, clone=v1") {
+    withTable { t =>
+      CowTable.create(spark, t, base(100, 2), Seq("k"))          // v1
+      CowTable.append(spark, t, Seq((500L, 1L, "w2"))
+        .toDF("k", "v", "s"))                                    // v2
+      val p1 = CowTable.readWithProvenance(spark, t)
+      assert(p1.filter(col("k") === 500L)
+        .select(CowTable.ProvenanceCol).collect()(0).getLong(0) === 2L)
+      assert(p1.filter(col(CowTable.ProvenanceCol) === 1L)
+        .count() === 100L)
+      // asOf BEFORE the append sees only v1 provenance
+      assert(CowTable.readWithProvenance(spark, t, Some(1L))
+        .select(CowTable.ProvenanceCol).distinct()
+        .collect().map(_.getLong(0)).toSeq === Seq(1L))
+      // a layout op re-stamps what it rewrote (write provenance)
+      CowTable.optimize(spark, t,
+        _.repartitionByRange(2, col("k")))                       // v3
+      assert(CowTable.readWithProvenance(spark, t)
+        .select(CowTable.ProvenanceCol).distinct()
+        .collect().map(_.getLong(0)).toSeq === Seq(3L))
+      // a shallow clone's rows all trace to its own v1 clone commit
+      val dst = t + "_clone"
+      CowTable.shallowClone(spark, t, dst)
+      assert(CowTable.readWithProvenance(spark, dst)
+        .select(CowTable.ProvenanceCol).distinct()
+        .collect().map(_.getLong(0)).toSeq === Seq(1L))
+    }
+  }
+
   test("reader protocol: future features fail loudly, not wrongly") {
     withTable { t =>
       CowTable.create(spark, t, base(50, 1), Seq("k"))            // v1
