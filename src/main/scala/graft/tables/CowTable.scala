@@ -669,7 +669,8 @@ object CowTable {
     */
   def vacuum(spark: SparkSession, path: String,
       retainVersions: Int = 2,
-      retentionMs: Long = 7L * 24 * 3600 * 1000): Seq[String] = {
+      retentionMs: Long = 7L * 24 * 3600 * 1000,
+      dryRun: Boolean = false): Seq[String] = {
     val f = TxLog.fs(spark, path)
     val latest = TxLog.latestVersion(spark, path)
     val keep = (math.max(1, latest - retainVersions + 1) to latest)
@@ -694,7 +695,8 @@ object CowTable {
         .stripPrefix(root).stripPrefix("/")
       if (st.isFile && !keep.contains(rel) && rel.endsWith(".parquet") &&
           st.getModificationTime <= horizon) {
-        try { f.delete(st.getPath, false); deleted += rel }
+        if (dryRun) deleted += rel
+        else try { f.delete(st.getPath, false); deleted += rel }
         catch { case _: java.io.IOException => () }
       }
     }
@@ -714,10 +716,14 @@ object CowTable {
       val newest = (d.getModificationTime +:
         walk(d.getPath).map(_.getModificationTime)).max
       if (!cdcKeep.contains(rel) && newest <= horizon) {
-        try { f.delete(d.getPath, true); deleted += rel }
+        if (dryRun) deleted += rel
+        else try { f.delete(d.getPath, true); deleted += rel }
         catch { case _: java.io.IOException => () }
       }
     }
+    // staging/log-temp sweeps report nothing either way; a dry run
+    // must not mutate ANYTHING, so stop here.
+    if (dryRun) return deleted.toSeq
     // Crashed-writer staging leftovers: reclaim an op dir only when its
     // NEWEST file predates the horizon — a live writer's staging is
     // still being written (or was written within the window) and its

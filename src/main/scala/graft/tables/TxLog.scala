@@ -137,7 +137,8 @@ object TxLog {
       cdcDir: Option[String] = None,
       constraintsAdd: Option[Map[String, String]] = None,
       constraintsDrop: Option[Seq[String]] = None,
-      minReader: Option[Int] = None)
+      minReader: Option[Int] = None,
+      ts: Option[Long] = None)
 
   /** The reader-protocol version THIS engine folds correctly. A commit
     * whose feature an older reader would silently MISINTERPRET (not
@@ -250,7 +251,12 @@ object TxLog {
     if (f.exists(dst)) return false
     val tmp = new Path(logPath(table),
       s".tmp-${java.util.UUID.randomUUID()}-${commit.version}.json")
-    writeString(f, tmp, Serialization.write(commit))
+    // wall-clock stamp for describeHistory/audit only — never read by
+    // the fold, so table contents stay a pure function of the inputs
+    val stamped =
+      if (commit.ts.isDefined) commit
+      else commit.copy(ts = Some(System.currentTimeMillis()))
+    writeString(f, tmp, Serialization.write(stamped))
     val local = Option(dst.toUri.getScheme).forall(_ == "file") &&
       posixRenameSemantics(f)
     val won =
@@ -395,9 +401,11 @@ object TxLog {
     import spark.implicits._
     (1L to latestVersion(spark, table)).map { v =>
       val c = commitAt(spark, table, v)
-      (c.version, c.op, c.adds.size.toLong, c.adds.map(_.rows).sum,
+      (c.version, c.op,
+        c.ts.map(t => new java.sql.Timestamp(t)).orNull,
+        c.adds.size.toLong, c.adds.map(_.rows).sum,
         c.removes.size.toLong, c.txn.map(t => s"${t.app}@${t.version}"))
-    }.toDF("version", "op", "files_added", "rows_added",
+    }.toDF("version", "op", "timestamp", "files_added", "rows_added",
       "files_removed", "txn")
   }
 }

@@ -298,6 +298,29 @@ class CowTableSpec extends AnyFunSuite {
         h(0).getAs[Long]("files_removed") === 0)
       assert(h(1).getAs[String]("txn") === "app@5")
       assert(h(2).getAs[Long]("files_removed") === 1)
+      // wall-clock stamps: present and non-decreasing in version order
+      val ts = h.map(_.getAs[java.sql.Timestamp]("timestamp"))
+      assert(ts.forall(_ != null))
+      assert(ts.sliding(2).forall(p => !p(0).after(p(1))))
+    }
+  }
+
+  test("vacuum dry run reports exactly what a real pass then deletes") {
+    withTable { t =>
+      CowTable.create(spark, t, base(200, 2), Seq("k"))
+      CowTable.merge(spark, t,
+        Seq((5L, 1L, "m", false)).toDF("k", "v", "s", "del"),
+        Seq("k"), Some("del"))
+      CowTable.compact(spark, t, smallFileRows = 1000, targetFileCount = 1)
+      val planned = CowTable.vacuum(spark, t, retainVersions = 1,
+        retentionMs = 0, dryRun = true).sorted
+      assert(planned.nonEmpty)
+      // nothing was touched: every old version still reads
+      assert(CowTable.read(spark, t, Some(1L)).count() === 200)
+      val real = CowTable.vacuum(spark, t, retainVersions = 1,
+        retentionMs = 0).sorted
+      assert(real === planned)
+      assert(CowTable.read(spark, t).count() === 200)
     }
   }
 
