@@ -1118,7 +1118,52 @@ object TableQueries {
       |WHERE o_orderkey % 3 = 1
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Table→table streaming pipe with NO foreachBatch glue: one
+    * CowTable's change feed written into another through the DSv1
+    * sink provider (`writeStream.format(...)`), exactly-once per
+    * micro-batch. Three source commits (create + two appends, the
+    * middle one re-keyed) drain in one catch-up; gate output = the
+    * TARGET table read from disk.
+    */
+  def pipelineTablePipe(spark: SparkSession, dir: String): DataFrame = {
+    val src = scratch(dir, "pipe_src")
+    val dst = scratch(dir, "pipe_dst")
+    val ckpt = scratch(dir, "pipe_ckpt")
+    Seq(src, dst, ckpt).foreach(reset(spark, _))
+    val base = Tables.load(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey")
+    CowTable.create(spark, src,
+      base.repartitionByRange(4, col("o_orderkey")), Seq("o_orderkey"))
+    CowTable.append(spark, src, base.filter(col("o_orderkey") % 5 === 0)
+      .select((col("o_orderkey") + 1000000000L).as("o_orderkey"),
+        col("o_custkey")))
+    CowTable.append(spark, src, base.filter(col("o_orderkey") % 7 === 0)
+      .select((col("o_orderkey") + 2000000000L).as("o_orderkey"),
+        col("o_custkey")))
+    val q = graft.streaming.TableChangeFeed.readChanges(spark, src)
+      .select("o_orderkey", "o_custkey")
+      .writeStream
+      .format(classOf[graft.streaming.CowTableSinkProvider].getName)
+      .option("path", dst)
+      .option("statsCols", "o_orderkey")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try { q.processAllAvailable() } finally q.stop()
+    CowTable.read(spark, dst).orderBy("o_orderkey")
+  }
+
+  val pipelineTablePipeSql: String =
+    """SELECT o_orderkey, o_custkey FROM orders
+      |UNION ALL
+      |SELECT o_orderkey + 1000000000, o_custkey FROM orders
+      |WHERE o_orderkey % 5 = 0
+      |UNION ALL
+      |SELECT o_orderkey + 2000000000, o_custkey FROM orders
+      |WHERE o_orderkey % 7 = 0
+      |ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_table_pipe" -> (pipelineTablePipe(_, _)),
     "table_provenance" -> (tableProvenance(_, _)),
     "pipeline_feed_quarantine" -> (pipelineFeedQuarantine(_, _)),
     "table_maintain" -> (tableMaintain(_, _)),
@@ -1147,6 +1192,7 @@ object TableQueries {
     "table_compact" -> (tableCompact(_, _)))
 
   val oracleSql: Map[String, String] = Map(
+    "pipeline_table_pipe" -> pipelineTablePipeSql,
     "table_provenance" -> tableProvenanceSql,
     "pipeline_feed_quarantine" -> pipelineFeedQuarantineSql,
     "table_maintain" -> tableMaintainSql,

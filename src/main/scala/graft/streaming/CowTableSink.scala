@@ -1,0 +1,66 @@
+package graft.streaming
+
+import graft.tables.{CowTable, TxLog}
+import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.execution.streaming.Sink
+import org.apache.spark.sql.graft.PlanSurgery
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider}
+import org.apache.spark.sql.streaming.OutputMode
+
+/** The CowTable as a first-class streaming SINK —
+  * `df.writeStream.format("graft.streaming.CowTableSinkProvider")
+  * .option("path", table)` — completing the endpoint pair with
+  * [[TableChangeFeed]] (the table as a SOURCE): a Structured Streaming
+  * query can now read from one transactional table and write to
+  * another with no foreachBatch glue.
+  *
+  * Semantics: Append output mode, one atomic table APPEND per
+  * micro-batch, stamped `Txn(appId, batchId)` — a replayed batch
+  * (sink retry, checkpoint recovery) sees the stamp and no-ops, so
+  * the table holds each micro-batch exactly once. The table is
+  * auto-created from the first batch's schema (options `statsCols`,
+  * comma-separated, and `partitionBy` control its layout); keyed
+  * MERGE/aggregate maintenance stays with [[TableSink]]'s
+  * foreachBatch faces, which need key semantics no sink option can
+  * express.
+  */
+class CowTableSinkProvider extends StreamSinkProvider
+    with DataSourceRegister {
+
+  override def shortName(): String = "cowtable"
+
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: OutputMode): Sink = {
+    require(outputMode == OutputMode.Append(),
+      s"cowtable sink is append-only (got $outputMode); keyed " +
+        "maintenance is TableSink.mergeSink/aggSink")
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "cowtable sink needs option 'path' (the table root)"))
+    new CowTableStreamSink(path,
+      parameters.getOrElse("appId", s"cowtable-sink:$path"),
+      parameters.get("statsCols").map(_.split(",").map(_.trim).toSeq),
+      parameters.get("partitionBy").map(_.split(",").map(_.trim).toSeq)
+        .getOrElse(Seq.empty))
+  }
+}
+
+class CowTableStreamSink(path: String, appId: String,
+    statsCols: Option[Seq[String]],
+    partitionBy: Seq[String]) extends Sink {
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val spark = data.sparkSession
+    val batch = PlanSurgery.asBatchFrame(data)
+    if (TxLog.latestVersion(spark, path) == 0) {
+      // auto-create with the layout options; the first batch's rows
+      // land through the stamped append below so a replayed batch 0
+      // can't double-create data
+      CowTable.create(spark, path, batch.limit(0),
+        statsCols.getOrElse(batch.columns.toSeq.take(1)), partitionBy)
+    }
+    CowTable.append(spark, path, batch,
+      txn = Some(TxLog.Txn(appId, batchId)))
+  }
+}

@@ -878,6 +878,10 @@ object CowTable {
       asOfVersion: Option[Long] = None): DataFrame = {
     val snap = TxLog.snapshot(spark, path, asOfVersion)
     val addedAt = scala.collection.mutable.Map[String, Long]()
+    // Keying by file NAME is sound: names are op-unique
+    // (`<opId>-part-<task>`), and the one collision partitionBy allows
+    // — the same task file name under two partition dirs — is within
+    // ONE op, i.e. one commit: both copies map to the same version.
     (1L to snap.version).foreach { v =>
       TxLog.commitAt(spark, path, v).adds.foreach(a =>
         addedAt.update(a.path.split('/').last, v))

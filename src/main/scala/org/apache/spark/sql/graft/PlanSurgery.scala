@@ -44,4 +44,17 @@ object PlanSurgery {
     cs.internalCreateDataFrame(df.queryExecution.toRdd, df.schema,
       isStreaming = true)
   }
+
+  /** The inverse re-tag for a DSv1 `Sink.addBatch`: the incoming
+    * micro-batch frame rides an IncrementalExecution and must not be
+    * re-analyzed by downstream batch writers (Spark's own DSv1 sinks —
+    * console, foreachBatch — all rebind the physical rows this way
+    * before handing the frame to batch code).
+    */
+  def asBatchFrame(df: DataFrame): DataFrame = {
+    val cs = df.sparkSession
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    cs.internalCreateDataFrame(df.queryExecution.toRdd, df.schema,
+      isStreaming = false)
+  }
 }

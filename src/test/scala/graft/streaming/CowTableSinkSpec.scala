@@ -1,0 +1,86 @@
+package graft.streaming
+
+import graft.SparkTestSession
+import graft.tables.{CowTable, TxLog}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[CowTableSinkProvider]]: table → table streaming with NO
+  * foreachBatch glue — the change feed of one CowTable written into
+  * another through `writeStream.format(...)`, exactly-once per
+  * micro-batch via the Txn stamp.
+  */
+class CowTableSinkSpec extends AnyFunSuite {
+
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def withDir(f: java.io.File => Unit): Unit = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cts_").toFile
+    try f(dir) finally rmrf(dir)
+  }
+  private def rmrf(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(rmrf)
+    f.delete(); ()
+  }
+
+  private def pipe(src: String, dst: String, ckpt: String): Unit = {
+    val q = TableChangeFeed.readChanges(spark, src)
+      .select("k", "v", "s")
+      .writeStream
+      .format(classOf[CowTableSinkProvider].getName)
+      .option("path", dst)
+      .option("statsCols", "k")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
+  test("table-to-table pipe: all rows land, replays no-op, waves flow") {
+    withDir { dir =>
+      val src = dir.getAbsolutePath + "/src"
+      val dst = dir.getAbsolutePath + "/dst"
+      val ckpt = dir.getAbsolutePath + "/ck"
+      CowTable.create(spark, src,
+        Seq((1L, 10L, "a"), (2L, 20L, "b")).toDF("k", "v", "s"), Seq("k"))
+      CowTable.append(spark, src, Seq((3L, 30L, "c")).toDF("k", "v", "s"))
+      pipe(src, dst, ckpt)
+      assert(CowTable.read(spark, dst).orderBy("k").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq ===
+        Seq((1L, 10L, "a"), (2L, 20L, "b"), (3L, 30L, "c")))
+      val v = TxLog.latestVersion(spark, dst)
+
+      // a FRESH checkpoint replays the whole feed; the Txn stamps must
+      // swallow every already-applied micro-batch
+      pipe(src, dst, dir.getAbsolutePath + "/ck2")
+      assert(TxLog.latestVersion(spark, dst) === v)
+      assert(CowTable.read(spark, dst).count() === 3)
+
+      // new source commits flow through the SAME checkpoint
+      CowTable.append(spark, src, Seq((4L, 40L, "d")).toDF("k", "v", "s"))
+      pipe(src, dst, ckpt)
+      assert(CowTable.read(spark, dst).count() === 4)
+    }
+  }
+
+  test("append-only contract: non-append output modes are refused") {
+    withDir { dir =>
+      val src = dir.getAbsolutePath + "/src2"
+      CowTable.create(spark, src,
+        Seq((1L, 10L, "a")).toDF("k", "v", "s"), Seq("k"))
+      val e = intercept[Exception] {
+        val q = TableChangeFeed.readChanges(spark, src)
+          .select("k", "v", "s")
+          .groupBy("k").count()
+          .writeStream
+          .format(classOf[CowTableSinkProvider].getName)
+          .option("path", dir.getAbsolutePath + "/dst2")
+          .option("checkpointLocation", dir.getAbsolutePath + "/ck3")
+          .outputMode("complete")
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      assert(e.getMessage.contains("append-only"), e.getMessage)
+    }
+  }
+}

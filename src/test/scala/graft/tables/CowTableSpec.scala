@@ -1172,6 +1172,22 @@ class CowTableSpec extends AnyFunSuite {
         .select(CowTable.ProvenanceCol).distinct()
         .collect().map(_.getLong(0)).toSeq === Seq(1L))
     }
+    // partitioned: one op's task file names repeat across partition
+    // dirs — same commit, so the name-keyed map stays sound
+    withTable { t =>
+      CowTable.create(spark, t,
+        base(90, 1).withColumn("b", col("k") % 3),
+        Seq("k"), partitionBy = Seq("b"))                        // v1
+      CowTable.append(spark, t,
+        Seq((900L, 1L, "x", 0L), (901L, 1L, "x", 1L))
+          .toDF("k", "v", "s", "b"))                             // v2
+      val p = CowTable.readWithProvenance(spark, t)
+      assert(p.filter(col("k") < 900)
+        .filter(col(CowTable.ProvenanceCol) =!= 1L).isEmpty)
+      assert(p.filter(col("k") >= 900)
+        .filter(col(CowTable.ProvenanceCol) =!= 2L).isEmpty)
+      assert(p.count() === 92L)
+    }
   }
 
   test("reader protocol: future features fail loudly, not wrongly") {
