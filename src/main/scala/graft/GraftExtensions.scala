@@ -209,6 +209,60 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       DeletionNeighborhood(args.head,
         intLit(args(1), "deletion_neighborhood", 2))
     })
+    // Table-valued functions: the table format as plain SQL text —
+    // `SELECT * FROM cow_table('/path/t')`, time travel via the second
+    // argument, and the commit history as a queryable relation. The
+    // builder returns the READ's logical plan; both args must be
+    // foldable (evaluated at resolution, like every TVF with static
+    // shape). SparkSession.active is the resolving session — TVF
+    // builders get no session handle by design.
+    def injectTvf(name: String,
+        builder: Seq[Expression] => org.apache.spark.sql.catalyst.plans
+          .logical.LogicalPlan): Unit =
+      ext.injectTableFunction((
+        new FunctionIdentifier(name),
+        new ExpressionInfo("graft.tables.CowTable", name),
+        builder))
+    def constStr(e: Expression, fn: String): String =
+      constVal(e, fn, 1) match {
+        case s: UTF8String => s.toString
+        case other => throw new IllegalArgumentException(
+          s"$fn argument 1 must be a constant string path, got $other")
+      }
+    def constLong(e: Expression, fn: String): Long =
+      constVal(e, fn, 2) match {
+        case i: Int  => i.toLong
+        case l: Long => l
+        case other => throw new IllegalArgumentException(
+          s"$fn argument 2 must be a constant version, got $other")
+      }
+
+    injectTvf("cow_table", { args =>
+      require(args.nonEmpty && args.length <= 2,
+        s"cow_table(path[, asOfVersion]) — got ${args.length} arguments")
+      val spark = org.apache.spark.sql.SparkSession.active
+      graft.tables.CowTable.read(spark, constStr(args.head, "cow_table"),
+          args.lift(1).map(constLong(_, "cow_table")))
+        .queryExecution.logical
+    })
+    injectTvf("cow_table_history", { args =>
+      require(args.length == 1,
+        s"cow_table_history(path) — got ${args.length} arguments")
+      val spark = org.apache.spark.sql.SparkSession.active
+      graft.tables.TxLog.describeHistory(spark,
+          constStr(args.head, "cow_table_history"))
+        .queryExecution.logical
+    })
+    injectTvf("cow_table_changes", { args =>
+      require(args.length == 2,
+        s"cow_table_changes(path, version) — got ${args.length} arguments")
+      val spark = org.apache.spark.sql.SparkSession.active
+      graft.tables.CowTable.changesAt(spark,
+          constStr(args.head, "cow_table_changes"),
+          constLong(args(1), "cow_table_changes"))
+        .queryExecution.logical
+    })
+
     ext.injectOptimizerRule(_ => RewriteDotProduct)
     // materialized-summary routing (graft.plans.SummaryCatalog): route
     // covered aggregates over a base table to its registered rollup

@@ -1162,7 +1162,46 @@ object TableQueries {
       |WHERE o_orderkey % 7 = 0
       |ORDER BY o_orderkey""".stripMargin
 
+  /** The table format as plain SQL text: one statement reads the head
+    * through the `cow_table` TVF, time-travels to v1 through its
+    * second argument, and reads commit 2's adds through
+    * `cow_table_changes` — the SparkSessionExtensions surface a SQL
+    * user gets with zero Scala (`Sessions` installs GraftExtensions in
+    * every harness session, so this is the default experience).
+    */
+  def tableSqlTvf(spark: SparkSession, dir: String): DataFrame = {
+    val t = scratch(dir, "tvf")
+    reset(spark, t)
+    val base = Tables.load(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey")
+    CowTable.create(spark, t,
+      base.repartitionByRange(4, col("o_orderkey")), Seq("o_orderkey"))
+    CowTable.append(spark, t, base.filter(col("o_orderkey") % 11 === 0)
+      .select((col("o_orderkey") + 1000000000L).as("o_orderkey"),
+        col("o_custkey")))
+    spark.sql(
+      s"""SELECT 'head' AS src, o_orderkey, o_custkey FROM cow_table('$t')
+         |UNION ALL
+         |SELECT 'v1', o_orderkey, o_custkey FROM cow_table('$t', 1)
+         |UNION ALL
+         |SELECT 'v2adds', o_orderkey, o_custkey
+         |FROM cow_table_changes('$t', 2)
+         |ORDER BY src, o_orderkey""".stripMargin)
+  }
+
+  val tableSqlTvfSql: String =
+    """WITH slice AS (
+      |  SELECT o_orderkey + 1000000000 AS o_orderkey, o_custkey
+      |  FROM orders WHERE o_orderkey % 11 = 0)
+      |SELECT * FROM (
+      |  SELECT 'head' AS src, o_orderkey, o_custkey FROM orders
+      |  UNION ALL SELECT 'head', o_orderkey, o_custkey FROM slice
+      |  UNION ALL SELECT 'v1', o_orderkey, o_custkey FROM orders
+      |  UNION ALL SELECT 'v2adds', o_orderkey, o_custkey FROM slice)
+      |ORDER BY src, o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "table_sql_tvf" -> (tableSqlTvf(_, _)),
     "pipeline_table_pipe" -> (pipelineTablePipe(_, _)),
     "table_provenance" -> (tableProvenance(_, _)),
     "pipeline_feed_quarantine" -> (pipelineFeedQuarantine(_, _)),
@@ -1192,6 +1231,7 @@ object TableQueries {
     "table_compact" -> (tableCompact(_, _)))
 
   val oracleSql: Map[String, String] = Map(
+    "table_sql_tvf" -> tableSqlTvfSql,
     "pipeline_table_pipe" -> pipelineTablePipeSql,
     "table_provenance" -> tableProvenanceSql,
     "pipeline_feed_quarantine" -> pipelineFeedQuarantineSql,

@@ -1,0 +1,65 @@
+package graft.tables
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The [[graft.GraftExtensions]] table-valued functions: the table
+  * format as plain SQL text. Cross-engine correctness is the
+  * `table_sql_tvf` gate's; this spec pins the argument contract and
+  * the history surface.
+  */
+class TvfSpec extends AnyFunSuite {
+
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def withTable(f: String => Unit): Unit = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tvf_").toFile
+    try f(dir.getAbsolutePath + "/t")
+    finally rmrf(dir)
+  }
+  private def rmrf(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(rmrf)
+    f.delete(); ()
+  }
+
+  test("cow_table reads, time-travels, and joins like any relation") {
+    withTable { t =>
+      CowTable.create(spark, t,
+        Seq((1L, 10L, "a"), (2L, 20L, "b")).toDF("k", "v", "s"), Seq("k"))
+      CowTable.append(spark, t, Seq((3L, 30L, "c")).toDF("k", "v", "s"))
+      assert(spark.sql(s"SELECT count(*) FROM cow_table('$t')")
+        .collect()(0).getLong(0) === 3L)
+      assert(spark.sql(s"SELECT count(*) FROM cow_table('$t', 1)")
+        .collect()(0).getLong(0) === 2L)
+      // a TVF result is a full relation: joins and filters compose
+      val j = spark.sql(
+        s"""SELECT a.k FROM cow_table('$t') a
+           |JOIN cow_table('$t', 1) b ON a.k = b.k
+           |WHERE a.v >= 20 ORDER BY a.k""".stripMargin)
+        .collect().map(_.getLong(0)).toSeq
+      assert(j === Seq(2L))
+    }
+  }
+
+  test("cow_table_history is a queryable relation; bad args are loud") {
+    withTable { t =>
+      CowTable.create(spark, t, Seq((1L, 1L, "a")).toDF("k", "v", "s"),
+        Seq("k"))
+      CowTable.append(spark, t, Seq((2L, 2L, "b")).toDF("k", "v", "s"))
+      val ops = spark.sql(
+        s"SELECT op FROM cow_table_history('$t') ORDER BY version")
+        .collect().map(_.getString(0)).toSeq
+      assert(ops === Seq("create", "append"))
+      val e = intercept[Exception] {
+        spark.sql(s"SELECT * FROM cow_table('$t', 1, 2, 3)").collect()
+      }
+      assert(e.getMessage.contains("cow_table"), e.getMessage)
+      val e2 = intercept[Exception] {
+        spark.sql("SELECT * FROM cow_table(k)").collect()
+      }
+      assert(e2.getMessage.nonEmpty)
+    }
+  }
+}
