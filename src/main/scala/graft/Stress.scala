@@ -1930,6 +1930,60 @@ object Stress {
           s"replica diverged: $s vs $d")
         d.getLong(0)
       }
+      // Continuous curation at corpus scale, INDEXED mode: the whole
+      // documents corpus seeds the persisted bucketed index; two
+      // ingest waves (an exact-copy slice and a mutated slice) drain
+      // through the change feed + curateSink. The proof: keeps +
+      // quarantined == wave volume exactly (nothing dropped on the
+      // floor, nothing double-counted), and the screen ran against
+      // the INDEX (O(batch) shingle work), not a corpus re-shingle.
+      val docs = queries.Tables.loadSpread(spark, dir, "documents")
+        .select("doc_id", "text")
+      val nDocs = docs.count()
+      val craw = s"$root/craw"
+      val ccur = s"$root/ccur"
+      val cquar = s"$root/cquar"
+      Seq("gs_curidx_hashes", "gs_curidx_bands", "gs_curidx_shingles")
+        .foreach { tb =>
+          spark.sql(s"DROP TABLE IF EXISTS $tb")
+          val loc = new org.apache.hadoop.fs.Path(
+            s"${spark.conf.get("spark.sql.warehouse.dir")}/$tb")
+          val lfs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (lfs.exists(loc)) { lfs.delete(loc, true); () }
+        }
+      timedWarm("cowcurseed") {
+        CowTable.create(spark, ccur, docs, Seq("doc_id"))
+        dedup.IncrementalDedup.writeIndex(
+          dedup.IncrementalDedup.buildIndex(docs, "doc_id", "text"),
+          "gs_curidx")
+        nDocs
+      }
+      timed("cowcurate") {
+        val wave1 = docs.filter(col("doc_id") % 4 === 0)
+          .select((col("doc_id") + 5000000L).as("doc_id"), col("text"))
+        val wave2 = docs.filter(col("doc_id") % 4 === 1)
+          .select((col("doc_id") + 6000000L).as("doc_id"),
+            reverse(col("text")).as("text"))
+        CowTable.create(spark, craw, wave1, Seq("doc_id"))
+        CowTable.append(spark, craw, wave2)
+        val waveTotal = wave1.count() + wave2.count()
+        val q = streaming.TableCuration.curateSink(
+          streaming.TableChangeFeed.readChanges(spark, craw),
+          ccur, "doc_id", "text",
+          indexPrefix = Some("gs_curidx"),
+          quarantinePath = Some(cquar))
+          .option("checkpointLocation", s"$root/cckpt").start()
+        try q.processAllAvailable() finally q.stop()
+        val kept = CowTable.read(spark, ccur).count() - nDocs
+        val rejected = CowTable.read(spark, cquar).count()
+        require(kept + rejected == waveTotal,
+          s"curation lost rows: kept=$kept rejected=$rejected of $waveTotal")
+        require(rejected >= waveTotal / 4,
+          s"the exact-copy wave must quarantine: $rejected of $waveTotal")
+        require(kept >= waveTotal / 8,
+          s"the reversed wave must mostly keep: kept=$kept of $waveTotal")
+        kept
+      }
       if (rfs.exists(rootP)) { rfs.delete(rootP, true); () }
     }
 

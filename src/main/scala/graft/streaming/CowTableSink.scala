@@ -56,9 +56,16 @@ class CowTableStreamSink(path: String, appId: String,
     if (TxLog.latestVersion(spark, path) == 0) {
       // auto-create with the layout options; the first batch's rows
       // land through the stamped append below so a replayed batch 0
-      // can't double-create data
-      CowTable.create(spark, path, batch.limit(0),
+      // can't double-create data. A RIVAL creator (second query on
+      // the same fresh path) losing this race is fine — the append
+      // below works against whichever create won.
+      try CowTable.create(spark, path, batch.limit(0),
         statsCols.getOrElse(batch.columns.toSeq.take(1)), partitionBy)
+      catch {
+        case e: IllegalArgumentException
+            if e.getMessage != null &&
+              e.getMessage.contains("already exists") => ()
+      }
     }
     CowTable.append(spark, path, batch,
       txn = Some(TxLog.Txn(appId, batchId)))
