@@ -29,6 +29,15 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   * by the OFFLINE retrain + [[IvfPq.writeIndex]] swap (the
   * cluster-maintenance discipline of [[ClusterMaintain]]), never
   * in-stream.
+  *
+  * Delivery is AT-LEAST-ONCE under sink retries (the coded index is a
+  * plain partitioned catalog table, so the append can't be stamped
+  * transactionally the way [[TableSink]]'s CowTable merges are); a
+  * retried batch duplicates its coded rows, which can displace a k-th
+  * neighbor with a duplicate id. The heal is the same as any derived
+  * index: rebuild via [[IvfPq.writeIndex]] from the vector source of
+  * truth — or route the corpus through a CowTable and rebuild from
+  * its exactly-once contents.
   */
 object AnnIngestStream {
 

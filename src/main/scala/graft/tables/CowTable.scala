@@ -196,6 +196,28 @@ object CowTable {
         constraintsAdd = Some(Map(name -> exprSql))))
     }
 
+  /** Start zone-mapping `column`: FUTURE writes record min/max/null
+    * stats for it (one more aggregate column in the same one-pass
+    * stats job); files written before this commit carry no stat for
+    * it and therefore NEVER prune against it — conservative by the
+    * existing `stats.get(c).forall(...)` rule, so reads stay exact
+    * while selectivity arrives file-by-file as the table churns (or
+    * all at once via [[optimize]], which rewrites everything under
+    * the new stats set). The inverse of waiting for a full rewrite:
+    * "we query by this column now" costs one metadata commit.
+    */
+  def addStatsColumn(spark: SparkSession, path: String,
+      column: String): Unit =
+    retrying(s"add stats column $column on $path") {
+      val snap = TxLog.snapshot(spark, path)
+      require(StructType.fromDDL(snap.schemaDDL).fieldNames
+        .contains(column), s"no column '$column' in $path")
+      if (snap.statsCols.contains(column)) true
+      else TxLog.tryCommit(spark, path, Commit(snap.version + 1,
+        "stats", Seq.empty, Seq.empty, None,
+        Some(snap.statsCols :+ column)))
+    }
+
   /** Drop a CHECK constraint (future writes stop validating it). */
   def dropConstraint(spark: SparkSession, path: String,
       name: String): Unit =

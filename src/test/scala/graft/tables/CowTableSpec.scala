@@ -1190,6 +1190,38 @@ class CowTableSpec extends AnyFunSuite {
     }
   }
 
+  test("addStatsColumn: new writes prune on it, old files stay exact") {
+    withTable { t =>
+      CowTable.create(spark, t, base(1000, 4), Seq("k"))
+      CowTable.addStatsColumn(spark, t, "v")
+      // old files carry no 'v' stat -> never prune against it
+      val snap0 = TxLog.snapshot(spark, t)
+      assert(snap0.statsCols === Seq("k", "v"))
+      assert(snap0.files.forall(!_.stats.contains("v")))
+      // a new clustered write records the stat and prunes
+      CowTable.append(spark, t,
+        spark.range(2000, 3000).select(col("id").as("k"),
+            (col("id") - 2000).as("v"),
+            concat(lit("n"), col("id")).as("s"))
+          .repartitionByRange(4, col("v")))
+      val snap = TxLog.snapshot(spark, t)
+      val newFiles = snap.files.filter(_.stats.contains("v"))
+      assert(newFiles.size === 4)
+      val covering = snap.files.count(
+        _.stats.get("v").forall(_.mayOverlap("10", "20")))
+      // all 4 old files (conservative) + exactly 1 new file
+      assert(covering === 5, s"covering=$covering")
+      // reads stay exact through the mixed-stats manifest
+      assert(CowTable.readWhere(spark, t,
+        col("v").between(10, 20)).count() ===
+        CowTable.read(spark, t).filter(col("v").between(10, 20)).count())
+      // unknown column refused
+      intercept[IllegalArgumentException] {
+        CowTable.addStatsColumn(spark, t, "nope")
+      }
+    }
+  }
+
   test("reader protocol: future features fail loudly, not wrongly") {
     withTable { t =>
       CowTable.create(spark, t, base(50, 1), Seq("k"))            // v1
