@@ -107,7 +107,7 @@ object Maintenance {
     * maximal value range where depth > threshold, with the peak depth
     * and the count of distinct files intersecting it.
     */
-  private def sweep(column: String, stats: Seq[TxLog.ColStats],
+  private[tables] def sweep(column: String, stats: Seq[TxLog.ColStats],
       maxDepth: Int): Seq[HotRange] = {
     val kind = stats.head.kind
     val lt: (String, String) => Boolean = kind match {
