@@ -1422,6 +1422,49 @@ object SimilarityQueries {
 
   val pipelineFeedAnnSql: String = feedAnnOracleSql(ivfPqCfg)
 
+  /** The same feed-fed ANN loop over the TRANSACTIONAL table-backed
+    * index ([[graft.similarity.IvfPqTable]]): index appends are
+    * Txn-stamped per micro-batch (exactly-once — the catalog form's
+    * at-least-once gap, closed), serving reads only the probed cells'
+    * files via the manifest. Append-then-serve ≡ code-the-union holds
+    * identically, so the oracle is [[pipelineFeedAnnSql]] VERBATIM —
+    * the hash pins that the transactional machinery is
+    * contents-invisible for clean runs.
+    */
+  def pipelineFeedAnnTx(spark: SparkSession, dir: String): DataFrame = {
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_cow/" +
+      s"${new java.io.File(dir).getName}"
+    val raw = s"$root/fat_src"
+    val idx = s"$root/fat_idx"
+    val ckpt = s"$root/fat_ckpt"
+    Seq(raw, idx, ckpt).foreach { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = graft.tables.TxLog.fs(spark, p)
+      if (fs.exists(hp)) { fs.delete(hp, true); () }
+    }
+    val emb = Tables.loadSpread(spark, dir, "embeddings")
+      .select("vec_id", "embedding")
+    val seedCut = col("vec_id") < 64 || col("vec_id") % 3 =!= 2
+    graft.tables.CowTable.create(spark, raw, emb.filter(seedCut),
+      Seq("vec_id"))
+    val model = IvfPqTable.create(spark, idx,
+      graft.tables.CowTable.read(spark, raw, Some(1L)),
+      "vec_id", "embedding", Dim, ivfPqCfg)
+    graft.tables.CowTable.append(spark, raw, emb.filter(!seedCut))
+    val feed = graft.streaming.TableChangeFeed
+      .readChanges(spark, raw, startingVersion = 2L)
+      .select("vec_id", "embedding")
+    val q = graft.streaming.AnnIngestStream
+      .maintainTable(feed, "vec_id", "embedding", Dim, idx, model,
+        ivfPqCfg)
+      .option("checkpointLocation", ckpt).start()
+    try { q.processAllAvailable() } finally q.stop()
+    IvfPqTable.topK(spark, idx,
+        emb.filter(col("vec_id") < QueryCount), "vec_id", "embedding",
+        Dim, K, ivfPqCfg)
+      .orderBy("q_id", "rank")
+  }
+
   // ---------------------------------------------------------------- fused
 
   private val RrfK0 = 60
@@ -2061,6 +2104,7 @@ object SimilarityQueries {
     "sim_ivfpq" -> (simIvfPq(_, _)),
     "sim_ivfpq_res" -> (simIvfPqRes(_, _)),
     "pipeline_feed_ann" -> (pipelineFeedAnn(_, _)),
+    "pipeline_feed_ann_tx" -> (pipelineFeedAnnTx(_, _)),
     "sim_graph_search" -> (simGraphSearch(_, _)),
     "sim_fused" -> (simFused(_, _)),
     "embed_kmeans" -> (embedKmeans(_, _)),
@@ -2101,6 +2145,7 @@ object SimilarityQueries {
     "sim_ivfpq" -> simIvfPqSql,
     "sim_ivfpq_res" -> simIvfPqResSql,
     "pipeline_feed_ann" -> pipelineFeedAnnSql,
+    "pipeline_feed_ann_tx" -> pipelineFeedAnnSql,
     "sim_fused" -> simFusedSql,
     "embed_kmeans" -> embedKmeansSql,
     "embed_kmeans_label" -> embedKmeansSql)

@@ -99,7 +99,7 @@ object IvfPq {
       books: Seq[Seq[KMeans.Centroid]])
 
   /** (vid, v, nrm, q, qn): the quantized prep every stage scans. */
-  private def prepare(vectors: DataFrame, idCol: String, vecCol: String,
+  private[similarity] def prepare(vectors: DataFrame, idCol: String, vecCol: String,
       cfg: Config): DataFrame =
     vectors
       .select(col(idCol).cast("long").as("vid"),
@@ -145,7 +145,7 @@ object IvfPq {
     * Residual encoding keeps the sequential path — its PQ input is
     * defined by the FINISHED coarse codebook.
     */
-  private def fitModel(prep: DataFrame, dim: Int, cfg: Config): Model =
+  private[similarity] def fitModel(prep: DataFrame, dim: Int, cfg: Config): Model =
     if (cfg.residual) fitModelSequential(prep, dim, cfg)
     else fitModelFused(prep, dim, cfg)
 
@@ -279,7 +279,7 @@ object IvfPq {
       model: Model, cfg: Config = Config()): DataFrame =
     coded(prepare(vectors, idCol, vecCol, cfg), model, dim, cfg)
 
-  private def coded(prep: DataFrame, model: Model, dim: Int,
+  private[similarity] def coded(prep: DataFrame, model: Model, dim: Int,
       cfg: Config): DataFrame = {
     val sub = dim / cfg.pq.m
     codeSource(prep, model.coarse, cfg).select(
@@ -298,7 +298,7 @@ object IvfPq {
     * itself; residual: its floored residual to the PROBED cell — one
     * LUT set per (query, cell), the residual-IVFADC shape).
     */
-  private def probes(queriesPrep: DataFrame, model: Model, dim: Int,
+  private[similarity] def probes(queriesPrep: DataFrame, model: Model, dim: Int,
       cfg: Config): DataFrame = {
     val sub = dim / cfg.pq.m
     // coarse probe distances and per-subspace ADC LUTs both ride
@@ -330,7 +330,7 @@ object IvfPq {
   /** ADC screen over probed cells + exact-cosine re-rank — the search
     * tail shared by the train-and-search and the served-index paths.
     */
-  private def search(codedDocs: DataFrame, probeSet: DataFrame, k: Int,
+  private[similarity] def search(codedDocs: DataFrame, probeSet: DataFrame, k: Int,
       cfg: Config): DataFrame = {
     // ADC over probed cells only: broadcast HASH join on the cell id —
     // the corpus never meets a query outside its probed cells

@@ -55,4 +55,23 @@ object AnnIngestStream {
         onBatch(batchId)
       }
     }
+
+  /** EXACTLY-ONCE variant over the transactional table-backed index
+    * ([[graft.similarity.IvfPqTable]]): each micro-batch's coded
+    * append is stamped `Txn(appId, batchId)`, so a sink retry or a
+    * replay from an old checkpoint no-ops instead of duplicating
+    * coded rows — the delivery gap of the catalog form, closed.
+    */
+  def maintainTable(vectors: DataFrame, idCol: String, vecCol: String,
+      dim: Int, path: String, model: IvfPq.Model,
+      cfg: IvfPq.Config = IvfPq.Config(),
+      appId: String = "ann-table-ingest"): DataStreamWriter[Row] =
+    vectors.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      if (!batch.isEmpty) {
+        graft.similarity.IvfPqTable.append(batch.sparkSession, path,
+          batch, idCol, vecCol, dim, model, cfg,
+          txn = Some(graft.tables.TxLog.Txn(appId, batchId)))
+        batch.sparkSession.catalog.clearCache()
+      }
+    }
 }

@@ -1,0 +1,91 @@
+package graft.similarity
+
+import graft.SparkTestSession
+import graft.tables.{CowTable, TxLog}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[IvfPqTable]]: the transactional table-backed IVFADC index —
+  * exactly-once ingest (the catalog form's at-least-once gap),
+  * served ≡ catalog-served results, and time-traveled serving.
+  */
+class IvfPqTableSpec extends AnyFunSuite {
+
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val dim = 8
+  private val cfg = IvfPq.Config(cells = 4,
+    pq = ProductQuant.Config(m = 2, codeK = 4, screenK = 10))
+
+  private def vecs(ids: Range): DataFrame =
+    ids.map(i => (i.toLong,
+        Array.tabulate(dim)(d => math.sin(i * 31 + d * 7).toFloat)))
+      .toDF("vec_id", "embedding")
+
+  private def withDir(f: String => Unit): Unit = {
+    val d = java.nio.file.Files.createTempDirectory("graft_ivft_").toFile
+    try f(d.getAbsolutePath) finally rmrf(d)
+  }
+  private def rmrf(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(rmrf)
+    f.delete(); ()
+  }
+
+  test("txn-stamped appends: a replayed batch cannot duplicate rows") {
+    withDir { dir =>
+      val idx = s"$dir/idx"
+      val model = IvfPqTable.create(spark, idx, vecs(0 until 60),
+        "vec_id", "embedding", dim, cfg)
+      val wave = vecs(60 until 90)
+      IvfPqTable.append(spark, idx, wave, "vec_id", "embedding", dim,
+        model, cfg, txn = Some(TxLog.Txn("ann", 0L)))
+      val v = TxLog.latestVersion(spark, idx)
+      // the retry: same batch, same stamp — must no-op entirely
+      IvfPqTable.append(spark, idx, wave, "vec_id", "embedding", dim,
+        model, cfg, txn = Some(TxLog.Txn("ann", 0L)))
+      assert(TxLog.latestVersion(spark, idx) === v)
+      assert(CowTable.read(spark, idx).count() === 90L)
+      // a duplicate would displace a real k-th neighbor: top-k ids
+      // stay distinct
+      val got = IvfPqTable.topK(spark, idx, vecs(0 until 3),
+        "vec_id", "embedding", dim, 5, cfg, Some(model))
+      val perQ = got.groupBy("q_id")
+        .agg(count(lit(1)).as("n"), countDistinct("n_id").as("d"))
+        .collect()
+      assert(perQ.forall(r => r.getLong(1) === r.getLong(2)))
+    }
+  }
+
+  test("table-served == catalog-served; time travel serves the past") {
+    withDir { dir =>
+      val idx = s"$dir/idx2"
+      spark.sql("DROP TABLE IF EXISTS ivft_cat")
+      spark.sql("DROP TABLE IF EXISTS ivft_cat_model")
+      val loc = new org.apache.hadoop.fs.Path(
+        s"${spark.conf.get("spark.sql.warehouse.dir")}/ivft_cat")
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) { fs.delete(loc, true); () }
+      val all = vecs(0 until 90)
+      val model = IvfPqTable.create(spark, idx, vecs(0 until 60),
+        "vec_id", "embedding", dim, cfg)
+      IvfPqTable.append(spark, idx, vecs(60 until 90), "vec_id",
+        "embedding", dim, model, cfg)
+      // catalog form coded with the SAME frozen model over the union
+      IvfPq.code(all, "vec_id", "embedding", dim, model, cfg)
+        .write.partitionBy("cell").mode("overwrite").saveAsTable("ivft_cat")
+      val q = vecs(0 until 3)
+      val fromTable = IvfPqTable.topK(spark, idx, q, "vec_id",
+        "embedding", dim, 5, cfg, Some(model)).collect().toSeq
+      val fromCat = IvfPq.topKIndexed(spark, "ivft_cat", q, "vec_id",
+        "embedding", dim, 5, cfg, Some(model)).collect().toSeq
+      assert(fromTable.toSet === fromCat.toSet)
+      // asOf v1 = the seed-only index: results exclude the wave
+      val past = IvfPqTable.topK(spark, idx, q, "vec_id", "embedding",
+        dim, 5, cfg, Some(model), asOfVersion = Some(1L))
+        .select("n_id").collect().map(_.getLong(0))
+      assert(past.forall(_ < 60L))
+    }
+  }
+}
