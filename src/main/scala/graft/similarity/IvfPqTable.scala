@@ -69,9 +69,12 @@ object IvfPqTable {
       IvfPq.prepare(queries, idCol, vecCol, cfg), m, dim, cfg).persist()
     val cells = probeSet.select("cell").distinct().collect()
       .map(_.getLong(0)).sorted
-    val codedDocs = cells.map(c => CowTable.readOverlapping(spark, path,
-        "cell", c.toString, c.toString, asOfVersion))
-      .reduce(_ unionByName _)
+    // empty query batch → empty probe set → no cells to read
+    val codedDocs =
+      if (cells.isEmpty) CowTable.read(spark, path, asOfVersion).limit(0)
+      else cells.map(c => CowTable.readOverlapping(spark, path,
+          "cell", c.toString, c.toString, asOfVersion))
+        .reduce(_ unionByName _)
     IvfPq.search(codedDocs, probeSet, k, cfg)
   }
 
