@@ -471,6 +471,50 @@ object TableQueries {
       |  FROM orders WHERE o_orderkey % 3 = 2)
       |ORDER BY commit_version, o_orderkey""".stripMargin
 
+  /** The SELECTIVE change feed: same three commits, but the consumer
+    * watches only a key slice (`where = o_orderkey % 2 = 0 AND
+    * o_custkey < 500`) — each commit's add files prune by zone map
+    * before any scan, then the predicate applies row-exactly, so a
+    * narrow consumer of a wide table's feed ships O(matching) per
+    * commit. The oracle replays the filtered per-version multisets.
+    */
+  def tableChangefeedWhere(spark: SparkSession, dir: String): DataFrame = {
+    val t = scratch(dir, "changefeedw")
+    reset(spark, t)
+    val base = Tables.load(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderstatus")
+    val k = col("o_orderkey")
+    CowTable.create(spark, t,
+      base.filter(k % 3 === 0).repartitionByRange(4, k), Seq("o_orderkey"))
+    CowTable.append(spark, t, base.filter(k % 3 === 1))
+    CowTable.append(spark, t, base.filter(k % 3 === 2))
+    val sink = s"cfw_${new java.io.File(dir).getName.replace('.', '_')}"
+    val q = graft.streaming.TableChangeFeed.readChanges(spark, t,
+        where = Some("o_orderkey % 2 = 0 AND o_custkey < 500"))
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try { q.processAllAvailable() } finally q.stop()
+    spark.table(sink)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col(graft.streaming.TableChangeFeed.VersionCol)
+          .as("commit_version"))
+      .orderBy("commit_version", "o_orderkey")
+  }
+
+  val tableChangefeedWhereSql: String =
+    """SELECT * FROM (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus,
+      |         CAST(1 AS BIGINT) AS commit_version
+      |  FROM orders WHERE o_orderkey % 3 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, o_custkey, o_orderstatus, 2
+      |  FROM orders WHERE o_orderkey % 3 = 1
+      |  UNION ALL
+      |  SELECT o_orderkey, o_custkey, o_orderstatus, 3
+      |  FROM orders WHERE o_orderkey % 3 = 2)
+      |WHERE o_orderkey % 2 = 0 AND o_custkey < 500
+      |ORDER BY commit_version, o_orderkey""".stripMargin
+
   /** The table DRIVING its own consumer: an events table's change feed
     * (from version 2 — version 1 seeds the consumer) streams through
     * the exactly-once [[graft.streaming.TableSink.aggSink]] into a
@@ -1219,6 +1263,7 @@ object TableQueries {
     "table_merge_cond" -> (tableMergeCond(_, _)),
     "table_optimize_where" -> (tableOptimizeWhere(_, _)),
     "table_changefeed" -> (tableChangefeed(_, _)),
+    "table_changefeed_where" -> (tableChangefeedWhere(_, _)),
     "pipeline_changefeed_agg" -> (pipelineChangefeedAgg(_, _)),
     "pipeline_table_ingest" -> (pipelineTableIngest(_, _)),
     "table_evolve" -> (tableEvolve(_, _)),
@@ -1249,6 +1294,7 @@ object TableQueries {
     "table_merge_cond" -> tableMergeCondSql,
     "table_optimize_where" -> tableOptimizeWhereSql,
     "table_changefeed" -> tableChangefeedSql,
+    "table_changefeed_where" -> tableChangefeedWhereSql,
     "pipeline_changefeed_agg" -> Relational.qAggUpsertSql,
     "pipeline_table_ingest" -> pipelineTableIngestSql,
     "table_evolve" -> tableEvolveSql,

@@ -69,9 +69,10 @@ object TableChangeFeed {
     */
   def readChanges(spark: SparkSession, path: String,
       startingVersion: Long = 1L,
-      maxVersionsPerTrigger: Option[Int] = None): DataFrame =
+      maxVersionsPerTrigger: Option[Int] = None,
+      where: Option[String] = None): DataFrame =
     reader(spark, path, startingVersion, maxVersionsPerTrigger,
-      cdc = false)
+      cdc = false, where)
 
   /** Row-level CDC stream: create/append commits arrive as `insert`
     * rows; CDC-enabled merge/delete/update commits arrive as their
@@ -85,21 +86,23 @@ object TableChangeFeed {
     */
   def readCdc(spark: SparkSession, path: String,
       startingVersion: Long = 1L,
-      maxVersionsPerTrigger: Option[Int] = None): DataFrame =
+      maxVersionsPerTrigger: Option[Int] = None,
+      where: Option[String] = None): DataFrame =
     reader(spark, path, startingVersion, maxVersionsPerTrigger,
-      cdc = true)
+      cdc = true, where)
 
   private def reader(spark: SparkSession, path: String,
       startingVersion: Long, maxVersionsPerTrigger: Option[Int],
-      cdc: Boolean): DataFrame = {
-    val r = spark.readStream
+      cdc: Boolean, where: Option[String] = None): DataFrame = {
+    val r0 = spark.readStream
       .format(classOf[TableChangeFeedProvider].getName)
       .option("path", path)
       .option("startingVersion", startingVersion.toString)
       .option("schemaDDL", TxLog.snapshot(spark, path).schemaDDL)
       .option("cdc", cdc.toString)
+    val r1 = where.fold(r0)(w => r0.option("where", w))
     maxVersionsPerTrigger
-      .fold(r)(n => r.option("maxVersionsPerTrigger", n.toString))
+      .fold(r1)(n => r1.option("maxVersionsPerTrigger", n.toString))
       .load()
   }
 }
@@ -142,7 +145,8 @@ class TableChangeFeedProvider extends StreamSourceProvider
       parameters.getOrElse("startingVersion", "1").toLong,
       dataDDL(sqlContext, parameters),
       parameters.get("maxVersionsPerTrigger").map(_.toInt),
-      parameters.get("cdc").exists(_.toBoolean))
+      parameters.get("cdc").exists(_.toBoolean),
+      parameters.get("where"))
 }
 
 /** The source itself: offsets are commit versions (a [[LongOffset]] of
@@ -152,7 +156,8 @@ class TableChangeFeedProvider extends StreamSourceProvider
 class TableChangeSource(sqlContext: SQLContext, path: String,
     startingVersion: Long, dataDDL: String,
     maxVersionsPerTrigger: Option[Int] = None,
-    cdc: Boolean = false) extends Source {
+    cdc: Boolean = false,
+    where: Option[String] = None) extends Source {
   require(startingVersion >= 1, s"startingVersion >= 1, got $startingVersion")
   require(maxVersionsPerTrigger.forall(_ >= 1),
     s"maxVersionsPerTrigger >= 1, got $maxVersionsPerTrigger")
@@ -203,18 +208,26 @@ class TableChangeSource(sqlContext: SQLContext, path: String,
     val ct = graft.tables.CowTable.ChangeTypeCol
     val frames = (from to to).flatMap { v =>
       val c = TxLog.commitAt(spark, path, v)
+      // the selective feed: non-CDC commits prune their add files by
+      // zone map BEFORE any scan, then row-filter exactly; CDC sidecar
+      // rows carry no per-file stats, so they row-filter only
+      def changesOf(v: Long): DataFrame = where match {
+        case Some(w) => CowTable.changesWhereAt(spark, path, v, expr(w))
+        case None    => CowTable.changesAt(spark, path, v)
+      }
       val rows: Option[DataFrame] =
         if (!cdc) {
-          val changed = CowTable.changesAt(spark, path, v)
+          val changed = changesOf(v)
           Some(changed.select(dataCols(changed) :+
             lit(c.op).as(TableChangeFeed.OpCol): _*))
         } else if (c.cdcDir.isDefined) {
-          val changed = CowTable.changesCdcAt(spark, path, v)
+          val changed0 = CowTable.changesCdcAt(spark, path, v)
+          val changed = where.fold(changed0)(w => changed0.filter(expr(w)))
           Some(changed.select(dataCols(changed) :+ col(ct): _*))
         } else c.op match {
           case "create" | "append" =>
             // pure adds: the commit's rows ARE inserts
-            val changed = CowTable.changesAt(spark, path, v)
+            val changed = changesOf(v)
             Some(changed.select(dataCols(changed) :+
               lit("insert").as(ct): _*))
           case "compact" | "optimize" =>

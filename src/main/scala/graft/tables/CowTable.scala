@@ -929,6 +929,22 @@ object CowTable {
     readFiles(spark, path, snap, c.adds)
   }
 
+  /** [[changesAt]] restricted to rows matching `cond` — the change
+    * feed's SELECTIVE form: the commit's add files are first pruned by
+    * their zone maps ([[StatsPredicate]] — the same conservative range
+    * analysis the predicate DML uses), then the full predicate applies
+    * row-exactly. A consumer watching a narrow key slice of a wide
+    * table's feed plans O(matching files) per commit instead of
+    * shipping every commit whole.
+    */
+  def changesWhereAt(spark: SparkSession, path: String, v: Long,
+      cond: Column): DataFrame = {
+    val c = TxLog.commitAt(spark, path, v)
+    val snap = TxLog.snapshot(spark, path, Some(v))
+    readFiles(spark, path, snap, StatsPredicate.prune(c.adds, cond))
+      .filter(cond)
+  }
+
   /** Row-level CDC of commit `v` (a `merge(cdc = true)` commit): the
     * exact change rows with [[ChangeTypeCol]] ∈ insert /
     * update_preimage / update_postimage / delete. Layout-independent

@@ -1222,6 +1222,19 @@ class CowTableSpec extends AnyFunSuite {
     }
   }
 
+  test("changesWhereAt prunes a commit's files by zone map, rows exact") {
+    withTable { t =>
+      CowTable.create(spark, t, base(1000, 8), Seq("k"))
+      val got = CowTable.changesWhereAt(spark, t, 1L, col("k") < 100)
+      assert(got.count() === 100)
+      assert(got.inputFiles.length <= 2,
+        s"selective feed read ${got.inputFiles.length} of 8 files")
+      // unprunable predicate stays row-exact over the full commit
+      assert(CowTable.changesWhereAt(spark, t, 1L,
+        col("s").endsWith("7")).count() === 100)
+    }
+  }
+
   test("reader protocol: future features fail loudly, not wrongly") {
     withTable { t =>
       CowTable.create(spark, t, base(50, 1), Seq("k"))            // v1
