@@ -83,6 +83,15 @@ object TableChangeFeed {
     * and fails the stream loudly — silence there would desync every
     * downstream replica. This is the feed [[TableReplica]] folds into
     * an exact copy.
+    *
+    * '''`where` caveat''': a predicate-scoped CDC feed is NOT
+    * sufficient to drive a FILTERED REPLICA — an update that moves a
+    * row OUT of the predicate ships only its (filtered-away)
+    * postimage and a preimage the replica fold drops, so the stale
+    * row would survive downstream. Filtered replication must either
+    * consume the unfiltered feed, or watch preimages for predicate
+    * exits (a round-14 horizon). Scoped CDC is for append-dominant
+    * consumers (metrics, routing, selective indexing).
     */
   def readCdc(spark: SparkSession, path: String,
       startingVersion: Long = 1L,
