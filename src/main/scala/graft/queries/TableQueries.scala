@@ -786,6 +786,55 @@ object TableQueries {
       |WHERE o_orderkey % 113 <> 5
       |ORDER BY o_orderkey""".stripMargin
 
+  /** FILTERED replication: the same source op sequence, but the
+    * replica keeps only `o_orderstatus <> 'U'` — the predicate the
+    * merge deliberately crosses BOTH ways (updates restatus rows to
+    * 'U', evicting them; the later updateWhere restatuses some of
+    * those to 'W', re-admitting them), plus ordinary inserts, deletes
+    * and stay-in updates. The fold remaps out-of-predicate effects to
+    * deletes ([[graft.streaming.TableReplica.replicaSink]]'s `where`);
+    * the oracle wraps the exact-replica replay in the filter.
+    */
+  def pipelineTableReplicaWhere(spark: SparkSession,
+      dir: String): DataFrame = {
+    val src = scratch(dir, "replw_src")
+    val dst = scratch(dir, "replw_dst")
+    val ckpt = scratch(dir, "replw_ckpt")
+    reset(spark, src); reset(spark, dst); reset(spark, ckpt)
+    val base = Tables.load(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+    CowTable.create(spark, src,
+      base.repartitionByRange(8, col("o_orderkey")), Seq("o_orderkey"))
+    val updates = base.filter(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey"), col("o_custkey"),
+        (col("o_totalprice") + 100.0d).as("o_totalprice"),
+        lit("U").as("o_orderstatus"),
+        (col("o_orderkey") % 21 === 0).as("del"))
+    CowTable.merge(spark, src, updates, Seq("o_orderkey"), Some("del"),
+      cdc = true)
+    CowTable.append(spark, src,
+      base.filter(col("o_orderkey") % 997 === 1)
+        .select((col("o_orderkey") + 1000000000L).as("o_orderkey"),
+          col("o_custkey"), lit(1.0d).as("o_totalprice"),
+          lit("N").as("o_orderstatus")))
+    CowTable.deleteWhere(spark, src,
+      col("o_orderkey") % 113 === 5, cdc = true)
+    CowTable.updateWhere(spark, src, col("o_orderkey") % 131 === 7,
+      Map("o_orderstatus" -> lit("W")), cdc = true)
+    val q = graft.streaming.TableReplica.replicaSink(
+      graft.streaming.TableChangeFeed.readCdc(spark, src),
+      dst, Seq("o_orderkey"), where = Some("o_orderstatus <> 'U'"))
+      .option("checkpointLocation", ckpt).start()
+    try { q.processAllAvailable() } finally q.stop()
+    CowTable.read(spark, dst).orderBy("o_orderkey")
+  }
+
+  val pipelineTableReplicaWhereSql: String =
+    s"""SELECT * FROM (
+       |${pipelineTableReplicaSql.stripSuffix("\nORDER BY o_orderkey")})
+       |WHERE o_orderstatus <> 'U'
+       |ORDER BY o_orderkey""".stripMargin
+
   /** Predicate read round trip: a key-clustered table read back
     * through [[CowTable.readWhere]] — manifest ranges prune the plan,
     * the full predicate (including the non-prunable price conjunct)
@@ -1256,6 +1305,7 @@ object TableQueries {
     "pipeline_table_history" -> (pipelineTableHistory(_, _)),
     "table_read_where" -> (tableReadWhere(_, _)),
     "pipeline_table_replica" -> (pipelineTableReplica(_, _)),
+    "pipeline_table_replica_where" -> (pipelineTableReplicaWhere(_, _)),
     "table_merge_cdc" -> (tableMergeCdc(_, _)),
     "table_restore" -> (tableRestore(_, _)),
     "table_delete_where" -> (tableDeleteWhere(_, _)),
@@ -1287,6 +1337,7 @@ object TableQueries {
     "pipeline_table_history" -> pipelineTableHistorySql,
     "table_read_where" -> tableReadWhereSql,
     "pipeline_table_replica" -> pipelineTableReplicaSql,
+    "pipeline_table_replica_where" -> pipelineTableReplicaWhereSql,
     "table_merge_cdc" -> tableMergeCdcSql,
     "table_restore" -> tableRestoreSql,
     "table_delete_where" -> tableDeleteWhereSql,

@@ -29,17 +29,34 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   */
 object TableReplica {
 
-  /** Wire a [[TableChangeFeed.readCdc]] frame into an exact replica
-    * CowTable at `path`, keyed by `keys`.
+  /** Wire a [[TableChangeFeed.readCdc]] frame into a replica CowTable
+    * at `path`, keyed by `keys`.
+    *
+    * `where`: a FILTERED replica (regional copies, tenant slices) —
+    * replica contents ≡ source.filter(where) after every drain. This
+    * is exactly the case the feed-level `where` option canNOT serve
+    * (its scaladoc caveat): the filter must apply to the EFFECT rows
+    * inside the fold, remapping any effect whose row falls OUTSIDE
+    * the predicate into a DELETE — so an update that moves a row out
+    * of the slice evicts it, an insert that never belonged no-ops
+    * (merge deletes on unmatched keys do nothing), and a move INTO
+    * the slice upserts. Consume the UNFILTERED feed; NULL predicate
+    * results count as outside (SQL filter semantics).
     */
   def replicaSink(cdcFeed: DataFrame, path: String, keys: Seq[String],
-      appId: String = "table-replica"): DataStreamWriter[Row] =
+      appId: String = "table-replica",
+      where: Option[String] = None): DataStreamWriter[Row] =
     cdcFeed.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       if (!batch.isEmpty) {
         val ct = CowTable.ChangeTypeCol
         val vc = TableChangeFeed.VersionCol
+        val del = where match {
+          case Some(w) =>
+            col(ct) === "delete" || !coalesce(expr(w), lit(false))
+          case None => col(ct) === "delete"
+        }
         val fx = batch.filter(col(ct) =!= "update_preimage")
-          .withColumn("_gf_rdel", col(ct) === "delete")
+          .withColumn("_gf_rdel", del)
           .drop(ct)
         if (TxLog.latestVersion(batch.sparkSession, path) == 0)
           CowTable.create(batch.sparkSession, path,

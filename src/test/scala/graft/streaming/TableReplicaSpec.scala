@@ -28,11 +28,40 @@ class TableReplicaSpec extends AnyFunSuite {
     CowTable.read(spark, path).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
 
-  private def drain(src: String, dst: String, ckpt: String): Unit = {
+  private def drain(src: String, dst: String, ckpt: String,
+      where: Option[String] = None): Unit = {
     val q = TableReplica.replicaSink(
-      TableChangeFeed.readCdc(spark, src), dst, Seq("k"))
+      TableChangeFeed.readCdc(spark, src), dst, Seq("k"), where = where)
       .option("checkpointLocation", ckpt).start()
     try q.processAllAvailable() finally q.stop()
+  }
+
+  test("filtered replica: predicate exits evict, re-entries re-admit") {
+    withDir { dir =>
+      val src = dir.getAbsolutePath + "/fsrc"
+      val dst = dir.getAbsolutePath + "/fdst"
+      val ckpt = dir.getAbsolutePath + "/fck"
+      val P = Some("v < 100")
+      CowTable.create(spark, src,
+        Seq((1L, 10L, "a"), (2L, 20L, "b"), (3L, 500L, "big"))
+          .toDF("k", "v", "s"), Seq("k"))                        // v1
+      drain(src, dst, ckpt, P)
+      // 3 never belonged: its insert must no-op, not land-then-hide
+      assert(contents(dst) === Set((1L, 10L, "a"), (2L, 20L, "b")))
+      // move 2 OUT of the slice, 3 INTO it, delete 1, insert 4 (in)
+      CowTable.merge(spark, src, Seq(
+          (2L, 900L, "b-out", false),
+          (3L, 50L, "big-in", false),
+          (1L, 0L, "", true),
+          (4L, 40L, "d", false))
+        .toDF("k", "v", "s", "del"), Seq("k"), Some("del"),
+        cdc = true)                                              // v2
+      drain(src, dst, ckpt, P)
+      assert(contents(dst) === Set((3L, 50L, "big-in"), (4L, 40L, "d")))
+      assert(contents(dst) === CowTable.read(spark, src)
+        .filter(col("v") < 100).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet)
+    }
   }
 
   test("replica == source across merge/append/update/delete/compact") {
