@@ -63,6 +63,23 @@ class CowTableSinkSpec extends AnyFunSuite {
     }
   }
 
+  test("a shallow clone's feed streams its external references") {
+    withDir { dir =>
+      val src = dir.getAbsolutePath + "/csrc"
+      val cl = dir.getAbsolutePath + "/cclone"
+      val dst = dir.getAbsolutePath + "/cdst"
+      CowTable.create(spark, src,
+        Seq((1L, 10L, "a"), (2L, 20L, "b")).toDF("k", "v", "s"), Seq("k"))
+      CowTable.shallowClone(spark, src, cl)
+      // the clone commit's adds are ABSOLUTE source paths; the feed
+      // must plan and ship them like any commit
+      pipe(cl, dst, dir.getAbsolutePath + "/cck")
+      assert(CowTable.read(spark, dst).orderBy("k").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq ===
+        Seq((1L, 10L, "a"), (2L, 20L, "b")))
+    }
+  }
+
   test("append-only contract: non-append output modes are refused") {
     withDir { dir =>
       val src = dir.getAbsolutePath + "/src2"

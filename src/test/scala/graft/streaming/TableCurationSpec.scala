@@ -127,6 +127,32 @@ class TableCurationSpec extends AnyFunSuite {
     }
   }
 
+  test("rate-limited catch-up curates version-by-version, same result") {
+    withDir { dir =>
+      val raw = dir.getAbsolutePath + "/raw"
+      val cur = dir.getAbsolutePath + "/cur"
+      val ckpt = dir.getAbsolutePath + "/ck"
+      CowTable.create(spark, cur,
+        Seq((1L, doc(24, "seed"))).toDF("doc_id", "text"), Seq("doc_id"))
+      CowTable.create(spark, raw,
+        Seq((2L, doc(24, "bee"))).toDF("doc_id", "text"), Seq("doc_id"))
+      CowTable.append(spark, raw,
+        Seq((3L, doc(24, "bee") + " zzz"), (4L, doc(24, "sea")))
+          .toDF("doc_id", "text"))
+      // one commit per micro-batch instead of one catch-up batch —
+      // the bounded-catch-up discipline composed with the screen
+      val q = TableCuration.curateSink(
+        TableChangeFeed.readChanges(spark, raw,
+          maxVersionsPerTrigger = Some(1)),
+        cur, "doc_id", "text")
+        .option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+      assert(ids(cur) === Set(1L, 2L, 4L))
+      assert(TxLog.snapshot(spark, cur)
+        .txnVersion("table-curation") === Some(2L))
+    }
+  }
+
   test("checkpoint restart screens only the new commits") {
     withDir { dir =>
       val raw = dir.getAbsolutePath + "/raw"
