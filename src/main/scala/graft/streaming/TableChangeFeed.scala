@@ -234,8 +234,10 @@ class TableChangeSource(sqlContext: SQLContext, path: String,
           val changed = where.fold(changed0)(w => changed0.filter(expr(w)))
           Some(changed.select(dataCols(changed) :+ col(ct): _*))
         } else c.op match {
-          case "create" | "append" =>
-            // pure adds: the commit's rows ARE inserts
+          case "create" | "append" | "clone" =>
+            // pure adds: the commit's rows ARE inserts (a clone's
+            // external references included — the fork's own history
+            // starts with its full contents)
             val changed = changesOf(v)
             Some(changed.select(dataCols(changed) :+
               lit("insert").as(ct): _*))

@@ -36,6 +36,24 @@ class TableReplicaSpec extends AnyFunSuite {
     try q.processAllAvailable() finally q.stop()
   }
 
+  test("a shallow clone replicates: its commit arrives as inserts") {
+    withDir { dir =>
+      val src = dir.getAbsolutePath + "/csrc"
+      val cl = dir.getAbsolutePath + "/ccl"
+      val dst = dir.getAbsolutePath + "/cdst"
+      CowTable.create(spark, src,
+        Seq((1L, 10L, "a"), (2L, 20L, "b")).toDF("k", "v", "s"), Seq("k"))
+      CowTable.shallowClone(spark, src, cl)
+      // post-clone divergence must flow too
+      CowTable.merge(spark, cl, Seq((3L, 30L, "c", false))
+        .toDF("k", "v", "s", "del"), Seq("k"), Some("del"), cdc = true)
+      drain(cl, dst, dir.getAbsolutePath + "/cck")
+      assert(contents(dst) === contents(cl))
+      assert(contents(dst) ===
+        Set((1L, 10L, "a"), (2L, 20L, "b"), (3L, 30L, "c")))
+    }
+  }
+
   test("filtered replica: predicate exits evict, re-entries re-admit") {
     withDir { dir =>
       val src = dir.getAbsolutePath + "/fsrc"
