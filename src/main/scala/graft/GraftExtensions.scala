@@ -262,6 +262,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           constLong(args(1), "cow_table_changes"))
         .queryExecution.logical
     })
+    injectTvf("cow_table_provenance", { args =>
+      require(args.nonEmpty && args.length <= 2,
+        s"cow_table_provenance(path[, asOfVersion]) — got ${args.length}")
+      val spark = org.apache.spark.sql.SparkSession.active
+      graft.tables.CowTable.readWithProvenance(spark,
+          constStr(args.head, "cow_table_provenance"),
+          args.lift(1).map(constLong(_, "cow_table_provenance")))
+        .queryExecution.logical
+    })
 
     ext.injectOptimizerRule(_ => RewriteDotProduct)
     // materialized-summary routing (graft.plans.SummaryCatalog): route

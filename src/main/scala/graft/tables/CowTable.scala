@@ -672,6 +672,33 @@ object CowTable {
     rewritten
   }
 
+  /** [[optimizeWhere]]'s predicate form: rewrites the files whose zone
+    * maps could hold a row matching `cond` ([[StatsPredicate]] — the
+    * same conjunct analysis the predicate DML plans with), so a
+    * multi-conjunct scope ("yesterday's partition AND this key band")
+    * selects exactly like a [[readWhere]]. File-granular like the
+    * range form: selected files rewrite WHOLE through `layout`.
+    */
+  def optimizeMatching(spark: SparkSession, path: String, cond: Column,
+      layout: DataFrame => DataFrame): Long = {
+    var rewritten = 0L
+    retrying(s"optimizeMatching $path") {
+      val snap = TxLog.snapshot(spark, path)
+      val sel = StatsPredicate.prune(snap.files, cond)
+      rewritten = sel.size.toLong
+      if (sel.isEmpty) true
+      else {
+        val out = layout(readFiles(spark, path, snap, sel))
+          .select(readSchemaCols(snap).map(col): _*)
+        val adds = writeFiles(spark, path, out, snap.statsCols,
+          snap.partitionCols.getOrElse(Seq.empty))
+        TxLog.tryCommit(spark, path, Commit(snap.version + 1, "optimize",
+          adds, sel.map(_.path), None, None))
+      }
+    }
+    rewritten
+  }
+
   /** Delete data files referenced by NO snapshot within the last
     * `retainVersions` versions (older versions become unreadable —
     * the standard retention trade). Returns deleted relative paths.

@@ -1222,6 +1222,32 @@ class CowTableSpec extends AnyFunSuite {
     }
   }
 
+  test("optimizeMatching re-clusters exactly the predicate's files") {
+    withTable { t =>
+      CowTable.create(spark, t, base(2000, 8), Seq("k"))
+      // scatter a slice so its range degrades
+      CowTable.append(spark, t,
+        base(2000, 8).filter(col("k") < 500).repartition(4))
+      // StatsPredicate treats the strict `< 500` bound inclusively
+      // (pruning may only widen), so "outside" means beyond [0, 500]
+      val before = TxLog.snapshot(spark, t).files
+        .filter(f => !f.stats.get("k").exists(_.mayOverlap("0", "500")))
+        .map(_.path).toSet
+      val n = CowTable.optimizeMatching(spark, t,
+        col("k") >= 0 && col("k") < 500,
+        _.repartitionByRange(2, col("k")).sortWithinPartitions("k"))
+      assert(n >= 4 && n <= 8, s"rewrote $n files")
+      // files fully outside the two-conjunct predicate never moved
+      val after = TxLog.snapshot(spark, t).files.map(_.path).toSet
+      assert(before.subsetOf(after))
+      assert(CowTable.read(spark, t).count() === 2500L)
+      // selectivity restored on the scoped range
+      val covering = TxLog.snapshot(spark, t).files.count(
+        _.stats.get("k").forall(_.mayOverlap("100", "150")))
+      assert(covering <= 2, s"covering=$covering")
+    }
+  }
+
   test("changesWhereAt prunes a commit's files by zone map, rows exact") {
     withTable { t =>
       CowTable.create(spark, t, base(1000, 8), Seq("k"))

@@ -40,6 +40,11 @@ class TvfSpec extends AnyFunSuite {
            |WHERE a.v >= 20 ORDER BY a.k""".stripMargin)
         .collect().map(_.getLong(0)).toSeq
       assert(j === Seq(2L))
+      // provenance as SQL: the appended row traces to commit 2
+      val pv = spark.sql(
+        s"""SELECT _commit_version FROM cow_table_provenance('$t')
+           |WHERE k = 3""".stripMargin).collect()(0).getLong(0)
+      assert(pv === 2L)
     }
   }
 
