@@ -154,6 +154,50 @@ object IncrementalDedup {
       textCol: String, cfg: MinHashLSH.Config = MinHashLSH.Config()): DataFrame =
     verdicts(buildIndex(corpus, idCol, textCol, cfg), batch, idCol, textCol, cfg)
 
+  /** [[verdicts]] plus the ATTRIBUTION an audit trail wants: `dup_of`
+    * = the smallest corpus doc id that triggered either screen (the
+    * byte-identical partner for exact hits, the smallest
+    * Jaccard-verified candidate for near hits; NULL for keeps) —
+    * "rejected because of WHICH document", the question a curation
+    * operator asks right after "why". Takes the corpus FRAME (not the
+    * index: the persisted `textHashes` deliberately drops doc ids);
+    * same screen shapes, with the two verdict joins upgraded to
+    * min-partner aggregates — still O(candidates), never batch ×
+    * corpus.
+    */
+  def verdictsAttributed(corpus: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String,
+      cfg: MinHashLSH.Config = MinHashLSH.Config()): DataFrame = {
+    val cPrep = prepared(corpus, idCol, textCol, cfg)
+    val bPrep = prepared(batch, idCol, textCol, cfg)
+    val exact = bPrep.select("doc_id", "h")
+      .join(cPrep.select(col("h"), col("doc_id").as("c_id")), "h")
+      .groupBy("doc_id").agg(min("c_id").as("exact_of"))
+    val cand = MinHashLSH.bands(bPrep, cfg).as("b")
+      .join(MinHashLSH.bands(cPrep, cfg).as("c"),
+        col("b.band_id") === col("c.band_id") &&
+          col("b.band_val") === col("c.band_val"))
+      .select(col("b.doc_id").as("b_id"), col("c.doc_id").as("c_id"))
+      .distinct()
+    val near = cand
+      .join(bPrep.select(col("doc_id").as("b_id"),
+        col("shingles").as("sa")), "b_id")
+      .join(cPrep.select(col("doc_id").as("c_id"),
+        col("shingles").as("sb")), "c_id")
+      .filter(jaccard(col("sa"), col("sb")) >= cfg.threshold)
+      .groupBy(col("b_id").as("doc_id"))
+      .agg(min("c_id").as("near_of"))
+    bPrep.select(col("doc_id"))
+      .join(exact, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        col("exact_of").isNotNull.cast("int").as("exact_dup"),
+        col("near_of").isNotNull.cast("int").as("near_dup"),
+        (col("exact_of").isNull && col("near_of").isNull)
+          .cast("int").as("keep"),
+        least(col("exact_of"), col("near_of")).as("dup_of"))
+  }
+
   /** Same verdicts, against a prebuilt (possibly table-backed) index. */
   def verdicts(index: CorpusIndex, batch: DataFrame, idCol: String,
       textCol: String, cfg: MinHashLSH.Config): DataFrame = {

@@ -302,6 +302,53 @@ object DedupQueries {
        |ORDER BY bt.doc_id""".stripMargin
   }
 
+  /** Attributed incremental verdicts
+    * ([[IncrementalDedup.verdictsAttributed]]): the same batch/corpus
+    * screen, plus `dup_of` — the smallest corpus doc id that triggered
+    * either screen ("rejected because of WHICH document"). The oracle
+    * carries the candidate partner ids through the Jaccard CTE and
+    * re-derives both min-partner aggregates independently.
+    */
+  def dedupAttributed(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.loadSpread(spark, dir, "documents")
+    IncrementalDedup
+      .verdictsAttributed(docs, incrementalBatch(docs), "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  val dedupAttributedSql: String = {
+    val inter = "len(list_filter(sa.s, x -> list_contains(sb.s, x)))"
+    s"""WITH batch AS (
+       |  SELECT doc_id + 200000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+       |  UNION ALL SELECT doc_id + 300000, text || ' zzz' FROM documents WHERE doc_id % 7 = 1
+       |  UNION ALL SELECT doc_id + 400000, reverse(text) FROM documents WHERE doc_id % 7 = 2
+       |),
+       |${sigCtes("documents", "c")},
+       |${sigCtes("batch", "b")},
+       |cand AS (SELECT DISTINCT bb.doc_id AS b_id, cc.doc_id AS c_id
+       |  FROM bbands bb JOIN cbands cc
+       |    ON bb.band_id = cc.band_id AND bb.band_val = cc.band_val),
+       |jac AS (SELECT cd.b_id, cd.c_id,
+       |    CAST($inter AS DOUBLE) / (len(sa.s) + len(sb.s) - $inter) AS jaccard
+       |  FROM cand cd
+       |  JOIN bsh sa ON sa.doc_id = cd.b_id
+       |  JOIN csh sb ON sb.doc_id = cd.c_id),
+       |nearo AS (SELECT b_id, min(c_id) AS near_of FROM jac
+       |  WHERE jaccard >= ${cfg.threshold} GROUP BY b_id),
+       |exacto AS (SELECT bt.doc_id, min(c.doc_id) AS exact_of FROM batch bt
+       |  JOIN documents c ON md5(bt.text) = md5(c.text) GROUP BY bt.doc_id)
+       |SELECT bt.doc_id,
+       |  CASE WHEN e.exact_of IS NOT NULL THEN 1 ELSE 0 END AS exact_dup,
+       |  CASE WHEN n.near_of IS NOT NULL THEN 1 ELSE 0 END AS near_dup,
+       |  CASE WHEN e.exact_of IS NULL AND n.near_of IS NULL
+       |       THEN 1 ELSE 0 END AS keep,
+       |  least(e.exact_of, n.near_of) AS dup_of
+       |FROM batch bt
+       |LEFT JOIN exacto e ON e.doc_id = bt.doc_id
+       |LEFT JOIN nearo n ON n.b_id = bt.doc_id
+       |ORDER BY bt.doc_id""".stripMargin
+  }
+
   // -------------------------------------------------------------- simhash
 
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
@@ -975,6 +1022,7 @@ object DedupQueries {
     "dedup_blocking_eval" -> (dedupBlockingEval(_, _)),
     "sample_dedup_weight" -> (sampleDedupWeight(_, _)),
     "dedup_incremental" -> (dedupIncremental(_, _)),
+    "dedup_attributed" -> (dedupAttributed(_, _)),
     "dedup_embed_incr" -> (dedupEmbedIncr(_, _)))
 
   val oracleSql: Map[String, String] = Map(
@@ -1000,5 +1048,6 @@ object DedupQueries {
     "dedup_blocking_eval" -> dedupBlockingEvalSql,
     "sample_dedup_weight" -> sampleDedupWeightSql,
     "dedup_incremental" -> dedupIncrementalSql,
+    "dedup_attributed" -> dedupAttributedSql,
     "dedup_embed_incr" -> dedupEmbedIncrSql)
 }
