@@ -155,15 +155,21 @@ object IncrementalDedup {
     verdicts(buildIndex(corpus, idCol, textCol, cfg), batch, idCol, textCol, cfg)
 
   /** [[verdicts]] plus the ATTRIBUTION an audit trail wants: `dup_of`
-    * = the smallest corpus doc id that triggered either screen (the
-    * byte-identical partner for exact hits, the smallest
-    * Jaccard-verified candidate for near hits; NULL for keeps) —
-    * "rejected because of WHICH document", the question a curation
-    * operator asks right after "why". Takes the corpus FRAME (not the
-    * index: the persisted `textHashes` deliberately drops doc ids);
-    * same screen shapes, with the two verdict joins upgraded to
+    * = the smallest corpus doc id that triggered EITHER screen, i.e.
+    * `least(min exact partner, min verified near partner)` — for an
+    * exact hit a smaller Jaccard-verified near partner can win the
+    * min (an exact dup is also a near dup at J = 1, so the winner is
+    * still a genuine duplicate partner); NULL for keeps. "Rejected
+    * because of WHICH document", the question a curation operator
+    * asks right after "why". Takes the corpus FRAME (not the index:
+    * the persisted `textHashes` deliberately drops doc ids); same
+    * screen shapes, with the two verdict joins upgraded to
     * min-partner aggregates — still O(candidates), never batch ×
     * corpus.
+    *
+    * The RESULT comes back materialized and persisted (its two input
+    * scans are cached only for the duration of this call — ADVICE r13
+    * flagged the leak); callers unpersist it when done.
     */
   def verdictsAttributed(corpus: DataFrame, batch: DataFrame,
       idCol: String, textCol: String,
@@ -187,7 +193,7 @@ object IncrementalDedup {
       .filter(jaccard(col("sa"), col("sb")) >= cfg.threshold)
       .groupBy(col("b_id").as("doc_id"))
       .agg(min("c_id").as("near_of"))
-    bPrep.select(col("doc_id"))
+    val out = bPrep.select(col("doc_id"))
       .join(exact, Seq("doc_id"), "left")
       .join(near, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -196,6 +202,14 @@ object IncrementalDedup {
         (col("exact_of").isNull && col("near_of").isNull)
           .cast("int").as("keep"),
         least(col("exact_of"), col("near_of")).as("dup_of"))
+      .persist()
+    // materialize while the shared scans are cached, then release them
+    // — the |batch|-row verdict frame is what survives, not three
+    // shingle-carrying scans
+    out.count()
+    cPrep.unpersist(blocking = false)
+    bPrep.unpersist(blocking = false)
+    out
   }
 
   /** Same verdicts, against a prebuilt (possibly table-backed) index. */

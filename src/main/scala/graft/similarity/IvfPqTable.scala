@@ -18,15 +18,25 @@ import org.apache.spark.sql.functions._
   * serving reads ONLY the probed cells' files — the same
   * partition-pruned scan the catalog form gets, planned off the
   * manifest (one file-list filter per probed cell; nProbe × queries
-  * distinct cells, a handful). The frozen codebooks ride INSIDE the
-  * table root as a `_model` parquet (vacuum walks `data/` only and
-  * never touches it); retrain = rewrite `_model` + [[CowTable.optimize]]
-  * to re-code, both auditable commits.
+  * distinct cells, a handful).
+  *
+  * '''Model epochs''' (ADVICE r13): coded rows are meaningless
+  * without the codebooks that produced them, so the frozen model is
+  * VERSIONED alongside the table — `<path>/_model/v<commit>`, one dir
+  * per model-bearing commit ([[create]] at v1, each [[retrain]] at
+  * its overwrite commit). A read at `asOfVersion` resolves the model
+  * epoch IN FORCE at that version (the largest create/retrain commit
+  * ≤ asOf), so a time-traveled serve across a retrain boundary
+  * decodes old codes with the OLD books — the silent-wrong-neighbors
+  * hole of a single mutable `_model`. Vacuum walks `data/` only and
+  * never touches `_model/`; a missing epoch dir (vacated by hand, or
+  * a retrain that crashed between its commit and its model publish)
+  * fails LOUDLY at resolve time.
   */
 object IvfPqTable {
 
   /** Train on `vectors` (the seed epoch), create the table-backed
-    * index, and pin the model under `<path>/_model`. Returns the
+    * index, and pin the model under `<path>/_model/v1`. Returns the
     * frozen model for subsequent [[append]]s.
     */
   def create(spark: SparkSession, path: String, vectors: DataFrame,
@@ -37,7 +47,7 @@ object IvfPqTable {
     CowTable.create(spark, path, IvfPq.coded(prep, model, dim, cfg),
       Seq("cell"), partitionBy = Seq("cell"))
     prep.unpersist(blocking = false)
-    writeModel(spark, path, model)
+    writeModel(spark, path, model, 1L)
     model
   }
 
@@ -52,11 +62,41 @@ object IvfPqTable {
     CowTable.append(spark, path,
       IvfPq.code(batch, idCol, vecCol, dim, model, cfg), txn = txn)
 
-  /** Serve a query batch: probes from the (re)read model, then a scan
-    * of ONLY the probed cells' files — one manifest-pruned read per
-    * probed cell (each file carries exact point `cell` bounds, so a
-    * file joins exactly one cell's read). `asOfVersion` serves a
-    * TIME-TRAVELED index — yesterday's neighbors, for free.
+  /** RETRAIN: fit fresh codebooks on `vectors` (the caller supplies
+    * the raw corpus — PQ codes are lossy and cannot be decoded back),
+    * atomically replace the table's contents with the re-coded rows
+    * in ONE `"retrain"` commit, and pin the new model at that
+    * commit's epoch dir. Old versions stay served with the OLD model
+    * (epoch resolution); the new epoch serves everything after.
+    * Returns the new frozen model.
+    *
+    * Crash contract: the model publishes AFTER its commit, so a crash
+    * in between leaves reads at/after the retrain version failing
+    * loudly at [[readModel]] ("no epoch dir") — re-run the retrain to
+    * heal. The reverse order would be worse: a stale epoch dir with
+    * no matching commit would silently decode a concurrent append's
+    * old-model codes with the new books.
+    */
+  def retrain(spark: SparkSession, path: String, vectors: DataFrame,
+      idCol: String, vecCol: String, dim: Int,
+      cfg: IvfPq.Config = IvfPq.Config()): IvfPq.Model = {
+    val prep = IvfPq.prepare(vectors, idCol, vecCol, cfg).persist()
+    val model = IvfPq.fitModel(prep, dim, cfg)
+    val v = CowTable.overwrite(spark, path,
+      IvfPq.coded(prep, model, dim, cfg), op = "retrain")
+    prep.unpersist(blocking = false)
+    writeModel(spark, path, model, v)
+    model
+  }
+
+  /** Serve a query batch: probes from the version-resolved model,
+    * then a scan of ONLY the probed cells' files — one manifest-pruned
+    * read per probed cell (each file carries exact point `cell`
+    * bounds, so a file joins exactly one cell's read). `asOfVersion`
+    * serves a TIME-TRAVELED index with the model epoch in force at
+    * that version. An explicitly passed `model` overrides resolution
+    * (callers asserting their own epoch discipline — e.g. a spec
+    * comparing against a catalog index coded with the same books).
     */
   def topK(spark: SparkSession, path: String, queries: DataFrame,
       idCol: String, vecCol: String, dim: Int, k: Int,
@@ -64,7 +104,7 @@ object IvfPqTable {
       model: Option[IvfPq.Model] = None,
       asOfVersion: Option[Long] = None): DataFrame = {
     require(cfg.pq.screenK >= k, "screenK must be >= k")
-    val m = model.getOrElse(readModel(spark, path))
+    val m = model.getOrElse(readModel(spark, path, asOfVersion))
     val probeSet = IvfPq.probes(
       IvfPq.prepare(queries, idCol, vecCol, cfg), m, dim, cfg).persist()
     val cells = probeSet.select("cell").distinct().collect()
@@ -78,11 +118,45 @@ object IvfPqTable {
     IvfPq.search(codedDocs, probeSet, k, cfg)
   }
 
-  /** Reopen the pinned model (doubles round-trip parquet exactly —
-    * the [[IvfPq.readModel]] bit-reproducibility contract).
+  /** The model-bearing commit version in force at `asOf` (default:
+    * head): the largest create/retrain commit ≤ asOf. One driver-side
+    * log scan — metadata-sized, the same cost class as any snapshot
+    * fold.
     */
-  def readModel(spark: SparkSession, path: String): IvfPq.Model = {
-    val rows = spark.read.parquet(s"$path/_model")
+  def modelEpoch(spark: SparkSession, path: String,
+      asOf: Option[Long] = None): Long = {
+    val target = asOf.getOrElse(TxLog.latestVersion(spark, path))
+    require(target >= 1, s"empty index table at $path")
+    val epoch = (1L to target).foldLeft(0L) { (best, v) =>
+      val op = TxLog.commitAt(spark, path, v).op
+      if (op == "create" || op == "retrain") v else best
+    }
+    require(epoch >= 1, s"no model-bearing commit ≤ v$target at $path")
+    epoch
+  }
+
+  /** Reopen the pinned model for the epoch in force at `asOf`
+    * (doubles round-trip parquet exactly — the [[IvfPq.readModel]]
+    * bit-reproducibility contract). Falls back to the legacy flat
+    * `_model` layout for epoch-1 indexes written before versioned
+    * models; any other missing epoch dir fails loudly (the scaladoc's
+    * crash contract) instead of silently decoding with the wrong
+    * books.
+    */
+  def readModel(spark: SparkSession, path: String,
+      asOf: Option[Long] = None): IvfPq.Model = {
+    val epoch = modelEpoch(spark, path, asOf)
+    val f = TxLog.fs(spark, path)
+    val dir = new org.apache.hadoop.fs.Path(s"$path/_model/v$epoch")
+    val legacy = new org.apache.hadoop.fs.Path(s"$path/_model")
+    val src =
+      if (f.exists(dir)) dir.toString
+      else if (epoch == 1L && f.exists(legacy) &&
+          f.listStatus(legacy).exists(_.isFile)) legacy.toString
+      else sys.error(s"index $path has no model for epoch v$epoch " +
+        "(a retrain crashed between its commit and its model publish, " +
+        "or the dir was removed) — re-run retrain to heal")
+    val rows = spark.read.parquet(src)
       .select("part", "cid", "cv").collect()
       .map(r => (r.getInt(0), KMeans.Centroid(r.getLong(1),
         r.getSeq[Double](2).toArray,
@@ -94,12 +168,12 @@ object IvfPqTable {
   }
 
   private def writeModel(spark: SparkSession, path: String,
-      model: IvfPq.Model): Unit = {
+      model: IvfPq.Model, epoch: Long): Unit = {
     import spark.implicits._
     (model.coarse.map(c => (-1, c.cid, c.cv.toSeq)) ++
       model.books.zipWithIndex.flatMap { case (cents, s) =>
         cents.map(c => (s, c.cid, c.cv.toSeq))
       }).toDF("part", "cid", "cv")
-      .write.mode("overwrite").parquet(s"$path/_model")
+      .write.mode("overwrite").parquet(s"$path/_model/v$epoch")
   }
 }

@@ -23,6 +23,20 @@ import org.apache.spark.sql.streaming.OutputMode
   * MERGE/aggregate maintenance stays with [[TableSink]]'s
   * foreachBatch faces, which need key semantics no sink option can
   * express.
+  *
+  * '''Stamp identity''' (the shared-stamp hazard): `batchId`s are
+  * scoped to a streaming CHECKPOINT, so the stamp's app id must be
+  * too — two queries writing one table under a shared app id (or one
+  * query restarted against a fresh checkpoint, resetting batchId to
+  * 0) would see each other's stamps and silently DROP micro-batches
+  * as replays. The default app id is therefore derived from
+  * `(path, checkpointLocation)`: same checkpoint → replays no-op;
+  * fresh checkpoint → fresh identity, the feed re-appends (the same
+  * trade every txn-stamped table sink makes — deduplicate upstream or
+  * pass an explicit stable `appId` option when the source replay is a
+  * deterministic prefix). With neither `appId` nor a per-query
+  * `checkpointLocation` option set, the sink refuses loudly rather
+  * than defaulting to a path-shared namespace.
   */
 class CowTableSinkProvider extends StreamSinkProvider
     with DataSourceRegister {
@@ -38,8 +52,16 @@ class CowTableSinkProvider extends StreamSinkProvider
     val path = parameters.getOrElse("path",
       throw new IllegalArgumentException(
         "cowtable sink needs option 'path' (the table root)"))
-    new CowTableStreamSink(path,
-      parameters.getOrElse("appId", s"cowtable-sink:$path"),
+    val appId = parameters.get("appId")
+      .orElse(parameters.get("checkpointLocation")
+        .map(ck => s"cowtable-sink:$path@$ck"))
+      .getOrElse(throw new IllegalArgumentException(
+        "cowtable sink needs a stamp identity: set option " +
+          "'checkpointLocation' on the query (the default app id " +
+          "derives from it) or an explicit 'appId' option — a " +
+          "path-shared stamp namespace would drop micro-batches " +
+          "across queries/checkpoints (see CowTableSinkProvider doc)"))
+    new CowTableStreamSink(path, appId,
       parameters.get("statsCols").map(_.split(",").map(_.trim).toSeq),
       parameters.get("partitionBy").map(_.split(",").map(_.trim).toSeq)
         .getOrElse(Seq.empty))

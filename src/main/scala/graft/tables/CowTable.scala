@@ -382,7 +382,7 @@ object CowTable {
           val tableRoot = TxLog.fs(spark, path)
             .makeQualified(new Path(path)).toUri.getPath.stripSuffix("/")
           val byAbs: Map[String, AddFile] =
-            candidates.map(f => fileUri(tableRoot, f.path) -> f).toMap
+            candidates.map(f => absKey(tableRoot, f.path) -> f).toMap
           val touched = candDf.join(upData, keyJoin, "left_semi")
             .select("_gf").distinct().collect()
             .map { r =>
@@ -547,7 +547,7 @@ object CowTable {
       val tableRoot = TxLog.fs(spark, path)
         .makeQualified(new Path(path)).toUri.getPath.stripSuffix("/")
       val byAbs: Map[String, AddFile] =
-        candidates.map(f => fileUri(tableRoot, f.path) -> f).toMap
+        candidates.map(f => absKey(tableRoot, f.path) -> f).toMap
       val touched = readFiles(spark, path, snap, candidates)
         .withColumn("_gf", input_file_name())
         .filter(coalesce(cond, lit(false)))
@@ -699,6 +699,29 @@ object CowTable {
     rewritten
   }
 
+  /** INSERT OVERWRITE: atomically replace the table's ENTIRE contents
+    * with `df` in one remove-all/add-all commit (schema must match —
+    * this is a data operation, not an evolution; time travel keeps
+    * every pre-overwrite version readable). `op` names the commit for
+    * DESCRIBE HISTORY consumers that key on it (e.g. the ANN index's
+    * "retrain" epoch commits). Returns the committed version.
+    */
+  def overwrite(spark: SparkSession, path: String, df: DataFrame,
+      op: String = "overwrite"): Long = {
+    var committed = 0L
+    retrying(s"$op $path") {
+      val snap = TxLog.snapshot(spark, path)
+      val out = df.select(readSchemaCols(snap).map(col): _*)
+      val adds = writeFiles(spark, path, out, snap.statsCols,
+        snap.partitionCols.getOrElse(Seq.empty), snap.checkConstraints)
+      val won = TxLog.tryCommit(spark, path, Commit(snap.version + 1,
+        op, adds, snap.files.map(_.path), None, None))
+      if (won) committed = snap.version + 1
+      won
+    }
+    committed
+  }
+
   /** Delete data files referenced by NO snapshot within the last
     * `retainVersions` versions (older versions become unreadable —
     * the standard retention trade). Returns deleted relative paths.
@@ -826,9 +849,12 @@ object CowTable {
       val target = TxLog.snapshot(spark, path, Some(version))
       val headPaths = head.files.map(_.path).toSet
       val targetPaths = target.files.map(_.path).toSet
-      val f = TxLog.fs(spark, path)
+      val conf = spark.sessionState.newHadoopConf()
       target.files.filterNot(a => headPaths.contains(a.path)).foreach { a =>
-        require(f.exists(new Path(fileUri(path, a.path))),
+        // resolve against the ENTRY's filesystem — an external (clone)
+        // reference may live on a different FS than the table root
+        val p = new Path(fileUri(path, a.path))
+        require(p.getFileSystem(conf).exists(p),
           s"cannot restore to v$version: ${a.path} was vacuumed")
       }
       val removes = head.files.map(_.path).filterNot(targetPaths.contains)
@@ -888,10 +914,16 @@ object CowTable {
     require(TxLog.latestVersion(spark, dstPath) == 0,
       s"table already exists at $dstPath")
     val snap = TxLog.snapshot(spark, srcPath, asOfVersion)
+    // External references are FULLY QUALIFIED URIs (scheme +
+    // authority), so a clone of an s3a/hdfs table — or a clone landing
+    // on a different filesystem than its source — resolves each entry
+    // against the entry's OWN filesystem instead of the clone root's
+    // default FS (ADVICE r13: the bare-path form dropped the scheme
+    // and `isExternal` keyed on a leading '/').
     val srcRoot = TxLog.fs(spark, srcPath)
-      .makeQualified(new Path(srcPath)).toUri.getPath.stripSuffix("/")
+      .makeQualified(new Path(srcPath)).toUri.toString.stripSuffix("/")
     // a clone of a clone keeps grand-source references as they are —
-    // external entries are already absolute
+    // external entries already carry their own root
     val adds = snap.files.map(f =>
       f.copy(path = fileUri(srcRoot, f.path)))
     val c = Commit(1L, "clone", adds, Seq.empty, Some(snap.schemaDDL),
@@ -899,9 +931,10 @@ object CowTable {
       constraintsAdd =
         if (snap.checkConstraints.isEmpty) None
         else Some(snap.checkConstraints),
-      // a protocol-1 reader would resolve the absolute references
-      // against the clone root and read nothing — refuse it loudly
-      minReader = Some(2))
+      // a protocol-2 reader keys externality on a leading '/' and
+      // would resolve `file:/...` against the clone root — refuse it
+      // loudly (protocol 1 couldn't read external refs at all)
+      minReader = Some(3))
     require(TxLog.tryCommit(spark, dstPath, c),
       s"concurrent create at $dstPath")
   }
@@ -1031,14 +1064,26 @@ object CowTable {
     readFiles(spark, path, snap, snap.files)
 
   /** Manifest entries are table-root-relative — EXCEPT a shallow
-    * clone's, which reference the SOURCE's files by absolute path
-    * (zero bytes copied, [[shallowClone]]).
+    * clone's, which reference the SOURCE's files externally
+    * ([[TxLog.isExternalPath]]: scheme-qualified URIs since protocol
+    * 3, bare absolute paths in protocol-2 logs).
     */
-  private def isExternal(p: String): Boolean = p.startsWith("/")
+  private def isExternal(p: String): Boolean = TxLog.isExternalPath(p)
 
   /** On-disk location of a manifest entry under its owning root. */
   private def fileUri(root: String, p: String): String =
-    if (isExternal(p)) p else s"$root/$p"
+    TxLog.fileLocation(root, p)
+
+  /** The filesystem-local PATH component of a manifest entry's
+    * on-disk location — the key `input_file_name()` round-trips
+    * through `java.net.URI.getPath` (scheme/authority dropped): a
+    * scheme-qualified external entry must key by its path, or the
+    * scanned-file → manifest-entry map misses it loudly.
+    */
+  private def absKey(root: String, p: String): String = {
+    val loc = fileUri(root, p)
+    if (TxLog.hasUriScheme(loc)) new java.net.URI(loc).getPath else loc
+  }
 
   /** The `data/` partition root that owns a manifest entry — the
     * basePath hive-style `col=value` segments parse against. External

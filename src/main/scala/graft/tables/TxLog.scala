@@ -150,9 +150,14 @@ object TxLog {
     * ignores unknown JSON fields, so every ADDITIVE evolution — txns,
     * cdcDir, constraints, stats nulls — stayed at 1); 2 = shallow-clone
     * external file references (a v1 reader would resolve an absolute
-    * manifest path against the table root and read nothing).
+    * manifest path against the table root and read nothing); 3 =
+    * scheme-qualified external references (a v2 reader keys externality
+    * on a leading '/' and would resolve `file:/...` against the table
+    * root) and column mapping (a v2 reader would read a renamed
+    * column's files under the new LOGICAL name and surface silent
+    * nulls, or resurrect a dropped-then-readded column's old values).
     */
-  val ReaderVersion: Int = 2
+  val ReaderVersion: Int = 3
 
   /** Folded view of the log at a version. `txns` holds the highest
     * stamped batch version per writer application; `partitionCols` the
@@ -167,13 +172,43 @@ object TxLog {
       partitionCols: Option[Seq[String]] = None,
       constraints: Option[Map[String, String]] = None,
       minReader: Option[Int] = None) {
+    /** On-disk locations of the live files. External (shallow-clone)
+      * entries are already absolute/qualified and pass through
+      * unchanged — the same [[TxLog.fileLocation]] rule every CowTable
+      * read resolves with; naive `"$root/${f.path}"` concatenation
+      * would produce malformed `root//abs/...` paths for clones.
+      */
     def filePaths(root: String): Seq[String] =
-      files.map(f => s"$root/${f.path}")
+      files.map(f => fileLocation(root, f.path))
     def txnVersion(app: String): Option[Long] =
       txns.getOrElse(Map.empty).get(app)
     def checkConstraints: Map[String, String] =
       constraints.getOrElse(Map.empty)
   }
+
+  /** Is this manifest entry EXTERNAL — a shallow clone's reference to
+    * another table's file? Two encodings exist: scheme-qualified URIs
+    * (`file:/...`, `s3a://bucket/...` — written since protocol 3, so
+    * clones keep working across filesystems) and bare absolute paths
+    * (`/...` — protocol-2 clones, resolved against the entry's default
+    * filesystem). Table-relative entries (`data/...`) are neither.
+    */
+  def isExternalPath(p: String): Boolean =
+    p.startsWith("/") || hasUriScheme(p)
+
+  private[tables] def hasUriScheme(p: String): Boolean = {
+    val i = p.indexOf(':')
+    i > 0 && p.substring(0, i).matches("[A-Za-z][A-Za-z0-9+.-]*") &&
+      p.length > i + 1 && p.charAt(i + 1) == '/'
+  }
+
+  /** On-disk location of a manifest entry under its owning root:
+    * external entries pass through unchanged (they carry their own
+    * root, and for protocol-3 clones their own filesystem scheme);
+    * relative entries resolve under the table root.
+    */
+  def fileLocation(root: String, p: String): String =
+    if (isExternalPath(p)) p else s"$root/$p"
 
   private implicit val formats: Formats = Serialization.formats(NoTypeHints)
 

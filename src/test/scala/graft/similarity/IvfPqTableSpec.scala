@@ -88,4 +88,52 @@ class IvfPqTableSpec extends AnyFunSuite {
       assert(past.forall(_ < 60L))
     }
   }
+
+  test("retrain versions the model: time travel across the retrain " +
+      "boundary decodes with the OLD books; a lost epoch fails loudly") {
+    withDir { dir =>
+      val idx = s"$dir/idx3"
+      val q = vecs(0 until 3)
+      val m1 = IvfPqTable.create(spark, idx, vecs(0 until 60),
+        "vec_id", "embedding", dim, cfg)
+      IvfPqTable.append(spark, idx, vecs(60 until 90), "vec_id",
+        "embedding", dim, m1, cfg)
+      val vBefore = TxLog.latestVersion(spark, idx)
+      // pre-retrain answer under the epoch-1 model, pinned
+      val before = IvfPqTable.topK(spark, idx, q, "vec_id", "embedding",
+        dim, 5, cfg).collect().toSet
+
+      val m2 = IvfPqTable.retrain(spark, idx, vecs(0 until 90),
+        "vec_id", "embedding", dim,
+        cfg.copy(cells = 5)) // genuinely different books
+      val vAfter = TxLog.latestVersion(spark, idx)
+      assert(IvfPqTable.modelEpoch(spark, idx) === vAfter)
+      assert(IvfPqTable.modelEpoch(spark, idx, Some(vBefore)) === 1L)
+
+      // time travel BELOW the retrain: epoch-1 model resolves — the
+      // served result is bit-identical to the pre-retrain serve (the
+      // single-mutable-_model bug decoded these codes with m2's books)
+      val past = IvfPqTable.topK(spark, idx, q, "vec_id", "embedding",
+        dim, 5, cfg, asOfVersion = Some(vBefore)).collect().toSet
+      assert(past === before)
+
+      // head serves the retrained index under m2's books, ≡ explicit
+      val head = IvfPqTable.topK(spark, idx, q, "vec_id", "embedding",
+        dim, 5, cfg).collect().toSet
+      val headExplicit = IvfPqTable.topK(spark, idx, q, "vec_id",
+        "embedding", dim, 5, cfg, Some(m2)).collect().toSet
+      assert(head === headExplicit)
+
+      // crash window: a retrain commit whose epoch dir is gone must
+      // fail LOUDLY at resolve, never decode with another epoch
+      val fs = new org.apache.hadoop.fs.Path(idx)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$idx/_model/v$vAfter"),
+        true)
+      val e = intercept[RuntimeException] {
+        IvfPqTable.readModel(spark, idx)
+      }
+      assert(e.getMessage.contains("no model for epoch"), e.getMessage)
+    }
+  }
 }

@@ -1029,7 +1029,15 @@ class CowTableSpec extends AnyFunSuite {
       assert(!new java.io.File(dst, "data").exists,
         "a shallow clone must not copy data files")
       val snap = TxLog.snapshot(spark, dst)
-      assert(snap.files.forall(_.path.startsWith("/")))
+      assert(snap.files.forall(f => TxLog.isExternalPath(f.path)))
+      // protocol-3 externals are fully qualified (scheme-carrying),
+      // so cross-filesystem clones resolve (ADVICE r13)
+      assert(snap.files.forall(_.path.startsWith("file:/")))
+      // Snapshot.filePaths passes external entries through unchanged —
+      // the naive "$root/$path" join would emit malformed root//abs
+      // locations (ADVICE r13)
+      assert(snap.filePaths(dst).forall(p =>
+        p.startsWith("file:/") && !p.contains(dst)))
       assert(snap.checkConstraints.contains("v_nonneg"))
       // constraints ENFORCE on the clone too
       intercept[RuntimeException] {
@@ -1050,8 +1058,8 @@ class CowTableSpec extends AnyFunSuite {
         Map("v" -> lit(7777L)))
       assert(m.candidateFiles <= 2, s"external pruning broke: $m")
       val dsnap = TxLog.snapshot(spark, dst)
-      assert(dsnap.files.count(f => !f.path.startsWith("/")) >= 1)
-      assert(dsnap.files.count(_.path.startsWith("/")) >= 6)
+      assert(dsnap.files.count(f => !TxLog.isExternalPath(f.path)) >= 1)
+      assert(dsnap.files.count(f => TxLog.isExternalPath(f.path)) >= 6)
       // source never saw any of it
       assert(contents(CowTable.read(spark, t)) === contents(base(1000, 8)))
       // source-side divergence never reaches the clone
@@ -1076,7 +1084,7 @@ class CowTableSpec extends AnyFunSuite {
       CowTable.optimize(spark, dst,
         _.repartitionByRange(2, col("k")).sortWithinPartitions("k"))
       val snap = TxLog.snapshot(spark, dst)
-      assert(snap.files.forall(f => !f.path.startsWith("/")),
+      assert(snap.files.forall(f => !TxLog.isExternalPath(f.path)),
         "optimize must materialize every external reference")
       assert(contents(CowTable.read(spark, dst)) ===
         contents(base(100, 2)))
@@ -1138,7 +1146,8 @@ class CowTableSpec extends AnyFunSuite {
       // the original source's data root and c1's
       CowTable.updateWhere(spark, c1, col("k") < 50, Map("v" -> lit(1L)))
       CowTable.shallowClone(spark, c1, c2)
-      assert(TxLog.snapshot(spark, c2).files.forall(_.path.startsWith("/")))
+      assert(TxLog.snapshot(spark, c2).files
+        .forall(f => TxLog.isExternalPath(f.path)))
       assert(CowTable.read(spark, c2).count() === 300)
       assert(CowTable.read(spark, c2)
         .filter(col("k") < 50 && col("v") === 1L).count() === 50)
@@ -1282,7 +1291,7 @@ class CowTableSpec extends AnyFunSuite {
       val dst = t + "_c"
       CowTable.create(spark, t, base(50, 1), Seq("k"))
       CowTable.shallowClone(spark, t, dst)
-      assert(TxLog.snapshot(spark, dst).minReader === Some(2))
+      assert(TxLog.snapshot(spark, dst).minReader === Some(3))
       // push the clone log past a checkpoint: the fold then starts at
       // the checkpoint and never re-reads the clone commit, so the
       // requirement must survive INSIDE the checkpoint
@@ -1292,7 +1301,7 @@ class CowTableSpec extends AnyFunSuite {
       }
       assert(new java.io.File(dst, "_txlog").list()
         .exists(_.endsWith(".checkpoint.json")))
-      assert(TxLog.snapshot(spark, dst).minReader === Some(2))
+      assert(TxLog.snapshot(spark, dst).minReader === Some(3))
     }
   }
 
