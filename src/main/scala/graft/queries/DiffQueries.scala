@@ -279,7 +279,12 @@ object DiffQueries {
     * its own melt.
     */
   def profileDiff(spark: SparkSession, dir: String): DataFrame = {
-    val orders = Tables.loadSpread(spark, dir, "orders")
+    // plain load, not loadSpread: the round-14 ProfileDiff ships
+    // fixed-width hashes through its only shuffle, so the round-robin
+    // spread's extra full-table exchange costs more than the melt CPU
+    // it parallelizes (measured at sf0.1; at scale file splits provide
+    // the parallelism anyway)
+    val orders = Tables.load(spark, dir, "orders")
     graft.operators.ProfileDiff.compare(orders, perturbedOrders(orders))
       .orderBy("col_name")
   }

@@ -61,18 +61,21 @@ class ProfileDiffSpec extends AnyFunSuite {
       === Seq("tag"))
   }
 
-  test("no join at all: both snapshots profile through one aggregation") {
+  test("plan shape: no raw-table join, fixed-width distinct melt") {
     val s1 = Seq((1L, "a")).toDF("id", "s")
     val s2 = Seq((1L, "a")).toDF("id", "s")
-    val plan = ProfileDiff.compare(s1, s2)
-      .queryExecution.executedPlan.toString
-    // the melted sides union into ONE (col, value) aggregate with the
-    // side folded into the aggregates, so shared values merge before
-    // the shuffle and the per-column comparison is conditional
-    // aggregation — no summary/summary join survives in the plan
+    val qe = ProfileDiff.compare(s1, s2).queryExecution
+    val plan = qe.executedPlan.toString
+    // the three summary sources meet through one union + per-column
+    // fold — no join survives in the plan at all, summary or raw
     assert(!"(?i)join".r.findFirstIn(plan).isDefined,
       s"profile comparison must not join:\n$plan")
     assert(!plan.contains("Expand"),
       s"profile sides must not expand rows per aggregate:\n$plan")
+    // the distinct melt ships 8-byte value hashes, never value
+    // strings — the memory-regime contract (round 14): aggregate maps
+    // and the melt shuffle stay fixed-width
+    assert(plan.contains("xxhash64"),
+      s"distinct melt must key on xxhash64(value):\n$plan")
   }
 }
