@@ -292,6 +292,84 @@ object TableQueries {
       |  FROM orders WHERE o_orderkey % 11 = 0)
       |ORDER BY o_orderkey""".stripMargin
 
+  /** COLUMN MAPPING round trip ([[CowTable.renameColumn]] — rename as
+    * a METADATA commit, protocol 3): create + append under the old
+    * name, rename `o_totalprice` → `price`, then append AND merge
+    * under the new name, so post-rename writes flow through the
+    * logical→physical indirection and zone maps keep pruning. The
+    * output stacks four reads, each stamping the LOGICAL schema it saw
+    * into a `cols` data column (the oracle pins names as values):
+    * head (new name, merge applied), time travel BELOW the rename (old
+    * name), and the change feed of one pre-rename and one post-rename
+    * commit — the three behaviors the rename contract promises.
+    */
+  def tableRename(spark: SparkSession, dir: String): DataFrame = {
+    val t = scratch(dir, "rename")
+    reset(spark, t)
+    val base = Tables.load(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    CowTable.create(spark, t,
+      base.repartitionByRange(8, col("o_orderkey")), Seq("o_orderkey")) // v1
+    CowTable.append(spark, t, base.filter(col("o_orderkey") % 5 === 0)
+      .select((col("o_orderkey") + 1000000000L).as("o_orderkey"),
+        col("o_custkey"), col("o_totalprice")))                         // v2
+    CowTable.renameColumn(spark, t, "o_totalprice", "price")            // v3
+    CowTable.append(spark, t, base.filter(col("o_orderkey") % 7 === 0)
+      .select((col("o_orderkey") + 2000000000L).as("o_orderkey"),
+        col("o_custkey"), (col("o_totalprice") + 0.5d).as("price")))    // v4
+    CowTable.merge(spark, t, base.filter(col("o_orderkey") % 11 === 0)
+      .select(col("o_orderkey"), col("o_custkey"),
+        (col("o_totalprice") + 100.0d).as("price")),
+      Seq("o_orderkey"))                                                // v5
+    def stamped(df: DataFrame, src: String): DataFrame = {
+      val cols = df.columns.mkString(",")
+      val value = df.columns.last
+      df.select(lit(src).as("src"), lit(cols).as("cols"),
+        col("o_orderkey"), col("o_custkey"), col(value).as("price"))
+    }
+    stamped(CowTable.read(spark, t), "head")
+      .unionByName(stamped(CowTable.read(spark, t, Some(2L)), "v2"))
+      .unionByName(stamped(CowTable.changesAt(spark, t, 2L), "feed2"))
+      .unionByName(stamped(CowTable.changesAt(spark, t, 4L), "feed4"))
+      .orderBy("src", "o_orderkey")
+  }
+
+  val tableRenameSql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+      |s5 AS (
+      |  SELECT o_orderkey + 1000000000 AS o_orderkey, o_custkey,
+      |         o_totalprice
+      |  FROM base WHERE o_orderkey % 5 = 0),
+      |s7 AS (
+      |  SELECT o_orderkey + 2000000000 AS o_orderkey, o_custkey,
+      |         o_totalprice + 0.5 AS price
+      |  FROM base WHERE o_orderkey % 7 = 0),
+      |head AS (
+      |  SELECT o_orderkey, o_custkey,
+      |         o_totalprice
+      |           + CASE WHEN o_orderkey % 11 = 0 THEN 100.0 ELSE 0 END
+      |           AS price
+      |  FROM base
+      |  UNION ALL SELECT o_orderkey, o_custkey, o_totalprice FROM s5
+      |  UNION ALL SELECT o_orderkey, o_custkey, price FROM s7)
+      |SELECT * FROM (
+      |  SELECT 'head' AS src,
+      |         'o_orderkey,o_custkey,price' AS cols,
+      |         o_orderkey, o_custkey, price
+      |  FROM head
+      |  UNION ALL
+      |  SELECT 'v2', 'o_orderkey,o_custkey,o_totalprice',
+      |         o_orderkey, o_custkey, o_totalprice
+      |  FROM (SELECT * FROM base UNION ALL SELECT * FROM s5)
+      |  UNION ALL
+      |  SELECT 'feed2', 'o_orderkey,o_custkey,o_totalprice',
+      |         o_orderkey, o_custkey, o_totalprice FROM s5
+      |  UNION ALL
+      |  SELECT 'feed4', 'o_orderkey,o_custkey,price',
+      |         o_orderkey, o_custkey, price FROM s7)
+      |ORDER BY src, o_orderkey""".stripMargin
+
   /** The transactional corpus-ingest loop, end to end: a standing
     * document corpus held in a CowTable, a new batch screened against
     * it with the PROVEN incremental-dedup verdicts (exact + LSH-banded
@@ -1317,6 +1395,7 @@ object TableQueries {
     "pipeline_changefeed_agg" -> (pipelineChangefeedAgg(_, _)),
     "pipeline_table_ingest" -> (pipelineTableIngest(_, _)),
     "table_evolve" -> (tableEvolve(_, _)),
+    "table_rename" -> (tableRename(_, _)),
     "table_aggmerge" -> (tableAggmerge(_, _)),
     "table_scd2" -> (tableScd2(_, _)),
     "table_partitioned" -> (tablePartitioned(_, _)),
@@ -1349,6 +1428,7 @@ object TableQueries {
     "pipeline_changefeed_agg" -> Relational.qAggUpsertSql,
     "pipeline_table_ingest" -> pipelineTableIngestSql,
     "table_evolve" -> tableEvolveSql,
+    "table_rename" -> tableRenameSql,
     "table_aggmerge" -> Relational.qAggUpsertSql,
     "table_scd2" -> DiffQueries.scd2ApplySql,
     "table_partitioned" -> tablePartitionedSql,

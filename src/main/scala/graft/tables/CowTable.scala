@@ -93,7 +93,8 @@ object CowTable {
       txn: Option[TxLog.Txn] = None, mergeSchema: Boolean = false): Unit = {
     val snap0 = TxLog.snapshot(spark, path)
     if (alreadyApplied(snap0, txn)) return
-    val (_, cols) = evolvedSchema(snap0, df, mergeSchema, Set.empty)
+    val ev0 = evolvedSchema(snap0, df, mergeSchema, Set.empty)
+    val cols = ev0.cols
     require(cols.forall(df.columns.contains),
       s"append frame missing columns: ${cols.filterNot(df.columns.contains)}")
     // Files are snapshot-independent for an append (unlike a merge),
@@ -103,9 +104,12 @@ object CowTable {
     // regressed (if the rival added our columns first, ours folds to
     // a no-op DDL).
     val written = df.select(cols.map(col): _*)
+    // physical names are FIXED at write time: the snapshot's map plus
+    // this append's fresh assignments (re-adds of retired names)
+    val writeMap = snap0.columnMap.getOrElse(Map.empty) ++ ev0.fresh
     val adds = writeFiles(spark, path, written,
       snap0.statsCols, snap0.partitionCols.getOrElse(Seq.empty),
-      snap0.checkConstraints)
+      snap0.checkConstraints, writeMap)
     // Constraints validated so far: snap0's, via writeFiles above. A
     // concurrent addConstraint landing between snap0 and our winning
     // CAS is a conflicting METADATA commit — each retry re-reads the
@@ -121,7 +125,8 @@ object CowTable {
       else {
         val fresh = snap.checkConstraints.filterNot(validated)
         if (fresh.nonEmpty) {
-          val addsDf = readAddsAs(spark, path, written.schema, adds)
+          val addsDf = readAddsAs(spark, path, written.schema, adds,
+            writeMap)
           fresh.foreach { case (name, e) =>
             firstViolation(addsDf, e).foreach { row =>
               // unreferenced — reclaim eagerly instead of waiting for
@@ -136,10 +141,25 @@ object CowTable {
           }
           validated ++= fresh
         }
-        val (ddl, _) = evolvedSchema(snap, df, mergeSchema, Set.empty)
+        val ev = evolvedSchema(snap, df, mergeSchema, Set.empty)
+        // a rival may have bound one of OUR fresh logical names to a
+        // different physical name — our staged files are unreadable
+        // under that binding, so fail loudly rather than publish them
+        ev0.fresh.foreach { case (l, ph) =>
+          val bound = snap.physName(l)
+          require(bound == l || bound == ph,
+            s"column '$l' was concurrently re-added with physical name " +
+              s"'$bound' (ours: '$ph') — retry the append")
+        }
+        // stamp the FULL map only when this commit introduces fresh
+        // physical bindings — computed against the CURRENT snapshot so
+        // a concurrent rename's map is extended, never clobbered
+        val mapStamp =
+          if (ev0.fresh.isEmpty) None
+          else Some(snap.columnMap.getOrElse(Map.empty) ++ ev0.fresh)
         TxLog.tryCommit(spark, path,
-          Commit(snap.version + 1, "append", adds, Seq.empty, ddl, None,
-            txn))
+          Commit(snap.version + 1, "append", adds, Seq.empty, ev.ddl,
+            None, txn, columnMap = mapStamp))
       }
     }
   }
@@ -166,8 +186,8 @@ object CowTable {
       lo: String, hi: String,
       asOfVersion: Option[Long] = None): DataFrame = {
     val snap = TxLog.snapshot(spark, path, asOfVersion)
-    readFiles(spark, path, snap,
-      snap.files.filter(_.stats.get(column).forall(_.mayOverlap(lo, hi))))
+    readFiles(spark, path, snap, snap.files.filter(
+      _.stats.get(snap.physName(column)).forall(_.mayOverlap(lo, hi))))
   }
 
   /** Add a CHECK constraint: `exprSql` must not evaluate FALSE for any
@@ -212,10 +232,100 @@ object CowTable {
       val snap = TxLog.snapshot(spark, path)
       require(StructType.fromDDL(snap.schemaDDL).fieldNames
         .contains(column), s"no column '$column' in $path")
-      if (snap.statsCols.contains(column)) true
+      if (snap.statsCols.contains(snap.physName(column))) true
       else TxLog.tryCommit(spark, path, Commit(snap.version + 1,
         "stats", Seq.empty, Seq.empty, None,
-        Some(snap.statsCols :+ column)))
+        Some(snap.statsCols :+ snap.physName(column))))
+    }
+
+  /** RENAME COLUMN as a METADATA commit — no file is rewritten,
+    * however large the table (column mapping, protocol 3): the commit
+    * restates the schema DDL under the new LOGICAL name and binds it
+    * to the column's unchanged PHYSICAL name in the snapshot's
+    * [[TxLog.Snapshot.columnMap]]. Every read/write/prune translates
+    * through the map, so:
+    *   - reads (head and the change feed) surface the new name;
+    *   - time travel BELOW the rename surfaces the old name (the DDL
+    *     and map fold with the log);
+    *   - new writes keep writing the physical name — old and new
+    *     files stay one homogeneous physical column;
+    *   - zone-map pruning keys on the physical name and loses nothing.
+    * Partition and stats columns rename freely (their dirs/stats keys
+    * are physical). A CHECK constraint referencing the old name would
+    * silently break — rejected loudly; drop/re-create it around the
+    * rename. Readers below protocol 3 are refused via `minReader`
+    * (they would read files under the new logical name and surface
+    * silent nulls).
+    */
+  def renameColumn(spark: SparkSession, path: String, from: String,
+      to: String): Unit =
+    retrying(s"rename column $from -> $to on $path") {
+      val snap = TxLog.snapshot(spark, path)
+      val cur = StructType.fromDDL(snap.schemaDDL)
+      require(cur.fieldNames.contains(from), s"no column '$from' in $path")
+      require(!cur.fieldNames.contains(to),
+        s"column '$to' already exists in $path")
+      val ns = StructType(cur.fields.map(f =>
+        if (f.name == from) f.copy(name = to) else f))
+      requireConstraintsResolve(spark, snap.checkConstraints, ns,
+        s"renaming '$from' to '$to'")
+      val ph = snap.physName(from)
+      val newMap = (snap.columnMap.getOrElse(Map.empty) - from) ++
+        (if (to == ph) Map.empty[String, String] else Map(to -> ph))
+      TxLog.tryCommit(spark, path, Commit(snap.version + 1, "rename",
+        Seq.empty, Seq.empty, Some(ns.toDDL), None,
+        columnMap = Some(newMap), minReader = Some(3)))
+    }
+
+  /** DROP COLUMN as a METADATA commit: the column leaves the schema
+    * DDL and its physical name RETIRES ([[TxLog.Snapshot.retiredPhys]])
+    * — files keep their bytes (time travel below the drop still reads
+    * the column), head reads simply never project it, and a LATER
+    * re-add of the same logical name takes a fresh physical name so
+    * the old values can never resurrect. The physical bytes are
+    * reclaimed lazily as files rewrite (merge/optimize — they project
+    * the live schema only); a full [[optimize]] purges the column from
+    * every live file at once. Partition columns cannot drop (their
+    * value lives in the directory layout); constraints referencing the
+    * column are rejected loudly, like [[renameColumn]].
+    */
+  def dropColumn(spark: SparkSession, path: String, name: String): Unit =
+    retrying(s"drop column $name on $path") {
+      val snap = TxLog.snapshot(spark, path)
+      val cur = StructType.fromDDL(snap.schemaDDL)
+      require(cur.fieldNames.contains(name), s"no column '$name' in $path")
+      require(cur.fields.length > 1,
+        s"cannot drop the only column of $path")
+      val ph = snap.physName(name)
+      require(!snap.partitionCols.getOrElse(Seq.empty).contains(ph),
+        s"cannot drop partition column '$name' (its values live in " +
+          "the directory layout)")
+      val ns = StructType(cur.fields.filterNot(_.name == name))
+      requireConstraintsResolve(spark, snap.checkConstraints, ns,
+        s"dropping '$name'")
+      TxLog.tryCommit(spark, path, Commit(snap.version + 1, "drop_column",
+        Seq.empty, Seq.empty, Some(ns.toDDL),
+        Some(snap.statsCols.filterNot(_ == ph)),
+        columnMap = Some(snap.columnMap.getOrElse(Map.empty) - name),
+        retiredPhys = Some(
+          (snap.retiredPhys.getOrElse(Seq.empty) :+ ph).distinct),
+        minReader = Some(3)))
+    }
+
+  /** Every CHECK constraint must still ANALYZE against `schema` — a
+    * rename/drop that breaks a constraint expression is rejected
+    * before committing, not discovered at the next write.
+    */
+  private def requireConstraintsResolve(spark: SparkSession,
+      constraints: Map[String, String], schema: StructType,
+      what: String): Unit =
+    constraints.foreach { case (n, e) =>
+      val ok = scala.util.Try(
+        spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+          .filter(expr(e) === false).queryExecution.analyzed).isSuccess
+      require(ok, s"CHECK constraint '$n' ($e) would break under $what " +
+        "— drop (and re-create under the new schema) first")
     }
 
   /** Drop a CHECK constraint (future writes stop validating it). */
@@ -242,7 +352,8 @@ object CowTable {
   def readWhere(spark: SparkSession, path: String, cond: Column,
       asOfVersion: Option[Long] = None): DataFrame = {
     val snap = TxLog.snapshot(spark, path, asOfVersion)
-    readFiles(spark, path, snap, StatsPredicate.prune(snap.files, cond))
+    readFiles(spark, path, snap,
+      StatsPredicate.prune(snap.files, cond, snap.physName))
       .filter(cond)
   }
 
@@ -332,8 +443,10 @@ object CowTable {
             .getOrElse(lit(false))
           // Additive evolution: new update columns become trailing
           // table columns; pre-evolution rows surface them as null.
-          val (ddl, allCols) = evolvedSchema(snap, up, mergeSchema,
-            deleteCol.toSet)
+          val ev = evolvedSchema(snap, up, mergeSchema, deleteCol.toSet)
+          val (ddl, allCols) = (ev.ddl, ev.cols)
+          val mergeMap = snap.columnMap.getOrElse(Map.empty) ++ ev.fresh
+          val phys = snap.physName _
           val newFields = up.schema.fields.filter(f =>
             allCols.contains(f.name) &&
               !readSchemaCols(snap).contains(f.name))
@@ -354,7 +467,7 @@ object CowTable {
           //    may hold nulls; an EMPTY batch keeps nothing.
           val candidates = snap.files.filter { f =>
             keyBounds.forall { case (k, (range, batchNull)) =>
-              f.stats.get(k).forall { s =>
+              f.stats.get(phys(k)).forall { s =>
                 range.exists { case (lo, hi) => s.mayOverlap(lo, hi) } ||
                   (batchNull && s.mayHaveNulls)
               }
@@ -454,10 +567,11 @@ object CowTable {
 
           val adds = writeFiles(spark, path, out, snap.statsCols,
             snap.partitionCols.getOrElse(Seq.empty),
-            snap.checkConstraints)
+            snap.checkConstraints, mergeMap)
           val committed = TxLog.tryCommit(spark, path,
             Commit(snap.version + 1, "merge", adds,
-              touched.map(_.path), ddl, None, txn, None, cdcDir))
+              touched.map(_.path), ddl, None, txn, None, cdcDir,
+              columnMap = if (ev.fresh.isEmpty) None else Some(mergeMap)))
           // On a lost race: undo nothing (orphan files are vacuumable),
           // replay the whole resolve against the winner's snapshot.
           if (committed)
@@ -543,7 +657,7 @@ object CowTable {
       // zone maps could hold a TRUE row (StatsPredicate's conservative
       // range analysis) — a clustered range delete over a 100 TB table
       // probes O(matching files), not the world.
-      val candidates = StatsPredicate.prune(snap.files, cond)
+      val candidates = StatsPredicate.prune(snap.files, cond, snap.physName)
       val tableRoot = TxLog.fs(spark, path)
         .makeQualified(new Path(path)).toUri.getPath.stripSuffix("/")
       val byAbs: Map[String, AddFile] =
@@ -572,7 +686,7 @@ object CowTable {
         }
         val adds = writeFiles(spark, path, out, snap.statsCols,
           snap.partitionCols.getOrElse(Seq.empty),
-          snap.checkConstraints)
+          snap.checkConstraints, snap.columnMap.getOrElse(Map.empty))
         val committed = TxLog.tryCommit(spark, path,
           Commit(snap.version + 1, op, adds, touched.map(_.path),
             None, None, None, None, cdcDir))
@@ -605,7 +719,8 @@ object CowTable {
         val packed = readFiles(spark, path, snap, smalls)
           .repartition(targetFileCount)
         val adds = writeFiles(spark, path, packed, snap.statsCols,
-          snap.partitionCols.getOrElse(Seq.empty))
+          snap.partitionCols.getOrElse(Seq.empty),
+          colMap = snap.columnMap.getOrElse(Map.empty))
         TxLog.tryCommit(spark, path, Commit(snap.version + 1, "compact",
           adds, smalls.map(_.path), None, None))
       }
@@ -633,7 +748,8 @@ object CowTable {
       val out = layout(readSnapshot(spark, path, snap))
         .select(readSchemaCols(snap).map(col): _*)
       val adds = writeFiles(spark, path, out, snap.statsCols,
-        snap.partitionCols.getOrElse(Seq.empty))
+        snap.partitionCols.getOrElse(Seq.empty),
+        colMap = snap.columnMap.getOrElse(Map.empty))
       TxLog.tryCommit(spark, path, Commit(snap.version + 1, "optimize",
         adds, snap.files.map(_.path), None, None))
     }
@@ -657,14 +773,15 @@ object CowTable {
     retrying(s"optimizeWhere $path") {
       val snap = TxLog.snapshot(spark, path)
       val sel = snap.files.filter(
-        _.stats.get(column).forall(_.mayOverlap(lo, hi)))
+        _.stats.get(snap.physName(column)).forall(_.mayOverlap(lo, hi)))
       rewritten = sel.size.toLong
       if (sel.isEmpty) true
       else {
         val out = layout(readFiles(spark, path, snap, sel))
           .select(readSchemaCols(snap).map(col): _*)
         val adds = writeFiles(spark, path, out, snap.statsCols,
-          snap.partitionCols.getOrElse(Seq.empty))
+          snap.partitionCols.getOrElse(Seq.empty),
+          colMap = snap.columnMap.getOrElse(Map.empty))
         TxLog.tryCommit(spark, path, Commit(snap.version + 1, "optimize",
           adds, sel.map(_.path), None, None))
       }
@@ -684,14 +801,15 @@ object CowTable {
     var rewritten = 0L
     retrying(s"optimizeMatching $path") {
       val snap = TxLog.snapshot(spark, path)
-      val sel = StatsPredicate.prune(snap.files, cond)
+      val sel = StatsPredicate.prune(snap.files, cond, snap.physName)
       rewritten = sel.size.toLong
       if (sel.isEmpty) true
       else {
         val out = layout(readFiles(spark, path, snap, sel))
           .select(readSchemaCols(snap).map(col): _*)
         val adds = writeFiles(spark, path, out, snap.statsCols,
-          snap.partitionCols.getOrElse(Seq.empty))
+          snap.partitionCols.getOrElse(Seq.empty),
+          colMap = snap.columnMap.getOrElse(Map.empty))
         TxLog.tryCommit(spark, path, Commit(snap.version + 1, "optimize",
           adds, sel.map(_.path), None, None))
       }
@@ -713,7 +831,8 @@ object CowTable {
       val snap = TxLog.snapshot(spark, path)
       val out = df.select(readSchemaCols(snap).map(col): _*)
       val adds = writeFiles(spark, path, out, snap.statsCols,
-        snap.partitionCols.getOrElse(Seq.empty), snap.checkConstraints)
+        snap.partitionCols.getOrElse(Seq.empty), snap.checkConstraints,
+        snap.columnMap.getOrElse(Map.empty))
       val won = TxLog.tryCommit(spark, path, Commit(snap.version + 1,
         op, adds, snap.files.map(_.path), None, None))
       if (won) committed = snap.version + 1
@@ -867,7 +986,8 @@ object CowTable {
       // schema lacks fails analysis, which is equally loud.
       if (head.checkConstraints.nonEmpty && adds.nonEmpty) {
         val readded = readAddsAs(spark, path,
-          StructType.fromDDL(target.schemaDDL), adds)
+          StructType.fromDDL(target.schemaDDL), adds,
+          target.columnMap.getOrElse(Map.empty))
         head.checkConstraints.foreach { case (name, e) =>
           firstViolation(readded, e).foreach(row => sys.error(
             s"cannot restore $path to v$version: re-added rows violate " +
@@ -881,8 +1001,14 @@ object CowTable {
         // the restored SCHEMA travels too: a post-target evolution is
         // rolled back with the data (old files can't fill new columns
         // the restored rows never had — restating the target DDL keeps
-        // reads consistent)
-        Some(target.schemaDDL), None, None))
+        // reads consistent). The column MAP restores with it (a
+        // post-target rename/drop rolls back); retired physical names
+        // stay grow-only so they can never be rebound.
+        Some(target.schemaDDL), None, None,
+        columnMap = Some(target.columnMap.getOrElse(Map.empty)),
+        retiredPhys = Some(
+          (head.retiredPhys.getOrElse(Seq.empty) ++
+            target.retiredPhys.getOrElse(Seq.empty)).distinct)))
     }
 
   /** SHALLOW CLONE: create a new table at `dstPath` whose manifest
@@ -931,6 +1057,8 @@ object CowTable {
       constraintsAdd =
         if (snap.checkConstraints.isEmpty) None
         else Some(snap.checkConstraints),
+      columnMap = snap.columnMap,
+      retiredPhys = snap.retiredPhys,
       // a protocol-2 reader keys externality on a leading '/' and
       // would resolve `file:/...` against the clone root — refuse it
       // loudly (protocol 1 couldn't read external refs at all)
@@ -1001,7 +1129,8 @@ object CowTable {
       cond: Column): DataFrame = {
     val c = TxLog.commitAt(spark, path, v)
     val snap = TxLog.snapshot(spark, path, Some(v))
-    readFiles(spark, path, snap, StatsPredicate.prune(c.adds, cond))
+    readFiles(spark, path, snap,
+      StatsPredicate.prune(c.adds, cond, snap.physName))
       .filter(cond)
   }
 
@@ -1035,8 +1164,11 @@ object CowTable {
     * incompatible-retype rule. Returns the DDL to stamp into the
     * commit (None if nothing changed) and the effective column list.
     */
+  private final case class Evolved(ddl: Option[String],
+      cols: Seq[String], fresh: Map[String, String])
+
   private def evolvedSchema(snap: Snapshot, df: DataFrame, allow: Boolean,
-      ignore: Set[String]): (Option[String], Seq[String]) = {
+      ignore: Set[String]): Evolved = {
     val cur = StructType.fromDDL(snap.schemaDDL)
     df.schema.fields.filter(f => cur.fieldNames.contains(f.name))
       .foreach { f =>
@@ -1049,10 +1181,21 @@ object CowTable {
       cur.fieldNames.contains(f.name) || ignore.contains(f.name))
     // Without mergeSchema, extra frame columns are operational
     // passengers (sequence/flag columns) and simply don't land.
-    if (extra.isEmpty || !allow) (None, cur.fieldNames.toSeq)
+    if (extra.isEmpty || !allow) Evolved(None, cur.fieldNames.toSeq, Map.empty)
     else {
+      // A new logical name whose default physical name is already in
+      // use — bound to a RENAMED column, or retired by a DROP — takes
+      // a fresh physical name, or old files' bytes would surface under
+      // the new column (the resurrect hazard column mapping exists to
+      // prevent).
+      val usedPhys = snap.columnMap.getOrElse(Map.empty).values.toSet ++
+        snap.retiredPhys.getOrElse(Seq.empty)
+      val fresh = extra.collect {
+        case f if usedPhys.contains(f.name) =>
+          f.name -> s"${f.name}_r${snap.version + 1}"
+      }.toMap
       val ns = StructType(cur.fields ++ extra.map(_.copy(nullable = true)))
-      (Some(ns.toDDL), ns.fieldNames.toSeq)
+      Evolved(Some(ns.toDDL), ns.fieldNames.toSeq, fresh)
     }
   }
 
@@ -1101,7 +1244,8 @@ object CowTable {
 
   private def readFiles(spark: SparkSession, path: String, snap: Snapshot,
       files: Seq[AddFile]): DataFrame =
-    readGrouped(spark, path, StructType.fromDDL(snap.schemaDDL), files)
+    readGrouped(spark, path, StructType.fromDDL(snap.schemaDDL), files,
+      snap.columnMap.getOrElse(Map.empty))
 
   /** Read manifest entries under an explicit schema, grouped by their
     * owning partition root: basePath makes the hive-style `col=value`
@@ -1112,20 +1256,30 @@ object CowTable {
     * chain depth, almost always 1 or 2).
     */
   private def readGrouped(spark: SparkSession, path: String,
-      schema: StructType, files: Seq[AddFile]): DataFrame = {
+      schema: StructType, files: Seq[AddFile],
+      colMap: Map[String, String] = Map.empty): DataFrame = {
     if (files.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else {
+      // files store PHYSICAL column names (column mapping): read under
+      // the physical schema, then surface logical names. A column whose
+      // physical name a file predates (fresh-phys re-add) reads null —
+      // the explicit-schema parquet contract, which is exactly why a
+      // dropped-then-readded column can never resurrect old values.
+      val physSchema = StructType(schema.fields.map(f =>
+        f.copy(name = colMap.getOrElse(f.name, f.name))))
       val frames = files.groupBy(f => dataRootOf(path, f.path))
         .toSeq.sortBy(_._1)
         .map { case (root, fs) =>
-          spark.read.schema(schema)
+          spark.read.schema(physSchema)
             .option("basePath", root)
             .parquet(fs.map(f => fileUri(path, f.path)): _*)
         }
       frames.reduce(_ unionByName _)
-        .select(schema.fields.map(f => col(f.name)): _*)
+        .select(schema.fields.map(f =>
+          col(s"`${colMap.getOrElse(f.name, f.name).replace("`", "``")}`")
+            .as(f.name)): _*)
     }
   }
 
@@ -1146,25 +1300,38 @@ object CowTable {
   private def writeFiles(spark: SparkSession, path: String, df: DataFrame,
       statsCols: Seq[String],
       partitionCols: Seq[String] = Seq.empty,
-      constraints: Map[String, String] = Map.empty): Seq[AddFile] = {
+      constraints: Map[String, String] = Map.empty,
+      colMap: Map[String, String] = Map.empty): Seq[AddFile] = {
     val opId = java.util.UUID.randomUUID().toString
     val opDir = s".staging/$opId"
-    val w = df.write
+    // `df` arrives under LOGICAL names; on disk (file columns, hive
+    // partition dirs, manifest stats keys) everything is PHYSICAL —
+    // `statsCols`/`partitionCols` are already physical (snapshot
+    // fields), the frame renames here. Identity when no mapping.
+    def quoted(c: String) = s"`${c.replace("`", "``")}`"
+    val dfPhys = df.select(df.columns.map(c =>
+      col(quoted(c)).as(colMap.getOrElse(c, c))).toSeq: _*)
+    val w = dfPhys.write
     (if (partitionCols.isEmpty) w else w.partitionBy(partitionCols: _*))
       .parquet(s"$path/$opDir")
 
-    val written = spark.read.schema(df.schema)
+    val written = spark.read.schema(dfPhys.schema)
       .option("basePath", s"$path/$opDir")
       .parquet(s"$path/$opDir")
     // CHECK constraints validate the STAGED data (one cheap re-read —
     // never a recompute of the op's plan) BEFORE anything publishes:
     // a violation discards the staging dir and fails the write whole.
-    constraints.foreach { case (name, e) =>
-      val viol = written.filter(expr(e) === false).limit(1).collect()
-      if (viol.nonEmpty) {
-        TxLog.fs(spark, path).delete(new Path(path, opDir), true)
-        sys.error(s"CHECK constraint '$name' ($e) violated by this " +
-          s"write: ${viol.head}")
+    // Constraint exprs speak LOGICAL names — validate the logical view.
+    if (constraints.nonEmpty) {
+      val logical = written.select(df.columns.map(c =>
+        col(quoted(colMap.getOrElse(c, c))).as(c)).toSeq: _*)
+      constraints.foreach { case (name, e) =>
+        val viol = logical.filter(expr(e) === false).limit(1).collect()
+        if (viol.nonEmpty) {
+          TxLog.fs(spark, path).delete(new Path(path, opDir), true)
+          sys.error(s"CHECK constraint '$name' ($e) violated by this " +
+            s"write: ${viol.head}")
+        }
       }
     }
     // The null flag rides the same one-pass aggregate: min/max ignore
@@ -1212,7 +1379,7 @@ object CowTable {
         // or a path-decode mismatch (must stay loud). One single-file
         // count distinguishes them; it only runs on this rare path.
         val r = statRows.getOrElse(onDisk, {
-          val empty = spark.read.schema(df.schema)
+          val empty = spark.read.schema(dfPhys.schema)
             .parquet(st.getPath.toString).isEmpty
           if (empty) null
           else sys.error(s"no stats row for staged file ${st.getPath} " +
@@ -1255,8 +1422,9 @@ object CowTable {
     * a time-traveled one, not the head's).
     */
   private def readAddsAs(spark: SparkSession, path: String,
-      schema: StructType, adds: Seq[AddFile]): DataFrame =
-    readGrouped(spark, path, schema, adds)
+      schema: StructType, adds: Seq[AddFile],
+      colMap: Map[String, String] = Map.empty): DataFrame =
+    readGrouped(spark, path, schema, adds, colMap)
 
   private def retrying(what: String)(attempt: => Boolean): Unit = {
     var tries = 0

@@ -54,11 +54,15 @@ object Maintenance {
       smallFileRows: Long = 100000L,
       maxSmallFiles: Int = 8): Advice = {
     val snap = TxLog.snapshot(spark, path)
-    val c = column.getOrElse(snap.statsCols.headOption.getOrElse(
+    // `column` is LOGICAL (user-facing; HotRange feeds col(...) in the
+    // maintain layout); stats keys are PHYSICAL — translate at lookup
+    val rev = snap.columnMap.getOrElse(Map.empty).map(_.swap)
+    val c = column.getOrElse(snap.statsCols.headOption.map(ph =>
+      rev.getOrElse(ph, ph)).getOrElse(
       sys.error(s"$path has no stats columns to advise on")))
     val smalls = snap.files.count(_.rows < smallFileRows).toLong
 
-    val stats = snap.files.flatMap(f => f.stats.get(c)
+    val stats = snap.files.flatMap(f => f.stats.get(snap.physName(c))
       .filter(s => s.kind == "long" || s.kind == "double" ||
         s.kind == "string"))
     val hot =
@@ -84,7 +88,8 @@ object Maintenance {
     a.hotRanges.foreach { hr =>
       val snap = TxLog.snapshot(spark, path)
       val rows = snap.files
-        .filter(_.stats.get(hr.column).forall(_.mayOverlap(hr.lo, hr.hi)))
+        .filter(_.stats.get(snap.physName(hr.column))
+          .forall(_.mayOverlap(hr.lo, hr.hi)))
         .map(_.rows).sum
       val n = math.max(1L, (rows + targetFileRows - 1) / targetFileRows)
       CowTable.optimizeWhere(spark, path, hr.column, hr.lo, hr.hi,

@@ -27,13 +27,19 @@ import org.apache.spark.sql.graft.ColumnBridge
   */
 object StatsPredicate {
 
-  /** Files of `files` that MAY hold a row where `cond` is TRUE. */
-  def prune(files: Seq[AddFile], cond: Column): Seq[AddFile] = {
+  /** Files of `files` that MAY hold a row where `cond` is TRUE.
+    * `phys` translates the predicate's LOGICAL column names to the
+    * physical names manifest stats are keyed by (column mapping —
+    * identity by default). A renamed-but-not-rewritten stats key
+    * simply stops matching and the file never prunes: conservative.
+    */
+  def prune(files: Seq[AddFile], cond: Column,
+      phys: String => String = identity): Seq[AddFile] = {
     val ranges = ColumnBridge.simpleRanges(cond)
     if (ranges.isEmpty) files
     else files.filter { f =>
       ranges.forall { case (name, lo, hi) =>
-        f.stats.get(name).forall(s => overlaps(s, lo, hi))
+        f.stats.get(phys(name)).forall(s => overlaps(s, lo, hi))
       }
     }
   }

@@ -138,7 +138,9 @@ object TxLog {
       constraintsAdd: Option[Map[String, String]] = None,
       constraintsDrop: Option[Seq[String]] = None,
       minReader: Option[Int] = None,
-      ts: Option[Long] = None)
+      ts: Option[Long] = None,
+      columnMap: Option[Map[String, String]] = None,
+      retiredPhys: Option[Seq[String]] = None)
 
   /** The reader-protocol version THIS engine folds correctly. A commit
     * whose feature an older reader would silently MISINTERPRET (not
@@ -171,7 +173,22 @@ object TxLog {
       txns: Option[Map[String, Long]] = None,
       partitionCols: Option[Seq[String]] = None,
       constraints: Option[Map[String, String]] = None,
-      minReader: Option[Int] = None) {
+      minReader: Option[Int] = None,
+      columnMap: Option[Map[String, String]] = None,
+      retiredPhys: Option[Seq[String]] = None) {
+    /** Physical (on-disk / manifest-stats) name of logical column `c`
+      * — the protocol-3 column-mapping indirection that makes renames
+      * metadata commits: data files and their stats are keyed by
+      * physical names (stable from the column's first write), the
+      * schema DDL speaks logical names, and every read/write/prune
+      * translates through here. Absent entry = identity (the
+      * pre-mapping common case). `retiredPhys` holds physical names no
+      * longer bound to any logical column (drops): a re-added logical
+      * name takes a FRESH physical name, or old files' values would
+      * resurrect under the new column.
+      */
+    def physName(c: String): String =
+      columnMap.getOrElse(Map.empty).getOrElse(c, c)
     /** On-disk locations of the live files. External (shallow-clone)
       * entries are already absolute/qualified and pass through
       * unchanged — the same [[TxLog.fileLocation]] rule every CowTable
@@ -378,6 +395,8 @@ object TxLog {
     var schemaDDL = base.schemaDDL
     var statsCols = base.statsCols
     var partitionCols = base.partitionCols
+    var columnMap = base.columnMap
+    var retiredPhys = base.retiredPhys
     var v = ckptV + 1
     while (v <= target) {
       val p = commitPath(table, v)
@@ -390,6 +409,9 @@ object TxLog {
       c.schemaDDL.foreach(schemaDDL = _)
       c.statsCols.foreach(statsCols = _)
       c.partitionCols.foreach(pc => partitionCols = Some(pc))
+      // full-replacement semantics (a commit stamps the WHOLE map/list)
+      c.columnMap.foreach(m => columnMap = Some(m))
+      c.retiredPhys.foreach(r => retiredPhys = Some(r))
       c.txn.foreach(t => txns.update(t.app,
         math.max(t.version, txns.getOrElse(t.app, Long.MinValue))))
       c.constraintsAdd.foreach(_.foreach { case (k, e) =>
@@ -402,7 +424,8 @@ object TxLog {
     Snapshot(target, files.values.toSeq, schemaDDL, statsCols,
       if (txns.isEmpty) None else Some(txns.toMap), partitionCols,
       if (constraints.isEmpty) None else Some(constraints.toMap),
-      if (minReader <= 1) None else Some(minReader))
+      if (minReader <= 1) None else Some(minReader),
+      columnMap.filter(_.nonEmpty), retiredPhys.filter(_.nonEmpty))
   }
 
   /** Raw commit `v` (for audits / change inspection). */
@@ -419,9 +442,14 @@ object TxLog {
   def describeDetail(spark: SparkSession, table: String): DataFrame = {
     import spark.implicits._
     val s = snapshot(spark, table)
+    // stats/partition columns are stored PHYSICAL; surface the logical
+    // names a user knows (reverse column map; an unmapped physical —
+    // e.g. a dropped stats column's — shows as itself)
+    val rev = s.columnMap.getOrElse(Map.empty).map(_.swap)
+    def logicalOf(ph: String) = rev.getOrElse(ph, ph)
     Seq((s.version, s.files.size.toLong, s.files.map(_.rows).sum,
-      s.statsCols.mkString(","),
-      s.partitionCols.getOrElse(Seq.empty).mkString(","),
+      s.statsCols.map(logicalOf).mkString(","),
+      s.partitionCols.getOrElse(Seq.empty).map(logicalOf).mkString(","),
       s.checkConstraints.keys.toSeq.sorted.mkString(",")))
       .toDF("version", "num_files", "num_rows", "stats_cols",
         "partition_cols", "constraints")

@@ -1,0 +1,188 @@
+package graft.tables
+
+import graft.SparkTestSession
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Column mapping (protocol 3): RENAME/DROP COLUMN as metadata
+  * commits — logical→physical name indirection in the log, no file
+  * rewritten. Pins the four hazards the design exists for: reads
+  * round-trip the new name, time travel below the change restores the
+  * old schema, zone-map pruning survives a stats/partition-column
+  * rename, and a dropped-then-readded column can never resurrect old
+  * values.
+  */
+class ColumnMappingSpec extends AnyFunSuite {
+
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def withTable(f: String => Unit): Unit = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cmap_").toFile
+    try f(dir.getAbsolutePath + "/t")
+    finally rmrf(dir)
+  }
+  private def rmrf(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(rmrf)
+    f.delete(); ()
+  }
+  private def base(n: Int, parts: Int): DataFrame =
+    spark.range(n).select(col("id").as("k"),
+        (col("id") * 7 % 100).as("v"),
+        concat(lit("row"), col("id")).as("s"))
+      .repartitionByRange(parts, col("k"))
+
+  test("rename: metadata-only, reads round-trip, time travel below, " +
+      "writes keep flowing, restore rolls the name back") {
+    withTable { t =>
+      CowTable.create(spark, t, base(100, 2), Seq("k"))          // v1
+      val filesBefore = TxLog.snapshot(spark, t).files.map(_.path).toSet
+      CowTable.renameColumn(spark, t, "v", "amount")             // v2
+      // metadata commit: zero files moved
+      assert(TxLog.snapshot(spark, t).files.map(_.path).toSet ===
+        filesBefore)
+      assert(TxLog.snapshot(spark, t).minReader === Some(3))
+      // head reads surface the new name with the old values
+      val head = CowTable.read(spark, t)
+      assert(head.columns.toSeq === Seq("k", "amount", "s"))
+      assert(head.filter(col("k") === 10L).select("amount")
+        .head().getLong(0) === 70L)
+      // time travel BELOW the rename: the old name
+      assert(CowTable.read(spark, t, Some(1L)).columns.toSeq ===
+        Seq("k", "v", "s"))
+      // writes flow under the new name; both epochs read as ONE column
+      CowTable.append(spark, t, Seq((200L, 7777L, "late"))
+        .toDF("k", "amount", "s"))                               // v3
+      assert(CowTable.read(spark, t).filter(col("amount") === 7777L)
+        .count() === 1L)
+      // the change feed speaks each commit's own schema
+      assert(CowTable.changesAt(spark, t, 3).columns.toSeq ===
+        Seq("k", "amount", "s"))
+      // restore below the rename rolls the NAME back with the schema
+      CowTable.restore(spark, t, 1L)                             // v4
+      assert(CowTable.read(spark, t).columns.toSeq === Seq("k", "v", "s"))
+    }
+  }
+
+  test("renamed merge key keeps zone-map pruning (stats stay physical)") {
+    withTable { t =>
+      CowTable.create(spark, t, base(1000, 8), Seq("k"))
+      CowTable.renameColumn(spark, t, "k", "key_id")
+      val m = CowTable.merge(spark, t,
+        Seq((5L, 777L, "upd")).toDF("key_id", "v", "s"), Seq("key_id"))
+      assert(m.candidateFiles <= 2, s"pruning lost under rename: $m")
+      assert(m.touchedFiles === 1L)
+      assert(CowTable.read(spark, t).filter(col("key_id") === 5L)
+        .select("v").head().getLong(0) === 777L)
+      // predicate DML prunes through the map too
+      val d = CowTable.deleteWhere(spark, t, col("key_id") >= 990L)
+      assert(d.candidateFiles <= 2, s"predicate pruning lost: $d")
+      assert(CowTable.read(spark, t).count() === 990L)
+    }
+  }
+
+  test("partition-column rename: hive dirs stay physical, reads and " +
+      "partition pruning keep working") {
+    withTable { t =>
+      val df = spark.range(100).select(col("id").as("k"),
+        (col("id") % 4).cast("string").as("b"))
+      CowTable.create(spark, t, df, Seq("k"), partitionBy = Seq("b"))
+      CowTable.renameColumn(spark, t, "b", "bucket")
+      assert(CowTable.read(spark, t).columns.toSeq === Seq("k", "bucket"))
+      assert(CowTable.read(spark, t).filter(col("bucket") === "2")
+        .count() === 25L)
+      // new writes land under the OLD physical dir name and read back
+      CowTable.append(spark, t, Seq((500L, "2")).toDF("k", "bucket"))
+      assert(CowTable.read(spark, t).filter(col("bucket") === "2")
+        .count() === 26L)
+      val pruned = CowTable.readOverlapping(spark, t, "bucket", "3", "3")
+      assert(pruned.count() === 25L)
+      // dropping a partition column is refused (values live in dirs)
+      val e = intercept[IllegalArgumentException] {
+        CowTable.dropColumn(spark, t, "bucket")
+      }
+      assert(e.getMessage.contains("partition column"), e.getMessage)
+    }
+  }
+
+  test("drop + re-add: old values can never resurrect (fresh physical " +
+      "name); time travel below the drop still reads them") {
+    withTable { t =>
+      CowTable.create(spark, t, base(50, 1), Seq("k"))           // v1
+      CowTable.dropColumn(spark, t, "v")                         // v2
+      assert(CowTable.read(spark, t).columns.toSeq === Seq("k", "s"))
+      assert(TxLog.snapshot(spark, t).retiredPhys === Some(Seq("v")))
+      // time travel below the drop: the column and its values are back
+      assert(CowTable.read(spark, t, Some(1L))
+        .filter(col("k") === 10L).select("v").head().getLong(0) === 70L)
+      // re-add the SAME logical name via schema evolution
+      CowTable.append(spark, t,
+        Seq((500L, "new", 123L)).toDF("k", "s", "v"),
+        mergeSchema = true)                                      // v3
+      val head = CowTable.read(spark, t)
+      assert(head.columns.toSeq === Seq("k", "s", "v"))
+      // the new column is bound to a FRESH physical name...
+      val snap = TxLog.snapshot(spark, t)
+      assert(snap.physName("v") !== "v")
+      // ...so pre-drop rows surface NULL, never the old bytes
+      assert(head.filter(col("k") === 10L).select("v").head().isNullAt(0))
+      assert(head.filter(col("k") === 500L).select("v")
+        .head().getLong(0) === 123L)
+      // and a merge on the re-added table round-trips it
+      CowTable.merge(spark, t,
+        Seq((500L, "new", 456L)).toDF("k", "s", "v"), Seq("k"))
+      assert(CowTable.read(spark, t).filter(col("k") === 500L)
+        .select("v").head().getLong(0) === 456L)
+    }
+  }
+
+  test("rename/drop guard rails: existing name, missing column, " +
+      "constraint references") {
+    withTable { t =>
+      CowTable.create(spark, t, base(20, 1), Seq("k"))
+      intercept[IllegalArgumentException] {
+        CowTable.renameColumn(spark, t, "v", "s") // exists
+      }
+      intercept[IllegalArgumentException] {
+        CowTable.renameColumn(spark, t, "nope", "x")
+      }
+      CowTable.addConstraint(spark, t, "v_nonneg", "v >= 0")
+      val e = intercept[IllegalArgumentException] {
+        CowTable.renameColumn(spark, t, "v", "amount")
+      }
+      assert(e.getMessage.contains("v_nonneg"), e.getMessage)
+      val e2 = intercept[IllegalArgumentException] {
+        CowTable.dropColumn(spark, t, "v")
+      }
+      assert(e2.getMessage.contains("v_nonneg"), e2.getMessage)
+      // after dropping the constraint both proceed; a constraint on an
+      // UNTOUCHED column survives a rename fine
+      CowTable.dropConstraint(spark, t, "v_nonneg")
+      CowTable.addConstraint(spark, t, "k_nonneg", "k >= 0")
+      CowTable.renameColumn(spark, t, "v", "amount")
+      // the carried constraint still enforces on writes
+      intercept[RuntimeException] {
+        CowTable.append(spark, t, Seq((-1L, 1L, "bad"))
+          .toDF("k", "amount", "s"))
+      }
+    }
+  }
+
+  test("clone carries the column map; describeDetail speaks logical") {
+    withTable { t =>
+      val cl = t + "_clone"
+      CowTable.create(spark, t, base(100, 2), Seq("k"))
+      CowTable.renameColumn(spark, t, "k", "key_id")
+      CowTable.shallowClone(spark, t, cl)
+      assert(CowTable.read(spark, cl).columns.toSeq ===
+        Seq("key_id", "v", "s"))
+      // clone-side merge prunes + rewrites through the inherited map
+      val m = CowTable.merge(spark, cl,
+        Seq((5L, 1L, "x")).toDF("key_id", "v", "s"), Seq("key_id"))
+      assert(m.candidateFiles <= 1, s"clone pruning lost: $m")
+      val d = TxLog.describeDetail(spark, t).head()
+      assert(d.getAs[String]("stats_cols") === "key_id")
+    }
+  }
+}
