@@ -1017,6 +1017,52 @@ object TextQueries {
        |WHERE rank <= $Bm25K ORDER BY q_id, rank""".stripMargin
   }
 
+  /** The keyword-retrieval lifecycle over the TRANSACTIONAL
+    * table-backed index ([[graft.text.Bm25Table]] — the exactly-once
+    * form of the catalog index, whose aggregate folds double-count on
+    * a replayed micro-batch): a seed corpus indexes at create, the
+    * rest arrives through a CowTable change feed whose micro-batches
+    * fold under Txn stamps (df/doclen/stats as keyed merges, postings
+    * as stamped appends), and serving plans the postings scan off the
+    * manifest (term zone maps, [[graft.tables.CowTable.readMatchingAny]]).
+    * All index state is integers, so fold-then-serve ≡
+    * index-the-union EXACTLY — the oracle is [[textBm25Sql]] VERBATIM,
+    * pinning the whole transactional machinery as contents-invisible
+    * for clean runs (replay/crash behavior is spec-pinned:
+    * Bm25TableSpec).
+    */
+  def pipelineFeedKeyword(spark: SparkSession, dir: String): DataFrame = {
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_cow/" +
+      s"${new java.io.File(dir).getName}"
+    val raw = s"$root/fkw_src"
+    val idx = s"$root/fkw_idx"
+    val ckpt = s"$root/fkw_ckpt"
+    Seq(raw, idx, ckpt).foreach { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = graft.tables.TxLog.fs(spark, p)
+      if (fs.exists(hp)) { fs.delete(hp, true); () }
+    }
+    val docs = Tables.loadSpread(spark, dir, "documents")
+      .select("doc_id", "text")
+    val seedCut = col("doc_id") % 3 =!= 2
+    graft.tables.CowTable.create(spark, raw, docs.filter(seedCut),
+      Seq("doc_id"))
+    graft.text.Bm25Table.create(spark, idx,
+      graft.tables.CowTable.read(spark, raw, Some(1L)), "doc_id", "text")
+    graft.tables.CowTable.append(spark, raw, docs.filter(!seedCut))
+    val feed = graft.streaming.TableChangeFeed
+      .readChanges(spark, raw, startingVersion = 2L)
+      .select("doc_id", "text")
+    val q = graft.streaming.IndexIngestStream
+      .maintainTable(feed, "doc_id", "text", idx)
+      .option("checkpointLocation", ckpt).start()
+    try { q.processAllAvailable() } finally q.stop()
+    graft.text.Bm25Table.topDocs(spark, idx,
+        Bm25.rankedQueryTerms(docs, "doc_id", "text", Bm25FirstRank,
+          Bm25Queries), Bm25K)
+      .orderBy("q_id", "rank")
+  }
+
   // ------------------------------------------------------------ normalize
 
   /** Canonical normalized text + dedup key per document (case /
@@ -1696,6 +1742,7 @@ object TextQueries {
     "text_excise" -> (textExcise(_, _)),
     "text_tfidf" -> (textTfidf(_, _)),
     "text_bm25" -> (textBm25(_, _)),
+    "pipeline_feed_keyword" -> (pipelineFeedKeyword(_, _)),
     "text_normalize" -> (textNormalize(_, _)),
     "text_pack" -> (textPack(_, _)),
     "text_pack_stats" -> (textPackStats(_, _)))
@@ -1742,6 +1789,7 @@ object TextQueries {
     "text_excise" -> textExciseSql,
     "text_tfidf" -> textTfidfSql,
     "text_bm25" -> textBm25Sql,
+    "pipeline_feed_keyword" -> textBm25Sql,
     "text_normalize" -> textNormalizeSql,
     "text_pack" -> textPackSql,
     "text_pack_stats" -> textPackStatsSql)

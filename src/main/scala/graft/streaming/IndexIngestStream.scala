@@ -34,4 +34,25 @@ object IndexIngestStream {
         onBatch(batchId)
       }
     }
+
+  /** EXACTLY-ONCE variant over the transactional table-backed index
+    * ([[graft.text.Bm25Table]]): each micro-batch folds under a
+    * `Txn(appId, batchId)` stamp, so a sink retry or a replay from an
+    * old checkpoint no-ops instead of double-counting df/doclen/stats
+    * — the delivery gap of the catalog form (its own scaladoc names
+    * it: aggregate appends can't be made idempotent by a stamp alone),
+    * closed the same way [[AnnIngestStream.maintainTable]] closed the
+    * ANN side.
+    */
+  def maintainTable(docs: DataFrame, idCol: String, textCol: String,
+      root: String,
+      appId: String = "bm25-table-ingest"): DataStreamWriter[Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      if (!batch.isEmpty) {
+        graft.text.Bm25Table.fold(batch.sparkSession, root, batch,
+          idCol, textCol,
+          txn = Some(graft.tables.TxLog.Txn(appId, batchId)))
+        batch.sparkSession.catalog.clearCache()
+      }
+    }
 }

@@ -190,6 +190,26 @@ object CowTable {
       _.stats.get(snap.physName(column)).forall(_.mayOverlap(lo, hi))))
   }
 
+  /** Point-SET pruned read: only the files whose zone map on `column`
+    * may contain AT LEAST ONE of `values` (string-encoded,
+    * [[TxLog.ColStats]] comparison rules) — the IN-list sibling of
+    * [[readOverlapping]], and the manifest-level scan an inverted
+    * index serves queries from: a handful of query terms against a
+    * term-clustered postings table plans O(covering files), each file
+    * exactly once (per-value readOverlapping unions would read a file
+    * covering two values twice and double its rows). File-granular
+    * like readOverlapping: rows outside the set can appear (callers
+    * filter/join); rows inside it cannot be missed.
+    */
+  def readMatchingAny(spark: SparkSession, path: String, column: String,
+      values: Seq[String],
+      asOfVersion: Option[Long] = None): DataFrame = {
+    val snap = TxLog.snapshot(spark, path, asOfVersion)
+    val ph = snap.physName(column)
+    readFiles(spark, path, snap, snap.files.filter(f =>
+      f.stats.get(ph).forall(s => values.exists(v => s.mayContain(v)))))
+  }
+
   /** Add a CHECK constraint: `exprSql` must not evaluate FALSE for any
     * row (SQL CHECK semantics — NULL passes), validated against the
     * EXISTING table before the constraint commits, then enforced on

@@ -133,6 +133,19 @@ object Bm25 {
         (col("score_q") / lit(ScoreScale)).as("score"))
   }
 
+  /** The scoring tail over externally-supplied index frames — the
+    * public face [[Bm25Table]] serves through (same bit-reproducible
+    * arithmetic as every other entry point): `perDocTerm` =
+    * (doc_id, term, tf) postings (may be file-pruned to the query
+    * terms — extra terms are harmless, the qdf join cuts them), `qdf`
+    * = query terms WITH their df, `dl` = (doc_id, dl), `stats` = the
+    * 1-row (n_docs, avgdl) frame.
+    */
+  def scoreIndexed(perDocTerm: DataFrame, qdf: DataFrame, dl: DataFrame,
+      stats: DataFrame, k: Int, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame =
+    score(perDocTerm, qdf, dl, stats, k, k1, b)
+
   /** Persist the retrieval model as catalog tables — the inverted
     * index a recurring query workload reads instead of re-tokenizing
     * the corpus per batch (the postings aggregate IS the expensive

@@ -1,0 +1,157 @@
+package graft.text
+
+import graft.tables.{CowTable, TxLog}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The BM25 inverted index backed by transactional [[CowTable]]s —
+  * the EXACTLY-ONCE form of [[Bm25.writeIndex]]'s catalog tables,
+  * closing the at-least-once gap [[Bm25.appendToIndex]] documents: its
+  * df/doclen AGGREGATE folds double-count on a replayed micro-batch (a
+  * Txn stamp alone can't make a blind aggregate append idempotent the
+  * way the ANN table's coded appends are), so a checkpoint-recovered
+  * ingest stream silently inflated term rarities. Here every per-batch
+  * fold is a stamped CowTable operation — blind appends for the
+  * postings/doclen rows, keyed replace-MERGEs for the df and corpus
+  * stats — and a replay no-ops table by table.
+  *
+  * Layout under one root, four tables:
+  * {{{
+  *   <root>/postings  (term, doc_id, tf)   stats: term   ← scoring join
+  *   <root>/dl        (doc_id, dl)         stats: doc_id
+  *   <root>/df        (term, df)           stats: term   ← merge-folded
+  *   <root>/stats     (sid, n_docs, total_tokens)        ← merge-folded
+  * }}}
+  *
+  * '''Crash consistency across the four tables''' (the Y30 screen-order
+  * argument, per-table stamps + deterministic batches): the fold
+  * applies dl → df → stats → postings, all under ONE `Txn(app, batch)`
+  * stamp. A crash mid-fold leaves a prefix applied; the replay re-runs
+  * all four and each already-applied table no-ops individually, so the
+  * batch HEALS to exactly-once. The order makes the half-applied
+  * window harmless for serving: scoring is postings ⋈ df ⋈ dl, so
+  * until the postings land last nothing of the batch scores — the df/
+  * stats updates only make standing terms momentarily see the future
+  * corpus size (staleness, never wrongness).
+  *
+  * '''Serving at scale''': postings are range-clustered by term at
+  * create, so [[topDocs]] plans the postings scan off the manifest
+  * with [[CowTable.readMatchingAny]] — a handful of query terms reads
+  * O(covering files) of a 100 TB postings table, each file once,
+  * before any parquet footer opens. df is vocabulary-scale (its scan
+  * prunes the same way), dl joins on doc_id after the term join has
+  * already cut the row set, and the 1-row stats frame broadcasts.
+  *
+  * Scores are [[Bm25]]'s bit-reproducible form verbatim (rational idf,
+  * fixed-point sums), and all index state is integers, so
+  * fold-then-serve ≡ index-the-union EXACTLY — the property the
+  * `pipeline_feed_keyword` oracle pins end to end.
+  */
+object Bm25Table {
+
+  private def pPostings(root: String) = s"$root/postings"
+  private def pDl(root: String) = s"$root/dl"
+  private def pDf(root: String) = s"$root/df"
+  private def pStats(root: String) = s"$root/stats"
+
+  /** Build the index tables from the seed corpus (one tokenize pass;
+    * postings range-clustered by term for the serving-side manifest
+    * prune).
+    */
+  def create(spark: SparkSession, root: String, docs: DataFrame,
+      idCol: String, textCol: String, postingFiles: Int = 8): Unit = {
+    val pdt = postings(docs, idCol, textCol).persist()
+    CowTable.create(spark, pPostings(root),
+      pdt.repartitionByRange(postingFiles, col("term"))
+        .sortWithinPartitions("term"),
+      Seq("term"))
+    CowTable.create(spark, pDl(root),
+      pdt.groupBy("doc_id").agg(sum("tf").as("dl")), Seq("doc_id"))
+    CowTable.create(spark, pDf(root),
+      pdt.groupBy("term").agg(count(lit(1)).as("df")), Seq("term"))
+    CowTable.create(spark, pStats(root),
+      docs.agg(count(lit(1)).as("n_docs"))
+        .crossJoin(pdt.agg(coalesce(sum("tf"), lit(0L))
+          .as("total_tokens")))
+        .select(lit(0L).as("sid"), col("n_docs"), col("total_tokens")),
+      Seq("sid"))
+    pdt.unpersist(blocking = false)
+    ()
+  }
+
+  /** Fold one batch of NEW documents (ids disjoint from the corpus —
+    * the same contract as every incremental index in the engine) into
+    * the four tables, exactly-once under `txn`: a replayed batch
+    * no-ops instead of double-counting df/doclen/stats. Apply order
+    * dl → df → stats → postings (see the object doc).
+    */
+  def fold(spark: SparkSession, root: String, batch: DataFrame,
+      idCol: String, textCol: String,
+      txn: Option[TxLog.Txn] = None): Unit = {
+    val pdt = postings(batch, idCol, textCol).persist()
+    try {
+      CowTable.append(spark, pDl(root),
+        pdt.groupBy("doc_id").agg(sum("tf").as("dl")), txn = txn)
+      // df: a keyed AGGREGATE fold — read the touched terms' current
+      // counts (manifest-pruned to the batch's term RANGE, then a
+      // semi-join cut to exactly the touched terms — the AggTable
+      // discipline), combine, and replace-merge under the stamp.
+      // O(batch vocabulary) work against a term-clustered df table.
+      val deltaDf = pdt.groupBy("term").agg(count(lit(1)).as("df"))
+        .persist()
+      val terms = deltaDf.select("term")
+      val bounds = deltaDf.agg(min("term"), max("term")).collect()(0)
+      val curDf =
+        (if (bounds.isNullAt(0))
+          CowTable.read(spark, pDf(root)).limit(0)
+        else CowTable.readOverlapping(spark, pDf(root), "term",
+          bounds.getString(0), bounds.getString(1)))
+          .join(terms, Seq("term"), "left_semi")
+      val folded = curDf.select(col("term"), col("df"))
+        .unionByName(deltaDf)
+        .groupBy("term").agg(sum("df").as("df"))
+      CowTable.merge(spark, pDf(root), folded, Seq("term"),
+        checkUniqueKeys = false, txn = txn)
+      deltaDf.unpersist(blocking = false)
+      // corpus stats: 1-row keyed merge, integer adds
+      val delta = batch.agg(count(lit(1)).as("_bn"))
+        .crossJoin(pdt.agg(coalesce(sum("tf"), lit(0L)).as("_bt")))
+      val newStats = CowTable.read(spark, pStats(root))
+        .crossJoin(broadcast(delta))
+        .select(col("sid"), (col("n_docs") + col("_bn")).as("n_docs"),
+          (col("total_tokens") + col("_bt")).as("total_tokens"))
+      CowTable.merge(spark, pStats(root), newStats, Seq("sid"),
+        checkUniqueKeys = false, txn = txn)
+      // postings last: nothing of the batch scores until this lands
+      CowTable.append(spark, pPostings(root),
+        pdt.select("term", "doc_id", "tf"), txn = txn)
+    } finally { pdt.unpersist(blocking = false); () }
+  }
+
+  /** Top-k docs per query against the table-backed index: the postings
+    * scan plans ONLY the files whose term zone maps may hold a query
+    * term ([[CowTable.readMatchingAny]] — the query-term list is
+    * driver-side small by definition), df prunes the same way, and the
+    * scoring tail is [[Bm25]]'s bit-reproducible form verbatim.
+    */
+  def topDocs(spark: SparkSession, root: String, queryTerms: DataFrame,
+      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val terms = queryTerms.select("term").distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    val posts = CowTable.readMatchingAny(spark, pPostings(root), "term",
+      terms)
+    val dfT = CowTable.readMatchingAny(spark, pDf(root), "term", terms)
+    val statsRow = CowTable.read(spark, pStats(root))
+      .select(col("n_docs"),
+        (col("total_tokens").cast("double") / col("n_docs")).as("avgdl"))
+    Bm25.scoreIndexed(posts, queryTerms.join(dfT, "term"),
+      CowTable.read(spark, pDl(root)), statsRow, k, k1, b)
+  }
+
+  private def postings(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(TextFeatures.words(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+}
