@@ -30,7 +30,7 @@ object Stress {
         "bpe", "bm25", "knngraph", "cms", "ssjoin", "classifier",
         "ntile", "novelty", "semantic1m", "ivfpq4096", "gram", "trend",
         "mmr", "symdel", "linkpred", "binquant1m", "hardmine1m",
-        "coldcatalog", "hotband", "cowtable")
+        "coldcatalog", "hotband", "cowtable", "txlog100k")
     val spark = Sessions.local("32")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -1983,6 +1983,68 @@ object Stress {
         require(kept >= waveTotal / 8,
           s"the reversed wave must mostly keep: kept=$kept of $waveTotal")
         kept
+      }
+      if (rfs.exists(rootP)) { rfs.delete(rootP, true); () }
+    }
+
+    if (which("txlog100k")) {
+      // The 100 TB metadata claim, measured: a log holding 100k
+      // manifest entries (the ~1 GB-file count at 100 TB) must open in
+      // driver-tolerable time. Synthetic commits (the fold never
+      // touches data files) build 50 × 2,000-add commits; the interval
+      // checkpoints land as PARQUET sidecars (entries ≫ threshold),
+      // and the fold is timed against the inline-JSON form of the SAME
+      // log for the comparison the round-14 plan asked to report.
+      import tables.TxLog
+      import tables.TxLog.{AddFile, ColStats, Commit}
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_stress_txlog"
+      val rootP = new org.apache.hadoop.fs.Path(root)
+      val rfs = TxLog.fs(spark, root)
+      def build(t: String): Unit = {
+        var v = 0L
+        (0 until 50).foreach { c =>
+          val adds = (0 until 2000).map { j =>
+            val lo = (c * 2000L + j) * 1000L
+            AddFile(f"data/op$c%03d/part-$j%05d.parquet", 1000L,
+              Map("k" -> ColStats("long", lo.toString,
+                (lo + 999).toString, Some(false))))
+          }
+          v += 1
+          require(TxLog.tryCommit(spark, t, Commit(v,
+            if (v == 1) "create" else "append", adds, Seq.empty,
+            if (v == 1) Some("k BIGINT,v BIGINT") else None,
+            if (v == 1) Some(Seq("k")) else None)), s"commit $v lost")
+        }
+      }
+      def foldTimed(t: String, label: String): Long = {
+        val reps = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          val s = TxLog.snapshot(spark, t)
+          require(s.files.size == 100000, s"fold lost files: ${s.files.size}")
+          (System.nanoTime() - t0) / 1e6
+        }
+        println(f"STRESS $label: min ${reps.min}%.0f ms over 3 folds " +
+          "(100,000 manifest entries)")
+        100000L
+      }
+      if (rfs.exists(rootP)) { rfs.delete(rootP, true); () }
+      timedWarm("txlogbuild") { build(s"$root/tp"); 100000L }
+      timedWarm("txlogfoldpq") { foldTimed(s"$root/tp", "txlog parquet-ckpt fold") }
+      // inline-JSON comparison: same log shape, threshold forced high
+      sys.props("graft.txlog.parquetCheckpointThreshold") = "10000000"
+      try {
+        timedWarm("txlogbuildjs") { build(s"$root/tj"); 100000L }
+        timedWarm("txlogfoldjs") { foldTimed(s"$root/tj", "txlog json-ckpt fold") }
+      } finally {
+        sys.props.remove("graft.txlog.parquetCheckpointThreshold"); ()
+      }
+      // a zone-map probe over the folded manifest stays sharp at 100k
+      timedWarm("txlogprune") {
+        val s = TxLog.snapshot(spark, s"$root/tp")
+        val hit = s.files.count(_.stats.get("k")
+          .forall(_.mayOverlap("50000000", "50009999")))
+        require(hit <= 12, s"prune kept $hit of 100k files")
+        hit.toLong
       }
       if (rfs.exists(rootP)) { rfs.delete(rootP, true); () }
     }

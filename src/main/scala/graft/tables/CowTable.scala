@@ -961,10 +961,18 @@ object CowTable {
       try { if (f.exists(logDir)) f.listStatus(logDir).toSeq else Seq.empty }
       catch { case _: java.io.IOException => Seq.empty }
     logTmp.foreach { st =>
-      if (st.isFile && st.getPath.getName.startsWith(".") &&
+      if (st.getPath.getName.startsWith(".") &&
           st.getModificationTime <= horizon) {
-        try { f.delete(st.getPath, false); () }
-        catch { case _: java.io.IOException => () }
+        // files: commit temps / staged checkpoints. Directories: a
+        // crashed parquet-checkpoint stage (.ckptp-*) — gate on the
+        // NEWEST file inside, like the data staging sweep.
+        val reclaim = st.isFile ||
+          (st.getModificationTime +: walk(st.getPath)
+            .map(_.getModificationTime)).max <= horizon
+        if (reclaim) {
+          try { f.delete(st.getPath, st.isDirectory); () }
+          catch { case _: java.io.IOException => () }
+        }
       }
     }
     deleted.toSeq

@@ -51,6 +51,21 @@ object TxLog {
   val LogDir = "_txlog"
   val CheckpointInterval = 20
 
+  /** Above this live-file count a checkpoint's manifest entries are
+    * written as a PARQUET sidecar instead of inline JSON (the
+    * checkpoint JSON then carries only the table-level state plus a
+    * `filesRef` pointer). At 100 TB small-file counts (~1e5 entries) a
+    * driver-side JSON parse of the full manifest becomes the
+    * table-open bottleneck; the parquet form decodes in bulk, is
+    * directly readable as a DataFrame ([[filesAsDf]] — distributed
+    * manifest consumers never touch the driver fold), and compresses
+    * the repetitive stats encoding. Below the threshold the inline
+    * JSON form is simpler and has no executor dependency.
+    */
+  def ParquetCheckpointThreshold: Int =
+    sys.props.get("graft.txlog.parquetCheckpointThreshold")
+      .map(_.toInt).getOrElse(5000)
+
   /** One data file in the manifest. `path` is RELATIVE to the table
     * root so the table directory can be relocated wholesale. Zone maps
     * (`stats`) cover the table's declared stats columns; min/max are
@@ -337,9 +352,29 @@ object TxLog {
       // identical content would be harmless anyway.
       try {
         val snap = snapshot(spark, table, Some(commit.version))
+        val doc =
+          if (snap.files.size < ParquetCheckpointThreshold)
+            Serialization.write(snap)
+          else {
+            // big manifest: entries go to a parquet sidecar, published
+            // atomically (stage dir + rename) BEFORE the JSON that
+            // references it — a reader never sees a dangling ref
+            val refName = f"${commit.version}%020d.checkpoint.files.parquet"
+            val stageDir = new Path(logPath(table),
+              s".ckptp-${java.util.UUID.randomUUID()}")
+            writeFilesParquet(spark, stageDir.toString, snap.files)
+            val dst = new Path(logPath(table), refName)
+            if (!f.rename(stageDir, dst)) f.delete(stageDir, true)
+            val slim = snap.copy(files = Seq.empty)
+            // json4s writes the case class; splice the ref field in
+            import org.json4s.JsonDSL._
+            JsonMethods.compact(JsonMethods.render(
+              Extraction.decompose(slim).asInstanceOf[JObject] ~
+                ("filesRef" -> refName)))
+          }
         val stage = new Path(logPath(table),
           s".ckpt-${java.util.UUID.randomUUID()}-${commit.version}.tmp")
-        writeString(f, stage, Serialization.write(snap))
+        writeString(f, stage, doc)
         if (!f.rename(stage, checkpointPath(table, commit.version)))
           f.delete(stage, false)
         ()
@@ -371,8 +406,18 @@ object TxLog {
     // are the truth.
     val (base: Snapshot, ckptV: Long) =
       if (ckptV0 == 0) (Snapshot(0L, Seq.empty, "", Seq.empty), 0L)
-      else try (Serialization.read[Snapshot](
-        readString(f, checkpointPath(table, ckptV0))), ckptV0)
+      else try {
+        val jv = JsonMethods.parse(readString(f, checkpointPath(table, ckptV0)))
+        val snap0 = jv.extract[Snapshot]
+        val snap = (jv \ "filesRef") match {
+          case JString(ref) =>
+            // parquet-sidecar form: bulk-decode the manifest entries
+            snap0.copy(files = readFilesParquet(spark,
+              new Path(logPath(table), ref).toString))
+          case _ => snap0
+        }
+        (snap, ckptV0)
+      }
       catch { case scala.util.control.NonFatal(_) =>
         (Snapshot(0L, Seq.empty, "", Seq.empty), 0L) }
 
@@ -426,6 +471,56 @@ object TxLog {
       if (constraints.isEmpty) None else Some(constraints.toMap),
       if (minReader <= 1) None else Some(minReader),
       columnMap.filter(_.nonEmpty), retiredPhys.filter(_.nonEmpty))
+  }
+
+  private val FilesParquetSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "path STRING, rows BIGINT, " +
+      "stats MAP<STRING, STRUCT<kind: STRING, min: STRING, max: STRING, " +
+      "nulls: BOOLEAN>>")
+
+  private def writeFilesParquet(spark: SparkSession, dir: String,
+      files: Seq[AddFile]): Unit = {
+    import org.apache.spark.sql.Row
+    val rows = files.map(a => Row(a.path, a.rows,
+      a.stats.map { case (c, s) =>
+        c -> Row(s.kind, s.min, s.max, s.nulls.orNull)
+      }))
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), FilesParquetSchema)
+      .write.mode("overwrite").parquet(dir)
+  }
+
+  private def readFilesParquet(spark: SparkSession,
+      dir: String): Seq[AddFile] =
+    spark.read.schema(FilesParquetSchema).parquet(dir).collect()
+      .map { r =>
+        val stats = r.getMap[String, org.apache.spark.sql.Row](2)
+        AddFile(r.getString(0), r.getLong(1),
+          stats.map { case (c, s) =>
+            c -> ColStats(s.getString(0), s.getString(1), s.getString(2),
+              if (s.isNullAt(3)) None else Some(s.getBoolean(3)))
+          }.toMap)
+      }.toSeq
+
+  /** The live manifest at `asOf` as a DATAFRAME — (path, rows, stats)
+    * with the zone maps as a map column — for distributed manifest
+    * consumers (file-level audits, reconciliation joins, maintenance
+    * analytics over millions of entries) that should never funnel
+    * through a driver-side Seq. The fold itself still runs driver-side
+    * (it is a hash-map pass over metadata); this surfaces its RESULT
+    * to executors.
+    */
+  def filesAsDf(spark: SparkSession, table: String,
+      asOf: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.Row
+    val snap = snapshot(spark, table, asOf)
+    val rows = snap.files.map(a => Row(a.path, a.rows,
+      a.stats.map { case (c, s) =>
+        c -> Row(s.kind, s.min, s.max, s.nulls.orNull)
+      }))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows,
+        math.max(1, rows.size / 65536)), FilesParquetSchema)
   }
 
   /** Raw commit `v` (for audits / change inspection). */

@@ -1,0 +1,103 @@
+package graft.tables
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Parquet-sidecar checkpoints (round 14): above a file-count
+  * threshold, the checkpoint's manifest entries publish as a parquet
+  * dir the JSON references — bulk-decoded at fold time, and directly
+  * readable as a DataFrame. Pins the round trip (contents, zone maps,
+  * pruning), the DataFrame manifest face, and the fallback contract.
+  */
+class TxLogCheckpointSpec extends AnyFunSuite {
+
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def withThreshold[A](n: Int)(f: => A): A = {
+    sys.props("graft.txlog.parquetCheckpointThreshold") = n.toString
+    try f finally {
+      sys.props.remove("graft.txlog.parquetCheckpointThreshold"); ()
+    }
+  }
+  private def withDir(f: String => Unit): Unit = {
+    val d = java.nio.file.Files.createTempDirectory("graft_ckpt_").toFile
+    try f(d.getAbsolutePath + "/t") finally rmrf(d)
+  }
+  private def rmrf(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(rmrf)
+    f.delete(); ()
+  }
+
+  test("parquet checkpoint round trip: fold, zone maps, pruning") {
+    withThreshold(3) {
+      withDir { t =>
+        CowTable.create(spark,
+          t, spark.range(1000).select(col("id").as("k"),
+            (col("id") % 7).as("v"))
+            .repartitionByRange(8, col("k")), Seq("k"))
+        // push past the interval so a checkpoint lands (8 files > 3)
+        (1 to TxLog.CheckpointInterval).foreach { i =>
+          CowTable.append(spark, t,
+            Seq((10000L + i, 1L)).toDF("k", "v"))
+        }
+        val logDir = new java.io.File(t, TxLog.LogDir)
+        val ckpts = logDir.list().filter(_.endsWith(".checkpoint.json"))
+        assert(ckpts.nonEmpty)
+        assert(logDir.list().exists(_.endsWith(".checkpoint.files.parquet")),
+          s"no parquet sidecar in ${logDir.list().toSeq}")
+        val doc = new String(java.nio.file.Files.readAllBytes(
+          new java.io.File(logDir, ckpts.max).toPath), "UTF-8")
+        assert(doc.contains("filesRef"), doc.take(200))
+        assert(!doc.contains("\"stats\""),
+          "slim checkpoint must not inline manifest entries")
+
+        // the fold from the sidecar: contents + zone maps intact
+        val snap = TxLog.snapshot(spark, t)
+        assert(snap.files.map(_.rows).sum === 1000L +
+          TxLog.CheckpointInterval)
+        assert(CowTable.read(spark, t).count() === 1000L +
+          TxLog.CheckpointInterval)
+        // stats survived the parquet round trip: pruning still sharp
+        val m = CowTable.merge(spark, t, Seq((5L, 99L)).toDF("k", "v"),
+          Seq("k"), checkUniqueKeys = false)
+        assert(m.candidateFiles <= 2,
+          s"zone maps lost through the parquet checkpoint: $m")
+        assert(CowTable.read(spark, t).filter(col("k") === 5L)
+          .select("v").head().getLong(0) === 99L)
+      }
+    }
+  }
+
+  test("filesAsDf surfaces the manifest as a DataFrame") {
+    withDir { t =>
+      CowTable.create(spark, t,
+        spark.range(100).select(col("id").as("k"), (col("id") % 3).as("v"))
+          .repartitionByRange(4, col("k")), Seq("k"))
+      val df = TxLog.filesAsDf(spark, t)
+      assert(df.columns.toSeq === Seq("path", "rows", "stats"))
+      assert(df.count() === 4L)
+      assert(df.agg(sum("rows")).head().getLong(0) === 100L)
+      // the zone maps are queryable map columns
+      val bounds = df.select(col("stats")("k")("min").cast("long"))
+        .collect().map(_.getLong(0)).sorted
+      assert(bounds.head === 0L)
+    }
+  }
+
+  test("small tables keep the inline JSON checkpoint (no sidecar)") {
+    withDir { t =>
+      CowTable.create(spark, t, Seq((1L, 2L)).toDF("k", "v"), Seq("k"))
+      (1 to TxLog.CheckpointInterval).foreach { i =>
+        CowTable.append(spark, t, Seq((10L + i, 1L)).toDF("k", "v"))
+      }
+      val logDir = new java.io.File(t, TxLog.LogDir)
+      assert(logDir.list().exists(_.endsWith(".checkpoint.json")))
+      assert(!logDir.list().exists(_.contains(".checkpoint.files")),
+        "small manifest must stay inline JSON")
+      assert(CowTable.read(spark, t).count() ===
+        1L + TxLog.CheckpointInterval)
+    }
+  }
+}
