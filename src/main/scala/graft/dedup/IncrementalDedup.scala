@@ -100,13 +100,66 @@ object IncrementalDedup {
       index.textHashes, s"${prefix}_hashes", "h", numBuckets)
   }
 
-  /** Reopen a [[writeIndex]]-persisted index for an ingest screen. */
+  /** Reopen a [[writeIndex]]-persisted index for an ingest screen.
+    * When deletion tombstones exist ([[removeFromIndex]]), each frame
+    * comes back with its dead rows anti-joined away — the tombstone
+    * side is O(deleted) and broadcasts, so the corpus side still never
+    * shuffles; a screen against the filtered index can no longer
+    * reject a batch doc because of a document the curated table
+    * deleted.
+    */
   def readIndex(spark: org.apache.spark.sql.SparkSession,
-      prefix: String): CorpusIndex =
-    CorpusIndex(
-      spark.table(s"${prefix}_hashes"),
-      spark.table(s"${prefix}_bands"),
-      spark.table(s"${prefix}_shingles"))
+      prefix: String): CorpusIndex = {
+    val hasDead = spark.catalog.tableExists(s"${prefix}_dead")
+    def antiDoc(df: DataFrame): DataFrame =
+      if (!hasDead) df
+      else df.join(spark.table(s"${prefix}_dead"), Seq("doc_id"),
+        "left_anti")
+    val hashes =
+      if (!hasDead) spark.table(s"${prefix}_hashes")
+      else spark.table(s"${prefix}_hashes")
+        .join(spark.table(s"${prefix}_hashes_del"), Seq("h"), "left_anti")
+    CorpusIndex(hashes,
+      antiDoc(spark.table(s"${prefix}_bands")),
+      antiDoc(spark.table(s"${prefix}_shingles")))
+  }
+
+  /** Remove DELETED corpus documents from a persisted index — the
+    * O(|deleted|) maintenance write that keeps the screen honest after
+    * a curated-table `deleteWhere` (without it, stale band/hash rows
+    * wrongly REJECT a future batch doc that near-duplicates only a
+    * deleted document). Deletion is by TOMBSTONE: the dead doc ids
+    * land in `<prefix>_dead` (bucketed by doc_id) and the dead text
+    * hashes in `<prefix>_hashes_del` (bucketed by h); [[readIndex]]
+    * anti-joins them away at screen time (broadcast — the corpus
+    * frames never move), so the bucketed index files themselves are
+    * untouched, exactly like every tombstoned index format. `deleted`
+    * carries (idCol, textCol) — a `deleteWhere(cdc = true)` run's
+    * delete PREIMAGES are exactly this frame.
+    *
+    * Precondition (guaranteed by the screen itself): the curated
+    * corpus is exact-unique, so a text hash identifies one document
+    * and tombstoning it cannot un-screen a different live document.
+    * Periodic heal: rebuild ([[buildIndex]] + [[writeIndex]]) folds
+    * the tombstones away — same discipline as any materialized view.
+    */
+  def removeFromIndex(deleted: DataFrame, idCol: String, textCol: String,
+      prefix: String, numBuckets: Int = 32): Unit = {
+    val spark = deleted.sparkSession
+    val dead = deleted.select(col(idCol).as("doc_id"))
+    val deadH = deleted.select(md5(col(textCol)).as("h"))
+    if (spark.catalog.tableExists(s"${prefix}_dead")) {
+      graft.sources.Bucketing.appendBucketed(
+        dead, s"${prefix}_dead", "doc_id", numBuckets)
+      graft.sources.Bucketing.appendBucketed(
+        deadH, s"${prefix}_hashes_del", "h", numBuckets)
+    } else {
+      graft.sources.Bucketing.writeBucketed(
+        dead, s"${prefix}_dead", "doc_id", numBuckets)
+      graft.sources.Bucketing.writeBucketed(
+        deadH, s"${prefix}_hashes_del", "h", numBuckets)
+    }
+  }
 
   /** Extend a persisted index with newly ADMITTED documents — the
     * O(|batch|) maintenance write that keeps a recurring ingest screen

@@ -37,10 +37,18 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   * deepest restart window (the same retention contract as time
   * travel).
   *
-  * Schema is pinned at stream start (additive evolution mid-stream:
-  * new columns are dropped until the stream restarts — Structured
-  * Streaming requires a fixed schema per query); pre-evolution commits
+  * Schema is pinned at stream start (Structured Streaming requires a
+  * fixed schema per query); every batch conforms to it by PHYSICAL
+  * column name (the column-mapping indirection), so the feed is
+  * RENAME-TRANSPARENT — a catch-up across a rename surfaces the
+  * pinned logical names with the real values. Pre-evolution commits
   * surface later columns as typed nulls, exactly like the batch read.
+  * A column ADDED mid-stream cannot surface until restart: by default
+  * it is silently dropped (documented Delta-CDF behavior); with
+  * `failOnSchemaEvolution = true` the stream instead FAILS at the
+  * first commit carrying data the pinned schema cannot represent —
+  * the minReader discipline applied to schema, so consumers choose a
+  * restart over silent column loss.
   */
 object TableChangeFeed {
 
@@ -70,9 +78,10 @@ object TableChangeFeed {
   def readChanges(spark: SparkSession, path: String,
       startingVersion: Long = 1L,
       maxVersionsPerTrigger: Option[Int] = None,
-      where: Option[String] = None): DataFrame =
+      where: Option[String] = None,
+      failOnSchemaEvolution: Boolean = false): DataFrame =
     reader(spark, path, startingVersion, maxVersionsPerTrigger,
-      cdc = false, where)
+      cdc = false, where, failOnSchemaEvolution)
 
   /** Row-level CDC stream: create/append commits arrive as `insert`
     * rows; CDC-enabled merge/delete/update commits arrive as their
@@ -96,19 +105,25 @@ object TableChangeFeed {
   def readCdc(spark: SparkSession, path: String,
       startingVersion: Long = 1L,
       maxVersionsPerTrigger: Option[Int] = None,
-      where: Option[String] = None): DataFrame =
+      where: Option[String] = None,
+      failOnSchemaEvolution: Boolean = false): DataFrame =
     reader(spark, path, startingVersion, maxVersionsPerTrigger,
-      cdc = true, where)
+      cdc = true, where, failOnSchemaEvolution)
 
   private def reader(spark: SparkSession, path: String,
       startingVersion: Long, maxVersionsPerTrigger: Option[Int],
-      cdc: Boolean, where: Option[String] = None): DataFrame = {
+      cdc: Boolean, where: Option[String] = None,
+      failOnSchemaEvolution: Boolean = false): DataFrame = {
+    val snap = TxLog.snapshot(spark, path)
     val r0 = spark.readStream
       .format(classOf[TableChangeFeedProvider].getName)
       .option("path", path)
       .option("startingVersion", startingVersion.toString)
-      .option("schemaDDL", TxLog.snapshot(spark, path).schemaDDL)
+      .option("schemaDDL", snap.schemaDDL)
+      .option("columnMap", TableChangeFeedProvider.encodeMap(
+        snap.columnMap.getOrElse(Map.empty)))
       .option("cdc", cdc.toString)
+      .option("failOnSchemaEvolution", failOnSchemaEvolution.toString)
     val r1 = where.fold(r0)(w => r0.option("where", w))
     maxVersionsPerTrigger
       .fold(r1)(n => r1.option("maxVersionsPerTrigger", n.toString))
@@ -119,6 +134,18 @@ object TableChangeFeed {
 /** DSv1 stream source provider (`format(<this class name>)` or the
   * `cowtable-changes` short name where service registration applies).
   */
+object TableChangeFeedProvider {
+  /** Thread a column map through DSv1 string options (json4s). */
+  def encodeMap(m: Map[String, String]): String =
+    org.json4s.jackson.Serialization.write(m)(
+      org.json4s.jackson.Serialization.formats(org.json4s.NoTypeHints))
+  def decodeMap(s: String): Map[String, String] =
+    org.json4s.jackson.JsonMethods.parse(s)
+      .extract[Map[String, String]](
+        org.json4s.jackson.Serialization.formats(org.json4s.NoTypeHints),
+        implicitly[Manifest[Map[String, String]]])
+}
+
 class TableChangeFeedProvider extends StreamSourceProvider
     with DataSourceRegister {
 
@@ -155,7 +182,12 @@ class TableChangeFeedProvider extends StreamSourceProvider
       dataDDL(sqlContext, parameters),
       parameters.get("maxVersionsPerTrigger").map(_.toInt),
       parameters.get("cdc").exists(_.toBoolean),
-      parameters.get("where"))
+      parameters.get("where"),
+      parameters.get("columnMap")
+        .map(TableChangeFeedProvider.decodeMap)
+        .getOrElse(TxLog.snapshot(sqlContext.sparkSession,
+          tablePath(parameters)).columnMap.getOrElse(Map.empty)),
+      parameters.get("failOnSchemaEvolution").exists(_.toBoolean))
 }
 
 /** The source itself: offsets are commit versions (a [[LongOffset]] of
@@ -166,7 +198,9 @@ class TableChangeSource(sqlContext: SQLContext, path: String,
     startingVersion: Long, dataDDL: String,
     maxVersionsPerTrigger: Option[Int] = None,
     cdc: Boolean = false,
-    where: Option[String] = None) extends Source {
+    where: Option[String] = None,
+    pinnedMap: Map[String, String] = Map.empty,
+    failOnSchemaEvolution: Boolean = false) extends Source {
   require(startingVersion >= 1, s"startingVersion >= 1, got $startingVersion")
   require(maxVersionsPerTrigger.forall(_ >= 1),
     s"maxVersionsPerTrigger >= 1, got $maxVersionsPerTrigger")
@@ -206,45 +240,74 @@ class TableChangeSource(sqlContext: SQLContext, path: String,
     val from = start.map(version(_) + 1).getOrElse(startingVersion)
     val to = version(end)
     if (to > dealt) dealt = to
-    // Conform DATA columns to the pinned schema: a pre-evolution
-    // commit lacks later columns (typed nulls, like the batch read);
-    // columns evolved AFTER stream start are dropped until a restart.
-    def dataCols(changed: DataFrame): Seq[Column] =
-      dataFields.toSeq.map { f =>
-        if (changed.columns.contains(f.name)) col(f.name)
-        else lit(null).cast(f.dataType).as(f.name)
-      }
+    val pinnedDataDDL = StructType(dataFields).toDDL
+    val pinnedPhys = dataFields.map(f =>
+      pinnedMap.getOrElse(f.name, f.name)).toSet
     val ct = graft.tables.CowTable.ChangeTypeCol
     val frames = (from to to).flatMap { v =>
       val c = TxLog.commitAt(spark, path, v)
-      // the selective feed: non-CDC commits prune their add files by
-      // zone map BEFORE any scan, then row-filter exactly; CDC sidecar
-      // rows carry no per-file stats, so they row-filter only
-      def changesOf(v: Long): DataFrame = where match {
-        case Some(w) => CowTable.changesWhereAt(spark, path, v, expr(w))
-        case None    => CowTable.changesAt(spark, path, v)
+      // Schema-evolution guard: a commit restating the DDL may carry
+      // data the PINNED schema cannot represent (a column added after
+      // stream start — compared by PHYSICAL name, so renames, which
+      // the pinned read surfaces transparently, never trip it). By
+      // default that data silently drops until restart (documented);
+      // with failOnSchemaEvolution the stream dies LOUDLY instead.
+      c.schemaDDL.filter(_ => failOnSchemaEvolution).foreach { ddl =>
+        val vSnap = TxLog.snapshot(spark, path, Some(v))
+        val extra = StructType.fromDDL(ddl).fieldNames
+          .filterNot(n => pinnedPhys.contains(vSnap.physName(n)))
+        if (extra.nonEmpty) sys.error(
+          s"commit $v of $path evolved column(s) ${extra.mkString(", ")} " +
+            "after this stream pinned its schema — restart the stream " +
+            "to pick them up (failOnSchemaEvolution = true; the default " +
+            "drops post-evolution columns silently until restart)")
+      }
+      // Non-CDC reads conform to the pinned schema by PHYSICAL name
+      // (changesAtPinned): pre-evolution files read later columns as
+      // typed nulls; a rename between commit v and stream start is
+      // transparent (same physical column). The selective feed prunes
+      // each commit's add files by zone map BEFORE any scan.
+      def changesOf(v: Long): DataFrame =
+        CowTable.changesAtPinned(spark, path, v, pinnedDataDDL,
+          pinnedMap, where.map(expr))
+      // CDC sidecars store the LOGICAL names in force at commit time:
+      // conform to the pinned schema through the physical identity
+      // (pinned logical ↔ v-logical iff same physical name).
+      def cdcConform(changed: DataFrame, vSnap: graft.tables.TxLog.Snapshot)
+          : Seq[Column] = {
+        val byPhys = StructType.fromDDL(vSnap.schemaDDL).fieldNames
+          .map(n => vSnap.physName(n) -> n).toMap
+        dataFields.toSeq.map { f =>
+          byPhys.get(pinnedMap.getOrElse(f.name, f.name)) match {
+            case Some(vName) if changed.columns.contains(vName) =>
+              col(s"`${vName.replace("`", "``")}`").as(f.name)
+            case _ => lit(null).cast(f.dataType).as(f.name)
+          }
+        }
       }
       val rows: Option[DataFrame] =
         if (!cdc) {
           val changed = changesOf(v)
-          Some(changed.select(dataCols(changed) :+
+          Some(changed.select(changed.columns.map(col(_)).toSeq :+
             lit(c.op).as(TableChangeFeed.OpCol): _*))
         } else if (c.cdcDir.isDefined) {
           val changed0 = CowTable.changesCdcAt(spark, path, v)
           val changed = where.fold(changed0)(w => changed0.filter(expr(w)))
-          Some(changed.select(dataCols(changed) :+ col(ct): _*))
+          Some(changed.select(
+            cdcConform(changed, TxLog.snapshot(spark, path, Some(v))) :+
+              col(ct): _*))
         } else c.op match {
           case "create" | "append" | "clone" =>
             // pure adds: the commit's rows ARE inserts (a clone's
             // external references included — the fork's own history
             // starts with its full contents)
             val changed = changesOf(v)
-            Some(changed.select(dataCols(changed) :+
+            Some(changed.select(changed.columns.map(col(_)).toSeq :+
               lit("insert").as(ct): _*))
           case "compact" | "optimize" =>
             None // layout-only: contents unchanged, nothing to emit
           case _ if c.adds.isEmpty && c.removes.isEmpty =>
-            None // metadata-only (constraint add/drop, no-op): silent
+            None // metadata-only (constraint/rename/drop, no-op): silent
           case other => sys.error(
             s"commit $v ($other) of $path carries no CDC — run " +
               "row-changing ops with cdc = true (or restart replicas " +

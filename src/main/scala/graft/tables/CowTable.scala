@@ -884,9 +884,19 @@ object CowTable {
       dryRun: Boolean = false): Seq[String] = {
     val f = TxLog.fs(spark, path)
     val latest = TxLog.latestVersion(spark, path)
-    val keep = (math.max(1, latest - retainVersions + 1) to latest)
-      .flatMap(v => TxLog.snapshot(spark, path, Some(v)).files.map(_.path))
-      .toSet
+    // Clone leases pin their cloned version's files IN ADDITION to the
+    // retention window: a registered clone's external references stay
+    // readable however far the source moves on, until the lease is
+    // dropped (dropCloneLease — after materialize, or abandonment).
+    // This turns the documented shallow-clone retention caveat into a
+    // contract the vacuum enforces.
+    val leaseVersions = cloneLeases(spark, path).map(_.srcVersion)
+      .distinct.filter(v => v >= 1 && v <= latest)
+    val keep =
+      ((math.max(1, latest - retainVersions + 1) to latest) ++
+        leaseVersions).distinct
+        .flatMap(v => TxLog.snapshot(spark, path, Some(v)).files.map(_.path))
+        .toSet
     val dataDir = new Path(path, "data")
     if (!f.exists(dataDir)) return Seq.empty
     val horizon = System.currentTimeMillis() - retentionMs
@@ -1055,19 +1065,27 @@ object CowTable {
     * A whole-table [[optimize]] doubles as MATERIALIZE: after it, no
     * external references remain.
     *
-    * '''Retention contract''' (the Delta shallow-clone caveat,
-    * documented not hidden): the source's [[vacuum]] does not know
-    * about clones — reaping a file a clone still references breaks
-    * that clone's reads (loudly, at scan time). Clone lifetimes must
-    * sit inside the source's retention horizon, or materialize first.
-    * The clone's own vacuum only ever walks the clone's `data/`, so it
-    * can never delete source files.
+    * '''Retention contract''' (round 14 — the Delta shallow-clone
+    * caveat turned into an enforced contract): [[shallowClone]]
+    * registers a LEASE under the source's `_clones/` pinning the
+    * cloned version; the source's [[vacuum]] consults the leases and
+    * DEFERS every file that version references, however far the
+    * source moves on. Release with [[dropCloneLease]] once the clone
+    * is materialized (a whole-table [[optimize]] leaves no external
+    * references) or abandoned. The clone's own vacuum only ever walks
+    * the clone's `data/`, so it can never delete source files.
     */
   def shallowClone(spark: SparkSession, srcPath: String, dstPath: String,
       asOfVersion: Option[Long] = None): Unit = {
     require(TxLog.latestVersion(spark, dstPath) == 0,
       s"table already exists at $dstPath")
     val snap = TxLog.snapshot(spark, srcPath, asOfVersion)
+    // Register the clone LEASE in the source BEFORE the clone commit
+    // exists, so a source-side vacuum can never miss an active clone
+    // (a crash in between leaves an orphan lease — reclaimable with
+    // dropCloneLease, never dangerous). The lease pins the cloned
+    // VERSION's files; see [[vacuum]].
+    writeCloneLease(spark, srcPath, dstPath, snap.version)
     // External references are FULLY QUALIFIED URIs (scheme +
     // authority), so a clone of an s3a/hdfs table — or a clone landing
     // on a different filesystem than its source — resolves each entry
@@ -1093,6 +1111,75 @@ object CowTable {
       minReader = Some(3))
     require(TxLog.tryCommit(spark, dstPath, c),
       s"concurrent create at $dstPath")
+  }
+
+  /** A registered clone: where it lives and which source version its
+    * external references pin.
+    */
+  final case class CloneLease(id: String, clonePath: String,
+      srcVersion: Long)
+
+  private def cloneDir(path: String) = new Path(path, "_clones")
+
+  private def writeCloneLease(spark: SparkSession, srcPath: String,
+      clonePath: String, srcVersion: Long): Unit = {
+    val f = TxLog.fs(spark, srcPath)
+    f.mkdirs(cloneDir(srcPath))
+    val id = java.util.UUID.randomUUID().toString
+    val doc = s"""{"id":"$id","clonePath":${jsonStr(clonePath)},""" +
+      s""""srcVersion":$srcVersion}"""
+    val out = f.create(new Path(cloneDir(srcPath), s"$id.json"), true)
+    try out.write(doc.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  /** The source table's registered clone leases ([[shallowClone]]
+    * writes one per fork; [[dropCloneLease]] releases them).
+    */
+  def cloneLeases(spark: SparkSession, srcPath: String): Seq[CloneLease] = {
+    val f = TxLog.fs(spark, srcPath)
+    val dir = cloneDir(srcPath)
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).toSeq.filter(st =>
+      st.isFile && st.getPath.getName.endsWith(".json")).flatMap { st =>
+      try {
+        val in = f.open(st.getPath)
+        val bs = new java.io.ByteArrayOutputStream()
+        try {
+          val buf = new Array[Byte](8192)
+          var n = in.read(buf)
+          while (n >= 0) { bs.write(buf, 0, n); n = in.read(buf) }
+        } finally in.close()
+        val jv = org.json4s.jackson.JsonMethods.parse(bs.toString("UTF-8"))
+        implicit val fm: org.json4s.Formats =
+          org.json4s.jackson.Serialization.formats(org.json4s.NoTypeHints)
+        Some(jv.extract[CloneLease])
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+  }
+
+  /** Release the lease(s) a clone at `clonePath` holds on `srcPath` —
+    * the clone was materialized ([[optimize]] leaves no external
+    * references), vacuumed away, or abandoned. After this the source's
+    * [[vacuum]] stops deferring its files.
+    */
+  def dropCloneLease(spark: SparkSession, srcPath: String,
+      clonePath: String): Int = {
+    val f = TxLog.fs(spark, srcPath)
+    val dropped = cloneLeases(spark, srcPath)
+      .filter(_.clonePath == clonePath)
+    dropped.foreach { l =>
+      try { f.delete(new Path(cloneDir(srcPath), s"${l.id}.json"), false); () }
+      catch { case _: java.io.IOException => () }
+    }
+    dropped.size
   }
 
   /** Column name [[readWithProvenance]] stamps. */
@@ -1160,6 +1247,28 @@ object CowTable {
     readFiles(spark, path, snap,
       StatsPredicate.prune(c.adds, cond, snap.physName))
       .filter(cond)
+  }
+
+  /** Commit `v`'s added rows read under a PINNED logical schema +
+    * column map (the change feed's conformance read): files are always
+    * keyed by PHYSICAL names, so reading every commit of a feed under
+    * the stream-start (schema, map) makes the feed RENAME-TRANSPARENT
+    * — a catch-up across a rename surfaces the pinned logical names
+    * with the real values (conforming by logical name instead would
+    * silently null the renamed column for pre-rename commits).
+    * Columns the commit's files predate read as typed nulls; `cond`
+    * (optional) prunes the add files by zone map then filters
+    * row-exactly, like [[changesWhereAt]].
+    */
+  private[graft] def changesAtPinned(spark: SparkSession, path: String,
+      v: Long, dataDDL: String, colMap: Map[String, String],
+      cond: Option[Column] = None): DataFrame = {
+    val c = TxLog.commitAt(spark, path, v)
+    val schema = StructType.fromDDL(dataDDL)
+    val files = cond.fold(c.adds)(w =>
+      StatsPredicate.prune(c.adds, w, n => colMap.getOrElse(n, n)))
+    val df = readGrouped(spark, path, schema, files, colMap)
+    cond.fold(df)(df.filter(_))
   }
 
   /** Row-level CDC of commit `v` (a `merge(cdc = true)` commit): the

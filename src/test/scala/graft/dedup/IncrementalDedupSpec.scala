@@ -130,6 +130,58 @@ class IncrementalDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("deletion-aware index: removing a deleted doc's rows lets its " +
+      "near-dup back in (stale rows would wrongly reject)") {
+    val corpus = Seq(
+      1L -> longDoc,
+      2L -> "completely different corpus text here with many words")
+      .toDF("doc_id", "text")
+    val cfg = MinHashLSH.Config()
+    IncrementalDedup.writeIndex(
+      IncrementalDedup.buildIndex(corpus, "doc_id", "text", cfg),
+      "graft_idx_del", numBuckets = 4)
+    try {
+      val batch = Seq(30L -> longDoc, 31L -> (longDoc + " zzz"))
+        .toDF("doc_id", "text")
+      def screen() = IncrementalDedup.verdicts(
+          IncrementalDedup.readIndex(spark, "graft_idx_del"),
+          batch, "doc_id", "text", cfg)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3))))
+        .toMap
+      // doc 1 alive: the exact copy AND the near-dup both reject
+      val before = screen()
+      assert(before(30L) === ((1, 1, 0)))
+      assert(before(31L) === ((0, 1, 0)))
+      // the curated table deletes doc 1 (GDPR/retention); the index
+      // maintenance is O(|deleted|): tombstone its id and text hash
+      IncrementalDedup.removeFromIndex(
+        Seq(1L -> longDoc).toDF("doc_id", "text"), "doc_id", "text",
+        "graft_idx_del", numBuckets = 4)
+      // re-ingest: the deleted doc can no longer reject anyone
+      val after = screen()
+      assert(after(30L) === ((0, 0, 1)),
+        s"exact copy of a DELETED doc must keep: ${after(30L)}")
+      assert(after(31L) === ((0, 0, 1)),
+        s"near-dup of a DELETED doc must keep: ${after(31L)}")
+      // the surviving corpus doc still screens (tombstones are
+      // per-doc, not a table wipe)
+      val v2 = IncrementalDedup.verdicts(
+          IncrementalDedup.readIndex(spark, "graft_idx_del"),
+          Seq(40L -> "completely different corpus text here with many words")
+            .toDF("doc_id", "text"),
+          "doc_id", "text", cfg)
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+      assert(v2(40L) === 1, "live docs must still screen after a removal")
+    } finally {
+      Seq("graft_idx_del_hashes", "graft_idx_del_bands",
+        "graft_idx_del_shingles", "graft_idx_del_dead",
+        "graft_idx_del_hashes_del").foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"); ()
+      }
+    }
+  }
+
   test("a parquet-round-tripped corpus index gives identical verdicts") {
     val corpus = Seq(1L -> longDoc,
       2L -> "some other standing corpus document full of words").toDF("doc_id", "text")

@@ -138,6 +138,75 @@ class TableChangeFeedSpec extends AnyFunSuite {
     }
   }
 
+  test("failOnSchemaEvolution: the loud mode dies at the evolution " +
+      "commit; the default keeps silently dropping") {
+    withDir { dir =>
+      val t = dir.getAbsolutePath + "/tfail"
+      CowTable.create(spark, t,
+        Seq((1L, 10L, "a")).toDF("k", "v", "s"), Seq("k"))
+      val feedLoud = TableChangeFeed.readChanges(spark, t,
+        failOnSchemaEvolution = true)
+      val feedSilent = TableChangeFeed.readChanges(spark, t)
+      CowTable.append(spark, t,
+        Seq((2L, 20L, "b", 1.5)).toDF("k", "v", "s", "w"),
+        mergeSchema = true)
+      // loud mode: the stream FAILS at the evolution commit instead of
+      // silently dropping the new column
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        val q = feedLoud.writeStream
+          .option("checkpointLocation", dir.getAbsolutePath + "/ckl")
+          .foreachBatch { (_: DataFrame, _: Long) => () }.start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      assert(e.getMessage.contains("restart the stream") ||
+        Option(e.getCause).exists(_.getMessage.contains("restart the stream")),
+        e.getMessage)
+      // default mode: rows flow, the column drops — the documented trade
+      val got = scala.collection.mutable.Set
+        .empty[(Long, Long, String, Long, String)]
+      drain(feedSilent, dir.getAbsolutePath + "/cks", got)
+      assert(got.map(_._1) === Set(1L, 2L))
+
+      // a RENAME never trips the loud mode (physical name unchanged —
+      // the pinned read surfaces it transparently); further rows flow
+      val t2 = dir.getAbsolutePath + "/tren"
+      CowTable.create(spark, t2,
+        Seq((1L, 10L, "a")).toDF("k", "v", "s"), Seq("k"))
+      val loud2 = TableChangeFeed.readChanges(spark, t2,
+        failOnSchemaEvolution = true)
+      CowTable.renameColumn(spark, t2, "v", "amount")
+      CowTable.append(spark, t2, Seq((2L, 20L, "b"))
+        .toDF("k", "amount", "s"))
+      val got2 = scala.collection.mutable.Set
+        .empty[(Long, Long, String, Long, String)]
+      drain(loud2, dir.getAbsolutePath + "/ckr", got2)
+      assert(got2.map(r => (r._1, r._2)) === Set((1L, 10L), (2L, 20L)))
+    }
+  }
+
+  test("catch-up across a rename is physical-name transparent: " +
+      "pre-rename commits surface VALUES under the pinned name") {
+    withDir { dir =>
+      val t = dir.getAbsolutePath + "/tcat"
+      CowTable.create(spark, t,
+        Seq((1L, 10L, "a"), (2L, 20L, "b")).toDF("k", "v", "s"), Seq("k"))
+      CowTable.append(spark, t, Seq((3L, 30L, "c")).toDF("k", "v", "s"))
+      CowTable.renameColumn(spark, t, "v", "amount")
+      CowTable.append(spark, t, Seq((4L, 40L, "d"))
+        .toDF("k", "amount", "s"))
+      // the stream pins the POST-rename schema and catches up from v1:
+      // the pre-rename commits' values must arrive under "amount" —
+      // conforming by logical name would null them out
+      val feed = TableChangeFeed.readChanges(spark, t)
+      assert(feed.columns.take(3).toSeq === Seq("k", "amount", "s"))
+      val got = scala.collection.mutable.Set
+        .empty[(Long, Long, String, Long, String)]
+      drain(feed, dir.getAbsolutePath + "/ckc", got)
+      assert(got.map(r => (r._1, r._2)) ===
+        Set((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L)))
+    }
+  }
+
   test("schema evolution mid-stream: pinned schema, nulls backfill") {
     withDir { dir =>
       val t = dir.getAbsolutePath + "/t"

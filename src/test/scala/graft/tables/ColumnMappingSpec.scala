@@ -169,6 +169,40 @@ class ColumnMappingSpec extends AnyFunSuite {
     }
   }
 
+  test("clone-aware vacuum: leases defer reclaim of cloned files; " +
+      "dropping the lease releases them") {
+    withTable { t =>
+      val cl = t + "_cl"
+      CowTable.create(spark, t, base(400, 4), Seq("k"))           // v1
+      CowTable.shallowClone(spark, t, cl)
+      assert(CowTable.cloneLeases(spark, t)
+        .map(l => (l.clonePath, l.srcVersion)) === Seq((cl, 1L)))
+      // the source moves on: optimize replaces every v1 file
+      CowTable.optimize(spark, t,
+        _.repartitionByRange(2, col("k")).sortWithinPartitions("k"))
+      // an aggressive vacuum (retain 1, no age gate) must DEFER the
+      // leased v1 files — the old behavior reclaimed them here
+      val reclaimed = CowTable.vacuum(spark, t, retainVersions = 1,
+        retentionMs = 0)
+      assert(reclaimed.isEmpty,
+        s"vacuum reclaimed leased clone files: $reclaimed")
+      assert(CowTable.read(spark, cl).count() === 400L,
+        "the clone must stay readable after source vacuum")
+      // materialize the clone, release the lease: now the source may
+      // reclaim the v1 files
+      CowTable.optimize(spark, cl,
+        _.repartitionByRange(2, col("k")).sortWithinPartitions("k"))
+      assert(CowTable.dropCloneLease(spark, t, cl) === 1)
+      val reclaimed2 = CowTable.vacuum(spark, t, retainVersions = 1,
+        retentionMs = 0)
+      assert(reclaimed2.size === 4,
+        s"expected the 4 v1 files reclaimed, got $reclaimed2")
+      // both tables still read their full contents
+      assert(CowTable.read(spark, t).count() === 400L)
+      assert(CowTable.read(spark, cl).count() === 400L)
+    }
+  }
+
   test("clone carries the column map; describeDetail speaks logical") {
     withTable { t =>
       val cl = t + "_clone"
