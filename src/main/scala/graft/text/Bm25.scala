@@ -110,7 +110,26 @@ object Bm25 {
     * quantized sums, per-query top-k.
     */
   private def score(perDocTerm: DataFrame, qdf: DataFrame, dl: DataFrame,
-      stats: DataFrame, k: Int, k1: Double, b: Double): DataFrame = {
+      stats: DataFrame, k: Int, k1: Double, b: Double): DataFrame =
+    scoreTail(perDocTerm
+      .join(broadcast(qdf), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats)), k, k1, b)
+
+  /** The scoring tail over a frame already carrying `dl` per posting
+    * row ([[Bm25Table]]'s denormalized layout): no doc-keyed join at
+    * all — the one scale difference from [[scoreIndexed]]'s separate
+    * doclen relation.
+    */
+  private[text] def scoreDenorm(perDocTermDl: DataFrame, qdf: DataFrame,
+      stats: DataFrame, k: Int, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame =
+    scoreTail(perDocTermDl
+      .join(broadcast(qdf), "term")
+      .crossJoin(broadcast(stats)), k, k1, b)
+
+  private def scoreTail(joined: DataFrame, k: Int, k1: Double,
+      b: Double): DataFrame = {
     val idf = (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
     // literal constants are interpolated into the oracle SQL from the
     // SAME Scala doubles (shortest-roundtrip toString), so e.g.
@@ -119,10 +138,7 @@ object Bm25 {
     val sat = (col("tf") * lit(k1 + 1)) /
       (col("tf") + lit(k1) *
         (lit(1.0 - b) + lit(b) * (col("dl") / col("avgdl"))))
-    val scored = perDocTerm
-      .join(broadcast(qdf), "term")
-      .join(dl, "doc_id")
-      .crossJoin(broadcast(stats))
+    val scored = joined
       .select(col("q_id"), col("doc_id"),
         floor((idf * sat) * lit(ScoreScale)).cast("bigint").as("sq"))
       .groupBy("q_id", "doc_id").agg(sum("sq").as("score_q"))

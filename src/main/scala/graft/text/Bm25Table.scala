@@ -12,35 +12,46 @@ import org.apache.spark.sql.functions._
   * way the ANN table's coded appends are), so a checkpoint-recovered
   * ingest stream silently inflated term rarities. Here every per-batch
   * fold is a stamped CowTable operation — blind appends for the
-  * postings/doclen rows, keyed replace-MERGEs for the df and corpus
-  * stats — and a replay no-ops table by table.
+  * postings rows, keyed replace-MERGEs for the df and corpus stats —
+  * and a replay no-ops table by table.
   *
-  * Layout under one root, four tables:
+  * Layout under one root, three tables:
   * {{{
-  *   <root>/postings  (term, doc_id, tf)   stats: term   ← scoring join
-  *   <root>/dl        (doc_id, dl)         stats: doc_id
-  *   <root>/df        (term, df)           stats: term   ← merge-folded
-  *   <root>/stats     (sid, n_docs, total_tokens)        ← merge-folded
+  *   <root>/postings  (term, doc_id, tf, dl)  stats: term  ← scoring scan
+  *   <root>/df        (term, df)              stats: term  ← merge-folded
+  *   <root>/stats     (sid, n_docs, total_tokens)          ← merge-folded
   * }}}
   *
-  * '''Crash consistency across the four tables''' (the Y30 screen-order
-  * argument, per-table stamps + deterministic batches): the fold
-  * applies dl → df → stats → postings, all under ONE `Txn(app, batch)`
-  * stamp. A crash mid-fold leaves a prefix applied; the replay re-runs
-  * all four and each already-applied table no-ops individually, so the
-  * batch HEALS to exactly-once. The order makes the half-applied
-  * window harmless for serving: scoring is postings ⋈ df ⋈ dl, so
-  * until the postings land last nothing of the batch scores — the df/
-  * stats updates only make standing terms momentarily see the future
-  * corpus size (staleness, never wrongness).
+  * '''Doc length rides the posting row''' (denormalized on purpose —
+  * the scale decision): the textbook layout keeps a separate
+  * (doc_id, dl) table, making every serve pay a corpus-scale doc-keyed
+  * join AFTER the term join has already cut the row set to a few
+  * thousand rows — at 100 TB that join shuffles the doclen table for
+  * nothing. A document's length is known completely at ingest (docs
+  * never split across batches — the same disjoint-batch contract every
+  * incremental index here carries), so `dl` is a per-row constant,
+  * written once into each of the doc's posting rows: ~8 bytes/row
+  * against NO join at serve time. Serving becomes ONE manifest-pruned
+  * scan plus broadcast-sized joins.
+  *
+  * '''Crash consistency across the three tables''' (the Y30
+  * screen-order argument, per-table stamps + deterministic batches):
+  * the fold applies df → stats → postings, all under ONE
+  * `Txn(app, batch)` stamp. A crash mid-fold leaves a prefix applied;
+  * the replay re-runs all three and each already-applied table no-ops
+  * individually, so the batch HEALS to exactly-once. The order makes
+  * the half-applied window harmless for serving: scoring rows come
+  * from postings (landing LAST), so until they land nothing of the
+  * batch scores — the df/stats updates only make standing terms
+  * momentarily see the future corpus size (staleness, never
+  * wrongness).
   *
   * '''Serving at scale''': postings are range-clustered by term at
-  * create, so [[topDocs]] plans the postings scan off the manifest
-  * with [[CowTable.readMatchingAny]] — a handful of query terms reads
+  * create, so [[topDocs]] plans the scan off the manifest with
+  * [[CowTable.readMatchingAny]] — a handful of query terms reads
   * O(covering files) of a 100 TB postings table, each file once,
-  * before any parquet footer opens. df is vocabulary-scale (its scan
-  * prunes the same way), dl joins on doc_id after the term join has
-  * already cut the row set, and the 1-row stats frame broadcasts.
+  * before any parquet footer opens; df prunes the same way; the 1-row
+  * stats frame broadcasts; there is no other table.
   *
   * Scores are [[Bm25]]'s bit-reproducible form verbatim (rational idf,
   * fixed-point sums), and all index state is integers, so
@@ -50,7 +61,6 @@ import org.apache.spark.sql.functions._
 object Bm25Table {
 
   private def pPostings(root: String) = s"$root/postings"
-  private def pDl(root: String) = s"$root/dl"
   private def pDf(root: String) = s"$root/df"
   private def pStats(root: String) = s"$root/stats"
 
@@ -60,13 +70,11 @@ object Bm25Table {
     */
   def create(spark: SparkSession, root: String, docs: DataFrame,
       idCol: String, textCol: String, postingFiles: Int = 8): Unit = {
-    val pdt = postings(docs, idCol, textCol).persist()
+    val pdt = postingsWithDl(docs, idCol, textCol).persist()
     CowTable.create(spark, pPostings(root),
       pdt.repartitionByRange(postingFiles, col("term"))
         .sortWithinPartitions("term"),
       Seq("term"))
-    CowTable.create(spark, pDl(root),
-      pdt.groupBy("doc_id").agg(sum("tf").as("dl")), Seq("doc_id"))
     CowTable.create(spark, pDf(root),
       pdt.groupBy("term").agg(count(lit(1)).as("df")), Seq("term"))
     CowTable.create(spark, pStats(root),
@@ -81,17 +89,15 @@ object Bm25Table {
 
   /** Fold one batch of NEW documents (ids disjoint from the corpus —
     * the same contract as every incremental index in the engine) into
-    * the four tables, exactly-once under `txn`: a replayed batch
+    * the three tables, exactly-once under `txn`: a replayed batch
     * no-ops instead of double-counting df/doclen/stats. Apply order
-    * dl → df → stats → postings (see the object doc).
+    * df → stats → postings (see the object doc).
     */
   def fold(spark: SparkSession, root: String, batch: DataFrame,
       idCol: String, textCol: String,
       txn: Option[TxLog.Txn] = None): Unit = {
-    val pdt = postings(batch, idCol, textCol).persist()
+    val pdt = postingsWithDl(batch, idCol, textCol).persist()
     try {
-      CowTable.append(spark, pDl(root),
-        pdt.groupBy("doc_id").agg(sum("tf").as("dl")), txn = txn)
       // df: a keyed AGGREGATE fold — read the touched terms' current
       // counts (manifest-pruned to the batch's term RANGE, then a
       // semi-join cut to exactly the touched terms — the AggTable
@@ -124,15 +130,17 @@ object Bm25Table {
         checkUniqueKeys = false, txn = txn)
       // postings last: nothing of the batch scores until this lands
       CowTable.append(spark, pPostings(root),
-        pdt.select("term", "doc_id", "tf"), txn = txn)
+        pdt.select("term", "doc_id", "tf", "dl"), txn = txn)
     } finally { pdt.unpersist(blocking = false); () }
   }
 
-  /** Top-k docs per query against the table-backed index: the postings
-    * scan plans ONLY the files whose term zone maps may hold a query
-    * term ([[CowTable.readMatchingAny]] — the query-term list is
-    * driver-side small by definition), df prunes the same way, and the
-    * scoring tail is [[Bm25]]'s bit-reproducible form verbatim.
+  /** Top-k docs per query against the table-backed index: ONE
+    * manifest-pruned postings scan (only the files whose term zone
+    * maps may hold a query term — the query-term list is driver-side
+    * small by definition) carrying tf AND dl per row, df pruned the
+    * same way, the 1-row stats frame broadcast — no corpus-scale join
+    * anywhere. The scoring tail is [[Bm25]]'s bit-reproducible form
+    * verbatim.
     */
   def topDocs(spark: SparkSession, root: String, queryTerms: DataFrame,
       k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
@@ -144,14 +152,22 @@ object Bm25Table {
     val statsRow = CowTable.read(spark, pStats(root))
       .select(col("n_docs"),
         (col("total_tokens").cast("double") / col("n_docs")).as("avgdl"))
-    Bm25.scoreIndexed(posts, queryTerms.join(dfT, "term"),
-      CowTable.read(spark, pDl(root)), statsRow, k, k1, b)
+    Bm25.scoreDenorm(posts, queryTerms.join(dfT, "term"), statsRow,
+      k, k1, b)
   }
 
-  private def postings(docs: DataFrame, idCol: String,
-      textCol: String): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
+  /** (doc_id, term, tf, dl): the inverted-index rows with the doc's
+    * total length denormalized onto each row (see the object doc).
+    */
+  private def postingsWithDl(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val pdt = docs.select(col(idCol).as("doc_id"),
         explode(TextFeatures.words(col(textCol))).as("term"))
       .filter(col("term") =!= "")
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    // batch-scale window, partitioned by the doc key — no join, and
+    // the sum is exact long arithmetic
+    pdt.withColumn("dl", sum("tf").over(
+      org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+  }
 }

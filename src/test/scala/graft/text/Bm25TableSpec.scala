@@ -75,16 +75,23 @@ class Bm25TableSpec extends AnyFunSuite {
       val root = s"$dir/idx2"
       Bm25Table.create(spark, root, docs(0 until 40), "doc_id", "text")
       val wave = docs(40 until 60)
-      // simulate the crash window: the dl append (the fold's FIRST
+      // simulate the crash window: the df merge (the fold's FIRST
       // table) landed under the stamp, then the process died
       val pdt = wave.select(col("doc_id"),
           explode(TextFeatures.words(col("text"))).as("term"))
         .filter(col("term") =!= "")
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      CowTable.append(spark, s"$root/dl",
-        pdt.groupBy("doc_id").agg(sum("tf").as("dl")),
+      val deltaDf = pdt.groupBy("term").agg(count(lit(1)).as("df"))
+      val b0 = deltaDf.agg(min("term"), max("term")).collect()(0)
+      val curDf = CowTable.readOverlapping(spark, s"$root/df", "term",
+          b0.getString(0), b0.getString(1))
+        .join(deltaDf.select("term"), Seq("term"), "left_semi")
+      CowTable.merge(spark, s"$root/df",
+        curDf.select(col("term"), col("df")).unionByName(deltaDf)
+          .groupBy("term").agg(sum("df").as("df")),
+        Seq("term"), checkUniqueKeys = false,
         txn = Some(TxLog.Txn("kw", 0L)))
-      // the recovery replay: dl no-ops, df/stats/postings apply
+      // the recovery replay: df no-ops, stats/postings apply
       Bm25Table.fold(spark, root, wave, "doc_id", "text",
         txn = Some(TxLog.Txn("kw", 0L)))
       // healed index ≡ a clean one-shot index over the union
@@ -93,8 +100,9 @@ class Bm25TableSpec extends AnyFunSuite {
         .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
         .toSet
       assert(served(root) === ref)
-      // and dl holds each doc exactly once
-      assert(CowTable.read(spark, s"$root/dl").groupBy("doc_id").count()
+      // and the postings hold each (doc, term) exactly once
+      assert(CowTable.read(spark, s"$root/postings")
+        .groupBy("doc_id", "term").count()
         .filter(col("count") > 1).count() === 0L)
     }
   }
