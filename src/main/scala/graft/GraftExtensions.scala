@@ -239,10 +239,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
     injectTvf("cow_table", { args =>
       require(args.nonEmpty && args.length <= 2,
-        s"cow_table(path[, asOfVersion]) — got ${args.length} arguments")
+        s"cow_table(path[, asOfVersion | 'ts']) — got ${args.length} args")
       val spark = org.apache.spark.sql.SparkSession.active
-      graft.tables.CowTable.read(spark, constStr(args.head, "cow_table"),
-          args.lift(1).map(constLong(_, "cow_table")))
+      val path = constStr(args.head, "cow_table")
+      // second arg: an integer = version; a string = AS OF TIMESTAMP,
+      // 'yyyy-MM-dd HH:mm:ss[.SSS]' interpreted as UTC (the session's
+      // pinned zone) and resolved via the commit audit stamps
+      val asOf = args.lift(1).map(e => constVal(e, "cow_table", 2) match {
+        case i: Int  => i.toLong
+        case l: Long => l
+        case s: UTF8String =>
+          val ts = java.time.LocalDateTime
+            .parse(s.toString.replace(' ', 'T'))
+            .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+          graft.tables.TxLog.versionAtTimestamp(spark, path, ts)
+        case other => throw new IllegalArgumentException(
+          "cow_table argument 2 must be a constant version or " +
+            s"'yyyy-MM-dd HH:mm:ss' timestamp, got $other")
+      })
+      graft.tables.CowTable.read(spark, path, asOf)
         .queryExecution.logical
     })
     injectTvf("cow_table_history", { args =>

@@ -174,6 +174,17 @@ object CowTable {
     readSnapshot(spark, path, snap)
   }
 
+  /** `AS OF TIMESTAMP` snapshot read: resolves the latest version
+    * committed at or before `tsMillis` ([[TxLog.versionAtTimestamp]] —
+    * audit-stamp resolution, loud below the first commit) and reads
+    * it. The timestamp face of [[read]]'s `asOfVersion`; composes with
+    * any version-taking read via the resolver directly.
+    */
+  def readAsOfTimestamp(spark: SparkSession, path: String,
+      tsMillis: Long): DataFrame =
+    read(spark, path,
+      Some(TxLog.versionAtTimestamp(spark, path, tsMillis)))
+
   /** Stats-pruned read: only the files whose zone map on `column` may
     * overlap `[lo, hi]` (string-encoded bounds, [[TxLog.ColStats]]
     * comparison rules). File-granular — rows OUTSIDE the range can

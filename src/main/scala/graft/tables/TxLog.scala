@@ -529,6 +529,32 @@ object TxLog {
     JsonMethods.parse(readString(f, commitPath(table, v))).extract[Commit]
   }
 
+  /** TIMESTAMP time travel resolution: the latest version whose commit
+    * timestamp is ≤ `tsMillis` — `AS OF TIMESTAMP` resolved against
+    * the audit stamps [[tryCommit]] records. The stamps are wall-clock
+    * (the documented audit-only contract: table contents stay a pure
+    * function of the inputs — the RESOLUTION is explicit user input,
+    * so determinism is unaffected), and commit times are monotone in
+    * practice but not guaranteed under clock skew, so resolution scans
+    * all commits and takes the max qualifying version rather than
+    * binary-searching a possibly-non-monotone sequence. Fails loudly
+    * when `tsMillis` predates the first commit — "before the table
+    * existed" has no version to answer with.
+    */
+  def versionAtTimestamp(spark: SparkSession, table: String,
+      tsMillis: Long): Long = {
+    val latest = latestVersion(spark, table)
+    require(latest >= 1, s"empty log at $table")
+    val v = (1L to latest).foldLeft(0L) { (best, v) =>
+      val ts = commitAt(spark, table, v).ts
+      if (ts.forall(_ <= tsMillis)) math.max(best, v) else best
+    }
+    require(v >= 1,
+      s"timestamp $tsMillis predates the first commit of $table " +
+        s"(earliest: ${commitAt(spark, table, 1L).ts.getOrElse("unknown")})")
+    v
+  }
+
   /** DESCRIBE DETAIL: the one-row table summary an operator reads
     * first — current version, live file/row counts, layout and
     * governance surface (partition columns, stats columns, named

@@ -92,6 +92,17 @@ object Bm25Table {
     * the three tables, exactly-once under `txn`: a replayed batch
     * no-ops instead of double-counting df/doclen/stats. Apply order
     * df → stats → postings (see the object doc).
+    *
+    * Cost shape, stated honestly: postings/stats work is O(batch). The
+    * df fold is O(touched VOCABULARY) — and a natural-language batch's
+    * term set spans the alphabet, so the term-range prune keeps most
+    * df files and the merge rewrites the files holding any touched
+    * term (Zipf guarantees the common-term files are always touched).
+    * That is the right trade at scale: the vocabulary relation is
+    * ~10⁷ rows / a few hundred MB against a 100 TB corpus — per-batch
+    * O(vocab) beats per-batch O(corpus re-tokenize) by five orders of
+    * magnitude, and the postings table (the actually-huge relation)
+    * only ever takes O(batch) appends.
     */
   def fold(spark: SparkSession, root: String, batch: DataFrame,
       idCol: String, textCol: String,

@@ -48,6 +48,33 @@ class TvfSpec extends AnyFunSuite {
     }
   }
 
+  test("cow_table AS OF TIMESTAMP: a string second argument resolves " +
+      "through the commit audit stamps") {
+    withTable { t =>
+      CowTable.create(spark, t,
+        Seq((1L, 10L, "a")).toDF("k", "v", "s"), Seq("k"))
+      Thread.sleep(15)
+      CowTable.append(spark, t, Seq((2L, 20L, "b")).toDF("k", "v", "s"))
+      val ts1 = TxLog.commitAt(spark, t, 1L).ts.get
+      val s1 = java.time.Instant.ofEpochMilli(ts1)
+        .atOffset(java.time.ZoneOffset.UTC).toLocalDateTime
+        .format(java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+      assert(spark.sql(s"SELECT count(*) FROM cow_table('$t', '$s1')")
+        .collect()(0).getLong(0) === 1L)
+      // far future resolves to the head; prehistory is loud
+      assert(spark.sql(
+        s"SELECT count(*) FROM cow_table('$t', '2999-01-01 00:00:00')")
+        .collect()(0).getLong(0) === 2L)
+      val e = intercept[Exception] {
+        spark.sql(
+          s"SELECT count(*) FROM cow_table('$t', '1999-01-01 00:00:00')")
+          .collect()
+      }
+      assert(e.getMessage.contains("predates"), e.getMessage)
+    }
+  }
+
   test("cow_table_history is a queryable relation; bad args are loud") {
     withTable { t =>
       CowTable.create(spark, t, Seq((1L, 1L, "a")).toDF("k", "v", "s"),

@@ -86,6 +86,27 @@ class TxLogCheckpointSpec extends AnyFunSuite {
     }
   }
 
+  test("AS OF TIMESTAMP resolves the latest commit at-or-before; " +
+      "pre-table timestamps fail loudly") {
+    withDir { t =>
+      CowTable.create(spark, t, Seq((1L, 1L)).toDF("k", "v"), Seq("k"))
+      val ts1 = TxLog.commitAt(spark, t, 1L).ts.get
+      Thread.sleep(15)
+      CowTable.append(spark, t, Seq((2L, 2L)).toDF("k", "v"))
+      val ts2 = TxLog.commitAt(spark, t, 2L).ts.get
+      assert(TxLog.versionAtTimestamp(spark, t, ts1) === 1L)
+      assert(TxLog.versionAtTimestamp(spark, t, ts2 - 1) === 1L)
+      assert(TxLog.versionAtTimestamp(spark, t, ts2) === 2L)
+      assert(TxLog.versionAtTimestamp(spark, t, ts2 + 3600000) === 2L)
+      assert(CowTable.readAsOfTimestamp(spark, t, ts1).count() === 1L)
+      assert(CowTable.readAsOfTimestamp(spark, t, ts2).count() === 2L)
+      val e = intercept[IllegalArgumentException] {
+        TxLog.versionAtTimestamp(spark, t, ts1 - 1000)
+      }
+      assert(e.getMessage.contains("predates"), e.getMessage)
+    }
+  }
+
   test("small tables keep the inline JSON checkpoint (no sidecar)") {
     withDir { t =>
       CowTable.create(spark, t, Seq((1L, 2L)).toDF("k", "v"), Seq("k"))
