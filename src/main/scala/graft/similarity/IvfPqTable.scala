@@ -127,12 +127,17 @@ object IvfPqTable {
       asOf: Option[Long] = None): Long = {
     val target = asOf.getOrElse(TxLog.latestVersion(spark, path))
     require(target >= 1, s"empty index table at $path")
-    val epoch = (1L to target).foldLeft(0L) { (best, v) =>
+    // walk BACKWARD and stop at the first model-bearing commit: a
+    // serve pays O(appends since the last retrain) log reads, not
+    // O(total history) — the bound that matters on a long-lived index
+    // (v1 is create, so the walk always terminates with an answer)
+    var v = target
+    while (v >= 1) {
       val op = TxLog.commitAt(spark, path, v).op
-      if (op == "create" || op == "retrain") v else best
+      if (op == "create" || op == "retrain") return v
+      v -= 1
     }
-    require(epoch >= 1, s"no model-bearing commit ≤ v$target at $path")
-    epoch
+    sys.error(s"no model-bearing commit ≤ v$target at $path")
   }
 
   /** Reopen the pinned model for the epoch in force at `asOf`

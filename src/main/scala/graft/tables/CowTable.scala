@@ -217,8 +217,61 @@ object CowTable {
       asOfVersion: Option[Long] = None): DataFrame = {
     val snap = TxLog.snapshot(spark, path, asOfVersion)
     val ph = snap.physName(column)
+    // Driver cost is O(files · log values), not O(files · values): a
+    // file matches iff SOME value lands in its [min, max], answered by
+    // one binary search over a PER-KIND pre-sorted typed value array —
+    // at 10⁵ files × 10³ values the naive per-file linear probe is
+    // 10⁸ comparisons each re-decoding the stats strings. Each kind
+    // sorts under ITS OWN order (numeric for long/double, UTF-8 bytes
+    // for string — a lexicographic sort of numeric encodings would
+    // break the search); values that don't parse as the kind can't
+    // equal any of the file's values and drop out; NaN doubles keep
+    // the conservative always-match answer ColStats gives them.
+    // Unknown/opaque kinds keep the conservative never-prune answer.
+    def firstGeq[T](arr: IndexedSeq[T], lo0: T)(
+        implicit ord: Ordering[T]): Int = {
+      var lo = 0; var hi = arr.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (ord.gteq(arr(mid), lo0)) hi = mid else lo = mid + 1
+      }
+      lo
+    }
+    def anyIn[T](arr: IndexedSeq[T], mn: T, mx: T)(
+        implicit ord: Ordering[T]): Boolean = {
+      val i = firstGeq(arr, mn)
+      i < arr.length && ord.lteq(arr(i), mx)
+    }
+    lazy val longVals = values
+      .flatMap(v => scala.util.Try(v.toLong).toOption).sorted.toIndexedSeq
+    lazy val dblVals = values
+      .flatMap(v => scala.util.Try(v.toDouble).toOption)
+      .filterNot(_.isNaN).sorted.toIndexedSeq
+    lazy val hasNaN = values
+      .exists(v => scala.util.Try(v.toDouble).toOption.exists(_.isNaN))
+    val utf8Ord: Ordering[String] = (a: String, b: String) => {
+      val (x, y) = (a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+      val n = math.min(x.length, y.length)
+      var i = 0
+      var r = 0
+      while (r == 0 && i < n) {
+        r = (x(i) & 0xff) - (y(i) & 0xff); i += 1
+      }
+      if (r != 0) r else x.length - y.length
+    }
+    lazy val strVals = values.sorted(utf8Ord).toIndexedSeq
+    def anyInRange(s: ColStats): Boolean = s.kind match {
+      case "long" =>
+        anyIn(longVals, s.min.toLong, s.max.toLong)
+      case "double" =>
+        val (mn, mx) = (s.min.toDouble, s.max.toDouble)
+        mn.isNaN || mx.isNaN || hasNaN || anyIn(dblVals, mn, mx)
+      case "string" =>
+        anyIn(strVals, s.min, s.max)(utf8Ord)
+      case _ => true
+    }
     readFiles(spark, path, snap, snap.files.filter(f =>
-      f.stats.get(ph).forall(s => values.exists(v => s.mayContain(v)))))
+      f.stats.get(ph).forall(anyInRange)))
   }
 
   /** Add a CHECK constraint: `exprSql` must not evaluate FALSE for any

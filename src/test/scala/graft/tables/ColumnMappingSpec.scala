@@ -169,6 +169,28 @@ class ColumnMappingSpec extends AnyFunSuite {
     }
   }
 
+  test("readMatchingAny: point-set zone-map prune, each file once, " +
+      "typed per kind, conservative on junk values") {
+    withTable { t =>
+      CowTable.create(spark, t, base(1000, 8), Seq("k"))
+      // two narrow points + a value that can't parse as the long kind:
+      // rows for both points arrive exactly once, the junk is ignored
+      val got = CowTable.readMatchingAny(spark, t, "k",
+        Seq("5", "995", "zz-not-a-long"))
+      assert(got.filter(col("k") === 5L).count() === 1L)
+      assert(got.filter(col("k") === 995L).count() === 1L)
+      // file-granular: other rows from the covering files may appear,
+      // but the read planned a strict subset of the 8 files
+      val filesRead = got.select(input_file_name()).distinct().count()
+      assert(filesRead <= 2L, s"read $filesRead of 8 files")
+      // a renamed column prunes through the map too
+      CowTable.renameColumn(spark, t, "k", "key_id")
+      val got2 = CowTable.readMatchingAny(spark, t, "key_id", Seq("5"))
+      assert(got2.filter(col("key_id") === 5L).count() === 1L)
+      assert(got2.select(input_file_name()).distinct().count() <= 1L)
+    }
+  }
+
   test("clone-aware vacuum: leases defer reclaim of cloned files; " +
       "dropping the lease releases them") {
     withTable { t =>
