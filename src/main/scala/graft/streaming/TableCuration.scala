@@ -73,6 +73,11 @@ object TableCuration {
     * write): a crash between the two replays the screen against a
     * corpus that did NOT yet absorb the keeps (so verdicts stay
     * correct) and each append no-ops independently on its stamp.
+    *
+    * `appId` scopes the stamps: source versions are per-FEED, so two
+    * raw tables feeding one curated table need distinct appIds, or the
+    * second feed's version-v commit is swallowed as the first's replay
+    * (the CowTableSink shared-stamp hazard, same shape).
     */
   def curateSink(feed: DataFrame, curatedPath: String, idCol: String,
       textCol: String, cfg: MinHashLSH.Config = MinHashLSH.Config(),
@@ -124,4 +129,34 @@ object TableCuration {
         spark.catalog.clearCache()
       }
     }
+
+  /** DELETE from the curated corpus with the screen kept honest in the
+    * same call (the GDPR/retention path of the loop): a CDC-enabled
+    * [[CowTable.deleteWhere]] removes the rows, then the commit's
+    * delete PREIMAGES — exactly the (id, text) frame the tombstones
+    * need — feed [[IncrementalDedup.removeFromIndex]], so a future
+    * batch that near-duplicates only a deleted document screens as
+    * `keep` instead of being wrongly rejected by stale band/hash rows.
+    * O(matching files) for the delete + O(|deleted|) for the
+    * tombstones. A crash between the two leaves the index
+    * over-rejecting (never under-screening — the safe side); the CDC
+    * sidecar persists with the commit, so recovery re-runs
+    * `removeFromIndex(changesCdcAt(version))` — or rebuilds, the
+    * materialized-view discipline. No-op (version unchanged, no
+    * tombstones) when nothing matched.
+    */
+  def deleteCurated(spark: org.apache.spark.sql.SparkSession,
+      curatedPath: String, cond: org.apache.spark.sql.Column,
+      idCol: String, textCol: String,
+      indexPrefix: Option[String] = None): CowTable.RewriteMetrics = {
+    val before = TxLog.latestVersion(spark, curatedPath)
+    val m = CowTable.deleteWhere(spark, curatedPath, cond, cdc = true)
+    if (m.version > before) indexPrefix.foreach { p =>
+      val preimages = CowTable.changesCdcAt(spark, curatedPath, m.version)
+        .filter(col(CowTable.ChangeTypeCol) === "delete")
+        .select(col(idCol), col(textCol))
+      IncrementalDedup.removeFromIndex(preimages, idCol, textCol, p)
+    }
+    m
+  }
 }

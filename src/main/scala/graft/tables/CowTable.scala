@@ -1034,7 +1034,29 @@ object CowTable {
     val logTmp =
       try { if (f.exists(logDir)) f.listStatus(logDir).toSeq else Seq.empty }
       catch { case _: java.io.IOException => Seq.empty }
+    // Superseded checkpoints: keep the newest two checkpoint versions
+    // (newest for fresh opens, one spare for a reader mid-fold on it),
+    // reclaim older .checkpoint.json docs and their parquet sidecars
+    // behind the age gate. Always safe: checkpoints are an
+    // OPTIMIZATION — a time-traveled read below the oldest kept
+    // checkpoint degrades to the full commit fold, the commits stay
+    // the truth. At a checkpoint per 20 commits with 100k-entry
+    // parquet sidecars, an unswept year of metadata outweighs the
+    // data churn it describes.
+    val ckptVs = logTmp.map(_.getPath.getName)
+      .filter(_.matches("\\d{20}\\.checkpoint\\.json"))
+      .map(_.take(20).toLong).sorted
+    val ckptKeep = ckptVs.takeRight(2).toSet
     logTmp.foreach { st =>
+      val n = st.getPath.getName
+      val superseded =
+        (n.matches("\\d{20}\\.checkpoint\\.json") ||
+          n.matches("\\d{20}\\.checkpoint\\.files\\.parquet")) &&
+          !ckptKeep.contains(n.take(20).toLong)
+      if (superseded && st.getModificationTime <= horizon) {
+        try { f.delete(st.getPath, st.isDirectory); () }
+        catch { case _: java.io.IOException => () }
+      }
       if (st.getPath.getName.startsWith(".") &&
           st.getModificationTime <= horizon) {
         // files: commit temps / staged checkpoints. Directories: a

@@ -127,6 +127,58 @@ class TableCurationSpec extends AnyFunSuite {
     }
   }
 
+  test("deleteCurated keeps the screen honest: a deleted doc's " +
+      "near-dup re-admits through the indexed loop") {
+    withDir { dir =>
+      import graft.dedup.IncrementalDedup
+      import org.apache.spark.sql.functions.col
+      val pfx = "tcur_del_idx"
+      Seq(s"${pfx}_hashes", s"${pfx}_bands", s"${pfx}_shingles",
+        s"${pfx}_dead", s"${pfx}_hashes_del").foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        val loc = new org.apache.hadoop.fs.Path(
+          s"${spark.conf.get("spark.sql.warehouse.dir")}/$t")
+        val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(loc)) { fs.delete(loc, true); () }
+      }
+      val cur = s"${dir.getAbsolutePath}/cur_del"
+      val seed = Seq((1L, doc(24, "bee")), (2L, doc(24, "sea")))
+        .toDF("doc_id", "text")
+      CowTable.create(spark, cur, seed, Seq("doc_id"))
+      IncrementalDedup.writeIndex(
+        IncrementalDedup.buildIndex(seed, "doc_id", "text"), pfx)
+      def curateWave(tag: String, docs: Seq[(Long, String)]): Set[Long] = {
+        val raw = s"${dir.getAbsolutePath}/raw_$tag"
+        CowTable.create(spark, raw, docs.toDF("doc_id", "text"),
+          Seq("doc_id"))
+        // one appId PER FEED: batchIds/source versions are scoped to
+        // a feed, so two raw tables feeding one curated table must not
+        // share a stamp namespace (the curateSink scaladoc contract)
+        val q = TableCuration.curateSink(
+          TableChangeFeed.readChanges(spark, raw), cur, "doc_id", "text",
+          indexPrefix = Some(pfx), appId = s"cur-$tag")
+          .option("checkpointLocation", s"${dir.getAbsolutePath}/ckd_$tag")
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        ids(cur)
+      }
+      // doc 1 alive: its near-dup is rejected by the loop
+      assert(curateWave("w1", Seq((10L, doc(24, "bee") + " zzz"))) ===
+        Set(1L, 2L))
+      // delete doc 1 THROUGH the loop's deletion path
+      val m = TableCuration.deleteCurated(spark, cur,
+        col("doc_id") === 1L, "doc_id", "text", Some(pfx))
+      assert(m.rowsBefore - m.rowsAfter === 1L)
+      assert(ids(cur) === Set(2L))
+      // the same near-dup now ADMITS (stale index rows would reject)
+      assert(curateWave("w2", Seq((11L, doc(24, "bee") + " zzz"))) ===
+        Set(2L, 11L))
+      // and the survivor still screens
+      assert(curateWave("w3", Seq((12L, doc(24, "sea") + " qqq"))) ===
+        Set(2L, 11L))
+    }
+  }
+
   test("rate-limited catch-up curates version-by-version, same result") {
     withDir { dir =>
       val raw = dir.getAbsolutePath + "/raw"

@@ -107,6 +107,34 @@ class TxLogCheckpointSpec extends AnyFunSuite {
     }
   }
 
+  test("vacuum reclaims superseded checkpoints (and sidecars), keeps " +
+      "the newest two; old reads degrade to the commit fold") {
+    withThreshold(3) {
+      withDir { t =>
+        CowTable.create(spark, t,
+          spark.range(200).select(col("id").as("k"), (col("id") % 5).as("v"))
+            .repartitionByRange(6, col("k")), Seq("k"))
+        // three checkpoint intervals → three checkpoints with sidecars
+        (1 to 3 * TxLog.CheckpointInterval).foreach { i =>
+          CowTable.append(spark, t, Seq((9000L + i, 1L)).toDF("k", "v"))
+        }
+        val logDir = new java.io.File(t, TxLog.LogDir)
+        def ckpts() = logDir.list().count(_.endsWith(".checkpoint.json"))
+        def sidecars() = logDir.list()
+          .count(_.endsWith(".checkpoint.files.parquet"))
+        assert(ckpts() === 3 && sidecars() === 3)
+        CowTable.vacuum(spark, t, retainVersions = 2, retentionMs = 0)
+        assert(ckpts() === 2, "keep the newest two checkpoints")
+        assert(sidecars() === 2, "sidecars reclaim with their checkpoints")
+        // head and DEEP time travel both still read (the old version
+        // folds from commits without its reclaimed checkpoint)
+        assert(CowTable.read(spark, t).count() === 260L)
+        assert(CowTable.read(spark, t, Some(TxLog.CheckpointInterval + 1L))
+          .count() === 200L + TxLog.CheckpointInterval)
+      }
+    }
+  }
+
   test("small tables keep the inline JSON checkpoint (no sidecar)") {
     withDir { t =>
       CowTable.create(spark, t, Seq((1L, 2L)).toDF("k", "v"), Seq("k"))
