@@ -89,6 +89,27 @@ object IvfPqTable {
     model
   }
 
+  /** DELETE vectors from the index — the retention/GDPR path: a plain
+    * copy-on-write [[CowTable.deleteWhere]] on the coded ids, so a
+    * removed vector can never surface as anyone's neighbor again
+    * (rows are GONE — no tombstone reconciliation at serve time), and
+    * time travel below the delete still serves it (the audit face;
+    * vacuum is the erasure boundary, as for any table). Naturally
+    * idempotent — a replay finds no rows and commits nothing. The
+    * probe scans the coded table for the ids (cell-partitioned, ids
+    * unclustered — O(table probe) per delete batch, with parquet
+    * pushdown doing the row-group work; deletes are rare/batched by
+    * contract). Codebooks are untouched: PQ decode of the survivors
+    * is unchanged, so serve ≡ code-the-remainder with the same frozen
+    * model (spec-pinned).
+    */
+  def delete(spark: SparkSession, path: String, ids: Seq[Any]): Unit =
+    if (ids.nonEmpty) {
+      CowTable.deleteWhere(spark, path,
+        org.apache.spark.sql.functions.col("vid").isInCollection(ids))
+      ()
+    }
+
   /** Serve a query batch: probes from the version-resolved model,
     * then a scan of ONLY the probed cells' files — one manifest-pruned
     * read per probed cell (each file carries exact point `cell`

@@ -145,6 +145,71 @@ object Bm25Table {
     } finally { pdt.unpersist(blocking = false); () }
   }
 
+  /** DELETE documents from the index — the retention/GDPR path, so a
+    * removed document stops being retrievable AND stops distorting
+    * every other document's scores: postings rows go first (the doc
+    * vanishes from results immediately), then df DECREMENTS by the
+    * deleted docs' per-term counts (terms reaching zero leave the
+    * table — a tombstone-less exact fold, possible because df is an
+    * integer aggregate), then the corpus stats. The postings delete is
+    * NATURALLY idempotent (a replay finds no matching rows and
+    * commits nothing); the df/stats decrements replay-protect under
+    * `txn`. The safe-direction argument for a crash between steps:
+    * postings-gone-but-df-overstated only UNDERSTATES idf, lowering
+    * scores — never resurrects a deleted doc. `deleted`
+    * carries (idCol, textCol) — delete preimages, like
+    * [[graft.dedup.IncrementalDedup.removeFromIndex]].
+    *
+    * Exact identity (spec-pinned): delete-then-serve ≡ index built
+    * from the remaining corpus — every piece of index state is an
+    * integer fold, so the decrements are exact inverses.
+    *
+    * Cost shape: the postings delete probes the term-clustered table
+    * for the deleted docs' rows (a doc's terms spread across the
+    * term ranges, so the probe scans O(files overlapping the docs'
+    * vocabulary) — delete batches are rare and bounded by contract);
+    * df/stats work is O(deleted vocabulary), the same class as
+    * [[fold]].
+    */
+  def delete(spark: SparkSession, root: String, deleted: DataFrame,
+      idCol: String, textCol: String,
+      txn: Option[TxLog.Txn] = None): Unit = {
+    val pdt = postingsWithDl(deleted, idCol, textCol).persist()
+    try {
+      val ids = deleted.select(col(idCol)).distinct()
+        .collect().map(_.get(0)).toSeq
+      if (ids.nonEmpty) {
+        // postings first: the deleted docs stop scoring immediately
+        CowTable.deleteWhere(spark, pPostings(root),
+          col("doc_id").isInCollection(ids))
+        // df decrement: read the touched terms' counts, subtract,
+        // delete rows that reach zero (the merge's delete flag)
+        val deltaDf = pdt.groupBy("term").agg(count(lit(1)).as("_d"))
+          .persist()
+        val bounds = deltaDf.agg(min("term"), max("term")).collect()(0)
+        if (!bounds.isNullAt(0)) {
+          val cur = CowTable.readOverlapping(spark, pDf(root), "term",
+              bounds.getString(0), bounds.getString(1))
+            .join(deltaDf, Seq("term"))
+          val updates = cur.select(col("term"),
+            (col("df") - col("_d")).as("df"),
+            (col("df") - col("_d") <= 0L).as("_del"))
+          CowTable.merge(spark, pDf(root), updates, Seq("term"),
+            deleteCol = Some("_del"), checkUniqueKeys = false, txn = txn)
+        }
+        deltaDf.unpersist(blocking = false)
+        val delta = deleted.agg(count(lit(1)).as("_bn"))
+          .crossJoin(pdt.agg(coalesce(sum("tf"), lit(0L)).as("_bt")))
+        val newStats = CowTable.read(spark, pStats(root))
+          .crossJoin(broadcast(delta))
+          .select(col("sid"), (col("n_docs") - col("_bn")).as("n_docs"),
+            (col("total_tokens") - col("_bt")).as("total_tokens"))
+        CowTable.merge(spark, pStats(root), newStats, Seq("sid"),
+          checkUniqueKeys = false, txn = txn)
+      }
+    } finally { pdt.unpersist(blocking = false); () }
+  }
+
   /** Top-k docs per query against the table-backed index: ONE
     * manifest-pruned postings scan (only the files whose term zone
     * maps may hold a query term — the query-term list is driver-side

@@ -89,6 +89,44 @@ class IvfPqTableSpec extends AnyFunSuite {
     }
   }
 
+  test("delete removes vectors for good: never a neighbor again, " +
+      "time travel still serves them, replay no-ops") {
+    withDir { dir =>
+      val idx = s"$dir/idxdel"
+      val model = IvfPqTable.create(spark, idx, vecs(0 until 90),
+        "vec_id", "embedding", dim, cfg)
+      val q = vecs(0 until 5)
+      val before = IvfPqTable.topK(spark, idx, q, "vec_id", "embedding",
+        dim, 5, cfg, Some(model))
+      // each query's own vector is its nearest neighbor — delete the
+      // query ids and they must vanish from everyone's results
+      val vBefore = TxLog.latestVersion(spark, idx)
+      IvfPqTable.delete(spark, idx, (0L until 5L))
+      val after = IvfPqTable.topK(spark, idx, q, "vec_id", "embedding",
+        dim, 5, cfg, Some(model))
+      assert(after.filter(col("n_id") < 5L).count() === 0L,
+        "a deleted vector surfaced as a neighbor")
+      assert(after.groupBy("q_id").count().collect()
+        .forall(_.getLong(1) === 5L), "k results still served per query")
+      // ≡ code-the-remainder with the same frozen model
+      spark.sql("DROP TABLE IF EXISTS ivft_del_cat")
+      IvfPq.code(vecs(5 until 90), "vec_id", "embedding", dim, model, cfg)
+        .write.partitionBy("cell").mode("overwrite")
+        .saveAsTable("ivft_del_cat")
+      val refCat = IvfPq.topKIndexed(spark, "ivft_del_cat", q, "vec_id",
+        "embedding", dim, 5, cfg, Some(model)).collect().toSet
+      assert(after.collect().toSet === refCat)
+      // time travel below the delete: the audit face still sees them
+      assert(IvfPqTable.topK(spark, idx, q, "vec_id", "embedding",
+        dim, 5, cfg, Some(model), asOfVersion = Some(vBefore))
+        .collect().toSet === before.collect().toSet)
+      // replay: no rows match, no commit
+      val v = TxLog.latestVersion(spark, idx)
+      IvfPqTable.delete(spark, idx, (0L until 5L))
+      assert(TxLog.latestVersion(spark, idx) === v)
+    }
+  }
+
   test("retrain versions the model: time travel across the retrain " +
       "boundary decodes with the OLD books; a lost epoch fails loudly") {
     withDir { dir =>

@@ -107,6 +107,38 @@ class Bm25TableSpec extends AnyFunSuite {
     }
   }
 
+  test("delete-then-serve == index-the-remainder (exact integer " +
+      "inverse); zero-df terms leave; replayed decrements no-op") {
+    withDir { dir =>
+      val root = s"$dir/idxd"
+      Bm25Table.create(spark, root, docs(0 until 60), "doc_id", "text")
+      // docs 0..9 carry unique w<i> terms; deleting them must remove
+      // those terms from df entirely and shift every shared-term score
+      val dead = docs(0 until 10)
+      Bm25Table.delete(spark, root, dead, "doc_id", "text",
+        txn = Some(TxLog.Txn("kwdel", 0L)))
+      val ref = Bm25.topDocs(docs(10 until 60), "doc_id", "text", qt, 5)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(served(root) === ref,
+        "delete-then-serve must equal index-the-remainder")
+      // unique terms of the deleted docs left the df table
+      assert(CowTable.read(spark, s"$root/df")
+        .filter(col("term") === "w3").count() === 0L)
+      // stats decremented exactly
+      val st = CowTable.read(spark, s"$root/stats").collect()(0)
+      assert(st.getLong(1) === 50L)
+      // a REPLAYED delete: postings step no-ops naturally (no rows),
+      // df/stats no-op on the stamp — nothing decrements twice
+      Bm25Table.delete(spark, root, dead, "doc_id", "text",
+        txn = Some(TxLog.Txn("kwdel", 0L)))
+      assert(CowTable.read(spark, s"$root/stats").collect()(0)
+        .getLong(1) === 50L)
+      assert(served(root) === ref)
+    }
+  }
+
   test("serving plans the postings scan off the term zone maps") {
     withDir { dir =>
       val root = s"$dir/idx3"
