@@ -1785,6 +1785,27 @@ object Stress {
           s"zone maps pruned only ${m.prunedFiles}")
         m.addedRows
       }
+      timedWarm("cowrename") {
+        // RENAME COLUMN on the 200-file / 2.25M-row table: one
+        // metadata commit, zero files moved, and a key-clustered
+        // merge under the NEW name still prunes off the zone maps
+        val filesBefore = tables.TxLog.snapshot(spark, t)
+          .files.map(_.path).toSet
+        val t0 = System.nanoTime()
+        CowTable.renameColumn(spark, t, "k", "key_id")
+        val renameMs = (System.nanoTime() - t0) / 1e6
+        println(f"STRESS cowrename commit: $renameMs%.0f ms (200 files)")
+        require(tables.TxLog.snapshot(spark, t).files.map(_.path).toSet
+          == filesBefore, "rename moved files")
+        val m = CowTable.merge(spark, t,
+          big.filter(col("k") < 12000).select(col("k").as("key_id"),
+            col("c"), (col("p") + 5.0d).as("p")),
+          Seq("key_id"), checkUniqueKeys = false)
+        require(m.prunedFiles >= 190,
+          s"post-rename zone maps pruned only ${m.prunedFiles}")
+        CowTable.renameColumn(spark, t, "key_id", "k")
+        nRows
+      }
       timedWarm("cowscattered") {
         // keys ≡ 3 (mod 1000) across the WHOLE range: bounds prune
         // nothing and nearly every file holds a match.

@@ -79,9 +79,12 @@ object TableChangeFeed {
       startingVersion: Long = 1L,
       maxVersionsPerTrigger: Option[Int] = None,
       where: Option[String] = None,
-      failOnSchemaEvolution: Boolean = false): DataFrame =
-    reader(spark, path, startingVersion, maxVersionsPerTrigger,
-      cdc = false, where, failOnSchemaEvolution)
+      failOnSchemaEvolution: Boolean = false,
+      startingTimestamp: Option[Long] = None): DataFrame =
+    reader(spark, path,
+      startingTimestamp.fold(startingVersion)(
+        TxLog.firstVersionAtOrAfter(spark, path, _)),
+      maxVersionsPerTrigger, cdc = false, where, failOnSchemaEvolution)
 
   /** Row-level CDC stream: create/append commits arrive as `insert`
     * rows; CDC-enabled merge/delete/update commits arrive as their
@@ -106,9 +109,12 @@ object TableChangeFeed {
       startingVersion: Long = 1L,
       maxVersionsPerTrigger: Option[Int] = None,
       where: Option[String] = None,
-      failOnSchemaEvolution: Boolean = false): DataFrame =
-    reader(spark, path, startingVersion, maxVersionsPerTrigger,
-      cdc = true, where, failOnSchemaEvolution)
+      failOnSchemaEvolution: Boolean = false,
+      startingTimestamp: Option[Long] = None): DataFrame =
+    reader(spark, path,
+      startingTimestamp.fold(startingVersion)(
+        TxLog.firstVersionAtOrAfter(spark, path, _)),
+      maxVersionsPerTrigger, cdc = true, where, failOnSchemaEvolution)
 
   private def reader(spark: SparkSession, path: String,
       startingVersion: Long, maxVersionsPerTrigger: Option[Int],

@@ -529,6 +529,24 @@ object TxLog {
     JsonMethods.parse(readString(f, commitPath(table, v))).extract[Commit]
   }
 
+  /** The change feed's timestamp start: the SMALLEST version whose
+    * commit timestamp is ≥ `tsMillis` (a feed "from last Tuesday"
+    * starts at the first commit of Tuesday). `latest + 1` when every
+    * commit predates the timestamp — the feed then ships only future
+    * commits, which is exactly what a from-now subscription wants.
+    * Same full-scan caveat as [[versionAtTimestamp]] (audit stamps,
+    * not guaranteed monotone under clock skew).
+    */
+  def firstVersionAtOrAfter(spark: SparkSession, table: String,
+      tsMillis: Long): Long = {
+    val latest = latestVersion(spark, table)
+    require(latest >= 1, s"empty log at $table")
+    (1L to latest).foldLeft(latest + 1) { (best, v) =>
+      val ts = commitAt(spark, table, v).ts
+      if (ts.exists(_ >= tsMillis)) math.min(best, v) else best
+    }
+  }
+
   /** TIMESTAMP time travel resolution: the latest version whose commit
     * timestamp is ≤ `tsMillis` — `AS OF TIMESTAMP` resolved against
     * the audit stamps [[tryCommit]] records. The stamps are wall-clock

@@ -138,6 +138,35 @@ class TableChangeFeedSpec extends AnyFunSuite {
     }
   }
 
+  test("startingTimestamp: the feed begins at the first commit at or " +
+      "after the instant; a future instant ships only new commits") {
+    withDir { dir =>
+      val t = dir.getAbsolutePath + "/tts"
+      CowTable.create(spark, t,
+        Seq((1L, 10L, "a")).toDF("k", "v", "s"), Seq("k"))
+      Thread.sleep(15)
+      CowTable.append(spark, t, Seq((2L, 20L, "b")).toDF("k", "v", "s"))
+      val ts2 = TxLog.commitAt(spark, t, 2L).ts.get
+      // from commit 2's instant: only commit 2 ships
+      val got = scala.collection.mutable.Set
+        .empty[(Long, Long, String, Long, String)]
+      drain(TableChangeFeed.readChanges(spark, t,
+          startingTimestamp = Some(ts2)),
+        dir.getAbsolutePath + "/ckt1", got)
+      assert(got.map(_._1) === Set(2L))
+      // from the far future: nothing yet; a NEW commit then ships
+      val got2 = scala.collection.mutable.Set
+        .empty[(Long, Long, String, Long, String)]
+      val feed = TableChangeFeed.readChanges(spark, t,
+        startingTimestamp = Some(ts2 + 1))
+      drain(feed, dir.getAbsolutePath + "/ckt2", got2)
+      assert(got2.isEmpty)
+      CowTable.append(spark, t, Seq((3L, 30L, "c")).toDF("k", "v", "s"))
+      drain(feed, dir.getAbsolutePath + "/ckt2", got2)
+      assert(got2.map(_._1) === Set(3L))
+    }
+  }
+
   test("failOnSchemaEvolution: the loud mode dies at the evolution " +
       "commit; the default keeps silently dropping") {
     withDir { dir =>
