@@ -110,18 +110,20 @@ object IncrementalDedup {
     */
   def readIndex(spark: org.apache.spark.sql.SparkSession,
       prefix: String): CorpusIndex = {
-    val hasDead = spark.catalog.tableExists(s"${prefix}_dead")
-    def antiDoc(df: DataFrame): DataFrame =
-      if (!hasDead) df
-      else df.join(spark.table(s"${prefix}_dead"), Seq("doc_id"),
-        "left_anti")
-    val hashes =
-      if (!hasDead) spark.table(s"${prefix}_hashes")
-      else spark.table(s"${prefix}_hashes")
-        .join(spark.table(s"${prefix}_hashes_del"), Seq("h"), "left_anti")
-    CorpusIndex(hashes,
-      antiDoc(spark.table(s"${prefix}_bands")),
-      antiDoc(spark.table(s"${prefix}_shingles")))
+    // each anti-join gates on ITS OWN tombstone table's existence: a
+    // crash between removeFromIndex's two writes leaves one tombstone
+    // table behind, and gating both joins on one table would either
+    // crash every screen (missing table referenced) or silently skip
+    // applied tombstones — partial states must stay readable AND
+    // over-rejecting at worst
+    def anti(df: DataFrame, tomb: String, key: String): DataFrame =
+      if (!spark.catalog.tableExists(tomb)) df
+      else df.join(spark.table(tomb), Seq(key), "left_anti")
+    CorpusIndex(
+      anti(spark.table(s"${prefix}_hashes"), s"${prefix}_hashes_del", "h"),
+      anti(spark.table(s"${prefix}_bands"), s"${prefix}_dead", "doc_id"),
+      anti(spark.table(s"${prefix}_shingles"), s"${prefix}_dead",
+        "doc_id"))
   }
 
   /** Remove DELETED corpus documents from a persisted index — the
@@ -146,19 +148,22 @@ object IncrementalDedup {
   def removeFromIndex(deleted: DataFrame, idCol: String, textCol: String,
       prefix: String, numBuckets: Int = 32): Unit = {
     val spark = deleted.sparkSession
-    val dead = deleted.select(col(idCol).as("doc_id"))
-    val deadH = deleted.select(md5(col(textCol)).as("h"))
-    if (spark.catalog.tableExists(s"${prefix}_dead")) {
-      graft.sources.Bucketing.appendBucketed(
-        dead, s"${prefix}_dead", "doc_id", numBuckets)
-      graft.sources.Bucketing.appendBucketed(
-        deadH, s"${prefix}_hashes_del", "h", numBuckets)
-    } else {
-      graft.sources.Bucketing.writeBucketed(
-        dead, s"${prefix}_dead", "doc_id", numBuckets)
-      graft.sources.Bucketing.writeBucketed(
-        deadH, s"${prefix}_hashes_del", "h", numBuckets)
-    }
+    // per-TABLE upsert (create-or-append decided independently), so a
+    // crashed earlier removal — whichever table it reached — always
+    // self-heals on the next call instead of taking the wrong branch
+    // for the table the crash skipped. Order `_dead` first: a crash in
+    // between leaves the near screen already ignoring the doc and the
+    // exact screen still rejecting byte-identical text — over-rejecting
+    // relative to the intended end state, never under-screening.
+    def upsert(df: DataFrame, table: String, key: String): Unit =
+      if (spark.catalog.tableExists(table))
+        graft.sources.Bucketing.appendBucketed(df, table, key, numBuckets)
+      else
+        graft.sources.Bucketing.writeBucketed(df, table, key, numBuckets)
+    upsert(deleted.select(col(idCol).as("doc_id")),
+      s"${prefix}_dead", "doc_id")
+    upsert(deleted.select(md5(col(textCol)).as("h")),
+      s"${prefix}_hashes_del", "h")
   }
 
   /** Extend a persisted index with newly ADMITTED documents — the

@@ -196,6 +196,22 @@ object IvfPqTable {
   private def writeModel(spark: SparkSession, path: String,
       model: IvfPq.Model, epoch: Long): Unit = {
     import spark.implicits._
+    // Upgrade path: a pre-versioning index holds its model as parquet
+    // files DIRECTLY under `_model`; writing `_model/v<epoch>` beside
+    // them would corrupt the legacy fallback read (parquet leaf files
+    // at two directory depths). Migrate the flat files into
+    // `_model/v1` first — the epoch they are: the legacy index's
+    // create commit.
+    val f = TxLog.fs(spark, path)
+    val flat = new org.apache.hadoop.fs.Path(s"$path/_model")
+    if (f.exists(flat) && f.listStatus(flat).exists(_.isFile)) {
+      val v1 = new org.apache.hadoop.fs.Path(s"$path/_model/v1")
+      f.mkdirs(v1)
+      f.listStatus(flat).filter(_.isFile).foreach { st =>
+        f.rename(st.getPath,
+          new org.apache.hadoop.fs.Path(v1, st.getPath.getName)); ()
+      }
+    }
     (model.coarse.map(c => (-1, c.cid, c.cv.toSeq)) ++
       model.books.zipWithIndex.flatMap { case (cents, s) =>
         cents.map(c => (s, c.cid, c.cv.toSeq))

@@ -61,6 +61,11 @@ object AnnIngestStream {
     * append is stamped `Txn(appId, batchId)`, so a sink retry or a
     * replay from an old checkpoint no-ops instead of duplicating
     * coded rows — the delivery gap of the catalog form, closed.
+    * `appId` scopes the stamps to one (feed, checkpoint) lineage — a
+    * fresh checkpoint or a second maintaining query needs its own
+    * appId, or its batches are swallowed as replays (the
+    * [[CowTableSinkProvider]] stamp-identity contract; foreachBatch
+    * writers can't derive it from the checkpoint themselves).
     */
   def maintainTable(vectors: DataFrame, idCol: String, vecCol: String,
       dim: Int, path: String, model: IvfPq.Model,

@@ -43,6 +43,15 @@ object IndexIngestStream {
     * it: aggregate appends can't be made idempotent by a stamp alone),
     * closed the same way [[AnnIngestStream.maintainTable]] closed the
     * ANN side.
+    *
+    * `appId` scopes the stamps to ONE logical feed: batchIds are
+    * per-CHECKPOINT, so a restart against a fresh checkpoint (or a
+    * second query maintaining the same index root) under the SAME
+    * appId would see the old stamps and silently swallow its batches
+    * as replays — pass a distinct appId per (feed, checkpoint)
+    * lineage, exactly the [[CowTableSinkProvider]] stamp-identity
+    * contract (foreachBatch writers can't derive it from the
+    * checkpoint themselves, so the caller owns it here).
     */
   def maintainTable(docs: DataFrame, idCol: String, textCol: String,
       root: String,

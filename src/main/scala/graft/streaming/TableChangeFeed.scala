@@ -128,6 +128,7 @@ object TableChangeFeed {
       .option("schemaDDL", snap.schemaDDL)
       .option("columnMap", TableChangeFeedProvider.encodeMap(
         snap.columnMap.getOrElse(Map.empty)))
+      .option("pinnedVersion", snap.version.toString)
       .option("cdc", cdc.toString)
       .option("failOnSchemaEvolution", failOnSchemaEvolution.toString)
     val r1 = where.fold(r0)(w => r0.option("where", w))
@@ -193,7 +194,10 @@ class TableChangeFeedProvider extends StreamSourceProvider
         .map(TableChangeFeedProvider.decodeMap)
         .getOrElse(TxLog.snapshot(sqlContext.sparkSession,
           tablePath(parameters)).columnMap.getOrElse(Map.empty)),
-      parameters.get("failOnSchemaEvolution").exists(_.toBoolean))
+      parameters.get("failOnSchemaEvolution").exists(_.toBoolean),
+      parameters.get("pinnedVersion").map(_.toLong)
+        .getOrElse(TxLog.latestVersion(sqlContext.sparkSession,
+          tablePath(parameters))))
 }
 
 /** The source itself: offsets are commit versions (a [[LongOffset]] of
@@ -206,7 +210,8 @@ class TableChangeSource(sqlContext: SQLContext, path: String,
     cdc: Boolean = false,
     where: Option[String] = None,
     pinnedMap: Map[String, String] = Map.empty,
-    failOnSchemaEvolution: Boolean = false) extends Source {
+    failOnSchemaEvolution: Boolean = false,
+    pinnedVersion: Long = Long.MaxValue) extends Source {
   require(startingVersion >= 1, s"startingVersion >= 1, got $startingVersion")
   require(maxVersionsPerTrigger.forall(_ >= 1),
     s"maxVersionsPerTrigger >= 1, got $maxVersionsPerTrigger")
@@ -255,10 +260,17 @@ class TableChangeSource(sqlContext: SQLContext, path: String,
       // Schema-evolution guard: a commit restating the DDL may carry
       // data the PINNED schema cannot represent (a column added after
       // stream start — compared by PHYSICAL name, so renames, which
-      // the pinned read surfaces transparently, never trip it). By
-      // default that data silently drops until restart (documented);
-      // with failOnSchemaEvolution the stream dies LOUDLY instead.
-      c.schemaDDL.filter(_ => failOnSchemaEvolution).foreach { ddl =>
+      // the pinned read surfaces transparently, never trip it). Only
+      // commits ABOVE the pinned version can trip it: everything at
+      // or below the pin is HISTORY the pinned schema already
+      // reflects (a column dropped before the pin is absent from
+      // pinnedPhys by design, not by loss — failing a catch-up over
+      // it would give un-followable "restart" advice, since a restart
+      // re-pins the same head schema). By default post-pin evolution
+      // data silently drops until restart (documented); with
+      // failOnSchemaEvolution the stream dies LOUDLY instead.
+      c.schemaDDL.filter(_ =>
+          failOnSchemaEvolution && v > pinnedVersion).foreach { ddl =>
         val vSnap = TxLog.snapshot(spark, path, Some(v))
         val extra = StructType.fromDDL(ddl).fieldNames
           .filterNot(n => pinnedPhys.contains(vSnap.physName(n)))
@@ -297,11 +309,15 @@ class TableChangeSource(sqlContext: SQLContext, path: String,
           Some(changed.select(changed.columns.map(col(_)).toSeq :+
             lit(c.op).as(TableChangeFeed.OpCol): _*))
         } else if (c.cdcDir.isDefined) {
+          // conform FIRST, filter after: the `where` predicate speaks
+          // the PINNED logical names, while the sidecar stores the
+          // commit-time names — filtering the raw frame would break
+          // (or silently mis-evaluate) across a rename
           val changed0 = CowTable.changesCdcAt(spark, path, v)
-          val changed = where.fold(changed0)(w => changed0.filter(expr(w)))
-          Some(changed.select(
-            cdcConform(changed, TxLog.snapshot(spark, path, Some(v))) :+
-              col(ct): _*))
+          val conformed = changed0.select(
+            cdcConform(changed0, TxLog.snapshot(spark, path, Some(v))) :+
+              col(ct): _*)
+          Some(where.fold(conformed)(w => conformed.filter(expr(w))))
         } else c.op match {
           case "create" | "append" | "clone" =>
             // pure adds: the commit's rows ARE inserts (a clone's

@@ -142,14 +142,33 @@ object CowTable {
           validated ++= fresh
         }
         val ev = evolvedSchema(snap, df, mergeSchema, Set.empty)
-        // a rival may have bound one of OUR fresh logical names to a
-        // different physical name — our staged files are unreadable
-        // under that binding, so fail loudly rather than publish them
-        ev0.fresh.foreach { case (l, ph) =>
-          val bound = snap.physName(l)
-          require(bound == l || bound == ph,
-            s"column '$l' was concurrently re-added with physical name " +
-              s"'$bound' (ours: '$ph') — retry the append")
+        // The staged files are PHYSICAL-schema-fixed: every column we
+        // wrote must still exist under the SAME logical→physical
+        // binding in the current snapshot, or publishing them is
+        // wrong either way — a concurrent dropColumn would make our
+        // re-adding DDL resurrect the dropped bytes (our files carry
+        // the OLD physical name, not a fresh one), and a concurrent
+        // rename would strand our logical column names. Fail loudly;
+        // the caller re-runs the append against the new schema.
+        val curFields = StructType.fromDDL(snap.schemaDDL).fieldNames.toSet
+        val claimed = snap.columnMap.getOrElse(Map.empty).values.toSet ++
+          snap.retiredPhys.getOrElse(Seq.empty)
+        written.columns.foreach { c =>
+          val pc = writeMap.getOrElse(c, c)
+          // a column we wrote must either still exist under the SAME
+          // logical→physical binding, or be one THIS append is adding
+          // (its physical name unclaimed by any other column, live or
+          // retired) — otherwise a concurrent rename/drop re-bound it
+          // and publishing the staged files would mis-read (a dropped
+          // column's old bytes would resurrect under our re-add)
+          val ok =
+            if (curFields.contains(c)) snap.physName(c) == pc
+            else !claimed.contains(pc)
+          require(ok,
+            s"column '$c' was renamed, dropped, or re-bound " +
+              "concurrently with this append — re-run the append " +
+              "against the current schema (publishing the staged " +
+              "files would mis-bind their physical columns)")
         }
         // stamp the FULL map only when this commit introduces fresh
         // physical bindings — computed against the CURRENT snapshot so
@@ -249,16 +268,8 @@ object CowTable {
       .filterNot(_.isNaN).sorted.toIndexedSeq
     lazy val hasNaN = values
       .exists(v => scala.util.Try(v.toDouble).toOption.exists(_.isNaN))
-    val utf8Ord: Ordering[String] = (a: String, b: String) => {
-      val (x, y) = (a.getBytes("UTF-8"), b.getBytes("UTF-8"))
-      val n = math.min(x.length, y.length)
-      var i = 0
-      var r = 0
-      while (r == 0 && i < n) {
-        r = (x(i) & 0xff) - (y(i) & 0xff); i += 1
-      }
-      if (r != 0) r else x.length - y.length
-    }
+    val utf8Ord: Ordering[String] =
+      (a: String, b: String) => TxLog.utf8Compare(a, b)
     lazy val strVals = values.sorted(utf8Ord).toIndexedSeq
     def anyInRange(s: ColStats): Boolean = s.kind match {
       case "long" =>
@@ -583,7 +594,7 @@ object CowTable {
           val touched = candDf.join(upData, keyJoin, "left_semi")
             .select("_gf").distinct().collect()
             .map { r =>
-              val abs = new java.net.URI(r.getString(0)).getPath
+              val abs = scanKey(r.getString(0))
               byAbs.getOrElse(abs, sys.error(
                 s"scanned file $abs not in the candidate manifest " +
                   s"(root $tableRoot) — path decode mismatch"))
@@ -751,7 +762,7 @@ object CowTable {
         .filter(coalesce(cond, lit(false)))
         .select("_gf").distinct().collect()
         .map { r =>
-          val abs = new java.net.URI(r.getString(0)).getPath
+          val abs = scanKey(r.getString(0))
           byAbs.getOrElse(abs, sys.error(
             s"scanned file $abs not in the manifest (root $tableRoot)"))
         }.toSeq
@@ -1212,19 +1223,13 @@ object CowTable {
     val f = TxLog.fs(spark, srcPath)
     f.mkdirs(cloneDir(srcPath))
     val id = java.util.UUID.randomUUID().toString
-    val doc = s"""{"id":"$id","clonePath":${jsonStr(clonePath)},""" +
-      s""""srcVersion":$srcVersion}"""
+    // same serializer the reader parses with — no hand-spliced JSON
+    val doc = org.json4s.jackson.Serialization.write(
+      CloneLease(id, clonePath, srcVersion))(
+      org.json4s.jackson.Serialization.formats(org.json4s.NoTypeHints))
     val out = f.create(new Path(cloneDir(srcPath), s"$id.json"), true)
     try out.write(doc.getBytes("UTF-8")) finally out.close()
   }
-
-  private def jsonStr(s: String): String =
-    "\"" + s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
 
   /** The source table's registered clone leases ([[shallowClone]]
     * writes one per fork; [[dropCloneLease]] releases them).
@@ -1448,7 +1453,20 @@ object CowTable {
     */
   private def absKey(root: String, p: String): String = {
     val loc = fileUri(root, p)
-    if (TxLog.hasUriScheme(loc)) new java.net.URI(loc).getPath else loc
+    if (TxLog.hasUriScheme(loc)) {
+      val u = new java.net.URI(loc)
+      // authority STAYS in the key: two filesystems/buckets can hold
+      // identical path components (clone-of-clone across mirrored
+      // layouts), and a path-only key would silently collapse them in
+      // the scanned-file → manifest-entry maps
+      s"${Option(u.getAuthority).getOrElse("")}|${u.getPath}"
+    } else s"|$loc"
+  }
+
+  /** The matching key for a scanned `input_file_name()` URI. */
+  private def scanKey(fileName: String): String = {
+    val u = new java.net.URI(fileName)
+    s"${Option(u.getAuthority).getOrElse("")}|${u.getPath}"
   }
 
   /** The `data/` partition root that owns a manifest entry — the

@@ -118,7 +118,7 @@ object Maintenance {
     val lt: (String, String) => Boolean = kind match {
       case "long"   => (a, b) => a.toLong < b.toLong
       case "double" => (a, b) => a.toDouble < b.toDouble
-      case _        => (a, b) => utf8Lt(a, b)
+      case _        => (a, b) => TxLog.utf8Compare(a, b) < 0
     }
     // (value, isStart): starts sort before ends at the same value
     val events = stats.flatMap(s => Seq((s.min, true), (s.max, false)))
@@ -155,15 +155,4 @@ object Maintenance {
     out.toSeq
   }
 
-  private def utf8Lt(a: String, b: String): Boolean = {
-    val (x, y) = (a.getBytes("UTF-8"), b.getBytes("UTF-8"))
-    val n = math.min(x.length, y.length)
-    var i = 0
-    while (i < n) {
-      val d = (x(i) & 0xff) - (y(i) & 0xff)
-      if (d != 0) return d < 0
-      i += 1
-    }
-    x.length < y.length
-  }
 }

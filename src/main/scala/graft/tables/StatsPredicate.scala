@@ -79,20 +79,8 @@ object StatsPredicate {
       }
       val (l, h) = (lo.map(asS), hi.map(asS))
       if (l.exists(_.isEmpty) || h.exists(_.isEmpty)) true
-      else l.flatten.forall(v => utf8Lte(v, s.max)) &&
-        h.flatten.forall(v => utf8Lte(s.min, v))
+      else l.flatten.forall(v => TxLog.utf8Compare(v, s.max) <= 0) &&
+        h.flatten.forall(v => TxLog.utf8Compare(s.min, v) <= 0)
     case _ => true
-  }
-
-  private def utf8Lte(a: String, b: String): Boolean = {
-    val (x, y) = (a.getBytes("UTF-8"), b.getBytes("UTF-8"))
-    val n = math.min(x.length, y.length)
-    var i = 0
-    while (i < n) {
-      val c = (x(i) & 0xff) - (y(i) & 0xff)
-      if (c != 0) return c < 0
-      i += 1
-    }
-    x.length <= y.length
   }
 }

@@ -114,20 +114,31 @@ object TxLog {
         l.isNaN || h.isNaN || mn.isNaN || mx.isNaN ||
           (mn <= h && l <= mx)
       case "string" =>
-        utf8Lte(min, hi.toString) && utf8Lte(lo.toString, max)
+        utf8Compare(min, hi.toString) <= 0 &&
+          utf8Compare(lo.toString, max) <= 0
       case _        => true
     }
-    private def utf8Lte(a: String, b: String): Boolean = {
-      val (x, y) = (a.getBytes("UTF-8"), b.getBytes("UTF-8"))
-      val n = math.min(x.length, y.length)
-      var i = 0
-      while (i < n) {
-        val c = (x(i) & 0xff) - (y(i) & 0xff)
-        if (c != 0) return c < 0
-        i += 1
-      }
-      x.length <= y.length
+  }
+
+  /** THE string order of the manifest: UTF-8 byte comparison —
+    * Spark's UTF8String binary order (= code-point order), NOT Java
+    * compareTo (UTF-16 units rank supplementary-plane chars below
+    * U+E000). Every consumer of string zone maps must compare with
+    * this one function ([[ColStats.mayOverlap]], [[StatsPredicate]],
+    * [[CowTable.readMatchingAny]], the [[graft.tables.Maintenance]]
+    * sweep) — a second implementation that drifted would silently
+    * desync pruning from the stats.
+    */
+  private[tables] def utf8Compare(a: String, b: String): Int = {
+    val (x, y) = (a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
     }
+    x.length - y.length
   }
 
   /** Idempotence stamp for exactly-once writers (the streaming sink):
@@ -563,13 +574,18 @@ object TxLog {
       tsMillis: Long): Long = {
     val latest = latestVersion(spark, table)
     require(latest >= 1, s"empty log at $table")
+    // ts-less commits (hand-written logs) are UNPLACEABLE in time and
+    // never qualify — the same convention as [[firstVersionAtOrAfter]]
+    // (ts.exists on both sides); treating them as always-qualifying
+    // would resolve an instant to a version far after it
     val v = (1L to latest).foldLeft(0L) { (best, v) =>
       val ts = commitAt(spark, table, v).ts
-      if (ts.forall(_ <= tsMillis)) math.max(best, v) else best
+      if (ts.exists(_ <= tsMillis)) math.max(best, v) else best
     }
     require(v >= 1,
-      s"timestamp $tsMillis predates the first commit of $table " +
-        s"(earliest: ${commitAt(spark, table, 1L).ts.getOrElse("unknown")})")
+      s"timestamp $tsMillis predates the first (time-stamped) commit " +
+        s"of $table (earliest: " +
+        s"${commitAt(spark, table, 1L).ts.getOrElse("unstamped")})")
     v
   }
 

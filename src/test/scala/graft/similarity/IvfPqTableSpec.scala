@@ -110,6 +110,10 @@ class IvfPqTableSpec extends AnyFunSuite {
         .forall(_.getLong(1) === 5L), "k results still served per query")
       // ≡ code-the-remainder with the same frozen model
       spark.sql("DROP TABLE IF EXISTS ivft_del_cat")
+      val wloc = new org.apache.hadoop.fs.Path(
+        s"${spark.conf.get("spark.sql.warehouse.dir")}/ivft_del_cat")
+      val wfs = wloc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (wfs.exists(wloc)) { wfs.delete(wloc, true); () }
       IvfPq.code(vecs(5 until 90), "vec_id", "embedding", dim, model, cfg)
         .write.partitionBy("cell").mode("overwrite")
         .saveAsTable("ivft_del_cat")
@@ -124,6 +128,42 @@ class IvfPqTableSpec extends AnyFunSuite {
       val v = TxLog.latestVersion(spark, idx)
       IvfPqTable.delete(spark, idx, (0L until 5L))
       assert(TxLog.latestVersion(spark, idx) === v)
+    }
+  }
+
+  test("legacy flat _model migrates on retrain: the epoch-1 fallback " +
+      "and the time-traveled serve both survive the upgrade") {
+    withDir { dir =>
+      val idx = s"$dir/idxleg"
+      val m1 = IvfPqTable.create(spark, idx, vecs(0 until 60),
+        "vec_id", "embedding", dim, cfg)
+      // simulate a pre-versioning index: flatten _model/v1 into _model
+      val fs = new org.apache.hadoop.fs.Path(idx)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val v1 = new org.apache.hadoop.fs.Path(s"$idx/_model/v1")
+      fs.listStatus(v1).foreach { st =>
+        fs.rename(st.getPath, new org.apache.hadoop.fs.Path(
+          s"$idx/_model/" + st.getPath.getName)); ()
+      }
+      fs.delete(v1, true)
+      // legacy read path works...
+      val q = vecs(0 until 3)
+      val legacyServe = IvfPqTable.topK(spark, idx, q, "vec_id",
+        "embedding", dim, 5, cfg).collect().toSet
+      assert(legacyServe === IvfPqTable.topK(spark, idx, q, "vec_id",
+        "embedding", dim, 5, cfg, Some(m1)).collect().toSet)
+      val vBefore = TxLog.latestVersion(spark, idx)
+      // ...and a retrain MIGRATES the flat files into v1 before
+      // writing its own epoch (writing beside them would corrupt the
+      // fallback with parquet files at two directory depths)
+      IvfPqTable.retrain(spark, idx, vecs(0 until 60),
+        "vec_id", "embedding", dim, cfg.copy(cells = 5))
+      assert(!fs.listStatus(new org.apache.hadoop.fs.Path(s"$idx/_model"))
+        .exists(_.isFile), "flat legacy files must have migrated")
+      // time travel below the retrain serves with the MIGRATED books
+      assert(IvfPqTable.topK(spark, idx, q, "vec_id", "embedding",
+        dim, 5, cfg, asOfVersion = Some(vBefore)).collect().toSet ===
+        legacyServe)
     }
   }
 

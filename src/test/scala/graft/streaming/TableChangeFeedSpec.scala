@@ -213,6 +213,34 @@ class TableChangeFeedSpec extends AnyFunSuite {
     }
   }
 
+  test("loud mode never trips on HISTORY: a pre-pin drop catches up " +
+      "fine (only post-pin evolution commits can fail the stream)") {
+    withDir { dir =>
+      val t = dir.getAbsolutePath + "/thist"
+      CowTable.create(spark, t,
+        Seq((1L, 10L, "a")).toDF("k", "v", "s"), Seq("k"))
+      CowTable.append(spark, t, Seq((2L, 20L, "b")).toDF("k", "v", "s"))
+      CowTable.dropColumn(spark, t, "v")
+      CowTable.append(spark, t, Seq((3L, "c")).toDF("k", "s"))
+      // the stream pins the POST-drop schema; its catch-up crosses the
+      // create/append commits whose DDL still holds the dropped column
+      // — history, not evolution: must flow, not die with restart
+      // advice a restart cannot follow
+      val feed = TableChangeFeed.readChanges(spark, t,
+        failOnSchemaEvolution = true)
+      assert(feed.columns.take(2).toSeq === Seq("k", "s"))
+      val got = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val q = feed.writeStream
+        .option("checkpointLocation", dir.getAbsolutePath + "/ckh")
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          got.synchronized {
+            got ++= b.select("k").collect().map(_.getLong(0)) }; ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+      assert(got.toSet === Set(1L, 2L, 3L))
+    }
+  }
+
   test("catch-up across a rename is physical-name transparent: " +
       "pre-rename commits surface VALUES under the pinned name") {
     withDir { dir =>
