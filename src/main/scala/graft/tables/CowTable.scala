@@ -372,6 +372,39 @@ object CowTable {
         columnMap = Some(newMap), minReader = Some(3)))
     }
 
+  /** ADD COLUMN as a METADATA commit — the explicit DDL face of what
+    * `mergeSchema` appends do implicitly: the new column joins the
+    * schema as a trailing NULLABLE field, existing files read it as
+    * typed nulls, and no file moves. If the name's default physical
+    * binding is already claimed (a previously dropped column's retired
+    * name, or a renamed column's physical) the new column binds to a
+    * FRESH physical name, so old bytes can never resurrect — the same
+    * rule as the evolution path. Rejected when the column already
+    * exists or the type DDL doesn't parse.
+    */
+  def addColumn(spark: SparkSession, path: String, name: String,
+      typeDDL: String): Unit =
+    retrying(s"add column $name on $path") {
+      val snap = TxLog.snapshot(spark, path)
+      val cur = StructType.fromDDL(snap.schemaDDL)
+      require(!cur.fieldNames.contains(name),
+        s"column '$name' already exists in $path")
+      val dt = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+        .parseDataType(typeDDL)
+      val ns = StructType(cur.fields :+
+        StructField(name, dt, nullable = true))
+      val claimed = snap.columnMap.getOrElse(Map.empty).values.toSet ++
+        snap.retiredPhys.getOrElse(Seq.empty)
+      val mapStamp =
+        if (!claimed.contains(name)) None
+        else Some(snap.columnMap.getOrElse(Map.empty) +
+          (name -> s"${name}_r${snap.version + 1}"))
+      TxLog.tryCommit(spark, path, Commit(snap.version + 1, "add_column",
+        Seq.empty, Seq.empty, Some(ns.toDDL), None,
+        columnMap = mapStamp,
+        minReader = mapStamp.map(_ => 3)))
+    }
+
   /** DROP COLUMN as a METADATA commit: the column leaves the schema
     * DDL and its physical name RETIRES ([[TxLog.Snapshot.retiredPhys]])
     * — files keep their bytes (time travel below the drop still reads

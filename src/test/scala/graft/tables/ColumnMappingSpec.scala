@@ -169,6 +169,38 @@ class ColumnMappingSpec extends AnyFunSuite {
     }
   }
 
+  test("addColumn: metadata-only, typed nulls backfill, a retired " +
+      "name binds fresh and never resurrects") {
+    withTable { t =>
+      CowTable.create(spark, t, base(50, 1), Seq("k"))            // v1
+      val filesBefore = TxLog.snapshot(spark, t).files.map(_.path).toSet
+      CowTable.addColumn(spark, t, "w", "DOUBLE")                 // v2
+      assert(TxLog.snapshot(spark, t).files.map(_.path).toSet ===
+        filesBefore, "addColumn moved files")
+      val head = CowTable.read(spark, t)
+      assert(head.columns.toSeq === Seq("k", "v", "s", "w"))
+      assert(head.filter(col("w").isNotNull).count() === 0L)
+      // writes carry it; time travel below lacks it
+      CowTable.append(spark, t, Seq((500L, 1L, "x", 2.5d))
+        .toDF("k", "v", "s", "w"))
+      assert(CowTable.read(spark, t).filter(col("w") === 2.5d)
+        .count() === 1L)
+      assert(CowTable.read(spark, t, Some(1L)).columns.toSeq ===
+        Seq("k", "v", "s"))
+      intercept[IllegalArgumentException] {
+        CowTable.addColumn(spark, t, "w", "DOUBLE") // exists
+      }
+      // drop then re-ADD via addColumn: fresh physical binding — the
+      // old bytes must not resurrect
+      CowTable.dropColumn(spark, t, "v")
+      CowTable.addColumn(spark, t, "v", "BIGINT")
+      val snap = TxLog.snapshot(spark, t)
+      assert(snap.physName("v") !== "v")
+      assert(CowTable.read(spark, t).filter(col("k") === 10L)
+        .select("v").head().isNullAt(0))
+    }
+  }
+
   test("readMatchingAny: point-set zone-map prune, each file once, " +
       "typed per kind, conservative on junk values") {
     withTable { t =>
