@@ -260,6 +260,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       graft.tables.CowTable.read(spark, path, asOf)
         .queryExecution.logical
     })
+    injectTvf("cow_table_files", { args =>
+      require(args.nonEmpty && args.length <= 2,
+        s"cow_table_files(path[, asOfVersion]) — got ${args.length} args")
+      val spark = org.apache.spark.sql.SparkSession.active
+      graft.tables.TxLog.filesAsDf(spark,
+          constStr(args.head, "cow_table_files"),
+          args.lift(1).map(constLong(_, "cow_table_files")))
+        .queryExecution.logical
+    })
     injectTvf("cow_table_history", { args =>
       require(args.length == 1,
         s"cow_table_history(path) — got ${args.length} arguments")

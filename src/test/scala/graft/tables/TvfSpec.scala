@@ -75,6 +75,23 @@ class TvfSpec extends AnyFunSuite {
     }
   }
 
+  test("cow_table_files surfaces the manifest (zone maps queryable)") {
+    withTable { t =>
+      CowTable.create(spark, t,
+        spark.range(100).select(col("id").as("k"), (col("id") % 3).as("v"))
+          .repartitionByRange(4, col("k")), Seq("k"))
+      CowTable.append(spark, t, Seq((500L, 1L)).toDF("k", "v"))
+      val head = spark.sql(
+        s"SELECT count(*), sum(rows) FROM cow_table_files('$t')").head()
+      assert(head.getLong(0) === 5L && head.getLong(1) === 101L)
+      // time-traveled manifest + zone maps as plain SQL
+      val v1 = spark.sql(
+        s"""SELECT max(CAST(stats['k'].max AS BIGINT))
+           |FROM cow_table_files('$t', 1)""".stripMargin).head()
+      assert(v1.getLong(0) === 99L)
+    }
+  }
+
   test("cow_table_history is a queryable relation; bad args are loud") {
     withTable { t =>
       CowTable.create(spark, t, Seq((1L, 1L, "a")).toDF("k", "v", "s"),
