@@ -151,8 +151,7 @@ object CowTable {
         // rename would strand our logical column names. Fail loudly;
         // the caller re-runs the append against the new schema.
         val curFields = StructType.fromDDL(snap.schemaDDL).fieldNames.toSet
-        val claimed = snap.columnMap.getOrElse(Map.empty).values.toSet ++
-          snap.retiredPhys.getOrElse(Seq.empty)
+        val claimed = claimedPhys(snap)
         written.columns.foreach { c =>
           val pc = writeMap.getOrElse(c, c)
           // a column we wrote must either still exist under the SAME
@@ -393,12 +392,10 @@ object CowTable {
         .parseDataType(typeDDL)
       val ns = StructType(cur.fields :+
         StructField(name, dt, nullable = true))
-      val claimed = snap.columnMap.getOrElse(Map.empty).values.toSet ++
-        snap.retiredPhys.getOrElse(Seq.empty)
       val mapStamp =
-        if (!claimed.contains(name)) None
+        if (!claimedPhys(snap).contains(name)) None
         else Some(snap.columnMap.getOrElse(Map.empty) +
-          (name -> s"${name}_r${snap.version + 1}"))
+          (name -> freshPhys(name, snap)))
       TxLog.tryCommit(spark, path, Commit(snap.version + 1, "add_column",
         Seq.empty, Seq.empty, Some(ns.toDDL), None,
         columnMap = mapStamp,
@@ -620,17 +617,16 @@ object CowTable {
           // and a path that resolves to NO manifest entry fails LOUDLY
           // — silently dropping it would turn matched updates into
           // duplicate inserts.
-          val tableRoot = TxLog.fs(spark, path)
-            .makeQualified(new Path(path)).toUri.getPath.stripSuffix("/")
+          val hconf = spark.sessionState.newHadoopConf()
           val byAbs: Map[String, AddFile] =
-            candidates.map(f => absKey(tableRoot, f.path) -> f).toMap
+            candidates.map(f => entryKey(hconf, path, f.path) -> f).toMap
           val touched = candDf.join(upData, keyJoin, "left_semi")
             .select("_gf").distinct().collect()
             .map { r =>
               val abs = scanKey(r.getString(0))
               byAbs.getOrElse(abs, sys.error(
                 s"scanned file $abs not in the candidate manifest " +
-                  s"(root $tableRoot) — path decode mismatch"))
+                  s"(table $path) — path decode mismatch"))
             }.toSeq
 
           // 3. Rewrite touched rows (left join: survivors pass through,
@@ -672,7 +668,10 @@ object CowTable {
           // format stores CDC as explicit change files rather than
           // re-deriving it from data files at read time.
           val cdcDir = if (!cdc) None else {
-            val matched = touchedDf.join(upData, tJoin, "inner")
+            // the four tagged branches below each re-execute this join
+            // (and its touched-file scan) lazily — persist it for the
+            // duration of the sidecar write: one scan, not four
+            val matched = touchedDf.join(upData, tJoin, "inner").persist()
             val hit = matchedCondition.fold(lit(true))(c =>
               coalesce(c(touchedDf, upData), lit(false)))
             val delHit = upData("_gf_del")
@@ -690,6 +689,7 @@ object CowTable {
               .unionByName(tagged(inserts, allCols.map(col(_)), "insert"))
             val rel = s"_cdc/${java.util.UUID.randomUUID()}"
             changes.write.parquet(s"$path/$rel")
+            matched.unpersist(blocking = false)
             Some(rel)
           }
 
@@ -786,10 +786,9 @@ object CowTable {
       // range analysis) — a clustered range delete over a 100 TB table
       // probes O(matching files), not the world.
       val candidates = StatsPredicate.prune(snap.files, cond, snap.physName)
-      val tableRoot = TxLog.fs(spark, path)
-        .makeQualified(new Path(path)).toUri.getPath.stripSuffix("/")
+      val hconf = spark.sessionState.newHadoopConf()
       val byAbs: Map[String, AddFile] =
-        candidates.map(f => absKey(tableRoot, f.path) -> f).toMap
+        candidates.map(f => entryKey(hconf, path, f.path) -> f).toMap
       val touched = readFiles(spark, path, snap, candidates)
         .withColumn("_gf", input_file_name())
         .filter(coalesce(cond, lit(false)))
@@ -797,7 +796,7 @@ object CowTable {
         .map { r =>
           val abs = scanKey(r.getString(0))
           byAbs.getOrElse(abs, sys.error(
-            s"scanned file $abs not in the manifest (root $tableRoot)"))
+            s"scanned file $abs not in the manifest (table $path)"))
         }.toSeq
       if (touched.isEmpty) {
         result = Some(RewriteMetrics(snap.version, candidates.size.toLong,
@@ -900,8 +899,14 @@ object CowTable {
     var rewritten = 0L
     retrying(s"optimizeWhere $path") {
       val snap = TxLog.snapshot(spark, path)
-      val sel = snap.files.filter(
-        _.stats.get(snap.physName(column)).forall(_.mayOverlap(lo, hi)))
+      // conservative-EXCLUSIVE selection (exists, and a comparable
+      // kind): a READ must include stats-less/opaque files or miss
+      // rows, but a layout REWRITE including them is pure waste — a
+      // maintenance pass with several hot ranges would rewrite every
+      // such file once per range, forever
+      val ph = snap.physName(column)
+      val sel = snap.files.filter(_.stats.get(ph).exists(st =>
+        st.kind != "opaque" && st.mayOverlap(lo, hi)))
       rewritten = sel.size.toLong
       if (sel.isEmpty) true
       else {
@@ -929,7 +934,8 @@ object CowTable {
     var rewritten = 0L
     retrying(s"optimizeMatching $path") {
       val snap = TxLog.snapshot(spark, path)
-      val sel = StatsPredicate.prune(snap.files, cond, snap.physName)
+      val sel = StatsPredicate.pruneForRewrite(snap.files, cond,
+        snap.physName)
       rewritten = sel.size.toLong
       if (sel.isEmpty) true
       else {
@@ -1008,7 +1014,13 @@ object CowTable {
     val dataDir = new Path(path, "data")
     if (!f.exists(dataDir)) return Seq.empty
     val horizon = System.currentTimeMillis() - retentionMs
-    val root = new Path(path).toUri.getPath.stripSuffix("/")
+    // QUALIFIED root: a cwd-relative table path (every other op
+    // qualifies through the FileSystem) would otherwise never prefix
+    // the walked absolute paths — rel would keep the full path, match
+    // nothing in the keep set, and vacuum would delete every live
+    // data file past the age gate (silent table destruction)
+    val root = f.makeQualified(new Path(path)).toUri.getPath
+      .stripSuffix("/")
     // Plain listStatus recursion, tolerant per entry: vacuum runs
     // ALONGSIDE writers, whose task commits rename files out from
     // under the walk — a vanished entry is simply not reclaimable this
@@ -1260,8 +1272,7 @@ object CowTable {
     val doc = org.json4s.jackson.Serialization.write(
       CloneLease(id, clonePath, srcVersion))(
       org.json4s.jackson.Serialization.formats(org.json4s.NoTypeHints))
-    val out = f.create(new Path(cloneDir(srcPath), s"$id.json"), true)
-    try out.write(doc.getBytes("UTF-8")) finally out.close()
+    TxLog.writeString(f, new Path(cloneDir(srcPath), s"$id.json"), doc)
   }
 
   /** The source table's registered clone leases ([[shallowClone]]
@@ -1274,14 +1285,8 @@ object CowTable {
     else f.listStatus(dir).toSeq.filter(st =>
       st.isFile && st.getPath.getName.endsWith(".json")).flatMap { st =>
       try {
-        val in = f.open(st.getPath)
-        val bs = new java.io.ByteArrayOutputStream()
-        try {
-          val buf = new Array[Byte](8192)
-          var n = in.read(buf)
-          while (n >= 0) { bs.write(buf, 0, n); n = in.read(buf) }
-        } finally in.close()
-        val jv = org.json4s.jackson.JsonMethods.parse(bs.toString("UTF-8"))
+        val jv = org.json4s.jackson.JsonMethods.parse(
+          TxLog.readString(f, st.getPath))
         implicit val fm: org.json4s.Formats =
           org.json4s.jackson.Serialization.formats(org.json4s.NoTypeHints)
         Some(jv.extract[CloneLease])
@@ -1425,6 +1430,31 @@ object CowTable {
     * incompatible-retype rule. Returns the DDL to stamp into the
     * commit (None if nothing changed) and the effective column list.
     */
+  /** Every physical name CLAIMED at this snapshot: the live columns'
+    * bindings (identity or mapped) plus the retired names. A fresh
+    * physical binding must avoid ALL of them — a map value or retired
+    * name alone misses identity-bound live columns, and colliding
+    * with one (e.g. a live column literally named `x_r5` when
+    * re-adding `x` at version 4) would make every read build a
+    * duplicate-named physical schema and fail.
+    */
+  private def claimedPhys(snap: Snapshot): Set[String] =
+    StructType.fromDDL(snap.schemaDDL).fieldNames
+      .map(snap.physName).toSet ++
+      snap.columnMap.getOrElse(Map.empty).values ++
+      snap.retiredPhys.getOrElse(Seq.empty)
+
+  /** A physical name for re-adding logical `name`, guaranteed free. */
+  private def freshPhys(name: String, snap: Snapshot): String = {
+    val claimed = claimedPhys(snap)
+    var cand = s"${name}_r${snap.version + 1}"
+    var i = 0
+    while (claimed.contains(cand)) {
+      i += 1; cand = s"${name}_r${snap.version + 1}_$i"
+    }
+    cand
+  }
+
   private final case class Evolved(ddl: Option[String],
       cols: Seq[String], fresh: Map[String, String])
 
@@ -1445,15 +1475,14 @@ object CowTable {
     if (extra.isEmpty || !allow) Evolved(None, cur.fieldNames.toSeq, Map.empty)
     else {
       // A new logical name whose default physical name is already in
-      // use — bound to a RENAMED column, or retired by a DROP — takes
-      // a fresh physical name, or old files' bytes would surface under
-      // the new column (the resurrect hazard column mapping exists to
-      // prevent).
-      val usedPhys = snap.columnMap.getOrElse(Map.empty).values.toSet ++
-        snap.retiredPhys.getOrElse(Seq.empty)
+      // use — bound to a RENAMED column, retired by a DROP, or a live
+      // column's binding — takes a fresh (collision-checked) physical
+      // name, or old files' bytes would surface under the new column
+      // (the resurrect hazard column mapping exists to prevent).
+      val usedPhys = claimedPhys(snap)
       val fresh = extra.collect {
         case f if usedPhys.contains(f.name) =>
-          f.name -> s"${f.name}_r${snap.version + 1}"
+          f.name -> freshPhys(f.name, snap)
       }.toMap
       val ns = StructType(cur.fields ++ extra.map(_.copy(nullable = true)))
       Evolved(Some(ns.toDDL), ns.fieldNames.toSeq, fresh)
@@ -1484,16 +1513,23 @@ object CowTable {
     * scheme-qualified external entry must key by its path, or the
     * scanned-file → manifest-entry map misses it loudly.
     */
-  private def absKey(root: String, p: String): String = {
-    val loc = fileUri(root, p)
-    if (TxLog.hasUriScheme(loc)) {
-      val u = new java.net.URI(loc)
-      // authority STAYS in the key: two filesystems/buckets can hold
-      // identical path components (clone-of-clone across mirrored
-      // layouts), and a path-only key would silently collapse them in
-      // the scanned-file → manifest-entry maps
-      s"${Option(u.getAuthority).getOrElse("")}|${u.getPath}"
-    } else s"|$loc"
+  /** The canonical `(authority, path)` key of a manifest entry's
+    * on-disk location — QUALIFIED against the entry's own filesystem,
+    * so it matches what `input_file_name()` reports on ANY
+    * filesystem. Authority stays in the key (two buckets can mirror
+    * identical path layouts — clone-of-clone — and a path-only key
+    * would silently collapse them); qualification matters equally:
+    * `input_file_name` carries the scheme+authority the scan resolved
+    * (hdfs://nn:8020/...), while a path-only manifest root would not —
+    * the mismatch would fail every merge/delete on an
+    * authority-carrying filesystem (local tests can't see it: file:
+    * URIs have no authority).
+    */
+  private def entryKey(conf: org.apache.hadoop.conf.Configuration,
+      tablePath: String, p: String): String = {
+    val hp = new Path(fileUri(tablePath, p))
+    val q = hp.getFileSystem(conf).makeQualified(hp).toUri
+    s"${Option(q.getAuthority).getOrElse("")}|${q.getPath}"
   }
 
   /** The matching key for a scanned `input_file_name()` URI. */

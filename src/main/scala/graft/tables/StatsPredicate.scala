@@ -44,6 +44,27 @@ object StatsPredicate {
     }
   }
 
+  /** [[prune]]'s conservative-EXCLUSIVE twin for layout REWRITES
+    * ([[CowTable.optimizeMatching]]): a file joins the scope only when
+    * a recognized conjunct's stat POSITIVELY overlaps — stats-less and
+    * opaque files, which a read must include or miss rows, are
+    * excluded here because rewriting them is pure waste (a
+    * maintenance pass would re-rewrite them once per hot range,
+    * forever). An unanalyzable predicate still selects everything —
+    * that is the whole-table optimize, asked for explicitly.
+    */
+  def pruneForRewrite(files: Seq[AddFile], cond: Column,
+      phys: String => String = identity): Seq[AddFile] = {
+    val ranges = ColumnBridge.simpleRanges(cond)
+    if (ranges.isEmpty) files
+    else files.filter { f =>
+      ranges.forall { case (name, lo, hi) =>
+        f.stats.get(phys(name)).exists(s =>
+          s.kind != "opaque" && overlaps(s, lo, hi))
+      }
+    }
+  }
+
   private def overlaps(s: TxLog.ColStats, lo: Option[Any],
       hi: Option[Any]): Boolean = s.kind match {
     case "long" =>

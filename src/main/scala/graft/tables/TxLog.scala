@@ -264,12 +264,12 @@ object TxLog {
   private def checkpointPath(table: String, v: Long): Path =
     new Path(logPath(table), f"$v%020d.checkpoint.json")
 
-  private def writeString(fs: FileSystem, p: Path, s: String): Unit = {
+  private[tables] def writeString(fs: FileSystem, p: Path, s: String): Unit = {
     val out = fs.create(p, true)
     try out.write(s.getBytes("UTF-8")) finally out.close()
   }
 
-  private def readString(fs: FileSystem, p: Path): String = {
+  private[tables] def readString(fs: FileSystem, p: Path): String = {
     val in = fs.open(p)
     try {
       val bs = new java.io.ByteArrayOutputStream()
@@ -453,10 +453,17 @@ object TxLog {
     var partitionCols = base.partitionCols
     var columnMap = base.columnMap
     var retiredPhys = base.retiredPhys
+    val listed = names.filter(_.matches("\\d{20}\\.json"))
+      .map(_.take(20).toLong).toSet
     var v = ckptV + 1
     while (v <= target) {
       val p = commitPath(table, v)
-      require(f.exists(p), s"log has a hole at version $v: $table")
+      // the directory listing is already in hand — an exists() RPC per
+      // commit would tax every fold with O(tail) namenode round-trips;
+      // fall back to one exists only for versions the listing predates
+      // (an explicit asOf above the listed max)
+      require(listed.contains(v) || f.exists(p),
+        s"log has a hole at version $v: $table")
       val c = JsonMethods.parse(readString(f, p)).extract[Commit]
       c.minReader.foreach { m =>
         requireReadable(m, s"commit v$v, op '${c.op}'")
@@ -489,17 +496,19 @@ object TxLog {
       "stats MAP<STRING, STRUCT<kind: STRING, min: STRING, max: STRING, " +
       "nulls: BOOLEAN>>")
 
-  private def writeFilesParquet(spark: SparkSession, dir: String,
-      files: Seq[AddFile]): Unit = {
-    import org.apache.spark.sql.Row
-    val rows = files.map(a => Row(a.path, a.rows,
+  private def manifestRows(
+      files: Seq[AddFile]): Seq[org.apache.spark.sql.Row] =
+    files.map(a => org.apache.spark.sql.Row(a.path, a.rows,
       a.stats.map { case (c, s) =>
-        c -> Row(s.kind, s.min, s.max, s.nulls.orNull)
+        c -> org.apache.spark.sql.Row(s.kind, s.min, s.max, s.nulls.orNull)
       }))
+
+  private def writeFilesParquet(spark: SparkSession, dir: String,
+      files: Seq[AddFile]): Unit =
     spark.createDataFrame(
-        spark.sparkContext.parallelize(rows, 1), FilesParquetSchema)
+        spark.sparkContext.parallelize(manifestRows(files), 1),
+        FilesParquetSchema)
       .write.mode("overwrite").parquet(dir)
-  }
 
   private def readFilesParquet(spark: SparkSession,
       dir: String): Seq[AddFile] =
@@ -523,12 +532,7 @@ object TxLog {
     */
   def filesAsDf(spark: SparkSession, table: String,
       asOf: Option[Long] = None): DataFrame = {
-    import org.apache.spark.sql.Row
-    val snap = snapshot(spark, table, asOf)
-    val rows = snap.files.map(a => Row(a.path, a.rows,
-      a.stats.map { case (c, s) =>
-        c -> Row(s.kind, s.min, s.max, s.nulls.orNull)
-      }))
+    val rows = manifestRows(snapshot(spark, table, asOf).files)
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows,
         math.max(1, rows.size / 65536)), FilesParquetSchema)
