@@ -1456,7 +1456,7 @@ object SimilarityQueries {
       .select("vec_id", "embedding")
     val q = graft.streaming.AnnIngestStream
       .maintainTable(feed, "vec_id", "embedding", Dim, idx, model,
-        ivfPqCfg)
+        ivfPqCfg, appId = "gate-ann-tx")
       .option("checkpointLocation", ckpt).start()
     try { q.processAllAvailable() } finally q.stop()
     IvfPqTable.topK(spark, idx,

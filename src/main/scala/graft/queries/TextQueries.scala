@@ -1054,7 +1054,8 @@ object TextQueries {
       .readChanges(spark, raw, startingVersion = 2L)
       .select("doc_id", "text")
     val q = graft.streaming.IndexIngestStream
-      .maintainTable(feed, "doc_id", "text", idx)
+      .maintainTable(feed, "doc_id", "text", idx,
+        appId = "gate-feed-keyword")
       .option("checkpointLocation", ckpt).start()
     try { q.processAllAvailable() } finally q.stop()
     graft.text.Bm25Table.topDocs(spark, idx,

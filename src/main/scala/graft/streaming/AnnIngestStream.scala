@@ -64,13 +64,15 @@ object AnnIngestStream {
     * `appId` scopes the stamps to one (feed, checkpoint) lineage — a
     * fresh checkpoint or a second maintaining query needs its own
     * appId, or its batches are swallowed as replays (the
-    * [[CowTableSinkProvider]] stamp-identity contract; foreachBatch
-    * writers can't derive it from the checkpoint themselves).
+    * [[CowTableSinkProvider]] stamp-identity contract). foreachBatch
+    * writers can't derive it from the checkpoint themselves, so the
+    * parameter is REQUIRED — a constant default would silently
+    * swallow a fresh checkpoint's batches as replays.
     */
   def maintainTable(vectors: DataFrame, idCol: String, vecCol: String,
       dim: Int, path: String, model: IvfPq.Model,
       cfg: IvfPq.Config = IvfPq.Config(),
-      appId: String = "ann-table-ingest"): DataStreamWriter[Row] =
+      appId: String): DataStreamWriter[Row] =
     vectors.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       if (!batch.isEmpty) {
         graft.similarity.IvfPqTable.append(batch.sparkSession, path,

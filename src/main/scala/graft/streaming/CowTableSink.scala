@@ -53,8 +53,17 @@ class CowTableSinkProvider extends StreamSinkProvider
       throw new IllegalArgumentException(
         "cowtable sink needs option 'path' (the table root)"))
     val appId = parameters.get("appId")
-      .orElse(parameters.get("checkpointLocation")
-        .map(ck => s"cowtable-sink:$path@$ck"))
+      .orElse(parameters.get("checkpointLocation").map { ck =>
+        // canonicalize: /tmp/ck, /tmp/ck/ and file:///tmp/ck are the
+        // SAME checkpoint — a restart spelling it differently must not
+        // mint a new stamp identity (the recovery batch would append
+        // twice)
+        val hp = new org.apache.hadoop.fs.Path(ck)
+        val q = hp.getFileSystem(
+          sqlContext.sparkSession.sessionState.newHadoopConf())
+          .makeQualified(hp).toUri.toString
+        s"cowtable-sink:$path@$q"
+      })
       .getOrElse(throw new IllegalArgumentException(
         "cowtable sink needs a stamp identity: set option " +
           "'checkpointLocation' on the query (the default app id " +

@@ -50,12 +50,13 @@ object IndexIngestStream {
     * appId would see the old stamps and silently swallow its batches
     * as replays — pass a distinct appId per (feed, checkpoint)
     * lineage, exactly the [[CowTableSinkProvider]] stamp-identity
-    * contract (foreachBatch writers can't derive it from the
-    * checkpoint themselves, so the caller owns it here).
+    * contract. foreachBatch writers can't derive it from the
+    * checkpoint themselves, so the parameter is REQUIRED — a
+    * constant default here would silently swallow a fresh
+    * checkpoint's batches as replays.
     */
   def maintainTable(docs: DataFrame, idCol: String, textCol: String,
-      root: String,
-      appId: String = "bm25-table-ingest"): DataStreamWriter[Row] =
+      root: String, appId: String): DataStreamWriter[Row] =
     docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       if (!batch.isEmpty) {
         graft.text.Bm25Table.fold(batch.sparkSession, root, batch,

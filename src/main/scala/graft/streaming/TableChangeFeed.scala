@@ -183,21 +183,27 @@ class TableChangeFeedProvider extends StreamSourceProvider
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
-      parameters: Map[String, String]): Source =
+      parameters: Map[String, String]): Source = {
+    // raw format(...) users without the threaded options fall back to
+    // ONE snapshot for (schema, map, version) — three separate log
+    // reads could straddle a rename commit and pin an inconsistent
+    // triple (a logical name the pinned map can't resolve, silently
+    // null-filling that column forever)
+    lazy val fallback = TxLog.snapshot(sqlContext.sparkSession,
+      tablePath(parameters))
     new TableChangeSource(sqlContext, tablePath(parameters),
       parameters.getOrElse("startingVersion", "1").toLong,
-      dataDDL(sqlContext, parameters),
+      parameters.getOrElse("schemaDDL", fallback.schemaDDL),
       parameters.get("maxVersionsPerTrigger").map(_.toInt),
       parameters.get("cdc").exists(_.toBoolean),
       parameters.get("where"),
       parameters.get("columnMap")
         .map(TableChangeFeedProvider.decodeMap)
-        .getOrElse(TxLog.snapshot(sqlContext.sparkSession,
-          tablePath(parameters)).columnMap.getOrElse(Map.empty)),
+        .getOrElse(fallback.columnMap.getOrElse(Map.empty)),
       parameters.get("failOnSchemaEvolution").exists(_.toBoolean),
       parameters.get("pinnedVersion").map(_.toLong)
-        .getOrElse(TxLog.latestVersion(sqlContext.sparkSession,
-          tablePath(parameters))))
+        .getOrElse(fallback.version))
+  }
 }
 
 /** The source itself: offsets are commit versions (a [[LongOffset]] of
@@ -269,9 +275,12 @@ class TableChangeSource(sqlContext: SQLContext, path: String,
       // re-pins the same head schema). By default post-pin evolution
       // data silently drops until restart (documented); with
       // failOnSchemaEvolution the stream dies LOUDLY instead.
-      c.schemaDDL.filter(_ =>
-          failOnSchemaEvolution && v > pinnedVersion).foreach { ddl =>
+      val vSnapForGuard: Option[graft.tables.TxLog.Snapshot] =
+        c.schemaDDL.filter(_ =>
+          failOnSchemaEvolution && v > pinnedVersion).map { ddl =>
         val vSnap = TxLog.snapshot(spark, path, Some(v))
+        val ddlPhys = StructType.fromDDL(ddl).fieldNames
+          .map(vSnap.physName).toSet
         val extra = StructType.fromDDL(ddl).fieldNames
           .filterNot(n => pinnedPhys.contains(vSnap.physName(n)))
         if (extra.nonEmpty) sys.error(
@@ -279,6 +288,17 @@ class TableChangeSource(sqlContext: SQLContext, path: String,
             "after this stream pinned its schema — restart the stream " +
             "to pick them up (failOnSchemaEvolution = true; the default " +
             "drops post-evolution columns silently until restart)")
+        // the other direction of silent loss: a pinned column DROPPED
+        // post-pin would flip to typed nulls mid-stream with no signal
+        // — loud mode fails on that too (renames keep their physical
+        // name and pass)
+        val removed = pinnedPhys -- ddlPhys
+        if (removed.nonEmpty) sys.error(
+          s"commit $v of $path dropped pinned column(s) (physical " +
+            s"${removed.mkString(", ")}) after this stream pinned its " +
+            "schema — the feed would silently null them; restart (or " +
+            "run without failOnSchemaEvolution to accept nulls)")
+        vSnap
       }
       // Non-CDC reads conform to the pinned schema by PHYSICAL name
       // (changesAtPinned): pre-evolution files read later columns as
@@ -305,27 +325,25 @@ class TableChangeSource(sqlContext: SQLContext, path: String,
       }
       val rows: Option[DataFrame] =
         if (!cdc) {
-          val changed = changesOf(v)
-          Some(changed.select(changed.columns.map(col(_)).toSeq :+
-            lit(c.op).as(TableChangeFeed.OpCol): _*))
+          Some(changesOf(v)
+            .withColumn(TableChangeFeed.OpCol, lit(c.op)))
         } else if (c.cdcDir.isDefined) {
           // conform FIRST, filter after: the `where` predicate speaks
           // the PINNED logical names, while the sidecar stores the
           // commit-time names — filtering the raw frame would break
           // (or silently mis-evaluate) across a rename
-          val changed0 = CowTable.changesCdcAt(spark, path, v)
+          val vSnap = vSnapForGuard.getOrElse(
+            TxLog.snapshot(spark, path, Some(v)))
+          val changed0 = CowTable.changesCdcAt(spark, path, v, Some(vSnap))
           val conformed = changed0.select(
-            cdcConform(changed0, TxLog.snapshot(spark, path, Some(v))) :+
-              col(ct): _*)
+            cdcConform(changed0, vSnap) :+ col(ct): _*)
           Some(where.fold(conformed)(w => conformed.filter(expr(w))))
         } else c.op match {
           case "create" | "append" | "clone" =>
             // pure adds: the commit's rows ARE inserts (a clone's
             // external references included — the fork's own history
             // starts with its full contents)
-            val changed = changesOf(v)
-            Some(changed.select(changed.columns.map(col(_)).toSeq :+
-              lit("insert").as(ct): _*))
+            Some(changesOf(v).withColumn(ct, lit("insert")))
           case "compact" | "optimize" =>
             None // layout-only: contents unchanged, nothing to emit
           case _ if c.adds.isEmpty && c.removes.isEmpty =>

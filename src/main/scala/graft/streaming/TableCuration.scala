@@ -149,9 +149,12 @@ object TableCuration {
       curatedPath: String, cond: org.apache.spark.sql.Column,
       idCol: String, textCol: String,
       indexPrefix: Option[String] = None): CowTable.RewriteMetrics = {
-    val before = TxLog.latestVersion(spark, curatedPath)
     val m = CowTable.deleteWhere(spark, curatedPath, cond, cdc = true)
-    if (m.version > before) indexPrefix.foreach { p =>
+    // gate on the metrics, not a before/after version comparison: a
+    // CONCURRENT commit landing around a no-match delete would bump
+    // the version and this would misread that commit as ours (crashing
+    // on its missing CDC, or tombstoning another delete's preimages)
+    if (m.touchedFiles > 0) indexPrefix.foreach { p =>
       val preimages = CowTable.changesCdcAt(spark, curatedPath, m.version)
         .filter(col(CowTable.ChangeTypeCol) === "delete")
         .select(col(idCol), col(textCol))

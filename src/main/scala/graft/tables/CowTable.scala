@@ -1407,13 +1407,17 @@ object CowTable {
     * and the `table_merge_cdc` gate can pin it against a DuckDB replay.
     * Fails loudly when the commit wasn't CDC-enabled.
     */
-  def changesCdcAt(spark: SparkSession, path: String, v: Long): DataFrame = {
+  def changesCdcAt(spark: SparkSession, path: String, v: Long,
+      snapAtV: Option[Snapshot] = None): DataFrame = {
     val c = TxLog.commitAt(spark, path, v)
     val dir = c.cdcDir.getOrElse(sys.error(
       s"commit $v of $path carries no CDC (merge ran without cdc=true)"))
-    val schema = StructType(
-      StructType.fromDDL(TxLog.snapshot(spark, path, Some(v)).schemaDDL)
-        .fields :+ StructField(ChangeTypeCol, StringType, nullable = false))
+    // callers that already folded the log to v pass the snapshot in —
+    // a CDC catch-up otherwise pays the O(v) driver fold twice per
+    // commit (once here, once for its own conformance)
+    val snap = snapAtV.getOrElse(TxLog.snapshot(spark, path, Some(v)))
+    val schema = StructType(StructType.fromDDL(snap.schemaDDL)
+      .fields :+ StructField(ChangeTypeCol, StringType, nullable = false))
     spark.read.schema(schema).parquet(s"$path/$dir")
   }
 

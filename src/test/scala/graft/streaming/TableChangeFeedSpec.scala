@@ -196,6 +196,25 @@ class TableChangeFeedSpec extends AnyFunSuite {
       drain(feedSilent, dir.getAbsolutePath + "/cks", got)
       assert(got.map(_._1) === Set(1L, 2L))
 
+      // a post-pin DROP also trips the loud mode: the pinned column
+      // would otherwise silently flip to typed nulls mid-stream
+      val t3 = dir.getAbsolutePath + "/tdrop"
+      CowTable.create(spark, t3,
+        Seq((1L, 10L, "a")).toDF("k", "v", "s"), Seq("k"))
+      val loud3 = TableChangeFeed.readChanges(spark, t3,
+        failOnSchemaEvolution = true)
+      CowTable.dropColumn(spark, t3, "v")
+      CowTable.append(spark, t3, Seq((2L, "b")).toDF("k", "s"))
+      val e3 = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        val q = loud3.writeStream
+          .option("checkpointLocation", dir.getAbsolutePath + "/ckdrop")
+          .foreachBatch { (_: DataFrame, _: Long) => () }.start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      assert(e3.getMessage.contains("dropped pinned column") ||
+        Option(e3.getCause).exists(
+          _.getMessage.contains("dropped pinned column")), e3.getMessage)
+
       // a RENAME never trips the loud mode (physical name unchanged —
       // the pinned read surfaces it transparently); further rows flow
       val t2 = dir.getAbsolutePath + "/tren"
