@@ -98,6 +98,34 @@ object IvfPq {
   case class Model(coarse: Seq[KMeans.Centroid],
       books: Seq[Seq[KMeans.Centroid]])
 
+  /** Deterministic content hash of a frozen model: MD5 over the
+    * centroid ids and raw double BITS in canonical order (subspace,
+    * cid, coefficient). [[IvfPqTable.readModel]] round-trips parquet
+    * exactly (the bit-reproducibility contract), so a model and its
+    * reopened epoch hash EQUAL — which is what lets the table-backed
+    * index validate that an append's caller-held model IS the epoch in
+    * force ([[IvfPqTable.append]]). `cn` is derived from `cv` and
+    * excluded.
+    */
+  def modelHash(model: Model): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val buf = new Array[Byte](8)
+    def putLong(l: Long): Unit = {
+      var i = 0
+      while (i < 8) { buf(i) = (l >>> (56 - 8 * i)).toByte; i += 1 }
+      md.update(buf)
+    }
+    def putCent(part: Int, c: KMeans.Centroid): Unit = {
+      putLong(part.toLong); putLong(c.cid)
+      c.cv.foreach(d => putLong(java.lang.Double.doubleToLongBits(d)))
+    }
+    model.coarse.foreach(putCent(-1, _))
+    model.books.zipWithIndex.foreach { case (cents, s) =>
+      cents.foreach(putCent(s, _))
+    }
+    md.digest().map("%02x".format(_)).mkString
+  }
+
   /** (vid, v, nrm, q, qn): the quantized prep every stage scans. */
   private[similarity] def prepare(vectors: DataFrame, idCol: String, vecCol: String,
       cfg: Config): DataFrame =

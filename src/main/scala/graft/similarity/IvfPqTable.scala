@@ -51,16 +51,49 @@ object IvfPqTable {
     model
   }
 
+  /** Commit-meta key carrying the model epoch an append's codes were
+    * produced under (see [[append]] / [[modelEpoch]]).
+    */
+  private[similarity] val EpochMetaKey = "annModelEpoch"
+
   /** Code a new batch with the frozen model and append it atomically;
     * `txn` makes the ingest exactly-once (the [[CowTable.append]]
     * stamp contract).
+    *
+    * '''Epoch validation''' (ADVICE r14): codes are meaningless under
+    * any other epoch's books, so the caller-held `model` is validated
+    * against the epoch IN FORCE before anything writes — its content
+    * hash ([[IvfPq.modelHash]]) must equal the pinned epoch's, or the
+    * append fails loudly (an ingest stream still holding pre-retrain
+    * books would otherwise land silently-wrong codes that head serves
+    * decode with the NEW books). The commit is also STAMPED with the
+    * validated epoch, which closes the residual race: a retrain
+    * landing between this validation and the commit leaves an
+    * old-epoch stamp above the retrain commit, and [[modelEpoch]]'s
+    * walk fails the SERVE loudly instead of returning wrong neighbors
+    * (heal: re-run [[retrain]], which re-codes everything, or
+    * [[CowTable.restore]] to the retrain version and re-append).
+    * Validation costs one epoch resolve (O(appends since the last
+    * retrain) log reads) plus one tiny hash-file read — metadata
+    * scale, amortized over the batch write.
     */
   def append(spark: SparkSession, path: String, batch: DataFrame,
       idCol: String, vecCol: String, dim: Int, model: IvfPq.Model,
       cfg: IvfPq.Config = IvfPq.Config(),
-      txn: Option[TxLog.Txn] = None): Unit =
+      txn: Option[TxLog.Txn] = None): Unit = {
+    val epoch = modelEpoch(spark, path)
+    val want = epochModelHash(spark, path, epoch)
+    val got = IvfPq.modelHash(model)
+    require(got == want,
+      s"append to index $path: caller-held model (hash $got) is NOT " +
+        s"the epoch in force (v$epoch, hash $want) — a retrain " +
+        "replaced the codebooks; restart the ingest with the model " +
+        "retrain returned (appending stale codes would serve wrong " +
+        "neighbors)")
     CowTable.append(spark, path,
-      IvfPq.code(batch, idCol, vecCol, dim, model, cfg), txn = txn)
+      IvfPq.code(batch, idCol, vecCol, dim, model, cfg), txn = txn,
+      meta = Some(Map(EpochMetaKey -> epoch.toString)))
+  }
 
   /** RETRAIN: fit fresh codebooks on `vectors` (the caller supplies
     * the raw corpus — PQ codes are lossy and cannot be decoded back),
@@ -143,6 +176,16 @@ object IvfPqTable {
     * head): the largest create/retrain commit ≤ asOf. One driver-side
     * log scan — metadata-sized, the same cost class as any snapshot
     * fold.
+    *
+    * The walk doubles as the EPOCH-CONSISTENCY gate: every append
+    * commit it passes (all the appends between the resolved epoch and
+    * asOf) carries the epoch its codes were produced under
+    * ([[append]]'s stamp), and a stamp that is NOT the resolved epoch
+    * means a retrain raced that append — its rows are coded under
+    * retired books, and serving them decoded with the new books would
+    * be silently wrong. That serve fails LOUDLY here instead
+    * (pre-stamp legacy appends carry no stamp and pass — no worse than
+    * before the stamp existed).
     */
   def modelEpoch(spark: SparkSession, path: String,
       asOf: Option[Long] = None): Long = {
@@ -152,14 +195,46 @@ object IvfPqTable {
     // serve pays O(appends since the last retrain) log reads, not
     // O(total history) — the bound that matters on a long-lived index
     // (v1 is create, so the walk always terminates with an answer)
+    val stamped = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
     var v = target
     while (v >= 1) {
-      val op = TxLog.commitAt(spark, path, v).op
-      if (op == "create" || op == "retrain") return v
+      val c = TxLog.commitAt(spark, path, v)
+      if (c.op == "create" || c.op == "retrain") {
+        stamped.find(_._2 != v).foreach { case (av, ae) =>
+          sys.error(s"index $path: append commit v$av is coded under " +
+            s"model epoch v$ae but the epoch in force at v$target is " +
+            s"v$v — a retrain raced that append; re-run retrain (it " +
+            "re-codes everything) or restore to the retrain version " +
+            "and re-append (serving those rows would decode them " +
+            "with the wrong codebooks)")
+        }
+        return v
+      }
+      c.meta.flatMap(_.get(EpochMetaKey)).foreach(e =>
+        stamped += ((v, e.toLong)))
       v -= 1
     }
     sys.error(s"no model-bearing commit ≤ v$target at $path")
   }
+
+  /** Content hash of the model pinned at `epoch` — from the hash
+    * sidecar [[writeModel]] publishes beside the epoch's parquet, or
+    * recomputed from the model itself for pre-sidecar epochs.
+    */
+  private[similarity] def epochModelHash(spark: SparkSession,
+      path: String, epoch: Long): String = {
+    val f = TxLog.fs(spark, path)
+    val hp = new org.apache.hadoop.fs.Path(
+      s"$path/_model/v$epoch/$HashFile")
+    if (f.exists(hp)) TxLog.readString(f, hp).trim
+    else IvfPq.modelHash(readModelAt(spark, path, epoch))
+  }
+
+  /** Name of the per-epoch hash sidecar (underscore-prefixed: Spark's
+    * parquet reader treats it as hidden, so it can live inside the
+    * epoch dir without corrupting the model read).
+    */
+  private val HashFile = "_GRAFT_MODEL_HASH"
 
   /** Reopen the pinned model for the epoch in force at `asOf`
     * (doubles round-trip parquet exactly — the [[IvfPq.readModel]]
@@ -170,8 +245,12 @@ object IvfPqTable {
     * books.
     */
   def readModel(spark: SparkSession, path: String,
-      asOf: Option[Long] = None): IvfPq.Model = {
-    val epoch = modelEpoch(spark, path, asOf)
+      asOf: Option[Long] = None): IvfPq.Model =
+    readModelAt(spark, path, modelEpoch(spark, path, asOf))
+
+  /** [[readModel]] with the epoch already resolved. */
+  private def readModelAt(spark: SparkSession, path: String,
+      epoch: Long): IvfPq.Model = {
     val f = TxLog.fs(spark, path)
     val dir = new org.apache.hadoop.fs.Path(s"$path/_model/v$epoch")
     val legacy = new org.apache.hadoop.fs.Path(s"$path/_model")
@@ -217,5 +296,10 @@ object IvfPqTable {
         cents.map(c => (s, c.cid, c.cv.toSeq))
       }).toDF("part", "cid", "cv")
       .write.mode("overwrite").parquet(s"$path/_model/v$epoch")
+    // the epoch's content hash rides beside the parquet so append
+    // validation is one tiny read, not a model re-open + re-hash
+    TxLog.writeString(f,
+      new org.apache.hadoop.fs.Path(s"$path/_model/v$epoch/$HashFile"),
+      IvfPq.modelHash(model))
   }
 }

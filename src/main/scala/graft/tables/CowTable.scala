@@ -87,10 +87,12 @@ object CowTable {
     * `mergeSchema` lets new columns in `df` evolve the table schema
     * additively ([[evolvedSchema]]); pre-evolution files read them as
     * null, and pre-evolution VERSIONS keep their old schema under time
-    * travel (the DDL folds with the log).
+    * travel (the DDL folds with the log). `meta` stamps free-form
+    * domain annotations onto the commit ([[TxLog.Commit.meta]]).
     */
   def append(spark: SparkSession, path: String, df: DataFrame,
-      txn: Option[TxLog.Txn] = None, mergeSchema: Boolean = false): Unit = {
+      txn: Option[TxLog.Txn] = None, mergeSchema: Boolean = false,
+      meta: Option[Map[String, String]] = None): Unit = {
     val snap0 = TxLog.snapshot(spark, path)
     if (alreadyApplied(snap0, txn)) return
     val ev0 = evolvedSchema(snap0, df, mergeSchema, Set.empty)
@@ -177,7 +179,7 @@ object CowTable {
           else Some(snap.columnMap.getOrElse(Map.empty) ++ ev0.fresh)
         TxLog.tryCommit(spark, path,
           Commit(snap.version + 1, "append", adds, Seq.empty, ev.ddl,
-            None, txn, columnMap = mapStamp))
+            None, txn, columnMap = mapStamp, meta = meta))
       }
     }
   }

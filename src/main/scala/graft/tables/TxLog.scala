@@ -155,6 +155,12 @@ object TxLog {
     * CDC-enabled merges — the table-relative dir of the commit's
     * row-level change file ([[CowTable.changesCdcAt]]). All optional
     * fields default None so pre-upgrade logs parse unchanged.
+    * `meta` is free-form per-commit annotation for DOMAIN layers built
+    * on the log (e.g. the ANN index stamps the model epoch its coded
+    * rows were produced under) — never read by the fold itself, so it
+    * can't change what a snapshot contains (reader protocol unaffected:
+    * ignoring an annotation misses a domain-level check, it never
+    * misinterprets data).
     */
   final case class Commit(version: Long, op: String, adds: Seq[AddFile],
       removes: Seq[String], schemaDDL: Option[String],
@@ -166,7 +172,8 @@ object TxLog {
       minReader: Option[Int] = None,
       ts: Option[Long] = None,
       columnMap: Option[Map[String, String]] = None,
-      retiredPhys: Option[Seq[String]] = None)
+      retiredPhys: Option[Seq[String]] = None,
+      meta: Option[Map[String, String]] = None)
 
   /** The reader-protocol version THIS engine folds correctly. A commit
     * whose feature an older reader would silently MISINTERPRET (not
@@ -264,12 +271,12 @@ object TxLog {
   private def checkpointPath(table: String, v: Long): Path =
     new Path(logPath(table), f"$v%020d.checkpoint.json")
 
-  private[tables] def writeString(fs: FileSystem, p: Path, s: String): Unit = {
+  private[graft] def writeString(fs: FileSystem, p: Path, s: String): Unit = {
     val out = fs.create(p, true)
     try out.write(s.getBytes("UTF-8")) finally out.close()
   }
 
-  private[tables] def readString(fs: FileSystem, p: Path): String = {
+  private[graft] def readString(fs: FileSystem, p: Path): String = {
     val in = fs.open(p)
     try {
       val bs = new java.io.ByteArrayOutputStream()

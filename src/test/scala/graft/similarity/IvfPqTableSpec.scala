@@ -214,4 +214,65 @@ class IvfPqTableSpec extends AnyFunSuite {
       assert(e.getMessage.contains("no model for epoch"), e.getMessage)
     }
   }
+
+  test("epoch validation: an append holding pre-retrain books fails " +
+      "loudly BEFORE writing anything") {
+    withDir { dir =>
+      val idx = s"$dir/idxep"
+      val m1 = IvfPqTable.create(spark, idx, vecs(0 until 60),
+        "vec_id", "embedding", dim, cfg)
+      // a model and its reopened epoch hash EQUAL (parquet round-trip)
+      assert(IvfPq.modelHash(m1) ===
+        IvfPq.modelHash(IvfPqTable.readModel(spark, idx)))
+      val m2 = IvfPqTable.retrain(spark, idx, vecs(0 until 90),
+        "vec_id", "embedding", dim, cfg)
+      val vHead = TxLog.latestVersion(spark, idx)
+      // the ingest stream still holds m1 — its append must be refused
+      val e = intercept[IllegalArgumentException] {
+        IvfPqTable.append(spark, idx, vecs(90 until 100), "vec_id",
+          "embedding", dim, m1, cfg)
+      }
+      assert(e.getMessage.contains("NOT the epoch in force"), e.getMessage)
+      assert(TxLog.latestVersion(spark, idx) === vHead, "nothing committed")
+      // the retrain-returned model appends and serves fine
+      IvfPqTable.append(spark, idx, vecs(90 until 100), "vec_id",
+        "embedding", dim, m2, cfg)
+      val got = IvfPqTable.topK(spark, idx, vecs(0 until 2), "vec_id",
+        "embedding", dim, 5, cfg)
+      assert(got.count() === 10L)
+    }
+  }
+
+  test("epoch race: an old-epoch append landing ABOVE a retrain fails " +
+      "the head serve loudly; time travel below the retrain still works") {
+    withDir { dir =>
+      val idx = s"$dir/idxrace"
+      val m1 = IvfPqTable.create(spark, idx, vecs(0 until 60),
+        "vec_id", "embedding", dim, cfg)
+      val q = vecs(0 until 2)
+      val vSeed = TxLog.latestVersion(spark, idx)
+      IvfPqTable.retrain(spark, idx, vecs(0 until 60),
+        "vec_id", "embedding", dim, cfg)
+      // forge the race window: exactly the commit a concurrent ingest
+      // stream would publish — rows coded under m1, stamped epoch 1,
+      // landing after the retrain (append() validated BEFORE the
+      // retrain won the version CAS)
+      CowTable.append(spark, idx,
+        IvfPq.code(vecs(90 until 95), "vec_id", "embedding", dim, m1, cfg),
+        meta = Some(Map(IvfPqTable.EpochMetaKey -> "1")))
+      val e = intercept[RuntimeException] {
+        IvfPqTable.topK(spark, idx, q, "vec_id", "embedding", dim, 5, cfg)
+      }
+      assert(e.getMessage.contains("coded under model epoch"), e.getMessage)
+      // the audit face below the retrain is untouched by the bad append
+      val past = IvfPqTable.topK(spark, idx, q, "vec_id", "embedding",
+        dim, 5, cfg, asOfVersion = Some(vSeed))
+      assert(past.count() === 10L)
+      // heal path: retrain re-codes everything and the head serves again
+      IvfPqTable.retrain(spark, idx, vecs(0 until 60),
+        "vec_id", "embedding", dim, cfg)
+      assert(IvfPqTable.topK(spark, idx, q, "vec_id", "embedding",
+        dim, 5, cfg).count() === 10L)
+    }
+  }
 }
