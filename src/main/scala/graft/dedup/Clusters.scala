@@ -213,11 +213,26 @@ object Clusters {
     * batch-pair-sized, not corpus-sized; the standing table pays two
     * hash joins (rep projection, final relabel through the
     * batch-bounded merge map) and is never iterated over. The
-    * standing frame is persisted (four consumers); callers release
-    * via `catalog.clearCache()`, the family convention.
+    * standing frame is persisted (four consumers); batch callers
+    * release via `catalog.clearCache()` (the harness convention),
+    * per-micro-batch callers use [[appendComponentsScoped]] and
+    * unpersist exactly that frame.
     */
   def appendComponents(standing: DataFrame, newPairs: DataFrame,
-      aCol: String, bCol: String, maxIter: Int = 20): DataFrame = {
+      aCol: String, bCol: String, maxIter: Int = 20): DataFrame =
+    appendComponentsScoped(standing, newPairs, aCol, bCol, maxIter)._1
+
+  /** [[appendComponents]] with its internal persisted standing frame
+    * handed back, so a PER-MICRO-BATCH caller
+    * ([[graft.streaming.ClusterMaintain]]) can release exactly that
+    * cache after materializing the result — a blanket
+    * `catalog.clearCache()` there would also unpersist every
+    * user-cached relation sharing the session. The returned frame is
+    * lazy and references the handle: unpersist AFTER consuming.
+    */
+  private[graft] def appendComponentsScoped(standing: DataFrame,
+      newPairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 20): (DataFrame, DataFrame) = {
     val st = standing.select(col("id"), col("comp")).persist()
     val contracted = newPairs
       .select(col(aCol).as("_a"), col(bCol).as("_b"))
@@ -238,8 +253,9 @@ object Clusters {
     val fresh = newPairs
       .select(explode(array(col(aCol), col(bCol))).as("id")).distinct()
       .join(st.select("id"), Seq("id"), "left_anti")
-    updated.unionByName(
+    (updated.unionByName(
       fresh.join(m, fresh("id") === m("_rep"), "left")
-        .select(fresh("id"), coalesce(col("_nc"), col("id")).as("comp")))
+        .select(fresh("id"), coalesce(col("_nc"), col("id")).as("comp"))),
+      st)
   }
 }

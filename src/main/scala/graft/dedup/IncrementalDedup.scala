@@ -272,7 +272,20 @@ object IncrementalDedup {
 
   /** Same verdicts, against a prebuilt (possibly table-backed) index. */
   def verdicts(index: CorpusIndex, batch: DataFrame, idCol: String,
-      textCol: String, cfg: MinHashLSH.Config): DataFrame = {
+      textCol: String, cfg: MinHashLSH.Config): DataFrame =
+    verdictsScoped(index, batch, idCol, textCol, cfg)._1
+
+  /** [[verdicts]] (index form) with the internal persisted batch scan
+    * handed back, so a PER-MICRO-BATCH caller
+    * ([[graft.streaming.TableCuration]]) can release exactly that
+    * cache after materializing the verdicts — a blanket
+    * `catalog.clearCache()` there would also unpersist every
+    * user-cached relation sharing the session. The result is lazy and
+    * references the handles: unpersist AFTER consuming.
+    */
+  private[graft] def verdictsScoped(index: CorpusIndex, batch: DataFrame,
+      idCol: String, textCol: String,
+      cfg: MinHashLSH.Config): (DataFrame, Seq[DataFrame]) = {
     // the batch prep frame feeds FOUR consumers: the exact screen, the
     // band signatures, the verify join, and the final verdict spine
     val bPrep = prepared(batch, idCol, textCol, cfg)
@@ -296,7 +309,7 @@ object IncrementalDedup {
       .select(col("b_id").as("doc_id")).distinct()
       .withColumn("is_near", lit(1))
 
-    bPrep.select(col("doc_id"))
+    val out = bPrep.select(col("doc_id"))
       .join(exact, Seq("doc_id"), "left")
       .join(near, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -305,5 +318,19 @@ object IncrementalDedup {
       .withColumn("keep",
         when(col("exact_dup") === 0 && col("near_dup") === 0, 1)
           .otherwise(0).cast("int"))
+    (out, Seq(bPrep))
+  }
+
+  /** [[verdictsScoped]] for the CORPUS-FRAME form (index built
+    * in-call): both internal persisted scans come back for scoped
+    * release.
+    */
+  private[graft] def verdictsScopedCorpus(corpus: DataFrame,
+      batch: DataFrame, idCol: String, textCol: String,
+      cfg: MinHashLSH.Config): (DataFrame, Seq[DataFrame]) = {
+    val cPrep = prepared(corpus, idCol, textCol, cfg)
+    val (out, scratch) = verdictsScoped(fromPrepared(cPrep, cfg), batch,
+      idCol, textCol, cfg)
+    (out, cPrep +: scratch)
   }
 }

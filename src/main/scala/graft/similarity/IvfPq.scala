@@ -473,7 +473,22 @@ object IvfPq {
     */
   def topKIndexed(spark: org.apache.spark.sql.SparkSession, table: String,
       queries: DataFrame, idCol: String, vecCol: String, dim: Int, k: Int,
-      cfg: Config = Config(), model: Option[Model] = None): DataFrame = {
+      cfg: Config = Config(), model: Option[Model] = None): DataFrame =
+    topKIndexedScoped(spark, table, queries, idCol, vecCol, dim, k,
+      cfg, model)._1
+
+  /** [[topKIndexed]] with its internal persisted probe frame handed
+    * back, so a PER-MICRO-BATCH caller ([[graft.streaming.AnnServe]])
+    * can release exactly that cache after consuming the result — a
+    * blanket `catalog.clearCache()` there would also unpersist every
+    * user-cached relation sharing the session. The result is lazy and
+    * references the handle: unpersist AFTER consuming.
+    */
+  private[graft] def topKIndexedScoped(
+      spark: org.apache.spark.sql.SparkSession, table: String,
+      queries: DataFrame, idCol: String, vecCol: String, dim: Int, k: Int,
+      cfg: Config = Config(),
+      model: Option[Model] = None): (DataFrame, DataFrame) = {
     require(cfg.pq.screenK >= k, "screenK must be >= k")
     val m = model.getOrElse(readModel(spark, table))
     val probeSet = probes(
@@ -482,6 +497,6 @@ object IvfPq {
       .map(_.getLong(0)).sorted
     val codedDocs = spark.table(table)
       .filter(col("cell").isin(cells.map(c => c: Any): _*))
-    search(codedDocs, probeSet, k, cfg)
+    (search(codedDocs, probeSet, k, cfg), probeSet)
   }
 }

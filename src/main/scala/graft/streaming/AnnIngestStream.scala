@@ -50,8 +50,10 @@ object AnnIngestStream {
       onBatch: Long => Unit = _ => ()): DataStreamWriter[Row] =
     vectors.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       if (!batch.isEmpty) {
+        // appendToIndex is a pure projection + partitioned append
+        // (nothing persisted) — no per-batch cache to reclaim, and a
+        // blanket clearCache would drop user-cached relations
         IvfPq.appendToIndex(batch, idCol, vecCol, dim, table, model, cfg)
-        batch.sparkSession.catalog.clearCache()
         onBatch(batchId)
       }
     }
@@ -75,10 +77,10 @@ object AnnIngestStream {
       appId: String): DataStreamWriter[Row] =
     vectors.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       if (!batch.isEmpty) {
+        // pure projection + stamped table append (nothing persisted)
         graft.similarity.IvfPqTable.append(batch.sparkSession, path,
           batch, idCol, vecCol, dim, model, cfg,
           txn = Some(graft.tables.TxLog.Txn(appId, batchId)))
-        batch.sparkSession.catalog.clearCache()
       }
     }
 }

@@ -34,15 +34,17 @@ object AnnServe {
     val model = IvfPq.readModel(spark, table)
     queries.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       if (!batch.isEmpty) {
-        onBatch(batchId, IvfPq.topKIndexed(spark, table, batch, idCol,
-          vecCol, dim, k, cfg, Some(model)))
-        // topKIndexed persists a query-batch-scale probe frame (its
-        // callers release caches by convention); a serving stream runs
-        // unboundedly many batches, so release per batch. Clearing the
-        // whole cache is safe HERE: a dedicated serving job's standing
-        // state is the index TABLE and the wiring-time model, not
-        // cached plans.
-        spark.catalog.clearCache()
+        // the scoped form hands back the query-batch-scale probe frame
+        // topKIndexed persists internally; release exactly it after
+        // `onBatch` consumes the result (a serving stream runs
+        // unboundedly many batches — but a blanket clearCache would
+        // also unpersist every USER-cached relation in the session).
+        // Contract: onBatch materializes the frame within the call
+        // (writes/collects it); a deferred consumer recomputes.
+        val (topk, probe) = IvfPq.topKIndexedScoped(spark, table, batch,
+          idCol, vecCol, dim, k, cfg, Some(model))
+        try onBatch(batchId, topk)
+        finally { probe.unpersist(blocking = false); () }
       }
     }
   }

@@ -43,8 +43,14 @@ object ClusterMaintain {
       load: () => DataFrame)(save: DataFrame => Unit): DataStreamWriter[Row] =
     pairs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
       if (!batch.isEmpty) {
-        save(fold(load(), batch, aCol, bCol))
-        batch.sparkSession.catalog.clearCache() // appendComponents persist
+        // scoped release of appendComponents' internal standing-frame
+        // persist: `save` materializes the fold, then exactly that
+        // cache is dropped (a blanket clearCache would also unpersist
+        // user-cached relations sharing the session)
+        val (folded, st) = Clusters.appendComponentsScoped(
+          load().localCheckpoint(true), batch, aCol, bCol)
+        try save(folded)
+        finally { st.unpersist(blocking = false); () }
       }
     }
 }

@@ -34,9 +34,14 @@ import org.apache.spark.sql.streaming.OutputMode
   * fresh checkpoint → fresh identity, the feed re-appends (the same
   * trade every txn-stamped table sink makes — deduplicate upstream or
   * pass an explicit stable `appId` option when the source replay is a
-  * deterministic prefix). With neither `appId` nor a per-query
-  * `checkpointLocation` option set, the sink refuses loudly rather
-  * than defaulting to a path-shared namespace.
+  * deterministic prefix). A NAMED query relying on the session-level
+  * `spark.sql.streaming.checkpointLocation` conf derives the same
+  * stable identity from `<confDir>/<queryName>` (Spark's own
+  * checkpoint resolution). With no `appId`, no per-query
+  * `checkpointLocation`, and no conf+queryName pair (an unnamed query
+  * under the conf dir checkpoints into a RANDOM per-start subdir —
+  * no stable identity), the sink refuses loudly rather than
+  * defaulting to a path-shared namespace.
   */
 class CowTableSinkProvider extends StreamSinkProvider
     with DataSourceRegister {
@@ -52,24 +57,45 @@ class CowTableSinkProvider extends StreamSinkProvider
     val path = parameters.getOrElse("path",
       throw new IllegalArgumentException(
         "cowtable sink needs option 'path' (the table root)"))
+    def canonical(ck: String): String = {
+      // canonicalize: /tmp/ck, /tmp/ck/ and file:///tmp/ck are the
+      // SAME checkpoint — a restart spelling it differently must not
+      // mint a new stamp identity (the recovery batch would append
+      // twice)
+      val hp = new org.apache.hadoop.fs.Path(ck)
+      val q = hp.getFileSystem(
+        sqlContext.sparkSession.sessionState.newHadoopConf())
+        .makeQualified(hp).toUri.toString
+      s"cowtable-sink:$path@$q"
+    }
+    // The conf-resolved fallback (ADVICE r14): a NAMED query under
+    // `spark.sql.streaming.checkpointLocation` has the stable
+    // checkpoint `<confDir>/<queryName>` (Spark's own resolution) even
+    // though no per-query option reaches createSink — refusing it
+    // would fail previously-working queries that satisfy the
+    // stamp-identity requirement. An UNNAMED query under the conf dir
+    // gets a RANDOM per-start subdirectory — no stable identity, still
+    // refused loudly.
+    def confResolved: Option[String] = for {
+      dir <- {
+        val c = sqlContext.sparkSession.conf
+          .get("spark.sql.streaming.checkpointLocation", null)
+        Option(c).filter(_.nonEmpty)
+      }
+      name <- parameters.get("queryName").filter(_.nonEmpty)
+    } yield canonical(
+      new org.apache.hadoop.fs.Path(dir, name).toString)
     val appId = parameters.get("appId")
-      .orElse(parameters.get("checkpointLocation").map { ck =>
-        // canonicalize: /tmp/ck, /tmp/ck/ and file:///tmp/ck are the
-        // SAME checkpoint — a restart spelling it differently must not
-        // mint a new stamp identity (the recovery batch would append
-        // twice)
-        val hp = new org.apache.hadoop.fs.Path(ck)
-        val q = hp.getFileSystem(
-          sqlContext.sparkSession.sessionState.newHadoopConf())
-          .makeQualified(hp).toUri.toString
-        s"cowtable-sink:$path@$q"
-      })
+      .orElse(parameters.get("checkpointLocation").map(canonical))
+      .orElse(confResolved)
       .getOrElse(throw new IllegalArgumentException(
         "cowtable sink needs a stamp identity: set option " +
           "'checkpointLocation' on the query (the default app id " +
-          "derives from it) or an explicit 'appId' option — a " +
-          "path-shared stamp namespace would drop micro-batches " +
-          "across queries/checkpoints (see CowTableSinkProvider doc)"))
+          "derives from it), name the query under the session-level " +
+          "spark.sql.streaming.checkpointLocation conf, or pass an " +
+          "explicit 'appId' option — a path-shared (or per-start " +
+          "random) stamp namespace would drop micro-batches across " +
+          "queries/checkpoints (see CowTableSinkProvider doc)"))
     new CowTableStreamSink(path, appId,
       parameters.get("statsCols").map(_.split(",").map(_.trim).toSeq),
       parameters.get("partitionBy").map(_.split(",").map(_.trim).toSeq)

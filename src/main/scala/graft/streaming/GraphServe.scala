@@ -36,9 +36,10 @@ object GraphServe {
     val spark = queries.sparkSession
     queries.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       if (!batch.isEmpty) {
+        // searchIndexed persists nothing (assign + beam-walk joins
+        // over the index tables) — no per-batch cache to reclaim
         onBatch(batchId, GraphSearch.searchIndexed(spark, table, batch,
           idCol, vecCol, k, cfg))
-        spark.catalog.clearCache()
       }
     }
   }

@@ -29,8 +29,10 @@ object IndexIngestStream {
       onBatch: Long => Unit = _ => ()): DataStreamWriter[Row] =
     docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       if (!batch.isEmpty) {
+        // appendToIndex unpersists its own scan — nothing of this
+        // batch outlives the call, so no blanket clearCache (which
+        // would also drop every USER-cached relation in the session)
         Bm25.appendToIndex(batch, idCol, textCol, table, numBuckets)
-        batch.sparkSession.catalog.clearCache()
         onBatch(batchId)
       }
     }
@@ -59,10 +61,12 @@ object IndexIngestStream {
       root: String, appId: String): DataStreamWriter[Row] =
     docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       if (!batch.isEmpty) {
+        // fold unpersists its own pdt/delta frames — no blanket
+        // clearCache (ADVICE r14: it unpersisted every cached relation
+        // in the shared session once per trigger)
         graft.text.Bm25Table.fold(batch.sparkSession, root, batch,
           idCol, textCol,
           txn = Some(graft.tables.TxLog.Txn(appId, batchId)))
-        batch.sparkSession.catalog.clearCache()
       }
     }
 }

@@ -32,12 +32,10 @@ object KeywordServe {
     val spark = queryTerms.sparkSession
     queryTerms.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       if (!batch.isEmpty) {
+        // topDocsIndexed persists nothing (pure scoring joins over
+        // the index tables) — no per-batch cache to reclaim
         onBatch(batchId,
           Bm25.topDocsIndexed(spark, table, batch, k, k1, b))
-        // release any per-batch cached plans (the AnnServe note): a
-        // dedicated serving job's standing state is the index TABLE,
-        // not cached frames
-        spark.catalog.clearCache()
       }
     }
   }

@@ -50,9 +50,10 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   * discipline; the indexed ≡ rebuilt identity is spec-pinned.
   *
   * The screen persists shared scan frames internally; the sink
-  * reclaims the session cache after each micro-batch (the same
-  * discipline as the Verify harness) — co-locate other cache-relying
-  * pipelines in their own session.
+  * releases exactly those (plus its own verdict/keep persists) after
+  * each source version applies — scoped, never a blanket
+  * `catalog.clearCache()`, so user-cached relations sharing the
+  * session survive the stream (ADVICE r14).
   */
 object TableCuration {
 
@@ -96,37 +97,46 @@ object TableCuration {
           if (!applied) {
             val docs = batch.filter(col(vc) === v)
               .select(col(idCol), col(textCol))
-            val verdicts = (indexPrefix match {
-              case Some(p) => IncrementalDedup.verdicts(
+            val (rawVerdicts, scratch) = indexPrefix match {
+              case Some(p) => IncrementalDedup.verdictsScoped(
                 IncrementalDedup.readIndex(spark, p), docs, idCol,
                 textCol, cfg)
-              case None => IncrementalDedup.verdicts(
+              case None => IncrementalDedup.verdictsScopedCorpus(
                 CowTable.read(spark, curatedPath), docs, idCol,
                 textCol, cfg)
-            }).persist()
-            quarantinePath.foreach { qp =>
-              val rejects = docs.join(
-                verdicts.filter(col("keep") === 0)
-                  .select(col("doc_id").as(idCol),
-                    col("exact_dup"), col("near_dup")),
-                idCol)
-              if (TxLog.latestVersion(spark, qp) == 0)
-                CowTable.create(spark, qp, rejects.limit(0), Seq(idCol))
-              CowTable.append(spark, qp, rejects,
-                txn = Some(TxLog.Txn(appId, v)))
             }
+            val verdicts = rawVerdicts.persist()
             val keeps = docs.join(
                 verdicts.filter(col("keep") === 1)
                   .select(col("doc_id").as(idCol)),
                 idCol)
               .persist()
-            CowTable.append(spark, curatedPath, keeps,
-              txn = Some(TxLog.Txn(appId, v)))
-            indexPrefix.foreach(p =>
-              IncrementalDedup.appendToIndex(keeps, idCol, textCol, cfg, p))
+            try {
+              quarantinePath.foreach { qp =>
+                val rejects = docs.join(
+                  verdicts.filter(col("keep") === 0)
+                    .select(col("doc_id").as(idCol),
+                      col("exact_dup"), col("near_dup")),
+                  idCol)
+                if (TxLog.latestVersion(spark, qp) == 0)
+                  CowTable.create(spark, qp, rejects.limit(0), Seq(idCol))
+                CowTable.append(spark, qp, rejects,
+                  txn = Some(TxLog.Txn(appId, v)))
+              }
+              CowTable.append(spark, curatedPath, keeps,
+                txn = Some(TxLog.Txn(appId, v)))
+              indexPrefix.foreach(p =>
+                IncrementalDedup.appendToIndex(keeps, idCol, textCol,
+                  cfg, p))
+            } finally {
+              // release exactly this version's caches — the screen's
+              // internal scans, the verdicts, the keeps
+              keeps.unpersist(blocking = false)
+              verdicts.unpersist(blocking = false)
+              scratch.foreach(_.unpersist(blocking = false))
+            }
           }
         }
-        spark.catalog.clearCache()
       }
     }
 

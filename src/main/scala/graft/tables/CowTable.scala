@@ -1000,22 +1000,31 @@ object CowTable {
       dryRun: Boolean = false): Seq[String] = {
     val f = TxLog.fs(spark, path)
     val latest = TxLog.latestVersion(spark, path)
-    // Clone leases pin their cloned version's files IN ADDITION to the
-    // retention window: a registered clone's external references stay
-    // readable however far the source moves on, until the lease is
-    // dropped (dropCloneLease — after materialize, or abandonment).
-    // This turns the documented shallow-clone retention caveat into a
-    // contract the vacuum enforces.
-    val leaseVersions = cloneLeases(spark, path).map(_.srcVersion)
-      .distinct.filter(v => v >= 1 && v <= latest)
-    val keep =
-      ((math.max(1, latest - retainVersions + 1) to latest) ++
-        leaseVersions).distinct
+    val retainKeep =
+      (math.max(1, latest - retainVersions + 1) to latest)
         .flatMap(v => TxLog.snapshot(spark, path, Some(v)).files.map(_.path))
         .toSet
     val dataDir = new Path(path, "data")
     if (!f.exists(dataDir)) return Seq.empty
     val horizon = System.currentTimeMillis() - retentionMs
+    // Clone leases pin their cloned version's files IN ADDITION to the
+    // retention window: a registered clone's external references stay
+    // readable however far the source moves on, until the lease is
+    // dropped (dropCloneLease — after materialize, or abandonment).
+    // This turns the documented shallow-clone retention caveat into a
+    // contract the vacuum enforces. Leases are (re-)read HERE, after
+    // the retention folds and immediately before the reclaim walk
+    // (ADVICE r14 — reading them at entry left the whole fold time as
+    // a registration race window). The residual window is the walk
+    // itself, plus the inherent one: a clone of a version whose files
+    // already left the retention window can race a concurrent vacuum
+    // pass that started before its lease landed — shallowClone's
+    // register-before-commit order bounds this to in-flight passes,
+    // and a clone of a RETAINED version is always safe.
+    val leaseVersions = cloneLeases(spark, path).map(_.srcVersion)
+      .distinct.filter(v => v >= 1 && v <= latest)
+    val keep = retainKeep ++ leaseVersions
+      .flatMap(v => TxLog.snapshot(spark, path, Some(v)).files.map(_.path))
     // QUALIFIED root: a cwd-relative table path (every other op
     // qualifies through the FileSystem) would otherwise never prefix
     // the walked absolute paths — rel would keep the full path, match
@@ -1220,7 +1229,8 @@ object CowTable {
     * the clone's `data/`, so it can never delete source files.
     */
   def shallowClone(spark: SparkSession, srcPath: String, dstPath: String,
-      asOfVersion: Option[Long] = None): Unit = {
+      asOfVersion: Option[Long] = None,
+      leaseOwner: Option[String] = None): Unit = {
     require(TxLog.latestVersion(spark, dstPath) == 0,
       s"table already exists at $dstPath")
     val snap = TxLog.snapshot(spark, srcPath, asOfVersion)
@@ -1228,8 +1238,8 @@ object CowTable {
     // exists, so a source-side vacuum can never miss an active clone
     // (a crash in between leaves an orphan lease — reclaimable with
     // dropCloneLease, never dangerous). The lease pins the cloned
-    // VERSION's files; see [[vacuum]].
-    writeCloneLease(spark, srcPath, dstPath, snap.version)
+    // VERSION's files; see [[vacuum]] and [[cloneLeaseReport]].
+    writeCloneLease(spark, srcPath, dstPath, snap.version, leaseOwner)
     // External references are FULLY QUALIFIED URIs (scheme +
     // authority), so a clone of an s3a/hdfs table — or a clone landing
     // on a different filesystem than its source — resolves each entry
@@ -1257,24 +1267,64 @@ object CowTable {
       s"concurrent create at $dstPath")
   }
 
-  /** A registered clone: where it lives and which source version its
-    * external references pin.
+  /** A registered clone: where it lives, which source version its
+    * external references pin, when the lease was taken, and (optional)
+    * who owns it — the metadata an operator triaging a vacuum that
+    * "reclaims nothing" reads first ([[cloneLeaseReport]]). Both new
+    * fields default None so pre-upgrade lease files parse unchanged.
     */
   final case class CloneLease(id: String, clonePath: String,
-      srcVersion: Long)
+      srcVersion: Long, createdAtMs: Option[Long] = None,
+      owner: Option[String] = None)
 
   private def cloneDir(path: String) = new Path(path, "_clones")
 
   private def writeCloneLease(spark: SparkSession, srcPath: String,
-      clonePath: String, srcVersion: Long): Unit = {
+      clonePath: String, srcVersion: Long,
+      owner: Option[String]): Unit = {
     val f = TxLog.fs(spark, srcPath)
     f.mkdirs(cloneDir(srcPath))
     val id = java.util.UUID.randomUUID().toString
     // same serializer the reader parses with — no hand-spliced JSON
     val doc = org.json4s.jackson.Serialization.write(
-      CloneLease(id, clonePath, srcVersion))(
+      CloneLease(id, clonePath, srcVersion,
+        Some(System.currentTimeMillis()), owner))(
       org.json4s.jackson.Serialization.formats(org.json4s.NoTypeHints))
     TxLog.writeString(f, new Path(cloneDir(srcPath), s"$id.json"), doc)
+  }
+
+  /** The operator face of the lease contract: one row per registered
+    * lease with its AGE and the number of files it DEFERS beyond the
+    * vacuum retention window — "why did last night's vacuum reclaim
+    * nothing, and who do I page about it". An abandoned clone shows up
+    * as an old lease with a non-zero deferral; release it with
+    * [[dropCloneLease]]. (Deliberately a report, not an expiry: silent
+    * lease expiry would re-open the broken-clone-reads hole the lease
+    * exists to close.) Driver-side metadata fold, same cost class as
+    * [[vacuum]]'s keep-set computation.
+    */
+  def cloneLeaseReport(spark: SparkSession, srcPath: String,
+      retainVersions: Int = 2): DataFrame = {
+    import spark.implicits._
+    val latest = TxLog.latestVersion(spark, srcPath)
+    val retainKeep =
+      (math.max(1, latest - retainVersions + 1) to latest)
+        .flatMap(v =>
+          TxLog.snapshot(spark, srcPath, Some(v)).files.map(_.path))
+        .toSet
+    val now = System.currentTimeMillis()
+    cloneLeases(spark, srcPath).map { l =>
+      val deferred =
+        if (l.srcVersion >= 1 && l.srcVersion <= latest)
+          TxLog.snapshot(spark, srcPath, Some(l.srcVersion)).files
+            .map(_.path).count(p => !retainKeep.contains(p)).toLong
+        else 0L
+      (l.id, l.clonePath, l.srcVersion,
+        l.createdAtMs.map(t => new java.sql.Timestamp(t)).orNull,
+        l.createdAtMs.map(t => (now - t) / 3600000.0).getOrElse(-1.0),
+        l.owner.orNull, deferred)
+    }.toDF("lease_id", "clone_path", "src_version", "created_at",
+      "age_hours", "owner", "files_deferred")
   }
 
   /** The source table's registered clone leases ([[shallowClone]]

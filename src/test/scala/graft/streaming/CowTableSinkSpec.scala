@@ -136,4 +136,50 @@ class CowTableSinkSpec extends AnyFunSuite {
       assert(e.getMessage.contains("append-only"), e.getMessage)
     }
   }
+
+  test("conf-resolved stamp identity: a NAMED query under the session " +
+      "checkpoint conf works; an unnamed one is still refused") {
+    withDir { dir =>
+      val src = dir.getAbsolutePath + "/srcconf"
+      val dst = dir.getAbsolutePath + "/dstconf"
+      CowTable.create(spark, src,
+        Seq((1L, 10L, "a"), (2L, 20L, "b")).toDF("k", "v", "s"), Seq("k"))
+      val confKey = "spark.sql.streaming.checkpointLocation"
+      val old = spark.conf.getOption(confKey)
+      spark.conf.set(confKey, dir.getAbsolutePath + "/confck")
+      try {
+        def run(): Unit = {
+          val q = TableChangeFeed.readChanges(spark, src)
+            .select("k", "v", "s")
+            .writeStream
+            .format(classOf[CowTableSinkProvider].getName)
+            .option("path", dst)
+            .queryName("conf_feed_q")   // <confDir>/conf_feed_q = stable
+            .start()
+          try q.processAllAvailable() finally q.stop()
+        }
+        run()
+        assert(CowTable.read(spark, dst).count() === 2)
+        // restart resumes the SAME checkpoint and stamp identity:
+        // nothing duplicates, new commits flow
+        CowTable.append(spark, src, Seq((3L, 30L, "c")).toDF("k", "v", "s"))
+        run()
+        assert(CowTable.read(spark, dst).orderBy("k").collect()
+          .map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+        // unnamed under the conf: Spark would checkpoint into a RANDOM
+        // per-start subdir - no stable identity, refused at createSink
+        val e = intercept[IllegalArgumentException] {
+          new CowTableSinkProvider().createSink(spark.sqlContext,
+            Map("path" -> dst), Seq.empty,
+            org.apache.spark.sql.streaming.OutputMode.Append())
+        }
+        assert(e.getMessage.contains("stamp identity"), e.getMessage)
+      } finally {
+        old match {
+          case Some(v) => spark.conf.set(confKey, v)
+          case None => spark.conf.unset(confKey)
+        }
+      }
+    }
+  }
 }

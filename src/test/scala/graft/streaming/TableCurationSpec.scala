@@ -226,4 +226,25 @@ class TableCurationSpec extends AnyFunSuite {
         .txnVersion("table-curation") === Some(2L))
     }
   }
+
+  test("scoped cache release: a user-cached frame survives curation " +
+      "micro-batches (no blanket clearCache - ADVICE r14)") {
+    withDir { dir =>
+      val raw = dir.getAbsolutePath + "/rawcc"
+      val cur = dir.getAbsolutePath + "/curcc"
+      val seed = Seq((1L, doc(30, "s"))).toDF("doc_id", "text")
+      CowTable.create(spark, cur, seed, Seq("doc_id"))
+      CowTable.create(spark, raw,
+        Seq((2L, doc(30, "t")), (3L, doc(30, "s"))).toDF("doc_id", "text"),
+        Seq("doc_id"))
+      val user = spark.range(1000).selectExpr("id", "id * 2 as d").persist()
+      assert(user.count() === 1000L) // materialize the cache
+      drain(raw, cur, dir.getAbsolutePath + "/ckcc")
+      assert(ids(cur) === Set(1L, 2L), "curation semantics unchanged")
+      assert(user.storageLevel.useMemory,
+        "the stream dropped a USER-cached relation (blanket clearCache)")
+      user.unpersist(blocking = false)
+      ()
+    }
+  }
 }

@@ -257,6 +257,33 @@ class ColumnMappingSpec extends AnyFunSuite {
     }
   }
 
+  test("cloneLeaseReport names the blocking lease: owner, age, and the " +
+      "files it defers beyond retention") {
+    withTable { t =>
+      val cl = t + "_rep"
+      CowTable.create(spark, t, base(400, 4), Seq("k"))           // v1
+      CowTable.shallowClone(spark, t, cl, leaseOwner = Some("exp-team"))
+      CowTable.optimize(spark, t,
+        _.repartitionByRange(2, col("k")).sortWithinPartitions("k"))
+      // the abandoned-clone triage face: WHO holds WHAT back
+      val r = CowTable.cloneLeaseReport(spark, t, retainVersions = 1)
+        .collect()
+      assert(r.length === 1)
+      assert(r(0).getAs[String]("clone_path") === cl)
+      assert(r(0).getAs[Long]("src_version") === 1L)
+      assert(r(0).getAs[java.sql.Timestamp]("created_at") != null,
+        "lease must carry its creation instant")
+      assert(r(0).getAs[Double]("age_hours") >= 0.0)
+      assert(r(0).getAs[String]("owner") === "exp-team")
+      assert(r(0).getAs[Long]("files_deferred") === 4L,
+        "the 4 leased v1 files sit beyond the retain-1 window")
+      // release -> the report empties and vacuum reclaims
+      assert(CowTable.dropCloneLease(spark, t, cl) === 1)
+      assert(CowTable.cloneLeaseReport(spark, t, retainVersions = 1)
+        .isEmpty)
+    }
+  }
+
   test("clone carries the column map; describeDetail speaks logical") {
     withTable { t =>
       val cl = t + "_clone"
