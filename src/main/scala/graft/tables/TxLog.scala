@@ -200,6 +200,20 @@ object TxLog {
     * CONSTANT value rides the same stats map as any zone map, so
     * partition pruning and zone-map pruning are one mechanism with
     * exact bounds).
+    *
+    * `commitTs` maps every folded version (as a string — JSON map
+    * keys) to its audit timestamp ([[UnstampedTs]] for ts-less
+    * hand-written commits, so "known unplaceable" is distinct from
+    * "not folded"). It rides the CHECKPOINT, which is what bounds
+    * `AS OF TIMESTAMP` resolution to one checkpoint read plus the
+    * commit tail instead of O(history) per-commit JSON reads
+    * ([[versionAtTimestamp]]). Size shape: ~30 bytes/commit — a
+    * 10⁵-commit log adds ~3 MB to the checkpoint doc, the same
+    * metadata class as the manifest itself (and unlike the manifest it
+    * never needs a sidecar: it is read only by the driver-side
+    * resolution). Checkpoints written before this field cover only
+    * their tail — resolution falls back to per-commit reads for the
+    * uncovered prefix and the gap heals at the next checkpoint.
     */
   final case class Snapshot(version: Long, files: Seq[AddFile],
       schemaDDL: String, statsCols: Seq[String],
@@ -208,7 +222,8 @@ object TxLog {
       constraints: Option[Map[String, String]] = None,
       minReader: Option[Int] = None,
       columnMap: Option[Map[String, String]] = None,
-      retiredPhys: Option[Seq[String]] = None) {
+      retiredPhys: Option[Seq[String]] = None,
+      commitTs: Option[Map[String, Long]] = None) {
     /** Physical (on-disk / manifest-stats) name of logical column `c`
       * — the protocol-3 column-mapping indirection that makes renames
       * metadata commits: data files and their stats are keyed by
@@ -453,6 +468,8 @@ object TxLog {
       base.files.map(a => a.path -> a): _*)
     val txns = scala.collection.mutable.Map[String, Long](
       base.txns.getOrElse(Map.empty).toSeq: _*)
+    val commitTs = scala.collection.mutable.Map[String, Long](
+      base.commitTs.getOrElse(Map.empty).toSeq: _*)
     val constraints = scala.collection.mutable.LinkedHashMap[String, String](
       base.constraints.getOrElse(Map.empty).toSeq: _*)
     var schemaDDL = base.schemaDDL
@@ -484,6 +501,7 @@ object TxLog {
       c.retiredPhys.foreach(r => retiredPhys = Some(r))
       c.txn.foreach(t => txns.update(t.app,
         math.max(t.version, txns.getOrElse(t.app, Long.MinValue))))
+      commitTs.update(v.toString, c.ts.getOrElse(UnstampedTs))
       c.constraintsAdd.foreach(_.foreach { case (k, e) =>
         constraints.update(k, e) })
       c.constraintsDrop.foreach(_.foreach(constraints.remove))
@@ -495,8 +513,16 @@ object TxLog {
       if (txns.isEmpty) None else Some(txns.toMap), partitionCols,
       if (constraints.isEmpty) None else Some(constraints.toMap),
       if (minReader <= 1) None else Some(minReader),
-      columnMap.filter(_.nonEmpty), retiredPhys.filter(_.nonEmpty))
+      columnMap.filter(_.nonEmpty), retiredPhys.filter(_.nonEmpty),
+      if (commitTs.isEmpty) None else Some(commitTs.toMap))
   }
+
+  /** Sentinel for "this commit exists but carries no audit timestamp"
+    * in [[Snapshot.commitTs]] — hand-written logs; never qualifies in
+    * timestamp resolution, and never triggers the legacy per-commit
+    * fallback read.
+    */
+  private[tables] val UnstampedTs: Long = Long.MinValue
 
   private val FilesParquetSchema = org.apache.spark.sql.types.StructType.fromDDL(
     "path STRING, rows BIGINT, " +
@@ -563,10 +589,32 @@ object TxLog {
       tsMillis: Long): Long = {
     val latest = latestVersion(spark, table)
     require(latest >= 1, s"empty log at $table")
+    val at = commitTsResolver(spark, table)
     (1L to latest).foldLeft(latest + 1) { (best, v) =>
-      val ts = commitAt(spark, table, v).ts
-      if (ts.exists(_ >= tsMillis)) math.min(best, v) else best
+      if (at(v).exists(_ >= tsMillis)) math.min(best, v) else best
     }
+  }
+
+  /** Per-version commit-timestamp lookup backed by the CHECKPOINT's
+    * `commitTs` map (one snapshot fold = one checkpoint read + the
+    * commit tail), with a per-commit JSON read ONLY for versions a
+    * pre-upgrade checkpoint never folded — the bound that makes
+    * `AS OF TIMESTAMP` / `startingTimestamp` resolution a
+    * table-open-scale operation on a 10⁵-commit log instead of
+    * O(history) driver RPCs (ADVICE r14). The scan over versions
+    * stays FULL and in-memory: audit stamps are not guaranteed
+    * monotone under clock skew, so no binary search (the documented
+    * [[versionAtTimestamp]] contract).
+    */
+  private def commitTsResolver(spark: SparkSession,
+      table: String): Long => Option[Long] = {
+    val m = snapshot(spark, table).commitTs.getOrElse(Map.empty)
+    (v: Long) =>
+      m.get(v.toString) match {
+        case Some(UnstampedTs) => None
+        case Some(t)           => Some(t)
+        case None              => commitAt(spark, table, v).ts
+      }
   }
 
   /** TIMESTAMP time travel resolution: the latest version whose commit
@@ -576,8 +624,10 @@ object TxLog {
     * function of the inputs — the RESOLUTION is explicit user input,
     * so determinism is unaffected), and commit times are monotone in
     * practice but not guaranteed under clock skew, so resolution scans
-    * all commits and takes the max qualifying version rather than
-    * binary-searching a possibly-non-monotone sequence. Fails loudly
+    * all commits IN MEMORY and takes the max qualifying version rather
+    * than binary-searching a possibly-non-monotone sequence. I/O is
+    * bounded by [[commitTsResolver]] (one checkpoint read + the commit
+    * tail — not O(history) per-commit reads). Fails loudly
     * when `tsMillis` predates the first commit — "before the table
     * existed" has no version to answer with.
     */
@@ -587,11 +637,11 @@ object TxLog {
     require(latest >= 1, s"empty log at $table")
     // ts-less commits (hand-written logs) are UNPLACEABLE in time and
     // never qualify — the same convention as [[firstVersionAtOrAfter]]
-    // (ts.exists on both sides); treating them as always-qualifying
+    // (exists on both sides); treating them as always-qualifying
     // would resolve an instant to a version far after it
+    val at = commitTsResolver(spark, table)
     val v = (1L to latest).foldLeft(0L) { (best, v) =>
-      val ts = commitAt(spark, table, v).ts
-      if (ts.exists(_ <= tsMillis)) math.max(best, v) else best
+      if (at(v).exists(_ <= tsMillis)) math.max(best, v) else best
     }
     require(v >= 1,
       s"timestamp $tsMillis predates the first (time-stamped) commit " +

@@ -149,4 +149,77 @@ class TxLogCheckpointSpec extends AnyFunSuite {
         1L + TxLog.CheckpointInterval)
     }
   }
+
+  test("checkpoint-resident commit timestamps: AS OF TIMESTAMP on a " +
+      "1000+-commit log resolves from ONE checkpoint + the tail, not " +
+      "O(history) commit reads") {
+    withDir { t =>
+      val f = TxLog.fs(spark, t)
+      // raw metadata log: 1050 commits with EXPLICIT audit stamps
+      // (ts = 1000·v), zero data files — resolution is a pure
+      // metadata operation and builds fast
+      assert(TxLog.tryCommit(spark, t, TxLog.Commit(1L, "create",
+        Seq.empty, Seq.empty, Some("k BIGINT"), Some(Seq("k")),
+        ts = Some(1000L))))
+      (2L to 1050L).foreach { v =>
+        assert(TxLog.tryCommit(spark, t, TxLog.Commit(v, "append",
+          Seq.empty, Seq.empty, None, None, ts = Some(1000L * v))))
+      }
+      // the checkpoint carries the full ts map
+      val snap = TxLog.snapshot(spark, t)
+      assert(snap.commitTs.exists(_.size === 1050))
+      // DELETE the pre-checkpoint commit files (keep v1 for the
+      // prehistory error path and the tail after the last checkpoint):
+      // resolution must still be exact, PROVING it never reads them
+      val logDir = new org.apache.hadoop.fs.Path(t, TxLog.LogDir)
+      val lastCkpt = f.listStatus(logDir).map(_.getPath.getName)
+        .filter(_.matches("\\d{20}\\.checkpoint\\.json"))
+        .map(_.take(20).toLong).max
+      assert(lastCkpt >= 1040L, s"expected checkpoints, got $lastCkpt")
+      (2L until lastCkpt).foreach { v =>
+        f.delete(new org.apache.hadoop.fs.Path(logDir,
+          f"$v%020d.json"), false)
+      }
+      assert(TxLog.versionAtTimestamp(spark, t, 1000L * 37) === 37L)
+      assert(TxLog.versionAtTimestamp(spark, t, 1000L * 37 + 500) === 37L)
+      assert(TxLog.versionAtTimestamp(spark, t, 1000L * 1050 + 1) === 1050L)
+      assert(TxLog.firstVersionAtOrAfter(spark, t, 1000L * 37 + 1) === 38L)
+      assert(TxLog.firstVersionAtOrAfter(spark, t, 1000L * 9999) === 1051L)
+      val e = intercept[IllegalArgumentException] {
+        TxLog.versionAtTimestamp(spark, t, 999L)
+      }
+      assert(e.getMessage.contains("predates"), e.getMessage)
+    }
+  }
+
+  test("pre-upgrade checkpoints (no ts map) fall back to per-commit " +
+      "reads and stay exact") {
+    withDir { t =>
+      val f = TxLog.fs(spark, t)
+      assert(TxLog.tryCommit(spark, t, TxLog.Commit(1L, "create",
+        Seq.empty, Seq.empty, Some("k BIGINT"), Some(Seq("k")),
+        ts = Some(1000L))))
+      (2L to 30L).foreach { v =>
+        assert(TxLog.tryCommit(spark, t, TxLog.Commit(v, "append",
+          Seq.empty, Seq.empty, None, None, ts = Some(1000L * v))))
+      }
+      // forge a pre-upgrade checkpoint: strip the commitTs field from
+      // the v20 checkpoint doc
+      val logDir = new org.apache.hadoop.fs.Path(t, TxLog.LogDir)
+      val ckpt = new org.apache.hadoop.fs.Path(logDir,
+        f"${20L}%020d.checkpoint.json")
+      val doc = TxLog.readString(f, ckpt)
+      assert(doc.contains("commitTs"))
+      val jv = org.json4s.jackson.JsonMethods.parse(doc)
+        .removeField { case (n, _) => n == "commitTs" }
+      TxLog.writeString(f, ckpt,
+        org.json4s.jackson.JsonMethods.compact(
+          org.json4s.jackson.JsonMethods.render(jv)))
+      // versions <= 20 are the legacy gap: resolved via the fallback
+      // commit reads; > 20 come from the fold tail
+      assert(TxLog.versionAtTimestamp(spark, t, 1000L * 7) === 7L)
+      assert(TxLog.versionAtTimestamp(spark, t, 1000L * 25) === 25L)
+      assert(TxLog.firstVersionAtOrAfter(spark, t, 1000L * 19 + 1) === 20L)
+    }
+  }
 }
