@@ -30,7 +30,7 @@ object Stress {
         "bpe", "bm25", "knngraph", "cms", "ssjoin", "classifier",
         "ntile", "novelty", "semantic1m", "ivfpq4096", "gram", "trend",
         "mmr", "symdel", "linkpred", "binquant1m", "hardmine1m",
-        "coldcatalog", "hotband", "cowtable", "txlog100k")
+        "coldcatalog", "hotband", "cowtable", "txlog100k", "txlog1m")
     val spark = Sessions.local("32")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -2066,6 +2066,79 @@ object Stress {
           .forall(_.mayOverlap("50000000", "50009999")))
         require(hit <= 12, s"prune kept $hit of 100k files")
         hit.toLong
+      }
+      if (rfs.exists(rootP)) { rfs.delete(rootP, true); () }
+    }
+
+    if (which("txlog1m")) {
+      // Round-15: the last driver ceiling, measured at 10× the 100 TB
+      // shape — 1,000,000 manifest entries (100 × 10,000-add commits,
+      // parquet-sidecar checkpoints). Three numbers:
+      //   - metadata fold (snapshotPlanned): table-level state only,
+      //     the base entries stay on disk — what every DDL/append op
+      //     now pays;
+      //   - distributed prune (ManifestPlan): a narrow zone-map range
+      //     planned as a DataFrame over the sidecar, collecting ONLY
+      //     the ~10 surviving entries — what merge/readWhere pay;
+      //   - materialized fold (snapshot): the full driver decode —
+      //     what only whole-table maintenance (optimize/restore/
+      //     vacuum/overwrite) still pays, reported for the contrast.
+      import tables.{ManifestPlan, TxLog}
+      import tables.TxLog.{AddFile, ColStats, Commit}
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_stress_txlog1m"
+      val rootP = new org.apache.hadoop.fs.Path(root)
+      val rfs = TxLog.fs(spark, root)
+      if (rfs.exists(rootP)) { rfs.delete(rootP, true); () }
+      val t = s"$root/t"
+      timedWarm("txlog1mbuild") {
+        var v = 0L
+        (0 until 100).foreach { c =>
+          val adds = (0 until 10000).map { j =>
+            val lo = (c * 10000L + j) * 1000L
+            AddFile(f"data/op$c%03d/part-$j%05d.parquet", 1000L,
+              Map("k" -> ColStats("long", lo.toString,
+                (lo + 999).toString, Some(false))))
+          }
+          v += 1
+          require(TxLog.tryCommit(spark, t, Commit(v,
+            if (v == 1) "create" else "append", adds, Seq.empty,
+            if (v == 1) Some("k BIGINT,v BIGINT") else None,
+            if (v == 1) Some(Seq("k")) else None)), s"commit $v lost")
+        }
+        1000000L
+      }
+      timedWarm("txlog1mmeta") {
+        val reps = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          val p = TxLog.snapshotPlanned(spark, t)
+          require(p.isDistributed && p.meta.files.isEmpty)
+          (System.nanoTime() - t0) / 1e6
+        }
+        println(f"STRESS txlog 1M metadata fold: min ${reps.min}%.0f ms " +
+          "(base entries never materialized)")
+        1000000L
+      }
+      timedWarm("txlog1mprune") {
+        val p = TxLog.snapshotPlanned(spark, t)
+        val reps = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          val hit = ManifestPlan.collectSurvivors(spark, t, p,
+            ManifestPlan.mayOverlap("k", "500000000", "500009999"))
+          require(hit.size <= 12 && hit.nonEmpty,
+            s"prune kept ${hit.size} of 1M files")
+          (System.nanoTime() - t0) / 1e6
+        }
+        println(f"STRESS txlog 1M distributed prune: min ${reps.min}%.0f ms " +
+          "(survivors only cross to the driver)")
+        1000000L
+      }
+      timedWarm("txlog1mfold") {
+        val t0 = System.nanoTime()
+        val s = TxLog.snapshot(spark, t)
+        require(s.files.size == 1000000, s"fold lost files: ${s.files.size}")
+        println(f"STRESS txlog 1M materialized fold: " +
+          f"${(System.nanoTime() - t0) / 1e6}%.0f ms (maintenance-only path)")
+        1000000L
       }
       if (rfs.exists(rootP)) { rfs.delete(rootP, true); () }
     }

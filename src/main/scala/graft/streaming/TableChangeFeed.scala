@@ -120,7 +120,7 @@ object TableChangeFeed {
       startingVersion: Long, maxVersionsPerTrigger: Option[Int],
       cdc: Boolean, where: Option[String] = None,
       failOnSchemaEvolution: Boolean = false): DataFrame = {
-    val snap = TxLog.snapshot(spark, path)
+    val snap = TxLog.snapshotPlanned(spark, path).meta
     val r0 = spark.readStream
       .format(classOf[TableChangeFeedProvider].getName)
       .option("path", path)
@@ -171,8 +171,8 @@ class TableChangeFeedProvider extends StreamSourceProvider
   private def dataDDL(sqlContext: SQLContext,
       parameters: Map[String, String]): String =
     parameters.getOrElse("schemaDDL",
-      TxLog.snapshot(sqlContext.sparkSession,
-        tablePath(parameters)).schemaDDL)
+      TxLog.snapshotPlanned(sqlContext.sparkSession,
+        tablePath(parameters)).meta.schemaDDL)
 
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,
@@ -189,8 +189,8 @@ class TableChangeFeedProvider extends StreamSourceProvider
     // reads could straddle a rename commit and pin an inconsistent
     // triple (a logical name the pinned map can't resolve, silently
     // null-filling that column forever)
-    lazy val fallback = TxLog.snapshot(sqlContext.sparkSession,
-      tablePath(parameters))
+    lazy val fallback = TxLog.snapshotPlanned(sqlContext.sparkSession,
+      tablePath(parameters)).meta
     new TableChangeSource(sqlContext, tablePath(parameters),
       parameters.getOrElse("startingVersion", "1").toLong,
       parameters.getOrElse("schemaDDL", fallback.schemaDDL),
@@ -278,7 +278,7 @@ class TableChangeSource(sqlContext: SQLContext, path: String,
       val vSnapForGuard: Option[graft.tables.TxLog.Snapshot] =
         c.schemaDDL.filter(_ =>
           failOnSchemaEvolution && v > pinnedVersion).map { ddl =>
-        val vSnap = TxLog.snapshot(spark, path, Some(v))
+        val vSnap = TxLog.snapshotPlanned(spark, path, Some(v)).meta
         val ddlPhys = StructType.fromDDL(ddl).fieldNames
           .map(vSnap.physName).toSet
         val extra = StructType.fromDDL(ddl).fieldNames
@@ -333,7 +333,7 @@ class TableChangeSource(sqlContext: SQLContext, path: String,
           // commit-time names — filtering the raw frame would break
           // (or silently mis-evaluate) across a rename
           val vSnap = vSnapForGuard.getOrElse(
-            TxLog.snapshot(spark, path, Some(v)))
+            TxLog.snapshotPlanned(spark, path, Some(v)).meta)
           val changed0 = CowTable.changesCdcAt(spark, path, v, Some(vSnap))
           val conformed = changed0.select(
             cdcConform(changed0, vSnap) :+ col(ct): _*)

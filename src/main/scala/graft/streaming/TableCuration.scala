@@ -92,7 +92,7 @@ object TableCuration {
         val versions = batch.select(vc).distinct().collect()
           .map(_.getLong(0)).sorted
         versions.foreach { v =>
-          val applied = TxLog.snapshot(spark, curatedPath)
+          val applied = TxLog.snapshotPlanned(spark, curatedPath).meta
             .txnVersion(appId).exists(_ >= v)
           if (!applied) {
             val docs = batch.filter(col(vc) === v)

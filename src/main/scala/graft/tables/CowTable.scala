@@ -93,7 +93,7 @@ object CowTable {
   def append(spark: SparkSession, path: String, df: DataFrame,
       txn: Option[TxLog.Txn] = None, mergeSchema: Boolean = false,
       meta: Option[Map[String, String]] = None): Unit = {
-    val snap0 = TxLog.snapshot(spark, path)
+    val snap0 = TxLog.snapshotPlanned(spark, path).meta
     if (alreadyApplied(snap0, txn)) return
     val ev0 = evolvedSchema(snap0, df, mergeSchema, Set.empty)
     val cols = ev0.cols
@@ -122,7 +122,7 @@ object CowTable {
     // retry and re-validate naturally — only append reuses files).
     var validated = snap0.checkConstraints.toSet
     retrying(s"append to $path") {
-      val snap = TxLog.snapshot(spark, path)
+      val snap = TxLog.snapshotPlanned(spark, path).meta
       if (alreadyApplied(snap, txn)) true
       else {
         val fresh = snap.checkConstraints.filterNot(validated)
@@ -216,9 +216,18 @@ object CowTable {
   def readOverlapping(spark: SparkSession, path: String, column: String,
       lo: String, hi: String,
       asOfVersion: Option[Long] = None): DataFrame = {
-    val snap = TxLog.snapshot(spark, path, asOfVersion)
-    readFiles(spark, path, snap, snap.files.filter(
-      _.stats.get(snap.physName(column)).forall(_.mayOverlap(lo, hi))))
+    val psnap = TxLog.snapshotPlanned(spark, path, asOfVersion)
+    val snap = psnap.meta
+    val ph = snap.physName(column)
+    // sidecar-backed manifests prune DISTRIBUTED and collect only the
+    // survivors (ManifestPlan — the 10⁶-file path); inline manifests
+    // stay on the in-memory filter (no job launch for 50 files)
+    val sel =
+      if (!psnap.isDistributed)
+        snap.files.filter(_.stats.get(ph).forall(_.mayOverlap(lo, hi)))
+      else ManifestPlan.collectSurvivors(spark, path, psnap,
+        ManifestPlan.mayOverlap(ph, lo, hi))
+    readFiles(spark, path, snap, sel)
   }
 
   /** Point-SET pruned read: only the files whose zone map on `column`
@@ -235,8 +244,15 @@ object CowTable {
   def readMatchingAny(spark: SparkSession, path: String, column: String,
       values: Seq[String],
       asOfVersion: Option[Long] = None): DataFrame = {
-    val snap = TxLog.snapshot(spark, path, asOfVersion)
+    val psnap = TxLog.snapshotPlanned(spark, path, asOfVersion)
+    val snap = psnap.meta
     val ph = snap.physName(column)
+    // sidecar-backed: the point-set test runs as a plan over the
+    // manifest sidecar, only covering entries reach the driver
+    if (psnap.isDistributed)
+      return readFiles(spark, path, snap,
+        ManifestPlan.collectSurvivors(spark, path, psnap,
+          ManifestPlan.matchesAny(ph, values)))
     // Driver cost is O(files · log values), not O(files · values): a
     // file matches iff SOME value lands in its [min, max], answered by
     // one binary search over a PER-KIND pre-sorted typed value array —
@@ -325,7 +341,7 @@ object CowTable {
   def addStatsColumn(spark: SparkSession, path: String,
       column: String): Unit =
     retrying(s"add stats column $column on $path") {
-      val snap = TxLog.snapshot(spark, path)
+      val snap = TxLog.snapshotPlanned(spark, path).meta
       require(StructType.fromDDL(snap.schemaDDL).fieldNames
         .contains(column), s"no column '$column' in $path")
       if (snap.statsCols.contains(snap.physName(column))) true
@@ -356,7 +372,7 @@ object CowTable {
   def renameColumn(spark: SparkSession, path: String, from: String,
       to: String): Unit =
     retrying(s"rename column $from -> $to on $path") {
-      val snap = TxLog.snapshot(spark, path)
+      val snap = TxLog.snapshotPlanned(spark, path).meta
       val cur = StructType.fromDDL(snap.schemaDDL)
       require(cur.fieldNames.contains(from), s"no column '$from' in $path")
       require(!cur.fieldNames.contains(to),
@@ -386,7 +402,7 @@ object CowTable {
   def addColumn(spark: SparkSession, path: String, name: String,
       typeDDL: String): Unit =
     retrying(s"add column $name on $path") {
-      val snap = TxLog.snapshot(spark, path)
+      val snap = TxLog.snapshotPlanned(spark, path).meta
       val cur = StructType.fromDDL(snap.schemaDDL)
       require(!cur.fieldNames.contains(name),
         s"column '$name' already exists in $path")
@@ -418,7 +434,7 @@ object CowTable {
     */
   def dropColumn(spark: SparkSession, path: String, name: String): Unit =
     retrying(s"drop column $name on $path") {
-      val snap = TxLog.snapshot(spark, path)
+      val snap = TxLog.snapshotPlanned(spark, path).meta
       val cur = StructType.fromDDL(snap.schemaDDL)
       require(cur.fieldNames.contains(name), s"no column '$name' in $path")
       require(cur.fields.length > 1,
@@ -459,7 +475,7 @@ object CowTable {
   def dropConstraint(spark: SparkSession, path: String,
       name: String): Unit =
     retrying(s"drop constraint $name on $path") {
-      val snap = TxLog.snapshot(spark, path)
+      val snap = TxLog.snapshotPlanned(spark, path).meta
       require(snap.checkConstraints.contains(name),
         s"no constraint '$name' on $path")
       TxLog.tryCommit(spark, path, Commit(snap.version + 1, "constraint",
@@ -478,11 +494,26 @@ object CowTable {
     */
   def readWhere(spark: SparkSession, path: String, cond: Column,
       asOfVersion: Option[Long] = None): DataFrame = {
-    val snap = TxLog.snapshot(spark, path, asOfVersion)
-    readFiles(spark, path, snap,
-      StatsPredicate.prune(snap.files, cond, snap.physName))
-      .filter(cond)
+    val psnap = TxLog.snapshotPlanned(spark, path, asOfVersion)
+    val snap = psnap.meta
+    val sel =
+      if (!psnap.isDistributed)
+        StatsPredicate.prune(snap.files, cond, snap.physName)
+      else prunedDistributed(spark, path, psnap,
+        ManifestPlan.prunePredicate(cond, snap.physName))
+    readFiles(spark, path, snap, sel).filter(cond)
   }
+
+  /** Distributed-prune helper: evaluate the predicate over the planned
+    * manifest (None = no recognized conjuncts → every entry survives,
+    * the same no-pruning answer as the driver form — a full-manifest
+    * collect, which a full scan needs anyway to plan its read).
+    */
+  private def prunedDistributed(spark: SparkSession, path: String,
+      psnap: TxLog.PlannedSnapshot,
+      pred: Option[Column]): Seq[AddFile] =
+    ManifestPlan.collectSurvivors(spark, path, psnap,
+      pred.getOrElse(lit(true)))
 
   /** MERGE `updates` into the table on `keys`: full-row upsert, rows
     * flagged true in `deleteCol` are deletes. Only files containing a
@@ -559,7 +590,8 @@ object CowTable {
 
       var result: Option[MergeMetrics] = None
       retrying(s"merge into $path") {
-        val snap = TxLog.snapshot(spark, path)
+        val psnap = TxLog.snapshotPlanned(spark, path)
+        val snap = psnap.meta
         if (alreadyApplied(snap, txn)) {
           // Replayed batch (streaming retry / restart from an old
           // checkpoint): the log already carries this stamp — no-op.
@@ -592,15 +624,23 @@ object CowTable {
           //    (ColStats.nulls; legacy manifests answer true). An
           //    all-null batch key (range None) keeps only files that
           //    may hold nulls; an EMPTY batch keeps nothing.
-          val candidates = snap.files.filter { f =>
-            keyBounds.forall { case (k, (range, batchNull)) =>
-              f.stats.get(phys(k)).forall { s =>
-                range.exists { case (lo, hi) => s.mayOverlap(lo, hi) } ||
-                  (batchNull && s.mayHaveNulls)
+          //    Sidecar-backed manifests evaluate this as a DataFrame
+          //    plan over the checkpoint sidecar and collect ONLY the
+          //    candidates (ManifestPlan.mergeCandidate — the Column
+          //    twin, property-pinned ≡ the driver rule below).
+          val candidates =
+            if (!psnap.isDistributed) snap.files.filter { f =>
+              keyBounds.forall { case (k, (range, batchNull)) =>
+                f.stats.get(phys(k)).forall { s =>
+                  range.exists { case (lo, hi) => s.mayOverlap(lo, hi) } ||
+                    (batchNull && s.mayHaveNulls)
+                }
               }
             }
-          }
-          val pruned = snap.files.size - candidates.size
+            else ManifestPlan.collectSurvivors(spark, path, psnap,
+              ManifestPlan.mergeCandidate(keyBounds, phys))
+          val pruned =
+            ManifestPlan.fileCount(spark, path, psnap) - candidates.size
 
           // 2. Touched files: candidates holding >=1 matched key. One
           //    semi-join scan over candidates only; the file list is
@@ -782,12 +822,19 @@ object CowTable {
       transform: DataFrame => DataFrame): RewriteMetrics = {
     var result: Option[RewriteMetrics] = None
     retrying(s"$op-where on $path") {
-      val snap = TxLog.snapshot(spark, path)
+      val psnap = TxLog.snapshotPlanned(spark, path)
+      val snap = psnap.meta
       // Manifest pre-prune: the probe scan reads ONLY the files whose
       // zone maps could hold a TRUE row (StatsPredicate's conservative
       // range analysis) — a clustered range delete over a 100 TB table
-      // probes O(matching files), not the world.
-      val candidates = StatsPredicate.prune(snap.files, cond, snap.physName)
+      // probes O(matching files), not the world. Sidecar-backed
+      // manifests prune distributed (ManifestPlan twin).
+      val candidates =
+        if (!psnap.isDistributed)
+          StatsPredicate.prune(snap.files, cond, snap.physName)
+        else prunedDistributed(spark, path, psnap,
+          ManifestPlan.prunePredicate(cond, snap.physName))
+      lazy val totalFiles = ManifestPlan.fileCount(spark, path, psnap)
       val hconf = spark.sessionState.newHadoopConf()
       val byAbs: Map[String, AddFile] =
         candidates.map(f => entryKey(hconf, path, f.path) -> f).toMap
@@ -802,7 +849,7 @@ object CowTable {
         }.toSeq
       if (touched.isEmpty) {
         result = Some(RewriteMetrics(snap.version, candidates.size.toLong,
-          0, snap.files.size.toLong, 0, 0))
+          0, totalFiles, 0, 0))
         true
       } else {
         val touchedDf = readFiles(spark, path, snap, touched)
@@ -822,7 +869,7 @@ object CowTable {
         if (committed)
           result = Some(RewriteMetrics(snap.version + 1,
             candidates.size.toLong, touched.size.toLong,
-            (snap.files.size - touched.size).toLong,
+            totalFiles - touched.size,
             touched.map(_.rows).sum, adds.map(_.rows).sum))
         committed
       }
@@ -841,8 +888,13 @@ object CowTable {
   def compact(spark: SparkSession, path: String, smallFileRows: Long,
       targetFileCount: Int): Unit =
     retrying(s"compact $path") {
-      val snap = TxLog.snapshot(spark, path)
-      val smalls = snap.files.filter(_.rows < smallFileRows)
+      val psnap = TxLog.snapshotPlanned(spark, path)
+      val snap = psnap.meta
+      val smalls =
+        if (!psnap.isDistributed)
+          snap.files.filter(_.rows < smallFileRows)
+        else ManifestPlan.collectSurvivors(spark, path, psnap,
+          col("rows") < lit(smallFileRows))
       if (smalls.size <= 1) true
       else {
         val packed = readFiles(spark, path, snap, smalls)
@@ -900,15 +952,20 @@ object CowTable {
       lo: String, hi: String, layout: DataFrame => DataFrame): Long = {
     var rewritten = 0L
     retrying(s"optimizeWhere $path") {
-      val snap = TxLog.snapshot(spark, path)
+      val psnap = TxLog.snapshotPlanned(spark, path)
+      val snap = psnap.meta
       // conservative-EXCLUSIVE selection (exists, and a comparable
       // kind): a READ must include stats-less/opaque files or miss
       // rows, but a layout REWRITE including them is pure waste — a
       // maintenance pass with several hot ranges would rewrite every
       // such file once per range, forever
       val ph = snap.physName(column)
-      val sel = snap.files.filter(_.stats.get(ph).exists(st =>
-        st.kind != "opaque" && st.mayOverlap(lo, hi)))
+      val sel =
+        if (!psnap.isDistributed)
+          snap.files.filter(_.stats.get(ph).exists(st =>
+            st.kind != "opaque" && st.mayOverlap(lo, hi)))
+        else ManifestPlan.collectSurvivors(spark, path, psnap,
+          ManifestPlan.mayOverlapExclusive(ph, lo, hi))
       rewritten = sel.size.toLong
       if (sel.isEmpty) true
       else {
@@ -935,9 +992,13 @@ object CowTable {
       layout: DataFrame => DataFrame): Long = {
     var rewritten = 0L
     retrying(s"optimizeMatching $path") {
-      val snap = TxLog.snapshot(spark, path)
-      val sel = StatsPredicate.pruneForRewrite(snap.files, cond,
-        snap.physName)
+      val psnap = TxLog.snapshotPlanned(spark, path)
+      val snap = psnap.meta
+      val sel =
+        if (!psnap.isDistributed)
+          StatsPredicate.pruneForRewrite(snap.files, cond, snap.physName)
+        else prunedDistributed(spark, path, psnap,
+          ManifestPlan.rewritePredicate(cond, snap.physName))
       rewritten = sel.size.toLong
       if (sel.isEmpty) true
       else {
@@ -1409,7 +1470,7 @@ object CowTable {
     */
   def changesAt(spark: SparkSession, path: String, v: Long): DataFrame = {
     val c = TxLog.commitAt(spark, path, v)
-    val snap = TxLog.snapshot(spark, path, Some(v))
+    val snap = TxLog.snapshotPlanned(spark, path, Some(v)).meta
     readFiles(spark, path, snap, c.adds)
   }
 
@@ -1424,7 +1485,7 @@ object CowTable {
   def changesWhereAt(spark: SparkSession, path: String, v: Long,
       cond: Column): DataFrame = {
     val c = TxLog.commitAt(spark, path, v)
-    val snap = TxLog.snapshot(spark, path, Some(v))
+    val snap = TxLog.snapshotPlanned(spark, path, Some(v)).meta
     readFiles(spark, path, snap,
       StatsPredicate.prune(c.adds, cond, snap.physName))
       .filter(cond)
@@ -1467,7 +1528,7 @@ object CowTable {
     // callers that already folded the log to v pass the snapshot in —
     // a CDC catch-up otherwise pays the O(v) driver fold twice per
     // commit (once here, once for its own conformance)
-    val snap = snapAtV.getOrElse(TxLog.snapshot(spark, path, Some(v)))
+    val snap = snapAtV.getOrElse(TxLog.snapshotPlanned(spark, path, Some(v)).meta)
     val schema = StructType(StructType.fromDDL(snap.schemaDDL)
       .fields :+ StructField(ChangeTypeCol, StringType, nullable = false))
     spark.read.schema(schema).parquet(s"$path/$dir")

@@ -416,11 +416,66 @@ object TxLog {
     won
   }
 
+  /** The fold of [[snapshotPlanned]] with the checkpoint sidecar's
+    * base entries left UNMATERIALIZED: table-level state folds as
+    * always (`meta.files` is EMPTY when `sidecarRef` is set), and the
+    * live-file set is expressed as
+    * `sidecar ∖ removedEver ∪ tailLive` — the algebra
+    * [[graft.tables.ManifestPlan]] evaluates as a DataFrame plan, so
+    * manifest pruning on a 10⁶⁺-file table collects ONLY the
+    * surviving entries onto the driver. `tailLive` is the ordered
+    * fold of the post-checkpoint commits' adds/removes (bounded by
+    * [[CheckpointInterval]] commits); `removedEver` every path those
+    * commits removed (a base path removed and restored in the tail
+    * re-enters through `tailLive`, so the set-minus stays exact).
+    */
+  final case class PlannedSnapshot(meta: Snapshot,
+      sidecarRef: Option[String], tailLive: Seq[AddFile],
+      removedEver: Set[String]) {
+    /** False → `meta.files` is the complete live set (inline
+      * checkpoint or no checkpoint) and driver-side pruning is the
+      * cheaper path (no job launch).
+      */
+    def isDistributed: Boolean = sidecarRef.isDefined
+  }
+
   /** Fold the log into the live-file set at `asOf` (default: latest).
-    * Starts from the newest checkpoint ≤ asOf when one exists.
+    * Starts from the newest checkpoint ≤ asOf when one exists. For a
+    * sidecar-backed checkpoint this MATERIALIZES every manifest entry
+    * on the driver — pruning paths use [[snapshotPlanned]] +
+    * [[graft.tables.ManifestPlan]] instead and never pay this on big
+    * tables; full-read/maintenance paths (optimize, restore, vacuum,
+    * overwrite) inherently need the whole list.
     */
   def snapshot(spark: SparkSession, table: String,
       asOf: Option[Long] = None): Snapshot = {
+    val p = snapshotPlanned(spark, table, asOf)
+    p.sidecarRef match {
+      case None => p.meta
+      case Some(ref) =>
+        try {
+          val base = readFilesParquet(spark,
+            new Path(logPath(table), ref).toString)
+          p.meta.copy(files =
+            base.filter(a => !p.removedEver.contains(a.path)) ++ p.tailLive)
+        } catch { case scala.util.control.NonFatal(_) =>
+          // torn/vacuumed sidecar: the commits are the truth — degrade
+          // to the full commit fold, same contract as a torn
+          // checkpoint JSON
+          snapshotPlanned(spark, table, asOf,
+            useCheckpoint = false).meta
+        }
+    }
+  }
+
+  /** [[snapshot]]'s fold WITHOUT materializing a sidecar-backed
+    * checkpoint's entries (see [[PlannedSnapshot]]).
+    * `useCheckpoint = false` forces the full commit fold (the
+    * torn-checkpoint degrade path).
+    */
+  def snapshotPlanned(spark: SparkSession, table: String,
+      asOf: Option[Long] = None,
+      useCheckpoint: Boolean = true): PlannedSnapshot = {
     val f = fs(spark, table)
     val dir = logPath(table)
     require(f.exists(dir), s"not a CowTable (no ${LogDir}): $table")
@@ -430,29 +485,31 @@ object TxLog {
         .map(_.take(20).toLong).foldLeft(0L)(math.max))
     require(target > 0, s"empty log at $table")
 
-    val ckptV0 = names.filter(_.matches("\\d{20}\\.checkpoint\\.json"))
-      .map(_.take(20).toLong).filter(_ <= target)
-      .foldLeft(0L)(math.max)
+    val ckptV0 =
+      if (!useCheckpoint) 0L
+      else names.filter(_.matches("\\d{20}\\.checkpoint\\.json"))
+        .map(_.take(20).toLong).filter(_ <= target)
+        .foldLeft(0L)(math.max)
     // A torn/unreadable checkpoint (pre-atomic-publish logs, or a
     // mid-write crash) must degrade to the FULL commit fold, never
     // fail the read: the checkpoint is an optimization, the commits
     // are the truth.
-    val (base: Snapshot, ckptV: Long) =
-      if (ckptV0 == 0) (Snapshot(0L, Seq.empty, "", Seq.empty), 0L)
+    val (base: Snapshot, ckptV: Long, sidecarRef: Option[String]) =
+      if (ckptV0 == 0) (Snapshot(0L, Seq.empty, "", Seq.empty), 0L, None)
       else try {
         val jv = JsonMethods.parse(readString(f, checkpointPath(table, ckptV0)))
         val snap0 = jv.extract[Snapshot]
-        val snap = (jv \ "filesRef") match {
+        (jv \ "filesRef") match {
           case JString(ref) =>
-            // parquet-sidecar form: bulk-decode the manifest entries
-            snap0.copy(files = readFilesParquet(spark,
-              new Path(logPath(table), ref).toString))
-          case _ => snap0
+            // parquet-sidecar form: the entries stay ON DISK — a
+            // dangling/torn sidecar surfaces at evaluation time and
+            // ManifestPlan degrades to the full commit fold there
+            (snap0, ckptV0, Some(ref))
+          case _ => (snap0, ckptV0, None)
         }
-        (snap, ckptV0)
       }
       catch { case scala.util.control.NonFatal(_) =>
-        (Snapshot(0L, Seq.empty, "", Seq.empty), 0L) }
+        (Snapshot(0L, Seq.empty, "", Seq.empty), 0L, None) }
 
     // Protocol gate: the checkpoint records the max requirement folded
     // into it, so a fold that starts there still sees pre-checkpoint
@@ -479,6 +536,7 @@ object TxLog {
     var retiredPhys = base.retiredPhys
     val listed = names.filter(_.matches("\\d{20}\\.json"))
       .map(_.take(20).toLong).toSet
+    val removedEver = scala.collection.mutable.Set[String]()
     var v = ckptV + 1
     while (v <= target) {
       val p = commitPath(table, v)
@@ -505,16 +563,22 @@ object TxLog {
       c.constraintsAdd.foreach(_.foreach { case (k, e) =>
         constraints.update(k, e) })
       c.constraintsDrop.foreach(_.foreach(constraints.remove))
-      c.removes.foreach(files.remove)
+      c.removes.foreach { r => files.remove(r); removedEver += r }
       c.adds.foreach(a => files.update(a.path, a))
       v += 1
     }
-    Snapshot(target, files.values.toSeq, schemaDDL, statsCols,
+    val folded = files.values.toSeq
+    val meta = Snapshot(target,
+      if (sidecarRef.isDefined) Seq.empty else folded,
+      schemaDDL, statsCols,
       if (txns.isEmpty) None else Some(txns.toMap), partitionCols,
       if (constraints.isEmpty) None else Some(constraints.toMap),
       if (minReader <= 1) None else Some(minReader),
       columnMap.filter(_.nonEmpty), retiredPhys.filter(_.nonEmpty),
       if (commitTs.isEmpty) None else Some(commitTs.toMap))
+    PlannedSnapshot(meta, sidecarRef,
+      if (sidecarRef.isDefined) folded else Seq.empty,
+      if (sidecarRef.isDefined) removedEver.toSet else Set.empty)
   }
 
   /** Sentinel for "this commit exists but carries no audit timestamp"
@@ -524,17 +588,35 @@ object TxLog {
     */
   private[tables] val UnstampedTs: Long = Long.MinValue
 
-  private val FilesParquetSchema = org.apache.spark.sql.types.StructType.fromDDL(
-    "path STRING, rows BIGINT, " +
-      "stats MAP<STRING, STRUCT<kind: STRING, min: STRING, max: STRING, " +
-      "nulls: BOOLEAN>>")
+  private[tables] val FilesParquetSchema =
+    org.apache.spark.sql.types.StructType.fromDDL(
+      "path STRING, rows BIGINT, " +
+        "stats MAP<STRING, STRUCT<kind: STRING, min: STRING, max: STRING, " +
+        "nulls: BOOLEAN>>")
 
-  private def manifestRows(
+  private[tables] def manifestRows(
       files: Seq[AddFile]): Seq[org.apache.spark.sql.Row] =
     files.map(a => org.apache.spark.sql.Row(a.path, a.rows,
       a.stats.map { case (c, s) =>
         c -> org.apache.spark.sql.Row(s.kind, s.min, s.max, s.nulls.orNull)
       }))
+
+  /** Decode one (path, rows, stats) manifest row — the inverse of
+    * [[manifestRows]], shared by the sidecar reader and
+    * [[graft.tables.ManifestPlan]]'s survivor collection.
+    */
+  private[tables] def rowToAddFile(r: org.apache.spark.sql.Row): AddFile = {
+    val stats = r.getMap[String, org.apache.spark.sql.Row](2)
+    AddFile(r.getString(0), r.getLong(1),
+      stats.map { case (c, s) =>
+        c -> ColStats(s.getString(0), s.getString(1), s.getString(2),
+          if (s.isNullAt(3)) None else Some(s.getBoolean(3)))
+      }.toMap)
+  }
+
+  /** On-disk location of a checkpoint's parquet sidecar. */
+  private[tables] def sidecarLocation(table: String, ref: String): String =
+    new Path(logPath(table), ref).toString
 
   private def writeFilesParquet(spark: SparkSession, dir: String,
       files: Seq[AddFile]): Unit =
@@ -546,30 +628,21 @@ object TxLog {
   private def readFilesParquet(spark: SparkSession,
       dir: String): Seq[AddFile] =
     spark.read.schema(FilesParquetSchema).parquet(dir).collect()
-      .map { r =>
-        val stats = r.getMap[String, org.apache.spark.sql.Row](2)
-        AddFile(r.getString(0), r.getLong(1),
-          stats.map { case (c, s) =>
-            c -> ColStats(s.getString(0), s.getString(1), s.getString(2),
-              if (s.isNullAt(3)) None else Some(s.getBoolean(3)))
-          }.toMap)
-      }.toSeq
+      .map(rowToAddFile).toSeq
 
   /** The live manifest at `asOf` as a DATAFRAME — (path, rows, stats)
     * with the zone maps as a map column — for distributed manifest
     * consumers (file-level audits, reconciliation joins, maintenance
     * analytics over millions of entries) that should never funnel
-    * through a driver-side Seq. The fold itself still runs driver-side
-    * (it is a hash-map pass over metadata); this surfaces its RESULT
-    * to executors.
+    * through a driver-side Seq. Sidecar-backed checkpoints plan
+    * straight off the parquet sidecar ([[ManifestPlan.filesDf]] — the
+    * base entries never touch the driver); inline manifests
+    * parallelize the folded Seq.
     */
   def filesAsDf(spark: SparkSession, table: String,
-      asOf: Option[Long] = None): DataFrame = {
-    val rows = manifestRows(snapshot(spark, table, asOf).files)
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(rows,
-        math.max(1, rows.size / 65536)), FilesParquetSchema)
-  }
+      asOf: Option[Long] = None): DataFrame =
+    ManifestPlan.filesDf(spark, table,
+      snapshotPlanned(spark, table, asOf))
 
   /** Raw commit `v` (for audits / change inspection). */
   def commitAt(spark: SparkSession, table: String, v: Long): Commit = {
