@@ -370,6 +370,74 @@ object TableQueries {
       |         o_orderkey, o_custkey, price FROM s7)
       |ORDER BY src, o_orderkey""".stripMargin
 
+  /** NESTED column mapping round trip ([[CowTable.renameColumn]] with
+    * a dotted path — round 15, protocol 4): a struct-internal field
+    * renames as a METADATA commit. Same shape as [[tableRename]]: the
+    * output stacks reads stamping the struct's LOGICAL field list into
+    * a data column, so the oracle pins head (new inner name, real
+    * values — the silent-null hazard the protocol bump guards), time
+    * travel below the rename (old inner name), and the change feed of
+    * a post-rename commit, while writes keep flowing through the
+    * unchanged physical name.
+    */
+  def tableRenameNested(spark: SparkSession, dir: String): DataFrame = {
+    val t = scratch(dir, "renamenested")
+    reset(spark, t)
+    val base = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        struct(col("o_custkey").as("cust"),
+          col("o_totalprice").as("amount")).as("meta"))
+    CowTable.create(spark, t,
+      base.repartitionByRange(8, col("o_orderkey")), Seq("o_orderkey")) // v1
+    CowTable.append(spark, t, base.filter(col("o_orderkey") % 5 === 0)
+      .select((col("o_orderkey") + 1000000000L).as("o_orderkey"),
+        col("meta")))                                                   // v2
+    CowTable.renameColumn(spark, t, "meta.amount", "price")             // v3
+    CowTable.append(spark, t, base.filter(col("o_orderkey") % 7 === 0)
+      .select((col("o_orderkey") + 2000000000L).as("o_orderkey"),
+        struct(col("meta.cust").as("cust"),
+          (col("meta.amount") + 0.5d).as("price")).as("meta")))         // v4
+    def stamped(df: DataFrame, src: String): DataFrame = {
+      val fs = df.schema("meta").dataType
+        .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames
+      df.select(lit(src).as("src"),
+        lit(fs.mkString(",")).as("fields"),
+        col("o_orderkey"),
+        col("meta").getField("cust").as("cust"),
+        col("meta").getField(fs.last).as("price"))
+    }
+    stamped(CowTable.read(spark, t), "head")
+      .unionByName(stamped(CowTable.read(spark, t, Some(2L)), "v2"))
+      .unionByName(stamped(CowTable.changesAt(spark, t, 4L), "feed4"))
+      .orderBy("src", "o_orderkey")
+  }
+
+  val tableRenameNestedSql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_custkey AS cust, o_totalprice AS amount
+      |  FROM orders),
+      |s5 AS (
+      |  SELECT o_orderkey + 1000000000 AS o_orderkey, cust, amount
+      |  FROM base WHERE o_orderkey % 5 = 0),
+      |s7 AS (
+      |  SELECT o_orderkey + 2000000000 AS o_orderkey, cust,
+      |         amount + 0.5 AS price
+      |  FROM base WHERE o_orderkey % 7 = 0),
+      |head AS (
+      |  SELECT o_orderkey, cust, amount AS price FROM base
+      |  UNION ALL SELECT o_orderkey, cust, amount FROM s5
+      |  UNION ALL SELECT o_orderkey, cust, price FROM s7)
+      |SELECT * FROM (
+      |  SELECT 'head' AS src, 'cust,price' AS fields,
+      |         o_orderkey, cust, price
+      |  FROM head
+      |  UNION ALL
+      |  SELECT 'v2', 'cust,amount', o_orderkey, cust, amount
+      |  FROM (SELECT * FROM base UNION ALL SELECT * FROM s5)
+      |  UNION ALL
+      |  SELECT 'feed4', 'cust,price', o_orderkey, cust, price FROM s7)
+      |ORDER BY src, o_orderkey""".stripMargin
+
   /** The transactional corpus-ingest loop, end to end: a standing
     * document corpus held in a CowTable, a new batch screened against
     * it with the PROVEN incremental-dedup verdicts (exact + LSH-banded
@@ -1396,6 +1464,7 @@ object TableQueries {
     "pipeline_table_ingest" -> (pipelineTableIngest(_, _)),
     "table_evolve" -> (tableEvolve(_, _)),
     "table_rename" -> (tableRename(_, _)),
+    "table_rename_nested" -> (tableRenameNested(_, _)),
     "table_aggmerge" -> (tableAggmerge(_, _)),
     "table_scd2" -> (tableScd2(_, _)),
     "table_partitioned" -> (tablePartitioned(_, _)),
@@ -1429,6 +1498,7 @@ object TableQueries {
     "pipeline_table_ingest" -> pipelineTableIngestSql,
     "table_evolve" -> tableEvolveSql,
     "table_rename" -> tableRenameSql,
+    "table_rename_nested" -> tableRenameNestedSql,
     "table_aggmerge" -> Relational.qAggUpsertSql,
     "table_scd2" -> DiffQueries.scd2ApplySql,
     "table_partitioned" -> tablePartitionedSql,

@@ -369,25 +369,95 @@ object CowTable {
     * (they would read files under the new logical name and surface
     * silent nulls).
     */
+  /** `from` may be a DOTTED PATH into struct columns
+    * (`"meta.src"` — array/map wrappers are transparent), making the
+    * rename of a STRUCT-INTERNAL field a metadata commit too (nested
+    * column mapping, round 15): the field's physical name is frozen at
+    * first write, the map binds its new dotted LOGICAL path to it, and
+    * every read/write conforms through the positional struct cast —
+    * so head reads surface the new name, time travel below the rename
+    * the old one, and the change feed's pinned conformance works
+    * across it, exactly the top-level contract. `to` is always a
+    * bare field name (the parent path cannot change — that would be a
+    * MOVE, which files cannot express). Nested-mapped tables stamp
+    * `minReader = 4`: a protocol-3 reader would read the renamed
+    * field's files under the new logical name and surface silent
+    * nulls inside the struct.
+    */
   def renameColumn(spark: SparkSession, path: String, from: String,
       to: String): Unit =
     retrying(s"rename column $from -> $to on $path") {
       val snap = TxLog.snapshotPlanned(spark, path).meta
       val cur = StructType.fromDDL(snap.schemaDDL)
-      require(cur.fieldNames.contains(from), s"no column '$from' in $path")
-      require(!cur.fieldNames.contains(to),
-        s"column '$to' already exists in $path")
-      val ns = StructType(cur.fields.map(f =>
-        if (f.name == from) f.copy(name = to) else f))
+      require(!to.contains("."),
+        s"rename target '$to' must be a bare field name (the parent " +
+          "path cannot change — files cannot express a field MOVE)")
+      val prevMap = snap.columnMap.getOrElse(Map.empty)
+      val (ns, phOld) =
+        if (!from.contains(".")) {
+          require(cur.fieldNames.contains(from),
+            s"no column '$from' in $path")
+          require(!cur.fieldNames.contains(to),
+            s"column '$to' already exists in $path")
+          (StructType(cur.fields.map(f =>
+            if (f.name == from) f.copy(name = to) else f)),
+            snap.physName(from))
+        } else {
+          val segs = from.split('.').toList
+          def rebuild(dt: DataType, rest: List[String]): DataType =
+            (dt, rest) match {
+              case (st: StructType, head :: Nil) =>
+                require(st.fieldNames.contains(head),
+                  s"no field path '$from' in $path")
+                require(!st.fieldNames.contains(to),
+                  s"field '$to' already exists beside '$from' in $path")
+                StructType(st.fields.map(f =>
+                  if (f.name == head) f.copy(name = to) else f))
+              case (st: StructType, head :: tail) =>
+                require(st.fieldNames.contains(head),
+                  s"no field path '$from' in $path")
+                StructType(st.fields.map(f =>
+                  if (f.name == head)
+                    f.copy(dataType = rebuild(f.dataType, tail))
+                  else f))
+              case (ArrayType(et, n), _) =>
+                ArrayType(rebuild(et, rest), n)
+              case (MapType(kt, vt, n), _) =>
+                MapType(kt, rebuild(vt, rest), n)
+              case _ => sys.error(
+                s"path '$from' does not traverse struct fields in $path")
+            }
+          (rebuild(cur, segs).asInstanceOf[StructType],
+            prevMap.getOrElse(from, segs.last))
+        }
       requireConstraintsResolve(spark, snap.checkConstraints, ns,
         s"renaming '$from' to '$to'")
-      val ph = snap.physName(from)
-      val newMap = (snap.columnMap.getOrElse(Map.empty) - from) ++
-        (if (to == ph) Map.empty[String, String] else Map(to -> ph))
+      val newPath =
+        if (!from.contains(".")) to
+        else (from.split('.').init :+ to).mkString(".")
+      // descendants keyed THROUGH the renamed path re-key with it —
+      // a mapped `meta.src.inner` must follow `meta.src` → `meta.o2`
+      val rekeyed = prevMap.collect { case (k, v) if k != from =>
+        (if (k.startsWith(from + "."))
+          newPath + k.stripPrefix(from)
+        else k) -> v
+      }
+      // identity bindings are omitted: a path whose LEAF equals its
+      // physical name needs no entry (same rule both levels)
+      val newMap = rekeyed ++
+        (if (to == phOld) Map.empty[String, String]
+        else Map(newPath -> phOld))
       TxLog.tryCommit(spark, path, Commit(snap.version + 1, "rename",
         Seq.empty, Seq.empty, Some(ns.toDDL), None,
-        columnMap = Some(newMap), minReader = Some(3)))
+        columnMap = Some(newMap), minReader = Some(minReaderFor(newMap))))
     }
+
+  /** Nested-mapped tables need protocol 4 (struct-internal conformance
+    * — a v3 reader would silently null the renamed nested field);
+    * top-level-only maps keep protocol 3.
+    */
+  private def minReaderFor(colMap: Map[String, String]): Int =
+    if (colMap.keys.exists(_.contains("."))) 4 else 3
 
   /** ADD COLUMN as a METADATA commit — the explicit DDL face of what
     * `mergeSchema` appends do implicitly: the new column joins the
@@ -446,13 +516,18 @@ object CowTable {
       val ns = StructType(cur.fields.filterNot(_.name == name))
       requireConstraintsResolve(spark, snap.checkConstraints, ns,
         s"dropping '$name'")
+      // descendant nested-field entries keyed through the dropped
+      // column leave the map with it (their paths no longer exist)
+      val prunedMap = snap.columnMap.getOrElse(Map.empty)
+        .filterNot { case (k, _) =>
+          k == name || k.startsWith(name + ".") }
       TxLog.tryCommit(spark, path, Commit(snap.version + 1, "drop_column",
         Seq.empty, Seq.empty, Some(ns.toDDL),
         Some(snap.statsCols.filterNot(_ == ph)),
-        columnMap = Some(snap.columnMap.getOrElse(Map.empty) - name),
+        columnMap = Some(prunedMap),
         retiredPhys = Some(
           (snap.retiredPhys.getOrElse(Seq.empty) :+ ph).distinct),
-        minReader = Some(3)))
+        minReader = Some(math.max(3, minReaderFor(prunedMap)))))
     }
 
   /** Every CHECK constraint must still ANALYZE against `schema` — a
@@ -1581,7 +1656,11 @@ object CowTable {
     df.schema.fields.filter(f => cur.fieldNames.contains(f.name))
       .foreach { f =>
         val want = cur(f.name).dataType
-        require(f.dataType == want,
+        // nullability-RELAXED comparison: schema DDL cannot even
+        // express array-element / struct-field non-nullability (the
+        // round trip loses it), and parquet reads everything nullable
+        // — only a genuine TYPE change is a retype
+        require(relaxNullability(f.dataType) == relaxNullability(want),
           s"column ${f.name}: table has $want, frame has ${f.dataType} — " +
             "retypes are not supported (files are immutable)")
       }
@@ -1682,6 +1761,58 @@ object CowTable {
     * source's (one read per root, unioned — root count is the clone
     * chain depth, almost always 1 or 2).
     */
+  /** Physical form of a LOGICAL field: the name remapped per the
+    * column map — keyed by the field's dotted logical path — and the
+    * type rebuilt recursively so STRUCT-INTERNAL fields remap too
+    * (nested column mapping, protocol 4). Array/map wrappers are
+    * transparent: the path names struct fields only, matching Spark's
+    * nested-column addressing. Top-level keys are plain names — the
+    * pre-nested map reads unchanged.
+    */
+  private def physField(f: StructField, colMap: Map[String, String],
+      prefix: String): StructField = {
+    val logPath = if (prefix.isEmpty) f.name else s"$prefix.${f.name}"
+    f.copy(name = colMap.getOrElse(logPath, f.name),
+      dataType = physInner(f.dataType, colMap, logPath))
+  }
+
+  private def physInner(dt: DataType, colMap: Map[String, String],
+      prefix: String): DataType = dt match {
+    case st: StructType =>
+      StructType(st.fields.map(physField(_, colMap, prefix)))
+    case ArrayType(et, n) => ArrayType(physInner(et, colMap, prefix), n)
+    case MapType(kt, vt, n) => MapType(kt, physInner(vt, colMap, prefix), n)
+    case other => other
+  }
+
+  /** logical→physical (or back) column projection: a positional
+    * struct CAST renames every nested field in one expression — legal
+    * exactly because a rename never changes shape or types (the
+    * retype guard holds that invariant). The cast target is
+    * nullability-RELAXED: parquet reads every field nullable, and a
+    * NOT NULL annotation in the pinned DDL would otherwise make the
+    * rename cast unresolvable (nullable → non-null is not a cast).
+    */
+  private def conformCols(from: Seq[StructField], to: Seq[StructField],
+      quotedNameOf: StructField => String): Seq[Column] =
+    from.zip(to).map { case (src, dst) =>
+      val c = col(quotedNameOf(src))
+      (if (src.dataType == dst.dataType) c
+      else c.cast(relaxNullability(dst.dataType)))
+        .as(dst.name)
+    }
+
+  private def relaxNullability(dt: DataType): DataType = dt match {
+    case st: StructType => StructType(st.fields.map(f =>
+      f.copy(dataType = relaxNullability(f.dataType), nullable = true)))
+    case ArrayType(et, _) =>
+      ArrayType(relaxNullability(et), containsNull = true)
+    case MapType(kt, vt, _) =>
+      MapType(relaxNullability(kt), relaxNullability(vt),
+        valueContainsNull = true)
+    case other => other
+  }
+
   private def readGrouped(spark: SparkSession, path: String,
       schema: StructType, files: Seq[AddFile],
       colMap: Map[String, String] = Map.empty): DataFrame = {
@@ -1694,8 +1825,8 @@ object CowTable {
       // physical name a file predates (fresh-phys re-add) reads null —
       // the explicit-schema parquet contract, which is exactly why a
       // dropped-then-readded column can never resurrect old values.
-      val physSchema = StructType(schema.fields.map(f =>
-        f.copy(name = colMap.getOrElse(f.name, f.name))))
+      val physFields = schema.fields.map(physField(_, colMap, ""))
+      val physSchema = StructType(physFields)
       val frames = files.groupBy(f => dataRootOf(path, f.path))
         .toSeq.sortBy(_._1)
         .map { case (root, fs) =>
@@ -1704,9 +1835,8 @@ object CowTable {
             .parquet(fs.map(f => fileUri(path, f.path)): _*)
         }
       frames.reduce(_ unionByName _)
-        .select(schema.fields.map(f =>
-          col(s"`${colMap.getOrElse(f.name, f.name).replace("`", "``")}`")
-            .as(f.name)): _*)
+        .select(conformCols(physFields.toSeq, schema.fields.toSeq,
+          pf => s"`${pf.name.replace("`", "``")}`"): _*)
     }
   }
 
@@ -1731,13 +1861,16 @@ object CowTable {
       colMap: Map[String, String] = Map.empty): Seq[AddFile] = {
     val opId = java.util.UUID.randomUUID().toString
     val opDir = s".staging/$opId"
-    // `df` arrives under LOGICAL names; on disk (file columns, hive
-    // partition dirs, manifest stats keys) everything is PHYSICAL —
-    // `statsCols`/`partitionCols` are already physical (snapshot
-    // fields), the frame renames here. Identity when no mapping.
+    // `df` arrives under LOGICAL names; on disk (file columns, nested
+    // struct fields, hive partition dirs, manifest stats keys)
+    // everything is PHYSICAL — `statsCols`/`partitionCols` are already
+    // physical (snapshot fields), the frame renames here (nested
+    // fields via the positional struct cast). Identity when no mapping.
     def quoted(c: String) = s"`${c.replace("`", "``")}`"
-    val dfPhys = df.select(df.columns.map(c =>
-      col(quoted(c)).as(colMap.getOrElse(c, c))).toSeq: _*)
+    val logicalFields = df.schema.fields.toSeq
+    val physFields = logicalFields.map(physField(_, colMap, ""))
+    val dfPhys = df.select(conformCols(logicalFields, physFields,
+      lf => quoted(lf.name)): _*)
     val w = dfPhys.write
     (if (partitionCols.isEmpty) w else w.partitionBy(partitionCols: _*))
       .parquet(s"$path/$opDir")
@@ -1750,8 +1883,8 @@ object CowTable {
     // a violation discards the staging dir and fails the write whole.
     // Constraint exprs speak LOGICAL names — validate the logical view.
     if (constraints.nonEmpty) {
-      val logical = written.select(df.columns.map(c =>
-        col(quoted(colMap.getOrElse(c, c))).as(c)).toSeq: _*)
+      val logical = written.select(conformCols(physFields, logicalFields,
+        pf => quoted(pf.name)): _*)
       constraints.foreach { case (name, e) =>
         val viol = logical.filter(expr(e) === false).limit(1).collect()
         if (viol.nonEmpty) {

@@ -190,9 +190,13 @@ object TxLog {
     * on a leading '/' and would resolve `file:/...` against the table
     * root) and column mapping (a v2 reader would read a renamed
     * column's files under the new LOGICAL name and surface silent
-    * nulls, or resurrect a dropped-then-readded column's old values).
+    * nulls, or resurrect a dropped-then-readded column's old values);
+    * 4 = NESTED column mapping (round 15 — dotted map keys bind
+    * struct-internal fields; a v3 reader renames top-level only and
+    * would silently null a renamed nested field inside the struct).
+    * Tables whose map stays top-level keep stamping 3.
     */
-  val ReaderVersion: Int = 3
+  val ReaderVersion: Int = 4
 
   /** Folded view of the log at a version. `txns` holds the highest
     * stamped batch version per writer application; `partitionCols` the
@@ -734,7 +738,10 @@ object TxLog {
     // stats/partition columns are stored PHYSICAL; surface the logical
     // names a user knows (reverse column map; an unmapped physical —
     // e.g. a dropped stats column's — shows as itself)
-    val rev = s.columnMap.getOrElse(Map.empty).map(_.swap)
+    // top-level bindings only: nested (dotted) entries share leaf
+    // names with unrelated columns and would collide in the swap
+    val rev = s.columnMap.getOrElse(Map.empty)
+      .filterNot(_._1.contains(".")).map(_.swap)
     def logicalOf(ph: String) = rev.getOrElse(ph, ph)
     Seq((s.version, s.files.size.toLong, s.files.map(_.rows).sum,
       s.statsCols.map(logicalOf).mkString(","),

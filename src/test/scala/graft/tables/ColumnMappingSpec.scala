@@ -300,4 +300,128 @@ class ColumnMappingSpec extends AnyFunSuite {
       assert(d.getAs[String]("stats_cols") === "key_id")
     }
   }
+
+  // ------------------------------------------- nested column mapping
+
+  private def nestedBase(n: Int, parts: Int): DataFrame =
+    spark.range(n).select(col("id").as("k"),
+        struct((col("id") % 50).as("cust"),
+          (col("id") * 3 % 97).cast("double").as("amount")).as("meta"),
+        array(struct(concat(lit("e"), col("id")).as("name"),
+          (col("id") % 9).as("w"))).as("events"))
+      .repartitionByRange(parts, col("k"))
+
+  test("nested rename: metadata-only commit, head reads the new field " +
+      "name, time travel below reads the old, writes flow after") {
+    withTable { t =>
+      CowTable.create(spark, t, nestedBase(300, 4), Seq("k"))       // v1
+      CowTable.append(spark, t, nestedBase(300, 1)
+        .filter(col("k") % 5 === 0)
+        .select((col("k") + 1000L).as("k"), col("meta"), col("events"))) // v2
+      val filesBefore = TxLog.snapshot(spark, t).files.map(_.path).toSet
+      CowTable.renameColumn(spark, t, "meta.amount", "price")       // v3
+      // metadata-only: no file moved, protocol 4 stamped
+      val c3 = TxLog.commitAt(spark, t, 3L)
+      assert(c3.adds.isEmpty && c3.removes.isEmpty)
+      assert(c3.minReader === Some(4))
+      assert(TxLog.snapshot(spark, t).files.map(_.path).toSet
+        === filesBefore)
+      // head: new logical name, real values (not nulls)
+      val head = CowTable.read(spark, t)
+      assert(head.schema("meta").dataType.asInstanceOf[
+        org.apache.spark.sql.types.StructType].fieldNames.toSeq
+        === Seq("cust", "price"))
+      val v7 = head.filter(col("k") === 7L)
+        .select(col("meta.price")).collect()(0).getDouble(0)
+      assert(v7 === (7L * 3 % 97).toDouble)
+      // time travel below the rename: old name, same bytes
+      val past = CowTable.read(spark, t, Some(2L))
+      assert(past.schema("meta").dataType.asInstanceOf[
+        org.apache.spark.sql.types.StructType].fieldNames.toSeq
+        === Seq("cust", "amount"))
+      assert(past.filter(col("k") === 7L)
+        .select(col("meta.amount")).collect()(0).getDouble(0) === v7)
+      // writes after the rename conform to the unchanged PHYSICAL name
+      CowTable.append(spark, t, spark.range(1).select(
+        lit(5000L).as("k"),
+        struct(lit(1L).as("cust"), lit(123.5).as("price")).as("meta"),
+        array(struct(lit("x").as("name"), lit(2L).as("w"))).as("events"))) // v4
+      assert(CowTable.read(spark, t).filter(col("k") === 5000L)
+        .select(col("meta.price")).collect()(0).getDouble(0) === 123.5)
+      // merge under the new name touches and rewrites correctly
+      CowTable.merge(spark, t, spark.range(1).select(
+        lit(7L).as("k"),
+        struct(lit(9L).as("cust"), lit(777.0).as("price")).as("meta"),
+        array(struct(lit("y").as("name"), lit(3L).as("w"))).as("events")),
+        Seq("k"))                                                    // v5
+      assert(CowTable.read(spark, t).filter(col("k") === 7L)
+        .select(col("meta.price")).collect()(0).getDouble(0) === 777.0)
+      // the file-level change feed of a PRE-rename commit (old files,
+      // head schema read path) surfaces values, not nulls
+      val feed2 = CowTable.changesAt(spark, t, 2L)
+      assert(feed2.filter(col("k") === 1005L)
+        .select(col("meta.amount")).collect()(0).getDouble(0)
+        === (5L * 3 % 97).toDouble)
+    }
+  }
+
+  test("nested rename inside array-of-struct elements") {
+    withTable { t =>
+      CowTable.create(spark, t, nestedBase(100, 2), Seq("k"))
+      CowTable.renameColumn(spark, t, "events.w", "weight")
+      val head = CowTable.read(spark, t)
+      val got = head.filter(col("k") === 4L)
+        .select(element_at(col("events"), 1).getField("weight"))
+        .collect()(0).getLong(0)
+      assert(got === 4L % 9)
+      // time travel below still speaks `w`
+      assert(CowTable.read(spark, t, Some(1L)).filter(col("k") === 4L)
+        .select(element_at(col("events"), 1).getField("w"))
+        .collect()(0).getLong(0) === 4L % 9)
+    }
+  }
+
+  test("nested guard rails: retype still rejected, missing path, " +
+      "sibling collision, dotted target, drop prunes nested keys, " +
+      "top-level rename re-keys descendants") {
+    withTable { t =>
+      CowTable.create(spark, t, nestedBase(50, 1), Seq("k"))
+      CowTable.renameColumn(spark, t, "meta.amount", "price")
+      // a TRUE retype of the renamed field is still refused loudly
+      val e1 = intercept[IllegalArgumentException] {
+        CowTable.append(spark, t, spark.range(1).select(
+          lit(9000L).as("k"),
+          struct(lit(1L).as("cust"), lit("oops").as("price")).as("meta"),
+          array(struct(lit("x").as("name"), lit(2L).as("w")))
+            .as("events")))
+      }
+      assert(e1.getMessage.contains("retypes are not supported"),
+        e1.getMessage)
+      val e2 = intercept[IllegalArgumentException] {
+        CowTable.renameColumn(spark, t, "meta.nope", "x")
+      }
+      assert(e2.getMessage.contains("no field path"), e2.getMessage)
+      val e3 = intercept[IllegalArgumentException] {
+        CowTable.renameColumn(spark, t, "meta.price", "cust")
+      }
+      assert(e3.getMessage.contains("already exists beside"), e3.getMessage)
+      val e4 = intercept[IllegalArgumentException] {
+        CowTable.renameColumn(spark, t, "meta.price", "meta.q")
+      }
+      assert(e4.getMessage.contains("bare field name"), e4.getMessage)
+      // top-level rename re-keys the nested descendant binding
+      CowTable.renameColumn(spark, t, "meta", "m2")
+      val snap = TxLog.snapshot(spark, t)
+      assert(snap.columnMap.getOrElse(Map.empty)
+        .get("m2.price") === Some("amount"))
+      assert(CowTable.read(spark, t).filter(col("k") === 7L)
+        .select(col("m2.price")).collect()(0).getDouble(0)
+        === (7L * 3 % 97).toDouble)
+      // dropping the struct column prunes its nested keys from the map
+      CowTable.dropColumn(spark, t, "m2")
+      val snap2 = TxLog.snapshot(spark, t)
+      assert(!snap2.columnMap.getOrElse(Map.empty).keys
+        .exists(_.startsWith("m2")))
+    }
+  }
 }
