@@ -61,16 +61,17 @@ object DomainCuration {
     * two-label cut, ~560 entries spanning the ccTLD registries of the
     * ICANN section plus the widely-used CentralNic-style commercial
     * entries; publicsuffix.org is the live upstream — production swaps
-    * the data file in, the expression shape is unchanged). Scope is
-    * deliberately TWO-LABEL suffixes: the grouping expression tests
-    * the host's last two labels, which covers the overwhelming mass of
-    * real registrations; the PSL's rarer three-label entries, `*`
-    * wildcards and `!` exceptions fall back to the default
-    * last-two-labels rule (the PSL's own `*` default), documented
-    * rather than approximated. Hosts whose last two labels match group
-    * one label DEEPER (bbc.co.uk, not co.uk). Shared verbatim with the
-    * oracle SQL so both engines group with literally the same
-    * snapshot.
+    * the data file in, the expression shape is unchanged). This Seq
+    * holds the TWO-LABEL exact entries (plus the .us state registry);
+    * the rarer rule classes live beside it — [[PslSnapshot3]]
+    * (three-label exacts), [[PslWildcardBases]] (`*` wildcards),
+    * [[PslExceptions]] (`!` exceptions) — and
+    * [[registrableDomainPsl]] resolves all four with the PSL's own
+    * longest-match precedence (round 15; the two-label-only fallback
+    * this paragraph used to document is closed). Hosts whose tail
+    * matches a suffix group one label DEEPER (bbc.co.uk, not co.uk).
+    * Shared verbatim with the oracle SQL so both engines group with
+    * literally the same snapshot.
     */
   val PslSnapshot: Seq[String] = Seq(
     // — gTLD-style second levels under ccTLDs, ICANN section —
@@ -336,26 +337,88 @@ object DomainCuration {
     "br.com", "cn.com", "jp.com", "hu.com", "kr.com", "mex.com",
     "no.com", "qc.com", "ru.com", "sa.com", "se.com", "uy.com",
     "za.com", "africa.com", "gr.com", "in.net", "uk.net", "jp.net",
-    "se.net", "za.net", "gb.net", "za.org", "ae.org", "us.org")
+    "se.net", "za.net", "gb.net", "za.org", "ae.org", "us.org") ++
+    UsStates.map(s => s"$s.us")
 
-  /** PSL-backed registrable domain (the round-11 verdict item): the
-    * last-two-labels heuristic misgroups co.uk/com.au hosts (every
-    * *.co.uk site collapses into "co.uk"); against the snapshot, a
-    * host whose last two labels are a public suffix keeps THREE
-    * labels. A host that IS a bare public suffix (h = "co.uk") returns
-    * itself — the PSL's "domain is itself a suffix" degenerate,
-    * surfaced rather than nulled so groupings stay total. Still a pure
-    * per-row projection (the `isin` compiles to a hash-set membership
-    * test); the plan shape is [[registrableDomain]]'s exactly, as the
-    * original scaladoc promised.
+  /** US state codes — the .us locality registry backbone (2-label
+    * `<state>.us` entries above, 3-label k12/cc/lib entries below).
+    */
+  private lazy val UsStates: Seq[String] = Seq(
+    "ak", "al", "ar", "az", "ca", "co", "ct", "dc", "de", "fl", "ga",
+    "hi", "ia", "id", "il", "in", "ks", "ky", "la", "ma", "md", "me",
+    "mi", "mn", "mo", "ms", "mt", "nc", "nd", "ne", "nh", "nj", "nm",
+    "nv", "ny", "oh", "ok", "or", "pa", "ri", "sc", "sd", "tn", "tx",
+    "ut", "va", "vt", "wa", "wi", "wv", "wy")
+
+  /** THREE-LABEL exact entries (round 15 — the deepest exact rules in
+    * wide production use: the US locality registries; the PSL's own
+    * k12/cc/lib blocks per state). Longest-match: a host ending in one
+    * of these keeps FOUR labels.
+    */
+  val PslSnapshot3: Seq[String] =
+    UsStates.flatMap(s => Seq(s"k12.$s.us", s"cc.$s.us", s"lib.$s.us"))
+
+  /** Wildcard rule BASES — the PSL's `*.<base>` rules: EVERY single
+    * label directly under the base is itself a public suffix (the
+    * *.ck / *.bd class, and the Japanese city geographics). A host
+    * with exactly base+1 labels IS a suffix (degenerate, returned as
+    * itself); deeper hosts register one label past the wildcard.
+    */
+  val PslWildcardBases: Seq[String] = Seq(
+    "bd", "ck", "er", "fk", "jm", "kh", "mm", "np", "pg",
+    "kawasaki.jp", "kitakyushu.jp", "kobe.jp", "nagoya.jp",
+    "sapporo.jp", "sendai.jp", "yokohama.jp")
+
+  /** Exception rules — the PSL's `!<rule>` entries: the rule ITSELF is
+    * a registrable domain carved out of its wildcard's shadow
+    * (city.kawasaki.jp is Kawasaki City, not a private registration;
+    * www.ck is the Cook Islands government). Exceptions beat every
+    * other rule.
+    */
+  val PslExceptions: Seq[String] = Seq(
+    "www.ck",
+    "city.kawasaki.jp", "city.kitakyushu.jp", "city.kobe.jp",
+    "city.nagoya.jp", "city.sapporo.jp", "city.sendai.jp",
+    "city.yokohama.jp")
+
+  /** PSL-backed registrable domain — round 15: the FULL rule algebra,
+    * not just the two-label cut. Longest-match resolution in the
+    * PSL's own precedence order:
+    *
+    *   1. an EXCEPTION rule matching the host's tail wins outright —
+    *      the rule itself is the registrable domain (`!www.ck`,
+    *      `!city.kawasaki.jp`);
+    *   2. else the LONGEST matching suffix rule: three-label exact
+    *      entries and base-2 wildcards (`*.kawasaki.jp` — suffix
+    *      length 3) beat two-label exact entries and base-1 wildcards
+    *      (`*.ck` — suffix length 2), which beat the implicit `*`
+    *      default (the TLD itself);
+    *   3. registrable = suffix + one label; a host that IS a suffix
+    *      (bare `co.uk`, or `anything.ck` under `*.ck`) returns
+    *      itself — the degenerate surfaced rather than nulled so
+    *      groupings stay total.
+    *
+    * Still a pure per-row projection (each `isin` compiles to a
+    * hash-set membership test; label tails come from `slice`, which
+    * answers out-of-range with an empty array instead of erroring) —
+    * the plan shape is [[registrableDomain]]'s exactly. The oracle SQL
+    * mirrors this CASE chain verbatim over the same snapshot Seqs.
     */
   def registrableDomainPsl(h: Column): Column = {
     val sp = split(h, "\\.")
-    val last2 = concat(element_at(sp, -2), lit("."), element_at(sp, -1))
-    val last3 = concat(element_at(sp, -3), lit("."), last2)
-    when(size(sp) <= 2, h)
-      .otherwise(when(last2.isin(PslSnapshot: _*), last3)
-        .otherwise(last2))
+    val n = size(sp)
+    def lastK(k: Int): Column = array_join(slice(sp, -k, k), ".")
+    val (exc2, exc3) = PslExceptions.partition(_.count(_ == '.') == 1)
+    val (wild1, wild2) = PslWildcardBases.partition(!_.contains("."))
+    when(n >= 2 && lastK(2).isin(exc2: _*), lastK(2))
+      .when(n >= 3 && lastK(3).isin(exc3: _*), lastK(3))
+      .when(n >= 3 && (lastK(3).isin(PslSnapshot3: _*) ||
+          lastK(2).isin(wild2: _*)),
+        when(n === 3, h).otherwise(lastK(4)))
+      .when(n >= 2 && (lastK(2).isin(PslSnapshot: _*) ||
+          lastK(1).isin(wild1: _*)),
+        when(n === 2, h).otherwise(lastK(3)))
+      .otherwise(when(n <= 2, h).otherwise(lastK(2)))
   }
 
   def domainOf(url: Column): Column = registrableDomain(host(url))

@@ -847,39 +847,56 @@ object PipelineQueries {
        |ORDER BY canon_url""".stripMargin
 
   /** PSL-host fixture: co.uk / com.au hosts at several depths, plain
-    * .com with and without www, and a bare-suffix degenerate — the
-    * cases where the last-two-labels heuristic and the PSL snapshot
-    * DISAGREE (www.s3.co.uk and shop.s3.co.uk must group as s3.co.uk,
-    * not co.uk).
+    * .com with and without www, a bare-suffix degenerate, and — round
+    * 15 — the full rule algebra: a `*.kawasaki.jp` wildcard host, its
+    * `!city.kawasaki.jp` exception, a three-label `k12.ak.us` exact,
+    * a `*.ck` wildcard, and the `!www.ck` exception. Every case where
+    * the two-label heuristic, the two-label snapshot, and the full
+    * PSL resolution DISAGREE.
     */
   private def withPslUrls(docs: DataFrame): DataFrame = {
     val id = col("doc_id")
     docs.withColumn("url", concat(lit("https://"),
-      when(id % 7 === 0,
+      when(id % 12 === 0,
         concat(lit("www.s"), (id % 5).cast("string"), lit(".co.uk")))
-        .when(id % 7 === 1,
+        .when(id % 12 === 1,
           concat(lit("shop.s"), (id % 5).cast("string"), lit(".co.uk")))
-        .when(id % 7 === 2,
+        .when(id % 12 === 2,
           concat(lit("s"), (id % 5).cast("string"), lit(".com.au")))
-        .when(id % 7 === 3,
+        .when(id % 12 === 3,
           concat(lit("a.b.s"), (id % 5).cast("string"), lit(".com.au")))
-        .when(id % 7 === 4,
+        .when(id % 12 === 4,
           concat(lit("plain"), (id % 4).cast("string"), lit(".com")))
-        .when(id % 7 === 5,
+        .when(id % 12 === 5,
           concat(lit("www.plain"), (id % 4).cast("string"), lit(".com")))
+        .when(id % 12 === 6,
+          concat(lit("a.docs.w"), (id % 3).cast("string"),
+            lit(".kawasaki.jp")))
+        .when(id % 12 === 7, lit("www.city.kawasaki.jp"))
+        .when(id % 12 === 8,
+          concat(lit("x.s"), (id % 3).cast("string"), lit(".k12.ak.us")))
+        .when(id % 12 === 9,
+          concat(lit("www.ex"), (id % 3).cast("string"), lit(".ck")))
+        .when(id % 12 === 10, lit("a.www.ck"))
         .otherwise(lit("co.uk")),
       lit("/doc/"), id.cast("string")))
   }
 
   private val pslUrlSqlExpr: String =
     """'https://' ||
-      |  (CASE doc_id % 7
+      |  (CASE doc_id % 12
       |     WHEN 0 THEN 'www.s'  || CAST(doc_id % 5 AS VARCHAR) || '.co.uk'
       |     WHEN 1 THEN 'shop.s' || CAST(doc_id % 5 AS VARCHAR) || '.co.uk'
       |     WHEN 2 THEN 's'      || CAST(doc_id % 5 AS VARCHAR) || '.com.au'
       |     WHEN 3 THEN 'a.b.s'  || CAST(doc_id % 5 AS VARCHAR) || '.com.au'
       |     WHEN 4 THEN 'plain'     || CAST(doc_id % 4 AS VARCHAR) || '.com'
       |     WHEN 5 THEN 'www.plain' || CAST(doc_id % 4 AS VARCHAR) || '.com'
+      |     WHEN 6 THEN 'a.docs.w' || CAST(doc_id % 3 AS VARCHAR) ||
+      |                 '.kawasaki.jp'
+      |     WHEN 7 THEN 'www.city.kawasaki.jp'
+      |     WHEN 8 THEN 'x.s' || CAST(doc_id % 3 AS VARCHAR) || '.k12.ak.us'
+      |     WHEN 9 THEN 'www.ex' || CAST(doc_id % 3 AS VARCHAR) || '.ck'
+      |     WHEN 10 THEN 'a.www.ck'
       |     ELSE 'co.uk' END) ||
       |  '/doc/' || CAST(doc_id AS VARCHAR)""".stripMargin
 
@@ -897,24 +914,51 @@ object PipelineQueries {
 
   val domainStatsPslSql: String = {
     import TextQueries.qualityExpr
-    val snapshot = graft.operators.DomainCuration.PslSnapshot
-      .map(s => s"'$s'").mkString("[", ", ", "]")
+    def sqlList(xs: Seq[String]) =
+      xs.map(s => s"'$s'").mkString("[", ", ", "]")
+    val dc = graft.operators.DomainCuration
+    val snapshot = sqlList(dc.PslSnapshot)
+    val snap3 = sqlList(dc.PslSnapshot3)
+    val (exc2s, exc3s) = dc.PslExceptions.partition(_.count(_ == '.') == 1)
+    val (wild1s, wild2s) = dc.PslWildcardBases.partition(!_.contains("."))
+    val exc2 = sqlList(exc2s); val exc3 = sqlList(exc3s)
+    val wild1 = sqlList(wild1s); val wild2 = sqlList(wild2s)
+    // the full-PSL CASE mirrors registrableDomainPsl VERBATIM:
+    // exceptions, then longest match (3-label exact / base-2 wildcard,
+    // 2-label exact / base-1 wildcard), then the implicit * default.
+    // Out-of-range list indexes are NULL in DuckDB, so lastK concats
+    // go NULL and never match — the same never-matches answer Spark's
+    // slice gives.
     s"""WITH u AS (SELECT doc_id, text, $pslUrlSqlExpr AS url
        |  FROM documents),
        |hp AS (SELECT doc_id, text, lower(regexp_extract(url,
        |    '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1))
        |    AS host FROM u),
-       |dp AS (SELECT doc_id, text, host,
-       |    CASE WHEN len(string_split(host, '.')) <= 2 THEN host
-       |         WHEN list_contains($snapshot,
-       |             string_split(host, '.')[-2] || '.' ||
-       |             string_split(host, '.')[-1])
-       |           THEN string_split(host, '.')[-3] || '.' ||
-       |                string_split(host, '.')[-2] || '.' ||
-       |                string_split(host, '.')[-1]
-       |         ELSE string_split(host, '.')[-2] || '.' ||
-       |              string_split(host, '.')[-1] END AS domain
+       |pieces AS (SELECT doc_id, text, host,
+       |    len(string_split(host, '.')) AS n,
+       |    string_split(host, '.')[-1] AS l1,
+       |    string_split(host, '.')[-2] || '.' ||
+       |      string_split(host, '.')[-1] AS l2,
+       |    string_split(host, '.')[-3] || '.' ||
+       |      string_split(host, '.')[-2] || '.' ||
+       |      string_split(host, '.')[-1] AS l3,
+       |    string_split(host, '.')[-4] || '.' ||
+       |      string_split(host, '.')[-3] || '.' ||
+       |      string_split(host, '.')[-2] || '.' ||
+       |      string_split(host, '.')[-1] AS l4
        |  FROM hp),
+       |dp AS (SELECT doc_id, text, host,
+       |    CASE WHEN n >= 2 AND list_contains($exc2, l2) THEN l2
+       |         WHEN n >= 3 AND list_contains($exc3, l3) THEN l3
+       |         WHEN n >= 3 AND (list_contains($snap3, l3)
+       |                          OR list_contains($wild2, l2))
+       |           THEN CASE WHEN n = 3 THEN host ELSE l4 END
+       |         WHEN n >= 2 AND (list_contains($snapshot, l2)
+       |                          OR list_contains($wild1, l1))
+       |           THEN CASE WHEN n = 2 THEN host ELSE l3 END
+       |         ELSE CASE WHEN n <= 2 THEN host ELSE l2 END
+       |    END AS domain
+       |  FROM pieces),
        |w AS (SELECT domain, host, md5(text) AS h,
        |    string_split(lower(text), ' ') AS w FROM dp),
        |sc AS (SELECT domain, host, h,

@@ -77,4 +77,28 @@ class UrlCanonSpec extends AnyFunSuite {
       .collect().map(_.getString(0)).toSeq
     assert(heur.take(3) === Seq("co.uk", "co.uk", "com.au"))
   }
+
+  test("full PSL algebra: wildcards, exceptions, three-label exacts, " +
+      "longest-match precedence (round 15)") {
+    def psl(hs: Seq[String]): Seq[String] =
+      hs.toDF("h").select(DomainCuration.registrableDomainPsl(col("h")))
+        .collect().map(_.getString(0)).toSeq
+    // *.kawasaki.jp: every label under the base is a suffix
+    assert(psl(Seq("a.docs.w1.kawasaki.jp")) === Seq("docs.w1.kawasaki.jp"))
+    assert(psl(Seq("docs.w1.kawasaki.jp")) === Seq("docs.w1.kawasaki.jp"))
+    // ...the degenerate: host IS the wildcard-derived suffix
+    assert(psl(Seq("w1.kawasaki.jp")) === Seq("w1.kawasaki.jp"))
+    // !city.kawasaki.jp beats the wildcard, at any depth
+    assert(psl(Seq("www.city.kawasaki.jp", "city.kawasaki.jp",
+      "a.b.city.kawasaki.jp")) ===
+      Seq("city.kawasaki.jp", "city.kawasaki.jp", "city.kawasaki.jp"))
+    // *.ck single-label base + !www.ck exception
+    assert(psl(Seq("www.ex2.ck", "ex2.ck", "a.www.ck", "www.ck")) ===
+      Seq("www.ex2.ck", "ex2.ck", "www.ck", "www.ck"))
+    // three-label exact k12.ak.us wins over the 2-label ak.us entry
+    // (longest match), which itself wins over the default
+    assert(psl(Seq("x.s1.k12.ak.us", "s1.k12.ak.us", "foo.ak.us",
+      "deep.foo.ak.us")) ===
+      Seq("s1.k12.ak.us", "s1.k12.ak.us", "foo.ak.us", "foo.ak.us"))
+  }
 }
