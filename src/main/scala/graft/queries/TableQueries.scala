@@ -932,14 +932,17 @@ object TableQueries {
       |WHERE o_orderkey % 113 <> 5
       |ORDER BY o_orderkey""".stripMargin
 
-  /** FILTERED replication: the same source op sequence, but the
-    * replica keeps only `o_orderstatus <> 'U'` — the predicate the
-    * merge deliberately crosses BOTH ways (updates restatus rows to
-    * 'U', evicting them; the later updateWhere restatuses some of
-    * those to 'W', re-admitting them), plus ordinary inserts, deletes
-    * and stay-in updates. The fold remaps out-of-predicate effects to
-    * deletes ([[graft.streaming.TableReplica.replicaSink]]'s `where`);
-    * the oracle wraps the exact-replica replay in the filter.
+  /** FILTERED replication over the SCOPED feed (round 15): the same
+    * source op sequence, the replica keeps only
+    * `o_orderstatus <> 'U'` — the predicate the merge deliberately
+    * crosses BOTH ways (updates restatus rows to 'U', evicting them;
+    * the later updateWhere restatuses some of those to 'W',
+    * re-admitting them), plus ordinary inserts, deletes and stay-in
+    * updates. The replica consumes
+    * `readCdc(where, whereKeys)` — the scoped feed ships exit rows as
+    * DELETE markers (keyed pre/post pairing), so the replica needs no
+    * filter of its own and its feed volume tracks the SLICE's change
+    * rate; the oracle wraps the exact-replica replay in the filter.
     */
   def pipelineTableReplicaWhere(spark: SparkSession,
       dir: String): DataFrame = {
@@ -968,8 +971,10 @@ object TableQueries {
     CowTable.updateWhere(spark, src, col("o_orderkey") % 131 === 7,
       Map("o_orderstatus" -> lit("W")), cdc = true)
     val q = graft.streaming.TableReplica.replicaSink(
-      graft.streaming.TableChangeFeed.readCdc(spark, src),
-      dst, Seq("o_orderkey"), where = Some("o_orderstatus <> 'U'"))
+      graft.streaming.TableChangeFeed.readCdc(spark, src,
+        where = Some("o_orderstatus <> 'U'"),
+        whereKeys = Seq("o_orderkey")),
+      dst, Seq("o_orderkey"))
       .option("checkpointLocation", ckpt).start()
     try { q.processAllAvailable() } finally q.stop()
     CowTable.read(spark, dst).orderBy("o_orderkey")

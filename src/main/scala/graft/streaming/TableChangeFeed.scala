@@ -96,30 +96,41 @@ object TableChangeFeed {
     * downstream replica. This is the feed [[TableReplica]] folds into
     * an exact copy.
     *
-    * '''`where` caveat''': a predicate-scoped CDC feed is NOT
-    * sufficient to drive a FILTERED REPLICA — an update that moves a
-    * row OUT of the predicate ships only its (filtered-away)
-    * postimage and a preimage the replica fold drops, so the stale
-    * row would survive downstream. Filtered replication must either
-    * consume the unfiltered feed, or watch preimages for predicate
-    * exits (a round-14 horizon). Scoped CDC is for append-dominant
-    * consumers (metrics, routing, selective indexing).
+    * '''`where` semantics''': with `where` alone, the feed is a plain
+    * row filter — right for append-dominant consumers (metrics,
+    * routing, selective indexing) but NOT sufficient to drive a
+    * FILTERED REPLICA: an update that moves a row OUT of the predicate
+    * ships only its (filtered-away) postimage, so the stale row would
+    * survive downstream. Passing `whereKeys` (the table's merge keys)
+    * turns on the SCOPED-REPLICA mode (round 15, the round-14
+    * horizon): update preimages inside the predicate whose paired
+    * postimage LEFT it are re-shipped as `delete` markers (keyed
+    * pre/post pairing — change rows carry no pair id), so a replica
+    * can consume the scoped feed directly and its volume tracks the
+    * SLICE's change rate, not the table's. Entries INTO the predicate
+    * need no special casing — the in-scope postimage upserts.
     */
   def readCdc(spark: SparkSession, path: String,
       startingVersion: Long = 1L,
       maxVersionsPerTrigger: Option[Int] = None,
       where: Option[String] = None,
       failOnSchemaEvolution: Boolean = false,
-      startingTimestamp: Option[Long] = None): DataFrame =
+      startingTimestamp: Option[Long] = None,
+      whereKeys: Seq[String] = Seq.empty): DataFrame = {
+    require(whereKeys.isEmpty || where.isDefined,
+      "whereKeys (scoped-replica mode) needs a `where` predicate")
     reader(spark, path,
       startingTimestamp.fold(startingVersion)(
         TxLog.firstVersionAtOrAfter(spark, path, _)),
-      maxVersionsPerTrigger, cdc = true, where, failOnSchemaEvolution)
+      maxVersionsPerTrigger, cdc = true, where, failOnSchemaEvolution,
+      whereKeys)
+  }
 
   private def reader(spark: SparkSession, path: String,
       startingVersion: Long, maxVersionsPerTrigger: Option[Int],
       cdc: Boolean, where: Option[String] = None,
-      failOnSchemaEvolution: Boolean = false): DataFrame = {
+      failOnSchemaEvolution: Boolean = false,
+      whereKeys: Seq[String] = Seq.empty): DataFrame = {
     val snap = TxLog.snapshotPlanned(spark, path).meta
     val r0 = spark.readStream
       .format(classOf[TableChangeFeedProvider].getName)
@@ -132,8 +143,11 @@ object TableChangeFeed {
       .option("cdc", cdc.toString)
       .option("failOnSchemaEvolution", failOnSchemaEvolution.toString)
     val r1 = where.fold(r0)(w => r0.option("where", w))
+    val r2 =
+      if (whereKeys.isEmpty) r1
+      else r1.option("whereKeys", whereKeys.mkString(","))
     maxVersionsPerTrigger
-      .fold(r1)(n => r1.option("maxVersionsPerTrigger", n.toString))
+      .fold(r2)(n => r2.option("maxVersionsPerTrigger", n.toString))
       .load()
   }
 }
@@ -202,7 +216,9 @@ class TableChangeFeedProvider extends StreamSourceProvider
         .getOrElse(fallback.columnMap.getOrElse(Map.empty)),
       parameters.get("failOnSchemaEvolution").exists(_.toBoolean),
       parameters.get("pinnedVersion").map(_.toLong)
-        .getOrElse(fallback.version))
+        .getOrElse(fallback.version),
+      parameters.get("whereKeys")
+        .map(_.split(",").map(_.trim).toSeq).getOrElse(Seq.empty))
   }
 }
 
@@ -217,7 +233,8 @@ class TableChangeSource(sqlContext: SQLContext, path: String,
     where: Option[String] = None,
     pinnedMap: Map[String, String] = Map.empty,
     failOnSchemaEvolution: Boolean = false,
-    pinnedVersion: Long = Long.MaxValue) extends Source {
+    pinnedVersion: Long = Long.MaxValue,
+    whereKeys: Seq[String] = Seq.empty) extends Source {
   require(startingVersion >= 1, s"startingVersion >= 1, got $startingVersion")
   require(maxVersionsPerTrigger.forall(_ >= 1),
     s"maxVersionsPerTrigger >= 1, got $maxVersionsPerTrigger")
@@ -337,7 +354,26 @@ class TableChangeSource(sqlContext: SQLContext, path: String,
           val changed0 = CowTable.changesCdcAt(spark, path, v, Some(vSnap))
           val conformed = changed0.select(
             cdcConform(changed0, vSnap) :+ col(ct): _*)
-          Some(where.fold(conformed)(w => conformed.filter(expr(w))))
+          Some(where.fold(conformed) { w =>
+            val hit = coalesce(expr(w), lit(false))
+            if (whereKeys.isEmpty) conformed.filter(expr(w))
+            else {
+              // SCOPED-REPLICA mode: a preimage inside the predicate
+              // whose keyed postimage LEFT it becomes a DELETE marker
+              // — without it the replica's stale row survives (the
+              // documented r14 hole). Keys pair pre/post within the
+              // commit (merge batches unique per key); NULL predicate
+              // results count as outside, SQL filter semantics.
+              val exitKeys = conformed
+                .filter(col(ct) === "update_postimage" && !hit)
+                .select(whereKeys.map(col): _*)
+              val exits = conformed
+                .filter(col(ct) === "update_preimage" && hit)
+                .join(exitKeys, whereKeys, "left_semi")
+                .withColumn(ct, lit("delete"))
+              conformed.filter(hit).unionByName(exits)
+            }
+          })
         } else c.op match {
           case "create" | "append" | "clone" =>
             // pure adds: the commit's rows ARE inserts (a clone's

@@ -33,15 +33,19 @@ object TableReplica {
     * at `path`, keyed by `keys`.
     *
     * `where`: a FILTERED replica (regional copies, tenant slices) —
-    * replica contents ≡ source.filter(where) after every drain. This
-    * is exactly the case the feed-level `where` option canNOT serve
-    * (its scaladoc caveat): the filter must apply to the EFFECT rows
-    * inside the fold, remapping any effect whose row falls OUTSIDE
-    * the predicate into a DELETE — so an update that moves a row out
-    * of the slice evicts it, an insert that never belonged no-ops
-    * (merge deletes on unmatched keys do nothing), and a move INTO
-    * the slice upserts. Consume the UNFILTERED feed; NULL predicate
-    * results count as outside (SQL filter semantics).
+    * replica contents ≡ source.filter(where) after every drain: the
+    * filter applies to the EFFECT rows inside the fold, remapping any
+    * effect whose row falls OUTSIDE the predicate into a DELETE — so
+    * an update that moves a row out of the slice evicts it, an insert
+    * that never belonged no-ops (merge deletes on unmatched keys do
+    * nothing), and a move INTO the slice upserts. Consume the
+    * UNFILTERED feed with this option; NULL predicate results count
+    * as outside (SQL filter semantics). ALTERNATIVELY (round 15,
+    * cheaper at scale): consume the SCOPED feed —
+    * `readCdc(where, whereKeys)` ships predicate exits as delete
+    * markers itself, the replica then needs no `where` here and the
+    * feed volume tracks the slice's change rate instead of the
+    * table's (`pipeline_table_replica_where` gates that composition).
     */
   def replicaSink(cdcFeed: DataFrame, path: String, keys: Seq[String],
       appId: String = "table-replica",

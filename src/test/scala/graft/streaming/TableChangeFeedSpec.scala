@@ -319,4 +319,67 @@ class TableChangeFeedSpec extends AnyFunSuite {
       assert(all.toSet === Set[(Long, Any)]((1L, null), (2L, 1.5)))
     }
   }
+
+  test("scoped CDC (whereKeys): predicate EXITS ship as delete " +
+      "markers; plain where drops them (the r14 hole, closed)") {
+    withDir { dir =>
+      val t = dir.getAbsolutePath + "/scoped"
+      CowTable.create(spark, t,
+        Seq((1L, 10L, "in"), (2L, 20L, "in"), (3L, 30L, "out"))
+          .toDF("k", "v", "s"), Seq("k"))
+      // k=1 leaves the predicate, k=2 stays in (value update),
+      // k=3 enters it
+      CowTable.merge(spark, t,
+        Seq((1L, 11L, "out"), (2L, 22L, "in"), (3L, 33L, "in"))
+          .toDF("k", "v", "s"),
+        Seq("k"), cdc = true)
+      def drainCdc(feed: DataFrame): Seq[(Long, String)] = {
+        val buf = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+        val q = feed.writeStream
+          .option("checkpointLocation",
+            dir.getAbsolutePath + s"/ck${buf.hashCode}")
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            buf.synchronized {
+              buf ++= b.filter(col(TableChangeFeed.VersionCol) === 2L)
+                .select(col("k"), col(CowTable.ChangeTypeCol)).collect()
+                .map(r => (r.getLong(0), r.getString(1)))
+            }
+            ()
+          }.start()
+        try q.processAllAvailable() finally q.stop()
+        buf.toSeq
+      }
+      val scoped = drainCdc(TableChangeFeed.readCdc(spark, t,
+        where = Some("s = 'in'"), whereKeys = Seq("k")))
+      // the EXIT (k=1) arrives as a delete marker; the stay-in update
+      // ships pre+post; the entry (k=3) ships its in-scope postimage
+      assert(scoped.contains((1L, "delete")),
+        s"exit row must ship as a delete marker, got $scoped")
+      assert(scoped.contains((2L, "update_postimage")))
+      assert(scoped.contains((3L, "update_postimage")))
+      assert(!scoped.contains((1L, "update_postimage")),
+        "the out-of-scope postimage itself must not ship")
+      // plain where (no keys): the exit vanishes entirely - the
+      // documented non-replica mode
+      val plain = drainCdc(TableChangeFeed.readCdc(spark, t,
+        where = Some("s = 'in'")))
+      assert(!plain.exists(_._1 == 1L),
+        s"plain where must drop the exit row whole, got $plain")
+      // end-to-end: a replica over the SCOPED feed with no filter of
+      // its own equals source.filter(where)
+      val dst = dir.getAbsolutePath + "/scopedrep"
+      val q = TableReplica.replicaSink(
+        TableChangeFeed.readCdc(spark, t,
+          where = Some("s = 'in'"), whereKeys = Seq("k")),
+        dst, Seq("k"))
+        .option("checkpointLocation", dir.getAbsolutePath + "/ckrep")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      assert(CowTable.read(spark, dst).orderBy("k").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq ===
+        CowTable.read(spark, t).filter(col("s") === "in").orderBy("k")
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq)
+    }
+  }
 }
