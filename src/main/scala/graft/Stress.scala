@@ -30,7 +30,8 @@ object Stress {
         "bpe", "bm25", "knngraph", "cms", "ssjoin", "classifier",
         "ntile", "novelty", "semantic1m", "ivfpq4096", "gram", "trend",
         "mmr", "symdel", "linkpred", "binquant1m", "hardmine1m",
-        "coldcatalog", "hotband", "cowtable", "txlog100k", "txlog1m")
+        "coldcatalog", "hotband", "cowtable", "txlog100k", "txlog1m",
+        "bm25del")
     val spark = Sessions.local("32")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -2066,6 +2067,55 @@ object Stress {
           .forall(_.mayOverlap("50000000", "50009999")))
         require(hit <= 12, s"prune kept $hit of 100k files")
         hit.toLong
+      }
+      if (rfs.exists(rootP)) { rfs.delete(rootP, true); () }
+    }
+
+    if (which("bm25del")) {
+      // Round-15 horizon #2, measured: the Bm25Table postings delete
+      // probe is point-set pruned by the deleted docs' vocabulary
+      // (CowTable.deleteWhereMatchingAny) — at ~1.5M postings over 64
+      // term-clustered files, deleting narrow-vocabulary docs probes
+      // O(files overlapping that vocabulary), reported below, and the
+      // serve afterward no longer scores the deleted docs.
+      import org.apache.spark.sql.functions._
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_stress_bm25del"
+      val rootP = new org.apache.hadoop.fs.Path(root)
+      val rfs = tables.TxLog.fs(spark, root)
+      if (rfs.exists(rootP)) { rfs.delete(rootP, true); () }
+      val idx = s"$root/idx"
+      // doc i speaks a 15-term band at (i % 1000) * 10 — vocabulary
+      // w000000..w010004, every doc's terms tightly clustered
+      val docs = spark.range(100000).select(col("id").as("doc_id"),
+        concat_ws(" ", (0 until 15).map(j =>
+          format_string("w%06d", col("id") % 1000 * 10 + lit(j))): _*)
+          .as("text"))
+      timedWarm("bm25delbuild") {
+        text.Bm25Table.create(spark, idx, docs, "doc_id", "text",
+          postingFiles = 64)
+        1500000L
+      }
+      timedWarm("bm25delete") {
+        // 10 docs, all speaking the band at 70..84: the probe must
+        // plan only the file(s) covering that term range
+        val dels = docs.filter(col("doc_id") % 10000 === 7)
+        val m = text.Bm25Table.delete(spark, idx, dels,
+          "doc_id", "text")
+        println(s"STRESS bm25 delete probe: ${m.candidateFiles} of " +
+          s"${m.candidateFiles + m.prunedFiles} postings files probed " +
+          s"(pruned ${m.prunedFiles}), ${m.touchedFiles} rewritten, " +
+          s"${m.rowsBefore - m.rowsAfter} postings rows removed")
+        require(m.candidateFiles <= 4 && m.prunedFiles >= 60,
+          s"delete probe did not prune: $m")
+        require(m.rowsBefore - m.rowsAfter == 150L,
+          s"expected 150 postings removed, got $m")
+        // serve sanity: the deleted docs never score again
+        import spark.implicits._
+        val hits = text.Bm25Table.topDocs(spark, idx,
+          Seq((0L, "w000070"), (0L, "w000071")).toDF("q_id", "term"), 20)
+        require(hits.filter(col("doc_id") % 10000 === 7).count() == 0L,
+          "a deleted doc scored after delete")
+        1500000L
       }
       if (rfs.exists(rootP)) { rfs.delete(rootP, true); () }
     }

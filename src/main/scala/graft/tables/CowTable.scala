@@ -253,17 +253,25 @@ object CowTable {
       return readFiles(spark, path, snap,
         ManifestPlan.collectSurvivors(spark, path, psnap,
           ManifestPlan.matchesAny(ph, values)))
-    // Driver cost is O(files · log values), not O(files · values): a
-    // file matches iff SOME value lands in its [min, max], answered by
-    // one binary search over a PER-KIND pre-sorted typed value array —
-    // at 10⁵ files × 10³ values the naive per-file linear probe is
-    // 10⁸ comparisons each re-decoding the stats strings. Each kind
-    // sorts under ITS OWN order (numeric for long/double, UTF-8 bytes
-    // for string — a lexicographic sort of numeric encodings would
-    // break the search); values that don't parse as the kind can't
-    // equal any of the file's values and drop out; NaN doubles keep
-    // the conservative always-match answer ColStats gives them.
-    // Unknown/opaque kinds keep the conservative never-prune answer.
+    readFiles(spark, path, snap,
+      matchingAnyDriver(snap.files, ph, values))
+  }
+
+  /** The point-set file prune of [[readMatchingAny]] (driver form).
+    * Cost is O(files · log values), not O(files · values): a
+    * file matches iff SOME value lands in its [min, max], answered by
+    * one binary search over a PER-KIND pre-sorted typed value array —
+    * at 10⁵ files × 10³ values the naive per-file linear probe is
+    * 10⁸ comparisons each re-decoding the stats strings. Each kind
+    * sorts under ITS OWN order (numeric for long/double, UTF-8 bytes
+    * for string — a lexicographic sort of numeric encodings would
+    * break the search); values that don't parse as the kind can't
+    * equal any of the file's values and drop out; NaN doubles keep
+    * the conservative always-match answer ColStats gives them.
+    * Unknown/opaque kinds keep the conservative never-prune answer.
+    */
+  private def matchingAnyDriver(files: Seq[AddFile], ph: String,
+      values: Seq[String]): Seq[AddFile] = {
     def firstGeq[T](arr: IndexedSeq[T], lo0: T)(
         implicit ord: Ordering[T]): Int = {
       var lo = 0; var hi = arr.length
@@ -298,8 +306,7 @@ object CowTable {
         anyIn(strVals, s.min, s.max)(utf8Ord)
       case _ => true
     }
-    readFiles(spark, path, snap, snap.files.filter(f =>
-      f.stats.get(ph).forall(anyInRange)))
+    files.filter(f => f.stats.get(ph).forall(anyInRange))
   }
 
   /** Add a CHECK constraint: `exprSql` must not evaluate FALSE for any
@@ -859,6 +866,37 @@ object CowTable {
       touchedDf.filter(!coalesce(cond, lit(false)))
     }
 
+  /** [[deleteWhere]] with a POINT-SET manifest pre-prune: only files
+    * whose zone map on `column` may contain AT LEAST ONE of `values`
+    * are probed (the [[readMatchingAny]] pruning), then `cond` applies
+    * row-exactly inside them. This is the delete a secondary-keyed
+    * probe needs — e.g. deleting documents from a term-clustered
+    * postings table: `doc_id` scatters across every file, so zone maps
+    * on it prune nothing, but the deleted docs' TERM SET is known and
+    * prunes to O(files overlapping that vocabulary) instead of a
+    * full-table probe. Soundness requires every `cond`-matching row to
+    * carry one of `values` in `column` (the caller's contract — here:
+    * a postings row of a deleted doc necessarily holds one of the
+    * doc's terms); rows outside the point set are simply never probed.
+    */
+  def deleteWhereMatchingAny(spark: SparkSession, path: String,
+      column: String, values: Seq[String], cond: Column,
+      cdc: Boolean = false): RewriteMetrics =
+    rewriteWhere(spark, path, cond, "delete",
+      cdcRows = if (!cdc) None else Some { touchedDf =>
+        touchedDf.filter(coalesce(cond, lit(false)))
+          .withColumn(ChangeTypeCol, lit("delete"))
+      },
+      candidatesOf = Some { psnap =>
+        val ph = psnap.meta.physName(column)
+        if (!psnap.isDistributed)
+          matchingAnyDriver(psnap.meta.files, ph, values)
+        else ManifestPlan.collectSurvivors(spark, path, psnap,
+          ManifestPlan.matchesAny(ph, values))
+      }) { touchedDf =>
+      touchedDf.filter(!coalesce(cond, lit(false)))
+    }
+
   /** UPDATE ... SET `set` WHERE `cond` — rows where the predicate is
     * TRUE get each `set` column replaced by its expression (which may
     * reference the row's current columns); FALSE and NULL rows pass
@@ -893,7 +931,8 @@ object CowTable {
     */
   private def rewriteWhere(spark: SparkSession, path: String,
       cond: Column, op: String,
-      cdcRows: Option[DataFrame => DataFrame] = None)(
+      cdcRows: Option[DataFrame => DataFrame] = None,
+      candidatesOf: Option[TxLog.PlannedSnapshot => Seq[AddFile]] = None)(
       transform: DataFrame => DataFrame): RewriteMetrics = {
     var result: Option[RewriteMetrics] = None
     retrying(s"$op-where on $path") {
@@ -901,14 +940,17 @@ object CowTable {
       val snap = psnap.meta
       // Manifest pre-prune: the probe scan reads ONLY the files whose
       // zone maps could hold a TRUE row (StatsPredicate's conservative
-      // range analysis) — a clustered range delete over a 100 TB table
-      // probes O(matching files), not the world. Sidecar-backed
-      // manifests prune distributed (ManifestPlan twin).
-      val candidates =
+      // range analysis, or the caller's own selection — e.g. the
+      // point-set prune of deleteWhereMatchingAny) — a clustered range
+      // delete over a 100 TB table probes O(matching files), not the
+      // world. Sidecar-backed manifests prune distributed
+      // (ManifestPlan twin).
+      val candidates = candidatesOf.map(_(psnap)).getOrElse {
         if (!psnap.isDistributed)
           StatsPredicate.prune(snap.files, cond, snap.physName)
         else prunedDistributed(spark, path, psnap,
           ManifestPlan.prunePredicate(cond, snap.physName))
+      }
       lazy val totalFiles = ManifestPlan.fileCount(spark, path, psnap)
       val hconf = spark.sessionState.newHadoopConf()
       val byAbs: Map[String, AddFile] =

@@ -164,23 +164,37 @@ object Bm25Table {
     * from the remaining corpus — every piece of index state is an
     * integer fold, so the decrements are exact inverses.
     *
-    * Cost shape: the postings delete probes the term-clustered table
-    * for the deleted docs' rows (a doc's terms spread across the
-    * term ranges, so the probe scans O(files overlapping the docs'
-    * vocabulary) — delete batches are rare and bounded by contract);
+    * Cost shape (round 15 — the horizon #2 bound): the postings probe
+    * is POINT-SET PRUNED by the deleted docs' TERM VOCABULARY
+    * ([[CowTable.deleteWhereMatchingAny]] — every postings row of a
+    * deleted doc necessarily carries one of its terms, so the prune is
+    * sound): only files whose term zone map may contain a deleted
+    * term are probed — O(files overlapping the deleted vocabulary),
+    * not a full-table probe (zone maps on `doc_id` could never help:
+    * docs scatter across the term-clustered layout). A batch whose
+    * docs span only rare vocabulary probes a handful of files; one
+    * full of stopwords degrades gracefully toward the old full probe
+    * (stopwords live in every range — inherent, the hint-table
+    * alternative has the same floor). The term list is driver-held —
+    * O(deleted vocabulary), the same class as the df fold below.
     * df/stats work is O(deleted vocabulary), the same class as
     * [[fold]].
     */
   def delete(spark: SparkSession, root: String, deleted: DataFrame,
       idCol: String, textCol: String,
-      txn: Option[TxLog.Txn] = None): Unit = {
+      txn: Option[TxLog.Txn] = None): CowTable.RewriteMetrics = {
     val pdt = postingsWithDl(deleted, idCol, textCol).persist()
     try {
       val ids = deleted.select(col(idCol)).distinct()
         .collect().map(_.get(0)).toSeq
+      var metrics = CowTable.RewriteMetrics(
+        TxLog.latestVersion(spark, pPostings(root)), 0, 0, 0, 0, 0)
       if (ids.nonEmpty) {
+        val terms = pdt.select("term").distinct()
+          .collect().map(_.getString(0)).toSeq
         // postings first: the deleted docs stop scoring immediately
-        CowTable.deleteWhere(spark, pPostings(root),
+        metrics = CowTable.deleteWhereMatchingAny(spark,
+          pPostings(root), "term", terms,
           col("doc_id").isInCollection(ids))
         // df decrement: read the touched terms' counts, subtract,
         // delete rows that reach zero (the merge's delete flag)
@@ -207,6 +221,7 @@ object Bm25Table {
         CowTable.merge(spark, pStats(root), newStats, Seq("sid"),
           checkUniqueKeys = false, txn = txn)
       }
+      metrics
     } finally { pdt.unpersist(blocking = false); () }
   }
 
