@@ -327,7 +327,14 @@ class TableChangeSource(sqlContext: SQLContext, path: String,
           pinnedMap, where.map(expr))
       // CDC sidecars store the LOGICAL names in force at commit time:
       // conform to the pinned schema through the physical identity
-      // (pinned logical ↔ v-logical iff same physical name).
+      // (pinned logical ↔ v-logical iff same physical name). NESTED
+      // renames conform through the positional struct cast (review
+      // r15): a sidecar written under struct<cust,amount> must surface
+      // as the pinned struct<cust,price>, or a catch-up spanning the
+      // rename unions incompatible struct types and wedges the stream
+      // permanently. Positional is sound for the same reason as the
+      // read path: renames never change shape or types (the retype
+      // guard), and the cast target is nullability-relaxed.
       def cdcConform(changed: DataFrame, vSnap: graft.tables.TxLog.Snapshot)
           : Seq[Column] = {
         val byPhys = StructType.fromDDL(vSnap.schemaDDL).fieldNames
@@ -335,7 +342,11 @@ class TableChangeSource(sqlContext: SQLContext, path: String,
         dataFields.toSeq.map { f =>
           byPhys.get(pinnedMap.getOrElse(f.name, f.name)) match {
             case Some(vName) if changed.columns.contains(vName) =>
-              col(s"`${vName.replace("`", "``")}`").as(f.name)
+              val c = col(s"`${vName.replace("`", "``")}`")
+              val vType = changed.schema(vName).dataType
+              (if (vType == f.dataType) c
+              else c.cast(CowTable.relaxNullability(f.dataType)))
+                .as(f.name)
             case _ => lit(null).cast(f.dataType).as(f.name)
           }
         }

@@ -1155,6 +1155,17 @@ object CowTable {
     committed
   }
 
+  /** Live paths of every version inside the retention window — THE
+    * keep-set rule, shared by [[vacuum]] and [[cloneLeaseReport]] so
+    * the report's `files_deferred` can never disagree with what
+    * vacuum actually defers.
+    */
+  private def retentionKeep(spark: SparkSession, path: String,
+      latest: Long, retainVersions: Int): Set[String] =
+    (math.max(1, latest - retainVersions + 1) to latest)
+      .flatMap(v => TxLog.snapshot(spark, path, Some(v)).files.map(_.path))
+      .toSet
+
   /** Delete data files referenced by NO snapshot within the last
     * `retainVersions` versions (older versions become unreadable —
     * the standard retention trade). Returns deleted relative paths.
@@ -1178,10 +1189,7 @@ object CowTable {
       dryRun: Boolean = false): Seq[String] = {
     val f = TxLog.fs(spark, path)
     val latest = TxLog.latestVersion(spark, path)
-    val retainKeep =
-      (math.max(1, latest - retainVersions + 1) to latest)
-        .flatMap(v => TxLog.snapshot(spark, path, Some(v)).files.map(_.path))
-        .toSet
+    val retainKeep = retentionKeep(spark, path, latest, retainVersions)
     val dataDir = new Path(path, "data")
     if (!f.exists(dataDir)) return Seq.empty
     val horizon = System.currentTimeMillis() - retentionMs
@@ -1485,11 +1493,7 @@ object CowTable {
       retainVersions: Int = 2): DataFrame = {
     import spark.implicits._
     val latest = TxLog.latestVersion(spark, srcPath)
-    val retainKeep =
-      (math.max(1, latest - retainVersions + 1) to latest)
-        .flatMap(v =>
-          TxLog.snapshot(spark, srcPath, Some(v)).files.map(_.path))
-        .toSet
+    val retainKeep = retentionKeep(spark, srcPath, latest, retainVersions)
     val now = System.currentTimeMillis()
     cloneLeases(spark, srcPath).map { l =>
       val deferred =
@@ -1844,7 +1848,7 @@ object CowTable {
         .as(dst.name)
     }
 
-  private def relaxNullability(dt: DataType): DataType = dt match {
+  private[graft] def relaxNullability(dt: DataType): DataType = dt match {
     case st: StructType => StructType(st.fields.map(f =>
       f.copy(dataType = relaxNullability(f.dataType), nullable = true)))
     case ArrayType(et, _) =>

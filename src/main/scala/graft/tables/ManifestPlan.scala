@@ -45,8 +45,18 @@ object ManifestPlan {
     p.sidecarRef match {
       case None => localDf(spark, p.meta.files)
       case Some(ref) =>
-        val base = spark.read.schema(TxLog.FilesParquetSchema)
-          .parquet(TxLog.sidecarLocation(table, ref))
+        // reader construction lists the sidecar path EAGERLY, so a
+        // torn/vacuumed sidecar surfaces here — degrade to the full
+        // commit fold instead of handing the caller (e.g. the
+        // cow_table_files TVF) a frame that explodes at execution:
+        // the commits are the truth, the sidecar is an optimization
+        val base =
+          try spark.read.schema(TxLog.FilesParquetSchema)
+            .parquet(TxLog.sidecarLocation(table, ref))
+          catch { case scala.util.control.NonFatal(_) =>
+            return localDf(spark, TxLog.snapshotPlanned(spark, table,
+              Some(p.meta.version), useCheckpoint = false).meta.files)
+          }
         val alive =
           if (p.removedEver.isEmpty) base
           else if (p.removedEver.size <= IsinRemoveCap)

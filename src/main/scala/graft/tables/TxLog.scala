@@ -388,7 +388,8 @@ object TxLog {
       // version's winner writes its checkpoint, and replacing it with
       // identical content would be harmless anyway.
       try {
-        val snap = snapshot(spark, table, Some(commit.version))
+        val snap = backfillCommitTs(spark, table,
+          snapshot(spark, table, Some(commit.version)))
         val doc =
           if (snap.files.size < ParquetCheckpointThreshold)
             Serialization.write(snap)
@@ -592,6 +593,25 @@ object TxLog {
     */
   private[tables] val UnstampedTs: Long = Long.MinValue
 
+  /** Back-fill the ts map for versions a PRE-UPGRADE checkpoint never
+    * folded — run once at CHECKPOINT-WRITE time (never in the per-op
+    * fold), so the doc'd "heals at the next checkpoint" is literally
+    * true: one O(gap) pass of commit reads, then every later
+    * checkpoint carries the full map. A commit file already pruned by
+    * external cleanup back-fills as [[UnstampedTs]] (unplaceable —
+    * conservative, and resolution stops paying a doomed read for it).
+    */
+  private def backfillCommitTs(spark: SparkSession, table: String,
+      snap: Snapshot): Snapshot = {
+    val m = snap.commitTs.getOrElse(Map.empty)
+    val missing = (1L to snap.version).filter(v => !m.contains(v.toString))
+    if (missing.isEmpty) snap
+    else snap.copy(commitTs = Some(m ++ missing.map { v =>
+      v.toString -> (try commitAt(spark, table, v).ts.getOrElse(UnstampedTs)
+      catch { case scala.util.control.NonFatal(_) => UnstampedTs })
+    }))
+  }
+
   private[tables] val FilesParquetSchema =
     org.apache.spark.sql.types.StructType.fromDDL(
       "path STRING, rows BIGINT, " +
@@ -685,7 +705,12 @@ object TxLog {
     */
   private def commitTsResolver(spark: SparkSession,
       table: String): Long => Option[Long] = {
-    val m = snapshot(spark, table).commitTs.getOrElse(Map.empty)
+    // snapshotPlanned, NOT snapshot: the ts map is table-level state
+    // that folds without touching the sidecar — a materializing
+    // snapshot() here would collect a 10⁶-entry manifest to answer a
+    // metadata question (review r15)
+    val m = snapshotPlanned(spark, table).meta.commitTs
+      .getOrElse(Map.empty)
     (v: Long) =>
       m.get(v.toString) match {
         case Some(UnstampedTs) => None

@@ -382,4 +382,43 @@ class TableChangeFeedSpec extends AnyFunSuite {
           .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq)
     }
   }
+
+  test("CDC catch-up across a NESTED rename conforms structs to the " +
+      "pinned inner names (review r15: incompatible-struct wedge)") {
+    withDir { dir =>
+      val t = dir.getAbsolutePath + "/cdcnested"
+      def row(k: Long, cust: Long, amount: Double) =
+        Seq((k, cust, amount)).toDF("k", "cust", "amount")
+          .select(col("k"), struct(col("cust"), col("amount")).as("meta"))
+      CowTable.create(spark, t, row(1L, 10L, 1.5), Seq("k"))        // v1
+      CowTable.merge(spark, t, row(1L, 10L, 2.5), Seq("k"),
+        cdc = true)                                                  // v2
+      CowTable.renameColumn(spark, t, "meta.amount", "price")        // v3
+      CowTable.merge(spark, t, row(2L, 20L, 9.0)
+        .select(col("k"), col("meta").cast("struct<cust:bigint," +
+          "price:double>").as("meta")), Seq("k"), cdc = true)        // v4
+      // a replica bootstrapping from v1 spans the rename: the union
+      // of pre- and post-rename CDC frames must conform, not wedge
+      val buf = scala.collection.mutable.ArrayBuffer[
+        (Long, Double, String, Long)]()
+      val q = TableChangeFeed.readCdc(spark, t)
+        .writeStream
+        .option("checkpointLocation", dir.getAbsolutePath + "/ckn")
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          buf.synchronized {
+            buf ++= b.select(col("k"), col("meta.price"),
+              col(CowTable.ChangeTypeCol),
+              col(TableChangeFeed.VersionCol)).collect()
+              .map(r => (r.getLong(0), r.getDouble(1), r.getString(2),
+                r.getLong(3)))
+          }
+          ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+      // pre-rename sidecar values surface under the PINNED inner name
+      assert(buf.contains((1L, 1.5, "update_preimage", 2L)), buf.toSeq)
+      assert(buf.contains((1L, 2.5, "update_postimage", 2L)))
+      assert(buf.contains((2L, 9.0, "insert", 4L)))
+    }
+  }
 }

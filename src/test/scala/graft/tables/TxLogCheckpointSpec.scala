@@ -222,4 +222,64 @@ class TxLogCheckpointSpec extends AnyFunSuite {
       assert(TxLog.firstVersionAtOrAfter(spark, t, 1000L * 19 + 1) === 20L)
     }
   }
+
+  test("the legacy ts-map gap HEALS at the next checkpoint (one " +
+      "backfill pass, then bounded forever)") {
+    withDir { t =>
+      val f = TxLog.fs(spark, t)
+      assert(TxLog.tryCommit(spark, t, TxLog.Commit(1L, "create",
+        Seq.empty, Seq.empty, Some("k BIGINT"), Some(Seq("k")),
+        ts = Some(1000L))))
+      (2L to 25L).foreach { v =>
+        assert(TxLog.tryCommit(spark, t, TxLog.Commit(v, "append",
+          Seq.empty, Seq.empty, None, None, ts = Some(1000L * v))))
+      }
+      // forge a pre-upgrade v20 checkpoint (strip commitTs)
+      val logDir = new org.apache.hadoop.fs.Path(t, TxLog.LogDir)
+      val ckpt = new org.apache.hadoop.fs.Path(logDir,
+        f"${20L}%020d.checkpoint.json")
+      val jv = org.json4s.jackson.JsonMethods.parse(
+        TxLog.readString(f, ckpt))
+        .removeField { case (n, _) => n == "commitTs" }
+      TxLog.writeString(f, ckpt,
+        org.json4s.jackson.JsonMethods.compact(
+          org.json4s.jackson.JsonMethods.render(jv)))
+      // drive to the NEXT checkpoint (v40): the backfill runs there
+      (26L to 40L).foreach { v =>
+        assert(TxLog.tryCommit(spark, t, TxLog.Commit(v, "append",
+          Seq.empty, Seq.empty, None, None, ts = Some(1000L * v))))
+      }
+      // the healed map covers EVERYTHING: delete the pre-v40 commits
+      // and resolution must still be exact for the legacy prefix
+      (2L until 40L).foreach { v =>
+        f.delete(new org.apache.hadoop.fs.Path(logDir,
+          f"$v%020d.json"), false)
+      }
+      assert(TxLog.snapshot(spark, t).commitTs.exists(_.size === 40))
+      assert(TxLog.versionAtTimestamp(spark, t, 1000L * 7) === 7L)
+      assert(TxLog.versionAtTimestamp(spark, t, 1000L * 33 + 5) === 33L)
+    }
+  }
+
+  test("cow_table_files planning degrades when the sidecar is torn " +
+      "(filesAsDf falls back to the commit fold)") {
+    withThreshold(3) {
+      withDir { t =>
+        CowTable.create(spark, t,
+          spark.range(100).select(col("id").as("k"))
+            .repartitionByRange(4, col("k")), Seq("k"))
+        (1 to 20).foreach { i =>
+          CowTable.append(spark, t,
+            Seq(100L + i).toDF("k"))
+        }
+        val f = TxLog.fs(spark, t)
+        val logDir = new org.apache.hadoop.fs.Path(t, TxLog.LogDir)
+        f.listStatus(logDir).map(_.getPath)
+          .filter(_.getName.endsWith(".checkpoint.files.parquet"))
+          .foreach(p => f.delete(p, true))
+        // the TVF substrate must degrade, not explode at execution
+        assert(TxLog.filesAsDf(spark, t).count() === 24L)
+      }
+    }
+  }
 }
