@@ -47,29 +47,61 @@ object Maintenance {
   /** Analyze the manifest. `column` defaults to the table's first
     * stats column (the primary clustering key); files without a
     * comparable stat on it (opaque kinds) don't join the sweep.
+    *
+    * Sidecar-backed tables (round 15): the counts aggregate and the
+    * advised column's interval triples come off the MANIFEST FRAME
+    * ([[ManifestPlan.filesDf]]) — the driver holds one lean
+    * (kind, min, max) triple per file for the endpoint sweep (which is
+    * inherently a driver interval algorithm), never the full
+    * AddFile-decoded manifest. Inline manifests keep the in-memory
+    * path.
     */
   def advise(spark: SparkSession, path: String,
       column: Option[String] = None,
       maxOverlapDepth: Int = 4,
       smallFileRows: Long = 100000L,
       maxSmallFiles: Int = 8): Advice = {
-    val snap = TxLog.snapshot(spark, path)
+    val psnap = TxLog.snapshotPlanned(spark, path)
+    val snap = psnap.meta
     // `column` is LOGICAL (user-facing; HotRange feeds col(...) in the
     // maintain layout); stats keys are PHYSICAL — translate at lookup
-    val rev = snap.columnMap.getOrElse(Map.empty).map(_.swap)
+    val rev = snap.columnMap.getOrElse(Map.empty)
+      .filterNot(_._1.contains(".")).map(_.swap)
     val c = column.getOrElse(snap.statsCols.headOption.map(ph =>
       rev.getOrElse(ph, ph)).getOrElse(
       sys.error(s"$path has no stats columns to advise on")))
-    val smalls = snap.files.count(_.rows < smallFileRows).toLong
+    val ph = snap.physName(c)
 
-    val stats = snap.files.flatMap(f => f.stats.get(snap.physName(c))
-      .filter(s => s.kind == "long" || s.kind == "double" ||
-        s.kind == "string"))
+    val (total, smalls, stats) =
+      if (!psnap.isDistributed)
+        (snap.files.size.toLong,
+          snap.files.count(_.rows < smallFileRows).toLong,
+          snap.files.flatMap(f => f.stats.get(ph)
+            .filter(s => s.kind == "long" || s.kind == "double" ||
+              s.kind == "string")))
+      else {
+        import org.apache.spark.sql.functions.{count, lit, sum, when}
+        val df = ManifestPlan.filesDf(spark, path, psnap)
+        val counts = df.agg(count(lit(1)),
+          sum(when(col("rows") < smallFileRows, 1L).otherwise(0L)))
+          .collect()(0)
+        val s = col("stats").getItem(ph)
+        val triples = df
+          .filter(s.isNotNull &&
+            s.getField("kind").isin("long", "double", "string"))
+          .select(s.getField("kind"), s.getField("min"),
+            s.getField("max"))
+          .collect()
+          .map(r => TxLog.ColStats(r.getString(0), r.getString(1),
+            r.getString(2)))
+          .toSeq
+        (counts.getLong(0), Option(counts.get(1)).map(_ => counts.getLong(1))
+          .getOrElse(0L), triples)
+      }
     val hot =
       if (stats.isEmpty) Seq.empty[HotRange]
       else sweep(c, stats, maxOverlapDepth)
-    Advice(snap.files.size.toLong, smalls,
-      smalls > maxSmallFiles, hot)
+    Advice(total, smalls, smalls > maxSmallFiles, hot)
   }
 
   /** Apply the advice: a scoped optimize per hot range (layout =
@@ -86,11 +118,20 @@ object Maintenance {
     val a = advise(spark, path, column, maxOverlapDepth, smallFileRows,
       maxSmallFiles)
     a.hotRanges.foreach { hr =>
-      val snap = TxLog.snapshot(spark, path)
-      val rows = snap.files
-        .filter(_.stats.get(snap.physName(hr.column))
-          .forall(_.mayOverlap(hr.lo, hr.hi)))
-        .map(_.rows).sum
+      val psnap = TxLog.snapshotPlanned(spark, path)
+      val snap = psnap.meta
+      val ph = snap.physName(hr.column)
+      val rows =
+        if (!psnap.isDistributed)
+          snap.files
+            .filter(_.stats.get(ph).forall(_.mayOverlap(hr.lo, hr.hi)))
+            .map(_.rows).sum
+        else {
+          import org.apache.spark.sql.functions.{coalesce, lit, sum}
+          ManifestPlan.filesDf(spark, path, psnap)
+            .filter(ManifestPlan.mayOverlap(ph, hr.lo, hr.hi))
+            .agg(coalesce(sum("rows"), lit(0L))).collect()(0).getLong(0)
+        }
       val n = math.max(1L, (rows + targetFileRows - 1) / targetFileRows)
       CowTable.optimizeWhere(spark, path, hr.column, hr.lo, hr.hi,
         _.repartitionByRange(n.toInt, col(hr.column))

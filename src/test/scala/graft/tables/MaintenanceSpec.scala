@@ -91,4 +91,50 @@ class MaintenanceSpec extends AnyFunSuite {
       assert(CowTable.read(spark, t).count() === 1010L)
     }
   }
+
+  test("sidecar-backed advise ≡ inline advise (distributed sweep " +
+      "input, round 15)") {
+    def adviseOf(threshold: Int): Maintenance.Advice = {
+      sys.props("graft.txlog.parquetCheckpointThreshold") = threshold.toString
+      try {
+        val dir = java.nio.file.Files.createTempDirectory("graft_madv_")
+          .toFile
+        try {
+          val t = dir.getAbsolutePath + "/t"
+          CowTable.create(spark, t,
+            spark.range(4000).select(col("id").as("k"),
+              (col("id") % 5).as("v"))
+              .repartitionByRange(4, col("k")), Seq("k"))
+          // scattered ingests stack full-range files; push past a
+          // checkpoint so the sidecar path engages under threshold 3
+          (1 to 20).foreach { i =>
+            CowTable.append(spark, t,
+              spark.range(4000).select(col("id").as("k"),
+                lit(i.toLong).as("v")))
+          }
+          val p = TxLog.snapshotPlanned(spark, t)
+          assert(p.isDistributed === (threshold == 3))
+          Maintenance.advise(spark, t, smallFileRows = 100000L)
+        } finally {
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) f.listFiles().foreach(rm)
+            f.delete(); ()
+          }
+          rm(dir)
+        }
+      } finally {
+        sys.props.remove("graft.txlog.parquetCheckpointThreshold"); ()
+      }
+    }
+    val dist = adviseOf(3)
+    val inline = adviseOf(1000000)
+    assert(dist.totalFiles === inline.totalFiles)
+    assert(dist.smallFiles === inline.smallFiles)
+    // two INDEPENDENT builds aren't file-layout-identical (range
+    // partition boundaries sample), so compare the layout-independent
+    // shape: same ranges, same peak depths
+    assert(dist.hotRanges.map(h => (h.column, h.lo, h.hi, h.depth)) ===
+      inline.hotRanges.map(h => (h.column, h.lo, h.hi, h.depth)))
+    assert(dist.hotRanges.nonEmpty, "scattered ingests must be detected")
+  }
 }
