@@ -421,4 +421,45 @@ class TableChangeFeedSpec extends AnyFunSuite {
       assert(buf.contains((2L, 9.0, "insert", 4L)))
     }
   }
+
+  test("scoped-replica property: random merges crossing the predicate " +
+      "both ways, replica ≡ source.filter(where) after every drain") {
+    withDir { dir =>
+      val t = dir.getAbsolutePath + "/scopedprop"
+      val dst = dir.getAbsolutePath + "/scopedprop_dst"
+      val ckpt = dir.getAbsolutePath + "/scopedprop_ck"
+      val rnd = new scala.util.Random(1515)
+      def someRows(n: Int): Seq[(Long, Long, String, Boolean)] =
+        (0 until n).map { _ =>
+          (rnd.nextInt(40).toLong, rnd.nextInt(1000).toLong,
+            if (rnd.nextBoolean()) "in" else "out",
+            rnd.nextInt(6) == 0) // occasional tombstone
+        }
+      CowTable.create(spark, t,
+        someRows(20).map(r => (r._1, r._2, r._3)).distinct
+          .groupBy(_._1).map(_._2.head).toSeq
+          .toDF("k", "v", "s"), Seq("k"))
+      val q = TableReplica.replicaSink(
+        TableChangeFeed.readCdc(spark, t,
+          where = Some("s = 'in'"), whereKeys = Seq("k")),
+        dst, Seq("k"))
+        .option("checkpointLocation", ckpt).start()
+      try {
+        (1 to 6).foreach { _ =>
+          val batch = someRows(14).groupBy(_._1).map(_._2.head).toSeq
+          CowTable.merge(spark, t,
+            batch.toDF("k", "v", "s", "del"),
+            Seq("k"), deleteCol = Some("del"), cdc = true)
+          q.processAllAvailable()
+          val want = CowTable.read(spark, t).filter(col("s") === "in")
+            .orderBy("k").collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+          val got = CowTable.read(spark, dst).orderBy("k").collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+          assert(got === want,
+            "scoped replica diverged from source.filter(where)")
+        }
+      } finally q.stop()
+    }
+  }
 }
