@@ -1224,6 +1224,51 @@ object TableQueries {
       |       ELSE o_orderstatus END AS o_orderstatus
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
+  /** DEEP CLONE round trip ([[CowTable.deepClone]] — independent
+    * byte-for-byte copy, round 15): clone a merged table, DIVERGE both
+    * sides (source delete, clone update), then vacuum the SOURCE
+    * aggressively (retain 1, no age gate) — the decoupling this
+    * operator exists for: no lease, no external references, the copy
+    * reads on regardless of what the source reclaims (the shallow
+    * clone's retention contract is exactly what a backup must NOT
+    * have). The clone's content after its own update IS the gate
+    * output.
+    */
+  def tableDeepClone(spark: SparkSession, dir: String): DataFrame = {
+    val src = scratch(dir, "dclone_src")
+    val dst = scratch(dir, "dclone_dst")
+    reset(spark, src); reset(spark, dst)
+    val base = Tables.load(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+    CowTable.create(spark, src,
+      base.repartitionByRange(8, col("o_orderkey")), Seq("o_orderkey"))
+    CowTable.merge(spark, src,
+      base.filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          (col("o_totalprice") + 50.0d).as("o_totalprice"),
+          lit("M").as("o_orderstatus")),
+      Seq("o_orderkey"))
+    CowTable.deepClone(spark, src, dst)
+    // diverge: neither side may see the other's writes
+    CowTable.deleteWhere(spark, src, col("o_orderkey") % 3 === 0)
+    CowTable.updateWhere(spark, dst, col("o_orderkey") < 2000,
+      Map("o_orderstatus" -> lit("D")))
+    // the backup property: an aggressive SOURCE vacuum (which would
+    // have required a lease to spare a shallow clone) reclaims freely
+    // and the deep clone still reads
+    CowTable.vacuum(spark, src, retainVersions = 1, retentionMs = 0)
+    CowTable.read(spark, dst).orderBy("o_orderkey")
+  }
+
+  val tableDeepCloneSql: String =
+    """SELECT o_orderkey, o_custkey,
+      |  CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 50.0
+      |       ELSE o_totalprice END AS o_totalprice,
+      |  CASE WHEN o_orderkey < 2000 THEN 'D'
+      |       WHEN o_orderkey % 7 = 0 THEN 'M'
+      |       ELSE o_orderstatus END AS o_orderstatus
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
   /** The maintenance loop end to end: a range-clustered table takes
     * three SCATTERED full-range ingests (each append's files span the
     * whole key domain — the fragmentation every nightly pipeline
@@ -1451,6 +1496,7 @@ object TableQueries {
     "pipeline_feed_quarantine" -> (pipelineFeedQuarantine(_, _)),
     "table_maintain" -> (tableMaintain(_, _)),
     "table_clone" -> (tableClone(_, _)),
+    "table_deep_clone" -> (tableDeepClone(_, _)),
     "pipeline_feed_curate" -> (pipelineFeedCurate(_, _)),
     "table_constraint" -> (tableConstraint(_, _)),
     "pipeline_table_history" -> (pipelineTableHistory(_, _)),
@@ -1485,6 +1531,7 @@ object TableQueries {
     "pipeline_feed_quarantine" -> pipelineFeedQuarantineSql,
     "table_maintain" -> tableMaintainSql,
     "table_clone" -> tableCloneSql,
+    "table_deep_clone" -> tableDeepCloneSql,
     "pipeline_feed_curate" -> pipelineFeedCurateSql,
     "table_constraint" -> tableMergeSql,
     "pipeline_table_history" -> pipelineTableHistorySql,

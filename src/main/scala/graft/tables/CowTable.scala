@@ -1453,6 +1453,78 @@ object CowTable {
       s"concurrent create at $dstPath")
   }
 
+  /** DEEP CLONE: an independent byte-for-byte COPY of the table at
+    * `asOfVersion` — the backup / migration / archival face, and the
+    * decoupled sibling of [[shallowClone]]: the clone's manifest
+    * references its OWN copied files, so there are NO external
+    * references, NO lease, and NO retention coupling — source and
+    * clone vacuum freely from birth (the operational property a
+    * backup exists for; a shallow clone is a fork, a deep clone is a
+    * copy). Contents, schema, stats columns, partition layout,
+    * constraints, and the column map all carry over; relative paths
+    * are preserved (hive `col=value` partition segments keep parsing),
+    * and a clone-of-a-shallow-clone's EXTERNAL references materialize
+    * into the copy — a deep clone never dangles.
+    *
+    * The file copies run DISTRIBUTED — one Spark job over the manifest
+    * entries, raw byte streams (no parquet re-encode, layout and
+    * zone maps stay exact): at 100 TB this is an executor-parallel
+    * copy bounded by aggregate I/O, never a driver loop. The manifest
+    * fold itself is maintenance-class (materializing — the documented
+    * full-read cost).
+    */
+  def deepClone(spark: SparkSession, srcPath: String, dstPath: String,
+      asOfVersion: Option[Long] = None): Unit = {
+    require(TxLog.latestVersion(spark, dstPath) == 0,
+      s"table already exists at $dstPath")
+    val snap = TxLog.snapshot(spark, srcPath, asOfVersion)
+    val srcRoot = TxLog.fs(spark, srcPath)
+      .makeQualified(new Path(srcPath)).toUri.toString.stripSuffix("/")
+    val dstRoot = TxLog.fs(spark, dstPath)
+      .makeQualified(new Path(dstPath)).toUri.toString.stripSuffix("/")
+    // destination-relative path: internal entries keep their layout;
+    // external (shallow-clone) references re-root under the SOURCE's
+    // data-relative suffix (op-uuid dirs keep the union collision-free)
+    def relOf(p: String): String =
+      if (!isExternal(p)) p
+      else "data" + p.substring(p.lastIndexOf("/data/") + "/data".length)
+    val pairs = snap.files.map(f =>
+      (fileUri(srcRoot, f.path), s"$dstRoot/${relOf(f.path)}"))
+    if (pairs.nonEmpty) {
+      val conf = org.apache.spark.sql.graft.HadoopConfBridge
+        .broadcast(spark.sparkContext,
+          spark.sessionState.newHadoopConf())
+      spark.sparkContext
+        .parallelize(pairs, math.min(pairs.size, 64))
+        .foreachPartition { it =>
+          val c = org.apache.spark.sql.graft.HadoopConfBridge.value(conf)
+          it.foreach { case (src, dst) =>
+            val sp = new Path(src); val dp = new Path(dst)
+            val dfs = dp.getFileSystem(c)
+            dfs.mkdirs(dp.getParent)
+            org.apache.hadoop.fs.FileUtil.copy(
+              sp.getFileSystem(c), sp, dfs, dp,
+              false /* keep source */, true /* overwrite */, c)
+            ()
+          }
+        }
+    }
+    val c = Commit(1L, "deep_clone",
+      snap.files.map(f => f.copy(path = relOf(f.path))), Seq.empty,
+      Some(snap.schemaDDL), Some(snap.statsCols), None,
+      snap.partitionCols, None,
+      constraintsAdd =
+        if (snap.checkConstraints.isEmpty) None
+        else Some(snap.checkConstraints),
+      columnMap = snap.columnMap,
+      retiredPhys = snap.retiredPhys,
+      // no external refs in a deep clone — the only protocol need
+      // left is the column map's
+      minReader = snap.columnMap.map(minReaderFor))
+    require(TxLog.tryCommit(spark, dstPath, c),
+      s"concurrent create at $dstPath")
+  }
+
   /** A registered clone: where it lives, which source version its
     * external references pin, when the lease was taken, and (optional)
     * who owns it — the metadata an operator triaging a vacuum that

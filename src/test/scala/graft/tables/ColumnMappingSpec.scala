@@ -424,4 +424,59 @@ class ColumnMappingSpec extends AnyFunSuite {
         .exists(_.startsWith("m2")))
     }
   }
+
+  test("deepClone: independent byte copy — no lease, survives an " +
+      "aggressive source vacuum, materializes a shallow clone's " +
+      "external refs, carries the column map") {
+    withTable { t =>
+      val sh = t + "_sh"
+      val deep = t + "_deep"
+      CowTable.create(spark, t, base(300, 3), Seq("k"))
+      CowTable.renameColumn(spark, t, "v", "val")
+      // shallow-clone the mapped table, then DEEP clone the shallow
+      // clone: its external references must materialize into copies
+      CowTable.shallowClone(spark, t, sh)
+      CowTable.deepClone(spark, sh, deep)
+      // no lease registered by the deep clone anywhere
+      assert(CowTable.cloneLeases(spark, sh).isEmpty)
+      // and no external references in its manifest
+      val snap = TxLog.snapshot(spark, deep)
+      assert(snap.files.forall(f => !TxLog.isExternalPath(f.path)),
+        "a deep clone must not reference foreign files")
+      assert(snap.columnMap.isDefined, "the column map carries over")
+      // kill the originals wholesale: the copy reads on
+      CowTable.dropCloneLease(spark, t, sh)
+      CowTable.optimize(spark, t,
+        _.repartitionByRange(2, col("k")).sortWithinPartitions("k"))
+      CowTable.vacuum(spark, t, retainVersions = 1, retentionMs = 0)
+      val f = TxLog.fs(spark, t)
+      f.delete(new org.apache.hadoop.fs.Path(t), true)
+      f.delete(new org.apache.hadoop.fs.Path(sh), true)
+      assert(CowTable.read(spark, deep).count() === 300L)
+      assert(CowTable.read(spark, deep).filter(col("k") === 7L)
+        .select("val").collect()(0).getLong(0) === 7L * 7 % 100)
+      // the copy is a full table: merges flow
+      CowTable.merge(spark, deep,
+        Seq((7L, 999L, "upd")).toDF("k", "val", "s"), Seq("k"))
+      assert(CowTable.read(spark, deep).filter(col("k") === 7L)
+        .select("val").collect()(0).getLong(0) === 999L)
+    }
+  }
+
+  test("deepClone preserves hive partition layout") {
+    withTable { t =>
+      val deep = t + "_pdeep"
+      CowTable.create(spark, t,
+        spark.range(200).select(col("id").as("k"),
+          (col("id") % 4).as("b")),
+        Seq("k"), partitionBy = Seq("b"))
+      CowTable.deepClone(spark, t, deep)
+      assert(CowTable.read(spark, deep).groupBy("b").count()
+        .orderBy("b").collect().map(_.getLong(1)).toSeq ===
+        Seq(50L, 50L, 50L, 50L))
+      // partition-pruned reads keep working on the copy
+      assert(CowTable.readOverlapping(spark, deep, "b", "2", "2")
+        .filter(col("b") === 2L).count() === 50L)
+    }
+  }
 }
