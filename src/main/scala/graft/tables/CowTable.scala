@@ -1478,51 +1478,86 @@ object CowTable {
     require(TxLog.latestVersion(spark, dstPath) == 0,
       s"table already exists at $dstPath")
     val snap = TxLog.snapshot(spark, srcPath, asOfVersion)
-    val srcRoot = TxLog.fs(spark, srcPath)
-      .makeQualified(new Path(srcPath)).toUri.toString.stripSuffix("/")
-    val dstRoot = TxLog.fs(spark, dstPath)
-      .makeQualified(new Path(dstPath)).toUri.toString.stripSuffix("/")
-    // destination-relative path: internal entries keep their layout;
-    // external (shallow-clone) references re-root under the SOURCE's
-    // data-relative suffix (op-uuid dirs keep the union collision-free)
-    def relOf(p: String): String =
-      if (!isExternal(p)) p
-      else "data" + p.substring(p.lastIndexOf("/data/") + "/data".length)
-    val pairs = snap.files.map(f =>
-      (fileUri(srcRoot, f.path), s"$dstRoot/${relOf(f.path)}"))
-    if (pairs.nonEmpty) {
-      val conf = org.apache.spark.sql.graft.HadoopConfBridge
-        .broadcast(spark.sparkContext,
-          spark.sessionState.newHadoopConf())
-      spark.sparkContext
-        .parallelize(pairs, math.min(pairs.size, 64))
-        .foreachPartition { it =>
-          val c = org.apache.spark.sql.graft.HadoopConfBridge.value(conf)
-          it.foreach { case (src, dst) =>
-            val sp = new Path(src); val dp = new Path(dst)
-            val dfs = dp.getFileSystem(c)
-            dfs.mkdirs(dp.getParent)
-            org.apache.hadoop.fs.FileUtil.copy(
-              sp.getFileSystem(c), sp, dfs, dp,
-              false /* keep source */, true /* overwrite */, c)
-            ()
-          }
+    // A LEASE protects the copy window (the shallowClone discipline —
+    // registered BEFORE any file is read): without it, a concurrent
+    // source vacuum could reclaim the snapshot's files mid-copy and
+    // abort an hours-long 100 TB backup partway. Dropped after the
+    // clone commits — a deep clone has no retention coupling once its
+    // bytes are its own; a crash in between leaves an orphan lease,
+    // reclaimable with dropCloneLease, never dangerous.
+    writeCloneLease(spark, srcPath, dstPath, snap.version,
+      Some("deep-clone-in-flight"))
+    try {
+      val srcRoot = TxLog.fs(spark, srcPath)
+        .makeQualified(new Path(srcPath)).toUri.toString.stripSuffix("/")
+      val dstRoot = TxLog.fs(spark, dstPath)
+        .makeQualified(new Path(dstPath)).toUri.toString.stripSuffix("/")
+      // destination-relative path: internal entries keep their layout;
+      // external (shallow-clone) references re-root under the SOURCE's
+      // data-relative suffix (op-uuid dirs keep the union
+      // collision-free); an external entry outside any data root fails
+      // loudly, like dataRootOf — a silent mangle would land files
+      // outside data/ and break hive partition parsing
+      def relOf(p: String): String =
+        if (!isExternal(p)) p
+        else {
+          val i = p.lastIndexOf("/data/")
+          require(i >= 0,
+            s"external manifest entry outside any data root: $p")
+          "data" + p.substring(i + "/data".length)
         }
-    }
-    val c = Commit(1L, "deep_clone",
-      snap.files.map(f => f.copy(path = relOf(f.path))), Seq.empty,
-      Some(snap.schemaDDL), Some(snap.statsCols), None,
-      snap.partitionCols, None,
-      constraintsAdd =
-        if (snap.checkConstraints.isEmpty) None
-        else Some(snap.checkConstraints),
-      columnMap = snap.columnMap,
-      retiredPhys = snap.retiredPhys,
-      // no external refs in a deep clone — the only protocol need
-      // left is the column map's
-      minReader = snap.columnMap.map(minReaderFor))
-    require(TxLog.tryCommit(spark, dstPath, c),
-      s"concurrent create at $dstPath")
+      val pairs = snap.files.map(f =>
+        (fileUri(srcRoot, f.path), s"$dstRoot/${relOf(f.path)}"))
+      if (pairs.nonEmpty) {
+        val conf = org.apache.spark.sql.graft.HadoopConfBridge
+          .broadcast(spark.sparkContext,
+            spark.sessionState.newHadoopConf())
+        // parallelism scales with the cluster (the scaladoc's
+        // "bounded by aggregate I/O" claim), floored so small
+        // local runs still fan out
+        val slices = math.min(pairs.size,
+          math.max(64, spark.sparkContext.defaultParallelism * 2))
+        spark.sparkContext
+          .parallelize(pairs, math.max(1, slices))
+          .foreachPartition { it =>
+            val c = org.apache.spark.sql.graft.HadoopConfBridge.value(conf)
+            it.foreach { case (src, dst) =>
+              val sp = new Path(src); val dp = new Path(dst)
+              val dfs = dp.getFileSystem(c)
+              dfs.mkdirs(dp.getParent)
+              org.apache.hadoop.fs.FileUtil.copy(
+                sp.getFileSystem(c), sp, dfs, dp,
+                false /* keep source */, true /* overwrite */, c)
+              ()
+            }
+          }
+      }
+      val c = Commit(1L, "deep_clone",
+        snap.files.map(f => f.copy(path = relOf(f.path))), Seq.empty,
+        Some(snap.schemaDDL), Some(snap.statsCols), None,
+        snap.partitionCols, None,
+        constraintsAdd =
+          if (snap.checkConstraints.isEmpty) None
+          else Some(snap.checkConstraints),
+        columnMap = snap.columnMap,
+        retiredPhys = snap.retiredPhys,
+        // no external refs in a deep clone — the only protocol need
+        // left is the column map's
+        minReader = snap.columnMap.map(minReaderFor))
+      if (!TxLog.tryCommit(spark, dstPath, c)) {
+        // lost the create race AFTER the copy: reclaim OUR copied
+        // bytes (only the paths we wrote — a rival winner's files
+        // live under its own op dirs) instead of silently leaking a
+        // table-sized orphan set
+        val f = TxLog.fs(spark, dstPath)
+        pairs.foreach { case (_, dst) =>
+          try { f.delete(new Path(dst), false); () }
+          catch { case _: java.io.IOException => () }
+        }
+        sys.error(s"concurrent create at $dstPath (copied files " +
+          "reclaimed)")
+      }
+    } finally { dropCloneLease(spark, srcPath, dstPath); () }
   }
 
   /** A registered clone: where it lives, which source version its

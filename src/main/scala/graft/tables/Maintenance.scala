@@ -72,18 +72,22 @@ object Maintenance {
       sys.error(s"$path has no stats columns to advise on")))
     val ph = snap.physName(c)
 
+    def driverInput(files: Seq[TxLog.AddFile])
+        : (Long, Long, Seq[TxLog.ColStats]) =
+      (files.size.toLong,
+        files.count(_.rows < smallFileRows).toLong,
+        files.flatMap(f => f.stats.get(ph)
+          .filter(s => s.kind == "long" || s.kind == "double" ||
+            s.kind == "string")))
     val (total, smalls, stats) =
-      if (!psnap.isDistributed)
-        (snap.files.size.toLong,
-          snap.files.count(_.rows < smallFileRows).toLong,
-          snap.files.flatMap(f => f.stats.get(ph)
-            .filter(s => s.kind == "long" || s.kind == "double" ||
-              s.kind == "string")))
-      else {
-        import org.apache.spark.sql.functions.{count, lit, sum, when}
+      if (!psnap.isDistributed) driverInput(snap.files)
+      else try {
+        import org.apache.spark.sql.functions.{coalesce, count, lit,
+          sum, when}
         val df = ManifestPlan.filesDf(spark, path, psnap)
         val counts = df.agg(count(lit(1)),
-          sum(when(col("rows") < smallFileRows, 1L).otherwise(0L)))
+          coalesce(sum(when(col("rows") < smallFileRows, 1L)
+            .otherwise(0L)), lit(0L)))
           .collect()(0)
         val s = col("stats").getItem(ph)
         val triples = df
@@ -95,8 +99,12 @@ object Maintenance {
           .map(r => TxLog.ColStats(r.getString(0), r.getString(1),
             r.getString(2)))
           .toSeq
-        (counts.getLong(0), Option(counts.get(1)).map(_ => counts.getLong(1))
-          .getOrElse(0L), triples)
+        (counts.getLong(0), counts.getLong(1), triples)
+      } catch { case scala.util.control.NonFatal(_) =>
+        // a sidecar vacuumed mid-scan: degrade to the commit fold —
+        // the same contract as every other ManifestPlan consumer
+        driverInput(TxLog.snapshotPlanned(spark, path,
+          Some(snap.version), useCheckpoint = false).meta.files)
       }
     val hot =
       if (stats.isEmpty) Seq.empty[HotRange]
@@ -121,16 +129,19 @@ object Maintenance {
       val psnap = TxLog.snapshotPlanned(spark, path)
       val snap = psnap.meta
       val ph = snap.physName(hr.column)
+      def driverRows(files: Seq[TxLog.AddFile]): Long = files
+        .filter(_.stats.get(ph).forall(_.mayOverlap(hr.lo, hr.hi)))
+        .map(_.rows).sum
       val rows =
-        if (!psnap.isDistributed)
-          snap.files
-            .filter(_.stats.get(ph).forall(_.mayOverlap(hr.lo, hr.hi)))
-            .map(_.rows).sum
-        else {
+        if (!psnap.isDistributed) driverRows(snap.files)
+        else try {
           import org.apache.spark.sql.functions.{coalesce, lit, sum}
           ManifestPlan.filesDf(spark, path, psnap)
             .filter(ManifestPlan.mayOverlap(ph, hr.lo, hr.hi))
             .agg(coalesce(sum("rows"), lit(0L))).collect()(0).getLong(0)
+        } catch { case scala.util.control.NonFatal(_) =>
+          driverRows(TxLog.snapshotPlanned(spark, path,
+            Some(snap.version), useCheckpoint = false).meta.files)
         }
       val n = math.max(1L, (rows + targetFileRows - 1) / targetFileRows)
       CowTable.optimizeWhere(spark, path, hr.column, hr.lo, hr.hi,
