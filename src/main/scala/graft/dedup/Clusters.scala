@@ -55,9 +55,11 @@ object Clusters {
     // materialized partitions. Checkpoints are LAZY: the convergence
     // count is the action that materializes them, so each round is ONE
     // job (an eager checkpoint would add a second full materialization
-    // job per round). Superseded rounds' checkpoint blocks are reclaimed
-    // by the ContextCleaner once unreferenced (Dataset.unpersist does
-    // not reach RDD-level checkpoint storage).
+    // job per round). Superseded rounds release DETERMINISTICALLY as
+    // soon as the next round is materialized (round 16 — waiting for
+    // the ContextCleaner to GC the dropped reference let a long-running
+    // maintainer accumulate corpus-sized blocks between GC cycles; the
+    // FINAL round stays, referenced by the returned frame).
     var labels = edges.groupBy("src")
       .agg(least(col("src"), min(col("dst"))).as("comp"))
       .select(col("src").as("id"), col("comp"))
@@ -81,6 +83,9 @@ object Clusters {
           (col("ncomp") < col("comp")).as("__changed"))
         .localCheckpoint(false)
       converged = next.filter(col("__changed")).count() == 0L
+      // next is fully materialized (the count has no short-circuit) —
+      // the superseded round's blocks release now
+      org.apache.spark.sql.graft.CheckpointBridge.release(labels)
       labels = next
       iter += 1
     }
@@ -148,9 +153,10 @@ object Clusters {
     // analyzer, not the data, becomes the bottleneck. Checkpointing
     // truncates lineage to the materialized partitions — constant plan
     // size per round. (A production cluster would use a reliable
-    // checkpoint dir; the truncation effect is the same. Superseded
-    // rounds are reclaimed by the ContextCleaner once unreferenced —
-    // Dataset.unpersist does not reach RDD-level checkpoint storage.)
+    // checkpoint dir; the truncation effect is the same.) Superseded
+    // rounds release deterministically once the next (eager) round is
+    // materialized — the round-16 discipline; the final round stays,
+    // referenced by the returned frame.
     var edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
       .filter(col("u") =!= col("v")).distinct().localCheckpoint(true)
     var sig = checksum(edges)
@@ -160,6 +166,7 @@ object Clusters {
       val next = smallStar(largeStar(edges)).localCheckpoint(true)
       val nextSum = checksum(next)
       converged = nextSum == sig
+      org.apache.spark.sql.graft.CheckpointBridge.release(edges)
       edges = next
       sig = nextSum
       iter += 1
@@ -222,17 +229,20 @@ object Clusters {
       aCol: String, bCol: String, maxIter: Int = 20): DataFrame =
     appendComponentsScoped(standing, newPairs, aCol, bCol, maxIter)._1
 
-  /** [[appendComponents]] with its internal persisted standing frame
-    * handed back, so a PER-MICRO-BATCH caller
-    * ([[graft.streaming.ClusterMaintain]]) can release exactly that
-    * cache after materializing the result — a blanket
-    * `catalog.clearCache()` there would also unpersist every
-    * user-cached relation sharing the session. The returned frame is
-    * lazy and references the handle: unpersist AFTER consuming.
+  /** [[appendComponents]] with a RELEASE thunk handed back, so a
+    * PER-MICRO-BATCH caller ([[graft.streaming.ClusterMaintain]]) can
+    * drop exactly this call's scratch state after materializing the
+    * result: the internal persisted standing frame (a blanket
+    * `catalog.clearCache()` would also unpersist every user-cached
+    * relation sharing the session) AND the contracted-CC merge map's
+    * final checkpoint (whose blocks would otherwise linger until the
+    * ContextCleaner GCs them — one leaked generation per micro-batch).
+    * The returned frame is lazy and references both: release AFTER
+    * consuming.
     */
   private[graft] def appendComponentsScoped(standing: DataFrame,
       newPairs: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 20): (DataFrame, DataFrame) = {
+      maxIter: Int = 20): (DataFrame, () => Unit) = {
     val st = standing.select(col("id"), col("comp")).persist()
     val contracted = newPairs
       .select(col(aCol).as("_a"), col(bCol).as("_b"))
@@ -256,6 +266,9 @@ object Clusters {
     (updated.unionByName(
       fresh.join(m, fresh("id") === m("_rep"), "left")
         .select(fresh("id"), coalesce(col("_nc"), col("id")).as("comp"))),
-      st)
+      () => {
+        st.unpersist(blocking = false)
+        org.apache.spark.sql.graft.CheckpointBridge.release(m)
+      })
   }
 }

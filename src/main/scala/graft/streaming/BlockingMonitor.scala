@@ -129,13 +129,20 @@ object BlockingMonitor {
       state = state.merge(delta)
 
       // grow the standing frames; localCheckpoint cuts lineage so a
-      // long stream's plan does not deepen per batch
+      // long stream's plan does not deepen per batch. The PREVIOUS
+      // generation's checkpoint blocks release here (both standings
+      // start None, so every generation is this accumulator's own) —
+      // waiting for the ContextCleaner would accumulate corpus-sized
+      // storage between GC cycles (the ClusterMaintain advice, r15)
       val newBands = standingBands.fold(b)(b.unionByName(_))
         .localCheckpoint(eager = true)
       val newSample = standingSample
         .fold(batchSample)(batchSample.unionByName(_))
         .localCheckpoint(eager = true)
       Seq(cand, truth, b, sh).foreach(_.unpersist(blocking = false))
+      val release = org.apache.spark.sql.graft.CheckpointBridge.release _
+      standingBands.foreach(release)
+      standingSample.foreach(release)
       standingBands = Some(newBands)
       standingSample = Some(newSample)
       state

@@ -46,11 +46,18 @@ object ClusterMaintain {
         // scoped release of appendComponents' internal standing-frame
         // persist: `save` materializes the fold, then exactly that
         // cache is dropped (a blanket clearCache would also unpersist
-        // user-cached relations sharing the session)
-        val (folded, st) = Clusters.appendComponentsScoped(
-          load().localCheckpoint(true), batch, aCol, bCol)
+        // user-cached relations sharing the session). The snapshot
+        // checkpoint releases in the same finally (ADVICE r15): its
+        // blocks would otherwise linger until the ContextCleaner GCs
+        // the dropped reference — corpus-sized storage per batch.
+        val ck = load().localCheckpoint(true)
+        val (folded, releaseScratch) = Clusters.appendComponentsScoped(
+          ck, batch, aCol, bCol)
         try save(folded)
-        finally { st.unpersist(blocking = false); () }
+        finally {
+          releaseScratch()
+          org.apache.spark.sql.graft.CheckpointBridge.release(ck)
+        }
       }
     }
 }

@@ -35,19 +35,30 @@ object GraphIngestStream {
 
   /** Wire an embedding stream into `holder` under frozen `cents`. */
   def maintain(vectors: DataFrame, holder: GraphHolder, idCol: String,
-      vecCol: String, k: Int, cents: DataFrame): DataStreamWriter[Row] =
+      vecCol: String, k: Int, cents: DataFrame): DataStreamWriter[Row] = {
+    // previous-generation checkpoint blocks release once the next
+    // generation is (eagerly) materialized — only frames THIS
+    // maintainer created, never the caller's bootstrap frames
+    var ownedGraph: Option[DataFrame] = None
+    var ownedCorpus: Option[DataFrame] = None
+    val release = org.apache.spark.sql.graft.CheckpointBridge.release _
     vectors.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
       if (!batch.isEmpty) {
-        holder.graph = GraphIngest
+        val g = GraphIngest
           .merged(holder.corpus, batch, holder.graph, idCol, vecCol, k,
             cents)
           .localCheckpoint(true)
-        holder.corpus = holder.corpus
+        val c = holder.corpus
           .unionByName(batch.select(holder.corpus.columns.map(
             org.apache.spark.sql.functions.col): _*))
           .localCheckpoint(true)
+        holder.graph = g
+        holder.corpus = c
+        ownedGraph.foreach(release); ownedGraph = Some(g)
+        ownedCorpus.foreach(release); ownedCorpus = Some(c)
       }
     }
+  }
 
   /** Convenience: build the initial holder from a corpus frame — the
     * standing graph under the corpus's frozen stride centroids.

@@ -35,13 +35,21 @@ object Scd2Stream {
     * event-time versioning).
     */
   def maintain(deltas: DataFrame, holder: HistoryHolder, keys: Seq[String],
-      tombstoneCol: Option[String], batchTs: Long => Long): DataStreamWriter[Row] =
+      tombstoneCol: Option[String], batchTs: Long => Long): DataStreamWriter[Row] = {
+    // previous-generation checkpoint blocks release the moment the
+    // next generation is (eagerly) materialized — only frames THIS
+    // maintainer created are released, never the caller's initial one
+    var owned: Option[DataFrame] = None
     deltas.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       if (!batch.isEmpty) {
-        holder.history = Scd2
+        val next = Scd2
           .applyDelta(holder.history, batch, keys, batchTs(batchId),
             tombstoneCol)
           .localCheckpoint(true)
+        holder.history = next
+        owned.foreach(org.apache.spark.sql.graft.CheckpointBridge.release)
+        owned = Some(next)
       }
     }
+  }
 }

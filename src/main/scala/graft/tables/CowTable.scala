@@ -248,11 +248,12 @@ object CowTable {
     val snap = psnap.meta
     val ph = snap.physName(column)
     // sidecar-backed: the point-set test runs as a plan over the
-    // manifest sidecar, only covering entries reach the driver
+    // manifest sidecar, only covering entries reach the driver (wide
+    // point sets switch to a broadcast semi-join — collectSurvivorsAnyOf)
     if (psnap.isDistributed)
       return readFiles(spark, path, snap,
-        ManifestPlan.collectSurvivors(spark, path, psnap,
-          ManifestPlan.matchesAny(ph, values)))
+        ManifestPlan.collectSurvivorsAnyOf(spark, path, psnap, ph,
+          values))
     readFiles(spark, path, snap,
       matchingAnyDriver(snap.files, ph, values))
   }
@@ -891,8 +892,8 @@ object CowTable {
         val ph = psnap.meta.physName(column)
         if (!psnap.isDistributed)
           matchingAnyDriver(psnap.meta.files, ph, values)
-        else ManifestPlan.collectSurvivors(spark, path, psnap,
-          ManifestPlan.matchesAny(ph, values))
+        else ManifestPlan.collectSurvivorsAnyOf(spark, path, psnap, ph,
+          values)
       }) { touchedDf =>
       touchedDf.filter(!coalesce(cond, lit(false)))
     }
@@ -1524,11 +1525,27 @@ object CowTable {
             it.foreach { case (src, dst) =>
               val sp = new Path(src); val dp = new Path(dst)
               val dfs = dp.getFileSystem(c)
-              dfs.mkdirs(dp.getParent)
-              org.apache.hadoop.fs.FileUtil.copy(
-                sp.getFileSystem(c), sp, dfs, dp,
-                false /* keep source */, true /* overwrite */, c)
-              ()
+              // Stage + RENAME, never a direct overwrite: a rival
+              // deepClone of the same source writes IDENTICAL
+              // destination paths (relOf preserves source layout), and
+              // a concurrent create-overwrite could tear a file the
+              // rival already published (create+truncate is not
+              // atomic). Each copier streams into its own tmp and
+              // renames in; a rename is atomic, and since identical
+              // paths imply identical source bytes (op-unique names),
+              // whichever publish lands the file is complete and
+              // correct. An already-present destination (rival got
+              // there first, or an orphan of a crashed attempt — both
+              // complete by the rename discipline) is skipped.
+              if (!dfs.exists(dp)) {
+                val tmp = new Path(dp.getParent,
+                  s".${dp.getName}.${java.util.UUID.randomUUID()}.tmp")
+                dfs.mkdirs(dp.getParent)
+                org.apache.hadoop.fs.FileUtil.copy(
+                  sp.getFileSystem(c), sp, dfs, tmp,
+                  false /* keep source */, true /* overwrite */, c)
+                if (!dfs.rename(tmp, dp)) { dfs.delete(tmp, false); () }
+              }
             }
           }
       }
@@ -1545,19 +1562,42 @@ object CowTable {
         // left is the column map's
         minReader = snap.columnMap.map(minReaderFor))
       if (!TxLog.tryCommit(spark, dstPath, c)) {
-        // lost the create race AFTER the copy: reclaim OUR copied
-        // bytes (only the paths we wrote — a rival winner's files
-        // live under its own op dirs) instead of silently leaking a
-        // table-sized orphan set
-        val f = TxLog.fs(spark, dstPath)
-        pairs.foreach { case (_, dst) =>
-          try { f.delete(new Path(dst), false); () }
-          catch { case _: java.io.IOException => () }
-        }
+        // lost the create race AFTER the copy: reclaim our copied
+        // bytes instead of silently leaking a table-sized orphan set —
+        // but NEVER a path the winning commit's manifest references.
+        // A rival deepClone of the same source writes IDENTICAL paths
+        // (relOf preserves source layout), so a blind delete here
+        // would destroy the committed winner's data files and leave
+        // its manifest dangling (ADVICE r15 medium). Non-clone rivals'
+        // files live under their own op dirs and never collide, so
+        // their orphans still reclaim in full.
+        reclaimLostCopies(spark, dstPath, dstRoot, pairs.map(_._2))
         sys.error(s"concurrent create at $dstPath (copied files " +
-          "reclaimed)")
+          "reclaimed where the winner doesn't reference them)")
       }
     } finally { dropCloneLease(spark, srcPath, dstPath); () }
+  }
+
+  /** The lost-create-race reclaim of [[deepClone]]: delete the copied
+    * destination files EXCEPT any the winning commit's manifest
+    * references (resolved to on-disk locations — a shallow-clone
+    * winner's external refs can never collide with our `dstRoot`
+    * copies; a deep-clone winner's relative paths resolve to exactly
+    * the paths we wrote). If the winner's snapshot can't be read,
+    * reclaim NOTHING — leaking vacuum-able orphans is recoverable,
+    * deleting a winner's data files is not.
+    */
+  private[tables] def reclaimLostCopies(spark: SparkSession,
+      dstPath: String, dstRoot: String, copied: Seq[String]): Unit = {
+    val winner: Set[String] =
+      try TxLog.snapshot(spark, dstPath).files
+        .map(a => fileUri(dstRoot, a.path)).toSet
+      catch { case scala.util.control.NonFatal(_) => return }
+    val f = TxLog.fs(spark, dstPath)
+    copied.filterNot(winner.contains).foreach { dst =>
+      try { f.delete(new Path(dst), false); () }
+      catch { case _: java.io.IOException => () }
+    }
   }
 
   /** A registered clone: where it lives, which source version its

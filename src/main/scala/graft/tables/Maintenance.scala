@@ -100,9 +100,12 @@ object Maintenance {
             r.getString(2)))
           .toSeq
         (counts.getLong(0), counts.getLong(1), triples)
-      } catch { case scala.util.control.NonFatal(_) =>
+      } catch { case scala.util.control.NonFatal(e)
+          if ManifestPlan.sidecarDegrade(e) =>
         // a sidecar vacuumed mid-scan: degrade to the commit fold —
-        // the same contract as every other ManifestPlan consumer
+        // the same NARROW, logged contract as every other ManifestPlan
+        // consumer (non-sidecar failures rethrow)
+        ManifestPlan.logDegrade(path, snap.version, e)
         driverInput(TxLog.snapshotPlanned(spark, path,
           Some(snap.version), useCheckpoint = false).meta.files)
       }
@@ -139,7 +142,9 @@ object Maintenance {
           ManifestPlan.filesDf(spark, path, psnap)
             .filter(ManifestPlan.mayOverlap(ph, hr.lo, hr.hi))
             .agg(coalesce(sum("rows"), lit(0L))).collect()(0).getLong(0)
-        } catch { case scala.util.control.NonFatal(_) =>
+        } catch { case scala.util.control.NonFatal(e)
+            if ManifestPlan.sidecarDegrade(e) =>
+          ManifestPlan.logDegrade(path, snap.version, e)
           driverRows(TxLog.snapshotPlanned(spark, path,
             Some(snap.version), useCheckpoint = false).meta.files)
         }

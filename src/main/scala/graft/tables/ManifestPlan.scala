@@ -31,9 +31,47 @@ import org.apache.spark.sql.graft.ColumnBridge
   *
   * Degrade contract: a torn/vacuumed sidecar falls back to the full
   * commit fold evaluated LOCALLY with the same Column predicate — the
-  * commits are the truth, the sidecar is an optimization.
+  * commits are the truth, the sidecar is an optimization. The degrade
+  * is NARROW (round 16, ADVICE r15): only sidecar-I/O-class failures
+  * ([[sidecarDegrade]] — missing path, torn parquet) fall back, and
+  * every degrade logs a warning with the table and cause; a genuine
+  * execution or analysis failure RETHROWS — silently re-materializing
+  * a 10⁷-entry manifest on the driver is the exact ceiling this class
+  * removes, and masking a twin-drift bug as a 300× slowdown would be
+  * worse than failing.
   */
 object ManifestPlan {
+
+  private val log = org.slf4j.LoggerFactory.getLogger(
+    "graft.tables.ManifestPlan")
+
+  /** Is this failure a torn/vacuumed/corrupt SIDECAR (degrade to the
+    * commit fold) rather than a genuine execution failure (rethrow)?
+    * Classifies by the cause chain: missing files and I/O errors are
+    * sidecar-class (the sidecar is the only input the planned frame
+    * reads), parquet decode failures are a torn sidecar, everything
+    * else — analysis errors, a predicate that raises, executor
+    * failures with non-I/O causes — propagates.
+    */
+  private[tables] def sidecarDegrade(t: Throwable): Boolean =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(12).exists {
+      case _: java.io.FileNotFoundException => true
+      case _: java.io.IOException => true
+      case e => e.getClass.getName.startsWith("org.apache.parquet.") ||
+        Option(e.getMessage).exists(m =>
+          m.contains("PATH_NOT_FOUND") ||
+            m.contains("is not a Parquet file") ||
+            m.contains("Could not read footer"))
+    }
+
+  /** One warning per degrade — the table, checkpoint version and cause
+    * an operator greps for when a plan that took 4 ms starts taking
+    * 1.2 s (the silent-slowdown hazard of an unlogged fallback).
+    */
+  private[tables] def logDegrade(table: String, version: Long,
+      e: Throwable): Unit =
+    log.warn(s"manifest sidecar unreadable for $table (checkpoint " +
+      s"version $version) — degrading to the full commit fold: $e")
 
   /** The live manifest at `p` as a DataFrame (path, rows, stats).
     * Sidecar-backed: one parquet scan minus the tail's removes
@@ -53,7 +91,9 @@ object ManifestPlan {
         val base =
           try spark.read.schema(TxLog.FilesParquetSchema)
             .parquet(TxLog.sidecarLocation(table, ref))
-          catch { case scala.util.control.NonFatal(_) =>
+          catch { case scala.util.control.NonFatal(e)
+              if sidecarDegrade(e) =>
+            logDegrade(table, p.meta.version, e)
             return localDf(spark, TxLog.snapshotPlanned(spark, table,
               Some(p.meta.version), useCheckpoint = false).meta.files)
           }
@@ -88,15 +128,78 @@ object ManifestPlan {
     */
   def collectSurvivors(spark: SparkSession, table: String,
       p: PlannedSnapshot, pred: Column): Seq[AddFile] =
+    collectSurvivorsWith(spark, table, p)(_.filter(pred))
+
+  /** [[collectSurvivors]] for a POINT-SET test on `key`: the
+    * literal-array [[matchesAny]] below [[MatchesAnyLiteralCap]]
+    * values; above it the values ship ONCE as a broadcast frame and
+    * the test runs as a broadcast LEFT SEMI join against the stats
+    * ranges (ADVICE r15) — a wide point set (e.g. a BM25 delete
+    * batch's full distinct vocabulary) embedded as a Column literal
+    * would inflate the serialized plan shipped with every task and
+    * pay an O(values) `exists` per manifest entry.
+    */
+  def collectSurvivorsAnyOf(spark: SparkSession, table: String,
+      p: PlannedSnapshot, key: String,
+      values: Seq[String]): Seq[AddFile] =
+    if (values.size <= MatchesAnyLiteralCap)
+      collectSurvivors(spark, table, p, matchesAny(key, values))
+    else collectSurvivorsWith(spark, table, p)(
+      anyOfJoin(spark, key, values))
+
+  private[tables] val MatchesAnyLiteralCap = 1024
+
+  /** The broadcast-join twin of [[matchesAny]] (same per-kind parse
+    * and conservative rules, value-by-value): keep the manifest
+    * entries where SOME value may land in the file's range.
+    */
+  private[tables] def anyOfJoin(spark: SparkSession, key: String,
+      values: Seq[String])(fdf: DataFrame): DataFrame = {
+    import spark.implicits._
+    // parse ON THE DRIVER with the same scala parses the literal form
+    // uses — a SQL try_cast could drift (e.g. ANSI-mode differences)
+    val vals = broadcast(values.map(v => (v,
+      scala.util.Try(v.toLong).toOption,
+      scala.util.Try(v.toDouble).toOption.filterNot(_.isNaN)))
+      .toDF("v_str", "v_long", "v_dbl"))
+    val hasNaN = values
+      .exists(v => scala.util.Try(v.toDouble).toOption.exists(_.isNaN))
+    val s = fdf("stats").getItem(key)
+    val kind = s.getField("kind")
+    val mnD = s.getField("min").cast("double")
+    val mxD = s.getField("max").cast("double")
+    // value-independent survival: no stat, opaque kind, NaN bounds or
+    // a NaN in the set — ANY values row satisfies it, so the semi
+    // join keeps the file (values is non-empty above the cap)
+    val always = s.isNull ||
+      (kind === "double" && (isnan(mnD) || isnan(mxD) || lit(hasNaN))) ||
+      !kind.isin("long", "double", "string")
+    val perValue =
+      (kind === "long" && vals("v_long").isNotNull &&
+        vals("v_long") >= s.getField("min").cast("long") &&
+        vals("v_long") <= s.getField("max").cast("long")) ||
+        (kind === "double" && vals("v_dbl").isNotNull &&
+          vals("v_dbl") >= mnD && vals("v_dbl") <= mxD) ||
+        (kind === "string" && vals("v_str") >= s.getField("min") &&
+          vals("v_str") <= s.getField("max"))
+    fdf.join(vals, always || perValue, "left_semi")
+  }
+
+  private def collectSurvivorsWith(spark: SparkSession, table: String,
+      p: PlannedSnapshot)(
+      build: DataFrame => DataFrame): Seq[AddFile] =
     try
-      filesDf(spark, table, p).filter(pred).collect()
+      build(filesDf(spark, table, p)).collect()
         .map(TxLog.rowToAddFile).toSeq
-    catch { case scala.util.control.NonFatal(_) if p.isDistributed =>
+    catch { case scala.util.control.NonFatal(e)
+        if p.isDistributed && sidecarDegrade(e) =>
       // torn/vacuumed sidecar → full commit fold, SAME predicate
-      // evaluated over a local frame (no second pruning semantics)
-      localDf(spark, TxLog.snapshotPlanned(spark, table,
-          Some(p.meta.version), useCheckpoint = false).meta.files)
-        .filter(pred).collect().map(TxLog.rowToAddFile).toSeq
+      // evaluated over a local frame (no second pruning semantics);
+      // non-sidecar failures rethrow — see the object doc
+      logDegrade(table, p.meta.version, e)
+      build(localDf(spark, TxLog.snapshotPlanned(spark, table,
+          Some(p.meta.version), useCheckpoint = false).meta.files))
+        .collect().map(TxLog.rowToAddFile).toSeq
     }
 
   /** Live-entry count of `p` (merge metrics) without materializing the
@@ -107,7 +210,9 @@ object ManifestPlan {
     if (!p.isDistributed) p.meta.files.size.toLong
     else
       try filesDf(spark, table, p).count()
-      catch { case scala.util.control.NonFatal(_) =>
+      catch { case scala.util.control.NonFatal(e)
+          if sidecarDegrade(e) =>
+        logDegrade(table, p.meta.version, e)
         TxLog.snapshotPlanned(spark, table, Some(p.meta.version),
           useCheckpoint = false).meta.files.size.toLong
       }
@@ -123,13 +228,27 @@ object ManifestPlan {
   /** Column twin of [[TxLog.ColStats.mayOverlap]] with STRING-encoded
     * bounds (the merge key-bounds encoding): could the file's range on
     * `key` intersect `[lo, hi]`? Bounds that don't parse as the file's
-    * kind answer TRUE (conservative — the driver callers guarantee
-    * type-consistent bounds, so this branch never prunes wrongly).
+    * kind FAIL LOUDLY on the first row of that kind (`raise_error`) —
+    * exactly when the driver twin throws `NumberFormatException` — so
+    * mis-typed caller bounds (`optimizeWhere(longCol, "5.5", "9.5")`)
+    * surface on sidecar-backed tables instead of silently selecting
+    * and rewriting broadly (ADVICE r15). Files of OTHER kinds never
+    * evaluate the raising branch, matching the driver's per-file
+    * dispatch.
     */
   def mayOverlap(key: String, lo: String, hi: String): Column = {
     val s = st(key)
     s.isNull || overlapEncoded(s, lo, hi)
   }
+
+  /** Loud twin of the driver's `NumberFormatException` for bounds that
+    * don't parse as the encountered file's kind.
+    */
+  private def badBounds(kindName: String, lo: String,
+      hi: String): Column =
+    raise_error(lit(s"zone-map bounds [$lo, $hi] do not parse as the " +
+      s"file's stats kind '$kindName' — mis-typed caller bounds " +
+      "(the driver path throws NumberFormatException here)"))
 
   private def overlapEncoded(s: Column, lo: String, hi: String): Column = {
     val kind = s.getField("kind")
@@ -137,7 +256,7 @@ object ManifestPlan {
       .map { case (l, h) =>
         s.getField("min").cast("long") <= lit(h) &&
           lit(l) <= s.getField("max").cast("long")
-      }.getOrElse(lit(true))
+      }.getOrElse(badBounds("long", lo, hi))
     val dblC = scala.util.Try((lo.toDouble, hi.toDouble)).toOption
       .map { case (l, h) =>
         if (l.isNaN || h.isNaN) lit(true)
@@ -146,7 +265,7 @@ object ManifestPlan {
           val mx = s.getField("max").cast("double")
           isnan(mn) || isnan(mx) || (mn <= lit(h) && lit(l) <= mx)
         }
-      }.getOrElse(lit(true))
+      }.getOrElse(badBounds("double", lo, hi))
     // Spark string comparison IS the manifest's UTF-8 byte order
     val strC = s.getField("min") <= lit(hi) && lit(lo) <= s.getField("max")
     when(kind === "long", longC)

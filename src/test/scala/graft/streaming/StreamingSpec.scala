@@ -378,6 +378,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("cluster maintain releases its per-batch snapshot checkpoints " +
+      "deterministically (ADVICE r15 — no GC-paced block growth)") {
+    import graft.dedup.Clusters
+    import org.apache.spark.sql.graft.CheckpointBridge
+    val baseline = spark.sparkContext.getPersistentRDDs.keySet
+    val seed = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    // checkpoint-backed already (the CC loop's final round) — the
+    // first save()'s release(prev) drops it like any other generation
+    var standing = Clusters.connectedComponents(seed, "doc_a", "doc_b")
+    // sanity: a localCheckpoint IS a persistent-RDD entry until released
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- baseline)
+      .nonEmpty)
+    val stream = MemoryStream[(Long, Long)](spark)
+    val q = ClusterMaintain.maintain(
+        stream.toDF().toDF("doc_a", "doc_b"), "doc_a", "doc_b") {
+        () => standing
+      } { folded =>
+        // the caller's own generation discipline: release the previous
+        // standing once the fold replacing it is materialized
+        val prev = standing
+        standing = folded.localCheckpoint(true)
+        CheckpointBridge.release(prev)
+      }
+      .start()
+    try {
+      (1 to 3).foreach { i =>
+        stream.addData(Seq(i * 10L -> (i * 10L + 1L)))
+        q.processAllAvailable()
+      }
+      // after 3 micro-batches exactly ONE checkpoint generation lives:
+      // the current standing. The maintainer's per-batch load()
+      // snapshots released in its finally; prior standings in save.
+      val leaked = spark.sparkContext.getPersistentRDDs.keySet -- baseline
+      assert(leaked.size === 1,
+        s"expected only the live standing checkpoint, found $leaked")
+      assert(standing.count() === 8L) // 4 clusters x 2 nodes, still live
+    } finally q.stop()
+  }
+
   test("ppl router: stateless stream-static routing equals the batch face") {
     import graft.operators.GroupedNtile
     import graft.text.LmScore

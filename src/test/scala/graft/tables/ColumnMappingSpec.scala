@@ -463,6 +463,42 @@ class ColumnMappingSpec extends AnyFunSuite {
     }
   }
 
+  test("deepClone lost-race reclaim never deletes the committed " +
+      "winner's files, only the loser's own orphans (ADVICE r15)") {
+    withTable { t =>
+      val dst = t + "_race"
+      CowTable.create(spark, t, base(100, 2), Seq("k"))
+      // the WINNER: a rival deepClone of the same source, committed.
+      // A loser racing it copied the IDENTICAL destination paths
+      // (relOf preserves the source-relative layout) plus — to model a
+      // rival of a different source version — one path of its own.
+      CowTable.deepClone(spark, t, dst)
+      val winnerFiles = TxLog.snapshot(spark, dst).files.map(_.path)
+      val f = TxLog.fs(spark, dst)
+      val dstRoot = f.makeQualified(new org.apache.hadoop.fs.Path(dst))
+        .toUri.toString.stripSuffix("/")
+      val own = s"$dstRoot/data/loser-only.parquet"
+      TxLog.writeString(f, new org.apache.hadoop.fs.Path(own), "orphan")
+      CowTable.reclaimLostCopies(spark, dst, dstRoot,
+        winnerFiles.map(p => s"$dstRoot/$p") :+ own)
+      // the winner's data files survive — the clone reads whole —
+      // while the loser-only orphan was reclaimed
+      assert(CowTable.read(spark, dst).count() === 100L)
+      assert(!f.exists(new org.apache.hadoop.fs.Path(own)),
+        "the loser's non-colliding orphan must be reclaimed")
+      // and when the winner's snapshot is unreadable, reclaim NOTHING
+      val ghost = s"$dstRoot/data/ghost.parquet"
+      TxLog.writeString(f, new org.apache.hadoop.fs.Path(ghost), "x")
+      CowTable.reclaimLostCopies(spark, dst + "_missing", dstRoot,
+        Seq(ghost))
+      assert(f.exists(new org.apache.hadoop.fs.Path(ghost)),
+        "an unreadable winner snapshot must abort the reclaim " +
+          "(leaking is recoverable, deleting a winner's data is not)")
+      f.delete(new org.apache.hadoop.fs.Path(ghost), false)
+      ()
+    }
+  }
+
   test("deepClone preserves hive partition layout") {
     withTable { t =>
       val deep = t + "_pdeep"

@@ -272,6 +272,102 @@ class ManifestPlanSpec extends AnyFunSuite {
     } }
   }
 
+  test("mis-typed caller bounds fail loudly in BOTH paths (driver " +
+      "NumberFormatException ≡ distributed raise_error), and only on " +
+      "files of the mis-matched kind") {
+    // driver twin: parsing "5.5" as the long kind throws
+    intercept[NumberFormatException] {
+      ColStats("long", "1", "9", None).mayOverlap("5.5", "9.5")
+    }
+    val longFile = AddFile("data/long.parquet", 1,
+      Map("k" -> ColStats("long", "1", "9", None)))
+    val strFile = AddFile("data/str.parquet", 1,
+      Map("k" -> ColStats("string", "a", "z", None)))
+    // distributed twin: a long-kind file under unparseable-as-long
+    // bounds raises at evaluation (not silent lit(true) over-selection)
+    val e = intercept[Exception] {
+      evalAll(Seq(longFile), Seq(ManifestPlan.mayOverlap("k", "5.5", "9.5")))
+    }
+    assert(Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).take(12)
+      .exists(t => Option(t.getMessage)
+        .exists(_.contains("do not parse as the file's stats kind"))),
+      s"expected the mis-typed-bounds raise, got: $e")
+    // ...but a file of ANOTHER kind never evaluates the raising branch
+    // (the driver dispatches per file kind the same way): bounds that
+    // can't parse as long still answer the STRING compare for a
+    // string-kind file ("5.5" < "a" ≤ "zzz" → overlaps)
+    assert(evalAll(Seq(strFile),
+      Seq(ManifestPlan.mayOverlap("k", "5.5", "zzz"))).head ===
+      Set("data/str.parquet"))
+    assert(strFile.stats("k").mayOverlap("5.5", "zzz"))
+  }
+
+  test("large point sets take the broadcast semi-join form and answer " +
+      "exactly what the literal matchesAny answers") {
+    val files = genFiles(150)
+    val rnd2 = new scala.util.Random(77)
+    // well above MatchesAnyLiteralCap, all kinds + junk + NaN mixed
+    val values = (0 until ManifestPlan.MatchesAnyLiteralCap + 100)
+      .map(_ => rnd2.nextInt(5) match {
+        case 0 => (rnd2.nextInt(240) - 120).toString
+        case 1 => ((rnd2.nextInt(240) - 120) / 4.0).toString
+        case 2 => Strings(rnd2.nextInt(Strings.size))
+        case 3 => "junk!" + rnd2.nextInt(10)
+        case 4 => "NaN"
+      })
+    Seq("k", "d", "s", "o").foreach { key =>
+      val literal = evalAll(files,
+        Seq(ManifestPlan.matchesAny(key, values))).head
+      val joined = ManifestPlan.anyOfJoin(spark, key, values)(
+        manifestDf(files)).select("path").collect()
+        .map(_.getString(0)).toSet
+      assert(joined === literal, s"anyOfJoin($key) drifted")
+    }
+    // ...and the narrow-NaN case: a NaN in the set keeps every
+    // double-kind file (value-independent survival through the join)
+    val nanVals = (0 until ManifestPlan.MatchesAnyLiteralCap + 1)
+      .map(_.toString) :+ "NaN"
+    assert(ManifestPlan.anyOfJoin(spark, "d", nanVals)(manifestDf(files))
+      .select("path").collect().map(_.getString(0)).toSet ===
+      evalAll(files, Seq(ManifestPlan.matchesAny("d", nanVals))).head)
+  }
+
+  test("the degrade catch is NARROW: a non-sidecar failure propagates " +
+      "out of collectSurvivors instead of silently re-materializing") {
+    withThreshold(3) {
+      withDir { root =>
+        val t = s"$root/t"
+        CowTable.create(spark, t,
+          spark.range(100).select(col("id").as("k")), Seq("k"))
+        (1 to 20).foreach(i => CowTable.append(spark, t,
+          Seq(100L + i).toDF("k")))
+        val planned = TxLog.snapshotPlanned(spark, t)
+        assert(planned.isDistributed)
+        // a predicate that raises is an EXECUTION failure, not a torn
+        // sidecar: it must rethrow (classified by sidecarDegrade),
+        // never fall back to the driver fold (which would evaluate the
+        // same raising predicate anyway — but the hazard is masking a
+        // genuine failure as an unlogged 300x slowdown)
+        val e = intercept[Exception] {
+          ManifestPlan.collectSurvivors(spark, t, planned,
+            raise_error(lit("genuine execution failure")).isNull)
+        }
+        assert(Iterator.iterate(e: Throwable)(_.getCause)
+          .takeWhile(_ != null).take(12)
+          .exists(t0 => Option(t0.getMessage)
+            .exists(_.contains("genuine execution failure"))))
+        assert(!ManifestPlan.sidecarDegrade(e),
+          "a user-raised execution failure must not classify as a " +
+            "sidecar degrade")
+        // whereas the torn-sidecar case (the sibling spec drives it
+        // end-to-end) classifies as degrade-able
+        assert(ManifestPlan.sidecarDegrade(
+          new java.io.FileNotFoundException("gone.parquet")))
+      }
+    }
+  }
+
   test("a torn/vacuumed sidecar degrades to the commit fold — reads " +
       "and merges keep working") {
     withThreshold(3) {
