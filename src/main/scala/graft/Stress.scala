@@ -2147,7 +2147,8 @@ object Stress {
             val lo = (c * 10000L + j) * 1000L
             AddFile(f"data/op$c%03d/part-$j%05d.parquet", 1000L,
               Map("k" -> ColStats("long", lo.toString,
-                (lo + 999).toString, Some(false))))
+                (lo + 999).toString, Some(false))),
+              bytes = Some(128L * 1024 * 1024))
           }
           v += 1
           require(TxLog.tryCommit(spark, t, Commit(v,
@@ -2182,13 +2183,46 @@ object Stress {
           "(survivors only cross to the driver)")
         1000000L
       }
+      // round 16: FULL-read planning is now a LEAN listing (the
+      // ManifestFileIndex provider) — time it and contrast the DRIVER
+      // HEAP it retains against the decoded-AddFile fold. (The entries
+      // are synthetic — no parquet bytes on disk — so the scan itself
+      // can't run here; the listing IS the planning cost the ceiling
+      // was about, split sizing runs off the manifest's byte lengths.)
+      def usedHeap(): Long = {
+        (1 to 3).foreach(_ => System.gc()); Thread.sleep(100)
+        val rt = Runtime.getRuntime; rt.totalMemory() - rt.freeMemory()
+      }
+      timedWarm("txlog1mlist") {
+        val p = TxLog.snapshotPlanned(spark, t)
+        val rootQ = TxLog.fs(spark, t).makeQualified(
+          new org.apache.hadoop.fs.Path(t)).toUri.toString
+          .stripSuffix("/")
+        val base = usedHeap()
+        val t0 = System.nanoTime()
+        val lean = ManifestPlan.leanListing(spark, t, p, rootQ)
+        val ms = (System.nanoTime() - t0) / 1e6
+        require(lean.size == 1000000, s"lean listing lost: ${lean.size}")
+        require(lean.forall(_._2 == 128L * 1024 * 1024))
+        val held = usedHeap() - base
+        println(f"STRESS txlog 1M lean full-read listing: $ms%.0f ms, " +
+          f"~${held / 1e6}%.0f MB driver heap retained " +
+          "(paths+lengths only — what the FileIndex hands the scheduler)")
+        val n = lean.size.toLong
+        lean.foreach(e => require(e != null)) // keep `lean` live past gc
+        n
+      }
       timedWarm("txlog1mfold") {
+        val base = usedHeap()
         val t0 = System.nanoTime()
         val s = TxLog.snapshot(spark, t)
         require(s.files.size == 1000000, s"fold lost files: ${s.files.size}")
-        println(f"STRESS txlog 1M materialized fold: " +
-          f"${(System.nanoTime() - t0) / 1e6}%.0f ms (maintenance-only path)")
-        1000000L
+        val ms = (System.nanoTime() - t0) / 1e6
+        val held = usedHeap() - base
+        println(f"STRESS txlog 1M materialized fold: $ms%.0f ms, " +
+          f"~${held / 1e6}%.0f MB driver heap retained " +
+          "(decoded AddFiles — now only clone commits pay this)")
+        s.files.length.toLong
       }
       if (rfs.exists(rootP)) { rfs.delete(rootP, true); () }
     }

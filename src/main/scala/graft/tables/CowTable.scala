@@ -187,11 +187,61 @@ object CowTable {
   /** Snapshot read; `asOfVersion` time-travels to a retained version.
     * Schema is pinned from the log, so a read is stable even while a
     * concurrent commit lands.
+    *
+    * Sidecar-backed manifests (round 16) read through a
+    * manifest-backed `FileIndex`
+    * ([[org.apache.spark.sql.graft.ManifestFileIndex]]): the driver
+    * holds one lean (location, bytes) pair per file — what Spark's own
+    * scan planning holds for any file source — instead of the decoded
+    * AddFile manifest (~300 MB at 1M entries), closing the last
+    * full-read driver ceiling. Inline manifests keep the explicit
+    * file-list read (no job launch to plan 50 files).
     */
   def read(spark: SparkSession, path: String,
       asOfVersion: Option[Long] = None): DataFrame = {
-    val snap = TxLog.snapshot(spark, path, asOfVersion)
-    readSnapshot(spark, path, snap)
+    val psnap = TxLog.snapshotPlanned(spark, path, asOfVersion)
+    readFull(spark, path, psnap)
+  }
+
+  /** FULL-scan read of a planned snapshot: explicit file list for
+    * inline manifests, the manifest-backed FileIndex for sidecar ones.
+    */
+  private def readFull(spark: SparkSession, path: String,
+      psnap: TxLog.PlannedSnapshot): DataFrame =
+    if (!psnap.isDistributed) readSnapshot(spark, path, psnap.meta)
+    else readViaIndex(spark, path, psnap)
+
+  /** The FileIndex form of [[readSnapshot]]: one relation over ALL
+    * live files (partition values ride the index — no per-data-root
+    * basePath grouping needed, so clone-external and own entries
+    * coexist), read under the PHYSICAL schema and conformed to logical
+    * names exactly like [[readGrouped]]. The listing provider is lazy
+    * and degrade-protected ([[ManifestPlan.leanListing]]).
+    */
+  private def readViaIndex(spark: SparkSession, path: String,
+      psnap: TxLog.PlannedSnapshot): DataFrame = {
+    val snap = psnap.meta
+    val schema = StructType.fromDDL(snap.schemaDDL)
+    val colMap = snap.columnMap.getOrElse(Map.empty)
+    val physFields = schema.fields.map(physField(_, colMap, ""))
+    val partPhys = snap.partitionCols.getOrElse(Seq.empty).toSet
+    // NULLABLE like the explicit-list path surfaces (spark.read.schema
+    // relaxes file-source schemas) — the two full-read forms must be
+    // schema-identical, spec-pinned
+    def relax(fs: Array[StructField]) = StructType(fs.map(f =>
+      f.copy(dataType = relaxNullability(f.dataType), nullable = true)))
+    val physPart = relax(physFields.filter(f => partPhys.contains(f.name)))
+    val physData = relax(physFields.filterNot(f =>
+      partPhys.contains(f.name)))
+    val rootQ = TxLog.fs(spark, path).makeQualified(new Path(path))
+      .toUri.toString.stripSuffix("/")
+    val idx = new org.apache.spark.sql.graft.ManifestFileIndex(
+      new Path(rootQ), physPart,
+      () => ManifestPlan.leanListing(spark, path, psnap, rootQ))
+    val raw = org.apache.spark.sql.graft.ManifestRelation.frame(spark,
+      idx, physData, physPart)
+    raw.select(conformCols(physFields.toSeq, schema.fields.toSeq,
+      pf => s"`${pf.name.replace("`", "``")}`"): _*)
   }
 
   /** `AS OF TIMESTAMP` snapshot read: resolves the latest version
@@ -323,10 +373,11 @@ object CowTable {
   def addConstraint(spark: SparkSession, path: String, name: String,
       exprSql: String): Unit =
     retrying(s"add constraint $name on $path") {
-      val snap = TxLog.snapshot(spark, path)
+      val psnap = TxLog.snapshotPlanned(spark, path)
+      val snap = psnap.meta
       require(!snap.checkConstraints.contains(name),
         s"constraint '$name' already exists on $path")
-      val viol = readSnapshot(spark, path, snap)
+      val viol = readFull(spark, path, psnap)
         .filter(expr(exprSql) === false).limit(1).collect()
       require(viol.isEmpty,
         s"cannot add constraint '$name' ($exprSql): existing row " +
@@ -1043,14 +1094,18 @@ object CowTable {
   def optimize(spark: SparkSession, path: String,
       layout: DataFrame => DataFrame): Unit =
     retrying(s"optimize $path") {
-      val snap = TxLog.snapshot(spark, path)
-      val out = layout(readSnapshot(spark, path, snap))
+      // planned, not materialized: the rewrite reads through the
+      // FileIndex and the removes are a lean path listing (round 16 —
+      // whole-table maintenance no longer decodes the manifest)
+      val psnap = TxLog.snapshotPlanned(spark, path)
+      val snap = psnap.meta
+      val out = layout(readFull(spark, path, psnap))
         .select(readSchemaCols(snap).map(col): _*)
       val adds = writeFiles(spark, path, out, snap.statsCols,
         snap.partitionCols.getOrElse(Seq.empty),
         colMap = snap.columnMap.getOrElse(Map.empty))
       TxLog.tryCommit(spark, path, Commit(snap.version + 1, "optimize",
-        adds, snap.files.map(_.path), None, None))
+        adds, ManifestPlan.livePaths(spark, path, psnap), None, None))
     }
 
   /** Predicate-scoped OPTIMIZE — the form production actually runs at
@@ -1143,13 +1198,14 @@ object CowTable {
       op: String = "overwrite"): Long = {
     var committed = 0L
     retrying(s"$op $path") {
-      val snap = TxLog.snapshot(spark, path)
+      val psnap = TxLog.snapshotPlanned(spark, path)
+      val snap = psnap.meta
       val out = df.select(readSchemaCols(snap).map(col): _*)
       val adds = writeFiles(spark, path, out, snap.statsCols,
         snap.partitionCols.getOrElse(Seq.empty), snap.checkConstraints,
         snap.columnMap.getOrElse(Map.empty))
       val won = TxLog.tryCommit(spark, path, Commit(snap.version + 1,
-        op, adds, snap.files.map(_.path), None, None))
+        op, adds, ManifestPlan.livePaths(spark, path, psnap), None, None))
       if (won) committed = snap.version + 1
       won
     }
@@ -1164,8 +1220,17 @@ object CowTable {
   private def retentionKeep(spark: SparkSession, path: String,
       latest: Long, retainVersions: Int): Set[String] =
     (math.max(1, latest - retainVersions + 1) to latest)
-      .flatMap(v => TxLog.snapshot(spark, path, Some(v)).files.map(_.path))
+      .flatMap(v => livePathsAt(spark, path, v))
       .toSet
+
+  /** Live relative paths at `v` — the lean per-version listing the
+    * maintenance keep-set folds are made of (round 16: path strings
+    * cross the driver, decoded manifests don't).
+    */
+  private def livePathsAt(spark: SparkSession, path: String,
+      v: Long): Seq[String] =
+    ManifestPlan.livePaths(spark, path,
+      TxLog.snapshotPlanned(spark, path, Some(v)))
 
   /** Delete data files referenced by NO snapshot within the last
     * `retainVersions` versions (older versions become unreadable —
@@ -1211,7 +1276,7 @@ object CowTable {
     val leaseVersions = cloneLeases(spark, path).map(_.srcVersion)
       .distinct.filter(v => v >= 1 && v <= latest)
     val keep = retainKeep ++ leaseVersions
-      .flatMap(v => TxLog.snapshot(spark, path, Some(v)).files.map(_.path))
+      .flatMap(v => livePathsAt(spark, path, v))
     // QUALIFIED root: a cwd-relative table path (every other op
     // qualifies through the FileSystem) would otherwise never prefix
     // the walked absolute paths — rel would keep the full path, match
@@ -1342,20 +1407,28 @@ object CowTable {
     */
   def restore(spark: SparkSession, path: String, version: Long): Unit =
     retrying(s"restore $path to v$version") {
-      val head = TxLog.snapshot(spark, path)
-      val target = TxLog.snapshot(spark, path, Some(version))
-      val headPaths = head.files.map(_.path).toSet
-      val targetPaths = target.files.map(_.path).toSet
+      val pHead = TxLog.snapshotPlanned(spark, path)
+      val pTarget = TxLog.snapshotPlanned(spark, path, Some(version))
+      val (head, target) = (pHead.meta, pTarget.meta)
+      // delta sets: on sidecar-backed manifests two anti-joins collect
+      // only the files the restore actually touches (round 16) — a
+      // restore between nearby versions of a 10⁶-file table is
+      // delta-proportional; inline manifests keep the driver sets
+      val (adds, removes) =
+        if (!pHead.isDistributed && !pTarget.isDistributed) {
+          val headPaths = head.files.map(_.path).toSet
+          val targetPaths = target.files.map(_.path).toSet
+          (target.files.filterNot(a => headPaths.contains(a.path)),
+            head.files.map(_.path).filterNot(targetPaths.contains))
+        } else ManifestPlan.restoreDelta(spark, path, pHead, pTarget)
       val conf = spark.sessionState.newHadoopConf()
-      target.files.filterNot(a => headPaths.contains(a.path)).foreach { a =>
+      adds.foreach { a =>
         // resolve against the ENTRY's filesystem — an external (clone)
         // reference may live on a different FS than the table root
         val p = new Path(fileUri(path, a.path))
         require(p.getFileSystem(conf).exists(p),
           s"cannot restore to v$version: ${a.path} was vacuumed")
       }
-      val removes = head.files.map(_.path).filterNot(targetPaths.contains)
-      val adds = target.files.filterNot(a => headPaths.contains(a.path))
       // Re-added files may predate a constraint: addConstraint only
       // scanned the then-LIVE snapshot, so a file removed before the
       // constraint landed was never validated against it. Validate
@@ -1645,8 +1718,8 @@ object CowTable {
     cloneLeases(spark, srcPath).map { l =>
       val deferred =
         if (l.srcVersion >= 1 && l.srcVersion <= latest)
-          TxLog.snapshot(spark, srcPath, Some(l.srcVersion)).files
-            .map(_.path).count(p => !retainKeep.contains(p)).toLong
+          livePathsAt(spark, srcPath, l.srcVersion)
+            .count(p => !retainKeep.contains(p)).toLong
         else 0L
       (l.id, l.clonePath, l.srcVersion,
         l.createdAtMs.map(t => new java.sql.Timestamp(t)).orNull,
@@ -1711,21 +1784,26 @@ object CowTable {
     */
   def readWithProvenance(spark: SparkSession, path: String,
       asOfVersion: Option[Long] = None): DataFrame = {
-    val snap = TxLog.snapshot(spark, path, asOfVersion)
+    val psnap = TxLog.snapshotPlanned(spark, path, asOfVersion)
     val addedAt = scala.collection.mutable.Map[String, Long]()
     // Keying by file NAME is sound: names are op-unique
     // (`<opId>-part-<task>`), and the one collision partitionBy allows
     // — the same task file name under two partition dirs — is within
     // ONE op, i.e. one commit: both copies map to the same version.
-    (1L to snap.version).foreach { v =>
+    // The per-commit walk is inherent to provenance (each version's
+    // adds live in its commit); the LIVE set is a lean path listing,
+    // and the read itself goes through the FileIndex on sidecar-backed
+    // tables (round 16 — no manifest decode).
+    (1L to psnap.meta.version).foreach { v =>
       TxLog.commitAt(spark, path, v).adds.foreach(a =>
         addedAt.update(a.path.split('/').last, v))
     }
-    val live = snap.files.map(f => f.path.split('/').last).toSet
+    val live = ManifestPlan.livePaths(spark, path, psnap)
+      .map(_.split('/').last).toSet
     import spark.implicits._
     val nameToV = addedAt.toSeq.filter(p => live.contains(p._1))
       .toDF("_gf_name", ProvenanceCol)
-    readSnapshot(spark, path, snap)
+    readFull(spark, path, psnap)
       .withColumn("_gf_name",
         element_at(split(input_file_name(), "/"), -1))
       .join(broadcast(nameToV), "_gf_name")
@@ -2155,7 +2233,10 @@ object CowTable {
         val dst = new Path(path, rel)
         f.mkdirs(dst.getParent)
         require(f.rename(st.getPath, dst), s"failed to publish $dst")
-        out += AddFile(rel, r.getAs[Long]("_rows"), stats)
+        // byte length from the staging listing already in hand — the
+        // manifest carries it so scan planning never stats files
+        out += AddFile(rel, r.getAs[Long]("_rows"), stats,
+          Some(st.getLen))
       } }
     }
     f.delete(stagingRoot, true)

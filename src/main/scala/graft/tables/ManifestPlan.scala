@@ -185,6 +185,108 @@ object ManifestPlan {
     fdf.join(vals, always || perValue, "left_semi")
   }
 
+  /** Lean `(on-disk location, byte length)` listing of the live
+    * manifest at `p` — exactly what a FULL scan's
+    * [[org.apache.spark.sql.graft.ManifestFileIndex]] needs and
+    * nothing more: paths and sizes cross to the driver, the stats maps
+    * never do (the round-16 full-read ceiling close; at 1M entries the
+    * decoded-AddFile fold held ~300 MB of driver heap for a question
+    * the scan planner answers with ~50 B/entry). Entries written
+    * before the manifest carried `bytes` back-fill with ONE
+    * distributed stat pass (driver loop below 64 — no job launch for
+    * a handful of legacy files). Torn-sidecar degrade as everywhere.
+    */
+  def leanListing(spark: SparkSession, table: String, p: PlannedSnapshot,
+      rootQualified: String): Seq[(String, Long)] = {
+    def fromDf(df: DataFrame): Seq[(String, Long)] = {
+      val rows = df.select(col("path"), col("bytes")).collect()
+      val (have, missing) = rows.partition(r => !r.isNullAt(1))
+      val known = have.toSeq.map(r =>
+        (TxLog.fileLocation(rootQualified, r.getString(0)), r.getLong(1)))
+      if (missing.isEmpty) known
+      else known ++ statBytes(spark, missing.toSeq.map(r =>
+        TxLog.fileLocation(rootQualified, r.getString(0))))
+    }
+    try fromDf(filesDf(spark, table, p))
+    catch { case scala.util.control.NonFatal(e)
+        if p.isDistributed && sidecarDegrade(e) =>
+      logDegrade(table, p.meta.version, e)
+      fromDf(localDf(spark, TxLog.snapshotPlanned(spark, table,
+        Some(p.meta.version), useCheckpoint = false).meta.files))
+    }
+  }
+
+  private def statBytes(spark: SparkSession,
+      paths: Seq[String]): Seq[(String, Long)] =
+    if (paths.size <= 64) {
+      val conf = spark.sessionState.newHadoopConf()
+      paths.map { s =>
+        val hp = new org.apache.hadoop.fs.Path(s)
+        (s, hp.getFileSystem(conf).getFileStatus(hp).getLen)
+      }
+    } else {
+      val bc = org.apache.spark.sql.graft.HadoopConfBridge
+        .broadcast(spark.sparkContext, spark.sessionState.newHadoopConf())
+      val slices = math.max(1, math.min(paths.size / 256,
+        spark.sparkContext.defaultParallelism * 2))
+      spark.sparkContext.parallelize(paths, slices).map { s =>
+        val c = org.apache.spark.sql.graft.HadoopConfBridge.value(bc)
+        val hp = new org.apache.hadoop.fs.Path(s)
+        (s, hp.getFileSystem(c).getFileStatus(hp).getLen)
+      }.collect().toSeq
+    }
+
+  /** Live relative PATHS at `p` — the maintenance ops' listing
+    * (vacuum keep-sets, optimize/overwrite removes, provenance's live
+    * names): one string per file crosses the driver, never the decoded
+    * stats (round 16).
+    */
+  def livePaths(spark: SparkSession, table: String,
+      p: PlannedSnapshot): Seq[String] =
+    if (!p.isDistributed) p.meta.files.map(_.path)
+    else
+      try filesDf(spark, table, p).select("path").collect()
+        .map(_.getString(0)).toSeq
+      catch { case scala.util.control.NonFatal(e) if sidecarDegrade(e) =>
+        logDegrade(table, p.meta.version, e)
+        TxLog.snapshotPlanned(spark, table, Some(p.meta.version),
+          useCheckpoint = false).meta.files.map(_.path)
+      }
+
+  /** RESTORE's delta sets, computed as anti-joins between the two
+    * versions' planned manifests: only the files the restore actually
+    * re-adds cross the driver DECODED (they go into the commit), and
+    * only the removed paths cross at all — a restore between two
+    * nearby versions of a 10⁶-file table is delta-proportional, not
+    * 2×manifest-proportional. Degrades whole to the materialized fold.
+    */
+  def restoreDelta(spark: SparkSession, table: String,
+      pHead: PlannedSnapshot,
+      pTarget: PlannedSnapshot): (Seq[AddFile], Seq[String]) =
+    try {
+      val headDf = filesDf(spark, table, pHead)
+      val targetDf = filesDf(spark, table, pTarget)
+      val adds = targetDf
+        .join(headDf.select("path"), Seq("path"), "left_anti")
+        .collect().map(TxLog.rowToAddFile).toSeq
+      val removes = headDf.select("path")
+        .join(targetDf.select("path"), Seq("path"), "left_anti")
+        .collect().map(_.getString(0)).toSeq
+      (adds, removes)
+    } catch { case scala.util.control.NonFatal(e)
+        if sidecarDegrade(e) =>
+      logDegrade(table, pHead.meta.version, e)
+      def fold(p: PlannedSnapshot): Seq[AddFile] =
+        if (!p.isDistributed) p.meta.files
+        else TxLog.snapshotPlanned(spark, table, Some(p.meta.version),
+          useCheckpoint = false).meta.files
+      val (h, t) = (fold(pHead), fold(pTarget))
+      val headPaths = h.map(_.path).toSet
+      val targetPaths = t.map(_.path).toSet
+      (t.filterNot(a => headPaths.contains(a.path)),
+        h.map(_.path).filterNot(targetPaths.contains))
+    }
+
   private def collectSurvivorsWith(spark: SparkSession, table: String,
       p: PlannedSnapshot)(
       build: DataFrame => DataFrame): Seq[AddFile] =

@@ -71,9 +71,15 @@ object TxLog {
     * (`stats`) cover the table's declared stats columns; min/max are
     * encoded as strings with a kind tag so the manifest stays
     * schema-stable JSON (compared after decoding, [[ColStats.contains]]).
+    * `bytes` is the on-disk file LENGTH (round 16 — what Spark's scan
+    * planning sizes splits from): recorded at write time so a
+    * manifest-backed `FileIndex` can hand the scheduler real lengths
+    * without an O(files) stat storm; None in pre-upgrade manifests
+    * (additive JSON evolution — [[graft.ManifestFileIndex]] back-fills
+    * those with ONE distributed stat pass).
     */
   final case class AddFile(path: String, rows: Long,
-      stats: Map[String, ColStats])
+      stats: Map[String, ColStats], bytes: Option[Long] = None)
 
   final case class ColStats(kind: String, min: String, max: String,
       nulls: Option[Boolean] = None) {
@@ -612,30 +618,33 @@ object TxLog {
     }))
   }
 
-  private[tables] val FilesParquetSchema =
+  private[graft] val FilesParquetSchema =
     org.apache.spark.sql.types.StructType.fromDDL(
       "path STRING, rows BIGINT, " +
         "stats MAP<STRING, STRUCT<kind: STRING, min: STRING, max: STRING, " +
-        "nulls: BOOLEAN>>")
+        "nulls: BOOLEAN>>, bytes BIGINT")
 
-  private[tables] def manifestRows(
+  private[graft] def manifestRows(
       files: Seq[AddFile]): Seq[org.apache.spark.sql.Row] =
     files.map(a => org.apache.spark.sql.Row(a.path, a.rows,
       a.stats.map { case (c, s) =>
         c -> org.apache.spark.sql.Row(s.kind, s.min, s.max, s.nulls.orNull)
-      }))
+      }, a.bytes.map(Long.box).orNull))
 
-  /** Decode one (path, rows, stats) manifest row — the inverse of
-    * [[manifestRows]], shared by the sidecar reader and
-    * [[graft.tables.ManifestPlan]]'s survivor collection.
+  /** Decode one (path, rows, stats, bytes) manifest row — the inverse
+    * of [[manifestRows]], shared by the sidecar reader and
+    * [[graft.tables.ManifestPlan]]'s survivor collection. `bytes` is
+    * null for entries written before round 16 (parquet fills the
+    * missing column).
     */
-  private[tables] def rowToAddFile(r: org.apache.spark.sql.Row): AddFile = {
+  private[graft] def rowToAddFile(r: org.apache.spark.sql.Row): AddFile = {
     val stats = r.getMap[String, org.apache.spark.sql.Row](2)
     AddFile(r.getString(0), r.getLong(1),
       stats.map { case (c, s) =>
         c -> ColStats(s.getString(0), s.getString(1), s.getString(2),
           if (s.isNullAt(3)) None else Some(s.getBoolean(3)))
-      }.toMap)
+      }.toMap,
+      if (r.isNullAt(3)) None else Some(r.getLong(3)))
   }
 
   /** On-disk location of a checkpoint's parquet sidecar. */
@@ -759,7 +768,29 @@ object TxLog {
     */
   def describeDetail(spark: SparkSession, table: String): DataFrame = {
     import spark.implicits._
-    val s = snapshot(spark, table)
+    val p = snapshotPlanned(spark, table)
+    val s = p.meta
+    // file/row totals aggregate over the planned frame on sidecar-
+    // backed tables (round 16) — a one-row answer never decodes the
+    // manifest onto the driver
+    val (numFiles, numRows) =
+      if (!p.isDistributed) (s.files.size.toLong, s.files.map(_.rows).sum)
+      else try {
+        val r = ManifestPlan.filesDf(spark, table, p)
+          .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)),
+            org.apache.spark.sql.functions.coalesce(
+              org.apache.spark.sql.functions.sum("rows"),
+              org.apache.spark.sql.functions.lit(0L)))
+          .collect()(0)
+        (r.getLong(0), r.getLong(1))
+      } catch { case scala.util.control.NonFatal(e)
+          if ManifestPlan.sidecarDegrade(e) =>
+        ManifestPlan.logDegrade(table, s.version, e)
+        val files = snapshotPlanned(spark, table, Some(s.version),
+          useCheckpoint = false).meta.files
+        (files.size.toLong, files.map(_.rows).sum)
+      }
     // stats/partition columns are stored PHYSICAL; surface the logical
     // names a user knows (reverse column map; an unmapped physical —
     // e.g. a dropped stats column's — shows as itself)
@@ -768,7 +799,7 @@ object TxLog {
     val rev = s.columnMap.getOrElse(Map.empty)
       .filterNot(_._1.contains(".")).map(_.swap)
     def logicalOf(ph: String) = rev.getOrElse(ph, ph)
-    Seq((s.version, s.files.size.toLong, s.files.map(_.rows).sum,
+    Seq((s.version, numFiles, numRows,
       s.statsCols.map(logicalOf).mkString(","),
       s.partitionCols.getOrElse(Seq.empty).map(logicalOf).mkString(","),
       s.checkConstraints.keys.toSeq.sorted.mkString(",")))

@@ -1,0 +1,182 @@
+package graft.tables
+
+import graft.SparkTestSession
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The manifest-backed FileIndex (round 16 — the last full-read
+  * driver ceiling): sidecar-backed FULL scans plan from lean
+  * (location, bytes, partition values) entries instead of the decoded
+  * AddFile manifest. Pins:
+  *
+  *   1. a sidecar-backed full read ≡ its inline twin — rows AND
+  *      schema — including a PARTITIONED + RENAMED table (partition
+  *      values ride the index, the column map conforms);
+  *   2. the scan actually plans through [[ManifestFileIndex]] and
+  *      partition filters prune FILES before any footer opens;
+  *   3. pre-upgrade manifest entries (no `bytes`) back-fill via the
+  *      stat pass — reads keep working on legacy logs;
+  *   4. shallow-clone EXTERNAL references resolve through the index
+  *      (entries under a foreign data root, one relation).
+  */
+class FileIndexSpec extends AnyFunSuite {
+
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def withDir(f: String => Unit): Unit = {
+    val d = java.nio.file.Files.createTempDirectory("graft_fidx_").toFile
+    try f(d.getAbsolutePath) finally rmrf(d)
+  }
+  private def rmrf(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(rmrf)
+    f.delete(); ()
+  }
+  private def withThreshold[A](n: Int)(f: => A): A = {
+    sys.props("graft.txlog.parquetCheckpointThreshold") = n.toString
+    try f finally {
+      sys.props.remove("graft.txlog.parquetCheckpointThreshold"); ()
+    }
+  }
+
+  /** A partitioned, renamed, sidecar-eligible table: 21+ commits so a
+    * checkpoint lands under the spec threshold.
+    */
+  private def build(t: String): Unit = {
+    CowTable.create(spark, t,
+      spark.range(400).select(col("id").as("k"),
+        (col("id") % 4).as("b"),
+        concat(lit("s"), col("id")).as("v"))
+        .repartitionByRange(4, col("k")),
+      Seq("k"), partitionBy = Seq("b"))
+    CowTable.renameColumn(spark, t, "v", "val")
+    (1 to 20).foreach { i =>
+      CowTable.append(spark, t,
+        Seq((400L + i, i.toLong % 4, s"w$i")).toDF("k", "b", "val"))
+    }
+  }
+
+  test("sidecar full read plans through ManifestFileIndex and equals " +
+      "the inline twin — rows, schema, partitioned + renamed") {
+    withDir { a => withDir { b =>
+      val (distT, inlT) = (s"$a/t", s"$b/t")
+      withThreshold(3) { build(distT) }
+      withThreshold(1000000) { build(inlT) }
+      assert(TxLog.snapshotPlanned(spark, distT).isDistributed)
+      assert(!TxLog.snapshotPlanned(spark, inlT).isDistributed)
+      val dist = CowTable.read(spark, distT)
+      val inl = CowTable.read(spark, inlT)
+      // the scan is OUR index, not an InMemoryFileIndex re-listing
+      val scan = dist.queryExecution.executedPlan.collectLeaves()
+        .collectFirst { case f: FileSourceScanExec => f }
+        .getOrElse(fail("no FileSourceScanExec in the sidecar read"))
+      assert(scan.relation.location
+        .isInstanceOf[org.apache.spark.sql.graft.ManifestFileIndex])
+      assert(dist.schema === inl.schema,
+        "FileIndex read must surface the exact pinned schema")
+      assert(dist.orderBy("k").collect().toSeq ===
+        inl.orderBy("k").collect().toSeq)
+      // time travel below the rename still reads the OLD name (the
+      // index path conforms through the folded DDL + map like any read)
+      assert(CowTable.read(spark, distT, Some(1L)).columns.toSeq ===
+        Seq("k", "b", "v"))
+    } }
+  }
+
+  test("partition filters prune files through the index before any " +
+      "footer opens") {
+    withDir { root =>
+      val t = s"$root/t"
+      withThreshold(3) { build(t) }
+      val df = CowTable.read(spark, t).filter(col("b") === 2L)
+      df.collect()
+      val scan = df.queryExecution.executedPlan.collectLeaves()
+        .collectFirst { case f: FileSourceScanExec => f }.get
+      val total = ManifestPlan.livePaths(spark, t,
+        TxLog.snapshotPlanned(spark, t)).size.toLong
+      val scanned = scan.metrics("numFiles").value
+      assert(scanned < total,
+        s"partition filter must prune the listing ($scanned vs $total)")
+      assert(df.count() === 105L) // 100 base (id%4==2) + appends 2,6,..
+    }
+  }
+
+  test("pre-upgrade manifests (no bytes) back-fill via the stat pass; " +
+      "reads keep working on legacy logs") {
+    withThreshold(3) {
+      withDir { root =>
+        val t = s"$root/t"
+        CowTable.create(spark, t,
+          spark.range(200).select(col("id").as("k"))
+            .repartitionByRange(4, col("k")), Seq("k"))
+        (1 to 19).foreach(i => CowTable.append(spark, t,
+          Seq(200L + i).toDF("k")))
+        // simulate a PRE-UPGRADE log: strip `bytes` from every commit
+        // and drop the checkpoints, then land a fresh checkpoint from
+        // the stripped fold (its sidecar then carries null bytes)
+        val f = TxLog.fs(spark, t)
+        val logDir = new org.apache.hadoop.fs.Path(t, TxLog.LogDir)
+        f.listStatus(logDir).foreach { st =>
+          val n = st.getPath.getName
+          if (n.endsWith(".checkpoint.json") ||
+              n.endsWith(".checkpoint.files.parquet"))
+            f.delete(st.getPath, true)
+          else if (n.matches("\\d{20}\\.json")) {
+            val doc = TxLog.readString(f, st.getPath)
+              .replaceAll(""","bytes":\d+""", "")
+            TxLog.writeString(f, st.getPath, doc)
+          }
+        }
+        CowTable.append(spark, t, Seq(999L).toDF("k")) // v21 → checkpoint v20? no: next interval lands at 40
+        // force a checkpoint at the CURRENT version by appending to
+        // the interval boundary
+        val latest = TxLog.latestVersion(spark, t)
+        val toInterval = (TxLog.CheckpointInterval -
+          (latest % TxLog.CheckpointInterval)) % TxLog.CheckpointInterval
+        (1L to toInterval).foreach(i => CowTable.append(spark, t,
+          Seq(1000L + i).toDF("k")))
+        val planned = TxLog.snapshotPlanned(spark, t)
+        assert(planned.isDistributed)
+        // most entries carry NO bytes — the lean listing stat-passes
+        // them and the full read still answers exactly
+        val rootQ = TxLog.fs(spark, t).makeQualified(
+          new org.apache.hadoop.fs.Path(t)).toUri.toString
+          .stripSuffix("/")
+        val lean = ManifestPlan.leanListing(spark, t, planned, rootQ)
+        assert(lean.forall(_._2 > 0L), "every entry gets a real length")
+        assert(CowTable.read(spark, t).count() ===
+          200L + 19L + 1L + toInterval)
+      }
+    }
+  }
+
+  test("shallow-clone external references read through the index " +
+      "(foreign data roots in one relation)") {
+    withThreshold(3) {
+      withDir { root =>
+        val src = s"$root/src"
+        val dst = s"$root/clone"
+        CowTable.create(spark, src,
+          spark.range(300).select(col("id").as("k"),
+            (col("id") % 4).as("b"))
+            .repartitionByRange(3, col("k")),
+          Seq("k"), partitionBy = Seq("b"))
+        CowTable.shallowClone(spark, src, dst)
+        // push the CLONE's log past a checkpoint so ITS manifest goes
+        // sidecar — external refs and own appends in one listing
+        (1 to 20).foreach(i => CowTable.append(spark, dst,
+          Seq((300L + i, i.toLong % 4)).toDF("k", "b")))
+        assert(TxLog.snapshotPlanned(spark, dst).isDistributed)
+        assert(CowTable.read(spark, dst).count() === 320L)
+        // partition values parse against the SOURCE's data root for
+        // external entries; pruning holds
+        assert(CowTable.read(spark, dst).filter(col("b") === 1L)
+          .count() === 80L)
+        assert(CowTable.read(spark, dst).agg(sum("k")).head().getLong(0)
+          === (0L until 300L).sum + (301L to 320L).sum)
+      }
+    }
+  }
+}

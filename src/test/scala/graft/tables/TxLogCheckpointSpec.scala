@@ -76,9 +76,15 @@ class TxLogCheckpointSpec extends AnyFunSuite {
         spark.range(100).select(col("id").as("k"), (col("id") % 3).as("v"))
           .repartitionByRange(4, col("k")), Seq("k"))
       val df = TxLog.filesAsDf(spark, t)
-      assert(df.columns.toSeq === Seq("path", "rows", "stats"))
+      assert(df.columns.toSeq === Seq("path", "rows", "stats", "bytes"))
       assert(df.count() === 4L)
       assert(df.agg(sum("rows")).head().getLong(0) === 100L)
+      // byte lengths recorded at write time (round 16) match the disk
+      val want = TxLog.snapshot(spark, t).files
+        .map(f => new org.apache.hadoop.fs.Path(s"$t/${f.path}"))
+        .map(p => TxLog.fs(spark, t).getFileStatus(p).getLen).sorted
+      assert(df.select("bytes").collect().map(_.getLong(0)).sorted
+        .toSeq === want)
       // the zone maps are queryable map columns
       val bounds = df.select(col("stats")("k")("min").cast("long"))
         .collect().map(_.getLong(0)).sorted
