@@ -438,6 +438,113 @@ object TableQueries {
       |  SELECT 'feed4', 'cust,price', o_orderkey, cust, price FROM s7)
       |ORDER BY src, o_orderkey""".stripMargin
 
+  /** NESTED schema evolution round trip ([[CowTable.addColumn]] /
+    * [[CowTable.dropColumn]] with dotted paths — round 16): a
+    * struct-internal field is ADDED (old files read typed nulls),
+    * written, DROPPED (files keep bytes; head never projects it), and
+    * the dropped name RE-ADDED (fresh physical binding — the oracle
+    * pins that pre-drop values never resurrect). Sources stacked:
+    * head (final shape — re-added `amount` null everywhere except the
+    * post-re-add band), v4 time travel (pre-drop shape with the REAL
+    * amounts and the added bonus), v2 time travel (the original
+    * shape), and the pinned-feed conformance of the pre-add commit v2
+    * under the HEAD schema (`catchup` — bonus conforms to null, the
+    * re-added amount reads null, never the old bytes).
+    */
+  def tableEvolveNested(spark: SparkSession, dir: String): DataFrame = {
+    val t = scratch(dir, "evolvenested")
+    reset(spark, t)
+    val base = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        struct(col("o_custkey").as("cust"),
+          col("o_totalprice").as("amount")).as("meta"))
+    CowTable.create(spark, t,
+      base.repartitionByRange(8, col("o_orderkey")), Seq("o_orderkey")) // v1
+    CowTable.append(spark, t, base.filter(col("o_orderkey") % 5 === 0)
+      .select((col("o_orderkey") + 1000000000L).as("o_orderkey"),
+        col("meta")))                                                   // v2
+    CowTable.addColumn(spark, t, "meta.bonus", "BIGINT")                // v3
+    CowTable.append(spark, t, base.filter(col("o_orderkey") % 7 === 0)
+      .select((col("o_orderkey") + 2000000000L).as("o_orderkey"),
+        struct(col("meta.cust").as("cust"),
+          col("meta.amount").as("amount"),
+          (col("meta.cust") % 10L).as("bonus")).as("meta")))            // v4
+    CowTable.dropColumn(spark, t, "meta.amount")                        // v5
+    CowTable.addColumn(spark, t, "meta.amount", "DOUBLE")               // v6
+    CowTable.append(spark, t, base.filter(col("o_orderkey") % 11 === 0)
+      .select((col("o_orderkey") + 3000000000L).as("o_orderkey"),
+        struct(col("meta.cust").as("cust"),
+          (col("meta.cust") % 10L).as("bonus"),
+          (col("meta.amount") + 0.25d).as("amount")).as("meta")))       // v7
+    def stamped(df: DataFrame, src: String): DataFrame = {
+      val fs = df.schema("meta").dataType
+        .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames
+      def opt(n: String, t0: String) =
+        (if (fs.contains(n)) col("meta").getField(n)
+        else lit(null)).cast(t0).as(n)
+      df.select(lit(src).as("src"),
+        lit(fs.mkString(",")).as("fields"),
+        col("o_orderkey"),
+        col("meta").getField("cust").as("cust"),
+        opt("amount", "double"), opt("bonus", "bigint"))
+    }
+    val headSnap = graft.tables.TxLog.snapshotPlanned(spark, t).meta
+    val catchup = CowTable.changesAtPinned(spark, t, 2L,
+      org.apache.spark.sql.types.StructType
+        .fromDDL(headSnap.schemaDDL).toDDL,
+      headSnap.columnMap.getOrElse(Map.empty))
+    stamped(CowTable.read(spark, t), "head")
+      .unionByName(stamped(CowTable.read(spark, t, Some(4L)), "v4"))
+      .unionByName(stamped(CowTable.read(spark, t, Some(2L)), "v2"))
+      .unionByName(stamped(catchup, "catchup"))
+      .orderBy("src", "o_orderkey")
+  }
+
+  val tableEvolveNestedSql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_custkey AS cust, o_totalprice AS amount
+      |  FROM orders),
+      |s5 AS (
+      |  SELECT o_orderkey + 1000000000 AS o_orderkey, cust, amount
+      |  FROM base WHERE o_orderkey % 5 = 0),
+      |s7 AS (
+      |  SELECT o_orderkey + 2000000000 AS o_orderkey, cust, amount,
+      |         cust % 10 AS bonus
+      |  FROM base WHERE o_orderkey % 7 = 0),
+      |s11 AS (
+      |  SELECT o_orderkey + 3000000000 AS o_orderkey, cust,
+      |         cust % 10 AS bonus, amount + 0.25 AS amount
+      |  FROM base WHERE o_orderkey % 11 = 0)
+      |SELECT * FROM (
+      |  SELECT 'head' AS src, 'cust,bonus,amount' AS fields,
+      |         o_orderkey, cust, CAST(NULL AS DOUBLE) AS amount,
+      |         CAST(NULL AS BIGINT) AS bonus
+      |  FROM (SELECT o_orderkey, cust FROM base
+      |        UNION ALL SELECT o_orderkey, cust FROM s5)
+      |  UNION ALL
+      |  SELECT 'head', 'cust,bonus,amount', o_orderkey, cust,
+      |         CAST(NULL AS DOUBLE), bonus FROM s7
+      |  UNION ALL
+      |  SELECT 'head', 'cust,bonus,amount', o_orderkey, cust,
+      |         amount, bonus FROM s11
+      |  UNION ALL
+      |  SELECT 'v4', 'cust,amount,bonus', o_orderkey, cust, amount,
+      |         CAST(NULL AS BIGINT)
+      |  FROM (SELECT o_orderkey, cust, amount FROM base
+      |        UNION ALL SELECT o_orderkey, cust, amount FROM s5)
+      |  UNION ALL
+      |  SELECT 'v4', 'cust,amount,bonus', o_orderkey, cust, amount,
+      |         bonus FROM s7
+      |  UNION ALL
+      |  SELECT 'v2', 'cust,amount', o_orderkey, cust, amount,
+      |         CAST(NULL AS BIGINT)
+      |  FROM (SELECT o_orderkey, cust, amount FROM base
+      |        UNION ALL SELECT o_orderkey, cust, amount FROM s5)
+      |  UNION ALL
+      |  SELECT 'catchup', 'cust,bonus,amount', o_orderkey, cust,
+      |         CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT) FROM s5)
+      |ORDER BY src, o_orderkey""".stripMargin
+
   /** The transactional corpus-ingest loop, end to end: a standing
     * document corpus held in a CowTable, a new batch screened against
     * it with the PROVEN incremental-dedup verdicts (exact + LSH-banded
@@ -1516,6 +1623,7 @@ object TableQueries {
     "table_evolve" -> (tableEvolve(_, _)),
     "table_rename" -> (tableRename(_, _)),
     "table_rename_nested" -> (tableRenameNested(_, _)),
+    "table_evolve_nested" -> (tableEvolveNested(_, _)),
     "table_aggmerge" -> (tableAggmerge(_, _)),
     "table_scd2" -> (tableScd2(_, _)),
     "table_partitioned" -> (tablePartitioned(_, _)),
@@ -1551,6 +1659,7 @@ object TableQueries {
     "table_evolve" -> tableEvolveSql,
     "table_rename" -> tableRenameSql,
     "table_rename_nested" -> tableRenameNestedSql,
+    "table_evolve_nested" -> tableEvolveNestedSql,
     "table_aggmerge" -> Relational.qAggUpsertSql,
     "table_scd2" -> DiffQueries.scd2ApplySql,
     "table_partitioned" -> tablePartitionedSql,

@@ -325,32 +325,13 @@ class TableChangeSource(sqlContext: SQLContext, path: String,
       def changesOf(v: Long): DataFrame =
         CowTable.changesAtPinned(spark, path, v, pinnedDataDDL,
           pinnedMap, where.map(expr))
-      // CDC sidecars store the LOGICAL names in force at commit time:
-      // conform to the pinned schema through the physical identity
-      // (pinned logical ↔ v-logical iff same physical name). NESTED
-      // renames conform through the positional struct cast (review
-      // r15): a sidecar written under struct<cust,amount> must surface
-      // as the pinned struct<cust,price>, or a catch-up spanning the
-      // rename unions incompatible struct types and wedges the stream
-      // permanently. Positional is sound for the same reason as the
-      // read path: renames never change shape or types (the retype
-      // guard), and the cast target is nullability-relaxed.
-      def cdcConform(changed: DataFrame, vSnap: graft.tables.TxLog.Snapshot)
-          : Seq[Column] = {
-        val byPhys = StructType.fromDDL(vSnap.schemaDDL).fieldNames
-          .map(n => vSnap.physName(n) -> n).toMap
-        dataFields.toSeq.map { f =>
-          byPhys.get(pinnedMap.getOrElse(f.name, f.name)) match {
-            case Some(vName) if changed.columns.contains(vName) =>
-              val c = col(s"`${vName.replace("`", "``")}`")
-              val vType = changed.schema(vName).dataType
-              (if (vType == f.dataType) c
-              else c.cast(CowTable.relaxNullability(f.dataType)))
-                .as(f.name)
-            case _ => lit(null).cast(f.dataType).as(f.name)
-          }
-        }
-      }
+      // CDC sidecars conform to the pinned schema in CowTable
+      // (changesCdcAtPinned): round-16+ sidecars carry PHYSICAL names
+      // and read name-clipped under the pinned physical schema — exact
+      // across renames AND nested add/drop shape changes; legacy
+      // sidecars (commit-time logical names) conform through the
+      // top-level physical identity with the positional nested cast
+      // (review r15), exact across renames.
       val rows: Option[DataFrame] =
         if (!cdc) {
           Some(changesOf(v)
@@ -362,9 +343,8 @@ class TableChangeSource(sqlContext: SQLContext, path: String,
           // (or silently mis-evaluate) across a rename
           val vSnap = vSnapForGuard.getOrElse(
             TxLog.snapshotPlanned(spark, path, Some(v)).meta)
-          val changed0 = CowTable.changesCdcAt(spark, path, v, Some(vSnap))
-          val conformed = changed0.select(
-            cdcConform(changed0, vSnap) :+ col(ct): _*)
+          val conformed = CowTable.changesCdcAtPinned(spark, path, v,
+            pinnedDataDDL, pinnedMap, vSnap)
           Some(where.fold(conformed) { w =>
             val hit = coalesce(expr(w), lit(false))
             if (whereKeys.isEmpty) conformed.filter(expr(w))

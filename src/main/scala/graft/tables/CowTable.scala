@@ -528,26 +528,135 @@ object CowTable {
     * rule as the evolution path. Rejected when the column already
     * exists or the type DDL doesn't parse.
     */
+  /** `name` may be a DOTTED PATH into struct columns
+    * (`"meta.bonus"` — array/map wrappers transparent, round 16): the
+    * field joins its parent struct as a trailing nullable member,
+    * existing files read it as typed nulls (parquet fills missing
+    * NESTED fields by name exactly like missing top-level columns),
+    * and no file moves. No-resurrect holds per PARENT SCOPE: a nested
+    * re-add whose physical binding is claimed inside that struct
+    * (a previously dropped sibling's retired name, or a renamed
+    * sibling's physical) binds FRESH, so old bytes inside the struct
+    * can never surface under the new field. Nested-bound tables stamp
+    * protocol 4 via the dotted map entry.
+    */
   def addColumn(spark: SparkSession, path: String, name: String,
       typeDDL: String): Unit =
     retrying(s"add column $name on $path") {
       val snap = TxLog.snapshotPlanned(spark, path).meta
       val cur = StructType.fromDDL(snap.schemaDDL)
-      require(!cur.fieldNames.contains(name),
-        s"column '$name' already exists in $path")
       val dt = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
         .parseDataType(typeDDL)
-      val ns = StructType(cur.fields :+
-        StructField(name, dt, nullable = true))
-      val mapStamp =
-        if (!claimedPhys(snap).contains(name)) None
-        else Some(snap.columnMap.getOrElse(Map.empty) +
-          (name -> freshPhys(name, snap)))
-      TxLog.tryCommit(spark, path, Commit(snap.version + 1, "add_column",
-        Seq.empty, Seq.empty, Some(ns.toDDL), None,
-        columnMap = mapStamp,
-        minReader = mapStamp.map(_ => 3)))
+      if (!name.contains(".")) {
+        require(!cur.fieldNames.contains(name),
+          s"column '$name' already exists in $path")
+        val ns = StructType(cur.fields :+
+          StructField(name, dt, nullable = true))
+        val mapStamp =
+          if (!claimedPhys(snap).contains(name)) None
+          else Some(snap.columnMap.getOrElse(Map.empty) +
+            (name -> freshPhys(name, snap)))
+        TxLog.tryCommit(spark, path, Commit(snap.version + 1, "add_column",
+          Seq.empty, Seq.empty, Some(ns.toDDL), None,
+          columnMap = mapStamp,
+          minReader = mapStamp.map(_ => 3)))
+      } else {
+        val segs = name.split('.').toList
+        val leaf = segs.last
+        val ns = rebuildAt(cur, segs.init, name, path) { st =>
+          require(!st.fieldNames.contains(leaf),
+            s"field '$name' already exists in $path")
+          StructType(st.fields :+ StructField(leaf, dt, nullable = true))
+        }
+        // fresh binding iff the leaf's default physical name is
+        // claimed INSIDE the parent struct (live sibling bindings or
+        // names retired under the parent's physical path); an
+        // identity-bound nested add stamps NO protocol bump — every
+        // reader fills the missing nested field by parquet name
+        // clipping, exactly like a top-level add
+        val prevMap = snap.columnMap.getOrElse(Map.empty)
+        val claimed = claimedPhysAt(snap, cur, segs.init)
+        val mapStamp =
+          if (!claimed.contains(leaf)) prevMap
+          else {
+            var cand = s"${leaf}_r${snap.version + 1}"
+            var i = 0
+            while (claimed.contains(cand)) {
+              i += 1; cand = s"${leaf}_r${snap.version + 1}_$i"
+            }
+            prevMap + (name -> cand)
+          }
+        val changed = mapStamp != prevMap
+        TxLog.tryCommit(spark, path, Commit(snap.version + 1, "add_column",
+          Seq.empty, Seq.empty, Some(ns.toDDL), None,
+          columnMap = if (changed) Some(mapStamp) else None,
+          minReader = if (changed) Some(minReaderFor(mapStamp)) else None))
+      }
     }
+
+  /** Rebuild the schema with `edit` applied to the struct at
+    * `parentSegs` (array/map wrappers transparent) — the shared
+    * traversal of the nested DDL ops.
+    */
+  private def rebuildAt(cur: StructType, parentSegs: List[String],
+      fullPath: String, path: String)(
+      edit: StructType => StructType): StructType = {
+    def walk(dt: DataType, rest: List[String]): DataType = (dt, rest) match {
+      case (st: StructType, Nil) => edit(st)
+      case (st: StructType, head :: tail) =>
+        require(st.fieldNames.contains(head),
+          s"no field path '$fullPath' in $path")
+        StructType(st.fields.map(f =>
+          if (f.name == head) f.copy(dataType = walk(f.dataType, tail))
+          else f))
+      case (ArrayType(et, n), _) => ArrayType(walk(et, rest), n)
+      case (MapType(kt, vt, n), _) => MapType(kt, walk(vt, rest), n)
+      case _ => sys.error(
+        s"path '$fullPath' does not traverse struct fields in $path")
+    }
+    walk(cur, parentSegs).asInstanceOf[StructType]
+  }
+
+  /** Physical path of a LOGICAL dotted path: each prefix translated
+    * through the column map (physical names are rename-stable, so
+    * retired-name scoping keyed on this survives later renames).
+    */
+  private def physPathOf(snap: Snapshot, logicalSegs: List[String]): String =
+    logicalSegs.inits.toList.reverse.drop(1)
+      .map(p => snap.columnMap.getOrElse(Map.empty)
+        .getOrElse(p.mkString("."), p.last))
+      .mkString(".")
+
+  /** Physical names CLAIMED inside the struct at `parentSegs`: the
+    * live fields' bindings plus names retired under the parent's
+    * PHYSICAL path — the nested scope of [[claimedPhys]].
+    */
+  private def claimedPhysAt(snap: Snapshot, cur: StructType,
+      parentSegs: List[String]): Set[String] = {
+    def structAt(dt: DataType, rest: List[String]): StructType =
+      (dt, rest) match {
+        case (st: StructType, Nil) => st
+        case (st: StructType, head :: tail) =>
+          structAt(st(head).dataType, tail)
+        case (ArrayType(et, _), _) => structAt(et, rest)
+        case (MapType(_, vt, _), _) => structAt(vt, rest)
+        case _ => sys.error(s"not a struct path: $parentSegs")
+      }
+    val parent = structAt(cur, parentSegs)
+    val prefix = parentSegs.mkString(".")
+    val m = snap.columnMap.getOrElse(Map.empty)
+    val live = parent.fieldNames.map { n =>
+      val lp = if (prefix.isEmpty) n else s"$prefix.$n"
+      m.getOrElse(lp, n)
+    }.toSet
+    val physPrefix = physPathOf(snap, parentSegs)
+    val retired = snap.retiredPhys.getOrElse(Seq.empty)
+      .filter(_.startsWith(physPrefix + "."))
+      .map(_.stripPrefix(physPrefix + "."))
+      .filterNot(_.contains("."))
+      .toSet
+    live ++ retired
+  }
 
   /** DROP COLUMN as a METADATA commit: the column leaves the schema
     * DDL and its physical name RETIRES ([[TxLog.Snapshot.retiredPhys]])
@@ -561,32 +670,71 @@ object CowTable {
     * value lives in the directory layout); constraints referencing the
     * column are rejected loudly, like [[renameColumn]].
     */
+  /** `name` may be a DOTTED PATH (round 16): the struct-internal field
+    * leaves the schema, its physical name retires SCOPED under the
+    * parent's physical path (rename-stable), and a later re-add of the
+    * same field name inside that struct binds fresh — the top-level
+    * no-resurrect contract, per scope. The parent struct must keep at
+    * least one field (drop the whole column instead).
+    */
   def dropColumn(spark: SparkSession, path: String, name: String): Unit =
     retrying(s"drop column $name on $path") {
       val snap = TxLog.snapshotPlanned(spark, path).meta
       val cur = StructType.fromDDL(snap.schemaDDL)
-      require(cur.fieldNames.contains(name), s"no column '$name' in $path")
-      require(cur.fields.length > 1,
-        s"cannot drop the only column of $path")
-      val ph = snap.physName(name)
-      require(!snap.partitionCols.getOrElse(Seq.empty).contains(ph),
-        s"cannot drop partition column '$name' (its values live in " +
-          "the directory layout)")
-      val ns = StructType(cur.fields.filterNot(_.name == name))
-      requireConstraintsResolve(spark, snap.checkConstraints, ns,
-        s"dropping '$name'")
-      // descendant nested-field entries keyed through the dropped
-      // column leave the map with it (their paths no longer exist)
-      val prunedMap = snap.columnMap.getOrElse(Map.empty)
-        .filterNot { case (k, _) =>
+      if (!name.contains(".")) {
+        require(cur.fieldNames.contains(name), s"no column '$name' in $path")
+        require(cur.fields.length > 1,
+          s"cannot drop the only column of $path")
+        val ph = snap.physName(name)
+        require(!snap.partitionCols.getOrElse(Seq.empty).contains(ph),
+          s"cannot drop partition column '$name' (its values live in " +
+            "the directory layout)")
+        val ns = StructType(cur.fields.filterNot(_.name == name))
+        requireConstraintsResolve(spark, snap.checkConstraints, ns,
+          s"dropping '$name'")
+        // descendant nested-field entries keyed through the dropped
+        // column leave the map with it (their paths no longer exist)
+        val prunedMap = snap.columnMap.getOrElse(Map.empty)
+          .filterNot { case (k, _) =>
+            k == name || k.startsWith(name + ".") }
+        TxLog.tryCommit(spark, path, Commit(snap.version + 1, "drop_column",
+          Seq.empty, Seq.empty, Some(ns.toDDL),
+          Some(snap.statsCols.filterNot(_ == ph)),
+          columnMap = Some(prunedMap),
+          retiredPhys = Some(
+            (snap.retiredPhys.getOrElse(Seq.empty) :+ ph).distinct),
+          minReader = Some(math.max(3, minReaderFor(prunedMap)))))
+      } else {
+        val segs = name.split('.').toList
+        val leaf = segs.last
+        val ns = rebuildAt(cur, segs.init, name, path) { st =>
+          require(st.fieldNames.contains(leaf),
+            s"no field path '$name' in $path")
+          require(st.fields.length > 1,
+            s"cannot drop the only field of the struct at " +
+              s"'${segs.init.mkString(".")}' — drop the column instead")
+          StructType(st.fields.filterNot(_.name == leaf))
+        }
+        requireConstraintsResolve(spark, snap.checkConstraints, ns,
+          s"dropping '$name'")
+        val prevMap = snap.columnMap.getOrElse(Map.empty)
+        val ph = prevMap.getOrElse(name, leaf)
+        val prunedMap = prevMap.filterNot { case (k, _) =>
           k == name || k.startsWith(name + ".") }
-      TxLog.tryCommit(spark, path, Commit(snap.version + 1, "drop_column",
-        Seq.empty, Seq.empty, Some(ns.toDDL),
-        Some(snap.statsCols.filterNot(_ == ph)),
-        columnMap = Some(prunedMap),
-        retiredPhys = Some(
-          (snap.retiredPhys.getOrElse(Seq.empty) :+ ph).distinct),
-        minReader = Some(math.max(3, minReaderFor(prunedMap)))))
+        val retiredKey = s"${physPathOf(snap, segs.init)}.$ph"
+        TxLog.tryCommit(spark, path, Commit(snap.version + 1,
+          "drop_column", Seq.empty, Seq.empty, Some(ns.toDDL), None,
+          columnMap = Some(prunedMap),
+          retiredPhys = Some(
+            (snap.retiredPhys.getOrElse(Seq.empty) :+ retiredKey)
+              .distinct),
+          // the scoped retire entry itself needs a protocol-4 fold
+          // (a v3 reader would mis-scope it as a weird top-level name
+          // — harmless for reads, but its re-add freshness would
+          // drift); nested shape changes conform by parquet
+          // name-clipping either way
+          minReader = Some(4)))
+      }
     }
 
   /** Every CHECK constraint must still ANALYZE against `schema` — a
@@ -863,8 +1011,7 @@ object CowTable {
               .unionByName(tagged(matched.filter(delHit), oldCols,
                 "delete"))
               .unionByName(tagged(inserts, allCols.map(col(_)), "insert"))
-            val rel = s"_cdc/${java.util.UUID.randomUUID()}"
-            changes.write.parquet(s"$path/$rel")
+            val rel = writeCdcDir(spark, path, changes, mergeMap)
             matched.unpersist(blocking = false)
             Some(rel)
           }
@@ -1024,11 +1171,8 @@ object CowTable {
         val touchedDf = readFiles(spark, path, snap, touched)
         val out = transform(touchedDf)
           .select(readSchemaCols(snap).map(col): _*)
-        val cdcDir = cdcRows.map { build =>
-          val rel = s"_cdc/${java.util.UUID.randomUUID()}"
-          build(touchedDf).write.parquet(s"$path/$rel")
-          rel
-        }
+        val cdcDir = cdcRows.map(build => writeCdcDir(spark, path,
+          build(touchedDf), snap.columnMap.getOrElse(Map.empty)))
         val adds = writeFiles(spark, path, out, snap.statsCols,
           snap.partitionCols.getOrElse(Seq.empty),
           snap.checkConstraints, snap.columnMap.getOrElse(Map.empty))
@@ -1875,9 +2019,121 @@ object CowTable {
     // a CDC catch-up otherwise pays the O(v) driver fold twice per
     // commit (once here, once for its own conformance)
     val snap = snapAtV.getOrElse(TxLog.snapshotPlanned(spark, path, Some(v)).meta)
-    val schema = StructType(StructType.fromDDL(snap.schemaDDL)
-      .fields :+ StructField(ChangeTypeCol, StringType, nullable = false))
-    spark.read.schema(schema).parquet(s"$path/$dir")
+    val logical = StructType.fromDDL(snap.schemaDDL)
+    val colMap = snap.columnMap.getOrElse(Map.empty)
+    val physFields = logical.fields.map(physField(_, colMap, ""))
+    def quoted(c0: String) = s"`${c0.replace("`", "``")}`"
+    if (!legacyCdcSidecar(spark, s"$path/$dir", logical,
+        StructType(physFields)))
+      // physical-named sidecar (round 16+, or an identity map where
+      // the two namings coincide): read physical, surface logical
+      spark.read.schema(StructType(physFields :+
+          StructField(ChangeTypeCol, StringType, nullable = false)))
+        .parquet(s"$path/$dir")
+        .select(conformCols(physFields.toSeq, logical.fields.toSeq,
+          pf => quoted(pf.name)) :+ col(ChangeTypeCol): _*)
+    else
+      // legacy sidecar: commit-time LOGICAL names on disk
+      spark.read.schema(StructType(logical.fields :+
+          StructField(ChangeTypeCol, StringType, nullable = false)))
+        .parquet(s"$path/$dir")
+  }
+
+  /** Is the CDC sidecar at `loc` a PRE-round-16 one (commit-time
+    * LOGICAL column names on disk)? New sidecars write PHYSICAL names
+    * — uniform with data files, which is what lets a pinned feed read
+    * them across renames AND shape changes (nested add/drop) by
+    * parquet name-clipping. Identity maps need no sniff (the namings
+    * coincide); otherwise one footer read of the sidecar decides by
+    * the recursive field-name tree.
+    */
+  private def legacyCdcSidecar(spark: SparkSession, loc: String,
+      logical: StructType, phys: StructType): Boolean = {
+    if (nameTree(phys) == nameTree(logical)) return false
+    val onDisk = StructType(spark.read.parquet(loc).schema.fields
+      .filterNot(_.name == ChangeTypeCol))
+    nameTree(onDisk) != nameTree(phys)
+  }
+
+  /** The recursive FIELD-NAME tree of a type (types ignored — parquet
+    * inference may differ in nullability): the sidecar-format sniff's
+    * comparison key.
+    */
+  private def nameTree(dt: DataType): Any = dt match {
+    case st: StructType =>
+      st.fields.map(f => f.name -> nameTree(f.dataType)).toSeq
+    case ArrayType(et, _) => ("[]", nameTree(et))
+    case MapType(_, vt, _) => ("{}", nameTree(vt))
+    case _ => "."
+  }
+
+  /** Commit `v`'s CDC rows conformed to a PINNED (dataDDL, map) — the
+    * change feed's exactly-once face. Because new sidecars carry
+    * PHYSICAL names (time-invariant), reading them under the PINNED
+    * physical schema fills fields the commit predates with nulls and
+    * ignores fields the pin predates — so a catch-up spanning nested
+    * renames AND nested add/drop conforms by parquet name-clipping,
+    * never by a shape-sensitive cast. Legacy sidecars (pre-upgrade,
+    * written under a non-identity map's logical names) conform via
+    * the top-level physical-identity projection with the positional
+    * nested cast — exact across renames; a shape change across a
+    * LEGACY sidecar fails loudly at analysis, as before.
+    */
+  private[graft] def changesCdcAtPinned(spark: SparkSession, path: String,
+      v: Long, pinnedDataDDL: String, pinnedMap: Map[String, String],
+      vSnap: Snapshot): DataFrame = {
+    val c = TxLog.commitAt(spark, path, v)
+    val dir = c.cdcDir.getOrElse(sys.error(
+      s"commit $v of $path carries no CDC (merge ran without cdc=true)"))
+    val pinned = StructType.fromDDL(pinnedDataDDL)
+    val pinnedPhys = pinned.fields.map(physField(_, pinnedMap, ""))
+    val vLogical = StructType.fromDDL(vSnap.schemaDDL)
+    val vPhys = vLogical.fields.map(
+      physField(_, vSnap.columnMap.getOrElse(Map.empty), ""))
+    def quoted(c0: String) = s"`${c0.replace("`", "``")}`"
+    val ct = StructField(ChangeTypeCol, StringType, nullable = false)
+    if (!legacyCdcSidecar(spark, s"$path/$dir", vLogical,
+        StructType(vPhys)))
+      spark.read.schema(StructType(pinnedPhys :+ ct))
+        .parquet(s"$path/$dir")
+        .select(conformCols(pinnedPhys.toSeq, pinned.fields.toSeq,
+          pf => quoted(pf.name)) :+ col(ChangeTypeCol): _*)
+    else {
+      val changed0 = spark.read
+        .schema(StructType(vLogical.fields :+ ct))
+        .parquet(s"$path/$dir")
+      val byPhys = vLogical.fieldNames
+        .map(n => vSnap.physName(n) -> n).toMap
+      val cols = pinned.fields.toSeq.map { f =>
+        byPhys.get(pinnedMap.getOrElse(f.name, f.name)) match {
+          case Some(vName) if changed0.columns.contains(vName) =>
+            val c0 = col(quoted(vName))
+            val vType = changed0.schema(vName).dataType
+            (if (vType == f.dataType) c0
+            else c0.cast(relaxNullability(f.dataType))).as(f.name)
+          case _ => lit(null).cast(f.dataType).as(f.name)
+        }
+      }
+      changed0.select(cols :+ col(ChangeTypeCol): _*)
+    }
+  }
+
+  /** Write a tagged change frame (LOGICAL names + [[ChangeTypeCol]])
+    * as a `_cdc/` sidecar under PHYSICAL names — the same naming as
+    * data files, for the same reason: physical names are
+    * rename-stable, so every later conformance is a name-clipped read.
+    */
+  private def writeCdcDir(spark: SparkSession, path: String,
+      changes: DataFrame, colMap: Map[String, String]): String = {
+    val rel = s"_cdc/${java.util.UUID.randomUUID()}"
+    val dataFields = changes.schema.fields
+      .filterNot(_.name == ChangeTypeCol).toSeq
+    val physFields = dataFields.map(physField(_, colMap, ""))
+    def quoted(c0: String) = s"`${c0.replace("`", "``")}`"
+    changes.select(conformCols(dataFields, physFields,
+      lf => quoted(lf.name)) :+ col(ChangeTypeCol): _*)
+      .write.parquet(s"$path/$rel")
+    rel
   }
 
   // ---------------------------------------------------------------- //

@@ -422,6 +422,103 @@ class TableChangeFeedSpec extends AnyFunSuite {
     }
   }
 
+  test("CDC catch-up across nested ADD and DROP conforms by parquet " +
+      "name-clipping: pre-add commits surface nulls, dropped fields " +
+      "vanish, no shape wedge (round 16)") {
+    withDir { dir =>
+      val t = dir.getAbsolutePath + "/cdcshape"
+      def m(cust: Long, amount: Double) =
+        struct(lit(cust).as("cust"), lit(amount).as("amount"))
+      CowTable.create(spark, t, spark.range(1)
+        .select(lit(1L).as("k"), m(10L, 1.5).as("meta")), Seq("k")) // v1
+      CowTable.merge(spark, t, spark.range(1)
+        .select(lit(1L).as("k"), m(10L, 2.5).as("meta")), Seq("k"),
+        cdc = true)                                                  // v2
+      CowTable.addColumn(spark, t, "meta.bonus", "BIGINT")           // v3
+      CowTable.merge(spark, t, spark.range(1)
+        .select(lit(2L).as("k"), struct(lit(20L).as("cust"),
+          lit(9.0d).as("amount"), lit(77L).as("bonus")).as("meta")),
+        Seq("k"), cdc = true)                                        // v4
+      CowTable.dropColumn(spark, t, "meta.amount")                   // v5
+      CowTable.merge(spark, t, spark.range(1)
+        .select(lit(3L).as("k"), struct(lit(30L).as("cust"),
+          lit(88L).as("bonus")).as("meta")), Seq("k"), cdc = true)   // v6
+      // a replica bootstrapping from v1 spans BOTH shape changes: the
+      // head-pinned schema is struct<cust, bonus>
+      val buf = scala.collection.mutable.ArrayBuffer[
+        (Long, Long, Option[Long], String, Long)]()
+      val q = TableChangeFeed.readCdc(spark, t)
+        .writeStream
+        .option("checkpointLocation", dir.getAbsolutePath + "/cks")
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          buf.synchronized {
+            buf ++= b.select(col("k"), col("meta.cust"),
+              col("meta.bonus"), col(CowTable.ChangeTypeCol),
+              col(TableChangeFeed.VersionCol)).collect()
+              .map(r => (r.getLong(0), r.getLong(1),
+                if (r.isNullAt(2)) None else Some(r.getLong(2)),
+                r.getString(3), r.getLong(4)))
+          }
+          ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+      // pre-add sidecar rows: bonus conforms as null; dropped amount
+      // never surfaces (the pinned shape has no such field)
+      assert(buf.contains((1L, 10L, None, "update_preimage", 2L)),
+        buf.toSeq)
+      assert(buf.contains((1L, 10L, None, "update_postimage", 2L)))
+      assert(buf.contains((2L, 20L, Some(77L), "insert", 4L)))
+      assert(buf.contains((3L, 30L, Some(88L), "insert", 6L)))
+    }
+  }
+
+  test("legacy CDC sidecars (commit-time LOGICAL names on disk) still " +
+      "conform exactly across a rename — the format sniff") {
+    withDir { dir =>
+      val t = dir.getAbsolutePath + "/cdclegacy"
+      CowTable.create(spark, t,
+        Seq((1L, 10L, 1.5)).toDF("k", "cust", "amount"), Seq("k")) // v1
+      CowTable.renameColumn(spark, t, "amount", "price")           // v2
+      CowTable.merge(spark, t,
+        Seq((1L, 10L, 2.5)).toDF("k", "cust", "price"), Seq("k"),
+        cdc = true)                                                 // v3
+      // simulate a PRE-round-16 sidecar: rewrite it under the
+      // commit-time LOGICAL names (the old writer's format) — the new
+      // format carries the PHYSICAL name `amount`
+      val cdcDir = TxLog.commitAt(spark, t, 3L).cdcDir.get
+      val loc = s"$t/$cdcDir"
+      val raw = spark.read.parquet(loc).collect()
+      val legacy = spark.createDataFrame(
+        spark.sparkContext.parallelize(raw.toSeq, 1),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "k BIGINT, cust BIGINT, price DOUBLE, _change_type STRING"))
+      legacy.write.mode("overwrite").parquet(loc)
+      assert(spark.read.parquet(loc).columns.contains("price"))
+      // changesCdcAt sniffs the format and surfaces logical names
+      val got = CowTable.changesCdcAt(spark, t, 3L)
+        .select("k", "price", CowTable.ChangeTypeCol).collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+      assert(got === Set((1L, 1.5, "update_preimage"),
+        (1L, 2.5, "update_postimage")))
+      // and the pinned feed conforms the legacy sidecar too
+      val buf = scala.collection.mutable.ArrayBuffer[(Long, Double)]()
+      val q = TableChangeFeed.readCdc(spark, t)
+        .writeStream
+        .option("checkpointLocation", dir.getAbsolutePath + "/ckl")
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          buf.synchronized {
+            buf ++= b.filter(col(CowTable.ChangeTypeCol) ===
+              "update_postimage")
+              .select(col("k"), col("price")).collect()
+              .map(r => (r.getLong(0), r.getDouble(1)))
+          }
+          ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+      assert(buf.toSet === Set((1L, 2.5)))
+    }
+  }
+
   test("scoped-replica property: random merges crossing the predicate " +
       "both ways, replica ≡ source.filter(where) after every drain") {
     withDir { dir =>

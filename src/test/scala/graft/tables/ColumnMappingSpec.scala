@@ -3,6 +3,7 @@ package graft.tables
 import graft.SparkTestSession
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Column mapping (protocol 3): RENAME/DROP COLUMN as metadata
@@ -460,6 +461,98 @@ class ColumnMappingSpec extends AnyFunSuite {
         Seq((7L, 999L, "upd")).toDF("k", "val", "s"), Seq("k"))
       assert(CowTable.read(spark, deep).filter(col("k") === 7L)
         .select("val").collect()(0).getLong(0) === 999L)
+    }
+  }
+
+  test("nested ADD: metadata-only, old files read typed nulls, new " +
+      "writes carry values, time travel below keeps the old shape") {
+    withTable { t =>
+      CowTable.create(spark, t,
+        spark.range(50).select(col("id").as("k"),
+          struct(col("id").as("a"), (col("id") * 2).as("b")).as("m")),
+        Seq("k"))                                              // v1
+      val filesBefore = TxLog.snapshot(spark, t).files.map(_.path).toSet
+      CowTable.addColumn(spark, t, "m.c", "BIGINT")            // v2
+      assert(TxLog.snapshot(spark, t).files.map(_.path).toSet ===
+        filesBefore, "nested add must move no files")
+      // identity binding: no map entry, no protocol bump
+      assert(TxLog.snapshot(spark, t).columnMap.isEmpty)
+      // old files surface the new field as typed nulls
+      val head = CowTable.read(spark, t)
+      assert(head.schema("m").dataType.asInstanceOf[
+        org.apache.spark.sql.types.StructType].fieldNames.toSeq ===
+        Seq("a", "b", "c"))
+      assert(head.filter(col("m.c").isNotNull).count() === 0L)
+      // new writes carry values; one homogeneous column both epochs
+      CowTable.append(spark, t, spark.range(50, 60)
+        .select(col("id").as("k"),
+          struct(col("id").as("a"), (col("id") * 2).as("b"),
+            lit(7L).as("c")).as("m")))                         // v3
+      assert(CowTable.read(spark, t).filter(col("m.c") === 7L)
+        .count() === 10L)
+      // time travel below the add: the old shape
+      assert(CowTable.read(spark, t, Some(1L)).schema("m").dataType
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+        .fieldNames.toSeq === Seq("a", "b"))
+    }
+  }
+
+  test("nested DROP + re-add: fresh physical binding per parent scope " +
+      "— old values never resurrect, even across a parent rename") {
+    withTable { t =>
+      CowTable.create(spark, t,
+        spark.range(40).select(col("id").as("k"),
+          struct(col("id").as("a"), (col("id") + 100L).as("b")).as("m")),
+        Seq("k"))                                              // v1
+      CowTable.dropColumn(spark, t, "m.b")                     // v2
+      val s2 = TxLog.snapshot(spark, t)
+      assert(StructType.fromDDL(s2.schemaDDL)("m").dataType
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+        .fieldNames.toSeq === Seq("a"))
+      assert(s2.retiredPhys.getOrElse(Seq.empty).contains("m.b"),
+        "the dropped field retires scoped under the parent's physical")
+      // time travel below the drop still reads the values
+      assert(CowTable.read(spark, t, Some(1L)).filter(col("m.b") === 110L)
+        .count() === 1L)
+      // rename the PARENT, then re-add the same field name: the
+      // retired scope is keyed by the parent's PHYSICAL path, so the
+      // re-add must still bind fresh
+      CowTable.renameColumn(spark, t, "m", "info")             // v3
+      CowTable.addColumn(spark, t, "info.b", "BIGINT")         // v4
+      val s4 = TxLog.snapshot(spark, t)
+      assert(s4.columnMap.getOrElse(Map.empty).get("info.b")
+        .exists(_ != "b"), "re-added nested field must bind FRESH")
+      assert(s4.minReader === Some(4))
+      // no resurrect: every pre-drop row reads null for the re-add
+      assert(CowTable.read(spark, t).filter(col("info.b").isNotNull)
+        .count() === 0L)
+      // and new writes flow under the fresh binding
+      CowTable.append(spark, t, spark.range(40, 45)
+        .select(col("id").as("k"),
+          struct(col("id").as("a"), lit(999L).as("b")).as("info")))
+      assert(CowTable.read(spark, t).filter(col("info.b") === 999L)
+        .count() === 5L)
+    }
+  }
+
+  test("nested DDL guard rails: existing field, missing path, last " +
+      "field of a struct") {
+    withTable { t =>
+      CowTable.create(spark, t,
+        spark.range(10).select(col("id").as("k"),
+          struct(col("id").as("a")).as("m")), Seq("k"))
+      intercept[IllegalArgumentException] {
+        CowTable.addColumn(spark, t, "m.a", "BIGINT")
+      }
+      intercept[IllegalArgumentException] {
+        CowTable.dropColumn(spark, t, "m.zzz")
+      }
+      intercept[IllegalArgumentException] {
+        CowTable.dropColumn(spark, t, "m.a") // the struct's only field
+      }
+      intercept[RuntimeException] {
+        CowTable.addColumn(spark, t, "k.x", "BIGINT") // not a struct
+      }
     }
   }
 
