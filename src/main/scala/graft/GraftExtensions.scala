@@ -270,11 +270,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         .queryExecution.logical
     })
     injectTvf("cow_table_history", { args =>
-      require(args.length == 1,
-        s"cow_table_history(path) — got ${args.length} arguments")
+      // (path[, fromVersion[, toVersion]]) — the paged audit face:
+      // only the requested page's commit files are read (round 16)
+      require(args.nonEmpty && args.length <= 3,
+        s"cow_table_history(path[, from[, to]]) — got ${args.length} " +
+          "arguments")
       val spark = org.apache.spark.sql.SparkSession.active
       graft.tables.TxLog.describeHistory(spark,
-          constStr(args.head, "cow_table_history"))
+          constStr(args.head, "cow_table_history"),
+          args.lift(1).map(constLong(_, "cow_table_history")),
+          args.lift(2).map(constLong(_, "cow_table_history")))
         .queryExecution.logical
     })
     injectTvf("cow_table_changes", { args =>

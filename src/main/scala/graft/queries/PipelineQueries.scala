@@ -857,34 +857,52 @@ object PipelineQueries {
   private def withPslUrls(docs: DataFrame): DataFrame = {
     val id = col("doc_id")
     docs.withColumn("url", concat(lit("https://"),
-      when(id % 12 === 0,
+      when(id % 18 === 0,
         concat(lit("www.s"), (id % 5).cast("string"), lit(".co.uk")))
-        .when(id % 12 === 1,
+        .when(id % 18 === 1,
           concat(lit("shop.s"), (id % 5).cast("string"), lit(".co.uk")))
-        .when(id % 12 === 2,
+        .when(id % 18 === 2,
           concat(lit("s"), (id % 5).cast("string"), lit(".com.au")))
-        .when(id % 12 === 3,
+        .when(id % 18 === 3,
           concat(lit("a.b.s"), (id % 5).cast("string"), lit(".com.au")))
-        .when(id % 12 === 4,
+        .when(id % 18 === 4,
           concat(lit("plain"), (id % 4).cast("string"), lit(".com")))
-        .when(id % 12 === 5,
+        .when(id % 18 === 5,
           concat(lit("www.plain"), (id % 4).cast("string"), lit(".com")))
-        .when(id % 12 === 6,
+        .when(id % 18 === 6,
           concat(lit("a.docs.w"), (id % 3).cast("string"),
             lit(".kawasaki.jp")))
-        .when(id % 12 === 7, lit("www.city.kawasaki.jp"))
-        .when(id % 12 === 8,
+        .when(id % 18 === 7, lit("www.city.kawasaki.jp"))
+        .when(id % 18 === 8,
           concat(lit("x.s"), (id % 3).cast("string"), lit(".k12.ak.us")))
-        .when(id % 12 === 9,
+        .when(id % 18 === 9,
           concat(lit("www.ex"), (id % 3).cast("string"), lit(".ck")))
-        .when(id % 12 === 10, lit("a.www.ck"))
+        .when(id % 18 === 10, lit("a.www.ck"))
+        // — beyond the old curated subset (round 16, full data file) —
+        .when(id % 18 === 11, // private section: github.io
+          concat(lit("a.p"), (id % 3).cast("string"), lit(".github.io")))
+        .when(id % 18 === 12, // 4-label exact: pvt.k12.ma.us
+          concat(lit("h"), (id % 3).cast("string"),
+            lit(".pvt.k12.ma.us")))
+        .when(id % 18 === 13, // 5-label exact (regional object store)
+          concat(lit("b"), (id % 2).cast("string"),
+            lit(".s3.cn-north-1.amazonaws.com.cn")))
+        .when(id % 18 === 14, // base-3 wildcard: *.compute.amazonaws.com
+          concat(lit("h"), (id % 3).cast("string"),
+            lit(".zone.compute.amazonaws.com")))
+        .when(id % 18 === 15, // ICANN entry absent from the old subset
+          concat(lit("www.agency"), (id % 3).cast("string"),
+            lit(".gov.scot")))
+        .when(id % 18 === 16, // 3-label exact jp geographic sibling
+          concat(lit("site"), (id % 3).cast("string"),
+            lit(".aisai.aichi.jp")))
         .otherwise(lit("co.uk")),
       lit("/doc/"), id.cast("string")))
   }
 
   private val pslUrlSqlExpr: String =
     """'https://' ||
-      |  (CASE doc_id % 12
+      |  (CASE doc_id % 18
       |     WHEN 0 THEN 'www.s'  || CAST(doc_id % 5 AS VARCHAR) || '.co.uk'
       |     WHEN 1 THEN 'shop.s' || CAST(doc_id % 5 AS VARCHAR) || '.co.uk'
       |     WHEN 2 THEN 's'      || CAST(doc_id % 5 AS VARCHAR) || '.com.au'
@@ -897,6 +915,18 @@ object PipelineQueries {
       |     WHEN 8 THEN 'x.s' || CAST(doc_id % 3 AS VARCHAR) || '.k12.ak.us'
       |     WHEN 9 THEN 'www.ex' || CAST(doc_id % 3 AS VARCHAR) || '.ck'
       |     WHEN 10 THEN 'a.www.ck'
+      |     WHEN 11 THEN 'a.p' || CAST(doc_id % 3 AS VARCHAR) ||
+      |                  '.github.io'
+      |     WHEN 12 THEN 'h' || CAST(doc_id % 3 AS VARCHAR) ||
+      |                  '.pvt.k12.ma.us'
+      |     WHEN 13 THEN 'b' || CAST(doc_id % 2 AS VARCHAR) ||
+      |                  '.s3.cn-north-1.amazonaws.com.cn'
+      |     WHEN 14 THEN 'h' || CAST(doc_id % 3 AS VARCHAR) ||
+      |                  '.zone.compute.amazonaws.com'
+      |     WHEN 15 THEN 'www.agency' || CAST(doc_id % 3 AS VARCHAR) ||
+      |                  '.gov.scot'
+      |     WHEN 16 THEN 'site' || CAST(doc_id % 3 AS VARCHAR) ||
+      |                  '.aisai.aichi.jp'
       |     ELSE 'co.uk' END) ||
       |  '/doc/' || CAST(doc_id AS VARCHAR)""".stripMargin
 
@@ -914,21 +944,36 @@ object PipelineQueries {
 
   val domainStatsPslSql: String = {
     import TextQueries.qualityExpr
+    // GENERATED from the same parsed data file the Spark expression
+    // compiles from (graft.operators.Psl.rules) — one source of truth
+    // for ~10k rules; the CASE arms mirror registrableDomainPsl's
+    // precedence verbatim (exceptions deepest-first, then suffix
+    // lengths descending, then the implicit * default). Out-of-range
+    // list indexes are NULL in DuckDB, so lastK concats go NULL and
+    // never match — the same never-matches answer Spark's slice gives.
     def sqlList(xs: Seq[String]) =
-      xs.map(s => s"'$s'").mkString("[", ", ", "]")
-    val dc = graft.operators.DomainCuration
-    val snapshot = sqlList(dc.PslSnapshot)
-    val snap3 = sqlList(dc.PslSnapshot3)
-    val (exc2s, exc3s) = dc.PslExceptions.partition(_.count(_ == '.') == 1)
-    val (wild1s, wild2s) = dc.PslWildcardBases.partition(!_.contains("."))
-    val exc2 = sqlList(exc2s); val exc3 = sqlList(exc3s)
-    val wild1 = sqlList(wild1s); val wild2 = sqlList(wild2s)
-    // the full-PSL CASE mirrors registrableDomainPsl VERBATIM:
-    // exceptions, then longest match (3-label exact / base-2 wildcard,
-    // 2-label exact / base-1 wildcard), then the implicit * default.
-    // Out-of-range list indexes are NULL in DuckDB, so lastK concats
-    // go NULL and never match — the same never-matches answer Spark's
-    // slice gives.
+      xs.map(s => s"'${s.replace("'", "''")}'").mkString("[", ", ", "]")
+    val r = graft.operators.Psl.rules
+    val maxL = r.suffixLengths.max + 1
+    val lDefs = (1 to maxL).map { k =>
+      val cat = (k to 1 by -1)
+        .map(i => s"string_split(host, '.')[-$i]").mkString(" || '.' || ")
+      s"    $cat AS l$k"
+    }.mkString(",\n")
+    val excArms = r.exc.toSeq.sortBy(-_._1).map { case (d, es) =>
+      s"         WHEN n >= $d AND list_contains(${sqlList(es)}, l$d) " +
+        s"THEN l$d"
+    }
+    val sufArms = r.suffixLengths.map { k =>
+      val tests =
+        r.exact.get(k).map(es =>
+          s"list_contains(${sqlList(es)}, l$k)").toSeq ++
+          r.wild.get(k - 1).map(ws =>
+            s"list_contains(${sqlList(ws)}, l${k - 1})")
+      s"         WHEN n >= $k AND (${tests.mkString("\n           OR ")})" +
+        s"\n           THEN CASE WHEN n = $k THEN host ELSE l${k + 1} END"
+    }
+    val arms = (excArms ++ sufArms).mkString("\n")
     s"""WITH u AS (SELECT doc_id, text, $pslUrlSqlExpr AS url
        |  FROM documents),
        |hp AS (SELECT doc_id, text, lower(regexp_extract(url,
@@ -936,26 +981,11 @@ object PipelineQueries {
        |    AS host FROM u),
        |pieces AS (SELECT doc_id, text, host,
        |    len(string_split(host, '.')) AS n,
-       |    string_split(host, '.')[-1] AS l1,
-       |    string_split(host, '.')[-2] || '.' ||
-       |      string_split(host, '.')[-1] AS l2,
-       |    string_split(host, '.')[-3] || '.' ||
-       |      string_split(host, '.')[-2] || '.' ||
-       |      string_split(host, '.')[-1] AS l3,
-       |    string_split(host, '.')[-4] || '.' ||
-       |      string_split(host, '.')[-3] || '.' ||
-       |      string_split(host, '.')[-2] || '.' ||
-       |      string_split(host, '.')[-1] AS l4
+       |$lDefs
        |  FROM hp),
        |dp AS (SELECT doc_id, text, host,
-       |    CASE WHEN n >= 2 AND list_contains($exc2, l2) THEN l2
-       |         WHEN n >= 3 AND list_contains($exc3, l3) THEN l3
-       |         WHEN n >= 3 AND (list_contains($snap3, l3)
-       |                          OR list_contains($wild2, l2))
-       |           THEN CASE WHEN n = 3 THEN host ELSE l4 END
-       |         WHEN n >= 2 AND (list_contains($snapshot, l2)
-       |                          OR list_contains($wild1, l1))
-       |           THEN CASE WHEN n = 2 THEN host ELSE l3 END
+       |    CASE
+       |$arms
        |         ELSE CASE WHEN n <= 2 THEN host ELSE l2 END
        |    END AS domain
        |  FROM pieces),

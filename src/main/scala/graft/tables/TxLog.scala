@@ -810,11 +810,24 @@ object TxLog {
   /** DESCRIBE HISTORY: one row per commit — version, operation, files
     * and rows added/removed, idempotence stamp — the audit frame a
     * governance review reads before trusting a table. Driver-side over
-    * the log (metadata-sized by construction).
+    * the log (metadata-sized by construction), and PAGEABLE (round 16,
+    * verdict #5): `fromVersion`/`toVersion` bound the range and
+    * `limit` keeps the NEWEST n commits of it — only the requested
+    * page's commit files are read, so "the last 50 commits of a
+    * 100k-commit log" is 50 reads, not a minutes-long O(history) walk.
+    * Defaults preserve the full-history behavior. Versions outside the
+    * log clamp; commit files already reaped by external cleanup would
+    * fail loudly, like any explicit read of a missing version.
     */
-  def describeHistory(spark: SparkSession, table: String): DataFrame = {
+  def describeHistory(spark: SparkSession, table: String,
+      fromVersion: Option[Long] = None, toVersion: Option[Long] = None,
+      limit: Option[Int] = None): DataFrame = {
     import spark.implicits._
-    (1L to latestVersion(spark, table)).map { v =>
+    val latest = latestVersion(spark, table)
+    val hi = math.min(toVersion.getOrElse(latest), latest)
+    val lo0 = math.max(fromVersion.getOrElse(1L), 1L)
+    val lo = limit.fold(lo0)(n => math.max(lo0, hi - n + 1))
+    (lo to hi).map { v =>
       val c = commitAt(spark, table, v)
       (c.version, c.op,
         c.ts.map(t => new java.sql.Timestamp(t)).orNull,

@@ -101,4 +101,39 @@ class UrlCanonSpec extends AnyFunSuite {
       "deep.foo.ak.us")) ===
       Seq("s1.k12.ak.us", "s1.k12.ak.us", "foo.ak.us", "foo.ak.us"))
   }
+
+  test("FULL publicsuffix.org data file (round 16): private section, " +
+      "4/5-label exacts, base-3 wildcards, punycode twins") {
+    val r = graft.operators.Psl.rules
+    // parse sanity: the real file's breadth, not a curated subset
+    assert(r.exact.values.map(_.size).sum > 7000,
+      s"full exact-rule breadth expected, got ${r.exact}")
+    assert(r.exact.keySet === Set(2, 3, 4, 5))
+    assert(r.wild.keySet === Set(1, 2, 3, 4))
+    assert(r.exc.keySet === Set(2, 3))
+    def psl(hs: Seq[String]): Seq[String] =
+      hs.toDF("h").select(DomainCuration.registrableDomainPsl(col("h")))
+        .collect().map(_.getString(0)).toSeq
+    // PRIVATE section: github.io is a suffix — projects group apart
+    assert(psl(Seq("a.p1.github.io", "p1.github.io", "github.io")) ===
+      Seq("p1.github.io", "p1.github.io", "github.io"))
+    // 4-label exact (the .us charter/private school registries)
+    assert(psl(Seq("deep.h1.pvt.k12.ma.us", "h1.pvt.k12.ma.us")) ===
+      Seq("h1.pvt.k12.ma.us", "h1.pvt.k12.ma.us"))
+    // 5-label exact (regional object-store endpoints)
+    assert(psl(Seq("b.s3.cn-north-1.amazonaws.com.cn")) ===
+      Seq("b.s3.cn-north-1.amazonaws.com.cn"))
+    // base-3 wildcard *.compute.amazonaws.com
+    assert(psl(Seq("h.zone1.compute.amazonaws.com",
+      "zone1.compute.amazonaws.com")) ===
+      Seq("h.zone1.compute.amazonaws.com",
+        "zone1.compute.amazonaws.com"))
+    // ICANN entries the old curated subset lacked
+    assert(psl(Seq("www.agency.gov.scot", "x.edu.krd",
+      "site.aisai.aichi.jp")) ===
+      Seq("agency.gov.scot", "x.edu.krd", "site.aisai.aichi.jp"))
+    // unicode rules register their IDNA/punycode twin: 公司.cn
+    assert(psl(Seq("foo.xn--55qx5d.cn", "foo.公司.cn")) ===
+      Seq("foo.xn--55qx5d.cn", "foo.公司.cn"))
+  }
 }

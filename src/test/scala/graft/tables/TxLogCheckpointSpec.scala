@@ -92,6 +92,38 @@ class TxLogCheckpointSpec extends AnyFunSuite {
     }
   }
 
+  test("describeHistory pages with bounded I/O: only the requested " +
+      "page's commit files are read (round 16)") {
+    withDir { t =>
+      CowTable.create(spark, t, Seq((0L, 0L)).toDF("k", "v"), Seq("k"))
+      (1 to 59).foreach(i =>
+        CowTable.append(spark, t, Seq((i.toLong, i.toLong)).toDF("k", "v")))
+      // delete every commit BELOW the page — a paged call that still
+      // answers proves it never reads them (the bounded-I/O pin)
+      val f = TxLog.fs(spark, t)
+      (1L to 49L).foreach { v =>
+        f.delete(new org.apache.hadoop.fs.Path(
+          new org.apache.hadoop.fs.Path(t, TxLog.LogDir),
+          f"$v%020d.json"), false)
+      }
+      val page = TxLog.describeHistory(spark, t,
+        fromVersion = Some(50L), toVersion = Some(55L)).collect()
+      assert(page.map(_.getLong(0)).toSeq === (50L to 55L))
+      // limit keeps the NEWEST n of the range
+      val tail = TxLog.describeHistory(spark, t, limit = Some(5))
+        .collect()
+      assert(tail.map(_.getLong(0)).toSeq === (56L to 60L))
+      // bounds clamp to the log
+      assert(TxLog.describeHistory(spark, t, fromVersion = Some(58L),
+        toVersion = Some(999L)).count() === 3L)
+      // the FULL default walk would read the deleted commits — loud
+      intercept[Exception] {
+        TxLog.describeHistory(spark, t).collect()
+      }
+      ()
+    }
+  }
+
   test("AS OF TIMESTAMP resolves the latest commit at-or-before; " +
       "pre-table timestamps fail loudly") {
     withDir { t =>
