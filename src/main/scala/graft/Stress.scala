@@ -31,7 +31,7 @@ object Stress {
         "ntile", "novelty", "semantic1m", "ivfpq4096", "gram", "trend",
         "mmr", "symdel", "linkpred", "binquant1m", "hardmine1m",
         "coldcatalog", "hotband", "cowtable", "txlog100k", "txlog1m",
-        "bm25del")
+        "bm25del", "bm25lsm")
     val spark = Sessions.local("32")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -2116,6 +2116,67 @@ object Stress {
         require(hits.filter(col("doc_id") % 10000 === 7).count() == 0L,
           "a deleted doc scored after delete")
         1500000L
+      }
+      if (rfs.exists(rootP)) { rfs.delete(rootP, true); () }
+    }
+
+    if (which("bm25lsm")) {
+      // Round-16 (verdict r15 #8): BOTH df-fold shapes timed at a
+      // wide-vocabulary scale — the keyed replace-MERGE (one row per
+      // term, rewrites every df file holding a touched term) vs the
+      // LSM delta APPEND (O(batch vocab) blind append, zero rewrites,
+      // compacted lazily). Corpus vocabulary 1M terms; each fold batch
+      // touches 100k of them (wide — the merge's worst case: every df
+      // file holds touched terms).
+      import org.apache.spark.sql.functions._
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_stress_bm25lsm"
+      val rootP = new org.apache.hadoop.fs.Path(root)
+      val rfs = tables.TxLog.fs(spark, root)
+      if (rfs.exists(rootP)) { rfs.delete(rootP, true); () }
+      def corpus(lo: Long, hi: Long) =
+        spark.range(lo, hi).select(col("id").as("doc_id"),
+          concat_ws(" ", (0 until 100).map(j =>
+            format_string("w%07d", col("id") % 10000 * 100 + lit(j))): _*)
+            .as("text"))
+      def batchAt(b: Int) = // 1000 docs × 100 distinct terms = 100k vocab
+        corpus(1000000L + b * 1000L, 1000000L + b * 1000L + 1000L)
+      val (mergeIdx, deltaIdx) = (s"$root/m", s"$root/d")
+      timedWarm("bm25lsmbuild") {
+        Seq(mergeIdx, deltaIdx).foreach(p => text.Bm25Table.create(
+          spark, p, corpus(0, 10000), "doc_id", "text",
+          postingFiles = 32))
+        1000000L
+      }
+      def timeFolds(idx: String, delta: Boolean): Double = {
+        val t0 = System.nanoTime()
+        (0 until 3).foreach(b => text.Bm25Table.fold(spark, idx,
+          batchAt(b), "doc_id", "text", dfDelta = delta))
+        (System.nanoTime() - t0) / 1e6 / 3
+      }
+      timedWarm("bm25lsmfold") {
+        val mergeMs = timeFolds(mergeIdx, delta = false)
+        val deltaMs = timeFolds(deltaIdx, delta = true)
+        val t1 = System.nanoTime()
+        text.Bm25Table.compactDf(spark, deltaIdx, dfFiles = 8)
+        val compactMs = (System.nanoTime() - t1) / 1e6
+        println(f"STRESS bm25 df fold @1M-term vocab, 100k-term " +
+          f"batches: keyed merge $mergeMs%.0f ms/batch vs LSM delta " +
+          f"append $deltaMs%.0f ms/batch + one compact $compactMs%.0f " +
+          "ms — delta amortizes when batches-per-compaction × " +
+          "(merge − delta) > compact, i.e. almost immediately at " +
+          "wide vocabularies; narrow-vocabulary batches (few df files " +
+          "rewritten) keep the merge competitive")
+        // identity: both shapes serve the same scores
+        import spark.implicits._
+        val q = Seq((0L, "w0000100"), (0L, "w0000101")).toDF("q_id", "term")
+        val a = text.Bm25Table.topDocs(spark, mergeIdx, q, 10)
+          .select("doc_id", "rank").collect().map(r =>
+            (r.getLong(0), r.getInt(1))).toSet
+        val b = text.Bm25Table.topDocs(spark, deltaIdx, q, 10)
+          .select("doc_id", "rank").collect().map(r =>
+            (r.getLong(0), r.getInt(1))).toSet
+        require(a == b, s"df modes diverged: $a vs $b")
+        1000000L
       }
       if (rfs.exists(rootP)) { rfs.delete(rootP, true); () }
     }

@@ -1078,10 +1078,27 @@ object CowTable {
     * a postings row of a deleted doc necessarily holds one of the
     * doc's terms); rows outside the point set are simply never probed.
     */
+  /** `audit` (round 16 — the soundness contract turned checkable):
+    *   - `"none"` (default): trust the caller's contract, as before;
+    *   - `"stats"`: after the delete, fail LOUDLY if some UNPROBED
+    *     file PROVABLY held matching rows — provable from the zone
+    *     maps alone ([[ManifestPlan.provablyAllMatch]]: the predicate
+    *     decomposes totally into non-strict ranges, the file's whole
+    *     range sits inside them with no nulls and rows > 0). One
+    *     manifest-plan pass, zero data I/O; catches the provable
+    *     subset of contract violations (a predicate the range
+    *     analysis can't decompose, or scattered stats, stay on the
+    *     contract);
+    *   - `"exact"`: SCAN the unprobed files for any matching row —
+    *     the complete audit, at exactly the probe cost the point-set
+    *     API exists to avoid (backfills, tests, low-trust callers).
+    */
   def deleteWhereMatchingAny(spark: SparkSession, path: String,
       column: String, values: Seq[String], cond: Column,
-      cdc: Boolean = false): RewriteMetrics =
-    rewriteWhere(spark, path, cond, "delete",
+      cdc: Boolean = false, audit: String = "none"): RewriteMetrics = {
+    require(Set("none", "stats", "exact").contains(audit),
+      s"unknown audit mode '$audit' (none | stats | exact)")
+    val m = rewriteWhere(spark, path, cond, "delete",
       cdcRows = if (!cdc) None else Some { touchedDf =>
         touchedDf.filter(coalesce(cond, lit(false)))
           .withColumn(ChangeTypeCol, lit("delete"))
@@ -1095,6 +1112,63 @@ object CowTable {
       }) { touchedDf =>
       touchedDf.filter(!coalesce(cond, lit(false)))
     }
+    if (audit != "none") {
+      // audit the PRE-delete snapshot (no touched files → no commit
+      // happened, the metrics version IS the pre-version)
+      val pre = if (m.touchedFiles == 0) m.version else m.version - 1
+      auditPointSetDelete(spark, path, column, values, cond, pre, audit)
+    }
+    m
+  }
+
+  /** The post-delete audit of [[deleteWhereMatchingAny]]: recompute
+    * the probed set at the pre-delete version (deterministic — same
+    * rule, same manifest) and check the UNPROBED complement for
+    * matching rows the point set must have covered.
+    */
+  private def auditPointSetDelete(spark: SparkSession, path: String,
+      column: String, values: Seq[String], cond: Column,
+      preVersion: Long, mode: String): Unit = {
+    val psnap = TxLog.snapshotPlanned(spark, path, Some(preVersion))
+    val snap = psnap.meta
+    val ph = snap.physName(column)
+    val probed = (if (!psnap.isDistributed)
+      matchingAnyDriver(snap.files, ph, values)
+    else ManifestPlan.collectSurvivorsAnyOf(spark, path, psnap, ph,
+      values)).map(_.path).toSet
+    def unprobedPred: Column =
+      if (probed.isEmpty) lit(true)
+      else !col("path").isInCollection(probed)
+    mode match {
+      case "stats" =>
+        org.apache.spark.sql.graft.ColumnBridge.exactRangesTotal(cond)
+          .foreach { ranges =>
+            val hits = ManifestPlan.collectSurvivors(spark, path, psnap,
+              ManifestPlan.provablyAllMatch(ranges, snap.physName) &&
+                unprobedPred)
+            if (hits.nonEmpty) sys.error(
+              s"deleteWhereMatchingAny audit: the point set on " +
+                s"'$column' PROVABLY missed matching rows — " +
+                s"${hits.size} unprobed file(s) whose zone maps " +
+                s"guarantee predicate matches (e.g. ${hits.head.path})" +
+                " — the caller's soundness contract is violated; " +
+                "matching rows remain undeleted")
+          }
+      case "exact" =>
+        val unprobed = ManifestPlan.collectSurvivors(spark, path, psnap,
+          unprobedPred)
+        if (unprobed.nonEmpty) {
+          val leftover = readFiles(spark, path, snap, unprobed)
+            .filter(coalesce(cond, lit(false))).limit(1).collect()
+          if (leftover.nonEmpty) sys.error(
+            s"deleteWhereMatchingAny audit: the point set on " +
+              s"'$column' missed matching rows (e.g. " +
+              s"${leftover.head}) — the caller's soundness contract " +
+              "is violated; matching rows remain undeleted")
+        }
+      case _ => ()
+    }
+  }
 
   /** UPDATE ... SET `set` WHERE `cond` — rows where the predicate is
     * TRUE get each `set` column replaced by its expression (which may

@@ -474,6 +474,94 @@ object ManifestPlan {
     }.reduce(_ && _))
   }
 
+  /** PROVABLE-match test for the point-set delete audit
+    * ([[CowTable.deleteWhereMatchingAny]]'s `audit = "stats"`): TRUE
+    * only when the manifest entry PROVABLY holds at least one row
+    * matching every range conjunct — rows > 0, and for each conjunct
+    * the stat exists, records NO nulls, the kind matches the
+    * literal's family, and the file's WHOLE [min, max] sits inside
+    * the conjunct's bounds (then every row satisfies every conjunct
+    * simultaneously, so one matching row certainly exists). The exact
+    * OPPOSITE polarity of the pruning twins: those must never answer
+    * false wrongly, this must never answer TRUE wrongly — NaN,
+    * missing stats, opaque kinds, family mismatches all answer false.
+    */
+  def provablyAllMatch(
+      ranges: Seq[(String, Option[Any], Option[Any])],
+      phys: String => String): Column =
+    ranges.map { case (nm, lo, hi) =>
+      val s = st(phys(nm))
+      s.isNotNull && s.getField("nulls") === lit(false) &&
+        containsTyped(s, lo, hi)
+    }.reduce(_ && _) && col("rows") > lit(0L)
+
+  /** `[min, max] ⊆ [lo, hi]` under the file's kind — the sound
+    * (never-wrongly-true) containment counterpart of
+    * [[overlapsTyped]].
+    */
+  private def containsTyped(s: Column, lo: Option[Any],
+      hi: Option[Any]): Column = {
+    val kind = s.getField("kind")
+    val longC = {
+      val (l, h) = (lo.map(asL), hi.map(asL))
+      if (l.exists(_.isEmpty) || h.exists(_.isEmpty)) lit(false)
+      else {
+        val c1 = l.flatten
+          .map(v => s.getField("min").cast("long") >= lit(v))
+          .getOrElse(lit(true))
+        val c2 = h.flatten
+          .map(v => s.getField("max").cast("long") <= lit(v))
+          .getOrElse(lit(true))
+        c1 && c2
+      }
+    }
+    val dblC = {
+      val (l, h) = (lo.map(asD), hi.map(asD))
+      if (l.exists(_.isEmpty) || h.exists(_.isEmpty) ||
+          l.flatten.exists(_.isNaN) || h.flatten.exists(_.isNaN))
+        lit(false)
+      else {
+        val mn = s.getField("min").cast("double")
+        val mx = s.getField("max").cast("double")
+        val c1 = l.flatten.map(v => mn >= lit(v)).getOrElse(lit(true))
+        val c2 = h.flatten.map(v => mx <= lit(v)).getOrElse(lit(true))
+        !isnan(mn) && !isnan(mx) && c1 && c2
+      }
+    }
+    val strC = {
+      val (l, h) = (lo.map(asS), hi.map(asS))
+      if (l.exists(_.isEmpty) || h.exists(_.isEmpty)) lit(false)
+      else {
+        val c1 = l.flatten.map(v => s.getField("min") >= lit(v))
+          .getOrElse(lit(true))
+        val c2 = h.flatten.map(v => s.getField("max") <= lit(v))
+          .getOrElse(lit(true))
+        c1 && c2
+      }
+    }
+    when(kind === "long", longC)
+      .when(kind === "double", dblC)
+      .when(kind === "string", strC)
+      .otherwise(lit(false))
+  }
+
+  private def asL(v: Any): Option[Long] = v match {
+    case i: Int => Some(i.toLong)
+    case l: Long => Some(l)
+    case sh: Short => Some(sh.toLong)
+    case b: Byte => Some(b.toLong)
+    case _ => None
+  }
+  private def asD(v: Any): Option[Double] = v match {
+    case d: Double => Some(d)
+    case fl: Float => Some(fl.toDouble)
+    case _ => None
+  }
+  private def asS(v: Any): Option[String] = v match {
+    case str: String => Some(str)
+    case _ => None
+  }
+
   /** Column twin of `StatsPredicate.overlaps` — runtime-typed bounds
     * from the predicate's literals, matched against the file's kind
     * family exactly as the driver form does (a literal of the wrong
@@ -482,22 +570,6 @@ object ManifestPlan {
   private def overlapsTyped(s: Column, lo: Option[Any],
       hi: Option[Any]): Column = {
     val kind = s.getField("kind")
-    def asL(v: Any): Option[Long] = v match {
-      case i: Int => Some(i.toLong)
-      case l: Long => Some(l)
-      case sh: Short => Some(sh.toLong)
-      case b: Byte => Some(b.toLong)
-      case _ => None
-    }
-    def asD(v: Any): Option[Double] = v match {
-      case d: Double => Some(d)
-      case fl: Float => Some(fl.toDouble)
-      case _ => None
-    }
-    def asS(v: Any): Option[String] = v match {
-      case str: String => Some(str)
-      case _ => None
-    }
     val longC = {
       val (l, h) = (lo.map(asL), hi.map(asL))
       if (l.exists(_.isEmpty) || h.exists(_.isEmpty)) lit(true)

@@ -104,9 +104,27 @@ object Bm25Table {
     * magnitude, and the postings table (the actually-huge relation)
     * only ever takes O(batch) appends.
     */
+  /** `dfDelta` (round 16 — the LSM alternative, verdict r15 #8):
+    * `false` (default) keeps the keyed replace-MERGE — one row per
+    * term, per-batch cost O(touched vocabulary) reads + the rewrite
+    * of every df file holding a touched term (Zipf guarantees the
+    * common-term files every batch). `true` APPENDS the batch's
+    * (term, df-delta) rows instead — per-batch cost O(batch
+    * vocabulary) blind append, ZERO df-file rewrites — and defers the
+    * fold: [[topDocs]] aggregates the touched terms' delta rows at
+    * serve time (a few query terms — broadcast-scale), and
+    * [[compactDf]] folds the accumulated deltas lazily, the LSM
+    * discipline. Exactly-once holds in both modes (a stamped append
+    * replays to a no-op like a stamped merge), and fold-then-serve ≡
+    * index-the-union in both (serve-side SUM is the identity on the
+    * merge mode's one-row-per-term table). Crossover measured at the
+    * `bm25lsm` stress: delta folds win per batch roughly in
+    * proportion to the df files a merge would rewrite; the price is
+    * df read amplification growing with batches-since-compaction.
+    */
   def fold(spark: SparkSession, root: String, batch: DataFrame,
       idCol: String, textCol: String,
-      txn: Option[TxLog.Txn] = None): Unit = {
+      txn: Option[TxLog.Txn] = None, dfDelta: Boolean = false): Unit = {
     val pdt = postingsWithDl(batch, idCol, textCol).persist()
     try {
       // df: a keyed AGGREGATE fold — read the touched terms' current
@@ -114,21 +132,26 @@ object Bm25Table {
       // semi-join cut to exactly the touched terms — the AggTable
       // discipline), combine, and replace-merge under the stamp.
       // O(batch vocabulary) work against a term-clustered df table.
+      // Delta mode appends the per-term counts instead (see above).
       val deltaDf = pdt.groupBy("term").agg(count(lit(1)).as("df"))
         .persist()
-      val terms = deltaDf.select("term")
-      val bounds = deltaDf.agg(min("term"), max("term")).collect()(0)
-      val curDf =
-        (if (bounds.isNullAt(0))
-          CowTable.read(spark, pDf(root)).limit(0)
-        else CowTable.readOverlapping(spark, pDf(root), "term",
-          bounds.getString(0), bounds.getString(1)))
-          .join(terms, Seq("term"), "left_semi")
-      val folded = curDf.select(col("term"), col("df"))
-        .unionByName(deltaDf)
-        .groupBy("term").agg(sum("df").as("df"))
-      CowTable.merge(spark, pDf(root), folded, Seq("term"),
-        checkUniqueKeys = false, txn = txn)
+      if (dfDelta)
+        CowTable.append(spark, pDf(root), deltaDf, txn = txn)
+      else {
+        val terms = deltaDf.select("term")
+        val bounds = deltaDf.agg(min("term"), max("term")).collect()(0)
+        val curDf =
+          (if (bounds.isNullAt(0))
+            CowTable.read(spark, pDf(root)).limit(0)
+          else CowTable.readOverlapping(spark, pDf(root), "term",
+            bounds.getString(0), bounds.getString(1)))
+            .join(terms, Seq("term"), "left_semi")
+        val folded = curDf.select(col("term"), col("df"))
+          .unionByName(deltaDf)
+          .groupBy("term").agg(sum("df").as("df"))
+        CowTable.merge(spark, pDf(root), folded, Seq("term"),
+          checkUniqueKeys = false, txn = txn)
+      }
       deltaDf.unpersist(blocking = false)
       // corpus stats: 1-row keyed merge, integer adds
       val delta = batch.agg(count(lit(1)).as("_bn"))
@@ -182,7 +205,8 @@ object Bm25Table {
     */
   def delete(spark: SparkSession, root: String, deleted: DataFrame,
       idCol: String, textCol: String,
-      txn: Option[TxLog.Txn] = None): CowTable.RewriteMetrics = {
+      txn: Option[TxLog.Txn] = None,
+      dfDelta: Boolean = false): CowTable.RewriteMetrics = {
     val pdt = postingsWithDl(deleted, idCol, textCol).persist()
     try {
       val ids = deleted.select(col(idCol)).distinct()
@@ -197,19 +221,29 @@ object Bm25Table {
           pPostings(root), "term", terms,
           col("doc_id").isInCollection(ids))
         // df decrement: read the touched terms' counts, subtract,
-        // delete rows that reach zero (the merge's delete flag)
+        // delete rows that reach zero (the merge's delete flag) — or,
+        // in delta mode, append NEGATIVE deltas (a term whose sum
+        // reaches zero is filtered at serve and folds away at the
+        // next compactDf)
         val deltaDf = pdt.groupBy("term").agg(count(lit(1)).as("_d"))
           .persist()
-        val bounds = deltaDf.agg(min("term"), max("term")).collect()(0)
-        if (!bounds.isNullAt(0)) {
-          val cur = CowTable.readOverlapping(spark, pDf(root), "term",
-              bounds.getString(0), bounds.getString(1))
-            .join(deltaDf, Seq("term"))
-          val updates = cur.select(col("term"),
-            (col("df") - col("_d")).as("df"),
-            (col("df") - col("_d") <= 0L).as("_del"))
-          CowTable.merge(spark, pDf(root), updates, Seq("term"),
-            deleteCol = Some("_del"), checkUniqueKeys = false, txn = txn)
+        if (dfDelta)
+          CowTable.append(spark, pDf(root),
+            deltaDf.select(col("term"), (-col("_d")).as("df")),
+            txn = txn)
+        else {
+          val bounds = deltaDf.agg(min("term"), max("term")).collect()(0)
+          if (!bounds.isNullAt(0)) {
+            val cur = CowTable.readOverlapping(spark, pDf(root), "term",
+                bounds.getString(0), bounds.getString(1))
+              .join(deltaDf, Seq("term"))
+            val updates = cur.select(col("term"),
+              (col("df") - col("_d")).as("df"),
+              (col("df") - col("_d") <= 0L).as("_del"))
+            CowTable.merge(spark, pDf(root), updates, Seq("term"),
+              deleteCol = Some("_del"), checkUniqueKeys = false,
+              txn = txn)
+          }
         }
         deltaDf.unpersist(blocking = false)
         val delta = deleted.agg(count(lit(1)).as("_bn"))
@@ -239,12 +273,37 @@ object Bm25Table {
       .collect().map(_.getString(0)).toSeq.sorted
     val posts = CowTable.readMatchingAny(spark, pPostings(root), "term",
       terms)
+    // aggregate-then-filter serves BOTH df modes: the merge mode's
+    // one-row-per-term table sums to itself; delta mode's accumulated
+    // rows fold here (query terms only — broadcast-scale), and a
+    // deleted-to-zero term drops out
     val dfT = CowTable.readMatchingAny(spark, pDf(root), "term", terms)
+      .groupBy("term").agg(sum("df").as("df"))
+      .filter(col("df") > 0L)
     val statsRow = CowTable.read(spark, pStats(root))
       .select(col("n_docs"),
         (col("total_tokens").cast("double") / col("n_docs")).as("avgdl"))
     Bm25.scoreDenorm(posts, queryTerms.join(dfT, "term"), statsRow,
       k, k1, b)
+  }
+
+  /** Fold the accumulated df DELTA rows (the `dfDelta = true` mode's
+    * appends) back to one row per term — the LSM compaction, run
+    * lazily on whatever cadence bounds serve-time read amplification
+    * (e.g. every N batches). One aggregate over the df table,
+    * re-clustered by term and published as a single overwrite commit;
+    * zero-sum terms (fully deleted) fold away. A no-op on a
+    * merge-mode table (already one row per term).
+    */
+  def compactDf(spark: SparkSession, root: String,
+      dfFiles: Int = 8): Unit = {
+    val folded = CowTable.read(spark, pDf(root))
+      .groupBy("term").agg(sum("df").as("df"))
+      .filter(col("df") > 0L)
+      .repartitionByRange(dfFiles, col("term"))
+      .sortWithinPartitions("term")
+    CowTable.overwrite(spark, pDf(root), folded, op = "compact_df")
+    ()
   }
 
   /** (doc_id, term, tf, dl): the inverted-index rows with the doc's

@@ -60,4 +60,49 @@ object ColumnBridge {
       case _ => None
     }
   }
+
+  /** TOTAL and EXACT range decomposition — `Some(ranges)` only when
+    * the WHOLE predicate is a conjunction of NON-STRICT single-column
+    * comparisons (`=`, `>=`, `<=`), `None` otherwise. Unlike
+    * [[simpleRanges]] (conservative — strict ops widen, unrecognized
+    * conjuncts drop), this is the SOUND direction a provable-match
+    * audit needs: "every non-null value of the column satisfies the
+    * conjunct" may only be claimed from ranges that mean exactly what
+    * the predicate means.
+    */
+  def exactRangesTotal(
+      c: Column): Option[Seq[(String, Option[Any], Option[Any])]] = {
+    import org.apache.spark.sql.internal.{ColumnNode, Literal, UnresolvedAttribute, UnresolvedFunction}
+    def conjuncts(n: ColumnNode): Seq[ColumnNode] = n match {
+      case f: UnresolvedFunction if f.functionName == "and" =>
+        f.arguments.flatMap(conjuncts)
+      case other => Seq(other)
+    }
+    object A {
+      def unapply(n: ColumnNode): Option[String] = n match {
+        case a: UnresolvedAttribute => a.nameParts.lastOption
+        case _ => None
+      }
+    }
+    object L {
+      def unapply(n: ColumnNode): Option[Any] = n match {
+        case l: Literal if l.value != null => Some(l.value)
+        case _ => None
+      }
+    }
+    val parsed = conjuncts(c.node).map {
+      case f: UnresolvedFunction => (f.functionName, f.arguments) match {
+        case ("=" | "==", Seq(A(n), L(v))) => Some((n, Option(v), Option(v)))
+        case ("=" | "==", Seq(L(v), A(n))) => Some((n, Option(v), Option(v)))
+        case (">=", Seq(A(n), L(v))) => Some((n, Option(v), None))
+        case (">=", Seq(L(v), A(n))) => Some((n, None, Option(v)))
+        case ("<=", Seq(A(n), L(v))) => Some((n, None, Option(v)))
+        case ("<=", Seq(L(v), A(n))) => Some((n, Option(v), None))
+        case _ => None
+      }
+      case _ => None
+    }
+    if (parsed.exists(_.isEmpty) || parsed.isEmpty) None
+    else Some(parsed.flatten)
+  }
 }

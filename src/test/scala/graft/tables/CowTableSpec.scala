@@ -1377,4 +1377,61 @@ class CowTableSpec extends AnyFunSuite {
     assert(TxLog.posixRenameSemantics(
       new org.apache.hadoop.fs.RawLocalFileSystem()))
   }
+
+  test("deleteWhereMatchingAny audit: an intentionally-short point " +
+      "set trips the guard (stats AND exact), a covering one passes " +
+      "(round 16)") {
+    def build(t: String): Unit = {
+      // file A: ONLY k=5 rows (min=max=5, no nulls) — every row
+      // matches the delete predicate, provable from the zone map;
+      // file B: k in 1..4
+      CowTable.create(spark, t,
+        spark.range(10).select(lit(5L).as("k"), col("id").as("v"))
+          .coalesce(1), Seq("k"))
+      CowTable.append(spark, t,
+        spark.range(1, 5).select(col("id").as("k"), col("id").as("v"))
+          .coalesce(1))
+    }
+    withTable { t =>
+      build(t)
+      // SHORT point set {1, 2}: file A (the one actually holding the
+      // matches) is never probed — the stats audit proves the miss
+      val e = intercept[RuntimeException] {
+        CowTable.deleteWhereMatchingAny(spark, t, "k", Seq("1", "2"),
+          col("k") === 5L, audit = "stats")
+      }
+      assert(e.getMessage.contains("PROVABLY missed"))
+      // nothing was deleted from the unprobed file
+      assert(CowTable.read(spark, t).filter(col("k") === 5L)
+        .count() === 10L)
+      // exact mode trips on the same short set
+      val e2 = intercept[RuntimeException] {
+        CowTable.deleteWhereMatchingAny(spark, t, "k", Seq("1", "2"),
+          col("k") === 5L, audit = "exact")
+      }
+      assert(e2.getMessage.contains("missed matching rows"))
+    }
+    withTable { t =>
+      build(t)
+      // SOUND point set: covers the matching file — both audits pass
+      val m = CowTable.deleteWhereMatchingAny(spark, t, "k",
+        Seq("5"), col("k") === 5L, audit = "stats")
+      assert(m.touchedFiles === 1L)
+      assert(CowTable.read(spark, t).filter(col("k") === 5L)
+        .count() === 0L)
+    }
+    withTable { t =>
+      build(t)
+      val m = CowTable.deleteWhereMatchingAny(spark, t, "k",
+        Seq("5"), col("k") === 5L, audit = "exact")
+      assert(m.touchedFiles === 1L)
+      assert(CowTable.read(spark, t).count() === 4L)
+      // a predicate the range analysis cannot decompose: the stats
+      // audit has nothing provable and stays silent (documented —
+      // the contract remains the caller's there)
+      val m2 = CowTable.deleteWhereMatchingAny(spark, t, "k",
+        Seq("99"), col("v") % 2L === 0L, audit = "stats")
+      assert(m2.touchedFiles === 0L)
+    }
+  }
 }

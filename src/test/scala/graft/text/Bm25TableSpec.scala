@@ -156,4 +156,47 @@ class Bm25TableSpec extends AnyFunSuite {
           s"${snap.files.size})")
     }
   }
+
+  test("LSM delta df mode (round 16): folds append, deletes append " +
+      "negatives, serving aggregates, compactDf folds back to one " +
+      "row per term — all identical to the merge mode") {
+    withDir { dir =>
+      val (m, d) = (s"$dir/m", s"$dir/d")
+      Seq(m, d).foreach(r =>
+        Bm25Table.create(spark, r, docs(0 until 40), "doc_id", "text"))
+      // two folds + a delete, replayed once each (exactly-once holds
+      // for stamped appends like stamped merges)
+      Seq(0, 1).foreach { b =>
+        val wave = docs(40 + b * 10 until 50 + b * 10)
+        Bm25Table.fold(spark, m, wave, "doc_id", "text",
+          txn = Some(TxLog.Txn("kw", b.toLong)))
+        Bm25Table.fold(spark, d, wave, "doc_id", "text",
+          txn = Some(TxLog.Txn("kw", b.toLong)), dfDelta = true)
+        Bm25Table.fold(spark, d, wave, "doc_id", "text",
+          txn = Some(TxLog.Txn("kw", b.toLong)), dfDelta = true) // replay
+      }
+      val dels = docs(10 until 20)
+      Bm25Table.delete(spark, m, dels, "doc_id", "text",
+        txn = Some(TxLog.Txn("kwdel", 0L)))
+      Bm25Table.delete(spark, d, dels, "doc_id", "text",
+        txn = Some(TxLog.Txn("kwdel", 0L)), dfDelta = true)
+      // the delta table holds ACCUMULATED rows (several per hot term)
+      assert(CowTable.read(spark, s"$d/df").groupBy("term").count()
+        .filter(col("count") > 1L).count() > 0L,
+        "delta mode should have accumulated per-term rows")
+      // ...yet serves exactly what the merge mode serves
+      assert(served(d) === served(m))
+      // a fully-deleted doc's unique term w15 sums to zero: filtered
+      assert(Bm25Table.topDocs(spark, d,
+        Seq((9L, "w15")).toDF("q_id", "term"), 3).count() === 0L)
+      // compaction folds back to one row per term, zero-sums gone,
+      // and serving is unchanged
+      Bm25Table.compactDf(spark, d)
+      val dfRows = CowTable.read(spark, s"$d/df")
+      assert(dfRows.groupBy("term").count()
+        .filter(col("count") > 1L).count() === 0L)
+      assert(dfRows.filter(col("df") <= 0L).count() === 0L)
+      assert(served(d) === served(m))
+    }
+  }
 }
