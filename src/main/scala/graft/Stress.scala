@@ -2257,14 +2257,13 @@ object Stress {
       timedWarm("txlog1mlist") {
         val p = TxLog.snapshotPlanned(spark, t)
         val rootQ = TxLog.fs(spark, t).makeQualified(
-          new org.apache.hadoop.fs.Path(t)).toUri.toString
-          .stripSuffix("/")
+          new org.apache.hadoop.fs.Path(t)).toString.stripSuffix("/")
         val base = usedHeap()
         val t0 = System.nanoTime()
         val lean = ManifestPlan.leanListing(spark, t, p, rootQ)
         val ms = (System.nanoTime() - t0) / 1e6
         require(lean.size == 1000000, s"lean listing lost: ${lean.size}")
-        require(lean.forall(_._2 == 128L * 1024 * 1024))
+        require(lean.forall(_.bytes == 128L * 1024 * 1024))
         val held = usedHeap() - base
         println(f"STRESS txlog 1M lean full-read listing: $ms%.0f ms, " +
           f"~${held / 1e6}%.0f MB driver heap retained " +

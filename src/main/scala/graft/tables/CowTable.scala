@@ -233,8 +233,12 @@ object CowTable {
     val physPart = relax(physFields.filter(f => partPhys.contains(f.name)))
     val physData = relax(physFields.filterNot(f =>
       partPhys.contains(f.name)))
+    // Path.toString, NOT toUri.toString: the location strings must be
+    // RAW (a space in a table dir or partition value stays a space) —
+    // new Path(loc) round-trips that form, while a URI-encoded root
+    // concatenated with raw hive segments mixes encodings (review r16)
     val rootQ = TxLog.fs(spark, path).makeQualified(new Path(path))
-      .toUri.toString.stripSuffix("/")
+      .toString.stripSuffix("/")
     val idx = new org.apache.spark.sql.graft.ManifestFileIndex(
       new Path(rootQ), physPart,
       () => ManifestPlan.leanListing(spark, path, psnap, rootQ))
@@ -578,14 +582,8 @@ object CowTable {
         val claimed = claimedPhysAt(snap, cur, segs.init)
         val mapStamp =
           if (!claimed.contains(leaf)) prevMap
-          else {
-            var cand = s"${leaf}_r${snap.version + 1}"
-            var i = 0
-            while (claimed.contains(cand)) {
-              i += 1; cand = s"${leaf}_r${snap.version + 1}_$i"
-            }
-            prevMap + (name -> cand)
-          }
+          else prevMap +
+            (name -> freshPhysIn(leaf, claimed, snap.version))
         val changed = mapStamp != prevMap
         TxLog.tryCommit(spark, path, Commit(snap.version + 1, "add_column",
           Seq.empty, Seq.empty, Some(ns.toDDL), None,
@@ -1136,16 +1134,14 @@ object CowTable {
       matchingAnyDriver(snap.files, ph, values)
     else ManifestPlan.collectSurvivorsAnyOf(spark, path, psnap, ph,
       values)).map(_.path).toSet
-    def unprobedPred: Column =
-      if (probed.isEmpty) lit(true)
-      else !col("path").isInCollection(probed)
     mode match {
       case "stats" =>
         org.apache.spark.sql.graft.ColumnBridge.exactRangesTotal(cond)
           .foreach { ranges =>
-            val hits = ManifestPlan.collectSurvivors(spark, path, psnap,
-              ManifestPlan.provablyAllMatch(ranges, snap.physName) &&
-                unprobedPred)
+            val hits = ManifestPlan.collectSurvivorsExcluding(spark,
+              path, psnap,
+              ManifestPlan.provablyAllMatch(ranges, snap.physName),
+              probed)
             if (hits.nonEmpty) sys.error(
               s"deleteWhereMatchingAny audit: the point set on " +
                 s"'$column' PROVABLY missed matching rows — " +
@@ -1155,8 +1151,8 @@ object CowTable {
                 "matching rows remain undeleted")
           }
       case "exact" =>
-        val unprobed = ManifestPlan.collectSurvivors(spark, path, psnap,
-          unprobedPred)
+        val unprobed = ManifestPlan.collectSurvivorsExcluding(spark,
+          path, psnap, lit(true), probed)
         if (unprobed.nonEmpty) {
           val leftover = readFiles(spark, path, snap, unprobed)
             .filter(coalesce(cond, lit(false))).limit(1).collect()
@@ -1428,6 +1424,29 @@ object CowTable {
       won
     }
     committed
+  }
+
+  /** [[overwrite]]'s COMPARE-AND-SWAP form: publish the replacement
+    * ONLY if the table still sits at `expectedVersion` — the
+    * read-modify-overwrite primitive a derived fold (e.g.
+    * [[graft.text.Bm25Table.compactDf]]) needs: a plain overwrite's
+    * retry loop would re-read the SNAPSHOT but keep the stale frame,
+    * silently dropping whatever a concurrent writer appended between
+    * the caller's read and the commit (review r16). Returns false on
+    * any rival commit — re-derive against the new head and try again;
+    * the staged files of a lost attempt are vacuum-reclaimable.
+    */
+  def tryOverwrite(spark: SparkSession, path: String, df: DataFrame,
+      expectedVersion: Long, op: String = "overwrite"): Boolean = {
+    val psnap = TxLog.snapshotPlanned(spark, path)
+    if (psnap.meta.version != expectedVersion) return false
+    val snap = psnap.meta
+    val out = df.select(readSchemaCols(snap).map(col): _*)
+    val adds = writeFiles(spark, path, out, snap.statsCols,
+      snap.partitionCols.getOrElse(Seq.empty), snap.checkConstraints,
+      snap.columnMap.getOrElse(Map.empty))
+    TxLog.tryCommit(spark, path, Commit(expectedVersion + 1,
+      op, adds, ManifestPlan.livePaths(spark, path, psnap), None, None))
   }
 
   /** Live paths of every version inside the retention window — THE
@@ -1835,7 +1854,15 @@ object CowTable {
                 org.apache.hadoop.fs.FileUtil.copy(
                   sp.getFileSystem(c), sp, dfs, tmp,
                   false /* keep source */, true /* overwrite */, c)
-                if (!dfs.rename(tmp, dp)) { dfs.delete(tmp, false); () }
+                if (!dfs.rename(tmp, dp)) {
+                  // a failed rename is only benign when the rival's
+                  // complete file IS there — otherwise publishing the
+                  // manifest would reference missing bytes (review r16)
+                  require(dfs.exists(dp),
+                    s"deep-clone copy publish failed for $dp and no " +
+                      "rival file is present")
+                  dfs.delete(tmp, false); ()
+                }
               }
             }
           }
@@ -1870,18 +1897,22 @@ object CowTable {
   }
 
   /** The lost-create-race reclaim of [[deepClone]]: delete the copied
-    * destination files EXCEPT any the winning commit's manifest
-    * references (resolved to on-disk locations — a shallow-clone
-    * winner's external refs can never collide with our `dstRoot`
-    * copies; a deep-clone winner's relative paths resolve to exactly
-    * the paths we wrote). If the winner's snapshot can't be read,
-    * reclaim NOTHING — leaking vacuum-able orphans is recoverable,
-    * deleting a winner's data files is not.
+    * destination files EXCEPT any the winning CREATE commit (version
+    * 1 — the commit the race was over; rival-added later files live
+    * under their own op dirs and never collide) references, resolved
+    * to on-disk locations — a shallow-clone winner's external refs
+    * can never collide with our `dstRoot` copies; a deep-clone
+    * winner's relative paths resolve to exactly the paths we wrote.
+    * Keying on v1, not the LATEST snapshot, also keeps files the
+    * winner already rewrote out of its head but still retains for
+    * time travel safe (review r16). If the winner's commit can't be
+    * read, reclaim NOTHING — leaking vacuum-able orphans is
+    * recoverable, deleting a winner's data files is not.
     */
   private[tables] def reclaimLostCopies(spark: SparkSession,
       dstPath: String, dstRoot: String, copied: Seq[String]): Unit = {
     val winner: Set[String] =
-      try TxLog.snapshot(spark, dstPath).files
+      try TxLog.snapshot(spark, dstPath, Some(1L)).files
         .map(a => fileUri(dstRoot, a.path)).toSet
       catch { case scala.util.control.NonFatal(_) => return }
     val f = TxLog.fs(spark, dstPath)
@@ -2124,10 +2155,23 @@ object CowTable {
   private def legacyCdcSidecar(spark: SparkSession, loc: String,
       logical: StructType, phys: StructType): Boolean = {
     if (nameTree(phys) == nameTree(logical)) return false
+    // the verdict is a per-sidecar CONSTANT (sidecars are immutable):
+    // memoize so a pinned feed catching up K commits on a renamed
+    // table pays ONE footer read per commit ever, not one per getBatch
+    // (review r16). Bounded: cleared wholesale past 100k entries —
+    // booleans keyed by path, re-sniffing is merely a footer read.
+    val cached = cdcFormatCache.get(loc)
+    if (cached != null) return cached.booleanValue()
     val onDisk = StructType(spark.read.parquet(loc).schema.fields
       .filterNot(_.name == ChangeTypeCol))
-    nameTree(onDisk) != nameTree(phys)
+    val legacy = nameTree(onDisk) != nameTree(phys)
+    if (cdcFormatCache.size() > 100000) cdcFormatCache.clear()
+    cdcFormatCache.put(loc, java.lang.Boolean.valueOf(legacy))
+    legacy
   }
+
+  private val cdcFormatCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
   /** The recursive FIELD-NAME tree of a type (types ignored — parquet
     * inference may differ in nullability): the sidecar-format sniff's
@@ -2238,12 +2282,19 @@ object CowTable {
       snap.retiredPhys.getOrElse(Seq.empty)
 
   /** A physical name for re-adding logical `name`, guaranteed free. */
-  private def freshPhys(name: String, snap: Snapshot): String = {
-    val claimed = claimedPhys(snap)
-    var cand = s"${name}_r${snap.version + 1}"
+  private def freshPhys(name: String, snap: Snapshot): String =
+    freshPhysIn(name, claimedPhys(snap), snap.version)
+
+  /** The one collision-probe rule for fresh physical bindings — both
+    * the top-level and the nested (parent-scoped) paths name through
+    * here, so the naming scheme can never drift between them.
+    */
+  private def freshPhysIn(name: String, claimed: Set[String],
+      version: Long): String = {
+    var cand = s"${name}_r${version + 1}"
     var i = 0
     while (claimed.contains(cand)) {
-      i += 1; cand = s"${name}_r${snap.version + 1}_$i"
+      i += 1; cand = s"${name}_r${version + 1}_$i"
     }
     cand
   }

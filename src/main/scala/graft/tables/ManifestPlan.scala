@@ -197,22 +197,36 @@ object ManifestPlan {
     * a handful of legacy files). Torn-sidecar degrade as everywhere.
     */
   def leanListing(spark: SparkSession, table: String, p: PlannedSnapshot,
-      rootQualified: String): Seq[(String, Long)] = {
-    def fromDf(df: DataFrame): Seq[(String, Long)] = {
-      val rows = df.select(col("path"), col("bytes")).collect()
-      val (have, missing) = rows.partition(r => !r.isNullAt(1))
-      val known = have.toSeq.map(r =>
-        (TxLog.fileLocation(rootQualified, r.getString(0)), r.getLong(1)))
-      if (missing.isEmpty) known
-      else known ++ statBytes(spark, missing.toSeq.map(r =>
-        TxLog.fileLocation(rootQualified, r.getString(0))))
+      rootQualified: String)
+      : Seq[org.apache.spark.sql.graft.ManifestFileIndex.Entry] = {
+    import org.apache.spark.sql.graft.ManifestFileIndex.Entry
+    // the degrade catch scopes the SIDECAR read only — a stat failure
+    // in the bytes back-fill below is a data-file problem, not a torn
+    // sidecar, and must surface as itself (review r16)
+    val rows =
+      try filesDf(spark, table, p).select(col("path"), col("bytes"))
+        .collect()
+      catch { case scala.util.control.NonFatal(e)
+          if p.isDistributed && sidecarDegrade(e) =>
+        logDegrade(table, p.meta.version, e)
+        localDf(spark, TxLog.snapshotPlanned(spark, table,
+            Some(p.meta.version), useCheckpoint = false).meta.files)
+          .select(col("path"), col("bytes")).collect()
+      }
+    val (have, missing) = rows.partition(r => !r.isNullAt(1))
+    val known = have.toSeq.map { r =>
+      val rel = r.getString(0)
+      Entry(TxLog.fileLocation(rootQualified, rel), rel, r.getLong(1))
     }
-    try fromDf(filesDf(spark, table, p))
-    catch { case scala.util.control.NonFatal(e)
-        if p.isDistributed && sidecarDegrade(e) =>
-      logDegrade(table, p.meta.version, e)
-      fromDf(localDf(spark, TxLog.snapshotPlanned(spark, table,
-        Some(p.meta.version), useCheckpoint = false).meta.files))
+    if (missing.isEmpty) known
+    else {
+      val stat = statBytes(spark, missing.toSeq.map(r =>
+        TxLog.fileLocation(rootQualified, r.getString(0)))).toMap
+      known ++ missing.toSeq.map { r =>
+        val rel = r.getString(0)
+        val loc = TxLog.fileLocation(rootQualified, rel)
+        Entry(loc, rel, stat(loc))
+      }
     }
   }
 
@@ -285,6 +299,26 @@ object ManifestPlan {
       val targetPaths = t.map(_.path).toSet
       (t.filterNot(a => headPaths.contains(a.path)),
         h.map(_.path).filterNot(targetPaths.contains))
+    }
+
+  /** [[collectSurvivors]] minus an EXCLUDED path set — broadcast
+    * anti-join above [[MatchesAnyLiteralCap]] paths, so a large
+    * exclusion (e.g. the delete audit's probed set) never rides the
+    * serialized plan as a literal (review r16).
+    */
+  private[tables] def collectSurvivorsExcluding(spark: SparkSession,
+      table: String, p: PlannedSnapshot, pred: Column,
+      except: Set[String]): Seq[AddFile] =
+    collectSurvivorsWith(spark, table, p) { df0 =>
+      val base = df0.filter(pred)
+      if (except.isEmpty) base
+      else if (except.size <= MatchesAnyLiteralCap)
+        base.filter(!col("path").isInCollection(except))
+      else {
+        import spark.implicits._
+        base.join(broadcast(except.toSeq.toDF("path")), Seq("path"),
+          "left_anti")
+      }
     }
 
   private def collectSurvivorsWith(spark: SparkSession, table: String,

@@ -297,13 +297,25 @@ object Bm25Table {
     */
   def compactDf(spark: SparkSession, root: String,
       dfFiles: Int = 8): Unit = {
-    val folded = CowTable.read(spark, pDf(root))
-      .groupBy("term").agg(sum("df").as("df"))
-      .filter(col("df") > 0L)
-      .repartitionByRange(dfFiles, col("term"))
-      .sortWithinPartitions("term")
-    CowTable.overwrite(spark, pDf(root), folded, op = "compact_df")
-    ()
+    // read-modify-overwrite as a CAS on the df table's version: a
+    // concurrent dfDelta fold/delete landing between our read and the
+    // publish must force a RE-DERIVE, or its delta rows would be
+    // removed by the overwrite while absent from the fold — silent df
+    // loss (review r16). Bounded like every optimistic loop here.
+    var tries = 0
+    var done = false
+    while (!done && tries < 10) {
+      val v = TxLog.latestVersion(spark, pDf(root))
+      val folded = CowTable.read(spark, pDf(root), Some(v))
+        .groupBy("term").agg(sum("df").as("df"))
+        .filter(col("df") > 0L)
+        .repartitionByRange(dfFiles, col("term"))
+        .sortWithinPartitions("term")
+      done = CowTable.tryOverwrite(spark, pDf(root), folded, v,
+        op = "compact_df")
+      tries += 1
+    }
+    require(done, s"compactDf($root): lost the commit race 10 times")
   }
 
   /** (doc_id, term, tf, dl): the inverted-index rows with the doc's

@@ -79,8 +79,13 @@ object ColumnBridge {
       case other => Seq(other)
     }
     object A {
+      // TOP-LEVEL single-part names only: a dotted/nested reference
+      // collapsed to its leaf could resolve against an unrelated
+      // top-level column's stats — in the SOUND direction that must
+      // be unrecognized, not guessed (review r16)
       def unapply(n: ColumnNode): Option[String] = n match {
-        case a: UnresolvedAttribute => a.nameParts.lastOption
+        case a: UnresolvedAttribute if a.nameParts.size == 1 =>
+          a.nameParts.headOption
         case _ => None
       }
     }

@@ -40,13 +40,14 @@ import org.apache.spark.sql.types.StructType
 final class ManifestFileIndex(
     root: Path,
     physPartitionSchema: StructType,
-    provider: () => Seq[(String, Long)]) extends FileIndex {
+    provider: () => Seq[ManifestFileIndex.Entry]) extends FileIndex {
+  import ManifestFileIndex.Entry
 
   /** One lean entry per live file. Lazy: computed at first planning
     * use, refreshed on [[refresh]].
     */
-  @volatile private var cached: Seq[(String, Long)] = null
-  private def listing: Seq[(String, Long)] = {
+  @volatile private var cached: Seq[Entry] = null
+  private def listing: Seq[Entry] = {
     if (cached == null) cached = provider()
     cached
   }
@@ -57,18 +58,23 @@ final class ManifestFileIndex(
 
   override def partitionSchema: StructType = physPartitionSchema
 
-  override def sizeInBytes: Long = listing.map(_._2).sum
+  override def sizeInBytes: Long = listing.map(_.bytes).sum
 
-  override def inputFiles: Array[String] = listing.map(_._1).toArray
+  override def inputFiles: Array[String] = listing.map(_.location).toArray
 
-  /** Hive `k=v` fragments of an entry's path (the segments between the
-    * last `/data/` and the file name), unescaped per Spark's rules.
+  /** Hive `k=v` fragments of an entry's RAW manifest path (the
+    * segments between the last `/data/` and the file name), unescaped
+    * per Spark's rules — EXACTLY ONCE, by `parsePathFragment`. The raw
+    * path carries hive escaping only (writeFiles lays it out with
+    * Spark's own escapePathName), so going through a URI decode here
+    * would both crash on legal raw characters (a space in a partition
+    * value) and double-decode `%`-escapes into corrupted values.
     */
-  private def fragmentsOf(location: String): Map[String, String] = {
-    val p = new java.net.URI(location).getPath
-    val i = p.lastIndexOf("/data/")
-    val dir = (if (i >= 0) p.substring(i + "/data/".length) else p)
-      .split('/').dropRight(1).mkString("/")
+  private def fragmentsOf(rawPath: String): Map[String, String] = {
+    val i = rawPath.lastIndexOf("/data/")
+    val dir = (if (i >= 0) rawPath.substring(i + "/data/".length)
+      else rawPath)
+      .split('/').dropRight(1).filter(_.contains('=')).mkString("/")
     if (dir.isEmpty) Map.empty
     else PartitioningUtils.parsePathFragment(dir)
   }
@@ -77,16 +83,17 @@ final class ManifestFileIndex(
 
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    def status(loc: String, len: Long): FileStatus =
-      new FileStatus(len, false, 0, BlockSize, 0L, new Path(loc))
+    def status(e: Entry): FileStatus =
+      new FileStatus(e.bytes, false, 0, BlockSize, 0L,
+        new Path(e.location))
     val dirs: Seq[PartitionDirectory] =
       if (physPartitionSchema.isEmpty)
         Seq(PartitionDirectory(InternalRow.empty,
-          listing.map { case (loc, len) => status(loc, len) }.toArray))
+          listing.map(status).toArray))
       else {
         val zone = java.time.ZoneId.of(
           org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
-        listing.groupBy { case (loc, _) => fragmentsOf(loc) }
+        listing.groupBy(e => fragmentsOf(e.rawPath))
           .toSeq
           .map { case (frags, files) =>
             val values = new GenericInternalRow(
@@ -96,8 +103,7 @@ final class ManifestFileIndex(
                     f.dataType, v, zone))
                   .orNull
               }.asInstanceOf[Array[Any]])
-            PartitionDirectory(values,
-              files.map { case (loc, len) => status(loc, len) }.toArray)
+            PartitionDirectory(values, files.map(status).toArray)
           }
       }
     if (partitionFilters.isEmpty || physPartitionSchema.isEmpty) dirs
@@ -115,6 +121,14 @@ final class ManifestFileIndex(
       dirs.filter(d => bound.eval(d.values))
     }
   }
+}
+
+object ManifestFileIndex {
+  /** One lean listing entry: the resolved on-disk location (Hadoop
+    * Path string form — raw characters, NOT URI-encoded), the RAW
+    * manifest path the hive fragments parse from, and the byte length.
+    */
+  final case class Entry(location: String, rawPath: String, bytes: Long)
 }
 
 /** Builds the physical-schema DataFrame over a [[ManifestFileIndex]]

@@ -566,7 +566,14 @@ class ColumnMappingSpec extends AnyFunSuite {
       // (relOf preserves the source-relative layout) plus — to model a
       // rival of a different source version — one path of its own.
       CowTable.deepClone(spark, t, dst)
-      val winnerFiles = TxLog.snapshot(spark, dst).files.map(_.path)
+      val winnerFiles = TxLog.snapshot(spark, dst, Some(1L)).files
+        .map(_.path)
+      // the winner moved ON after committing: the head no longer
+      // references the v1 files, but they are retained for time
+      // travel — the reclaim keys on the CREATE commit, so they
+      // must still survive the loser (review r16)
+      CowTable.optimize(spark, dst,
+        _.repartitionByRange(2, col("k")).sortWithinPartitions("k"))
       val f = TxLog.fs(spark, dst)
       val dstRoot = f.makeQualified(new org.apache.hadoop.fs.Path(dst))
         .toUri.toString.stripSuffix("/")
@@ -574,9 +581,10 @@ class ColumnMappingSpec extends AnyFunSuite {
       TxLog.writeString(f, new org.apache.hadoop.fs.Path(own), "orphan")
       CowTable.reclaimLostCopies(spark, dst, dstRoot,
         winnerFiles.map(p => s"$dstRoot/$p") :+ own)
-      // the winner's data files survive — the clone reads whole —
-      // while the loser-only orphan was reclaimed
+      // the winner's files survive — head AND the retained v1 both
+      // read whole — while the loser-only orphan was reclaimed
       assert(CowTable.read(spark, dst).count() === 100L)
+      assert(CowTable.read(spark, dst, Some(1L)).count() === 100L)
       assert(!f.exists(new org.apache.hadoop.fs.Path(own)),
         "the loser's non-colliding orphan must be reclaimed")
       // and when the winner's snapshot is unreadable, reclaim NOTHING

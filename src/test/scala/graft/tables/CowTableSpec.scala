@@ -1432,6 +1432,14 @@ class CowTableSpec extends AnyFunSuite {
       val m2 = CowTable.deleteWhereMatchingAny(spark, t, "k",
         Seq("99"), col("v") % 2L === 0L, audit = "stats")
       assert(m2.touchedFiles === 0L)
+      // ...and the SOUND-direction extraction refuses strict ops and
+      // nested references outright (guessing against the wrong
+      // column's stats would fail spuriously)
+      import org.apache.spark.sql.graft.ColumnBridge
+      assert(ColumnBridge.exactRangesTotal(col("k") > 5L).isEmpty)
+      assert(ColumnBridge.exactRangesTotal(col("meta.x") === 5L).isEmpty)
+      assert(ColumnBridge.exactRangesTotal(
+        col("k") === 5L && col("v") >= 2L).isDefined)
     }
   }
 }

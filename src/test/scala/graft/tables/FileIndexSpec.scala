@@ -142,13 +142,61 @@ class FileIndexSpec extends AnyFunSuite {
         // most entries carry NO bytes — the lean listing stat-passes
         // them and the full read still answers exactly
         val rootQ = TxLog.fs(spark, t).makeQualified(
-          new org.apache.hadoop.fs.Path(t)).toUri.toString
-          .stripSuffix("/")
+          new org.apache.hadoop.fs.Path(t)).toString.stripSuffix("/")
         val lean = ManifestPlan.leanListing(spark, t, planned, rootQ)
-        assert(lean.forall(_._2 > 0L), "every entry gets a real length")
+        assert(lean.forall(_.bytes > 0L), "every entry gets a real length")
         assert(CowTable.read(spark, t).count() ===
           200L + 19L + 1L + toInterval)
       }
+    }
+  }
+
+  test("partition values with spaces and percent signs round-trip " +
+      "through the index (raw paths, hive unescaping exactly once)") {
+    withThreshold(3) {
+      withDir { root =>
+        val t = s"$root/t"
+        // 'a b' exercises a RAW space in the directory name (hive
+        // does not escape spaces); '50%off' exercises %-escaping,
+        // which a URI-decoding path would double-decode (review r16)
+        CowTable.create(spark, t,
+          spark.range(90).select(col("id").as("k"),
+            when(col("id") % 3 === 0, lit("a b"))
+              .when(col("id") % 3 === 1, lit("50%off"))
+              .otherwise(lit("plain")).as("p")),
+          Seq("k"), partitionBy = Seq("p"))
+        (1 to 20).foreach(i => CowTable.append(spark, t,
+          Seq((100L + i, "a b")).toDF("k", "p")))
+        assert(TxLog.snapshotPlanned(spark, t).isDistributed)
+        val df = CowTable.read(spark, t)
+        assert(df.groupBy("p").count().orderBy("p").collect()
+          .map(r => (r.getString(0), r.getLong(1))).toSeq ===
+          Seq(("50%off", 30L), ("a b", 50L), ("plain", 30L)))
+        // partition-filter pruning still holds on the escaped value
+        assert(df.filter(col("p") === "50%off").count() === 30L)
+        assert(df.filter(col("p") === "a b").count() === 50L)
+      }
+    }
+  }
+
+  test("tryOverwrite is a CAS: a rival commit between the read and " +
+      "the publish forces a re-derive instead of silently dropping it") {
+    withDir { root =>
+      val t = s"$root/t"
+      CowTable.create(spark, t,
+        spark.range(10).select(col("id").as("k")), Seq("k"))
+      val v = TxLog.latestVersion(spark, t)
+      // rival lands first
+      CowTable.append(spark, t, Seq(99L).toDF("k"))
+      assert(!CowTable.tryOverwrite(spark, t,
+        spark.range(5).select(col("id").as("k")), v))
+      // nothing replaced; the rival's row survives
+      assert(CowTable.read(spark, t).count() === 11L)
+      // at the CURRENT version the swap goes through
+      assert(CowTable.tryOverwrite(spark, t,
+        spark.range(5).select(col("id").as("k")),
+        TxLog.latestVersion(spark, t)))
+      assert(CowTable.read(spark, t).count() === 5L)
     }
   }
 
