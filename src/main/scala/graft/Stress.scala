@@ -2272,11 +2272,44 @@ object Stress {
         lean.foreach(e => require(e != null)) // keep `lean` live past gc
         n
       }
+      timedWarm("txlog1mroll") {
+        // round 16: the every-20-commits checkpoint is a DISTRIBUTED
+        // sidecar-to-sidecar roll — time the commit that lands one at
+        // the full 1M-entry manifest (the old path materialized the
+        // whole fold on the driver here, every interval, forever)
+        var v = TxLog.latestVersion(spark, t)
+        while ((v + 1) % TxLog.CheckpointInterval != 0) {
+          v += 1
+          require(TxLog.tryCommit(spark, t, Commit(v, "append",
+            Seq(AddFile(f"data/tail/part-$v%05d.parquet", 1000L,
+              Map("k" -> ColStats("long", "0", "999", Some(false))),
+              bytes = Some(1024L))), Seq.empty, None, None)))
+        }
+        val t0 = System.nanoTime()
+        v += 1
+        require(TxLog.tryCommit(spark, t, Commit(v, "append",
+          Seq(AddFile(f"data/tail/part-$v%05d.parquet", 1000L,
+            Map("k" -> ColStats("long", "0", "999", Some(false))),
+            bytes = Some(1024L))), Seq.empty, None, None)))
+        val ms = (System.nanoTime() - t0) / 1e6
+        val names = TxLog.fs(spark, t).listStatus(
+          new org.apache.hadoop.fs.Path(t, TxLog.LogDir))
+          .map(_.getPath.getName)
+        require(names.contains(f"$v%020d.checkpoint.json") &&
+          names.contains(f"$v%020d.checkpoint.files.parquet"),
+          "the timed commit must have rolled a sidecar checkpoint")
+        println(f"STRESS txlog 1M checkpoint roll: $ms%.0f ms for the " +
+          "commit that writes the 1M-entry sidecar DISTRIBUTED " +
+          "(base entries never cross the driver)")
+        1000000L
+      }
       timedWarm("txlog1mfold") {
         val base = usedHeap()
         val t0 = System.nanoTime()
         val s = TxLog.snapshot(spark, t)
-        require(s.files.size == 1000000, s"fold lost files: ${s.files.size}")
+        // 1M base + the roll stress's ~20 tail entries
+        require(s.files.size >= 1000000 && s.files.size <= 1000050,
+          s"fold lost files: ${s.files.size}")
         val ms = (System.nanoTime() - t0) / 1e6
         val held = usedHeap() - base
         println(f"STRESS txlog 1M materialized fold: $ms%.0f ms, " +

@@ -394,27 +394,58 @@ object TxLog {
       // version's winner writes its checkpoint, and replacing it with
       // identical content would be harmless anyway.
       try {
-        val snap = backfillCommitTs(spark, table,
-          snapshot(spark, table, Some(commit.version)))
+        val planned = snapshotPlanned(spark, table, Some(commit.version))
+        def sidecarDoc(slim: Snapshot, refName: String): String = {
+          // json4s writes the case class; splice the ref field in
+          import org.json4s.JsonDSL._
+          JsonMethods.compact(JsonMethods.render(
+            Extraction.decompose(slim.copy(files = Seq.empty))
+              .asInstanceOf[JObject] ~ ("filesRef" -> refName)))
+        }
+        val refName = f"${commit.version}%020d.checkpoint.files.parquet"
+        val stageDir = new Path(logPath(table),
+          s".ckptp-${java.util.UUID.randomUUID()}")
+        val dst = new Path(logPath(table), refName)
         val doc =
-          if (snap.files.size < ParquetCheckpointThreshold)
-            Serialization.write(snap)
-          else {
-            // big manifest: entries go to a parquet sidecar, published
-            // atomically (stage dir + rename) BEFORE the JSON that
-            // references it — a reader never sees a dangling ref
-            val refName = f"${commit.version}%020d.checkpoint.files.parquet"
-            val stageDir = new Path(logPath(table),
-              s".ckptp-${java.util.UUID.randomUUID()}")
-            writeFilesParquet(spark, stageDir.toString, snap.files)
-            val dst = new Path(logPath(table), refName)
-            if (!f.rename(stageDir, dst)) f.delete(stageDir, true)
-            val slim = snap.copy(files = Seq.empty)
-            // json4s writes the case class; splice the ref field in
-            import org.json4s.JsonDSL._
-            JsonMethods.compact(JsonMethods.render(
-              Extraction.decompose(slim).asInstanceOf[JObject] ~
-                ("filesRef" -> refName)))
+          if (!planned.isDistributed) {
+            // inline world: the fold is already in hand driver-side
+            val snap = backfillCommitTs(spark, table, planned.meta)
+            if (snap.files.size < ParquetCheckpointThreshold)
+              Serialization.write(snap)
+            else {
+              // first crossing of the threshold: one materialized
+              // sidecar write; every later checkpoint ROLLS (below)
+              writeFilesParquet(spark, stageDir.toString, snap.files)
+              if (!f.rename(stageDir, dst)) f.delete(stageDir, true)
+              sidecarDoc(snap, refName)
+            }
+          } else {
+            // sidecar → sidecar ROLL (round 16): the new checkpoint's
+            // entries are the live algebra `old ∖ removedEver ∪
+            // tailLive` evaluated as a JOB (ManifestPlan.filesDf) and
+            // written straight to the new sidecar — the periodic
+            // every-interval driver materialization the old
+            // `snapshot()` here paid on big tables is gone. Staged +
+            // renamed before the JSON references it, as always. A
+            // mass delete can shrink the table back under the
+            // threshold — the row count (parquet footers, no second
+            // scan) decides, and a small survivor set inlines again.
+            ManifestPlan.filesDf(spark, table, planned)
+              .coalesce(4).write.mode("overwrite")
+              .parquet(stageDir.toString)
+            val n = spark.read.schema(FilesParquetSchema)
+              .parquet(stageDir.toString).count()
+            val slim = backfillCommitTs(spark, table, planned.meta)
+            if (n < ParquetCheckpointThreshold) {
+              val files = spark.read.schema(FilesParquetSchema)
+                .parquet(stageDir.toString).collect()
+                .map(rowToAddFile).toSeq
+              f.delete(stageDir, true)
+              Serialization.write(slim.copy(files = files))
+            } else {
+              if (!f.rename(stageDir, dst)) f.delete(stageDir, true)
+              sidecarDoc(slim, refName)
+            }
           }
         val stage = new Path(logPath(table),
           s".ckpt-${java.util.UUID.randomUUID()}-${commit.version}.tmp")
@@ -454,9 +485,11 @@ object TxLog {
     * Starts from the newest checkpoint ≤ asOf when one exists. For a
     * sidecar-backed checkpoint this MATERIALIZES every manifest entry
     * on the driver — pruning paths use [[snapshotPlanned]] +
-    * [[graft.tables.ManifestPlan]] instead and never pay this on big
-    * tables; full-read/maintenance paths (optimize, restore, vacuum,
-    * overwrite) inherently need the whole list.
+    * [[graft.tables.ManifestPlan]], full reads the manifest-backed
+    * FileIndex, maintenance listings the lean path forms, and
+    * checkpoints ROLL sidecar-to-sidecar (round 16) — the remaining
+    * materializing consumers are clone COMMITS (which publish every
+    * entry by design) and explicit audits.
     */
   def snapshot(spark: SparkSession, table: String,
       asOf: Option[Long] = None): Snapshot = {

@@ -92,6 +92,49 @@ class TxLogCheckpointSpec extends AnyFunSuite {
     }
   }
 
+  test("checkpoints ROLL sidecar-to-sidecar (round 16): successive " +
+      "generations stay exact, and a mass delete shrinks back to the " +
+      "inline form") {
+    sys.props("graft.txlog.parquetCheckpointThreshold") = "3"
+    try {
+      withDir { t =>
+        CowTable.create(spark, t,
+          spark.range(100).select(col("id").as("k"))
+            .repartitionByRange(4, col("k")), Seq("k"))
+        (1 to 45).foreach(i => CowTable.append(spark, t,
+          Seq(100L + i).toDF("k")))                       // v46; ckpts v20, v40
+        val f = TxLog.fs(spark, t)
+        val logDir = new org.apache.hadoop.fs.Path(t, TxLog.LogDir)
+        def sidecars = f.listStatus(logDir).map(_.getPath.getName)
+          .filter(_.endsWith(".checkpoint.files.parquet")).sorted
+        assert(sidecars.toSeq ===
+          Seq(f"${20L}%020d.checkpoint.files.parquet",
+            f"${40L}%020d.checkpoint.files.parquet"),
+          "both checkpoint generations must carry sidecars")
+        // the ROLLED generation (v40 built from v20's sidecar + tail)
+        // answers exactly: head, a pruned read, and time travel below
+        assert(CowTable.read(spark, t).count() === 145L)
+        assert(CowTable.readWhere(spark, t, col("k") === 120L)
+          .count() === 1L)
+        assert(CowTable.read(spark, t, Some(30L)).count() === 129L)
+        // shrink back below the (dynamic) threshold: the ROLL's
+        // survivor count decides, and a small manifest INLINES again
+        // even though the previous generation was sidecar-backed
+        CowTable.deleteWhere(spark, t, col("k") >= 2L)    // v47
+        sys.props("graft.txlog.parquetCheckpointThreshold") = "1000"
+        (1 to 13).foreach(i => CowTable.append(spark, t,
+          Seq(1000L + i).toDF("k")))                      // v60; ckpt v60
+        val ckpt60 = TxLog.readString(f, new org.apache.hadoop.fs.Path(
+          logDir, f"${60L}%020d.checkpoint.json"))
+        assert(!ckpt60.contains("filesRef"),
+          "a shrunken manifest must inline again")
+        assert(CowTable.read(spark, t).count() === 2L + 13L)
+      }
+    } finally {
+      sys.props.remove("graft.txlog.parquetCheckpointThreshold"); ()
+    }
+  }
+
   test("describeHistory pages with bounded I/O: only the requested " +
       "page's commit files are read (round 16)") {
     withDir { t =>
