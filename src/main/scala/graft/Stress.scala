@@ -2303,6 +2303,27 @@ object Stress {
           "(base entries never cross the driver)")
         1000000L
       }
+      timedWarm("txlog1mclone") {
+        // round 16: clone CREATES ride commit adds-sidecars — a
+        // 1M-entry shallow clone is one distributed frame write plus
+        // a small JSON commit, with neither manifest on the driver
+        val dst = s"$root/clone"
+        val base = usedHeap()
+        val t0 = System.nanoTime()
+        tables.CowTable.shallowClone(spark, t, dst)
+        val ms = (System.nanoTime() - t0) / 1e6
+        val held = usedHeap() - base
+        val c1 = TxLog.commitAt(spark, dst, 1L)
+        require(c1.addsRef.isDefined && c1.adds.isEmpty,
+          "a big clone must commit through an adds-sidecar")
+        val n = tables.ManifestPlan.filesDf(spark, dst,
+          TxLog.snapshotPlanned(spark, dst)).count()
+        require(n >= 1000000, s"clone lost entries: $n")
+        println(f"STRESS txlog 1M shallow clone: $ms%.0f ms, " +
+          f"~${held / 1e6}%.0f MB driver heap retained " +
+          "(commit adds-sidecar — neither manifest crosses the driver)")
+        n
+      }
       timedWarm("txlog1mfold") {
         val base = usedHeap()
         val t0 = System.nanoTime()
@@ -2314,7 +2335,7 @@ object Stress {
         val held = usedHeap() - base
         println(f"STRESS txlog 1M materialized fold: $ms%.0f ms, " +
           f"~${held / 1e6}%.0f MB driver heap retained " +
-          "(decoded AddFiles — now only clone commits pay this)")
+          "(decoded AddFiles — only explicit audits pay this now)")
         s.files.length.toLong
       }
       if (rfs.exists(rootP)) { rfs.delete(rootP, true); () }

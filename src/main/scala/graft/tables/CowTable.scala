@@ -1730,7 +1730,8 @@ object CowTable {
       leaseOwner: Option[String] = None): Unit = {
     require(TxLog.latestVersion(spark, dstPath) == 0,
       s"table already exists at $dstPath")
-    val snap = TxLog.snapshot(spark, srcPath, asOfVersion)
+    val psnap = TxLog.snapshotPlanned(spark, srcPath, asOfVersion)
+    val snap = psnap.meta
     // Register the clone LEASE in the source BEFORE the clone commit
     // exists, so a source-side vacuum can never miss an active clone
     // (a crash in between leaves an orphan lease — reclaimable with
@@ -1745,24 +1746,50 @@ object CowTable {
     // and `isExternal` keyed on a leading '/').
     val srcRoot = TxLog.fs(spark, srcPath)
       .makeQualified(new Path(srcPath)).toUri.toString.stripSuffix("/")
-    // a clone of a clone keeps grand-source references as they are —
-    // external entries already carry their own root
-    val adds = snap.files.map(f =>
-      f.copy(path = fileUri(srcRoot, f.path)))
-    val c = Commit(1L, "clone", adds, Seq.empty, Some(snap.schemaDDL),
+    val tableState = (schemaDDL: Option[String]) => Commit(1L, "clone",
+      Seq.empty, Seq.empty, schemaDDL,
       Some(snap.statsCols), None, snap.partitionCols, None,
       constraintsAdd =
         if (snap.checkConstraints.isEmpty) None
         else Some(snap.checkConstraints),
       columnMap = snap.columnMap,
-      retiredPhys = snap.retiredPhys,
-      // a protocol-2 reader keys externality on a leading '/' and
-      // would resolve `file:/...` against the clone root — refuse it
-      // loudly (protocol 1 couldn't read external refs at all)
-      minReader = Some(3))
+      retiredPhys = snap.retiredPhys)
+    val c =
+      if (!psnap.isDistributed) {
+        // a clone of a clone keeps grand-source references as they
+        // are — external entries already carry their own root
+        val adds = snap.files.map(f =>
+          f.copy(path = fileUri(srcRoot, f.path)))
+        // a protocol-2 reader keys externality on a leading '/' and
+        // would resolve `file:/...` against the clone root — refuse
+        // it loudly (protocol 1 couldn't read external refs at all)
+        tableState(Some(snap.schemaDDL))
+          .copy(adds = adds, minReader = Some(3))
+      } else {
+        // sidecar-backed source (round 16): the clone's entries are
+        // the source's planned frame with paths resolved to external
+        // references, written STRAIGHT to a commit adds-sidecar — a
+        // 10⁶⁺-file clone never materializes either side's manifest
+        // on the driver. Protocol 5: an older reader would ignore the
+        // ref and silently read an empty table.
+        val entries = ManifestPlan.filesDf(spark, srcPath, psnap)
+          .withColumn("path",
+            when(isExternalCol(col("path")), col("path"))
+              .otherwise(concat(lit(srcRoot + "/"), col("path"))))
+        val ref = TxLog.writeCommitAddsSidecar(spark, dstPath, 1L,
+          entries)
+        tableState(Some(snap.schemaDDL))
+          .copy(minReader = Some(5), addsRef = Some(ref))
+      }
     require(TxLog.tryCommit(spark, dstPath, c),
       s"concurrent create at $dstPath")
   }
+
+  /** Column twin of [[TxLog.isExternalPath]] — used by the lean clone
+    * writers to resolve manifest paths inside the frame.
+    */
+  private def isExternalCol(p: Column): Column =
+    p.startsWith("/") || p.rlike("^[A-Za-z][A-Za-z0-9+.-]*:/")
 
   /** DEEP CLONE: an independent byte-for-byte COPY of the table at
     * `asOfVersion` — the backup / migration / archival face, and the
@@ -1788,7 +1815,11 @@ object CowTable {
       asOfVersion: Option[Long] = None): Unit = {
     require(TxLog.latestVersion(spark, dstPath) == 0,
       s"table already exists at $dstPath")
-    val snap = TxLog.snapshot(spark, srcPath, asOfVersion)
+    val psnap = TxLog.snapshotPlanned(spark, srcPath, asOfVersion)
+    if (psnap.isDistributed) {
+      deepCloneLean(spark, srcPath, dstPath, psnap); return
+    }
+    val snap = psnap.meta
     // A LEASE protects the copy window (the shallowClone discipline —
     // registered BEFORE any file is read): without it, a concurrent
     // source vacuum could reclaim the snapshot's files mid-copy and
@@ -1893,6 +1924,105 @@ object CowTable {
         sys.error(s"concurrent create at $dstPath (copied files " +
           "reclaimed where the winner doesn't reference them)")
       }
+    } finally { dropCloneLease(spark, srcPath, dstPath); () }
+  }
+
+  /** [[deepClone]] of a SIDECAR-BACKED source (round 16): the copy
+    * pairs and the clone's manifest entries both derive from the
+    * source's PLANNED frame — neither side's manifest ever
+    * materializes on the driver. The copy job streams (src, dst)
+    * pairs straight off the frame; the clone's entries write to a
+    * commit adds-sidecar (protocol 5) with paths re-rooted by the
+    * SAME rules as the driver form (`relOf`): internal entries keep
+    * their layout, external (shallow-clone) references re-root under
+    * their source-relative `data/` suffix — a greedy anchored
+    * `regexp_replace` keys on the LAST `/data/` exactly like the
+    * driver's `lastIndexOf`, and an external entry without a data
+    * root fails loudly before any byte moves.
+    */
+  private def deepCloneLean(spark: SparkSession, srcPath: String,
+      dstPath: String, psnap: TxLog.PlannedSnapshot): Unit = {
+    val snap = psnap.meta
+    writeCloneLease(spark, srcPath, dstPath, snap.version,
+      Some("deep-clone-in-flight"))
+    try {
+      val srcRoot = TxLog.fs(spark, srcPath)
+        .makeQualified(new Path(srcPath)).toUri.toString.stripSuffix("/")
+      val dstRoot = TxLog.fs(spark, dstPath)
+        .makeQualified(new Path(dstPath)).toUri.toString.stripSuffix("/")
+      val ext = isExternalCol(col("path"))
+      val frame = ManifestPlan.filesDf(spark, srcPath, psnap)
+        .withColumn("_src",
+          when(ext, col("path"))
+            .otherwise(concat(lit(srcRoot + "/"), col("path"))))
+        .withColumn("_rel",
+          when(ext, regexp_replace(col("path"), "^.*/data/", "data/"))
+            .otherwise(col("path")))
+        .persist()
+      try {
+        val bad = frame
+          .filter(ext && !col("path").contains("/data/")).limit(1)
+          .collect()
+        require(bad.isEmpty,
+          s"external manifest entry outside any data root: " +
+            s"${bad.headOption.map(_.getString(0)).getOrElse("")}")
+        val conf = org.apache.spark.sql.graft.HadoopConfBridge
+          .broadcast(spark.sparkContext,
+            spark.sessionState.newHadoopConf())
+        // same stage+rename copy discipline as the driver form
+        frame.select(col("_src"),
+            concat(lit(dstRoot + "/"), col("_rel")).as("_dst"))
+          .repartition(math.max(64,
+            spark.sparkContext.defaultParallelism * 2))
+          .foreachPartition {
+            (it: Iterator[org.apache.spark.sql.Row]) =>
+            val c = org.apache.spark.sql.graft.HadoopConfBridge.value(conf)
+            it.foreach { r =>
+              val sp = new Path(r.getString(0))
+              val dp = new Path(r.getString(1))
+              val dfs = dp.getFileSystem(c)
+              if (!dfs.exists(dp)) {
+                val tmp = new Path(dp.getParent,
+                  s".${dp.getName}.${java.util.UUID.randomUUID()}.tmp")
+                dfs.mkdirs(dp.getParent)
+                org.apache.hadoop.fs.FileUtil.copy(
+                  sp.getFileSystem(c), sp, dfs, tmp, false, true, c)
+                if (!dfs.rename(tmp, dp)) {
+                  require(dfs.exists(dp),
+                    s"deep-clone copy publish failed for $dp and no " +
+                      "rival file is present")
+                  dfs.delete(tmp, false); ()
+                }
+              }
+            }
+          }
+        val entries = frame.select(col("_rel").as("path"), col("rows"),
+          col("stats"), col("bytes"))
+        val ref = TxLog.writeCommitAddsSidecar(spark, dstPath, 1L,
+          entries)
+        val c = Commit(1L, "deep_clone", Seq.empty, Seq.empty,
+          Some(snap.schemaDDL), Some(snap.statsCols), None,
+          snap.partitionCols, None,
+          constraintsAdd =
+            if (snap.checkConstraints.isEmpty) None
+            else Some(snap.checkConstraints),
+          columnMap = snap.columnMap,
+          retiredPhys = snap.retiredPhys,
+          minReader = Some(math.max(5,
+            snap.columnMap.map(minReaderFor).getOrElse(1))),
+          addsRef = Some(ref))
+        if (!TxLog.tryCommit(spark, dstPath, c)) {
+          // lost the create race AFTER the copy: lean reclaim — only
+          // the destination path STRINGS cross the driver, and the
+          // winner-aware rule is reclaimLostCopies' as always
+          val copied = frame
+            .select(concat(lit(dstRoot + "/"), col("_rel")))
+            .collect().map(_.getString(0)).toSeq
+          reclaimLostCopies(spark, dstPath, dstRoot, copied)
+          sys.error(s"concurrent create at $dstPath (copied files " +
+            "reclaimed where the winner doesn't reference them)")
+        }
+      } finally { frame.unpersist(blocking = false); () }
     } finally { dropCloneLease(spark, srcPath, dstPath); () }
   }
 

@@ -101,13 +101,12 @@ object Maintenance {
           .toSeq
         (counts.getLong(0), counts.getLong(1), triples)
       } catch { case scala.util.control.NonFatal(e)
-          if ManifestPlan.sidecarDegrade(e) =>
+          if ManifestPlan.sidecarDegrade(e) && !psnap.commitTruthRef =>
         // a sidecar vacuumed mid-scan: degrade to the commit fold —
         // the same NARROW, logged contract as every other ManifestPlan
-        // consumer (non-sidecar failures rethrow)
+        // consumer (non-sidecar failures and commit-truth refs rethrow)
         ManifestPlan.logDegrade(path, snap.version, e)
-        driverInput(TxLog.snapshotPlanned(spark, path,
-          Some(snap.version), useCheckpoint = false).meta.files)
+        driverInput(TxLog.snapshot(spark, path, Some(snap.version)).files)
       }
     val hot =
       if (stats.isEmpty) Seq.empty[HotRange]
@@ -143,10 +142,9 @@ object Maintenance {
             .filter(ManifestPlan.mayOverlap(ph, hr.lo, hr.hi))
             .agg(coalesce(sum("rows"), lit(0L))).collect()(0).getLong(0)
         } catch { case scala.util.control.NonFatal(e)
-            if ManifestPlan.sidecarDegrade(e) =>
+            if ManifestPlan.sidecarDegrade(e) && !psnap.commitTruthRef =>
           ManifestPlan.logDegrade(path, snap.version, e)
-          driverRows(TxLog.snapshotPlanned(spark, path,
-            Some(snap.version), useCheckpoint = false).meta.files)
+          driverRows(TxLog.snapshot(spark, path, Some(snap.version)).files)
         }
       val n = math.max(1L, (rows + targetFileRows - 1) / targetFileRows)
       CowTable.optimizeWhere(spark, path, hr.column, hr.lo, hr.hi,

@@ -92,10 +92,13 @@ object ManifestPlan {
           try spark.read.schema(TxLog.FilesParquetSchema)
             .parquet(TxLog.sidecarLocation(table, ref))
           catch { case scala.util.control.NonFatal(e)
-              if sidecarDegrade(e) =>
+              if sidecarDegrade(e) && !p.commitTruthRef =>
+            // checkpoint sidecars degrade to the fold; a COMMIT
+            // adds-sidecar is the truth — unreadable rethrows (the
+            // guard above). snapshot() materializes either shape.
             logDegrade(table, p.meta.version, e)
-            return localDf(spark, TxLog.snapshotPlanned(spark, table,
-              Some(p.meta.version), useCheckpoint = false).meta.files)
+            return localDf(spark,
+              TxLog.snapshot(spark, table, Some(p.meta.version)).files)
           }
         val alive =
           if (p.removedEver.isEmpty) base
@@ -207,10 +210,11 @@ object ManifestPlan {
       try filesDf(spark, table, p).select(col("path"), col("bytes"))
         .collect()
       catch { case scala.util.control.NonFatal(e)
-          if p.isDistributed && sidecarDegrade(e) =>
+          if p.isDistributed && sidecarDegrade(e) &&
+            !p.commitTruthRef =>
         logDegrade(table, p.meta.version, e)
-        localDf(spark, TxLog.snapshotPlanned(spark, table,
-            Some(p.meta.version), useCheckpoint = false).meta.files)
+        localDf(spark,
+            TxLog.snapshot(spark, table, Some(p.meta.version)).files)
           .select(col("path"), col("bytes")).collect()
       }
     val (have, missing) = rows.partition(r => !r.isNullAt(1))
@@ -261,10 +265,11 @@ object ManifestPlan {
     else
       try filesDf(spark, table, p).select("path").collect()
         .map(_.getString(0)).toSeq
-      catch { case scala.util.control.NonFatal(e) if sidecarDegrade(e) =>
+      catch { case scala.util.control.NonFatal(e)
+          if sidecarDegrade(e) && !p.commitTruthRef =>
         logDegrade(table, p.meta.version, e)
-        TxLog.snapshotPlanned(spark, table, Some(p.meta.version),
-          useCheckpoint = false).meta.files.map(_.path)
+        TxLog.snapshot(spark, table, Some(p.meta.version))
+          .files.map(_.path)
       }
 
   /** RESTORE's delta sets, computed as anti-joins between the two
@@ -288,12 +293,12 @@ object ManifestPlan {
         .collect().map(_.getString(0)).toSeq
       (adds, removes)
     } catch { case scala.util.control.NonFatal(e)
-        if sidecarDegrade(e) =>
+        if sidecarDegrade(e) &&
+          !pHead.commitTruthRef && !pTarget.commitTruthRef =>
       logDegrade(table, pHead.meta.version, e)
       def fold(p: PlannedSnapshot): Seq[AddFile] =
         if (!p.isDistributed) p.meta.files
-        else TxLog.snapshotPlanned(spark, table, Some(p.meta.version),
-          useCheckpoint = false).meta.files
+        else TxLog.snapshot(spark, table, Some(p.meta.version)).files
       val (h, t) = (fold(pHead), fold(pTarget))
       val headPaths = h.map(_.path).toSet
       val targetPaths = t.map(_.path).toSet
@@ -328,13 +333,15 @@ object ManifestPlan {
       build(filesDf(spark, table, p)).collect()
         .map(TxLog.rowToAddFile).toSeq
     catch { case scala.util.control.NonFatal(e)
-        if p.isDistributed && sidecarDegrade(e) =>
-      // torn/vacuumed sidecar → full commit fold, SAME predicate
-      // evaluated over a local frame (no second pruning semantics);
-      // non-sidecar failures rethrow — see the object doc
+        if p.isDistributed && sidecarDegrade(e) &&
+          !p.commitTruthRef =>
+      // torn/vacuumed CHECKPOINT sidecar → full commit fold, SAME
+      // predicate evaluated over a local frame (no second pruning
+      // semantics); non-sidecar failures and commit-truth refs
+      // rethrow — see the object doc
       logDegrade(table, p.meta.version, e)
-      build(localDf(spark, TxLog.snapshotPlanned(spark, table,
-          Some(p.meta.version), useCheckpoint = false).meta.files))
+      build(localDf(spark,
+          TxLog.snapshot(spark, table, Some(p.meta.version)).files))
         .collect().map(TxLog.rowToAddFile).toSeq
     }
 
@@ -347,10 +354,10 @@ object ManifestPlan {
     else
       try filesDf(spark, table, p).count()
       catch { case scala.util.control.NonFatal(e)
-          if sidecarDegrade(e) =>
+          if sidecarDegrade(e) && !p.commitTruthRef =>
         logDegrade(table, p.meta.version, e)
-        TxLog.snapshotPlanned(spark, table, Some(p.meta.version),
-          useCheckpoint = false).meta.files.size.toLong
+        TxLog.snapshot(spark, table, Some(p.meta.version))
+          .files.size.toLong
       }
 
   // ------------------------------------------------- predicate twins

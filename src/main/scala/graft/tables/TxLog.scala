@@ -168,6 +168,18 @@ object TxLog {
     * ignoring an annotation misses a domain-level check, it never
     * misinterprets data).
     */
+  /** `addsRef` (round 16, protocol 5): the commit's adds live in a
+    * parquet SIDECAR under `_txlog/` instead of inline JSON — the
+    * bulk-reference mechanism CLONE CREATES need (a 10⁷-file clone's
+    * v1 would otherwise be a multi-GB JSON document built on the
+    * driver). Constrained to VERSION-1 commits (a mid-log ref-add
+    * could resurrect a previously removed path, which the lazy
+    * set-minus algebra cannot see) and stamped `minReader = 5`: an
+    * older reader ignores the unknown field and would silently read
+    * an EMPTY table. The sidecar is COMMIT TRUTH, not an optimization
+    * — unreadable means corruption (loud), unlike a checkpoint
+    * sidecar's degrade-to-the-fold.
+    */
   final case class Commit(version: Long, op: String, adds: Seq[AddFile],
       removes: Seq[String], schemaDDL: Option[String],
       statsCols: Option[Seq[String]], txn: Option[Txn] = None,
@@ -179,7 +191,8 @@ object TxLog {
       ts: Option[Long] = None,
       columnMap: Option[Map[String, String]] = None,
       retiredPhys: Option[Seq[String]] = None,
-      meta: Option[Map[String, String]] = None)
+      meta: Option[Map[String, String]] = None,
+      addsRef: Option[String] = None)
 
   /** The reader-protocol version THIS engine folds correctly. A commit
     * whose feature an older reader would silently MISINTERPRET (not
@@ -200,9 +213,13 @@ object TxLog {
     * 4 = NESTED column mapping (round 15 — dotted map keys bind
     * struct-internal fields; a v3 reader renames top-level only and
     * would silently null a renamed nested field inside the struct).
-    * Tables whose map stays top-level keep stamping 3.
+    * Tables whose map stays top-level keep stamping 3. 5 = commit
+    * adds-SIDECARS (round 16 — a clone create's entries live in a
+    * parquet sidecar; an older reader ignores the unknown field and
+    * silently reads an EMPTY table). Only sidecar-committed clones
+    * stamp 5.
     */
-  val ReaderVersion: Int = 4
+  val ReaderVersion: Int = 5
 
   /** Folded view of the log at a version. `txns` holds the highest
     * stamped batch version per writer application; `partitionCols` the
@@ -473,12 +490,19 @@ object TxLog {
     */
   final case class PlannedSnapshot(meta: Snapshot,
       sidecarRef: Option[String], tailLive: Seq[AddFile],
-      removedEver: Set[String]) {
+      removedEver: Set[String],
+      refIsCommitTruth: Boolean = false) {
     /** False → `meta.files` is the complete live set (inline
       * checkpoint or no checkpoint) and driver-side pruning is the
       * cheaper path (no job launch).
       */
     def isDistributed: Boolean = sidecarRef.isDefined
+    /** True → `sidecarRef` points at a COMMIT adds-sidecar (a clone
+      * create below any checkpoint): it is part of the log's truth,
+      * so an unreadable ref is CORRUPTION (rethrow), never a
+      * degrade-to-the-fold (there is no fold without it).
+      */
+    def commitTruthRef: Boolean = refIsCommitTruth
   }
 
   /** Fold the log into the live-file set at `asOf` (default: latest).
@@ -492,8 +516,13 @@ object TxLog {
     * entry by design) and explicit audits.
     */
   def snapshot(spark: SparkSession, table: String,
-      asOf: Option[Long] = None): Snapshot = {
-    val p = snapshotPlanned(spark, table, asOf)
+      asOf: Option[Long] = None): Snapshot =
+    materialize(spark, table, asOf,
+      snapshotPlanned(spark, table, asOf), retryFold = true)
+
+  private def materialize(spark: SparkSession, table: String,
+      asOf: Option[Long], p: PlannedSnapshot,
+      retryFold: Boolean): Snapshot =
     p.sidecarRef match {
       case None => p.meta
       case Some(ref) =>
@@ -502,15 +531,19 @@ object TxLog {
             new Path(logPath(table), ref).toString)
           p.meta.copy(files =
             base.filter(a => !p.removedEver.contains(a.path)) ++ p.tailLive)
-        } catch { case scala.util.control.NonFatal(_) =>
-          // torn/vacuumed sidecar: the commits are the truth — degrade
-          // to the full commit fold, same contract as a torn
-          // checkpoint JSON
-          snapshotPlanned(spark, table, asOf,
-            useCheckpoint = false).meta
+        } catch { case scala.util.control.NonFatal(e) =>
+          // a CHECKPOINT sidecar is an optimization — degrade to the
+          // full commit fold; a COMMIT adds-sidecar is the truth (the
+          // fold has nothing without it) — unreadable is corruption,
+          // rethrow. The re-fold may itself carry a commit-truth ref
+          // (a clone create below the torn checkpoint) — one retry,
+          // then its failure is equally loud.
+          if (p.commitTruthRef || !retryFold) throw e
+          materialize(spark, table, asOf,
+            snapshotPlanned(spark, table, asOf, useCheckpoint = false),
+            retryFold = false)
         }
     }
-  }
 
   /** [[snapshot]]'s fold WITHOUT materializing a sidecar-backed
     * checkpoint's entries (see [[PlannedSnapshot]]).
@@ -581,6 +614,10 @@ object TxLog {
     val listed = names.filter(_.matches("\\d{20}\\.json"))
       .map(_.take(20).toLong).toSet
     val removedEver = scala.collection.mutable.Set[String]()
+    // a fold starting BELOW any checkpoint may pick up a commit
+    // adds-sidecar as its base frame (clone creates, protocol 5)
+    var baseRef: Option[String] = sidecarRef
+    var refTruth = false
     var v = ckptV + 1
     while (v <= target) {
       val p = commitPath(table, v)
@@ -607,22 +644,32 @@ object TxLog {
       c.constraintsAdd.foreach(_.foreach { case (k, e) =>
         constraints.update(k, e) })
       c.constraintsDrop.foreach(_.foreach(constraints.remove))
+      c.addsRef.foreach { ref =>
+        require(v == 1,
+          s"commit adds-sidecar at version $v of $table — the format " +
+            "is constrained to CREATE commits (a mid-log ref-add " +
+            "could resurrect a removed path past the lazy set-minus)")
+        // ckptV == 0 here by construction (v == 1 ⇒ the loop started
+        // below any checkpoint)
+        baseRef = Some(ref); refTruth = true
+      }
       c.removes.foreach { r => files.remove(r); removedEver += r }
       c.adds.foreach(a => files.update(a.path, a))
       v += 1
     }
     val folded = files.values.toSeq
     val meta = Snapshot(target,
-      if (sidecarRef.isDefined) Seq.empty else folded,
+      if (baseRef.isDefined) Seq.empty else folded,
       schemaDDL, statsCols,
       if (txns.isEmpty) None else Some(txns.toMap), partitionCols,
       if (constraints.isEmpty) None else Some(constraints.toMap),
       if (minReader <= 1) None else Some(minReader),
       columnMap.filter(_.nonEmpty), retiredPhys.filter(_.nonEmpty),
       if (commitTs.isEmpty) None else Some(commitTs.toMap))
-    PlannedSnapshot(meta, sidecarRef,
-      if (sidecarRef.isDefined) folded else Seq.empty,
-      if (sidecarRef.isDefined) removedEver.toSet else Set.empty)
+    PlannedSnapshot(meta, baseRef,
+      if (baseRef.isDefined) folded else Seq.empty,
+      if (baseRef.isDefined) removedEver.toSet else Set.empty,
+      refIsCommitTruth = refTruth)
   }
 
   /** Sentinel for "this commit exists but carries no audit timestamp"
@@ -683,6 +730,30 @@ object TxLog {
   /** On-disk location of a checkpoint's parquet sidecar. */
   private[tables] def sidecarLocation(table: String, ref: String): String =
     new Path(logPath(table), ref).toString
+
+  /** Stage and publish a COMMIT adds-sidecar for version `v` from a
+    * manifest frame ([[FilesParquetSchema]]); returns the ref name the
+    * commit stamps into [[Commit.addsRef]]. The name carries a UUID so
+    * two clones RACING for the same version never reference each
+    * other's content — the loser's published-but-unreferenced sidecar
+    * is a bounded metadata orphan (one per failed create attempt),
+    * documented rather than swept (a sweepable name pattern would put
+    * the WINNER's referenced sidecar in the same reaper's path).
+    */
+  private[tables] def writeCommitAddsSidecar(spark: SparkSession,
+      table: String, v: Long, entries: DataFrame): String = {
+    val f = fs(spark, table)
+    f.mkdirs(logPath(table))
+    val refName =
+      f"$v%020d.commit.files-${java.util.UUID.randomUUID()}.parquet"
+    val stage = new Path(logPath(table),
+      s".ckptp-${java.util.UUID.randomUUID()}")
+    entries.coalesce(4).write.mode("overwrite").parquet(stage.toString)
+    val dst = new Path(logPath(table), refName)
+    require(f.rename(stage, dst),
+      s"failed to publish commit adds-sidecar $dst")
+    refName
+  }
 
   private def writeFilesParquet(spark: SparkSession, dir: String,
       files: Seq[AddFile]): Unit =
@@ -818,10 +889,9 @@ object TxLog {
           .collect()(0)
         (r.getLong(0), r.getLong(1))
       } catch { case scala.util.control.NonFatal(e)
-          if ManifestPlan.sidecarDegrade(e) =>
+          if ManifestPlan.sidecarDegrade(e) && !p.commitTruthRef =>
         ManifestPlan.logDegrade(table, s.version, e)
-        val files = snapshotPlanned(spark, table, Some(s.version),
-          useCheckpoint = false).meta.files
+        val files = snapshot(spark, table, Some(s.version)).files
         (files.size.toLong, files.map(_.rows).sum)
       }
     // stats/partition columns are stored PHYSICAL; surface the logical

@@ -227,4 +227,95 @@ class FileIndexSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("clone commits ride adds-SIDECARS on sidecar-backed sources " +
+      "(protocol 5): no driver manifest, reads exact, checkpoint " +
+      "absorbs, commit-truth sidecar is loud when torn") {
+    withThreshold(3) {
+      withDir { root =>
+        val src = s"$root/src"
+        CowTable.create(spark, src,
+          spark.range(300).select(col("id").as("k"),
+            (col("id") % 4).as("b"))
+            .repartitionByRange(3, col("k")),
+          Seq("k"), partitionBy = Seq("b"))
+        (1 to 20).foreach(i => CowTable.append(spark, src,
+          Seq((300L + i, i.toLong % 4)).toDF("k", "b")))
+        assert(TxLog.snapshotPlanned(spark, src).isDistributed)
+
+        // SHALLOW clone: v1 carries addsRef, no inline adds, proto 5
+        val sh = s"$root/sh"
+        CowTable.shallowClone(spark, src, sh)
+        val c1 = TxLog.commitAt(spark, sh, 1L)
+        assert(c1.addsRef.isDefined && c1.adds.isEmpty)
+        assert(c1.minReader === Some(5))
+        val pSh = TxLog.snapshotPlanned(spark, sh)
+        assert(pSh.isDistributed && pSh.commitTruthRef)
+        assert(CowTable.read(spark, sh).count() === 320L)
+        assert(CowTable.read(spark, sh).filter(col("b") === 2L)
+          .count() === 80L)
+        // writes flow on the clone; the next checkpoint ROLLS the
+        // commit sidecar + tail into a checkpoint sidecar
+        (1 to 20).foreach(i => CowTable.append(spark, sh,
+          Seq((900L + i, i.toLong % 4)).toDF("k", "b")))
+        assert(CowTable.read(spark, sh).count() === 340L)
+        assert(!TxLog.snapshotPlanned(spark, sh).commitTruthRef,
+          "post-checkpoint plans read the rolled checkpoint sidecar")
+        // time travel BELOW the checkpoint still folds through the
+        // commit sidecar
+        assert(CowTable.read(spark, sh, Some(1L)).count() === 320L)
+
+        // DEEP clone of the sidecar-backed source: own bytes, no
+        // external refs, survives source deletion wholesale
+        val deep = s"$root/deep"
+        CowTable.deepClone(spark, src, deep)
+        val d1 = TxLog.commitAt(spark, deep, 1L)
+        assert(d1.addsRef.isDefined && d1.minReader === Some(5))
+        assert(TxLog.filesAsDf(spark, deep).select("path").collect()
+          .forall(r => !TxLog.isExternalPath(r.getString(0))))
+        CowTable.dropCloneLease(spark, src, sh)
+        val f = TxLog.fs(spark, src)
+        f.delete(new org.apache.hadoop.fs.Path(src), true)
+        assert(CowTable.read(spark, deep).count() === 320L)
+        assert(CowTable.read(spark, deep).filter(col("b") === 1L)
+          .count() === 80L)
+
+        // vacuum never reclaims a commit adds-sidecar
+        CowTable.vacuum(spark, deep, retainVersions = 1, retentionMs = 0)
+        val fd = TxLog.fs(spark, deep)
+        assert(fd.listStatus(new org.apache.hadoop.fs.Path(deep,
+            TxLog.LogDir)).map(_.getPath.getName)
+          .exists(_.contains(".commit.files-")))
+        assert(CowTable.read(spark, deep).count() === 320L)
+
+        // the commit sidecar is TRUTH: torn → loud, never silently
+        // empty (unlike a checkpoint sidecar's degrade)
+        val deep2 = s"$root/deep2"
+        CowTable.deepClone(spark, deep, deep2)
+        fd.listStatus(new org.apache.hadoop.fs.Path(deep2, TxLog.LogDir))
+          .map(_.getPath)
+          .filter(_.getName.contains(".commit.files-"))
+          .foreach(pp => fd.delete(pp, true))
+        intercept[Exception] { CowTable.read(spark, deep2).count() }
+        ()
+      }
+    }
+  }
+
+  test("a commit adds-sidecar above version 1 is refused by the fold " +
+      "(the lazy set-minus cannot order mid-log ref-adds)") {
+    withDir { root =>
+      val t = s"$root/t"
+      CowTable.create(spark, t,
+        spark.range(10).select(col("id").as("k")), Seq("k"))
+      // forge v2 with an addsRef
+      val forged = TxLog.Commit(2L, "forged", Seq.empty, Seq.empty,
+        None, None, minReader = Some(5), addsRef = Some("nope.parquet"))
+      assert(TxLog.tryCommit(spark, t, forged))
+      val e = intercept[IllegalArgumentException] {
+        TxLog.snapshotPlanned(spark, t)
+      }
+      assert(e.getMessage.contains("constrained to CREATE commits"))
+    }
+  }
 }
