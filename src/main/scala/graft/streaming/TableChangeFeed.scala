@@ -366,14 +366,15 @@ class TableChangeSource(sqlContext: SQLContext, path: String,
             }
           })
         } else c.op match {
-          case "create" | "append" | "clone" =>
+          case "create" | "append" | "clone" | "deep_clone" =>
             // pure adds: the commit's rows ARE inserts (a clone's
-            // external references included — the fork's own history
-            // starts with its full contents)
+            // external or copied references included — the fork's own
+            // history starts with its full contents; changesAtPinned
+            // reads sidecar-committed adds too)
             Some(changesOf(v).withColumn(ct, lit("insert")))
           case "compact" | "optimize" =>
             None // layout-only: contents unchanged, nothing to emit
-          case _ if c.adds.isEmpty && c.removes.isEmpty =>
+          case _ if !TxLog.commitHasAdds(c) && c.removes.isEmpty =>
             None // metadata-only (constraint/rename/drop, no-op): silent
           case other => sys.error(
             s"commit $v ($other) of $path carries no CDC — run " +

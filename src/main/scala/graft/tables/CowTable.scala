@@ -1746,8 +1746,8 @@ object CowTable {
     // and `isExternal` keyed on a leading '/').
     val srcRoot = TxLog.fs(spark, srcPath)
       .makeQualified(new Path(srcPath)).toUri.toString.stripSuffix("/")
-    val tableState = (schemaDDL: Option[String]) => Commit(1L, "clone",
-      Seq.empty, Seq.empty, schemaDDL,
+    val tableState = Commit(1L, "clone",
+      Seq.empty, Seq.empty, Some(snap.schemaDDL),
       Some(snap.statsCols), None, snap.partitionCols, None,
       constraintsAdd =
         if (snap.checkConstraints.isEmpty) None
@@ -1762,9 +1762,10 @@ object CowTable {
           f.copy(path = fileUri(srcRoot, f.path)))
         // a protocol-2 reader keys externality on a leading '/' and
         // would resolve `file:/...` against the clone root — refuse
-        // it loudly (protocol 1 couldn't read external refs at all)
-        tableState(Some(snap.schemaDDL))
-          .copy(adds = adds, minReader = Some(3))
+        // it loudly (protocol 1 couldn't read external refs at all);
+        // a NESTED column map raises the floor further (minReaderFor)
+        tableState.copy(adds = adds, minReader = Some(math.max(3,
+          snap.columnMap.map(minReaderFor).getOrElse(1))))
       } else {
         // sidecar-backed source (round 16): the clone's entries are
         // the source's planned frame with paths resolved to external
@@ -1778,8 +1779,7 @@ object CowTable {
               .otherwise(concat(lit(srcRoot + "/"), col("path"))))
         val ref = TxLog.writeCommitAddsSidecar(spark, dstPath, 1L,
           entries)
-        tableState(Some(snap.schemaDDL))
-          .copy(minReader = Some(5), addsRef = Some(ref))
+        tableState.copy(minReader = Some(5), addsRef = Some(ref))
       }
     require(TxLog.tryCommit(spark, dstPath, c),
       s"concurrent create at $dstPath")
@@ -2174,8 +2174,11 @@ object CowTable {
     // and the read itself goes through the FileIndex on sidecar-backed
     // tables (round 16 — no manifest decode).
     (1L to psnap.meta.version).foreach { v =>
-      TxLog.commitAt(spark, path, v).adds.foreach(a =>
-        addedAt.update(a.path.split('/').last, v))
+      // lean path-only form: a protocol-5 clone's v1 names come from
+      // its sidecar's path column, never the decoded AddFiles
+      TxLog.commitAddPaths(spark, path,
+        TxLog.commitAt(spark, path, v)).foreach(p =>
+        addedAt.update(p.split('/').last, v))
     }
     val live = ManifestPlan.livePaths(spark, path, psnap)
       .map(_.split('/').last).toSet
@@ -2196,7 +2199,10 @@ object CowTable {
   def changesAt(spark: SparkSession, path: String, v: Long): DataFrame = {
     val c = TxLog.commitAt(spark, path, v)
     val snap = TxLog.snapshotPlanned(spark, path, Some(v)).meta
-    readFiles(spark, path, snap, c.adds)
+    // commitAdds, not c.adds: a protocol-5 clone's v1 carries its adds
+    // in a sidecar — the feed must ship the fork's full contents, not
+    // a silently empty change set (review r16)
+    readFiles(spark, path, snap, TxLog.commitAdds(spark, path, c))
   }
 
   /** [[changesAt]] restricted to rows matching `cond` — the change
@@ -2212,7 +2218,8 @@ object CowTable {
     val c = TxLog.commitAt(spark, path, v)
     val snap = TxLog.snapshotPlanned(spark, path, Some(v)).meta
     readFiles(spark, path, snap,
-      StatsPredicate.prune(c.adds, cond, snap.physName))
+      StatsPredicate.prune(TxLog.commitAdds(spark, path, c), cond,
+        snap.physName))
       .filter(cond)
   }
 
@@ -2232,8 +2239,9 @@ object CowTable {
       cond: Option[Column] = None): DataFrame = {
     val c = TxLog.commitAt(spark, path, v)
     val schema = StructType.fromDDL(dataDDL)
-    val files = cond.fold(c.adds)(w =>
-      StatsPredicate.prune(c.adds, w, n => colMap.getOrElse(n, n)))
+    val adds = TxLog.commitAdds(spark, path, c)
+    val files = cond.fold(adds)(w =>
+      StatsPredicate.prune(adds, w, n => colMap.getOrElse(n, n)))
     val df = readGrouped(spark, path, schema, files, colMap)
     cond.fold(df)(df.filter(_))
   }

@@ -106,7 +106,8 @@ object Maintenance {
         // the same NARROW, logged contract as every other ManifestPlan
         // consumer (non-sidecar failures and commit-truth refs rethrow)
         ManifestPlan.logDegrade(path, snap.version, e)
-        driverInput(TxLog.snapshot(spark, path, Some(snap.version)).files)
+        driverInput(TxLog.snapshotNoCheckpoint(spark, path,
+          snap.version).files)
       }
     val hot =
       if (stats.isEmpty) Seq.empty[HotRange]
@@ -144,7 +145,8 @@ object Maintenance {
         } catch { case scala.util.control.NonFatal(e)
             if ManifestPlan.sidecarDegrade(e) && !psnap.commitTruthRef =>
           ManifestPlan.logDegrade(path, snap.version, e)
-          driverRows(TxLog.snapshot(spark, path, Some(snap.version)).files)
+          driverRows(TxLog.snapshotNoCheckpoint(spark, path,
+            snap.version).files)
         }
       val n = math.max(1L, (rows + targetFileRows - 1) / targetFileRows)
       CowTable.optimizeWhere(spark, path, hr.column, hr.lo, hr.hi,

@@ -97,8 +97,8 @@ object ManifestPlan {
             // adds-sidecar is the truth — unreadable rethrows (the
             // guard above). snapshot() materializes either shape.
             logDegrade(table, p.meta.version, e)
-            return localDf(spark,
-              TxLog.snapshot(spark, table, Some(p.meta.version)).files)
+            return localDf(spark, TxLog.snapshotNoCheckpoint(spark, table,
+              p.meta.version).files)
           }
         val alive =
           if (p.removedEver.isEmpty) base
@@ -213,8 +213,8 @@ object ManifestPlan {
           if p.isDistributed && sidecarDegrade(e) &&
             !p.commitTruthRef =>
         logDegrade(table, p.meta.version, e)
-        localDf(spark,
-            TxLog.snapshot(spark, table, Some(p.meta.version)).files)
+        localDf(spark, TxLog.snapshotNoCheckpoint(spark, table,
+            p.meta.version).files)
           .select(col("path"), col("bytes")).collect()
       }
     val (have, missing) = rows.partition(r => !r.isNullAt(1))
@@ -268,7 +268,7 @@ object ManifestPlan {
       catch { case scala.util.control.NonFatal(e)
           if sidecarDegrade(e) && !p.commitTruthRef =>
         logDegrade(table, p.meta.version, e)
-        TxLog.snapshot(spark, table, Some(p.meta.version))
+        TxLog.snapshotNoCheckpoint(spark, table, p.meta.version)
           .files.map(_.path)
       }
 
@@ -298,7 +298,8 @@ object ManifestPlan {
       logDegrade(table, pHead.meta.version, e)
       def fold(p: PlannedSnapshot): Seq[AddFile] =
         if (!p.isDistributed) p.meta.files
-        else TxLog.snapshot(spark, table, Some(p.meta.version)).files
+        else TxLog.snapshotNoCheckpoint(spark, table,
+          p.meta.version).files
       val (h, t) = (fold(pHead), fold(pTarget))
       val headPaths = h.map(_.path).toSet
       val targetPaths = t.map(_.path).toSet
@@ -340,8 +341,8 @@ object ManifestPlan {
       // semantics); non-sidecar failures and commit-truth refs
       // rethrow — see the object doc
       logDegrade(table, p.meta.version, e)
-      build(localDf(spark,
-          TxLog.snapshot(spark, table, Some(p.meta.version)).files))
+      build(localDf(spark, TxLog.snapshotNoCheckpoint(spark, table,
+          p.meta.version).files))
         .collect().map(TxLog.rowToAddFile).toSeq
     }
 
@@ -356,7 +357,7 @@ object ManifestPlan {
       catch { case scala.util.control.NonFatal(e)
           if sidecarDegrade(e) && !p.commitTruthRef =>
         logDegrade(table, p.meta.version, e)
-        TxLog.snapshot(spark, table, Some(p.meta.version))
+        TxLog.snapshotNoCheckpoint(spark, table, p.meta.version)
           .files.size.toLong
       }
 

@@ -520,6 +520,18 @@ object TxLog {
     materialize(spark, table, asOf,
       snapshotPlanned(spark, table, asOf), retryFold = true)
 
+  /** The degrade fallback's materialization: the full commit fold,
+    * IGNORING the (just-failed) checkpoint but honoring a commit
+    * adds-sidecar (it is the truth — its failure here is loud). The
+    * degrade paths call this instead of [[snapshot]] so a torn
+    * checkpoint sidecar is never doomed-re-read a second time.
+    */
+  private[tables] def snapshotNoCheckpoint(spark: SparkSession,
+      table: String, v: Long): Snapshot =
+    materialize(spark, table, Some(v),
+      snapshotPlanned(spark, table, Some(v), useCheckpoint = false),
+      retryFold = false)
+
   private def materialize(spark: SparkSession, table: String,
       asOf: Option[Long], p: PlannedSnapshot,
       retryFold: Boolean): Snapshot =
@@ -781,11 +793,36 @@ object TxLog {
     ManifestPlan.filesDf(spark, table,
       snapshotPlanned(spark, table, asOf))
 
-  /** Raw commit `v` (for audits / change inspection). */
+  /** Raw commit `v` (for audits / change inspection). A protocol-5
+    * commit's adds live in its sidecar — consumers that need the ADD
+    * SET use [[commitAdds]]/[[commitAddPaths]], never `c.adds` alone.
+    */
   def commitAt(spark: SparkSession, table: String, v: Long): Commit = {
     val f = fs(spark, table)
     JsonMethods.parse(readString(f, commitPath(table, v))).extract[Commit]
   }
+
+  /** The commit's FULL add set — inline adds, or the adds-sidecar
+    * materialized (data-proportional: the consumers are change feeds
+    * and audits that ship those files' contents anyway). The sidecar
+    * is commit truth: unreadable is loud.
+    */
+  private[graft] def commitAdds(spark: SparkSession, table: String,
+      c: Commit): Seq[AddFile] =
+    c.addsRef.fold(c.adds)(ref =>
+      readFilesParquet(spark, sidecarLocation(table, ref)))
+
+  /** [[commitAdds]]'s lean PATH-only form (provenance's name map). */
+  private[graft] def commitAddPaths(spark: SparkSession, table: String,
+      c: Commit): Seq[String] =
+    c.addsRef.fold(c.adds.map(_.path))(ref =>
+      spark.read.schema(FilesParquetSchema)
+        .parquet(sidecarLocation(table, ref))
+        .select("path").collect().map(_.getString(0)).toSeq)
+
+  /** Does commit `c` add data files at all (inline or by sidecar)? */
+  private[graft] def commitHasAdds(c: Commit): Boolean =
+    c.adds.nonEmpty || c.addsRef.isDefined
 
   /** The change feed's timestamp start: the SMALLEST version whose
     * commit timestamp is ≥ `tsMillis` (a feed "from last Tuesday"
@@ -891,7 +928,7 @@ object TxLog {
       } catch { case scala.util.control.NonFatal(e)
           if ManifestPlan.sidecarDegrade(e) && !p.commitTruthRef =>
         ManifestPlan.logDegrade(table, s.version, e)
-        val files = snapshot(spark, table, Some(s.version)).files
+        val files = snapshotNoCheckpoint(spark, table, s.version).files
         (files.size.toLong, files.map(_.rows).sum)
       }
     // stats/partition columns are stored PHYSICAL; surface the logical
@@ -932,9 +969,25 @@ object TxLog {
     val lo = limit.fold(lo0)(n => math.max(lo0, hi - n + 1))
     (lo to hi).map { v =>
       val c = commitAt(spark, table, v)
+      // sidecar-committed adds (protocol-5 clones) count via ONE
+      // aggregate over the sidecar — the audit must not read a
+      // million-file fork as an empty create
+      val (nAdds, nRows) = c.addsRef match {
+        case None => (c.adds.size.toLong, c.adds.map(_.rows).sum)
+        case Some(ref) =>
+          val r = spark.read.schema(FilesParquetSchema)
+            .parquet(sidecarLocation(table, ref))
+            .agg(org.apache.spark.sql.functions.count(
+              org.apache.spark.sql.functions.lit(1)),
+              org.apache.spark.sql.functions.coalesce(
+                org.apache.spark.sql.functions.sum("rows"),
+                org.apache.spark.sql.functions.lit(0L)))
+            .collect()(0)
+          (r.getLong(0), r.getLong(1))
+      }
       (c.version, c.op,
         c.ts.map(t => new java.sql.Timestamp(t)).orNull,
-        c.adds.size.toLong, c.adds.map(_.rows).sum,
+        nAdds, nRows,
         c.removes.size.toLong, c.txn.map(t => s"${t.app}@${t.version}"))
     }.toDF("version", "op", "timestamp", "files_added", "rows_added",
       "files_removed", "txn")

@@ -254,6 +254,16 @@ class FileIndexSpec extends AnyFunSuite {
         assert(CowTable.read(spark, sh).count() === 320L)
         assert(CowTable.read(spark, sh).filter(col("b") === 2L)
           .count() === 80L)
+        // the change feed ships the fork's FULL initial contents (the
+        // sidecar adds, not the empty inline set), the audit reports
+        // the real counts, and provenance stamps every row v1
+        assert(CowTable.changesAt(spark, sh, 1L).count() === 320L)
+        val h1 = TxLog.describeHistory(spark, sh,
+          toVersion = Some(1L)).collect()(0)
+        assert(h1.getLong(3) > 0L && h1.getLong(4) === 320L,
+          s"history must count sidecar adds, got $h1")
+        assert(CowTable.readWithProvenance(spark, sh)
+          .filter(col(CowTable.ProvenanceCol) === 1L).count() === 320L)
         // writes flow on the clone; the next checkpoint ROLLS the
         // commit sidecar + tail into a checkpoint sidecar
         (1 to 20).foreach(i => CowTable.append(spark, sh,
