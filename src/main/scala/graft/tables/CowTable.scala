@@ -239,9 +239,18 @@ object CowTable {
     // concatenated with raw hive segments mixes encodings (review r16)
     val rootQ = TxLog.fs(spark, path).makeQualified(new Path(path))
       .toString.stripSuffix("/")
+    // pushed data filters prune files by zone map at plan time: the
+    // filters speak PHYSICAL names (the relation's output), and the
+    // stats keys are physical too — identity mapping here
     val idx = new org.apache.spark.sql.graft.ManifestFileIndex(
       new Path(rootQ), physPart,
-      () => ManifestPlan.leanListing(spark, path, psnap, rootQ))
+      () => ManifestPlan.leanListing(spark, path, psnap, rootQ),
+      filters => ManifestPlan.rangesPredicate(
+        org.apache.spark.sql.graft.ColumnBridge
+          .simpleRangesResolved(filters), identity)
+        .map(pred =>
+          ManifestPlan.leanListing(spark, path, psnap, rootQ,
+            pruneWith = Some(pred))))
     val raw = org.apache.spark.sql.graft.ManifestRelation.frame(spark,
       idx, physData, physPart)
     raw.select(conformCols(physFields.toSeq, schema.fields.toSeq,

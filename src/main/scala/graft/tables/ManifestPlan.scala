@@ -200,21 +200,23 @@ object ManifestPlan {
     * a handful of legacy files). Torn-sidecar degrade as everywhere.
     */
   def leanListing(spark: SparkSession, table: String, p: PlannedSnapshot,
-      rootQualified: String)
+      rootQualified: String, pruneWith: Option[Column] = None)
       : Seq[org.apache.spark.sql.graft.ManifestFileIndex.Entry] = {
     import org.apache.spark.sql.graft.ManifestFileIndex.Entry
+    def prune(df: DataFrame): DataFrame =
+      pruneWith.fold(df)(df.filter)
     // the degrade catch scopes the SIDECAR read only — a stat failure
     // in the bytes back-fill below is a data-file problem, not a torn
     // sidecar, and must surface as itself (review r16)
     val rows =
-      try filesDf(spark, table, p).select(col("path"), col("bytes"))
-        .collect()
+      try prune(filesDf(spark, table, p))
+        .select(col("path"), col("bytes")).collect()
       catch { case scala.util.control.NonFatal(e)
           if p.isDistributed && sidecarDegrade(e) &&
             !p.commitTruthRef =>
         logDegrade(table, p.meta.version, e)
-        localDf(spark, TxLog.snapshotNoCheckpoint(spark, table,
-            p.meta.version).files)
+        prune(localDf(spark, TxLog.snapshotNoCheckpoint(spark, table,
+            p.meta.version).files))
           .select(col("path"), col("bytes")).collect()
       }
     val (have, missing) = rows.partition(r => !r.isNullAt(1))
@@ -491,14 +493,21 @@ object ManifestPlan {
     * rules. None = no recognized conjuncts (no pruning — scan all).
     */
   def prunePredicate(cond: Column,
-      phys: String => String): Option[Column] = {
-    val ranges = ColumnBridge.simpleRanges(cond)
+      phys: String => String): Option[Column] =
+    rangesPredicate(ColumnBridge.simpleRanges(cond), phys)
+
+  /** The conjunct-range pruning predicate from ALREADY-EXTRACTED
+    * ranges — shared by the Column path above and the FileIndex's
+    * pushed-filter path ([[ColumnBridge.simpleRangesResolved]]).
+    */
+  def rangesPredicate(
+      ranges: Seq[(String, Option[Any], Option[Any])],
+      phys: String => String): Option[Column] =
     if (ranges.isEmpty) None
     else Some(ranges.map { case (name, lo, hi) =>
       val s = st(phys(name))
       s.isNull || overlapsTyped(s, lo, hi)
     }.reduce(_ && _))
-  }
 
   /** [[prunePredicate]]'s conservative-EXCLUSIVE twin
     * ([[StatsPredicate.pruneForRewrite]]): stats-less and opaque

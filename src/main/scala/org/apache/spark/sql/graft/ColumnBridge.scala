@@ -61,6 +61,59 @@ object ColumnBridge {
     }
   }
 
+  /** [[simpleRanges]] over RESOLVED catalyst Expressions — the form a
+    * `FileIndex.listFiles` receives as pushed data filters (round 16:
+    * zone-map file pruning for the SQL path). Same conservative
+    * contract: top-level `And`s decompose, simple
+    * `attr <op> literal` comparisons yield inclusive ranges, anything
+    * else yields nothing. Literal internal values convert to the
+    * plain-Scala shapes the stats twins dispatch on (`UTF8String` →
+    * `String`); exotic literal types drop (never-prune, conservative).
+    */
+  def simpleRangesResolved(filters: Seq[Expression])
+      : Seq[(String, Option[Any], Option[Any])] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    def cv(l: Literal): Option[Any] = l.value match {
+      case null => None
+      case u: org.apache.spark.unsafe.types.UTF8String =>
+        Some(u.toString)
+      case i: Int => Some(i)
+      case lo: Long => Some(lo)
+      case d: Double => Some(d)
+      case f: Float => Some(f)
+      case s: Short => Some(s)
+      case b: Byte => Some(b)
+      case _ => None
+    }
+    filters.flatMap(conjuncts).flatMap {
+      case EqualTo(a: AttributeReference, l: Literal) =>
+        cv(l).map(v => (a.name, Some(v): Option[Any], Some(v): Option[Any]))
+      case EqualTo(l: Literal, a: AttributeReference) =>
+        cv(l).map(v => (a.name, Some(v): Option[Any], Some(v): Option[Any]))
+      case GreaterThan(a: AttributeReference, l: Literal) =>
+        cv(l).map(v => (a.name, Some(v): Option[Any], None: Option[Any]))
+      case GreaterThanOrEqual(a: AttributeReference, l: Literal) =>
+        cv(l).map(v => (a.name, Some(v): Option[Any], None: Option[Any]))
+      case GreaterThan(l: Literal, a: AttributeReference) =>
+        cv(l).map(v => (a.name, None: Option[Any], Some(v): Option[Any]))
+      case GreaterThanOrEqual(l: Literal, a: AttributeReference) =>
+        cv(l).map(v => (a.name, None: Option[Any], Some(v): Option[Any]))
+      case LessThan(a: AttributeReference, l: Literal) =>
+        cv(l).map(v => (a.name, None: Option[Any], Some(v): Option[Any]))
+      case LessThanOrEqual(a: AttributeReference, l: Literal) =>
+        cv(l).map(v => (a.name, None: Option[Any], Some(v): Option[Any]))
+      case LessThan(l: Literal, a: AttributeReference) =>
+        cv(l).map(v => (a.name, Some(v): Option[Any], None: Option[Any]))
+      case LessThanOrEqual(l: Literal, a: AttributeReference) =>
+        cv(l).map(v => (a.name, Some(v): Option[Any], None: Option[Any]))
+      case _ => None
+    }
+  }
+
   /** TOTAL and EXACT range decomposition — `Some(ranges)` only when
     * the WHOLE predicate is a conjunction of NON-STRICT single-column
     * comparisons (`=`, `>=`, `<=`), `None` otherwise. Unlike

@@ -40,7 +40,9 @@ import org.apache.spark.sql.types.StructType
 final class ManifestFileIndex(
     root: Path,
     physPartitionSchema: StructType,
-    provider: () => Seq[ManifestFileIndex.Entry]) extends FileIndex {
+    provider: () => Seq[ManifestFileIndex.Entry],
+    prunedProvider: Seq[Expression] => Option[Seq[ManifestFileIndex.Entry]]
+      = _ => None) extends FileIndex {
   import ManifestFileIndex.Entry
 
   /** One lean entry per live file. Lazy: computed at first planning
@@ -86,14 +88,22 @@ final class ManifestFileIndex(
     def status(e: Entry): FileStatus =
       new FileStatus(e.bytes, false, 0, BlockSize, 0L,
         new Path(e.location))
+    // pushed DATA filters prune by zone map when the provider
+    // recognizes their conjunct ranges (round 16 — the SQL path gets
+    // the same manifest-level pushdown the explicit readWhere API
+    // has); unrecognized filters fall back to the full listing, and
+    // the pruned listing is per-call (never poisons the cache)
+    val entries =
+      if (dataFilters.isEmpty) listing
+      else prunedProvider(dataFilters).getOrElse(listing)
     val dirs: Seq[PartitionDirectory] =
       if (physPartitionSchema.isEmpty)
         Seq(PartitionDirectory(InternalRow.empty,
-          listing.map(status).toArray))
+          entries.map(status).toArray))
       else {
         val zone = java.time.ZoneId.of(
           org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
-        listing.groupBy(e => fragmentsOf(e.rawPath))
+        entries.groupBy(e => fragmentsOf(e.rawPath))
           .toSeq
           .map { case (frags, files) =>
             val values = new GenericInternalRow(

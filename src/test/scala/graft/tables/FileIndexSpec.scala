@@ -103,6 +103,33 @@ class FileIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("pushed DATA filters prune files by zone map through the " +
+      "index — the SQL path gets manifest pushdown (round 16)") {
+    withDir { root =>
+      val t = s"$root/t"
+      withThreshold(3) { build(t) }
+      // k is range-clustered across the create's 4 files per
+      // partition; a narrow k-band must plan a subset of files and
+      // still answer exactly
+      val df = CowTable.read(spark, t)
+        .filter(col("k") >= 100L && col("k") < 150L)
+      val got = df.agg(sum("k")).head().getLong(0)
+      assert(got === (100L until 150L).sum)
+      val scan = df.queryExecution.executedPlan.collectLeaves()
+        .collectFirst { case f: FileSourceScanExec => f }.get
+      val total = ManifestPlan.livePaths(spark, t,
+        TxLog.snapshotPlanned(spark, t)).size.toLong
+      val scanned = scan.metrics("numFiles").value
+      assert(scanned < total,
+        s"zone-map data filter must prune files ($scanned vs $total)")
+      // ...and through SQL over the TVF face, the same pushdown
+      spark.sql(s"SELECT sum(k) FROM cow_table('$t') " +
+        "WHERE k >= 100 AND k < 150").head().getLong(0) ===
+        (100L until 150L).sum
+      ()
+    }
+  }
+
   test("pre-upgrade manifests (no bytes) back-fill via the stat pass; " +
       "reads keep working on legacy logs") {
     withThreshold(3) {
