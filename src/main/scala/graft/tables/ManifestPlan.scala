@@ -542,8 +542,10 @@ object ManifestPlan {
       phys: String => String): Column =
     ranges.map { case (nm, lo, hi) =>
       val s = st(phys(nm))
-      s.isNotNull && s.getField("nulls") === lit(false) &&
-        containsTyped(s, lo, hi)
+      // NULL-safe: a legacy entry's null `nulls` flag must answer
+      // FALSE (unprovable), never infect the conjunction with NULL
+      coalesce(s.isNotNull && s.getField("nulls") === lit(false) &&
+        containsTyped(s, lo, hi), lit(false))
     }.reduce(_ && _) && col("rows") > lit(0L)
 
   /** `[min, max] ⊆ [lo, hi]` under the file's kind — the sound

@@ -333,6 +333,108 @@ class ManifestPlanSpec extends AnyFunSuite {
       evalAll(files, Seq(ManifestPlan.matchesAny("d", nanVals))).head)
   }
 
+  test("provablyAllMatch is sound-polarity: TRUE only when the driver " +
+      "containment math holds (never wrongly true over randomized " +
+      "stats)") {
+    val files = genFiles(200)
+    val rnd2 = new scala.util.Random(99)
+    def t[A](f: => A): Option[A] = scala.util.Try(f).toOption
+    val cases: Seq[Seq[(String, Option[Any], Option[Any])]] =
+      (0 until 25).map { _ =>
+        (0 until rnd2.nextInt(2) + 1).map { _ =>
+          rnd2.nextInt(3) match {
+            case 0 => ("k", Some(rnd2.nextInt(200) - 100),
+              Some(rnd2.nextInt(200) - 100 + rnd2.nextInt(50)))
+            case 1 => ("d", Some((rnd2.nextInt(200) - 100) / 4.0),
+              Some((rnd2.nextInt(200) - 100 + rnd2.nextInt(40)) / 4.0))
+            case 2 => ("s", Some(Strings(rnd2.nextInt(Strings.size))),
+              Some(Strings(rnd2.nextInt(Strings.size))))
+          }
+        }.map { case (n, lo, hi) =>
+          (n, lo: Option[Any], hi: Option[Any]) }
+      }
+    // driver twin of the containment rule, written independently
+    def driverProvable(f: AddFile,
+        ranges: Seq[(String, Option[Any], Option[Any])]): Boolean =
+      f.rows > 0 && ranges.forall { case (n, lo, hi) =>
+        f.stats.get(n).exists { s =>
+          s.nulls.contains(false) && (s.kind match {
+            case "long" =>
+              val mn = t(s.min.toLong); val mx = t(s.max.toLong)
+              def asL(v: Any) = v match {
+                case i: Int => Some(i.toLong); case l: Long => Some(l)
+                case _ => None }
+              mn.isDefined && mx.isDefined &&
+                lo.forall(v => asL(v).exists(mn.get >= _)) &&
+                hi.forall(v => asL(v).exists(mx.get <= _)) &&
+                lo.forall(v => asL(v).isDefined) &&
+                hi.forall(v => asL(v).isDefined)
+            case "double" =>
+              def asD(v: Any) = v match {
+                case d: Double => Some(d); case fl: Float => Some(fl.toDouble)
+                case _ => None }
+              val mn = s.min.toDouble; val mx = s.max.toDouble
+              !mn.isNaN && !mx.isNaN &&
+                lo.forall(v => asD(v).exists(x => !x.isNaN && mn >= x)) &&
+                hi.forall(v => asD(v).exists(x => !x.isNaN && mx <= x))
+            case "string" =>
+              def asS(v: Any) = v match {
+                case str: String => Some(str); case _ => None }
+              lo.forall(v => asS(v).exists(x =>
+                TxLog.utf8Compare(s.min, x) >= 0)) &&
+                hi.forall(v => asS(v).exists(x =>
+                  TxLog.utf8Compare(s.max, x) <= 0))
+            case _ => false
+          })
+        }
+      }
+    val got = evalAll(files,
+      cases.map(r => ManifestPlan.provablyAllMatch(r, identity)))
+    cases.zip(got).foreach { case (ranges, hits) =>
+      val want = files.filter(driverProvable(_, ranges)).map(_.path).toSet
+      assert(hits === want, s"provablyAllMatch($ranges) drifted")
+    }
+  }
+
+  test("resolved-expression range extraction prunes exactly like the " +
+      "Column form (the FileIndex's pushed-filter path)") {
+    val files = genFiles(150)
+    val conds = Seq(
+      col("k") >= 5L && col("k") < 40L,
+      col("k") === 7L,
+      col("d") > -3.5 && col("s") <= "m",
+      col("s") > "é" && col("k") <= 90L,
+      lit(12L) <= col("k"))
+    conds.foreach { cond =>
+      // resolve the Column against a frame whose SOURCE attributes
+      // carry the relation names (a projection probe would let the
+      // optimizer rewrite the pushed filter to the underlying ids),
+      // then pull the catalyst Filter condition — exactly what
+      // listFiles receives as a pushed data filter
+      val probe = Seq((1L, 1.0d, "a")).toDF("k", "d", "s")
+      // ANALYZED (not optimized — the optimizer constant-folds a
+      // local-relation filter away entirely): resolved attributes,
+      // Filter intact — the shape the scan planner pushes down
+      val resolved = probe.filter(cond).queryExecution.analyzed
+        .collectFirst {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+            f.condition
+        }.getOrElse(fail(s"no Filter for $cond"))
+      val viaExpr = ManifestPlan.rangesPredicate(
+        org.apache.spark.sql.graft.ColumnBridge
+          .simpleRangesResolved(Seq(resolved)), identity)
+      val viaCol = ManifestPlan.prunePredicate(cond, identity)
+      (viaExpr, viaCol) match {
+        case (Some(a), Some(b)) =>
+          val Seq(ga, gb) = evalAll(files, Seq(a, b))
+          assert(ga === gb, s"pushed-filter pruning drifted for $cond")
+          assert(ga.size < files.size,
+            s"$cond should prune something on this manifest")
+        case other => fail(s"extraction shape drifted for $cond: $other")
+      }
+    }
+  }
+
   test("the degrade catch is NARROW: a non-sidecar failure propagates " +
       "out of collectSurvivors instead of silently re-materializing") {
     withThreshold(3) {
