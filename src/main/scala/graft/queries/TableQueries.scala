@@ -844,6 +844,61 @@ object TableQueries {
       |                   false)
       |ORDER BY o_orderkey""".stripMargin
 
+  /** MERGE-ON-READ delete round trip ([[CowTable.deleteWhereDv]],
+    * round 16 — protocol 6): two vector deletes (the second folds refs
+    * on files the first already marked; the predicate goes
+    * three-valued through the same nulled price band as the COW
+    * delete gate), then the head (vectors subtracted at read), v1
+    * time travel (everything back), and the head after [[purgeDv]]
+    * (clean files, identical rows) all pinned by one hash.
+    */
+  def tableDeleteDv(spark: SparkSession, dir: String): DataFrame = {
+    val t = scratch(dir, "deldv")
+    reset(spark, t)
+    val base = Tables.load(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    CowTable.create(spark, t,
+      base.repartitionByRange(8, col("o_orderkey")), Seq("o_orderkey"))
+    CowTable.merge(spark, t,
+      base.filter(col("o_orderkey") % 19 === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          lit(null).cast("double").as("o_totalprice")),
+      Seq("o_orderkey"))                                            // v2
+    CowTable.deleteWhereDv(spark, t,
+      col("o_totalprice") * 2.0d > 300000.0d &&
+        col("o_orderkey") % 3 === 1)                                // v3
+    CowTable.deleteWhereDv(spark, t, col("o_orderkey") % 11 === 5)  // v4
+    def stamped(df: DataFrame, src: String) =
+      df.select(lit(src).as("src"), col("o_orderkey"),
+        col("o_custkey"), col("o_totalprice"))
+    val head = stamped(CowTable.read(spark, t), "head")
+    val v2 = stamped(CowTable.read(spark, t, Some(2L)), "v2")
+    CowTable.purgeDv(spark, t)                                      // v5
+    val purged = stamped(CowTable.read(spark, t), "purged")
+    head.unionByName(v2).unionByName(purged)
+      .orderBy("src", "o_orderkey")
+  }
+
+  val tableDeleteDvSql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_custkey,
+      |    CASE WHEN o_orderkey % 19 = 0 THEN NULL
+      |         ELSE o_totalprice END AS o_totalprice
+      |  FROM orders),
+      |kept AS (
+      |  SELECT * FROM base
+      |  WHERE NOT coalesce(o_totalprice * 2 > 300000
+      |                     AND o_orderkey % 3 = 1, false)
+      |    AND NOT coalesce(o_orderkey % 11 = 5, false))
+      |SELECT * FROM (
+      |  SELECT 'head' AS src, o_orderkey, o_custkey, o_totalprice
+      |  FROM kept
+      |  UNION ALL
+      |  SELECT 'purged', o_orderkey, o_custkey, o_totalprice FROM kept
+      |  UNION ALL
+      |  SELECT 'v2', o_orderkey, o_custkey, o_totalprice FROM base)
+      |ORDER BY src, o_orderkey""".stripMargin
+
   /** UPDATE ... SET ... WHERE round trip: big urgent-band orders get a
     * computed restatement (price-derived SET expression referencing the
     * row's own columns); unmatched rows — including NULL-predicate
@@ -1624,6 +1679,7 @@ object TableQueries {
     "table_rename" -> (tableRename(_, _)),
     "table_rename_nested" -> (tableRenameNested(_, _)),
     "table_evolve_nested" -> (tableEvolveNested(_, _)),
+    "table_delete_dv" -> (tableDeleteDv(_, _)),
     "table_aggmerge" -> (tableAggmerge(_, _)),
     "table_scd2" -> (tableScd2(_, _)),
     "table_partitioned" -> (tablePartitioned(_, _)),
@@ -1660,6 +1716,7 @@ object TableQueries {
     "table_rename" -> tableRenameSql,
     "table_rename_nested" -> tableRenameNestedSql,
     "table_evolve_nested" -> tableEvolveNestedSql,
+    "table_delete_dv" -> tableDeleteDvSql,
     "table_aggmerge" -> Relational.qAggUpsertSql,
     "table_scd2" -> DiffQueries.scd2ApplySql,
     "table_partitioned" -> tablePartitionedSql,

@@ -207,9 +207,13 @@ object CowTable {
     * inline manifests, the manifest-backed FileIndex for sidecar ones.
     */
   private def readFull(spark: SparkSession, path: String,
-      psnap: TxLog.PlannedSnapshot): DataFrame =
-    if (!psnap.isDistributed) readSnapshot(spark, path, psnap.meta)
-    else readViaIndex(spark, path, psnap)
+      psnap: TxLog.PlannedSnapshot,
+      tagFileName: Option[String] = None): DataFrame =
+    if (!psnap.isDistributed)
+      readGrouped(spark, path,
+        StructType.fromDDL(psnap.meta.schemaDDL), psnap.meta.files,
+        psnap.meta.columnMap.getOrElse(Map.empty), tagFileName)
+    else readViaIndex(spark, path, psnap, tagFileName)
 
   /** The FileIndex form of [[readSnapshot]]: one relation over ALL
     * live files (partition values ride the index — no per-data-root
@@ -219,7 +223,8 @@ object CowTable {
     * and degrade-protected ([[ManifestPlan.leanListing]]).
     */
   private def readViaIndex(spark: SparkSession, path: String,
-      psnap: TxLog.PlannedSnapshot): DataFrame = {
+      psnap: TxLog.PlannedSnapshot,
+      tagFileName: Option[String] = None): DataFrame = {
     val snap = psnap.meta
     val schema = StructType.fromDDL(snap.schemaDDL)
     val colMap = snap.columnMap.getOrElse(Map.empty)
@@ -251,10 +256,14 @@ object CowTable {
         .map(pred =>
           ManifestPlan.leanListing(spark, path, psnap, rootQ,
             pruneWith = Some(pred))))
-    val raw = org.apache.spark.sql.graft.ManifestRelation.frame(spark,
+    val raw0 = org.apache.spark.sql.graft.ManifestRelation.frame(spark,
       idx, physData, physPart)
-    raw.select(conformCols(physFields.toSeq, schema.fields.toSeq,
-      pf => s"`${pf.name.replace("`", "``")}`"): _*)
+    val raw = tagFileName.fold(raw0)(n =>
+      raw0.withColumn(n, input_file_name()))
+    applyDv(spark, path, ManifestPlan.dvRefs(spark, path, psnap), raw)
+      .select(conformCols(physFields.toSeq, schema.fields.toSeq,
+        pf => s"`${pf.name.replace("`", "``")}`") ++
+        tagFileName.map(col).toSeq: _*)
   }
 
   /** `AS OF TIMESTAMP` snapshot read: resolves the latest version
@@ -934,8 +943,8 @@ object CowTable {
           // 2. Touched files: candidates holding >=1 matched key. One
           //    semi-join scan over candidates only; the file list is
           //    manifest-sized (driver-safe).
-          val candDf = readFiles(spark, path, snap, candidates)
-            .withColumn("_gf", input_file_name())
+          val candDf = readFilesTagged(spark, path, snap, candidates,
+            "_gf")
           val keyJoin = keys.map(k => candDf(k) <=> upData(k)).reduce(_ && _)
           // input_file_name returns a URI: one java.net.URI decode
           // restores the ON-DISK path (hive-escaped partition dirs
@@ -1175,6 +1184,164 @@ object CowTable {
     }
   }
 
+  /** DELETE WHERE as MERGE-ON-READ (DELETION VECTORS, round 16 —
+    * protocol 6): matching rows are MARKED, never rewritten — the
+    * probe scan writes (relative path, row index) pairs to a `_dv/`
+    * sidecar and ONE metadata-class commit re-adds the touched
+    * entries pointing at it (live `rows` decremented; a fully-emptied
+    * file drops out entirely). Reads subtract the vectors with one
+    * broadcast anti-join; every rewriting op (merge / optimize /
+    * compact / [[purgeDv]]) reads vectors-applied and emits clean
+    * files, so vectors drain naturally as the table churns.
+    *
+    * WHEN to prefer this over [[deleteWhere]] (copy-on-write): the
+    * write cost is O(matching ROWS), not O(touched FILES) — a GDPR
+    * single-row delete against 1 GB files writes a few hundred bytes
+    * instead of re-encoding gigabytes. The price is a per-read
+    * anti-join against the standing vectors; once vectors cover a
+    * meaningful row fraction, [[purgeDv]] (or any optimize) rewrites
+    * them away. Repeated vector deletes on one file fold their pairs
+    * (the re-add replaces the ref wholesale — one vector per file,
+    * ever). External (shallow-clone) references are refused loudly —
+    * vectors key on table-relative paths; materialize first. Readers
+    * below protocol 6 are refused: they would silently RESURRECT the
+    * deleted rows.
+    */
+  def deleteWhereDv(spark: SparkSession, path: String, cond: Column,
+      cdc: Boolean = false): RewriteMetrics = {
+    var result: Option[RewriteMetrics] = None
+    retrying(s"delete-dv on $path") {
+      val psnap = TxLog.snapshotPlanned(spark, path)
+      val snap = psnap.meta
+      val candidates =
+        if (!psnap.isDistributed)
+          StatsPredicate.prune(snap.files, cond, snap.physName)
+        else prunedDistributed(spark, path, psnap,
+          ManifestPlan.prunePredicate(cond, snap.physName))
+      require(candidates.forall(f => !isExternal(f.path)),
+        "deletion vectors key on table-relative paths — materialize " +
+          "the clone (optimize) or use the copy-on-write deleteWhere " +
+          "for external references")
+      lazy val totalFiles = ManifestPlan.fileCount(spark, path, psnap)
+      if (candidates.isEmpty) {
+        result = Some(RewriteMetrics(snap.version, 0, 0, totalFiles,
+          0, 0))
+        true
+      } else {
+        // probe WITH row positions, existing vectors applied (a row
+        // must never decrement the live counts twice); the predicate
+        // evaluates over the conformed LOGICAL view
+        val probe = readFilesMeta(spark, path, snap, candidates)
+          .filter(coalesce(cond, lit(false)))
+          .persist()
+        try {
+          val perFile = probe.groupBy("__gf_rel")
+            .agg(count(lit(1)).as("n")).collect()
+            .map(r => r.getString(0) -> r.getLong(1)).toMap
+          if (perFile.isEmpty) {
+            result = Some(RewriteMetrics(snap.version,
+              candidates.size.toLong, 0, totalFiles, 0, 0))
+            true
+          } else {
+            val touched = candidates.filter(f => perFile.contains(f.path))
+            val ref = s"_dv/${java.util.UUID.randomUUID()}"
+            val newPairs = probe.select(
+              col("__gf_rel").as("rel_path"),
+              col("__gf_ri").as("row_index"))
+            // the re-add replaces each file's ref WHOLESALE: fold the
+            // touched files' existing pairs into the new vector
+            val oldRefs = touched.flatMap(_.dv).distinct
+            val pairs =
+              if (oldRefs.isEmpty) newPairs
+              else newPairs.unionByName(
+                spark.read.schema(DvSchema)
+                  .parquet(oldRefs.map(r => s"$path/$r"): _*)
+                  .filter(col("rel_path")
+                    .isInCollection(touched.map(_.path))))
+            pairs.write.parquet(s"$path/$ref")
+            val cdcDir = if (!cdc) None else Some(writeCdcDir(spark,
+              path, probe.drop("__gf_rel", "__gf_ri")
+                .withColumn(ChangeTypeCol, lit("delete")),
+              snap.columnMap.getOrElse(Map.empty)))
+            val readds = touched.flatMap { f =>
+              val left = f.rows - perFile(f.path)
+              if (left <= 0) None
+              else Some(f.copy(rows = left, dv = Some(ref)))
+            }
+            val committed = TxLog.tryCommit(spark, path,
+              Commit(snap.version + 1, "delete_dv", readds,
+                touched.map(_.path), None, None, None, None, cdcDir,
+                minReader = Some(6)))
+            if (committed)
+              result = Some(RewriteMetrics(snap.version + 1,
+                candidates.size.toLong, touched.size.toLong,
+                totalFiles - touched.size,
+                touched.map(_.rows).sum, readds.map(_.rows).sum))
+            committed
+          }
+        } finally { probe.unpersist(blocking = false); () }
+      }
+    }
+    result.get
+  }
+
+  /** Rewrite every vector-carrying file CLEAN — the lazy compaction
+    * that drains [[deleteWhereDv]]'s read-side debt (any optimize or
+    * merge touching the files does the same as a side effect).
+    * Returns the number of files rewritten.
+    */
+  def purgeDv(spark: SparkSession, path: String): Long = {
+    var n = 0L
+    retrying(s"purge-dv $path") {
+      val psnap = TxLog.snapshotPlanned(spark, path)
+      val snap = psnap.meta
+      val sel =
+        if (!psnap.isDistributed) snap.files.filter(_.dv.isDefined)
+        else ManifestPlan.collectSurvivors(spark, path, psnap,
+          col("dv").isNotNull)
+      n = sel.size.toLong
+      if (sel.isEmpty) true
+      else {
+        val out = readFiles(spark, path, snap, sel)
+          .select(readSchemaCols(snap).map(col): _*)
+        val adds = writeFiles(spark, path, out, snap.statsCols,
+          snap.partitionCols.getOrElse(Seq.empty),
+          colMap = snap.columnMap.getOrElse(Map.empty))
+        TxLog.tryCommit(spark, path, Commit(snap.version + 1,
+          "purge_dv", adds, sel.map(_.path), None, None))
+      }
+    }
+    n
+  }
+
+  /** [[readFiles]] carrying the scan-side (relative path, row index)
+    * as `__gf_rel`/`__gf_ri` through the conformance — the
+    * deletion-vector probe's read (existing vectors applied, like any
+    * read).
+    */
+  private def readFilesMeta(spark: SparkSession, path: String,
+      snap: Snapshot, files: Seq[AddFile]): DataFrame = {
+    val schema = StructType.fromDDL(snap.schemaDDL)
+    val colMap = snap.columnMap.getOrElse(Map.empty)
+    val physFields = schema.fields.map(physField(_, colMap, ""))
+    val physSchema = StructType(physFields)
+    val dvRefs = files.flatMap(_.dv).distinct
+    val frames = files.groupBy(f => dataRootOf(path, f.path))
+      .toSeq.sortBy(_._1)
+      .map { case (root, fs) =>
+        applyDv(spark, path, dvRefs,
+          spark.read.schema(physSchema)
+            .option("basePath", root)
+            .parquet(fs.map(f => fileUri(path, f.path)): _*)
+            .withColumn("__gf_rel", scanRelPath)
+            .withColumn("__gf_ri", col("_metadata.row_index")))
+      }
+    frames.reduce(_ unionByName _)
+      .select(conformCols(physFields.toSeq, schema.fields.toSeq,
+        pf => s"`${pf.name.replace("`", "``")}`") ++
+        Seq(col("__gf_rel"), col("__gf_ri")): _*)
+  }
+
   /** UPDATE ... SET `set` WHERE `cond` — rows where the predicate is
     * TRUE get each `set` column replaced by its expression (which may
     * reference the row's current columns); FALSE and NULL rows pass
@@ -1233,8 +1400,7 @@ object CowTable {
       val hconf = spark.sessionState.newHadoopConf()
       val byAbs: Map[String, AddFile] =
         candidates.map(f => entryKey(hconf, path, f.path) -> f).toMap
-      val touched = readFiles(spark, path, snap, candidates)
-        .withColumn("_gf", input_file_name())
+      val touched = readFilesTagged(spark, path, snap, candidates, "_gf")
         .filter(coalesce(cond, lit(false)))
         .select("_gf").distinct().collect()
         .map { r =>
@@ -1566,6 +1732,28 @@ object CowTable {
       val newest = (d.getModificationTime +:
         walk(d.getPath).map(_.getModificationTime)).max
       if (!cdcKeep.contains(rel) && newest <= horizon) {
+        if (dryRun) deleted += rel
+        else try { f.delete(d.getPath, true); deleted += rel }
+        catch { case _: java.io.IOException => () }
+      }
+    }
+    // Deletion vectors: reclaim _dv dirs referenced by NO retained
+    // version's manifest, behind the same age gate (a fresh
+    // unreferenced vector may be a delete-in-progress). Lean: the
+    // per-version refs come off the planned frames.
+    val dvKeep = (math.max(1, latest - retainVersions + 1) to latest)
+      .flatMap(v => scala.util.Try(ManifestPlan.dvRefs(spark, path,
+        TxLog.snapshotPlanned(spark, path, Some(v)))).getOrElse(Seq.empty))
+      .toSet
+    val dvRoot = new Path(path, "_dv")
+    val dvDirs =
+      try { if (f.exists(dvRoot)) f.listStatus(dvRoot).toSeq else Seq.empty }
+      catch { case _: java.io.IOException => Seq.empty }
+    dvDirs.foreach { d =>
+      val rel = s"_dv/${d.getPath.getName}"
+      val newest = (d.getModificationTime +:
+        walk(d.getPath).map(_.getModificationTime)).max
+      if (!dvKeep.contains(rel) && newest <= horizon) {
         if (dryRun) deleted += rel
         else try { f.delete(d.getPath, true); deleted += rel }
         catch { case _: java.io.IOException => () }
@@ -2194,11 +2382,11 @@ object CowTable {
     import spark.implicits._
     val nameToV = addedAt.toSeq.filter(p => live.contains(p._1))
       .toDF("_gf_name", ProvenanceCol)
-    readFull(spark, path, psnap)
+    readFull(spark, path, psnap, tagFileName = Some("_gf_file"))
       .withColumn("_gf_name",
-        element_at(split(input_file_name(), "/"), -1))
+        element_at(split(col("_gf_file"), "/"), -1))
       .join(broadcast(nameToV), "_gf_name")
-      .drop("_gf_name")
+      .drop("_gf_name", "_gf_file")
   }
 
   /** Rows ADDED by commit `v` (the file-level change feed; for merges
@@ -2552,6 +2740,16 @@ object CowTable {
     readGrouped(spark, path, StructType.fromDDL(snap.schemaDDL), files,
       snap.columnMap.getOrElse(Map.empty))
 
+  /** [[readFiles]] with the scanned file's name surfaced as `tag` —
+    * see [[readGrouped]]'s tagFileName contract (never add
+    * `input_file_name()` on top of a table read yourself: a
+    * deletion-vector join makes it ambiguous).
+    */
+  private def readFilesTagged(spark: SparkSession, path: String,
+      snap: Snapshot, files: Seq[AddFile], tag: String): DataFrame =
+    readGrouped(spark, path, StructType.fromDDL(snap.schemaDDL), files,
+      snap.columnMap.getOrElse(Map.empty), tagFileName = Some(tag))
+
   /** Read manifest entries under an explicit schema, grouped by their
     * owning partition root: basePath makes the hive-style `col=value`
     * segments of a partitioned layout parse back into columns even
@@ -2612,13 +2810,59 @@ object CowTable {
     case other => other
   }
 
+  /** The deletion-vector row schema: the owning file's MANIFEST
+    * relative path + the deleted row's index within it.
+    */
+  private[tables] val DvSchema =
+    StructType.fromDDL("rel_path STRING, row_index BIGINT")
+
+  /** The scan-side twin of a manifest entry's relative path:
+    * `_metadata.file_path` is URI-ENCODED (hive-escaped dirs arrive
+    * re-encoded, spaces as %20) — ONE `url_decode` undoes exactly that
+    * layer, and the greedy anchored replace keys on the LAST `/data/`
+    * like every other rel-path rule in the engine.
+    */
+  private def scanRelPath: Column =
+    url_decode(regexp_replace(col("_metadata.file_path"),
+      "^.*/data/", "data/"))
+
+  /** Subtract the files' DELETION VECTORS from a file-scan frame —
+    * must run directly over the scan (metadata columns resolve at the
+    * file relation, not through unions): one broadcast LEFT ANTI join
+    * on (relative path, row index). No-op when no file carries a
+    * vector, so undeleted tables pay nothing.
+    */
+  private def applyDv(spark: SparkSession, path: String,
+      refs: Seq[String], frame: DataFrame): DataFrame =
+    if (refs.isEmpty) frame
+    else {
+      val dv = spark.read.schema(DvSchema)
+        .parquet(refs.distinct.map(r => s"$path/$r"): _*)
+      frame
+        .withColumn("__gf_dvrel", scanRelPath)
+        .withColumn("__gf_dvri", col("_metadata.row_index"))
+        .join(broadcast(dv),
+          col("__gf_dvrel") === col("rel_path") &&
+            col("__gf_dvri") === col("row_index"), "left_anti")
+        .drop("__gf_dvrel", "__gf_dvri")
+    }
+
+  /** `tagFileName`: surface `input_file_name()` as the named column,
+    * computed AT THE SCAN — after the deletion-vector anti-join the
+    * plan holds two file sources and the expression would be
+    * ambiguous (callers must never add it themselves on top of a
+    * table read).
+    */
   private def readGrouped(spark: SparkSession, path: String,
       schema: StructType, files: Seq[AddFile],
-      colMap: Map[String, String] = Map.empty): DataFrame = {
-    if (files.isEmpty)
+      colMap: Map[String, String] = Map.empty,
+      tagFileName: Option[String] = None): DataFrame = {
+    if (files.isEmpty) {
+      val out = StructType(schema.fields ++ tagFileName.map(n =>
+        StructField(n, StringType, nullable = true)))
       spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else {
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], out)
+    } else {
       // files store PHYSICAL column names (column mapping): read under
       // the physical schema, then surface logical names. A column whose
       // physical name a file predates (fresh-phys re-add) reads null —
@@ -2626,16 +2870,21 @@ object CowTable {
       // dropped-then-readded column can never resurrect old values.
       val physFields = schema.fields.map(physField(_, colMap, ""))
       val physSchema = StructType(physFields)
+      val dvRefs = files.flatMap(_.dv).distinct
       val frames = files.groupBy(f => dataRootOf(path, f.path))
         .toSeq.sortBy(_._1)
         .map { case (root, fs) =>
-          spark.read.schema(physSchema)
+          val raw0 = spark.read.schema(physSchema)
             .option("basePath", root)
             .parquet(fs.map(f => fileUri(path, f.path)): _*)
+          applyDv(spark, path, dvRefs,
+            tagFileName.fold(raw0)(n =>
+              raw0.withColumn(n, input_file_name())))
         }
       frames.reduce(_ unionByName _)
         .select(conformCols(physFields.toSeq, schema.fields.toSeq,
-          pf => s"`${pf.name.replace("`", "``")}`"): _*)
+          pf => s"`${pf.name.replace("`", "``")}`") ++
+          tagFileName.map(col).toSeq: _*)
     }
   }
 

@@ -274,6 +274,22 @@ object ManifestPlan {
           .files.map(_.path)
       }
 
+  /** Distinct DELETION-VECTOR refs of the live manifest — lean (a
+    * handful of strings) for the FileIndex read path's DV subtraction.
+    */
+  def dvRefs(spark: SparkSession, table: String,
+      p: PlannedSnapshot): Seq[String] =
+    if (!p.isDistributed) p.meta.files.flatMap(_.dv).distinct
+    else
+      try filesDf(spark, table, p).filter(col("dv").isNotNull)
+        .select("dv").distinct().collect().map(_.getString(0)).toSeq
+      catch { case scala.util.control.NonFatal(e)
+          if sidecarDegrade(e) && !p.commitTruthRef =>
+        logDegrade(table, p.meta.version, e)
+        TxLog.snapshotNoCheckpoint(spark, table, p.meta.version)
+          .files.flatMap(_.dv).distinct
+      }
+
   /** RESTORE's delta sets, computed as anti-joins between the two
     * versions' planned manifests: only the files the restore actually
     * re-adds cross the driver DECODED (they go into the commit), and

@@ -78,8 +78,17 @@ object TxLog {
     * (additive JSON evolution — [[graft.ManifestFileIndex]] back-fills
     * those with ONE distributed stat pass).
     */
+  /** `dv` (round 16, protocol 6): table-relative location of the
+    * file's DELETION VECTOR — a parquet sidecar of (rel_path,
+    * row_index) pairs under `_dv/` that reads subtract (merge-on-read:
+    * a small delete marks rows instead of rewriting a 1 GB file; see
+    * [[CowTable.deleteWhereDv]]). None = no deleted rows. `rows` is
+    * the LIVE count (decremented as the vector grows); `stats` stay
+    * those of the written file — conservative, never wrong.
+    */
   final case class AddFile(path: String, rows: Long,
-      stats: Map[String, ColStats], bytes: Option[Long] = None)
+      stats: Map[String, ColStats], bytes: Option[Long] = None,
+      dv: Option[String] = None)
 
   final case class ColStats(kind: String, min: String, max: String,
       nulls: Option[Boolean] = None) {
@@ -217,9 +226,11 @@ object TxLog {
     * adds-SIDECARS (round 16 — a clone create's entries live in a
     * parquet sidecar; an older reader ignores the unknown field and
     * silently reads an EMPTY table). Only sidecar-committed clones
-    * stamp 5.
+    * stamp 5. 6 = DELETION VECTORS (round 16 — an entry's `dv` names
+    * rows reads must subtract; an older reader would ignore it and
+    * RESURRECT deleted rows). Only dv-attaching commits stamp 6.
     */
-  val ReaderVersion: Int = 5
+  val ReaderVersion: Int = 6
 
   /** Folded view of the log at a version. `txns` holds the highest
     * stamped batch version per writer application; `partitionCols` the
@@ -714,20 +725,20 @@ object TxLog {
     org.apache.spark.sql.types.StructType.fromDDL(
       "path STRING, rows BIGINT, " +
         "stats MAP<STRING, STRUCT<kind: STRING, min: STRING, max: STRING, " +
-        "nulls: BOOLEAN>>, bytes BIGINT")
+        "nulls: BOOLEAN>>, bytes BIGINT, dv STRING")
 
   private[graft] def manifestRows(
       files: Seq[AddFile]): Seq[org.apache.spark.sql.Row] =
     files.map(a => org.apache.spark.sql.Row(a.path, a.rows,
       a.stats.map { case (c, s) =>
         c -> org.apache.spark.sql.Row(s.kind, s.min, s.max, s.nulls.orNull)
-      }, a.bytes.map(Long.box).orNull))
+      }, a.bytes.map(Long.box).orNull, a.dv.orNull))
 
-  /** Decode one (path, rows, stats, bytes) manifest row — the inverse
-    * of [[manifestRows]], shared by the sidecar reader and
-    * [[graft.tables.ManifestPlan]]'s survivor collection. `bytes` is
-    * null for entries written before round 16 (parquet fills the
-    * missing column).
+  /** Decode one (path, rows, stats, bytes, dv) manifest row — the
+    * inverse of [[manifestRows]], shared by the sidecar reader and
+    * [[graft.tables.ManifestPlan]]'s survivor collection. `bytes`/`dv`
+    * are null for entries written before they existed (parquet fills
+    * the missing columns).
     */
   private[graft] def rowToAddFile(r: org.apache.spark.sql.Row): AddFile = {
     val stats = r.getMap[String, org.apache.spark.sql.Row](2)
@@ -736,7 +747,8 @@ object TxLog {
         c -> ColStats(s.getString(0), s.getString(1), s.getString(2),
           if (s.isNullAt(3)) None else Some(s.getBoolean(3)))
       }.toMap,
-      if (r.isNullAt(3)) None else Some(r.getLong(3)))
+      if (r.isNullAt(3)) None else Some(r.getLong(3)),
+      if (r.isNullAt(4)) None else Some(r.getString(4)))
   }
 
   /** On-disk location of a checkpoint's parquet sidecar. */

@@ -76,7 +76,8 @@ class TxLogCheckpointSpec extends AnyFunSuite {
         spark.range(100).select(col("id").as("k"), (col("id") % 3).as("v"))
           .repartitionByRange(4, col("k")), Seq("k"))
       val df = TxLog.filesAsDf(spark, t)
-      assert(df.columns.toSeq === Seq("path", "rows", "stats", "bytes"))
+      assert(df.columns.toSeq ===
+        Seq("path", "rows", "stats", "bytes", "dv"))
       assert(df.count() === 4L)
       assert(df.agg(sum("rows")).head().getLong(0) === 100L)
       // byte lengths recorded at write time (round 16) match the disk
