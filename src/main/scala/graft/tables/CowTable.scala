@@ -215,7 +215,7 @@ object CowTable {
         psnap.meta.columnMap.getOrElse(Map.empty), tagFileName)
     else readViaIndex(spark, path, psnap, tagFileName)
 
-  /** The FileIndex form of [[readSnapshot]]: one relation over ALL
+  /** The FileIndex form of the full-snapshot read: one relation over ALL
     * live files (partition values ride the index — no per-data-root
     * basePath grouping needed, so clone-external and own entries
     * coexist), read under the PHYSICAL schema and conformed to logical
@@ -260,7 +260,13 @@ object CowTable {
       idx, physData, physPart)
     val raw = tagFileName.fold(raw0)(n =>
       raw0.withColumn(n, input_file_name()))
-    applyDv(spark, path, ManifestPlan.dvRefs(spark, path, psnap), raw)
+    // protocol 6 is stamped by every dv-attaching commit and the fold
+    // keeps the max, so tables below it PROVABLY carry no vectors —
+    // the common case pays no ref-listing job (review r16)
+    val refs =
+      if (!snap.minReader.exists(_ >= 6)) Seq.empty[String]
+      else ManifestPlan.dvRefs(spark, path, psnap)
+    applyDv(spark, path, refs, raw)
       .select(conformCols(physFields.toSeq, schema.fields.toSeq,
         pf => s"`${pf.name.replace("`", "``")}`") ++
         tagFileName.map(col).toSeq: _*)
@@ -1741,9 +1747,11 @@ object CowTable {
     // version's manifest, behind the same age gate (a fresh
     // unreferenced vector may be a delete-in-progress). Lean: the
     // per-version refs come off the planned frames.
+    // loud like retentionKeep: a failure here must abort the vacuum,
+    // never silently classify a LIVE vector as unreferenced (review r16)
     val dvKeep = (math.max(1, latest - retainVersions + 1) to latest)
-      .flatMap(v => scala.util.Try(ManifestPlan.dvRefs(spark, path,
-        TxLog.snapshotPlanned(spark, path, Some(v)))).getOrElse(Seq.empty))
+      .flatMap(v => ManifestPlan.dvRefs(spark, path,
+        TxLog.snapshotPlanned(spark, path, Some(v))))
       .toSet
     val dvRoot = new Path(path, "_dv")
     val dvDirs =
@@ -1848,11 +1856,19 @@ object CowTable {
       // only the files the restore actually touches (round 16) — a
       // restore between nearby versions of a 10⁶-file table is
       // delta-proportional; inline manifests keep the driver sets
+      // delta identity is (path, rows, dv), not path alone: a
+      // deletion-vector commit MUTATES an entry in place (same path,
+      // new dv/rows), and a path-only delta would silently keep the
+      // head's vectors across the restore (review r16). A changed
+      // entry re-adds under its target identity — the fold's
+      // by-path update replaces it.
       val (adds, removes) =
         if (!pHead.isDistributed && !pTarget.isDistributed) {
-          val headPaths = head.files.map(_.path).toSet
+          val headBy = head.files
+            .map(a => a.path -> ((a.rows, a.dv))).toMap
           val targetPaths = target.files.map(_.path).toSet
-          (target.files.filterNot(a => headPaths.contains(a.path)),
+          (target.files.filter(a =>
+            !headBy.get(a.path).contains((a.rows, a.dv))),
             head.files.map(_.path).filterNot(targetPaths.contains))
         } else ManifestPlan.restoreDelta(spark, path, pHead, pTarget)
       val conf = spark.sessionState.newHadoopConf()
@@ -1862,6 +1878,14 @@ object CowTable {
         val p = new Path(fileUri(path, a.path))
         require(p.getFileSystem(conf).exists(p),
           s"cannot restore to v$version: ${a.path} was vacuumed")
+        // ...and the entry's deletion vector must exist too, or the
+        // restored table would publish unreadable (review r16)
+        a.dv.foreach { d =>
+          val dp = new Path(path, d)
+          require(dp.getFileSystem(conf).exists(dp),
+            s"cannot restore to v$version: deletion vector $d of " +
+              s"${a.path} was vacuumed")
+        }
       }
       // Re-added files may predate a constraint: addConstraint only
       // scanned the then-LIVE snapshot, so a file removed before the
@@ -1929,6 +1953,7 @@ object CowTable {
       s"table already exists at $dstPath")
     val psnap = TxLog.snapshotPlanned(spark, srcPath, asOfVersion)
     val snap = psnap.meta
+    requireNoDv(spark, srcPath, psnap, "shallowClone")
     // Register the clone LEASE in the source BEFORE the clone commit
     // exists, so a source-side vacuum can never miss an active clone
     // (a crash in between leaves an orphan lease — reclaimable with
@@ -1982,6 +2007,22 @@ object CowTable {
       s"concurrent create at $dstPath")
   }
 
+  /** Clones REFUSE vector-carrying sources (review r16): a cloned
+    * `_dv/` ref would resolve against the clone's own root where no
+    * vector exists (shallow), or dangle after a source vacuum (deep) —
+    * and silently resurrecting deleted rows is the one failure mode
+    * protocol 6 exists to prevent. Drain first; one purge makes the
+    * source cloneable forever.
+    */
+  private def requireNoDv(spark: SparkSession, srcPath: String,
+      psnap: TxLog.PlannedSnapshot, what: String): Unit =
+    require(
+      if (!psnap.isDistributed) psnap.meta.files.forall(_.dv.isEmpty)
+      else !psnap.meta.minReader.exists(_ >= 6) ||
+        ManifestPlan.dvRefs(spark, srcPath, psnap).isEmpty,
+      s"$what: the source carries deletion vectors — run purgeDv (or " +
+        "any optimize) on it first, then clone")
+
   /** Column twin of [[TxLog.isExternalPath]] — used by the lean clone
     * writers to resolve manifest paths inside the frame.
     */
@@ -2013,6 +2054,7 @@ object CowTable {
     require(TxLog.latestVersion(spark, dstPath) == 0,
       s"table already exists at $dstPath")
     val psnap = TxLog.snapshotPlanned(spark, srcPath, asOfVersion)
+    requireNoDv(spark, srcPath, psnap, "deepClone")
     if (psnap.isDistributed) {
       deepCloneLean(spark, srcPath, dstPath, psnap); return
     }
@@ -2675,10 +2717,6 @@ object CowTable {
   private def readSchemaCols(snap: Snapshot): Seq[String] =
     StructType.fromDDL(snap.schemaDDL).fields.map(_.name).toSeq
 
-  private def readSnapshot(spark: SparkSession, path: String,
-      snap: Snapshot): DataFrame =
-    readFiles(spark, path, snap, snap.files)
-
   /** Manifest entries are table-root-relative — EXCEPT a shallow
     * clone's, which reference the SOURCE's files externally
     * ([[TxLog.isExternalPath]]: scheme-qualified URIs since protocol
@@ -2823,8 +2861,12 @@ object CowTable {
     * like every other rel-path rule in the engine.
     */
   private def scanRelPath: Column =
-    url_decode(regexp_replace(col("_metadata.file_path"),
-      "^.*/data/", "data/"))
+    // '+' is LITERAL in a URI path but form-decodes to a space —
+    // pre-escape it so url_decode undoes exactly the URI layer
+    // (review r16: a '+' in a partition value must round-trip)
+    url_decode(regexp_replace(
+      regexp_replace(col("_metadata.file_path"), "^.*/data/", "data/"),
+      "\\+", "%2B"))
 
   /** Subtract the files' DELETION VECTORS from a file-scan frame —
     * must run directly over the scan (metadata columns resolve at the
@@ -2838,12 +2880,14 @@ object CowTable {
     else {
       val dv = spark.read.schema(DvSchema)
         .parquet(refs.distinct.map(r => s"$path/$r"): _*)
+      // dv-side references QUALIFIED: a table column named rel_path /
+      // row_index must not make the join ambiguous (review r16)
       frame
         .withColumn("__gf_dvrel", scanRelPath)
         .withColumn("__gf_dvri", col("_metadata.row_index"))
         .join(broadcast(dv),
-          col("__gf_dvrel") === col("rel_path") &&
-            col("__gf_dvri") === col("row_index"), "left_anti")
+          col("__gf_dvrel") === dv("rel_path") &&
+            col("__gf_dvri") === dv("row_index"), "left_anti")
         .drop("__gf_dvrel", "__gf_dvri")
     }
 

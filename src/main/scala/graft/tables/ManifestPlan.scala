@@ -303,8 +303,17 @@ object ManifestPlan {
     try {
       val headDf = filesDf(spark, table, pHead)
       val targetDf = filesDf(spark, table, pTarget)
+      // adds key on (path, rows, dv): a deletion-vector commit mutates
+      // an entry in place, and the restore must re-add its TARGET
+      // identity (review r16); removes stay path-keyed. dv is
+      // NULLABLE — the join must be null-safe or every vectorless
+      // entry would re-add
+      val h = headDf.select(col("path").as("_hp"),
+        col("rows").as("_hr"), col("dv").as("_hd"))
       val adds = targetDf
-        .join(headDf.select("path"), Seq("path"), "left_anti")
+        .join(h, col("path") === col("_hp") &&
+          col("rows") === col("_hr") && col("dv") <=> col("_hd"),
+          "left_anti")
         .collect().map(TxLog.rowToAddFile).toSeq
       val removes = headDf.select("path")
         .join(targetDf.select("path"), Seq("path"), "left_anti")

@@ -159,20 +159,60 @@ class DvSpec extends AnyFunSuite {
     }
   }
 
+  test("restore across a vector commit re-adds the TARGET identity " +
+      "(deleted rows come back / go away), and a vacuumed vector " +
+      "makes restore refuse loudly (review r16)") {
+    withTable { t =>
+      CowTable.create(spark, t,
+        spark.range(30).select(col("id").as("k")).coalesce(1),
+        Seq("k"))                                          // v1
+      CowTable.deleteWhereDv(spark, t, col("k") % 5 === 0L) // v2
+      assert(CowTable.read(spark, t).count() === 24L)
+      // back BELOW the vector: the entry's clean v1 identity re-adds
+      // (a path-only delta would silently keep the head's vector)
+      CowTable.restore(spark, t, 1L)                       // v3
+      assert(CowTable.read(spark, t).count() === 30L)
+      // forward again ONTO the vector commit's state
+      CowTable.restore(spark, t, 2L)                       // v4
+      assert(CowTable.read(spark, t).count() === 24L)
+      // purge, then lose the vector to EXTERNAL cleanup (vacuum's own
+      // dv keep-set tracks the data keep-set, so only abnormal
+      // cleanup creates this state): a restore back onto the vector
+      // commit must refuse loudly — never publish unreadable
+      CowTable.purgeDv(spark, t)                           // v5
+      val fs = TxLog.fs(spark, t)
+      fs.delete(new org.apache.hadoop.fs.Path(t, "_dv"), true)
+      val e = intercept[IllegalArgumentException] {
+        CowTable.restore(spark, t, 2L)
+      }
+      assert(e.getMessage.contains("deletion vector"))
+      assert(CowTable.read(spark, t).count() === 24L)
+    }
+  }
+
   test("CDC: a vector delete ships the exact delete rows; external " +
       "references are refused") {
     withTable { t =>
       CowTable.create(spark, t,
         spark.range(20).select(col("id").as("k"),
-          (col("id") * 2).as("v")), Seq("k"))
+          (col("id") * 2).as("v")).coalesce(1), Seq("k"))
       CowTable.deleteWhereDv(spark, t, col("k") >= 15L, cdc = true)
       val changes = CowTable.changesCdcAt(spark, t, 2L)
       assert(changes.select("k", CowTable.ChangeTypeCol).collect()
         .map(r => (r.getLong(0), r.getString(1))).toSet ===
         (15L until 20L).map(k => (k, "delete")).toSet)
-      // shallow-clone external refs refuse the vector path loudly
+      // a vector-carrying source refuses BOTH clone forms (a cloned
+      // ref would dangle or resurrect) — drain first, then clone
+      intercept[IllegalArgumentException] {
+        CowTable.shallowClone(spark, t, t + "_nope")
+      }
+      intercept[IllegalArgumentException] {
+        CowTable.deepClone(spark, t, t + "_nope2")
+      }
+      CowTable.purgeDv(spark, t)
       val sh = t + "_sh"
       CowTable.shallowClone(spark, t, sh)
+      // ...and the vector path refuses EXTERNAL references loudly
       intercept[IllegalArgumentException] {
         CowTable.deleteWhereDv(spark, sh, col("k") === 1L)
       }
