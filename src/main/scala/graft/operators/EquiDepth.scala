@@ -38,6 +38,16 @@ object EquiDepth {
   /** (bucket, n, lo, hi) for `k` equal-count buckets of `valueCol`
     * (nulls excluded); `idCol` breaks value ties so the global order —
     * and therefore every bucket boundary — is total and deterministic.
+    *
+    * Boundary-only ranking (r16): a sub-bucket occupies the global
+    * rank range `[off, off+n)`, and `bucket = (rank·k) div cnt` is
+    * monotone in rank — so when the bucket of its FIRST row equals the
+    * bucket of its LAST row, every row in between shares it, and the
+    * sub-bucket's `(count, min, max)` (already computed for the offset
+    * frame) IS its whole contribution. Only sub-buckets that straddle
+    * a bucket boundary (≤ k−1 of them, ~k/nSub of rows for mild skew)
+    * are ranked row-by-row. The expensive full-table exchange+sort
+    * feeding the rank window shrinks to the boundary slice.
     */
   def histogram(df: DataFrame, valueCol: String, idCol: String,
       k: Int = 10, nSub: Int = 256): DataFrame = {
@@ -54,19 +64,36 @@ object EquiDepth {
       .withColumn("sub", sub)
 
     // tiny frame: one row per sub-bucket (see SeqPack.packPlan for the
-    // non-foldable constant partition key)
+    // non-foldable constant partition key), carrying count + extent so
+    // non-boundary sub-buckets never need their rows ranked
     val bySub = Window.partitionBy(col("sub") * lit(0L)).orderBy(col("sub"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offs = keyed.groupBy(col("sub")).agg(count(lit(1)).as("n"))
-      .select(col("sub"), coalesce(sum(col("n")).over(bySub), lit(0L))
-        .as("off"))
+    val stats = keyed.groupBy(col("sub"))
+      .agg(count(lit(1)).as("n"), min(v).as("lo"), max(v).as("hi"),
+        first(col("cnt")).as("cnt"))
+      .withColumn("off", coalesce(sum(col("n")).over(bySub), lit(0L)))
+      .withColumn("bLo", expr(s"(off * $k) DIV cnt"))
+      .withColumn("bHi", expr(s"((off + n - 1) * $k) DIV cnt"))
 
+    // whole sub-buckets: first and last rank land in the same bucket,
+    // so (monotonicity) every row does — aggregate rows already known
+    val whole = stats.filter(col("bLo") === col("bHi"))
+      .select(col("bLo").as("bucket"), col("n"), col("lo"), col("hi"))
+
+    // boundary sub-buckets: rank row-by-row, exactly as before
+    val boundary = stats.filter(col("bLo") =!= col("bHi"))
+      .select(col("sub"), col("off"))
     val inSub = Window.partitionBy(col("sub")).orderBy(v, col(idCol))
-    keyed
+    val split = keyed
+      .join(broadcast(boundary), "sub")
       .withColumn("rn", row_number().over(inSub).cast("bigint"))
-      .join(broadcast(offs), "sub")
       .withColumn("bucket", expr(s"((off + rn - 1) * $k) DIV cnt"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n"), min(v).as("lo"), max(v).as("hi"))
+
+    whole.unionByName(split)
+      .groupBy(col("bucket"))
+      .agg(sum(col("n")).as("n"), min(col("lo")).as("lo"),
+        max(col("hi")).as("hi"))
   }
 }
