@@ -67,20 +67,27 @@ object Clusters {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      val neighborMin = edges
-        .join(labels, edges("src") === labels("id"))
-        .groupBy(col("dst").as("nid"))
-        .agg(min(col("comp")).as("ncomp"))
+      // one exchange per round (r16): the node's OWN label unions into
+      // the neighbor-min aggregate as a marked row, so
+      //   min(comp over union) == least(comp, coalesce(min ncomp, comp))
+      // and the old per-round left join (its own exchange of the label
+      // frame) is gone. `own` survives as max(when(marker)) — every id
+      // has exactly one marked row, so it is never null.
       // __changed rides along in the checkpointed frame (the next
       // round's join ignores it) so the convergence check and the new
       // labels share ONE materialization. The check COUNTS changed rows
       // (no limit-1 short-circuit) so the lazy checkpoint is forced to
       // compute every partition.
-      val next = labels
-        .join(neighborMin, labels("id") === neighborMin("nid"), "left_outer")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"),
-          (col("ncomp") < col("comp")).as("__changed"))
+      val next = edges
+        .join(labels, edges("src") === labels("id"))
+        .select(col("dst").as("id"), col("comp"), lit(false).as("own"))
+        .unionByName(labels.select(col("id"), col("comp"),
+          lit(true).as("own")))
+        .groupBy("id")
+        .agg(min(col("comp")).as("comp"),
+          max(when(col("own"), col("comp"))).as("__old"))
+        .select(col("id"), col("comp"),
+          (col("comp") < col("__old")).as("__changed"))
         .localCheckpoint(false)
       converged = next.filter(col("__changed")).count() == 0L
       // next is fully materialized (the count has no short-circuit) —

@@ -33,17 +33,29 @@ import org.apache.spark.sql.functions._
   *
   * Distributed shape, per round: ONE shuffle of the (small) rank
   * frame to meet the pre-partitioned, persisted edge table on src,
-  * plus ONE aggregate by dst. No driver-side graph state beyond the
-  * node count; rounds truncate lineage via `localCheckpoint` like
-  * [[graft.dedup.Clusters]], so a 20-round run does not nest 20
-  * plans, and the final round checkpoints eagerly so the edge cache
-  * is dropped before the result leaves the call. Overflow-safe by
-  * construction: total in-flight mass is ≤ S = 10^12, so
-  * 17·Σ ≤ 1.7e13 ≪ 2^63.
+  * plus ONE aggregate by dst. The dangling/no-inbound default does
+  * NOT cost a per-round join: the node spine unions into the
+  * contribution aggregate as zero-mass rows (`sum` over the extra 0
+  * equals the old `coalesce(m, 0)` of the left join), so each round
+  * is join + union + ONE exchange instead of join + two. No
+  * driver-side graph state beyond the node count; lineage truncates
+  * via `localCheckpoint` every [[CheckpointEvery]] rounds (r16: a
+  * per-round checkpoint made every round a separately planned query —
+  * measured more driver/AQE gap than task time at 5 rounds; a short
+  * run is now ONE query), and the final round checkpoints eagerly so
+  * the edge cache is dropped before the result leaves the call.
+  * Overflow-safe by construction: total in-flight mass is
+  * ≤ S = 10^12, so 17·Σ ≤ 1.7e13 ≪ 2^63.
   */
 object PageRank {
 
   val Scale = 1000000000000L // 10^12 fixed-point units of rank 1.0
+
+  /** Lineage-truncation cadence: deep enough that a short run (the
+    * benched 5 rounds) plans as a single query, shallow enough that a
+    * 100-round run never nests a plan past 8 rounds of join+agg.
+    */
+  private val CheckpointEvery = 8
 
   /** (node, rank_fp) for every node appearing as src or dst of
     * `edges`, after `iters` rounds. `weightCol` is the multi-edge
@@ -76,14 +88,19 @@ object PageRank {
       .localCheckpoint(false)
     val base = 3L * Scale / (20L * n)
     for (k <- 1 to iters) {
+      // node spine rides the aggregate as zero rows: sum(m ∪ {0}) ==
+      // coalesce(sum(m), 0), so no-inbound nodes still get base and
+      // the old per-round left join (its own exchange) is gone
       val contrib = eOut
         .join(r.withColumnRenamed("node", "src"), "src")
-        .groupBy(col("dst").as("node"))
-        .agg(sum(col("w") * expr("r DIV outw")).as("m"))
-      r = nodes.join(contrib, Seq("node"), "left")
-        .select(col("node"),
-          (lit(base) + expr("(17 * coalesce(m, 0L)) DIV 20")).as("r"))
-        .localCheckpoint(eager = k == iters)
+        .select(col("dst").as("node"),
+          (col("w") * expr("r DIV outw")).as("m"))
+        .unionByName(nodes.select(col("node"), lit(0L).as("m")))
+        .groupBy("node").agg(sum(col("m")).as("m"))
+      r = contrib
+        .select(col("node"), (lit(base) + expr("(17 * m) DIV 20")).as("r"))
+      if (k % CheckpointEvery == 0 || k == iters)
+        r = r.localCheckpoint(eager = k == iters)
     }
     eOut.unpersist()
     r.select(col("node"), col("r").as("rank_fp"))
@@ -122,15 +139,19 @@ object PageRank {
       .localCheckpoint(false)
     val base = 3L * Scale / (20L * nSeeds)
     for (k <- 1 to iters) {
+      // same zero-row spine trick as [[ranks]]: one exchange per round
       val contrib = eOut
         .join(r.withColumnRenamed("node", "src"), "src")
-        .groupBy(col("dst").as("node"))
-        .agg(sum(col("w") * expr("r DIV outw")).as("m"))
-      r = ns.join(contrib, Seq("node"), "left")
+        .select(col("dst").as("node"),
+          (col("w") * expr("r DIV outw")).as("m"))
+        .unionByName(ns.select(col("node"), lit(0L).as("m")))
+        .groupBy("node").agg(sum(col("m")).as("m"))
+      r = contrib
         .select(col("node"),
           (when(isSeed, lit(base)).otherwise(lit(0L)) +
-            expr("(17 * coalesce(m, 0L)) DIV 20")).as("r"))
-        .localCheckpoint(eager = k == iters)
+            expr("(17 * m) DIV 20")).as("r"))
+      if (k % CheckpointEvery == 0 || k == iters)
+        r = r.localCheckpoint(eager = k == iters)
     }
     eOut.unpersist()
     r.select(col("node"), col("r").as("rank_fp"))
