@@ -44,15 +44,16 @@ object LmScore {
     // cache can drop before this returns; the returned frame is a
     // local relation — broadcastable, persistable, and stream-static
     // joinable exactly like the lazy form it replaces.
-    val perDoc = docs
-      .select(col(idCol).as("doc_id"),
-        explode(TokenCount.tokens(coalesce(col(textCol), lit(""))))
-          .as("token"))
-      .groupBy(col("token"), col("doc_id"))
-      .agg(count(lit(1)).as("n"))
-    val tokTable = perDoc
+    // ONE token-keyed aggregate (r16): the old per-(token, doc_id)
+    // pre-grouping summed to the same totals but shuffled the larger
+    // (token, doc) key space through an extra exchange — a unigram
+    // model never needs doc attribution, and map-side combine on the
+    // token key alone is strictly tighter.
+    val tokTable = docs
+      .select(explode(TokenCount.tokens(coalesce(col(textCol), lit(""))))
+        .as("token"))
       .groupBy(col("token"))
-      .agg(sum(col("n")).as("n_occurrences"))
+      .agg(count(lit(1)).as("n_occurrences"))
       .persist()
     try {
       val fitted = tokTable

@@ -21,7 +21,10 @@ import org.apache.spark.sql.functions._
   */
 object TfIdf {
 
-  /** (stratum, rank, term, score) — top `k` terms per stratum value. */
+  /** (stratum, rank, term, score) — top `k` terms per stratum value.
+    * Precondition: one row per `idCol` value in `docs` (the stratum is
+    * an attribute of the document) — the df count below relies on it.
+    */
   def topTerms(docs: DataFrame, idCol: String, textCol: String,
       strataCol: String, k: Int): DataFrame = {
     // ONE token-scale shuffle: the raw postings aggregate straight to
@@ -37,7 +40,12 @@ object TfIdf {
       .groupBy("stratum", "term", "doc_id").agg(count(lit(1)).as("c"))
       .persist() // feeds tf + df
     val tf = perDoc.groupBy("stratum", "term").agg(sum("c").as("tf"))
-    val df = perDoc.groupBy("term").agg(count_distinct(col("doc_id")).as("df"))
+    // perDoc is DISTINCT in (stratum, term, doc_id) by construction,
+    // and each doc row carries one stratum, so rows per term ARE the
+    // distinct docs per term: count(*) == count_distinct(doc_id)
+    // without the second (term, doc_id)-keyed exchange Spark plans for
+    // a distinct aggregate (r16).
+    val df = perDoc.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.select(count(lit(1)).as("n_total"))
     val scored = tf.join(df, "term").crossJoin(broadcast(n))
       .select(col("stratum"), col("term"),
