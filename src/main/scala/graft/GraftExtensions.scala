@@ -147,6 +147,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         s"md5_prefix_long takes (s, digits), got ${args.length}")
       Md5PrefixLong(args.head, intLit(args(1), "md5_prefix_long", 2))
     })
+    inject("minhash_bands", { args =>
+      require(args.length == 3,
+        s"minhash_bands takes (shingles, numBands, rowsPerBand), " +
+          s"got ${args.length}")
+      val nb = intLit(args(1), "minhash_bands", 2)
+      val rpb = intLit(args(2), "minhash_bands", 3)
+      val (as, bs) = (0 until nb * rpb)
+        .map(graft.dedup.MinHashLSH.coeffs).unzip
+      MinHashBands(args.head, as, bs, nb, rpb)
+    })
     inject("hilbert_index", { args =>
       require(args.length == 2,
         s"hilbert_index takes (x, y), got ${args.length}")

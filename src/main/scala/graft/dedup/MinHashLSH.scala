@@ -7,9 +7,9 @@ import org.apache.spark.sql.functions._
 /** Near-duplicate detection via MinHash signatures + LSH banding.
   *
   * Pipeline (all shapes chosen for the 100 TB case):
-  *   1. minhash signatures as one partial+final hash aggregate over the
-  *      exploded (doc, shingle) postings — map-side combine keeps the
-  *      shuffle at one row per doc;
+  *   1. minhash band values as ONE native one-pass expression over each
+  *      document's shingle array ([[graft.expressions.MinHashBands]]) —
+  *      no posting explode, no signature aggregate, no exchange;
   *   2. band values from the signature columns, explode into
   *      (band_id, band_val, doc_id) and SELF-JOIN on the band key —
   *      candidates come from hash-bucket collisions only, never an
@@ -131,45 +131,30 @@ object MinHashLSH {
     }
   }
 
-  /** (doc_id, h0..h{n-1}) minhash signature columns.
-    *
-    * Computed as ONE hash aggregate over the exploded (doc, shingle)
-    * postings — md5 runs ONCE per posting, and the per-seed values are
-    * affine permutations ([[coeffs]]) of that 48-bit base hash, so the
-    * aggregate is n_seeds cheap integer mins instead of n_seeds md5
-    * calls (measured ~40% of the LSH queries' cost at sf0.1). Map-side
-    * combine keeps the shuffle at one row per doc. (A per-row
-    * `array_min(transform(...))` fold looks cheaper still but is a
-    * trap: every downstream use of the signature array gets the whole
-    * transform subtree re-inlined by CollapseProject, multiplying the
-    * hash work by the number of consumers — measured 30× slower at
-    * sf0.1.)
-    */
-  def signatures(shingled: DataFrame, cfg: Config = Config()): DataFrame = {
-    val posts = shingled.select(col("doc_id"), explode(col("shingles")).as("sh"))
-      .select(col("doc_id"),
-        graft.text.TextFeatures.md5PrefixLong(col("sh"), 12).as("h0"))
-    val aggs = (0 until cfg.numHashes).map { i =>
-      val (a, b) = coeffs(i)
-      min((col("h0") * a + b).bitwiseAND(lit(Mask48))).as(s"h$i")
-    }
-    posts.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
-  }
-
   /** (doc_id, band_id, band_val) banded signature rows — the LSH
     * "index" relation. Shared by the self-join pairing below and by
     * [[IncrementalDedup]], which joins a new batch's bands against a
     * standing corpus's (at scale the corpus side is what you persist
     * to a staging table and reuse across ingest batches).
+    *
+    * Computed by ONE native one-pass expression over the shingle array
+    * ([[graft.expressions.MinHashBands]]): the per-seed minima fold in
+    * registers during a single array scan (md5 still runs once per
+    * shingle) and the band hashes follow immediately — where the
+    * previous explode → `groupBy(doc_id).agg(min × numHashes)` form
+    * paid a posting-level hash aggregate plus a full exchange per
+    * relation just to reassemble per-doc minima that were never apart
+    * (r16: the signature aggregate + its exchange measured ~40% of the
+    * LSH queries' cost at sf0.1). Band values are bit-identical to the
+    * aggregate form (property-tested in MinHashBandsProps; every
+    * consumer's DuckDB oracle re-proves it end-to-end — the oracle SQL
+    * keeps the explode/GROUP BY form).
     */
   def bands(shingled: DataFrame, cfg: Config = Config()): DataFrame = {
-    val bandVals = (0 until cfg.numBands).map { j =>
-      md5(concat_ws(":", (0 until cfg.rowsPerBand).map(r =>
-        col(s"h${j * cfg.rowsPerBand + r}").cast("string")): _*))
-    }
-    signatures(shingled, cfg)
-      .select(col("doc_id"),
-        posexplode(array(bandVals: _*)).as(Seq("band_id", "band_val")))
+    val (as, bs) = (0 until cfg.numHashes).map(coeffs).unzip
+    shingled.select(col("doc_id"),
+      posexplode(graft.expressions.MinHashBands(col("shingles"), as, bs,
+        cfg.numBands, cfg.rowsPerBand)).as(Seq("band_id", "band_val")))
   }
 
   /** Candidate pairs (doc_a < doc_b) whose minhash signatures collide in

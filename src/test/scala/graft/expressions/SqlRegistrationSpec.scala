@@ -62,6 +62,16 @@ class SqlRegistrationSpec extends AnyFunSuite {
       spark.sql("SELECT apply_merge(t, t, 'b') FROM sql_reg_in").collect())
   }
 
+  test("minhash_bands parses from SQL and matches the Column-API form") {
+    val sql = spark.sql(
+      "SELECT minhash_bands(array('ab', 'cd', 'ef'), 6, 2)").head
+    // compare against the bands() relation for one doc
+    val rel = graft.dedup.MinHashLSH.bands(
+      Seq((1L, Seq("ab", "cd", "ef"))).toDF("doc_id", "shingles"))
+      .orderBy("band_id").collect().map(_.getString(2)).toSeq
+    assert(sql.getSeq[String](0) === rel)
+  }
+
   test("nearest_centroid parses from SQL with constant codebook arrays") {
     // two 2-dim centroids (0,0) and (10,10); q=(9,9) → cell 1,
     // d = qn + cn − 2·dot = 162 + 200 − 360 = 2
