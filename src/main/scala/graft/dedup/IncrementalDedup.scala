@@ -44,7 +44,10 @@ object IncrementalDedup {
     * `shingles` by doc_id to also skip their shuffles at read time —
     * [[graft.sources.Bucketing]]).
     *
-    *   - textHashes: distinct md5(text) — the exact screen's side;
+    *   - textHashes: md5(text) — the exact screen's side (distinct in
+    *     the PERSISTED form: [[writeIndex]]/[[appendToIndex]] dedup at
+    *     write time; the in-call screen skips the distinct because its
+    *     own verdict aggregation dedups — see [[fromPrepared]]);
     *   - bands: (doc_id, band_id, band_val) LSH band index;
     *   - shingles: (doc_id, shingles) sets for Jaccard verification.
     */
@@ -97,7 +100,7 @@ object IncrementalDedup {
     graft.sources.Bucketing.writeBucketed(
       index.shingles, s"${prefix}_shingles", "doc_id", numBuckets)
     graft.sources.Bucketing.writeBucketed(
-      index.textHashes, s"${prefix}_hashes", "h", numBuckets)
+      index.textHashes.distinct(), s"${prefix}_hashes", "h", numBuckets)
   }
 
   /** Reopen a [[writeIndex]]-persisted index for an ingest screen.
@@ -188,15 +191,24 @@ object IncrementalDedup {
     graft.sources.Bucketing.appendBucketed(
       idx.shingles, s"${prefix}_shingles", "doc_id", numBuckets)
     graft.sources.Bucketing.appendBucketed(
-      idx.textHashes, s"${prefix}_hashes", "h", numBuckets)
+      idx.textHashes.distinct(), s"${prefix}_hashes", "h", numBuckets)
     prep.unpersist(blocking = false)
     ()
   }
 
+  /** NOT distinct on `textHashes`: the exact screen's verdict already
+    * dedups per batch doc after its join, so an in-call distinct here
+    * only adds a full corpus-wide exchange + aggregate ahead of a join
+    * whose build side it then broadcasts anyway (r16: the distinct was
+    * the only corpus-side shuffle left in `dedup_incremental`'s exact
+    * screen). The PERSISTED index forms keep the distinct invariant at
+    * write time ([[writeIndex]]/[[appendToIndex]]) — one write-time
+    * dedup, amortized over every nightly screen.
+    */
   private def fromPrepared(prep: DataFrame,
       cfg: MinHashLSH.Config): CorpusIndex =
     CorpusIndex(
-      prep.select(col("h")).distinct(),
+      prep.select(col("h")),
       MinHashLSH.bands(prep, cfg),
       prep.select("doc_id", "shingles"))
 
