@@ -19,16 +19,18 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape — the textbook property that makes BPE trainable at
   * 100 TB: the corpus is touched ONCE (the word-frequency aggregate,
-  * map-side combined on word keys); every training round then iterates
-  * over the VOCABULARY-sized word table, capped at `maxVocab` rows by
-  * a TakeOrderedAndProject top-k (per-task heap + driver merge — no
-  * global sort). Rounds follow the k-means/PageRank iterative-literal
-  * pattern: each winning pair is ONE collected row whose symbols embed
-  * in the next round's plan as [[ApplyMerge]] literals (a pure
-  * codegen'd projection — zero shuffle per round beyond the pair-count
-  * aggregate over ≤ maxVocab rows). The word table is persisted once;
-  * callers release it via `catalog.clearCache()` like the other
-  * multi-action operators.
+  * map-side combined on word keys), capped at `maxVocab` rows by a
+  * TakeOrderedAndProject top-k (per-task heap + driver merge — no
+  * global sort). The merge rounds then run DRIVER-SIDE over that
+  * bounded table (r16) — the ANN-codebook discipline: training state
+  * that is O(vocab) by construction collects once and iterates in
+  * memory, instead of paying a job launch plus an
+  * analyze/optimize/codegen of an ever-deeper ApplyMerge plan chain
+  * per round to sum a few hundred integers (measured: rounds were
+  * ~60% driver gap at sf0.1). The loop reuses the Spark expressions'
+  * own static scanners (WordShingles.scan / ApplyMerge.scan) and
+  * UTF8String binary ordering, so it is bit-identical to the plan
+  * form by construction, not by reimplementation.
   *
   * Cross-engine determinism: pair totals are exact integer sums of
   * word counts; ordering is (total desc, pair asc); the greedy apply
@@ -59,39 +61,58 @@ object BpeTrain {
       .orderBy(col("cnt").desc, col("word").asc)
       .limit(maxVocab)
     // initial symbol sequence: the word's characters, space-joined
-    // (symbols never contain spaces, so boundaries stay unambiguous)
-    val seeded = words.select(col("word"), col("cnt"),
-        array_join(graft.expressions.CharShingles(col("word"), 1), " ")
-          .as("seq"))
-      .persist()
-    seeded.count() // materialize once; rounds re-scan the cached table
+    // (symbols never contain spaces, so boundaries stay unambiguous).
+    // The seeded table is BOUNDED at maxVocab rows by construction, so
+    // it collects once and the merge rounds run driver-side (r16) —
+    // exactly the ANN-codebook discipline: the corpus pass (word
+    // frequencies) is the distributed work; iterating Spark plans over
+    // a ≤maxVocab-row cached table paid one job launch + one
+    // analyze/optimize/codegen of an r-deep ApplyMerge chain PER ROUND
+    // (O(rounds²) driver plan work) to sum a few hundred integers.
+    // Bit-identity is by construction, not reimplementation: the loop
+    // calls the SAME static scanners the Spark expressions evaluate —
+    // WordShingles.scan for the adjacent-pair explode (including its
+    // lowering and multiplicity semantics), ApplyMerge.scan for the
+    // greedy merge — and orders candidates by UTF8String's binary
+    // comparison, Spark's own string ordering. The DuckDB oracle
+    // re-learns every round independently either way.
+    import org.apache.spark.unsafe.types.UTF8String
+    var seqs: Array[(UTF8String, Long)] = words
+      .select(array_join(graft.expressions.CharShingles(col("word"), 1), " ")
+        .as("seq"), col("cnt"))
+      .collect()
+      .map(r => (UTF8String.fromString(r.getString(0)), r.getLong(1)))
 
-    var cur = seeded
     val rules = Seq.newBuilder[(Int, String, String, Long)]
-    try {
-      for (r <- 1 to numMerges) {
-        val top = cur
-          .select(explode(TextFeatures.textGrams(col("seq"), 2)).as("pair"),
-            col("cnt"))
-          .groupBy("pair").agg(sum(col("cnt")).as("total"))
-          .orderBy(col("total").desc, col("pair").asc)
-          .limit(1).collect()
-        require(top.nonEmpty,
-          s"corpus starved at merge round $r of $numMerges: no adjacent pairs left")
-        val pair = top(0).getString(0)
-        val total = top(0).getLong(1)
-        val sp = pair.indexOf(' ')
-        val (l, rt) = (pair.substring(0, sp), pair.substring(sp + 1))
-        rules += ((r, l, rt, total))
-        cur = cur.select(col("word"), col("cnt"),
-          ApplyMerge(col("seq"), l, rt).as("seq"))
+    for (r <- 1 to numMerges) {
+      val totals = scala.collection.mutable.HashMap.empty[UTF8String, Long]
+      seqs.foreach { case (seq, cnt) =>
+        val grams = graft.expressions.WordShingles
+          .scan(seq, 2, distinct = false)
+        var i = 0
+        while (i < grams.numElements()) {
+          val p = grams.getUTF8String(i)
+          totals.update(p, totals.getOrElse(p, 0L) + cnt)
+          i += 1
+        }
       }
-    } finally {
-      // the result frame below is built from driver-collected rules —
-      // nothing downstream depends on the cache, so release it here
-      // instead of leaking one cached table per call until a global
-      // clearCache()
-      seeded.unpersist(blocking = false)
+      require(totals.nonEmpty,
+        s"corpus starved at merge round $r of $numMerges: no adjacent pairs left")
+      var bestPair: UTF8String = null
+      var bestTotal = 0L
+      totals.foreach { case (p, t) =>
+        if (bestPair == null || t > bestTotal ||
+          (t == bestTotal && p.compareTo(bestPair) < 0)) {
+          bestPair = p; bestTotal = t
+        }
+      }
+      val pair = bestPair.toString
+      val sp = pair.indexOf(' ')
+      val (l, rt) = (pair.substring(0, sp), pair.substring(sp + 1))
+      rules += ((r, l, rt, bestTotal))
+      val lb = l.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val rb = rt.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      seqs = seqs.map { case (s, c) => (ApplyMerge.scan(s, lb, rb), c) }
     }
     import spark.implicits._
     rules.result().toDF("rnk", "left", "right", "pair_count")
