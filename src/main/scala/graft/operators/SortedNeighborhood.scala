@@ -123,9 +123,11 @@ object SortedNeighborhood {
           floor(col("rank") / bandW).cast("long") + d): _*)).as("_band"))
     val scored = l.join(r, "_band")
       .filter(abs(col("_lr") - col("_rr")) <= bandW)
+      // banded 3-arg levenshtein: O(n·k) per candidate, -1 above the
+      // threshold — >= 0 keeps exactly the old `<= threshold` rows
       .select(col("_lid"), col("_rid"),
-        levenshtein(col("_ltxt"), col("_rtxt")).as("_d"))
-      .filter(col("_d") <= cfg.threshold)
+        levenshtein(col("_ltxt"), col("_rtxt"), cfg.threshold).as("_d"))
+      .filter(col("_d") >= 0)
     scored.groupBy(col("_lid").as(leftId))
       .agg(min(struct(col("_d"), col("_rid"))).as("_best"),
         count(lit(1)).as("n_cand"))

@@ -47,9 +47,11 @@ object SymDeleteJoin {
     lv.join(rv, "_v")
       .select(col("_lid"), col("_rid"), col("_ltxt"), col("_rtxt"))
       .distinct()
+      // banded 3-arg levenshtein: O(n·d) per verify, -1 above d — the
+      // >= 0 filter keeps exactly the old `<= d` rows (same distances)
       .select(col("_lid"), col("_rid"),
-        levenshtein(col("_ltxt"), col("_rtxt")).as("_dist"))
-      .filter(col("_dist") <= d)
+        levenshtein(col("_ltxt"), col("_rtxt"), d).as("_dist"))
+      .filter(col("_dist") >= 0)
       .select(col("_lid").as(leftId), col("_rid").as(rightId),
         col("_dist").as("dist"))
 
