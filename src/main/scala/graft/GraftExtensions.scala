@@ -157,6 +157,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         .map(graft.dedup.MinHashLSH.coeffs).unzip
       MinHashBands(args.head, as, bs, nb, rpb)
     })
+    inject("simhash_sig", { args =>
+      require(args.length == 1,
+        s"simhash_sig takes 1 argument, got ${args.length}")
+      SimHashSig(args.head)
+    })
     inject("hilbert_index", { args =>
       require(args.length == 2,
         s"hilbert_index takes (x, y), got ${args.length}")

@@ -12,13 +12,16 @@ import org.apache.spark.sql.functions._
   * few bits; near-dup search becomes hamming distance ≤ d.
   *
   * Scale shapes:
-  *   - the signature is ONE hash aggregate over the exploded
-  *     (doc, shingle-hash) postings: md5 runs once per posting, the 32
-  *     per-bit ±1 sums partial-aggregate map-side, and the shuffle
-  *     carries one row per document. (The tempting zero-shuffle form —
-  *     32 `aggregate` folds over a per-row hash array — gets the md5
-  *     transform re-inlined into all 32 folds by CollapseProject and
-  *     measured 30× slower at sf0.1.)
+  *   - the signature is ONE native one-pass expression over each
+  *     document's shingle array ([[graft.expressions.SimHashSig]]):
+  *     md5 still runs once per shingle, but the 32 ±1 counters fold in
+  *     a local array instead of a posting-level hash aggregate — no
+  *     explode, no exchange (r16; the old aggregate form shuffled one
+  *     32-column row per doc and probed a hash map per posting). The
+  *     32-folds-over-a-transform form remains the trap it always was
+  *     (CollapseProject re-inlines the md5 transform into all 32
+  *     folds, measured 30×); ONE expression consumed by ONE explode
+  *     sidesteps it, exactly like [[graft.expressions.MinHashBands]].
   *   - pairing uses byte banding, which is EXACT for the default d=3:
   *     3 differing bits can touch at most 3 of the 4 signature bytes, so
   *     by pigeonhole every pair within distance 3 shares at least one
@@ -30,21 +33,15 @@ object SimHash {
   val Bits = 32
   val BandBytes = 4
 
-  /** (doc_id, simhash) frame for a text column. */
+  /** (doc_id, simhash) frame for a text column. The explode of the
+    * 1-element signature array drops empty-shingle docs — exactly the
+    * docs the exploded-postings aggregate produced no row for.
+    */
   def signatures(docs: DataFrame, idCol: String, textCol: String,
-      shingleSize: Int = 3): DataFrame = {
-    val posts = docs.select(col(idCol).as("doc_id"),
-        explode(textShingles(col(textCol), shingleSize)).as("sh"))
-      .select(col("doc_id"), hash32(col("sh")).as("hv"))
-    val bitSums = (0 until Bits).map(k =>
-      sum(when(shiftright(col("hv"), k) % 2L === 1L, 1L).otherwise(-1L))
-        .as(s"s$k"))
-    val sig = (0 until Bits)
-      .map(k => when(col(s"s$k") > 0, lit(1L << k)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    posts.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"), sig.as("simhash"))
-  }
+      shingleSize: Int = 3): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      explode(graft.expressions.SimHashSig(
+        textShingles(col(textCol), shingleSize))).as("simhash"))
 
   /** Pairs (doc_a < doc_b) with hamming(simhash) <= maxDistance, found
     * via byte banding (exact for maxDistance <= BandBytes-1).
