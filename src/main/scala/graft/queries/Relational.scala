@@ -395,19 +395,10 @@ object Relational {
     val cust = Tables.load(spark, dir, "customer")
     val ord = Tables.load(spark, dir, "orders")
     val li = Tables.load(spark, dir, "lineitem")
-    // join order (r16, guide §3.2): the ASIA restriction enters through
-    // region → nation → customer → orders, so the dimension chain joins
-    // FIRST and the one fact-fact join (lineitem ⋈ orders) sees orders
-    // already pruned to the region's ~1/5 — inner joins commute, so the
-    // result is bit-identical (same oracle SQL), but written this way
-    // the filter reaches the big join without relying on a cost-based
-    // reorder Spark doesn't do. Locally both forms broadcast the
-    // non-lineitem side (timing unchanged); at scale the pre-pruned
-    // orders side is 5× less shuffle/broadcast.
-    ord.join(cust, col("o_custkey") === col("c_custkey"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .join(nation, col("c_nationkey") === col("n_nationkey"))
       .join(region, col("n_regionkey") === col("r_regionkey"))
-      .join(li, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("n_name"))
       .agg(sum((col("l_extendedprice") * (lit(1.0d) - col("l_discount")))
         .cast("decimal(24,4)")).cast("double").as("revenue"),
